@@ -1,0 +1,262 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.lang._
+import graft.lang.Typing._
+
+/** Spark executor for the MiniGQL 7-instruction IR.
+  *
+  * The reference interpreter (/root/reference/graphDB/lib/sem.ml:299-378) is
+  * an eager left-fold over instructions threading
+  * `State(graph, bindingTable, nextId)`. Here the same fold threads
+  * `ExecState(graph, bindings: DataFrame, env, nextId)` where every
+  * instruction is a LAZY DataFrame transformation — the whole instruction
+  * chain fuses into Catalyst plans, and only node creation (which must know
+  * the binding-table row count to advance the id counter, sem.ml:45-51,
+  * built to the assignment spec: advance by row count, not the reference's
+  * `+1` bug) forces materialization.
+  *
+  * Binding table = one LongType column per bound variable; bag semantics
+  * (duplicates preserved) match both Spark defaults and the reference
+  * (sem.ml:19-25). Rebinding a variable shadows the old binding (columns
+  * prepend in the reference, sem.ml:31; here: fresh internal column name,
+  * env lookup takes the latest).
+  *
+  * Deviations from the reference implementation, all "build to spec"
+  * (SURVEY.md §2.1): `set` evaluates its expression per row (the reference
+  * evaluates on the first row only, sem.ml:372); conflicting per-node `set`
+  * values are resolved deterministically by max; `delete` of a shadowed
+  * variable drops every column of that name (the reference corrupts its
+  * table there, sem.ml:334-336).
+  */
+object Engine {
+
+  /** Execution config. `strict=true` reproduces the reference's
+    * runtime-error semantics for reads of unset attributes / dangling
+    * bindings via `raise_error` in the plan (sem.ml:148-158); `false`
+    * yields SQL NULL semantics (rows with NULL predicates drop). */
+  final case class Config(strict: Boolean = true, checkpointEvery: Int = 24)
+
+  /** env: vname → internal binding column, latest binding first. */
+  final case class ExecState(
+      graph: PropertyGraph,
+      bindings: DataFrame,
+      env: List[(String, String)],
+      nextId: Long,
+      freshCounter: Int,
+      mutationDepth: Map[String, Int]) {
+    def colOf(v: String): String =
+      env.collectFirst { case (`v`, c) => c }
+        .getOrElse(throw new IllegalStateException(s"variable $v not bound"))
+  }
+
+  /** 1-row, 0-column DataFrame: the nullary cartesian-product identity
+    * (reference sem.ml:25 `Table([], [[]])`). */
+  def unitBindings(spark: SparkSession): DataFrame = spark.range(1).select()
+
+  final case class QueryResult(graph: PropertyGraph, bindings: DataFrame)
+
+  def run(spark: SparkSession, prog: TypedProg, graph: PropertyGraph,
+          nextId: Long = 0L, config: Config = Config()): QueryResult = {
+    var st = ExecState(graph, unitBindings(spark), Nil, nextId, 0, Map.empty.withDefaultValue(0))
+    prog.instrs.foreach { in => st = exec(spark, prog.schema, st, in, config) }
+    // Final table: distinct variable names, latest binding, header order
+    // (latest-first, like the reference's prepended header) — unless the
+    // query ended in `return`, in which case env is exactly the return list.
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    val outCols = st.env.flatMap { case (v, c) =>
+      if (seen.add(v)) Some(col(c).as(v)) else None
+    }
+    val out = if (outCols.isEmpty) st.bindings else st.bindings.select(outCols: _*)
+    QueryResult(st.graph, out)
+  }
+
+  /** Convenience: compile source and run against an empty graph. */
+  def runSource(spark: SparkSession, src: String, config: Config = Config()): QueryResult = {
+    val tp = Typing.compile(src)
+    run(spark, tp, PropertyGraph.empty(spark, tp.schema), 0L, config)
+  }
+
+  /** Compile source and run against a pre-loaded graph (the program's
+    * declared schema must structurally match the graph's). */
+  def runSourceOn(spark: SparkSession, src: String, graph: PropertyGraph,
+                  nextId: Long, config: Config = Config()): QueryResult = {
+    val tp = Typing.compile(src)
+    require(tp.schema.nodeAttrs.keySet.subsetOf(graph.schema.nodeAttrs.keySet),
+      s"program labels ${tp.schema.nodeAttrs.keySet} not all present in graph")
+    run(spark, tp, graph, nextId, config)
+  }
+
+  // -------------------------------------------------------------------
+
+  private def exec(spark: SparkSession, schema: Schema, st: ExecState,
+                   in: RInstr, cfg: Config): ExecState = in match {
+
+    case RCreateNode(v, lb) =>
+      // Must know the row count to allocate dense ids and advance the
+      // counter (spec: PDF §3.6 — one fresh node per binding row).
+      val bindings = st.bindings.cache()
+      val n = bindings.count()
+      val c = fresh(st)
+      val withIds: DataFrame = {
+        val outSchema = bindings.schema.add(StructField(c, LongType, nullable = false))
+        val base = st.nextId
+        val rdd = bindings.rdd.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ (base + i))
+        }
+        spark.createDataFrame(rdd, outSchema)
+      }.cache()
+      val newNodes = withIds.select(
+        col(c).as("id") +:
+          schema.nodeAttrs(lb).map { case (f, tp) =>
+            lit(null).cast(PropertyGraph.sparkType(tp)).as(f)
+          }: _*)
+      val g2 = st.graph.copy(nodes = st.graph.nodes.updated(
+        lb, st.graph.nodes(lb).unionByName(newNodes)))
+      bump(st.copy(graph = g2, bindings = withIds, env = (v, c) :: st.env,
+        nextId = st.nextId + n, freshCounter = st.freshCounter + 1), lb, cfg)
+
+    case RMatchNode(v, lb) =>
+      val c = fresh(st)
+      val scan = st.graph.nodes(lb).select(col("id").as(c))
+      st.copy(bindings = st.bindings.crossJoin(scan),
+        env = (v, c) :: st.env, freshCounter = st.freshCounter + 1)
+
+    case RCreateEdge(sv, sl, rl, tv, tl) =>
+      val key = (sl, rl, tl)
+      val newEdges = st.bindings.select(
+        col(st.colOf(sv)).as("src"), col(st.colOf(tv)).as("dst"))
+      // set semantics on (src,dst) — reference graphstruct.ml:30-32
+      val e2 = st.graph.edges(key).unionByName(newEdges).dropDuplicates("src", "dst")
+      bump(st.copy(graph = st.graph.copy(edges = st.graph.edges.updated(key, e2))),
+        s"$sl-$rl-$tl", cfg)
+
+    case RMatchEdge(sv, sl, rl, tv, tl) =>
+      val edf = st.graph.edges((sl, rl, tl))
+      val joined = st.bindings.join(edf,
+        st.bindings(st.colOf(sv)) === edf("src") && st.bindings(st.colOf(tv)) === edf("dst"),
+        "left_semi")
+      st.copy(bindings = joined)
+
+    case RDeleteNode(v, lbl) =>
+      val cs = st.env.collect { case (`v`, c) => c }
+      val doomed = st.bindings.select(col(cs.head).as("id")).distinct()
+      val n2 = st.graph.nodes(lbl).join(doomed, Seq("id"), "left_anti")
+      // only relation types whose endpoints can reference this label
+      val e2 = st.graph.edges.map { case (key @ (sl, _, tl), df) =>
+        var d = df
+        if (sl == lbl) d = d.join(doomed.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        if (tl == lbl) d = d.join(doomed.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+        key -> d
+      }
+      val g2 = st.graph.copy(nodes = st.graph.nodes.updated(lbl, n2), edges = e2)
+      bump(st.copy(graph = g2, bindings = st.bindings.drop(cs: _*),
+        env = st.env.filterNot(_._1 == v)), lbl, cfg)
+
+    case RDeleteEdge(sv, sl, rl, tv, tl) =>
+      val key = (sl, rl, tl)
+      val victims = st.bindings.select(
+        col(st.colOf(sv)).as("src"), col(st.colOf(tv)).as("dst")).distinct()
+      val e2 = st.graph.edges(key).join(victims, Seq("src", "dst"), "left_anti")
+      bump(st.copy(graph = st.graph.copy(edges = st.graph.edges.updated(key, e2))),
+        s"$sl-$rl-$tl", cfg)
+
+    case RReturn(vs) =>
+      val projected = st.bindings.select(vs.map(v => col(st.colOf(v)).as(v)): _*)
+      st.copy(bindings = projected, env = vs.map(v => (v, v)))
+
+    case RWhere(te) =>
+      val (joined, refs) = joinAttrs(st, te :: Nil)
+      val filtered = joined.filter(expr(sql(te, refs, cfg.strict)))
+      st.copy(bindings = filtered.select(st.bindings.columns.map(col): _*))
+
+    case RSet(v, lbl, f, tp, te) =>
+      val (joined, refs) = joinAttrs(st, te :: Nil)
+      val vc = st.colOf(v)
+      // per-row evaluation (spec, not the reference's first-row-only bug);
+      // conflicting per-node values resolved deterministically by max.
+      val upd = joined
+        .select(col(vc).as("id"), expr(sql(te, refs, cfg.strict)).as("__newv"))
+        .groupBy("id").agg(max("__newv").as("__newv"))
+      val n2 = st.graph.nodes(lbl)
+        .join(upd, Seq("id"), "left")
+        .withColumn(f, coalesce(col("__newv"), col(f)))
+        .drop("__newv")
+      bump(st.copy(graph = st.graph.copy(nodes = st.graph.nodes.updated(lbl, n2))), lbl, cfg)
+  }
+
+  private def fresh(st: ExecState): String = s"__b${st.freshCounter}"
+
+  /** Cap lineage growth on frequently re-written frames: after every
+    * `checkpointEvery` mutations of the same label, cut the plan with an
+    * eager localCheckpoint (the engine-level materialization policy of
+    * SURVEY.md §3.4 — Catalyst has no rule for this). */
+  private def bump(st: ExecState, key: String, cfg: Config): ExecState = {
+    val d = st.mutationDepth(key) + 1
+    if (d >= cfg.checkpointEvery) {
+      val g = st.graph
+      val g2 =
+        if (g.nodes.contains(key))
+          g.copy(nodes = g.nodes.updated(key, g.nodes(key).localCheckpoint(true)))
+        else g
+      st.copy(graph = g2, mutationDepth = st.mutationDepth.updated(key, 0))
+    } else st.copy(mutationDepth = st.mutationDepth.updated(key, d))
+  }
+
+  /** Join the attribute columns needed by the given expressions onto the
+    * binding table. One left join per distinct referenced variable, aliased
+    * so repeated variables of the same label don't collide. Returns the
+    * joined frame and the (var,field) → column-name map. */
+  private def joinAttrs(st: ExecState, tes: Seq[TExpr])
+      : (DataFrame, Map[(String, String), String]) = {
+    val accesses = tes.flatMap(collectAttrs).distinct
+    val byVar = accesses.groupBy(a => (a.v, a.label))
+    var df = st.bindings
+    val refs = Map.newBuilder[(String, String), String]
+    byVar.foreach { case ((v, lbl), as) =>
+      val vc = st.colOf(v)
+      val fields = as.map(_.field).distinct
+      val proj = st.graph.nodes(lbl).select(
+        col("id").as(vc) +: fields.map(f => col(f).as(s"__a_${vc}_$f")): _*)
+      df = df.join(proj, Seq(vc), "left")
+      fields.foreach(f => refs += ((v, f)) -> s"__a_${vc}_$f")
+    }
+    (df, refs.result())
+  }
+
+  private def collectAttrs(te: TExpr): Seq[TAttr] = te match {
+    case a: TAttr         => Seq(a)
+    case TBin(_, l, r, _) => collectAttrs(l) ++ collectAttrs(r)
+    case _                => Nil
+  }
+
+  /** Compile a typed expression to a Spark SQL string. Integer division
+    * uses `div` (truncating, like OCaml's `/`, sem.ml:166) and `%` keeps
+    * the dividend's sign (like OCaml `mod`, sem.ml:167). With ANSI mode on,
+    * division by zero throws, matching the reference's Division_by_zero.
+    * String literals are safe to inline: the MiniGQL lexer only admits
+    * `[A-Za-z0-9 ]` inside strings (lexer.mll:26-27). */
+  private def sql(te: TExpr, refs: Map[(String, String), String], strict: Boolean): String =
+    te match {
+      case TConst(BoolV(b))   => if (b) "true" else "false"
+      case TConst(IntV(i))    => s"${i}L"
+      case TConst(StringV(s)) => s"'$s'"
+      case TAttr(v, _, f, _) =>
+        val c = refs((v, f))
+        if (strict)
+          s"if(isnull($c), raise_error('attribute $f not set for variable $v'), $c)"
+        else c
+      case TBin(op, l, r, _) =>
+        val (a, b) = (sql(l, refs, strict), sql(r, refs, strict))
+        val o = op match {
+          case BAadd => "+"; case BAsub => "-"; case BAmul => "*"
+          case BAdiv => "div"; case BAmod => "%"
+          case BCeq => "="; case BCne => "<>"
+          case BCge => ">="; case BCgt => ">"; case BCle => "<="; case BClt => "<"
+          case BLand => "AND"; case BLor => "OR"
+        }
+        s"($a $o $b)"
+    }
+}

@@ -1,0 +1,80 @@
+package graft.lang
+
+/** MiniGQL source AST.
+  *
+  * Semantics follow the reference implementation
+  * (/root/reference/graphDB/lib/lang.ml:29-83): a typed, Cypher-inspired
+  * graph query language over a schema-declared property graph. Values are
+  * bool / int / string only; attributes live on nodes, never on edges.
+  */
+sealed trait Value extends Product with Serializable
+final case class BoolV(b: Boolean) extends Value
+final case class IntV(i: Long) extends Value
+final case class StringV(s: String) extends Value
+
+sealed trait AttribTp extends Product with Serializable
+case object BoolT extends AttribTp
+case object IntT extends AttribTp
+case object StringT extends AttribTp
+
+sealed trait BinOp extends Product with Serializable
+// arithmetic (int × int → int)
+case object BAadd extends BinOp
+case object BAsub extends BinOp
+case object BAmul extends BinOp
+case object BAdiv extends BinOp
+case object BAmod extends BinOp
+// comparison (= / <> polymorphic; ordering int-only at runtime,
+// reference sem.ml:168-173)
+case object BCeq extends BinOp
+case object BCge extends BinOp
+case object BCgt extends BinOp
+case object BCle extends BinOp
+case object BClt extends BinOp
+case object BCne extends BinOp
+// logic (bool × bool → bool; both operands evaluated, reference sem.ml:174-175)
+case object BLand extends BinOp
+case object BLor extends BinOp
+
+sealed trait Expr extends Product with Serializable
+final case class Const(v: Value) extends Expr
+/** `v.f` — attribute access on the node bound to variable `v`. */
+final case class AttribAcc(v: String, field: String) extends Expr
+final case class Bin(op: BinOp, l: Expr, r: Expr) extends Expr
+
+/** Node patterns: `(v: L)` declares-and-binds, `(v)` references an
+  * existing binding (reference lang.ml:47-50). */
+sealed trait NodePattern extends Product with Serializable {
+  def variable: String
+}
+final case class DeclPattern(variable: String, label: String) extends NodePattern
+final case class VarRefPattern(variable: String) extends NodePattern
+
+/** Right-nested path pattern `(a:A)-[:r]->(b:B)-[:s]->(c)`
+  * (reference lang.ml:52-55, parser.mly:50-52). */
+sealed trait Pattern extends Product with Serializable
+final case class SimpPattern(np: NodePattern) extends Pattern
+final case class CompPattern(np: NodePattern, rel: String, rest: Pattern) extends Pattern
+
+sealed trait DeletePattern extends Product with Serializable
+final case class DeleteNodes(vs: List[String]) extends DeletePattern
+final case class DeleteRels(rels: List[(String, String, String)]) extends DeletePattern
+
+sealed trait Clause extends Product with Serializable
+final case class Create(pats: List[Pattern]) extends Clause
+final case class Match(pats: List[Pattern]) extends Clause
+final case class Delete(dp: DeletePattern) extends Clause
+final case class SetClause(assigns: List[(String, String, Expr)]) extends Clause
+final case class Where(e: Expr) extends Clause
+final case class Return(vs: List[String]) extends Clause
+
+final case class Query(clauses: List[Clause])
+
+/** Declared graph schema: a graph of types (reference lang.ml:81).
+  * Node types carry ordered attribute declarations; relation types are
+  * (srcLabel, relLabel, tgtLabel) triples with no attributes. */
+final case class NodeTypeDecl(label: String, attribs: List[(String, AttribTp)])
+final case class RelTypeDecl(src: String, rel: String, tgt: String)
+final case class GraphTypes(nodeTypes: List[NodeTypeDecl], relTypes: List[RelTypeDecl])
+
+final case class Prog(types: GraphTypes, query: Query)

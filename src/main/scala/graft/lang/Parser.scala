@@ -1,0 +1,186 @@
+package graft.lang
+
+import Lexer._
+
+/** Recursive-descent parser for MiniGQL, grammar per the reference
+  * (/root/reference/graphDB/lib/parser.mly): `prog := tpDecl* query`,
+  * `query := clause*`, expression precedence `or < and < comparisons
+  * < +,- < *,/,mod`, all left-associative (parser.mly:18-22).
+  */
+object Parser {
+
+  final case class ParseError(msg: String, pos: Int)
+      extends RuntimeException(s"$msg at offset $pos")
+
+  def parse(src: String): Prog = new P(Lexer.tokenize(src)).prog()
+
+  private final class P(toks: Vector[(Token, Int)]) {
+    private var i = 0
+    private def peek: Token = toks(i)._1
+    private def peek2: Token = if (i + 1 < toks.length) toks(i + 1)._1 else TEof
+    private def pos: Int = toks(i)._2
+    private def next(): Token = { val t = peek; i += 1; t }
+    private def expectSym(s: String): Unit = peek match {
+      case TSym(`s`) => i += 1
+      case t         => throw ParseError(s"expected '$s', got $t", pos)
+    }
+    private def ident(): String = next() match {
+      case TIdent(s) => s
+      case t         => throw ParseError(s"expected identifier, got $t", pos)
+    }
+
+    def prog(): Prog = {
+      val nodeTps = List.newBuilder[NodeTypeDecl]
+      val relTps = List.newBuilder[RelTypeDecl]
+      // decls all start with "(:", clauses with a keyword
+      while (peek == TSym("(") && peek2 == TSym(":")) {
+        i += 2 // ( :
+        val lbl = ident()
+        peek match {
+          case TSym("{") => // node type decl
+            i += 1
+            val attrs = List.newBuilder[(String, AttribTp)]
+            if (peek != TSym("}")) {
+              var more = true
+              while (more) {
+                val f = ident()
+                next() match {
+                  case TTp(tp) => attrs += ((f, tp))
+                  case t       => throw ParseError(s"expected type, got $t", pos)
+                }
+                if (peek == TSym(",")) i += 1 else more = false
+              }
+            }
+            expectSym("}"); expectSym(")")
+            nodeTps += NodeTypeDecl(lbl, attrs.result())
+          case TSym(")") => // relation type decl: (:A) -[:r]-> (:B)
+            i += 1
+            expectSym("-"); expectSym("["); expectSym(":")
+            val rl = ident()
+            expectSym("]"); expectSym("->")
+            expectSym("("); expectSym(":")
+            val tgt = ident()
+            expectSym(")")
+            relTps += RelTypeDecl(lbl, rl, tgt)
+          case t => throw ParseError(s"expected '{' or ')', got $t", pos)
+        }
+      }
+      val clauses = List.newBuilder[Clause]
+      while (peek != TEof) clauses += clause()
+      Prog(GraphTypes(nodeTps.result(), relTps.result()), Query(clauses.result()))
+    }
+
+    private def clause(): Clause = next() match {
+      case TKw("create") => Create(patternList())
+      case TKw("match")  => Match(patternList())
+      case TKw("delete") => Delete(deletePattern())
+      case TKw("return") => Return(identList())
+      case TKw("where")  => Where(expr())
+      case TKw("set")    => SetClause(assignList())
+      case t             => throw ParseError(s"expected clause keyword, got $t", pos)
+    }
+
+    private def identList(): List[String] = {
+      val b = List.newBuilder[String]
+      b += ident()
+      while (peek == TSym(",")) { i += 1; b += ident() }
+      b.result()
+    }
+
+    private def patternList(): List[Pattern] = {
+      val b = List.newBuilder[Pattern]
+      b += pattern()
+      while (peek == TSym(",")) { i += 1; b += pattern() }
+      b.result()
+    }
+
+    private def pattern(): Pattern = {
+      val np = nodePattern()
+      if (peek == TSym("-")) {
+        i += 1
+        expectSym("["); expectSym(":")
+        val rl = ident()
+        expectSym("]"); expectSym("->")
+        CompPattern(np, rl, pattern())
+      } else SimpPattern(np)
+    }
+
+    private def nodePattern(): NodePattern = {
+      expectSym("(")
+      val v = ident()
+      peek match {
+        case TSym(":") => i += 1; val l = ident(); expectSym(")"); DeclPattern(v, l)
+        case TSym(")") => i += 1; VarRefPattern(v)
+        case t         => throw ParseError(s"expected ':' or ')', got $t", pos)
+      }
+    }
+
+    /** `delete v1, v2` (nodes) or `delete v1 -[:r]-> v2, …` (relations);
+      * lists may not mix (parser.mly:58-63). Disambiguate on the token
+      * after the first identifier. */
+    private def deletePattern(): DeletePattern = {
+      val v0 = ident()
+      if (peek == TSym("-")) {
+        val b = List.newBuilder[(String, String, String)]
+        b += relTail(v0)
+        while (peek == TSym(",")) { i += 1; b += relTail(ident()) }
+        DeleteRels(b.result())
+      } else {
+        val b = List.newBuilder[String]
+        b += v0
+        while (peek == TSym(",")) { i += 1; b += ident() }
+        DeleteNodes(b.result())
+      }
+    }
+
+    private def relTail(v1: String): (String, String, String) = {
+      expectSym("-"); expectSym("["); expectSym(":")
+      val rl = ident()
+      expectSym("]"); expectSym("->")
+      (v1, rl, ident())
+    }
+
+    private def assignList(): List[(String, String, Expr)] = {
+      val b = List.newBuilder[(String, String, Expr)]
+      def one(): Unit = {
+        val v = ident(); expectSym("."); val f = ident(); expectSym("=")
+        b += ((v, f, expr()))
+      }
+      one()
+      while (peek == TSym(",")) { i += 1; one() }
+      b.result()
+    }
+
+    // --- expressions, precedence climbing ---
+    def expr(): Expr = orExpr()
+    private def orExpr(): Expr = leftAssoc(andExpr, Map("or" -> BLor))
+    private def andExpr(): Expr = leftAssoc(cmpExpr, Map("and" -> BLand))
+    private def cmpExpr(): Expr = leftAssoc(addExpr,
+      Map("=" -> BCeq, ">=" -> BCge, ">" -> BCgt, "<=" -> BCle, "<" -> BClt, "<>" -> BCne))
+    private def addExpr(): Expr = leftAssoc(mulExpr, Map("+" -> BAadd, "-" -> BAsub))
+    private def mulExpr(): Expr = leftAssoc(primary,
+      Map("*" -> BAmul, "/" -> BAdiv, "mod" -> BAmod))
+
+    private def leftAssoc(sub: () => Expr, ops: Map[String, BinOp]): Expr = {
+      var e = sub()
+      var go = true
+      while (go) peek match {
+        case TSym(s) if ops.contains(s) => i += 1; e = Bin(ops(s), e, sub())
+        case _                          => go = false
+      }
+      e
+    }
+
+    private def primary(): Expr = next() match {
+      case TBool(b)   => Const(BoolV(b))
+      case TInt(v)    => Const(IntV(v))
+      case TString(s) => Const(StringV(s))
+      case TIdent(v) =>
+        expectSym(".")
+        AttribAcc(v, ident())
+      case TSym("(") =>
+        val e = expr(); expectSym(")"); e
+      case t => throw ParseError(s"expected expression, got $t", pos)
+    }
+  }
+}

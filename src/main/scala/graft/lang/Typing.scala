@@ -1,0 +1,202 @@
+package graft.lang
+
+/** Static analysis: schema validation + instruction type-checking, rules per
+  * the reference (/root/reference/graphDB/lib/typing.ml:57-319).
+  *
+  * Variable re-binding is allowed and shadows (typing.ml:216, add_var
+  * prepends at typing.ml:19-20) — `test2.q` relies on it. Ordering
+  * comparisons (< <= > >=) are int-only, matching the reference *runtime*
+  * (sem.ml:169-172) which is stricter than its type checker; rejecting at
+  * analysis time is cleaner than reproducing the runtime crash.
+  *
+  * Output is a RESOLVED program: every variable occurrence is annotated with
+  * its node label and every attribute access with its declared type, so the
+  * executor does no name resolution.
+  */
+object Typing {
+
+  // --- resolved (typed) expressions ---
+  sealed trait TExpr extends Product with Serializable { def tp: AttribTp }
+  final case class TConst(v: Value) extends TExpr {
+    def tp: AttribTp = v match {
+      case _: BoolV   => BoolT
+      case _: IntV    => IntT
+      case _: StringV => StringT
+    }
+  }
+  final case class TAttr(v: String, label: String, field: String, tp: AttribTp) extends TExpr
+  final case class TBin(op: BinOp, l: TExpr, r: TExpr, tp: AttribTp) extends TExpr
+
+  // --- resolved instructions ---
+  sealed trait RInstr extends Product with Serializable
+  final case class RCreateNode(v: String, label: String) extends RInstr
+  final case class RMatchNode(v: String, label: String) extends RInstr
+  final case class RCreateEdge(sv: String, srcLabel: String, rel: String, tv: String, tgtLabel: String) extends RInstr
+  final case class RMatchEdge(sv: String, srcLabel: String, rel: String, tv: String, tgtLabel: String) extends RInstr
+  final case class RDeleteNode(v: String, label: String) extends RInstr
+  final case class RDeleteEdge(sv: String, srcLabel: String, rel: String, tv: String, tgtLabel: String) extends RInstr
+  final case class RReturn(vs: List[String]) extends RInstr
+  final case class RWhere(e: TExpr) extends RInstr
+  final case class RSet(v: String, label: String, field: String, tp: AttribTp, e: TExpr) extends RInstr
+
+  /** Validated schema with O(1) lookups. */
+  final case class Schema(
+      nodeAttrs: Map[String, List[(String, AttribTp)]],
+      relTypes: Set[(String, String, String)]) {
+    def labels: Set[String] = nodeAttrs.keySet
+    def attrType(label: String, field: String): Option[AttribTp] =
+      nodeAttrs.get(label).flatMap(_.collectFirst { case (`field`, tp) => tp })
+  }
+
+  final case class TypedProg(schema: Schema, instrs: List[RInstr])
+
+  final case class TypeError(msg: String) extends RuntimeException(msg)
+
+  /** Schema validation (reference typing.ml:57-98): duplicate node-type
+    * labels, dangling relation endpoints, duplicate relation triples. */
+  def checkGraphTypes(gt: GraphTypes): Either[String, Schema] = {
+    val labels = gt.nodeTypes.map(_.label)
+    val dupLabels = labels.diff(labels.distinct).distinct
+    if (dupLabels.nonEmpty)
+      return Left(s"duplicate node type declaration(s): ${dupLabels.mkString(", ")}")
+    val labelSet = labels.toSet
+    for (RelTypeDecl(s, r, t) <- gt.relTypes) {
+      if (!labelSet(s)) return Left(s"relation type (:$s)-[:$r]->(:$t): undeclared source label $s")
+      if (!labelSet(t)) return Left(s"relation type (:$s)-[:$r]->(:$t): undeclared target label $t")
+    }
+    val triples = gt.relTypes.map(r => (r.src, r.rel, r.tgt))
+    val dupRels = triples.diff(triples.distinct).distinct
+    if (dupRels.nonEmpty)
+      return Left(s"duplicate relation type declaration(s): ${dupRels.mkString(", ")}")
+    // duplicate attribute names within one node type
+    for (NodeTypeDecl(l, attrs) <- gt.nodeTypes) {
+      val fs = attrs.map(_._1)
+      val dups = fs.diff(fs.distinct).distinct
+      if (dups.nonEmpty) return Left(s"node type $l: duplicate attribute(s) ${dups.mkString(", ")}")
+    }
+    Right(Schema(gt.nodeTypes.map(n => n.label -> n.attribs).toMap, triples.toSet))
+  }
+
+  /** Environment: vname → label bindings, latest-first (shadowing wins). */
+  private type Env = List[(String, String)]
+  private def lookup(env: Env, v: String): Option[String] =
+    env.collectFirst { case (`v`, l) => l }
+
+  def tpExpr(schema: Schema, env: Env, e: Expr): Either[String, TExpr] = e match {
+    case Const(v) => Right(TConst(v))
+    case AttribAcc(v, f) =>
+      lookup(env, v) match {
+        case None => Left(s"variable $v not bound")
+        case Some(lbl) =>
+          schema.attrType(lbl, f) match {
+            case None     => Left(s"attribute $f not declared for label $lbl (variable $v)")
+            case Some(tp) => Right(TAttr(v, lbl, f, tp))
+          }
+      }
+    case Bin(op, l, r) =>
+      for {
+        tl <- tpExpr(schema, env, l)
+        tr <- tpExpr(schema, env, r)
+        res <- op match {
+          case BAadd | BAsub | BAmul | BAdiv | BAmod =>
+            if (tl.tp == IntT && tr.tp == IntT) Right(TBin(op, tl, tr, IntT))
+            else Left(s"arithmetic $op requires int operands, got ${tl.tp}/${tr.tp}")
+          case BCeq | BCne =>
+            if (tl.tp == tr.tp) Right(TBin(op, tl, tr, BoolT))
+            else Left(s"comparison $op requires same-typed operands, got ${tl.tp}/${tr.tp}")
+          case BCge | BCgt | BCle | BClt =>
+            if (tl.tp == IntT && tr.tp == IntT) Right(TBin(op, tl, tr, BoolT))
+            else Left(s"ordering $op requires int operands, got ${tl.tp}/${tr.tp}")
+          case BLand | BLor =>
+            if (tl.tp == BoolT && tr.tp == BoolT) Right(TBin(op, tl, tr, BoolT))
+            else Left(s"logic $op requires bool operands, got ${tl.tp}/${tr.tp}")
+        }
+      } yield res
+  }
+
+  /** Per-instruction environment transformer (reference typing.ml:201-268). */
+  private def tcInstr(schema: Schema, env: Env, in: Instruction): Either[String, (RInstr, Env)] =
+    in match {
+      case IActOnNode(act, v, lb) =>
+        if (!schema.labels(lb)) Left(s"undeclared node label $lb")
+        else act match {
+          case CreateAct => Right((RCreateNode(v, lb), (v, lb) :: env))
+          case MatchAct  => Right((RMatchNode(v, lb), (v, lb) :: env))
+        }
+      case IActOnRel(act, sv, rl, tv) =>
+        (lookup(env, sv), lookup(env, tv)) match {
+          case (Some(sl), Some(tl)) =>
+            if (!schema.relTypes((sl, rl, tl)))
+              Left(s"undeclared relation type (:$sl)-[:$rl]->(:$tl)")
+            else act match {
+              case CreateAct => Right((RCreateEdge(sv, sl, rl, tv, tl), env))
+              case MatchAct  => Right((RMatchEdge(sv, sl, rl, tv, tl), env))
+            }
+          case (None, _) => Left(s"variable $sv not bound")
+          case (_, None) => Left(s"variable $tv not bound")
+        }
+      case IDeleteNode(v) =>
+        lookup(env, v) match {
+          case Some(lbl) => Right((RDeleteNode(v, lbl), env.filterNot(_._1 == v)))
+          case None      => Left(s"delete of unbound variable $v")
+        }
+      case IDeleteRel(sv, rl, tv) =>
+        (lookup(env, sv), lookup(env, tv)) match {
+          case (Some(sl), Some(tl)) =>
+            if (!schema.relTypes((sl, rl, tl)))
+              Left(s"undeclared relation type (:$sl)-[:$rl]->(:$tl)")
+            else Right((RDeleteEdge(sv, sl, rl, tv, tl), env))
+          case (None, _) => Left(s"variable $sv not bound")
+          case (_, None) => Left(s"variable $tv not bound")
+        }
+      case IReturn(vs) =>
+        if (vs.distinct.size != vs.size) Left(s"duplicate variables in return: ${vs.mkString(", ")}")
+        else {
+          val unbound = vs.filter(v => lookup(env, v).isEmpty)
+          if (unbound.nonEmpty) Left(s"return of unbound variable(s): ${unbound.mkString(", ")}")
+          // env restricted to vs (reference typing.ml:252), latest binding of each
+          else Right((RReturn(vs), vs.map(v => (v, lookup(env, v).get))))
+        }
+      case IWhere(e) =>
+        tpExpr(schema, env, e).flatMap { te =>
+          if (te.tp != BoolT) Left(s"where expression must be bool, got ${te.tp}")
+          else Right((RWhere(te), env))
+        }
+      case ISet(v, f, e) =>
+        lookup(env, v) match {
+          case None => Left(s"set on unbound variable $v")
+          case Some(lbl) =>
+            schema.attrType(lbl, f) match {
+              case None => Left(s"attribute $f not declared for label $lbl")
+              case Some(declTp) =>
+                tpExpr(schema, env, e).flatMap { te =>
+                  if (te.tp != declTp)
+                    Left(s"set $v.$f: expression type ${te.tp} != declared $declTp")
+                  else Right((RSet(v, lbl, f, declTp, te), env))
+                }
+            }
+        }
+    }
+
+  def typecheck(np: NormProg): Either[String, TypedProg] =
+    checkGraphTypes(np.types).flatMap { schema =>
+      val out = List.newBuilder[RInstr]
+      var env: Env = Nil
+      var err: Option[String] = None
+      val it = np.instrs.iterator
+      while (err.isEmpty && it.hasNext) {
+        tcInstr(schema, env, it.next()) match {
+          case Left(e)          => err = Some(e)
+          case Right((ri, env2)) => out += ri; env = env2
+        }
+      }
+      err.toLeft(TypedProg(schema, out.result()))
+    }
+
+  /** Parse → normalize → typecheck, throwing on error. */
+  def compile(src: String): TypedProg =
+    typecheck(Normalize.normalize(Parser.parse(src))) match {
+      case Right(tp) => tp
+      case Left(e)   => throw TypeError(e)
+    }
+}
