@@ -36,8 +36,18 @@ object Engine {
   /** Execution config. `strict=true` reproduces the reference's
     * runtime-error semantics for reads of unset attributes / dangling
     * bindings via `raise_error` in the plan (sem.ml:148-158); `false`
-    * yields SQL NULL semantics (rows with NULL predicates drop). */
-  final case class Config(strict: Boolean = true, checkpointEvery: Int = 24)
+    * yields SQL NULL semantics (rows with NULL predicates drop).
+    * `deterministicIds=true` totally orders the binding table before
+    * allocating fresh node ids, so ids are a function of binding CONTENT,
+    * not partition layout — required for cross-engine result comparison;
+    * costs one sort per create-on-matched-table (skipped for the common
+    * create-from-unit-table case). `expandPaths=true` enables the
+    * cross-join → edge-join peephole (see compile below). */
+  final case class Config(
+      strict: Boolean = true,
+      checkpointEvery: Int = 24,
+      deterministicIds: Boolean = true,
+      expandPaths: Boolean = true)
 
   /** env: vname → internal binding column, latest binding first. */
   final case class ExecState(
@@ -58,10 +68,57 @@ object Engine {
 
   final case class QueryResult(graph: PropertyGraph, bindings: DataFrame)
 
+  // --- physical instruction stream -----------------------------------
+  // The reference executes the IR literally: a pattern hop
+  // `(a)-[:r]->(b:B)` is a cartesian product with ALL b-labeled nodes
+  // followed by an existence semi-join (sem.ml:303-329) — O(|T|·|nodes|)
+  // intermediate. When the node instruction that introduces the new
+  // variable is immediately followed by the edge instruction that
+  // constrains it, the pair is equivalent to ONE inner equi-join against
+  // the (deduplicated, referentially intact) edge table: per existing
+  // row, cross+semi keeps one row per b-node with an (a,r,b) edge, and
+  // the edge table holds exactly one row per such pair. The rewrite
+  // turns the dominant pattern-match path into a broadcast/shuffle hash
+  // join Catalyst can plan well at any scale.
+  private sealed trait PhysOp
+  private final case class PExec(in: RInstr) extends PhysOp
+  /** Join bindings with edge table `key`; `boundVar`'s column matches the
+    * src (if `newIsDst`) or dst side; the other side becomes `newVar`. */
+  private final case class PExpand(
+      key: (String, String, String), boundVar: String, newVar: String,
+      newIsDst: Boolean) extends PhysOp
+
+  private def compilePlan(instrs: List[RInstr], cfg: Config): List[PhysOp] =
+    if (!cfg.expandPaths) instrs.map(PExec)
+    else instrs match {
+      case RMatchNode(v, _) :: RMatchEdge(sv, sl, rl, tv, tl) :: rest
+          if tv == v && sv != v =>
+        // (bound sv)-[:rl]->(fresh v): new var is the edge's dst
+        PExpand((sl, rl, tl), sv, v, newIsDst = true) :: compilePlan(rest, cfg)
+      case RMatchNode(v, _) :: RMatchEdge(sv, sl, rl, tv, tl) :: rest
+          if sv == v && tv != v =>
+        // (fresh v)-[:rl]->(bound tv): new var is the edge's src
+        PExpand((sl, rl, tl), tv, v, newIsDst = false) :: compilePlan(rest, cfg)
+      case i :: rest => PExec(i) :: compilePlan(rest, cfg)
+      case Nil       => Nil
+    }
+
   def run(spark: SparkSession, prog: TypedProg, graph: PropertyGraph,
           nextId: Long = 0L, config: Config = Config()): QueryResult = {
     var st = ExecState(graph, unitBindings(spark), Nil, nextId, 0, Map.empty.withDefaultValue(0))
-    prog.instrs.foreach { in => st = exec(spark, prog.schema, st, in, config) }
+    compilePlan(prog.instrs, config).foreach {
+      case PExec(in) => st = exec(spark, prog.schema, st, in, config)
+      case PExpand(key, boundVar, newVar, newIsDst) =>
+        val c = fresh(st)
+        val eS = s"${c}_src"
+        val edf = st.graph.edges(key).select(col("src").as(if (newIsDst) eS else c),
+          col("dst").as(if (newIsDst) c else eS))
+        val joined = st.bindings
+          .join(edf, col(st.colOf(boundVar)) === col(eS))
+          .drop(eS)
+        st = st.copy(bindings = joined, env = (newVar, c) :: st.env,
+          freshCounter = st.freshCounter + 1)
+    }
     // Final table: distinct variable names, latest binding, header order
     // (latest-first, like the reference's prepended header) — unless the
     // query ended in `return`, in which case env is exactly the return list.
@@ -97,7 +154,15 @@ object Engine {
     case RCreateNode(v, lb) =>
       // Must know the row count to allocate dense ids and advance the
       // counter (spec: PDF §3.6 — one fresh node per binding row).
-      val bindings = st.bindings.cache()
+      // With deterministicIds, totally order the rows first so the
+      // id↔row pairing is a function of table content (duplicate rows
+      // are interchangeable, so ties are harmless); zipWithIndex then
+      // numbers rows in global sort order.
+      val ordered =
+        if (cfg.deterministicIds && st.bindings.columns.nonEmpty)
+          st.bindings.orderBy(st.bindings.columns.map(col).toIndexedSeq: _*)
+        else st.bindings
+      val bindings = ordered.cache()
       val n = bindings.count()
       val c = fresh(st)
       val withIds: DataFrame = {

@@ -1,0 +1,147 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.PropertyGraph
+import graft.lang.{AttribTp, IntT, StringT}
+import graft.lang.Typing.Schema
+
+/** Parquet→graph projection: each TPC-H-ish table becomes a node label,
+  * each foreign key becomes an edge type. The reference has no external
+  * data sources at all (its graphs are built by the query itself,
+  * /root/reference/graphDB/lib/interf.ml:38-47); this loader is the
+  * engine-side bridge that lets MiniGQL queries run over the driver's
+  * parquet test tables.
+  *
+  * Node ids are DETERMINISTIC functions of the source keys — a fixed
+  * 1e9-spaced offset per table plus the table key — so query results are
+  * reproducible across runs/engines and an external oracle can recompute
+  * them with plain SQL. Attribute names carry no underscores because the
+  * MiniGQL lexer only admits `alnum` identifiers
+  * (/root/reference/graphDB/lib/lexer.mll:81).
+  *
+  * Scale note: every frame below is a lazy projection over the parquet
+  * scan — nothing materializes at load. Label scans become parquet scans
+  * with column pruning; edge frames project exactly (src,dst) so a path
+  * join reads two long columns. At cluster scale each label/edge frame
+  * maps onto its own partitioned table.
+  */
+object GraphLoader {
+
+  val RegionBase   = 1000000000L
+  val NationBase   = 2000000000L
+  val SupplierBase = 3000000000L
+  val CustomerBase = 4000000000L
+  val PartBase     = 5000000000L
+  val OrdersBase   = 6000000000L
+  val LineitemBase = 10000000000L // id = base + orderkey*8 + linenumber
+  val FreshBase    = 20000000000L // first id handed to `create`
+
+  /** Declared graph schema: node attribute types (MiniGQL int/string
+    * only) and relation types, including the extension label `tag` used
+    * by create/delete test queries. */
+  val schema: Schema = Schema(
+    nodeAttrs = Map(
+      "region"   -> List("name" -> StringT),
+      "nation"   -> List("name" -> StringT, "regionkey" -> IntT, "nationkey" -> IntT),
+      "supplier" -> List("name" -> StringT, "nationkey" -> IntT),
+      "customer" -> List("name" -> StringT, "mktsegment" -> StringT, "nationkey" -> IntT),
+      "part"     -> List("name" -> StringT, "brand" -> StringT, "ptype" -> StringT, "psize" -> IntT),
+      "orders"   -> List("status" -> StringT, "priority" -> StringT),
+      "lineitem" -> List("linenumber" -> IntT, "returnflag" -> StringT, "linestatus" -> StringT),
+      "tag"      -> List.empty[(String, AttribTp)],
+    ),
+    relTypes = Set(
+      ("customer", "cnation", "nation"),
+      ("supplier", "snation", "nation"),
+      ("nation", "nregion", "region"),
+      ("orders", "ocust", "customer"),
+      ("lineitem", "lorder", "orders"),
+      ("lineitem", "lpart", "part"),
+      ("lineitem", "lsupp", "supplier"),
+      ("nation", "tagged", "tag"),
+    ))
+
+  /** Load the property graph from a testdata directory. Returns the
+    * graph plus the first free node id for `create`. */
+  def load(spark: SparkSession, dir: String): (PropertyGraph, Long) = {
+    def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+    val region = t("region")
+    val nation = t("nation")
+    val supplier = t("supplier")
+    val customer = t("customer")
+    val part = t("part")
+    val orders = t("orders")
+    val lineitem = t("lineitem")
+
+    val lineId = lit(LineitemBase) + col("l_orderkey") * 8 + col("l_linenumber")
+
+    val nodes = Map(
+      "region" -> region.select(
+        (col("r_regionkey").cast("long") + RegionBase).as("id"),
+        col("r_name").as("name")),
+      "nation" -> nation.select(
+        (col("n_nationkey").cast("long") + NationBase).as("id"),
+        col("n_name").as("name"),
+        col("n_regionkey").cast("long").as("regionkey"),
+        col("n_nationkey").cast("long").as("nationkey")),
+      "supplier" -> supplier.select(
+        (col("s_suppkey") + SupplierBase).as("id"),
+        col("s_name").as("name"),
+        col("s_nationkey").cast("long").as("nationkey")),
+      "customer" -> customer.select(
+        (col("c_custkey") + CustomerBase).as("id"),
+        col("c_name").as("name"),
+        col("c_mktsegment").as("mktsegment"),
+        col("c_nationkey").cast("long").as("nationkey")),
+      "part" -> part.select(
+        (col("p_partkey") + PartBase).as("id"),
+        col("p_name").as("name"),
+        col("p_brand").as("brand"),
+        col("p_type").as("ptype"),
+        col("p_size").cast("long").as("psize")),
+      "orders" -> orders.select(
+        (col("o_orderkey") + OrdersBase).as("id"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority")),
+      "lineitem" -> lineitem.select(
+        lineId.as("id"),
+        col("l_linenumber").cast("long").as("linenumber"),
+        col("l_returnflag").as("returnflag"),
+        col("l_linestatus").as("linestatus")),
+      "tag" -> PropertyGraph.empty(spark, schema).nodes("tag"),
+    )
+
+    // One edge per FK pair; src is the PK side of its table, so each
+    // (src,dst) is unique by construction — the engine's set-semantics
+    // invariant (reference graphstruct.ml:30-32) holds without a dedup.
+    val edges = Map(
+      ("customer", "cnation", "nation") -> customer.select(
+        (col("c_custkey") + CustomerBase).as("src"),
+        (col("c_nationkey").cast("long") + NationBase).as("dst")),
+      ("supplier", "snation", "nation") -> supplier.select(
+        (col("s_suppkey") + SupplierBase).as("src"),
+        (col("s_nationkey").cast("long") + NationBase).as("dst")),
+      ("nation", "nregion", "region") -> nation.select(
+        (col("n_nationkey").cast("long") + NationBase).as("src"),
+        (col("n_regionkey").cast("long") + RegionBase).as("dst")),
+      ("orders", "ocust", "customer") -> orders.select(
+        (col("o_orderkey") + OrdersBase).as("src"),
+        (col("o_custkey") + CustomerBase).as("dst")),
+      ("lineitem", "lorder", "orders") -> lineitem.select(
+        lineId.as("src"),
+        (col("l_orderkey") + OrdersBase).as("dst")),
+      ("lineitem", "lpart", "part") -> lineitem.select(
+        lineId.as("src"),
+        (col("l_partkey") + PartBase).as("dst")),
+      ("lineitem", "lsupp", "supplier") -> lineitem.select(
+        lineId.as("src"),
+        (col("l_suppkey") + SupplierBase).as("dst")),
+      ("nation", "tagged", "tag") -> PropertyGraph.empty(spark, schema)
+        .edges(("nation", "tagged", "tag")),
+    )
+
+    (PropertyGraph(schema, nodes, edges), FreshBase)
+  }
+}
