@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Engine
+import graft.sources.GraphLoader
+
+/** The MiniGQL operator inventory (SURVEY.md §2.1-2.2) as driver-verifiable
+  * queries: each runs a MiniGQL program through the full front end + Spark
+  * executor over the parquet→graph projection of a testdata directory, and
+  * pairs it with the equivalent ANSI SQL the DuckDB oracle runs on the raw
+  * parquet tables. Node ids are deterministic functions of the source keys
+  * (see GraphLoader), and fresh ids from `create` are rank-ordered over the
+  * sorted binding table (Engine.Config.deterministicIds), so every result —
+  * including graph mutations — is SQL-reconstructible.
+  *
+  * strict=false here: the loaded graph has every declared attribute set, so
+  * the reference's error-on-unset-attribute path (sem.ml:148-158) cannot
+  * trigger; plain NULL semantics keep attribute predicates codegen-friendly
+  * and pushdown-eligible.
+  */
+object GraphOps {
+
+  /** Declared MiniGQL schema of the parquet graph — must stay in sync with
+    * GraphLoader.schema. */
+  private val header: String =
+    """(:region {name string})
+      |(:nation {name string, regionkey int, nationkey int})
+      |(:supplier {name string, nationkey int})
+      |(:customer {name string, mktsegment string, nationkey int})
+      |(:part {name string, brand string, ptype string, psize int})
+      |(:orders {status string, priority string})
+      |(:lineitem {linenumber int, returnflag string, linestatus string})
+      |(:tag {})
+      |(:customer) -[:cnation]-> (:nation)
+      |(:supplier) -[:snation]-> (:nation)
+      |(:nation) -[:nregion]-> (:region)
+      |(:orders) -[:ocust]-> (:customer)
+      |(:lineitem) -[:lorder]-> (:orders)
+      |(:lineitem) -[:lpart]-> (:part)
+      |(:lineitem) -[:lsupp]-> (:supplier)
+      |(:nation) -[:tagged]-> (:tag)
+      |""".stripMargin
+
+  private val cfg = Engine.Config(strict = false)
+
+  private def exec(spark: SparkSession, dir: String, q: String): Engine.QueryResult = {
+    val (g, nextId) = GraphLoader.load(spark, dir)
+    Engine.runSourceOn(spark, header + q, g, nextId, cfg)
+  }
+
+  /** Program result = final binding table. */
+  private def bindings(q: String)(spark: SparkSession, dir: String): DataFrame =
+    exec(spark, dir, q).bindings
+
+  /** Program result = a post-mutation graph frame (for create/delete/set,
+    * whose observable output is the graph, not the table). */
+  private def nodeFrame(q: String, label: String, cols: (String, String)*)(
+      spark: SparkSession, dir: String): DataFrame =
+    exec(spark, dir, q).graph.nodes(label)
+      .select(cols.map { case (c, a) => col(c).as(a) }: _*)
+
+  private def edgeFrame(q: String, key: (String, String, String))(
+      spark: SparkSession, dir: String): DataFrame =
+    exec(spark, dir, q).graph.edges(key).select(col("src"), col("dst"))
+
+  val all: List[Q] = List(
+
+    // §2.1#3 match node: label scan × cross product (here on the unit table)
+    Q("gql_match_node",
+      bindings("match (n:nation) return n"),
+      Some("SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n FROM nation")),
+
+    // §2.1#4 match edge: existence semi-join on (src,dst), constant label
+    Q("gql_match_edge",
+      bindings(
+        """match (c:customer) -[:cnation]-> (n:nation)
+          |where n.regionkey = 1
+          |return c, n""".stripMargin),
+      Some("""SELECT CAST(c_custkey AS BIGINT) + 4000000000 AS c,
+             |       CAST(n_nationkey AS BIGINT) + 2000000000 AS n
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE n_regionkey = 1""".stripMargin)),
+
+    // 2-hop right-nested path (reference test2.q shape)
+    Q("gql_match_2hop",
+      bindings(
+        """match (s:supplier) -[:snation]-> (n:nation) -[:nregion]-> (r:region)
+          |where r.name = "EUROPE"
+          |return s, n, r""".stripMargin),
+      Some("""SELECT CAST(s_suppkey AS BIGINT) + 3000000000 AS s,
+             |       CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |       CAST(r_regionkey AS BIGINT) + 1000000000 AS r
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'EUROPE'""".stripMargin)),
+
+    // multi-pattern match sharing a variable via VarRefPattern
+    Q("gql_match_multipattern",
+      bindings(
+        """match (c:customer) -[:cnation]-> (n:nation), (s:supplier) -[:snation]-> (n)
+          |where n.regionkey = 3
+          |return c, s, n""".stripMargin),
+      Some("""SELECT CAST(c_custkey AS BIGINT) + 4000000000 AS c,
+             |       CAST(s_suppkey AS BIGINT) + 3000000000 AS s,
+             |       CAST(n_nationkey AS BIGINT) + 2000000000 AS n
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN supplier ON s_nationkey = n_nationkey
+             |WHERE n_regionkey = 3""".stripMargin)),
+
+    // §2.2 arithmetic: div truncation, mod, precedence (or < and < cmp)
+    Q("gql_where_arith",
+      bindings(
+        """match (p:part)
+          |where p.psize mod 5 = 0 and p.psize / 3 > 10 or p.psize < 3
+          |return p""".stripMargin),
+      Some("""SELECT CAST(p_partkey AS BIGINT) + 5000000000 AS p FROM part
+             |WHERE (p_size % 5 = 0 AND p_size // 3 > 10) OR p_size < 3""".stripMargin)),
+
+    // §2.2 string equality + int comparison conjunction
+    Q("gql_where_string",
+      bindings(
+        """match (c:customer)
+          |where c.mktsegment = "BUILDING" and c.nationkey >= 10
+          |return c""".stripMargin),
+      Some("""SELECT CAST(c_custkey AS BIGINT) + 4000000000 AS c FROM customer
+             |WHERE c_mktsegment = 'BUILDING' AND c_nationkey >= 10""".stripMargin)),
+
+    // §2.1#7 return: projection with column reorder + drop
+    Q("gql_return_reorder",
+      bindings(
+        """match (s:supplier) -[:snation]-> (n:nation) -[:nregion]-> (r:region)
+          |return r, s""".stripMargin),
+      Some("""SELECT CAST(r_regionkey AS BIGINT) + 1000000000 AS r,
+             |       CAST(s_suppkey AS BIGINT) + 3000000000 AS s
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
+
+    // §2.1#1 create node: one fresh dense id per binding row (spec, PDF §3.6)
+    Q("gql_create_node",
+      bindings("match (r:region) create (t:tag) return r, t"),
+      Some("""SELECT CAST(r_regionkey AS BIGINT) + 1000000000 AS r,
+             |       20000000000 + ROW_NUMBER() OVER (ORDER BY r_regionkey) - 1 AS t
+             |FROM region""".stripMargin)),
+
+    // §2.1#2 create edge: set semantics on (src,label,dst)
+    Q("gql_create_edge",
+      edgeFrame(
+        """match (n:nation)
+          |where n.regionkey = 0
+          |create (t:tag)
+          |create (n) -[:tagged]-> (t)""".stripMargin,
+        ("nation", "tagged", "tag")),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS src,
+             |       20000000000 + ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS dst
+             |FROM nation WHERE n_regionkey = 0""".stripMargin)),
+
+    // §2.1#5 delete node: nodes removed…
+    Q("gql_delete_node",
+      nodeFrame(
+        "match (s:supplier) where s.nationkey = 3 delete s",
+        "supplier", ("id", "s")),
+      Some("""SELECT CAST(s_suppkey AS BIGINT) + 3000000000 AS s
+             |FROM supplier WHERE s_nationkey <> 3""".stripMargin)),
+
+    // …and incident edges removed (no dangling edges, sem.ml:212-215)
+    Q("gql_delete_node_edges",
+      edgeFrame(
+        "match (s:supplier) where s.nationkey = 3 delete s",
+        ("lineitem", "lsupp", "supplier")),
+      Some("""SELECT CAST(l_orderkey * 8 + l_linenumber AS BIGINT) + 10000000000 AS src,
+             |       CAST(l_suppkey AS BIGINT) + 3000000000 AS dst
+             |FROM lineitem
+             |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)""".stripMargin)),
+
+    // §2.1#6 delete edge
+    Q("gql_delete_edge",
+      edgeFrame(
+        """match (c:customer) -[:cnation]-> (n:nation)
+          |where n.regionkey = 2
+          |delete c -[:cnation]-> n""".stripMargin,
+        ("customer", "cnation", "nation")),
+      Some("""SELECT CAST(c_custkey AS BIGINT) + 4000000000 AS src,
+             |       CAST(c_nationkey AS BIGINT) + 2000000000 AS dst
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE n_regionkey <> 2""".stripMargin)),
+
+    // §2.1#9 set: per-row expression evaluation (spec, not the first-row bug)
+    Q("gql_set",
+      nodeFrame(
+        "match (p:part) where p.psize < 10 set p.psize = p.psize * 100 + 7",
+        "part", ("id", "p"), ("psize", "psize")),
+      Some("""SELECT CAST(p_partkey AS BIGINT) + 5000000000 AS p,
+             |       CAST(CASE WHEN p_size < 10 THEN p_size * 100 + 7 ELSE p_size END AS BIGINT) AS psize
+             |FROM part""".stripMargin)),
+  )
+}
