@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics surface over the driver's parquet tables.
+  *
+  * The reference implements no aggregation/ordering/set operators at all
+  * (SURVEY.md §2.7) — on Spark they arrive with the DataFrame API. This
+  * inventory makes each one a first-class, oracle-verified operator of the
+  * engine, written the way the 100 TB plan wants it: group-bys with
+  * map-side partial aggregation, dimension joins broadcast, window
+  * functions with deterministic tie-breaks, top-k as TakeOrderedAndProject.
+  *
+  * Float discipline: every aggregate over a double column goes through
+  * DECIMAL(18,2) (the data is 2-decimal money), so sums are exact and
+  * engine-independent; the FINAL output casts to DOUBLE so both engines'
+  * results render through the identical float64 path (a pinned-scale
+  * DECIMAL output hash-mismatches on trailing-zero cents because pandas
+  * renders Decimal('x.00') and float64 x.0 differently).
+  */
+object RelOps {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private val dec2 = "decimal(18,2)"
+
+  val all: List[Q] = List(
+
+    // --- aggregation: TPC-H Q1 shape (map-side combine, 2-col group) ----
+    Q("q_agg_pricing",
+      (s, dir) => {
+        val price = col("l_extendedprice").cast(dec2)
+        val disc  = col("l_discount").cast(dec2)
+        val tax   = col("l_tax").cast(dec2)
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02")))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast(dec2)).cast("double").as("sum_qty"),
+            sum(price).cast("double").as("sum_base_price"),
+            sum(price * (lit(1) - disc)).cast("double").as("sum_disc_price"),
+            sum(price * (lit(1) - disc) * (lit(1) + tax)).cast("double").as("sum_charge"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+             |  COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // --- star join: facts vs broadcast dims, agg after join -------------
+    Q("q_join_star",
+      (s, dir) => {
+        val region = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("o_totalprice").cast(dec2)).cast("double").as("revenue"),
+               count(lit(1)).as("n_orders"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_orders
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'EUROPE'
+             |GROUP BY n_name""".stripMargin)),
+
+    // --- window: top-3 orders per customer, deterministic tie-break -----
+    Q("q_window_topk",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, rn FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 3""".stripMargin)),
+
+    // --- window: running sum (exact decimal accumulation) ---------------
+    Q("q_window_running",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .withColumn("run_total",
+            sum(col("o_totalprice").cast(dec2)).over(w).cast("double"))
+          .select(col("o_custkey"), col("o_orderkey"), col("run_total"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total
+             |FROM orders""".stripMargin)),
+
+    // --- global top-k: TakeOrderedAndProject, no full sort ---------------
+    Q("q_topk_global",
+      (s, dir) => t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_custkey")),
+      Some("""SELECT o_orderkey, o_custkey FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // --- existence semi-join ---------------------------------------------
+    Q("q_semijoin",
+      (s, dir) => {
+        val f = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        t(s, dir, "customer")
+          .join(f, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin)),
+
+    // --- anti-join --------------------------------------------------------
+    Q("q_antijoin",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey")),
+      Some("""SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey
+             |FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin)),
+
+    // --- distinct (shuffle dedup) ----------------------------------------
+    Q("q_distinct",
+      (s, dir) => t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_nationkey").cast("long").as("c_nationkey"))
+        .distinct(),
+      Some("""SELECT DISTINCT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey
+             |FROM customer""".stripMargin)),
+
+    // --- set ops: symmetric difference with provenance tag ---------------
+    Q("q_setops",
+      (s, dir) => {
+        val cn = t(s, dir, "customer").select(col("c_nationkey").cast("long").as("nationkey")).distinct()
+        val sn = t(s, dir, "supplier").select(col("s_nationkey").cast("long").as("nationkey")).distinct()
+        cn.except(sn).withColumn("side", lit("customer_only"))
+          .unionByName(sn.except(cn).withColumn("side", lit("supplier_only")))
+      },
+      Some("""SELECT nationkey, 'customer_only' AS side FROM (
+             |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+             |  EXCEPT
+             |  SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier)
+             |UNION ALL
+             |SELECT nationkey, 'supplier_only' AS side FROM (
+             |  SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+             |  EXCEPT
+             |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) FROM customer)""".stripMargin)),
+
+    // --- rollup (grouping sets) ------------------------------------------
+    Q("q_rollup",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("l_quantity").cast(dec2)).cast("double").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+                col("n"), col("sum_qty")),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+             |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // --- having + exact average (int sum / count as double) --------------
+    Q("q_having",
+      (s, dir) => t(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+             (sum(col("p_size").cast("long")).cast("double") / count(lit(1))).as("avg_size"))
+        .filter(col("n_parts") > 50),
+      Some("""SELECT p_brand, COUNT(*) AS n_parts,
+             |       CAST(SUM(CAST(p_size AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_size
+             |FROM part GROUP BY p_brand HAVING COUNT(*) > 50""".stripMargin)),
+
+    // --- correlated-subquery shape via window (division-free compare) ----
+    Q("q_above_customer_avg",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+        t(s, dir, "orders")
+          .withColumn("tp", col("o_totalprice").cast(dec2))
+          .withColumn("cust_sum", sum(col("tp")).over(w))
+          .withColumn("cust_n", count(lit(1)).over(w))
+          .filter(col("tp") * col("cust_n") > col("cust_sum"))
+          .select(col("o_orderkey"), col("o_custkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey FROM (
+             |  SELECT o_orderkey, o_custkey,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS tp,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS cust_sum,
+             |    COUNT(*) OVER (PARTITION BY o_custkey) AS cust_n
+             |  FROM orders) WHERE tp * cust_n > cust_sum""".stripMargin)),
+
+    // --- scalar string/conditional functions ------------------------------
+    Q("q_scalar_funcs",
+      (s, dir) => t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        (abs(col("p_size").cast("long") - 25) % 7).as("size_bucket"),
+        when(col("p_size") < 10, "small")
+          .when(col("p_size") < 30, "medium")
+          .otherwise("large").as("size_class")),
+      Some("""SELECT p_partkey,
+             |  UPPER(SUBSTR(p_name, 1, 8)) AS name_prefix,
+             |  CAST(LENGTH(p_name) AS INT) AS name_len,
+             |  p_brand || '#' || p_type AS brand_type,
+             |  ABS(CAST(p_size AS BIGINT) - 25) % 7 AS size_bucket,
+             |  CASE WHEN p_size < 10 THEN 'small'
+             |       WHEN p_size < 30 THEN 'medium'
+             |       ELSE 'large' END AS size_class
+             |FROM part""".stripMargin)),
+
+    // --- date functions (string-rendered to stay engine-neutral) ----------
+    Q("q_date_funcs",
+      (s, dir) => t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        quarter(col("o_orderdate")).as("order_quarter"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("order_ym")),
+      Some("""SELECT o_orderkey,
+             |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+             |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+             |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS order_quarter,
+             |  strftime(o_orderdate, '%Y-%m') AS order_ym
+             |FROM orders""".stripMargin)),
+
+    // --- pivot (FILTERed aggregates in the oracle) -------------------------
+    Q("q_pivot",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .na.fill(0L, Seq("F", "O", "P")),
+      Some("""SELECT o_orderpriority,
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+  )
+}
