@@ -29,7 +29,11 @@ import graft.lang.Typing._
   * evaluates on the first row only, sem.ml:372); conflicting per-node `set`
   * values are resolved deterministically by max; `delete` of a shadowed
   * variable drops every column of that name (the reference corrupts its
-  * table there, sem.ml:334-336).
+  * table there, sem.ml:334-336); `and`/`or` may short-circuit per row and
+  * Catalyst may reorder conjuncts, while the reference evaluates both
+  * operands before dispatch (sem.ml:160-161,174-175) — observable only
+  * through error effects of a skipped operand (strict-mode unset-attribute
+  * raise, ANSI div-by-zero), where the reference raises and we may not.
   */
 object Engine {
 
@@ -49,6 +53,11 @@ object Engine {
       deterministicIds: Boolean = true,
       expandPaths: Boolean = true)
 
+  /** Lineage-cap key: a node label or an edge-type triple — kept distinct
+    * so bump() can checkpoint the matching frame (a stringified edge key
+    * would silently never match `graph.nodes`). */
+  private type FrameKey = Either[String, (String, String, String)]
+
   /** env: vname → internal binding column, latest binding first. */
   final case class ExecState(
       graph: PropertyGraph,
@@ -56,7 +65,7 @@ object Engine {
       env: List[(String, String)],
       nextId: Long,
       freshCounter: Int,
-      mutationDepth: Map[String, Int]) {
+      mutationDepth: Map[FrameKey, Int]) {
     def colOf(v: String): String =
       env.collectFirst { case (`v`, c) => c }
         .getOrElse(throw new IllegalStateException(s"variable $v not bound"))
@@ -105,7 +114,8 @@ object Engine {
 
   def run(spark: SparkSession, prog: TypedProg, graph: PropertyGraph,
           nextId: Long = 0L, config: Config = Config()): QueryResult = {
-    var st = ExecState(graph, unitBindings(spark), Nil, nextId, 0, Map.empty.withDefaultValue(0))
+    var st = ExecState(graph, unitBindings(spark), Nil, nextId, 0,
+      Map.empty[FrameKey, Int].withDefaultValue(0))
     compilePlan(prog.instrs, config).foreach {
       case PExec(in) => st = exec(spark, prog.schema, st, in, config)
       case PExpand(key, boundVar, newVar, newIsDst) =>
@@ -141,8 +151,32 @@ object Engine {
   def runSourceOn(spark: SparkSession, src: String, graph: PropertyGraph,
                   nextId: Long, config: Config = Config()): QueryResult = {
     val tp = Typing.compile(src)
-    require(tp.schema.nodeAttrs.keySet.subsetOf(graph.schema.nodeAttrs.keySet),
-      s"program labels ${tp.schema.nodeAttrs.keySet} not all present in graph")
+    // Structural check, not just label-name subset: a drifted attribute
+    // list or relation type would otherwise surface later as an opaque
+    // unionByName/analysis error (ADVICE r01). Report the first mismatch.
+    tp.schema.nodeAttrs.foreach { case (lbl, attrs) =>
+      graph.schema.nodeAttrs.get(lbl) match {
+        case None =>
+          throw new IllegalArgumentException(
+            s"schema mismatch: program declares node label :$lbl absent from graph " +
+              s"(graph labels: ${graph.schema.nodeAttrs.keys.toSeq.sorted.mkString(", ")})")
+        case Some(gAttrs) if gAttrs.toSet != attrs.toSet =>
+          val missing = attrs.toSet -- gAttrs.toSet
+          val extra = gAttrs.toSet -- attrs.toSet
+          throw new IllegalArgumentException(
+            s"schema mismatch on node label :$lbl — program declares " +
+              s"${attrs.map { case (f, t) => s"$f $t" }.mkString("{", ", ", "}")} but graph has " +
+              s"${gAttrs.map { case (f, t) => s"$f $t" }.mkString("{", ", ", "}")}" +
+              (if (missing.nonEmpty) s"; graph lacks ${missing.map(_._1).mkString(", ")}" else "") +
+              (if (extra.nonEmpty) s"; graph adds ${extra.map(_._1).mkString(", ")}" else ""))
+        case _ => ()
+      }
+    }
+    tp.schema.relTypes.find(rt => !graph.schema.relTypes.contains(rt)).foreach {
+      case (sl, rl, tl) =>
+        throw new IllegalArgumentException(
+          s"schema mismatch: program declares relation (:$sl)-[:$rl]->(:$tl) absent from graph")
+    }
     run(spark, tp, graph, nextId, config)
   }
 
@@ -171,8 +205,13 @@ object Engine {
         val rdd = bindings.rdd.zipWithIndex.map { case (r, i) =>
           Row.fromSeq(r.toSeq :+ (base + i))
         }
-        spark.createDataFrame(rdd, outSchema)
-      }.cache()
+        // Eager localCheckpoint (not cache): materializes the id
+        // assignment NOW off the cached parent, cuts its lineage so the
+        // parent cache can be released immediately — a plain cache would
+        // pin both frames for the life of the session (ADVICE r01).
+        spark.createDataFrame(rdd, outSchema).localCheckpoint(true)
+      }
+      bindings.unpersist(false)
       val newNodes = withIds.select(
         col(c).as("id") +:
           schema.nodeAttrs(lb).map { case (f, tp) =>
@@ -181,7 +220,7 @@ object Engine {
       val g2 = st.graph.copy(nodes = st.graph.nodes.updated(
         lb, st.graph.nodes(lb).unionByName(newNodes)))
       bump(st.copy(graph = g2, bindings = withIds, env = (v, c) :: st.env,
-        nextId = st.nextId + n, freshCounter = st.freshCounter + 1), lb, cfg)
+        nextId = st.nextId + n, freshCounter = st.freshCounter + 1), Left(lb), cfg)
 
     case RMatchNode(v, lb) =>
       val c = fresh(st)
@@ -196,7 +235,7 @@ object Engine {
       // set semantics on (src,dst) — reference graphstruct.ml:30-32
       val e2 = st.graph.edges(key).unionByName(newEdges).dropDuplicates("src", "dst")
       bump(st.copy(graph = st.graph.copy(edges = st.graph.edges.updated(key, e2))),
-        s"$sl-$rl-$tl", cfg)
+        Right(key), cfg)
 
     case RMatchEdge(sv, sl, rl, tv, tl) =>
       val edf = st.graph.edges((sl, rl, tl))
@@ -218,7 +257,7 @@ object Engine {
       }
       val g2 = st.graph.copy(nodes = st.graph.nodes.updated(lbl, n2), edges = e2)
       bump(st.copy(graph = g2, bindings = st.bindings.drop(cs: _*),
-        env = st.env.filterNot(_._1 == v)), lbl, cfg)
+        env = st.env.filterNot(_._1 == v)), Left(lbl), cfg)
 
     case RDeleteEdge(sv, sl, rl, tv, tl) =>
       val key = (sl, rl, tl)
@@ -226,7 +265,7 @@ object Engine {
         col(st.colOf(sv)).as("src"), col(st.colOf(tv)).as("dst")).distinct()
       val e2 = st.graph.edges(key).join(victims, Seq("src", "dst"), "left_anti")
       bump(st.copy(graph = st.graph.copy(edges = st.graph.edges.updated(key, e2))),
-        s"$sl-$rl-$tl", cfg)
+        Right(key), cfg)
 
     case RReturn(vs) =>
       val projected = st.bindings.select(vs.map(v => col(st.colOf(v)).as(v)): _*)
@@ -249,23 +288,26 @@ object Engine {
         .join(upd, Seq("id"), "left")
         .withColumn(f, coalesce(col("__newv"), col(f)))
         .drop("__newv")
-      bump(st.copy(graph = st.graph.copy(nodes = st.graph.nodes.updated(lbl, n2))), lbl, cfg)
+      bump(st.copy(graph = st.graph.copy(nodes = st.graph.nodes.updated(lbl, n2))), Left(lbl), cfg)
   }
 
   private def fresh(st: ExecState): String = s"__b${st.freshCounter}"
 
   /** Cap lineage growth on frequently re-written frames: after every
-    * `checkpointEvery` mutations of the same label, cut the plan with an
-    * eager localCheckpoint (the engine-level materialization policy of
-    * SURVEY.md §3.4 — Catalyst has no rule for this). */
-  private def bump(st: ExecState, key: String, cfg: Config): ExecState = {
+    * `checkpointEvery` mutations of the same node label / edge type, cut
+    * the plan with an eager localCheckpoint (the engine-level
+    * materialization policy of SURVEY.md §3.4 — Catalyst has no rule for
+    * this). */
+  private def bump(st: ExecState, key: FrameKey, cfg: Config): ExecState = {
     val d = st.mutationDepth(key) + 1
     if (d >= cfg.checkpointEvery) {
       val g = st.graph
-      val g2 =
-        if (g.nodes.contains(key))
-          g.copy(nodes = g.nodes.updated(key, g.nodes(key).localCheckpoint(true)))
-        else g
+      val g2 = key match {
+        case Left(lbl) =>
+          g.copy(nodes = g.nodes.updated(lbl, g.nodes(lbl).localCheckpoint(true)))
+        case Right(ek) =>
+          g.copy(edges = g.edges.updated(ek, g.edges(ek).localCheckpoint(true)))
+      }
       st.copy(graph = g2, mutationDepth = st.mutationDepth.updated(key, 0))
     } else st.copy(mutationDepth = st.mutationDepth.updated(key, d))
   }

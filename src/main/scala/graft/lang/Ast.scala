@@ -32,7 +32,11 @@ case object BCgt extends BinOp
 case object BCle extends BinOp
 case object BClt extends BinOp
 case object BCne extends BinOp
-// logic (bool × bool → bool; both operands evaluated, reference sem.ml:174-175)
+// logic (bool × bool → bool). The reference evaluates both operands
+// before dispatch (sem.ml:174-175); compiled SQL AND/OR may short-circuit
+// per row and Catalyst may reorder conjuncts — an accepted deviation,
+// observable only through error effects of the skipped operand (strict-mode
+// unset-attribute raise, ANSI div-by-zero). Documented in Engine's scaladoc.
 case object BLand extends BinOp
 case object BLor extends BinOp
 
