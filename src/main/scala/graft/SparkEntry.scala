@@ -5,7 +5,8 @@ import graft.operators._
 object SparkEntry {
   /** Every verifiable operator query the engine implements (SURVEY.md §2
     * inventory + the scale/pipeline extension operators). */
-  def allOps: List[Q] = GraphOps.all ++ RelOps.all
+  def allOps: List[Q] =
+    GraphOps.all ++ RelOps.all ++ DedupOps.all ++ SimilarityOps.all ++ TextOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full MiniGQL front end + Spark executor over the parquet graph

@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import PipeData._
+
+/** Deduplication operator family over the `documents` / `embeddings`
+  * tables — the core of a training-data pipeline at 100 TB. Five
+  * strategies, cheapest to richest:
+  *
+  *   - exact (hash groupBy) — one shuffle on the content hash;
+  *   - exact n-gram Jaccard via a shingle inverted index — no LSH error,
+  *     candidate set bounded by shared shingles (at real scale you add
+  *     prefix filtering / df-cut on the hottest shingles);
+  *   - MinHash + LSH banding — the sub-quadratic scale path: 16 hashes,
+  *     8 bands × 2 rows (catches J≥0.5 with ~90% per-pair probability,
+  *     ~100% at the J≥0.9 the corpus actually contains), candidates
+  *     verified with exact Jaccard so precision is 1.0;
+  *   - SimHash — 64-bit weighted fingerprint, near-dups via 16-bit band
+  *     collision + Hamming verification;
+  *   - embedding cosine — semantic near-dup on the vector table, exact
+  *     fixed-point math (see PipeData).
+  *
+  * All hashing is md5 (identical in Spark and DuckDB); every operator's
+  * oracle replays the same pipeline in SQL, so results hash-match
+  * bit-for-bit. Pair outputs are canonical (a < b) and deduplicated.
+  */
+object DedupOps {
+
+  private val mhSeeds = 16
+  private val mhRows = 2 // rows per band -> 8 bands
+  private val jaccardTau = 0.4
+
+  val all: List[Q] = List(
+
+    // ---- exact dedup: content-hash groupBy, survivor = min id ---------
+    Q("p_dedup_exact",
+      (s, dir) => docs(s, dir)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+      Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+             |       count(*) AS n_copies
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // ---- exact n-gram Jaccard over the shingle inverted index ---------
+    // Self-join on shingle = candidate pairs share >=1 shingle (exact for
+    // J>0); count of shared shingles + per-doc set sizes -> Jaccard.
+    Q("p_dedup_ngram_jaccard",
+      (s, dir) => {
+        val dsh = shingles(s, dir)
+        val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val x = dsh.select(col("doc_id").as("a"), col("shingle"))
+        val y = dsh.select(col("doc_id").as("b"), col("shingle"))
+        val common = x.join(y, Seq("shingle")).filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        common
+          .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+          .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+          .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+          .filter(col("jac") >= 0.5)
+          .select(col("a"), col("b"), round(col("jac"), 3).as("jac"))
+      },
+      Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+             |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle FROM dd),
+             |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+             |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+             |           FROM dsh x JOIN dsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             |           GROUP BY 1, 2)
+             |SELECT common.a, common.b,
+             |       round(c::DOUBLE / (sa.n + sb.n - c), 3) AS jac
+             |FROM common
+             |JOIN sizes sa ON common.a = sa.doc_id
+             |JOIN sizes sb ON common.b = sb.doc_id
+             |WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5""".stripMargin)),
+
+    // ---- MinHash + LSH banding + exact verification -------------------
+    // Signature: per seed i in 0..15, min over md5("i|shingle") (hex
+    // strings compare in ASCII order — engine-independent). Bands of 2
+    // rows hashed to a bucket key; same-bucket pairs are candidates;
+    // exact Jaccard >= 0.4 confirms. ONE wide shuffle (groupBy doc_id)
+    // builds the whole signature; the band join is sub-quadratic.
+    Q("p_dedup_minhash_lsh",
+      (s, dir) => {
+        val dsh = shingles(s, dir)
+        val sig = dsh.groupBy("doc_id").agg(
+          min(md5(concat(lit("0"), lit("|"), col("shingle")))).as("mh0"),
+          (1 until mhSeeds).map(i =>
+            min(md5(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"mh$i")): _*)
+        val bandCols = (0 until mhSeeds / mhRows).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat(col(s"mh${mhRows * b}"), lit(","), col(s"mh${mhRows * b + 1}"))).as("bh"))
+        }
+        val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
+          .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+        val cand = bands.select(col("doc_id").as("a"), col("band"), col("bh"))
+          .join(bands.select(col("doc_id").as("b"), col("band"), col("bh")), Seq("band", "bh"))
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val da = dsh.select(col("doc_id").as("a"), col("shingle"))
+        val db = dsh.select(col("doc_id").as("b"), col("shingle"))
+        val common = cand.join(da, Seq("a")).join(db, Seq("b", "shingle"))
+          .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        common
+          .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+          .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+          .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= jaccardTau)
+          .select(col("a"), col("b"))
+      },
+      Some(s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+              |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle FROM dd),
+              |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+              |mh AS (SELECT doc_id, seed,
+              |         min(md5(seed::VARCHAR || '|' || shingle)) AS mh
+              |       FROM dsh, (SELECT unnest(range($mhSeeds)) AS seed)
+              |       GROUP BY doc_id, seed),
+              |bands AS (SELECT doc_id, seed // $mhRows AS band,
+              |            md5(string_agg(mh, ',' ORDER BY seed)) AS bh
+              |          FROM mh GROUP BY doc_id, seed // $mhRows),
+              |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              |         FROM bands x JOIN bands y
+              |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+              |common AS (SELECT c.a, c.b, count(*) AS cnt FROM cand c
+              |           JOIN dsh da ON da.doc_id = c.a
+              |           JOIN dsh db ON db.doc_id = c.b AND da.shingle = db.shingle
+              |           GROUP BY c.a, c.b)
+              |SELECT common.a, common.b FROM common
+              |JOIN sizes sa ON common.a = sa.doc_id
+              |JOIN sizes sb ON common.b = sb.doc_id
+              |WHERE cnt::DOUBLE / (sa.n + sb.n - cnt) >= $jaccardTau""".stripMargin)),
+
+    // ---- SimHash: 64-bit weighted fingerprint per document ------------
+    // Feature = word with multiplicity; bit j of md5(word) (hex digit
+    // j/4, MSB-first within the digit) votes +cnt/-cnt; fingerprint bit =
+    // sign of the tally. Emitted as a 64-char bitstring (no cross-engine
+    // integer-width games).
+    Q("p_dedup_simhash",
+      (s, dir) => simhash(s, dir),
+      Some(simhashOracle + "\nSELECT doc_id, simhash FROM fp")),
+
+    // ---- SimHash near-dup pairs: 16-bit band collision + Hamming ------
+    Q("p_dedup_simhash_pairs",
+      (s, dir) => {
+        val fp = simhash(s, dir)
+        val bands = fp.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, 3), b -> named_struct('band', b, 'key', substring(simhash, 1 + b * 16, 16)))"))
+          .as("e")).select(col("doc_id"), col("e.band").as("band"), col("e.key").as("key"))
+        val cand = bands.select(col("doc_id").as("a"), col("band"), col("key"))
+          .join(bands.select(col("doc_id").as("b"), col("band"), col("key")), Seq("band", "key"))
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        cand
+          .join(fp.select(col("doc_id").as("a"), col("simhash").as("sa")), Seq("a"))
+          .join(fp.select(col("doc_id").as("b"), col("simhash").as("sb")), Seq("b"))
+          .withColumn("hamming", expr(
+            "size(filter(sequence(1, 64), i -> substring(sa, i, 1) != substring(sb, i, 1)))"))
+          .filter(col("hamming") <= 3)
+          .select(col("a"), col("b"), col("hamming"))
+      },
+      Some(simhashOracle +
+        """,
+          |bands AS (SELECT doc_id, b AS band, substr(simhash, 1 + b * 16, 16) AS key
+          |          FROM fp, (SELECT unnest(range(4)) AS b)),
+          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          |         FROM bands x JOIN bands y
+          |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+          |SELECT cand.a, cand.b,
+          |       len(list_filter(range(1, 65),
+          |           i -> substr(fa.simhash, i, 1) <> substr(fb.simhash, i, 1))) AS hamming
+          |FROM cand
+          |JOIN fp fa ON fa.doc_id = cand.a
+          |JOIN fp fb ON fb.doc_id = cand.b
+          |WHERE len(list_filter(range(1, 65),
+          |        i -> substr(fa.simhash, i, 1) <> substr(fb.simhash, i, 1))) <= 3""".stripMargin)),
+
+    // ---- embedding cosine near-dup (exact fixed-point math) -----------
+    // Brute-force a<b at test scale; the LSH-bucketed scale path is
+    // SimilarityOps.p_sim_lsh_bucket's sign-bucket join.
+    Q("p_dedup_embedding",
+      (s, dir) => {
+        val e = quantized(s, dir)
+        val a = e.select(col("vec_id").as("a"), col("q").as("qa"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("b"), col("q").as("qb"), col("nrm").as("nb"))
+        a.crossJoin(b).filter(col("a") < col("b"))
+          .withColumn("cos", cosine("qa", "na", "qb", "nb"))
+          .filter(col("cos") >= jaccardTau)
+          .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS q
+              |       FROM embeddings),
+              |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nrm FROM e),
+              |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+              |        list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i]))::DOUBLE
+              |          / (sqrt(a.nrm::DOUBLE) * sqrt(b.nrm::DOUBLE)) AS cos
+              |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+              |SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= $jaccardTau""".stripMargin)),
+  )
+
+  /** 64-bit SimHash per document as a bitstring column. */
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    val feats = words(s, dir)
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val bits = feats
+      .select(col("doc_id"), col("cnt"), md5(col("w")).as("h"),
+        explode(expr("sequence(0, 63)")).as("j"))
+      .withColumn("digit", expr("instr('0123456789abcdef', substring(h, 1 + (j div 4), 1)) - 1"))
+      .withColumn("bit", expr(
+        "(digit div (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2"))
+      .groupBy("doc_id", "j")
+      .agg(sum(col("cnt") * (col("bit") * 2 - 1)).as("tally"))
+      .withColumn("c", when(col("tally") > 0, "1").otherwise("0"))
+    bits.groupBy("doc_id")
+      .agg(array_join(expr("transform(array_sort(collect_list(struct(j, c))), x -> x.c)"), "")
+        .as("simhash"))
+  }
+
+  /** DuckDB CTE chain computing the same fingerprint, shared by both
+    * simhash oracles; ends at the `fp` definition (no trailing comma, so
+    * callers append either a final SELECT or `,\nmore CTEs…`). */
+  // lazy: referenced from `all` above its definition site
+  private lazy val simhashOracle: String =
+    """WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |feats AS (SELECT doc_id, unnest(ws) AS w FROM dd),
+      |fc AS (SELECT doc_id, w, count(*) AS cnt FROM feats GROUP BY doc_id, w),
+      |bits AS (SELECT doc_id, j,
+      |           sum(cnt * (2 * ((strpos('0123456789abcdef',
+      |                               substr(md5(w), 1 + (j // 4), 1)) - 1)
+      |                           // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+      |                                          WHEN 2 THEN 2 ELSE 1 END) % 2) - 1)) AS tally
+      |         FROM fc, (SELECT unnest(range(64)) AS j)
+      |         GROUP BY doc_id, j),
+      |fp AS (SELECT doc_id,
+      |         string_agg(CASE WHEN tally > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+      |       FROM bits GROUP BY doc_id)""".stripMargin
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared readers/derivations for the training-data pipeline operators
+  * (dedup, similarity, text analysis) over the driver's `documents` /
+  * `embeddings` / `events` parquet tables.
+  *
+  * Cross-engine determinism rules used throughout the pipeline inventory
+  * (every operator is verified against a DuckDB oracle that replays the
+  * same computation, so each primitive must be bit-identical in both):
+  *
+  *   - Hashing is `md5` over identical argument strings — standard
+  *     lowercase-hex MD5 in both engines; minhash minima are lexicographic
+  *     minima over the hex strings (ASCII order, engine-independent).
+  *   - Float math goes through 1e-6 fixed-point quantization: vectors
+  *     become int64 arrays, dot products and norms are exact integer sums
+  *     (order-free, so shuffle/partition layout can't perturb them), and
+  *     only the final cosine divides through `double` with the identical
+  *     expression on both sides (IEEE ops on identical inputs are
+  *     bit-identical).
+  *   - Aggregated doubles are never compared raw: anything built by a
+  *     grouped float sum is quantized first for the same reason.
+  */
+private[operators] object PipeData {
+
+  def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  /** Documents split to a word array (texts are single-space separated). */
+  def words(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"),
+      split(col("text"), " ").as("ws"))
+
+  /** The distinct word-3-gram shingle set per document — the unit of all
+    * set-similarity dedup. One narrow shuffle (the distinct); at cluster
+    * scale this is the shared "shingle index" you materialize once and
+    * reuse across the dedup family. */
+  def shingles(s: SparkSession, dir: String): DataFrame =
+    words(s, dir)
+      .filter(size(col("ws")) >= 3) // Spark sequence(0, n) descends for n<0
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))
+        .as("shingle"))
+      .distinct()
+
+  /** Embeddings quantized to 1e-6 fixed point (int64) plus exact squared
+    * norm. Quantization makes every downstream dot product an exact
+    * integer — reproducible across engines, partitionings, and summation
+    * orders, which raw float32 accumulation is not. */
+  def quantized(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000, 0) as bigint))")
+          .as("q"))
+      .withColumn("nrm", expr("aggregate(q, 0L, (a, x) -> a + x * x)"))
+
+  /** Exact cosine between two quantized vectors: integer dot, one double
+    * division — the expression shape is mirrored verbatim in the oracles. */
+  def cosine(qa: String, na: String, qb: String, nb: String) = expr(
+    s"cast(aggregate(zip_with($qa, $qb, (x, y) -> x * y), 0L, (a, x) -> a + x) as double)" +
+      s" / (sqrt(cast($na as double)) * sqrt(cast($nb as double)))")
+}

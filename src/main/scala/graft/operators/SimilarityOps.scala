@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import PipeData._
+
+/** Approximate-nearest-neighbor surface over the `embeddings` table.
+  *
+  * Two paths, per the standard ANN architecture:
+  *   - brute-force cosine top-k — the exact baseline: score every
+  *     candidate, rank per query (at cluster scale: broadcast the query
+  *     set, one pass over the corpus, per-partition top-k then global
+  *     top-k — no full sort);
+  *   - sign-LSH bucketed top-k — the scale path: an 8-bit random-
+  *     hyperplane-style bucket (here the signs of the first 8 dims — a
+  *     fixed, data-independent projection) shrinks each query's candidate
+  *     set ~256×; recall is traded for the bucket count exactly like an
+  *     IVF nprobe=1 search.
+  *
+  * All scoring uses the exact fixed-point cosine from PipeData, ranked on
+  * round(cos, 6) with vec_id tie-breaks, so orderings are bit-stable
+  * across engines and partitionings.
+  */
+object SimilarityOps {
+
+  private val topK = 5
+  private val bucketK = 3
+  private val nQueries = 10 // queries = vec_id < 10
+
+  val all: List[Q] = List(
+
+    // ---- exact brute-force cosine top-k per query ---------------------
+    Q("p_sim_topk_brute",
+      (s, dir) => {
+        val e = quantized(s, dir)
+        val q = e.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nrm").as("na"))
+        val c = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("nrm").as("nb"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        broadcast(q).crossJoin(c)
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos", round(cosine("qa", "na", "qb", "nb"), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= topK)
+          .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS q
+              |       FROM embeddings),
+              |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nrm FROM e),
+              |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              |             round(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i]))::DOUBLE
+              |               / (sqrt(a.nrm::DOUBLE) * sqrt(b.nrm::DOUBLE)), 6) AS cos
+              |           FROM n a JOIN n b ON a.vec_id < $nQueries AND a.vec_id <> b.vec_id),
+              |ranked AS (SELECT query_id, neighbor_id, cos,
+              |             ROW_NUMBER() OVER (PARTITION BY query_id
+              |                                ORDER BY cos DESC, neighbor_id) AS rank
+              |           FROM scored)
+              |SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= $topK""".stripMargin)),
+
+    // ---- sign-LSH bucketed top-k (IVF-style candidate pruning) --------
+    Q("p_sim_lsh_bucket",
+      (s, dir) => {
+        val e = quantized(s, dir)
+          .withColumn("bucket", expr(
+            "array_join(transform(slice(q, 1, 8), x -> if(x >= 0, '1', '0')), '')"))
+        val q = e.select(col("vec_id").as("query_id"), col("bucket"),
+          col("q").as("qa"), col("nrm").as("na"))
+        val c = e.select(col("vec_id").as("neighbor_id"), col("bucket"),
+          col("q").as("qb"), col("nrm").as("nb"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        q.join(c, Seq("bucket"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos", round(cosine("qa", "na", "qb", "nb"), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= bucketK)
+          .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS q
+              |       FROM embeddings),
+              |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nrm,
+              |        array_to_string(list_transform(q[1:8],
+              |          x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+              |      FROM e),
+              |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              |             round(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i]))::DOUBLE
+              |               / (sqrt(a.nrm::DOUBLE) * sqrt(b.nrm::DOUBLE)), 6) AS cos
+              |           FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+              |ranked AS (SELECT query_id, neighbor_id, cos,
+              |             ROW_NUMBER() OVER (PARTITION BY query_id
+              |                                ORDER BY cos DESC, neighbor_id) AS rank
+              |           FROM scored)
+              |SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= $bucketK""".stripMargin)),
+  )
+}

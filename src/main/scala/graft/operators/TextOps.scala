@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import PipeData._
+
+/** Text-analysis operators over the `documents` table: token statistics,
+  * language identification, quality scoring, and document fingerprinting.
+  * Everything is a single narrow scan + projection (no shuffle except the
+  * fingerprint's per-doc aggregate) — at 100 TB these run at parquet-read
+  * speed with full column pruning and whole-stage codegen (built-in
+  * functions only, no UDFs).
+  *
+  * Ratios are exact integer counts divided once in double with the
+  * identical expression in the DuckDB oracle, so values are bit-stable.
+  */
+object TextOps {
+
+  /** Per-language marker (stopword) lists for the n-gram/marker language
+    * heuristic. Real profiles would be frequency-ranked n-grams; the
+    * mechanism (count markers per language, argmax with a fixed
+    * preference order) is the production shape. */
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "les", "et"),
+    "zh" -> Seq("de5", "shi4"))
+
+  private def markerCount(lang: String): String = {
+    val preds = markers(lang).map(m => s"w = '$m'").mkString(" OR ")
+    s"size(filter(ws, w -> $preds))"
+  }
+
+  private def markerCountDuck(lang: String): String = {
+    val preds = markers(lang).map(m => s"w = '$m'").mkString(" OR ")
+    s"len(list_filter(ws, w -> $preds))"
+  }
+
+  val all: List[Q] = List(
+
+    // ---- token statistics --------------------------------------------
+    Q("p_text_stats",
+      (s, dir) => words(s, dir)
+        .withColumn("n_words", size(col("ws")))
+        .withColumn("n_uniq", size(array_distinct(col("ws"))))
+        .select(col("doc_id"), col("n_words"), col("n_uniq"),
+          round(col("n_uniq").cast("double") / col("n_words"), 6).as("ttr"),
+          round((col("n_chars") - (col("n_words") - 1)).cast("double") / col("n_words"), 6)
+            .as("avg_wlen")),
+      Some("""WITH dd AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents)
+             |SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_uniq,
+             |       round(len(list_distinct(ws))::DOUBLE / len(ws), 6) AS ttr,
+             |       round((n_chars - (len(ws) - 1))::DOUBLE / len(ws), 6) AS avg_wlen
+             |FROM dd""".stripMargin)),
+
+    // ---- token counting: whitespace + regex (BPE-ish pre-tokenizer) ---
+    Q("p_text_tokens",
+      (s, dir) => docs(s, dir).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("re_tokens"),
+        size(array_distinct(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")))
+          .as("uniq_tokens")),
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS ws_tokens,
+             |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
+             |  len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS uniq_tokens
+             |FROM documents""".stripMargin)),
+
+    // ---- language id: marker-count argmax with fixed preference -------
+    Q("p_text_langid",
+      (s, dir) => {
+        val scored = words(s, dir)
+          .withColumn("s_en", expr(markerCount("en")))
+          .withColumn("s_es", expr(markerCount("es")))
+          .withColumn("s_de", expr(markerCount("de")))
+          .withColumn("s_fr", expr(markerCount("fr")))
+          .withColumn("s_zh", expr(markerCount("zh")))
+        scored.select(col("doc_id"), col("lang").as("labeled"),
+          expr("""CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                 |     WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                 |     WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                 |     WHEN s_fr >= s_zh THEN 'fr'
+                 |     ELSE 'zh' END""".stripMargin).as("predicted"))
+      },
+      Some(s"""WITH dd AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+              |scored AS (SELECT doc_id, lang,
+              |  ${markerCountDuck("en")} AS s_en, ${markerCountDuck("es")} AS s_es,
+              |  ${markerCountDuck("de")} AS s_de, ${markerCountDuck("fr")} AS s_fr,
+              |  ${markerCountDuck("zh")} AS s_zh FROM dd)
+              |SELECT doc_id, lang AS labeled,
+              |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+              |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+              |       WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+              |       WHEN s_fr >= s_zh THEN 'fr'
+              |       ELSE 'zh' END AS predicted
+              |FROM scored""".stripMargin)),
+
+    // ---- quality score: ttr + length + stopword-ratio blend -----------
+    Q("p_text_quality",
+      (s, dir) => words(s, dir)
+        .withColumn("n_words", size(col("ws")))
+        .withColumn("n_uniq", size(array_distinct(col("ws"))))
+        .withColumn("n_stop", expr(markerCount("en")))
+        .select(col("doc_id"), round(
+          expr("""0.4 * (cast(n_uniq as double) / n_words)
+                 |+ 0.3 * least(1.0, cast(n_words as double) / 150)
+                 |+ 0.3 * (cast(n_stop as double) / n_words)""".stripMargin), 6)
+          .as("quality")),
+      Some(s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              |c AS (SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_uniq,
+              |        ${markerCountDuck("en")} AS n_stop FROM dd)
+              |SELECT doc_id, round(
+              |  0.4 * (n_uniq::DOUBLE / n_words)
+              |  + 0.3 * least(1.0, n_words::DOUBLE / 150)
+              |  + 0.3 * (n_stop::DOUBLE / n_words), 6) AS quality
+              |FROM c""".stripMargin)),
+
+    // ---- document fingerprint: winnowed min-hash sketch ---------------
+    // fp1/fp2 = two smallest shingle md5s (a 2-fingerprint winnow);
+    // identical docs share both, heavily-overlapping docs usually share
+    // fp1 — a cheap pre-cluster key for the dedup family.
+    Q("p_text_fingerprint",
+      (s, dir) => {
+        val dsh = shingles(s, dir).withColumn("h", md5(col("shingle")))
+        dsh.groupBy("doc_id").agg(
+          min(col("h")).as("fp1"),
+          expr("array_sort(collect_set(h))[1]").as("fp2"),
+          count(lit(1)).as("n_shingles"))
+      },
+      Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+             |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle FROM dd),
+             |dsh AS (SELECT DISTINCT doc_id, md5(shingle) AS h FROM sh)
+             |SELECT doc_id, min(h) AS fp1,
+             |       (list_sort(list(h)))[2] AS fp2,
+             |       count(*) AS n_shingles
+             |FROM dsh GROUP BY doc_id""".stripMargin)),
+  )
+}
