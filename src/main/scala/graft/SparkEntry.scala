@@ -6,7 +6,8 @@ object SparkEntry {
   /** Every verifiable operator query the engine implements (SURVEY.md §2
     * inventory + the scale/pipeline extension operators). */
   def allOps: List[Q] =
-    GraphOps.all ++ RelOps.all ++ DedupOps.all ++ SimilarityOps.all ++ TextOps.all
+    GraphOps.all ++ RelOps.all ++ DedupOps.all ++ SimilarityOps.all ++
+      TextOps.all ++ EventOps.all ++ StreamingOps.all ++ MultimodalOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full MiniGQL front end + Spark executor over the parquet graph

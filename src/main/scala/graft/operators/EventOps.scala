@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import PipeData._
+
+/** Time-series operators over the `events` table: tumbling and sliding
+  * window aggregation and gap-based sessionization — the batch halves of
+  * the streaming surface (StreamingOps runs the same logic through
+  * Structured Streaming and lands on the same results).
+  *
+  * `value` sums are quantized to 1e-2 fixed point (the column is 2-decimal)
+  * and summed as int64 — exact, order-free — then divided back to double
+  * with the identical expression in the oracle.
+  */
+object EventOps {
+
+  val all: List[Q] = List(
+
+    // ---- tumbling 1h window: count + exact sum per event type ---------
+    Q("p_events_tumbling",
+      (s, dir) => events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(expr("cast(round(value * 100, 0) as bigint)")) / 100.0).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"),
+          col("sum_value")),
+      Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+             |       count(*) AS n,
+             |       sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ---- sliding 1h window, 15min slide ------------------------------
+    // Each event lands in exactly 4 windows: starts = bucket15(ts) - k*15m,
+    // k = 0..3 (ts - bucket15 < 15m, so every such window still covers ts).
+    Q("p_events_sliding",
+      (s, dir) => events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n")),
+      Some("""SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS window_start,
+             |       event_type, count(*) AS n
+             |FROM events, (SELECT unnest(range(4)) AS k)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- gap-based sessionization (30min inactivity) ------------------
+    // Spark: session_window groupBy — the engine merges events closer
+    // than the gap. Oracle: classic gaps-and-islands (lag + running sum).
+    // A new session starts when ts - prev_ts >= gap (Spark merges while
+    // the next event is strictly inside [prev, prev+gap)).
+    Q("p_events_sessions",
+      (s, dir) => events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"), col("n_events")),
+      Some("""WITH x AS (SELECT user_id, ts,
+             |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |            >= INTERVAL 30 MINUTE
+             |       OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |       THEN 1 ELSE 0 END AS new_s
+             |  FROM events),
+             |y AS (SELECT user_id, ts,
+             |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                         ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM x)
+             |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+             |FROM y GROUP BY user_id, sid""".stripMargin)),
+
+    // ---- daily per-type rates with exact distinct users ---------------
+    Q("p_events_daily",
+      (s, dir) => events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users")),
+      Some("""SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+             |       count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ---- sketch: approximate distinct users per type ------------------
+    // HyperLogLog++ — engine-specific sketch, so no SQL oracle (driver
+    // records a rows-only check); the exactness bound is covered by
+    // p_events_daily's exact countDistinct. THIS is the 100 TB shape:
+    // partial sketches merge map-side, no exact-distinct shuffle.
+    Q("p_events_approx_users",
+      (s, dir) => events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n")),
+      None),
+  )
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import PipeData._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, plus decode / feature-extract /
+  * resize / frame-sample operators over them.
+  *
+  * The decode step is a DETERMINISTIC STUB — this container has no image
+  * or audio codecs, so "payloads" are synthesized (a parseable 8-byte
+  * width/height header + an md5 body) and "decoding" parses that header /
+  * derives frame hashes. Everything AROUND the stub is the real 100 TB
+  * plumbing this surface exists to exercise: binary columns survive
+  * parquet/shuffle untouched, metadata extraction is a codegen'd
+  * projection (no UDF), per-frame explosion is a lateral view whose
+  * output partitioning follows the input, and the one genuinely
+  * imperative step (byte-level feature extraction) is `mapPartitions`
+  * over Rows — the Scala analogue of a pandas-batch UDF: whole-partition
+  * batches in, an iterator of typed results out. Swapping the stub for a
+  * real JNI/codec call changes none of the dataflow.
+  */
+object MultimodalOps {
+
+  /** Synthesized image corpus: 24-byte payload = 4-byte width, 4-byte
+    * height (big-endian, hex-packed), 16-byte md5 body; dimensions are
+    * deterministic functions of doc_id. */
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      unhex(concat(
+        lpad(hex(expr("64 + doc_id % 512")), 8, "0"),
+        lpad(hex(expr("64 + (doc_id * 7) % 512")), 8, "0"),
+        md5(col("text")))).as("img"))
+
+  val all: List[Q] = List(
+
+    // ---- metadata decode: parse the binary header ---------------------
+    // The Spark side genuinely round-trips through the binary column
+    // (hex -> substring -> conv); the oracle recomputes ground truth from
+    // doc_id, so a corrupted pack/unpack would mismatch.
+    Q("p_mm_metadata",
+      (s, dir) => corpus(s, dir).select(
+        col("doc_id"),
+        expr("cast(conv(substring(hex(img), 1, 8), 16, 10) as bigint)").as("width"),
+        expr("cast(conv(substring(hex(img), 9, 8), 16, 10) as bigint)").as("height"),
+        length(col("img")).as("n_bytes")),
+      Some("""SELECT doc_id, 64 + doc_id % 512 AS width,
+             |       64 + (doc_id * 7) % 512 AS height,
+             |       24 AS n_bytes
+             |FROM documents""".stripMargin)),
+
+    // ---- resize (stub): halve dimensions, fingerprint the thumb -------
+    Q("p_mm_resize",
+      (s, dir) => corpus(s, dir).select(
+        col("doc_id"),
+        expr("cast(conv(substring(hex(img), 1, 8), 16, 10) as bigint) div 2").as("new_w"),
+        expr("cast(conv(substring(hex(img), 9, 8), 16, 10) as bigint) div 2").as("new_h"),
+        md5(concat(hex(col("img")), lit(":thumb"))).as("thumb_hash")),
+      Some("""SELECT doc_id,
+             |  (64 + doc_id % 512) // 2 AS new_w,
+             |  (64 + (doc_id * 7) % 512) // 2 AS new_h,
+             |  md5(upper(lpad(to_hex(64 + doc_id % 512), 8, '0')
+             |        || lpad(to_hex(64 + (doc_id * 7) % 512), 8, '0')
+             |        || md5(text)) || ':thumb') AS thumb_hash
+             |FROM documents""".stripMargin)),
+
+    // ---- video frame sampling (stub): every 3rd of n frames -----------
+    // Frame count is per-row metadata; the explode is a lateral view —
+    // at scale the output inherits the scan partitioning, no shuffle.
+    Q("p_mm_framesample",
+      (s, dir) => corpus(s, dir)
+        .withColumn("n_frames", expr("1 + doc_id % 10"))
+        .select(col("doc_id"),
+          explode(expr("filter(sequence(0, n_frames - 1), k -> k % 3 = 0)")).as("frame_idx"),
+          col("img"))
+        .withColumn("frame_hash",
+          md5(concat(hex(col("img")), lit(":"), col("frame_idx"))))
+        .select(col("doc_id"), col("frame_idx"), col("frame_hash")),
+      Some("""WITH f AS (SELECT doc_id,
+             |    upper(lpad(to_hex(64 + doc_id % 512), 8, '0')
+             |      || lpad(to_hex(64 + (doc_id * 7) % 512), 8, '0')
+             |      || md5(text)) AS h,
+             |    unnest(range(1 + doc_id % 10)) AS frame_idx
+             |  FROM documents)
+             |SELECT doc_id, frame_idx, md5(h || ':' || frame_idx::VARCHAR) AS frame_hash
+             |FROM f WHERE frame_idx % 3 = 0""".stripMargin)),
+
+    // ---- byte-level feature extraction via mapPartitions --------------
+    // The pandas-batch-UDF analogue: whole partitions of binary payloads
+    // in, typed feature rows out. No SQL oracle (the driver records a
+    // rows-only check) — the stub "features" are byte statistics a real
+    // decoder would replace with pixel statistics.
+    Q("p_mm_features",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        corpus(s, dir)
+          .select(col("doc_id"), col("img"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            rows.map { case (id, bytes) =>
+              val body = bytes.drop(8)
+              val mean = body.map(b => (b & 0xff).toDouble).sum / body.length
+              val maxB = body.map(b => b & 0xff).max
+              (id, math.round(mean * 1000) / 1000.0, maxB, bytes.length)
+            }
+          }
+          .toDF("doc_id", "mean_byte", "max_byte", "n_bytes")
+      },
+      None),
+  )
+}

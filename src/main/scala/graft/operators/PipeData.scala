@@ -31,8 +31,20 @@ private[operators] object PipeData {
   def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  def events(s: SparkSession, dir: String): DataFrame =
+  /** The events parquet stores TIMESTAMP(NANOS), which Spark 4 rejects
+    * outright; read the raw INT64 nanos (legacy conf, runtime-settable)
+    * — callers convert via [[nanosToTs]]. */
+  def eventsRaw(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** ns → µs TimestampType (exact here: the generator emits whole µs). */
+  def nanosToTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  def events(s: SparkSession, dir: String): DataFrame =
+    nanosToTs(eventsRaw(s, dir))
 
   /** Documents split to a word array (texts are single-space separated). */
   def words(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface. Each operator here runs a REAL streaming
+  * query — `readStream` file source over the events parquet, windowed /
+  * stateless transforms, `writeStream` into a memory sink — driven to
+  * completion with Trigger.AvailableNow, then returns the sink table. The
+  * results are therefore oracle-checkable like any batch op, and must
+  * equal the batch half (EventOps) by construction.
+  *
+  * At production scale the same pipelines run unbounded: swap the trigger
+  * for a processing-time one, add `withWatermark` to bound state (the
+  * memory sink's complete mode here retains all windows because the test
+  * corpus is finite), and point the sink at kafka/delta. The transform
+  * code is IDENTICAL — that's the point of Structured Streaming.
+  */
+object StreamingOps {
+
+  private def stream(s: SparkSession, dir: String): DataFrame = {
+    val schema = PipeData.eventsRaw(s, dir).schema // also sets nanosAsLong
+    // The file-stream source only accepts directories; stage a symlink to
+    // the single parquet file under a temp dir (a real deployment points
+    // this at the landing directory new files arrive in).
+    val src = java.nio.file.Paths.get(dir, "events.parquet").toRealPath()
+    val staged = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_stream_" + src.hashCode.toHexString)
+    java.nio.file.Files.createDirectories(staged)
+    val link = staged.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, src)
+    PipeData.nanosToTs(s.readStream.schema(schema).parquet(staged.toString))
+  }
+
+  private def runToTable(df: DataFrame, mode: String)(implicit s: SparkSession): DataFrame = {
+    val name = "sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val all: List[Q] = List(
+
+    // ---- streaming tumbling-window aggregation ------------------------
+    Q("p_stream_tumbling",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        runToTable(
+          stream(s, dir)
+            .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("w.start").as("window_start"), col("event_type"), col("n")),
+          "complete")
+      },
+      Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+             |       count(*) AS n
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ---- stateless streaming ETL: filter + project + route ------------
+    Q("p_stream_errors",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        runToTable(
+          stream(s, dir)
+            .filter(col("event_type") === "error")
+            .select(col("event_id"), col("user_id"),
+              date_trunc("hour", col("ts")).as("hour")),
+          "append")
+      },
+      Some("""SELECT event_id, user_id, date_trunc('hour', ts) AS hour
+             |FROM events WHERE event_type = 'error'""".stripMargin)),
+  )
+}
