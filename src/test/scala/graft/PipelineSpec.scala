@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Invariant + differential tests for the pipeline operator inventory at
+  * sf0.001 (the DuckDB oracle equivalence itself is exercised by the
+  * driver's Verify harness; these pin the in-JVM semantic relationships
+  * between operators that the oracle can't see — e.g. streaming ≡ batch,
+  * LSH ⊆ exact). */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("dedup_exact partitions the corpus: n_copies sums to |documents|") {
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val agg = run("p_dedup_exact").agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(agg == total)
+  }
+
+  test("minhash LSH pairs are canonical and confirmed by exact Jaccard >= 0.4") {
+    val lsh = run("p_dedup_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh.forall { case (a, b) => a < b })
+    assert(lsh.distinct.length == lsh.length)
+    // exact-jaccard op uses tau=0.5; every 0.5-pair the exact op finds
+    // must also be found by LSH+verify at 0.4 on this corpus (planted
+    // dups are J>=0.9, far above both thresholds)
+    val exact = run("p_dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh.toSet))
+  }
+
+  test("simhash fingerprints are 64-bit bitstrings, one per document") {
+    val fp = run("p_dedup_simhash").collect()
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(fp.length == total)
+    assert(fp.forall(_.getString(1).matches("[01]{64}")))
+  }
+
+  test("simhash near-dup pairs have verified Hamming <= 3") {
+    assert(run("p_dedup_simhash_pairs").collect()
+      .forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 3))
+  }
+
+  test("brute-force top-k: consecutive ranks, cosine in [-1,1], ordered") {
+    val rows = run("p_sim_topk_brute")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to sorted.length))
+      // cosine non-increasing with rank
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x._4 >= y._4
+        case _ => true
+      })
+    }
+    assert(rows.forall(r => r._4 >= -1.0001 && r._4 <= 1.0001))
+    assert(rows.forall(r => r._1 != r._2))
+  }
+
+  test("LSH-bucket top-k is a subset of each query's brute-force ordering domain") {
+    val bucket = run("p_sim_lsh_bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // no self-matches, canonical ranks
+    assert(bucket.forall { case (q, n) => q != n })
+  }
+
+  test("streaming tumbling window equals the batch tumbling counts") {
+    val stream = run("p_stream_tumbling")
+      .select("window_start", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = run("p_events_tumbling")
+      .select("window_start", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(stream == batch)
+  }
+
+  test("sessionization conserves events; sliding windows hold each event 4x") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    val sessions = run("p_events_sessions").agg(sum("n_events")).collect()(0).getLong(0)
+    assert(sessions == total)
+    val sliding = run("p_events_sliding").agg(sum("n")).collect()(0).getLong(0)
+    assert(sliding == 4 * total)
+  }
+
+  test("multimodal metadata decode matches the synthesis formula") {
+    val rows = run("p_mm_metadata").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == 64 + id % 512)
+      assert(r.getLong(2) == 64 + (id * 7) % 512)
+      assert(r.getInt(3) == 24)
+    }
+  }
+
+  test("mapPartitions feature extraction produces one row per payload") {
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val feats = run("p_mm_features").collect()
+    assert(feats.length == total)
+    assert(feats.forall(r => r.getDouble(1) >= 0 && r.getDouble(1) <= 255))
+  }
+
+  test("text stats invariants: 0 < ttr <= 1, n_uniq <= n_words") {
+    val rows = run("p_text_stats").collect()
+    assert(rows.forall(r => r.getInt(2) <= r.getInt(1)))
+    assert(rows.forall(r => r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
+  }
+}
