@@ -47,7 +47,9 @@ object DedupOps {
     // J>0); count of shared shingles + per-doc set sizes -> Jaccard.
     Q("p_dedup_ngram_jaccard",
       (s, dir) => {
-        val dsh = shingles(s, dir)
+        // The shingle index feeds three subplans (sizes + both join
+        // sides); Catalyst has no cross-join CSE, so materialize it once.
+        val dsh = shingles(s, dir).localCheckpoint(true)
         val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val x = dsh.select(col("doc_id").as("a"), col("shingle"))
         val y = dsh.select(col("doc_id").as("b"), col("shingle"))
@@ -83,7 +85,9 @@ object DedupOps {
     // builds the whole signature; the band join is sub-quadratic.
     Q("p_dedup_minhash_lsh",
       (s, dir) => {
-        val dsh = shingles(s, dir)
+        // Materialized once: feeds the signature build, sizes, and both
+        // verify join sides (4 subplans).
+        val dsh = shingles(s, dir).localCheckpoint(true)
         val sig = dsh.groupBy("doc_id").agg(
           min(md5(concat(lit("0"), lit("|"), col("shingle")))).as("mh0"),
           (1 until mhSeeds).map(i =>
@@ -145,7 +149,10 @@ object DedupOps {
     // ---- SimHash near-dup pairs: 16-bit band collision + Hamming ------
     Q("p_dedup_simhash_pairs",
       (s, dir) => {
-        val fp = simhash(s, dir)
+        // The fingerprint frame is tiny (one 64-char string per doc) but
+        // expensive to build (words × 64 bit-tallies); reused by the band
+        // explode and both Hamming join sides, so materialize it once.
+        val fp = simhash(s, dir).localCheckpoint(true)
         val bands = fp.select(col("doc_id"), explode(expr(
           "transform(sequence(0, 3), b -> named_struct('band', b, 'key', substring(simhash, 1 + b * 16, 16)))"))
           .as("e")).select(col("doc_id"), col("e.band").as("band"), col("e.key").as("key"))
@@ -153,11 +160,19 @@ object DedupOps {
           .join(bands.select(col("doc_id").as("b"), col("band"), col("key")), Seq("band", "key"))
           .filter(col("a") < col("b"))
           .select("a", "b").distinct()
-        cand
-          .join(fp.select(col("doc_id").as("a"), col("simhash").as("sa")), Seq("a"))
-          .join(fp.select(col("doc_id").as("b"), col("simhash").as("sb")), Seq("b"))
+        // Hamming via 4×16-bit XOR popcount (whole-stage codegen) rather
+        // than a 64-iteration string-compare lambda — band keys collide
+        // heavily on a same-distribution corpus, so the verify stage sees
+        // many candidates and its per-pair cost dominates.
+        val packed = fp.select(col("doc_id") +: (0 until 4).map(b =>
+          expr(s"cast(conv(substring(simhash, ${1 + b * 16}, 16), 2, 10) as int)").as(s"w$b")): _*)
+        val pa = packed.select(col("doc_id").as("a") +:
+          (0 until 4).map(b => col(s"w$b").as(s"a$b")): _*)
+        val pb = packed.select(col("doc_id").as("b") +:
+          (0 until 4).map(b => col(s"w$b").as(s"b$b")): _*)
+        cand.join(pa, Seq("a")).join(pb, Seq("b"))
           .withColumn("hamming", expr(
-            "size(filter(sequence(1, 64), i -> substring(sa, i, 1) != substring(sb, i, 1)))"))
+            (0 until 4).map(b => s"bit_count(a$b ^ b$b)").mkString(" + ")))
           .filter(col("hamming") <= 3)
           .select(col("a"), col("b"), col("hamming"))
       },
@@ -178,17 +193,39 @@ object DedupOps {
           |        i -> substr(fa.simhash, i, 1) <> substr(fb.simhash, i, 1))) <= 3""".stripMargin)),
 
     // ---- embedding cosine near-dup (exact fixed-point math) -----------
-    // Brute-force a<b at test scale; the LSH-bucketed scale path is
-    // SimilarityOps.p_sim_lsh_bucket's sign-bucket join.
+    // Exact all-pairs. A crossJoin + higher-order-function dot product
+    // leaves whole-stage codegen on every pair, so this uses the
+    // broadcast-corpus mapPartitions kernel instead (SURVEY §2 preference
+    // (d), deliberately: the quadratic kernel is genuine per-partition
+    // imperative logic). Corpus fits comfortably in a broadcast (n×64
+    // int64); each partition streams its vectors against it in a tight
+    // primitive loop. The math is bit-identical to the SQL form: exact
+    // int64 dot, sqrt(na)*sqrt(nb) in the same order, HALF_UP round —
+    // the oracle still hash-matches. At 100 TB this op runs over LSH
+    // candidates only (p_sim_lsh_bucket's bucket join is the pre-filter).
     Q("p_dedup_embedding",
       (s, dir) => {
-        val e = quantized(s, dir)
-        val a = e.select(col("vec_id").as("a"), col("q").as("qa"), col("nrm").as("na"))
-        val b = e.select(col("vec_id").as("b"), col("q").as("qb"), col("nrm").as("nb"))
-        a.crossJoin(b).filter(col("a") < col("b"))
-          .withColumn("cos", cosine("qa", "na", "qb", "nb"))
-          .filter(col("cos") >= jaccardTau)
-          .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+        val sp = s
+        import sp.implicits._
+        val vecs = quantized(s, dir).select("vec_id", "q", "nrm")
+          .as[(Long, Array[Long], Long)]
+        val bc = s.sparkContext.broadcast(vecs.collect().sortBy(_._1))
+        val tau = jaccardTau
+        vecs.mapPartitions { it =>
+          val corpus = bc.value
+          it.flatMap { case (a, qa, na) =>
+            val sa = math.sqrt(na.toDouble)
+            corpus.iterator.filter(_._1 > a).flatMap { case (b, qb, nb) =>
+              var dot = 0L
+              var i = 0
+              while (i < qa.length) { dot += qa(i) * qb(i); i += 1 }
+              val cos = dot.toDouble / (sa * math.sqrt(nb.toDouble))
+              if (cos >= tau)
+                Some((a, b, BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+              else None
+            }
+          }
+        }.toDF("a", "b", "cos")
       },
       Some(s"""WITH e AS (SELECT vec_id,
               |         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS q

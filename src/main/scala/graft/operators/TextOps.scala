@@ -70,12 +70,15 @@ object TextOps {
     // ---- language id: marker-count argmax with fixed preference -------
     Q("p_text_langid",
       (s, dir) => {
+        // One explode + conditional sums (fully codegen'd, one shuffle)
+        // instead of five interpreted array-filter lambdas per row.
+        def hits(lang: String) =
+          sum(when(col("w").isInCollection(markers(lang)), 1L).otherwise(0L))
         val scored = words(s, dir)
-          .withColumn("s_en", expr(markerCount("en")))
-          .withColumn("s_es", expr(markerCount("es")))
-          .withColumn("s_de", expr(markerCount("de")))
-          .withColumn("s_fr", expr(markerCount("fr")))
-          .withColumn("s_zh", expr(markerCount("zh")))
+          .select(col("doc_id"), col("lang"), explode(col("ws")).as("w"))
+          .groupBy("doc_id", "lang")
+          .agg(hits("en").as("s_en"), hits("es").as("s_es"), hits("de").as("s_de"),
+            hits("fr").as("s_fr"), hits("zh").as("s_zh"))
         scored.select(col("doc_id"), col("lang").as("labeled"),
           expr("""CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
                  |     WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
