@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.GraphLoader
+
+/** Iterative graph analytics over the parquet→graph projection — the
+  * GraphX-flavored extension axis of the engine (reference has none;
+  * SURVEY.md §7.2 M7). Two oracle-checked DataFrame algorithms plus a
+  * genuine GraphX run:
+  *
+  *   - connected components: min-label propagation, FIXED 12 supersteps
+  *     (graph diameter ≤ ~8, so converged), every step a join + min-agg —
+  *     integer labels, so results are exact and engine-independent. The
+  *     oracle replays the identical 12 steps as unrolled CTEs.
+  *   - PageRank: 8 iterations in 1e-9 fixed point — contributions are
+  *     `rank div outdeg`, damping is `150000000 + (85 * in_sum) div 100`,
+  *     all int64, so every engine computes bit-equal ranks. Dangling mass
+  *     is dropped (not redistributed) on both sides — the standard
+  *     simplified formulation, chosen for cross-engine exactness.
+  *   - a GraphX staticPageRank over the same edges (rows-only check):
+  *     the library integration point for everything else GraphX offers.
+  *
+  * Scale: label propagation and power iteration are the 1000-executor
+  * classics — each superstep is one shuffle keyed by dst; lineage is cut
+  * with a localCheckpoint every few steps (else 12 chained shuffles build
+  * an unbounded plan). At 100 TB you'd swap CC for the large-star/
+  * small-star algorithm (fewer supersteps on skewed graphs), same join
+  * shapes.
+  */
+object GraphAlgos {
+
+  private val ccIters = 12
+  private val prIters = 8
+
+  /** All directed FK edges of the loaded graph as one (src,dst) frame. */
+  private def allEdges(s: SparkSession, dir: String): DataFrame = {
+    val (g, _) = GraphLoader.load(s, dir)
+    g.edges.collect { case (key, df) if key._2 != "tagged" => df.select("src", "dst") }
+      .reduce(_ union _)
+  }
+
+  private def allNodes(s: SparkSession, dir: String): DataFrame = {
+    val (g, _) = GraphLoader.load(s, dir)
+    (g.nodes - "tag").values.map(_.select("id")).reduce(_ union _)
+  }
+
+  // ---- shared oracle SQL fragments (mirror GraphLoader's id scheme) ----
+
+  private val edgeSql: String =
+    """SELECT c_custkey + 4000000000 AS src, c_nationkey + 2000000000 AS dst FROM customer
+      |UNION ALL SELECT s_suppkey + 3000000000, s_nationkey + 2000000000 FROM supplier
+      |UNION ALL SELECT n_nationkey + 2000000000, n_regionkey + 1000000000 FROM nation
+      |UNION ALL SELECT o_orderkey + 6000000000, o_custkey + 4000000000 FROM orders
+      |UNION ALL SELECT 10000000000 + l_orderkey * 8 + l_linenumber, l_orderkey + 6000000000 FROM lineitem
+      |UNION ALL SELECT 10000000000 + l_orderkey * 8 + l_linenumber, l_partkey + 5000000000 FROM lineitem
+      |UNION ALL SELECT 10000000000 + l_orderkey * 8 + l_linenumber, l_suppkey + 3000000000 FROM lineitem""".stripMargin
+
+  private val nodeSql: String =
+    """SELECT r_regionkey + 1000000000 AS id FROM region
+      |UNION ALL SELECT n_nationkey + 2000000000 FROM nation
+      |UNION ALL SELECT s_suppkey + 3000000000 FROM supplier
+      |UNION ALL SELECT c_custkey + 4000000000 FROM customer
+      |UNION ALL SELECT p_partkey + 5000000000 FROM part
+      |UNION ALL SELECT o_orderkey + 6000000000 FROM orders
+      |UNION ALL SELECT 10000000000 + l_orderkey * 8 + l_linenumber FROM lineitem""".stripMargin
+
+  // Every CTE is MATERIALIZED: each step references its predecessor
+  // twice, so DuckDB's default inlining would expand the plan 2^iters
+  // times (and re-open every parquet file in each copy).
+  private lazy val ccOracle: String = {
+    val steps = (1 to ccIters).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT x.id, min(x.comp) AS comp FROM (
+         |  SELECT id, comp FROM l${i - 1}
+         |  UNION ALL SELECT ue.dst AS id, l${i - 1}.comp
+         |  FROM ue JOIN l${i - 1} ON ue.src = l${i - 1}.id) x GROUP BY x.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS MATERIALIZED ($nodeSql),
+       |e AS MATERIALIZED ($edgeSql),
+       |ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |l0 AS MATERIALIZED (SELECT id, id AS comp FROM nn),
+       |$steps
+       |SELECT comp, count(*) AS n FROM l$ccIters GROUP BY comp""".stripMargin
+  }
+
+  // MATERIALIZED for the same reason as ccOracle; sums cast back to
+  // BIGINT (DuckDB's sum(BIGINT) is HUGEINT, which pandas would render
+  // as float and break the exact-integer comparison).
+  private lazy val prOracle: String = {
+    val steps = (1 to prIters).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT nn.id,
+         |  CAST(150000000 + (85 * coalesce(m$i.s, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nn LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(sum(r${i - 1}.rank // od.d) AS BIGINT) AS s
+         |    FROM e JOIN r${i - 1} ON e.src = r${i - 1}.id
+         |    JOIN od ON e.src = od.id GROUP BY e.dst) m$i ON nn.id = m$i.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS MATERIALIZED ($nodeSql),
+       |e AS MATERIALIZED ($edgeSql),
+       |od AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM e GROUP BY src),
+       |r0 AS MATERIALIZED (SELECT id, 1000000000::BIGINT AS rank FROM nn),
+       |$steps
+       |SELECT id, rank FROM r$prIters ORDER BY rank DESC, id LIMIT 100""".stripMargin
+  }
+
+  val all: List[Q] = List(
+
+    // ---- connected components: 12 min-label supersteps ----------------
+    Q("g_connected_components",
+      (s, dir) => {
+        val e = allEdges(s, dir)
+        val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint(true)
+        var labels = allNodes(s, dir).select(col("id"), col("id").as("comp"))
+        for (i <- 1 to ccIters) {
+          val msgs = ue.join(labels, ue("src") === labels("id"))
+            .select(ue("dst").as("id"), col("comp"))
+          labels = labels.union(msgs).groupBy("id").agg(min("comp").as("comp"))
+          if (i % 4 == 0) labels = labels.localCheckpoint(true)
+        }
+        labels.groupBy("comp").agg(count(lit(1)).as("n"))
+      },
+      Some(ccOracle)),
+
+    // ---- PageRank: 8 fixed-point power iterations ---------------------
+    Q("g_pagerank",
+      (s, dir) => {
+        val e = allEdges(s, dir).localCheckpoint(true)
+        val nodes = allNodes(s, dir).localCheckpoint(true)
+        val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+        var ranks = nodes.select(col("id"), lit(1000000000L).as("rank"))
+        for (i <- 1 to prIters) {
+          val contribs = e
+            .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+            .join(outdeg.withColumnRenamed("id", "src"), Seq("src"))
+            .select(col("dst").as("id"), expr("rank div d").as("c"))
+            .groupBy("id").agg(sum("c").as("s"))
+          ranks = nodes.join(contribs, Seq("id"), "left")
+            .select(col("id"),
+              expr("150000000L + (85 * coalesce(s, 0L)) div 100").as("rank"))
+          if (i % 4 == 0) ranks = ranks.localCheckpoint(true)
+        }
+        ranks.orderBy(col("rank").desc, col("id")).limit(100)
+      },
+      Some(prOracle)),
+
+    // ---- GraphX integration: staticPageRank over the same edges -------
+    // GraphX does its own double-precision math (not cross-engine
+    // reproducible), so this is a rows-only check; the quantized
+    // g_pagerank above is the oracle-pinned twin.
+    Q("g_pagerank_graphx",
+      (s, dir) => {
+        import org.apache.spark.graphx.{Edge, Graph}
+        val sp = s
+        import sp.implicits._
+        val edgeRdd = allEdges(s, dir).as[(Long, Long)].rdd
+          .map { case (a, b) => Edge(a, b, ()) }
+        val g = Graph.fromEdges(edgeRdd, defaultValue = ())
+        val pr = g.staticPageRank(prIters).vertices
+        pr.toDF("id", "rank")
+          .orderBy(col("rank").desc, col("id")).limit(20)
+          .select(col("id"), round(col("rank"), 4).as("rank"))
+      },
+      None),
+  )
+}
