@@ -1,0 +1,151 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import graft.lang.Typing
+import graft.engine.{Engine, PropertyGraph}
+import scala.math.Ordering.Implicits.seqOrdering
+
+/** Differential testing (SURVEY.md §5.2(3), build-plan M4): random
+  * well-typed MiniGQL programs, executed both by the Spark engine and by
+  * the in-memory reference interpreter (RefInterp, the sem.ml port);
+  * graphs and binding tables must agree exactly.
+  *
+  * The generator emits SOURCE TEXT (so the parser is inside the tested
+  * pipeline) and enforces the invariants that keep both sides total:
+  * every created node's attributes are set immediately (no unset-
+  * attribute reads), divisors are nonzero constants, and edge clauses
+  * only use schema-declared (label, rel, label) combinations.
+  */
+class DifferentialSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val header =
+    """(:P {x int})
+      |(:Q {y int})
+      |(:P) -[:r]-> (:Q)
+      |(:P) -[:s]-> (:P)
+      |(:Q) -[:t]-> (:Q)
+      |""".stripMargin
+
+  /** Stateful source generator: tracks latest bindings like the checker. */
+  private def genProgram(seed: Long): String = {
+    val rnd = new scala.util.Random(seed)
+    val sb = new StringBuilder(header)
+    var env = List.empty[(String, String)] // (var, label), latest first
+    def bound(lbl: String) = env.filter(_._2 == lbl).map(_._1)
+    def latest(v: String) = env.collectFirst { case (`v`, l) => l }
+    var n = 0
+    def freshOrReuse(): String =
+      if (env.nonEmpty && rnd.nextInt(4) == 0) env(rnd.nextInt(env.size))._1
+      else { n += 1; s"v$n" }
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    def intExpr(depth: Int): String = {
+      val xvars = bound("P").map(_ + ".x") ++ bound("Q").map(_ + ".y")
+      val atom = if (xvars.isEmpty || rnd.nextBoolean()) (rnd.nextInt(10) + 1).toString
+                 else pick(xvars)
+      if (depth == 0) atom
+      else rnd.nextInt(4) match {
+        case 0 => s"($atom + ${intExpr(depth - 1)})"
+        case 1 => s"(${intExpr(depth - 1)} * ${rnd.nextInt(3) + 1})"
+        case 2 => s"(${intExpr(depth - 1)} / ${rnd.nextInt(3) + 2})" // nonzero const divisor
+        case _ => s"(${intExpr(depth - 1)} mod ${rnd.nextInt(4) + 2})"
+      }
+    }
+    def boolExpr(depth: Int): String = {
+      val cmp = pick(Seq("=", "<>", ">=", ">", "<=", "<"))
+      val base = s"${intExpr(1)} $cmp ${intExpr(1)}"
+      if (depth == 0 || rnd.nextBoolean()) base
+      else s"($base ${pick(Seq("and", "or"))} ${boolExpr(depth - 1)})"
+    }
+    val steps = 3 + rnd.nextInt(6)
+    for (_ <- 1 to steps) rnd.nextInt(6) match {
+      case 0 => // create + immediate set (keeps all attributes defined)
+        val v = freshOrReuse()
+        val lbl = pick(Seq("P", "Q"))
+        sb ++= s"create ($v:$lbl)\n"
+        env = (v, lbl) :: env
+        sb ++= s"set $v.${if (lbl == "P") "x" else "y"} = ${rnd.nextInt(50)}\n"
+      case 1 => // match node
+        val v = freshOrReuse()
+        val lbl = pick(Seq("P", "Q"))
+        sb ++= s"match ($v:$lbl)\n"
+        env = (v, lbl) :: env
+      case 2 => // create or match edge on a declared rel type
+        val combos = Seq(("P", "r", "Q"), ("P", "s", "P"), ("Q", "t", "Q"))
+          .flatMap { case (sl, rl, tl) =>
+            for (a <- bound(sl); b <- bound(tl)) yield (a, rl, b)
+          }
+        if (combos.nonEmpty) {
+          val (a, rl, b) = pick(combos)
+          sb ++= s"${pick(Seq("create", "match"))} ($a) -[:$rl]-> ($b)\n"
+        }
+      case 3 => // where
+        if (env.nonEmpty) sb ++= s"where ${boolExpr(1)}\n"
+      case 4 => // set on an existing binding
+        if (env.nonEmpty) {
+          val (v, lbl) = env(rnd.nextInt(env.size))
+          if (latest(v).contains(lbl))
+            sb ++= s"set $v.${if (lbl == "P") "x" else "y"} = ${intExpr(1)}\n"
+        }
+      case _ => // delete a node binding (also unbinds)
+        if (env.nonEmpty && rnd.nextInt(3) == 0) {
+          val (v, _) = env(rnd.nextInt(env.size))
+          sb ++= s"delete $v\n"
+          env = env.filterNot(_._1 == v)
+        }
+    }
+    // finish: return a distinct subset in random order (or leave the full table)
+    val distinctVars = rnd.shuffle(env.map(_._1).distinct)
+    if (distinctVars.nonEmpty && rnd.nextBoolean())
+      sb ++= s"return ${distinctVars.take(1 + rnd.nextInt(distinctVars.size)).mkString(", ")}\n"
+    sb.toString
+  }
+
+  private def runBoth(src: String): Unit = {
+    val tp = Typing.compile(src)
+    val expected = RefInterp.run(tp)
+    val r = Engine.run(spark, tp, PropertyGraph.empty(spark, tp.schema))
+
+    // binding table: same header, same row multiset
+    assert(r.bindings.columns.toList == expected.header, s"header mismatch\n$src")
+    val got = r.bindings.collect().map(_.toSeq.map(_.asInstanceOf[Long]).toList).toList
+    assert(got.sorted == expected.rows.map(_.toList).sorted, s"rows mismatch\n$src")
+
+    // graph: per-label node sets with attributes, and every edge frame
+    for (lbl <- tp.schema.nodeAttrs.keys) {
+      val gotNodes = r.graph.nodes(lbl).collect().map { row =>
+        val id = row.getLong(0)
+        val attrs = tp.schema.nodeAttrs(lbl).zipWithIndex.flatMap { case ((f, _), i) =>
+          if (row.isNullAt(i + 1)) None else Some(f -> row.getLong(i + 1))
+        }.toMap
+        id -> attrs
+      }.toMap
+      val expNodes = expected.nodes.collect { case (id, n) if n.label == lbl =>
+        id -> n.attrs.map { case (f, graft.lang.IntV(i)) => f -> i
+                            case (f, v) => throw new IllegalStateException(s"$f=$v") }
+      }
+      assert(gotNodes == expNodes, s"nodes($lbl) mismatch\n$src")
+    }
+    for (key @ (_, rl, _) <- tp.schema.relTypes) {
+      val gotE = r.graph.edges(key).collect()
+        .map(row => (row.getLong(0), rl, row.getLong(1))).toSet
+      val expE = expected.edges.filter(_._2 == rl)
+      assert(gotE == expE, s"edges($key) mismatch\n$src")
+    }
+  }
+
+  test("random well-typed programs agree with the in-memory reference interpreter") {
+    // ScalaCheck property over generated seeds (scalatest-scalacheck
+    // bridge isn't in the offline cache, so drive ScalaCheck directly)
+    val prop = Prop.forAll(Gen.choose(0L, 100000L)) { seed =>
+      runBoth(genProgram(seed)); true
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("pinned regression seeds") {
+    for (seed <- Seq(1L, 7L, 42L, 1234L, 99999L)) runBoth(genProgram(seed))
+  }
+}

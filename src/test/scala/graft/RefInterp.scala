@@ -1,0 +1,161 @@
+package graft
+
+import graft.lang._
+import graft.lang.Typing._
+
+/** In-memory reference interpreter over the typed IR — a direct semantic
+  * port of the reference's `sem.ml` fold (SURVEY.md §5.2(3), build-plan
+  * M4), adjusted to the engine's documented build-to-spec deviations so
+  * the two are observably equivalent:
+  *
+  *   - create advances the id counter by the binding row count (the spec,
+  *     not the reference's `+1` bug, sem.ml:45-51), and with
+  *     deterministic-ids semantics assigns ids in lexicographic row order
+  *     (ties interchangeable — duplicate rows get interchangeable ids);
+  *   - set evaluates per row (not first-row-only, sem.ml:372) and
+  *     resolves conflicting per-node values by max;
+  *   - delete drops every column bound to the deleted variable.
+  *
+  * The binding table is a column-appended list of Long vectors, mirroring
+  * the engine's internal-column layout, so the deterministic-id sort
+  * order coincides exactly.
+  */
+object RefInterp {
+
+  final case class Node(label: String, attrs: Map[String, Value])
+  final case class St(
+      nodes: Map[Long, Node],
+      edges: Set[(Long, String, Long)],
+      env: List[(String, Int)], // var → column index, latest binding first
+      width: Int,
+      rows: List[Vector[Long]],
+      next: Long) {
+    def colOf(v: String): Int = env.collectFirst { case (`v`, c) => c }.get
+  }
+
+  final case class Result(
+      nodes: Map[Long, Node],
+      edges: Set[(Long, String, Long)],
+      header: List[String],
+      rows: List[List[Long]])
+
+  def run(tp: TypedProg, firstId: Long = 0L): Result = {
+    val fin = tp.instrs.foldLeft(
+      St(Map.empty, Set.empty, Nil, 0, List(Vector.empty), firstId))(exec)
+    // Engine output: distinct vars, latest binding, latest-first order.
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    val outCols = fin.env.flatMap { case (v, c) => if (seen.add(v)) Some((v, c)) else None }
+    Result(fin.nodes, fin.edges, outCols.map(_._1),
+      fin.rows.map(r => outCols.map { case (_, c) => r(c) }))
+  }
+
+  private def exec(st: St, in: RInstr): St = in match {
+    case RCreateNode(v, lb) =>
+      // deterministic ids: number rows in lexicographic order
+      val ordered = st.rows.sortBy(identity)(VecOrd)
+      val withIds = ordered.zipWithIndex.map { case (r, i) => r :+ (st.next + i) }
+      val created = withIds.map(_.last -> Node(lb, Map.empty))
+      st.copy(nodes = st.nodes ++ created, env = (v, st.width) :: st.env,
+        width = st.width + 1, rows = withIds, next = st.next + withIds.size)
+
+    case RMatchNode(v, lb) =>
+      val ids = st.nodes.collect { case (id, n) if n.label == lb => id }.toList.sorted
+      st.copy(env = (v, st.width) :: st.env, width = st.width + 1,
+        rows = for (r <- st.rows; id <- ids) yield r :+ id)
+
+    case RCreateEdge(sv, _, rl, tv, _) =>
+      val (cs, ct) = (st.colOf(sv), st.colOf(tv))
+      st.copy(edges = st.edges ++ st.rows.map(r => (r(cs), rl, r(ct))))
+
+    case RMatchEdge(sv, _, rl, tv, _) =>
+      val (cs, ct) = (st.colOf(sv), st.colOf(tv))
+      st.copy(rows = st.rows.filter(r => st.edges((r(cs), rl, r(ct)))))
+
+    case RDeleteNode(v, _) =>
+      val cols = st.env.collect { case (`v`, c) => c }.toSet
+      val doomed = st.rows.map(r => r(cols.head)).toSet
+      val keptIdx = (0 until st.width).filterNot(cols).toVector
+      val remap = keptIdx.zipWithIndex.toMap
+      st.copy(
+        nodes = st.nodes -- doomed,
+        edges = st.edges.filterNot { case (s, _, t) => doomed(s) || doomed(t) },
+        env = st.env.collect { case (w, c) if w != v && remap.contains(c) => (w, remap(c)) },
+        width = keptIdx.size,
+        rows = st.rows.map(r => keptIdx.map(r)))
+
+    case RDeleteEdge(sv, _, rl, tv, _) =>
+      val (cs, ct) = (st.colOf(sv), st.colOf(tv))
+      st.copy(edges = st.edges -- st.rows.map(r => (r(cs), rl, r(ct))))
+
+    case RReturn(vs) =>
+      // env in vs order (the engine's RReturn rebuilds env as the return
+      // list, and its final projection walks env in list order)
+      val cols = vs.map(st.colOf)
+      st.copy(env = vs.zipWithIndex, width = vs.size,
+        rows = st.rows.map(r => cols.map(r).toVector))
+
+    case RWhere(te) =>
+      st.copy(rows = st.rows.filter(r => eval(st, r, te) == BoolV(true)))
+
+    case RSet(v, _, f, _, te) =>
+      val c = st.colOf(v)
+      val perNode = st.rows.groupBy(r => r(c)).map { case (id, rs) =>
+        id -> rs.map(r => eval(st, r, te)).reduce(valueMax)
+      }
+      st.copy(nodes = st.nodes ++ perNode.map { case (id, value) =>
+        id -> st.nodes(id).copy(attrs = st.nodes(id).attrs.updated(f, value))
+      })
+  }
+
+  /** Same ordering Spark's max() uses per type (values are same-typed
+    * by the type checker). */
+  private def valueMax(a: Value, b: Value): Value = (a, b) match {
+    case (IntV(x), IntV(y))       => IntV(math.max(x, y))
+    case (StringV(x), StringV(y)) => if (x >= y) a else b
+    case (BoolV(x), BoolV(y))     => BoolV(x || y)
+    case _                        => throw new IllegalStateException("mixed-type set values")
+  }
+
+  private def eval(st: St, row: Vector[Long], te: TExpr): Value = te match {
+    case TConst(v) => v
+    case TAttr(v, _, f, _) =>
+      st.nodes(row(st.colOf(v))).attrs.getOrElse(f,
+        throw new IllegalStateException(s"attribute $f not set for $v"))
+    case TBin(op, l, r, _) =>
+      (eval(st, row, l), eval(st, row, r)) match {
+        case (IntV(a), IntV(b)) => op match {
+          case BAadd => IntV(a + b)
+          case BAsub => IntV(a - b)
+          case BAmul => IntV(a * b)
+          case BAdiv => IntV(a / b) // truncating, like OCaml and Spark `div`
+          case BAmod => IntV(a % b) // dividend sign, like OCaml and Spark `%`
+          case BCeq => BoolV(a == b); case BCne => BoolV(a != b)
+          case BCge => BoolV(a >= b); case BCgt => BoolV(a > b)
+          case BCle => BoolV(a <= b); case BClt => BoolV(a < b)
+          case _ => throw new IllegalStateException(s"bad int op $op")
+        }
+        case (StringV(a), StringV(b)) => op match {
+          case BCeq => BoolV(a == b); case BCne => BoolV(a != b)
+          case _ => throw new IllegalStateException(s"bad string op $op")
+        }
+        case (BoolV(a), BoolV(b)) => op match {
+          case BLand => BoolV(a && b); case BLor => BoolV(a || b)
+          case BCeq => BoolV(a == b); case BCne => BoolV(a != b)
+          case _ => throw new IllegalStateException(s"bad bool op $op")
+        }
+        case other => throw new IllegalStateException(s"type error at runtime: $other")
+      }
+  }
+
+  private object VecOrd extends Ordering[Vector[Long]] {
+    def compare(a: Vector[Long], b: Vector[Long]): Int = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val c = java.lang.Long.compare(a(i), b(i))
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+  }
+}
