@@ -33,8 +33,9 @@ class DifferentialSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(seed)
     val sb = new StringBuilder(header)
     var env = List.empty[(String, String)] // (var, label), latest first
-    def bound(lbl: String) = env.filter(_._2 == lbl).map(_._1)
     def latest(v: String) = env.collectFirst { case (`v`, l) => l }
+    // latest bindings only: a rebound variable's old label is shadowed
+    def bound(lbl: String) = env.map(_._1).distinct.filter(v => latest(v).contains(lbl))
     var n = 0
     def freshOrReuse(): String =
       if (env.nonEmpty && rnd.nextInt(4) == 0) env(rnd.nextInt(env.size))._1
