@@ -3,17 +3,25 @@ package graft
 import org.apache.spark.sql.SparkSession
 import graft.engine.{Engine, PropertyGraph}
 
-/** Batch CLI mirroring the reference driver
-  * (/root/reference/graphDB/bin/main.ml:5-13, lib/interf.ml:61-68):
-  * `runMain graft.Cli f <file.q>` parses, typechecks, executes, and prints
-  * the resulting graph and binding table in canonical order (nodes by id,
-  * edges by (src,label,dst), binding rows lexicographically — the
-  * reference's list order is an implementation detail, SURVEY.md §5.2).
+/** CLI mirroring the reference driver
+  * (/root/reference/graphDB/bin/main.ml:5-13, lib/interf.ml:38-71):
+  *
+  *   - `f <file.q> [--tex out.tex] [--dot out.dot]` — parse, typecheck,
+  *     execute; print the graph and binding table in canonical order
+  *     (nodes by id, edges by (src,label,dst), rows lexicographically —
+  *     the reference's list order is an implementation detail, SURVEY.md
+  *     §5.2), and optionally emit the reference's two render sinks
+  *     (LaTeX table / Graphviz dot, interf.ml:67-68 via Display).
+  *   - `i` — interactive: read a program from stdin, print its NORMALIZED
+  *     instruction list. Like the reference REPL (interf.ml:50-56), this
+  *     mode neither typechecks nor executes.
+  *   - no args — help (interf.ml:71).
   */
 object Cli {
   def main(args: Array[String]): Unit = args.toList match {
-    case "f" :: file :: Nil =>
+    case "f" :: file :: rest =>
       val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)))
+      val opts = rest.sliding(2, 2).collect { case List(k, v) => k -> v }.toMap
       val spark = SparkSession.builder()
         .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
         .appName("graft-cli")
@@ -25,9 +33,25 @@ object Cli {
       try {
         val r = Engine.runSource(spark, src)
         print(render(r))
+        opts.get("--tex").foreach { p =>
+          val (h, rows) = Display.collectTable(r)
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(p), Display.tableTex(h, rows))
+          println(s"wrote $p")
+        }
+        opts.get("--dot").foreach { p =>
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(p), Display.graphDot(r))
+          println(s"wrote $p")
+        }
       } finally spark.stop()
+    case "i" :: Nil =>
+      print(">> ")
+      val src = scala.io.Source.stdin.mkString
+      val norm = graft.lang.Normalize.normalize(graft.lang.Parser.parse(src))
+      norm.instrs.foreach(i => println(s"  $i"))
     case _ =>
-      System.err.println("usage: graft.Cli f <file.q>")
+      System.err.println(
+        """usage: graft.Cli f <file.q> [--tex out.tex] [--dot out.dot]
+          |       graft.Cli i        (read program from stdin, print normalized IR)""".stripMargin)
       sys.exit(2)
   }
 
