@@ -75,6 +75,20 @@ object EventOps {
              |       count(DISTINCT user_id) AS n_users
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // ---- JSON property extraction (semi-structured payloads) ----------
+    // props is a JSON object column; extraction stays a codegen'd scalar
+    // (get_json_object), no UDF — at scale this is a scan-speed projection.
+    Q("p_events_json",
+      (s, dir) => events(s, dir)
+        .withColumn("k", expr("cast(get_json_object(props, '$.k') as bigint)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k")),
+      Some("""SELECT event_type, count(*) AS n,
+             |       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+             |       count(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_distinct_k
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // ---- sketch: approximate distinct users per type ------------------
     // HyperLogLog++ — engine-specific sketch, so no SQL oracle (driver
     // records a rows-only check); the exactness bound is covered by

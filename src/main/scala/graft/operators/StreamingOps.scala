@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming surface. Each operator here runs a REAL streaming
   * query — `readStream` file source over the events parquet, windowed /
@@ -57,6 +57,37 @@ object StreamingOps {
       Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
              |       count(*) AS n
              |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ---- custom state: per-user sequence numbers ----------------------
+    // flatMapGroupsWithState with a running per-user counter: each
+    // micro-batch sorts its group's events by (ts, event_id), numbers
+    // them from the carried state, and updates it. With the finite
+    // corpus this reproduces an exact ROW_NUMBER — which is the oracle —
+    // while exercising the real arbitrary-state API (the 100 TB shape
+    // for CDC ordering, per-key rate limiting, online feature updates).
+    Q("p_stream_user_seq",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val typed = stream(s, dir)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsl"))
+          .as[(Long, Long, Long)]
+        val seqd = typed
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+            (user: Long, evs: Iterator[(Long, Long, Long)], state: GroupState[Long]) => {
+              val base = state.getOption.getOrElse(0L)
+              val ordered = evs.toSeq.sortBy(e => (e._3, e._2))
+              state.update(base + ordered.size)
+              ordered.iterator.zipWithIndex.map { case ((_, eid, _), i) =>
+                (user, eid, base + i + 1)
+              }
+            })
+        runToTable(seqd.toDF("user_id", "event_id", "seq"), "append")
+      },
+      Some("""SELECT user_id, event_id,
+             |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+             |FROM events""".stripMargin)),
 
     // ---- stateless streaming ETL: filter + project + route ------------
     Q("p_stream_errors",
