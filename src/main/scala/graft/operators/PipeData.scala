@@ -67,16 +67,19 @@ private[operators] object PipeData {
     * norm. Quantization makes every downstream dot product an exact
     * integer — reproducible across engines, partitionings, and summation
     * orders, which raw float32 accumulation is not. */
-  def quantized(s: SparkSession, dir: String): DataFrame =
+  def quantized(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000, 0) as bigint))")
           .as("q"))
-      .withColumn("nrm", expr("aggregate(q, 0L, (a, x) -> a + x * x)"))
+      .withColumn("nrm", expr("array_dot_long(q, q)"))
+  }
 
-  /** Exact cosine between two quantized vectors: integer dot, one double
-    * division — the expression shape is mirrored verbatim in the oracles. */
+  /** Exact cosine between two quantized vectors: integer dot (native
+    * codegen'd expression — see graft.functions.ArrayDotLong), one double
+    * division with the identical expression shape in the oracles. */
   def cosine(qa: String, na: String, qb: String, nb: String) = expr(
-    s"cast(aggregate(zip_with($qa, $qb, (x, y) -> x * y), 0L, (a, x) -> a + x) as double)" +
+    s"cast(array_dot_long($qa, $qb) as double)" +
       s" / (sqrt(cast($na as double)) * sqrt(cast($nb as double)))")
 }
