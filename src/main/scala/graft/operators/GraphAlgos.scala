@@ -111,7 +111,12 @@ object GraphAlgos {
     Q("g_connected_components",
       (s, dir) => {
         val e = allEdges(s, dir)
+        // Pre-partition the (large, loop-invariant) edge frame by the
+        // join key ONCE — the checkpoint preserves its partitioning, so
+        // each superstep's join only shuffles the (small) labels side
+        // instead of re-shuffling 2×|E| rows twelve times.
         val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+          .repartition(col("src"))
           .localCheckpoint(true)
         var labels = allNodes(s, dir).select(col("id"), col("id").as("comp"))
         for (i <- 1 to ccIters) {
@@ -127,9 +132,13 @@ object GraphAlgos {
     // ---- PageRank: 8 fixed-point power iterations ---------------------
     Q("g_pagerank",
       (s, dir) => {
-        val e = allEdges(s, dir).localCheckpoint(true)
+        // Same loop-invariant pre-partitioning as g_connected_components;
+        // outdeg is derived from the partitioned frame, so the aggregate
+        // is shuffle-free and stays co-partitioned for the per-step join.
+        val e = allEdges(s, dir).repartition(col("src")).localCheckpoint(true)
         val nodes = allNodes(s, dir).localCheckpoint(true)
         val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+          .localCheckpoint(true)
         var ranks = nodes.select(col("id"), lit(1000000000L).as("rank"))
         for (i <- 1 to prIters) {
           val contribs = e
