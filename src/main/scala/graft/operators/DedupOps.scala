@@ -238,23 +238,27 @@ object DedupOps {
               |SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= $jaccardTau""".stripMargin)),
   )
 
-  /** 64-bit SimHash per document as a bitstring column. */
+  /** 64-bit SimHash per document as a bitstring column.
+    *
+    * One explode (word occurrences — each occurrence votes, identical to
+    * count-weighted voting) and ONE groupBy with 64 codegen'd conditional
+    * sums, the bit position constants baked per aggregate — no 64× row
+    * explosion, no interpreted lambdas, single shuffle with map-side
+    * partial aggregation. The oracle keeps the equivalent per-(doc,word,
+    * count) formulation. */
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     val feats = words(s, dir)
       .select(col("doc_id"), explode(col("ws")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-    val bits = feats
-      .select(col("doc_id"), col("cnt"), md5(col("w")).as("h"),
-        explode(expr("sequence(0, 63)")).as("j"))
-      .withColumn("digit", expr("instr('0123456789abcdef', substring(h, 1 + (j div 4), 1)) - 1"))
-      .withColumn("bit", expr(
-        "(digit div (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2"))
-      .groupBy("doc_id", "j")
-      .agg(sum(col("cnt") * (col("bit") * 2 - 1)).as("tally"))
-      .withColumn("c", when(col("tally") > 0, "1").otherwise("0"))
-    bits.groupBy("doc_id")
-      .agg(array_join(expr("transform(array_sort(collect_list(struct(j, c))), x -> x.c)"), "")
-        .as("simhash"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+    val tallies = (0 until 64).map { j =>
+      val digit = s"(instr('0123456789abcdef', substring(h, ${1 + j / 4}, 1)) - 1)"
+      val shift = Seq(8, 4, 2, 1)(j % 4)
+      sum(expr(s"2 * (($digit div $shift) % 2) - 1")).as(s"t$j")
+    }
+    feats.groupBy("doc_id").agg(tallies.head, tallies.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until 64).map(j => when(col(s"t$j") > 0, "1").otherwise("0")): _*)
+          .as("simhash"))
   }
 
   /** DuckDB CTE chain computing the same fingerprint, shared by both
