@@ -53,23 +53,26 @@ object GraphAlgos {
 
   // ---- shared oracle SQL fragments (mirror GraphLoader's id scheme) ----
 
-  private val edgeSql: String =
-    """SELECT c_custkey + 4000000000 AS src, c_nationkey + 2000000000 AS dst FROM customer
-      |UNION ALL SELECT s_suppkey + 3000000000, s_nationkey + 2000000000 FROM supplier
-      |UNION ALL SELECT n_nationkey + 2000000000, n_regionkey + 1000000000 FROM nation
-      |UNION ALL SELECT o_orderkey + 6000000000, o_custkey + 4000000000 FROM orders
-      |UNION ALL SELECT 10000000000 + l_orderkey * 8 + l_linenumber, l_orderkey + 6000000000 FROM lineitem
-      |UNION ALL SELECT 10000000000 + l_orderkey * 8 + l_linenumber, l_partkey + 5000000000 FROM lineitem
-      |UNION ALL SELECT 10000000000 + l_orderkey * 8 + l_linenumber, l_suppkey + 3000000000 FROM lineitem""".stripMargin
+  private def liSql: String =
+    s"SELECT *, ${graft.sources.GraphLoader.lineIdSql} AS lid FROM lineitem"
 
-  private val nodeSql: String =
-    """SELECT r_regionkey + 1000000000 AS id FROM region
-      |UNION ALL SELECT n_nationkey + 2000000000 FROM nation
-      |UNION ALL SELECT s_suppkey + 3000000000 FROM supplier
-      |UNION ALL SELECT c_custkey + 4000000000 FROM customer
-      |UNION ALL SELECT p_partkey + 5000000000 FROM part
-      |UNION ALL SELECT o_orderkey + 6000000000 FROM orders
-      |UNION ALL SELECT 10000000000 + l_orderkey * 8 + l_linenumber FROM lineitem""".stripMargin
+  private lazy val edgeSql: String =
+    s"""SELECT c_custkey + 4000000000 AS src, c_nationkey + 2000000000 AS dst FROM customer
+       |UNION ALL SELECT s_suppkey + 3000000000, s_nationkey + 2000000000 FROM supplier
+       |UNION ALL SELECT n_nationkey + 2000000000, n_regionkey + 1000000000 FROM nation
+       |UNION ALL SELECT o_orderkey + 6000000000, o_custkey + 4000000000 FROM orders
+       |UNION ALL SELECT lid, l_orderkey + 6000000000 FROM ($liSql)
+       |UNION ALL SELECT lid, l_partkey + 5000000000 FROM ($liSql)
+       |UNION ALL SELECT lid, l_suppkey + 3000000000 FROM ($liSql)""".stripMargin
+
+  private lazy val nodeSql: String =
+    s"""SELECT r_regionkey + 1000000000 AS id FROM region
+       |UNION ALL SELECT n_nationkey + 2000000000 FROM nation
+       |UNION ALL SELECT s_suppkey + 3000000000 FROM supplier
+       |UNION ALL SELECT c_custkey + 4000000000 FROM customer
+       |UNION ALL SELECT p_partkey + 5000000000 FROM part
+       |UNION ALL SELECT o_orderkey + 6000000000 FROM orders
+       |UNION ALL SELECT lid FROM ($liSql)""".stripMargin
 
   // Every CTE is MATERIALIZED: each step references its predecessor
   // twice, so DuckDB's default inlining would expand the plan 2^iters
@@ -124,12 +127,27 @@ object GraphAlgos {
         val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
           .repartition(col("src"))
           .localCheckpoint(true)
+        // Delta propagation: only labels that DECREASED last round send
+        // messages. Per-round labels are provably identical to full
+        // propagation (a neighbor unchanged since round r already
+        // contributed its value in round r+1, and labels only decrease),
+        // so the unrolled full-propagation oracle still matches — but
+        // message volume collapses once the bulk of the graph settles
+        // (round 1: 2|E|, rounds 5+: near zero). The classic delta-
+        // iteration shape (Flink/Pregel) for LP at cluster scale.
         var labels = allNodes(s, dir).select(col("id"), col("id").as("comp"))
+          .localCheckpoint(true)
+        var changed = labels
         for (i <- 1 to ccIters) {
-          val msgs = ue.join(labels, ue("src") === labels("id"))
-            .select(ue("dst").as("id"), col("comp"))
-          labels = labels.union(msgs).groupBy("id").agg(min("comp").as("comp"))
-          if (i % 4 == 0) labels = labels.localCheckpoint(true)
+          val mins = ue.join(changed, ue("src") === changed("id"))
+            .select(ue("dst").as("id"), col("comp").as("cand"))
+            .groupBy("id").agg(min("cand").as("cand"))
+          val joined = labels.join(mins, Seq("id"), "left").localCheckpoint(true)
+          labels = joined
+            .select(col("id"), least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"))
+            .localCheckpoint(true)
+          changed = joined.filter(col("cand") < col("comp"))
+            .select(col("id"), col("cand").as("comp"))
         }
         labels.groupBy("comp").agg(count(lit(1)).as("n"))
       },

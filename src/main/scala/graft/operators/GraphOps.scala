@@ -168,10 +168,10 @@ object GraphOps {
       edgeFrame(
         "match (s:supplier) where s.nationkey = 3 delete s",
         ("lineitem", "lsupp", "supplier")),
-      Some("""SELECT CAST(l_orderkey * 8 + l_linenumber AS BIGINT) + 10000000000 AS src,
-             |       CAST(l_suppkey AS BIGINT) + 3000000000 AS dst
-             |FROM lineitem
-             |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)""".stripMargin)),
+      Some(s"""WITH li AS (SELECT *, ${GraphLoader.lineIdSql} AS lid FROM lineitem)
+              |SELECT lid AS src, CAST(l_suppkey AS BIGINT) + 3000000000 AS dst
+              |FROM li
+              |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)""".stripMargin)),
 
     // §2.1#6 delete edge
     Q("gql_delete_edge",

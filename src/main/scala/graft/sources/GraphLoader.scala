@@ -34,7 +34,13 @@ object GraphLoader {
   val CustomerBase = 4000000000L
   val PartBase     = 5000000000L
   val OrdersBase   = 6000000000L
-  val LineitemBase = 10000000000L // id = base + orderkey*8 + linenumber
+  // id = base + row_number over the full unique key: the synthetic data
+  // has duplicate (orderkey, linenumber) pairs, so an arithmetic packing
+  // of those two collides. ROW_NUMBER over a total order is engine-
+  // reproducible (the oracle replays it; see lineitemOrder). At cluster
+  // scale the global window is a one-time id-assignment materialization
+  // (GraphStore persists the result), not a per-query cost.
+  val LineitemBase = 10000000000L
   val FreshBase    = 20000000000L // first id handed to `create`
 
   /** Declared graph schema: node attribute types (MiniGQL int/string
@@ -62,6 +68,20 @@ object GraphLoader {
       ("nation", "tagged", "tag"),
     ))
 
+  /** Total order over lineitem's unique composite key — the ROW_NUMBER
+    * basis for lineitem node ids, mirrored verbatim in every oracle that
+    * references them. */
+  val lineitemOrder: Seq[String] = Seq(
+    "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+    "l_quantity", "l_extendedprice", "l_shipdate")
+
+  /** The same order as an ANSI SQL ORDER BY list (for oracles). */
+  val lineitemOrderSql: String = lineitemOrder.mkString(", ")
+
+  /** Lineitem id expression for oracles: `9999999999 + ROW_NUMBER()`. */
+  val lineIdSql: String =
+    s"${LineitemBase - 1} + ROW_NUMBER() OVER (ORDER BY $lineitemOrderSql)"
+
   /** Load the property graph from a testdata directory. Returns the
     * graph plus the first free node id for `create`. */
   def load(spark: SparkSession, dir: String): (PropertyGraph, Long) = {
@@ -73,9 +93,12 @@ object GraphLoader {
     val customer = t("customer")
     val part = t("part")
     val orders = t("orders")
-    val lineitem = t("lineitem")
+    val lineitem = t("lineitem").withColumn("lid",
+      lit(LineitemBase - 1) + row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          lineitemOrder.map(col).toIndexedSeq: _*)))
 
-    val lineId = lit(LineitemBase) + col("l_orderkey") * 8 + col("l_linenumber")
+    val lineId = col("lid")
 
     val nodes = Map(
       "region" -> region.select(
