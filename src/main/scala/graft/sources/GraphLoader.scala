@@ -93,10 +93,16 @@ object GraphLoader {
     val customer = t("customer")
     val part = t("part")
     val orders = t("orders")
+    // Lazily cached: the global-window id assignment would otherwise be
+    // recomputed by every derived frame (4 per load); the cache manager
+    // dedups identical plans, so all loads in a session share ONE
+    // materialization — and queries that never touch lineitem never pay
+    // for it. (At cluster scale: assign ids once, persist via GraphStore.)
     val lineitem = t("lineitem").withColumn("lid",
       lit(LineitemBase - 1) + row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(
           lineitemOrder.map(col).toIndexedSeq: _*)))
+      .cache()
 
     val lineId = col("lid")
 
