@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.sources.GraphLoader
+
+/** In-JVM differential tests for the iterative graph analytics at
+  * sf0.001: recompute connected components (union-find) and fixed-point
+  * PageRank (the identical integer formula) over the collected edge list
+  * and require exact equality — the algorithms are all-integer, so there
+  * is no tolerance. */
+class GraphAlgosSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def collectedEdges(): Seq[(Long, Long)] = {
+    val (g, _) = GraphLoader.load(spark, dir)
+    g.edges.collect { case (key, df) if key._2 != "tagged" => df }
+      .flatMap(_.collect().map(r => (r.getLong(0), r.getLong(1)))).toSeq
+  }
+
+  private def collectedNodes(): Seq[Long] = {
+    val (g, _) = GraphLoader.load(spark, dir)
+    (g.nodes - "tag").values.flatMap(_.select(col("id")).collect().map(_.getLong(0))).toSeq
+  }
+
+  test("node ids are unique across the loaded graph (lineitem row_number fix)") {
+    val ids = collectedNodes()
+    assert(ids.size == ids.distinct.size)
+  }
+
+  test("connected components equals in-memory union-find") {
+    val nodes = collectedNodes()
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    collectedEdges().foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical label = min id of the component (what min-propagation converges to)
+    val expected = nodes.groupBy(find).map { case (_, ns) => ns.min -> ns.size.toLong }
+    val got = SparkEntry.queries("g_connected_components")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("fixed-point PageRank equals the in-memory integer replay") {
+    val nodes = collectedNodes()
+    val edges = collectedEdges()
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var rank = nodes.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to 8) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d) => in(d) += rank(s) / out(s) }
+      rank = nodes.map(n => n -> (150000000L + (85L * in(n)) / 100L)).toMap
+    }
+    val expected = rank.toSeq.sortBy { case (id, r) => (-r, id) }.take(100)
+    val got = SparkEntry.queries("g_pagerank")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+}
