@@ -29,7 +29,7 @@ object GraphOps {
       |(:supplier {name string, nationkey int})
       |(:customer {name string, mktsegment string, nationkey int})
       |(:part {name string, brand string, ptype string, psize int})
-      |(:orders {status string, priority string})
+      |(:orders {status string, priority string, urgent bool})
       |(:lineitem {linenumber int, returnflag string, linestatus string})
       |(:tag {})
       |(:customer) -[:cnation]-> (:nation)
@@ -125,6 +125,18 @@ object GraphOps {
           |return c""".stripMargin),
       Some("""SELECT CAST(c_custkey AS BIGINT) + 4000000000 AS c FROM customer
              |WHERE c_mktsegment = 'BUILDING' AND c_nationkey >= 10""".stripMargin)),
+
+    // §2.2 bool attribute: polymorphic equality on BoolT + conjunction
+    // (the loaded graph's only bool attribute; reference lang.ml:29-33)
+    Q("gql_where_bool",
+      bindings(
+        """match (o:orders) -[:ocust]-> (c:customer)
+          |where o.urgent = true and c.nationkey < 5
+          |return o, c""".stripMargin),
+      Some("""SELECT CAST(o_orderkey AS BIGINT) + 6000000000 AS o,
+             |       CAST(c_custkey AS BIGINT) + 4000000000 AS c
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderpriority = '1-URGENT' AND c_nationkey < 5""".stripMargin)),
 
     // §2.1#7 return: projection with column reorder + drop
     Q("gql_return_reorder",

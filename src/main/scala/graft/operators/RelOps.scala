@@ -246,6 +246,40 @@ object RelOps {
              |  strftime(o_orderdate, '%Y-%m') AS order_ym
              |FROM orders""".stripMargin)),
 
+    // --- percentiles (exact, interpolated on quantized cents) -------------
+    // Quantize to integer cents first: interpolation then runs on exact
+    // identical inputs in both engines (Spark percentile ≡ DuckDB
+    // quantile_cont), so the doubles agree bit-for-bit.
+    Q("q_percentile",
+      (s, dir) => t(s, dir, "orders")
+        .withColumn("cents", expr("cast(round(o_totalprice * 100, 0) as bigint)"))
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(cents, 0.5)").as("median_cents"),
+          expr("percentile(cents, 0.9)").as("p90_cents"),
+          count(lit(1)).as("n")),
+      Some("""SELECT o_orderpriority,
+             |  quantile_cont(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0.5) AS median_cents,
+             |  quantile_cont(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0.9) AS p90_cents,
+             |  COUNT(*) AS n
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // --- lag/lead: consecutive-order deltas per customer -------------------
+    Q("q_window_lag",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("cents", expr("cast(round(o_totalprice * 100, 0) as bigint)"))
+          .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+          .withColumn("delta_cents", col("cents") - col("prev_cents"))
+          .select(col("o_orderkey"), col("o_custkey"), col("prev_cents"), col("delta_cents"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  LAG(cents) OVER w AS prev_cents,
+             |  cents - LAG(cents) OVER w AS delta_cents
+             |FROM (SELECT *, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders)
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
+
     // --- pivot (FILTERed aggregates in the oracle) -------------------------
     Q("q_pivot",
       (s, dir) => t(s, dir, "orders")

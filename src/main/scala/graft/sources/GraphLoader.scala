@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.PropertyGraph
-import graft.lang.{AttribTp, IntT, StringT}
+import graft.lang.{AttribTp, BoolT, IntT, StringT}
 import graft.lang.Typing.Schema
 
 /** Parquet→graph projection: each TPC-H-ish table becomes a node label,
@@ -53,7 +53,7 @@ object GraphLoader {
       "supplier" -> List("name" -> StringT, "nationkey" -> IntT),
       "customer" -> List("name" -> StringT, "mktsegment" -> StringT, "nationkey" -> IntT),
       "part"     -> List("name" -> StringT, "brand" -> StringT, "ptype" -> StringT, "psize" -> IntT),
-      "orders"   -> List("status" -> StringT, "priority" -> StringT),
+      "orders"   -> List("status" -> StringT, "priority" -> StringT, "urgent" -> BoolT),
       "lineitem" -> List("linenumber" -> IntT, "returnflag" -> StringT, "linestatus" -> StringT),
       "tag"      -> List.empty[(String, AttribTp)],
     ),
@@ -133,7 +133,8 @@ object GraphLoader {
       "orders" -> orders.select(
         (col("o_orderkey") + OrdersBase).as("id"),
         col("o_orderstatus").as("status"),
-        col("o_orderpriority").as("priority")),
+        col("o_orderpriority").as("priority"),
+        (col("o_orderpriority") === "1-URGENT").as("urgent")),
       "lineitem" -> lineitem.select(
         lineId.as("id"),
         col("l_linenumber").cast("long").as("linenumber"),
