@@ -58,6 +58,31 @@ object StreamingOps {
              |       count(*) AS n
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // ---- watermarked append-mode windows ------------------------------
+    // The production late-data configuration: a 2h event-time watermark
+    // bounds state, and append mode emits a window only once the
+    // watermark passes its end — so the emitted set is exactly the
+    // windows with end <= max(ts) - 2h, which the oracle computes
+    // directly. (Windows still open at end-of-stream are withheld: in a
+    // real deployment they'd emit as the watermark advances.)
+    Q("p_stream_tumbling_wm",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        runToTable(
+          stream(s, dir)
+            .withWatermark("ts", "2 hours")
+            .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("w.start").as("window_start"), col("event_type"), col("n")),
+          "append")
+      },
+      Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+             |       count(*) AS n
+             |FROM events
+             |GROUP BY 1, 2
+             |HAVING window_start + INTERVAL 1 HOUR <=
+             |       (SELECT max(ts) FROM events) - INTERVAL 2 HOUR""".stripMargin)),
+
     // ---- custom state: per-user sequence numbers ----------------------
     // flatMapGroupsWithState with a running per-user counter: each
     // micro-batch sorts its group's events by (ts, event_id), numbers
