@@ -89,6 +89,28 @@ object EventOps {
              |       count(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_distinct_k
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // ---- as-of join: point-in-time-correct feature attachment ---------
+    // Custom whole-operator plan (graft.plans.AsOfJoin: LogicalPlan +
+    // Strategy + Exec with declared distribution/ordering): each purchase
+    // gets the user's most recent click at-or-before it — no future
+    // leakage. Oracle: DuckDB's native ASOF JOIN. Output pins click_ts
+    // (not click ids) so exact-timestamp ties stay deterministic.
+    Q("p_events_asof",
+      (s, dir) => {
+        val purchases = events(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            unix_micros(col("ts")).as("pt"))
+        val clicks = events(s, dir).filter(col("event_type") === "click")
+          .select(col("user_id").as("cuser"), unix_micros(col("ts")).as("ct"))
+        graft.plans.AsOf.join(purchases, clicks, "user_id", "pt", "cuser", "ct")
+          .select(col("purchase_id"), col("user_id"),
+            timestamp_micros(col("ct")).as("click_ts"))
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id, c.ts AS click_ts
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)),
+
     // ---- sketch: approximate distinct users per type ------------------
     // HyperLogLog++ — engine-specific sketch, so no SQL oracle (driver
     // records a rows-only check); the exactness bound is covered by
