@@ -111,6 +111,33 @@ object EventOps {
              |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
              |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)),
 
+    // ---- binned range join: conversions within a 2h window ------------
+    // The scale pattern for inequality joins: bucket both sides to the
+    // window length, equi-join on (user, bucket) with the probe side
+    // exploded to its two admissible buckets, then verify the exact
+    // range — candidate volume is O(pairs within ±1 bucket), not O(n·m).
+    // (The as-of operator covers "latest before"; this covers "all
+    // within range".) Oracle: the plain inequality join.
+    Q("p_events_rangejoin",
+      (s, dir) => {
+        val win = 7200000000L // 2h in micros (the corpus averages ~2 events/user/day)
+        val v = events(s, dir).filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            unix_micros(col("ts")).as("vt"))
+          .withColumn("b", expr(s"vt div $win"))
+        val p = events(s, dir).filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            unix_micros(col("ts")).as("pt"))
+          .withColumn("b", explode(expr(s"array(pt div $win, pt div $win - 1)")))
+        v.join(p, Seq("user_id", "b"))
+          .filter(col("pt") > col("vt") && col("pt") - col("vt") <= win)
+          .select(col("view_id"), col("purchase_id"))
+      },
+      Some("""SELECT v.event_id AS view_id, p.event_id AS purchase_id
+             |FROM events v JOIN events p ON v.user_id = p.user_id
+             |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+             |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR""".stripMargin)),
+
     // ---- sketch: approximate distinct users per type ------------------
     // HyperLogLog++ — engine-specific sketch, so no SQL oracle (driver
     // records a rows-only check); the exactness bound is covered by
