@@ -156,18 +156,18 @@ object GraphAlgos {
     // ---- PageRank: 8 fixed-point power iterations ---------------------
     Q("g_pagerank",
       (s, dir) => {
-        // Same loop-invariant pre-partitioning as g_connected_components;
-        // outdeg is derived from the partitioned frame, so the aggregate
-        // is shuffle-free and stays co-partitioned for the per-step join.
-        val e = allEdges(s, dir).repartition(col("src")).localCheckpoint(true)
+        // Loop-invariant precomputation, partitioned by the per-step join
+        // key: the edge list FUSED with its out-degree (one static join
+        // instead of one per iteration), materialized once.
+        val e0 = allEdges(s, dir)
+        val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        val ed = e0.join(outdeg, Seq("src"))
+          .repartition(col("src")).localCheckpoint(true)
         val nodes = allNodes(s, dir).localCheckpoint(true)
-        val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
-          .localCheckpoint(true)
         var ranks = nodes.select(col("id"), lit(1000000000L).as("rank"))
         for (i <- 1 to prIters) {
-          val contribs = e
+          val contribs = ed
             .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-            .join(outdeg.withColumnRenamed("id", "src"), Seq("src"))
             .select(col("dst").as("id"), expr("rank div d").as("c"))
             .groupBy("id").agg(sum("c").as("s"))
           ranks = nodes.join(contribs, Seq("id"), "left")

@@ -181,6 +181,20 @@ object RelOps {
              |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // --- cube: all grouping-set combinations + grouping_id ----------------
+    Q("q_cube",
+      (s, dir) => t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("gid")),
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             |       COALESCE(o_orderpriority, 'ALL') AS priority,
+             |       COUNT(*) AS n,
+             |       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+
     // --- having + exact average (int sum / count as double) --------------
     Q("q_having",
       (s, dir) => t(s, dir, "part")
