@@ -86,13 +86,16 @@ object GraftFunctions {
 
   /** Builder for `spark.sql.extensions=graft.functions.GraftExtensions`
     * (cluster deployment path). */
-  def inject(e: SparkSessionExtensions): Unit =
+  def inject(e: SparkSessionExtensions): Unit = {
     fns.foreach { case (id, info, builder) =>
       e.injectFunction((id, info, builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
-/** Entry point for `spark.sql.extensions`. */
+/** Entry point for `spark.sql.extensions`: the engine's native function
+  * (array_dot_long) and planner strategy (as-of join). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = GraftFunctions.inject(e)
 }
