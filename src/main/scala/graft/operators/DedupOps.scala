@@ -84,58 +84,79 @@ object DedupOps {
     // exact Jaccard >= 0.4 confirms. ONE wide shuffle (groupBy doc_id)
     // builds the whole signature; the band join is sub-quadratic.
     Q("p_dedup_minhash_lsh",
+      (s, dir) => minhashPairs(s, dir),
+      Some(minhashOracle + "\nSELECT a, b FROM pairs")),
+
+    // ---- dup clustering + survivor selection --------------------------
+    // The full pipeline stage the dedup family exists for: LSH-verified
+    // pairs -> connected components over the duplicate graph (min-label
+    // propagation, 5 supersteps — dup clusters are short chains) ->
+    // per-cluster survivor by quality score (highest quality wins, doc_id
+    // tie-break: near-identical docs often tie on quality). Output: one
+    // row per clustered document with its cluster id and keep flag.
+    Q("p_dedup_clusters",
       (s, dir) => {
-        // Materialized once: feeds the signature build, sizes, and both
-        // verify join sides (4 subplans).
-        val dsh = shingles(s, dir).localCheckpoint(true)
-        val sig = dsh.groupBy("doc_id").agg(
-          min(md5(concat(lit("0"), lit("|"), col("shingle")))).as("mh0"),
-          (1 until mhSeeds).map(i =>
-            min(md5(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"mh$i")): _*)
-        val bandCols = (0 until mhSeeds / mhRows).map { b =>
-          struct(lit(b).as("band"),
-            md5(concat(col(s"mh${mhRows * b}"), lit(","), col(s"mh${mhRows * b + 1}"))).as("bh"))
+        val pairs = minhashPairs(s, dir).localCheckpoint(true)
+        val und = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+        var labels = pairs.select(col("a").as("doc_id"))
+          .union(pairs.select(col("b").as("doc_id"))).distinct()
+          .select(col("doc_id"), col("doc_id").as("cluster"))
+        for (_ <- 1 to 5) {
+          val msgs = und.join(labels, und("a") === labels("doc_id"))
+            .select(und("b").as("doc_id"), col("cluster"))
+          labels = labels.union(msgs).groupBy("doc_id").agg(min("cluster").as("cluster"))
         }
-        val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
-          .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
-        val cand = bands.select(col("doc_id").as("a"), col("band"), col("bh"))
-          .join(bands.select(col("doc_id").as("b"), col("band"), col("bh")), Seq("band", "bh"))
-          .filter(col("a") < col("b"))
-          .select("a", "b").distinct()
-        val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val da = dsh.select(col("doc_id").as("a"), col("shingle"))
-        val db = dsh.select(col("doc_id").as("b"), col("shingle"))
-        val common = cand.join(da, Seq("a")).join(db, Seq("b", "shingle"))
-          .groupBy("a", "b").agg(count(lit(1)).as("c"))
-        common
-          .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-          .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
-          .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= jaccardTau)
-          .select(col("a"), col("b"))
+        val q = words(s, dir)
+          .withColumn("n_words", size(col("ws")))
+          .withColumn("n_uniq", size(array_distinct(col("ws"))))
+          .withColumn("n_stop", expr("size(filter(ws, w -> w = 'the' OR w = 'a'))"))
+          .select(col("doc_id"), round(
+            expr("""0.4 * (cast(n_uniq as double) / n_words)
+                   |+ 0.3 * least(1.0, cast(n_words as double) / 150)
+                   |+ 0.3 * (cast(n_stop as double) / n_words)""".stripMargin), 6)
+            .as("quality"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster")).orderBy(col("quality").desc, col("doc_id"))
+        labels.join(q, Seq("doc_id"))
+          .withColumn("keep", row_number().over(w) === 1)
+          .select(col("doc_id"), col("cluster"), col("quality"), col("keep"))
       },
-      Some(s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-              |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
-              |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle FROM dd),
-              |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
-              |mh AS (SELECT doc_id, seed,
-              |         min(md5(seed::VARCHAR || '|' || shingle)) AS mh
-              |       FROM dsh, (SELECT unnest(range($mhSeeds)) AS seed)
-              |       GROUP BY doc_id, seed),
-              |bands AS (SELECT doc_id, seed // $mhRows AS band,
-              |            md5(string_agg(mh, ',' ORDER BY seed)) AS bh
-              |          FROM mh GROUP BY doc_id, seed // $mhRows),
-              |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-              |         FROM bands x JOIN bands y
-              |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
-              |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
-              |common AS (SELECT c.a, c.b, count(*) AS cnt FROM cand c
-              |           JOIN dsh da ON da.doc_id = c.a
-              |           JOIN dsh db ON db.doc_id = c.b AND da.shingle = db.shingle
-              |           GROUP BY c.a, c.b)
-              |SELECT common.a, common.b FROM common
-              |JOIN sizes sa ON common.a = sa.doc_id
-              |JOIN sizes sb ON common.b = sb.doc_id
-              |WHERE cnt::DOUBLE / (sa.n + sb.n - cnt) >= $jaccardTau""".stripMargin)),
+      Some(minhashOracle +
+        """,
+          |members AS (SELECT DISTINCT doc_id FROM (
+          |  SELECT a AS doc_id FROM pairs UNION ALL SELECT b FROM pairs)),
+          |und AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+          |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS cluster FROM members),
+          |l1 AS MATERIALIZED (SELECT x.doc_id, min(x.cluster) AS cluster FROM (
+          |  SELECT doc_id, cluster FROM l0
+          |  UNION ALL SELECT und.b, l0.cluster FROM und JOIN l0 ON und.a = l0.doc_id) x
+          |  GROUP BY x.doc_id),
+          |l2 AS MATERIALIZED (SELECT x.doc_id, min(x.cluster) AS cluster FROM (
+          |  SELECT doc_id, cluster FROM l1
+          |  UNION ALL SELECT und.b, l1.cluster FROM und JOIN l1 ON und.a = l1.doc_id) x
+          |  GROUP BY x.doc_id),
+          |l3 AS MATERIALIZED (SELECT x.doc_id, min(x.cluster) AS cluster FROM (
+          |  SELECT doc_id, cluster FROM l2
+          |  UNION ALL SELECT und.b, l2.cluster FROM und JOIN l2 ON und.a = l2.doc_id) x
+          |  GROUP BY x.doc_id),
+          |l4 AS MATERIALIZED (SELECT x.doc_id, min(x.cluster) AS cluster FROM (
+          |  SELECT doc_id, cluster FROM l3
+          |  UNION ALL SELECT und.b, l3.cluster FROM und JOIN l3 ON und.a = l3.doc_id) x
+          |  GROUP BY x.doc_id),
+          |l5 AS MATERIALIZED (SELECT x.doc_id, min(x.cluster) AS cluster FROM (
+          |  SELECT doc_id, cluster FROM l4
+          |  UNION ALL SELECT und.b, l4.cluster FROM und JOIN l4 ON und.a = l4.doc_id) x
+          |  GROUP BY x.doc_id),
+          |qual AS (SELECT doc_id, round(
+          |    0.4 * (len(list_distinct(ws))::DOUBLE / len(ws))
+          |    + 0.3 * least(1.0, len(ws)::DOUBLE / 150)
+          |    + 0.3 * (len(list_filter(ws, w -> w = 'the' OR w = 'a'))::DOUBLE / len(ws)), 6)
+          |    AS quality
+          |  FROM dd)
+          |SELECT l5.doc_id, l5.cluster, qual.quality,
+          |  ROW_NUMBER() OVER (PARTITION BY l5.cluster
+          |                     ORDER BY qual.quality DESC, l5.doc_id) = 1 AS keep
+          |FROM l5 JOIN qual ON l5.doc_id = qual.doc_id""".stripMargin)),
 
     // ---- SimHash: 64-bit weighted fingerprint per document ------------
     // Feature = word with multiplicity; bit j of md5(word) (hex digit
@@ -237,6 +258,66 @@ object DedupOps {
               |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
               |SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= $jaccardTau""".stripMargin)),
   )
+
+  /** MinHash signature -> LSH band candidates -> exact-Jaccard-verified
+    * near-duplicate pairs (a < b). Shared by the pair operator and the
+    * clustering/survivor pipeline. */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // Materialized once: feeds the signature build, sizes, and both
+    // verify join sides (4 subplans).
+    val dsh = shingles(s, dir).localCheckpoint(true)
+    val sig = dsh.groupBy("doc_id").agg(
+      min(md5(concat(lit("0"), lit("|"), col("shingle")))).as("mh0"),
+      (1 until mhSeeds).map(i =>
+        min(md5(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"mh$i")): _*)
+    val bandCols = (0 until mhSeeds / mhRows).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"mh${mhRows * b}"), lit(","), col(s"mh${mhRows * b + 1}"))).as("bh"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    val cand = bands.select(col("doc_id").as("a"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("b"), col("band"), col("bh")), Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val da = dsh.select(col("doc_id").as("a"), col("shingle"))
+    val db = dsh.select(col("doc_id").as("b"), col("shingle"))
+    val common = cand.join(da, Seq("a")).join(db, Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= jaccardTau)
+      .select(col("a"), col("b"))
+  }
+
+  /** DuckDB CTE chain reproducing minhashPairs, ending at `pairs(a, b)`
+    * (no trailing comma — callers append a SELECT or more CTEs). */
+  private lazy val minhashOracle: String =
+    s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle FROM dd),
+       |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |mh AS (SELECT doc_id, seed,
+       |         min(md5(seed::VARCHAR || '|' || shingle)) AS mh
+       |       FROM dsh, (SELECT unnest(range($mhSeeds)) AS seed)
+       |       GROUP BY doc_id, seed),
+       |bands AS (SELECT doc_id, seed // $mhRows AS band,
+       |            md5(string_agg(mh, ',' ORDER BY seed)) AS bh
+       |          FROM mh GROUP BY doc_id, seed // $mhRows),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+       |common AS (SELECT c.a, c.b, count(*) AS cnt FROM cand c
+       |           JOIN dsh da ON da.doc_id = c.a
+       |           JOIN dsh db ON db.doc_id = c.b AND da.shingle = db.shingle
+       |           GROUP BY c.a, c.b),
+       |pairs AS (SELECT common.a, common.b FROM common
+       |          JOIN sizes sa ON common.a = sa.doc_id
+       |          JOIN sizes sb ON common.b = sb.doc_id
+       |          WHERE cnt::DOUBLE / (sa.n + sb.n - cnt) >= $jaccardTau)""".stripMargin
 
   /** 64-bit SimHash per document as a bitstring column.
     *

@@ -153,6 +153,21 @@ class GoldenSpec extends AnyFunSuite {
     assert(rows.map(_(1)).toSet == Set(2L, 3L))
   }
 
+  test("division by zero raises (ANSI mode ≡ reference Division_by_zero)") {
+    val src =
+      """(:N {x int})
+        |create (a:N)
+        |set a.x = 0
+        |match (n:N)
+        |where 10 / n.x > 1
+        |return n
+        |""".stripMargin
+    val ex = intercept[Exception] {
+      Engine.runSource(spark, src).bindings.collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("strict mode: reading an unset attribute raises") {
     val src =
       """(:N {x int})
