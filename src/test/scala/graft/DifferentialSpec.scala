@@ -21,7 +21,7 @@ class DifferentialSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
   private val header =
-    """(:P {x int})
+    """(:P {x int, nm string})
       |(:Q {y int})
       |(:P) -[:r]-> (:Q)
       |(:P) -[:s]-> (:P)
@@ -54,8 +54,12 @@ class DifferentialSpec extends AnyFunSuite {
       }
     }
     def boolExpr(depth: Int): String = {
-      val cmp = pick(Seq("=", "<>", ">=", ">", "<=", "<"))
-      val base = s"${intExpr(1)} $cmp ${intExpr(1)}"
+      val svars = bound("P").map(_ + ".nm")
+      val base =
+        if (svars.nonEmpty && rnd.nextInt(4) == 0)
+          // polymorphic string equality (reference sem.ml:168,173)
+          s"${pick(svars)} ${pick(Seq("=", "<>"))} \"${pick(Seq("alpha", "beta", "gamma"))}\""
+        else s"${intExpr(1)} ${pick(Seq("=", "<>", ">=", ">", "<=", "<"))} ${intExpr(1)}"
       if (depth == 0 || rnd.nextBoolean()) base
       else s"($base ${pick(Seq("and", "or"))} ${boolExpr(depth - 1)})"
     }
@@ -66,7 +70,9 @@ class DifferentialSpec extends AnyFunSuite {
         val lbl = pick(Seq("P", "Q"))
         sb ++= s"create ($v:$lbl)\n"
         env = (v, lbl) :: env
-        sb ++= s"set $v.${if (lbl == "P") "x" else "y"} = ${rnd.nextInt(50)}\n"
+        if (lbl == "P")
+          sb ++= s"set $v.x = ${rnd.nextInt(50)}, $v.nm = \"${pick(Seq("alpha", "beta", "gamma"))}\"\n"
+        else sb ++= s"set $v.y = ${rnd.nextInt(50)}\n"
       case 1 => // match node
         val v = freshOrReuse()
         val lbl = pick(Seq("P", "Q"))
@@ -118,14 +124,18 @@ class DifferentialSpec extends AnyFunSuite {
       val gotNodes = r.graph.nodes(lbl).collect().map { row =>
         val id = row.getLong(0)
         val attrs = tp.schema.nodeAttrs(lbl).zipWithIndex.flatMap { case ((f, _), i) =>
-          if (row.isNullAt(i + 1)) None else Some(f -> row.getLong(i + 1))
+          if (row.isNullAt(i + 1)) None else Some(f -> row.get(i + 1))
         }.toMap
         id -> attrs
       }.toMap
-      val expNodes = expected.nodes.collect { case (id, n) if n.label == lbl =>
-        id -> n.attrs.map { case (f, graft.lang.IntV(i)) => f -> i
-                            case (f, v) => throw new IllegalStateException(s"$f=$v") }
-      }
+      val expNodes: Map[Long, Map[String, Any]] =
+        expected.nodes.collect { case (id, n) if n.label == lbl =>
+          id -> n.attrs.map {
+            case (f, graft.lang.IntV(i))    => f -> (i: Any)
+            case (f, graft.lang.StringV(x)) => f -> (x: Any)
+            case (f, graft.lang.BoolV(b))   => f -> (b: Any)
+          }
+        }
       assert(gotNodes == expNodes, s"nodes($lbl) mismatch\n$src")
     }
     for (key @ (_, rl, _) <- tp.schema.relTypes) {
