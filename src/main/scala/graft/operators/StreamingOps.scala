@@ -25,8 +25,12 @@ object StreamingOps {
     // the single parquet file under a temp dir (a real deployment points
     // this at the landing directory new files arrive in).
     val src = java.nio.file.Paths.get(dir, "events.parquet").toRealPath()
+    // collision-free staging name per source path (hashCode could collide
+    // across scale-factor dirs and silently link the wrong file)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(src.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val staged = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_stream_" + src.hashCode.toHexString)
+      sys.props("java.io.tmpdir"), "graft_stream_" + tag)
     java.nio.file.Files.createDirectories(staged)
     val link = staged.resolve("events.parquet")
     if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, src)
