@@ -82,6 +82,15 @@ object GraphLoader {
   val lineIdSql: String =
     s"${LineitemBase - 1} + ROW_NUMBER() OVER (ORDER BY $lineitemOrderSql)"
 
+  /** Register the graph as session temp views (`node_<label>`,
+    * `edge_<rel>`) so plain `spark.sql` can query the same projection the
+    * engine executes against. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    val (g, _) = load(spark, dir)
+    g.nodes.foreach { case (label, df) => df.createOrReplaceTempView(s"node_$label") }
+    g.edges.foreach { case ((_, rel, _), df) => df.createOrReplaceTempView(s"edge_$rel") }
+  }
+
   /** Load the property graph from a testdata directory. Returns the
     * graph plus the first free node id for `create`. */
   def load(spark: SparkSession, dir: String): (PropertyGraph, Long) = {
