@@ -21,7 +21,12 @@ object Cli {
   def main(args: Array[String]): Unit = args.toList match {
     case "f" :: file :: rest =>
       val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)))
-      val opts = rest.sliding(2, 2).collect { case List(k, v) => k -> v }.toMap
+      val opts = rest.grouped(2).map {
+        case List(k @ ("--tex" | "--dot"), v) => k -> v
+        case bad =>
+          System.err.println(s"bad option: ${bad.mkString(" ")} (expected --tex/--dot <path>)")
+          sys.exit(2)
+      }.toMap
       val spark = SparkSession.builder()
         .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
         .appName("graft-cli")

@@ -29,7 +29,10 @@ import graft.lang.Typing._
   * evaluates on the first row only, sem.ml:372); conflicting per-node `set`
   * values are resolved deterministically by max; `delete` of a shadowed
   * variable drops every column of that name (the reference corrupts its
-  * table there, sem.ml:334-336); `and`/`or` may short-circuit per row and
+  * table there, sem.ml:334-336); `set` through a binding left dangling by
+  * an earlier `delete` of an aliasing variable is a no-op (the join-update
+  * finds no node row), where the reference's List.assoc would crash;
+  * `and`/`or` may short-circuit per row and
   * Catalyst may reorder conjuncts, while the reference evaluates both
   * operands before dispatch (sem.ml:160-161,174-175) — observable only
   * through error effects of a skipped operand (strict-mode unset-attribute

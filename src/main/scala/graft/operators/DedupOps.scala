@@ -29,7 +29,8 @@ object DedupOps {
 
   private val mhSeeds = 16
   private val mhRows = 2 // rows per band -> 8 bands
-  private val jaccardTau = 0.4
+  private val jaccardTau = 0.4 // exact-Jaccard verification threshold
+  private val cosineTau = 0.4  // embedding near-dup threshold (independent knob)
 
   val all: List[Q] = List(
 
@@ -228,10 +229,12 @@ object DedupOps {
       (s, dir) => {
         val sp = s
         import sp.implicits._
+        // cached: evaluated twice (driver collect for the broadcast +
+        // the distributed mapPartitions pass)
         val vecs = quantized(s, dir).select("vec_id", "q", "nrm")
-          .as[(Long, Array[Long], Long)]
+          .as[(Long, Array[Long], Long)].cache()
         val bc = s.sparkContext.broadcast(vecs.collect().sortBy(_._1))
-        val tau = jaccardTau
+        val tau = cosineTau
         vecs.mapPartitions { it =>
           val corpus = bc.value
           it.flatMap { case (a, qa, na) =>
@@ -256,7 +259,7 @@ object DedupOps {
               |        list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i]))::DOUBLE
               |          / (sqrt(a.nrm::DOUBLE) * sqrt(b.nrm::DOUBLE)) AS cos
               |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
-              |SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= $jaccardTau""".stripMargin)),
+              |SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= $cosineTau""".stripMargin)),
   )
 
   /** MinHash signature -> LSH band candidates -> exact-Jaccard-verified

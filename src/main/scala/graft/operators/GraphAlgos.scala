@@ -13,7 +13,7 @@ import graft.sources.GraphLoader
   *     count (measured convergence + margin; see ccIters), every step a
   *     join + min-agg —
   *     integer labels, so results are exact and engine-independent. The
-  *     oracle replays the identical 12 steps as unrolled CTEs.
+  *     oracle replays the identical ccIters steps as unrolled CTEs.
   *   - PageRank: 8 iterations in 1e-9 fixed point — contributions are
   *     `rank div outdeg`, damping is `150000000 + (85 * in_sum) div 100`,
   *     all int64, so every engine computes bit-equal ranks. Dangling mass
@@ -24,7 +24,7 @@ import graft.sources.GraphLoader
   *
   * Scale: label propagation and power iteration are the 1000-executor
   * classics — each superstep is one shuffle keyed by dst; lineage is cut
-  * with a localCheckpoint every few steps (else 12 chained shuffles build
+  * with a localCheckpoint every few steps (else the chained shuffles build
   * an unbounded plan). At 100 TB you'd swap CC for the large-star/
   * small-star algorithm (fewer supersteps on skewed graphs), same join
   * shapes.
@@ -116,14 +116,14 @@ object GraphAlgos {
 
   val all: List[Q] = List(
 
-    // ---- connected components: 12 min-label supersteps ----------------
+    // ---- connected components: delta min-label propagation ------------
     Q("g_connected_components",
       (s, dir) => {
         val e = allEdges(s, dir)
         // Pre-partition the (large, loop-invariant) edge frame by the
         // join key ONCE — the checkpoint preserves its partitioning, so
         // each superstep's join only shuffles the (small) labels side
-        // instead of re-shuffling 2×|E| rows twelve times.
+        // instead of re-shuffling 2×|E| rows every superstep.
         val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
           .repartition(col("src"))
           .localCheckpoint(true)
@@ -133,7 +133,7 @@ object GraphAlgos {
         // contributed its value in round r+1, and labels only decrease),
         // so the unrolled full-propagation oracle still matches — but
         // message volume collapses once the bulk of the graph settles
-        // (round 1: 2|E|, rounds 5+: near zero). The classic delta-
+        // (round 1: 2|E|, later rounds: near zero). The classic delta-
         // iteration shape (Flink/Pregel) for LP at cluster scale.
         var labels = allNodes(s, dir).select(col("id"), col("id").as("comp"))
           .localCheckpoint(true)

@@ -41,8 +41,14 @@ object StreamingOps {
     val name = "sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(name)
+    try q.awaitTermination()
+    finally q.stop()
+    // Freeze the result off the sink and drop the temp view: the memory
+    // sink holds the full result per run and would otherwise accumulate
+    // one copy per invocation for the life of the session.
+    val frozen = s.table(name).localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    frozen
   }
 
   val all: List[Q] = List(

@@ -128,7 +128,9 @@ object TextOps {
         val dsh = shingles(s, dir).withColumn("h", md5(col("shingle")))
         dsh.groupBy("doc_id").agg(
           min(col("h")).as("fp1"),
-          expr("array_sort(collect_set(h))[1]").as("fp2"),
+          // try_element_at: NULL (like the oracle's [2]) for a single-
+          // shingle doc, where ANSI-mode [1] would throw
+          expr("try_element_at(array_sort(collect_set(h)), 2)").as("fp2"),
           count(lit(1)).as("n_shingles"))
       },
       Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -64,12 +64,18 @@ final case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joined = new JoinedRow
       val toUnsafe = UnsafeProjection.create(schema, schema)
-      val rBuf = rIter.buffered
+      // NULL key/time rows never match, like any SQL join predicate —
+      // filter both sides up front instead of letting a null eval coerce
+      // to 0L and silently join the wrong group. (Nulls sort first under
+      // Ascending, so dropping them preserves the merge's sort contract.)
+      def nonNull(keyE: Expression, timeE: Expression)(row: InternalRow): Boolean =
+        keyE.eval(row) != null && timeE.eval(row) != null
+      val rBuf = rIter.filter(nonNull(rk, rt)).buffered
       // best candidate so far for the current key (right rows are reused
       // by the scan, so retain a copy)
       var bestKey = 0L
       var best: InternalRow = null
-      lIter.flatMap { lRow =>
+      lIter.filter(nonNull(lk, lt)).flatMap { lRow =>
         val k = lk.eval(lRow).asInstanceOf[Long]
         val t = lt.eval(lRow).asInstanceOf[Long]
         // drop right rows from earlier key groups

