@@ -43,6 +43,53 @@ object DedupOps {
              |       count(*) AS n_copies
              |FROM documents GROUP BY md5(text)""".stripMargin)),
 
+    // ---- normalized exact dedup: canonicalize before hashing ----------
+    // The production form of exact dedup: case-fold, strip non-alnum,
+    // collapse whitespace — catches trivially-reformatted copies that a
+    // raw byte hash misses. Same scan-speed shape as p_dedup_exact.
+    Q("p_dedup_exact_norm",
+      (s, dir) => docs(s, dir)
+        .withColumn("norm", expr(
+          "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"))
+        .groupBy(md5(col("norm")).as("norm_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+      Some("""SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             |                ' +', ' ', 'g'))) AS norm_hash,
+             |       min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- asymmetric n-gram containment: sub-document duplication ------
+    // containment(a in b) = |A ∩ B| / |A| — catches a document embedded
+    // inside a larger one, which symmetric Jaccard dilutes. Same shingle
+    // inverted index; both directions emitted from one canonical pair.
+    Q("p_dedup_containment",
+      (s, dir) => {
+        val dsh = shingles(s, dir).localCheckpoint(true)
+        val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val x = dsh.select(col("doc_id").as("a"), col("shingle"))
+        val y = dsh.select(col("doc_id").as("b"), col("shingle"))
+        val common = x.join(y, Seq("shingle")).filter(col("a") =!= col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        common
+          .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+          .withColumn("containment", col("c").cast("double") / col("na"))
+          .filter(col("containment") >= 0.8)
+          .select(col("a"), col("b"), round(col("containment"), 3).as("containment"))
+      },
+      Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+             |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle FROM dd),
+             |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+             |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+             |           FROM dsh x JOIN dsh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+             |           GROUP BY 1, 2)
+             |SELECT common.a, common.b,
+             |       round(c::DOUBLE / sa.n, 3) AS containment
+             |FROM common JOIN sizes sa ON common.a = sa.doc_id
+             |WHERE c::DOUBLE / sa.n >= 0.8""".stripMargin)),
+
     // ---- exact n-gram Jaccard over the shingle inverted index ---------
     // Self-join on shingle = candidate pairs share >=1 shingle (exact for
     // J>0); count of shared shingles + per-doc set sizes -> Jaccard.
