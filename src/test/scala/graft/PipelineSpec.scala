@@ -106,6 +106,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats.forall(r => r.getDouble(1) >= 0 && r.getDouble(1) <= 255))
   }
 
+  test("dup clusters: exactly one survivor per cluster, members cover all pairs") {
+    val rows = run("p_dedup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.count(_._3) == 1)
+      // canonical label: the cluster id is one of its members (the min)
+      assert(members.map(_._1).min == members.head._2)
+    }
+    val paired = run("p_dedup_minhash_lsh").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(_._1).toSet == paired)
+  }
+
+  test("containment is a superset relation of symmetric high-Jaccard pairs") {
+    val cont = run("p_dedup_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // J >= 0.8 implies containment >= 0.8 in both directions
+    run("p_dedup_ngram_jaccard").collect()
+      .filter(_.getDouble(2) >= 0.8)
+      .foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        assert(cont((a, b)) && cont((b, a)), s"($a,$b)")
+      }
+  }
+
   test("text stats invariants: 0 < ttr <= 1, n_uniq <= n_words") {
     val rows = run("p_text_stats").collect()
     assert(rows.forall(r => r.getInt(2) <= r.getInt(1)))
