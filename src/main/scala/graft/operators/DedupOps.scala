@@ -65,7 +65,7 @@ object DedupOps {
     // inverted index; both directions emitted from one canonical pair.
     Q("p_dedup_containment",
       (s, dir) => {
-        val dsh = shingles(s, dir).localCheckpoint(true)
+        val dsh = shingles(s, dir).cache()
         val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val x = dsh.select(col("doc_id").as("a"), col("shingle"))
         val y = dsh.select(col("doc_id").as("b"), col("shingle"))
@@ -96,8 +96,10 @@ object DedupOps {
     Q("p_dedup_ngram_jaccard",
       (s, dir) => {
         // The shingle index feeds three subplans (sizes + both join
-        // sides); Catalyst has no cross-join CSE, so materialize it once.
-        val dsh = shingles(s, dir).localCheckpoint(true)
+        // sides) and FIVE different operators rebuild it; cache() (plan-
+        // deduped by the cache manager) shares one materialization
+        // across all of them in a session.
+        val dsh = shingles(s, dir).cache()
         val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val x = dsh.select(col("doc_id").as("a"), col("shingle"))
         val y = dsh.select(col("doc_id").as("b"), col("shingle"))
@@ -221,7 +223,7 @@ object DedupOps {
         // The fingerprint frame is tiny (one 64-char string per doc) but
         // expensive to build (words × 64 bit-tallies); reused by the band
         // explode and both Hamming join sides, so materialize it once.
-        val fp = simhash(s, dir).localCheckpoint(true)
+        val fp = simhash(s, dir).cache()
         val bands = fp.select(col("doc_id"), explode(expr(
           "transform(sequence(0, 3), b -> named_struct('band', b, 'key', substring(simhash, 1 + b * 16, 16)))"))
           .as("e")).select(col("doc_id"), col("e.band").as("band"), col("e.key").as("key"))
@@ -313,9 +315,10 @@ object DedupOps {
     * near-duplicate pairs (a < b). Shared by the pair operator and the
     * clustering/survivor pipeline. */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // Materialized once: feeds the signature build, sizes, and both
-    // verify join sides (4 subplans).
-    val dsh = shingles(s, dir).localCheckpoint(true)
+    // Cached (plan-deduped): feeds the signature build, sizes, and both
+    // verify join sides (4 subplans) — and the same index as the other
+    // shingle-based operators.
+    val dsh = shingles(s, dir).cache()
     val sig = dsh.groupBy("doc_id").agg(
       min(md5(concat(lit("0"), lit("|"), col("shingle")))).as("mh0"),
       (1 until mhSeeds).map(i =>

@@ -125,7 +125,7 @@ object TextOps {
     // fp1 — a cheap pre-cluster key for the dedup family.
     Q("p_text_fingerprint",
       (s, dir) => {
-        val dsh = shingles(s, dir).withColumn("h", md5(col("shingle")))
+        val dsh = shingles(s, dir).cache().withColumn("h", md5(col("shingle")))
         dsh.groupBy("doc_id").agg(
           min(col("h")).as("fp1"),
           // try_element_at: NULL (like the oracle's [2]) for a single-
