@@ -138,6 +138,42 @@ object EventOps {
              |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
              |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR""".stripMargin)),
 
+    // ---- multi-stage funnel: view -> click -> purchase ----------------
+    // Classic sequential-conversion analytics: per user, the first view,
+    // the first click strictly after it, the first purchase strictly
+    // after that; one conditional-min aggregation pass per stage (no
+    // per-user sorting). Output: per-stage user counts.
+    Q("p_events_funnel",
+      (s, dir) => {
+        val e = events(s, dir)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("t").as("vt"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .filter(col("t") > col("vt"))
+          .groupBy("user_id").agg(min("t").as("ct"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id"))
+          .filter(col("t") > col("ct"))
+          .groupBy("user_id").agg(min("t").as("pt"))
+        v.select(lit(1).as("stage"), lit("view").as("name")).groupBy("stage", "name")
+          .agg(count(lit(1)).as("users"))
+          .unionByName(c.select(lit(2).as("stage"), lit("click").as("name"))
+            .groupBy("stage", "name").agg(count(lit(1)).as("users")))
+          .unionByName(p.select(lit(3).as("stage"), lit("purchase").as("name"))
+            .groupBy("stage", "name").agg(count(lit(1)).as("users")))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+             |           WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e JOIN v USING (user_id)
+             |      WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e JOIN c USING (user_id)
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY e.user_id)
+             |SELECT 1 AS stage, 'view' AS name, count(*) AS users FROM v
+             |UNION ALL SELECT 2, 'click', count(*) FROM c
+             |UNION ALL SELECT 3, 'purchase', count(*) FROM p""".stripMargin)),
+
     // ---- sketch: approximate distinct users per type ------------------
     // HyperLogLog++ — engine-specific sketch, so no SQL oracle (driver
     // records a rows-only check); the exactness bound is covered by

@@ -119,6 +119,27 @@ object TextOps {
               |  + 0.3 * (n_stop::DOUBLE / n_words), 6) AS quality
               |FROM c""".stripMargin)),
 
+    // ---- corpus n-gram frequency: vocab/statistics building -----------
+    // The "build the tokenizer's world" op: global bigram counts with
+    // document frequency. One explode + one shuffle with map-side
+    // partial aggregation; top-k via TakeOrderedAndProject.
+    Q("p_text_ngram_freq",
+      (s, dir) => words(s, dir)
+        .filter(size(col("ws")) >= 2) // Spark sequence(0, n) descends for n<0
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))"))
+          .as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(50),
+      Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+             |         i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM dd)
+             |SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS df
+             |FROM bg GROUP BY bigram
+             |ORDER BY n DESC, bigram LIMIT 50""".stripMargin)),
+
     // ---- document fingerprint: winnowed min-hash sketch ---------------
     // fp1/fp2 = two smallest shingle md5s (a 2-fingerprint winnow);
     // identical docs share both, heavily-overlapping docs usually share
