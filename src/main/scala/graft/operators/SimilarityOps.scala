@@ -59,6 +59,46 @@ object SimilarityOps {
               |           FROM scored)
               |SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= $topK""".stripMargin)),
 
+    // ---- centroid outliers: farthest-from-class-centroid vectors ------
+    // Embedding-quality triage: cosine to the label centroid, 3 lowest
+    // per label. cos(x, mean) == cos(x, sum) — the 1/n cancels — so the
+    // exact int64 sum-vector stands in for the float centroid and the
+    // whole computation stays fixed-point. Sum-vectors come from one
+    // posexplode + groupBy (map-side combined); the per-vector score is
+    // a broadcast join + array_dot_long.
+    Q("p_sim_outliers",
+      (s, dir) => {
+        val e = quantized(s, dir)
+        val sums = e.select(col("label"), posexplode(col("q")).as(Seq("pos", "x")))
+          .groupBy("label", "pos").agg(sum("x").as("sx"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, sx))), p -> p.sx)").as("cq"))
+          .withColumn("cn", expr("array_dot_long(cq, cq)"))
+        val w = Window.partitionBy(col("label"))
+          .orderBy(col("cos"), col("vec_id"))
+        e.join(broadcast(sums), Seq("label"))
+          .withColumn("cos", round(cosine("q", "nrm", "cq", "cn"), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("label"), col("vec_id"), col("rank"), col("cos"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS q
+             |       FROM embeddings),
+             |n AS (SELECT vec_id, label, q, list_sum(list_transform(q, x -> x * x)) AS nrm FROM e),
+             |comp AS (SELECT label, i, CAST(sum(q[i]) AS BIGINT) AS sx
+             |         FROM e, (SELECT unnest(range(1, 65)) AS i) GROUP BY label, i),
+             |cent AS (SELECT label, list(sx ORDER BY i) AS cq FROM comp GROUP BY label),
+             |cn AS (SELECT label, cq, list_sum(list_transform(cq, x -> x * x)) AS cnorm FROM cent),
+             |scored AS (SELECT n.label, n.vec_id,
+             |             round(list_sum(list_transform(range(1, 65), i -> n.q[i] * cn.cq[i]))::DOUBLE
+             |               / (sqrt(n.nrm::DOUBLE) * sqrt(cn.cnorm::DOUBLE)), 6) AS cos
+             |           FROM n JOIN cn ON n.label = cn.label),
+             |ranked AS (SELECT label, vec_id, cos,
+             |             ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos, vec_id) AS rank
+             |           FROM scored)
+             |SELECT label, vec_id, rank, cos FROM ranked WHERE rank <= 3""".stripMargin)),
+
     // ---- sign-LSH bucketed top-k (IVF-style candidate pruning) --------
     Q("p_sim_lsh_bucket",
       (s, dir) => {
