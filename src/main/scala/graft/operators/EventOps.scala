@@ -174,6 +174,29 @@ object EventOps {
              |UNION ALL SELECT 2, 'click', count(*) FROM c
              |UNION ALL SELECT 3, 'purchase', count(*) FROM p""".stripMargin)),
 
+    // ---- cohort retention: day-0 cohorts × day offsets ---------------
+    // Users grouped by first-seen day; distinct actives per (cohort,
+    // day-offset) for the first week. Two aggregations + one join —
+    // the standard retention-matrix shape.
+    Q("p_events_retention",
+      (s, dir) => {
+        val e = events(s, dir)
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        val first = e.groupBy("user_id").agg(min("day").as("cohort"))
+        e.join(first, Seq("user_id"))
+          .withColumn("offset", datediff(col("day"), col("cohort")))
+          .filter(col("offset") <= 7)
+          .groupBy("cohort", "offset")
+          .agg(countDistinct(col("user_id")).as("users"))
+      },
+      Some("""WITH e AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+             |first AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id)
+             |SELECT cohort, date_diff('day', cohort, day) AS "offset",
+             |       count(DISTINCT e.user_id) AS users
+             |FROM e JOIN first ON e.user_id = first.user_id
+             |WHERE date_diff('day', cohort, day) <= 7
+             |GROUP BY 1, 2""".stripMargin)),
+
     // ---- sketch: approximate distinct users per type ------------------
     // HyperLogLog++ — engine-specific sketch, so no SQL oracle (driver
     // records a rows-only check); the exactness bound is covered by
