@@ -156,6 +156,18 @@ object DedupOps {
             .select(und("b").as("doc_id"), col("cluster"))
           labels = labels.union(msgs).groupBy("doc_id").agg(min("cluster").as("cluster"))
         }
+        // Materialize once: the convergence probe below and the survivor
+        // join both consume the 5-superstep plan.
+        labels = labels.localCheckpoint(true)
+        // Convergence assertion (VERDICT r02): one MORE propagation step
+        // must change no label — the oracle replays the same 5 supersteps,
+        // so silent under-convergence would still hash-match. Fail loudly.
+        val extra = und.join(labels, und("a") === labels("doc_id"))
+          .select(und("b").as("doc_id"), col("cluster").as("cand"))
+          .groupBy("doc_id").agg(min("cand").as("cand"))
+          .join(labels, Seq("doc_id"))
+          .filter(col("cand") < col("cluster"))
+        require(extra.isEmpty, "dup clusters not converged after 5 supersteps")
         val q = words(s, dir)
           .withColumn("n_words", size(col("ws")))
           .withColumn("n_uniq", size(array_distinct(col("ws"))))

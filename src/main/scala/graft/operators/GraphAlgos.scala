@@ -149,6 +149,13 @@ object GraphAlgos {
           changed = joined.filter(col("cand") < col("comp"))
             .select(col("id"), col("cand").as("comp"))
         }
+        // Convergence assertion (VERDICT r02): the superstep count is
+        // calibrated with margin, but the oracle replays the SAME count,
+        // so silent under-convergence would pass the hash compare. Fail
+        // loudly instead — one cheap existence probe on the (near-empty
+        // at convergence) delta frame, off the final checkpointed join.
+        require(changed.isEmpty,
+          s"connected components not converged after $ccIters supersteps")
         labels.groupBy("comp").agg(count(lit(1)).as("n"))
       },
       Some(ccOracle)),

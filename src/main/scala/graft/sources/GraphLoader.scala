@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
 import graft.engine.PropertyGraph
 import graft.lang.{AttribTp, BoolT, IntT, StringT}
 import graft.lang.Typing.Schema
@@ -34,12 +35,12 @@ object GraphLoader {
   val CustomerBase = 4000000000L
   val PartBase     = 5000000000L
   val OrdersBase   = 6000000000L
-  // id = base + row_number over the full unique key: the synthetic data
-  // has duplicate (orderkey, linenumber) pairs, so an arithmetic packing
-  // of those two collides. ROW_NUMBER over a total order is engine-
-  // reproducible (the oracle replays it; see lineitemOrder). At cluster
-  // scale the global window is a one-time id-assignment materialization
-  // (GraphStore persists the result), not a per-query cost.
+  // id = base + rank in a total order over the full unique key: the
+  // synthetic data has duplicate (orderkey, linenumber) pairs, so an
+  // arithmetic packing of those two collides. The rank is computed by a
+  // DISTRIBUTED sort + zipWithIndex (never a single-partition window) and
+  // is engine-reproducible: the oracle replays it as ROW_NUMBER over the
+  // same ORDER BY (see lineitemOrder/lineIdSql).
   val LineitemBase = 10000000000L
   val FreshBase    = 20000000000L // first id handed to `create`
 
@@ -102,16 +103,26 @@ object GraphLoader {
     val customer = t("customer")
     val part = t("part")
     val orders = t("orders")
-    // Lazily cached: the global-window id assignment would otherwise be
-    // recomputed by every derived frame (4 per load); the cache manager
-    // dedups identical plans, so all loads in a session share ONE
-    // materialization — and queries that never touch lineitem never pay
-    // for it. (At cluster scale: assign ids once, persist via GraphStore.)
-    val lineitem = t("lineitem").withColumn("lid",
-      lit(LineitemBase - 1) + row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(
-          lineitemOrder.map(col).toIndexedSeq: _*)))
-      .cache()
+    // DISTRIBUTED id assignment (ADVICE/VERDICT r02): a bare
+    // `row_number().over(Window.orderBy(...))` funnels the whole table —
+    // the biggest one — through ONE partition. Instead: a distributed
+    // range-partitioned sort, then zipWithIndex, which numbers rows in
+    // partition order = global sort order. Same ids as ROW_NUMBER (the
+    // oracle replays the identical ORDER BY via lineIdSql), but every
+    // stage is parallel; the only extra cost is zipWithIndex's
+    // per-partition count pass. Cached: all derived frames (1 node +
+    // 3 edge projections per load) share ONE materialization, and the
+    // cache manager dedups identical plans across loads in a session.
+    // (At cluster scale: assign ids once, persist via GraphStore.)
+    val lineitem = {
+      val raw = t("lineitem")
+      val sorted = raw.orderBy(lineitemOrder.map(col).toIndexedSeq: _*)
+      val outSchema = raw.schema.add(StructField("lid", LongType, nullable = false))
+      val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (LineitemBase + i))
+      }
+      spark.createDataFrame(rdd, outSchema).cache()
+    }
 
     val lineId = col("lid")
 

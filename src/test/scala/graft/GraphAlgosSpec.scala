@@ -29,6 +29,9 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(ids.size == ids.distinct.size)
   }
 
+  // Running the query also exercises the in-operator convergence
+  // assertion (GraphAlgos requires the final-superstep delta be empty),
+  // so an under-converged ccIters fails here, not just vs the oracle.
   test("connected components equals in-memory union-find") {
     val nodes = collectedNodes()
     val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)

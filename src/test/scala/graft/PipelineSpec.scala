@@ -26,10 +26,13 @@ class PipelineSpec extends AnyFunSuite {
     val lsh = run("p_dedup_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(lsh.forall { case (a, b) => a < b })
     assert(lsh.distinct.length == lsh.length)
-    // exact-jaccard op uses tau=0.5; every 0.5-pair the exact op finds
-    // must also be found by LSH+verify at 0.4 on this corpus (planted
-    // dups are J>=0.9, far above both thresholds)
+    // Banding (8 bands × 2 rows) catches a J>=0.5 pair with only ~90%
+    // per-pair probability, so asserting subset over ALL exact pairs
+    // would flake on a borderline pair in a regenerated corpus (ADVICE
+    // r02). Restrict to J>=0.9, where the per-pair miss probability is
+    // (1 - 0.81)^8 ≈ 1e-6 — effectively deterministic.
     val exact = run("p_dedup_ngram_jaccard").collect()
+      .filter(_.getDouble(2) >= 0.9)
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.subsetOf(lsh.toSet))
   }
@@ -106,6 +109,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats.forall(r => r.getDouble(1) >= 0 && r.getDouble(1) <= 255))
   }
 
+  // Running the query also exercises the in-operator convergence
+  // assertion (DedupOps requires one extra propagation step change no
+  // label), so an under-converged superstep count fails here loudly.
   test("dup clusters: exactly one survivor per cluster, members cover all pairs") {
     val rows = run("p_dedup_clusters").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
