@@ -12,9 +12,11 @@ import graft.engine.{Engine, PropertyGraph}
   *     the reference's list order is an implementation detail, SURVEY.md
   *     §5.2), and optionally emit the reference's two render sinks
   *     (LaTeX table / Graphviz dot, interf.ml:67-68 via Display).
-  *   - `i` — interactive: read a program from stdin, print its NORMALIZED
-  *     instruction list. Like the reference REPL (interf.ml:50-56), this
-  *     mode neither typechecks nor executes.
+  *   - `i` — interactive read-print LOOP: per iteration, prompt, read one
+  *     program from stdin (delimited by a blank line / `;;` line / EOF),
+  *     print its NORMALIZED instruction list, repeat until EOF. Like the
+  *     reference REPL (interf.ml:50-56), this mode neither typechecks nor
+  *     executes.
   *   - no args — help (interf.ml:71).
   */
 object Cli {
@@ -49,10 +51,31 @@ object Cli {
         }
       } finally spark.stop()
     case "i" :: Nil =>
+      // Read-print LOOP like the reference REPL (interf.ml:50-56): prompt,
+      // parse one program, print its normalized IR, repeat. The reference
+      // delimits programs by terminal EOF (Ctrl-D re-readable in OCaml's
+      // from_channel); the JVM can't re-read stdin past EOF, so programs
+      // are delimited by a blank line or a `;;` line instead (documented
+      // deviation). Like the reference, i-mode neither typechecks nor
+      // executes, and a parse error stops execution (failwith,
+      // interf.ml:46).
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
+      val buf = new StringBuilder
+      var eof = false
       print(">> ")
-      val src = scala.io.Source.stdin.mkString
-      val norm = graft.lang.Normalize.normalize(graft.lang.Parser.parse(src))
-      norm.instrs.foreach(i => println(s"  $i"))
+      Console.out.flush()
+      while (!eof) {
+        val line = in.readLine()
+        val boundary = line == null || line.trim.isEmpty || line.trim == ";;"
+        if (!boundary) buf ++= line + "\n"
+        if (boundary && buf.nonEmpty) {
+          val norm = graft.lang.Normalize.normalize(graft.lang.Parser.parse(buf.result()))
+          norm.instrs.foreach(i => println(s"  $i"))
+          buf.clear()
+          if (line != null) { print(">> "); Console.out.flush() }
+        }
+        if (line == null) eof = true
+      }
     case _ =>
       System.err.println(
         """usage: graft.Cli f <file.q> [--tex out.tex] [--dot out.dot]

@@ -157,12 +157,17 @@ object EventOps {
           .join(c, Seq("user_id"))
           .filter(col("t") > col("ct"))
           .groupBy("user_id").agg(min("t").as("pt"))
-        v.select(lit(1).as("stage"), lit("view").as("name")).groupBy("stage", "name")
-          .agg(count(lit(1)).as("users"))
-          .unionByName(c.select(lit(2).as("stage"), lit("click").as("name"))
-            .groupBy("stage", "name").agg(count(lit(1)).as("users")))
-          .unionByName(p.select(lit(3).as("stage"), lit("purchase").as("name"))
-            .groupBy("stage", "name").agg(count(lit(1)).as("users")))
+        // Global (ungrouped) aggregation per stage: emits a 0-count row
+        // even when a stage is empty, exactly like the oracle's ungrouped
+        // `SELECT 1, 'view', count(*)` — a groupBy on literal columns
+        // would emit NO row for an empty stage and diverge on row count
+        // the first time a corpus has zero conversions (ADVICE r02).
+        def stageCount(df: org.apache.spark.sql.DataFrame, stage: Int, name: String) =
+          df.agg(count(lit(1)).as("users"))
+            .select(lit(stage).as("stage"), lit(name).as("name"), col("users"))
+        stageCount(v, 1, "view")
+          .unionByName(stageCount(c, 2, "click"))
+          .unionByName(stageCount(p, 3, "purchase"))
       },
       Some("""WITH v AS (SELECT user_id, min(ts) AS vt FROM events
              |           WHERE event_type = 'view' GROUP BY user_id),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import scala.jdk.CollectionConverters._
 
 /** Structured Streaming surface. Each operator here runs a REAL streaming
   * query — `readStream` file source over the events parquet, windowed /
@@ -19,22 +20,60 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** Number of time-range files the events source is staged as — and
+    * therefore the number of data micro-batches every streaming op here
+    * processes (maxFilesPerTrigger=1). >1 so stateful operators genuinely
+    * carry GroupState/watermarks ACROSS batches; with a single staged
+    * file the state-carry path never executes (VERDICT r02 item 3). */
+  val stagedFiles = 3
+
+  /** Data micro-batches observed by the most recent [[runToTable]] run —
+    * asserted >= stagedFiles by PipelineSpec. */
+  @volatile var lastRunDataBatches: Int = -1
+
   private def stream(s: SparkSession, dir: String): DataFrame = {
-    val schema = PipeData.eventsRaw(s, dir).schema // also sets nanosAsLong
-    // The file-stream source only accepts directories; stage a symlink to
-    // the single parquet file under a temp dir (a real deployment points
-    // this at the landing directory new files arrive in).
+    val raw = PipeData.eventsRaw(s, dir) // also sets nanosAsLong
+    val schema = raw.schema
     val src = java.nio.file.Paths.get(dir, "events.parquet").toRealPath()
     // collision-free staging name per source path (hashCode could collide
     // across scale-factor dirs and silently link the wrong file)
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(src.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val staged = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_stream_" + tag)
-    java.nio.file.Files.createDirectories(staged)
-    val link = staged.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, src)
-    PipeData.nanosToTs(s.readStream.schema(schema).parquet(staged.toString))
+      sys.props("java.io.tmpdir"), "graft_stream3_" + tag)
+    val marker = staged.resolve("_STAGED")
+    if (!java.nio.file.Files.exists(marker)) {
+      // Stage the events table as `stagedFiles` DISJOINT ts-range files
+      // with ascending modification times: the file source (latestFirst=
+      // false) picks files oldest-first, so batches arrive in event-time
+      // order — the arrival pattern of a real landing directory — and
+      // per-key sequence state must survive batch boundaries for
+      // p_stream_user_seq to match its global ROW_NUMBER oracle.
+      java.nio.file.Files.createDirectories(staged)
+      val bounds = raw.stat.approxQuantile(
+        "ts", (1 until stagedFiles).map(_.toDouble / stagedFiles).toArray, 0.0)
+        .map(_.toLong)
+      val ranges = (Long.MinValue +: bounds).zip(bounds :+ Long.MaxValue)
+      ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
+        val tmp = staged.resolve(s"tmp_$i")
+        raw.filter(col("ts") > lo && col("ts") <= hi)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        val dest = staged.resolve(f"events_$i%02d.parquet")
+        java.nio.file.Files.move(part, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // strictly ascending mod times = deterministic oldest-first order
+        dest.toFile.setLastModified(1000000000000L + i * 60000L)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+      java.nio.file.Files.createFile(marker)
+    }
+    PipeData.nanosToTs(
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged.toString))
   }
 
   private def runToTable(df: DataFrame, mode: String)(implicit s: SparkSession): DataFrame = {
@@ -42,7 +81,10 @@ object StreamingOps {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination()
-    finally q.stop()
+    finally {
+      lastRunDataBatches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+    }
     // Freeze the result off the sink and drop the temp view: the memory
     // sink holds the full result per run and would otherwise accumulate
     // one copy per invocation for the life of the session.

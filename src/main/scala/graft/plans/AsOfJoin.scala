@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** As-of join — the canonical operator Spark's built-ins cannot express
@@ -54,6 +54,16 @@ final case class AsOfJoinExec(
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  // The merge is a per-partition pass over the left child: output rows
+  // stay in the left's partitioning and (key, time) order. Declaring that
+  // (as sort-merge join does) lets a downstream key-partitioned operator
+  // reuse this layout instead of inserting a redundant exchange/sort
+  // (ADVICE r02: UnknownPartitioning forced a re-shuffle).
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lk = BindReferences.bindReference(leftKey, left.output)

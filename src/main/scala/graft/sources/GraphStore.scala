@@ -24,15 +24,27 @@ import graft.lang.{BoolT, IntT, StringT, Normalize, Parser, Typing}
   */
 object GraphStore {
 
+  /** Injective path component encoding: every non-alphanumeric char
+    * (notably `_`, the separator) is percent-encoded, so two distinct
+    * (src,rel,tgt) triples can never map to the same edge directory
+    * (ADVICE r02 — `a_b` + `c` vs `a` + `b_c` would have collided).
+    * MiniGQL identifiers are alnum-only (lexer.mll:81), so for graphs
+    * built through the language this is the identity. */
+  private def enc(s: String): String =
+    s.flatMap(c => if (c.isLetterOrDigit) c.toString else f"%%${c.toInt}%02X")
+
+  private def edgePath(dir: String, s: String, r: String, t: String): String =
+    s"$dir/edges/${enc(s)}_${enc(r)}_${enc(t)}"
+
   def save(g: PropertyGraph, dir: String, partitions: Int = 32): Unit = {
     val header = schemaGql(g.schema)
     g.nodes.foreach { case (label, df) =>
       df.repartition(partitions, col("id")).sortWithinPartitions("id")
-        .write.mode("overwrite").parquet(s"$dir/nodes/$label")
+        .write.mode("overwrite").parquet(s"$dir/nodes/${enc(label)}")
     }
     g.edges.foreach { case ((s, r, t), df) =>
       df.repartition(partitions, col("src")).sortWithinPartitions("src", "dst")
-        .write.mode("overwrite").parquet(s"$dir/edges/${s}_${r}_$t")
+        .write.mode("overwrite").parquet(edgePath(dir, s, r, t))
     }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "schema.gql"), header)
@@ -46,11 +58,11 @@ object GraphStore {
       schema,
       schema.nodeAttrs.keys.map { l =>
         l -> spark.read.schema(PropertyGraph.nodeSchema(schema, l))
-          .parquet(s"$dir/nodes/$l")
+          .parquet(s"$dir/nodes/${enc(l)}")
       }.toMap,
       schema.relTypes.map { case rt @ (s, r, t) =>
         rt -> spark.read.schema(PropertyGraph.edgeSchema)
-          .parquet(s"$dir/edges/${s}_${r}_$t")
+          .parquet(edgePath(dir, s, r, t))
       }.toMap)
   }
 

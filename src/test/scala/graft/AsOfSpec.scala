@@ -44,6 +44,23 @@ class AsOfSpec extends AnyFunSuite {
     assert(run(left, right) == expected(left, right))
   }
 
+  test("declared output partitioning: no exchange between as-of join and a key groupBy") {
+    val sp = spark
+    import sp.implicits._
+    val l = Seq.tabulate(100)(i => (i.toLong, (i % 7).toLong, i.toLong)).toDF("lid", "k", "t")
+    val r = Seq.tabulate(50)(i => (i.toLong, (i % 7).toLong, i.toLong)).toDF("rid", "rk", "rt")
+    val agg = AsOf.join(l, r, "k", "t", "rk", "rt").groupBy("k").count()
+    val plan = agg.queryExecution.executedPlan.toString
+    // the join output is already clustered on k (left.outputPartitioning
+    // is declared), so the downstream groupBy must NOT re-shuffle: the
+    // only exchanges are the two feeding the join's children
+    val joinPos = plan.indexOf("AsOfJoin")
+    val abovePlan = plan.substring(0, joinPos max 0)
+    assert(joinPos >= 0, s"no AsOfJoinExec in:\n$plan")
+    assert(!abovePlan.contains("Exchange"),
+      s"redundant exchange above AsOfJoinExec:\n$plan")
+  }
+
   test("randomized multi-partition agreement with the in-memory replay") {
     val rnd = new scala.util.Random(7)
     // distinct times within a key so the arg-max is unique (the operator

@@ -14,6 +14,28 @@ class ParserSpec extends AnyFunSuite {
   private def whereExpr(src: String): Typing.TExpr =
     Typing.compile(src).instrs.collectFirst { case Typing.RWhere(e) => e }.get
 
+  test("CLI i-mode is a read-print LOOP: two programs in one session (interf.ml:50-56)") {
+    val two =
+      "(:P {x int})\ncreate (a:P)\nreturn a\n" +
+        "\n" + // blank-line program delimiter
+        "(:Q {y int})\ncreate (b:Q)\nset b.y = 3\nreturn b\n"
+    val in = new java.io.ByteArrayInputStream(two.getBytes("UTF-8"))
+    val out = new java.io.ByteArrayOutputStream()
+    val prevIn = System.in
+    try {
+      System.setIn(in)
+      Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+        Cli.main(Array("i"))
+      }
+    } finally System.setIn(prevIn)
+    val printed = out.toString("UTF-8")
+    // one prompt + normalized IR per program, loop continues after the first
+    assert(printed.split(">> ", -1).length >= 3, s"expected 2 prompts in:\n$printed")
+    assert(printed.contains("a") && printed.contains("b"))
+    // second program's instructions really were parsed and printed
+    assert(printed.linesIterator.count(_.trim.nonEmpty) >= 5)
+  }
+
   test("OCaml-style comments are skipped (lexer.mll:23)") {
     val tp = Typing.compile(
       header + "(* a comment (with parens inside) *)\ncreate (a:P) (* trailing *)\nreturn a")

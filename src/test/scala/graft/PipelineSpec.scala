@@ -137,6 +137,40 @@ class PipelineSpec extends AnyFunSuite {
       }
   }
 
+  test("streaming user_seq carries GroupState across >= 3 micro-batches") {
+    val got = run("p_stream_user_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the staged source is 3 ts-range files with maxFilesPerTrigger=1 —
+    // the per-user counter MUST survive batch boundaries to match the
+    // global ROW_NUMBER (VERDICT r02 item 3: with one staged file the
+    // state-carry path never executed)
+    assert(StreamingOps.lastRunDataBatches >= StreamingOps.stagedFiles,
+      s"only ${StreamingOps.lastRunDataBatches} data micro-batches ran")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val want = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .select("user_id", "event_id", "seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("HLL approx distinct users is within 3x the configured 2% rsd of exact") {
+    val approx = run("p_events_approx_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val truth = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == truth.keySet)
+    truth.foreach { case (t, e) =>
+      val a = approx(t)
+      assert(math.abs(a - e) <= math.max(3 * 0.02 * e, 3.0),
+        s"$t: approx $a vs exact $e outside 3x rsd bound")
+    }
+  }
+
   test("text stats invariants: 0 < ttr <= 1, n_uniq <= n_words") {
     val rows = run("p_text_stats").collect()
     assert(rows.forall(r => r.getInt(2) <= r.getInt(1)))
