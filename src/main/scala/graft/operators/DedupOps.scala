@@ -10,8 +10,10 @@ import PipeData._
   *
   *   - exact (hash groupBy) — one shuffle on the content hash;
   *   - exact n-gram Jaccard via a shingle inverted index — no LSH error,
-  *     candidate set bounded by shared shingles (at real scale you add
-  *     prefix filtering / df-cut on the hottest shingles);
+  *     candidate set bounded by shared shingles; the `_dfcut` variant IS
+  *     the scale path: candidate generation joins only on rare shingles
+  *     (df-cut), neutralizing hot-shingle skew, with exact verification
+  *     over the full sets;
   *   - MinHash + LSH banding — the sub-quadratic scale path: 16 hashes,
   *     8 bands × 2 rows (catches J≥0.5 with ~90% per-pair probability,
   *     ~100% at the J≥0.9 the corpus actually contains), candidates
@@ -120,6 +122,72 @@ object DedupOps {
              |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
              |           FROM dsh x JOIN dsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
              |           GROUP BY 1, 2)
+             |SELECT common.a, common.b,
+             |       round(c::DOUBLE / (sa.n + sb.n - c), 3) AS jac
+             |FROM common
+             |JOIN sizes sa ON common.a = sa.doc_id
+             |JOIN sizes sb ON common.b = sb.doc_id
+             |WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5""".stripMargin)),
+
+    // ---- df-cut n-gram Jaccard: the skew-resistant scale variant ------
+    // The shingle self-join above explodes quadratically on the hottest
+    // shingles (boilerplate trigrams shared by thousands of documents) —
+    // the classic skew-killer at corpus scale. Fix: CANDIDATE GENERATION
+    // only joins on "rare" shingles (document frequency <= max(1,
+    // |docs|/100)); exact-Jaccard verification still runs over the FULL
+    // shingle sets, so any surviving pair's score is exact.
+    //
+    // Recall argument: a pair with J >= tau shares >= tau/(1+tau) of its
+    // union — at tau=0.5 a third of all its shingles. Losing the pair
+    // requires EVERY shared shingle to be hot, i.e. the overlap is pure
+    // boilerplate — exactly the precision-killing pairs df-cut exists to
+    // drop (a document that is 100% boilerplate duplicates everything).
+    // Near-dup content shares document-specific trigrams whose df is the
+    // cluster size, far under any sane cut. The oracle replays the same
+    // cut, and the output is provably a subset of p_dedup_ngram_jaccard
+    // (PipelineSpec pins both relations).
+    Q("p_dedup_ngram_jaccard_dfcut",
+      (s, dir) => {
+        val dsh = shingles(s, dir).cache()
+        val nDocs = docs(s, dir).count()
+        val maxDf = math.max(1L, nDocs / 100)
+        val rare = dsh.join(
+          dsh.groupBy("shingle").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= maxDf).select("shingle"),
+          Seq("shingle"))
+        val cand = rare.select(col("doc_id").as("a"), col("shingle"))
+          .join(rare.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val common = cand
+          .join(dsh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
+          .join(dsh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
+          .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        common
+          .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+          .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+          .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+          .filter(col("jac") >= 0.5)
+          .select(col("a"), col("b"), round(col("jac"), 3).as("jac"))
+      },
+      Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+             |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle FROM dd),
+             |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+             |cut AS (SELECT greatest(1, (SELECT count(*) FROM documents) // 100) AS maxdf),
+             |rare AS (SELECT dsh.doc_id, dsh.shingle FROM dsh
+             |         JOIN (SELECT shingle FROM dsh GROUP BY shingle
+             |               HAVING count(*) <= (SELECT maxdf FROM cut)) r
+             |           ON dsh.shingle = r.shingle),
+             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |         FROM rare x JOIN rare y
+             |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+             |common AS (SELECT c.a, c.b, count(*) AS c FROM cand c
+             |           JOIN dsh da ON da.doc_id = c.a
+             |           JOIN dsh db ON db.doc_id = c.b AND da.shingle = db.shingle
+             |           GROUP BY c.a, c.b)
              |SELECT common.a, common.b,
              |       round(c::DOUBLE / (sa.n + sb.n - c), 3) AS jac
              |FROM common

@@ -88,9 +88,12 @@ object MultimodalOps {
 
     // ---- byte-level feature extraction via mapPartitions --------------
     // The pandas-batch-UDF analogue: whole partitions of binary payloads
-    // in, typed feature rows out. No SQL oracle (the driver records a
-    // rows-only check) — the stub "features" are byte statistics a real
-    // decoder would replace with pixel statistics.
+    // in, typed feature rows out. The stub "features" are byte statistics
+    // a real decoder would replace with pixel statistics. The mean is an
+    // EXACT double (integer byte sum / 16 — a power-of-two division is
+    // lossless in IEEE), so the oracle recomputes it bit-identically from
+    // unhexed md5(text) bytes and the entry is fully hash-checked
+    // (VERDICT r02 item 5: was rows-only).
     Q("p_mm_features",
       (s, dir) => {
         val sp = s
@@ -101,13 +104,22 @@ object MultimodalOps {
           .mapPartitions { rows =>
             rows.map { case (id, bytes) =>
               val body = bytes.drop(8)
-              val mean = body.map(b => (b & 0xff).toDouble).sum / body.length
+              val mean = body.map(b => (b & 0xff).toLong).sum.toDouble / body.length
               val maxB = body.map(b => b & 0xff).max
-              (id, math.round(mean * 1000) / 1000.0, maxB, bytes.length)
+              (id, mean, maxB, bytes.length)
             }
           }
           .toDF("doc_id", "mean_byte", "max_byte", "n_bytes")
       },
-      None),
+      Some("""WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+             |b AS (SELECT doc_id, list_transform(range(16), i ->
+             |        (strpos('0123456789abcdef', substr(hx, 1 + i*2, 1)) - 1) * 16
+             |        + (strpos('0123456789abcdef', substr(hx, 2 + i*2, 1)) - 1)) AS bytes
+             |      FROM h)
+             |SELECT doc_id,
+             |       list_sum(bytes)::DOUBLE / 16 AS mean_byte,
+             |       list_max(bytes) AS max_byte,
+             |       24 AS n_bytes
+             |FROM b""".stripMargin)),
   )
 }

@@ -125,6 +125,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSet == paired)
   }
 
+  test("df-cut jaccard is a subset of plain jaccard and retains all high-J pairs") {
+    val plain = run("p_dedup_ngram_jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val cut = run("p_dedup_ngram_jaccard_dfcut").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // candidates are generated from a subset of shingles, verification is
+    // identical -> always a subset with identical scores
+    assert(cut.keySet.subsetOf(plain.keySet))
+    cut.foreach { case (k, j) => assert(plain(k) == j) }
+    // recall precondition on this corpus: planted near-dups (J >= 0.9)
+    // share document-specific rare shingles, so the cut keeps them all
+    plain.filter(_._2 >= 0.9).keySet
+      .foreach(k => assert(cut.contains(k), s"$k lost by df-cut"))
+  }
+
   test("containment is a superset relation of symmetric high-Jaccard pairs") {
     val cont = run("p_dedup_containment").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
