@@ -111,6 +111,29 @@ object EventOps {
              |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
              |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)),
 
+    // ---- forward as-of join: next signal at-or-after event time -------
+    // The mirror of p_events_asof (e.g. "time to next click after each
+    // purchase") — and a demonstration that the custom as-of operator
+    // COMPOSES: forward as-of is backward as-of on negated time axes
+    // (earliest ct >= pt  ==  latest -ct <= -pt), so no second physical
+    // operator is needed. Same O(L+R) merge, same distribution contract.
+    Q("p_events_asof_fwd",
+      (s, dir) => {
+        val purchases = events(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            (-unix_micros(col("ts"))).as("npt"))
+        val clicks = events(s, dir).filter(col("event_type") === "click")
+          .select(col("user_id").as("cuser"), (-unix_micros(col("ts"))).as("nct"))
+        graft.plans.AsOf.join(purchases, clicks, "user_id", "npt", "cuser", "nct")
+          .select(col("purchase_id"), col("user_id"),
+            timestamp_micros(-col("nct")).as("next_click_ts"))
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id, min(c.ts) AS next_click_ts
+             |FROM events p JOIN events c
+             |  ON p.user_id = c.user_id AND c.ts >= p.ts
+             |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+             |GROUP BY 1, 2""".stripMargin)),
+
     // ---- binned range join: conversions within a 2h window ------------
     // The scale pattern for inequality joins: bucket both sides to the
     // window length, equi-join on (user, bucket) with the probe side

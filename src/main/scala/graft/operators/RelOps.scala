@@ -195,6 +195,46 @@ object RelOps {
              |       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
 
+    // --- explicit grouping sets (beyond rollup/cube's fixed lattices) ----
+    Q("q_grouping_sets",
+      (s, dir) => t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec2)).cast("double").as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price")),
+      Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             |       COALESCE(o_orderpriority, 'ALL') AS priority,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)),
+
+    // --- ntile: equi-depth bucketing within partitions --------------------
+    // Quantile-bucket assignment per priority class (PARTITIONED window —
+    // never a global single-partition ORDER BY). Deterministic: ordering
+    // ties broken by o_orderkey.
+    Q("q_ntile",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").cast(dec2), col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("bucket", ntile(4).over(w))
+          .groupBy(col("o_orderpriority").as("priority"), col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            max(col("o_totalprice").cast(dec2)).cast("double").as("max_price"))
+      },
+      Some("""SELECT o_orderpriority AS priority, bucket, COUNT(*) AS n,
+             |       CAST(MAX(tp) AS DOUBLE) AS max_price
+             |FROM (SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS tp,
+             |        NTILE(4) OVER (PARTITION BY o_orderpriority
+             |                       ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS bucket
+             |      FROM orders)
+             |GROUP BY 1, 2""".stripMargin)),
+
     // --- having + exact average (int sum / count as double) --------------
     Q("q_having",
       (s, dir) => t(s, dir, "part")

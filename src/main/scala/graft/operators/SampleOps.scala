@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import PipeData._
+
+/** Corpus-shaping operators: deterministic stratified sampling and
+  * token-budget sequence packing — the two steps between "filtered
+  * corpus" and "training shards" in an LLM data pipeline.
+  *
+  * Both are built to hold at 100 TB:
+  *   - sampling is a pure scan-speed predicate on a content hash — no
+  *     shuffle, no RNG state, reproducible row-for-row on any cluster
+  *     layout (re-runs and backfills keep the exact same sample);
+  *   - packing windows are PARTITIONED by language (each stratum is an
+  *     independent shard stream) so the running sum never funnels the
+  *     corpus through one task the way a global ORDER BY window would.
+  */
+object SampleOps {
+
+  /** Per-language keep-rate numerators out of 16 (the first hex digit of
+    * md5(doc_id) is uniform over 0..15): down-sample the over-represented
+    * languages, keep half of English. */
+  private val rates: Map[String, Int] =
+    Map("en" -> 8, "es" -> 4, "de" -> 4, "fr" -> 2, "zh" -> 2)
+
+  /** Tokens per packed training sequence (8k — a common context length). */
+  private val chunkTokens = 8192L
+
+  val all: List[Q] = List(
+
+    // ---- deterministic stratified sampling -----------------------------
+    // keep iff hexdigit1(md5(doc_id)) < rate(lang). Hash-based (not
+    // rand()): the sample is a FUNCTION of the data, so it is identical
+    // across engines, re-runs, partitionings, and cluster sizes — the
+    // property that makes ablations and backfills reproducible.
+    Q("p_sample_stratified",
+      (s, dir) => {
+        val digit = "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"
+        val rateExpr = rates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+          .mkString("CASE ", " ", " ELSE 0 END")
+        docs(s, dir)
+          .filter(expr(s"($digit) < ($rateExpr)"))
+          .select(col("doc_id"), col("lang"))
+      },
+      Some(s"""SELECT doc_id, lang FROM documents
+              |WHERE (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1)
+              |  < (CASE ${rates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")}
+              |     ELSE 0 END)""".stripMargin)),
+
+    // ---- token-budget packing: docs -> fixed-size training chunks ------
+    // Per language (shard stream), docs in doc_id order are laid head to
+    // tail; a doc's chunk is its START offset div the chunk budget —
+    // the standard "concat then split at 8k" packing, computed as one
+    // partitioned running-sum window (no per-chunk iteration, no global
+    // single-partition window).
+    Q("p_pack_chunks",
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        words(s, dir)
+          .withColumn("n_tokens", size(col("ws")).cast("long"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            expr(s"(cum - n_tokens) div $chunkTokens").as("chunk_id"))
+      },
+      Some(s"""WITH dd AS (SELECT doc_id, lang,
+              |    len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+              |c AS (SELECT doc_id, lang, n_tokens,
+              |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              |                            ROWS UNBOUNDED PRECEDING) AS cum
+              |      FROM dd)
+              |SELECT doc_id, lang, n_tokens,
+              |       CAST((cum - n_tokens) // $chunkTokens AS BIGINT) AS chunk_id
+              |FROM c""".stripMargin)),
+  )
+}

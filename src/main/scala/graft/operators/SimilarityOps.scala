@@ -99,6 +99,44 @@ object SimilarityOps {
              |           FROM scored)
              |SELECT label, vec_id, rank, cos FROM ranked WHERE rank <= 3""".stripMargin)),
 
+    // ---- IVF index build: nearest-centroid assignment ------------------
+    // The inverted-file construction step of a production ANN index: a
+    // small fixed centroid set (here the first 8 vectors — a data-
+    // independent seed; a real build would k-means-iterate the same
+    // assignment+recompute shapes), broadcast to every partition; ONE
+    // pass over the corpus computes each vector's nearest centroid by
+    // exact fixed-point cosine. The output IS the inverted file: search
+    // probes only the query's centroid bucket (p_sim_lsh_bucket shows
+    // the probe-side pattern). At 100 TB: broadcast is K×64 ints, the
+    // pass is map-only — no shuffle except the final tiny window.
+    Q("p_sim_ivf",
+      (s, dir) => {
+        val e = quantized(s, dir)
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("q").as("cq"), col("nrm").as("cn"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("centroid_id"))
+        e.select(col("vec_id"), col("q"), col("nrm"))
+          .crossJoin(broadcast(cents))
+          .withColumn("cos", round(cosine("q", "nrm", "cq", "cn"), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") === 1)
+          .select(col("vec_id"), col("centroid_id"), col("cos"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS q
+             |       FROM embeddings),
+             |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nrm FROM e),
+             |scored AS (SELECT a.vec_id, b.vec_id AS centroid_id,
+             |             round(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i]))::DOUBLE
+             |               / (sqrt(a.nrm::DOUBLE) * sqrt(b.nrm::DOUBLE)), 6) AS cos
+             |           FROM n a JOIN n b ON b.vec_id < 8),
+             |ranked AS (SELECT vec_id, centroid_id, cos,
+             |             ROW_NUMBER() OVER (PARTITION BY vec_id
+             |                                ORDER BY cos DESC, centroid_id) AS rank
+             |           FROM scored)
+             |SELECT vec_id, centroid_id, cos FROM ranked WHERE rank = 1""".stripMargin)),
+
     // ---- sign-LSH bucketed top-k (IVF-style candidate pruning) --------
     Q("p_sim_lsh_bucket",
       (s, dir) => {

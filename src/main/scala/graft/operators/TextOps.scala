@@ -140,6 +140,42 @@ object TextOps {
              |FROM bg GROUP BY bigram
              |ORDER BY n DESC, bigram LIMIT 50""".stripMargin)),
 
+    // ---- tf-idf: top-3 distinguishing terms per document ---------------
+    // The keyword/topic-feature op of a curation pipeline. tf and df are
+    // exact integer counts; idf = ln(N/df) on identical double inputs is
+    // bit-identical IEEE in both engines, so scores hash-match at round 6.
+    // Shapes: one explode + (doc,term) count, a term-keyed df aggregate
+    // joined back (at scale: broadcast — the vocabulary is tiny next to
+    // the corpus), window top-3 per doc.
+    Q("p_text_tfidf",
+      (s, dir) => {
+        val n = docs(s, dir).count()
+        val tf = words(s, dir)
+          .select(col("doc_id"), explode(col("ws")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+        tf.join(df_, Seq("term"))
+          .withColumn("score",
+            round(col("tf") * log(lit(n).cast("double") / col("df")), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("term"), col("rank"), col("score"))
+      },
+      Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |tf AS (SELECT doc_id, unnest(ws) AS term FROM dd),
+             |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+             |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+             |scored AS (SELECT tfc.doc_id, tfc.term,
+             |             round(tf * ln((SELECT count(*) FROM documents)::DOUBLE / df), 6) AS score
+             |           FROM tfc JOIN dfc ON tfc.term = dfc.term),
+             |ranked AS (SELECT doc_id, term, score,
+             |             ROW_NUMBER() OVER (PARTITION BY doc_id
+             |                                ORDER BY score DESC, term) AS rank
+             |           FROM scored)
+             |SELECT doc_id, term, rank, score FROM ranked WHERE rank <= 3""".stripMargin)),
+
     // ---- document fingerprint: winnowed min-hash sketch ---------------
     // fp1/fp2 = two smallest shingle md5s (a 2-fingerprint winnow);
     // identical docs share both, heavily-overlapping docs usually share
