@@ -44,6 +44,11 @@ object GraphLoader {
   val LineitemBase = 10000000000L
   val FreshBase    = 20000000000L // first id handed to `create`
 
+  // lineitem-with-ids frame per (session, dir) — see the memoization
+  // note in load(); TrieMap for lock-free concurrent loads.
+  private val lidFrames =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** Declared graph schema: node attribute types (MiniGQL int/string
     * only) and relation types, including the extension label `tag` used
     * by create/delete test queries. */
@@ -110,11 +115,16 @@ object GraphLoader {
     // partition order = global sort order. Same ids as ROW_NUMBER (the
     // oracle replays the identical ORDER BY via lineIdSql), but every
     // stage is parallel; the only extra cost is zipWithIndex's
-    // per-partition count pass. Cached: all derived frames (1 node +
-    // 3 edge projections per load) share ONE materialization, and the
-    // cache manager dedups identical plans across loads in a session.
+    // per-partition count pass.
+    //
+    // Memoized per (session, dir): the RDD hop produces a NEW plan object
+    // per call, which Spark's cache manager can NOT dedup the way it
+    // dedups identical declarative plans — without memoization every
+    // load() would re-sort and re-number the biggest table. One entry per
+    // scale-factor dir per session; all derived frames (1 node + 3 edge
+    // projections × every query) share the single cached materialization.
     // (At cluster scale: assign ids once, persist via GraphStore.)
-    val lineitem = {
+    val lineitem = lidFrames.getOrElseUpdate((spark, dir), {
       val raw = t("lineitem")
       val sorted = raw.orderBy(lineitemOrder.map(col).toIndexedSeq: _*)
       val outSchema = raw.schema.add(StructField("lid", LongType, nullable = false))
@@ -122,7 +132,7 @@ object GraphLoader {
         Row.fromSeq(r.toSeq :+ (LineitemBase + i))
       }
       spark.createDataFrame(rdd, outSchema).cache()
-    }
+    })
 
     val lineId = col("lid")
 
