@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, GraftShim}
+
+/** Ledger of eager localCheckpoints, so their blocks can be released.
+  *
+  * Iterative operators (connected components, PageRank, dup clustering)
+  * and the engine's mutation pipeline cut lineage with eager
+  * `localCheckpoint(true)` — but Spark never frees those blocks, so a
+  * 9-superstep algorithm pins 18 materialized frames and a 78-query bench
+  * session accumulates hundreds (measured: the same queries run 2-3×
+  * slower at the end of a full bench run than in isolation, from block
+  * eviction churn). Two release points:
+  *
+  *   - operators [[drop]] a checkpoint the moment the next one is
+  *     materialized (nothing derives from it anymore);
+  *   - harnesses (Bench, Verify) [[drain]] whatever is left after fully
+  *     consuming each query's result.
+  *
+  * A dropped localCheckpoint is unrecoverable (no lineage), so `drop` is
+  * only called on frames nothing live references; `drain` only after the
+  * result has been counted/written.
+  */
+object Ckpt {
+  private val live =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Dataset[_]]()
+
+  /** Eager localCheckpoint, tracked for later release. */
+  def eager(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint(eager = true)
+    live.add(c)
+    c
+  }
+
+  /** Release one checkpoint's blocks now. */
+  def drop(ds: Dataset[_]): Unit = {
+    live.remove(ds)
+    GraftShim.unpersistCheckpoint(ds)
+  }
+
+  /** Release every tracked checkpoint (harness hook, between queries). */
+  def drain(): Unit = {
+    live.forEach(GraftShim.unpersistCheckpoint(_))
+    live.clear()
+  }
+}

@@ -212,7 +212,7 @@ object Engine {
         // assignment NOW off the cached parent, cuts its lineage so the
         // parent cache can be released immediately — a plain cache would
         // pin both frames for the life of the session (ADVICE r01).
-        spark.createDataFrame(rdd, outSchema).localCheckpoint(true)
+        graft.Ckpt.eager(spark.createDataFrame(rdd, outSchema))
       }
       bindings.unpersist(false)
       val newNodes = withIds.select(
@@ -307,9 +307,9 @@ object Engine {
       val g = st.graph
       val g2 = key match {
         case Left(lbl) =>
-          g.copy(nodes = g.nodes.updated(lbl, g.nodes(lbl).localCheckpoint(true)))
+          g.copy(nodes = g.nodes.updated(lbl, graft.Ckpt.eager(g.nodes(lbl))))
         case Right(ek) =>
-          g.copy(edges = g.edges.updated(ek, g.edges(ek).localCheckpoint(true)))
+          g.copy(edges = g.edges.updated(ek, graft.Ckpt.eager(g.edges(ek))))
       }
       st.copy(graph = g2, mutationDepth = st.mutationDepth.updated(key, 0))
     } else st.copy(mutationDepth = st.mutationDepth.updated(key, d))

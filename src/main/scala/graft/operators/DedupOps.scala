@@ -214,7 +214,7 @@ object DedupOps {
     // row per clustered document with its cluster id and keep flag.
     Q("p_dedup_clusters",
       (s, dir) => {
-        val pairs = minhashPairs(s, dir).localCheckpoint(true)
+        val pairs = graft.Ckpt.eager(minhashPairs(s, dir))
         val und = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
         var labels = pairs.select(col("a").as("doc_id"))
           .union(pairs.select(col("b").as("doc_id"))).distinct()
@@ -226,7 +226,7 @@ object DedupOps {
         }
         // Materialize once: the convergence probe below and the survivor
         // join both consume the 5-superstep plan.
-        labels = labels.localCheckpoint(true)
+        labels = graft.Ckpt.eager(labels)
         // Convergence assertion (VERDICT r02): one MORE propagation step
         // must change no label — the oracle replays the same 5 supersteps,
         // so silent under-convergence would still hash-match. Fail loudly.

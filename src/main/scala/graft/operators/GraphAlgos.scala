@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.GraphLoader
+import graft.Ckpt
 
 /** Iterative graph analytics over the parquet→graph projection — the
   * GraphX-flavored extension axis of the engine (reference has none;
@@ -124,9 +125,9 @@ object GraphAlgos {
         // join key ONCE — the checkpoint preserves its partitioning, so
         // each superstep's join only shuffles the (small) labels side
         // instead of re-shuffling 2×|E| rows every superstep.
-        val ue = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-          .repartition(col("src"))
-          .localCheckpoint(true)
+        val ue = Ckpt.eager(
+          e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+            .repartition(col("src")))
         // Delta propagation: only labels that DECREASED last round send
         // messages. Per-round labels are provably identical to full
         // propagation (a neighbor unchanged since round r already
@@ -135,20 +136,28 @@ object GraphAlgos {
         // message volume collapses once the bulk of the graph settles
         // (round 1: 2|E|, later rounds: near zero). The classic delta-
         // iteration shape (Flink/Pregel) for LP at cluster scale.
-        var labels = allNodes(s, dir).select(col("id"), col("id").as("comp"))
-          .localCheckpoint(true)
+        //
+        // ONE eager checkpoint per superstep (the joined frame); labels
+        // and the delta are cheap projections over it, and the previous
+        // superstep's checkpoint is released the moment the next one is
+        // materialized — peak storage is 2 label frames, not 2×iters.
+        var prev: DataFrame = Ckpt.eager(
+          allNodes(s, dir).select(col("id"), col("id").as("comp")))
+        var labels = prev
         var changed = labels
         for (i <- 1 to ccIters) {
           val mins = ue.join(changed, ue("src") === changed("id"))
             .select(ue("dst").as("id"), col("comp").as("cand"))
             .groupBy("id").agg(min("cand").as("cand"))
-          val joined = labels.join(mins, Seq("id"), "left").localCheckpoint(true)
+          val joined = Ckpt.eager(labels.join(mins, Seq("id"), "left"))
+          Ckpt.drop(prev)
+          prev = joined
           labels = joined
             .select(col("id"), least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"))
-            .localCheckpoint(true)
           changed = joined.filter(col("cand") < col("comp"))
             .select(col("id"), col("cand").as("comp"))
         }
+        Ckpt.drop(ue)
         // Convergence assertion (VERDICT r02): the superstep count is
         // calibrated with margin, but the oracle replays the SAME count,
         // so silent under-convergence would pass the hash compare. Fail
@@ -165,13 +174,19 @@ object GraphAlgos {
       (s, dir) => {
         // Loop-invariant precomputation, partitioned by the per-step join
         // key: the edge list FUSED with its out-degree (one static join
-        // instead of one per iteration), materialized once.
+        // instead of one per iteration), materialized once. Nodes are
+        // pre-partitioned by id — the checkpoint preserves the
+        // partitioning, so the per-iteration nodes⟕contribs join and the
+        // next round's ed⨝ranks probe both reuse it instead of
+        // re-shuffling the node set every superstep (the only per-step
+        // shuffle left is the contribution aggregation itself — the
+        // irreducible PageRank shuffle).
         val e0 = allEdges(s, dir)
         val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        val ed = e0.join(outdeg, Seq("src"))
-          .repartition(col("src")).localCheckpoint(true)
-        val nodes = allNodes(s, dir).localCheckpoint(true)
+        val ed = Ckpt.eager(e0.join(outdeg, Seq("src")).repartition(col("src")))
+        val nodes = Ckpt.eager(allNodes(s, dir).repartition(col("id")))
         var ranks = nodes.select(col("id"), lit(1000000000L).as("rank"))
+        var prev: DataFrame = null
         for (i <- 1 to prIters) {
           val contribs = ed
             .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
@@ -180,8 +195,20 @@ object GraphAlgos {
           ranks = nodes.join(contribs, Seq("id"), "left")
             .select(col("id"),
               expr("150000000L + (85 * coalesce(s, 0L)) div 100").as("rank"))
-          if (i % 4 == 0) ranks = ranks.localCheckpoint(true)
+          if (i % 4 == 0) {
+            ranks = Ckpt.eager(ranks)
+            if (prev != null) Ckpt.drop(prev)
+            prev = ranks
+          }
         }
+        // Materialize the final ranks if the loop didn't land on a
+        // checkpoint boundary, so the invariant frames can be released.
+        if (prIters % 4 != 0) {
+          ranks = Ckpt.eager(ranks)
+          if (prev != null) Ckpt.drop(prev)
+        }
+        Ckpt.drop(ed)
+        Ckpt.drop(nodes)
         ranks.orderBy(col("rank").desc, col("id")).limit(100)
       },
       Some(prOracle)),
@@ -198,10 +225,17 @@ object GraphAlgos {
         val edgeRdd = allEdges(s, dir).as[(Long, Long)].rdd
           .map { case (a, b) => Edge(a, b, ()) }
         val g = Graph.fromEdges(edgeRdd, defaultValue = ())
-        val pr = g.staticPageRank(prIters).vertices
-        pr.toDF("id", "rank")
-          .orderBy(col("rank").desc, col("id")).limit(20)
-          .select(col("id"), round(col("rank"), 4).as("rank"))
+        val prGraph = g.staticPageRank(prIters)
+        // Freeze the top-k NOW, then release GraphX's internal vertex/edge
+        // caches — staticPageRank leaves its result graph (and the input
+        // graph) persisted, which otherwise lingers for the whole session.
+        val out = Ckpt.eager(
+          prGraph.vertices.toDF("id", "rank")
+            .orderBy(col("rank").desc, col("id")).limit(20)
+            .select(col("id"), round(col("rank"), 4).as("rank")))
+        prGraph.unpersist(blocking = false)
+        g.unpersist(blocking = false)
+        out
       },
       None),
   )

@@ -88,7 +88,7 @@ object StreamingOps {
     // Freeze the result off the sink and drop the temp view: the memory
     // sink holds the full result per run and would otherwise accumulate
     // one copy per invocation for the life of the session.
-    val frozen = s.table(name).localCheckpoint(true)
+    val frozen = graft.Ckpt.eager(s.table(name))
     s.catalog.dropTempView(name)
     frozen
   }
