@@ -35,10 +35,25 @@ object StreamingOps {
     val raw = PipeData.eventsRaw(s, dir) // also sets nanosAsLong
     val schema = raw.schema
     val src = java.nio.file.Paths.get(dir, "events.parquet").toRealPath()
-    // collision-free staging name per source path (hashCode could collide
-    // across scale-factor dirs and silently link the wrong file)
+    // Staging name keyed by source path AND content fingerprint
+    // (mtime+size, recursive for directory-shaped parquet): a
+    // regenerated events.parquet at the same path gets a FRESH staging
+    // dir instead of being served the stale copy forever (ADVICE r03 —
+    // the _STAGED marker is permanent, so a path-only key never
+    // restages). hashCode is avoided because it could collide across
+    // scale-factor dirs and silently link the wrong file.
+    val fingerprint = {
+      val walk = java.nio.file.Files.walk(src)
+      try walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => s"${src.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toSeq.sorted.mkString("\n")
+      finally walk.close()
+    }
     val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(src.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      .digest(s"$src\n$fingerprint".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
     val staged = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_stream3_" + tag)
     val marker = staged.resolve("_STAGED")
@@ -52,15 +67,28 @@ object StreamingOps {
       java.nio.file.Files.createDirectories(staged)
       val bounds = raw.stat.approxQuantile(
         "ts", (1 until stagedFiles).map(_.toDouble / stagedFiles).toArray, 0.0)
-        .map(_.toLong)
+        .map(_.toLong).distinct.sorted
+      // Coinciding quantiles (heavy ts duplication) would yield an EMPTY
+      // range file and fewer data micro-batches than stagedFiles — the
+      // multi-batch state-carry guarantee silently degrades. Fail fast
+      // with a diagnosis instead (ADVICE r03); the events generator emits
+      // near-unique timestamps, so this only fires on a degenerate corpus.
+      require(bounds.length == stagedFiles - 1,
+        s"cannot stage events as $stagedFiles disjoint ts ranges: quantile " +
+          s"bounds collide (${bounds.mkString(",")}) — ts values too heavily " +
+          "duplicated for range-based splits")
       val ranges = (Long.MinValue +: bounds).zip(bounds :+ Long.MaxValue)
       ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
         val tmp = staged.resolve(s"tmp_$i")
         raw.filter(col("ts") > lo && col("ts") <= hi)
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file under $tmp"))
+        val part = {
+          val listing = java.nio.file.Files.list(tmp)
+          try listing.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $tmp"))
+          finally listing.close() // directory-handle leak otherwise (ADVICE r03)
+        }
         val dest = staged.resolve(f"events_$i%02d.parquet")
         java.nio.file.Files.move(part, dest,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)

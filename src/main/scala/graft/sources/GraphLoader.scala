@@ -124,6 +124,10 @@ object GraphLoader {
     // scale-factor dir per session; all derived frames (1 node + 3 edge
     // projections × every query) share the single cached materialization.
     // (At cluster scale: assign ids once, persist via GraphStore.)
+    // Evict entries whose session has been stopped (ADVICE r03): the map
+    // would otherwise pin dead sessions' DataFrames for the JVM's life in
+    // long-lived processes (test suite, REPL) that restart sessions.
+    lidFrames.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     val lineitem = lidFrames.getOrElseUpdate((spark, dir), {
       val raw = t("lineitem")
       val sorted = raw.orderBy(lineitemOrder.map(col).toIndexedSeq: _*)

@@ -24,14 +24,21 @@ import graft.lang.{BoolT, IntT, StringT, Normalize, Parser, Typing}
   */
 object GraphStore {
 
-  /** Injective path component encoding: every non-alphanumeric char
-    * (notably `_`, the separator) is percent-encoded, so two distinct
-    * (src,rel,tgt) triples can never map to the same edge directory
-    * (ADVICE r02 — `a_b` + `c` vs `a` + `b_c` would have collided).
-    * MiniGQL identifiers are alnum-only (lexer.mll:81), so for graphs
+  /** Injective path component encoding: ASCII alnum passes through,
+    * everything else (notably `_`, the separator) is percent-encoded as
+    * UTF-8 bytes — each byte < 256, so always exactly two hex digits,
+    * making the encoding prefix-free and therefore injective (ADVICE
+    * r02/r03: variable-width `%<codepoint>` let `%2028` parse two ways,
+    * and non-ASCII "letters" passed through unencoded). MiniGQL
+    * identifiers are ASCII-alnum-only (lexer.mll:81), so for graphs
     * built through the language this is the identity. */
   private def enc(s: String): String =
-    s.flatMap(c => if (c.isLetterOrDigit) c.toString else f"%%${c.toInt}%02X")
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).flatMap { b =>
+      val c = b.toChar
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9'))
+        c.toString
+      else f"%%${b & 0xFF}%02X"
+    }.mkString
 
   private def edgePath(dir: String, s: String, r: String, t: String): String =
     s"$dir/edges/${enc(s)}_${enc(r)}_${enc(t)}"
