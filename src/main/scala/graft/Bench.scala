@@ -26,9 +26,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Alphabetical execution order: Map iteration order shifts whenever an
+    // operator is added, which silently reassigns one-time warm-up costs
+    // (loader cache fill, codegen, shuffle infra) to DIFFERENT queries
+    // each round and makes per-query numbers incomparable across rounds
+    // (r02→r03 "regressions" were order churn, not code). An explicit
+    // SPARK_GRAFT_ONLY list keeps its given order (dev loop).
     val selected = only match {
       case Some(names) => names.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
-      case None        => SparkEntry.queries.toSeq
+      case None        => SparkEntry.queries.toSeq.sortBy(_._1)
     }
     selected.foreach { case (name, fn) =>
       val samples = (1 to runs).flatMap { _ =>

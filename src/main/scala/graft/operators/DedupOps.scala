@@ -135,7 +135,8 @@ object DedupOps {
     // the classic skew-killer at corpus scale. Fix: CANDIDATE GENERATION
     // only joins on "rare" shingles (document frequency <= max(1,
     // |docs|/100)); exact-Jaccard verification still runs over the FULL
-    // shingle sets, so any surviving pair's score is exact.
+    // shingle sets (see exactJaccard), so any surviving pair's score is
+    // exact.
     //
     // Recall argument: a pair with J >= tau shares >= tau/(1+tau) of its
     // union — at tau=0.5 a third of all its shingles. Losing the pair
@@ -151,25 +152,28 @@ object DedupOps {
         val dsh = shingles(s, dir).cache()
         val nDocs = docs(s, dir).count()
         val maxDf = math.max(1L, nDocs / 100)
-        val rare = dsh.join(
-          dsh.groupBy("shingle").agg(count(lit(1)).as("df"))
-            .filter(col("df") <= maxDf).select("shingle"),
-          Seq("shingle"))
+        // Hot shingles (df > cut) are a SMALL set by construction — at
+        // most total_occurrences/maxDf of them — so the cut is a
+        // broadcast ANTI join (map-side, no shuffle of the index), not a
+        // shuffle join against the near-full "rare" side.
+        val hot = dsh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("shingle")
+        val rare = dsh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        // Count-based candidate pruning: keep pairs sharing >= 2 rare
+        // shingles. Pairs sharing exactly one are overwhelmingly random
+        // collisions (a true tau=0.5 pair shares ~a third of its union's
+        // shingles — see the recall argument above), yet they dominate the
+        // raw pair volume; the groupBy is map-side combined, and the >= 2
+        // cut shrinks the verify stage by an order of magnitude. A true
+        // pair lost here would need ALL its overlap except one rare
+        // shingle to be hot — the same boilerplate-only-overlap class the
+        // df-cut already drops.
         val cand = rare.select(col("doc_id").as("a"), col("shingle"))
           .join(rare.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
           .filter(col("a") < col("b"))
-          .select("a", "b").distinct()
-        val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val common = cand
-          .join(dsh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
-          .join(dsh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
-          .groupBy("a", "b").agg(count(lit(1)).as("c"))
-        common
-          .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-          .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
-          .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
-          .filter(col("jac") >= 0.5)
-          .select(col("a"), col("b"), round(col("jac"), 3).as("jac"))
+          .groupBy("a", "b").agg(count(lit(1)).as("nshared"))
+          .filter(col("nshared") >= 2).select("a", "b")
+        exactJaccard(dsh, cand)
       },
       Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
              |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
@@ -180,9 +184,10 @@ object DedupOps {
              |         JOIN (SELECT shingle FROM dsh GROUP BY shingle
              |               HAVING count(*) <= (SELECT maxdf FROM cut)) r
              |           ON dsh.shingle = r.shingle),
-             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
              |         FROM rare x JOIN rare y
-             |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+             |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             |         GROUP BY 1, 2 HAVING count(*) >= 2),
              |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
              |common AS (SELECT c.a, c.b, count(*) AS c FROM cand c
              |           JOIN dsh da ON da.doc_id = c.a
@@ -413,16 +418,31 @@ object DedupOps {
       .join(bands.select(col("doc_id").as("b"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val da = dsh.select(col("doc_id").as("a"), col("shingle"))
-    val db = dsh.select(col("doc_id").as("b"), col("shingle"))
-    val common = cand.join(da, Seq("a")).join(db, Seq("b", "shingle"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
-      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= jaccardTau)
-      .select(col("a"), col("b"))
+    exactJaccard(dsh, cand, jaccardTau).select("a", "b")
+  }
+
+  /** Exact-Jaccard verification over candidate pairs.
+    *
+    * Shape: aggregate the shingle index into one SET-ARRAY per document
+    * (a ~100-element array — documents are bounded, so this is always
+    * small per row), join each candidate pair to its two arrays, and
+    * intersect inside the row (`array_intersect`, codegen'd). Compared
+    * with re-joining the pair list against the full inverted index twice
+    * and re-counting matches, this replaces two index-scale shuffles with
+    * one doc-scale aggregation + two joins against a doc-count-sized frame
+    * (AQE broadcasts it at test scale; at corpus scale it's an equi-join
+    * on doc id, still linear). |A∩B| via set arrays is identical to the
+    * join-count the oracles compute — dsh is distinct by construction. */
+  private def exactJaccard(dsh: DataFrame, cand: DataFrame, tau: Double = 0.5): DataFrame = {
+    val sets = dsh.groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("sh"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sa"), col("n").as("na")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("sb"), col("n").as("nb")), Seq("b"))
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= tau)
+      .select(col("a"), col("b"), round(col("jac"), 3).as("jac"))
   }
 
   /** DuckDB CTE chain reproducing minhashPairs, ending at `pairs(a, b)`

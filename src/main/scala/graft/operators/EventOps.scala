@@ -134,6 +134,31 @@ object EventOps {
              |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
              |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- as-of join with tolerance: bounded-staleness features --------
+    // The production as-of variant: a feature older than the tolerance
+    // (1h) must NOT be attached (stale features are worse than missing
+    // ones). As-of already selects the LATEST click <= purchase time, so
+    // the tolerance is a post-filter on the matched gap — the custom
+    // operator composes, no third physical plan needed. Oracle: DuckDB
+    // ASOF JOIN + the same gap predicate.
+    Q("p_events_asof_tol",
+      (s, dir) => {
+        val purchases = events(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            unix_micros(col("ts")).as("pt"))
+        val clicks = events(s, dir).filter(col("event_type") === "click")
+          .select(col("user_id").as("cuser"), unix_micros(col("ts")).as("ct"))
+        graft.plans.AsOf.join(purchases, clicks, "user_id", "pt", "cuser", "ct")
+          .filter(col("pt") - col("ct") <= 3600L * 1000000L)
+          .select(col("purchase_id"), col("user_id"),
+            timestamp_micros(col("ct")).as("click_ts"))
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id, c.ts AS click_ts
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |WHERE p.ts - c.ts <= INTERVAL 1 HOUR""".stripMargin)),
+
     // ---- binned range join: conversions within a 2h window ------------
     // The scale pattern for inequality joins: bucket both sides to the
     // window length, equi-join on (user, bucket) with the probe side

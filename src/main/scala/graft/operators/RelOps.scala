@@ -346,5 +346,65 @@ object RelOps {
              |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
              |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // --- salted two-phase aggregation (hot-key skew pattern) --------------
+    // l_returnflag has 3 values — at cluster scale a plain groupBy lands
+    // each entire key on ONE reducer. The salted form shards each key 16
+    // ways on an unrelated column's hash, partially aggregates, then
+    // reduces the 3×16 partials: the heavy shuffle is uniform, the hot
+    // shuffle is 48 rows. (Spark's map-side combine already blunts this
+    // for algebraic aggs; the explicit two-phase shape is what you reach
+    // for when combine isn't enough — many distinct map keys per
+    // partition, or positional/holistic aggregates.) Results are
+    // identical to the plain groupBy — which IS the oracle.
+    Q("q_skew_salted",
+      (s, dir) => {
+        val partial = t(s, dir, "lineitem")
+          .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+          .groupBy(col("l_returnflag"), col("salt"))
+          .agg(sum(col("l_quantity").cast(dec2)).as("q"), count(lit(1)).as("n"))
+        partial.groupBy(col("l_returnflag"))
+          .agg(sum(col("q")).cast("double").as("sum_qty"), sum(col("n")).as("n_rows"))
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // --- ordered string aggregation (listagg) -----------------------------
+    // Deterministic across partitionings: collect_list order is runtime-
+    // dependent, so the list is sorted IN the row before concatenation.
+    Q("q_string_agg",
+      (s, dir) => t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(concat_ws(",", sort_array(collect_list(col("s_name")))).as("suppliers"),
+          count(lit(1)).as("n")),
+      Some("""SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+             |       count(*) AS n
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin)),
+
+    // --- correlated NOT EXISTS (Catalyst subquery decorrelation) ----------
+    // Declared as a genuine correlated subquery through the SQL front end;
+    // Catalyst decorrelates it to a left-anti hash join (RewritePredicate-
+    // Subquery) — the plan a hand-written anti-join would produce, from
+    // the declarative form.
+    Q("q_exists_correlated",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("v_customer")
+        t(s, dir, "orders").createOrReplaceTempView("v_orders")
+        s.sql("""SELECT c_custkey, c_name FROM v_customer c
+                |WHERE c_mktsegment = 'BUILDING' AND NOT EXISTS (
+                |  SELECT 1 FROM v_orders o
+                |  WHERE o.o_custkey = c.c_custkey
+                |    AND o.o_orderpriority = '1-URGENT')""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE c_mktsegment = 'BUILDING' AND NOT EXISTS (
+             |  SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey
+             |    AND o.o_orderpriority = '1-URGENT')""".stripMargin)),
   )
 }

@@ -73,5 +73,28 @@ object SampleOps {
               |SELECT doc_id, lang, n_tokens,
               |       CAST((cum - n_tokens) // $chunkTokens AS BIGINT) AS chunk_id
               |FROM c""".stripMargin)),
+
+    // ---- deterministic train/val/test split ----------------------------
+    // Same hash-as-function-of-data discipline as the sampler: the split
+    // is stable under re-runs, engine changes, and corpus growth (a doc's
+    // assignment never changes when other docs are added — the property
+    // that keeps eval sets uncontaminated across dataset versions).
+    // 14/16 train, 1/16 val, 1/16 test on the SECOND md5 hex digit
+    // (independent of the sampler's first-digit decision, so sampling and
+    // splitting compose without correlation).
+    Q("p_sample_split",
+      (s, dir) => {
+        val digit = "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1"
+        docs(s, dir)
+          .withColumn("split", expr(
+            s"CASE WHEN ($digit) < 14 THEN 'train' WHEN ($digit) < 15 THEN 'val' ELSE 'test' END"))
+          .select(col("doc_id"), col("lang"), col("split"))
+      },
+      Some("""SELECT doc_id, lang,
+             |  CASE WHEN (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1) < 14
+             |       THEN 'train'
+             |       WHEN (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1) < 15
+             |       THEN 'val' ELSE 'test' END AS split
+             |FROM documents""".stripMargin)),
   )
 }

@@ -137,6 +137,80 @@ object SimilarityOps {
              |           FROM scored)
              |SELECT vec_id, centroid_id, cos FROM ranked WHERE rank = 1""".stripMargin)),
 
+    // ---- IVF probe search: nprobe=2 over the inverted file ------------
+    // The search half of p_sim_ivf: each query scores the (broadcast)
+    // centroid table, probes its 2 nearest centroids' inverted lists, and
+    // exact-scores only those candidates — the full IVF query path
+    // (assign is the index build, probes×lists is the candidate fetch,
+    // cosine+top-k is the re-rank). At 100 TB the only shuffle is the
+    // probe→list equi-join on centroid id; candidate volume is
+    // corpus/K×nprobe per query instead of the brute-force corpus scan.
+    Q("p_sim_ivf_search",
+      (s, dir) => {
+        val e = quantized(s, dir)
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("q").as("cq"), col("nrm").as("cn"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("centroid_id"))
+        val assign = e.select(col("vec_id"), col("q"), col("nrm"))
+          .crossJoin(broadcast(cents))
+          .withColumn("cos", round(cosine("q", "nrm", "cq", "cn"), 6))
+          .withColumn("rank", row_number().over(wAssign))
+          .filter(col("rank") === 1)
+          .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("centroid_id"))
+        val probes = e.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nrm").as("na"))
+          .crossJoin(broadcast(cents))
+          .withColumn("cos", round(cosine("qa", "na", "cq", "cn"), 6))
+          .withColumn("rank", row_number().over(wProbe))
+          .filter(col("rank") <= 2)
+          .select(col("query_id"), col("centroid_id"), col("qa"), col("na"))
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        probes.join(assign, Seq("centroid_id"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .join(e.select(col("vec_id").as("neighbor_id"),
+            col("q").as("qb"), col("nrm").as("nb")), Seq("neighbor_id"))
+          .withColumn("cos", round(cosine("qa", "na", "qb", "nb"), 6))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= topK)
+          .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS q
+              |       FROM embeddings),
+              |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nrm FROM e),
+              |cents AS (SELECT vec_id AS centroid_id, q AS cq, nrm AS cn FROM n WHERE vec_id < 8),
+              |ascore AS (SELECT n.vec_id, c.centroid_id,
+              |             round(list_sum(list_transform(range(1, len(n.q) + 1), i -> n.q[i] * c.cq[i]))::DOUBLE
+              |               / (sqrt(n.nrm::DOUBLE) * sqrt(c.cn::DOUBLE)), 6) AS cos
+              |           FROM n, cents c),
+              |assign AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+              |             SELECT vec_id, centroid_id,
+              |               ROW_NUMBER() OVER (PARTITION BY vec_id
+              |                                  ORDER BY cos DESC, centroid_id) AS rnk
+              |             FROM ascore) WHERE rnk = 1),
+              |probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+              |             SELECT vec_id, centroid_id,
+              |               ROW_NUMBER() OVER (PARTITION BY vec_id
+              |                                  ORDER BY cos DESC, centroid_id) AS rnk
+              |             FROM ascore WHERE vec_id < $nQueries) WHERE rnk <= 2),
+              |scored AS (SELECT p.query_id, a.neighbor_id,
+              |             round(list_sum(list_transform(range(1, len(nq.q) + 1), i -> nq.q[i] * nb.q[i]))::DOUBLE
+              |               / (sqrt(nq.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) AS cos
+              |           FROM probes p
+              |           JOIN assign a ON p.centroid_id = a.centroid_id
+              |           JOIN n nq ON nq.vec_id = p.query_id
+              |           JOIN n nb ON nb.vec_id = a.neighbor_id
+              |           WHERE a.neighbor_id <> p.query_id),
+              |ranked AS (SELECT query_id, neighbor_id, cos,
+              |             ROW_NUMBER() OVER (PARTITION BY query_id
+              |                                ORDER BY cos DESC, neighbor_id) AS rank
+              |           FROM scored)
+              |SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= $topK""".stripMargin)),
+
     // ---- sign-LSH bucketed top-k (IVF-style candidate pruning) --------
     Q("p_sim_lsh_bucket",
       (s, dir) => {

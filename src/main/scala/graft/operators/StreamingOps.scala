@@ -65,8 +65,12 @@ object StreamingOps {
       // per-key sequence state must survive batch boundaries for
       // p_stream_user_seq to match its global ROW_NUMBER oracle.
       java.nio.file.Files.createDirectories(staged)
+      // relativeError 0.001 = one-pass sketch instead of the exact
+      // multi-pass computation; ANY distinct bounds give valid disjoint
+      // ranges (exactness of the split points is irrelevant — the
+      // require below only guards distinctness).
       val bounds = raw.stat.approxQuantile(
-        "ts", (1 until stagedFiles).map(_.toDouble / stagedFiles).toArray, 0.0)
+        "ts", (1 until stagedFiles).map(_.toDouble / stagedFiles).toArray, 0.001)
         .map(_.toLong).distinct.sorted
       // Coinciding quantiles (heavy ts duplication) would yield an EMPTY
       // range file and fewer data micro-batches than stagedFiles — the
@@ -193,6 +197,87 @@ object StreamingOps {
       Some("""SELECT user_id, event_id,
              |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
              |FROM events""".stripMargin)),
+
+    // ---- streaming dedup: first sighting per (user, hour) -------------
+    // The streaming half of exact dedup: dropDuplicates keyed on
+    // (user_id, hour) with the hour column watermarked, so seen-key state
+    // is EVICTED once the watermark passes it — the unbounded-stream
+    // requirement (un-watermarked dedup state grows forever). The staged
+    // files arrive in ascending ts ranges, so no row is ever late against
+    // the 2h delay and every distinct pair is emitted exactly once —
+    // which is the oracle.
+    Q("p_stream_dedup",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        runToTable(
+          stream(s, dir)
+            .withColumn("hr", date_trunc("hour", col("ts")))
+            .withWatermark("hr", "2 hours")
+            .dropDuplicates("user_id", "hr")
+            .select(col("user_id"), col("hr")),
+          "append")
+      },
+      Some("""SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr
+             |FROM events""".stripMargin)),
+
+    // ---- stream-static join: enrich a stream with a batch profile -----
+    // The canonical enrichment shape: the stream side stays unbounded,
+    // the static side is a batch frame (here per-user historical click
+    // counts) re-planned per micro-batch and broadcast by AQE — no state,
+    // no watermark needed for an inner stream-static equi-join.
+    Q("p_stream_join",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val profile = PipeData.events(s, dir)
+          .filter(col("event_type") === "click")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_clicks"))
+        runToTable(
+          stream(s, dir)
+            .filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"))
+            .join(profile, Seq("user_id")),
+          "append")
+      },
+      Some("""SELECT e.user_id, e.event_id, c.n_clicks
+             |FROM events e
+             |JOIN (SELECT user_id, count(*) AS n_clicks FROM events
+             |      WHERE event_type = 'click' GROUP BY user_id) c
+             |  USING (user_id)
+             |WHERE e.event_type = 'purchase'""".stripMargin)),
+
+    // ---- streaming sessionization: watermarked session windows --------
+    // session_window in append mode: a session is emitted once the
+    // watermark passes its end (last event + 30min gap); state for merged
+    // sessions is bounded by the watermark. Emitted set = sessions whose
+    // end <= max(ts) - 2h, which the oracle computes with the batch
+    // gaps-and-islands form + the closed-session filter (sessions still
+    // open at end-of-stream are withheld, as in p_stream_tumbling_wm).
+    Q("p_stream_sessions",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        runToTable(
+          stream(s, dir)
+            .withWatermark("ts", "2 hours")
+            .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+            .agg(count(lit(1)).as("n_events"))
+            .select(col("user_id"), col("w.start").as("session_start"),
+              col("n_events")),
+          "append")
+      },
+      Some("""WITH x AS (SELECT user_id, ts,
+             |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |            >= INTERVAL 30 MINUTE
+             |       OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |       THEN 1 ELSE 0 END AS new_s
+             |  FROM events),
+             |y AS (SELECT user_id, ts,
+             |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                         ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM x)
+             |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+             |FROM y GROUP BY user_id, sid
+             |HAVING max(ts) + INTERVAL 30 MINUTE <=
+             |       (SELECT max(ts) FROM events) - INTERVAL 2 HOUR""".stripMargin)),
 
     // ---- stateless streaming ETL: filter + project + route ------------
     Q("p_stream_errors",
