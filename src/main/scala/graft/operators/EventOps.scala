@@ -75,6 +75,25 @@ object EventOps {
              |       count(DISTINCT user_id) AS n_users
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // ---- sliding distinct: 7-day active users per day -----------------
+    // Sliding COUNT(DISTINCT) doesn't decompose into partial aggregates
+    // the way sums do, so the scale shape is explode-to-slides: each
+    // event contributes its user to the 7 window-end days it covers, then
+    // one exact distinct per day. 7× row amplification buys an
+    // embarrassingly parallel groupBy (vs. a per-day range self-join);
+    // the sketch alternative when exactness can be traded is
+    // p_events_approx_users' HLL merged over days.
+    Q("p_events_wau",
+      (s, dir) => events(s, dir)
+        .select(col("user_id"), expr("explode(sequence(0, 6))").as("k"), col("ts"))
+        .select(col("user_id"),
+          expr("date_trunc('DAY', ts) + make_interval(0, 0, 0, k)").as("day"))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau")),
+      Some("""SELECT date_trunc('day', ts) + k * INTERVAL 1 DAY AS day,
+             |       count(DISTINCT user_id) AS wau
+             |FROM events, (SELECT unnest(range(7)) AS k)
+             |GROUP BY 1""".stripMargin)),
+
     // ---- JSON property extraction (semi-structured payloads) ----------
     // props is a JSON object column; extraction stays a codegen'd scalar
     // (get_json_object), no UDF — at scale this is a scan-speed projection.

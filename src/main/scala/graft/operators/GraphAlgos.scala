@@ -145,7 +145,19 @@ object GraphAlgos {
           allNodes(s, dir).select(col("id"), col("id").as("comp")))
         var labels = prev
         var changed = labels
-        for (i <- 1 to ccIters) {
+        // Early exit on convergence: the delta-emptiness probe is a cheap
+        // scan of the superstep's already-materialized checkpoint, and
+        // once the delta is empty every further superstep is a no-op over
+        // the full |V| frame — running them only burns |V|-scale joins and
+        // checkpoints. The fixed-count oracle still matches: supersteps
+        // past the fixed point cannot change labels. ccIters is the
+        // BOUND; if the loop exhausts it unconverged, fail loudly (the
+        // oracle replays the same count, so silent under-convergence
+        // would hash-match — VERDICT r02).
+        var converged = false
+        var step = 0
+        while (step < ccIters && !converged) {
+          step += 1
           val mins = ue.join(changed, ue("src") === changed("id"))
             .select(ue("dst").as("id"), col("comp").as("cand"))
             .groupBy("id").agg(min("cand").as("cand"))
@@ -156,14 +168,10 @@ object GraphAlgos {
             .select(col("id"), least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"))
           changed = joined.filter(col("cand") < col("comp"))
             .select(col("id"), col("cand").as("comp"))
+          converged = changed.isEmpty
         }
         Ckpt.drop(ue)
-        // Convergence assertion (VERDICT r02): the superstep count is
-        // calibrated with margin, but the oracle replays the SAME count,
-        // so silent under-convergence would pass the hash compare. Fail
-        // loudly instead — one cheap existence probe on the (near-empty
-        // at convergence) delta frame, off the final checkpointed join.
-        require(changed.isEmpty,
+        require(converged,
           s"connected components not converged after $ccIters supersteps")
         labels.groupBy("comp").agg(count(lit(1)).as("n"))
       },
@@ -212,6 +220,20 @@ object GraphAlgos {
         ranks.orderBy(col("rank").desc, col("id")).limit(100)
       },
       Some(prOracle)),
+
+    // ---- degree distribution: the graph-shape diagnostic ---------------
+    // Two cheap shuffles (degree per node, then histogram) — the first
+    // thing you compute on an unknown 100 TB graph, because it tells you
+    // whether the skew handling (salting, hub splitting) is needed at
+    // all. Out-degree only; nodes with no outgoing edge don't appear
+    // (region/part/tag rows — consistent with the oracle's GROUP BY).
+    Q("g_degree_dist",
+      (s, dir) => allEdges(s, dir)
+        .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes")),
+      Some(s"""WITH e AS ($edgeSql),
+              |d AS (SELECT src, count(*) AS degree FROM e GROUP BY src)
+              |SELECT degree, count(*) AS n_nodes FROM d GROUP BY degree""".stripMargin)),
 
     // ---- GraphX integration: staticPageRank over the same edges -------
     // GraphX does its own double-precision math (not cross-engine

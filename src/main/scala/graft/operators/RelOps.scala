@@ -347,6 +347,42 @@ object RelOps {
              |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
+    // --- RANGE-frame window: peers aggregate together ---------------------
+    // RANGE UNBOUNDED PRECEDING..CURRENT ROW includes ALL rows tied on the
+    // order key — deterministic under any partitioning without a unique
+    // tie-break column (a ROWS frame on a non-unique key would not be).
+    Q("q_window_range",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .withColumn("cents", expr("cast(round(o_totalprice * 100, 0) as bigint)"))
+          .withColumn("run_cents", sum(col("cents")).over(w))
+          .select(col("o_orderkey"), col("o_custkey"), col("run_cents"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+             |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+             |FROM orders""".stripMargin)),
+
+    // --- first_value / last_value over a full-partition frame -------------
+    Q("q_first_last",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          first(col("o_orderdate")).over(w).as("first_date"),
+          last(col("o_orderdate")).over(w).as("last_date"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  first_value(o_orderdate) OVER w AS first_date,
+             |  last_value(o_orderdate) OVER w AS last_date
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)),
+
     // --- salted two-phase aggregation (hot-key skew pattern) --------------
     // l_returnflag has 3 values — at cluster scale a plain groupBy lands
     // each entire key on ONE reducer. The salted form shards each key 16

@@ -16,6 +16,14 @@ class PipelineSpec extends AnyFunSuite {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, dir)
 
+  /** Events table with the nanos ts decoded to TimestampType (PipeData is
+    * private to the operators package; this mirrors its reader). */
+  private def events = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   test("dedup_exact partitions the corpus: n_copies sums to |documents|") {
     val total = spark.read.parquet(s"$dir/documents.parquet").count()
     val agg = run("p_dedup_exact").agg(sum("n_copies")).collect()(0).getLong(0)
@@ -184,6 +192,92 @@ class PipelineSpec extends AnyFunSuite {
       assert(math.abs(a - e) <= math.max(3 * 0.02 * e, 3.0),
         s"$t: approx $a vs exact $e outside 3x rsd bound")
     }
+  }
+
+  test("streaming dedup equals batch distinct (user, hour)") {
+    val stream = run("p_stream_dedup").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(stream.size == run("p_stream_dedup").count(),
+      "streaming dedup emitted a duplicate")
+    val batch = events
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(stream == batch)
+  }
+
+  test("stream-static join equals the batch enrichment") {
+    val stream = run("p_stream_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+    val batch = events
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id").join(clicks, Seq("user_id"))
+      .select("user_id", "event_id", "n_clicks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream == batch)
+  }
+
+  test("streaming sessions = batch sessions closed by the final watermark") {
+    val stream = run("p_stream_sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    // batch twin + closure predicate: a session is emitted iff its end
+    // (last event + 30min) <= max(ts) - 2h; compute ends independently
+    val ev = events
+    val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+    val batch = ev
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("w.end") <= lit(maxTs) - expr("INTERVAL 2 HOURS"))
+      .select(col("user_id"), col("w.start"), col("n_events")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(stream == batch)
+  }
+
+  test("as-of with tolerance is the <=1h-gap subset of the plain as-of") {
+    val plain = run("p_events_asof").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getTimestamp(2))).toMap
+    val tol = run("p_events_asof_tol").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getTimestamp(2))).toMap
+    assert(tol.keySet.subsetOf(plain.keySet))
+    tol.foreach { case (k, ts) => assert(plain(k) == ts) }
+  }
+
+  test("IVF probe search: consecutive ranks, no self-matches") {
+    val rows = run("p_sim_ivf_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.forall(r => r._1 != r._2))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length))
+    }
+  }
+
+  test("salted two-phase aggregation equals the plain groupBy") {
+    val salted = run("q_skew_salted").collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val plain = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("q"),
+        count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted == plain)
+  }
+
+  test("train/val/test split partitions the corpus deterministically") {
+    val rows = run("p_sample_split").collect()
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == total)
+    val bySplit = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    // 14/16 expected in train; loose bound that still catches a swapped
+    // predicate or a wrong digit index
+    assert(bySplit("train") > total * 0.75)
+    // determinism: a re-run yields the identical assignment
+    val again = run("p_sample_split").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(again == rows.map(r => (r.getLong(0), r.getString(2))).toSet)
   }
 
   test("text stats invariants: 0 < ttr <= 1, n_uniq <= n_words") {
