@@ -86,6 +86,33 @@ object MultimodalOps {
              |SELECT doc_id, frame_idx, md5(h || ':' || frame_idx::VARCHAR) AS frame_hash
              |FROM f WHERE frame_idx % 3 = 0""".stripMargin)),
 
+    // ---- audio chunking (stub): fixed windows + per-window energy -----
+    // The audio-modality shape: one payload row explodes to fixed-length
+    // sample windows (lateral view, no shuffle), and the per-window
+    // "energy" is computed IN the row with higher-order functions
+    // (transform over the window's byte offsets folded by aggregate) —
+    // fully codegen-free of UDFs. A real pipeline swaps the hex-byte
+    // slice for PCM frames; the explode + in-row fold dataflow is
+    // unchanged. 16-byte body = 4 windows of 4 bytes.
+    Q("p_mm_audio_chunks",
+      (s, dir) => corpus(s, dir)
+        .withColumn("body", expr("substring(hex(img), 17, 32)"))
+        .select(col("doc_id"), col("body"),
+          explode(expr("sequence(0, 3)")).as("chunk"))
+        .withColumn("energy", expr(
+          """aggregate(transform(sequence(0, 3),
+            |  i -> cast(conv(substring(body, 1 + 2 * (4 * chunk + i), 2), 16, 10) as bigint)),
+            |  0L, (acc, x) -> acc + x)""".stripMargin))
+        .select(col("doc_id"), col("chunk"), col("energy")),
+      Some("""WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+             |c AS (SELECT doc_id, hx, unnest(range(4)) AS chunk FROM h)
+             |SELECT doc_id, chunk,
+             |  CAST(list_sum(list_transform(range(4), i ->
+             |    (strpos('0123456789abcdef', substr(hx, 1 + 2 * (4 * chunk + i), 1)) - 1) * 16
+             |    + (strpos('0123456789abcdef', substr(hx, 2 + 2 * (4 * chunk + i), 1)) - 1)))
+             |    AS BIGINT) AS energy
+             |FROM c""".stripMargin)),
+
     // ---- byte-level feature extraction via mapPartitions --------------
     // The pandas-batch-UDF analogue: whole partitions of binary payloads
     // in, typed feature rows out. The stub "features" are byte statistics
