@@ -94,6 +94,44 @@ object EventOps {
              |FROM events, (SELECT unnest(range(7)) AS k)
              |GROUP BY 1""".stripMargin)),
 
+    // ---- CDC compaction: latest record per key ------------------------
+    // The upsert/compaction primitive every lakehouse ingest needs:
+    // reduce an append log to the most recent row per key. One shuffle on
+    // the key; the window's (ts, event_id) order gives a total order, so
+    // the survivor is deterministic under ties. At scale this is the
+    // MERGE INTO / compaction job shape — and the streaming twin is
+    // p_stream_user_seq's keyed state.
+    Q("p_events_latest",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("ts").as("last_ts"), col("event_type").as("last_type"))
+      },
+      Some("""SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+             |       event_type AS last_type
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             |                ORDER BY ts DESC, event_id DESC) AS rn
+             |      FROM events)
+             |WHERE rn = 1""".stripMargin)),
+
+    // ---- approximate quantiles: the t-digest-style sketch path --------
+    // percentile_approx is engine-specific (no DuckDB-reproducible
+    // intermediate), so this is a rows-only entry like the HLL sketch —
+    // PipelineSpec bounds it against the exact percentiles instead. The
+    // 100 TB shape: a mergeable one-pass sketch per partition vs. the
+    // full sort exact percentiles need.
+    Q("p_events_quantiles_approx",
+      (s, dir) => events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(expr("percentile_approx(value, array(0.5, 0.95, 0.99), 10000)")
+          .as("q50_95_99")),
+      None),
+
     // ---- JSON property extraction (semi-structured payloads) ----------
     // props is a JSON object column; extraction stays a codegen'd scalar
     // (get_json_object), no UDF — at scale this is a scan-speed projection.

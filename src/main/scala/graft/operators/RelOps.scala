@@ -422,6 +422,53 @@ object RelOps {
              |FROM supplier JOIN nation ON s_nationkey = n_nationkey
              |GROUP BY n_name""".stripMargin)),
 
+    // --- array pairing with zip_with (vectorized per-row math) ------------
+    // Per-order quantity/price vectors built by ONE grouped sort_array
+    // (struct sort keys the arrays identically on both), then revenue =
+    // aggregate(zip_with(qty, cents, *), +) folded IN the row — array
+    // math stays codegen'd, no explode-regroup round trip. The shape for
+    // per-entity vector features at scale: one shuffle, then row-local HOFs.
+    Q("q_array_zip",
+      (s, dir) => t(s, dir, "lineitem")
+        // ONE sorted struct array per order (the key (ln, q, c) is a total
+        // order over the multiset even with duplicate line numbers), then
+        // both vectors project from it — so qty[i] and cents[i] always
+        // come from the SAME source row, in both engines.
+        .groupBy(col("l_orderkey"))
+        .agg(expr("array_sort(collect_list(struct(l_linenumber as ln, " +
+          "cast(l_quantity as bigint) as q, " +
+          "cast(round(l_extendedprice * 100, 0) as bigint) as c)))").as("arr"))
+        .select(col("l_orderkey"), size(col("arr")).as("n_lines"),
+          expr("transform(arr, s -> s.q)").as("qty"),
+          expr("transform(arr, s -> s.c)").as("cents"))
+        .select(col("l_orderkey"), col("n_lines"),
+          expr("aggregate(zip_with(qty, cents, (q, c) -> q * c), 0L, (a, x) -> a + x)")
+            .as("rev_qty_cents")),
+      Some("""WITH l AS (SELECT l_orderkey,
+             |    list_sort(list({'ln': l_linenumber, 'q': CAST(l_quantity AS BIGINT),
+             |                    'c': CAST(round(l_extendedprice * 100, 0) AS BIGINT)})) AS arr
+             |  FROM lineitem GROUP BY l_orderkey)
+             |SELECT l_orderkey, len(arr) AS n_lines,
+             |  CAST(list_sum(list_transform(arr, s -> s.q * s.c)) AS BIGINT) AS rev_qty_cents
+             |FROM l""".stripMargin)),
+
+    // --- unpivot: wide metrics to long (key, value) rows ------------------
+    Q("q_unpivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast(dec2)).cast("double").as("qty"),
+          sum(col("l_extendedprice").cast(dec2)).cast("double").as("price"))
+        .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price")),
+          "metric", "value"),
+      Some("""WITH a AS (SELECT l_returnflag,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a
+             |UNION ALL
+             |SELECT l_returnflag, 'price' AS metric, price AS value FROM a""".stripMargin)),
+
     // --- correlated NOT EXISTS (Catalyst subquery decorrelation) ----------
     // Declared as a genuine correlated subquery through the SQL front end;
     // Catalyst decorrelates it to a left-anti hash join (RewritePredicate-

@@ -280,6 +280,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == rows.map(r => (r.getLong(0), r.getString(2))).toSet)
   }
 
+  test("approx quantiles bracket the exact per-type percentiles") {
+    val approx = run("p_events_quantiles_approx").collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    // The sketch's guarantee is on RANK error, not value error (a sparse
+    // tail makes neighboring ranks far apart in value — p99 'view' is
+    // ~25% off in value at sf0.001 while still rank-exact). Bound each
+    // approximate quantile by the exact values at rank ±2% — catches a
+    // wrong column or swapped quantile order without re-deriving the
+    // sketch's own epsilon.
+    val brackets = events
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.48, 0.52, 0.93, 0.97, 0.97, 1.0))").as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(approx.keySet == brackets.keySet)
+    approx.foreach { case (t, qs) =>
+      val b = brackets(t)
+      qs.zipWithIndex.foreach { case (a, i) =>
+        val (lo, hi) = (b(2 * i), b(2 * i + 1))
+        assert(a >= lo - 1e-9 && a <= hi + 1e-9,
+          s"$t: approx quantile $i = $a outside exact rank bracket [$lo, $hi]")
+      }
+      assert(qs.sorted.toSeq == qs.toSeq, s"$t: quantiles not monotone")
+    }
+  }
+
+  test("CDC latest-per-key has one row per user at the max timestamp") {
+    val latest = run("p_events_latest").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(2)).toMap
+    val maxTs = events.groupBy("user_id").agg(max("ts").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    assert(latest == maxTs)
+  }
+
   test("text stats invariants: 0 < ttr <= 1, n_uniq <= n_words") {
     val rows = run("p_text_stats").collect()
     assert(rows.forall(r => r.getInt(2) <= r.getInt(1)))
