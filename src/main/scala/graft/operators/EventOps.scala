@@ -119,6 +119,37 @@ object EventOps {
              |      FROM events)
              |WHERE rn = 1""".stripMargin)),
 
+    // ---- z-score anomalies: exact moments, broadcast scoring ----------
+    // Two-pass outlier detection at scan speed: pass 1 aggregates exact
+    // integer moments (n, Σv, Σv²) per type — quantized cents, so the
+    // sums are engine-independent; pass 2 broadcasts the tiny stats
+    // frame and scores every event in-place. The z expression is the
+    // IDENTICAL double arithmetic on both engines (same operand order),
+    // so even the filter boundary is deterministic.
+    Q("p_events_anomaly",
+      (s, dir) => {
+        val z = "(cast(v as double) - cast(s1 as double) / n) / " +
+          "sqrt((cast(s2 as double) / n) - (cast(s1 as double) / n) * (cast(s1 as double) / n))"
+        val ev = events(s, dir)
+          .withColumn("v", expr("cast(round(value * 100, 0) as bigint)"))
+        val stats = ev.groupBy("event_type").agg(count(lit(1)).as("n"),
+          sum(col("v")).as("s1"), sum(expr("v * v")).as("s2"))
+        ev.join(broadcast(stats), Seq("event_type"))
+          .filter(abs(expr(z)) > 3.0)
+          .select(col("event_id"), col("event_type"), round(expr(z), 3).as("z"))
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS v FROM events),
+             |st AS (SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS s1,
+             |         CAST(sum(v * v) AS BIGINT) AS s2
+             |       FROM e GROUP BY 1)
+             |SELECT e.event_id, e.event_type,
+             |  round((e.v::DOUBLE - s1::DOUBLE / n) / sqrt((s2::DOUBLE / n)
+             |        - (s1::DOUBLE / n) * (s1::DOUBLE / n)), 3) AS z
+             |FROM e JOIN st USING (event_type)
+             |WHERE abs((e.v::DOUBLE - s1::DOUBLE / n) / sqrt((s2::DOUBLE / n)
+             |        - (s1::DOUBLE / n) * (s1::DOUBLE / n))) > 3""".stripMargin)),
+
     // ---- approximate quantiles: the t-digest-style sketch path --------
     // percentile_approx is engine-specific (no DuckDB-reproducible
     // intermediate), so this is a rows-only entry like the HLL sketch —

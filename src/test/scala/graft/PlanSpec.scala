@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the operators whose 100 TB story
+  * depends on Catalyst choosing a specific strategy. A correctness hash
+  * can't see these — a q_topk_global that global-sorts, a 2-hop match
+  * that cartesian-products, or a dfcut whose anti-join shuffles would
+  * all still return the right rows, just not at scale. Each test pins
+  * the executed plan string the way `.explain("formatted")` review
+  * froze it.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("correlated NOT EXISTS decorrelates to a hash anti-join (no per-row subquery)") {
+    val p = plan("q_exists_correlated")
+    assert(p.contains("LeftAnti"), s"expected decorrelated anti join in:\n$p")
+    assert(!p.contains("InSubquery") && !p.contains("ExistenceJoin"),
+      s"subquery survived decorrelation:\n$p")
+  }
+
+  test("df-cut hot-shingle filter is a broadcast anti-join (no index-scale shuffle)") {
+    val p = plan("p_dedup_ngram_jaccard_dfcut")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast anti join for the df cut in:\n$p")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan("q_topk_global")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+    assert(!p.lines.anyMatch(l => l.contains("Sort ") && l.contains("global=true")),
+      s"unexpected global sort in:\n$p")
+  }
+
+  test("star join broadcasts the dimension sides") {
+    val p = plan("q_join_star")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dims fell back to SMJ in:\n$p")
+  }
+
+  test("2-hop pattern match plans with no cartesian product") {
+    // the PExpand peephole fuses match-node × match-edge into equi-joins
+    val p = plan("gql_match_2hop")
+    assert(!p.contains("CartesianProduct"), s"unfused cross join in:\n$p")
+  }
+
+  test("aggregation uses map-side partial aggregates") {
+    val p = plan("q_agg_pricing")
+    // partial + final HashAggregate pair
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected two-phase hash aggregation in:\n$p")
+  }
+
+  test("hash sampler scan prunes the text column") {
+    // the sample predicate and output touch only doc_id/lang — reading
+    // the (dominant) text column would make the \"scan-speed\" claim false
+    val p = plan("p_sample_stratified")
+    val readSchema = p.lines.filter(_.contains("ReadSchema"))
+      .findFirst.orElse("")
+    assert(readSchema.nonEmpty, s"no ReadSchema in:\n$p")
+    assert(!readSchema.contains("text"), s"text column not pruned: $readSchema")
+  }
+}
