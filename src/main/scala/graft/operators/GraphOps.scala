@@ -205,5 +205,28 @@ object GraphOps {
       Some("""SELECT CAST(p_partkey AS BIGINT) + 5000000000 AS p,
              |       CAST(CASE WHEN p_size < 10 THEN p_size * 100 + 7 ELSE p_size END AS BIGINT) AS psize
              |FROM part""".stripMargin)),
+
+    // Composite program: create-then-match sequencing in ONE query.
+    // The second match's VarRefPattern reuses `n` (bound before the
+    // creates) and its semi-join runs against the graph AFTER the tag
+    // creates — read-your-writes across clauses (SURVEY §3.4
+    // materialization policy), which none of the single-clause entries
+    // exercises under the driver oracle (GoldenSpec pins it in-JVM only).
+    Q("gql_pipeline",
+      bindings(
+        """match (n:nation)
+          |where n.regionkey = 4
+          |create (t:tag)
+          |create (n) -[:tagged]-> (t)
+          |match (c:customer) -[:cnation]-> (n)
+          |where c.nationkey >= 20
+          |return c, n, t""".stripMargin),
+      Some("""WITH nt AS (SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |    20000000000 + ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS t
+             |  FROM nation WHERE n_regionkey = 4)
+             |SELECT CAST(c_custkey AS BIGINT) + 4000000000 AS c, nt.n, nt.t
+             |FROM customer
+             |JOIN nt ON CAST(c_nationkey AS BIGINT) + 2000000000 = nt.n
+             |WHERE c_nationkey >= 20""".stripMargin)),
   )
 }
