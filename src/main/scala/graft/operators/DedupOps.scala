@@ -219,9 +219,14 @@ object DedupOps {
     // row per clustered document with its cluster id and keep flag.
     Q("p_dedup_clusters",
       (s, dir) => {
-        // memoized + cached (see pairsMemo) — already materialized once
-        // per session/dir, and consumed by several subplans below
-        val pairs = minhashPairs(s, dir)
+        // memoized + cached across queries (see pairsMemo), then snapshot
+        // to a localCheckpoint HERE: the checkpoint leaf truncates the
+        // plan under the 5-superstep loop (the loop's plan doubles per
+        // superstep over whatever sits beneath it — over the cached-but-
+        // full logical plan this measured 4× slower than over a
+        // checkpoint, pure planning weight). Snapshotting a populated
+        // cache costs one cheap pass over a few hundred rows.
+        val pairs = graft.Ckpt.eager(minhashPairs(s, dir))
         val und = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
         var labels = pairs.select(col("a").as("doc_id"))
           .union(pairs.select(col("b").as("doc_id"))).distinct()
@@ -412,7 +417,15 @@ object DedupOps {
     * clustering/survivor pipeline; memoized + cached per (session, dir). */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     pairsMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    pairsMemo.getOrElseUpdate((s, dir), buildMinhashPairs(s, dir).cache())
+    pairsMemo.getOrElseUpdate((s, dir), {
+      val df = buildMinhashPairs(s, dir).cache()
+      // Materialize NOW (one action): a lazy cache under the clustering
+      // pipeline's many subplan references gets planned without sizes and
+      // raced by concurrent stages — measured 3-4× slower than reading a
+      // populated cache.
+      df.count()
+      df
+    })
   }
 
   private def buildMinhashPairs(s: SparkSession, dir: String): DataFrame = {
