@@ -74,7 +74,10 @@ object GraftFunctions {
   private val fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("array_dot_long"),
       new ExpressionInfo(classOf[ArrayDotLong].getName, "array_dot_long"),
-      (args: Seq[Expression]) => ArrayDotLong(args(0), args(1))))
+      (args: Seq[Expression]) => ArrayDotLong(args(0), args(1))),
+    (FunctionIdentifier("array_intersect_count"),
+      new ExpressionInfo(classOf[ArrayIntersectCount].getName, "array_intersect_count"),
+      (args: Seq[Expression]) => ArrayIntersectCount(args(0), args(1))))
 
   /** Idempotent per-session registration (library embedding path). */
   def register(spark: SparkSession): Unit = {

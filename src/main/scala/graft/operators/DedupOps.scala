@@ -463,12 +463,16 @@ object DedupOps {
     * on doc id, still linear). |A∩B| via set arrays is identical to the
     * join-count the oracles compute — dsh is distinct by construction. */
   private def exactJaccard(dsh: DataFrame, cand: DataFrame, tau: Double = 0.5): DataFrame = {
+    // |A∩B| via the native codegen'd counter (no per-pair intersection
+    // array) — identical to size(array_intersect) here because each
+    // per-doc array is DISTINCT by construction (dsh is distinct).
+    graft.functions.GraftFunctions.register(dsh.sparkSession)
     val sets = dsh.groupBy("doc_id")
       .agg(collect_list(col("shingle")).as("sh"), count(lit(1)).as("n"))
     cand
       .join(sets.select(col("doc_id").as("a"), col("sh").as("sa"), col("n").as("na")), Seq("a"))
       .join(sets.select(col("doc_id").as("b"), col("sh").as("sb"), col("n").as("nb")), Seq("b"))
-      .withColumn("c", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("c", expr("array_intersect_count(sa, sb)"))
       .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= tau)
       .select(col("a"), col("b"), round(col("jac"), 3).as("jac"))

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Differential tests for the native codegen'd expressions against their
+  * composed built-in equivalents — same inputs, bit-equal outputs.
+  * Inputs are seeded-random (deterministic) and include adversarial
+  * shapes: empty arrays, disjoint/identical sets, length mismatches. */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("array_dot_long equals aggregate(zip_with(*)) on random vectors") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(500)(
+      (Seq.fill(16)(rnd.nextLong() % 4000000L),
+        Seq.fill(16)(rnd.nextLong() % 4000000L))) ++
+      Seq((Seq.empty[Long], Seq.empty[Long]), (Seq(5L), Seq.empty[Long]))
+    val got = pairs.toDF("a", "b").select(
+      expr("array_dot_long(a, b)").as("native"),
+      expr("coalesce(aggregate(zip_with(a, b, (x, y) -> coalesce(x * y, 0L)), " +
+        "0L, (acc, v) -> acc + v), 0L)").as("hof")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("array_intersect_count equals size(array_intersect) on random string sets") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(500)(
+      (Seq.fill(rnd.nextInt(30))(s"w${rnd.nextInt(40)}").distinct,
+        Seq.fill(rnd.nextInt(30))(s"w${rnd.nextInt(40)}").distinct)) ++
+      Seq((Seq.empty[String], Seq("x")), (Seq("x"), Seq.empty[String]),
+        (Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b")))
+    val got = pairs.toDF("a", "b").select(
+      expr("array_intersect_count(a, b)").as("native"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("builtin")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native ${r.getLong(0)} != builtin ${r.getLong(1)}"))
+  }
+
+  test("array_intersect_count ignores null elements and handles empties") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.sql(
+      """SELECT array_intersect_count(array('x', cast(null as string), 'y'),
+        |                             array('y', 'z', cast(null as string))) AS c,
+        |       array_intersect_count(cast(array() as array<string>), array('y')) AS e""".stripMargin)
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 0L)
+  }
+}
