@@ -241,12 +241,16 @@ object GraphAlgos {
     // g_pagerank above is the oracle-pinned twin.
     Q("g_pagerank_graphx",
       (s, dir) => {
-        import org.apache.spark.graphx.{Edge, Graph}
+        import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
         val sp = s
         import sp.implicits._
         val edgeRdd = allEdges(s, dir).as[(Long, Long)].rdd
           .map { case (a, b) => Edge(a, b, ()) }
+        // EdgePartition2D bounds each vertex's replication at 2*sqrt(P)
+        // partitions, shrinking the per-iteration vertex-to-edge shuffle
+        // (the dominant cost of RDD PageRank on a star-heavy FK graph).
         val g = Graph.fromEdges(edgeRdd, defaultValue = ())
+          .partitionBy(PartitionStrategy.EdgePartition2D)
         val prGraph = g.staticPageRank(prIters)
         // Freeze the top-k NOW, then release GraphX's internal vertex/edge
         // caches — staticPageRank leaves its result graph (and the input

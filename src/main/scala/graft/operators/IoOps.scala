@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import PipeData._
+
+/** Interchange-format round trips: the engine's answer to "can a user
+  * land data in, and hand data off, in something other than parquet".
+  * Each operator WRITES a real file-format dataset to a scratch dir and
+  * READS IT BACK with an explicit schema before aggregating, so the
+  * whole serializer/parser path is on the oracle-checked critical path
+  * (the oracle computes the same aggregate from the original parquet —
+  * any round-trip corruption hash-mismatches).
+  *
+  * Scale notes: both writes inherit the input partitioning (one file per
+  * partition — the shard layout a 100 TB export actually wants); reads
+  * carry explicit schemas (schema inference is a full extra pass at
+  * scale and is never used here).
+  */
+object IoOps {
+
+  /** Deterministic scratch dir per (format, source dir). */
+  private def scratch(fmt: String, dir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"graft_io_${fmt}_$tag").toString
+  }
+
+  val all: List[Q] = List(
+
+    // ---- CSV sink + source round trip ---------------------------------
+    Q("p_io_csv",
+      (s, dir) => {
+        val out = scratch("csv", dir)
+        docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").option("header", "true").csv(out)
+        s.read.option("header", "true")
+          .schema("doc_id LONG, lang STRING, n_chars LONG")
+          .csv(out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      },
+      Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents GROUP BY lang""".stripMargin)),
+
+    // ---- JSON-lines sink + source round trip --------------------------
+    // props is a JSON-valued STRING column: written as an escaped string
+    // field and re-read as a string, then parsed with get_json_object —
+    // the double-encoding survival test semi-structured pipelines hit.
+    Q("p_io_jsonl",
+      (s, dir) => {
+        val out = scratch("jsonl", dir)
+        events(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value"), col("props"))
+          .write.mode("overwrite").json(out)
+        s.read.schema("event_id LONG, user_id LONG, value DOUBLE, props STRING")
+          .json(out)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"),
+            sum(expr("cast(get_json_object(props, '$.k') as bigint)")).as("sum_k"))
+      },
+      Some("""SELECT user_id, count(*) AS n,
+             |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+             |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+             |FROM events WHERE event_type = 'purchase'
+             |GROUP BY user_id""".stripMargin)),
+  )
+}
