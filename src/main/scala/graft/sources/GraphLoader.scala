@@ -88,6 +88,63 @@ object GraphLoader {
   val lineIdSql: String =
     s"${LineitemBase - 1} + ROW_NUMBER() OVER (ORDER BY $lineitemOrderSql)"
 
+  /** Columns of the persisted/cached lineitem-id frame — exactly what the
+    * node/edge projections read (sort-only columns are dropped). */
+  private val lidCols = Seq("lid", "l_orderkey", "l_linenumber", "l_partkey",
+    "l_suppkey", "l_returnflag", "l_linestatus")
+
+  /** The id-assigned lineitem frame, from the persisted id store when one
+    * matches the source's content fingerprint, else built (distributed
+    * sort + zipWithIndex) and persisted for every later session.
+    *
+    * This IS the "assign ids once, persist" production shape (SURVEY
+    * §9.3): id assignment is a one-time ETL — the sort is paid by the
+    * first session ever to read this source, and every later JVM
+    * (bench, verify, tests) starts from a splittable parquet read. The
+    * store is keyed by path + per-file size/mtime, so a regenerated
+    * source gets fresh ids, never a stale store (same discipline as the
+    * streaming source staging). The write is atomic (temp dir + rename);
+    * a concurrent loser of the rename race just reads the winner's store.
+    */
+  private def loadOrBuildLids(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val src = Paths.get(dir, "lineitem.parquet").toRealPath()
+    val fingerprint = {
+      val walk = Files.walk(src)
+      try walk.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => s"${src.relativize(p)}:${Files.size(p)}:" +
+          Files.getLastModifiedTime(p).toMillis)
+        .toSeq.sorted.mkString("\n")
+      finally walk.close()
+    }
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$src\n$fingerprint\nv1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val store = Paths.get(sys.props("java.io.tmpdir"), s"graft_lids_$tag")
+    if (!Files.exists(store.resolve("_SUCCESS"))) {
+      val keep = (lineitemOrder ++ Seq("l_returnflag", "l_linestatus")).distinct
+      val raw = spark.read.parquet(src.toString).select(keep.map(col).toIndexedSeq: _*)
+      val sorted = raw.orderBy(lineitemOrder.map(col).toIndexedSeq: _*)
+      val outSchema = raw.schema.add(StructField("lid", LongType, nullable = false))
+      val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (LineitemBase + i))
+      }
+      val tmp = Paths.get(store.toString + s"_tmp_${ProcessHandle.current().pid()}")
+      spark.createDataFrame(rdd, outSchema)
+        .select(lidCols.map(col).toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, store, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        // another session won the race; its store is identical by
+        // construction (ids are a deterministic function of the data)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+    }
+    spark.read.parquet(store.toString)
+  }
+
   /** Register the graph as session temp views (`node_<label>`,
     * `edge_<rel>`) so plain `spark.sql` can query the same projection the
     * engine executes against. */
@@ -128,27 +185,8 @@ object GraphLoader {
     // would otherwise pin dead sessions' DataFrames for the JVM's life in
     // long-lived processes (test suite, REPL) that restart sessions.
     lidFrames.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    val lineitem = lidFrames.getOrElseUpdate((spark, dir), {
-      // Project to the columns the graph actually consumes BEFORE the
-      // sort: the 7 ordering keys + the 2 extra node attributes. The
-      // RDD hop deserializes every row out of Tungsten and the result is
-      // cached — on the biggest table, carrying the other half of the
-      // lineitem schema through sort+zipWithIndex+cache roughly doubled
-      // the loader's cold cost (paid by whichever graph query runs first).
-      val keep = (lineitemOrder ++ Seq("l_returnflag", "l_linestatus")).distinct
-      val raw = t("lineitem").select(keep.map(col).toIndexedSeq: _*)
-      val sorted = raw.orderBy(lineitemOrder.map(col).toIndexedSeq: _*)
-      val outSchema = raw.schema.add(StructField("lid", LongType, nullable = false))
-      val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
-        Row.fromSeq(r.toSeq :+ (LineitemBase + i))
-      }
-      // Sort-only columns are dropped before the cache; the cached frame
-      // is exactly what the node/edge projections below read.
-      val cacheCols = Seq("lid", "l_orderkey", "l_linenumber", "l_partkey",
-        "l_suppkey", "l_returnflag", "l_linestatus")
-      spark.createDataFrame(rdd, outSchema)
-        .select(cacheCols.map(col).toIndexedSeq: _*).cache()
-    })
+    val lineitem = lidFrames.getOrElseUpdate((spark, dir),
+      loadOrBuildLids(spark, dir).cache())
 
     val lineId = col("lid")
 
