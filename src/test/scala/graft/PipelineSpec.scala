@@ -313,6 +313,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(latest == maxTs)
   }
 
+  test("results are invariant under shuffle-partition count") {
+    // The cross-engine determinism story (fixed-point sums, in-row
+    // folds, rank tie-breaks) implies a stronger property that is easy
+    // to test directly: the SAME session must produce identical rows at
+    // any parallelism. Run order-free-claimed operators at 7 and 32
+    // shuffle partitions and compare full row sets.
+    val conf = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(conf)
+    def rows(name: String) = run(name).collect().map(_.toString).sorted.toSeq
+    try {
+      for (name <- Seq("p_dedup_simhash_pairs", "p_sim_topk_brute",
+        "q_percentile", "p_text_tfidf")) {
+        spark.conf.set(conf, "7")
+        val at7 = rows(name)
+        spark.conf.set(conf, "32")
+        val at32 = rows(name)
+        assert(at7 == at32, s"$name differs across partition counts")
+      }
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("text stats invariants: 0 < ttr <= 1, n_uniq <= n_words") {
     val rows = run("p_text_stats").collect()
     assert(rows.forall(r => r.getInt(2) <= r.getInt(1)))
