@@ -8,7 +8,7 @@ object SparkEntry {
   def allOps: List[Q] =
     GraphOps.all ++ RelOps.all ++ DedupOps.all ++ SimilarityOps.all ++
       TextOps.all ++ EventOps.all ++ StreamingOps.all ++ MultimodalOps.all ++
-      GraphAlgos.all ++ SampleOps.all ++ IoOps.all
+      GraphAlgos.all ++ SampleOps.all ++ IoOps.all ++ CurateOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full MiniGQL front end + Spark executor over the parquet graph

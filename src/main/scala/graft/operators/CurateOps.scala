@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import PipeData._
+
+/** Corpus-curation operators — the filter/clean steps of an LLM training
+  * pipeline that sit between raw documents and sampling/packing:
+  * benchmark decontamination, denylist redaction, repetition scoring,
+  * and proportional source mixing.
+  *
+  * Scale shapes (the reason each is built the way it is):
+  *   - decontamination is a broadcast semi-join: the benchmark n-gram set
+  *     is tiny (a few eval suites) while the corpus is 100 TB, so the
+  *     overlap test must reach every document WITHOUT shuffling the
+  *     corpus-side shingle index;
+  *   - redaction is a pure scan-speed projection (codegen'd array
+  *     transform, no shuffle, no UDF);
+  *   - repetition scoring shuffles once on (doc, bigram) with map-side
+  *     combine, then a per-doc top-1 window — per-document state only,
+  *     never cross-document;
+  *   - mixture sampling computes per-source rates from two tiny
+  *     aggregates and applies them as a broadcast join + deterministic
+  *     hash predicate (same reproducibility story as
+  *     [[SampleOps]] p_sample_stratified: the sample is a function of
+  *     the data, not of RNG state or partition layout).
+  */
+object CurateOps {
+
+  /** Terms redacted by p_curate_redact (stand-ins for PII patterns; the
+    * mechanism — match term, substitute sentinel, count — is the real
+    * pipeline shape, and stays inside whole-stage codegen). */
+  private val denylist = Seq("customer", "value")
+
+  val all: List[Q] = List(
+
+    // ---- benchmark decontamination ------------------------------------
+    // Docs sharing any word-3-gram with the held-out "benchmark" slice
+    // (doc_id % 20 == 0 — a deterministic stand-in for an eval suite)
+    // are flagged with their overlap counts; training keeps the
+    // complement. The benchmark shingle set is broadcast — at 100 TB the
+    // corpus side streams map-only through the semi-join.
+    Q("p_curate_decontaminate",
+      (s, dir) => {
+        val sh = shingles(s, dir)
+        val bench = sh.filter(col("doc_id") % 20 === 0)
+          .select(col("shingle")).distinct()
+        sh.filter(col("doc_id") % 20 =!= 0)
+          .join(broadcast(bench), Seq("shingle"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      },
+      Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+             |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle FROM dd),
+             |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+             |bench AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 20 = 0)
+             |SELECT doc_id, count(*) AS n_hits
+             |FROM dsh JOIN bench USING (shingle)
+             |WHERE doc_id % 20 <> 0 GROUP BY doc_id""".stripMargin)),
+
+    // ---- denylist redaction -------------------------------------------
+    // Replace denylisted terms with a sentinel and report the redaction
+    // count plus a digest of the scrubbed text (the digest puts the
+    // entire rewritten string on the oracle-checked path). Word-array
+    // transform instead of regexp_replace: bit-identical across engines
+    // (no regex-dialect divergence) and equally codegen'd.
+    Q("p_curate_redact",
+      (s, dir) => {
+        val inList = denylist.map(w => s"'$w'").mkString(", ")
+        words(s, dir).select(col("doc_id"),
+          expr(s"size(filter(ws, w -> w IN ($inList)))").as("n_redacted"),
+          md5(expr(s"array_join(transform(ws, w -> CASE WHEN w IN ($inList)" +
+            " THEN '<PII>' ELSE w END), ' ')")).as("scrub_md5"))
+      },
+      Some {
+        val inList = denylist.map(w => s"'$w'").mkString(", ")
+        s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+           |SELECT doc_id,
+           |  len(list_filter(ws, w -> w IN ($inList))) AS n_redacted,
+           |  md5(array_to_string(list_transform(ws, w -> CASE WHEN w IN ($inList)
+           |      THEN '<PII>' ELSE w END), ' ')) AS scrub_md5
+           |FROM dd""".stripMargin
+      }),
+
+    // ---- repetition scoring (Gopher-style top-bigram fraction) --------
+    // Per doc: the most frequent word bigram and the fraction of all
+    // bigram slots it occupies — the classic boilerplate/repetition
+    // signal. Ties break to the lexicographically smallest bigram so the
+    // winner is engine-independent.
+    Q("p_curate_repetition",
+      (s, dir) => {
+        val bg = words(s, dir).filter(size(col("ws")) >= 2)
+          .select(col("doc_id"), (size(col("ws")) - 1).as("n_bigrams"),
+            explode(expr(
+              "transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))"))
+              .as("bg"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("n").desc, col("bg"))
+        bg.groupBy("doc_id", "n_bigrams", "bg").agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(col("doc_id"), col("bg").as("top_bigram"), col("n").as("top_n"),
+            round(col("n").cast("double") / col("n_bigrams"), 6).as("top_frac"))
+      },
+      Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |bg AS (SELECT doc_id, len(ws) - 1 AS n_bigrams,
+             |         unnest(list_transform(range(1, len(ws)),
+             |           i -> ws[i] || ' ' || ws[i+1])) AS bg
+             |       FROM dd WHERE len(ws) >= 2),
+             |counted AS (SELECT doc_id, n_bigrams, bg, count(*) AS n
+             |            FROM bg GROUP BY 1, 2, 3),
+             |ranked AS (SELECT doc_id, bg, n, n_bigrams,
+             |             ROW_NUMBER() OVER (PARTITION BY doc_id
+             |                                ORDER BY n DESC, bg) AS rnk
+             |           FROM counted)
+             |SELECT doc_id, bg AS top_bigram, n AS top_n,
+             |       round(n::DOUBLE / n_bigrams, 6) AS top_frac
+             |FROM ranked WHERE rnk = 1""".stripMargin)),
+
+    // ---- proportional source mixing -----------------------------------
+    // Down-sample each source to a target mixture: source srcN gets
+    // weight (N % 4) + 1, the target budget is half the corpus, and each
+    // source's keep-rate is min(1, share × budget / count). Rates come
+    // from two tiny aggregates (per-source counts + totals), broadcast
+    // back, and applied with a deterministic 8-bit hash uniform — the
+    // mixture is reproducible row-for-row on any cluster layout.
+    // floor() (not round) on the threshold: no banker's-rounding
+    // divergence at exact .5 boundaries.
+    Q("p_curate_mix",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val srcs = d.groupBy("source").agg(count(lit(1)).as("n_src"))
+          .withColumn("w", expr("(cast(substring(source, 4, 10) as int) % 4) + 1"))
+        val tot = srcs.agg(sum("n_src").as("n_total"), sum("w").as("w_total"))
+        val rates = srcs.crossJoin(broadcast(tot))
+          .withColumn("rate", expr(
+            "least(1.0, (cast(w as double) / w_total) * (cast(n_total as double) / 2) / n_src)"))
+          .withColumn("thresh", expr("cast(floor(rate * 256) as int)"))
+          .select(col("source"), col("thresh"))
+        val h1 = "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"
+        val h2 = "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1"
+        d.join(broadcast(rates), Seq("source"))
+          .filter(expr(s"(($h1) * 16 + ($h2)) < thresh"))
+          .select(col("doc_id"), col("source"))
+      },
+      Some("""WITH srcs AS (SELECT source, count(*) AS n_src,
+             |         (substr(source, 4)::INT % 4) + 1 AS w
+             |       FROM documents GROUP BY source),
+             |tot AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_total,
+             |               CAST(sum(w) AS BIGINT) AS w_total FROM srcs),
+             |rates AS (SELECT source,
+             |            CAST(floor(least(1.0,
+             |              (w::DOUBLE / w_total) * (n_total::DOUBLE / 2) / n_src) * 256) AS INT)
+             |              AS thresh
+             |          FROM srcs, tot)
+             |SELECT doc_id, source FROM documents JOIN rates USING (source)
+             |WHERE ((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16
+             |     + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1)) < thresh"""
+        .stripMargin)),
+  )
+}

@@ -235,6 +235,57 @@ object GraphAlgos {
               |d AS (SELECT src, count(*) AS degree FROM e GROUP BY src)
               |SELECT degree, count(*) AS n_nodes FROM d GROUP BY degree""".stripMargin)),
 
+    // ---- triangle counting over the part co-purchase graph ------------
+    // Edges = distinct part pairs that share an order (the classic
+    // projected co-occurrence graph); triangles are enumerated with the
+    // DEGREE-ORDERED orientation: each undirected edge points from its
+    // lower-(degree, id) endpoint to the higher, so every triangle is
+    // produced exactly once and the wedge fan-out per node is O(sqrt(m))
+    // even on heavy hitters — the standard fix that keeps the
+    // wedge-check join from exploding on hub nodes at 100 TB. The oracle
+    // enumerates by id order instead; the triangle SET is identical
+    // under any acyclic orientation, so the per-node counts agree.
+    // Output: top-20 parts by triangle participation.
+    Q("g_triangles",
+      (s, dir) => {
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        val deg = pairs.select(col("a").as("id"))
+          .union(pairs.select(col("b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("d"))
+        val keyed = pairs
+          .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
+          .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+        val aFirst = col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b"))
+        val o = keyed.select(
+          when(aFirst, col("a")).otherwise(col("b")).as("src"),
+          when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+          when(aFirst, col("db")).otherwise(col("da")).as("ddst")).cache()
+        val wedgeOrder = col("e1.ddst") < col("e2.ddst") ||
+          (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
+        val tri = o.as("e1")
+          .join(o.as("e2"), col("e1.src") === col("e2.src") && wedgeOrder)
+          .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+          .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"),
+            "left_semi")
+        tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+          .groupBy("id").agg(count(lit(1)).as("n_tri"))
+          .orderBy(col("n_tri").desc, col("id")).limit(20)
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+             |  FROM lineitem x JOIN lineitem y
+             |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+             |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+             |        FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
+             |        JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |corners AS (SELECT unnest([u, v, w]) AS id FROM tri)
+             |SELECT id, count(*) AS n_tri FROM corners
+             |GROUP BY id ORDER BY n_tri DESC, id LIMIT 20""".stripMargin)),
+
     // ---- GraphX integration: staticPageRank over the same edges -------
     // GraphX does its own double-precision math (not cross-engine
     // reproducible), so this is a rows-only check; the quantized

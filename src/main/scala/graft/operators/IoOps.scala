@@ -64,5 +64,21 @@ object IoOps {
              |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
              |FROM events WHERE event_type = 'purchase'
              |GROUP BY user_id""".stripMargin)),
+
+    // ---- ORC sink + source round trip ---------------------------------
+    // Spark's other first-class columnar format (predicate pushdown,
+    // column pruning, and vectorized read all apply to ORC the same way
+    // they do to parquet); the round trip pins the type mapping.
+    Q("p_io_orc",
+      (s, dir) => {
+        val out = scratch("orc", dir)
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+          .write.mode("overwrite").orc(out)
+        s.read.schema("doc_id LONG, source STRING, n_chars LONG").orc(out)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      },
+      Some("""SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents GROUP BY source""".stripMargin)),
   )
 }

@@ -137,6 +137,54 @@ object SimilarityOps {
              |           FROM scored)
              |SELECT vec_id, centroid_id, cos FROM ranked WHERE rank = 1""".stripMargin)),
 
+    // ---- k-means update step: recompute centroids from assignment -----
+    // The other half of Lloyd's iteration (p_sim_ivf is the assignment
+    // half): per-cluster per-dimension means of the assigned vectors.
+    // Sums are exact int64 (posexplode + map-side-combined groupBy); only
+    // the final mean divides in double. A full k-means build is this
+    // pair of operators alternated — each iteration is one broadcast
+    // cross-score pass plus one (cluster, dim)-keyed aggregate, the
+    // standard 1000-executor shape (no per-iteration driver collect
+    // except the K×64-int centroid table itself).
+    Q("p_sim_kmeans_update",
+      (s, dir) => {
+        val e = quantized(s, dir)
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("q").as("cq"), col("nrm").as("cn"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("centroid_id"))
+        val assign = e.select(col("vec_id"), col("q"), col("nrm"))
+          .crossJoin(broadcast(cents))
+          .withColumn("cos", round(cosine("q", "nrm", "cq", "cn"), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(col("centroid_id"), col("q"))
+        assign.select(col("centroid_id"), posexplode(col("q")).as(Seq("pos", "x")))
+          .groupBy("centroid_id", "pos")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+          .select(col("centroid_id"), col("pos"),
+            round(col("sx").cast("double") / col("n"), 6).as("cmean"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS q
+             |       FROM embeddings),
+             |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nrm FROM e),
+             |cents AS (SELECT vec_id AS centroid_id, q AS cq, nrm AS cn FROM n WHERE vec_id < 8),
+             |ascore AS (SELECT n.vec_id, c.centroid_id,
+             |             round(list_sum(list_transform(range(1, len(n.q) + 1), i -> n.q[i] * c.cq[i]))::DOUBLE
+             |               / (sqrt(n.nrm::DOUBLE) * sqrt(c.cn::DOUBLE)), 6) AS cos
+             |           FROM n, cents c),
+             |assign AS (SELECT vec_id, centroid_id FROM (
+             |             SELECT vec_id, centroid_id,
+             |               ROW_NUMBER() OVER (PARTITION BY vec_id
+             |                                  ORDER BY cos DESC, centroid_id) AS rnk
+             |             FROM ascore) WHERE rnk = 1)
+             |SELECT a.centroid_id, g.i AS pos,
+             |       round(CAST(sum(n.q[g.i + 1]) AS BIGINT)::DOUBLE / count(*), 6) AS cmean
+             |FROM assign a JOIN n ON n.vec_id = a.vec_id,
+             |     (SELECT unnest(range(64)) AS i) g
+             |GROUP BY 1, 2""".stripMargin)),
+
     // ---- IVF probe search: nprobe=2 over the inverted file ------------
     // The search half of p_sim_ivf: each query scores the (broadcast)
     // centroid table, probes its 2 nearest centroids' inverted lists, and

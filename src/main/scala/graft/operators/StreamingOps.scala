@@ -279,6 +279,41 @@ object StreamingOps {
              |HAVING max(ts) + INTERVAL 30 MINUTE <=
              |       (SELECT max(ts) FROM events) - INTERVAL 2 HOUR""".stripMargin)),
 
+    // ---- stream-stream interval join: click → purchase attribution ----
+    // Both sides are unbounded streams of the same source; the inner
+    // equi-join on user with a [0, 30 min] event-time bound is the
+    // canonical attribution shape. Watermarks on BOTH sides plus the
+    // time-range predicate are what let Spark evict join state (a click
+    // older than watermark - 30 min can never match again). The staged
+    // files arrive in ascending ts ranges and the 2 h watermark delay
+    // dwarfs the 30 min window, so no match is ever dropped to late
+    // eviction — the emitted set is exactly the batch interval join,
+    // which is the oracle.
+    Q("p_stream_stream_join",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val clicks = stream(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+            col("ts").as("cts"))
+          .withWatermark("cts", "2 hours")
+        val buys = stream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("pts"))
+          .withWatermark("pts", "2 hours")
+        runToTable(
+          clicks.join(buys, expr(
+            "cu = user_id AND pts >= cts AND pts <= cts + interval 30 minutes"))
+            .select(col("user_id"), col("click_id"), col("purchase_id")),
+          "append")
+      },
+      Some("""SELECT p.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+             |FROM events c JOIN events p
+             |  ON c.user_id = p.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin)),
+
     // ---- stateless streaming ETL: filter + project + route ------------
     Q("p_stream_errors",
       (s, dir) => {
