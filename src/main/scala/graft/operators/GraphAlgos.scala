@@ -253,12 +253,14 @@ object GraphAlgos {
         val pairs = li.as("x").join(li.as("y"),
             col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
           .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        // degree table is |V|-sized (parts, not pairs) — broadcast, so
+        // the two endpoint-degree lookups never shuffle the edge list.
         val deg = pairs.select(col("a").as("id"))
           .union(pairs.select(col("b").as("id")))
           .groupBy("id").agg(count(lit(1)).as("d"))
         val keyed = pairs
-          .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
-          .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+          .join(broadcast(deg.select(col("id").as("a"), col("d").as("da"))), Seq("a"))
+          .join(broadcast(deg.select(col("id").as("b"), col("d").as("db"))), Seq("b"))
         val aFirst = col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b"))
         val o = keyed.select(
@@ -267,11 +269,20 @@ object GraphAlgos {
           when(aFirst, col("db")).otherwise(col("da")).as("ddst")).cache()
         val wedgeOrder = col("e1.ddst") < col("e2.ddst") ||
           (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
+        // Both the wedge build side and the closing-edge semi side are the
+        // |E|-sized oriented list — orders of magnitude smaller than the
+        // wedge stream (41M wedges vs 1.2M edges at sf0.1). Broadcasting
+        // them means the wedge stream is generated, existence-checked, and
+        // partially aggregated IN PLACE: zero shuffle/sort of the 41M rows
+        // (it previously cost two 41M-row exchanges + sorts). On a graph
+        // whose edge list outgrows broadcast, drop the hints: the plan
+        // degrades to the SMJ form, still correct, and the degree
+        // orientation still bounds the per-task wedge fan-out.
         val tri = o.as("e1")
-          .join(o.as("e2"), col("e1.src") === col("e2.src") && wedgeOrder)
+          .join(broadcast(o.as("e2")), col("e1.src") === col("e2.src") && wedgeOrder)
           .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
-          .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"),
-            "left_semi")
+          .join(broadcast(o.select(col("src").as("v"), col("dst").as("w"))),
+            Seq("v", "w"), "left_semi")
         tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
           .groupBy("id").agg(count(lit(1)).as("n_tri"))
           .orderBy(col("n_tri").desc, col("id")).limit(20)
