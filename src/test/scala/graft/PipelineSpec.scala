@@ -339,4 +339,69 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getInt(2) <= r.getInt(1)))
     assert(rows.forall(r => r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
   }
+
+  test("decontamination never flags the benchmark slice itself") {
+    val rows = run("p_curate_decontaminate").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) % 20 != 0), "benchmark doc flagged")
+    assert(rows.forall(_.getLong(1) >= 1), "zero-hit doc reported")
+  }
+
+  test("redaction digest equals the original text digest iff nothing redacted") {
+    val scrubbed = run("p_curate_redact").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    val orig = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), md5(col("text")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scrubbed.keySet == orig.keySet)
+    for ((id, (n, m)) <- scrubbed)
+      assert((m == orig(id)) == (n == 0), s"doc $id: n_redacted=$n digest drift")
+  }
+
+  test("repetition: top-bigram fraction in (0, 1], count >= 1") {
+    val rows = run("p_curate_repetition").collect()
+    assert(rows.forall(_.getLong(2) >= 1))
+    assert(rows.forall(r => r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("mixture sampling keeps a subset of each source near the half budget") {
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val perSource = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = run("p_curate_mix").collect().map(r => r.getString(1))
+    val keptBySource = kept.groupBy(identity).view.mapValues(_.size).toMap
+    assert(keptBySource.forall { case (s, n) => n <= perSource(s) })
+    // budget is corpus/2; 8-bit hash thresholds keep the realized total
+    // within a wide deterministic band of it
+    assert(kept.length > total * 3 / 10 && kept.length < total * 7 / 10)
+  }
+
+  test("kmeans update emits one mean per (centroid, dimension)") {
+    val rows = run("p_sim_kmeans_update").collect()
+    assert(rows.length == 8 * 64)
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).distinct.length == rows.length)
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 64))
+  }
+
+  test("triangle participation counts are positive and canonical") {
+    val rows = run("g_triangles").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_.getLong(1) >= 1))
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val got = run("p_stream_stream_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("event_id").as("cid"), col("ts").as("cts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), col("event_id").as("pid"), col("ts").as("pts"))
+    val want = c.join(p, Seq("u"))
+      .filter(col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("interval 30 minutes"))
+      .select(col("u"), col("cid"), col("pid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == want)
+  }
 }

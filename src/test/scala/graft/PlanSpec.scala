@@ -65,4 +65,20 @@ class PlanSpec extends AnyFunSuite {
     assert(readSchema.nonEmpty, s"no ReadSchema in:\n$p")
     assert(!readSchema.contains("text"), s"text column not pruned: $readSchema")
   }
+
+  test("decontamination is a broadcast semi-join (corpus side never shuffles)") {
+    val p = plan("p_curate_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected broadcast semi join for the benchmark set in:\n$p")
+  }
+
+  test("triangle wedge stream is generated and checked without shuffling") {
+    // both the wedge join and the closing-edge semi-join must be
+    // broadcast: an exchange of the wedge stream (34x the edge list at
+    // sf0.1) was the 2.4x slowdown this plan shape removed
+    val p = plan("g_triangles")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected broadcast wedge + semi joins in:\n$p")
+    assert(p.contains("LeftSemi"), s"expected closing-edge semi join in:\n$p")
+  }
 }
