@@ -80,5 +80,29 @@ object IoOps {
       },
       Some("""SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
              |FROM documents GROUP BY source""".stripMargin)),
+
+    // ---- hive-partitioned layout + partition-pruned read --------------
+    // Writes events hive-partitioned by event type (`etype=<v>/` dirs —
+    // the directory layout a 100 TB landing zone uses so downstream
+    // readers touch only the partitions they ask for), then reads ONE
+    // partition back. The filter must become a PartitionFilter — zero
+    // data files of the other types are opened, which PlanSpec pins.
+    Q("p_io_partitioned",
+      (s, dir) => {
+        val out = scratch("hivepart", dir)
+        events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("event_type").as("etype"))
+          .write.mode("overwrite").partitionBy("etype").parquet(out)
+        s.read.parquet(out)
+          .filter(col("etype") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"))
+      },
+      Some("""SELECT user_id, count(*) AS n,
+             |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |FROM events WHERE event_type = 'purchase'
+             |GROUP BY user_id""".stripMargin)),
   )
 }

@@ -489,5 +489,48 @@ object RelOps {
              |  SELECT 1 FROM orders o
              |  WHERE o.o_custkey = c.c_custkey
              |    AND o.o_orderpriority = '1-URGENT')""".stripMargin)),
+
+    // --- bucketed co-located join: shuffle elimination by layout --------
+    // Both fact tables are written ONCE bucketed (+sorted) on the join
+    // key into the warehouse; the join then reads bucket i against
+    // bucket i with NO Exchange on either side — the layout-level answer
+    // to "this join shuffles 100 TB every day". The write is the
+    // amortized one-time cost a production pipeline pays at ingest; the
+    // hint("merge") pins SMJ so the plan demonstrates the bucketed path
+    // rather than AQE broadcasting the (locally small) orders side.
+    // PlanSpec asserts no hashpartitioning exchange on the join keys.
+    Q("q_join_bucketed",
+      (s, dir) => {
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        val ot = s"graft_bkt_orders_$tag"
+        val lt = s"graft_bkt_lineitem_$tag"
+        // The in-memory catalog dies with the session but the warehouse
+        // directory persists; Spark refuses a managed-table location it
+        // doesn't own, so clear any orphaned layout before rebuilding.
+        def build(name: String, df: => DataFrame, key: String): Unit =
+          if (!s.catalog.tableExists(name)) {
+            val wh = java.net.URI.create(
+              s.conf.get("spark.sql.warehouse.dir")).getPath
+            val loc = new java.io.File(wh, name)
+            if (loc.exists())
+              org.apache.commons.io.FileUtils.deleteDirectory(loc)
+            df.write.mode("overwrite").bucketBy(16, key)
+              .sortBy(key).format("parquet").saveAsTable(name)
+          }
+        build(ot, t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          "o_orderkey")
+        build(lt, t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+          "l_orderkey")
+        s.table(lt).hint("merge")
+          .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(dec2)).cast("double").as("sum_qty"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority""".stripMargin)),
   )
 }

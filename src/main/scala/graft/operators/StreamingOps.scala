@@ -31,17 +31,16 @@ object StreamingOps {
     * asserted >= stagedFiles by PipelineSpec. */
   @volatile var lastRunDataBatches: Int = -1
 
-  private def stream(s: SparkSession, dir: String): DataFrame = {
-    val raw = PipeData.eventsRaw(s, dir) // also sets nanosAsLong
-    val schema = raw.schema
+  /** Content tag of the events source: path AND fingerprint (mtime+size,
+    * recursive for directory-shaped parquet), so a regenerated
+    * events.parquet at the same path gets FRESH staging/sink dirs
+    * instead of being served a stale copy forever (ADVICE r03 — the
+    * _STAGED marker is permanent, so a path-only key never restages).
+    * hashCode is avoided because it could collide across scale-factor
+    * dirs and silently link the wrong file. Also keys the file-sink
+    * output/checkpoint dirs of p_stream_file_sink. */
+  private def srcTag(dir: String): String = {
     val src = java.nio.file.Paths.get(dir, "events.parquet").toRealPath()
-    // Staging name keyed by source path AND content fingerprint
-    // (mtime+size, recursive for directory-shaped parquet): a
-    // regenerated events.parquet at the same path gets a FRESH staging
-    // dir instead of being served the stale copy forever (ADVICE r03 —
-    // the _STAGED marker is permanent, so a path-only key never
-    // restages). hashCode is avoided because it could collide across
-    // scale-factor dirs and silently link the wrong file.
     val fingerprint = {
       val walk = java.nio.file.Files.walk(src)
       try walk.iterator().asScala
@@ -51,9 +50,15 @@ object StreamingOps {
         .toSeq.sorted.mkString("\n")
       finally walk.close()
     }
-    val tag = java.security.MessageDigest.getInstance("MD5")
+    java.security.MessageDigest.getInstance("MD5")
       .digest(s"$src\n$fingerprint".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def stream(s: SparkSession, dir: String): DataFrame = {
+    val raw = PipeData.eventsRaw(s, dir) // also sets nanosAsLong
+    val schema = raw.schema
+    val tag = srcTag(dir)
     val staged = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_stream3_" + tag)
     val marker = staged.resolve("_STAGED")
@@ -313,6 +318,39 @@ object StreamingOps {
              |  ON c.user_id = p.user_id
              | AND c.event_type = 'click' AND p.event_type = 'purchase'
              | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin)),
+
+    // ---- streaming file sink: exactly-once parquet landing ------------
+    // The production sink path memory-sink ops can't exercise: the
+    // parquet file sink commits each micro-batch atomically through its
+    // _spark_metadata log, and a restart against the same checkpoint
+    // reprocesses NOTHING (batch offsets are durable) — re-running this
+    // operator in a fresh session appends zero rows and returns the
+    // identical aggregate, which is exactly what the oracle pins. At
+    // 100 TB this is the landing-zone writer: per-batch atomic commits,
+    // idempotent on retry, partitioned output files.
+    Q("p_stream_file_sink",
+      (s, dir) => {
+        val tag = srcTag(dir)
+        val base = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_fsink_" + tag)
+        val q = stream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value"))
+          .writeStream.format("parquet")
+          .option("path", base.resolve("data").toString)
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+        s.read.schema("event_id LONG, user_id LONG, value DOUBLE")
+          .parquet(base.resolve("data").toString)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"))
+      },
+      Some("""SELECT user_id, count(*) AS n,
+             |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |FROM events WHERE event_type = 'purchase'
+             |GROUP BY user_id""".stripMargin)),
 
     // ---- stateless streaming ETL: filter + project + route ------------
     Q("p_stream_errors",

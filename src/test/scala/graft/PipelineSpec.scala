@@ -390,6 +390,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) >= 1))
   }
 
+  test("file sink is idempotent: a restarted run appends nothing") {
+    val first = run("p_stream_file_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // second run restarts against the same durable checkpoint: all
+    // source files are already committed, so the sink must not grow
+    val second = run("p_stream_file_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(first == second, "restarted file-sink run changed the landed data")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val got = run("p_stream_stream_join").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq

@@ -72,6 +72,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected broadcast semi join for the benchmark set in:\n$p")
   }
 
+  test("bucketed join reads co-located buckets with no join-key exchange") {
+    val p = plan("q_join_bucketed")
+    assert(p.contains("SortMergeJoin"), s"expected SMJ over buckets in:\n$p")
+    assert(!p.contains("hashpartitioning(l_orderkey") &&
+      !p.contains("hashpartitioning(o_orderkey"),
+      s"bucketed layout did not eliminate the join shuffle:\n$p")
+  }
+
+  test("partitioned layout prunes to one etype partition at the scan") {
+    val p = plan("p_io_partitioned")
+    assert(p.contains("PartitionFilters") && p.contains("etype"),
+      s"expected etype partition pruning in:\n$p")
+  }
+
   test("triangle wedge stream is generated and checked without shuffling") {
     // both the wedge join and the closing-edge semi-join must be
     // broadcast: an exchange of the wedge stream (34x the edge list at
