@@ -297,6 +297,38 @@ object GraphAlgos {
              |SELECT id, count(*) AS n_tri FROM corners
              |GROUP BY id ORDER BY n_tri DESC, id LIMIT 20""".stripMargin)),
 
+    // ---- GraphX integration: connectedComponents, oracle-checked ------
+    // Unlike PageRank (float math, rows-only), GraphX CC propagates min
+    // vertex ids — exact integers — and our DataFrame CC's labels are
+    // also min ids, so BOTH implementations and the DuckDB unrolled
+    // oracle must agree bit-for-bit on (comp, n). A genuinely
+    // hash-verified library integration: Pregel-on-RDD vs delta
+    // iteration-on-DataFrame vs recursive SQL, one answer.
+    Q("g_cc_graphx",
+      (s, dir) => {
+        import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
+        val sp = s
+        import sp.implicits._
+        val edgeRdd = allEdges(s, dir).as[(Long, Long)].rdd
+          .map { case (a, b) => Edge(a, b, ()) }
+        val g = Graph.fromEdges(edgeRdd, defaultValue = ())
+          .partitionBy(PartitionStrategy.EdgePartition2D)
+        val ccGraph = g.connectedComponents()
+        // fromEdges only materializes edge endpoints; nodes with no FK
+        // edge at all (possible: a part no lineitem references) are
+        // their own singleton components — restore them with a left
+        // join so the oracle's full-vertex-set semantics hold.
+        val out = Ckpt.eager(
+          allNodes(s, dir)
+            .join(ccGraph.vertices.toDF("id", "comp"), Seq("id"), "left")
+            .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+            .groupBy("comp").agg(count(lit(1)).as("n")))
+        ccGraph.unpersist(blocking = false)
+        g.unpersist(blocking = false)
+        out
+      },
+      Some(ccOracle)),
+
     // ---- GraphX integration: staticPageRank over the same edges -------
     // GraphX does its own double-precision math (not cross-engine
     // reproducible), so this is a rows-only check; the quantized
