@@ -401,6 +401,45 @@ object DedupOps {
               |          / (sqrt(a.nrm::DOUBLE) * sqrt(b.nrm::DOUBLE)) AS cos
               |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
               |SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= $cosineTau""".stripMargin)),
+
+    // ---- embedding near-dup, LSH-bucketed (the 100 TB path) -----------
+    // The scale twin of p_dedup_embedding: candidate pairs come from an
+    // 8-bit sign-LSH bucket equi-join (same data-independent projection
+    // as p_sim_lsh_bucket) instead of the all-pairs cross product, then
+    // exact fixed-point cosine verifies only the in-bucket pairs. One
+    // bucket shuffle + one candidate-scale verify — sub-quadratic the
+    // same way minhash-LSH is for text. Recall vs the exact op is the
+    // LSH trade (near-identical vectors share all 8 signs with high
+    // probability); the exact op remains the verification baseline.
+    Q("p_dedup_embedding_lsh",
+      (s, dir) => {
+        val e = quantized(s, dir)
+          .withColumn("bucket", expr(
+            "array_join(transform(slice(q, 1, 8), x -> if(x >= 0, '1', '0')), '')"))
+        val x = e.select(col("vec_id").as("a"), col("bucket"),
+          col("q").as("qa"), col("nrm").as("na"))
+        val y = e.select(col("vec_id").as("b"), col("bucket"),
+          col("q").as("qb"), col("nrm").as("nb"))
+        // threshold on the RAW cosine (round only for output), exactly
+        // like the exact op — keeps lsh-pairs ⊆ exact-pairs bit-true
+        x.join(y, Seq("bucket"))
+          .filter(col("a") < col("b"))
+          .withColumn("rawcos", cosine("qa", "na", "qb", "nb"))
+          .filter(col("rawcos") >= cosineTau)
+          .select(col("a"), col("b"), round(col("rawcos"), 6).as("cos"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS q
+              |       FROM embeddings),
+              |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nrm,
+              |        array_to_string(list_transform(q[1:8],
+              |          x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+              |      FROM e),
+              |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+              |        list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i]))::DOUBLE
+              |          / (sqrt(a.nrm::DOUBLE) * sqrt(b.nrm::DOUBLE)) AS cos
+              |      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= $cosineTau""".stripMargin)),
   )
 
   // Verified-pairs frame per (session, dir): the pair operator and the

@@ -390,6 +390,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) >= 1))
   }
 
+  test("LSH-bucketed embedding pairs are a subset of the exact pairs") {
+    val lsh = run("p_dedup_embedding_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = run("p_dedup_embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.keySet.subsetOf(exact.keySet), "LSH invented a pair")
+    for ((k, c) <- lsh) assert(c == exact(k), s"cosine drift on $k")
+  }
+
   test("file sink is idempotent: a restarted run appends nothing") {
     val first = run("p_stream_file_sink").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
