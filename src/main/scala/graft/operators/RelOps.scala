@@ -490,6 +490,64 @@ object RelOps {
              |  WHERE o.o_custkey = c.c_custkey
              |    AND o.o_orderpriority = '1-URGENT')""".stripMargin)),
 
+    // --- deep join tree: TPC-H Q5 local-supplier-volume shape -----------
+    // Six tables, two independent FK chains meeting on nationkey (the
+    // customer's and the supplier's nation must coincide). The fact-side
+    // chain (orders⨝lineitem) shuffles on its keys; every dimension
+    // (customer, supplier, nation, region) broadcasts — the mixed
+    // SMJ/BHJ tree Catalyst should pick for a star-with-a-twist at any
+    // scale. Region filter prunes before any join.
+    Q("q_join5_volume",
+      (s, dir) => {
+        val price = col("l_extendedprice").cast(dec2)
+        val disc  = col("l_discount").cast(dec2)
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(price * (lit(1) - disc)).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |  count(*) AS n_items
+             |FROM customer
+             |JOIN orders   ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation   ON s_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name""".stripMargin)),
+
+    // --- window rank family: percent_rank + cume_dist -------------------
+    // Relative standing of each order inside its priority class — the
+    // two rank-normalizing window functions the inventory lacked. Both
+    // are deterministic here without a tie-break column: equal totals
+    // receive equal percent_rank/cume_dist BY DEFINITION, so the output
+    // is a pure function of the value distribution.
+    Q("q_window_pct",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"))
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  round(percent_rank() OVER (PARTITION BY o_orderpriority
+             |                             ORDER BY o_totalprice), 6) AS pct_rank,
+             |  round(cume_dist() OVER (PARTITION BY o_orderpriority
+             |                          ORDER BY o_totalprice), 6) AS cume
+             |FROM orders""".stripMargin)),
+
     // --- bucketed co-located join: shuffle elimination by layout --------
     // Both fact tables are written ONCE bucketed (+sorted) on the join
     // key into the warehouse; the join then reads bucket i against
