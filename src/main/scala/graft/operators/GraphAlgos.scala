@@ -177,6 +177,77 @@ object GraphAlgos {
       },
       Some(ccOracle)),
 
+    // ---- connected components: alternating large-star/small-star ------
+    // The 100 TB CC algorithm (Kiveris et al., "Connected Components in
+    // MapReduce and Beyond"): instead of propagating labels along edges
+    // (rounds ~ graph diameter), each round REWIRES the edge set itself
+    // — large-star hangs every larger neighbor under the neighborhood
+    // minimum, small-star recompresses the rest — converging in
+    // O(log n) rounds on ANY graph shape to stars rooted at component
+    // minima. Same fixed point as min-label propagation, so the same
+    // unrolled oracle applies; PipelineSpec additionally pins star ≡
+    // delta-iteration equality. Each round is two groupBy+join passes
+    // over the current edge set (shrinking fast), with the same
+    // checkpoint-per-round lineage discipline as the delta iteration.
+    Q("g_connected_components_star",
+      (s, dir) => {
+        val maxRounds = 8
+        val e0 = allEdges(s, dir)
+        var edges = Ckpt.eager(
+          e0.filter(col("src") =!= col("dst"))
+            .select(least(col("src"), col("dst")).as("u"),
+              greatest(col("src"), col("dst")).as("v")).distinct())
+        var converged = false
+        var round = 0
+        while (round < maxRounds && !converged) {
+          round += 1
+          // neighborhoods over both orientations of the current edges
+          val und = edges.select(col("u"), col("v"))
+            .union(edges.select(col("v").as("u"), col("u").as("v")))
+          val withM = und
+            .join(und.groupBy("u").agg(min("v").as("mn")), Seq("u"))
+            .withColumn("m", least(col("mn"), col("u")))
+          // large-star: strictly larger neighbors hang under m. ONE
+          // distinct here (it also canonicalizes: m < v always), so the
+          // small-star pass reads a deduped frame; self-loops (v == m)
+          // drop with the same filter.
+          val large = withM.filter(col("v") > col("u") && col("v") =!= col("m"))
+            .select(col("m").as("u"), col("v")).distinct()
+          val undL = large.select(col("u"), col("v"))
+            .union(large.select(col("v").as("u"), col("u").as("v")))
+          val withM2 = undL
+            .join(undL.groupBy("u").agg(min("v").as("mn")), Seq("u"))
+            .withColumn("m", least(col("mn"), col("u")))
+          // small-star: smaller neighbors AND the center hang under m;
+          // one terminal distinct canonicalizes (m is the smaller end)
+          val small = Ckpt.eager(
+            withM2.filter(col("v") < col("u"))
+              .select(col("m").as("u"), col("v").as("v2"))
+              .union(withM2.select(col("m").as("u"), col("u").as("v2")))
+              .filter(col("u") =!= col("v2"))
+              .select(col("u"), col("v2").as("v")).distinct())
+          // both sides are distinct sets: equal cardinality (cheap scan
+          // of two materialized frames) + empty one-sided difference
+          // <=> set equality; the anti-join only runs once counts agree,
+          // and never before round 3 (the theoretical minimum here)
+          converged = round >= 3 && small.count() == edges.count() &&
+            small.exceptAll(edges).isEmpty
+          Ckpt.drop(edges)
+          edges = small
+        }
+        require(converged,
+          s"star CC not converged after $maxRounds rounds")
+        // converged edges are (leaf, root) stars; roots and isolated
+        // nodes label themselves
+        val comp = allNodes(s, dir)
+          .join(edges.select(col("v").as("id2"), col("u").as("root"))
+            .groupBy("id2").agg(min("root").as("root")),
+            col("id") === col("id2"), "left")
+          .select(col("id"), coalesce(col("root"), col("id")).as("comp"))
+        comp.groupBy("comp").agg(count(lit(1)).as("n"))
+      },
+      Some(ccOracle)),
+
     // ---- PageRank: 8 fixed-point power iterations ---------------------
     Q("g_pagerank",
       (s, dir) => {

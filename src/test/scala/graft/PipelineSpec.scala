@@ -390,6 +390,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) >= 1))
   }
 
+  test("three CC implementations agree: delta iteration, star, GraphX") {
+    def comps(name: String) = run(name).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val delta = comps("g_connected_components")
+    assert(comps("g_connected_components_star") == delta)
+    assert(comps("g_cc_graphx") == delta)
+  }
+
   test("LSH-bucketed embedding pairs are a subset of the exact pairs") {
     val lsh = run("p_dedup_embedding_lsh").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
