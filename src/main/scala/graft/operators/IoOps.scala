@@ -81,6 +81,66 @@ object IoOps {
       Some("""SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
              |FROM documents GROUP BY source""".stripMargin)),
 
+    // ---- corrupt-record tolerance: PERMISSIVE JSON landing ------------
+    // Real landing zones contain malformed records; dropping the batch
+    // is not an option at 100 TB. Every 7th purchase line is written
+    // deterministically truncated; the PERMISSIVE read routes bad lines
+    // into _corrupt_record (schema fields null) instead of failing the
+    // scan, and the aggregate accounts for both populations — the
+    // quarantine-and-continue pattern, with the router on the
+    // oracle-checked path.
+    Q("p_io_jsonl_corrupt",
+      (s, dir) => {
+        val out = scratch("jsonlbad", dir)
+        events(s, dir).filter(col("event_type") === "purchase")
+          .select(when(col("event_id") % 7 === 0,
+              concat(lit("{\"event_id\":"), col("event_id"), lit(",TRUNC")))
+            .otherwise(to_json(struct(col("event_id"), col("user_id"), col("value"))))
+            .as("value"))
+          .write.mode("overwrite").text(out)
+        s.read
+          .schema("event_id LONG, user_id LONG, value DOUBLE, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(out)
+          .groupBy(col("_corrupt_record").isNotNull.as("quarantined"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"))
+      },
+      Some("""SELECT event_id % 7 = 0 AS quarantined, count(*) AS n,
+             |  CAST(sum(CASE WHEN event_id % 7 <> 0
+             |           THEN CAST(round(value * 100, 0) AS BIGINT) END) AS BIGINT) AS cents
+             |FROM events WHERE event_type = 'purchase'
+             |GROUP BY 1""".stripMargin)),
+
+    // ---- small-file compaction --------------------------------------
+    // The table-maintenance op every long-lived 100 TB dataset needs:
+    // a landing zone hive-partitioned by (type, day) accumulates one+
+    // tiny file per partition (the classic small-file problem — here
+    // ~35 partitions for one day's worth of events); compaction
+    // rewrites it into 4 size-targeted shards. The aggregate reads FROM
+    // THE COMPACTED COPY so any row lost/duplicated by the rewrite
+    // hash-mismatches; the shard-count collapse is spec-pinned.
+    Q("p_io_compact",
+      (s, dir) => {
+        val frag = scratch("frag", dir)
+        val comp = scratch("compact", dir)
+        events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .write.mode("overwrite").partitionBy("event_type", "day").parquet(frag)
+        val back = s.read.parquet(frag)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+        back.repartition(4).write.mode("overwrite").parquet(comp)
+        s.read.parquet(comp)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |       count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // ---- hive-partitioned layout + partition-pruned read --------------
     // Writes events hive-partitioned by event type (`etype=<v>/` dirs —
     // the directory layout a 100 TB landing zone uses so downstream

@@ -390,6 +390,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) >= 1))
   }
 
+  test("compaction collapses the fragmented layout to 4 shards, losslessly") {
+    run("p_io_compact").collect() // side effect: builds frag + compact dirs
+    def parts(d: String): Int = {
+      val f = new java.io.File(d)
+      if (!f.exists()) 0
+      else f.listFiles().map(c =>
+        if (c.isDirectory) parts(c.getPath)
+        else if (c.getName.endsWith(".parquet")) 1 else 0).sum
+    }
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val tmp = sys.props("java.io.tmpdir")
+    val nFrag = parts(s"$tmp/graft_io_frag_$tag")
+    val nComp = parts(s"$tmp/graft_io_compact_$tag")
+    assert(nComp == 4, s"expected 4 compacted shards, got $nComp")
+    assert(nFrag > nComp, s"fragmented layout ($nFrag files) not larger")
+  }
+
   test("three CC implementations agree: delta iteration, star, GraphX") {
     def comps(name: String) = run(name).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
