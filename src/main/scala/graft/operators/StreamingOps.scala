@@ -319,6 +319,84 @@ object StreamingOps {
              | AND c.event_type = 'click' AND p.event_type = 'purchase'
              | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin)),
 
+    // ---- custom sessionization: arbitrary state + event-time timeout --
+    // The same session semantics as p_stream_sessions, rebuilt on the
+    // RAW state API — the shape you need the moment session logic stops
+    // being expressible as session_window (per-session caps, dynamic
+    // gaps, session-scoped aggregates). State per user = the ordered
+    // list of not-yet-emittable sessions (all closed ones plus the one
+    // open tail); a session is emitted only once the EVENT-TIME
+    // watermark passes its close time (last + gap), either on the data
+    // path or via GroupStateTimeout.EventTimeTimeout when the key goes
+    // quiet — never on close-by-successor, which would leak
+    // still-retractable sessions at the stream frontier. Must equal
+    // BOTH the session_window op and the batch oracle.
+    Q("p_stream_sessions_state",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val gapUs = 30L * 60 * 1000000 // 30 min in micros (ts domain)
+        // the watermarked TIMESTAMP column must survive projection all
+        // the way into the stateful operator (a unix_micros() rewrite
+        // would strip the watermark and event-time timeouts with it)
+        val typed = stream(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .withWatermark("ts", "2 hours")
+          .as[(Long, Long, java.sql.Timestamp)]
+        def us(t: java.sql.Timestamp): Long =
+          Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+        // state: sessions as (start, last, n), disjoint, sorted by start
+        val out = typed.groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+            (user: Long, evs: Iterator[(Long, Long, java.sql.Timestamp)],
+             state: GroupState[Seq[(Long, Long, Long)]]) => {
+              val wmUs = state.getCurrentWatermarkMs() * 1000
+              var sessions = state.getOption.getOrElse(Seq.empty)
+              for ((_, eid, ts) <- evs.toSeq
+                  .map(e => (e._1, e._2, us(e._3))).sortBy(e => (e._3, e._2))) {
+                sessions.lastOption match {
+                  case Some((st, last, n)) if ts - last < gapUs =>
+                    sessions = sessions.init :+ (st, math.max(last, ts), n + 1)
+                  case _ =>
+                    sessions = sessions :+ ((ts, ts, 1L))
+                }
+              }
+              // emit every session the watermark has sealed (close time
+              // last+gap <= wm); disjointness makes this a prefix drain
+              val (emit, keep) = sessions.partition(_._2 + gapUs <= wmUs)
+              if (keep.isEmpty) state.remove()
+              else {
+                state.update(keep)
+                // earliest pending close time is > wm (else it drained),
+                // so this never violates the must-be-after-watermark rule
+                state.setTimeoutTimestamp((keep.head._2 + gapUs) / 1000)
+              }
+              emit.iterator.map { case (st, _, n) => (user, st, n) }
+            })
+        runToTable(
+          out.toDF("user_id", "start_us", "n_events")
+            .select(col("user_id"),
+              timestamp_micros(col("start_us")).as("session_start"),
+              col("n_events")),
+          "append")
+      },
+      // identical session semantics => identical oracle as p_stream_sessions
+      Some("""WITH x AS (SELECT user_id, ts,
+             |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |            >= INTERVAL 30 MINUTE
+             |       OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |       THEN 1 ELSE 0 END AS new_s
+             |  FROM events),
+             |y AS (SELECT user_id, ts,
+             |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                         ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM x)
+             |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+             |FROM y GROUP BY user_id, sid
+             |HAVING max(ts) + INTERVAL 30 MINUTE <=
+             |       (SELECT max(ts) FROM events) - INTERVAL 2 HOUR""".stripMargin)),
+
     // ---- streaming file sink: exactly-once parquet landing ------------
     // The production sink path memory-sink ops can't exercise: the
     // parquet file sink commits each micro-batch atomically through its

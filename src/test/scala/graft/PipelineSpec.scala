@@ -390,6 +390,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) >= 1))
   }
 
+  test("custom-state sessionization equals built-in session_window") {
+    def rows(name: String) = run(name).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).sorted.toSeq
+    assert(rows("p_stream_sessions_state") == rows("p_stream_sessions"))
+  }
+
   test("compaction collapses the fragmented layout to 4 shards, losslessly") {
     run("p_io_compact").collect() // side effect: builds frag + compact dirs
     def parts(d: String): Int = {
