@@ -85,6 +85,11 @@ object GraftFunctions {
     fns.foreach { case (id, info, builder) =>
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
     }
+    // post-hoc sessions can't inject optimizer rules; experimental
+    // optimizations run as a final batch, which is all the rewrite needs
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(IntersectCountRewrite))
+      spark.experimental.extraOptimizations = extra :+ IntersectCountRewrite
   }
 
   /** Builder for `spark.sql.extensions=graft.functions.GraftExtensions`
@@ -94,11 +99,13 @@ object GraftFunctions {
       e.injectFunction((id, info, builder))
     }
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => IntersectCountRewrite)
   }
 }
 
-/** Entry point for `spark.sql.extensions`: the engine's native function
-  * (array_dot_long) and planner strategy (as-of join). */
+/** Entry point for `spark.sql.extensions`: the engine's native functions
+  * (array_dot_long, array_intersect_count), the size∘array_intersect →
+  * native-kernel optimizer rewrite, and the as-of join planner strategy. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = GraftFunctions.inject(e)
 }

@@ -7,15 +7,17 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `array_intersect_count(a, b)`: |a ∩ b| for two string arrays whose
-  * elements are distinct within each array (set semantics — the shape the
-  * dedup verify stage produces by construction: per-document DISTINCT
-  * shingle sets). Equivalent to `size(array_intersect(a, b))` on such
-  * inputs, but the generated code builds one hash set from the right
-  * array and counts membership of the left — no intermediate intersection
-  * array is materialized per row-pair, which matters when the verify
-  * stage scores millions of candidate pairs (the whole row's work is this
-  * one expression). Null elements are ignored (shingles are non-null).
+/** `array_intersect_count(a, b)`: |distinct(a) ∩ distinct(b)| for two
+  * string arrays — exactly `size(array_intersect(a, b))` for null-free
+  * arrays, without materializing the intersection array per row-pair
+  * (which matters when the dedup verify stage scores millions of
+  * candidate pairs: the whole row's work is this one expression). The
+  * kernel builds one hash set from the right array and REMOVES each
+  * matched left element as it counts, so duplicate elements on either
+  * side count once — set semantics on arbitrary inputs, not just the
+  * pre-distincted shingle sets the verify stage feeds it. Null elements
+  * are ignored (the Catalyst rewrite rule in graft.functions.Rewrites
+  * therefore only fires on containsNull=false schemas).
   *
   * Same preference order as ArrayDotLong (SURVEY.md §2): compose
   * built-ins first; reach for a native `Expression` with `doGenCode` when
@@ -50,7 +52,8 @@ case class ArrayIntersectCount(left: Expression, right: Expression)
     var c = 0L
     i = 0
     while (i < x.numElements()) {
-      if (!x.isNullAt(i) && set.contains(x.getUTF8String(i))) c += 1L
+      // remove-on-match: duplicates in x count once, set dedups y
+      if (!x.isNullAt(i) && set.remove(x.getUTF8String(i))) c += 1L
       i += 1
     }
     c
@@ -70,7 +73,7 @@ case class ArrayIntersectCount(left: Expression, right: Expression)
          |}
          |long $c = 0L;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
-         |  if (!$a.isNullAt($i) && $set.contains($a.getUTF8String($i))) $c++;
+         |  if (!$a.isNullAt($i) && $set.remove($a.getUTF8String($i))) $c++;
          |}
          |${ev.value} = $c;
        """.stripMargin
