@@ -117,6 +117,64 @@ object CurateOps {
              |       round(n::DOUBLE / n_bigrams, 6) AS top_frac
              |FROM ranked WHERE rnk = 1""".stripMargin)),
 
+    // ---- the full curation pipeline, composed end-to-end --------------
+    // What a corpus actually goes through before training, as ONE
+    // oracle-checked dataflow: exact dedup (survivor = min doc_id per
+    // content hash) → benchmark decontamination (zero 3-gram overlap,
+    // broadcast semi-join) → quality gate (length + type-token ratio,
+    // compared in exact integer cross-multiplication — no float
+    // boundary) → deterministic per-language mixture sampling. Each
+    // stage is the same shape as its standalone operator; the
+    // composition itself is what a pipeline run executes, so it is
+    // pinned as its own operator. Output: the kept training set.
+    Q("p_curate_pipeline",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val surv = d.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val sh = shingles(s, dir)
+        val bench = sh.filter(col("doc_id") % 20 === 0)
+          .select(col("shingle")).distinct()
+        val contaminated = sh.filter(col("doc_id") % 20 =!= 0)
+          .join(broadcast(bench), Seq("shingle"), "left_semi")
+          .select(col("doc_id")).distinct()
+        val rates = Map("en" -> 8, "es" -> 4, "de" -> 4, "fr" -> 2, "zh" -> 2)
+        val rateExpr = rates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+          .mkString("CASE ", " ", " ELSE 0 END")
+        val digit = "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"
+        d.join(surv, Seq("doc_id"), "left_semi")
+          .filter(col("doc_id") % 20 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("n_words", size(col("ws")))
+          .withColumn("n_uniq", size(array_distinct(col("ws"))))
+          // ttr > 0.2  <=>  5 * n_uniq > n_words, in exact integers
+          .filter(col("n_words") >= 5 && col("n_uniq") * 5 > col("n_words"))
+          .filter(expr(s"($digit) < ($rateExpr)"))
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some("""WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents
+             |              GROUP BY md5(text)),
+             |dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+             |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle FROM dd),
+             |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+             |bench AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 20 = 0),
+             |contaminated AS (SELECT DISTINCT doc_id FROM dsh JOIN bench USING (shingle)
+             |                 WHERE doc_id % 20 <> 0)
+             |SELECT d.doc_id, d.lang, d.source
+             |FROM documents d
+             |JOIN surv USING (doc_id)
+             |JOIN dd USING (doc_id)
+             |WHERE d.doc_id % 20 <> 0
+             |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+             |  AND len(ws) >= 5 AND 5 * len(list_distinct(ws)) > len(ws)
+             |  AND (strpos('0123456789abcdef', substr(md5(d.doc_id::VARCHAR), 1, 1)) - 1)
+             |      < (CASE WHEN lang = 'en' THEN 8 WHEN lang = 'es' THEN 4
+             |              WHEN lang = 'de' THEN 4 WHEN lang = 'fr' THEN 2
+             |              WHEN lang = 'zh' THEN 2 ELSE 0 END)""".stripMargin)),
+
     // ---- proportional source mixing -----------------------------------
     // Down-sample each source to a target mixture: source srcN gets
     // weight (N % 4) + 1, the target budget is half the corpus, and each

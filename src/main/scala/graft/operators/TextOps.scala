@@ -198,5 +198,44 @@ object TextOps {
              |       (list_sort(list(h)))[2] AS fp2,
              |       count(*) AS n_shingles
              |FROM dsh GROUP BY doc_id""".stripMargin)),
+
+    // ---- unigram log-frequency score (CCNet-style LM-perplexity proxy)
+    // Per doc: mean negative log unigram probability under the corpus's
+    // own unigram model — the cheap stand-in for LM-perplexity quality
+    // filtering (high score = rare-word-heavy = candidate junk; low =
+    // boilerplate). Two shuffles: the corpus frequency table and the
+    // per-doc aggregate. Each ln() is quantized to 1e-9 fixed point
+    // BEFORE summation so the per-doc sum is an exact int64 — order-free
+    // across partitions and engines — and only the final mean divides
+    // in double.
+    Q("p_text_logfreq",
+      (s, dir) => {
+        val w = words(s, dir)
+          .select(col("doc_id"), explode(col("ws")).as("w"))
+        val freq = w.groupBy("w").agg(count(lit(1)).as("c"))
+        val tot = freq.agg(sum("c").as("n"))
+        w.join(freq, Seq("w"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            expr("cast(round(ln(cast(n as double) / c) * 1000000000, 0) as bigint)")
+              .as("q"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("q")).as("sq"))
+          .select(col("doc_id"), col("n_words"),
+            round(col("sq").cast("double") / (col("n_words") * lit(1000000000L)), 6)
+              .as("logfreq"))
+      },
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |           FROM documents),
+             |f AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+             |q AS (SELECT doc_id,
+             |        CAST(round(ln(n::DOUBLE / c) * 1000000000, 0) AS BIGINT) AS q
+             |      FROM w JOIN f USING (w), t)
+             |SELECT doc_id, count(*) AS n_words,
+             |       round(CAST(sum(q) AS BIGINT)::DOUBLE
+             |             / (count(*) * 1000000000), 6) AS logfreq
+             |FROM q GROUP BY doc_id""".stripMargin)),
   )
 }
