@@ -141,6 +141,32 @@ object IoOps {
              |       count(DISTINCT user_id) AS n_users
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // ---- sort-clustered layout: zone-map pruning ----------------------
+    // The other half of layout design besides partitioning: range-
+    // repartition + sort within partitions on the filter column, so
+    // every parquet row group carries tight ts min/max stats and a
+    // time-range scan skips whole files/row groups via footer stats
+    // (zone maps). The predicate must reach the scan as a PushedFilter
+    // — PlanSpec pins that; the aggregate reads only the first day.
+    Q("p_io_sorted",
+      (s, dir) => {
+        val out = scratch("sorted", dir)
+        val ev = events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        ev.repartitionByRange(8, col("ts"))
+          .sortWithinPartitions(col("ts"))
+          .write.mode("overwrite").parquet(out)
+        val lo = ev.agg(min(col("ts"))).collect()(0).getTimestamp(0)
+        s.read.parquet(out)
+          .filter(col("ts") < lit(lo) + expr("interval 24 hours"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+             |FROM events
+             |WHERE ts < (SELECT min(ts) FROM events) + INTERVAL 24 HOUR
+             |GROUP BY event_type""".stripMargin)),
+
     // ---- hive-partitioned layout + partition-pruned read --------------
     // Writes events hive-partitioned by event type (`etype=<v>/` dirs —
     // the directory layout a 100 TB landing zone uses so downstream

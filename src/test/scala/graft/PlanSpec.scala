@@ -66,6 +66,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("text"), s"text column not pruned: $readSchema")
   }
 
+  test("six-table join tree has no cartesian product and broadcasts dims") {
+    val p = plan("q_join5_volume")
+    assert(!p.contains("CartesianProduct"), s"cartesian in join tree:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast dims in:\n$p")
+  }
+
+  test("sorted layout pushes the time predicate into the parquet scan") {
+    val p = plan("p_io_sorted")
+    val pushed = p.lines.filter(l =>
+      l.contains("PushedFilters") && l.contains("ts")).findFirst.orElse("")
+    assert(pushed.contains("LessThan"), s"ts range not pushed: $pushed\n$p")
+  }
+
   test("decontamination is a broadcast semi-join (corpus side never shuffles)") {
     val p = plan("p_curate_decontaminate")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
