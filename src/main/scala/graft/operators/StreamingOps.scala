@@ -319,6 +319,28 @@ object StreamingOps {
              | AND c.event_type = 'click' AND p.event_type = 'purchase'
              | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin)),
 
+    // ---- update-mode running counts -----------------------------------
+    // The third output mode: each micro-batch emits only the keys whose
+    // aggregate CHANGED (the dashboard/serving-store feed — complete
+    // mode re-emits the world, append can't update). The memory sink
+    // therefore holds one row per (key, batch-it-changed-in); counts
+    // only grow, so max(n) per key is the final state, which is what
+    // the oracle pins. A spec additionally pins that multiple batches
+    // really contributed updates.
+    Q("p_stream_counts_update",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        runToTable(
+          stream(s, dir)
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n")),
+          "update")
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).as("n_events"))
+      },
+      Some("""SELECT user_id, count(*) AS n_events
+             |FROM events GROUP BY user_id""".stripMargin)),
+
     // ---- custom sessionization: arbitrary state + event-time timeout --
     // The same session semantics as p_stream_sessions, rebuilt on the
     // RAW state API — the shape you need the moment session logic stops

@@ -390,6 +390,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) >= 1))
   }
 
+  test("update mode runs multi-batch and lands one final row per user") {
+    val finalRows = run("p_stream_counts_update").count()
+    val users = events.select("user_id").distinct().count()
+    assert(finalRows == users, "final state must be one row per user")
+    assert(StreamingOps.lastRunDataBatches >= StreamingOps.stagedFiles,
+      "update-mode run did not span the staged micro-batches")
+  }
+
   test("custom-state sessionization equals built-in session_window") {
     def rows(name: String) = run(name).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).sorted.toSeq
