@@ -115,7 +115,75 @@ object GraphAlgos {
        |SELECT id, rank FROM r$prIters ORDER BY rank DESC, id LIMIT 100""".stripMargin
   }
 
+  /** BFS source: region 0's node id (GraphLoader id scheme). */
+  private val bfsSrc = 1000000000L
+  private val bfsIters = 9 // diameter bound + margin, same story as ccIters
+
+  // Unrolled frontier BFS over the undirected graph: d_i(v) =
+  // min(d_{i-1}(v), min over neighbors u of d_{i-1}(u) + 1). Same
+  // MATERIALIZED discipline as ccOracle.
+  private lazy val bfsOracle: String = {
+    val steps = (1 to bfsIters).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT x.id, min(x.d) AS d FROM (
+         |  SELECT id, d FROM d${i - 1}
+         |  UNION ALL SELECT ue.dst AS id, d${i - 1}.d + 1
+         |  FROM ue JOIN d${i - 1} ON ue.src = d${i - 1}.id) x GROUP BY x.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS MATERIALIZED ($nodeSql),
+       |e AS MATERIALIZED ($edgeSql),
+       |ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |d0 AS MATERIALIZED (SELECT id, 0::BIGINT AS d FROM nn WHERE id = $bfsSrc),
+       |$steps
+       |SELECT d AS dist, count(*) AS n FROM d$bfsIters GROUP BY d""".stripMargin
+  }
+
   val all: List[Q] = List(
+
+    // ---- single-source BFS: frontier delta iteration ------------------
+    // Hop-distance histogram from region 0 over the undirected FK graph
+    // — the reachability/radius probe you run on an unknown graph after
+    // degree_dist. Pure frontier propagation: only nodes whose distance
+    // IMPROVED last superstep send messages (a node's distance can only
+    // be set once in unweighted BFS, so the frontier is exactly the
+    // newly-discovered set — message volume is each BFS level once,
+    // sum |V| total, not |V|×diameter). Same pre-partitioned invariant
+    // edge frame, checkpoint-per-superstep, and early-exit + loud
+    // non-convergence discipline as the CC delta iteration.
+    Q("g_bfs",
+      (s, dir) => {
+        val e = allEdges(s, dir)
+        val ue = Ckpt.eager(
+          e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+            .repartition(col("src")))
+        val src = allNodes(s, dir).filter(col("id") === bfsSrc)
+          .select(col("id"), lit(0L).as("d"))
+        var dists: DataFrame = Ckpt.eager(src)
+        var frontier: DataFrame = Ckpt.eager(src)
+        var converged = false
+        var step = 0
+        while (step < bfsIters && !converged) {
+          step += 1
+          val cand = ue.join(frontier, ue("src") === frontier("id"))
+            .select(ue("dst").as("id"), (col("d") + 1).as("cand"))
+            .groupBy("id").agg(min("cand").as("cand"))
+          // newly-discovered nodes only: anything already in dists keeps
+          // its (provably smaller) distance
+          val next = Ckpt.eager(
+            cand.join(dists, Seq("id"), "left_anti")
+              .select(col("id"), col("cand").as("d")))
+          val merged = Ckpt.eager(dists.union(next))
+          Ckpt.drop(dists)    // merged is materialized
+          Ckpt.drop(frontier) // cand was consumed into next
+          dists = merged
+          frontier = next
+          converged = frontier.isEmpty
+        }
+        Ckpt.drop(ue); Ckpt.drop(frontier)
+        require(converged, s"BFS not converged after $bfsIters supersteps")
+        dists.groupBy(col("d").as("dist")).agg(count(lit(1)).as("n"))
+      },
+      Some(bfsOracle)),
 
     // ---- connected components: delta min-label propagation ------------
     Q("g_connected_components",
