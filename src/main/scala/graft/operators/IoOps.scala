@@ -98,12 +98,18 @@ object IoOps {
             .otherwise(to_json(struct(col("event_id"), col("user_id"), col("value"))))
             .as("value"))
           .write.mode("overwrite").text(out)
+        // quarantine test = schema field nullity, NOT the corrupt column:
+        // a malformed line nulls every schema field (event_id is never
+        // null in well-formed rows), and Spark disallows aggregates that
+        // the optimizer prunes down to only the internal corrupt-record
+        // column (QUERY_ONLY_CORRUPT_RECORD_COLUMN — hit when count(*)
+        // pruning drops the data columns)
         s.read
           .schema("event_id LONG, user_id LONG, value DOUBLE, _corrupt_record STRING")
           .option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", "_corrupt_record")
           .json(out)
-          .groupBy(col("_corrupt_record").isNotNull.as("quarantined"))
+          .groupBy(col("event_id").isNull.as("quarantined"))
           .agg(count(lit(1)).as("n"),
             sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"))
       },
