@@ -32,6 +32,14 @@ object Ckpt {
     c
   }
 
+  /** Eager localCheckpoint OUTSIDE the drain ledger: for frames memoized
+    * across queries (the graph loader's undirected edge frame). A
+    * drained localCheckpoint is unrecoverable — lineage is gone — so a
+    * cross-query cache must never enter [[drain]]'s sweep; pinned frames
+    * live until their session stops (their owners evict on isStopped). */
+  def pinned(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
+
   /** Release one checkpoint's blocks now. */
   def drop(ds: Dataset[_]): Unit = {
     live.remove(ds)

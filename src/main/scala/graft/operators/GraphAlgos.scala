@@ -52,6 +52,25 @@ object GraphAlgos {
     (g.nodes - "tag").values.map(_.select("id")).reduce(_ union _)
   }
 
+  /** The undirected, src-pre-partitioned edge frame every label/distance
+    * propagation joins against — built (one 2×|E| shuffle + checkpoint)
+    * ONCE per (session, dir) and shared by CC and BFS instead of each
+    * op re-shuffling it. Pinned outside the Ckpt drain ledger (a
+    * drained localCheckpoint is unrecoverable); evicted when its
+    * session stops, same discipline as GraphLoader's lineitem cache. */
+  private val ueFrames =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def undirectedEdges(s: SparkSession, dir: String): DataFrame = {
+    ueFrames.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    ueFrames.getOrElseUpdate((s, dir), {
+      val e = allEdges(s, dir)
+      Ckpt.pinned(
+        e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+          .repartition(col("src")))
+    })
+  }
+
   // ---- shared oracle SQL fragments (mirror GraphLoader's id scheme) ----
 
   private def liSql: String =
@@ -152,10 +171,7 @@ object GraphAlgos {
     // non-convergence discipline as the CC delta iteration.
     Q("g_bfs",
       (s, dir) => {
-        val e = allEdges(s, dir)
-        val ue = Ckpt.eager(
-          e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-            .repartition(col("src")))
+        val ue = undirectedEdges(s, dir)
         val src = allNodes(s, dir).filter(col("id") === bfsSrc)
           .select(col("id"), lit(0L).as("d"))
         var dists: DataFrame = Ckpt.eager(src)
@@ -179,7 +195,7 @@ object GraphAlgos {
           frontier = next
           converged = frontier.isEmpty
         }
-        Ckpt.drop(ue); Ckpt.drop(frontier)
+        Ckpt.drop(frontier) // ue is the shared pinned frame — not ours to drop
         require(converged, s"BFS not converged after $bfsIters supersteps")
         dists.groupBy(col("d").as("dist")).agg(count(lit(1)).as("n"))
       },
@@ -188,14 +204,11 @@ object GraphAlgos {
     // ---- connected components: delta min-label propagation ------------
     Q("g_connected_components",
       (s, dir) => {
-        val e = allEdges(s, dir)
-        // Pre-partition the (large, loop-invariant) edge frame by the
-        // join key ONCE — the checkpoint preserves its partitioning, so
-        // each superstep's join only shuffles the (small) labels side
-        // instead of re-shuffling 2×|E| rows every superstep.
-        val ue = Ckpt.eager(
-          e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-            .repartition(col("src")))
+        // Pre-partitioned loop-invariant edge frame, built once per
+        // (session, dir) and SHARED with g_bfs — each superstep's join
+        // only shuffles the (small) labels side, and the 2×|E| build
+        // shuffle is paid once per session, not once per operator.
+        val ue = undirectedEdges(s, dir)
         // Delta propagation: only labels that DECREASED last round send
         // messages. Per-round labels are provably identical to full
         // propagation (a neighbor unchanged since round r already
@@ -238,7 +251,6 @@ object GraphAlgos {
             .select(col("id"), col("cand").as("comp"))
           converged = changed.isEmpty
         }
-        Ckpt.drop(ue)
         require(converged,
           s"connected components not converged after $ccIters supersteps")
         labels.groupBy("comp").agg(count(lit(1)).as("n"))
