@@ -390,6 +390,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) >= 1))
   }
 
+  test("observe() metrics match the materialized result (pipeline monitoring)") {
+    // The production observability hook: named metrics ride the job
+    // itself (no second scan), the contract a 100 TB pipeline uses for
+    // row-count/quality accounting on every stage boundary.
+    val obs = new org.apache.spark.sql.Observation("docs_stats")
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+      .observe(obs, count(lit(1)).as("rows"), sum(col("n_chars")).as("chars"))
+      .filter(col("lang") === "en")
+    val enRows = df.count()
+    val m = obs.get
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+    assert(m("rows") == all.count())
+    assert(m("chars") == all.agg(sum("n_chars")).collect()(0).getLong(0))
+    assert(enRows < m("rows").asInstanceOf[Long])
+  }
+
   test("update mode runs multi-batch and lands one final row per user") {
     val finalRows = run("p_stream_counts_update").count()
     val users = events.select("user_id").distinct().count()
