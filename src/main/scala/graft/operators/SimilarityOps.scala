@@ -137,6 +137,51 @@ object SimilarityOps {
              |           FROM scored)
              |SELECT vec_id, centroid_id, cos FROM ranked WHERE rank = 1""".stripMargin)),
 
+    // ---- product-quantization code assignment (IVF-PQ compression) ----
+    // The compression half of a production ANN index: the 64-dim vector
+    // splits into 8 sub-vectors of 8 dims; each sub-vector is assigned
+    // to its nearest sub-centroid (codebook = the first 4 vectors'
+    // sub-blocks — data-independent seed, same convention as p_sim_ivf),
+    // yielding an 8-byte code per vector instead of 256 float bytes.
+    // Distances are exact int64 (‖x‖² − 2x·c + ‖c‖² via array_dot_long
+    // on quantized blocks), argmin tie-breaks on code id — fully
+    // engine-independent. One broadcast of the (K×8-block) codebook, one
+    // pass over the corpus: the 100 TB shape.
+    Q("p_sim_pq",
+      (s, dir) => {
+        val e = quantized(s, dir)
+        val blocks = e.select(col("vec_id"),
+          explode(expr(
+            "transform(sequence(0, 7), b -> struct(b as block, slice(q, b*8+1, 8) as sub))"))
+            .as("x"))
+          .select(col("vec_id"), col("x.block").as("block"), col("x.sub").as("sub"))
+        val codebook = blocks.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("code"), col("block"), col("sub").as("csub"))
+        val w = Window.partitionBy(col("vec_id"), col("block"))
+          .orderBy(col("dist"), col("code"))
+        blocks.join(broadcast(codebook), Seq("block"))
+          .withColumn("dist", expr(
+            "array_dot_long(sub, sub) - 2 * array_dot_long(sub, csub) + array_dot_long(csub, csub)"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(col("vec_id"), col("block"), col("code"), col("dist"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS q
+             |       FROM embeddings),
+             |blocks AS (SELECT vec_id, b AS block, q[b*8+1 : b*8+8] AS sub
+             |           FROM e, (SELECT unnest(range(8)) AS b)),
+             |cb AS (SELECT vec_id AS code, block, sub AS csub FROM blocks WHERE vec_id < 4),
+             |scored AS (SELECT x.vec_id, x.block, cb.code,
+             |             CAST(list_sum(list_transform(range(1, 9),
+             |               i -> (x.sub[i] - cb.csub[i]) * (x.sub[i] - cb.csub[i]))) AS BIGINT) AS dist
+             |           FROM blocks x JOIN cb USING (block)),
+             |ranked AS (SELECT vec_id, block, code, dist,
+             |             ROW_NUMBER() OVER (PARTITION BY vec_id, block
+             |                                ORDER BY dist, code) AS rnk
+             |           FROM scored)
+             |SELECT vec_id, block, code, dist FROM ranked WHERE rnk = 1""".stripMargin)),
+
     // ---- k-means update step: recompute centroids from assignment -----
     // The other half of Lloyd's iteration (p_sim_ivf is the assignment
     // half): per-cluster per-dimension means of the assigned vectors.
