@@ -338,6 +338,31 @@ object EventOps {
              |WHERE date_diff('day', cohort, day) <= 7
              |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- event-type transition matrix (sequence-feature builder) ------
+    // Per-user consecutive event-type bigram counts — the Markov
+    // transition statistics behind next-action features and funnel
+    // anomaly baselines. One window shuffle keyed by user (per-key
+    // state only) + one small aggregate; ties on identical timestamps
+    // break on event_id in both engines.
+    Q("p_events_transitions",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            lag(col("event_type"), 1).over(w).as("prev_type"))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH x AS (SELECT user_id, event_type,
+             |  lag(event_type) OVER (PARTITION BY user_id
+             |                        ORDER BY ts, event_id) AS prev_type
+             |  FROM events)
+             |SELECT prev_type, event_type AS next_type, count(*) AS n
+             |FROM x WHERE prev_type IS NOT NULL
+             |GROUP BY 1, 2""".stripMargin)),
+
     // ---- sketch: approximate distinct users per type ------------------
     // HyperLogLog++ — engine-specific sketch, so no SQL oracle (driver
     // records a rows-only check); the exactness bound is covered by
