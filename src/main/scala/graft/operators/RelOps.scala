@@ -548,6 +548,39 @@ object RelOps {
              |                          ORDER BY o_totalprice), 6) AS cume
              |FROM orders""".stripMargin)),
 
+    // --- recursive CTE: calendar densification --------------------------
+    // Zero-filled monthly time series via WITH RECURSIVE (new in Spark
+    // 4.x): the month spine is generated by recursion between the data's
+    // own bounds, then LEFT JOINed so empty months surface as 0 — the
+    // gap-free reporting series every dashboard needs. Identical SQL
+    // text runs on both engines.
+    Q("q_calendar_fill",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("v_orders")
+        s.sql("""WITH RECURSIVE months(m) AS (
+                |  SELECT date_trunc('month', min(o_orderdate)) FROM v_orders
+                |  UNION ALL
+                |  SELECT m + INTERVAL 1 MONTH FROM months
+                |  WHERE m + INTERVAL 1 MONTH <=
+                |        (SELECT date_trunc('month', max(o_orderdate)) FROM v_orders)
+                |)
+                |SELECT CAST(m AS TIMESTAMP) AS month, count(o_orderkey) AS n_orders
+                |FROM months LEFT JOIN v_orders
+                |  ON date_trunc('month', o_orderdate) = m
+                |GROUP BY m""".stripMargin)
+      },
+      Some("""WITH RECURSIVE months(m) AS (
+             |  SELECT date_trunc('month', min(o_orderdate)) FROM orders
+             |  UNION ALL
+             |  SELECT m + INTERVAL 1 MONTH FROM months
+             |  WHERE m + INTERVAL 1 MONTH <=
+             |        (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+             |)
+             |SELECT CAST(m AS TIMESTAMP) AS month, count(o_orderkey) AS n_orders
+             |FROM months LEFT JOIN orders
+             |  ON date_trunc('month', o_orderdate) = m
+             |GROUP BY m""".stripMargin)),
+
     // --- bucketed co-located join: shuffle elimination by layout --------
     // Both fact tables are written ONCE bucketed (+sorted) on the join
     // key into the warehouse; the join then reads bucket i against
