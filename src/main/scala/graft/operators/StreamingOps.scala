@@ -319,6 +319,49 @@ object StreamingOps {
              | AND c.event_type = 'click' AND p.event_type = 'purchase'
              | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin)),
 
+    // ---- stream-stream LEFT OUTER interval join -----------------------
+    // The attribution join's other half: clicks that converted join
+    // their purchase; clicks that did NOT convert are emitted with a
+    // NULL purchase once the watermark seals their 30-minute window
+    // (before that they are withheld — a match could still arrive).
+    // The oracle is therefore matched-pairs ∪ unmatched clicks whose
+    // window closed under the final watermark — exactly the unbounded
+    // semantics, observable because the corpus is finite.
+    Q("p_stream_stream_left",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val clicks = stream(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+            col("ts").as("cts"))
+          .withWatermark("cts", "2 hours")
+        val buys = stream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("pts"))
+          .withWatermark("pts", "2 hours")
+        runToTable(
+          clicks.join(buys, expr(
+            "cu = user_id AND pts >= cts AND pts <= cts + interval 30 minutes"),
+            "left_outer")
+            .select(col("cu").as("user_id"), col("click_id"), col("purchase_id")),
+          "append")
+      },
+      Some("""WITH c AS (SELECT user_id, event_id AS click_id, ts AS cts
+             |           FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
+             |      FROM events WHERE event_type = 'purchase'),
+             |matched AS (SELECT c.user_id, c.click_id, p.purchase_id
+             |            FROM c JOIN p ON c.user_id = p.user_id
+             |             AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 30 MINUTE)
+             |SELECT user_id, click_id, purchase_id FROM matched
+             |UNION ALL
+             |SELECT c.user_id, c.click_id, NULL
+             |FROM c
+             |WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
+             |  AND c.cts + INTERVAL 30 MINUTE <=
+             |      (SELECT max(ts) FROM events) - INTERVAL 2 HOUR""".stripMargin)),
+
     // ---- update-mode running counts -----------------------------------
     // The third output mode: each micro-batch emits only the keys whose
     // aggregate CHANGED (the dashboard/serving-store feed — complete
