@@ -324,9 +324,17 @@ object StreamingOps {
     // their purchase; clicks that did NOT convert are emitted with a
     // NULL purchase once the watermark seals their 30-minute window
     // (before that they are withheld — a match could still arrive).
-    // The oracle is therefore matched-pairs ∪ unmatched clicks whose
-    // window closed under the final watermark — exactly the unbounded
-    // semantics, observable because the corpus is finite.
+    // The oracle is matched-pairs ∪ unmatched clicks whose window
+    // closed under the FINAL GLOBAL watermark. Two subtleties the r04
+    // red run taught (VERDICT r04 item 1): each side watermarks its
+    // FILTERED stream, so the global watermark is
+    //   min(max click ts, max purchase ts) - 2h   — NOT max(all ts) - 2h
+    // (the purchase side's watermark lags the click side's here); and
+    // Spark tracks event-time maxima at millisecond resolution, so the
+    // oracle floors the side maxima to ms before taking the min. Seal
+    // is strict (<): eviction fires when the window end is strictly
+    // below the watermark instant (WatermarkSupport emits
+    // `attr <= wm*1000 - 1` in the microsecond domain).
     Q("p_stream_stream_left",
       (s, dir) => {
         implicit val sp: SparkSession = s
@@ -351,6 +359,10 @@ object StreamingOps {
              |           FROM events WHERE event_type = 'click'),
              |p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
              |      FROM events WHERE event_type = 'purchase'),
+             |wm AS (SELECT epoch_ms(least(
+             |         epoch_ms(CAST((SELECT max(cts) FROM c) AS TIMESTAMP)),
+             |         epoch_ms(CAST((SELECT max(pts) FROM p) AS TIMESTAMP)))
+             |         - 7200000) AS w),
              |matched AS (SELECT c.user_id, c.click_id, p.purchase_id
              |            FROM c JOIN p ON c.user_id = p.user_id
              |             AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 30 MINUTE)
@@ -359,8 +371,7 @@ object StreamingOps {
              |SELECT c.user_id, c.click_id, NULL
              |FROM c
              |WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
-             |  AND c.cts + INTERVAL 30 MINUTE <=
-             |      (SELECT max(ts) FROM events) - INTERVAL 2 HOUR""".stripMargin)),
+             |  AND c.cts + INTERVAL 30 MINUTE < (SELECT w FROM wm)""".stripMargin)),
 
     // ---- update-mode running counts -----------------------------------
     // The third output mode: each micro-batch emits only the keys whose
