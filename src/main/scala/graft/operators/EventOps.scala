@@ -152,16 +152,45 @@ object EventOps {
 
     // ---- approximate quantiles: the t-digest-style sketch path --------
     // percentile_approx is engine-specific (no DuckDB-reproducible
-    // intermediate), so this is a rows-only entry like the HLL sketch —
-    // PipelineSpec bounds it against the exact percentiles instead. The
-    // 100 TB shape: a mergeable one-pass sketch per partition vs. the
-    // full sort exact percentiles need.
+    // value), so the entry emits a BOUND CERTIFICATE instead of the raw
+    // sketch output: each (event_type, q) row carries whether the
+    // approx value's true rank range [n_lt+1, n_le] intersects the GK
+    // guarantee window q*n ± eps*n (eps = 1/accuracy, +2 ranks slack
+    // for the ceil convention). The oracle predicts the full certificate
+    // table exactly — (type × quantile, within_bound=true) — so the
+    // sketch's contract is hash-verified, not just row-counted
+    // (VERDICT r04 item 2: the old array<double> output crashed the
+    // driver's compare and had no verdict lane at all). PipelineSpec
+    // keeps the tighter rank-bracket test. The 100 TB shape is
+    // unchanged: one mergeable sketch pass; the rank-counting join is
+    // the verification harness, not the production path.
     Q("p_events_quantiles_approx",
-      (s, dir) => events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(expr("percentile_approx(value, array(0.5, 0.95, 0.99), 10000)")
-          .as("q50_95_99")),
-      None),
+      (s, dir) => {
+        val qs = Seq(0.5, 0.95, 0.99)
+        val acc = 10000
+        val approx = events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(expr(s"percentile_approx(value, array(${qs.mkString(", ")}), $acc)")
+            .as("qv"))
+          .select(col("event_type"),
+            posexplode(col("qv")).as(Seq("qi", "qval")))
+          .select(col("event_type"),
+            element_at(lit(qs.toArray), col("qi") + 1).as("q"), col("qval"))
+        events(s, dir).join(broadcast(approx), Seq("event_type"))
+          .groupBy(col("event_type"), col("q"), col("qval"))
+          .agg(
+            sum(when(col("value") <  col("qval"), 1L).otherwise(0L)).as("n_lt"),
+            sum(when(col("value") <= col("qval"), 1L).otherwise(0L)).as("n_le"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"), col("q"),
+            (col("n_lt") <= col("q") * col("n") + col("n") / acc + 2 &&
+             col("n_le") >= col("q") * col("n") - col("n") / acc - 2)
+              .as("within_bound"))
+      },
+      Some("""SELECT event_type, q, true AS within_bound
+             |FROM (SELECT DISTINCT event_type FROM events)
+             |CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE,
+             |                           0.99::DOUBLE]) AS q)""".stripMargin)),
 
     // ---- JSON property extraction (semi-structured payloads) ----------
     // props is a JSON object column; extraction stays a codegen'd scalar
@@ -364,15 +393,26 @@ object EventOps {
              |GROUP BY 1, 2""".stripMargin)),
 
     // ---- sketch: approximate distinct users per type ------------------
-    // HyperLogLog++ — engine-specific sketch, so no SQL oracle (driver
-    // records a rows-only check); the exactness bound is covered by
-    // p_events_daily's exact countDistinct. THIS is the 100 TB shape:
-    // partial sketches merge map-side, no exact-distinct shuffle.
+    // HyperLogLog++ — the sketch value is engine-specific, so as with
+    // p_events_quantiles_approx the entry emits a BOUND CERTIFICATE:
+    // exact per-type counts (hash-verified) plus whether the sketch
+    // landed within 10% of the exact distinct count (5σ of the
+    // requested rsd=0.02 — observed error is <2% at every SF, and the
+    // sketch is hash-seeded, so the verdict is deterministic per
+    // dataset). The countDistinct column is the verification harness;
+    // the production 100 TB path is the sketch alone — partial HLL
+    // registers merge map-side, no exact-distinct double shuffle.
     Q("p_events_approx_users",
       (s, dir) => events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          count(lit(1)).as("n")),
-      None),
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("a"),
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("n_users"), col("n"),
+          (abs(col("a").cast("double") / col("n_users") - 1.0) <= 0.10)
+            .as("sketch_ok")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+             |       count(*) AS n, true AS sketch_ok
+             |FROM events GROUP BY event_type""".stripMargin)),
   )
 }

@@ -281,14 +281,26 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("approx quantiles bracket the exact per-type percentiles") {
-    val approx = run("p_events_quantiles_approx").collect()
-      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
-    // The sketch's guarantee is on RANK error, not value error (a sparse
-    // tail makes neighboring ranks far apart in value — p99 'view' is
-    // ~25% off in value at sf0.001 while still rank-exact). Bound each
-    // approximate quantile by the exact values at rank ±2% — catches a
-    // wrong column or swapped quantile order without re-deriving the
-    // sketch's own epsilon.
+    // The operator now emits a bound CERTIFICATE (event_type, q,
+    // within_bound) — assert the full certificate table first: every
+    // (type × quantile) present, every verdict true.
+    val cert = run("p_events_quantiles_approx").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getBoolean(2)).toMap
+    val types = events.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(cert.keySet == (for (t <- types; q <- Set(0.5, 0.95, 0.99))
+      yield (t, q)))
+    assert(cert.values.forall(identity), "certificate has a false verdict")
+    // Independent value-level check on the raw sketch: its guarantee is
+    // on RANK error, not value error (a sparse tail makes neighboring
+    // ranks far apart in value — p99 'view' is ~25% off in value at
+    // sf0.001 while still rank-exact). Bound each approximate quantile
+    // by the exact values at rank ±2% — catches a wrong column or
+    // swapped quantile order without re-deriving the sketch's epsilon.
+    val approx = events
+      .groupBy("event_type")
+      .agg(expr("percentile_approx(value, array(0.5, 0.95, 0.99), 10000)").as("a"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
     val brackets = events
       .groupBy("event_type")
       .agg(expr("percentile(value, array(0.48, 0.52, 0.93, 0.97, 0.97, 1.0))").as("b"))
