@@ -548,37 +548,72 @@ object RelOps {
              |                          ORDER BY o_totalprice), 6) AS cume
              |FROM orders""".stripMargin)),
 
-    // --- recursive CTE: calendar densification --------------------------
-    // Zero-filled monthly time series via WITH RECURSIVE (new in Spark
-    // 4.x): the month spine is generated by recursion between the data's
-    // own bounds, then LEFT JOINed so empty months surface as 0 — the
-    // gap-free reporting series every dashboard needs. Identical SQL
-    // text runs on both engines.
+    // --- calendar densification: sequence() + explode --------------------
+    // Zero-filled monthly time series — the gap-free reporting spine
+    // every dashboard needs. The spine is ONE expression over the data's
+    // own (min, max) bounds: sequence(lo, hi, interval 1 month) exploded,
+    // then LEFT JOINed so empty months surface as 0. This replaced a
+    // WITH RECURSIVE formulation (VERDICT r04 item 4): recursion runs one
+    // driver-paced job per month — depth grows with the DATE SPAN no
+    // matter how many executors you add, ~80 sequential jobs at sf0.1 —
+    // while the sequence plan is a single job at any span. The recursive
+    // feature itself is demonstrated by q_recursive_months below, with
+    // the depth pinned to a constant so it can't become span-bound.
     Q("q_calendar_fill",
       (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val bounds = orders.agg(
+          date_trunc("month", min(col("o_orderdate"))).as("lo"),
+          date_trunc("month", max(col("o_orderdate"))).as("hi"))
+        bounds
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 month"))).as("month"))
+          .join(orders.select(
+            date_trunc("month", col("o_orderdate")).as("month"),
+            col("o_orderkey")), Seq("month"), "left")
+          .groupBy(col("month"))
+          .agg(count(col("o_orderkey")).as("n_orders"))
+      },
+      Some("""WITH b AS (SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) AS lo,
+             |             CAST(date_trunc('month', max(o_orderdate)) AS TIMESTAMP) AS hi
+             |           FROM orders),
+             |months AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m FROM b)
+             |SELECT CAST(m AS TIMESTAMP) AS month, count(o_orderkey) AS n_orders
+             |FROM months LEFT JOIN orders
+             |  ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
+             |GROUP BY m""".stripMargin)),
+
+    // --- recursive CTE: fixed-depth feature demo -------------------------
+    // WITH RECURSIVE (new in Spark 4.x), identical SQL text on both
+    // engines: the 12 months of the data's final order-year, joined to
+    // the per-month order counts. The recursion depth is a CONSTANT 12 —
+    // each step is a driver-paced job, so unlike the old span-bound
+    // calendar recursion this entry's cost never grows with the data's
+    // date range; densification at scale belongs to q_calendar_fill's
+    // single-pass sequence() plan above.
+    Q("q_recursive_months",
+      (s, dir) => {
         t(s, dir, "orders").createOrReplaceTempView("v_orders")
-        s.sql("""WITH RECURSIVE months(m) AS (
-                |  SELECT date_trunc('month', min(o_orderdate)) FROM v_orders
+        s.sql("""WITH RECURSIVE months(m, i) AS (
+                |  SELECT CAST(date_trunc('year', max(o_orderdate)) AS TIMESTAMP), 1
+                |  FROM v_orders
                 |  UNION ALL
-                |  SELECT m + INTERVAL 1 MONTH FROM months
-                |  WHERE m + INTERVAL 1 MONTH <=
-                |        (SELECT date_trunc('month', max(o_orderdate)) FROM v_orders)
+                |  SELECT m + INTERVAL 1 MONTH, i + 1 FROM months WHERE i < 12
                 |)
-                |SELECT CAST(m AS TIMESTAMP) AS month, count(o_orderkey) AS n_orders
+                |SELECT m AS month, count(o_orderkey) AS n_orders
                 |FROM months LEFT JOIN v_orders
                 |  ON date_trunc('month', o_orderdate) = m
                 |GROUP BY m""".stripMargin)
       },
-      Some("""WITH RECURSIVE months(m) AS (
-             |  SELECT date_trunc('month', min(o_orderdate)) FROM orders
+      Some("""WITH RECURSIVE months(m, i) AS (
+             |  SELECT CAST(date_trunc('year', max(o_orderdate)) AS TIMESTAMP), 1
+             |  FROM orders
              |  UNION ALL
-             |  SELECT m + INTERVAL 1 MONTH FROM months
-             |  WHERE m + INTERVAL 1 MONTH <=
-             |        (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+             |  SELECT m + INTERVAL 1 MONTH, i + 1 FROM months WHERE i < 12
              |)
-             |SELECT CAST(m AS TIMESTAMP) AS month, count(o_orderkey) AS n_orders
+             |SELECT m AS month, count(o_orderkey) AS n_orders
              |FROM months LEFT JOIN orders
-             |  ON date_trunc('month', o_orderdate) = m
+             |  ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
              |GROUP BY m""".stripMargin)),
 
     // --- bucketed co-located join: shuffle elimination by layout --------
