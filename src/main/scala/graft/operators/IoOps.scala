@@ -18,10 +18,15 @@ import PipeData._
   */
 object IoOps {
 
-  /** Deterministic scratch dir per (format, source dir). */
-  private def scratch(fmt: String, dir: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+  /** Deterministic scratch dir per (format, source-dir CONTENT): keyed
+    * by [[PipeData.contentTag]] (path + per-file size/mtime), not the
+    * path alone, so a regenerated dataset at the same path always lands
+    * in a fresh scratch dir (ADVICE r04). Every op here also rewrites
+    * its scratch on each invocation, so this is belt-and-braces — but
+    * the spec reads these dirs BETWEEN invocations, where the stale
+    * window was real. */
+  private[graft] def scratch(fmt: String, dir: String): String = {
+    val tag = PipeData.contentTag(dir)
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"graft_io_${fmt}_$tag").toString
   }
 
@@ -121,31 +126,35 @@ object IoOps {
 
     // ---- small-file compaction --------------------------------------
     // The table-maintenance op every long-lived 100 TB dataset needs:
-    // a landing zone hive-partitioned by (type, day) accumulates one+
-    // tiny file per partition (the classic small-file problem — here
-    // ~35 partitions for one day's worth of events); compaction
+    // a landing zone hive-partitioned by day accumulates one+ tiny file
+    // per partition (the classic small-file problem); compaction
     // rewrites it into 4 size-targeted shards. The aggregate reads FROM
     // THE COMPACTED COPY so any row lost/duplicated by the rewrite
-    // hash-mismatches; the shard-count collapse is spec-pinned.
+    // hash-mismatches; the shard-count collapse is spec-pinned. Only
+    // the purchase slice is staged (VERDICT r04 item 7: staging the
+    // full (type × day) layout made this op 10% of the whole bench —
+    // the compaction story is identical on one type's ~30 day
+    // partitions at a fifth of the write volume).
     Q("p_io_compact",
       (s, dir) => {
         val frag = scratch("frag", dir)
         val comp = scratch("compact", dir)
-        events(s, dir)
-          .select(col("event_id"), col("user_id"), col("event_type"),
+        events(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
             date_trunc("day", col("ts")).cast("date").as("day"))
-          .write.mode("overwrite").partitionBy("event_type", "day").parquet(frag)
+          .write.mode("overwrite").partitionBy("day").parquet(frag)
         val back = s.read.parquet(frag)
-          .select(col("event_id"), col("user_id"), col("event_type"))
+          .select(col("event_id"), col("user_id"), col("day"))
         back.repartition(4).write.mode("overwrite").parquet(comp)
         s.read.parquet(comp)
-          .groupBy(col("event_type"))
+          .groupBy(col("day").cast("timestamp").as("day"))
           .agg(count(lit(1)).as("n"),
             countDistinct(col("user_id")).as("n_users"))
       },
-      Some("""SELECT event_type, count(*) AS n,
-             |       count(DISTINCT user_id) AS n_users
-             |FROM events GROUP BY event_type""".stripMargin)),
+      Some("""SELECT date_trunc('day', ts) AS day,
+             |       count(*) AS n, count(DISTINCT user_id) AS n_users
+             |FROM events WHERE event_type = 'purchase'
+             |GROUP BY 1""".stripMargin)),
 
     // ---- sort-clustered layout: zone-map pruning ----------------------
     // The other half of layout design besides partitioning: range-

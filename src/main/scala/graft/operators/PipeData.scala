@@ -28,6 +28,31 @@ private[operators] object PipeData {
   def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Content tag of a source dataset directory: MD5 over the resolved
+    * path PLUS the (relative path, size, mtime) of every parquet file
+    * under it — the srcTag discipline StreamingOps staging and
+    * GraphLoader's id store already follow (ADVICE r04: IoOps scratch
+    * dirs and the bucketed warehouse tables were keyed by path alone,
+    * so a regenerated dataset at the same path could be served a stale
+    * derived layout within a live session). Cheap: one directory walk
+    * over a handful of files, no data read. */
+  private[graft] def contentTag(dir: String, len: Int = 12): String = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir).toRealPath()
+    val walk = java.nio.file.Files.walk(root)
+    val fingerprint =
+      try walk.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toSeq.sorted.mkString("\n")
+      finally walk.close()
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$root\n$fingerprint".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(len)
+  }
+
   def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 

@@ -627,8 +627,10 @@ object RelOps {
     // PlanSpec asserts no hashpartitioning exchange on the join keys.
     Q("q_join_bucketed",
       (s, dir) => {
-        val tag = java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        // Content-fingerprinted table names (ADVICE r04): a regenerated
+        // dataset at the same path gets FRESH bucketed tables instead of
+        // being served the session's stale catalog entry.
+        val tag = PipeData.contentTag(dir, 8)
         val ot = s"graft_bkt_orders_$tag"
         val lt = s"graft_bkt_lineitem_$tag"
         // The in-memory catalog dies with the session but the warehouse

@@ -441,11 +441,8 @@ class PipelineSpec extends AnyFunSuite {
         if (c.isDirectory) parts(c.getPath)
         else if (c.getName.endsWith(".parquet")) 1 else 0).sum
     }
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val tmp = sys.props("java.io.tmpdir")
-    val nFrag = parts(s"$tmp/graft_io_frag_$tag")
-    val nComp = parts(s"$tmp/graft_io_compact_$tag")
+    val nFrag = parts(graft.operators.IoOps.scratch("frag", dir))
+    val nComp = parts(graft.operators.IoOps.scratch("compact", dir))
     assert(nComp == 4, s"expected 4 compacted shards, got $nComp")
     assert(nFrag > nComp, s"fragmented layout ($nFrag files) not larger")
   }
