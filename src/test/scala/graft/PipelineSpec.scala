@@ -254,6 +254,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ: 8 codes per vector, and the Lloyd update reduced distortion") {
+    val rows = run("p_sim_pq").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // every vector gets exactly one code per block
+    rows.groupBy(_._1).foreach { case (v, g) =>
+      assert(g.map(_._2).sorted.toSeq == (0 to 7), s"vector $v missing blocks")
+    }
+    assert(rows.forall(_._4 >= 0))
+    // Lloyd monotonicity: total distortion under the TRAINED codebook
+    // must not exceed the seed assignment's (means minimize the summed
+    // squared distance of their members; truncation slack is dwarfed by
+    // the improvement). Recompute the seed-assignment distortion inline.
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    e.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000, 0) as bigint))").as("q"))
+      .createOrReplaceTempView("pq_q")
+    val seedDist = spark.sql("""
+      WITH blocks AS (
+        SELECT vec_id, x.block AS block, x.sub AS sub
+        FROM pq_q LATERAL VIEW explode(transform(sequence(0, 7),
+          b -> struct(b AS block, slice(q, b*8+1, 8) AS sub))) t AS x),
+      cb AS (SELECT vec_id AS code, block, sub AS csub FROM blocks WHERE vec_id < 4),
+      scored AS (SELECT b.vec_id, b.block,
+          aggregate(zip_with(b.sub, cb.csub, (a, c) -> (a - c) * (a - c)),
+                    0L, (acc, v) -> acc + v) AS dist
+        FROM blocks b JOIN cb ON b.block = cb.block),
+      best AS (SELECT vec_id, block, min(dist) AS dist
+               FROM scored GROUP BY vec_id, block)
+      SELECT sum(dist) FROM best""").collect()(0).getLong(0)
+    val trainedDist = rows.map(_._4).sum
+    assert(trainedDist <= seedDist,
+      s"trained codebook distortion $trainedDist > seed $seedDist")
+  }
+
   test("salted two-phase aggregation equals the plain groupBy") {
     val salted = run("q_skew_salted").collect()
       .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
