@@ -38,7 +38,16 @@ object Cli {
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       try {
-        val r = Engine.runSource(spark, src)
+        val r = try Engine.runSource(spark, src) catch {
+          // Reference-shaped parse-error path (interf.ml:43-46): print
+          // the line/column/token report plus the rest-of-input echo,
+          // then stop with a nonzero exit (the reference's failwith).
+          case e: graft.lang.Parser.ParseError =>
+            println(graft.lang.Parser.errorReport(src, Some(file), e))
+            System.err.println("Stopped execution.")
+            spark.stop()
+            sys.exit(1)
+        }
         print(render(r))
         opts.get("--tex").foreach { p =>
           val (h, rows) = Display.collectTable(r)
@@ -69,18 +78,31 @@ object Cli {
         val boundary = line == null || line.trim.isEmpty || line.trim == ";;"
         if (!boundary) buf ++= line + "\n"
         if (boundary && buf.nonEmpty) {
-          val norm = graft.lang.Normalize.normalize(graft.lang.Parser.parse(buf.result()))
+          val srcText = buf.result()
+          val norm = try graft.lang.Normalize.normalize(graft.lang.Parser.parse(srcText)) catch {
+            case e: graft.lang.Parser.ParseError =>
+              // same report + stop as f-mode (the reference REPL's parse
+              // error also aborts the loop, interf.ml:46)
+              println(graft.lang.Parser.errorReport(srcText, None, e))
+              System.err.println("Stopped execution.")
+              sys.exit(1)
+          }
           norm.instrs.foreach(i => println(s"  $i"))
           buf.clear()
           if (line != null) { print(">> "); Console.out.flush() }
         }
         if (line == null) eof = true
       }
-    case _ =>
-      System.err.println(
-        """usage: graft.Cli f <file.q> [--tex out.tex] [--dot out.dot]
-          |       graft.Cli i        (read program from stdin, print normalized IR)""".stripMargin)
-      sys.exit(2)
+    // no args / "h" / anything unrecognized → help, like the reference's
+    // print_help (main.ml:5-13, interf.ml:71; the reference exits 0 here)
+    case args0 =>
+      val out = if (args0.isEmpty || args0 == List("h")) Console.out else Console.err
+      out.println(
+        """usage: graft.Cli [ h | i | f <file.q> [--tex out.tex] [--dot out.dot] ]
+          |  f <file.q>  parse, typecheck, execute; print graph + binding table
+          |  i           read programs from stdin, print normalized IR
+          |  h           this help""".stripMargin)
+      if (!(args0.isEmpty || args0 == List("h"))) sys.exit(2)
   }
 
   def render(r: Engine.QueryResult): String = {

@@ -12,6 +12,20 @@ object Parser {
   final case class ParseError(msg: String, pos: Int)
       extends RuntimeException(s"$msg at offset $pos")
 
+  /** Reference-shaped parse-error report (interf.ml:25-31): file, line,
+    * column, offending token, and the REST OF THE INPUT from the error
+    * position (the reference's `ruleTail`, lexer.mll:87-90 — the echo
+    * that shows where parsing stopped). Line/column are derived from the
+    * token's character offset; the token text rides in [[ParseError]]'s
+    * message (`expected …, got <tok>`). */
+  def errorReport(src: String, fn: Option[String], e: ParseError): String = {
+    val upto = src.take(e.pos)
+    val line = upto.count(_ == '\n') + 1
+    val cnum = e.pos - (upto.lastIndexOf('\n') + 1)
+    val where = fn.map(f => s"Parsing error in file: $f").getOrElse("Parsing error")
+    s"$where on line: $line column: $cnum ${e.msg}\nrest: ${src.drop(e.pos)}"
+  }
+
   def parse(src: String): Prog = new P(Lexer.tokenize(src)).prog()
 
   private final class P(toks: Vector[(Token, Int)]) {
