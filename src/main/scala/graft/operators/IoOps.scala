@@ -156,6 +156,42 @@ object IoOps {
              |FROM events WHERE event_type = 'purchase'
              |GROUP BY 1""".stripMargin)),
 
+    // ---- schema evolution: mergeSchema over mixed generations ---------
+    // The other table-maintenance reality of a long-lived dataset: the
+    // schema GROWS. Generation 1 (clicks) is written with the v1 column
+    // set, generation 2 (purchases) adds a `value` column; the read
+    // merges footers across generations (mergeSchema — an extra
+    // footer-only pass, no data rewrite) and the old generation surfaces
+    // the new column as NULL. The aggregate pins both populations' row
+    // counts, the null-backfill count, and the new column's sum — so a
+    // wrong merge (dropped column, misaligned backfill) hash-mismatches.
+    // At 100 TB this is the alternative to rewriting history on every
+    // schema change; mergeSchema's footer pass is why you bound it to
+    // the touched partitions in production.
+    Q("p_io_schema_evo",
+      (s, dir) => {
+        val out = scratch("evo", dir)
+        val ev = events(s, dir)
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+          .write.mode("overwrite").parquet(s"$out/gen=1")
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value"))
+          .write.mode("overwrite").parquet(s"$out/gen=2")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .groupBy(col("gen"))
+          .agg(count(lit(1)).as("n"),
+            count(col("value")).as("n_with_value"),
+            sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"))
+      },
+      Some("""SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS gen,
+             |       count(*) AS n,
+             |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_with_value,
+             |       CAST(sum(CASE WHEN event_type = 'purchase'
+             |                THEN CAST(round(value * 100, 0) AS BIGINT) END) AS BIGINT) AS cents
+             |FROM events WHERE event_type IN ('click', 'purchase')
+             |GROUP BY 1""".stripMargin)),
+
     // ---- sort-clustered layout: zone-map pruning ----------------------
     // The other half of layout design besides partitioning: range-
     // repartition + sort within partitions on the filter column, so

@@ -490,6 +490,32 @@ object RelOps {
              |  WHERE o.o_custkey = c.c_custkey
              |    AND o.o_orderpriority = '1-URGENT')""".stripMargin)),
 
+    // --- LATERAL correlated table subquery: top-3 orders per customer ---
+    // The per-row subquery form of q_window_topk's windowed top-k:
+    // LATERAL evaluates the correlated ORDER BY … LIMIT 3 per customer.
+    // Catalyst DECORRELATES it (DecorrelateInnerQuery) back into the
+    // window/join plan rather than executing a per-row loop — which is
+    // precisely why the form is usable at 100 TB, and why the identical
+    // SQL text runs on DuckDB as the oracle. Machinery BUILDING slice
+    // keeps the output bounded; ties break on orderkey.
+    Q("q_lateral_topn",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("v_customer")
+        t(s, dir, "orders").createOrReplaceTempView("v_orders")
+        s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice AS price
+                |FROM v_customer c,
+                |LATERAL (SELECT o_orderkey, o_totalprice FROM v_orders o
+                |         WHERE o.o_custkey = c.c_custkey
+                |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+                |WHERE c.c_mktsegment = 'MACHINERY'""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice AS price
+             |FROM customer c,
+             |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             |         WHERE o.o_custkey = c.c_custkey
+             |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+             |WHERE c.c_mktsegment = 'MACHINERY'""".stripMargin)),
+
     // --- deep join tree: TPC-H Q5 local-supplier-volume shape -----------
     // Six tables, two independent FK chains meeting on nationkey (the
     // customer's and the supplier's nation must coincide). The fact-side

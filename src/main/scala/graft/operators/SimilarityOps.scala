@@ -374,5 +374,79 @@ object SimilarityOps {
               |                                ORDER BY cos DESC, neighbor_id) AS rank
               |           FROM scored)
               |SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= $bucketK""".stripMargin)),
+
+    // ---- ANN quality evaluation: recall@k of IVF vs brute force --------
+    // The measurement every production ANN deployment ships with: per
+    // query, |IVF top-k ∩ exact top-k| / k. Composes the two existing
+    // pipelines (the exact baseline and the nprobe=2 IVF path) by NAME,
+    // so this op always evaluates exactly what those entries run — and
+    // because both are deterministic fixed-point rankings, recall itself
+    // is exact and hash-checkable, not a statistical smoke test. The
+    // semi-join is per-(query, neighbor) over 2×(nQueries×topK) rows —
+    // at 100 TB the eval set stays a broadcast-sized sample by
+    // construction (you recall-check a query panel, not the corpus).
+    Q("p_sim_recall",
+      (s, dir) => {
+        def res(n: String) = all.find(_.name == n).get.run(s, dir)
+        val brute = res("p_sim_topk_brute").select(col("query_id"), col("neighbor_id"))
+        val ivf = res("p_sim_ivf_search").select(col("query_id"), col("neighbor_id"))
+        val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+        brute.select(col("query_id")).distinct()
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            round(coalesce(col("n_hit"), lit(0L)).cast("double") / topK, 6)
+              .as("recall"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS q
+              |       FROM embeddings),
+              |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nrm FROM e),
+              |bscored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              |             round(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i]))::DOUBLE
+              |               / (sqrt(a.nrm::DOUBLE) * sqrt(b.nrm::DOUBLE)), 6) AS cos
+              |           FROM n a JOIN n b ON a.vec_id < $nQueries AND a.vec_id <> b.vec_id),
+              |brute AS (SELECT query_id, neighbor_id FROM (
+              |            SELECT query_id, neighbor_id,
+              |              ROW_NUMBER() OVER (PARTITION BY query_id
+              |                                 ORDER BY cos DESC, neighbor_id) AS rank
+              |            FROM bscored) WHERE rank <= $topK),
+              |cents AS (SELECT vec_id AS centroid_id, q AS cq, nrm AS cn FROM n WHERE vec_id < 8),
+              |ascore AS (SELECT n.vec_id, c.centroid_id,
+              |             round(list_sum(list_transform(range(1, len(n.q) + 1), i -> n.q[i] * c.cq[i]))::DOUBLE
+              |               / (sqrt(n.nrm::DOUBLE) * sqrt(c.cn::DOUBLE)), 6) AS cos
+              |           FROM n, cents c),
+              |assign AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+              |             SELECT vec_id, centroid_id,
+              |               ROW_NUMBER() OVER (PARTITION BY vec_id
+              |                                  ORDER BY cos DESC, centroid_id) AS rnk
+              |             FROM ascore) WHERE rnk = 1),
+              |probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+              |             SELECT vec_id, centroid_id,
+              |               ROW_NUMBER() OVER (PARTITION BY vec_id
+              |                                  ORDER BY cos DESC, centroid_id) AS rnk
+              |             FROM ascore WHERE vec_id < $nQueries) WHERE rnk <= 2),
+              |iscored AS (SELECT p.query_id, a.neighbor_id,
+              |             round(list_sum(list_transform(range(1, len(nq.q) + 1), i -> nq.q[i] * nb.q[i]))::DOUBLE
+              |               / (sqrt(nq.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) AS cos
+              |           FROM probes p
+              |           JOIN assign a ON p.centroid_id = a.centroid_id
+              |           JOIN n nq ON nq.vec_id = p.query_id
+              |           JOIN n nb ON nb.vec_id = a.neighbor_id
+              |           WHERE a.neighbor_id <> p.query_id),
+              |ivf AS (SELECT query_id, neighbor_id FROM (
+              |          SELECT query_id, neighbor_id,
+              |            ROW_NUMBER() OVER (PARTITION BY query_id
+              |                               ORDER BY cos DESC, neighbor_id) AS rank
+              |          FROM iscored) WHERE rank <= $topK),
+              |hits AS (SELECT b.query_id, count(*) AS n_hit
+              |         FROM brute b JOIN ivf i
+              |           ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+              |         GROUP BY 1)
+              |SELECT q.query_id, coalesce(h.n_hit, 0) AS n_hit,
+              |       round(coalesce(h.n_hit, 0)::DOUBLE / $topK, 6) AS recall
+              |FROM (SELECT DISTINCT query_id FROM brute) q
+              |LEFT JOIN hits h ON q.query_id = h.query_id""".stripMargin)),
   )
 }
