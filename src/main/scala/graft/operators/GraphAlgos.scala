@@ -71,6 +71,31 @@ object GraphAlgos {
     })
   }
 
+  /** The GraphX graph over the FK edges — built (one fromEdges + 2D
+    * partition shuffle) ONCE per (session, dir) and shared by the two
+    * GraphX integration ops instead of each re-building it. Kept
+    * persisted for the session like [[undirectedEdges]]; the ops still
+    * unpersist their own RESULT graphs. */
+  private val gxGraphs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.graphx.Graph[Unit, Unit]]
+
+  private def gxGraph(s: SparkSession, dir: String)
+      : org.apache.spark.graphx.Graph[Unit, Unit] = {
+    import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
+    gxGraphs.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    gxGraphs.getOrElseUpdate((s, dir), {
+      val sp = s
+      import sp.implicits._
+      val edgeRdd = allEdges(s, dir).as[(Long, Long)].rdd
+        .map { case (a, b) => Edge(a, b, ()) }
+      // EdgePartition2D bounds each vertex's replication at 2*sqrt(P)
+      // partitions, shrinking the per-iteration vertex-to-edge shuffle
+      // (the dominant cost of RDD Pregel on a star-heavy FK graph).
+      Graph.fromEdges(edgeRdd, defaultValue = ())
+        .partitionBy(PartitionStrategy.EdgePartition2D)
+    })
+  }
+
   /** Final fixed-point PageRank frame (id, rank: 1e-9 int64), computed
     * once per (session, dir) and shared: g_pagerank projects its top-100
     * and g_pagerank_graphx cross-validates GraphX against it vertex by
@@ -469,14 +494,9 @@ object GraphAlgos {
     // iteration-on-DataFrame vs recursive SQL, one answer.
     Q("g_cc_graphx",
       (s, dir) => {
-        import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
         val sp = s
         import sp.implicits._
-        val edgeRdd = allEdges(s, dir).as[(Long, Long)].rdd
-          .map { case (a, b) => Edge(a, b, ()) }
-        val g = Graph.fromEdges(edgeRdd, defaultValue = ())
-          .partitionBy(PartitionStrategy.EdgePartition2D)
-        val ccGraph = g.connectedComponents()
+        val ccGraph = gxGraph(s, dir).connectedComponents()
         // fromEdges only materializes edge endpoints; nodes with no FK
         // edge at all (possible: a part no lineitem references) are
         // their own singleton components — restore them with a left
@@ -487,7 +507,6 @@ object GraphAlgos {
             .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
             .groupBy("comp").agg(count(lit(1)).as("n")))
         ccGraph.unpersist(blocking = false)
-        g.unpersist(blocking = false)
         out
       },
       Some(ccOracle)),
@@ -514,17 +533,9 @@ object GraphAlgos {
     // (VERDICT r04 item 5: was rows-only, scored as err.)
     Q("g_pagerank_graphx",
       (s, dir) => {
-        import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
         val sp = s
         import sp.implicits._
-        val edgeRdd = allEdges(s, dir).as[(Long, Long)].rdd
-          .map { case (a, b) => Edge(a, b, ()) }
-        // EdgePartition2D bounds each vertex's replication at 2*sqrt(P)
-        // partitions, shrinking the per-iteration vertex-to-edge shuffle
-        // (the dominant cost of RDD PageRank on a star-heavy FK graph).
-        val g = Graph.fromEdges(edgeRdd, defaultValue = ())
-          .partitionBy(PartitionStrategy.EdgePartition2D)
-        val prGraph = g.staticPageRank(prIters)
+        val prGraph = gxGraph(s, dir).staticPageRank(prIters)
         val gx = prGraph.vertices.toDF("gid", "grank")
         val fixed = fixedPageRank(s, dir)
           .select(col("id"), (col("rank").cast("double") / 1e9).as("frank"))
@@ -543,7 +554,6 @@ object GraphAlgos {
                   .otherwise(col("frank") === 0.15),
                 1L).otherwise(0L)).as("n_agree")))
         prGraph.unpersist(blocking = false)
-        g.unpersist(blocking = false)
         out
       },
       Some(s"""WITH nn AS ($nodeSql)
