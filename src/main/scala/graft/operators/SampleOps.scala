@@ -96,5 +96,29 @@ object SampleOps {
              |       WHEN (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1) < 15
              |       THEN 'val' ELSE 'test' END AS split
              |FROM documents""".stripMargin)),
+
+    // ---- quality-weighted sampling (importance sampling) ---------------
+    // Inclusion probability proportional to a per-doc quality weight —
+    // here length capped at 4000 chars, the standard "keep more of the
+    // long documents" corpus shaping. Same hash-as-function-of-data
+    // discipline as the stratified sampler, on md5 hex digits 3-4
+    // (independent of digits 1 and 2, so all three sampling decisions
+    // compose without correlation): keep iff
+    //   hash256 * 4000 < min(n_chars, 4000) * 256
+    // — the float-free integer form of hash256/256 < w, so the decision
+    // is exact on both engines with NO float thresholds to disagree on.
+    // Scan-speed predicate, no shuffle, no RNG state.
+    Q("p_sample_weighted",
+      (s, dir) => {
+        val h = "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 3, 1)) * 16 + " +
+          "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 4, 1)) - 17"
+        docs(s, dir)
+          .filter(expr(s"($h) * 4000 < least(n_chars, 4000) * 256"))
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE ((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 3, 1)) * 16
+             |       + strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 4, 1)) - 17) * 4000)
+             |      < (least(n_chars, 4000) * 256)""".stripMargin)),
   )
 }
