@@ -1,15 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line. A failing query is recorded under "errors" (not
-  * as a bogus fast timing — ADVICE/VERDICT r02: swallowing failures lets a
-  * regression hide inside a good-looking bench) and the process exits
-  * nonzero. SPARK_GRAFT_RUNS=N (default 1) times each query N times and
-  * reports the per-query MEDIAN — BASELINE.md notes ±15% single-run
-  * variance, so the driver or a human can ask for a 3-run median.
-  * SPARK_GRAFT_ONLY=a,b,c restricts to the named queries (dev loop). */
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
+  * A failing query is recorded under "errors" (not as a bogus fast
+  * timing — ADVICE/VERDICT r02: swallowing failures lets a regression
+  * hide inside a good-looking bench) and the process exits nonzero.
+  * SPARK_GRAFT_RUNS=N (default 1) times each query N times and reports
+  * the per-query MEDIAN — BASELINE.md notes ±15% single-run variance.
+  * SPARK_GRAFT_ONLY=a,b,c restricts to the named queries (dev loop).
+  *
+  * Output layout (VERDICT r05 item 2 — the driver tail-captures the
+  * LAST 2,000 chars of the run, and the single full-precision line had
+  * grown past that, cutting off the total): stdout gets TWO JSON lines.
+  * Line 1 ("metric":"detail") carries the full per-query map and may be
+  * truncated at the head of the capture window; the FINAL line
+  * ("metric":"total") is the verdict-relevant summary — total, family
+  * subtotals, errors, and as many slowest-query timings as fit — and is
+  * size-capped under the capture window so the tail ALWAYS contains a
+  * complete, parseable total. Per-family progress (elapsed + loaded
+  * state-store count, the r05 contamination diagnostic) goes to stderr
+  * during the run, never after the final stdout line. */
 object Bench {
+  /** Family key for subtotals: p_* groups by its second segment
+    * (p_stream, p_text, …); g_/gql_/q_ group by the first. */
+  private def family(name: String): String =
+    if (name.startsWith("p_")) name.split("_", 3).take(2).mkString("_")
+    else name.takeWhile(_ != '_')
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -36,7 +53,16 @@ object Bench {
       case Some(names) => names.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
       case None        => SparkEntry.queries.toSeq.sortBy(_._1)
     }
+    var curFamily = ""
+    var familyT0 = System.nanoTime()
+    def famDiag(done: Boolean): Unit = if (curFamily.nonEmpty) {
+      val el = (System.nanoTime() - familyT0) / 1e9
+      System.err.println(f"[bench] family $curFamily%-12s $el%7.1fs  " +
+        s"loadedStateStores=${org.apache.spark.sql.GraftShim.loadedStateStores()}")
+      if (!done) familyT0 = System.nanoTime()
+    }
     selected.foreach { case (name, fn) =>
+      if (family(name) != curFamily) { famDiag(done = false); curFamily = family(name) }
       val samples = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         val r =
@@ -48,7 +74,7 @@ object Bench {
               None
           }
         // Release the query's leftover checkpoints (outside the timed
-        // section): without this, blocks from 78 queries accumulate and
+        // section): without this, blocks from 130+ queries accumulate and
         // the back half of the run measures block-manager churn, not the
         // operators (isolated runs were 2-3× faster than in-sequence).
         Ckpt.drain()
@@ -56,16 +82,34 @@ object Bench {
       }
       if (samples.nonEmpty) timings(name) = samples.sorted.apply(samples.size / 2)
     }
+    famDiag(done = true)
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    // 3-decimal (ms) precision keeps the whole line < ~2.5 KB for the full
-    // inventory: the driver tail-captures sbt output, and full-precision
-    // doubles pushed the line past the capture window in r02/r03
-    // (BENCH_r0{2,3}.json "parsed": null — the line's HEAD was cut off).
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = timings.map { case (k, v) => s"\"${esc(k)}\":${fmt(v)}" }.mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }.mkString("{", ",", "}")
+    def jmap(m: Iterable[(String, String)]) =
+      m.map { case (k, v) => s"\"${esc(k)}\":$v" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
+    val errs = jmap(errors.toSeq.map { case (k, v) => k -> s"\"${esc(v)}\"" })
+    // Line 1: full per-query detail (head of the capture window may cut it).
+    println(s"""{"metric":"detail","queries":${jmap(timings.toSeq.map { case (k, v) => k -> fmt(v) })},"sf":"$sfDir"}""")
+    // Final line: the summary the tail capture must always contain whole.
+    // Families + errors are small; slowest-query entries are added only
+    // while the line stays under the 1,900-byte cap (2,000-char window
+    // minus margin for the trailing newline / sbt prefix).
+    val fams = timings.groupBy { case (k, _) => family(k) }
+      .map { case (f, m) => f -> m.values.sum }.toSeq.sortBy(-_._2)
+    // "queries" here is the slowest-first PREFIX that fits the size cap
+    // (contract-shaped for the driver's parser); the complete map is on
+    // the "metric":"detail" line above.
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timings.size},"runs":$runs,"sf":"$sfDir","errors":$errs,"families":${jmap(fams.map { case (k, v) => k -> fmt(v) })},"queries":{"""
+    val tail = "}}"
+    val budget = 1900 - head.length - tail.length
+    val slow = new StringBuilder
+    var used = 0
+    timings.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+      val entry = (if (used == 0) "" else ",") + s"\"${esc(k)}\":${fmt(v)}"
+      if (used + entry.length <= budget) { slow.append(entry); used += entry.length }
+    }
+    println(head + slow + tail)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -23,4 +23,30 @@ object GraftShim {
       case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Unload every loaded StateStoreProvider and stop the state-store
+    * maintenance thread. A stopped streaming query does NOT release its
+    * state: HDFSBackedStateStoreProvider keeps the latest state-map
+    * versions of every partition in executor memory, and the shared
+    * maintenance task keeps waking up to snapshot/clean providers whose
+    * (temp) checkpoint dirs are already gone. Across a 12-query streaming
+    * family that residue degrades every query that runs after it —
+    * in-sequence measurements stop matching isolated ones (VERDICT r05
+    * item 1). Calling this after each completed streaming run restores
+    * the session to its pre-streaming state; the maintenance task
+    * restarts lazily on the next StateStore.get, so later streaming
+    * queries are unaffected. */
+  def unloadStreamingState(): Unit =
+    execution.streaming.state.StateStore.stop()
+
+  /** Loaded state-store provider count (bench diagnostic; -1 if the
+    * private field moved — reflection only, nothing depends on it). */
+  def loadedStateStores(): Int =
+    try {
+      val m = execution.streaming.state.StateStore.getClass
+        .getDeclaredMethod("loadedProviders")
+      m.setAccessible(true)
+      m.invoke(execution.streaming.state.StateStore)
+        .asInstanceOf[scala.collection.mutable.Map[_, _]].size
+    } catch { case _: Throwable => -1 }
 }
