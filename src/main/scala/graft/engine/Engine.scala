@@ -99,6 +99,11 @@ object Engine {
   private final case class PExpand(
       key: (String, String, String), boundVar: String, newVar: String,
       newIsDst: Boolean) extends PhysOp
+  /** Same peephole for a variable-length hop: cross+semi over the bounded
+    * closure fuses to one equi-join against the reach frame. */
+  private final case class PExpandPath(
+      key: (String, String, String), lo: Int, hi: Int, boundVar: String,
+      newVar: String, newIsDst: Boolean) extends PhysOp
 
   private def compilePlan(instrs: List[RInstr], cfg: Config): List[PhysOp] =
     if (!cfg.expandPaths) instrs.map(PExec)
@@ -111,6 +116,12 @@ object Engine {
           if sv == v && tv != v =>
         // (fresh v)-[:rl]->(bound tv): new var is the edge's src
         PExpand((sl, rl, tl), tv, v, newIsDst = false) :: compilePlan(rest, cfg)
+      case RMatchNode(v, _) :: RVarPath(sv, key, lo, hi, tv) :: rest
+          if tv == v && sv != v =>
+        PExpandPath(key, lo, hi, sv, v, newIsDst = true) :: compilePlan(rest, cfg)
+      case RMatchNode(v, _) :: RVarPath(sv, key, lo, hi, tv) :: rest
+          if sv == v && tv != v =>
+        PExpandPath(key, lo, hi, tv, v, newIsDst = false) :: compilePlan(rest, cfg)
       case i :: rest => PExec(i) :: compilePlan(rest, cfg)
       case Nil       => Nil
     }
@@ -128,6 +139,17 @@ object Engine {
           col("dst").as(if (newIsDst) c else eS))
         val joined = st.bindings
           .join(edf, col(st.colOf(boundVar)) === col(eS))
+          .drop(eS)
+        st = st.copy(bindings = joined, env = (newVar, c) :: st.env,
+          freshCounter = st.freshCounter + 1)
+      case PExpandPath(key, lo, hi, boundVar, newVar, newIsDst) =>
+        val c = fresh(st)
+        val eS = s"${c}_src"
+        val rdf = varPathReach(st.graph, key, lo, hi)
+          .select(col("src").as(if (newIsDst) eS else c),
+            col("dst").as(if (newIsDst) c else eS))
+        val joined = st.bindings
+          .join(rdf, col(st.colOf(boundVar)) === col(eS))
           .drop(eS)
         st = st.copy(bindings = joined, env = (newVar, c) :: st.env,
           freshCounter = st.freshCounter + 1)
@@ -274,6 +296,67 @@ object Engine {
       val projected = st.bindings.select(vs.map(v => col(st.colOf(v)).as(v)): _*)
       st.copy(bindings = projected, env = vs.map(v => (v, v)))
 
+    case RReturnExt(items, order, limit) =>
+      // Attribute items/keys ride the same per-variable left joins the
+      // where/set path uses; everything below stays one Catalyst plan.
+      val attrRefs = (items ++ order.map(_._1)).flatMap(collectRetAttrs).distinct
+      val (joined, refs) = joinAttrs(st, attrRefs.map(a => a: TExpr))
+      def leafCol(it: RRet): Column = it match {
+        case RRetVar(v)             => col(st.colOf(v))
+        case RRetAttr(v, _, f, _)   => col(refs((v, f)))
+        case _: RRetAgg             => throw new IllegalStateException("agg leaf")
+      }
+      def aggExpr(fn: AggFn, c: Column): Column = fn match {
+        case AggCount => count(c)
+        case AggSum   => sum(c)
+        case AggMin   => min(c)
+        case AggMax   => max(c)
+      }
+      val hasAgg = items.exists(_.isInstanceOf[RRetAgg])
+      val shaped =
+        if (!hasAgg) {
+          // order pre-projection (keys may reference non-returned attrs);
+          // orderBy+limit plans as TakeOrderedAndProject — the distributed
+          // top-n, no global sort materialization — which is the shape
+          // that survives scale.
+          val sorted =
+            if (order.isEmpty) joined
+            else joined.orderBy(order.map { case (k, asc) =>
+              if (asc) leafCol(k).asc else leafCol(k).desc }: _*)
+          val limited = limit.fold(sorted)(n => sorted.limit(n.toInt))
+          limited.select(items.map(it => leafCol(it).as(it.outName)): _*)
+        } else {
+          // plain items are the grouping keys (SQL semantics); zero plain
+          // items = global aggregate. Partial (map-side) aggregation comes
+          // free from Catalyst.
+          val groups = items.collect { case it @ (_: RRetVar | _: RRetAttr) =>
+            leafCol(it).as(it.outName) }
+          val aggs = items.collect { case it @ RRetAgg(fn, arg) =>
+            aggExpr(fn, leafCol(arg)).as(it.outName) }
+          val grouped = joined.groupBy(groups: _*).agg(aggs.head, aggs.tail: _*)
+          // aggregated order keys are returned items → order on out names
+          val sorted =
+            if (order.isEmpty) grouped
+            else grouped.orderBy(order.map { case (k, asc) =>
+              if (asc) col(k.outName).asc else col(k.outName).desc }: _*)
+          val limited = limit.fold(sorted)(n => sorted.limit(n.toInt))
+          limited.select(items.map(it => col(it.outName)): _*)
+        }
+      // engine env lists EVERY output column (the final projection walks
+      // it); the TYPING env is what restricts later instructions to the
+      // plain-variable bindings, so the extra outName entries are inert
+      st.copy(bindings = shaped, env = items.map(it => (it.outName, it.outName)))
+
+    case RVarPath(sv, key, lo, hi, tv) =>
+      // Both endpoints are bound (normalize emits the node instruction
+      // first); constrain existing rows to pairs in the bounded closure.
+      val reach = varPathReach(st.graph, key, lo, hi)
+      val joined = st.bindings.join(reach,
+        st.bindings(st.colOf(sv)) === reach("src") &&
+          st.bindings(st.colOf(tv)) === reach("dst"),
+        "left_semi")
+      st.copy(bindings = joined)
+
     case RWhere(te) =>
       val (joined, refs) = joinAttrs(st, te :: Nil)
       val filtered = joined.filter(expr(sql(te, refs, cfg.strict)))
@@ -340,6 +423,37 @@ object Engine {
     case a: TAttr         => Seq(a)
     case TBin(_, l, r, _) => collectAttrs(l) ++ collectAttrs(r)
     case _                => Nil
+  }
+
+  private def collectRetAttrs(it: RRet): Seq[TAttr] = it match {
+    case RRetAttr(v, l, f, tp) => Seq(TAttr(v, l, f, tp))
+    case RRetAgg(_, arg)       => collectRetAttrs(arg)
+    case _: RRetVar            => Nil
+  }
+
+  /** Distinct (src,dst) pairs connected by `lo..hi` consecutive edges of
+    * one label-homogeneous relation type — the bounded transitive closure
+    * behind `-[:r*lo..hi]->`. Each extra hop is ONE distributed self-join
+    * of the edge frame followed by a distinct; the per-level dedup keeps
+    * the intermediate linear in reachable-pairs (path multiplicity never
+    * materializes), which is what makes the bounded closure tractable on
+    * a big cluster — the depth cap (typing: hi <= 10) bounds the join
+    * chain. At scale, hash-partitioning both sides on the join key makes
+    * every level a co-partitioned shuffle join of the same frame. */
+  private def varPathReach(graph: PropertyGraph,
+      key: (String, String, String), lo: Int, hi: Int): DataFrame = {
+    val edges = graph.edges(key).select(col("src"), col("dst"))
+    var cur = edges // exactly-d-hop pairs (deduped), d = 1 …
+    var acc = if (lo <= 1) edges else null
+    for (d <- 2 to hi) {
+      val stepped = cur.as("p")
+        .join(edges.as("e"), col("p.dst") === col("e.src"))
+        .select(col("p.src").as("src"), col("e.dst").as("dst"))
+        .dropDuplicates("src", "dst")
+      cur = stepped
+      if (d >= lo) acc = if (acc == null) cur else acc.unionByName(cur)
+    }
+    (if (acc == null) cur else acc).dropDuplicates("src", "dst")
   }
 
   /** Compile a typed expression to a Spark SQL string. Integer division

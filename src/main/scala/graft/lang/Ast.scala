@@ -59,10 +59,33 @@ final case class VarRefPattern(variable: String) extends NodePattern
 sealed trait Pattern extends Product with Serializable
 final case class SimpPattern(np: NodePattern) extends Pattern
 final case class CompPattern(np: NodePattern, rel: String, rest: Pattern) extends Pattern
+/** Variable-length hop `(a)-[:r*lo..hi]->(b)` (engine extension; match
+  * only): b is reachable from a via lo..hi consecutive `r` edges. The
+  * relation must be label-homogeneous — exactly one declared `r` triple
+  * and its source label equals its target label — so every hop of the
+  * closure is well-typed. */
+final case class VarPattern(np: NodePattern, rel: String, lo: Int, hi: Int, rest: Pattern)
+    extends Pattern
 
 sealed trait DeletePattern extends Product with Serializable
 final case class DeleteNodes(vs: List[String]) extends DeletePattern
 final case class DeleteRels(rels: List[(String, String, String)]) extends DeletePattern
+
+/** Extended-return items (engine extension; the reference's `return` is
+  * variables-only, lang.ml:73). `RetVar` projects the node id, `RetAttr`
+  * the attribute value, `RetAgg` aggregates — `count(v)`, `count(v.f)`
+  * (non-null), `sum/min/max(v.f)` (int attributes only, matching the
+  * language's int-only ordering). */
+sealed trait AggFn extends Product with Serializable { def name: String }
+case object AggCount extends AggFn { val name = "count" }
+case object AggSum extends AggFn { val name = "sum" }
+case object AggMin extends AggFn { val name = "min" }
+case object AggMax extends AggFn { val name = "max" }
+
+sealed trait RetItem extends Product with Serializable
+final case class RetVar(v: String) extends RetItem
+final case class RetAttr(v: String, field: String) extends RetItem
+final case class RetAgg(fn: AggFn, arg: RetItem) extends RetItem // arg: RetVar | RetAttr
 
 sealed trait Clause extends Product with Serializable
 final case class Create(pats: List[Pattern]) extends Clause
@@ -71,6 +94,14 @@ final case class Delete(dp: DeletePattern) extends Clause
 final case class SetClause(assigns: List[(String, String, Expr)]) extends Clause
 final case class Where(e: Expr) extends Clause
 final case class Return(vs: List[String]) extends Clause
+/** `return <items> [order by <key> [desc], …] [limit n]` — the extended
+  * form; parsed only when an item is non-variable or order/limit appears,
+  * so reference-shaped programs take the [[Return]] path unchanged. If
+  * any item aggregates, the plain items become the grouping keys. */
+final case class ReturnExt(
+    items: List[RetItem],
+    order: List[(RetItem, Boolean)], // (key, ascending)
+    limit: Option[Long]) extends Clause
 
 final case class Query(clauses: List[Clause])
 

@@ -21,6 +21,12 @@ final case class IDeleteRel(sv: String, rel: String, tv: String) extends Instruc
 final case class IReturn(vs: List[String]) extends Instruction
 final case class IWhere(e: Expr) extends Instruction
 final case class ISet(v: String, field: String, e: Expr) extends Instruction
+/** Extension instructions (no reference counterpart). */
+final case class IReturnExt(items: List[RetItem], order: List[(RetItem, Boolean)],
+    limit: Option[Long]) extends Instruction
+/** `sv -[:rel*lo..hi]-> tv`, match-only (typing rejects create). */
+final case class IVarPathRel(act: Act, sv: String, rel: String, lo: Int, hi: Int,
+    tv: String) extends Instruction
 
 final case class NormProg(types: GraphTypes, instrs: List[Instruction])
 
@@ -34,16 +40,28 @@ object Normalize {
   private def normPattern(act: Act, pat: Pattern): List[Instruction] = pat match {
     case SimpPattern(np) => normNodePattern(act, np)
     case CompPattern(np, rl, rest) =>
-      normNodePattern(act, np) ++ tail(act, np.variable, rl, rest)
+      normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl), rest)
+    case VarPattern(np, rl, lo, hi, rest) =>
+      normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, lo, hi), rest)
   }
 
-  private def tail(act: Act, srcV: String, rl: String, pat: Pattern): List[Instruction] =
+  /** One hop of a path: fixed (`lo = hi = 1` single edge) or variable. */
+  private final case class Hop(rl: String, lo: Int = 1, hi: Int = 1) {
+    def instr(act: Act, sv: String, tv: String): Instruction =
+      if (lo == 1 && hi == 1) IActOnRel(act, sv, rl, tv)
+      else IVarPathRel(act, sv, rl, lo, hi, tv)
+  }
+
+  private def tail(act: Act, srcV: String, hop: Hop, pat: Pattern): List[Instruction] =
     pat match {
       case SimpPattern(np) =>
-        normNodePattern(act, np) :+ IActOnRel(act, srcV, rl, np.variable)
+        normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)
       case CompPattern(np, rl2, rest) =>
-        (normNodePattern(act, np) :+ IActOnRel(act, srcV, rl, np.variable)) ++
-          tail(act, np.variable, rl2, rest)
+        (normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)) ++
+          tail(act, np.variable, Hop(rl2), rest)
+      case VarPattern(np, rl2, lo2, hi2, rest) =>
+        (normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)) ++
+          tail(act, np.variable, Hop(rl2, lo2, hi2), rest)
     }
 
   private def normClause(c: Clause): List[Instruction] = c match {
@@ -54,6 +72,7 @@ object Normalize {
     case SetClause(as)            => as.map { case (v, f, e) => ISet(v, f, e) }
     case Where(e)                 => List(IWhere(e))
     case Return(vs)               => List(IReturn(vs))
+    case ReturnExt(its, ord, lim) => List(IReturnExt(its, ord, lim))
   }
 
   def normalize(p: Prog): NormProg =

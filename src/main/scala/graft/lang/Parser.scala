@@ -88,10 +88,68 @@ object Parser {
       case TKw("create") => Create(patternList())
       case TKw("match")  => Match(patternList())
       case TKw("delete") => Delete(deletePattern())
-      case TKw("return") => Return(identList())
+      case TKw("return") => returnClause()
       case TKw("where")  => Where(expr())
       case TKw("set")    => SetClause(assignList())
       case t             => throw ParseError(s"expected clause keyword, got $t", pos)
+    }
+
+    // --- extended return (engine extension; reference return is ident-
+    // list only). `order`/`by`/`asc`/`desc`/`limit` and the aggregate
+    // names are CONTEXTUAL identifiers, not keywords: `order by` is only
+    // recognized after the item list (where the reference grammar would
+    // reject any identifier anyway) and `count(` only by the lookahead
+    // paren — so every reference-legal program parses unchanged, and
+    // plain `return v1, v2` still yields the reference-shaped [[Return]].
+    private val aggFns = Map(
+      "count" -> AggCount, "sum" -> AggSum, "min" -> AggMin, "max" -> AggMax)
+
+    private def returnClause(): Clause = {
+      val items = List.newBuilder[RetItem]
+      items += retItem()
+      while (peek == TSym(",")) { i += 1; items += retItem() }
+      val order = List.newBuilder[(RetItem, Boolean)]
+      if (peek == TIdent("order") && peek2 == TIdent("by")) {
+        i += 2
+        def key(): Unit = {
+          val k = retItem()
+          val asc = peek match {
+            case TIdent("desc") => i += 1; false
+            case TIdent("asc")  => i += 1; true
+            case _              => true
+          }
+          order += ((k, asc))
+        }
+        key()
+        while (peek == TSym(",")) { i += 1; key() }
+      }
+      val limit = peek match {
+        case TIdent("limit") =>
+          i += 1
+          next() match {
+            case TInt(v) => Some(v)
+            case t       => throw ParseError(s"expected integer after limit, got $t", pos)
+          }
+        case _ => None
+      }
+      val (its, ord) = (items.result(), order.result())
+      if (ord.isEmpty && limit.isEmpty && its.forall(_.isInstanceOf[RetVar]))
+        Return(its.collect { case RetVar(v) => v })
+      else ReturnExt(its, ord, limit)
+    }
+
+    private def retItem(): RetItem = peek match {
+      case TIdent(fn) if aggFns.contains(fn) && peek2 == TSym("(") =>
+        i += 2
+        val arg = varOrAttr()
+        expectSym(")")
+        RetAgg(aggFns(fn), arg)
+      case _ => varOrAttr()
+    }
+
+    private def varOrAttr(): RetItem = {
+      val v = ident()
+      if (peek == TSym(".")) { i += 1; RetAttr(v, ident()) } else RetVar(v)
     }
 
     private def identList(): List[String] = {
@@ -114,9 +172,28 @@ object Parser {
         i += 1
         expectSym("["); expectSym(":")
         val rl = ident()
+        // variable-length hop `*lo..hi` (engine extension; ".." is two
+        // '.' tokens — the lexer has no two-char dot symbol)
+        val bounds = peek match {
+          case TSym("*") =>
+            i += 1
+            val lo = int("path bound")
+            expectSym("."); expectSym(".")
+            val hi = int("path bound")
+            Some((lo, hi))
+          case _ => None
+        }
         expectSym("]"); expectSym("->")
-        CompPattern(np, rl, pattern())
+        bounds match {
+          case Some((lo, hi)) => VarPattern(np, rl, lo, hi, pattern())
+          case None           => CompPattern(np, rl, pattern())
+        }
       } else SimpPattern(np)
+    }
+
+    private def int(what: String): Int = next() match {
+      case TInt(v) if v >= 0 && v <= Int.MaxValue => v.toInt
+      case t => throw ParseError(s"expected $what integer, got $t", pos)
     }
 
     private def nodePattern(): NodePattern = {

@@ -39,6 +39,26 @@ object Typing {
   final case class RWhere(e: TExpr) extends RInstr
   final case class RSet(v: String, label: String, field: String, tp: AttribTp, e: TExpr) extends RInstr
 
+  // --- extension instructions (no reference counterpart) ---
+  /** Resolved extended-return item; `outName` is the deterministic output
+    * column name (`v`, `v_f`, `count_v`, `sum_v_f`, …). */
+  sealed trait RRet extends Product with Serializable { def outName: String }
+  final case class RRetVar(v: String) extends RRet { def outName: String = v }
+  final case class RRetAttr(v: String, label: String, field: String, tp: AttribTp) extends RRet {
+    def outName: String = s"${v}_$field"
+  }
+  final case class RRetAgg(fn: AggFn, arg: RRet) extends RRet {
+    def outName: String = arg match {
+      case RRetVar(v)              => s"${fn.name}_$v"
+      case RRetAttr(v, _, f, _)    => s"${fn.name}_${v}_$f"
+      case a: RRetAgg              => s"${fn.name}_${a.outName}" // unreachable: parser rejects nesting
+    }
+  }
+  final case class RReturnExt(items: List[RRet], order: List[(RRet, Boolean)],
+      limit: Option[Long]) extends RInstr
+  final case class RVarPath(sv: String, rel: (String, String, String), lo: Int, hi: Int,
+      tv: String) extends RInstr
+
   /** Validated schema with O(1) lookups. */
   final case class Schema(
       nodeAttrs: Map[String, List[(String, AttribTp)]],
@@ -162,6 +182,86 @@ object Typing {
           if (te.tp != BoolT) Left(s"where expression must be bool, got ${te.tp}")
           else Right((RWhere(te), env))
         }
+      case IReturnExt(items, order, limit) =>
+        def resolve(it: RetItem): Either[String, RRet] = it match {
+          case RetVar(v) =>
+            lookup(env, v).toRight(s"return of unbound variable $v").map(_ => RRetVar(v))
+          case RetAttr(v, f) =>
+            lookup(env, v) match {
+              case None => Left(s"return of unbound variable $v")
+              case Some(lbl) =>
+                schema.attrType(lbl, f)
+                  .toRight(s"attribute $f not declared for label $lbl (variable $v)")
+                  .map(tp => RRetAttr(v, lbl, f, tp))
+            }
+          case RetAgg(fn, arg) =>
+            resolve(arg).flatMap {
+              case a: RRetAgg => Left(s"nested aggregate ${fn.name}(${a.outName})")
+              case a @ RRetAttr(v, _, f, tp) =>
+                if (fn != AggCount && tp != IntT)
+                  Left(s"${fn.name}($v.$f) requires an int attribute, got $tp")
+                else Right(RRetAgg(fn, a))
+              case a @ RRetVar(v) =>
+                if (fn != AggCount) Left(s"${fn.name}($v) requires an attribute argument")
+                else Right(RRetAgg(fn, a))
+            }
+        }
+        def sequence(xs: List[Either[String, RRet]]): Either[String, List[RRet]] =
+          xs.foldRight(Right(Nil): Either[String, List[RRet]]) {
+            (e, acc) => for (h <- e; t <- acc) yield h :: t
+          }
+        sequence(items.map(resolve)).flatMap { ritems =>
+          val names = ritems.map(_.outName)
+          val dups = names.diff(names.distinct).distinct
+          if (dups.nonEmpty)
+            Left(s"duplicate output column(s) in return: ${dups.mkString(", ")}")
+          else sequence(order.map { case (k, _) => resolve(k) }).flatMap { rkeys =>
+            val hasAgg = ritems.exists(_.isInstanceOf[RRetAgg])
+            val rorder = rkeys.zip(order.map(_._2))
+            val badKey =
+              if (hasAgg) rkeys.find(k => !ritems.contains(k)).map(k =>
+                s"order by ${k.outName}: aggregated return may only order by returned items")
+              else rkeys.collectFirst { case k: RRetAgg =>
+                s"order by ${k.outName}: aggregate ordering requires an aggregated return" }
+            badKey match {
+              case Some(e) => Left(e)
+              case None =>
+                // subsequent instructions may reference the surviving
+                // plain-variable bindings only (attr/agg columns are
+                // output-only), mirroring RReturn's env restriction
+                val env2 = ritems.collect { case RRetVar(v) => (v, lookup(env, v).get) }
+                Right((RReturnExt(ritems, rorder, limit), env2))
+            }
+          }
+        }
+
+      case IVarPathRel(act, sv, rl, lo, hi, tv) =>
+        if (act == CreateAct) Left(s"variable-length pattern -[:$rl*$lo..$hi]-> not allowed in create")
+        else if (lo < 1 || hi < lo)
+          Left(s"variable-length bounds *$lo..$hi invalid: need 1 <= lo <= hi")
+        else if (hi > 10)
+          Left(s"variable-length bound *$lo..$hi too deep: hi <= 10 (each extra " +
+            "hop is a distributed self-join of the edge set)")
+        else (lookup(env, sv), lookup(env, tv)) match {
+          case (Some(sl), Some(tl)) =>
+            // label-homogeneity: every hop reuses the same relation type,
+            // so the closure is only well-typed over a self-label relation
+            val decls = schema.relTypes.filter(_._2 == rl)
+            if (decls.isEmpty) Left(s"undeclared relation label $rl")
+            else if (decls.size > 1 || decls.head._1 != decls.head._3)
+              Left(s"variable-length -[:$rl*]-> requires a single label-homogeneous " +
+                s"relation type (:L)-[:$rl]->(:L); declared: " +
+                decls.toSeq.sorted.map { case (s0, r0, t0) => s"(:$s0)-[:$r0]->(:$t0)" }.mkString(", "))
+            else {
+              val (hl, _, _) = decls.head
+              if (sl != hl) Left(s"variable $sv: label $sl incompatible with (:$hl)-[:$rl]->(:$hl)")
+              else if (tl != hl) Left(s"variable $tv: label $tl incompatible with (:$hl)-[:$rl]->(:$hl)")
+              else Right((RVarPath(sv, decls.head, lo, hi, tv), env))
+            }
+          case (None, _) => Left(s"variable $sv not bound")
+          case (_, None) => Left(s"variable $tv not bound")
+        }
+
       case ISet(v, f, e) =>
         lookup(env, v) match {
           case None => Left(s"set on unbound variable $v")

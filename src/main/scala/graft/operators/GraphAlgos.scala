@@ -40,10 +40,14 @@ object GraphAlgos {
   private val ccIters = 9
   private val prIters = 8
 
-  /** All directed FK edges of the loaded graph as one (src,dst) frame. */
+  /** All directed FK edges of the loaded graph as one (src,dst) frame.
+    * Excludes the non-FK relation types: `tagged` (mutable, starts empty)
+    * and `nnext` (derived successor chain for variable-length paths) —
+    * the analytics oracles reconstruct exactly the source foreign keys. */
   private def allEdges(s: SparkSession, dir: String): DataFrame = {
     val (g, _) = GraphLoader.load(s, dir)
-    g.edges.collect { case (key, df) if key._2 != "tagged" => df.select("src", "dst") }
+    val nonFk = Set("tagged", "nnext")
+    g.edges.collect { case (key, df) if !nonFk(key._2) => df.select("src", "dst") }
       .reduce(_ union _)
   }
 

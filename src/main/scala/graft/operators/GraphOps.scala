@@ -40,6 +40,7 @@ object GraphOps {
       |(:lineitem) -[:lpart]-> (:part)
       |(:lineitem) -[:lsupp]-> (:supplier)
       |(:nation) -[:tagged]-> (:tag)
+      |(:nation) -[:nnext]-> (:nation)
       |""".stripMargin
 
   private val cfg = Engine.Config(strict = false)
@@ -228,5 +229,97 @@ object GraphOps {
              |FROM customer
              |JOIN nt ON CAST(c_nationkey AS BIGINT) + 2000000000 = nt.n
              |WHERE c_nationkey >= 20""".stripMargin)),
+
+    // --- return extension: aggregation, attribute projection, order/limit
+    // (VERDICT r05 item 4 — the relational machinery reachable from the
+    // .q language; no reference counterpart, lang.ml:73 is idents-only)
+
+    // grouped aggregation: plain items become grouping keys
+    Q("gql_agg",
+      bindings(
+        """match (c:customer) -[:cnation]-> (n:nation)
+          |return n, count(c)""".stripMargin),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |       count(*) AS count_c
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY 1""".stripMargin)),
+
+    // global aggregate (no grouping keys): one row
+    Q("gql_agg_global",
+      bindings(
+        "match (p:part) return count(p), min(p.psize), max(p.psize), sum(p.psize)"),
+      Some("""SELECT count(*) AS count_p,
+             |       CAST(min(p_size) AS BIGINT) AS min_p_psize,
+             |       CAST(max(p_size) AS BIGINT) AS max_p_psize,
+             |       CAST(sum(p_size) AS BIGINT) AS sum_p_psize
+             |FROM part""".stripMargin)),
+
+    // aggregated top-n: order by the aggregate, id tiebreak, limit
+    Q("gql_agg_order",
+      bindings(
+        """match (c:customer) -[:cnation]-> (n:nation)
+          |return n, count(c) order by count(c) desc, n limit 5""".stripMargin),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |       count(*) AS count_c
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY count_c DESC, n LIMIT 5""".stripMargin)),
+
+    // non-aggregated top-n (TakeOrderedAndProject, the distributed top-n)
+    Q("gql_order_limit",
+      bindings(
+        "match (p:part) return p, p.psize order by p.psize desc, p limit 10"),
+      Some("""SELECT CAST(p_partkey AS BIGINT) + 5000000000 AS p,
+             |       CAST(p_size AS BIGINT) AS p_psize
+             |FROM part ORDER BY p_size DESC, 1 LIMIT 10""".stripMargin)),
+
+    // attribute projection: v.f output columns alongside ids
+    Q("gql_return_attr",
+      bindings(
+        """match (c:customer) -[:cnation]-> (n:nation)
+          |where n.regionkey = 2
+          |return c, c.name, n.name""".stripMargin),
+      Some("""SELECT CAST(c_custkey AS BIGINT) + 4000000000 AS c,
+             |       c_name AS c_name, n_name AS n_name
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE n_regionkey = 2""".stripMargin)),
+
+    // --- variable-length path (VERDICT r05 item 5): bounded closure over
+    // the label-homogeneous successor relation; DuckDB recursive-CTE oracle
+    Q("gql_varpath",
+      bindings(
+        "match (a:nation) -[:nnext*1..3]-> (b:nation) return a, b"),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS src,
+             |         CAST(LEAD(n_nationkey) OVER (PARTITION BY n_regionkey
+             |              ORDER BY n_nationkey) AS BIGINT) + 2000000000 AS dst
+             |  FROM nation),
+             |r AS (SELECT src, dst, 1 AS d FROM e WHERE dst IS NOT NULL
+             |      UNION ALL
+             |      SELECT r.src, e.dst, r.d + 1
+             |      FROM r JOIN e ON r.dst = e.src
+             |      WHERE e.dst IS NOT NULL AND r.d < 3)
+             |SELECT DISTINCT src AS a, dst AS b FROM r""".stripMargin)),
+
+    // lower bound > 1: hops 2..3 only, composed with where + return attr
+    Q("gql_varpath_bounds",
+      bindings(
+        """match (a:nation) -[:nnext*2..3]-> (b:nation)
+          |where a.regionkey = 0
+          |return a, b, b.name""".stripMargin),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT n_regionkey AS rk,
+             |         CAST(n_nationkey AS BIGINT) + 2000000000 AS src,
+             |         CAST(LEAD(n_nationkey) OVER (PARTITION BY n_regionkey
+             |              ORDER BY n_nationkey) AS BIGINT) + 2000000000 AS dst
+             |  FROM nation),
+             |r AS (SELECT rk, src, dst, 1 AS d FROM e WHERE dst IS NOT NULL
+             |      UNION ALL
+             |      SELECT r.rk, r.src, e.dst, r.d + 1
+             |      FROM r JOIN e ON r.dst = e.src
+             |      WHERE e.dst IS NOT NULL AND r.d < 3)
+             |SELECT DISTINCT r.src AS a, r.dst AS b, n.n_name AS b_name
+             |FROM r JOIN nation n
+             |  ON r.dst = CAST(n.n_nationkey AS BIGINT) + 2000000000
+             |WHERE r.d >= 2 AND r.rk = 0""".stripMargin)),
   )
 }

@@ -72,6 +72,10 @@ object GraphLoader {
       ("lineitem", "lpart", "part"),
       ("lineitem", "lsupp", "supplier"),
       ("nation", "tagged", "tag"),
+      // label-homogeneous successor chain (same region, next nationkey):
+      // the self-relation that variable-length paths -[:nnext*lo..hi]->
+      // traverse; derived, not a source FK
+      ("nation", "nnext", "nation"),
     ))
 
   /** Total order over lineitem's unique composite key — the ROW_NUMBER
@@ -254,6 +258,16 @@ object GraphLoader {
         (col("l_suppkey") + SupplierBase).as("dst")),
       ("nation", "tagged", "tag") -> PropertyGraph.empty(spark, schema)
         .edges(("nation", "tagged", "tag")),
+      // successor within region: a partitioned window (shuffles by
+      // regionkey, sorts within partition — no single-partition funnel)
+      ("nation", "nnext", "nation") -> {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("n_regionkey").orderBy("n_nationkey")
+        nation.select(
+          (col("n_nationkey").cast("long") + NationBase).as("src"),
+          (lead(col("n_nationkey"), 1).over(w).cast("long") + NationBase).as("dst"))
+          .filter(col("dst").isNotNull)
+      },
     )
 
     (PropertyGraph(schema, nodes, edges), FreshBase)

@@ -181,4 +181,64 @@ class GoldenSpec extends AnyFunSuite {
     }
     assert(ex.getMessage != null)
   }
+
+  // --- engine extensions: extended return + variable-length paths ---
+
+  /** 6-node chain 0→1→2→3→4→5 over a self-relation, x = 10·id. */
+  private val chainSrc =
+    """(:N {x int})
+      |(:N) -[:next]-> (:N)
+      |create (n0:N) create (n1:N) create (n2:N)
+      |create (n3:N) create (n4:N) create (n5:N)
+      |create (n0) -[:next]-> (n1), (n1) -[:next]-> (n2), (n2) -[:next]-> (n3)
+      |create (n3) -[:next]-> (n4), (n4) -[:next]-> (n5)
+      |set n0.x = 0, n1.x = 10, n2.x = 20, n3.x = 30, n4.x = 40, n5.x = 50
+      |""".stripMargin
+
+  test("ext return: grouped aggregation with order and limit") {
+    val r = Engine.runSource(spark, chainSrc +
+      "match (a:N) -[:next*1..3]-> (b:N)\nreturn a, count(b) order by count(b) desc, a limit 2")
+    assert(r.bindings.columns.toSeq == Seq("a", "count_b"))
+    // reach counts per source on the 6-chain: 0→{1,2,3}, 1→{2,3,4}, 2→{3,4,5}
+    // all count 3; order tiebreak on a keeps sources 0 and 1
+    assert(r.bindings.collect().map(x => (x.getLong(0), x.getLong(1))).toSet ==
+      Set((0L, 3L), (1L, 3L)))
+  }
+
+  test("ext return: global aggregate over attributes") {
+    val r = Engine.runSource(spark, chainSrc +
+      "match (n:N)\nreturn count(n), sum(n.x), min(n.x), max(n.x)")
+    assert(r.bindings.columns.toSeq ==
+      Seq("count_n", "sum_n_x", "min_n_x", "max_n_x"))
+    assert(r.bindings.collect().map(_.toSeq).toSeq ==
+      Seq(Seq(6L, 150L, 0L, 50L)))
+  }
+
+  test("ext return: attribute projection and non-agg top-n") {
+    val r = Engine.runSource(spark, chainSrc +
+      "match (n:N)\nreturn n, n.x order by n.x desc limit 2")
+    assert(r.bindings.columns.toSeq == Seq("n", "n_x"))
+    assert(r.bindings.collect().map(x => (x.getLong(0), x.getLong(1))).toSet ==
+      Set((5L, 50L), (4L, 40L)))
+  }
+
+  test("varpath: bounded closure semantics on the chain (lo > 1)") {
+    val r = Engine.runSource(spark, chainSrc +
+      "match (a:N) -[:next*2..3]-> (b:N)\nreturn a, b")
+    val pairs = r.bindings.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val expected = (for {
+      a <- 0L to 5L; d <- 2 to 3; b = a + d if b <= 5
+    } yield (a, b)).toSet
+    assert(pairs == expected)
+  }
+
+  test("varpath: engine matches RefInterp on the same program") {
+    val prog = chainSrc + "match (a:N) -[:next*1..4]-> (b:N)\nreturn a, b"
+    val tp = graft.lang.Typing.compile(prog)
+    val eng = Engine.run(spark, tp,
+      graft.engine.PropertyGraph.empty(spark, tp.schema))
+      .bindings.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val ref = RefInterp.run(tp).rows.map(r => (r(0), r(1))).toSet
+    assert(eng == ref && eng.nonEmpty)
+  }
 }

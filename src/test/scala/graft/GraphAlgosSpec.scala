@@ -15,7 +15,10 @@ class GraphAlgosSpec extends AnyFunSuite {
 
   private def collectedEdges(): Seq[(Long, Long)] = {
     val (g, _) = GraphLoader.load(spark, dir)
-    g.edges.collect { case (key, df) if key._2 != "tagged" => df }
+    // FK edges only — mirror GraphAlgos.allEdges (tagged is mutable,
+    // nnext is the derived varpath successor chain)
+    val nonFk = Set("tagged", "nnext")
+    g.edges.collect { case (key, df) if !nonFk(key._2) => df }
       .flatMap(_.collect().map(r => (r.getLong(0), r.getLong(1)))).toSeq
   }
 

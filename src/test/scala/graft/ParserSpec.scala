@@ -81,4 +81,48 @@ class ParserSpec extends AnyFunSuite {
     val ex = intercept[Exception](Typing.compile(header + "create (a:P\nreturn a"))
     assert(ex.getMessage != null && ex.getMessage.nonEmpty)
   }
+
+  // --- extended return / varpath surface (engine extensions) ---
+
+  test("plain return still parses to the reference-shaped clause") {
+    val p = Parser.parse(header + "create (a:P)\nreturn a")
+    assert(p.query.clauses.last == Return(List("a")))
+  }
+
+  test("ext return: aggregates, attrs, order by, limit") {
+    val p = Parser.parse(
+      header + "create (a:P)\nreturn a, a.x, count(a), sum(a.x) order by a.x desc, a limit 7")
+    assert(p.query.clauses.last == ReturnExt(
+      List(RetVar("a"), RetAttr("a", "x"), RetAgg(AggCount, RetVar("a")),
+        RetAgg(AggSum, RetAttr("a", "x"))),
+      List((RetAttr("a", "x"), false), (RetVar("a"), true)),
+      Some(7L)))
+  }
+
+  test("aggregate names stay valid identifiers without the call paren") {
+    // a variable literally named `count` — contextual keywords only
+    val p = Parser.parse("(:P {})\ncreate (count:P)\nreturn count")
+    assert(p.query.clauses.last == Return(List("count")))
+  }
+
+  test("order/limit are contextual: order-by needs both words") {
+    val ex = intercept[Parser.ParseError](
+      Parser.parse(header + "create (a:P)\nreturn a order a"))
+    assert(ex.getMessage.contains("expected clause keyword") ||
+      ex.getMessage.contains("order"))
+  }
+
+  test("varpath hop parses with bounds") {
+    val p = Parser.parse(
+      "(:N {})\n(:N) -[:next]-> (:N)\nmatch (a:N) -[:next*2..5]-> (b:N)\nreturn a, b")
+    val pats = p.query.clauses.collectFirst { case Match(ps) => ps }.get
+    assert(pats == List(VarPattern(DeclPattern("a", "N"), "next", 2, 5,
+      SimpPattern(DeclPattern("b", "N")))))
+  }
+
+  test("varpath bounds must be integers") {
+    val ex = intercept[Parser.ParseError](
+      Parser.parse("(:N {})\n(:N) -[:next]-> (:N)\nmatch (a:N) -[:next*x..3]-> (b:N)"))
+    assert(ex.getMessage.contains("path bound"))
+  }
 }

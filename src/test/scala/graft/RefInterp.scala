@@ -100,6 +100,26 @@ object RefInterp {
     case RWhere(te) =>
       st.copy(rows = st.rows.filter(r => eval(st, r, te) == BoolV(true)))
 
+    case RVarPath(sv, (_, rl, _), lo, hi, tv) =>
+      // bounded closure over the rl edges, set semantics per level —
+      // mirrors Engine.varPathReach
+      val (cs, ct) = (st.colOf(sv), st.colOf(tv))
+      val e1 = st.edges.collect { case (s, `rl`, t) => (s, t) }
+      var cur = e1
+      var acc = if (lo <= 1) e1 else Set.empty[(Long, Long)]
+      for (d <- 2 to hi) {
+        cur = for ((s, m) <- cur; (m2, t) <- e1 if m2 == m) yield (s, t)
+        if (d >= lo) acc = acc ++ cur
+      }
+      st.copy(rows = st.rows.filter(r => acc((r(cs), r(ct)))))
+
+    case _: RReturnExt =>
+      // aggregation/ordering are engine extensions with non-Long output
+      // columns; outside this interpreter's reference-parity scope
+      // (GoldenSpec pins them in-JVM, the DuckDB oracle end-to-end)
+      throw new UnsupportedOperationException(
+        "extended return not supported by the reference-parity interpreter")
+
     case RSet(v, _, f, _, te) =>
       val c = st.colOf(v)
       // bindings dangling after a delete no-op, like the engine's

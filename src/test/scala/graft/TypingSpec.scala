@@ -123,4 +123,85 @@ class TypingSpec extends AnyFunSuite {
     val tp = Typing.compile(header + "create (p:P)\ncreate (p:Q)\nset p.y = 2")
     assert(tp.instrs.nonEmpty)
   }
+
+  // --- extended return (engine extension; no reference counterpart) ---
+
+  private val selfHeader =
+    """(:N {k int, s string})
+      |(:N) -[:next]-> (:N)
+      |""".stripMargin
+
+  test("ext return: sum requires an int attribute") {
+    assert(err(header + "create (a:P)\nreturn sum(a.s)").contains("int attribute"))
+  }
+
+  test("ext return: sum of a bare variable is rejected") {
+    assert(err(header + "create (a:P)\nreturn sum(a)").contains("attribute argument"))
+  }
+
+  test("ext return: duplicate output columns rejected") {
+    assert(err(header + "create (a:P)\nreturn a.x, a.x").contains("duplicate output"))
+  }
+
+  test("ext return: aggregated order key must be a returned item") {
+    assert(err(header + "create (a:P)\ncreate (b:Q)\nreturn a, count(b) order by b.y")
+      .contains("order by"))
+  }
+
+  test("ext return: aggregate order key without aggregated return rejected") {
+    assert(err(header + "create (a:P)\nreturn a order by count(a)")
+      .contains("aggregate ordering"))
+  }
+
+  test("ext return: unbound variable in item") {
+    assert(err(header + "create (a:P)\nreturn count(zz)").contains("unbound"))
+  }
+
+  test("ext return: env restricted to plain variable items") {
+    assert(err(header + "create (a:P)\ncreate (b:Q)\nreturn a, count(b)\nset b.y = 1")
+      .contains("unbound"))
+  }
+
+  test("ext return: plain variables after return stay usable") {
+    val tp = Typing.compile(
+      header + "create (a:P)\ncreate (b:Q)\nreturn a, count(b)\nset a.x = 1")
+    assert(tp.instrs.size == 4)
+  }
+
+  // --- variable-length path (engine extension) ---
+
+  test("varpath: rejected in create") {
+    assert(err(selfHeader + "create (a:N) -[:next*1..2]-> (b:N)")
+      .contains("not allowed in create"))
+  }
+
+  test("varpath: bounds must satisfy 1 <= lo <= hi") {
+    assert(err(selfHeader + "match (a:N) -[:next*0..2]-> (b:N)").contains("invalid"))
+    assert(err(selfHeader + "match (a:N) -[:next*3..2]-> (b:N)").contains("invalid"))
+  }
+
+  test("varpath: depth cap (each hop is a distributed self-join)") {
+    assert(err(selfHeader + "match (a:N) -[:next*1..11]-> (b:N)").contains("too deep"))
+  }
+
+  test("varpath: relation must be label-homogeneous") {
+    assert(err(header + "match (a:P) -[:r*1..2]-> (b:Q)")
+      .contains("label-homogeneous"))
+  }
+
+  test("varpath: undeclared relation label") {
+    assert(err(selfHeader + "match (a:N) -[:zz*1..2]-> (b:N)")
+      .contains("undeclared relation label"))
+  }
+
+  test("varpath: endpoint labels must match the relation's label") {
+    assert(err(selfHeader + "(:M {})\nmatch (a:M), (b:N)\nmatch (a) -[:next*1..2]-> (b)")
+      .contains("incompatible"))
+  }
+
+  test("varpath: well-typed bounded hop typechecks") {
+    val tp = Typing.compile(selfHeader + "match (a:N) -[:next*1..3]-> (b:N)\nreturn a, b")
+    assert(tp.instrs.collect { case v: Typing.RVarPath => v } ==
+      List(Typing.RVarPath("a", ("N", "next", "N"), 1, 3, "b")))
+  }
 }
