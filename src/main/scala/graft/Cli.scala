@@ -93,8 +93,9 @@ object Cli {
         }
         if (line == null) eof = true
       }
-    // no args / "h" / anything unrecognized → help, like the reference's
-    // print_help (main.ml:5-13, interf.ml:71; the reference exits 0 here)
+    // no args / "h" / anything unrecognized (including bare "f") → help
+    // and exit 0, exactly like the reference's print_help fall-through
+    // (main.ml:5-13 treats every unmatched argv the same way)
     case args0 =>
       val out = if (args0.isEmpty || args0 == List("h")) Console.out else Console.err
       out.println(
@@ -102,7 +103,6 @@ object Cli {
           |  f <file.q>  parse, typecheck, execute; print graph + binding table
           |  i           read programs from stdin, print normalized IR
           |  h           this help""".stripMargin)
-      if (!(args0.isEmpty || args0 == List("h"))) sys.exit(2)
   }
 
   def render(r: Engine.QueryResult): String = {

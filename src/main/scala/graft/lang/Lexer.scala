@@ -21,8 +21,12 @@ object Lexer {
 
   private val keywords = Set("create", "delete", "match", "return", "set", "where")
 
-  def tokenize(src: String): Vector[(Token, Int)] = {
-    val out = Vector.newBuilder[(Token, Int)]
+  /** (token, start offset, end offset) — the end offset feeds the
+    * reference-shaped error report (interf.ml:25-31 prints the column of
+    * the END of the offending token, ocamllex's pos_cnum - pos_bol) and
+    * lets the parser recover the exact source lexeme. */
+  def tokenize(src: String): Vector[(Token, Int, Int)] = {
+    val out = Vector.newBuilder[(Token, Int, Int)]
     var i = 0
     val n = src.length
     while (i < n) {
@@ -36,7 +40,7 @@ object Lexer {
       } else if (c.isDigit) {
         val start = i
         while (i < n && src(i).isDigit) i += 1
-        out += ((TInt(src.substring(start, i).toLong), start))
+        out += ((TInt(src.substring(start, i).toLong), start, i))
       } else if (c == '"') {
         val start = i
         i += 1
@@ -49,7 +53,7 @@ object Lexer {
         }
         if (i >= n) throw LexError("unterminated string", start)
         i += 1
-        out += ((TString(sb.result()), start))
+        out += ((TString(sb.result()), start, i))
       } else if (c.isLetter) {
         val start = i
         while (i < n && (src(i).isLetterOrDigit)) i += 1
@@ -66,22 +70,22 @@ object Lexer {
           case k if keywords(k)  => TKw(k)
           case _                 => TIdent(w)
         }
-        out += ((tok, start))
+        out += ((tok, start, i))
       } else {
         val two = if (i + 1 < n) src.substring(i, i + 2) else ""
         two match {
           case "->" | ">=" | "<=" | "<>" =>
-            out += ((TSym(two), i)); i += 2
+            out += ((TSym(two), i, i + 2)); i += 2
           case _ =>
             c match {
               case '{' | '}' | '[' | ']' | '(' | ')' | '.' | ',' | ':' | '+' | '-' | '*' | '/' | '=' | '>' | '<' =>
-                out += ((TSym(c.toString), i)); i += 1
+                out += ((TSym(c.toString), i, i + 1)); i += 1
               case _ => throw LexError(s"unrecognized symbol '$c'", i)
             }
         }
       }
     }
-    out += ((TEof, n))
+    out += ((TEof, n, n))
     out.result()
   }
 }

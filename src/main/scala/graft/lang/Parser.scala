@@ -9,38 +9,49 @@ import Lexer._
   */
 object Parser {
 
-  final case class ParseError(msg: String, pos: Int)
+  /** `tok` is the offending token's source lexeme, `end` its end offset
+    * — both feed the reference-shaped [[errorReport]]; `msg` keeps the
+    * parser's richer `expected …, got …` diagnosis for programmatic
+    * consumers (tests, embedding callers). */
+  final case class ParseError(msg: String, pos: Int, tok: String = "", end: Int = -1)
       extends RuntimeException(s"$msg at offset $pos")
 
-  /** Reference-shaped parse-error report (interf.ml:25-31): file, line,
-    * column, offending token, and the REST OF THE INPUT from the error
-    * position (the reference's `ruleTail`, lexer.mll:87-90 — the echo
-    * that shows where parsing stopped). Line/column are derived from the
-    * token's character offset; the token text rides in [[ParseError]]'s
-    * message (`expected …, got <tok>`). */
+  /** Parse-error report, byte-shaped like the reference's
+    * print_parse_error (interf.ml:25-31): `[Parsing error in file: <fn>]
+    * on line: <l> column: <c> token: <tok>` then `rest: <tail>` — the
+    * rest-of-input echo is the reference's `ruleTail` (lexer.mll:87-90).
+    * As in the reference: no filename ⇒ EMPTY prefix (the line starts
+    * with " on line:"), the column convention is the END of the
+    * offending token (ocamllex pos_cnum - pos_bol after the token is
+    * consumed), and the tail starts after the token. */
   def errorReport(src: String, fn: Option[String], e: ParseError): String = {
-    val upto = src.take(e.pos)
+    val at = if (e.end >= 0) e.end else e.pos
+    val upto = src.take(at)
     val line = upto.count(_ == '\n') + 1
-    val cnum = e.pos - (upto.lastIndexOf('\n') + 1)
-    val where = fn.map(f => s"Parsing error in file: $f").getOrElse("Parsing error")
-    s"$where on line: $line column: $cnum ${e.msg}\nrest: ${src.drop(e.pos)}"
+    val cnum = at - (upto.lastIndexOf('\n') + 1)
+    val where = fn.map(f => s"Parsing error in file: $f").getOrElse("")
+    s"$where on line: $line column: $cnum token: ${e.tok}\nrest: ${src.drop(at)}"
   }
 
-  def parse(src: String): Prog = new P(Lexer.tokenize(src)).prog()
+  def parse(src: String): Prog = new P(src, Lexer.tokenize(src)).prog()
 
-  private final class P(toks: Vector[(Token, Int)]) {
+  private final class P(src: String, toks: Vector[(Token, Int, Int)]) {
     private var i = 0
     private def peek: Token = toks(i)._1
     private def peek2: Token = if (i + 1 < toks.length) toks(i + 1)._1 else TEof
     private def pos: Int = toks(i)._2
+    private def fail(msg: String): Nothing = {
+      val (_, start, end) = toks(i)
+      throw ParseError(msg, start, src.substring(start, end), end)
+    }
     private def next(): Token = { val t = peek; i += 1; t }
     private def expectSym(s: String): Unit = peek match {
       case TSym(`s`) => i += 1
-      case t         => throw ParseError(s"expected '$s', got $t", pos)
+      case t         => fail(s"expected '$s', got $t")
     }
-    private def ident(): String = next() match {
-      case TIdent(s) => s
-      case t         => throw ParseError(s"expected identifier, got $t", pos)
+    private def ident(): String = peek match {
+      case TIdent(s) => i += 1; s
+      case t         => fail(s"expected identifier, got $t")
     }
 
     def prog(): Prog = {
@@ -58,9 +69,9 @@ object Parser {
               var more = true
               while (more) {
                 val f = ident()
-                next() match {
-                  case TTp(tp) => attrs += ((f, tp))
-                  case t       => throw ParseError(s"expected type, got $t", pos)
+                peek match {
+                  case TTp(tp) => i += 1; attrs += ((f, tp))
+                  case t       => fail(s"expected type, got $t")
                 }
                 if (peek == TSym(",")) i += 1 else more = false
               }
@@ -76,7 +87,7 @@ object Parser {
             val tgt = ident()
             expectSym(")")
             relTps += RelTypeDecl(lbl, rl, tgt)
-          case t => throw ParseError(s"expected '{' or ')', got $t", pos)
+          case t => fail(s"expected '{' or ')', got $t")
         }
       }
       val clauses = List.newBuilder[Clause]
@@ -84,14 +95,18 @@ object Parser {
       Prog(GraphTypes(nodeTps.result(), relTps.result()), Query(clauses.result()))
     }
 
-    private def clause(): Clause = next() match {
-      case TKw("create") => Create(patternList())
-      case TKw("match")  => Match(patternList())
-      case TKw("delete") => Delete(deletePattern())
-      case TKw("return") => returnClause()
-      case TKw("where")  => Where(expr())
-      case TKw("set")    => SetClause(assignList())
-      case t             => throw ParseError(s"expected clause keyword, got $t", pos)
+    private def clause(): Clause = peek match {
+      case TKw(kw) =>
+        i += 1
+        kw match {
+          case "create" => Create(patternList())
+          case "match"  => Match(patternList())
+          case "delete" => Delete(deletePattern())
+          case "return" => returnClause()
+          case "where"  => Where(expr())
+          case _        => SetClause(assignList()) // "set"
+        }
+      case t => fail(s"expected clause keyword, got $t")
     }
 
     // --- extended return (engine extension; reference return is ident-
@@ -126,9 +141,9 @@ object Parser {
       val limit = peek match {
         case TIdent("limit") =>
           i += 1
-          next() match {
-            case TInt(v) => Some(v)
-            case t       => throw ParseError(s"expected integer after limit, got $t", pos)
+          peek match {
+            case TInt(v) => i += 1; Some(v)
+            case t       => fail(s"expected integer after limit, got $t")
           }
         case _ => None
       }
@@ -191,9 +206,9 @@ object Parser {
       } else SimpPattern(np)
     }
 
-    private def int(what: String): Int = next() match {
-      case TInt(v) if v >= 0 && v <= Int.MaxValue => v.toInt
-      case t => throw ParseError(s"expected $what integer, got $t", pos)
+    private def int(what: String): Int = peek match {
+      case TInt(v) if v >= 0 && v <= Int.MaxValue => i += 1; v.toInt
+      case t => fail(s"expected $what integer, got $t")
     }
 
     private def nodePattern(): NodePattern = {
@@ -202,7 +217,7 @@ object Parser {
       peek match {
         case TSym(":") => i += 1; val l = ident(); expectSym(")"); DeclPattern(v, l)
         case TSym(")") => i += 1; VarRefPattern(v)
-        case t         => throw ParseError(s"expected ':' or ')', got $t", pos)
+        case t         => fail(s"expected ':' or ')', got $t")
       }
     }
 
@@ -262,16 +277,18 @@ object Parser {
       e
     }
 
-    private def primary(): Expr = next() match {
-      case TBool(b)   => Const(BoolV(b))
-      case TInt(v)    => Const(IntV(v))
-      case TString(s) => Const(StringV(s))
+    private def primary(): Expr = peek match {
+      case TBool(b)   => i += 1; Const(BoolV(b))
+      case TInt(v)    => i += 1; Const(IntV(v))
+      case TString(s) => i += 1; Const(StringV(s))
       case TIdent(v) =>
+        i += 1
         expectSym(".")
         AttribAcc(v, ident())
       case TSym("(") =>
+        i += 1
         val e = expr(); expectSym(")"); e
-      case t => throw ParseError(s"expected expression, got $t", pos)
+      case t => fail(s"expected expression, got $t")
     }
   }
 }

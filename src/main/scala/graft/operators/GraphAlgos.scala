@@ -65,7 +65,17 @@ object GraphAlgos {
   private val ueFrames =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def undirectedEdges(s: SparkSession, dir: String): DataFrame = {
+  /** Single-evaluation memoization lock for the three session caches
+    * below: TrieMap.getOrElseUpdate alone does NOT guarantee one build —
+    * two concurrent first callers may both build, and the loser's
+    * persisted graph / pinned checkpoint would leak for the session's
+    * lifetime with no handle to unpersist it (ADVICE r05). The builds
+    * are rare (once per session × dir) and the harnesses are
+    * single-threaded, so one coarse lock is cheap insurance, not a
+    * bottleneck. */
+  private val memoLock = new Object
+
+  private def undirectedEdges(s: SparkSession, dir: String): DataFrame = memoLock.synchronized {
     ueFrames.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     ueFrames.getOrElseUpdate((s, dir), {
       val e = allEdges(s, dir)
@@ -84,7 +94,7 @@ object GraphAlgos {
     .empty[(SparkSession, String), org.apache.spark.graphx.Graph[Unit, Unit]]
 
   private def gxGraph(s: SparkSession, dir: String)
-      : org.apache.spark.graphx.Graph[Unit, Unit] = {
+      : org.apache.spark.graphx.Graph[Unit, Unit] = memoLock.synchronized {
     import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
     gxGraphs.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     gxGraphs.getOrElseUpdate((s, dir), {
@@ -108,7 +118,7 @@ object GraphAlgos {
   private val prFrames =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def fixedPageRank(s: SparkSession, dir: String): DataFrame = {
+  private def fixedPageRank(s: SparkSession, dir: String): DataFrame = memoLock.synchronized {
     prFrames.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     prFrames.getOrElseUpdate((s, dir), {
       // Loop-invariant precomputation, partitioned by the per-step join
@@ -526,15 +536,23 @@ object GraphAlgos {
     // (r = 0.15 + 0.85·Σ contribs, dangling mass dropped, r0 = 1), but
     // GraphX NORMALIZES its final ranks to sum to |V|, so the check
     // first derives the single global scale factor from the matched
-    // sums and then requires every vertex to sit within 1e-4 relative
-    // of frank·scale — one scalar cannot absorb a semantic divergence
-    // (wrong iteration count, dangling handling, vertex set), only the
-    // uniform normalization it exists to model; residual float-vs-int64
-    // truncation noise is ~1e-9 relative, 5 orders below the gate.
-    // Vertices absent from GraphX's edge-built graph (isolated nodes)
-    // must hold frank = 0.15 exactly — reconciled, not skipped. The
-    // oracle predicts the certificate exactly: n_agree = n_vertices.
-    // (VERDICT r04 item 5: was rows-only, scored as err.)
+    // sums and then requires every vertex to sit within a SHAPE-DERIVED
+    // relative gate of frank·scale — one scalar cannot absorb a
+    // semantic divergence (wrong iteration count, dangling handling,
+    // vertex set), only the uniform normalization it exists to model.
+    // Gate derivation (ADVICE r05: a flat 1e-4 ignores truncation
+    // ACCUMULATION): each integer contribution `rank // outdeg`
+    // truncates up to one 1e-9 unit, so a vertex of in-degree d can
+    // accumulate ≤ d·1e-9 absolute error per iteration; over prIters
+    // iterations with a 2× propagation margin and ranks ≥ 0.15, the
+    // relative bound is maxInDeg·1e-9·prIters·2/0.15 — computed from
+    // THIS graph, floored at 1e-4, so the certificate stays sound at
+    // scale factors where hub in-degrees reach 1e4+ instead of silently
+    // reading as a correctness failure. Vertices absent from GraphX's
+    // edge-built graph (isolated nodes) must hold frank = 0.15 exactly
+    // — reconciled, not skipped. The oracle predicts the certificate
+    // exactly: n_agree = n_vertices. (VERDICT r04 item 5: was
+    // rows-only, scored as err.)
     Q("g_pagerank_graphx",
       (s, dir) => {
         val sp = s
@@ -548,13 +566,16 @@ object GraphAlgos {
         val scale = joined
           .agg((sum(when(col("grank").isNotNull, col("grank"))) /
                 sum(when(col("grank").isNotNull, col("frank")))).as("scale"))
+        val gate = allEdges(s, dir).groupBy(col("dst")).agg(count(lit(1)).as("d"))
+          .agg(greatest(lit(1e-4),
+            max(col("d")).cast("double") * lit(1e-9) * prIters * 2 / 0.15).as("gate"))
         val out = Ckpt.eager(
-          joined.crossJoin(broadcast(scale))
+          joined.crossJoin(broadcast(scale)).crossJoin(broadcast(gate))
             .agg(count(lit(1)).as("n_vertices"),
               sum(when(
                 when(col("grank").isNotNull,
                   abs(col("grank") - col("frank") * col("scale")) <=
-                    lit(1e-4) * col("frank") * col("scale"))
+                    col("gate") * col("frank") * col("scale"))
                   .otherwise(col("frank") === 0.15),
                 1L).otherwise(0L)).as("n_agree")))
         prGraph.unpersist(blocking = false)

@@ -27,7 +27,18 @@ object IoOps {
     * window was real. */
   private[graft] def scratch(fmt: String, dir: String): String = {
     val tag = PipeData.contentTag(dir)
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), s"graft_io_${fmt}_$tag").toString
+    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    // Reap stale siblings (ADVICE r05): every dataset regeneration mints
+    // a new tag, and without this the abandoned graft_io_<fmt>_<oldtag>
+    // dirs accumulate unbounded disk across regenerations. Best-effort —
+    // a concurrently-running sibling session would just rebuild.
+    val prefix = s"graft_io_${fmt}_"
+    val keep = prefix + tag
+    Option(base.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith(prefix) && f.getName != keep)
+        org.apache.commons.io.FileUtils.deleteQuietly(f)
+    }
+    base.resolve(keep).toString
   }
 
   val all: List[Q] = List(

@@ -666,6 +666,19 @@ object RelOps {
           if (!s.catalog.tableExists(name)) {
             val wh = java.net.URI.create(
               s.conf.get("spark.sql.warehouse.dir")).getPath
+            // Reap STALE-tag siblings too (ADVICE r05): regeneration
+            // mints a new tag and the old warehouse dirs would
+            // accumulate forever. Catalog entries (if any, same session)
+            // are dropped first so table state and disk stay consistent.
+            val stalePrefix = name.substring(0, name.lastIndexOf('_') + 1)
+            Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty)
+              .foreach { f =>
+                if (f.getName.startsWith(stalePrefix) && f.getName != name) {
+                  if (s.catalog.tableExists(f.getName))
+                    s.sql(s"DROP TABLE IF EXISTS ${f.getName}")
+                  org.apache.commons.io.FileUtils.deleteQuietly(f)
+                }
+              }
             val loc = new java.io.File(wh, name)
             if (loc.exists())
               org.apache.commons.io.FileUtils.deleteDirectory(loc)

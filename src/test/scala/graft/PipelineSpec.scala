@@ -522,4 +522,19 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(got == want)
   }
+
+  test("ANN recall gate: IVF nprobe=2 mean recall@k >= 0.6 vs brute truth") {
+    // The quality floor for the approximate path (VERDICT r05 item 6):
+    // a future IVF change that silently degrades ranking quality —
+    // centroid drift, probe-selection bug, assignment mismatch — fails
+    // here, not in post-hoc analysis. 0.6 is safely below the current
+    // measured recall at this corpus (leaving room for benign float
+    // nudges) and far above what a broken probe path produces.
+    val rec = run("p_sim_recall").agg(avg(col("recall"))).head().getDouble(0)
+    assert(rec >= 0.6, f"mean IVF recall@k degraded to $rec%.3f (< 0.6)")
+    // and recall is a well-formed fraction everywhere
+    val bad = run("p_sim_recall")
+      .filter(col("recall") < 0 || col("recall") > 1).count()
+    assert(bad == 0)
+  }
 }
