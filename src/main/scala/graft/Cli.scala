@@ -59,6 +59,42 @@ object Cli {
           println(s"wrote $p")
         }
       } finally spark.stop()
+    // `g <testdata-dir> <file.q>` — run a program against the PARQUET
+    // graph (GraphLoader's projection of the TPC-H-ish tables; the
+    // loader's schema header is prepended, so the .q file contains just
+    // clauses). Engine extension — the reference has no external
+    // sources at all (interf.ml:38-47). Prints the binding table only
+    // (row-capped): the loaded graph is data-sized, not render-sized.
+    case "g" :: dir :: file :: Nil =>
+      val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)))
+      val full = graft.sources.GraphLoader.headerGql + src
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+        .appName("graft-cli")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      try {
+        val r = try {
+          val (g, nextId) = graft.sources.GraphLoader.load(spark, dir)
+          Engine.runSourceOn(spark, full, g, nextId,
+            Engine.Config(strict = false))
+        } catch {
+          case e: graft.lang.Parser.ParseError =>
+            println(graft.lang.Parser.errorReport(full, Some(file), e))
+            System.err.println("Stopped execution.")
+            spark.stop()
+            sys.exit(1)
+        }
+        val cols = r.bindings.columns
+        val rows = r.bindings.limit(101).collect()
+        println(s"Table [${cols.mkString(", ")}]:")
+        rows.take(100).map(_.toSeq.mkString("  [", ", ", "]"))
+          .sorted.foreach(println)
+        if (rows.length > 100) println("  ... (first 100 rows shown)")
+      } finally spark.stop()
     case "i" :: Nil =>
       // Read-print LOOP like the reference REPL (interf.ml:50-56): prompt,
       // parse one program, print its normalized IR, repeat. The reference
@@ -99,8 +135,9 @@ object Cli {
     case args0 =>
       val out = if (args0.isEmpty || args0 == List("h")) Console.out else Console.err
       out.println(
-        """usage: graft.Cli [ h | i | f <file.q> [--tex out.tex] [--dot out.dot] ]
+        """usage: graft.Cli [ h | i | f <file.q> [--tex out.tex] [--dot out.dot] | g <dir> <file.q> ]
           |  f <file.q>  parse, typecheck, execute; print graph + binding table
+          |  g <dir> <file.q>  run clauses against the parquet graph at <dir>
           |  i           read programs from stdin, print normalized IR
           |  h           this help""".stripMargin)
   }

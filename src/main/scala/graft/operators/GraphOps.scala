@@ -21,27 +21,9 @@ import graft.sources.GraphLoader
   */
 object GraphOps {
 
-  /** Declared MiniGQL schema of the parquet graph — must stay in sync with
-    * GraphLoader.schema. */
-  private val header: String =
-    """(:region {name string})
-      |(:nation {name string, regionkey int, nationkey int})
-      |(:supplier {name string, nationkey int})
-      |(:customer {name string, mktsegment string, nationkey int})
-      |(:part {name string, brand string, ptype string, psize int})
-      |(:orders {status string, priority string, urgent bool})
-      |(:lineitem {linenumber int, returnflag string, linestatus string})
-      |(:tag {})
-      |(:customer) -[:cnation]-> (:nation)
-      |(:supplier) -[:snation]-> (:nation)
-      |(:nation) -[:nregion]-> (:region)
-      |(:orders) -[:ocust]-> (:customer)
-      |(:lineitem) -[:lorder]-> (:orders)
-      |(:lineitem) -[:lpart]-> (:part)
-      |(:lineitem) -[:lsupp]-> (:supplier)
-      |(:nation) -[:tagged]-> (:tag)
-      |(:nation) -[:nnext]-> (:nation)
-      |""".stripMargin
+  /** Declared MiniGQL schema of the parquet graph — the loader owns the
+    * single copy (also used by the CLI `g` mode). */
+  private val header: String = GraphLoader.headerGql
 
   private val cfg = Engine.Config(strict = false)
 

@@ -78,6 +78,31 @@ object GraphLoader {
       ("nation", "nnext", "nation"),
     ))
 
+  /** The loaded graph's schema as MiniGQL type declarations — the header
+    * the CLI `g` mode (and GraphOps) prepends to user programs so a .q
+    * file runs against the parquet graph without redeclaring it. Must
+    * stay in sync with [[schema]]; a structural check in
+    * Engine.runSourceOn catches drift loudly. */
+  val headerGql: String =
+    """(:region {name string})
+      |(:nation {name string, regionkey int, nationkey int})
+      |(:supplier {name string, nationkey int})
+      |(:customer {name string, mktsegment string, nationkey int})
+      |(:part {name string, brand string, ptype string, psize int})
+      |(:orders {status string, priority string, urgent bool})
+      |(:lineitem {linenumber int, returnflag string, linestatus string})
+      |(:tag {})
+      |(:customer) -[:cnation]-> (:nation)
+      |(:supplier) -[:snation]-> (:nation)
+      |(:nation) -[:nregion]-> (:region)
+      |(:orders) -[:ocust]-> (:customer)
+      |(:lineitem) -[:lorder]-> (:orders)
+      |(:lineitem) -[:lpart]-> (:part)
+      |(:lineitem) -[:lsupp]-> (:supplier)
+      |(:nation) -[:tagged]-> (:tag)
+      |(:nation) -[:nnext]-> (:nation)
+      |""".stripMargin
+
   /** Total order over lineitem's unique composite key — the ROW_NUMBER
     * basis for lineitem node ids, mirrored verbatim in every oracle that
     * references them. */

@@ -64,7 +64,7 @@ class DifferentialSpec extends AnyFunSuite {
       else s"($base ${pick(Seq("and", "or"))} ${boolExpr(depth - 1)})"
     }
     val steps = 3 + rnd.nextInt(6)
-    for (_ <- 1 to steps) rnd.nextInt(6) match {
+    for (_ <- 1 to steps) rnd.nextInt(7) match {
       case 0 => // create + immediate set (keeps all attributes defined)
         val v = freshOrReuse()
         val lbl = pick(Seq("P", "Q"))
@@ -94,6 +94,26 @@ class DifferentialSpec extends AnyFunSuite {
           val (v, lbl) = env(rnd.nextInt(env.size))
           if (latest(v).contains(lbl))
             sb ++= s"set $v.${if (lbl == "P") "x" else "y"} = ${intExpr(1)}\n"
+        }
+      case 5 => // variable-length path over a self-label relation
+        // the two forms exercise both engine paths: bound→bound is the
+        // reach semi-join (RVarPath), bound→fresh-decl the PExpandPath
+        // peephole (equi-join against the closure)
+        val starts = Seq(("P", "s"), ("Q", "t"))
+          .flatMap { case (l, rl) => bound(l).map(a => (a, rl, l)) }
+        if (starts.nonEmpty) {
+          val (a, rl, l) = pick(starts)
+          val lo = 1 + rnd.nextInt(2)
+          val hi = lo + rnd.nextInt(3)
+          val bs = bound(l)
+          if (bs.nonEmpty && rnd.nextBoolean())
+            sb ++= s"match ($a) -[:$rl*$lo..$hi]-> (${pick(bs)})\n"
+          else {
+            n += 1
+            val v = s"v$n"
+            sb ++= s"match ($a) -[:$rl*$lo..$hi]-> ($v:$l)\n"
+            env = (v, l) :: env
+          }
         }
       case _ => // delete a node binding (also unbinds)
         if (env.nonEmpty && rnd.nextInt(3) == 0) {
