@@ -347,6 +347,21 @@ object Engine {
       // plain-variable bindings, so the extra outName entries are inert
       st.copy(bindings = shaped, env = items.map(it => (it.outName, it.outName)))
 
+    case ROptMatch(sv, key, tv) =>
+      // left-outer edge expansion: one row per (sv, successor) edge,
+      // or ONE row with a NULL binding when sv has no successor — the
+      // same broadcast/shuffle hash left join Catalyst plans for any
+      // enrichment lookup; at scale this is the match-edge join with
+      // identical partitioning, just outer.
+      val c = fresh(st)
+      val eS = s"${c}_src"
+      val edf = st.graph.edges(key).select(col("src").as(eS), col("dst").as(c))
+      val joined = st.bindings
+        .join(edf, col(st.colOf(sv)) === col(eS), "left")
+        .drop(eS)
+      st.copy(bindings = joined, env = (tv, c) :: st.env,
+        freshCounter = st.freshCounter + 1)
+
     case RVarPath(sv, key, lo, hi, tv) =>
       // Both endpoints are bound (normalize emits the node instruction
       // first); constrain existing rows to pairs in the bounded closure.

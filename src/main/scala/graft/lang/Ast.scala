@@ -102,6 +102,13 @@ final case class ReturnExt(
     items: List[RetItem],
     order: List[(RetItem, Boolean)], // (key, ascending)
     limit: Option[Long]) extends Clause
+/** `optional match (a) -[:r]-> (b:B)` (engine extension): keep every
+  * existing row; bind `b` to each `r`-successor of `a`, or to NULL when
+  * `a` has none — the left-outer half of match-edge. Single hop, fresh
+  * declared target only (`a` may itself be a fresh declaration, which
+  * match-binds it first). */
+final case class OptMatch(src: NodePattern, rel: String, tgtVar: String,
+    tgtLabel: String) extends Clause
 
 final case class Query(clauses: List[Clause])
 

@@ -27,6 +27,10 @@ final case class IReturnExt(items: List[RetItem], order: List[(RetItem, Boolean)
 /** `sv -[:rel*lo..hi]-> tv`, match-only (typing rejects create). */
 final case class IVarPathRel(act: Act, sv: String, rel: String, lo: Int, hi: Int,
     tv: String) extends Instruction
+/** optional match hop: bind `tv` to each rel-successor of `sv`, NULL
+  * when none (left-outer edge expansion). */
+final case class IOptMatch(sv: String, rel: String, tv: String,
+    tvLabel: String) extends Instruction
 
 final case class NormProg(types: GraphTypes, instrs: List[Instruction])
 
@@ -73,6 +77,8 @@ object Normalize {
     case Where(e)                 => List(IWhere(e))
     case Return(vs)               => List(IReturn(vs))
     case ReturnExt(its, ord, lim) => List(IReturnExt(its, ord, lim))
+    case OptMatch(np, rl, tv, tl) =>
+      normNodePattern(MatchAct, np) :+ IOptMatch(np.variable, rl, tv, tl)
   }
 
   def normalize(p: Prog): NormProg =

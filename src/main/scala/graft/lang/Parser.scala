@@ -106,6 +106,18 @@ object Parser {
           case "where"  => Where(expr())
           case _        => SetClause(assignList()) // "set"
         }
+      // `optional` is a contextual identifier (engine extension): only
+      // `optional match` at clause position parses as a clause — a
+      // variable named `optional` stays legal everywhere else
+      case TIdent("optional") if peek2 == TKw("match") =>
+        i += 2
+        pattern() match {
+          case CompPattern(np, rl, SimpPattern(DeclPattern(v, l))) =>
+            OptMatch(np, rl, v, l)
+          case _ =>
+            fail("optional match supports a single hop (a)-[:r]->(b:B) " +
+              "with a fresh declared target")
+        }
       case t => fail(s"expected clause keyword, got $t")
     }
 

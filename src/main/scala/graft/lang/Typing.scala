@@ -58,6 +58,12 @@ object Typing {
       limit: Option[Long]) extends RInstr
   final case class RVarPath(sv: String, rel: (String, String, String), lo: Int, hi: Int,
       tv: String) extends RInstr
+  /** optional match hop: `tv`'s binding column is NULLABLE — an
+    * attribute access through an unmatched binding yields NULL
+    * (non-strict) or the strict-mode unset raise, and an equality join
+    * through it never matches (SQL null semantics). */
+  final case class ROptMatch(sv: String, rel: (String, String, String),
+      tv: String) extends RInstr
 
   /** Validated schema with O(1) lookups. */
   final case class Schema(
@@ -233,6 +239,16 @@ object Typing {
                 Right((RReturnExt(ritems, rorder, limit), env2))
             }
           }
+        }
+
+      case IOptMatch(sv, rl, tv, tl) =>
+        if (!schema.labels(tl)) Left(s"undeclared node label $tl")
+        else lookup(env, sv) match {
+          case None => Left(s"variable $sv not bound")
+          case Some(sl) =>
+            if (!schema.relTypes((sl, rl, tl)))
+              Left(s"undeclared relation type (:$sl)-[:$rl]->(:$tl)")
+            else Right((ROptMatch(sv, (sl, rl, tl), tv), (tv, tl) :: env))
         }
 
       case IVarPathRel(act, sv, rl, lo, hi, tv) =>

@@ -303,5 +303,39 @@ object GraphOps {
              |FROM r JOIN nation n
              |  ON r.dst = CAST(n.n_nationkey AS BIGINT) + 2000000000
              |WHERE r.d >= 2 AND r.rk = 0""".stripMargin)),
+
+    // --- optional match (left-outer edge expansion): the region-last
+    // nation has no nnext successor and binds NULL
+    Q("gql_optional",
+      bindings(
+        """match (n:nation)
+          |optional match (n) -[:nnext]-> (m:nation)
+          |return n, m""".stripMargin),
+      Some("""WITH e AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS src,
+             |         CAST(LEAD(n_nationkey) OVER (PARTITION BY n_regionkey
+             |              ORDER BY n_nationkey) AS BIGINT) + 2000000000 AS dst
+             |  FROM nation)
+             |SELECT CAST(n.n_nationkey AS BIGINT) + 2000000000 AS n, e.dst AS m
+             |FROM nation n
+             |LEFT JOIN e ON e.src = CAST(n.n_nationkey AS BIGINT) + 2000000000
+             |           AND e.dst IS NOT NULL""".stripMargin)),
+
+    // optional match composed with aggregation: count(m) skips the
+    // unmatched NULL bindings, count(n) does not
+    Q("gql_optional_agg",
+      bindings(
+        """match (n:nation)
+          |optional match (n) -[:nnext]-> (m:nation)
+          |return count(n), count(m)""".stripMargin),
+      Some("""WITH e AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS src,
+             |         CAST(LEAD(n_nationkey) OVER (PARTITION BY n_regionkey
+             |              ORDER BY n_nationkey) AS BIGINT) + 2000000000 AS dst
+             |  FROM nation)
+             |SELECT count(*) AS count_n, count(e.dst) AS count_m
+             |FROM nation n
+             |LEFT JOIN e ON e.src = CAST(n.n_nationkey AS BIGINT) + 2000000000
+             |           AND e.dst IS NOT NULL""".stripMargin)),
   )
 }

@@ -232,6 +232,15 @@ class GoldenSpec extends AnyFunSuite {
     assert(pairs == expected)
   }
 
+  test("optional match: unmatched rows survive with a NULL binding") {
+    val r = Engine.runSource(spark, chainSrc +
+      "match (a:N)\noptional match (a) -[:next]-> (b:N)\nreturn a, b")
+    val rows = r.bindings.collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    // every node has its successor bound; the chain's tail (5) binds NULL
+    assert(rows == Set((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, -1L)))
+  }
+
   test("varpath: engine matches RefInterp on the same program") {
     val prog = chainSrc + "match (a:N) -[:next*1..4]-> (b:N)\nreturn a, b"
     val tp = graft.lang.Typing.compile(prog)

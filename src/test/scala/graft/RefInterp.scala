@@ -113,12 +113,13 @@ object RefInterp {
       }
       st.copy(rows = st.rows.filter(r => acc((r(cs), r(ct)))))
 
-    case _: RReturnExt =>
-      // aggregation/ordering are engine extensions with non-Long output
-      // columns; outside this interpreter's reference-parity scope
-      // (GoldenSpec pins them in-JVM, the DuckDB oracle end-to-end)
+    case _: RReturnExt | _: ROptMatch =>
+      // extended return emits non-Long output columns and optional match
+      // NULL bindings — neither fits this interpreter's Long-row model;
+      // outside its reference-parity scope (GoldenSpec pins them in-JVM,
+      // the DuckDB oracle end-to-end)
       throw new UnsupportedOperationException(
-        "extended return not supported by the reference-parity interpreter")
+        "engine extension not supported by the reference-parity interpreter")
 
     case RSet(v, _, f, _, te) =>
       val c = st.colOf(v)

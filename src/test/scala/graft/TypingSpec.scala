@@ -204,4 +204,28 @@ class TypingSpec extends AnyFunSuite {
     assert(tp.instrs.collect { case v: Typing.RVarPath => v } ==
       List(Typing.RVarPath("a", ("N", "next", "N"), 1, 3, "b")))
   }
+
+  // --- optional match (engine extension) ---
+
+  test("optional match: source must be bound") {
+    assert(err(header + "optional match (a) -[:r]-> (b:Q)").contains("not bound"))
+  }
+
+  test("optional match: relation type must be declared for the labels") {
+    assert(err(header + "create (a:Q)\noptional match (a) -[:r]-> (b:Q)")
+      .contains("undeclared relation type"))
+  }
+
+  test("optional match: multi-hop pattern rejected at parse time") {
+    val ex = intercept[graft.lang.Parser.ParseError](Typing.compile(
+      header + "create (a:P)\noptional match (a) -[:r]-> (b:Q) -[:t]-> (c:Q)"))
+    assert(ex.getMessage.contains("single hop"))
+  }
+
+  test("optional match: well-typed hop binds the target") {
+    val tp = Typing.compile(
+      header + "create (a:P)\noptional match (a) -[:r]-> (b:Q)\nreturn a, b")
+    assert(tp.instrs.collect { case o: Typing.ROptMatch => o } ==
+      List(Typing.ROptMatch("a", ("P", "r", "Q"), "b")))
+  }
 }
