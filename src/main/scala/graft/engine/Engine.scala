@@ -374,7 +374,7 @@ object Engine {
 
     case RWhere(te) =>
       val (joined, refs) = joinAttrs(st, te :: Nil)
-      val filtered = joined.filter(expr(sql(te, refs, cfg.strict)))
+      val filtered = joined.filter(expr(sql(te, refs, st.colOf, cfg.strict)))
       st.copy(bindings = filtered.select(st.bindings.columns.map(col): _*))
 
     case RSet(v, lbl, f, tp, te) =>
@@ -383,7 +383,7 @@ object Engine {
       // per-row evaluation (spec, not the reference's first-row-only bug);
       // conflicting per-node values resolved deterministically by max.
       val upd = joined
-        .select(col(vc).as("id"), expr(sql(te, refs, cfg.strict)).as("__newv"))
+        .select(col(vc).as("id"), expr(sql(te, refs, st.colOf, cfg.strict)).as("__newv"))
         .groupBy("id").agg(max("__newv").as("__newv"))
       val n2 = st.graph.nodes(lbl)
         .join(upd, Seq("id"), "left")
@@ -477,18 +477,20 @@ object Engine {
     * division by zero throws, matching the reference's Division_by_zero.
     * String literals are safe to inline: the MiniGQL lexer only admits
     * `[A-Za-z0-9 ]` inside strings (lexer.mll:26-27). */
-  private def sql(te: TExpr, refs: Map[(String, String), String], strict: Boolean): String =
+  private def sql(te: TExpr, refs: Map[(String, String), String],
+      vcol: String => String, strict: Boolean): String =
     te match {
       case TConst(BoolV(b))   => if (b) "true" else "false"
       case TConst(IntV(i))    => s"${i}L"
       case TConst(StringV(s)) => s"'$s'"
+      case Typing.TNullCheck(v) => s"isnull(${vcol(v)})"
       case TAttr(v, _, f, _) =>
         val c = refs((v, f))
         if (strict)
           s"if(isnull($c), raise_error('attribute $f not set for variable $v'), $c)"
         else c
       case TBin(op, l, r, _) =>
-        val (a, b) = (sql(l, refs, strict), sql(r, refs, strict))
+        val (a, b) = (sql(l, refs, vcol, strict), sql(r, refs, vcol, strict))
         val o = op match {
           case BAadd => "+"; case BAsub => "-"; case BAmul => "*"
           case BAdiv => "div"; case BAmod => "%"

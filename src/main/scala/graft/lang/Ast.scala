@@ -45,6 +45,10 @@ final case class Const(v: Value) extends Expr
 /** `v.f` — attribute access on the node bound to variable `v`. */
 final case class AttribAcc(v: String, field: String) extends Expr
 final case class Bin(op: BinOp, l: Expr, r: Expr) extends Expr
+/** `null(v)` — true iff `v`'s binding is NULL on this row (engine
+  * extension; only an `optional match` target can be NULL). Composes
+  * with equality for negation: `null(m) = false`. */
+final case class NullCheck(v: String) extends Expr
 
 /** Node patterns: `(v: L)` declares-and-binds, `(v)` references an
   * existing binding (reference lang.ml:47-50). */

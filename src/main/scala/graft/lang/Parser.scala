@@ -293,6 +293,14 @@ object Parser {
       case TBool(b)   => i += 1; Const(BoolV(b))
       case TInt(v)    => i += 1; Const(IntV(v))
       case TString(s) => i += 1; Const(StringV(s))
+      // `null(v)` binding-null test — contextual like the aggregate
+      // names: only the call shape is special, `null.f` stays an
+      // ordinary attribute access on a variable named null
+      case TIdent("null") if peek2 == TSym("(") =>
+        i += 2
+        val v = ident()
+        expectSym(")")
+        NullCheck(v)
       case TIdent(v) =>
         i += 1
         expectSym(".")

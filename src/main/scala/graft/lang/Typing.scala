@@ -26,6 +26,8 @@ object Typing {
   }
   final case class TAttr(v: String, label: String, field: String, tp: AttribTp) extends TExpr
   final case class TBin(op: BinOp, l: TExpr, r: TExpr, tp: AttribTp) extends TExpr
+  /** `null(v)` — binding-null test (extension; see [[ROptMatch]]). */
+  final case class TNullCheck(v: String) extends TExpr { def tp: AttribTp = BoolT }
 
   // --- resolved instructions ---
   sealed trait RInstr extends Product with Serializable
@@ -110,6 +112,9 @@ object Typing {
 
   def tpExpr(schema: Schema, env: Env, e: Expr): Either[String, TExpr] = e match {
     case Const(v) => Right(TConst(v))
+    case NullCheck(v) =>
+      if (lookup(env, v).isEmpty) Left(s"variable $v not bound")
+      else Right(TNullCheck(v))
     case AttribAcc(v, f) =>
       lookup(env, v) match {
         case None => Left(s"variable $v not bound")

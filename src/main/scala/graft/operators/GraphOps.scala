@@ -337,5 +337,24 @@ object GraphOps {
              |FROM nation n
              |LEFT JOIN e ON e.src = CAST(n.n_nationkey AS BIGINT) + 2000000000
              |           AND e.dst IS NOT NULL""".stripMargin)),
+
+    // null(v) predicate: filter to the UNMATCHED optional rows — the
+    // anti-join shape (region-last nations have no successor)
+    Q("gql_optional_null",
+      bindings(
+        """match (n:nation)
+          |optional match (n) -[:nnext]-> (m:nation)
+          |where null(m)
+          |return n, n.name""".stripMargin),
+      Some("""WITH e AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS src,
+             |         CAST(LEAD(n_nationkey) OVER (PARTITION BY n_regionkey
+             |              ORDER BY n_nationkey) AS BIGINT) + 2000000000 AS dst
+             |  FROM nation)
+             |SELECT CAST(n.n_nationkey AS BIGINT) + 2000000000 AS n,
+             |       n.n_name AS n_name
+             |FROM nation n JOIN e
+             |  ON e.src = CAST(n.n_nationkey AS BIGINT) + 2000000000
+             |WHERE e.dst IS NULL""".stripMargin)),
   )
 }

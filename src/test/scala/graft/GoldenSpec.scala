@@ -241,6 +241,16 @@ class GoldenSpec extends AnyFunSuite {
     assert(rows == Set((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, -1L)))
   }
 
+  test("null(v) filters optional-match rows both ways") {
+    val base = chainSrc + "match (a:N)\noptional match (a) -[:next]-> (b:N)\n"
+    val unmatched = Engine.runSource(spark, base + "where null(b)\nreturn a")
+      .bindings.collect().map(_.getLong(0)).toSet
+    assert(unmatched == Set(5L)) // only the chain tail has no successor
+    val matched = Engine.runSource(spark, base + "where null(b) = false\nreturn a")
+      .bindings.collect().map(_.getLong(0)).toSet
+    assert(matched == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("varpath: engine matches RefInterp on the same program") {
     val prog = chainSrc + "match (a:N) -[:next*1..4]-> (b:N)\nreturn a, b"
     val tp = graft.lang.Typing.compile(prog)

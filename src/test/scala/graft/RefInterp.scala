@@ -146,6 +146,9 @@ object RefInterp {
 
   private def eval(st: St, row: Vector[Long], te: TExpr): Value = te match {
     case TConst(v) => v
+    // rows in this model are never NULL (optional match, the only NULL
+    // producer, is outside reference-parity scope)
+    case TNullCheck(_) => BoolV(false)
     case TAttr(v, _, f, _) =>
       st.nodes(row(st.colOf(v))).attrs.getOrElse(f,
         throw new IllegalStateException(s"attribute $f not set for $v"))

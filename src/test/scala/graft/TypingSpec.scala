@@ -228,4 +228,10 @@ class TypingSpec extends AnyFunSuite {
     assert(tp.instrs.collect { case o: Typing.ROptMatch => o } ==
       List(Typing.ROptMatch("a", ("P", "r", "Q"), "b")))
   }
+
+  test("null(v): variable must be bound; types to bool") {
+    assert(err(header + "create (a:P)\nwhere null(zz)").contains("not bound"))
+    val tp = Typing.compile(header + "create (a:P)\nwhere null(a) = false")
+    assert(tp.instrs.nonEmpty)
+  }
 }
