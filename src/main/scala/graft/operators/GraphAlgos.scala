@@ -246,7 +246,83 @@ object GraphAlgos {
        |SELECT d AS dist, count(*) AS n FROM d$bfsIters GROUP BY d""".stripMargin
   }
 
+  /** SSSP source/bound. Weights are a deterministic symmetric function of
+    * the endpoints — `1 + (src+dst) % 2` ∈ {1,2} — so both engines (and
+    * the in-JVM Dijkstra replay) compute bit-identical integer distances
+    * with no weight column materialized anywhere. Convergence bound: a
+    * weighted shortest path costs ≤ 2×(hop distance) and every hop costs
+    * ≥ 1, so no shortest path uses more than 2×(hop eccentricity) = 14
+    * hops (BFS converges at 7), and Bellman–Ford relaxation fixes within
+    * that many rounds; 16 = 14 + 2 margin, same discipline as ccIters. */
+  private val ssspIters = 16
+
+  // Unrolled Bellman–Ford relaxation, same MATERIALIZED discipline as
+  // ccOracle/bfsOracle. Full relaxation per step (not delta) — same fixed
+  // point, and steps past convergence are no-ops, so the engine's early
+  // exit still matches.
+  private lazy val ssspOracle: String = {
+    val steps = (1 to ssspIters).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT x.id, min(x.d) AS d FROM (
+         |  SELECT id, d FROM s${i - 1}
+         |  UNION ALL SELECT ue.dst AS id, s${i - 1}.d + 1 + (ue.src + ue.dst) % 2
+         |  FROM ue JOIN s${i - 1} ON ue.src = s${i - 1}.id) x GROUP BY x.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($edgeSql),
+       |ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |s0 AS MATERIALIZED (SELECT CAST($bfsSrc AS BIGINT) AS id, CAST(0 AS BIGINT) AS d),
+       |$steps
+       |SELECT d AS dist, count(*) AS n FROM s$ssspIters GROUP BY d""".stripMargin
+  }
+
   val all: List[Q] = List(
+
+    // ---- weighted single-source shortest paths (Bellman–Ford delta) ---
+    // The weighted counterpart of g_bfs over the same shared undirected
+    // frame: distance-improvement delta iteration (a node re-enters the
+    // frontier every time its distance DROPS — unlike BFS, weighted
+    // relaxation can improve a settled node, so the frontier is the
+    // improved set, not the newly-discovered set). Per superstep: one
+    // relax shuffle (groupBy dst) and one co-partitioned full-outer merge
+    // — dists stays hash-partitioned by id across steps, so the merge
+    // never re-shuffles the accumulated distance frame. Early exit +
+    // loud non-convergence, checkpoint-per-superstep, exactly the CC/BFS
+    // discipline; at 100 TB this is the standard iterative SSSP shape
+    // (Pregel/Flink delta iteration), message volume ∝ improvements.
+    Q("g_sssp",
+      (s, dir) => {
+        val ue = undirectedEdges(s, dir)
+        val src = allNodes(s, dir).filter(col("id") === bfsSrc)
+          .select(col("id"), lit(0L).as("d"))
+        var dists: DataFrame = Ckpt.eager(src)
+        var frontier: DataFrame = Ckpt.eager(src)
+        var converged = false
+        var step = 0
+        while (step < ssspIters && !converged) {
+          step += 1
+          val cand = ue.join(frontier, ue("src") === frontier("id"))
+            .select(ue("dst").as("id"),
+              (col("d") + lit(1L) + (ue("src") + ue("dst")) % 2).as("cand"))
+            .groupBy("id").agg(min("cand").as("cand"))
+          // improved = strictly better or newly reached — the next frontier
+          val improved = Ckpt.eager(
+            cand.join(dists.withColumnRenamed("d", "old"), Seq("id"), "left")
+              .filter(col("old").isNull || col("cand") < col("old"))
+              .select(col("id"), col("cand").as("d")))
+          val merged = Ckpt.eager(
+            dists.join(improved.select(col("id"), col("d").as("nd")), Seq("id"), "full")
+              .select(col("id"), coalesce(col("nd"), col("d")).as("d")))
+          Ckpt.drop(dists)
+          Ckpt.drop(frontier)
+          dists = merged
+          frontier = improved
+          converged = frontier.isEmpty
+        }
+        Ckpt.drop(frontier)
+        require(converged, s"SSSP not converged after $ssspIters supersteps")
+        dists.groupBy(col("d").as("dist")).agg(count(lit(1)).as("n"))
+      },
+      Some(ssspOracle)),
 
     // ---- single-source BFS: frontier delta iteration ------------------
     // Hop-distance histogram from region 0 over the undirected FK graph

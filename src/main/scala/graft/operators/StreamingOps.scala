@@ -586,6 +586,70 @@ object StreamingOps {
              |FROM events WHERE event_type = 'purchase'
              |GROUP BY user_id""".stripMargin)),
 
+    // ---- foreachBatch CDC upsert: maintain a keyed serving table ------
+    // The production "streaming MERGE" pattern: each micro-batch reduces
+    // to its latest row per key, then upserts into a keyed target —
+    // insert new keys, replace an existing key iff the incoming row wins
+    // by (ts, event_id). foreachBatch is the integration point every
+    // lakehouse sink uses (Delta/Iceberg MERGE INTO); no table format
+    // ships in this container, so the target lives as a checkpointed
+    // DataFrame and the merge is the same latest-per-key plan a MERGE
+    // compiles to. The merge is rank-based, NOT last-writer-wins, so the
+    // result is correct even if micro-batches arrived out of event-time
+    // order — the property that matters when the landing feed is a
+    // multi-partition CDC topic. Final-state oracle = batch
+    // latest-per-key (the p_events_latest shape). At 100 TB the target
+    // is a keyed table partitioned by user_id hash and each batch's
+    // merge touches only matched partitions; the per-batch reduce keeps
+    // the shuffled volume at |batch|, never |target|.
+    Q("p_stream_upsert",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val target = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+        def latestPerKey(df: DataFrame): DataFrame = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("last_ts").desc, col("last_event_id").desc)
+          df.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+        }
+        val name = "upsert_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ckpt = ckptScratch.resolve(name)
+        val q = withStreamShuffle(s) {
+          stream(s, dir).writeStream
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              val incoming = latestPerKey(
+                batch.select(col("user_id"), col("event_id").as("last_event_id"),
+                  col("ts").as("last_ts"), col("event_type").as("last_type")))
+              val prev = target.get()
+              val merged = graft.Ckpt.eager(
+                if (prev == null) incoming else latestPerKey(prev.union(incoming)))
+              if (prev != null) graft.Ckpt.drop(prev)
+              target.set(merged)
+              ()
+            }
+            .start()
+        }
+        try q.awaitTermination()
+        finally {
+          lastRunDataBatches = q.recentProgress.count(_.numInputRows > 0)
+          q.stop()
+          releaseStreamingResidue(s)
+          org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+        }
+        require(target.get() != null, "upsert stream produced no batches")
+        target.get()
+      },
+      // identical final-state semantics => identical oracle as p_events_latest
+      Some("""SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+             |       event_type AS last_type
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             |                ORDER BY ts DESC, event_id DESC) AS rn
+             |      FROM events)
+             |WHERE rn = 1""".stripMargin)),
+
     // ---- stateless streaming ETL: filter + project + route ------------
     Q("p_stream_errors",
       (s, dir) => {

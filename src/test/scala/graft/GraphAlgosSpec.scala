@@ -56,6 +56,31 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("weighted SSSP equals the in-memory Dijkstra replay") {
+    val srcId = 1000000000L // region 0 — same source as g_bfs
+    def w(a: Long, b: Long): Long = 1L + (a + b) % 2
+    val adj = scala.collection.mutable.Map.empty[Long, List[(Long, Long)]]
+      .withDefaultValue(Nil)
+    collectedEdges().foreach { case (a, b) =>
+      adj(a) = (b, w(a, b)) :: adj(a)
+      adj(b) = (a, w(a, b)) :: adj(b)
+    }
+    val dist = scala.collection.mutable.Map(srcId -> 0L)
+    val pq = scala.collection.mutable.PriorityQueue((0L, srcId))(
+      Ordering.by[(Long, Long), Long](-_._1))
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (dist(u) == d) adj(u).foreach { case (v, wt) =>
+        if (dist.get(v).forall(_ > d + wt)) { dist(v) = d + wt; pq.enqueue((d + wt, v)) }
+      }
+    }
+    val expected = dist.values.groupBy(identity)
+      .map { case (d, vs) => d -> vs.size.toLong }
+    val got = SparkEntry.queries("g_sssp")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("fixed-point PageRank equals the in-memory integer replay") {
     val nodes = collectedNodes()
     val edges = collectedEdges()

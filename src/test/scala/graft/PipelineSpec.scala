@@ -160,6 +160,17 @@ class PipelineSpec extends AnyFunSuite {
       }
   }
 
+  test("foreachBatch upsert final state equals batch latest-per-key") {
+    val stream = run("p_stream_upsert").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3))).toSet
+    // the upsert genuinely merged across micro-batches, not one big batch
+    assert(StreamingOps.lastRunDataBatches >= StreamingOps.stagedFiles,
+      s"upsert saw ${StreamingOps.lastRunDataBatches} data batches")
+    val batch = run("p_events_latest").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3))).toSet
+    assert(stream == batch)
+  }
+
   test("streaming user_seq carries GroupState across >= 3 micro-batches") {
     val got = run("p_stream_user_seq").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
