@@ -296,7 +296,7 @@ object Engine {
       val projected = st.bindings.select(vs.map(v => col(st.colOf(v)).as(v)): _*)
       st.copy(bindings = projected, env = vs.map(v => (v, v)))
 
-    case RReturnExt(items, order, limit) =>
+    case RReturnExt(items, order, limit, distinct) =>
       // Attribute items/keys ride the same per-variable left joins the
       // where/set path uses; everything below stays one Catalyst plan.
       val attrRefs = (items ++ order.map(_._1)).flatMap(collectRetAttrs).distinct
@@ -306,15 +306,20 @@ object Engine {
         case RRetAttr(v, _, f, _)   => col(refs((v, f)))
         case _: RRetAgg             => throw new IllegalStateException("agg leaf")
       }
-      def aggExpr(fn: AggFn, c: Column): Column = fn match {
-        case AggCount => count(c)
-        case AggSum   => sum(c)
-        case AggMin   => min(c)
-        case AggMax   => max(c)
+      // distinct aggregates plan as Spark's standard two-phase distinct
+      // aggregation (partial dedup before the final agg — no row ships
+      // twice); min/max over distinct values equal plain min/max
+      def aggExpr(fn: AggFn, c: Column, dist: Boolean): Column = (fn, dist) match {
+        case (AggCount, true) => count_distinct(c)
+        case (AggSum, true)   => sum_distinct(c)
+        case (AggCount, _)    => count(c)
+        case (AggSum, _)      => sum(c)
+        case (AggMin, _)      => min(c)
+        case (AggMax, _)      => max(c)
       }
       val hasAgg = items.exists(_.isInstanceOf[RRetAgg])
       val shaped =
-        if (!hasAgg) {
+        if (!hasAgg && !distinct) {
           // order pre-projection (keys may reference non-returned attrs);
           // orderBy+limit plans as TakeOrderedAndProject — the distributed
           // top-n, no global sort materialization — which is the shape
@@ -325,14 +330,28 @@ object Engine {
               if (asc) leafCol(k).asc else leafCol(k).desc }: _*)
           val limited = limit.fold(sorted)(n => sorted.limit(n.toInt))
           limited.select(items.map(it => leafCol(it).as(it.outName)): _*)
+        } else if (!hasAgg) {
+          // return distinct: project → dedup → order → limit. Typing
+          // guarantees order keys are returned items, so ordering happens
+          // on out names AFTER the dedup (SQL DISTINCT semantics); the
+          // dedup is one hash aggregate on the projected columns and the
+          // order+limit still plans as TakeOrderedAndProject above it.
+          val projected = joined
+            .select(items.map(it => leafCol(it).as(it.outName)): _*)
+            .dropDuplicates()
+          val sorted =
+            if (order.isEmpty) projected
+            else projected.orderBy(order.map { case (k, asc) =>
+              if (asc) col(k.outName).asc else col(k.outName).desc }: _*)
+          limit.fold(sorted)(n => sorted.limit(n.toInt))
         } else {
           // plain items are the grouping keys (SQL semantics); zero plain
           // items = global aggregate. Partial (map-side) aggregation comes
           // free from Catalyst.
           val groups = items.collect { case it @ (_: RRetVar | _: RRetAttr) =>
             leafCol(it).as(it.outName) }
-          val aggs = items.collect { case it @ RRetAgg(fn, arg) =>
-            aggExpr(fn, leafCol(arg)).as(it.outName) }
+          val aggs = items.collect { case it @ RRetAgg(fn, arg, dist) =>
+            aggExpr(fn, leafCol(arg), dist).as(it.outName) }
           val grouped = joined.groupBy(groups: _*).agg(aggs.head, aggs.tail: _*)
           // aggregated order keys are returned items → order on out names
           val sorted =
@@ -442,7 +461,7 @@ object Engine {
 
   private def collectRetAttrs(it: RRet): Seq[TAttr] = it match {
     case RRetAttr(v, l, f, tp) => Seq(TAttr(v, l, f, tp))
-    case RRetAgg(_, arg)       => collectRetAttrs(arg)
+    case RRetAgg(_, arg, _)    => collectRetAttrs(arg)
     case _: RRetVar            => Nil
   }
 

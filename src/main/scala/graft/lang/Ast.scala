@@ -55,7 +55,14 @@ final case class NullCheck(v: String) extends Expr
 sealed trait NodePattern extends Product with Serializable {
   def variable: String
 }
-final case class DeclPattern(variable: String, label: String) extends NodePattern
+/** `(v: L)` or `(v: L {f: e, …})` — the optional inline property map
+  * (engine extension, Cypher-shaped) is pure sugar: on `create` it
+  * desugars to `set v.f = e` instructions, on `match` to
+  * `where v.f = e` conjuncts, both appended after the clause's pattern
+  * instructions (see Normalize), so the typed machinery is reused
+  * unchanged and every reference-legal program parses as before. */
+final case class DeclPattern(variable: String, label: String,
+    props: List[(String, Expr)] = Nil) extends NodePattern
 final case class VarRefPattern(variable: String) extends NodePattern
 
 /** Right-nested path pattern `(a:A)-[:r]->(b:B)-[:s]->(c)`
@@ -89,7 +96,10 @@ case object AggMax extends AggFn { val name = "max" }
 sealed trait RetItem extends Product with Serializable
 final case class RetVar(v: String) extends RetItem
 final case class RetAttr(v: String, field: String) extends RetItem
-final case class RetAgg(fn: AggFn, arg: RetItem) extends RetItem // arg: RetVar | RetAttr
+/** `distinct` aggregates over the argument's distinct values —
+  * `count(distinct v)` / `sum(distinct v.f)`; a no-op for min/max. */
+final case class RetAgg(fn: AggFn, arg: RetItem,
+    distinct: Boolean = false) extends RetItem // arg: RetVar | RetAttr
 
 sealed trait Clause extends Product with Serializable
 final case class Create(pats: List[Pattern]) extends Clause
@@ -105,7 +115,11 @@ final case class Return(vs: List[String]) extends Clause
 final case class ReturnExt(
     items: List[RetItem],
     order: List[(RetItem, Boolean)], // (key, ascending)
-    limit: Option[Long]) extends Clause
+    limit: Option[Long],
+    /** `return distinct <items>` — row-level dedup of the projected
+      * output (rejected when an item aggregates: grouped rows are
+      * already distinct; use `count(distinct …)` instead). */
+    distinct: Boolean = false) extends Clause
 /** `optional match (a) -[:r]-> (b:B)` (engine extension): keep every
   * existing row; bind `b` to each `r`-successor of `a`, or to NULL when
   * `a` has none — the left-outer half of match-edge. Single hop, fresh

@@ -23,7 +23,7 @@ final case class IWhere(e: Expr) extends Instruction
 final case class ISet(v: String, field: String, e: Expr) extends Instruction
 /** Extension instructions (no reference counterpart). */
 final case class IReturnExt(items: List[RetItem], order: List[(RetItem, Boolean)],
-    limit: Option[Long]) extends Instruction
+    limit: Option[Long], distinct: Boolean) extends Instruction
 /** `sv -[:rel*lo..hi]-> tv`, match-only (typing rejects create). */
 final case class IVarPathRel(act: Act, sv: String, rel: String, lo: Int, hi: Int,
     tv: String) extends Instruction
@@ -37,8 +37,29 @@ final case class NormProg(types: GraphTypes, instrs: List[Instruction])
 object Normalize {
 
   private def normNodePattern(act: Act, np: NodePattern): List[Instruction] = np match {
-    case DeclPattern(v, l)  => List(IActOnNode(act, v, l))
-    case VarRefPattern(_)   => Nil
+    case DeclPattern(v, l, _) => List(IActOnNode(act, v, l))
+    case VarRefPattern(_)     => Nil
+  }
+
+  /** Inline property maps of every declared node in the pattern tree,
+    * as (variable, field, expr). Desugared per clause — `create` props
+    * become `set` instructions, `match` props `where` conjuncts — and
+    * APPENDED after the clause's pattern instructions rather than
+    * interleaved: within one clause later node/edge instructions never
+    * drop or multiply the rows a set/where targets (create is 1:1 per
+    * row, create-edge row-preserving; for match, filtering after the
+    * joins is the same conjunction semantics), and appending keeps the
+    * node+edge adjacency the Engine's PExpand peephole fuses on. */
+  private def declProps(pat: Pattern): List[(String, String, Expr)] = {
+    def np(n: NodePattern): List[(String, String, Expr)] = n match {
+      case DeclPattern(v, _, ps) => ps.map { case (f, e) => (v, f, e) }
+      case _                     => Nil
+    }
+    pat match {
+      case SimpPattern(n)              => np(n)
+      case CompPattern(n, _, rest)     => np(n) ++ declProps(rest)
+      case VarPattern(n, _, _, _, rest) => np(n) ++ declProps(rest)
+    }
   }
 
   private def normPattern(act: Act, pat: Pattern): List[Instruction] = pat match {
@@ -69,14 +90,19 @@ object Normalize {
     }
 
   private def normClause(c: Clause): List[Instruction] = c match {
-    case Create(pats)             => pats.flatMap(normPattern(CreateAct, _))
-    case Match(pats)              => pats.flatMap(normPattern(MatchAct, _))
+    case Create(pats) =>
+      pats.flatMap(normPattern(CreateAct, _)) ++
+        pats.flatMap(declProps).map { case (v, f, e) => ISet(v, f, e) }
+    case Match(pats) =>
+      pats.flatMap(normPattern(MatchAct, _)) ++
+        pats.flatMap(declProps).map { case (v, f, e) =>
+          IWhere(Bin(BCeq, AttribAcc(v, f), e)) }
     case Delete(DeleteNodes(vs))  => vs.map(IDeleteNode)
     case Delete(DeleteRels(ts))   => ts.map { case (s, r, t) => IDeleteRel(s, r, t) }
     case SetClause(as)            => as.map { case (v, f, e) => ISet(v, f, e) }
     case Where(e)                 => List(IWhere(e))
     case Return(vs)               => List(IReturn(vs))
-    case ReturnExt(its, ord, lim) => List(IReturnExt(its, ord, lim))
+    case ReturnExt(its, ord, lim, dist) => List(IReturnExt(its, ord, lim, dist))
     case OptMatch(np, rl, tv, tl) =>
       normNodePattern(MatchAct, np) :+ IOptMatch(np.variable, rl, tv, tl)
   }

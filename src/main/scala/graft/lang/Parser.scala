@@ -112,11 +112,15 @@ object Parser {
       case TIdent("optional") if peek2 == TKw("match") =>
         i += 2
         pattern() match {
-          case CompPattern(np, rl, SimpPattern(DeclPattern(v, l))) =>
+          // no inline props on either side: a target map would have to
+          // filter INSIDE the outer join (a post-where kills NULL rows),
+          // and a source map is better written as an explicit where
+          case CompPattern(np, rl, SimpPattern(DeclPattern(v, l, Nil)))
+              if npProps(np).isEmpty =>
             OptMatch(np, rl, v, l)
           case _ =>
             fail("optional match supports a single hop (a)-[:r]->(b:B) " +
-              "with a fresh declared target")
+              "with a fresh declared target and no inline property map")
         }
       case t => fail(s"expected clause keyword, got $t")
     }
@@ -132,6 +136,13 @@ object Parser {
       "count" -> AggCount, "sum" -> AggSum, "min" -> AggMin, "max" -> AggMax)
 
     private def returnClause(): Clause = {
+      // `distinct` is contextual like order/limit: a modifier only when
+      // another identifier follows (so `return distinct` still returns a
+      // variable named distinct, and `return distinct.f` its attribute)
+      val distinct = peek match {
+        case TIdent("distinct") if peek2.isInstanceOf[TIdent] => i += 1; true
+        case _ => false
+      }
       val items = List.newBuilder[RetItem]
       items += retItem()
       while (peek == TSym(",")) { i += 1; items += retItem() }
@@ -160,17 +171,23 @@ object Parser {
         case _ => None
       }
       val (its, ord) = (items.result(), order.result())
-      if (ord.isEmpty && limit.isEmpty && its.forall(_.isInstanceOf[RetVar]))
+      if (!distinct && ord.isEmpty && limit.isEmpty && its.forall(_.isInstanceOf[RetVar]))
         Return(its.collect { case RetVar(v) => v })
-      else ReturnExt(its, ord, limit)
+      else ReturnExt(its, ord, limit, distinct)
     }
 
     private def retItem(): RetItem = peek match {
       case TIdent(fn) if aggFns.contains(fn) && peek2 == TSym("(") =>
         i += 2
+        // `count(distinct v)` — same contextual-identifier rule as the
+        // return-level modifier
+        val dist = peek match {
+          case TIdent("distinct") if peek2.isInstanceOf[TIdent] => i += 1; true
+          case _ => false
+        }
         val arg = varOrAttr()
         expectSym(")")
-        RetAgg(aggFns(fn), arg)
+        RetAgg(aggFns(fn), arg, dist)
       case _ => varOrAttr()
     }
 
@@ -218,6 +235,11 @@ object Parser {
       } else SimpPattern(np)
     }
 
+    private def npProps(np: NodePattern): List[(String, Expr)] = np match {
+      case DeclPattern(_, _, ps) => ps
+      case _                     => Nil
+    }
+
     private def int(what: String): Int = peek match {
       case TInt(v) if v >= 0 && v <= Int.MaxValue => i += 1; v.toInt
       case t => fail(s"expected $what integer, got $t")
@@ -227,7 +249,26 @@ object Parser {
       expectSym("(")
       val v = ident()
       peek match {
-        case TSym(":") => i += 1; val l = ident(); expectSym(")"); DeclPattern(v, l)
+        case TSym(":") =>
+          i += 1
+          val l = ident()
+          // optional inline property map `{f: e, …}` (engine extension —
+          // `{` never follows a label in the reference grammar)
+          val props = peek match {
+            case TSym("{") =>
+              i += 1
+              val b = List.newBuilder[(String, Expr)]
+              def one(): Unit = {
+                val f = ident(); expectSym(":"); b += ((f, expr()))
+              }
+              one()
+              while (peek == TSym(",")) { i += 1; one() }
+              expectSym("}")
+              b.result()
+            case _ => Nil
+          }
+          expectSym(")")
+          DeclPattern(v, l, props)
         case TSym(")") => i += 1; VarRefPattern(v)
         case t         => fail(s"expected ':' or ')', got $t")
       }

@@ -49,15 +49,18 @@ object Typing {
   final case class RRetAttr(v: String, label: String, field: String, tp: AttribTp) extends RRet {
     def outName: String = s"${v}_$field"
   }
-  final case class RRetAgg(fn: AggFn, arg: RRet) extends RRet {
-    def outName: String = arg match {
-      case RRetVar(v)              => s"${fn.name}_$v"
-      case RRetAttr(v, _, f, _)    => s"${fn.name}_${v}_$f"
-      case a: RRetAgg              => s"${fn.name}_${a.outName}" // unreachable: parser rejects nesting
+  final case class RRetAgg(fn: AggFn, arg: RRet, distinct: Boolean = false) extends RRet {
+    def outName: String = {
+      val d = if (distinct) "distinct_" else ""
+      arg match {
+        case RRetVar(v)              => s"${fn.name}_$d$v"
+        case RRetAttr(v, _, f, _)    => s"${fn.name}_$d${v}_$f"
+        case a: RRetAgg              => s"${fn.name}_$d${a.outName}" // unreachable: parser rejects nesting
+      }
     }
   }
   final case class RReturnExt(items: List[RRet], order: List[(RRet, Boolean)],
-      limit: Option[Long]) extends RInstr
+      limit: Option[Long], distinct: Boolean = false) extends RInstr
   final case class RVarPath(sv: String, rel: (String, String, String), lo: Int, hi: Int,
       tv: String) extends RInstr
   /** optional match hop: `tv`'s binding column is NULLABLE — an
@@ -193,7 +196,7 @@ object Typing {
           if (te.tp != BoolT) Left(s"where expression must be bool, got ${te.tp}")
           else Right((RWhere(te), env))
         }
-      case IReturnExt(items, order, limit) =>
+      case IReturnExt(items, order, limit, distinct) =>
         def resolve(it: RetItem): Either[String, RRet] = it match {
           case RetVar(v) =>
             lookup(env, v).toRight(s"return of unbound variable $v").map(_ => RRetVar(v))
@@ -205,16 +208,16 @@ object Typing {
                   .toRight(s"attribute $f not declared for label $lbl (variable $v)")
                   .map(tp => RRetAttr(v, lbl, f, tp))
             }
-          case RetAgg(fn, arg) =>
+          case RetAgg(fn, arg, dist) =>
             resolve(arg).flatMap {
               case a: RRetAgg => Left(s"nested aggregate ${fn.name}(${a.outName})")
               case a @ RRetAttr(v, _, f, tp) =>
                 if (fn != AggCount && tp != IntT)
                   Left(s"${fn.name}($v.$f) requires an int attribute, got $tp")
-                else Right(RRetAgg(fn, a))
+                else Right(RRetAgg(fn, a, dist))
               case a @ RRetVar(v) =>
                 if (fn != AggCount) Left(s"${fn.name}($v) requires an attribute argument")
-                else Right(RRetAgg(fn, a))
+                else Right(RRetAgg(fn, a, dist))
             }
         }
         def sequence(xs: List[Either[String, RRet]]): Either[String, List[RRet]] =
@@ -230,8 +233,18 @@ object Typing {
             val hasAgg = ritems.exists(_.isInstanceOf[RRetAgg])
             val rorder = rkeys.zip(order.map(_._2))
             val badKey =
-              if (hasAgg) rkeys.find(k => !ritems.contains(k)).map(k =>
+              if (distinct && hasAgg)
+                // grouped rows are already distinct — a silent no-op
+                // invites `return distinct count(v)` when the user means
+                // `return count(distinct v)`
+                Some("return distinct with an aggregated item has no effect; " +
+                  "use count(distinct ...) / sum(distinct ...) instead")
+              else if (hasAgg) rkeys.find(k => !ritems.contains(k)).map(k =>
                 s"order by ${k.outName}: aggregated return may only order by returned items")
+              else if (distinct) rkeys.find(k => !ritems.contains(k)).map(k =>
+                // ordering by a non-returned expression is ill-defined
+                // after row dedup (which representative row's value?)
+                s"order by ${k.outName}: distinct return may only order by returned items")
               else rkeys.collectFirst { case k: RRetAgg =>
                 s"order by ${k.outName}: aggregate ordering requires an aggregated return" }
             badKey match {
@@ -241,7 +254,7 @@ object Typing {
                 // plain-variable bindings only (attr/agg columns are
                 // output-only), mirroring RReturn's env restriction
                 val env2 = ritems.collect { case RRetVar(v) => (v, lookup(env, v).get) }
-                Right((RReturnExt(ritems, rorder, limit), env2))
+                Right((RReturnExt(ritems, rorder, limit, distinct), env2))
             }
           }
         }

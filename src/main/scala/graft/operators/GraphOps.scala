@@ -254,6 +254,59 @@ object GraphOps {
              |       CAST(p_size AS BIGINT) AS p_psize
              |FROM part ORDER BY p_size DESC, 1 LIMIT 10""".stripMargin)),
 
+    // --- return distinct: row-level dedup of the projected output,
+    // SQL DISTINCT semantics (project → dedup → order) — one hash
+    // aggregate on the out columns, TakeOrderedAndProject above it
+    Q("gql_distinct",
+      bindings(
+        """match (c:customer) -[:cnation]-> (n:nation)
+          |return distinct n, n.regionkey order by n""".stripMargin),
+      Some("""SELECT DISTINCT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |ORDER BY n""".stripMargin)),
+
+    // --- distinct aggregates: count(distinct v) / sum(distinct v.f) —
+    // Spark's two-phase distinct aggregation (partial dedup map-side)
+    Q("gql_count_distinct",
+      bindings(
+        """match (c:customer) -[:cnation]-> (n:nation)
+          |return n.regionkey, count(distinct n), sum(distinct n.nationkey)""".stripMargin),
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+             |       count(DISTINCT n_nationkey) AS count_distinct_n,
+             |       CAST(sum(DISTINCT n_nationkey) AS BIGINT) AS sum_distinct_n_nationkey
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY 1""".stripMargin)),
+
+    // --- inline property maps (Cypher-shaped sugar; see Normalize):
+    // on match, `(v:L {f: e})` desugars to where-conjuncts appended after
+    // the pattern — the PExpand peephole still fuses the hops
+    Q("gql_props_match",
+      bindings(
+        """match (c:customer {mktsegment: "BUILDING"}) -[:cnation]-> (n:nation {regionkey: 1})
+          |return c, n""".stripMargin),
+      Some("""SELECT CAST(c_custkey AS BIGINT) + 4000000000 AS c,
+             |       CAST(n_nationkey AS BIGINT) + 2000000000 AS n
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_mktsegment = 'BUILDING' AND n_regionkey = 1""".stripMargin)),
+
+    // on create, props desugar to per-row `set` instructions — each fresh
+    // node takes its OWN row's expression values (here: attributes of the
+    // matched nation), not a single broadcast constant
+    Q("gql_props_create",
+      nodeFrame(
+        """match (n:nation)
+          |where n.regionkey = 1
+          |create (p:part {name: n.name, psize: n.nationkey * 10})""".stripMargin,
+        "part", ("id", "p"), ("name", "name"), ("psize", "psize")),
+      Some("""SELECT CAST(p_partkey AS BIGINT) + 5000000000 AS p,
+             |       p_name AS name, CAST(p_size AS BIGINT) AS psize
+             |FROM part
+             |UNION ALL
+             |SELECT 20000000000 + ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS p,
+             |       n_name, CAST(n_nationkey AS BIGINT) * 10
+             |FROM nation WHERE n_regionkey = 1""".stripMargin)),
+
     // attribute projection: v.f output columns alongside ids
     Q("gql_return_attr",
       bindings(

@@ -125,4 +125,36 @@ class ParserSpec extends AnyFunSuite {
       Parser.parse("(:N {})\n(:N) -[:next]-> (:N)\nmatch (a:N) -[:next*x..3]-> (b:N)"))
     assert(ex.getMessage.contains("path bound"))
   }
+
+  test("inline property map parses on declared node patterns") {
+    val p = Parser.parse(header + "create (a:P {x: 1 + 2, s: \"hi\"})")
+    val props = p.query.clauses.collect {
+      case Create(List(SimpPattern(DeclPattern(_, _, ps)))) => ps.map(_._1)
+    }.flatten
+    assert(props == List("x", "s"))
+  }
+
+  test("distinct is contextual: a variable named distinct still returns plainly") {
+    // modifier form → ReturnExt(distinct = true)
+    val m = Parser.parse(header + "create (a:P)\nreturn distinct a")
+    assert(m.query.clauses.collect { case r: ReturnExt => r.distinct } == List(true))
+    // bare `return distinct` → the reference-shaped ident-list Return
+    val bare = Parser.parse(header + "create (distinct:P)\nreturn distinct")
+    assert(bare.query.clauses.collect { case Return(vs) => vs }.flatten == List("distinct"))
+    // `return distinct.f` → attribute access on the variable
+    val attr = Parser.parse(header + "create (distinct:P)\nreturn distinct.x")
+    assert(attr.query.clauses.collect {
+      case ReturnExt(List(RetAttr(v, f)), _, _, d) => (v, f, d) } ==
+      List(("distinct", "x", false)))
+  }
+
+  test("count(distinct v) parses; count(distinct) counts a variable named distinct") {
+    val m = Parser.parse(header + "create (a:P)\nreturn count(distinct a)")
+    assert(m.query.clauses.collect {
+      case ReturnExt(List(RetAgg(AggCount, RetVar("a"), d)), _, _, _) => d } == List(true))
+    val bare = Parser.parse(header + "create (distinct:P)\nreturn count(distinct)")
+    assert(bare.query.clauses.collect {
+      case ReturnExt(List(RetAgg(AggCount, RetVar(v), d)), _, _, _) => (v, d) } ==
+      List(("distinct", false)))
+  }
 }

@@ -234,4 +234,55 @@ class TypingSpec extends AnyFunSuite {
     val tp = Typing.compile(header + "create (a:P)\nwhere null(a) = false")
     assert(tp.instrs.nonEmpty)
   }
+
+  // --- inline property maps (desugar to set / where) ---
+
+  test("props: create map desugars to per-field set instructions") {
+    val tp = Typing.compile(header + "create (a:P {x: 3, s: \"hi\"})")
+    assert(tp.instrs.collect { case s: Typing.RSet => (s.v, s.field) } ==
+      List(("a", "x"), ("a", "s")))
+  }
+
+  test("props: match map desugars to where equality conjuncts") {
+    val tp = Typing.compile(header + "create (a:P)\nmatch (b:P {x: 3})\nreturn b")
+    assert(tp.instrs.count(_.isInstanceOf[Typing.RWhere]) == 1)
+  }
+
+  test("props: value type must match the declared attribute type") {
+    assert(err(header + "create (a:P {x: \"oops\"})")
+      .contains("expression type"))
+    assert(err(header + "match (a:P {x: \"oops\"})\nreturn a")
+      .contains("same-typed operands"))
+  }
+
+  test("props: undeclared attribute rejected") {
+    assert(err(header + "create (a:P {zz: 1})").contains("not declared"))
+  }
+
+  test("props: optional match takes no inline map (would filter inside the outer join)") {
+    val ex = intercept[graft.lang.Parser.ParseError](Typing.compile(
+      header + "create (a:P)\noptional match (a) -[:r]-> (b:Q {y: 1})"))
+    assert(ex.getMessage.contains("no inline property map"))
+  }
+
+  // --- return distinct / distinct aggregates ---
+
+  test("return distinct: rejected with an aggregated item (use count(distinct ...))") {
+    assert(err(header + "create (a:P)\nreturn distinct count(a)")
+      .contains("no effect"))
+  }
+
+  test("return distinct: order keys must be returned items") {
+    assert(err(header + "create (a:P)\nreturn distinct a order by a.x")
+      .contains("may only order by returned items"))
+    val ok = Typing.compile(header + "create (a:P)\nreturn distinct a order by a")
+    assert(ok.instrs.collect { case r: Typing.RReturnExt => r.distinct } == List(true))
+  }
+
+  test("count(distinct v) resolves with a distinct-marked output name") {
+    val tp = Typing.compile(header + "create (a:P)\nreturn count(distinct a)")
+    assert(tp.instrs.collect {
+      case Typing.RReturnExt(items, _, _, _) => items.map(_.outName)
+    }.flatten == List("count_distinct_a"))
+  }
 }
