@@ -65,18 +65,32 @@ class DifferentialSpec extends AnyFunSuite {
     }
     val steps = 3 + rnd.nextInt(6)
     for (_ <- 1 to steps) rnd.nextInt(7) match {
-      case 0 => // create + immediate set (keeps all attributes defined)
+      case 0 => // create + immediate set (keeps all attributes defined);
+        // half the time via the inline property map, which desugars to
+        // the same create+set instruction pair (differential coverage of
+        // the sugar for free — RefInterp sees only the desugared form)
         val v = freshOrReuse()
         val lbl = pick(Seq("P", "Q"))
-        sb ++= s"create ($v:$lbl)\n"
+        val inline = rnd.nextBoolean()
+        if (inline && lbl == "P")
+          sb ++= s"create ($v:P {x: ${rnd.nextInt(50)}, nm: \"${pick(Seq("alpha", "beta", "gamma"))}\"})\n"
+        else if (inline)
+          sb ++= s"create ($v:Q {y: ${rnd.nextInt(50)}})\n"
+        else {
+          sb ++= s"create ($v:$lbl)\n"
+          if (lbl == "P")
+            sb ++= s"set $v.x = ${rnd.nextInt(50)}, $v.nm = \"${pick(Seq("alpha", "beta", "gamma"))}\"\n"
+          else sb ++= s"set $v.y = ${rnd.nextInt(50)}\n"
+        }
         env = (v, lbl) :: env
-        if (lbl == "P")
-          sb ++= s"set $v.x = ${rnd.nextInt(50)}, $v.nm = \"${pick(Seq("alpha", "beta", "gamma"))}\"\n"
-        else sb ++= s"set $v.y = ${rnd.nextInt(50)}\n"
-      case 1 => // match node
+      case 1 => // match node; sometimes with an inline props filter
+        // (desugars to a where equality conjunct)
         val v = freshOrReuse()
         val lbl = pick(Seq("P", "Q"))
-        sb ++= s"match ($v:$lbl)\n"
+        if (rnd.nextInt(3) == 0) {
+          val p = if (lbl == "P") s"x: ${rnd.nextInt(50)}" else s"y: ${rnd.nextInt(50)}"
+          sb ++= s"match ($v:$lbl {$p})\n"
+        } else sb ++= s"match ($v:$lbl)\n"
         env = (v, lbl) :: env
       case 2 => // create or match edge on a declared rel type
         val combos = Seq(("P", "r", "Q"), ("P", "s", "P"), ("Q", "t", "Q"))
