@@ -38,7 +38,30 @@ object Ckpt {
     * cross-query cache must never enter [[drain]]'s sweep; pinned frames
     * live until their session stops (their owners evict on isStopped). */
   def pinned(df: DataFrame): DataFrame =
-    df.localCheckpoint(eager = true)
+    withoutAqe(df) { d => d.localCheckpoint(eager = true) }
+
+  /** [[eager]], but the checkpoint's hash partitioning survives: under
+    * AQE, `localCheckpoint` captures the ADAPTIVE plan's output
+    * partitioning — UnknownPartitioning — so every later consumer
+    * re-shuffles the checkpointed frame even when it was just hash-
+    * partitioned by the join key (measured: the SSSP/CC/BFS superstep
+    * merge paid one extra full exchange of the accumulated frame per
+    * superstep). Disabling AQE only for the checkpoint's own
+    * materialization makes the captured partitioning concrete
+    * (hashpartitioning, fixed partition count); consuming queries still
+    * run under AQE and see a leaf they can co-partition against.
+    * Sessions here are single-threaded per harness (the documented
+    * memoLock assumption), so the temporary conf flip is safe. */
+  def eagerPartitioned(df: DataFrame): DataFrame =
+    withoutAqe(df)(eager)
+
+  private def withoutAqe(df: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.adaptive.enabled"
+    val prev = conf.get(key, "true")
+    conf.set(key, "false")
+    try f(df) finally conf.set(key, prev)
+  }
 
   /** Release one checkpoint's blocks now. */
   def drop(ds: Dataset[_]): Unit = {

@@ -132,8 +132,11 @@ object GraphAlgos {
       // irreducible PageRank shuffle).
       val e0 = allEdges(s, dir)
       val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      val ed = Ckpt.eager(e0.join(outdeg, Seq("src")).repartition(col("src")))
-      val nodes = Ckpt.eager(allNodes(s, dir).repartition(col("id")))
+      // eagerPartitioned: a plain eager checkpoint under AQE reports
+      // UnknownPartitioning, so every per-iteration join would RE-SHUFFLE
+      // the loop-invariant frames the repartition exists to pre-place
+      val ed = Ckpt.eagerPartitioned(e0.join(outdeg, Seq("src")).repartition(col("src")))
+      val nodes = Ckpt.eagerPartitioned(allNodes(s, dir).repartition(col("id")))
       var ranks = nodes.select(col("id"), lit(1000000000L).as("rank"))
       var prev: DataFrame = null
       for (i <- 1 to prIters) {
@@ -145,7 +148,7 @@ object GraphAlgos {
           .select(col("id"),
             expr("150000000L + (85 * coalesce(s, 0L)) div 100").as("rank"))
         if (i % 4 == 0 && i < prIters) {
-          ranks = Ckpt.eager(ranks)
+          ranks = Ckpt.eagerPartitioned(ranks) // keeps the id partitioning live
           if (prev != null) Ckpt.drop(prev)
           prev = ranks
         }
@@ -304,12 +307,16 @@ object GraphAlgos {
             .select(ue("dst").as("id"),
               (col("d") + lit(1L) + (ue("src") + ue("dst")) % 2).as("cand"))
             .groupBy("id").agg(min("cand").as("cand"))
-          // improved = strictly better or newly reached — the next frontier
-          val improved = Ckpt.eager(
+          // improved = strictly better or newly reached — the next frontier.
+          // eagerPartitioned (not eager): AQE-era localCheckpoint reports
+          // UnknownPartitioning, which would force a full re-exchange of
+          // the accumulated `dists` at EVERY superstep's merge (PlanSpec
+          // pins the 1-exchange shape)
+          val improved = Ckpt.eagerPartitioned(
             cand.join(dists.withColumnRenamed("d", "old"), Seq("id"), "left")
               .filter(col("old").isNull || col("cand") < col("old"))
               .select(col("id"), col("cand").as("d")))
-          val merged = Ckpt.eager(
+          val merged = Ckpt.eagerPartitioned(
             dists.join(improved.select(col("id"), col("d").as("nd")), Seq("id"), "full")
               .select(col("id"), coalesce(col("nd"), col("d")).as("d")))
           Ckpt.drop(dists)
@@ -407,7 +414,11 @@ object GraphAlgos {
           val mins = ue.join(changed, ue("src") === changed("id"))
             .select(ue("dst").as("id"), col("comp").as("cand"))
             .groupBy("id").agg(min("cand").as("cand"))
-          val joined = Ckpt.eager(labels.join(mins, Seq("id"), "left"))
+          // eagerPartitioned: the next superstep left-joins `labels` (a
+          // projection of this frame) with mins on id — preserving the
+          // id partitioning avoids re-shuffling the full |V| label frame
+          // every superstep (same AQE checkpoint pitfall as g_sssp)
+          val joined = Ckpt.eagerPartitioned(labels.join(mins, Seq("id"), "left"))
           Ckpt.drop(prev)
           prev = joined
           labels = joined

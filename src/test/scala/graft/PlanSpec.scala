@@ -56,6 +56,41 @@ class PlanSpec extends AnyFunSuite {
       s"expected two-phase hash aggregation in:\n$p")
   }
 
+  test("superstep merge does not re-shuffle an eagerPartitioned checkpoint (AQE on)") {
+    // Replays the g_sssp/CC merge shape: `dists` is a checkpoint of a
+    // frame hash-partitioned by id, `improved` derives from a
+    // groupBy(id) — the full-outer merge on id must reuse the
+    // checkpoint's partitioning instead of re-exchanging the accumulated
+    // frame every superstep. Under AQE a PLAIN eager localCheckpoint
+    // captures UnknownPartitioning (the adaptive plan's), which re-adds
+    // that exchange — Ckpt.eagerPartitioned materializes the checkpoint
+    // with AQE off so the partitioning survives while the consuming
+    // query (this one) still runs adaptively. Both halves pinned here.
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("id"), col("c_nationkey").as("d"))
+    def mergeExchanges(ckpt: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Int = {
+      val dists = ckpt(base.groupBy("id").agg(min("d").as("d")))
+      val improved = base.filter(col("d") > 2)
+        .groupBy("id").agg(min("d").as("cand"))
+      val merged = dists.join(improved.select(col("id"), col("cand").as("nd")), Seq("id"), "full")
+        .select(col("id"), coalesce(col("nd"), col("d")).as("d"))
+      merged.count()
+      "Exchange".r.findAllIn(merged.queryExecution.executedPlan.toString).size
+    }
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    // the fixed shape: one exchange (improved's aggregation), none above dists
+    assert(mergeExchanges(graft.Ckpt.eagerPartitioned) <= 1,
+      "eagerPartitioned checkpoint was re-shuffled by the merge")
+    // the pitfall this guards against: a plain eager checkpoint loses its
+    // partitioning under AQE — if Spark ever fixes that, this inverts and
+    // eagerPartitioned can be retired
+    assert(mergeExchanges(graft.Ckpt.eager) >= 2,
+      "plain eager checkpoint now preserves partitioning under AQE — " +
+        "Ckpt.eagerPartitioned may be unnecessary")
+    graft.Ckpt.drain()
+  }
+
   test("hash sampler scan prunes the text column") {
     // the sample predicate and output touch only doc_id/lang — reading
     // the (dominant) text column would make the \"scan-speed\" claim false
