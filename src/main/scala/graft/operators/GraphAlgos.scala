@@ -357,10 +357,17 @@ object GraphAlgos {
             .groupBy("id").agg(min("cand").as("cand"))
           // newly-discovered nodes only: anything already in dists keeps
           // its (provably smaller) distance
-          val next = Ckpt.eager(
+          val next = Ckpt.eagerPartitioned(
             cand.join(dists, Seq("id"), "left_anti")
               .select(col("id"), col("cand").as("d")))
-          val merged = Ckpt.eager(dists.union(next))
+          // merge as a co-partitioned full outer (both sides are hash-
+          // partitioned by id), NOT a union: union output has no
+          // partitioning, which would re-exchange the whole accumulated
+          // frame at the next superstep's anti-join. The two sides are
+          // disjoint (next is anti-joined), so coalesce ≡ union here.
+          val merged = Ckpt.eagerPartitioned(
+            dists.join(next.select(col("id"), col("d").as("nd")), Seq("id"), "full")
+              .select(col("id"), coalesce(col("nd"), col("d")).as("d")))
           Ckpt.drop(dists)    // merged is materialized
           Ckpt.drop(frontier) // cand was consumed into next
           dists = merged
