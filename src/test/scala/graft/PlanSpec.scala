@@ -56,6 +56,19 @@ class PlanSpec extends AnyFunSuite {
       s"expected two-phase hash aggregation in:\n$p")
   }
 
+  test("match-props predicates push down to the node parquet scans") {
+    // gql_props_match desugars {mktsegment: "BUILDING"} / {regionkey: 1}
+    // to where-conjuncts appended AFTER the pattern joins — Catalyst must
+    // still push both through the attribute joins into the parquet scans,
+    // or the sugar would silently cost a full post-join filter at scale.
+    val p = plan("gql_props_match")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]") ||
+      p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"mktsegment predicate not pushed to the customer scan:\n$p")
+    assert(p.contains("EqualTo(n_regionkey,1)"),
+      s"regionkey predicate not pushed to the nation scan:\n$p")
+  }
+
   test("superstep merge does not re-shuffle an eagerPartitioned checkpoint (AQE on)") {
     // Replays the g_sssp/CC merge shape: `dists` is a checkpoint of a
     // frame hash-partitioned by id, `improved` derives from a
