@@ -58,9 +58,12 @@ object Ckpt {
   private def withoutAqe(df: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
     val conf = df.sparkSession.conf
     val key = "spark.sql.adaptive.enabled"
-    val prev = conf.get(key, "true")
+    val prev = conf.getOption(key) // restore-or-unset, never bake in a default
     conf.set(key, "false")
-    try f(df) finally conf.set(key, prev)
+    try f(df) finally prev match {
+      case Some(v) => conf.set(key, v)
+      case None    => conf.unset(key)
+    }
   }
 
   /** Release one checkpoint's blocks now. */

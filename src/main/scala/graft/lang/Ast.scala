@@ -60,7 +60,15 @@ sealed trait NodePattern extends Product with Serializable {
   * desugars to `set v.f = e` instructions, on `match` to
   * `where v.f = e` conjuncts, both appended after the clause's pattern
   * instructions (see Normalize), so the typed machinery is reused
-  * unchanged and every reference-legal program parses as before. */
+  * unchanged and every reference-legal program parses as before.
+  *
+  * Deliberate deviation from Cypher: because match-props desugar to the
+  * language's own `where`, they inherit ITS unset-attribute semantics —
+  * under strict mode (reference parity, sem.ml:148-158) matching
+  * `{f: e}` against a node whose `f` is unset RAISES, exactly as the
+  * explicit `where v.f = e` would; Cypher would treat it as a
+  * non-match. Non-strict mode (what the parquet-graph ops and CLI
+  * g-mode use) gives the Cypher behavior: NULL ≠ e, row drops. */
 final case class DeclPattern(variable: String, label: String,
     props: List[(String, Expr)] = Nil) extends NodePattern
 final case class VarRefPattern(variable: String) extends NodePattern

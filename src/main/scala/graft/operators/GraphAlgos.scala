@@ -278,6 +278,17 @@ object GraphAlgos {
        |SELECT d AS dist, count(*) AS n FROM s$ssspIters GROUP BY d""".stripMargin
   }
 
+  /** Co-partitioned full-outer merge of an (id, d) accumulator with an
+    * (id, d) delta — the delta's value wins on match, everything else
+    * carries over. Both sides arrive hash-partitioned by id (groupBy /
+    * previous merge outputs through [[Ckpt.eagerPartitioned]]), so the
+    * merge re-shuffles NEITHER side — the 1-exchange-per-superstep shape
+    * PlanSpec pins. Shared by the BFS and SSSP frontier loops. */
+  private def mergeById(acc: DataFrame, delta: DataFrame): DataFrame =
+    Ckpt.eagerPartitioned(
+      acc.join(delta.select(col("id"), col("d").as("nd")), Seq("id"), "full")
+        .select(col("id"), coalesce(col("nd"), col("d")).as("d")))
+
   val all: List[Q] = List(
 
     // ---- weighted single-source shortest paths (Bellman–Ford delta) ---
@@ -316,9 +327,7 @@ object GraphAlgos {
             cand.join(dists.withColumnRenamed("d", "old"), Seq("id"), "left")
               .filter(col("old").isNull || col("cand") < col("old"))
               .select(col("id"), col("cand").as("d")))
-          val merged = Ckpt.eagerPartitioned(
-            dists.join(improved.select(col("id"), col("d").as("nd")), Seq("id"), "full")
-              .select(col("id"), coalesce(col("nd"), col("d")).as("d")))
+          val merged = mergeById(dists, improved)
           Ckpt.drop(dists)
           Ckpt.drop(frontier)
           dists = merged
@@ -360,14 +369,11 @@ object GraphAlgos {
           val next = Ckpt.eagerPartitioned(
             cand.join(dists, Seq("id"), "left_anti")
               .select(col("id"), col("cand").as("d")))
-          // merge as a co-partitioned full outer (both sides are hash-
-          // partitioned by id), NOT a union: union output has no
+          // co-partitioned merge, NOT a union: union output has no
           // partitioning, which would re-exchange the whole accumulated
           // frame at the next superstep's anti-join. The two sides are
           // disjoint (next is anti-joined), so coalesce ≡ union here.
-          val merged = Ckpt.eagerPartitioned(
-            dists.join(next.select(col("id"), col("d").as("nd")), Seq("id"), "full")
-              .select(col("id"), coalesce(col("nd"), col("d")).as("d")))
+          val merged = mergeById(dists, next)
           Ckpt.drop(dists)    // merged is materialized
           Ckpt.drop(frontier) // cand was consumed into next
           dists = merged

@@ -62,8 +62,7 @@ class PlanSpec extends AnyFunSuite {
     // still push both through the attribute joins into the parquet scans,
     // or the sugar would silently cost a full post-join filter at scale.
     val p = plan("gql_props_match")
-    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]") ||
-      p.contains("EqualTo(c_mktsegment,BUILDING)"),
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
       s"mktsegment predicate not pushed to the customer scan:\n$p")
     assert(p.contains("EqualTo(n_regionkey,1)"),
       s"regionkey predicate not pushed to the nation scan:\n$p")
