@@ -182,6 +182,27 @@ class GoldenSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("match-props semantics: strict raises on an unset attribute, non-strict drops the row") {
+    // the documented deliberate deviation from Cypher (Ast.DeclPattern):
+    // {f: e} desugars to the language's own `where v.f = e`, so it
+    // inherits strict mode's unset-attribute raise; non-strict gives the
+    // Cypher non-match (NULL ≠ e)
+    val src =
+      """(:N {x int})
+        |create (a:N)
+        |create (b:N {x: 1})
+        |match (m:N {x: 1})
+        |return m
+        |""".stripMargin
+    val ex = intercept[Exception] {
+      Engine.runSource(spark, src).bindings.collect()
+    }
+    assert(ex.getMessage != null)
+    val rows = Engine.runSource(spark, src,
+      Engine.Config(strict = false)).bindings.collect()
+    assert(rows.length == 1) // b matches; a (x unset) is a non-match, not an error
+  }
+
   // --- engine extensions: extended return + variable-length paths ---
 
   /** 6-node chain 0→1→2→3→4→5 over a self-relation, x = 10·id. */
