@@ -252,5 +252,53 @@ object IoOps {
              |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
              |FROM events WHERE event_type = 'purchase'
              |GROUP BY user_id""".stripMargin)),
+
+    // ---- ANALYZE-style table statistics: one pass, one row per column --
+    // The lakehouse maintenance op behind every cost-based decision
+    // (join reorder, broadcast thresholds, file skipping): per-column
+    // non-null count, distinct count, min, max — computed in ONE scan
+    // (all aggregates in a single agg node; count/min/max partially
+    // aggregate map-side) and unpivoted with stack() to the catalog's
+    // row-per-column shape. Every profiled value is normalized to
+    // BIGINT first (quantities truncate exactly, prices quantize to
+    // cents, timestamps to epoch millis) so min/max hash-compare across
+    // engines with no float/format hazard. Exact NDV here because the
+    // oracle must hash-match; at 100 TB the same shape swaps
+    // count_distinct for approx_count_distinct (HLL, mergeable,
+    // single-pass — certificate-checked by p_events_approx_users) since
+    // 4 exact distincts cost an expanded 4x shuffle.
+    Q("p_io_stats",
+      (s, dir) => {
+        val cols = Seq("c_orderkey", "c_quantity", "c_price_cents", "c_shipdate_ms")
+        val t = s.read.parquet(s"$dir/lineitem.parquet").select(
+          col("l_orderkey").as("c_orderkey"),
+          col("l_quantity").cast("bigint").as("c_quantity"),
+          expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("c_price_cents"),
+          // NTZ parquet timestamp: cast through TIMESTAMP (session UTC,
+          // so the wall-clock reading IS the instant) for unix_millis
+          unix_millis(col("l_shipdate").cast("timestamp")).as("c_shipdate_ms"))
+        val aggs = cols.flatMap(c => Seq(
+          count(col(c)).as(s"${c}_n"),
+          count_distinct(col(c)).as(s"${c}_ndv"),
+          min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max")))
+        t.agg(aggs.head, aggs.tail: _*)
+          .select(expr(s"stack(${cols.size}, " +
+            cols.map(c => s"'$c', ${c}_n, ${c}_ndv, ${c}_min, ${c}_max").mkString(", ") +
+            ") as (col_name, n_non_null, n_distinct, min_v, max_v)"))
+      },
+      Some("""WITH t AS (SELECT l_orderkey AS c_orderkey,
+             |  CAST(l_quantity AS BIGINT) AS c_quantity,
+             |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c_price_cents,
+             |  epoch_ms(l_shipdate) AS c_shipdate_ms FROM lineitem)
+             |SELECT 'c_orderkey' AS col_name, count(c_orderkey) AS n_non_null,
+             |  count(DISTINCT c_orderkey) AS n_distinct,
+             |  min(c_orderkey) AS min_v, max(c_orderkey) AS max_v FROM t
+             |UNION ALL SELECT 'c_quantity', count(c_quantity),
+             |  count(DISTINCT c_quantity), min(c_quantity), max(c_quantity) FROM t
+             |UNION ALL SELECT 'c_price_cents', count(c_price_cents),
+             |  count(DISTINCT c_price_cents), min(c_price_cents), max(c_price_cents) FROM t
+             |UNION ALL SELECT 'c_shipdate_ms', count(c_shipdate_ms),
+             |  count(DISTINCT c_shipdate_ms), min(c_shipdate_ms), max(c_shipdate_ms) FROM t""".stripMargin)),
   )
 }

@@ -56,6 +56,15 @@ class PlanSpec extends AnyFunSuite {
       s"expected two-phase hash aggregation in:\n$p")
   }
 
+  test("table statistics profile in one scan of the table") {
+    // 4 columns × 4 aggregates must not become 4 jobs or 4 scans — the
+    // ANALYZE shape is a single pass (multi-distinct plans via Expand,
+    // still one FileScan)
+    val p = plan("p_io_stats")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly one lineitem scan in:\n$p")
+  }
+
   test("match-props predicates push down to the node parquet scans") {
     // gql_props_match desugars {mktsegment: "BUILDING"} / {regionkey: 1}
     // to where-conjuncts appended AFTER the pattern joins — Catalyst must
