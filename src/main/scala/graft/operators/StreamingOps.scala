@@ -210,6 +210,45 @@ object StreamingOps {
       s.streams.resetTerminated()
     }
 
+  /** Per-batch reduce of the upsert pipeline: latest (ts, event_id) row
+    * per key within ONE micro-batch — a |batch|-scale hash-partitioned
+    * window, never touching the accumulated target. Package-visible so
+    * StreamRecoverySpec drives the identical logic through a
+    * stop/restart. */
+  private[graft] def upsertReduce(batch: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("last_ts").desc, col("last_event_id").desc)
+    batch.select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"), col("event_type").as("last_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** The upsert MERGE: co-partitioned full outer on the key, newest
+    * (last_ts, last_event_id) side wins per column. Both sides arrive
+    * hash-partitioned by user_id (the reduce window / the previous
+    * merge through eagerPartitioned), so each batch shuffles |batch|
+    * rows once and NEVER re-sorts or re-exchanges the accumulated
+    * table (the same AQE-checkpoint discipline as the iterative graph
+    * merges, pinned by PlanSpec). Rank-based, therefore IDEMPOTENT
+    * under micro-batch replay: re-merging an already-applied batch
+    * changes nothing — which is exactly what makes foreachBatch + a
+    * replayed uncommitted batch after restart safe (exactly-once
+    * table state from at-least-once batch delivery). */
+  private[graft] def upsertMerge(prev: DataFrame, inc: DataFrame): DataFrame = {
+    val cols = Seq("last_event_id", "last_ts", "last_type")
+    val p = prev.select(col("user_id") +: cols.map(c => col(c).as(s"p_$c")): _*)
+    val i = inc.select(col("user_id") +: cols.map(c => col(c).as(s"i_$c")): _*)
+    val incWins = col("i_last_ts").isNotNull && (col("p_last_ts").isNull ||
+      col("i_last_ts") > col("p_last_ts") ||
+      (col("i_last_ts") === col("p_last_ts") &&
+        col("i_last_event_id") > col("p_last_event_id")))
+    p.join(i, Seq("user_id"), "full").select(
+      col("user_id") +: cols.map(c =>
+        when(incWins, col(s"i_$c")).otherwise(col(s"p_$c")).as(c)): _*)
+  }
+
   val all: List[Q] = List(
 
     // ---- streaming tumbling-window aggregation ------------------------
@@ -606,33 +645,6 @@ object StreamingOps {
       (s, dir) => {
         implicit val sp: SparkSession = s
         val target = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-        // per-batch reduce: one hash-partitioned window over |batch| rows
-        def latestPerKey(df: DataFrame): DataFrame = {
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("user_id"))
-            .orderBy(col("last_ts").desc, col("last_event_id").desc)
-          df.withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).drop("rn")
-        }
-        // MERGE: co-partitioned full outer on the key, newest (ts,
-        // event_id) side wins per column. Both sides arrive hash-
-        // partitioned by user_id (the window above / the previous
-        // merge), and the target checkpoints through eagerPartitioned —
-        // so each batch shuffles |batch| rows once and NEVER re-sorts or
-        // re-exchanges the accumulated table (the same AQE-checkpoint
-        // discipline as the iterative graph merges, pinned by PlanSpec).
-        val cols = Seq("last_event_id", "last_ts", "last_type")
-        def merge(prev: DataFrame, inc: DataFrame): DataFrame = {
-          val p = prev.select(col("user_id") +: cols.map(c => col(c).as(s"p_$c")): _*)
-          val i = inc.select(col("user_id") +: cols.map(c => col(c).as(s"i_$c")): _*)
-          val incWins = col("i_last_ts").isNotNull && (col("p_last_ts").isNull ||
-            col("i_last_ts") > col("p_last_ts") ||
-            (col("i_last_ts") === col("p_last_ts") &&
-              col("i_last_event_id") > col("p_last_event_id")))
-          p.join(i, Seq("user_id"), "full").select(
-            col("user_id") +: cols.map(c =>
-              when(incWins, col(s"i_$c")).otherwise(col(s"p_$c")).as(c)): _*)
-        }
         val name = "upsert_" + java.util.UUID.randomUUID().toString.replace("-", "")
         val ckpt = ckptScratch.resolve(name)
         val q = withStreamShuffle(s) {
@@ -640,12 +652,10 @@ object StreamingOps {
             .option("checkpointLocation", ckpt.toString)
             .trigger(Trigger.AvailableNow())
             .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-              val incoming = latestPerKey(
-                batch.select(col("user_id"), col("event_id").as("last_event_id"),
-                  col("ts").as("last_ts"), col("event_type").as("last_type")))
+              val incoming = upsertReduce(batch)
               val prev = target.get()
               val merged = graft.Ckpt.eagerPartitioned(
-                if (prev == null) incoming else merge(prev, incoming))
+                if (prev == null) incoming else upsertMerge(prev, incoming))
               if (prev != null) graft.Ckpt.drop(prev)
               target.set(merged)
               ()
