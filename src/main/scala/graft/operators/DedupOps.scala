@@ -210,6 +210,49 @@ object DedupOps {
       (s, dir) => minhashPairs(s, dir),
       Some(minhashOracle + "\nSELECT a, b FROM pairs")),
 
+    // ---- LSH recall: the dedup-quality loop closed with integers -----
+    // p_sim_recall's counterpart for the dedup family: how many of the
+    // TRUE near-dup pairs (exact all-pairs Jaccard >= tau, the
+    // verification-grade baseline) does the banded MinHash path recover?
+    // Banding theory predicts P(candidate) = 1-(1-j^r)^b (r=2, b=8):
+    // ~0.75 at j=0.4 rising to ~1 near j=1 — the emitted triple
+    // (n_exact, n_lsh, n_common) measures the realized recall EXACTLY
+    // (integer counts, no float in the result), and n_common = n_lsh
+    // doubles as a soundness check (the LSH path verifies at the same
+    // tau, so it can never emit a non-true pair). At 100 TB only the
+    // LSH path runs over the corpus; this evaluation runs on a sample —
+    // exactly how production dedup recall is monitored.
+    Q("p_dedup_lsh_recall",
+      (s, dir) => {
+        val dsh = shingles(s, dir).cache()
+        val sizes = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val x = dsh.select(col("doc_id").as("a"), col("shingle"))
+        val y = dsh.select(col("doc_id").as("b"), col("shingle"))
+        val exact = x.join(y, Seq("shingle")).filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("c"))
+          .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+          .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+          .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= jaccardTau)
+          .select("a", "b")
+        val lsh = minhashPairs(s, dir).select("a", "b")
+        val nE = exact.agg(count(lit(1)).as("n_exact"))
+        val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+        val nC = lsh.join(exact, Seq("a", "b"), "left_semi")
+          .agg(count(lit(1)).as("n_common"))
+        nE.crossJoin(nL).crossJoin(nC)
+      },
+      Some(minhashOracle + s""",
+         |common_all AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM dsh x JOIN dsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |exact AS (SELECT common_all.a, common_all.b FROM common_all
+         |  JOIN sizes sa ON common_all.a = sa.doc_id
+         |  JOIN sizes sb ON common_all.b = sb.doc_id
+         |  WHERE c::DOUBLE / (sa.n + sb.n - c) >= $jaccardTau)
+         |SELECT (SELECT count(*) FROM exact) AS n_exact,
+         |       (SELECT count(*) FROM pairs) AS n_lsh,
+         |       (SELECT count(*) FROM pairs JOIN exact USING (a, b)) AS n_common""".stripMargin)),
+
     // ---- dup clustering + survivor selection --------------------------
     // The full pipeline stage the dedup family exists for: LSH-verified
     // pairs -> connected components over the duplicate graph (min-label

@@ -160,6 +160,18 @@ class PipelineSpec extends AnyFunSuite {
       }
   }
 
+  test("LSH dedup recall: sound (no false pairs) and above the banding-theory floor") {
+    val r = run("p_dedup_lsh_recall").collect()(0)
+    val (nExact, nLsh, nCommon) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // soundness: the LSH path exact-verifies at the same tau, so every
+    // emitted pair is a true pair
+    assert(nCommon == nLsh, s"LSH emitted ${nLsh - nCommon} false pairs")
+    // recall floor: P(candidate) = 1-(1-j^2)^8 >= 0.75 at j = tau = 0.4,
+    // higher for stronger pairs — 0.6 leaves margin for corpus shape
+    assert(nExact > 0 && nCommon.toDouble / nExact >= 0.6,
+      s"LSH recall ${nCommon.toDouble / nExact} below floor ($nCommon/$nExact)")
+  }
+
   test("foreachBatch upsert final state equals batch latest-per-key") {
     val stream = run("p_stream_upsert").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3))).toSet
