@@ -61,14 +61,17 @@ object Engine {
     * would silently never match `graph.nodes`). */
   private type FrameKey = Either[String, (String, String, String)]
 
-  /** env: vname → internal binding column, latest binding first. */
+  /** env: vname → internal binding column, latest binding first.
+    * `nullable`: binding COLUMNS that may be NULL (optional-match
+    * targets) — drives the strict-mode null-guard in [[sql]]. */
   final case class ExecState(
       graph: PropertyGraph,
       bindings: DataFrame,
       env: List[(String, String)],
       nextId: Long,
       freshCounter: Int,
-      mutationDepth: Map[FrameKey, Int]) {
+      mutationDepth: Map[FrameKey, Int],
+      nullable: Set[String] = Set.empty) {
     def colOf(v: String): String =
       env.collectFirst { case (`v`, c) => c }
         .getOrElse(throw new IllegalStateException(s"variable $v not bound"))
@@ -128,10 +131,28 @@ object Engine {
 
   def run(spark: SparkSession, prog: TypedProg, graph: PropertyGraph,
           nextId: Long = 0L, config: Config = Config()): QueryResult = {
-    var st = ExecState(graph, unitBindings(spark), Nil, nextId, 0,
+    val st0 = ExecState(graph, unitBindings(spark), Nil, nextId, 0,
       Map.empty[FrameKey, Int].withDefaultValue(0))
-    compilePlan(prog.instrs, config).foreach {
-      case PExec(in) => st = exec(spark, prog.schema, st, in, config)
+    val st = execPlan(spark, prog.schema, st0, prog.instrs, config)
+    // Final table: distinct variable names, latest binding, header order
+    // (latest-first, like the reference's prepended header) — unless the
+    // query ended in `return`, in which case env is exactly the return list.
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    val outCols = st.env.flatMap { case (v, c) =>
+      if (seen.add(v)) Some(col(c).as(v)) else None
+    }
+    val out = if (outCols.isEmpty) st.bindings else st.bindings.select(outCols: _*)
+    QueryResult(st.graph, out)
+  }
+
+  /** Fold the compiled physical ops over a state — the reference's
+    * instruction fold (sem.ml:299-378), also used recursively for
+    * pattern-predicate sub-plans (optional match / not exists). */
+  private def execPlan(spark: SparkSession, schema: Schema, st0: ExecState,
+      instrs: List[RInstr], config: Config): ExecState = {
+    var st = st0
+    compilePlan(instrs, config).foreach {
+      case PExec(in) => st = exec(spark, schema, st, in, config)
       case PExpand(key, boundVar, newVar, newIsDst) =>
         val c = fresh(st)
         val eS = s"${c}_src"
@@ -154,15 +175,24 @@ object Engine {
         st = st.copy(bindings = joined, env = (newVar, c) :: st.env,
           freshCounter = st.freshCounter + 1)
     }
-    // Final table: distinct variable names, latest binding, header order
-    // (latest-first, like the reference's prepended header) — unless the
-    // query ended in `return`, in which case env is exactly the return list.
-    val seen = scala.collection.mutable.LinkedHashSet[String]()
-    val outCols = st.env.flatMap { case (v, c) =>
-      if (seen.add(v)) Some(col(c).as(v)) else None
-    }
-    val out = if (outCols.isEmpty) st.bindings else st.bindings.select(outCols: _*)
-    QueryResult(st.graph, out)
+    st
+  }
+
+  /** Execute a pattern-predicate's inner instruction list over the
+    * DISTINCT projection of the outer rows' bound columns — the witness
+    * build touches each edge frame once per distinct key tuple, not once
+    * per outer row, which is the shape that survives a wide outer table
+    * at scale. Returns the final sub-state (its bindings hold one row
+    * per witness, bound columns under their outer names) and the bound
+    * column list. */
+  private def innerWitness(spark: SparkSession, schema: Schema, st: ExecState,
+      inner: List[RInstr], bound: List[String], cfg: Config): (ExecState, List[String]) = {
+    val boundCols = bound.map(st.colOf)
+    val probe = st.bindings.select(boundCols.map(col): _*).distinct()
+    val sub0 = ExecState(st.graph, probe, bound.map(v => (v, st.colOf(v))),
+      st.nextId, st.freshCounter,
+      Map.empty[FrameKey, Int].withDefaultValue(0), st.nullable)
+    (execPlan(spark, schema, sub0, inner, cfg), boundCols)
   }
 
   /** Convenience: compile source and run against an empty graph. */
@@ -366,20 +396,41 @@ object Engine {
       // plain-variable bindings, so the extra outName entries are inert
       st.copy(bindings = shaped, env = items.map(it => (it.outName, it.outName)))
 
-    case ROptMatch(sv, key, tv) =>
-      // left-outer edge expansion: one row per (sv, successor) edge,
-      // or ONE row with a NULL binding when sv has no successor — the
-      // same broadcast/shuffle hash left join Catalyst plans for any
-      // enrichment lookup; at scale this is the match-edge join with
-      // identical partitioning, just outer.
-      val c = fresh(st)
-      val eS = s"${c}_src"
-      val edf = st.graph.edges(key).select(col("src").as(eS), col("dst").as(c))
-      val joined = st.bindings
-        .join(edf, col(st.colOf(sv)) === col(eS), "left")
-        .drop(eS)
-      st.copy(bindings = joined, env = (tv, c) :: st.env,
-        freshCounter = st.freshCounter + 1)
+    case ROptPath(inner, bound, freshVars) =>
+      // All-or-nothing witness expansion (Cypher OPTIONAL MATCH): run
+      // the pattern tail as a sub-plan over the distinct bound tuples,
+      // then LEFT-join the witnesses back — the same broadcast/shuffle
+      // hash join as match-edge, just outer. One row per witness; rows
+      // with no complete witness bind ALL fresh variables to NULL (never
+      // a partial path). A NULL bound column (an earlier unmatched
+      // optional) never equals a witness key and binds NULL too.
+      val (sub, boundCols) = innerWitness(spark, schema, st, inner, bound, cfg)
+      val freshCols = freshVars.map { case (v, _) => sub.colOf(v) }.distinct
+      val wAliases = boundCols.indices.map(k => s"__w$k").toList
+      val witness = sub.bindings.select(
+        boundCols.zip(wAliases).map { case (bc, a) => col(bc).as(a) } ++
+          freshCols.map(col): _*)
+      val cond = boundCols.zip(wAliases)
+        .map { case (bc, a) => st.bindings(bc) === witness(a) }.reduce(_ && _)
+      val joined = st.bindings.join(witness, cond, "left").drop(wAliases: _*)
+      st.copy(bindings = joined,
+        env = freshVars.reverse.map { case (v, _) => (v, sub.colOf(v)) } ::: st.env,
+        freshCounter = sub.freshCounter,
+        nullable = st.nullable ++ freshCols)
+
+    case RNotExists(inner, bound) =>
+      // The mirror of match-edge's left_semi: keep rows with NO witness.
+      // Witness keys are the bound columns only (inner declarations are
+      // existential); a NULL bound column trivially has no witness and
+      // survives, consistent with the optional-match NULL semantics.
+      val (sub, boundCols) = innerWitness(spark, schema, st, inner, bound, cfg)
+      val wAliases = boundCols.indices.map(k => s"__w$k").toList
+      val witness = sub.bindings.select(
+        boundCols.zip(wAliases).map { case (bc, a) => col(bc).as(a) }: _*)
+      val cond = boundCols.zip(wAliases)
+        .map { case (bc, a) => st.bindings(bc) === witness(a) }.reduce(_ && _)
+      st.copy(bindings = st.bindings.join(witness, cond, "left_anti"),
+        freshCounter = sub.freshCounter)
 
     case RVarPath(sv, key, lo, hi, tv) =>
       // Both endpoints are bound (normalize emits the node instruction
@@ -393,7 +444,7 @@ object Engine {
 
     case RWhere(te) =>
       val (joined, refs) = joinAttrs(st, te :: Nil)
-      val filtered = joined.filter(expr(sql(te, refs, st.colOf, cfg.strict)))
+      val filtered = joined.filter(expr(sql(te, refs, st, cfg.strict)))
       st.copy(bindings = filtered.select(st.bindings.columns.map(col): _*))
 
     case RSet(v, lbl, f, tp, te) =>
@@ -402,7 +453,7 @@ object Engine {
       // per-row evaluation (spec, not the reference's first-row-only bug);
       // conflicting per-node values resolved deterministically by max.
       val upd = joined
-        .select(col(vc).as("id"), expr(sql(te, refs, st.colOf, cfg.strict)).as("__newv"))
+        .select(col(vc).as("id"), expr(sql(te, refs, st, cfg.strict)).as("__newv"))
         .groupBy("id").agg(max("__newv").as("__newv"))
       val n2 = st.graph.nodes(lbl)
         .join(upd, Seq("id"), "left")
@@ -497,19 +548,28 @@ object Engine {
     * String literals are safe to inline: the MiniGQL lexer only admits
     * `[A-Za-z0-9 ]` inside strings (lexer.mll:26-27). */
   private def sql(te: TExpr, refs: Map[(String, String), String],
-      vcol: String => String, strict: Boolean): String =
+      st: ExecState, strict: Boolean): String =
     te match {
       case TConst(BoolV(b))   => if (b) "true" else "false"
       case TConst(IntV(i))    => s"${i}L"
       case TConst(StringV(s)) => s"'$s'"
-      case Typing.TNullCheck(v) => s"isnull(${vcol(v)})"
-      case TAttr(v, _, f, _) =>
+      case Typing.TNullCheck(v) => s"isnull(${st.colOf(v)})"
+      case TAttr(v, _, f, tp) =>
         val c = refs((v, f))
-        if (strict)
-          s"if(isnull($c), raise_error('attribute $f not set for variable $v'), $c)"
-        else c
+        if (strict) {
+          val raise =
+            s"if(isnull($c), raise_error('attribute $f not set for variable $v'), $c)"
+          if (st.nullable(st.colOf(v)))
+            // optional-match binding: a NULL binding means "no witness",
+            // not "unset attribute" — don't raise, yield NULL (the row
+            // then drops from any predicate, SQL semantics), keeping
+            // optional match + attribute predicates usable under the
+            // reference-parity strict config (ADVICE r06)
+            s"if(isnull(${st.colOf(v)}), cast(null as ${sqlTp(tp)}), $raise)"
+          else raise
+        } else c
       case TBin(op, l, r, _) =>
-        val (a, b) = (sql(l, refs, vcol, strict), sql(r, refs, vcol, strict))
+        val (a, b) = (sql(l, refs, st, strict), sql(r, refs, st, strict))
         val o = op match {
           case BAadd => "+"; case BAsub => "-"; case BAmul => "*"
           case BAdiv => "div"; case BAmod => "%"
@@ -519,4 +579,10 @@ object Engine {
         }
         s"($a $o $b)"
     }
+
+  private def sqlTp(tp: AttribTp): String = tp match {
+    case BoolT   => "boolean"
+    case IntT    => "bigint"
+    case StringT => "string"
+  }
 }

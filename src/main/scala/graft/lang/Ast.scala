@@ -128,13 +128,23 @@ final case class ReturnExt(
       * output (rejected when an item aggregates: grouped rows are
       * already distinct; use `count(distinct …)` instead). */
     distinct: Boolean = false) extends Clause
-/** `optional match (a) -[:r]-> (b:B)` (engine extension): keep every
-  * existing row; bind `b` to each `r`-successor of `a`, or to NULL when
-  * `a` has none — the left-outer half of match-edge. Single hop, fresh
-  * declared target only (`a` may itself be a fresh declaration, which
-  * match-binds it first). */
-final case class OptMatch(src: NodePattern, rel: String, tgtVar: String,
-    tgtLabel: String) extends Clause
+/** `optional match (a) -[:r]-> (b:B) [-[:s]-> (c:C) …]` (engine
+  * extension): keep every existing row; bind the pattern's declared tail
+  * variables to each full-path witness reachable from the head, or ALL
+  * of them to NULL when no complete witness exists (Cypher's
+  * all-or-nothing OPTIONAL MATCH — never a partial binding). The head
+  * node may be a bound reference or a fresh declaration (which
+  * match-binds it first, non-optionally). Inline property maps and
+  * variable-length hops are allowed anywhere in the pattern: tail-node
+  * props filter INSIDE the witness computation, so a non-matching
+  * property yields NULL bindings rather than dropping the row. */
+final case class OptMatch(pat: Pattern) extends Clause
+/** `where not exists (a) -[:r]-> (b:B)` (engine extension): keep only
+  * the rows for which NO expansion of the pattern exists. Declared
+  * pattern variables are existentially quantified (they do NOT bind);
+  * referenced variables must be bound. Compiles to a left_anti join —
+  * the mirror of match-edge's left_semi. */
+final case class NotExists(pat: Pattern) extends Clause
 
 final case class Query(clauses: List[Clause])
 

@@ -27,10 +27,17 @@ final case class IReturnExt(items: List[RetItem], order: List[(RetItem, Boolean)
 /** `sv -[:rel*lo..hi]-> tv`, match-only (typing rejects create). */
 final case class IVarPathRel(act: Act, sv: String, rel: String, lo: Int, hi: Int,
     tv: String) extends Instruction
-/** optional match hop: bind `tv` to each rel-successor of `sv`, NULL
-  * when none (left-outer edge expansion). */
-final case class IOptMatch(sv: String, rel: String, tv: String,
-    tvLabel: String) extends Instruction
+/** Pattern-predicate instructions: `inner` is the match-normalized
+  * instruction list of the predicate's pattern tail (node decls, edge
+  * hops, var-paths, and the where-conjuncts its inline property maps
+  * desugar to — only those kinds can occur; typing re-checks).
+  *
+  * `IOptPath`: left-outer witness expansion — declared inner variables
+  * bind per complete witness, or ALL to NULL when none (all-or-nothing).
+  * `INotExists`: anti witness check — keep rows with NO witness; inner
+  * declarations are existential and bind nothing. */
+final case class IOptPath(inner: List[Instruction]) extends Instruction
+final case class INotExists(inner: List[Instruction]) extends Instruction
 
 final case class NormProg(types: GraphTypes, instrs: List[Instruction])
 
@@ -103,9 +110,43 @@ object Normalize {
     case Where(e)                 => List(IWhere(e))
     case Return(vs)               => List(IReturn(vs))
     case ReturnExt(its, ord, lim, dist) => List(IReturnExt(its, ord, lim, dist))
-    case OptMatch(np, rl, tv, tl) =>
-      normNodePattern(MatchAct, np) :+ IOptMatch(np.variable, rl, tv, tl)
+    case OptMatch(pat) =>
+      // the HEAD node is matched non-optionally (a fresh decl match-binds
+      // it, with its props as ordinary outer where-conjuncts); only the
+      // tail of the path is the optional witness
+      val (head, innerTail) = splitHead(pat)
+      val headProps = headDeclProps(pat).map { case (v, f, e) =>
+        IWhere(Bin(BCeq, AttribAcc(v, f), e)) }
+      normNodePattern(MatchAct, head) ++ headProps :+ IOptPath(innerTail)
+    case NotExists(pat) =>
+      // the whole pattern is the predicate: referenced variables stay
+      // outer, declared ones are existential — so head decls/props also
+      // go INSIDE (a fresh head decl is just another existential)
+      List(INotExists(normPattern(MatchAct, pat) ++
+        declProps(pat).map { case (v, f, e) =>
+          IWhere(Bin(BCeq, AttribAcc(v, f), e)) }))
   }
+
+  /** Head node of a hop pattern + the match-normalized instruction list
+    * of its tail (including tail-node property conjuncts). */
+  private def splitHead(pat: Pattern): (NodePattern, List[Instruction]) = {
+    def tailProps(p: Pattern): List[Instruction] = declProps(p).map {
+      case (v, f, e) => IWhere(Bin(BCeq, AttribAcc(v, f), e)) }
+    pat match {
+      case CompPattern(np, rl, rest) =>
+        (np, tail(MatchAct, np.variable, Hop(rl), rest) ++ tailProps(rest))
+      case VarPattern(np, rl, lo, hi, rest) =>
+        (np, tail(MatchAct, np.variable, Hop(rl, lo, hi), rest) ++ tailProps(rest))
+      case SimpPattern(np) => (np, Nil) // unreachable: parser requires a hop
+    }
+  }
+
+  private def headDeclProps(pat: Pattern): List[(String, String, Expr)] =
+    pat match {
+      case CompPattern(DeclPattern(v, _, ps), _, _)       => ps.map { case (f, e) => (v, f, e) }
+      case VarPattern(DeclPattern(v, _, ps), _, _, _, _)  => ps.map { case (f, e) => (v, f, e) }
+      case _                                              => Nil
+    }
 
   def normalize(p: Prog): NormProg =
     NormProg(p.types, p.query.clauses.flatMap(normClause))

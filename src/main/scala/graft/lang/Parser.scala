@@ -103,7 +103,17 @@ object Parser {
           case "match"  => Match(patternList())
           case "delete" => Delete(deletePattern())
           case "return" => returnClause()
-          case "where"  => Where(expr())
+          case "where"  =>
+            // `not exists <pattern>` — contextual like `optional`: no
+            // legal expression starts TIdent(not) TIdent(exists) (an
+            // identifier head must be followed by '.'), so no reference-
+            // legal program is stolen
+            peek match {
+              case TIdent("not") if peek2 == TIdent("exists") =>
+                i += 2
+                pathPattern("not exists")
+              case _ => Where(expr())
+            }
           case _        => SetClause(assignList()) // "set"
         }
       // `optional` is a contextual identifier (engine extension): only
@@ -111,18 +121,22 @@ object Parser {
       // variable named `optional` stays legal everywhere else
       case TIdent("optional") if peek2 == TKw("match") =>
         i += 2
-        pattern() match {
-          // no inline props on either side: a target map would have to
-          // filter INSIDE the outer join (a post-where kills NULL rows),
-          // and a source map is better written as an explicit where
-          case CompPattern(np, rl, SimpPattern(DeclPattern(v, l, Nil)))
-              if npProps(np).isEmpty =>
-            OptMatch(np, rl, v, l)
-          case _ =>
-            fail("optional match supports a single hop (a)-[:r]->(b:B) " +
-              "with a fresh declared target and no inline property map")
-        }
+        pathPattern("optional match")
       case t => fail(s"expected clause keyword, got $t")
+    }
+
+    /** Shared shape check for the two pattern-predicate clauses: a path
+      * with at least one hop (a bare `(v)` node is vacuous — for
+      * `optional match` it binds nothing optional, for `not exists` a
+      * bound variable trivially exists). */
+    private def pathPattern(what: String): Clause = {
+      val pat = pattern()
+      pat match {
+        case SimpPattern(_) =>
+          fail(s"$what requires a path pattern with at least one hop")
+        case _ =>
+          if (what == "not exists") NotExists(pat) else OptMatch(pat)
+      }
     }
 
     // --- extended return (engine extension; reference return is ident-
@@ -233,11 +247,6 @@ object Parser {
           case None           => CompPattern(np, rl, pattern())
         }
       } else SimpPattern(np)
-    }
-
-    private def npProps(np: NodePattern): List[(String, Expr)] = np match {
-      case DeclPattern(_, _, ps) => ps
-      case _                     => Nil
     }
 
     private def int(what: String): Int = peek match {

@@ -63,12 +63,24 @@ object Typing {
       limit: Option[Long], distinct: Boolean = false) extends RInstr
   final case class RVarPath(sv: String, rel: (String, String, String), lo: Int, hi: Int,
       tv: String) extends RInstr
-  /** optional match hop: `tv`'s binding column is NULLABLE — an
-    * attribute access through an unmatched binding yields NULL
-    * (non-strict) or the strict-mode unset raise, and an equality join
-    * through it never matches (SQL null semantics). */
-  final case class ROptMatch(sv: String, rel: (String, String, String),
-      tv: String) extends RInstr
+  /** optional-match witness expansion: `inner` is the typed instruction
+    * list of the pattern tail, `bound` the outer variables it references
+    * (join keys), `fresh` the (variable, label) pairs it declares in
+    * declaration order. Fresh binding columns are NULLABLE — all bind
+    * per complete witness or all NULL when none; an attribute access
+    * through an unmatched binding yields NULL even under strict mode
+    * (the unset-attribute raise is null-guarded for optional bindings),
+    * and an equality join through it never matches (SQL null
+    * semantics). */
+  final case class ROptPath(inner: List[RInstr], bound: List[String],
+      fresh: List[(String, String)]) extends RInstr
+  /** `where not exists <pattern>`: keep rows with NO witness — a
+    * left_anti join on `bound`, the mirror of match-edge's left_semi.
+    * Inner declarations are existential; rows whose bound column is NULL
+    * (an unmatched optional binding) trivially have no witness and
+    * survive. */
+  final case class RNotExists(inner: List[RInstr], bound: List[String])
+      extends RInstr
 
   /** Validated schema with O(1) lookups. */
   final case class Schema(
@@ -259,14 +271,22 @@ object Typing {
           }
         }
 
-      case IOptMatch(sv, rl, tv, tl) =>
-        if (!schema.labels(tl)) Left(s"undeclared node label $tl")
-        else lookup(env, sv) match {
-          case None => Left(s"variable $sv not bound")
-          case Some(sl) =>
-            if (!schema.relTypes((sl, rl, tl)))
-              Left(s"undeclared relation type (:$sl)-[:$rl]->(:$tl)")
-            else Right((ROptMatch(sv, (sl, rl, tl), tv), (tv, tl) :: env))
+      case IOptPath(inner) =>
+        tcInner(schema, env, inner, "optional match").map {
+          case (ris, bound, fresh) =>
+            // fresh vars bind NULLABLE, latest-first like match decls
+            (ROptPath(ris, bound, fresh), fresh.reverse ::: env)
+        }
+
+      case INotExists(inner) =>
+        tcInner(schema, env, inner, "not exists").flatMap {
+          case (ris, bound, _) =>
+            if (bound.isEmpty)
+              // a fully-existential pattern is a global emptiness test,
+              // not a per-row predicate — reject rather than silently
+              // keeping all rows or none
+              Left("not exists pattern must reference at least one bound variable")
+            else Right((RNotExists(ris, bound), env)) // existential: env unchanged
         }
 
       case IVarPathRel(act, sv, rl, lo, hi, tv) =>
@@ -311,6 +331,56 @@ object Typing {
             }
         }
     }
+
+  /** Typecheck a pattern-predicate's inner instruction list in a local
+    * extension of `env` (discarded by the caller for `not exists`,
+    * partially kept — fresh decls only — for `optional match`). Returns
+    * (typed inner, referenced outer variables in first-use order,
+    * declared (var, label) pairs in declaration order). Only match-mode
+    * node / edge / var-path / where instructions can occur — Normalize
+    * emits nothing else for a pattern; anything else is rejected as an
+    * internal error. */
+  private def tcInner(schema: Schema, outer: Env, inner: List[Instruction],
+      what: String): Either[String, (List[RInstr], List[String], List[(String, String)])] = {
+    val out = List.newBuilder[RInstr]
+    var env = outer
+    var err: Option[String] = None
+    val it = inner.iterator
+    while (err.isEmpty && it.hasNext) {
+      val in = it.next()
+      in match {
+        case IActOnNode(MatchAct, _, _) | IActOnRel(MatchAct, _, _, _) |
+            _: IWhere | IVarPathRel(MatchAct, _, _, _, _, _) => ()
+        case other =>
+          err = Some(s"$what pattern: illegal instruction $other")
+      }
+      if (err.isEmpty) tcInstr(schema, env, in) match {
+        case Left(e)           => err = Some(e)
+        case Right((ri, env2)) => out += ri; env = env2
+      }
+    }
+    err match {
+      case Some(e) => Left(e)
+      case None =>
+        val ris = out.result()
+        val fresh = ris.collect { case RMatchNode(v, l) => (v, l) }
+        val declared = fresh.map(_._1).toSet
+        val refs = ris.flatMap {
+          case RMatchEdge(sv, _, _, tv, _) => Seq(sv, tv)
+          case RVarPath(sv, _, _, _, tv)   => Seq(sv, tv)
+          case RWhere(te)                  => exprVars(te)
+          case _                           => Seq.empty
+        }.distinct.filterNot(declared)
+        Right((ris, refs, fresh))
+    }
+  }
+
+  private def exprVars(te: TExpr): List[String] = te match {
+    case TAttr(v, _, _, _) => List(v)
+    case TNullCheck(v)     => List(v)
+    case TBin(_, l, r, _)  => exprVars(l) ++ exprVars(r)
+    case _: TConst         => Nil
+  }
 
   def typecheck(np: NormProg): Either[String, TypedProg] =
     checkGraphTypes(np.types).flatMap { schema =>

@@ -64,7 +64,7 @@ class DifferentialSpec extends AnyFunSuite {
       else s"($base ${pick(Seq("and", "or"))} ${boolExpr(depth - 1)})"
     }
     val steps = 3 + rnd.nextInt(6)
-    for (_ <- 1 to steps) rnd.nextInt(7) match {
+    for (_ <- 1 to steps) rnd.nextInt(8) match {
       case 0 => // create + immediate set (keeps all attributes defined);
         // half the time via the inline property map, which desugars to
         // the same create+set instruction pair (differential coverage of
@@ -127,6 +127,24 @@ class DifferentialSpec extends AnyFunSuite {
             val v = s"v$n"
             sb ++= s"match ($a) -[:$rl*$lo..$hi]-> ($v:$l)\n"
             env = (v, l) :: env
+          }
+        }
+      case 6 => // where not exists — pattern negation (anti-join witness);
+        // three shapes: bound→bound (pure edge anti), bound→existential
+        // decl, and existential decl with an inline props conjunct
+        val combos = Seq(("P", "r", "Q"), ("P", "s", "P"), ("Q", "t", "Q"))
+          .flatMap { case (sl, rl, tl) => bound(sl).map(a => (a, rl, tl)) }
+        if (combos.nonEmpty) {
+          val (a, rl, tl) = pick(combos)
+          val bs = bound(tl)
+          if (bs.nonEmpty && rnd.nextBoolean())
+            sb ++= s"where not exists ($a) -[:$rl]-> (${pick(bs)})\n"
+          else {
+            n += 1
+            if (rnd.nextInt(3) == 0) {
+              val p = if (tl == "P") s"x: ${rnd.nextInt(50)}" else s"y: ${rnd.nextInt(50)}"
+              sb ++= s"where not exists ($a) -[:$rl]-> (v$n:$tl {$p})\n"
+            } else sb ++= s"where not exists ($a) -[:$rl]-> (v$n:$tl)\n"
           }
         }
       case _ => // delete a node binding (also unbinds)

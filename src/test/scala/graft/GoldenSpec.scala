@@ -272,6 +272,69 @@ class GoldenSpec extends AnyFunSuite {
     assert(matched == Set(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("optional match: multi-hop path is all-or-nothing (no partial binding)") {
+    // node 4 has a 1-hop successor (5) but no 2-hop path: BOTH b and c
+    // must bind NULL, never (4, 5, NULL) — Cypher OPTIONAL MATCH semantics
+    val r = Engine.runSource(spark, chainSrc +
+      "match (a:N)\noptional match (a) -[:next]-> (b:N) -[:next]-> (c:N)\nreturn a, b, c")
+    val rows = r.bindings.collect().map { x =>
+      (x.getLong(0),
+        if (x.isNullAt(1)) -1L else x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))
+    }.toSet
+    assert(rows == Set(
+      (0L, 1L, 2L), (1L, 2L, 3L), (2L, 3L, 4L), (3L, 4L, 5L),
+      (4L, -1L, -1L), (5L, -1L, -1L)))
+  }
+
+  test("optional match: tail props filter inside the witness, rows survive as NULL") {
+    // only node 2's successor has x = 30; every other row keeps with NULL b
+    val r = Engine.runSource(spark, chainSrc +
+      "match (a:N)\noptional match (a) -[:next]-> (b:N {x: 30})\nreturn a, b")
+    val rows = r.bindings.collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    assert(rows == Set((0L, -1L), (1L, -1L), (2L, 3L), (3L, -1L), (4L, -1L), (5L, -1L)))
+  }
+
+  test("not exists: keeps exactly the rows with no witness") {
+    // only the chain tail (5) has no successor
+    val r = Engine.runSource(spark, chainSrc +
+      "match (a:N)\nwhere not exists (a) -[:next]-> (b:N)\nreturn a")
+    assert(r.bindings.collect().map(_.getLong(0)).toSet == Set(5L))
+  }
+
+  test("not exists: existential props narrow the predicate") {
+    // "no successor with x = 30" removes only node 2 (2→3, x3 = 30)
+    val r = Engine.runSource(spark, chainSrc +
+      "match (a:N)\nwhere not exists (a) -[:next]-> (b:N {x: 30})\nreturn a")
+    assert(r.bindings.collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 3L, 4L, 5L))
+  }
+
+  test("not exists: 2-hop pattern (anti of the bounded path)") {
+    // nodes 4 and 5 have no 2-hop successor
+    val r = Engine.runSource(spark, chainSrc +
+      "match (a:N)\nwhere not exists (a) -[:next]-> (b:N) -[:next]-> (c:N)\nreturn a")
+    assert(r.bindings.collect().map(_.getLong(0)).toSet == Set(4L, 5L))
+  }
+
+  test("not exists: NULL optional binding trivially has no witness") {
+    // b is NULL only for a = 5; "not exists (b)-[:next]->(c)" then keeps
+    // rows where b is NULL or b's successor is absent (b = 5, i.e. a = 4)
+    val r = Engine.runSource(spark, chainSrc +
+      "match (a:N)\noptional match (a) -[:next]-> (b:N)\n" +
+        "where not exists (b) -[:next]-> (c:N)\nreturn a")
+    assert(r.bindings.collect().map(_.getLong(0)).toSet == Set(4L, 5L))
+  }
+
+  test("strict mode: attribute access through a NULL optional binding yields NULL, not a raise") {
+    // runSource defaults to strict = true; b.x on the unmatched tail row
+    // must NOT hit the unset-attribute raise_error — the row just drops
+    val r = Engine.runSource(spark, chainSrc +
+      "match (a:N)\noptional match (a) -[:next]-> (b:N)\nwhere b.x >= 30\nreturn a")
+    assert(r.bindings.collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+  }
+
   test("varpath: engine matches RefInterp on the same program") {
     val prog = chainSrc + "match (a:N) -[:next*1..4]-> (b:N)\nreturn a, b"
     val tp = graft.lang.Typing.compile(prog)

@@ -113,7 +113,18 @@ object RefInterp {
       }
       st.copy(rows = st.rows.filter(r => acc((r(cs), r(ct)))))
 
-    case _: RReturnExt | _: ROptMatch =>
+    case RNotExists(inner, bound) =>
+      // existential check per distinct bound tuple: interpret the inner
+      // pattern over a probe table of the bound columns, keep outer rows
+      // whose tuple produced NO witness — mirrors Engine's left_anti
+      // over the witness frame
+      val idx = bound.map(st.colOf)
+      val probe = st.rows.map(r => idx.map(r).toVector).distinct
+      val sub0 = St(st.nodes, st.edges, bound.zipWithIndex, bound.size, probe, st.next)
+      val witness = inner.foldLeft(sub0)(exec).rows.map(_.take(bound.size)).toSet
+      st.copy(rows = st.rows.filterNot(r => witness(idx.map(r).toVector)))
+
+    case _: RReturnExt | _: ROptPath =>
       // extended return emits non-Long output columns and optional match
       // NULL bindings — neither fits this interpreter's Long-row model;
       // outside its reference-parity scope (GoldenSpec pins them in-JVM,

@@ -216,17 +216,70 @@ class TypingSpec extends AnyFunSuite {
       .contains("undeclared relation type"))
   }
 
-  test("optional match: multi-hop pattern rejected at parse time") {
+  test("optional match: multi-hop path typechecks, all tail targets bind") {
+    val tp = Typing.compile(
+      header + "(:Q) -[:t]-> (:Q)\n" +
+        "create (a:P)\noptional match (a) -[:r]-> (b:Q) -[:t]-> (c:Q)\nreturn a, b, c")
+    val opt = tp.instrs.collect { case o: Typing.ROptPath => o }
+    assert(opt.map(o => (o.bound, o.fresh)) ==
+      List((List("a"), List(("b", "Q"), ("c", "Q")))))
+    assert(opt.head.inner == List(
+      Typing.RMatchNode("b", "Q"), Typing.RMatchEdge("a", "P", "r", "b", "Q"),
+      Typing.RMatchNode("c", "Q"), Typing.RMatchEdge("b", "Q", "t", "c", "Q")))
+  }
+
+  test("optional match: bare node pattern rejected at parse time") {
     val ex = intercept[graft.lang.Parser.ParseError](Typing.compile(
-      header + "create (a:P)\noptional match (a) -[:r]-> (b:Q) -[:t]-> (c:Q)"))
-    assert(ex.getMessage.contains("single hop"))
+      header + "create (a:P)\noptional match (a)"))
+    assert(ex.getMessage.contains("at least one hop"))
   }
 
   test("optional match: well-typed hop binds the target") {
     val tp = Typing.compile(
       header + "create (a:P)\noptional match (a) -[:r]-> (b:Q)\nreturn a, b")
-    assert(tp.instrs.collect { case o: Typing.ROptMatch => o } ==
-      List(Typing.ROptMatch("a", ("P", "r", "Q"), "b")))
+    assert(tp.instrs.collect { case o: Typing.ROptPath => o } ==
+      List(Typing.ROptPath(
+        List(Typing.RMatchNode("b", "Q"), Typing.RMatchEdge("a", "P", "r", "b", "Q")),
+        List("a"), List(("b", "Q")))))
+  }
+
+  // --- where not exists (pattern negation, engine extension) ---
+
+  test("not exists: referenced variable must be bound") {
+    assert(err(header + "create (a:P)\nwhere not exists (zz) -[:r]-> (b:Q)")
+      .contains("variable zz not bound"))
+  }
+
+  test("not exists: fully-existential pattern rejected") {
+    assert(err(header + "create (a:P)\nwhere not exists (p:P) -[:r]-> (q:Q)")
+      .contains("at least one bound variable"))
+  }
+
+  test("not exists: relation type must be declared for the labels") {
+    assert(err(header + "create (a:Q)\nwhere not exists (a) -[:r]-> (b:Q)")
+      .contains("undeclared relation type"))
+  }
+
+  test("not exists: bare node pattern rejected at parse time") {
+    val ex = intercept[graft.lang.Parser.ParseError](Typing.compile(
+      header + "create (a:P)\nwhere not exists (a)"))
+    assert(ex.getMessage.contains("at least one hop"))
+  }
+
+  test("not exists: declared variables are existential — not bound after") {
+    val tp = Typing.compile(
+      header + "create (a:P)\nwhere not exists (a) -[:r]-> (b:Q)\nreturn a")
+    assert(tp.instrs.collect { case n: Typing.RNotExists => (n.bound, n.inner.length) } ==
+      List((List("a"), 2)))
+    assert(err(header + "create (a:P)\nwhere not exists (a) -[:r]-> (b:Q)\nreturn b")
+      .contains("unbound variable"))
+  }
+
+  test("not exists: inline props filter inside the predicate") {
+    val tp = Typing.compile(
+      header + "create (a:P)\nwhere not exists (a) -[:r]-> (b:Q {y: 3})\nreturn a")
+    val n = tp.instrs.collect { case n: Typing.RNotExists => n }.head
+    assert(n.inner.count(_.isInstanceOf[Typing.RWhere]) == 1)
   }
 
   test("null(v): variable must be bound; types to bool") {
@@ -259,10 +312,22 @@ class TypingSpec extends AnyFunSuite {
     assert(err(header + "create (a:P {zz: 1})").contains("not declared"))
   }
 
-  test("props: optional match takes no inline map (would filter inside the outer join)") {
-    val ex = intercept[graft.lang.Parser.ParseError](Typing.compile(
-      header + "create (a:P)\noptional match (a) -[:r]-> (b:Q {y: 1})"))
-    assert(ex.getMessage.contains("no inline property map"))
+  test("props: optional-match tail map filters INSIDE the witness (never drops rows)") {
+    val tp = Typing.compile(
+      header + "create (a:P)\noptional match (a) -[:r]-> (b:Q {y: 1})\nreturn a, b")
+    val opt = tp.instrs.collect { case o: Typing.ROptPath => o }.head
+    // the conjunct is part of the inner witness plan, not an outer where
+    assert(opt.inner.count(_.isInstanceOf[Typing.RWhere]) == 1)
+    assert(!tp.instrs.exists(_.isInstanceOf[Typing.RWhere]))
+  }
+
+  test("props: optional-match HEAD map is an outer (non-optional) filter") {
+    val tp = Typing.compile(
+      header + "match (a:P {x: 1})\noptional match (a2:P {x: 2}) -[:r]-> (b:Q)\nreturn a, a2, b")
+    // two head conjuncts outside (from both clauses), none inside
+    assert(tp.instrs.count(_.isInstanceOf[Typing.RWhere]) == 2)
+    val opt = tp.instrs.collect { case o: Typing.ROptPath => o }.head
+    assert(!opt.inner.exists(_.isInstanceOf[Typing.RWhere]))
   }
 
   // --- return distinct / distinct aggregates ---
