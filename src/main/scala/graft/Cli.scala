@@ -95,6 +95,46 @@ object Cli {
           .sorted.foreach(println)
         if (rows.length > 100) println("  ... (first 100 rows shown)")
       } finally spark.stop()
+    // `x <file.q>` / `x <dir> <file.q>` — EXPLAIN mode (engine
+    // extension): compile and run the program (mutations execute — the
+    // plan of a later match depends on them), then print the FORMATTED
+    // physical plan of the final binding table instead of its rows. The
+    // scale story rests on plan shapes (pushed filters reaching the
+    // parquet scans, fused hop joins, no cartesian products) that were
+    // previously visible only to PlanSpec — this surfaces them to users.
+    // With <dir>, runs against the parquet graph like g-mode
+    // (strict=false); without, against the program's own created graph.
+    case "x" :: rest if rest.size == 1 || rest.size == 2 =>
+      val (dirOpt, file) = rest match {
+        case d :: f :: Nil => (Some(d), f)
+        case f :: Nil      => (None, f)
+        case _             => throw new MatchError(rest) // unreachable
+      }
+      val src0 = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)))
+      val full = if (dirOpt.isDefined) graft.sources.GraphLoader.headerGql + src0 else src0
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+        .appName("graft-cli")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      try {
+        val r = try dirOpt match {
+          case Some(dir) =>
+            val (g, nextId) = graft.sources.GraphLoader.load(spark, dir)
+            Engine.runSourceOn(spark, full, g, nextId, Engine.Config(strict = false))
+          case None => Engine.runSource(spark, full)
+        } catch {
+          case e: graft.lang.Parser.ParseError =>
+            println(graft.lang.Parser.errorReport(full, Some(file), e))
+            System.err.println("Stopped execution.")
+            spark.stop()
+            sys.exit(1)
+        }
+        println(explainString(r))
+      } finally spark.stop()
     case "i" :: Nil =>
       // Read-print LOOP like the reference REPL (interf.ml:50-56): prompt,
       // parse one program, print its normalized IR, repeat. The reference
@@ -135,12 +175,22 @@ object Cli {
     case args0 =>
       val out = if (args0.isEmpty || args0 == List("h")) Console.out else Console.err
       out.println(
-        """usage: graft.Cli [ h | i | f <file.q> [--tex out.tex] [--dot out.dot] | g <dir> <file.q> ]
+        """usage: graft.Cli [ h | i | f <file.q> [--tex out.tex] [--dot out.dot] | g <dir> <file.q> | x [<dir>] <file.q> ]
           |  f <file.q>  parse, typecheck, execute; print graph + binding table
           |  g <dir> <file.q>  run clauses against the parquet graph at <dir>
+          |  x [<dir>] <file.q>  print the compiled physical plan (formatted
+          |              explain) of the final binding table — with <dir>,
+          |              against the parquet graph like g-mode
           |  i           read programs from stdin, print normalized IR
           |  h           this help""".stripMargin)
   }
+
+  /** x-mode body (also pinned by PlanSpec): the FORMATTED explain of the
+    * final binding table — scan nodes show `PushedFilters`/`ReadSchema`,
+    * so predicate pushdown and column pruning are user-auditable. */
+  def explainString(r: Engine.QueryResult): String =
+    r.bindings.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
   def render(r: Engine.QueryResult): String = {
     val sb = new StringBuilder

@@ -77,6 +77,25 @@ class PlanSpec extends AnyFunSuite {
       s"regionkey predicate not pushed to the nation scan:\n$p")
   }
 
+  test("CLI explain (x-mode) surfaces pushed filters and the fused hop to users") {
+    // the same gql_props_match program a user would `x <dir> q.q`: the
+    // formatted explain must show the desugared props conjuncts as
+    // PushedFilters on the parquet scans (non-empty = pushdown reached
+    // the source) and no cartesian product for the fused hop
+    val (g, nextId) = graft.sources.GraphLoader.load(spark, dir)
+    val r = graft.engine.Engine.runSourceOn(spark,
+      graft.sources.GraphLoader.headerGql +
+        """match (c:customer {mktsegment: "BUILDING"}) -[:cnation]-> (n:nation {regionkey: 1})
+          |return c, n""".stripMargin,
+      g, nextId, graft.engine.Engine.Config(strict = false))
+    val x = Cli.explainString(r)
+    assert(x.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]"),
+      s"customer scan without pushed mktsegment filter in:\n$x")
+    assert(x.contains("EqualTo(n_regionkey,1)"),
+      s"nation scan without pushed regionkey filter in:\n$x")
+    assert(!x.contains("CartesianProduct"), s"unfused cross join in:\n$x")
+  }
+
   test("superstep merge does not re-shuffle an eagerPartitioned checkpoint (AQE on)") {
     // Replays the g_sssp/CC merge shape: `dists` is a checkpoint of a
     // frame hash-partitioned by id, `improved` derives from a
