@@ -85,6 +85,130 @@ object GraphAlgos {
     })
   }
 
+  /** Delta min-label propagation CC over a pre-built UNDIRECTED edge
+    * frame (both orientations present, ideally src-pre-partitioned).
+    * Returns (labels id→comp, supersteps used incl. the convergence-
+    * detection step). Supersteps scale with component DIAMETER — the
+    * right choice when the diameter is known small (this repo's FK
+    * graph: 7), the wrong one on an unknown 100 TB graph (see
+    * [[starCC]]; GraphAlgosSpec pins the contrast on a chain+hub
+    * fixture).
+    *
+    * Delta propagation: only labels that DECREASED last round send
+    * messages. Per-round labels are provably identical to full
+    * propagation (a neighbor unchanged since round r already contributed
+    * its value in round r+1, and labels only decrease), so the unrolled
+    * full-propagation oracle still matches — but message volume
+    * collapses once the bulk of the graph settles (round 1: 2|E|, later
+    * rounds: near zero). The classic delta-iteration shape (Flink/
+    * Pregel) for LP at cluster scale.
+    *
+    * ONE eager checkpoint per superstep (the joined frame); labels and
+    * the delta are cheap projections over it, and the previous
+    * superstep's checkpoint is released the moment the next one is
+    * materialized — peak storage is 2 label frames, not 2×iters.
+    * eagerPartitioned preserves the id partitioning so the next
+    * superstep's left join does not re-shuffle the full |V| label frame
+    * (the AQE checkpoint pitfall; PlanSpec pins it). Early exit on
+    * convergence: the delta-emptiness probe is a cheap scan of the
+    * already-materialized checkpoint; maxIters is the BOUND — exhausting
+    * it unconverged fails loudly (the oracle replays the same count, so
+    * silent under-convergence would hash-match — VERDICT r02). */
+  def deltaCC(nodes: DataFrame, undirected: DataFrame, maxIters: Int): (DataFrame, Int) = {
+    var prev: DataFrame = Ckpt.eager(
+      nodes.select(col("id"), col("id").as("comp")))
+    var labels = prev
+    var changed = labels
+    var converged = false
+    var step = 0
+    while (step < maxIters && !converged) {
+      step += 1
+      val mins = undirected.join(changed, undirected("src") === changed("id"))
+        .select(undirected("dst").as("id"), col("comp").as("cand"))
+        .groupBy("id").agg(min("cand").as("cand"))
+      val joined = Ckpt.eagerPartitioned(labels.join(mins, Seq("id"), "left"))
+      Ckpt.drop(prev)
+      prev = joined
+      labels = joined
+        .select(col("id"), least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"))
+      changed = joined.filter(col("cand") < col("comp"))
+        .select(col("id"), col("cand").as("comp"))
+      converged = changed.isEmpty
+    }
+    require(converged,
+      s"connected components not converged after $maxIters supersteps")
+    (labels, step)
+  }
+
+  /** Alternating large-star/small-star CC (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") over a directed (src,dst) edge
+    * frame. Returns (labels id→comp for every node, rounds used incl.
+    * the convergence-detection round). Instead of propagating labels
+    * along edges (rounds ~ graph diameter), each round REWIRES the edge
+    * set itself — large-star hangs every larger neighbor under the
+    * neighborhood minimum, small-star recompresses the rest — converging
+    * in O(log n) rounds on ANY graph shape to stars rooted at component
+    * minima: the 100 TB choice on unknown/skewed graphs. Same fixed
+    * point as min-label propagation (PipelineSpec pins star ≡ delta
+    * equality; GraphAlgosSpec pins the round-count advantage on a
+    * chain+hub fixture). Each round is two groupBy+join passes over the
+    * current edge set (shrinking fast), with the same checkpoint-per-
+    * round lineage discipline as the delta iteration. */
+  def starCC(nodes: DataFrame, e0: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    var edges = Ckpt.eager(
+      e0.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")).distinct())
+    var converged = false
+    var round = 0
+    while (round < maxRounds && !converged) {
+      round += 1
+      // neighborhoods over both orientations of the current edges
+      val und = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val withM = und
+        .join(und.groupBy("u").agg(min("v").as("mn")), Seq("u"))
+        .withColumn("m", least(col("mn"), col("u")))
+      // large-star: strictly larger neighbors hang under m. ONE
+      // distinct here (it also canonicalizes: m < v always), so the
+      // small-star pass reads a deduped frame; self-loops (v == m)
+      // drop with the same filter.
+      val large = withM.filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("m").as("u"), col("v")).distinct()
+      val undL = large.select(col("u"), col("v"))
+        .union(large.select(col("v").as("u"), col("u").as("v")))
+      val withM2 = undL
+        .join(undL.groupBy("u").agg(min("v").as("mn")), Seq("u"))
+        .withColumn("m", least(col("mn"), col("u")))
+      // small-star: smaller neighbors AND the center hang under m;
+      // one terminal distinct canonicalizes (m is the smaller end)
+      val small = Ckpt.eager(
+        withM2.filter(col("v") < col("u"))
+          .select(col("m").as("u"), col("v").as("v2"))
+          .union(withM2.select(col("m").as("u"), col("u").as("v2")))
+          .filter(col("u") =!= col("v2"))
+          .select(col("u"), col("v2").as("v")).distinct())
+      // both sides are distinct sets: equal cardinality (cheap scan
+      // of two materialized frames) + empty one-sided difference
+      // <=> set equality; the anti-join only runs once counts agree,
+      // and never before round 3 (the theoretical minimum here)
+      converged = round >= 3 && small.count() == edges.count() &&
+        small.exceptAll(edges).isEmpty
+      Ckpt.drop(edges)
+      edges = small
+    }
+    require(converged,
+      s"star CC not converged after $maxRounds rounds")
+    // converged edges are (leaf, root) stars; roots and isolated
+    // nodes label themselves
+    val comp = nodes
+      .join(edges.select(col("v").as("id2"), col("u").as("root"))
+        .groupBy("id2").agg(min("root").as("root")),
+        col("id") === col("id2"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("comp"))
+    (comp, round)
+  }
+
   /** The GraphX graph over the FK edges — built (one fromEdges + 2D
     * partition shuffle) ONCE per (session, dir) and shared by the two
     * GraphX integration ops instead of each re-building it. Kept
@@ -393,55 +517,7 @@ object GraphAlgos {
         // (session, dir) and SHARED with g_bfs — each superstep's join
         // only shuffles the (small) labels side, and the 2×|E| build
         // shuffle is paid once per session, not once per operator.
-        val ue = undirectedEdges(s, dir)
-        // Delta propagation: only labels that DECREASED last round send
-        // messages. Per-round labels are provably identical to full
-        // propagation (a neighbor unchanged since round r already
-        // contributed its value in round r+1, and labels only decrease),
-        // so the unrolled full-propagation oracle still matches — but
-        // message volume collapses once the bulk of the graph settles
-        // (round 1: 2|E|, later rounds: near zero). The classic delta-
-        // iteration shape (Flink/Pregel) for LP at cluster scale.
-        //
-        // ONE eager checkpoint per superstep (the joined frame); labels
-        // and the delta are cheap projections over it, and the previous
-        // superstep's checkpoint is released the moment the next one is
-        // materialized — peak storage is 2 label frames, not 2×iters.
-        var prev: DataFrame = Ckpt.eager(
-          allNodes(s, dir).select(col("id"), col("id").as("comp")))
-        var labels = prev
-        var changed = labels
-        // Early exit on convergence: the delta-emptiness probe is a cheap
-        // scan of the superstep's already-materialized checkpoint, and
-        // once the delta is empty every further superstep is a no-op over
-        // the full |V| frame — running them only burns |V|-scale joins and
-        // checkpoints. The fixed-count oracle still matches: supersteps
-        // past the fixed point cannot change labels. ccIters is the
-        // BOUND; if the loop exhausts it unconverged, fail loudly (the
-        // oracle replays the same count, so silent under-convergence
-        // would hash-match — VERDICT r02).
-        var converged = false
-        var step = 0
-        while (step < ccIters && !converged) {
-          step += 1
-          val mins = ue.join(changed, ue("src") === changed("id"))
-            .select(ue("dst").as("id"), col("comp").as("cand"))
-            .groupBy("id").agg(min("cand").as("cand"))
-          // eagerPartitioned: the next superstep left-joins `labels` (a
-          // projection of this frame) with mins on id — preserving the
-          // id partitioning avoids re-shuffling the full |V| label frame
-          // every superstep (same AQE checkpoint pitfall as g_sssp)
-          val joined = Ckpt.eagerPartitioned(labels.join(mins, Seq("id"), "left"))
-          Ckpt.drop(prev)
-          prev = joined
-          labels = joined
-            .select(col("id"), least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"))
-          changed = joined.filter(col("cand") < col("comp"))
-            .select(col("id"), col("cand").as("comp"))
-          converged = changed.isEmpty
-        }
-        require(converged,
-          s"connected components not converged after $ccIters supersteps")
+        val (labels, _) = deltaCC(allNodes(s, dir), undirectedEdges(s, dir), ccIters)
         labels.groupBy("comp").agg(count(lit(1)).as("n"))
       },
       Some(ccOracle)),
@@ -460,59 +536,7 @@ object GraphAlgos {
     // checkpoint-per-round lineage discipline as the delta iteration.
     Q("g_connected_components_star",
       (s, dir) => {
-        val maxRounds = 8
-        val e0 = allEdges(s, dir)
-        var edges = Ckpt.eager(
-          e0.filter(col("src") =!= col("dst"))
-            .select(least(col("src"), col("dst")).as("u"),
-              greatest(col("src"), col("dst")).as("v")).distinct())
-        var converged = false
-        var round = 0
-        while (round < maxRounds && !converged) {
-          round += 1
-          // neighborhoods over both orientations of the current edges
-          val und = edges.select(col("u"), col("v"))
-            .union(edges.select(col("v").as("u"), col("u").as("v")))
-          val withM = und
-            .join(und.groupBy("u").agg(min("v").as("mn")), Seq("u"))
-            .withColumn("m", least(col("mn"), col("u")))
-          // large-star: strictly larger neighbors hang under m. ONE
-          // distinct here (it also canonicalizes: m < v always), so the
-          // small-star pass reads a deduped frame; self-loops (v == m)
-          // drop with the same filter.
-          val large = withM.filter(col("v") > col("u") && col("v") =!= col("m"))
-            .select(col("m").as("u"), col("v")).distinct()
-          val undL = large.select(col("u"), col("v"))
-            .union(large.select(col("v").as("u"), col("u").as("v")))
-          val withM2 = undL
-            .join(undL.groupBy("u").agg(min("v").as("mn")), Seq("u"))
-            .withColumn("m", least(col("mn"), col("u")))
-          // small-star: smaller neighbors AND the center hang under m;
-          // one terminal distinct canonicalizes (m is the smaller end)
-          val small = Ckpt.eager(
-            withM2.filter(col("v") < col("u"))
-              .select(col("m").as("u"), col("v").as("v2"))
-              .union(withM2.select(col("m").as("u"), col("u").as("v2")))
-              .filter(col("u") =!= col("v2"))
-              .select(col("u"), col("v2").as("v")).distinct())
-          // both sides are distinct sets: equal cardinality (cheap scan
-          // of two materialized frames) + empty one-sided difference
-          // <=> set equality; the anti-join only runs once counts agree,
-          // and never before round 3 (the theoretical minimum here)
-          converged = round >= 3 && small.count() == edges.count() &&
-            small.exceptAll(edges).isEmpty
-          Ckpt.drop(edges)
-          edges = small
-        }
-        require(converged,
-          s"star CC not converged after $maxRounds rounds")
-        // converged edges are (leaf, root) stars; roots and isolated
-        // nodes label themselves
-        val comp = allNodes(s, dir)
-          .join(edges.select(col("v").as("id2"), col("u").as("root"))
-            .groupBy("id2").agg(min("root").as("root")),
-            col("id") === col("id2"), "left")
-          .select(col("id"), coalesce(col("root"), col("id")).as("comp"))
+        val (comp, _) = starCC(allNodes(s, dir), allEdges(s, dir), maxRounds = 8)
         comp.groupBy("comp").agg(count(lit(1)).as("n"))
       },
       Some(ccOracle)),
