@@ -104,7 +104,9 @@ object Bench {
     // "queries" here is the slowest-first PREFIX that fits the size cap
     // (contract-shaped for the driver's parser); the complete map is on
     // the "metric":"detail" line above.
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timings.size},"runs":$runs,"sf":"$sfDir","errors":$errs,"families":${jmap(fams.map { case (k, v) => k -> fmt(v) })},"queries":{"""
+    // "queries_truncated" flags the prefix explicitly (ADVICE r06) so a
+    // consumer cannot mistake it for the complete per-query map.
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timings.size},"runs":$runs,"sf":"$sfDir","queries_truncated":true,"errors":$errs,"families":${jmap(fams.map { case (k, v) => k -> fmt(v) })},"queries":{"""
     val tail = "}}"
     val budget = 1900 - head.length - tail.length
     val slow = new StringBuilder

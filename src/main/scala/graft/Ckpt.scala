@@ -55,16 +55,32 @@ object Ckpt {
   def eagerPartitioned(df: DataFrame): DataFrame =
     withoutAqe(df)(eager)
 
-  private def withoutAqe(df: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
-    val conf = df.sparkSession.conf
-    val key = "spark.sql.adaptive.enabled"
-    val prev = conf.getOption(key) // restore-or-unset, never bake in a default
-    conf.set(key, "false")
-    try f(df) finally prev match {
-      case Some(v) => conf.set(key, v)
-      case None    => conf.unset(key)
-    }
+  /** Polices the single-threaded-session assumption every temporary
+    * conf flip here relies on (ADVICE r06): a SECOND thread flipping
+    * session conf mid-flip would silently run queries with AQE off or
+    * the wrong shuffle-partition count. Reentrant (nested flips on one
+    * thread compose); a cross-thread overlap fails loudly instead of
+    * producing skewed plans. Shared with StreamingOps.withStreamShuffle. */
+  private[graft] val confGate = new java.util.concurrent.locks.ReentrantLock()
+  private[graft] def withConfGate[A](what: String)(body: => A): A = {
+    if (!confGate.tryLock())
+      throw new IllegalStateException(
+        s"concurrent session-conf mutation ($what): the temporary conf " +
+          "flips assume a single-threaded session")
+    try body finally confGate.unlock()
   }
+
+  private def withoutAqe(df: DataFrame)(f: DataFrame => DataFrame): DataFrame =
+    withConfGate("disable AQE for checkpoint") {
+      val conf = df.sparkSession.conf
+      val key = "spark.sql.adaptive.enabled"
+      val prev = conf.getOption(key) // restore-or-unset, never bake in a default
+      conf.set(key, "false")
+      try f(df) finally prev match {
+        case Some(v) => conf.set(key, v)
+        case None    => conf.unset(key)
+      }
+    }
 
   /** Release one checkpoint's blocks now. */
   def drop(ds: Dataset[_]): Unit = {

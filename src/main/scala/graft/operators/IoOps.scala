@@ -34,8 +34,13 @@ object IoOps {
     // a concurrently-running sibling session would just rebuild.
     val prefix = s"graft_io_${fmt}_"
     val keep = prefix + tag
+    // Age gate (ADVICE r06): only dirs untouched for an hour are
+    // reaped, so a concurrent session pinned to an older dataset tag
+    // is never deleted mid-read — its active dir has a fresh mtime.
+    val cutoff = System.currentTimeMillis() - 3600_000L
     Option(base.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
-      if (f.getName.startsWith(prefix) && f.getName != keep)
+      if (f.getName.startsWith(prefix) && f.getName != keep &&
+          f.lastModified() < cutoff)
         org.apache.commons.io.FileUtils.deleteQuietly(f)
     }
     base.resolve(keep).toString

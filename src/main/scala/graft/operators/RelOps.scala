@@ -670,10 +670,15 @@ object RelOps {
             // mints a new tag and the old warehouse dirs would
             // accumulate forever. Catalog entries (if any, same session)
             // are dropped first so table state and disk stay consistent.
+            // Exact sibling shape (ADVICE r06): base name + one 8-hex
+            // contentTag — startsWith alone would also claim any future
+            // table whose name merely extends this one's prefix.
             val stalePrefix = name.substring(0, name.lastIndexOf('_') + 1)
+            val sibling = java.util.regex.Pattern.compile(
+              java.util.regex.Pattern.quote(stalePrefix) + "[0-9a-f]{8}")
             Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty)
               .foreach { f =>
-                if (f.getName.startsWith(stalePrefix) && f.getName != name) {
+                if (sibling.matcher(f.getName).matches() && f.getName != name) {
                   if (s.catalog.tableExists(f.getName))
                     s.sql(s"DROP TABLE IF EXISTS ${f.getName}")
                   org.apache.commons.io.FileUtils.deleteQuietly(f)

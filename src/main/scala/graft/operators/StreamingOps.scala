@@ -154,18 +154,20 @@ object StreamingOps {
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
     * [[streamStatePartitions]] — the value a streaming query captures at
     * start governs its state partitioning for the life of its
-    * checkpoint. Restores the session value afterwards (harnesses are
-    * single-threaded per session; nothing else reads the conf mid-run). */
-  private def withStreamShuffle[A](s: SparkSession)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, streamStatePartitions.toString)
-    try body
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
+    * checkpoint. Restores the session value afterwards; the
+    * single-threaded-session assumption is enforced by the shared
+    * [[graft.Ckpt.withConfGate]] (cross-thread overlap fails loudly). */
+  private def withStreamShuffle[A](s: SparkSession)(body: => A): A =
+    graft.Ckpt.withConfGate("stream shuffle partitions") {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, streamStatePartitions.toString)
+      try body
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     }
-  }
 
   private def runToTable(df: DataFrame, mode: String)(implicit s: SparkSession): DataFrame = {
     val name = "sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
