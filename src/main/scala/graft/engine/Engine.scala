@@ -525,7 +525,7 @@ object Engine {
     * a big cluster — the depth cap (typing: hi <= 10) bounds the join
     * chain. At scale, hash-partitioning both sides on the join key makes
     * every level a co-partitioned shuffle join of the same frame. */
-  private def varPathReach(graph: PropertyGraph,
+  private[graft] def varPathReach(graph: PropertyGraph,
       key: (String, String, String), lo: Int, hi: Int): DataFrame = {
     val edges = graph.edges(key).select(col("src"), col("dst"))
     var cur = edges // exactly-d-hop pairs (deduped), d = 1 …

@@ -96,6 +96,61 @@ class PlanSpec extends AnyFunSuite {
     assert(!x.contains("CartesianProduct"), s"unfused cross join in:\n$x")
   }
 
+  test("varpath per-hop dedup bounds the frontier on a cyclic graph") {
+    // The *lo..hi expansion is hop-by-hop self-joins of the edge set; on
+    // a CYCLIC graph with branching, distinct PATHS multiply per hop
+    // (here: the a→{b,c}→d diamond doubles the path count every cycle
+    // lap) while distinct (src,dst) PAIRS are bounded by |V|². The
+    // per-hop dropDuplicates (Engine.varPathReach) is what keeps the
+    // joined frontier pair-bounded instead of path-exploding — the
+    // blow-up guard behind the hi <= 10 typing cap. Pin it in the plan:
+    // one pair-keyed dedup aggregate per expansion hop.
+    val src =
+      """(:N {x int})
+        |(:N) -[:next]-> (:N)
+        |create (a:N) create (b:N) create (c:N) create (d:N)
+        |create (a) -[:next]-> (b), (a) -[:next]-> (c)
+        |create (b) -[:next]-> (d), (c) -[:next]-> (d), (d) -[:next]-> (a)
+        |match (s:N) -[:next*1..6]-> (t:N)
+        |return s, t
+        |""".stripMargin
+    val r = graft.engine.Engine.runSource(spark, src)
+    // semantics first: exactly the 1..6-hop closure of the cycle
+    val edges = Set(0L -> 1L, 0L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 0L)
+    var hop = edges; var expected = edges
+    for (_ <- 2 to 6) {
+      hop = for ((s, m) <- hop; (m2, t) <- edges if m == m2) yield (s, t)
+      expected ++= hop
+    }
+    val got = r.bindings.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == expected, s"varpath closure mismatch: $got")
+    // plan: pin the guard on varPathReach itself over a CLEAN edge
+    // frame (the full program plan mixes in the graph build's own
+    // set-semantics dedups). Exactly-d-hop reach carries exactly d
+    // Deduplicates — hops 2..d plus the terminal one: EVERY hop is
+    // deduped, so the joined frontier is pair-bounded (≤ |V|²) no
+    // matter how the path count multiplies.
+    import spark.implicits._
+    val key = ("N", "next", "N")
+    val g = graft.engine.PropertyGraph(r.graph.schema, r.graph.nodes,
+      Map(key -> edges.toSeq.toDF("src", "dst")))
+    for (d <- 1 to 6) {
+      val reach = graft.engine.Engine.varPathReach(g, key, d, d)
+      val a = reach.queryExecution.analyzed.toString
+      assert("Deduplicate".r.findAllIn(a).size == d,
+        s"hop $d: expected $d pair dedups in:\n$a")
+    }
+    // and the dedup survives optimization to execution as pair-keyed
+    // hash aggregates, with every hop an equi-join (no cross join)
+    val full = graft.engine.Engine.varPathReach(g, key, 1, 6)
+    assert(full.count() == expected.size)
+    val p = full.queryExecution.executedPlan.toString
+    assert("HashAggregate\\(keys=\\[src".r.findAllIn(p).size >= 2,
+      s"pair dedup missing from the executed varpath expansion:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"varpath hop fell back to a cross join in:\n$p")
+  }
+
   test("superstep merge does not re-shuffle an eagerPartitioned checkpoint (AQE on)") {
     // Replays the g_sssp/CC merge shape: `dists` is a checkpoint of a
     // frame hash-partitioned by id, `improved` derives from a
