@@ -237,5 +237,46 @@ object TextOps {
              |       round(CAST(sum(q) AS BIGINT)::DOUBLE
              |             / (count(*) * 1000000000), 6) AS logfreq
              |FROM q GROUP BY doc_id""".stripMargin)),
+
+    // ---- repetition: duplicated-n-gram fraction (Gopher-style) --------
+    // Per doc: the fraction of word {2,3}-grams that are repeats of an
+    // earlier occurrence — the "repetition" family of quality filters
+    // from the Gopher corpus-curation recipe (duplicate line/paragraph
+    // fraction degenerates here: the synthetic docs are single-line, so
+    // the token-n-gram variants carry the signal). Pure scan +
+    // projection: the n-gram arrays are built and deduped per row with
+    // codegen'd collection expressions, so at 100 TB this runs at
+    // parquet-read speed with zero shuffle — the complementary signal
+    // to p_curate_repetition's aggregate-shaped top-bigram coverage
+    // (PipelineSpec pins the two ops' agreement).
+    Q("p_text_rep_ngrams",
+      (s, dir) => words(s, dir)
+        .withColumn("g2", expr(
+          """case when size(ws) >= 2
+            |     then transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))
+            |     else cast(array() as array<string>) end""".stripMargin))
+        .withColumn("g3", expr(
+          """case when size(ws) >= 3
+            |     then transform(sequence(0, size(ws)-3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))
+            |     else cast(array() as array<string>) end""".stripMargin))
+        .select(col("doc_id"),
+          size(col("g2")).as("n_g2"),
+          round((size(col("g2")) - size(array_distinct(col("g2")))).cast("double")
+            / greatest(size(col("g2")), lit(1)), 6).as("dup2_frac"),
+          size(col("g3")).as("n_g3"),
+          round((size(col("g3")) - size(array_distinct(col("g3")))).cast("double")
+            / greatest(size(col("g3")), lit(1)), 6).as("dup3_frac")),
+      Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |g AS (SELECT doc_id,
+             |        list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS g2,
+             |        list_transform(range(1, len(ws)-1),
+             |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+             |      FROM dd)
+             |SELECT doc_id,
+             |  len(g2) AS n_g2,
+             |  round((len(g2) - len(list_distinct(g2)))::DOUBLE / greatest(len(g2), 1), 6) AS dup2_frac,
+             |  len(g3) AS n_g3,
+             |  round((len(g3) - len(list_distinct(g3)))::DOUBLE / greatest(len(g3), 1), 6) AS dup3_frac
+             |FROM g""".stripMargin)),
   )
 }

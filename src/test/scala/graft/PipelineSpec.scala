@@ -45,6 +45,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.subsetOf(lsh.toSet))
   }
 
+  test("repetition signals agree: dup2_frac = 0 iff the top bigram is unique") {
+    // Cross-validates the zero-shuffle per-row op (p_text_rep_ngrams)
+    // against the aggregate-shaped top-bigram coverage
+    // (p_curate_repetition): a doc repeats NO bigram exactly when its
+    // most frequent bigram occurs once. Also pins the fraction ranges.
+    val rep = run("p_text_rep_ngrams").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val top = run("p_curate_repetition").collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      val (nG2, dup2) = rep(r.getLong(0))
+      val topN = r.getLong(2)
+      val topFrac = r.getDouble(3)
+      assert(dup2 >= 0.0 && dup2 < 1.0)
+      assert(topFrac > 0.0 && topFrac <= 1.0)
+      assert((dup2 == 0.0) == (topN == 1L),
+        s"doc ${r.getLong(0)}: dup2_frac=$dup2 but top_n=$topN")
+      // the top gram's repeats are a subset of all repeated-gram slots
+      assert((topN - 1).toDouble / nG2 <= dup2 + 1e-9)
+    }
+    // docs with < 2 words appear in rep (n_g2 = 0) but not in top
+    assert(rep.size >= top.length)
+  }
+
   test("simhash fingerprints are 64-bit bitstrings, one per document") {
     val fp = run("p_dedup_simhash").collect()
     val total = spark.read.parquet(s"$dir/documents.parquet").count()

@@ -49,6 +49,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"unfused cross join in:\n$p")
   }
 
+  test("per-row repetition signals project with zero shuffle") {
+    // p_text_rep_ngrams builds and dedups its n-gram arrays per row, so
+    // the plan must be scan → project — any Exchange would mean the
+    // "runs at parquet-read speed" 100 TB claim is false.
+    val p = plan("p_text_rep_ngrams")
+    assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
+  }
+
   test("aggregation uses map-side partial aggregates") {
     val p = plan("q_agg_pricing")
     // partial + final HashAggregate pair
