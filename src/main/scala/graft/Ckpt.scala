@@ -40,6 +40,30 @@ object Ckpt {
   def pinned(df: DataFrame): DataFrame =
     withoutAqe(df) { d => d.localCheckpoint(eager = true) }
 
+  /** [[eager]] DEFERRED: the frame is checkpoint-MARKED but not yet
+    * materialized — the caller's next full-scan action over it (a count,
+    * a filtered count) doubles as the materializing job, folding the
+    * iterative loops' convergence probes into the checkpoint
+    * materialization instead of paying a separate job for each (in local
+    * mode every job costs fixed scheduling latency that multiplies under
+    * contention; on a cluster it costs a scheduler round-trip).
+    * LocalRDDCheckpointData persists partitions as the first job
+    * computes them and launches a top-up job for any the action skipped,
+    * so even a partial scan yields a complete checkpoint. Tracked for
+    * [[drain]] like [[eager]]. */
+  def deferred(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint(eager = false)
+    live.add(c)
+    c
+  }
+
+  /** [[deferred]] with the hash partitioning preserved — same AQE flip
+    * as [[eagerPartitioned]]; the plan (and with it the partitioning the
+    * LogicalRDD leaf reports) is captured at mark time, so the flip only
+    * needs to cover the mark, not the later materializing action. */
+  def deferredPartitioned(df: DataFrame): DataFrame =
+    withoutAqe(df)(deferred)
+
   /** [[eager]], but the checkpoint's hash partitioning survives: under
     * AQE, `localCheckpoint` captures the ADAPTIVE plan's output
     * partitioning — UnknownPartitioning — so every later consumer

@@ -103,15 +103,16 @@ object GraphAlgos {
     * rounds: near zero). The classic delta-iteration shape (Flink/
     * Pregel) for LP at cluster scale.
     *
-    * ONE eager checkpoint per superstep (the joined frame); labels and
-    * the delta are cheap projections over it, and the previous
+    * ONE checkpoint AND ONE JOB per superstep: the joined frame is
+    * checkpoint-marked deferred, and the delta-count probe over it is
+    * the job that materializes it — labels and the delta are cheap
+    * projections over the materialized frame, and the previous
     * superstep's checkpoint is released the moment the next one is
-    * materialized — peak storage is 2 label frames, not 2×iters.
-    * eagerPartitioned preserves the id partitioning so the next
+    * materialized, so peak storage is 2 label frames, not 2×iters.
+    * deferredPartitioned preserves the id partitioning so the next
     * superstep's left join does not re-shuffle the full |V| label frame
     * (the AQE checkpoint pitfall; PlanSpec pins it). Early exit on
-    * convergence: the delta-emptiness probe is a cheap scan of the
-    * already-materialized checkpoint; maxIters is the BOUND — exhausting
+    * convergence; maxIters is the BOUND — exhausting
     * it unconverged fails loudly (the oracle replays the same count, so
     * silent under-convergence would hash-match — VERDICT r02). */
   def deltaCC(nodes: DataFrame, undirected: DataFrame, maxIters: Int): (DataFrame, Int) = {
@@ -126,14 +127,17 @@ object GraphAlgos {
       val mins = undirected.join(changed, undirected("src") === changed("id"))
         .select(undirected("dst").as("id"), col("comp").as("cand"))
         .groupBy("id").agg(min("cand").as("cand"))
-      val joined = Ckpt.eagerPartitioned(labels.join(mins, Seq("id"), "left"))
+      val joined = Ckpt.deferredPartitioned(labels.join(mins, Seq("id"), "left"))
+      // this count is the superstep's ONLY job: it materializes the
+      // deferred checkpoint AND is the convergence probe
+      val nChanged = joined.filter(col("cand") < col("comp")).count()
       Ckpt.drop(prev)
       prev = joined
       labels = joined
         .select(col("id"), least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"))
       changed = joined.filter(col("cand") < col("comp"))
         .select(col("id"), col("cand").as("comp"))
-      converged = changed.isEmpty
+      converged = nChanged == 0L
     }
     require(converged,
       s"connected components not converged after $maxIters supersteps")
@@ -155,10 +159,11 @@ object GraphAlgos {
     * current edge set (shrinking fast), with the same checkpoint-per-
     * round lineage discipline as the delta iteration. */
   def starCC(nodes: DataFrame, e0: DataFrame, maxRounds: Int): (DataFrame, Int) = {
-    var edges = Ckpt.eager(
+    var edges = Ckpt.deferred(
       e0.filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v")).distinct())
+    var nEdges = edges.count() // materializes the deferred mark
     var converged = false
     var round = 0
     while (round < maxRounds && !converged) {
@@ -182,20 +187,25 @@ object GraphAlgos {
         .withColumn("m", least(col("mn"), col("u")))
       // small-star: smaller neighbors AND the center hang under m;
       // one terminal distinct canonicalizes (m is the smaller end)
-      val small = Ckpt.eager(
+      val small = Ckpt.deferred(
         withM2.filter(col("v") < col("u"))
           .select(col("m").as("u"), col("v").as("v2"))
           .union(withM2.select(col("m").as("u"), col("u").as("v2")))
           .filter(col("u") =!= col("v2"))
           .select(col("u"), col("v2").as("v")).distinct())
-      // both sides are distinct sets: equal cardinality (cheap scan
-      // of two materialized frames) + empty one-sided difference
-      // <=> set equality; the anti-join only runs once counts agree,
-      // and never before round 3 (the theoretical minimum here)
-      converged = round >= 3 && small.count() == edges.count() &&
+      // this count is the round's only mandatory job — it materializes
+      // the deferred checkpoint and is the cardinality half of the
+      // convergence probe (the previous round's count is carried over,
+      // never re-measured). Both sides are distinct sets: equal
+      // cardinality + empty one-sided difference <=> set equality; the
+      // anti-join only runs once counts agree, and never before round 3
+      // (the theoretical minimum here).
+      val nSmall = small.count()
+      converged = round >= 3 && nSmall == nEdges &&
         small.exceptAll(edges).isEmpty
       Ckpt.drop(edges)
       edges = small
+      nEdges = nSmall
     }
     require(converged,
       s"star CC not converged after $maxRounds rounds")
@@ -443,20 +453,25 @@ object GraphAlgos {
               (col("d") + lit(1L) + (ue("src") + ue("dst")) % 2).as("cand"))
             .groupBy("id").agg(min("cand").as("cand"))
           // improved = strictly better or newly reached — the next frontier.
-          // eagerPartitioned (not eager): AQE-era localCheckpoint reports
+          // deferredPartitioned (not eager): the count below materializes
+          // it AND is the convergence probe (one job, not two), and the
+          // partitioning survives — AQE-era localCheckpoint reports
           // UnknownPartitioning, which would force a full re-exchange of
           // the accumulated `dists` at EVERY superstep's merge (PlanSpec
           // pins the 1-exchange shape)
-          val improved = Ckpt.eagerPartitioned(
+          val improved = Ckpt.deferredPartitioned(
             cand.join(dists.withColumnRenamed("d", "old"), Seq("id"), "left")
               .filter(col("old").isNull || col("cand") < col("old"))
               .select(col("id"), col("cand").as("d")))
-          val merged = mergeById(dists, improved)
-          Ckpt.drop(dists)
-          Ckpt.drop(frontier)
-          dists = merged
-          frontier = improved
-          converged = frontier.isEmpty
+          converged = improved.count() == 0L
+          if (converged) Ckpt.drop(improved) // skip the no-op merge
+          else {
+            val merged = mergeById(dists, improved)
+            Ckpt.drop(dists)
+            Ckpt.drop(frontier)
+            dists = merged
+            frontier = improved
+          }
         }
         Ckpt.drop(frontier)
         require(converged, s"SSSP not converged after $ssspIters supersteps")
@@ -489,20 +504,24 @@ object GraphAlgos {
             .select(ue("dst").as("id"), (col("d") + 1).as("cand"))
             .groupBy("id").agg(min("cand").as("cand"))
           // newly-discovered nodes only: anything already in dists keeps
-          // its (provably smaller) distance
-          val next = Ckpt.eagerPartitioned(
+          // its (provably smaller) distance. Deferred: the count below
+          // materializes it AND is the convergence probe (one job).
+          val next = Ckpt.deferredPartitioned(
             cand.join(dists, Seq("id"), "left_anti")
               .select(col("id"), col("cand").as("d")))
-          // co-partitioned merge, NOT a union: union output has no
-          // partitioning, which would re-exchange the whole accumulated
-          // frame at the next superstep's anti-join. The two sides are
-          // disjoint (next is anti-joined), so coalesce ≡ union here.
-          val merged = mergeById(dists, next)
-          Ckpt.drop(dists)    // merged is materialized
-          Ckpt.drop(frontier) // cand was consumed into next
-          dists = merged
-          frontier = next
-          converged = frontier.isEmpty
+          converged = next.count() == 0L
+          if (converged) Ckpt.drop(next) // skip the no-op merge
+          else {
+            // co-partitioned merge, NOT a union: union output has no
+            // partitioning, which would re-exchange the whole accumulated
+            // frame at the next superstep's anti-join. The two sides are
+            // disjoint (next is anti-joined), so coalesce ≡ union here.
+            val merged = mergeById(dists, next)
+            Ckpt.drop(dists)    // merged is materialized
+            Ckpt.drop(frontier) // cand was consumed into next
+            dists = merged
+            frontier = next
+          }
         }
         Ckpt.drop(frontier) // ue is the shared pinned frame — not ours to drop
         require(converged, s"BFS not converged after $bfsIters supersteps")

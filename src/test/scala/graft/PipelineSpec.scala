@@ -60,10 +60,15 @@ class PipelineSpec extends AnyFunSuite {
       val topFrac = r.getDouble(3)
       assert(dup2 >= 0.0 && dup2 < 1.0)
       assert(topFrac > 0.0 && topFrac <= 1.0)
-      assert((dup2 == 0.0) == (topN == 1L),
+      // dup2_frac is rounded to 6 dp for cross-engine hashing, so compare
+      // in integers: recover the repeat count (exact while n_g2 < 1e6,
+      // since the rounding error n_g2 * 5e-7 stays below 0.5).
+      val repeats = Math.round(dup2 * nG2)
+      assert((repeats == 0L) == (topN == 1L),
         s"doc ${r.getLong(0)}: dup2_frac=$dup2 but top_n=$topN")
       // the top gram's repeats are a subset of all repeated-gram slots
-      assert((topN - 1).toDouble / nG2 <= dup2 + 1e-9)
+      assert(topN - 1 <= repeats,
+        s"doc ${r.getLong(0)}: top_n=$topN exceeds repeats=$repeats")
     }
     // docs with < 2 words appear in rep (n_g2 = 0) but not in top
     assert(rep.size >= top.length)
