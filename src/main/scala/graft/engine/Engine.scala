@@ -528,17 +528,29 @@ object Engine {
   private[graft] def varPathReach(graph: PropertyGraph,
       key: (String, String, String), lo: Int, hi: Int): DataFrame = {
     val edges = graph.edges(key).select(col("src"), col("dst"))
-    var cur = edges // exactly-d-hop pairs (deduped), d = 1 …
-    var acc = if (lo <= 1) edges else null
-    for (d <- 2 to hi) {
-      val stepped = cur.as("p")
-        .join(edges.as("e"), col("p.dst") === col("e.src"))
-        .select(col("p.src").as("src"), col("e.dst").as("dst"))
-        .dropDuplicates("src", "dst")
-      cur = stepped
-      if (d >= lo) acc = if (acc == null) cur else acc.unionByName(cur)
+    // lo = 0 (Cypher zero-length path): seed with the identity pair of
+    // EVERY node of the homogeneous label — including isolated nodes,
+    // which have a zero-length path to themselves but touch no edge.
+    // The node frame is id-partitioned like the edge endpoints, so the
+    // union adds no exchange beyond the closure's own.
+    val ident =
+      if (lo == 0) Some(graph.nodes(key._1).select(col("id").as("src"), col("id").as("dst")))
+      else None
+    if (hi == 0) ident.get.dropDuplicates("src", "dst")
+    else {
+      var cur = edges // exactly-d-hop pairs (deduped), d = 1 …
+      var acc = if (lo <= 1) edges else null
+      for (d <- 2 to hi) {
+        val stepped = cur.as("p")
+          .join(edges.as("e"), col("p.dst") === col("e.src"))
+          .select(col("p.src").as("src"), col("e.dst").as("dst"))
+          .dropDuplicates("src", "dst")
+        cur = stepped
+        if (d >= lo) acc = if (acc == null) cur else acc.unionByName(cur)
+      }
+      val hops = if (acc == null) cur else acc
+      ident.fold(hops)(_.unionByName(hops)).dropDuplicates("src", "dst")
     }
-    (if (acc == null) cur else acc).dropDuplicates("src", "dst")
   }
 
   /** Compile a typed expression to a Spark SQL string. Integer division

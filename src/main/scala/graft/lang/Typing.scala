@@ -291,8 +291,11 @@ object Typing {
 
       case IVarPathRel(act, sv, rl, lo, hi, tv) =>
         if (act == CreateAct) Left(s"variable-length pattern -[:$rl*$lo..$hi]-> not allowed in create")
-        else if (lo < 1 || hi < lo)
-          Left(s"variable-length bounds *$lo..$hi invalid: need 1 <= lo <= hi")
+        else if (lo < 0 || hi < lo)
+          // lo = 0 is the Cypher zero-length path: the identity pair
+          // (v, v) for every node of the homogeneous label joins the
+          // closure (the endpoints may be the same node)
+          Left(s"variable-length bounds *$lo..$hi invalid: need 0 <= lo <= hi")
         else if (hi > 10)
           Left(s"variable-length bound *$lo..$hi too deep: hi <= 10 (each extra " +
             "hop is a distributed self-join of the edge set)")

@@ -357,6 +357,27 @@ object GraphOps {
              |  ON r.dst = CAST(n.n_nationkey AS BIGINT) + 2000000000
              |WHERE r.d >= 2 AND r.rk = 0""".stripMargin)),
 
+    // zero-length lower bound (VERDICT r07 item 5): *0..2 = identity ∪
+    // 1..2-hop closure — every nation pairs with itself (even each
+    // region's chain tail, which has no outgoing nnext edge); oracle =
+    // recursive CTE seeded with the identity pairs at depth 0
+    Q("gql_varpath_zero",
+      bindings(
+        "match (a:nation) -[:nnext*0..2]-> (b:nation) return a, b"),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS src,
+             |         CAST(LEAD(n_nationkey) OVER (PARTITION BY n_regionkey
+             |              ORDER BY n_nationkey) AS BIGINT) + 2000000000 AS dst
+             |  FROM nation),
+             |r AS (SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS src,
+             |             CAST(n_nationkey AS BIGINT) + 2000000000 AS dst, 0 AS d
+             |      FROM nation
+             |      UNION ALL
+             |      SELECT r.src, e.dst, r.d + 1
+             |      FROM r JOIN e ON r.dst = e.src
+             |      WHERE e.dst IS NOT NULL AND r.d < 2)
+             |SELECT DISTINCT src AS a, dst AS b FROM r""".stripMargin)),
+
     // --- optional match (left-outer edge expansion): the region-last
     // nation has no nnext successor and binds NULL
     Q("gql_optional",

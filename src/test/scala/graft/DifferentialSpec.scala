@@ -33,6 +33,11 @@ class DifferentialSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(seed)
     val sb = new StringBuilder(header)
     var env = List.empty[(String, String)] // (var, label), latest first
+    // optional-match bindings are NULLABLE: they only ever appear in
+    // null() filters and return — a read through a NULL binding (attr,
+    // edge, set, delete) is where engine and interpreter semantics are
+    // allowed to diverge, so the generator never emits one
+    var optEnv = List.empty[String]
     def latest(v: String) = env.collectFirst { case (`v`, l) => l }
     // latest bindings only: a rebound variable's old label is shadowed
     def bound(lbl: String) = env.map(_._1).distinct.filter(v => latest(v).contains(lbl))
@@ -64,7 +69,7 @@ class DifferentialSpec extends AnyFunSuite {
       else s"($base ${pick(Seq("and", "or"))} ${boolExpr(depth - 1)})"
     }
     val steps = 3 + rnd.nextInt(6)
-    for (_ <- 1 to steps) rnd.nextInt(8) match {
+    for (_ <- 1 to steps) rnd.nextInt(9) match {
       case 0 => // create + immediate set (keeps all attributes defined);
         // half the time via the inline property map, which desugars to
         // the same create+set instruction pair (differential coverage of
@@ -117,8 +122,8 @@ class DifferentialSpec extends AnyFunSuite {
           .flatMap { case (l, rl) => bound(l).map(a => (a, rl, l)) }
         if (starts.nonEmpty) {
           val (a, rl, l) = pick(starts)
-          val lo = 1 + rnd.nextInt(2)
-          val hi = lo + rnd.nextInt(3)
+          val lo = rnd.nextInt(3) // 0 = zero-length (identity) lower bound
+          val hi = math.max(lo, 1) + rnd.nextInt(3)
           val bs = bound(l)
           if (bs.nonEmpty && rnd.nextBoolean())
             sb ++= s"match ($a) -[:$rl*$lo..$hi]-> (${pick(bs)})\n"
@@ -130,11 +135,25 @@ class DifferentialSpec extends AnyFunSuite {
           }
         }
       case 6 => // where not exists — pattern negation (anti-join witness);
-        // three shapes: bound→bound (pure edge anti), bound→existential
-        // decl, and existential decl with an inline props conjunct
+        // four shapes: bound→bound (pure edge anti), bound→existential
+        // decl, existential decl with an inline props conjunct, and a
+        // bounded-varpath witness (reachability negation, incl. lo = 0)
         val combos = Seq(("P", "r", "Q"), ("P", "s", "P"), ("Q", "t", "Q"))
           .flatMap { case (sl, rl, tl) => bound(sl).map(a => (a, rl, tl)) }
-        if (combos.nonEmpty) {
+        val vpStarts = Seq(("P", "s"), ("Q", "t"))
+          .flatMap { case (l, rl) => bound(l).map(a => (a, rl, l)) }
+        if (vpStarts.nonEmpty && rnd.nextInt(3) == 0) {
+          val (a, rl, l) = pick(vpStarts)
+          val lo = rnd.nextInt(3)
+          val hi = math.max(lo, 1) + rnd.nextInt(3)
+          val bs = bound(l)
+          if (bs.nonEmpty && rnd.nextBoolean())
+            sb ++= s"where not exists ($a) -[:$rl*$lo..$hi]-> (${pick(bs)})\n"
+          else {
+            n += 1
+            sb ++= s"where not exists ($a) -[:$rl*$lo..$hi]-> (v$n:$l)\n"
+          }
+        } else if (combos.nonEmpty) {
           val (a, rl, tl) = pick(combos)
           val bs = bound(tl)
           if (bs.nonEmpty && rnd.nextBoolean())
@@ -147,6 +166,39 @@ class DifferentialSpec extends AnyFunSuite {
             } else sb ++= s"where not exists ($a) -[:$rl]-> (v$n:$tl)\n"
           }
         }
+      case 7 => // optional match — all-or-nothing witness tails: 1-hop,
+        // 2-hop (the no-partial-binding shape), and bounded-varpath
+        // (incl. the lo = 0 identity seed); the engine's ROptPath left
+        // join vs RefInterp's witness-map expansion
+        val srcs = Seq("P", "Q").flatMap(l => bound(l).map(a => (a, l)))
+        if (srcs.nonEmpty) {
+          val hop1 = Map("P" -> Seq(("r", "Q"), ("s", "P")), "Q" -> Seq(("t", "Q")))
+          val (a, l) = pick(srcs)
+          rnd.nextInt(3) match {
+            case 0 =>
+              val (rl, tl) = pick(hop1(l))
+              n += 1
+              sb ++= s"optional match ($a) -[:$rl]-> (v$n:$tl)\n"
+              optEnv ::= s"v$n"
+            case 1 =>
+              val (rl, ml) = pick(hop1(l))
+              val (rl2, tl) = pick(hop1(ml))
+              n += 2
+              sb ++= s"optional match ($a) -[:$rl]-> (v${n - 1}:$ml) -[:$rl2]-> (v$n:$tl)\n"
+              optEnv = s"v$n" :: s"v${n - 1}" :: optEnv
+            case _ =>
+              val rl = if (l == "P") "s" else "t"
+              val lo = rnd.nextInt(3)
+              val hi = lo + rnd.nextInt(3) // *0..0 = pure identity is legal
+              n += 1
+              sb ++= s"optional match ($a) -[:$rl*$lo..$hi]-> (v$n:$l)\n"
+              optEnv ::= s"v$n"
+          }
+          // half the time, immediately filter on the new binding's
+          // nullness (both polarities of the null() predicate)
+          if (rnd.nextBoolean())
+            sb ++= s"where null(${optEnv.head})${if (rnd.nextBoolean()) " = false" else ""}\n"
+        }
       case _ => // delete a node binding (also unbinds)
         if (env.nonEmpty && rnd.nextInt(3) == 0) {
           val (v, _) = env(rnd.nextInt(env.size))
@@ -158,8 +210,9 @@ class DifferentialSpec extends AnyFunSuite {
           env = env.filterNot { case (w, l) => w == v || lbl.contains(l) }
         }
     }
-    // finish: return a distinct subset in random order (or leave the full table)
-    val distinctVars = rnd.shuffle(env.map(_._1).distinct)
+    // finish: return a distinct subset in random order (or leave the full
+    // table); nullable optional bindings are fair return items
+    val distinctVars = rnd.shuffle((env.map(_._1) ++ optEnv).distinct)
     if (distinctVars.nonEmpty && rnd.nextBoolean())
       sb ++= s"return ${distinctVars.take(1 + rnd.nextInt(distinctVars.size)).mkString(", ")}\n"
     sb.toString
@@ -175,9 +228,13 @@ class DifferentialSpec extends AnyFunSuite {
   private def runCompare(tp: Typing.TypedProg, expected: RefInterp.Result,
                          r: Engine.QueryResult, src: String): Unit = {
 
-    // binding table: same header, same row multiset
+    // binding table: same header, same row multiset (engine NULLs — from
+    // unmatched optional matches — compare as RefInterp's NullId sentinel)
     assert(r.bindings.columns.toList == expected.header, s"header mismatch\n$src")
-    val got = r.bindings.collect().map(_.toSeq.map(_.asInstanceOf[Long]).toList).toList
+    val got = r.bindings.collect().map(_.toSeq.map {
+      case null => RefInterp.NullId
+      case x    => x.asInstanceOf[Long]
+    }.toList).toList
     assert(got.sorted == expected.rows.map(_.toList).sorted, s"rows mismatch\n$src")
 
     // graph: per-label node sets with attributes, and every edge frame
@@ -219,5 +276,56 @@ class DifferentialSpec extends AnyFunSuite {
 
   test("pinned regression seeds") {
     for (seed <- Seq(1L, 7L, 42L, 1234L, 99999L)) runBoth(genProgram(seed))
+  }
+
+  test("forced new-shape coverage: optional tails, not-exists varpath, zero-length") {
+    // The random generator emits these shapes too, but not guaranteed
+    // per run — these minimal programs pin each round-8 shape every run.
+    val progs = Seq(
+      // optional match with a 2-hop all-or-nothing tail
+      """create (a:P {x: 1, nm: "alpha"})
+        |create (b:Q {y: 2})
+        |create (c:Q {y: 3})
+        |match (p:P), (q:Q)
+        |create (p) -[:r]-> (q)
+        |match (q1:Q) where q1.y = 2
+        |match (q2:Q) where q2.y = 3
+        |create (q1) -[:t]-> (q2)
+        |match (p2:P)
+        |optional match (p2) -[:r]-> (w1:Q) -[:t]-> (w2:Q)
+        |return p2, w1, w2
+        |""".stripMargin,
+      // optional match with a zero-length-lower-bound varpath tail
+      """create (a:P {x: 1, nm: "beta"})
+        |create (c:P {x: 3, nm: "gamma"})
+        |match (a2:P)
+        |optional match (a2) -[:s*0..2]-> (v:P)
+        |where null(v) = false
+        |return a2, v
+        |""".stripMargin,
+      // unmatched optional binds NULL and null() selects it
+      """create (a:P {x: 1, nm: "alpha"})
+        |match (p:P)
+        |optional match (p) -[:r]-> (w:Q)
+        |where null(w)
+        |return p, w
+        |""".stripMargin,
+      // not exists with a bounded-varpath witness (reachability negation)
+      """create (a:P {x: 1, nm: "alpha"})
+        |create (b:P {x: 2, nm: "beta"})
+        |match (p1:P), (p2:P)
+        |create (p1) -[:s]-> (p2)
+        |match (q1:P)
+        |where not exists (q1) -[:s*2..3]-> (q2:P)
+        |return q1
+        |""".stripMargin,
+      // not exists with a zero-length varpath witness: every live P
+      // reaches itself, so all rows are filtered
+      """create (a:P {x: 1, nm: "alpha"})
+        |match (p:P)
+        |where not exists (p) -[:s*0..1]-> (q:P)
+        |return p
+        |""".stripMargin)
+    progs.foreach(p => runBoth(header + p))
   }
 }

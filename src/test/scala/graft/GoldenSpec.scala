@@ -253,6 +253,23 @@ class GoldenSpec extends AnyFunSuite {
     assert(pairs == expected)
   }
 
+  test("varpath: zero-length lower bound includes the identity pairs") {
+    // *0..2 = identity ∪ 1-hop ∪ 2-hop; every node (even the chain tail,
+    // which has no outgoing edge) pairs with itself
+    val r = Engine.runSource(spark, chainSrc +
+      "match (a:N) -[:next*0..2]-> (b:N)\nreturn a, b")
+    val pairs = r.bindings.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val expected = (for {
+      a <- 0L to 5L; d <- 0 to 2; b = a + d if b <= 5
+    } yield (a, b)).toSet
+    assert(pairs == expected)
+    // *0..0 is the pure identity match over the label
+    val r0 = Engine.runSource(spark, chainSrc +
+      "match (a:N) -[:next*0..0]-> (b:N)\nreturn a, b")
+    assert(r0.bindings.collect().map(x => (x.getLong(0), x.getLong(1))).toSet ==
+      (0L to 5L).map(i => (i, i)).toSet)
+  }
+
   test("optional match: unmatched rows survive with a NULL binding") {
     val r = Engine.runSource(spark, chainSrc +
       "match (a:N)\noptional match (a) -[:next]-> (b:N)\nreturn a, b")
@@ -343,5 +360,38 @@ class GoldenSpec extends AnyFunSuite {
       .bindings.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     val ref = RefInterp.run(tp).rows.map(r => (r(0), r(1))).toSet
     assert(eng == ref && eng.nonEmpty)
+  }
+
+  test("x-mode explain golden: fused 2-hop match is stable and shows the pinned shapes") {
+    // The user-facing EXPLAIN (Cli x-mode) over the parquet graph must
+    // not silently drift from the PlanSpec-pinned plan shapes. Two
+    // independent loader+engine runs must produce the SAME formatted
+    // explain modulo expression ids (the golden-stability contract), and
+    // that text must show: both hop expansions as equi-joins (join keys
+    // present, zero cartesian products) over scans with non-empty
+    // PushedFilters and pruned ReadSchema.
+    def xExplain(): String = {
+      val (g, nextId) = graft.sources.GraphLoader.load(spark, "/root/testdata/sf0.001")
+      val r = Engine.runSourceOn(spark,
+        graft.sources.GraphLoader.headerGql +
+          """match (s:supplier {nationkey: 1}) -[:snation]-> (n:nation) -[:nregion]-> (rg:region)
+            |return s, n, rg""".stripMargin,
+        g, nextId, Engine.Config(strict = false))
+      Cli.explainString(r)
+    }
+    // normalize the run-varying parts: expression ids (#123), plan ids
+    // inside AQE result annotations, and memory sizes in stats
+    def norm(x: String): String =
+      x.replaceAll("#\\d+", "#x").replaceAll("plan_id=\\d+", "plan_id=x")
+    val a = norm(xExplain())
+    val b = norm(xExplain())
+    assert(a == b, s"x-mode explain not stable across two runs:\n--- first\n$a\n--- second\n$b")
+    assert("PushedFilters: \\[[^\\]]".r.findAllIn(a).nonEmpty,
+      s"no non-empty PushedFilters in:\n$a")
+    assert(!a.contains("CartesianProduct"), s"unfused cross join in:\n$a")
+    // two hops = at least two hash equi-joins with visible key lists
+    assert("Left keys \\[1\\]".r.findAllIn(a).size >= 2 ||
+      "BroadcastHashJoin".r.findAllIn(a).size >= 2,
+      s"fused 2-hop equi-joins missing from:\n$a")
   }
 }

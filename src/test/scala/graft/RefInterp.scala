@@ -22,6 +22,11 @@ import graft.lang.Typing._
   */
 object RefInterp {
 
+  /** NULL sentinel for optional-match bindings: the engine binds SQL
+    * NULL; this Long-row interpreter uses a reserved id no create can
+    * reach (ids are allocated upward from 0). */
+  val NullId: Long = Long.MinValue
+
   final case class Node(label: String, attrs: Map[String, Value])
   final case class St(
       nodes: Map[Long, Node],
@@ -100,18 +105,22 @@ object RefInterp {
     case RWhere(te) =>
       st.copy(rows = st.rows.filter(r => eval(st, r, te) == BoolV(true)))
 
-    case RVarPath(sv, (_, rl, _), lo, hi, tv) =>
+    case RVarPath(sv, (hl, rl, _), lo, hi, tv) =>
       // bounded closure over the rl edges, set semantics per level —
-      // mirrors Engine.varPathReach
+      // mirrors Engine.varPathReach (incl. the lo = 0 identity seed over
+      // every node of the homogeneous label)
       val (cs, ct) = (st.colOf(sv), st.colOf(tv))
       val e1 = st.edges.collect { case (s, `rl`, t) => (s, t) }
+      val ident: Set[(Long, Long)] =
+        if (lo == 0) st.nodes.collect { case (id, n) if n.label == hl => (id, id) }.toSet
+        else Set.empty
       var cur = e1
-      var acc = if (lo <= 1) e1 else Set.empty[(Long, Long)]
+      var acc = if (lo <= 1 && hi >= 1) e1 else Set.empty[(Long, Long)]
       for (d <- 2 to hi) {
         cur = for ((s, m) <- cur; (m2, t) <- e1 if m2 == m) yield (s, t)
         if (d >= lo) acc = acc ++ cur
       }
-      st.copy(rows = st.rows.filter(r => acc((r(cs), r(ct)))))
+      st.copy(rows = st.rows.filter(r => (ident ++ acc)((r(cs), r(ct)))))
 
     case RNotExists(inner, bound) =>
       // existential check per distinct bound tuple: interpret the inner
@@ -124,11 +133,35 @@ object RefInterp {
       val witness = inner.foldLeft(sub0)(exec).rows.map(_.take(bound.size)).toSet
       st.copy(rows = st.rows.filterNot(r => witness(idx.map(r).toVector)))
 
-    case _: RReturnExt | _: ROptPath =>
-      // extended return emits non-Long output columns and optional match
-      // NULL bindings — neither fits this interpreter's Long-row model;
-      // outside its reference-parity scope (GoldenSpec pins them in-JVM,
-      // the DuckDB oracle end-to-end)
+    case ROptPath(inner, bound, freshVars) =>
+      // All-or-nothing witness expansion, mirroring Engine.ROptPath: run
+      // the inner pattern over the DISTINCT bound tuples, left-join the
+      // witnesses back — one row per witness; a tuple with no complete
+      // witness binds every fresh var to [[NullId]] (never a partial
+      // path). A NullId bound column (an earlier unmatched optional)
+      // matches no witness — edges never contain the sentinel — and
+      // binds NullId again, like the engine's null-never-equals join.
+      val idx = bound.map(st.colOf)
+      val probe = st.rows.map(r => idx.map(r).toVector).distinct
+      val sub0 = St(st.nodes, st.edges, bound.zipWithIndex, bound.size, probe, st.next)
+      val sub = inner.foldLeft(sub0)(exec)
+      val freshIdx = freshVars.map { case (v, _) => sub.colOf(v) }.distinct
+      val wmap = sub.rows.groupBy(_.take(bound.size))
+        .map { case (k, rs) => k -> rs.map(r => freshIdx.map(r).toVector) }
+      val nulls = List(freshIdx.map(_ => NullId).toVector)
+      val newRows = st.rows.flatMap { r =>
+        wmap.getOrElse(idx.map(r).toVector, nulls).map(w => r ++ w)
+      }
+      st.copy(
+        env = freshVars.reverse.map { case (v, _) =>
+          (v, st.width + freshIdx.indexOf(sub.colOf(v))) } ::: st.env,
+        width = st.width + freshIdx.size,
+        rows = newRows)
+
+    case _: RReturnExt =>
+      // extended return emits non-Long output columns — outside this
+      // interpreter's Long-row model and its reference-parity scope
+      // (GoldenSpec pins it in-JVM, the DuckDB oracle end-to-end)
       throw new UnsupportedOperationException(
         "engine extension not supported by the reference-parity interpreter")
 
@@ -157,9 +190,7 @@ object RefInterp {
 
   private def eval(st: St, row: Vector[Long], te: TExpr): Value = te match {
     case TConst(v) => v
-    // rows in this model are never NULL (optional match, the only NULL
-    // producer, is outside reference-parity scope)
-    case TNullCheck(_) => BoolV(false)
+    case TNullCheck(v) => BoolV(row(st.colOf(v)) == NullId)
     case TAttr(v, _, f, _) =>
       st.nodes(row(st.colOf(v))).attrs.getOrElse(f,
         throw new IllegalStateException(s"attribute $f not set for $v"))

@@ -175,9 +175,15 @@ class TypingSpec extends AnyFunSuite {
       .contains("not allowed in create"))
   }
 
-  test("varpath: bounds must satisfy 1 <= lo <= hi") {
-    assert(err(selfHeader + "match (a:N) -[:next*0..2]-> (b:N)").contains("invalid"))
+  test("varpath: bounds must satisfy 0 <= lo <= hi") {
     assert(err(selfHeader + "match (a:N) -[:next*3..2]-> (b:N)").contains("invalid"))
+    // lo = 0 is legal (zero-length / identity paths, Cypher semantics)
+    val tp = Typing.compile(selfHeader + "match (a:N) -[:next*0..2]-> (b:N)\nreturn a, b")
+    assert(tp.instrs.collect { case v: Typing.RVarPath => v } ==
+      List(Typing.RVarPath("a", ("N", "next", "N"), 0, 2, "b")))
+    // *0..0 is the pure identity match
+    assert(Typing.compile(selfHeader + "match (a:N) -[:next*0..0]-> (b:N)\nreturn a, b")
+      .instrs.collect { case v: Typing.RVarPath => v }.nonEmpty)
   }
 
   test("varpath: depth cap (each hop is a distributed self-join)") {
