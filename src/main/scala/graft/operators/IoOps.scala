@@ -234,6 +234,55 @@ object IoOps {
              |WHERE ts < (SELECT min(ts) FROM events) + INTERVAL 24 HOUR
              |GROUP BY event_type""".stripMargin)),
 
+    // ---- Z-order (Morton) clustered layout: 2-D data skipping ---------
+    // One sort axis zone-map-prunes only itself (p_io_sorted); a query
+    // filtering TWO independent dimensions needs the layout to bound
+    // BOTH per file. Standard lakehouse Z-ordering (Delta OPTIMIZE
+    // ZORDER BY / Iceberg's sort strategy): normalize each dimension to
+    // an 8-bit rank against its global [min, max] (two scalar
+    // aggregates — at 100 TB these come free from catalog/footer
+    // stats), interleave the bits into a 16-bit Morton key (pure
+    // codegen shifts/masks, zero UDFs), then range-partition + sort on
+    // the key so every output file covers a bounded BOX in
+    // (partkey, suppkey) space. The read-back is the oracle-checked
+    // path: both box predicates push to the scan, and footer min/max
+    // stats skip files whose box misses the query box — ZorderSpec
+    // proves the per-file boxes and the skip; at 100 TB the same
+    // mechanism is per-row-group skipping inside multi-GB files.
+    Q("p_io_zorder",
+      (s, dir) => {
+        val out = scratch("zorder", dir)
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey").cast("bigint").as("l_partkey"),
+            col("l_suppkey").cast("bigint").as("l_suppkey"),
+            col("l_quantity").cast("bigint").as("qty"))
+        val b = li.agg(min("l_partkey"), max("l_partkey"),
+          min("l_suppkey"), max("l_suppkey")).collect()(0)
+        val (p0, p1, s0, s1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+        def rank8(c: String, lo: Long, hi: Long) =
+          expr(s"cast((($c - $lo) * 256) div (${hi - lo} + 1) as bigint)")
+        val z = (0 until 8).map(i =>
+            expr(s"shiftleft(shiftright(__dx, $i) & 1, ${2 * i}) | " +
+              s"shiftleft(shiftright(__dy, $i) & 1, ${2 * i + 1})"))
+          .reduce(_.bitwiseOR(_))
+        li.withColumn("__dx", rank8("l_partkey", p0, p1))
+          .withColumn("__dy", rank8("l_suppkey", s0, s1))
+          .withColumn("__z", z)
+          .repartitionByRange(8, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__dx", "__dy", "__z")
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .filter(col("l_partkey").between(40, 90) && col("l_suppkey").between(2, 4))
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"))
+      },
+      Some("""SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 40 AND 90 AND l_suppkey BETWEEN 2 AND 4
+             |GROUP BY l_suppkey""".stripMargin)),
+
     // ---- hive-partitioned layout + partition-pruned read --------------
     // Writes events hive-partitioned by event type (`etype=<v>/` dirs —
     // the directory layout a 100 TB landing zone uses so downstream
