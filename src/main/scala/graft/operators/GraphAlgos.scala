@@ -234,8 +234,19 @@ object GraphAlgos {
     gxGraphs.getOrElseUpdate((s, dir), {
       val sp = s
       import sp.implicits._
-      val edgeRdd = allEdges(s, dir).as[(Long, Long)].rdd
+      val eDf = allEdges(s, dir)
+      // Size edge partitions to DATA VOLUME, not to the loader plan's
+      // partitioning: the union-of-scans arrives in O(#frames × scan
+      // splits) partitions, and RDD Pregel (no AQE coalescing) pays
+      // 3 stages × P tasks of fixed cost EVERY iteration, plus
+      // EdgePartition2D replicates each vertex to ≤ 2√P partitions —
+      // both costs scale with P, so P must track |E|. ~1M edges
+      // (~32 MB of Edge[Unit]) per partition: thousands of partitions
+      // at 100 TB, single digits at bench SFs.
+      val parts = math.max(4, (eDf.count() / 1_000_000L).toInt)
+      val edgeRdd = eDf.as[(Long, Long)].rdd
         .map { case (a, b) => Edge(a, b, ()) }
+        .coalesce(parts)
       // EdgePartition2D bounds each vertex's replication at 2*sqrt(P)
       // partitions, shrinking the per-iteration vertex-to-edge shuffle
       // (the dominant cost of RDD Pregel on a star-heavy FK graph).
