@@ -483,6 +483,65 @@ object DedupOps {
               |          / (sqrt(a.nrm::DOUBLE) * sqrt(b.nrm::DOUBLE)) AS cos
               |      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
               |SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= $cosineTau""".stripMargin)),
+
+    // ---- SemDeDup: cluster-bounded semantic deduplication -------------
+    // The semantic-dedup shape that survives corpus scale (SemDeDup,
+    // Abbas et al. 2023, arXiv:2303.09540): k-means-assign every vector
+    // to a centroid first (the p_sim_ivf assignment — centroids
+    // broadcast, one map-only scoring pass), then compare pairs ONLY
+    // within a cluster. The quadratic term drops from |corpus|² to
+    // Σ|cluster|², and the within-cluster self-join co-partitions both
+    // sides on centroid_id — one shuffle each, pair generation local to
+    // the partition. Survivor rule (deterministic, non-iterative): a
+    // vector is dropped iff a LOWER-id near-duplicate (raw cos ≥ τ,
+    // same τ as the exact baseline) shares its cluster; PipelineSpec
+    // pins that every dropped vector has an exact-baseline near-dup
+    // pair, i.e. the approximation only ever misses CROSS-cluster dups,
+    // never invents one.
+    Q("p_dedup_semantic",
+      (s, dir) => {
+        val e = quantized(s, dir)
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("q").as("cq"), col("nrm").as("cn"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("centroid_id"))
+        val assigned = e.select(col("vec_id"), col("q"), col("nrm"))
+          .crossJoin(broadcast(cents))
+          .withColumn("ccos", round(cosine("q", "nrm", "cq", "cn"), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") === 1)
+          .select(col("vec_id"), col("q"), col("nrm"), col("centroid_id"))
+        val x = assigned.select(col("centroid_id"), col("vec_id").as("a"),
+          col("q").as("qa"), col("nrm").as("na"))
+        val y = assigned.select(col("centroid_id"), col("vec_id").as("b"),
+          col("q").as("qb"), col("nrm").as("nb"))
+        val dropped = x.join(y, Seq("centroid_id"))
+          .filter(col("a") < col("b"))
+          .withColumn("rawcos", cosine("qa", "na", "qb", "nb"))
+          .filter(col("rawcos") >= cosineTau)
+          .select(col("b").as("vec_id")).distinct()
+        assigned.join(dropped, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("centroid_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+              |         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS q
+              |       FROM embeddings),
+              |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nrm FROM e),
+              |assigned AS (
+              |  SELECT vec_id, q, nrm, centroid_id FROM (
+              |    SELECT a.vec_id, a.q, a.nrm, c.vec_id AS centroid_id,
+              |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+              |        round(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * c.q[i]))::DOUBLE
+              |          / (sqrt(a.nrm::DOUBLE) * sqrt(c.nrm::DOUBLE)), 6) DESC, c.vec_id) AS rank
+              |    FROM n a JOIN n c ON c.vec_id < 8) WHERE rank = 1),
+              |dropped AS (
+              |  SELECT DISTINCT y.vec_id
+              |  FROM assigned x JOIN assigned y
+              |    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+              |  WHERE list_sum(list_transform(range(1, len(x.q) + 1), i -> x.q[i] * y.q[i]))::DOUBLE
+              |      / (sqrt(x.nrm::DOUBLE) * sqrt(y.nrm::DOUBLE)) >= $cosineTau)
+              |SELECT vec_id, centroid_id FROM assigned
+              |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin)),
   )
 
   // Verified-pairs frame per (session, dir): the pair operator and the

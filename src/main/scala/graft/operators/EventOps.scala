@@ -119,6 +119,50 @@ object EventOps {
              |      FROM events)
              |WHERE rn = 1""".stripMargin)),
 
+    // ---- SCD2 dimension history build from a CDC change feed ----------
+    // The lakehouse dimension-maintenance op: the event stream is a CDC
+    // feed of per-user attribute changes (here event_type is the tracked
+    // attribute), and the output is the slowly-changing-dimension TYPE-2
+    // history — one row per (user, version) with [valid_from, valid_to)
+    // validity and an is_current flag on the open row. Two steps, both
+    // windowed over the SAME (user_id → ts, event_id) partitioning so
+    // ONE shuffle serves the whole build: (1) change collapse — keep
+    // only rows where lag(attr) differs (consecutive repeats are not
+    // new versions); (2) versioning — row_number + lead(ts) close each
+    // version's interval. At 100 TB both windows run inside the same
+    // per-user sorted partition at scan speed; the CDC upsert variant
+    // of the same shape is p_stream_upsert's foreachBatch MERGE.
+    Q("p_events_scd2",
+      (s, dir) => {
+        val byUser = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .withColumn("version", row_number().over(byUser))
+          .withColumn("valid_from", col("ts"))
+          .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+          .withColumn("is_current", col("valid_to").isNull)
+          .select(col("user_id"), col("version"), col("event_type").as("attr"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+      },
+      Some("""WITH chg AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         lag(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |v AS (
+             |  SELECT user_id, ts, event_id, event_type
+             |  FROM chg WHERE prev IS NULL OR prev <> event_type)
+             |SELECT user_id,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
+             |  event_type AS attr,
+             |  ts AS valid_from,
+             |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+             |FROM v""".stripMargin)),
+
     // ---- z-score anomalies: exact moments, broadcast scoring ----------
     // Two-pass outlier detection at scan speed: pass 1 aggregates exact
     // integer moments (n, Σv, Σv²) per type — quantized cents, so the

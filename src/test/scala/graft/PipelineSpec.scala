@@ -550,6 +550,45 @@ class PipelineSpec extends AnyFunSuite {
     for ((k, c) <- lsh) assert(c == exact(k), s"cosine drift on $k")
   }
 
+  test("semantic dedup drops only vectors with an exact near-duplicate witness") {
+    val surv = run("p_dedup_semantic").collect().map(_.getLong(0)).toSet
+    val allIds = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val dropped = allIds -- surv
+    // the corpus contains within-cluster near-dups, so the op must
+    // actually deduplicate (a no-op pass would vacuously satisfy the
+    // soundness check below)
+    assert(dropped.nonEmpty, "semantic dedup dropped nothing")
+    assert(surv.subsetOf(allIds))
+    // soundness: every dropped vector has a LOWER-id exact near-dup pair
+    // (the cluster bound may only MISS cross-cluster dups, never invent
+    // a within-cluster one)
+    val exactBs = run("p_dedup_embedding").collect().map(_.getLong(1)).toSet
+    assert(dropped.subsetOf(exactBs),
+      s"dropped without exact witness: ${(dropped -- exactBs).take(5)}")
+  }
+
+  test("scd2 versions: contiguous per user, intervals chain, one current row") {
+    val rows = run("p_events_scd2").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+    val byUser = rows.groupBy(_._1)
+    for ((u, vs) <- byUser) {
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to vs.size), s"user $u: version gap")
+      // exactly one open (current) interval, and it is the last version
+      assert(vs.count(_._6) == 1 && sorted.last._6, s"user $u: current-row violation")
+      // intervals chain: each version's valid_to is the next valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $u: interval gap at v${a._2}")
+          // consecutive versions must differ in the tracked attribute
+          assert(a._3 != b._3, s"user $u: non-change version at v${b._2}")
+        case _ => ()
+      }
+    }
+  }
+
   test("file sink is idempotent: a restarted run appends nothing") {
     val first = run("p_stream_file_sink").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq

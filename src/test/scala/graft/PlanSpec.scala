@@ -217,6 +217,26 @@ class PlanSpec extends AnyFunSuite {
     assert(pushed.contains("LessThan"), s"ts range not pushed: $pushed\n$p")
   }
 
+  test("scd2 history build serves both window passes from ONE shuffle") {
+    // change-collapse (lag) and versioning (row_number + lead) window
+    // over the SAME (user_id → ts, event_id) partitioning; a second
+    // exchange between them would re-shuffle the whole feed at 100 TB
+    val p = plan("p_events_scd2")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"scd2 re-shuffles between its window passes:\n$p")
+    assert(p.contains("Window"), s"expected window operators in:\n$p")
+  }
+
+  test("semantic dedup pair stage co-partitions on centroid_id (cluster-local pairs)") {
+    // the within-cluster self-join must join on the cluster key — the
+    // SemDeDup bound (sum of cluster sizes squared, not corpus squared)
+    // only holds if pair generation is cluster-local
+    val p = plan("p_dedup_semantic")
+    assert(!p.contains("CartesianProduct"),
+      s"semantic dedup fell back to an all-pairs product:\n$p")
+    assert(p.contains("centroid_id"), s"cluster key missing from the plan:\n$p")
+  }
+
   test("decontamination is a broadcast semi-join (corpus side never shuffles)") {
     val p = plan("p_curate_decontaminate")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
