@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // usage: Verify <sfDir> <outDir> [only1,only2,…]
+    val (sfDir, outDir, argOnly) = args match {
+      case Array(s, o)        => (s, o, None)
+      case Array(s, o, names) => (s, o, Some(names))
+      case _ => sys.error(s"usage: Verify <sfDir> <outDir> [names,…]; got ${args.mkString(" ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,9 +22,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Dev-loop subset (same contract as Bench): the driver never sets
-    // this, so its runs always dump the full inventory.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    // Dev-loop subset (same contract as Bench; also a 3rd CLI arg): the
+    // driver passes neither, so its runs always dump the full inventory.
+    val only = argOnly.orElse(sys.env.get("SPARK_GRAFT_ONLY"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

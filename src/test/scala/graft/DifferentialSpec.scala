@@ -270,7 +270,9 @@ class DifferentialSpec extends AnyFunSuite {
     val prop = Prop.forAll(Gen.choose(0L, 100000L)) { seed =>
       runBoth(genProgram(seed)); true
     }
-    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    // 30 fresh programs per run (raised with the round-8 shape additions:
+    // optional tails, varpath witnesses, zero-length bounds)
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)
   }
 
