@@ -36,18 +36,18 @@ object Bench {
     * idle-vs-contended measurement, not code). Recording runs disable
     * the retry (SPARK_GRAFT_RETRY=0) so the baseline itself stays raw. */
   private val familyBand: Map[String, Double] = Map(
-    "g"        -> 167.6,
-    "p_stream" -> 38.7,
-    "gql"      -> 32.6,
-    "p_dedup"  -> 31.6,
-    "q"        -> 17.6,
-    "p_io"     -> 10.6,
-    "p_events" -> 9.9,
-    "p_sim"    -> 7.0,
-    "p_curate" -> 5.6,
-    "p_text"   -> 5.0,
-    "p_mm"     -> 1.2,
-    "p_sample" -> 0.6,
+    "g"        -> 95.3,
+    "p_stream" -> 27.0,
+    "p_dedup"  -> 22.5,
+    "gql"      -> 20.5,
+    "q"        -> 11.8,
+    "p_io"     -> 8.4,
+    "p_events" -> 6.7,
+    "p_sim"    -> 4.6,
+    "p_curate" -> 3.9,
+    "p_text"   -> 3.4,
+    "p_mm"     -> 0.8,
+    "p_sample" -> 0.4,
     "p_pack"   -> 0.1)
   private val retryFactor = 1.5
   // ...and at least this many seconds over the band: sub-second families
