@@ -33,6 +33,8 @@ object DedupOps {
   private val mhRows = 2 // rows per band -> 8 bands
   private val jaccardTau = 0.4 // exact-Jaccard verification threshold
   private val cosineTau = 0.4  // embedding near-dup threshold (independent knob)
+  private val edK = 4          // edit-distance join threshold
+  private val edSeg = edK + 1  // PassJoin segment count
 
   val all: List[Q] = List(
 
@@ -542,6 +544,80 @@ object DedupOps {
               |      / (sqrt(x.nrm::DOUBLE) * sqrt(y.nrm::DOUBLE)) >= $cosineTau)
               |SELECT vec_id, centroid_id FROM assigned
               |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin)),
+
+    // ---- bounded edit-distance join: partition-blocked, exact ---------
+    // Record linkage / OCR-noise dedup: all document pairs whose
+    // NORMALIZED texts are within edit distance k, without an all-pairs
+    // scan. Partition blocking (the PassJoin scheme — Li/Deng/Feng/Wang,
+    // PVLDB 5(3) 2011, public): split every indexed string into k+1
+    // contiguous segments; if dist(a,b) <= k then by pigeonhole over an
+    // optimal alignment, b contains at least one of a's segments EXACTLY,
+    // starting within +-k of its indexed position. Candidate generation
+    // is therefore an EQUI-join on (segment text, segment index, indexed
+    // length) — the probe side enumerates the (k+1)·(2k+1)² bounded
+    // substring windows, the index side emits k+1 segments per string —
+    // followed by banded-levenshtein verification (threshold form:
+    // O(k·len) per pair, not O(len²)). At 100 TB: index rows (k+1)·n,
+    // probe rows <= (k+1)(2k+1)²·n, one shuffle on the segment key, and
+    // the verify join touches blocking survivors only; there is no n²
+    // term anywhere. The +-k probe window is a superset of PassJoin's
+    // tighter multi-match window — extra candidates, never a missed
+    // pair; PipelineSpec proves set-equality against the O(n²)
+    // length-banded brute force at sf0.001. Precondition len >= k+1
+    // (zero-length segments) holds by construction: normalized docs are
+    // >= 47 chars; the spec asserts it.
+    Q("p_dedup_editdist",
+      (s, dir) => {
+        val norm = docs(s, dir).select(col("doc_id"),
+          expr("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))")
+            .as("t"))
+          .withColumn("len", length(col("t")))
+        // Join on xxhash64(segment) rather than the segment text: equal
+        // segments always hash equal (no missed pair), and a hash
+        // collision only ADDS a candidate that verification filters —
+        // the shuffled key drops from a ~110-char string to 8 bytes.
+        // Probe only indexed lengths L <= len: a qualifying pair is
+        // always found from its longer-or-equal side probing the
+        // shorter side's segments, so the upper half of the L window is
+        // redundant (halves probe volume).
+        val segs = norm
+          .withColumn("i", explode(expr(s"sequence(0, $edK)")))
+          .withColumn("st", expr(s"i * len div $edSeg"))
+          .select(col("doc_id").as("ib"), col("len").as("L"), col("i"),
+            expr(s"xxhash64(substring(t, st + 1, (i + 1) * len div $edSeg - st))").as("seg"))
+        val probes = norm
+          .withColumn("i", explode(expr(s"sequence(0, $edK)")))
+          .withColumn("L", explode(expr(s"sequence(len - $edK, len)")))
+          .filter(col("L") >= edSeg)
+          .withColumn("st", expr(s"i * L div $edSeg"))
+          .withColumn("slen", expr(s"(i + 1) * L div $edSeg - st"))
+          .withColumn("p", explode(expr(
+            s"IF(greatest(st - $edK, 0) <= least(st + $edK, len - slen), " +
+              s"sequence(greatest(st - $edK, 0), least(st + $edK, len - slen)), " +
+              "array())")))
+          .select(col("doc_id").as("ia"), col("i"), col("L"),
+            expr("xxhash64(substring(t, p + 1, slen))").as("seg"))
+        val cands = probes.join(segs, Seq("seg", "i", "L"))
+          .filter(col("ia") =!= col("ib"))
+          .select(least(col("ia"), col("ib")).as("a"),
+            greatest(col("ia"), col("ib")).as("b"))
+          .distinct()
+        val t = norm.select(col("doc_id"), col("t"))
+        cands
+          .join(t.select(col("doc_id").as("a"), col("t").as("ta")), Seq("a"))
+          .join(t.select(col("doc_id").as("b"), col("t").as("tb")), Seq("b"))
+          .withColumn("dist", expr(s"levenshtein(ta, tb, $edK)"))
+          .filter(col("dist") >= 0)
+          .select(col("a"), col("b"), col("dist"))
+      },
+      Some(s"""WITH n AS (SELECT doc_id,
+              |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+              |                      ' +', ' ', 'g')) AS t
+              |  FROM documents)
+              |SELECT x.doc_id AS a, y.doc_id AS b, levenshtein(x.t, y.t) AS dist
+              |FROM n x JOIN n y ON x.doc_id < y.doc_id
+              |WHERE abs(length(x.t) - length(y.t)) <= $edK
+              |  AND levenshtein(x.t, y.t) <= $edK""".stripMargin)),
   )
 
   // Verified-pairs frame per (session, dir): the pair operator and the

@@ -74,6 +74,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(rep.size >= top.length)
   }
 
+  test("editdist join equals the length-banded brute force (blocking is exact)") {
+    // The PassJoin pigeonhole claim, proven: the segment-blocked join
+    // must produce EXACTLY the pairs the O(n²) brute force finds — a
+    // missing pair breaks the ±k probe-window guarantee, an extra pair
+    // breaks the levenshtein verification.
+    val norm = spark.read.parquet(s"$dir/documents.parquet").selectExpr("doc_id",
+      "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' ')) AS t")
+    // precondition of the k+1-segment scheme: no zero-length segments
+    assert(norm.selectExpr("min(length(t))").collect()(0).getInt(0) >= 5)
+    val x = norm.selectExpr("doc_id AS a", "t AS ta")
+    val brute = x.crossJoin(norm.selectExpr("doc_id AS b", "t AS tb"))
+      .filter("a < b AND abs(length(ta) - length(tb)) <= 4")
+      .selectExpr("a", "b", "levenshtein(ta, tb, 4) AS dist")
+      .filter("dist >= 0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val blocked = run("p_dedup_editdist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "corpus has no pairs within edit distance 4 — test is vacuous")
+    assert(blocked == brute,
+      s"missed=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
+  }
+
   test("simhash fingerprints are 64-bit bitstrings, one per document") {
     val fp = run("p_dedup_simhash").collect()
     val total = spark.read.parquet(s"$dir/documents.parquet").count()
