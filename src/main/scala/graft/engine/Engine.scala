@@ -283,6 +283,42 @@ object Engine {
       st.copy(bindings = st.bindings.crossJoin(scan),
         env = (v, c) :: st.env, freshCounter = st.freshCounter + 1)
 
+    case RMergeNode(v, lb, props) =>
+      // Constant-prop lookup: a pushdown-eligible filtered label scan,
+      // row-independent by construction (typing enforces const props) —
+      // which is what lets Cypher's sequential MERGE collapse to
+      // match-or-create-one (see the Merge scaladoc). Matching uses
+      // NULL-propagating equality regardless of strict mode: an unset
+      // attribute never matches, as in Cypher. The count() actions are
+      // metadata-rate: merge, like create, is a mutation point that must
+      // know whether it mutates before the fold continues.
+      val c = fresh(st)
+      val matches = props.foldLeft(st.graph.nodes(lb)) {
+        case (df, (f, value)) => df.filter(col(f) === valueLit(value))
+      }
+      if (matches.count() > 0L)
+        st.copy(bindings = st.bindings.crossJoin(matches.select(col("id").as(c))),
+          env = (v, c) :: st.env, freshCounter = st.freshCounter + 1)
+      else if (st.bindings.isEmpty)
+        // zero rows merge nothing (Cypher: MERGE runs per row) — the
+        // binding column still appears, typed and empty
+        st.copy(bindings = st.bindings.withColumn(c, lit(null).cast(LongType)),
+          env = (v, c) :: st.env, freshCounter = st.freshCounter + 1)
+      else {
+        val id = st.nextId
+        val attrs = schema.nodeAttrs(lb)
+        val newNode = spark.range(1).select(
+          lit(id).as("id") +: attrs.map { case (f, tp) =>
+            props.collectFirst { case (`f`, value) => valueLit(value).as(f) }
+              .getOrElse(lit(null).cast(PropertyGraph.sparkType(tp)).as(f))
+          }: _*)
+        val g2 = st.graph.copy(nodes = st.graph.nodes.updated(
+          lb, st.graph.nodes(lb).unionByName(newNode)))
+        bump(st.copy(graph = g2, bindings = st.bindings.withColumn(c, lit(id)),
+          env = (v, c) :: st.env, nextId = id + 1,
+          freshCounter = st.freshCounter + 1), Left(lb), cfg)
+      }
+
     case RCreateEdge(sv, sl, rl, tv, tl) =>
       val key = (sl, rl, tl)
       val newEdges = st.bindings.select(
@@ -463,6 +499,12 @@ object Engine {
   }
 
   private def fresh(st: ExecState): String = s"__b${st.freshCounter}"
+
+  private def valueLit(v: Value): Column = v match {
+    case BoolV(b)   => lit(b)
+    case IntV(i)    => lit(i)
+    case StringV(s) => lit(s)
+  }
 
   /** Cap lineage growth on frequently re-written frames: after every
     * `checkpointEvery` mutations of the same node label / edge type, cut

@@ -145,6 +145,22 @@ final case class OptMatch(pat: Pattern) extends Clause
   * referenced variables must be bound. Compiles to a left_anti join —
   * the mirror of match-edge's left_semi. */
 final case class NotExists(pat: Pattern) extends Clause
+/** `merge` (engine extension, Cypher-shaped upsert). Two forms, both
+  * parser-enforced:
+  *   - `merge (x:L {f: const, …})` — if any L-node carries exactly the
+  *     given property values, bind them all (like match); otherwise
+  *     create ONE node with those properties and bind it to every row.
+  *     Properties must be CONSTANTS (typing rejects attribute refs):
+  *     with constant props the lookup is row-independent, so Cypher's
+  *     sequential created-nodes-visible-to-later-rows semantics
+  *     collapses to a declarative match-or-create-one — exactly
+  *     Neo4j-observable behavior for this form, with no sequential
+  *     dependence to distribute.
+  *   - `merge (a)-[:r]->(b)` with a, b bound — ensure the edge exists;
+  *     desugars to create-edge, whose set semantics already upsert.
+  * Merge matching always uses NULL-propagating equality (an unset
+  *  attribute never matches), independent of strict mode. */
+final case class Merge(pat: Pattern) extends Clause
 
 final case class Query(clauses: List[Clause])
 

@@ -38,6 +38,11 @@ final case class IVarPathRel(act: Act, sv: String, rel: String, lo: Int, hi: Int
   * declarations are existential and bind nothing. */
 final case class IOptPath(inner: List[Instruction]) extends Instruction
 final case class INotExists(inner: List[Instruction]) extends Instruction
+/** Node-form `merge (v:label {props})` (see [[Merge]]); the edge form
+  * desugars to `IActOnRel(CreateAct, …)` in Normalize (create-edge's set
+  * semantics ARE the edge upsert). Props must type to constants. */
+final case class IMergeNode(v: String, label: String,
+    props: List[(String, Expr)]) extends Instruction
 
 final case class NormProg(types: GraphTypes, instrs: List[Instruction])
 
@@ -125,6 +130,17 @@ object Normalize {
       List(INotExists(normPattern(MatchAct, pat) ++
         declProps(pat).map { case (v, f, e) =>
           IWhere(Bin(BCeq, AttribAcc(v, f), e)) }))
+    case Merge(pat) => pat match {
+      // node form keeps its props INSIDE the instruction (they are the
+      // lookup key, not a post-hoc set/where — the desugar create/match
+      // use would change the semantics from upsert to always-create /
+      // filter-after-bind)
+      case SimpPattern(DeclPattern(v, l, ps)) => List(IMergeNode(v, l, ps))
+      case CompPattern(a, rl, SimpPattern(b)) =>
+        List(IActOnRel(CreateAct, a.variable, rl, b.variable))
+      case _ => throw new IllegalStateException(
+        "parser admits only node/edge merge shapes")
+    }
   }
 
   /** Head node of a hop pattern + the match-normalized instruction list

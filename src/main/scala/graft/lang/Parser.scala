@@ -122,7 +122,29 @@ object Parser {
       case TIdent("optional") if peek2 == TKw("match") =>
         i += 2
         pathPattern("optional match")
+      // `merge` is likewise contextual: clause position never admits a
+      // bare identifier, so no reference-legal program is stolen
+      case TIdent("merge") =>
+        i += 1
+        mergeClause()
       case t => fail(s"expected clause keyword, got $t")
+    }
+
+    /** The two merge shapes (see [[Merge]]): a single labeled node
+      * declaration, or one edge between two bound-variable references.
+      * Anything else — a path through fresh nodes, a var-length hop —
+      * has no declarative upsert semantics and is rejected here with
+      * the position info `fail` carries. */
+    private def mergeClause(): Clause = {
+      val pat = pattern()
+      pat match {
+        case SimpPattern(_: DeclPattern) => Merge(pat)
+        case CompPattern(_: VarRefPattern, _, SimpPattern(_: VarRefPattern)) =>
+          Merge(pat)
+        case _ => fail("merge supports a single labeled node " +
+          "(merge (x: l {f: c})) or one edge between bound variables " +
+          "(merge (a) -[:r]-> (b))")
+      }
     }
 
     /** Shared shape check for the two pattern-predicate clauses: a path

@@ -81,6 +81,11 @@ object Typing {
     * survive. */
   final case class RNotExists(inner: List[RInstr], bound: List[String])
       extends RInstr
+  /** Node-form merge: bind every `label` node whose props equal the
+    * constant `props` exactly, or create ONE such node and bind it to
+    * every row when none matches (see [[graft.lang.Merge]]). */
+  final case class RMergeNode(v: String, label: String,
+      props: List[(String, Value)]) extends RInstr
 
   /** Validated schema with O(1) lookups. */
   final case class Schema(
@@ -268,6 +273,38 @@ object Typing {
                 val env2 = ritems.collect { case RRetVar(v) => (v, lookup(env, v).get) }
                 Right((RReturnExt(ritems, rorder, limit, distinct), env2))
             }
+          }
+        }
+
+      case IMergeNode(v, lb, props) =>
+        if (!schema.labels(lb)) Left(s"undeclared node label $lb")
+        else {
+          val dups = props.map(_._1).diff(props.map(_._1).distinct).distinct
+          if (dups.nonEmpty)
+            Left(s"duplicate merge propert${if (dups.size == 1) "y" else "ies"} " +
+              s"${dups.mkString(", ")} for $v")
+          else {
+            val typed = props.foldRight(
+                Right(Nil): Either[String, List[(String, Value)]]) {
+              case ((f, e), acc) =>
+                for {
+                  tail <- acc
+                  tp <- schema.attrType(lb, f)
+                    .toRight(s"attribute $f not declared for label $lb (variable $v)")
+                  value <- e match {
+                    case Const(c) =>
+                      val ct = c match {
+                        case _: BoolV => BoolT; case _: IntV => IntT
+                        case _: StringV => StringT
+                      }
+                      if (ct == tp) Right(c)
+                      else Left(s"merge property $f of $v: label $lb declares $tp, got $ct")
+                    case _ => Left(s"merge property $f of $v must be a constant " +
+                      "(the match-or-create lookup key cannot depend on the row)")
+                  }
+                } yield (f, value) :: tail
+            }
+            typed.map(ps => (RMergeNode(v, lb, ps), (v, lb) :: env))
           }
         }
 

@@ -189,6 +189,51 @@ object GraphOps {
              |       CAST(CASE WHEN p_size < 10 THEN p_size * 100 + 7 ELSE p_size END AS BIGINT) AS psize
              |FROM part""".stripMargin)),
 
+    // --- merge (Cypher-shaped upsert, engine extension — see lang.Merge)
+
+    // match path: constant-prop lookup finds nodes → binds them all,
+    // graph unchanged (like match with an inline prop filter)
+    Q("gql_merge_match",
+      bindings("merge (n:nation {regionkey: 0}) return n"),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n
+             |FROM nation WHERE n_regionkey = 0""".stripMargin)),
+
+    // create path: no nation carries these props → ONE node is created
+    // and bound to every binding row (Cypher's sequential
+    // created-node-visible-to-later-rows semantics, collapsed)
+    Q("gql_merge_create",
+      bindings(
+        """match (r:region)
+          |merge (n:nation {name: "zz", regionkey: 7, nationkey: 77})
+          |return r, n""".stripMargin),
+      Some("""SELECT CAST(r_regionkey AS BIGINT) + 1000000000 AS r,
+             |       20000000000 AS n
+             |FROM region""".stripMargin)),
+
+    // …and the created node carries exactly the constant props
+    Q("gql_merge_props",
+      nodeFrame(
+        """merge (n:nation {name: "zz", regionkey: 7, nationkey: 77})""",
+        "nation", ("id", "n"), ("nationkey", "k"), ("name", "nm")),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |       CAST(n_nationkey AS BIGINT) AS k, n_name AS nm
+             |FROM nation
+             |UNION ALL SELECT 20000000000, 77, 'zz'""".stripMargin)),
+
+    // edge form: merge (t:tag) creates the upsert target (no tag nodes
+    // load), then the edge merge inserts per-row and the REPEATED merge
+    // proves idempotence — create-edge set semantics are the upsert
+    Q("gql_merge_edge",
+      edgeFrame(
+        """merge (t:tag)
+          |match (n:nation)
+          |merge (n) -[:tagged]-> (t)
+          |merge (n) -[:tagged]-> (t)""".stripMargin,
+        ("nation", "tagged", "tag")),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS src,
+             |       20000000000 AS dst
+             |FROM nation""".stripMargin)),
+
     // Composite program: create-then-match sequencing in ONE query.
     // The second match's VarRefPattern reuses `n` (bound before the
     // creates) and its semi-join runs against the graph AFTER the tag

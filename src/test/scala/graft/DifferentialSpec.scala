@@ -69,7 +69,7 @@ class DifferentialSpec extends AnyFunSuite {
       else s"($base ${pick(Seq("and", "or"))} ${boolExpr(depth - 1)})"
     }
     val steps = 3 + rnd.nextInt(6)
-    for (_ <- 1 to steps) rnd.nextInt(9) match {
+    for (_ <- 1 to steps) rnd.nextInt(10) match {
       case 0 => // create + immediate set (keeps all attributes defined);
         // half the time via the inline property map, which desugars to
         // the same create+set instruction pair (differential coverage of
@@ -104,7 +104,9 @@ class DifferentialSpec extends AnyFunSuite {
           }
         if (combos.nonEmpty) {
           val (a, rl, b) = pick(combos)
-          sb ++= s"${pick(Seq("create", "match"))} ($a) -[:$rl]-> ($b)\n"
+          // merge-edge desugars to create-edge — free differential
+          // coverage of the upsert sugar
+          sb ++= s"${pick(Seq("create", "match", "merge"))} ($a) -[:$rl]-> ($b)\n"
         }
       case 3 => // where
         if (env.nonEmpty) sb ++= s"where ${boolExpr(1)}\n"
@@ -199,6 +201,15 @@ class DifferentialSpec extends AnyFunSuite {
           if (rnd.nextBoolean())
             sb ++= s"where null(${optEnv.head})${if (rnd.nextBoolean()) " = false" else ""}\n"
         }
+      case 8 => // merge node — match-or-create-one; SMALL value space so
+        // both paths (collision → match-all, miss → create-one-bind-all)
+        // occur across seeds, including matches against earlier merges
+        val v = freshOrReuse()
+        val lbl = pick(Seq("P", "Q"))
+        if (lbl == "P")
+          sb ++= s"merge ($v:P {x: ${rnd.nextInt(6)}, nm: \"${pick(Seq("alpha", "beta"))}\"})\n"
+        else sb ++= s"merge ($v:Q {y: ${rnd.nextInt(6)}})\n"
+        env = (v, lbl) :: env
       case _ => // delete a node binding (also unbinds)
         if (env.nonEmpty && rnd.nextInt(3) == 0) {
           val (v, _) = env(rnd.nextInt(env.size))
@@ -327,6 +338,17 @@ class DifferentialSpec extends AnyFunSuite {
         |match (p:P)
         |where not exists (p) -[:s*0..1]-> (q:P)
         |return p
+        |""".stripMargin,
+      // merge: match path (m1 finds a's node), create path (m2 binds one
+      // fresh node to every row), read-your-writes (m3 finds m2's), and
+      // the idempotent edge merge
+      """create (a:P {x: 1, nm: "alpha"})
+        |merge (m1:P {x: 1, nm: "alpha"})
+        |merge (m2:P {x: 9, nm: "beta"})
+        |merge (m3:P {x: 9, nm: "beta"})
+        |merge (a) -[:s]-> (m2)
+        |merge (a) -[:s]-> (m2)
+        |return a, m1, m2, m3
         |""".stripMargin)
     progs.foreach(p => runBoth(header + p))
   }

@@ -73,6 +73,46 @@ class GoldenSpec extends AnyFunSuite {
     assert(edgeSet(r, ("P", "emp", "E")) == Set((0L, 1L)))
   }
 
+  test("merge: match-or-create with read-your-writes across clauses") {
+    val r = Engine.runSource(spark,
+      """(:P {x int})
+        |merge (a:P {x: 1})
+        |merge (b:P {x: 1})
+        |merge (c:P {x: 2})
+        |return a, b, c""".stripMargin)
+    // first merge creates 0, second MATCHES it, third creates 1
+    assert(nodeIds(r, "P") == Seq(0L, 1L))
+    assert(r.bindings.collect().map(_.toSeq).toSeq == Seq(Seq(0L, 0L, 1L)))
+    val p = r.graph.nodes("P").orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(p == Seq((0L, 1L), (1L, 2L))) // created nodes carry their props
+  }
+
+  test("merge: no-match on a multi-row table creates ONE node bound to every row") {
+    val r = Engine.runSource(spark,
+      """(:P {x int})
+        |(:Q {y int})
+        |create (a:P)
+        |create (b:P)
+        |match (m:P)
+        |merge (qq:Q {y: 7})
+        |return m, qq""".stripMargin)
+    assert(nodeIds(r, "Q") == Seq(2L))
+    assert(r.bindings.collect().map(_.toSeq).toSet ==
+      Set(Seq(0L, 2L), Seq(1L, 2L)))
+  }
+
+  test("merge: empty binding table merges nothing (per-row semantics)") {
+    val r = Engine.runSource(spark,
+      """(:P {x int})
+        |(:Q {y int})
+        |match (a:P)
+        |merge (qq:Q {y: 7})""".stripMargin)
+    assert(r.graph.nodes("Q").count() == 0L)
+    assert(r.bindings.count() == 0L)
+    assert(r.bindings.columns.toSeq == Seq("qq", "a"))
+  }
+
   test("delete node removes incident edges and drops the column") {
     val src =
       """(:P {age int})

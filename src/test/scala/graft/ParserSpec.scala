@@ -157,4 +157,25 @@ class ParserSpec extends AnyFunSuite {
       case ReturnExt(List(RetAgg(AggCount, RetVar(v), d)), _, _, _) => (v, d) } ==
       List(("distinct", false)))
   }
+
+  test("merge parses both shapes; merge stays a valid variable name") {
+    val node = Parser.parse(header + "merge (a:P {x: 1})")
+    assert(node.query.clauses ==
+      List(Merge(SimpPattern(DeclPattern("a", "P", List(("x", Const(IntV(1)))))))))
+    val edge = Parser.parse(header + "create (a:P)\ncreate (b:Q)\nmerge (a) -[:r]-> (b)")
+    assert(edge.query.clauses.last ==
+      Merge(CompPattern(VarRefPattern("a"), "r", SimpPattern(VarRefPattern("b")))))
+    // contextual: a node variable named merge parses everywhere else
+    val v = Parser.parse(header + "create (merge:P)\nreturn merge")
+    assert(v.query.clauses.collect { case Return(vs) => vs }.flatten == List("merge"))
+  }
+
+  test("merge rejects paths through fresh nodes and var-length hops") {
+    val ex = intercept[Parser.ParseError](
+      Parser.parse(header + "merge (a:P) -[:r]-> (b:Q)"))
+    assert(ex.getMessage.contains("merge supports"))
+    val ex2 = intercept[Parser.ParseError](
+      Parser.parse("(:N {})\n(:N) -[:next]-> (:N)\nmatch (a:N)\nmerge (a) -[:next*1..2]-> (a)"))
+    assert(ex2.getMessage.contains("merge supports"))
+  }
 }

@@ -105,6 +105,24 @@ object RefInterp {
     case RWhere(te) =>
       st.copy(rows = st.rows.filter(r => eval(st, r, te) == BoolV(true)))
 
+    case RMergeNode(v, lb, props) =>
+      // match-or-create-one (see Merge scaladoc): unset attrs never match
+      val matches = st.nodes.collect {
+        case (id, n) if n.label == lb &&
+          props.forall { case (f, value) => n.attrs.get(f).contains(value) } => id
+      }.toList.sorted
+      if (matches.nonEmpty)
+        st.copy(env = (v, st.width) :: st.env, width = st.width + 1,
+          rows = for (r <- st.rows; id <- matches) yield r :+ id)
+      else if (st.rows.isEmpty)
+        st.copy(env = (v, st.width) :: st.env, width = st.width + 1)
+      else {
+        val id = st.next
+        st.copy(nodes = st.nodes + (id -> Node(lb, props.toMap)),
+          env = (v, st.width) :: st.env, width = st.width + 1,
+          rows = st.rows.map(_ :+ id), next = id + 1)
+      }
+
     case RVarPath(sv, (hl, rl, _), lo, hi, tv) =>
       // bounded closure over the rl edges, set semantics per level —
       // mirrors Engine.varPathReach (incl. the lo = 0 identity seed over

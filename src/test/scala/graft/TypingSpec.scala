@@ -356,4 +356,32 @@ class TypingSpec extends AnyFunSuite {
       case Typing.RReturnExt(items, _, _, _) => items.map(_.outName)
     }.flatten == List("count_distinct_a"))
   }
+
+  test("merge: props must be constants (the lookup key is row-independent)") {
+    assert(err(header + "match (a:P)\nmerge (b:P {x: a.x})")
+      .contains("must be a constant"))
+  }
+
+  test("merge: undeclared label / attribute / type mismatch rejected") {
+    assert(err(header + "merge (b:Z {x: 1})").contains("undeclared node label Z"))
+    assert(err(header + "merge (b:P {nope: 1})")
+      .contains("attribute nope not declared"))
+    assert(err(header + "merge (b:P {x: \"s\"})")
+      .contains("declares IntT, got StringT"))
+  }
+
+  test("merge: duplicate property in the lookup map rejected") {
+    assert(err(header + "merge (b:P {x: 1, x: 2})")
+      .contains("duplicate merge property"))
+  }
+
+  test("merge: binds the variable; edge form requires bound endpoints") {
+    val tp = Typing.compile(header + "merge (b:P {x: 1})\nreturn b")
+    assert(tp.instrs.collectFirst {
+      case Typing.RMergeNode(v, lb, ps) => (v, lb, ps)
+    }.contains(("b", "P", List(("x", graft.lang.IntV(1))))))
+    // edge form desugars to create-edge: unbound source is ITS error
+    assert(err(header + "merge (q:Q {y: 1})\nmerge (a) -[:r]-> (q)")
+      .contains("variable a not bound"))
+  }
 }
