@@ -618,6 +618,61 @@ object DedupOps {
               |FROM n x JOIN n y ON x.doc_id < y.doc_id
               |WHERE abs(length(x.t) - length(y.t)) <= $edK
               |  AND levenshtein(x.t, y.t) <= $edK""".stripMargin)),
+
+    // ---- cross-document duplicated-SPAN coverage (exact substring) ----
+    // The Lee et al. "Deduplicating Training Data Makes Language Models
+    // Better" signal, bounded to word 5-grams: for every document, the
+    // fraction of its tokens covered by some 5-gram that ALSO occurs in
+    // at least one other document. Unlike the Jaccard/MinHash family
+    // (whole-doc set similarity), this localizes duplication to spans —
+    // the signal used to CUT boilerplate from otherwise-unique pages.
+    // Shapes: positional 5-grams (posexplode keeps the offset), one
+    // groupBy on the gram for the cross-doc document frequency (the same
+    // shuffle as an inverted index build; at 100 TB the _dfcut hot-key
+    // discipline above applies unchanged), a semi join back to positions,
+    // then a per-doc sort-merge of overlapping [pos, pos+5) intervals via
+    // one window lag — coverage = sum(min(5, pos - prev_pos)), exact
+    // interval union without exploding each hit to its 5 tokens.
+    Q("p_dedup_substring",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+        val d5 = words(s, dir).filter(size(col("ws")) >= 5)
+        val grams = d5.select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(ws)-5), " +
+            "i -> concat(ws[i],' ',ws[i+1],' ',ws[i+2],' ',ws[i+3],' ',ws[i+4]))")))
+          .toDF("doc_id", "pos", "gram")
+        val dup = grams.groupBy("gram")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 2).select("gram")
+        val cov = grams.join(dup, Seq("gram"), "left_semi")
+          .select(col("doc_id"), col("pos"))
+          .withColumn("c",
+            least(lit(5), col("pos") - coalesce(lag(col("pos"), 1).over(w), col("pos") - 5)))
+          .groupBy("doc_id").agg(sum(col("c")).cast("long").as("dup_tokens"))
+        d5.join(cov, Seq("doc_id"), "left")
+          .select(col("doc_id"), size(col("ws")).as("n_words"),
+            coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+            round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / size(col("ws")), 6)
+              .as("dup_frac"))
+      },
+      Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |d5 AS (SELECT doc_id, ws FROM dd WHERE len(ws) >= 5),
+             |g AS (SELECT doc_id,
+             |        unnest(range(1, len(ws) - 3)) AS pos,
+             |        unnest(list_transform(range(1, len(ws) - 3),
+             |          i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS gram
+             |      FROM d5),
+             |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+             |cov AS (SELECT doc_id,
+             |          least(5, pos - coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+             |                                  pos - 5)) AS c
+             |        FROM g WHERE gram IN (SELECT gram FROM dup)),
+             |agg AS (SELECT doc_id, sum(c)::BIGINT AS dup_tokens FROM cov GROUP BY doc_id)
+             |SELECT d.doc_id, len(d.ws) AS n_words,
+             |       coalesce(a.dup_tokens, 0)::BIGINT AS dup_tokens,
+             |       round(coalesce(a.dup_tokens, 0)::DOUBLE / len(d.ws), 6) AS dup_frac
+             |FROM d5 d LEFT JOIN agg a USING (doc_id)""".stripMargin)),
   )
 
   // Verified-pairs frame per (session, dir): the pair operator and the

@@ -458,5 +458,66 @@ object EventOps {
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
              |       count(*) AS n, true AS sketch_ok
              |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ---- activity streaks (gaps-and-islands) --------------------------
+    // Per-user consecutive-day activity runs — the engagement/retention
+    // feature a user-level training-data curriculum keys on. The classic
+    // islands construction: distinct active days, then day − row_number
+    // is constant within a run (both advance by 1), so one groupBy on
+    // that anchor date collapses each island. Shapes: one distinct
+    // (user, day), ONE window + two aggregations all partitioned by
+    // user_id — a single shuffle serves the entire build; nothing is
+    // quadratic in days or users.
+    Q("p_events_streaks",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("day"))
+        events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+          .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("longest"),
+            sum(col("len")).cast("long").as("active_days"),
+            date_format(min(col("start")), "yyyy-MM-dd").as("first_day"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |i AS (SELECT user_id, day,
+             |        day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+             |                   AS INTEGER) AS grp
+             |      FROM d),
+             |runs AS (SELECT user_id, grp, count(*) AS len, min(day) AS start
+             |         FROM i GROUP BY user_id, grp)
+             |SELECT user_id, count(*) AS n_streaks, max(len) AS longest,
+             |       sum(len)::BIGINT AS active_days,
+             |       strftime(min(start), '%Y-%m-%d') AS first_day
+             |FROM runs GROUP BY user_id""".stripMargin)),
+
+    // ---- forward-fill imputation (last observation carried forward) ---
+    // Sensor/telemetry gap repair: 'click' events are treated as carrying
+    // no reading, and each takes the user's most recent non-null value
+    // (running LOCF). One window over (user_id → ts, event_id) — the same
+    // single-shuffle discipline as the SCD2 build; `last(..., ignoreNulls)`
+    // with a rows-unbounded-preceding frame is the codegen'd running
+    // carry, no self-join, no gaps-row explosion. Values stay at their
+    // exact 2-decimal parquet doubles — both engines carry the same
+    // bits, so the oracle hash-matches without quantization.
+    Q("p_events_ffill",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        events(s, dir)
+          .withColumn("v", when(col("event_type") === "click", lit(null)).otherwise(col("value")))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            last(col("v"), ignoreNulls = true).over(w).as("value_filled"))
+      },
+      Some("""SELECT event_id, user_id, ts,
+             |       last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END
+             |                  IGNORE NULLS)
+             |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+             |FROM events""".stripMargin)),
   )
 }

@@ -278,5 +278,42 @@ object TextOps {
              |  len(g3) AS n_g3,
              |  round((len(g3) - len(list_distinct(g3)))::DOUBLE / greatest(len(g3), 1), 6) AS dup3_frac
              |FROM g""".stripMargin)),
+
+    // ---- word-distribution Shannon entropy (gibberish/boilerplate axis)
+    // H = ln(n) − (Σ c·ln c)/n over per-doc word counts c: low entropy =
+    // repetitive boilerplate, near-ln(n_uniq) = diverse text — the
+    // quality axis length/punct ratios can't see. The float sum follows
+    // the house quantization rule (PipeData): each c·ln(c) term is
+    // quantized to 1e-6 fixed point and summed as int64 — order-free, so
+    // partition layout can't perturb the hash — and only the final
+    // expression divides through double identically in both engines.
+    // Shapes: one explode + (doc, word) count + per-doc aggregate; the
+    // same two keyed shuffles as tf-idf, nothing quadratic.
+    Q("p_text_entropy",
+      (s, dir) => words(s, dir)
+        .select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).cast("long").as("n_words"),
+          count(lit(1)).as("n_uniq"),
+          sum(expr("cast(round(c * ln(c) * 1000000, 0) as bigint)")).as("slc"))
+        .select(col("doc_id"), col("n_words"), col("n_uniq"),
+          round(log(col("n_words").cast("double"))
+            - (col("slc") / 1000000.0d) / col("n_words"), 6).as("entropy"),
+          round(when(col("n_uniq") > 1,
+            (log(col("n_words").cast("double")) - (col("slc") / 1000000.0d) / col("n_words"))
+              / log(col("n_uniq").cast("double"))).otherwise(0.0d), 6).as("norm_entropy")),
+      Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |tf AS (SELECT doc_id, unnest(ws) AS w FROM dd),
+             |fc AS (SELECT doc_id, w, count(*) AS c FROM tf GROUP BY doc_id, w),
+             |agg AS (SELECT doc_id, sum(c)::BIGINT AS n_words, count(*) AS n_uniq,
+             |          sum(CAST(round(c * ln(c) * 1000000, 0) AS BIGINT))::BIGINT AS slc
+             |        FROM fc GROUP BY doc_id)
+             |SELECT doc_id, n_words, n_uniq,
+             |  round(ln(n_words) - (slc / 1000000.0) / n_words, 6) AS entropy,
+             |  round(CASE WHEN n_uniq > 1
+             |             THEN (ln(n_words) - (slc / 1000000.0) / n_words) / ln(n_uniq)
+             |             ELSE 0.0 END, 6) AS norm_entropy
+             |FROM agg""".stripMargin)),
   )
 }

@@ -650,4 +650,82 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("recall") < 0 || col("recall") > 1).count()
     assert(bad == 0)
   }
+
+  test("substring-span coverage: exact duplicates are fully covered, fractions in range") {
+    val sub = run("p_dedup_substring").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    sub.values.foreach { case (n, d, f) =>
+      assert(d >= 0L && d <= n, s"coverage $d outside [0, $n]")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    // Differential check of the window-lag interval merge: the naive
+    // set-union coverage (explode every duplicated-gram hit to its 5
+    // token indices, count distinct) must agree exactly. The merge is
+    // the scale path (no 5× hit blowup); the union is the obviously-
+    // correct baseline.
+    val grams = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(ws)-5), " +
+          "i -> concat(ws[i],' ',ws[i+1],' ',ws[i+2],' ',ws[i+3],' ',ws[i+4]))")))
+      .toDF("doc_id", "pos", "gram")
+    val dup = grams.groupBy("gram").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select("gram")
+    val naive = grams.join(dup, Seq("gram"), "left_semi")
+      .select(col("doc_id"), explode(expr("sequence(pos, pos + 4)")).as("tok"))
+      .groupBy("doc_id").agg(countDistinct(col("tok")).as("cov"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(naive.nonEmpty && naive.values.exists(_ > 0)) // nonvacuous: near-dups share grams
+    sub.foreach { case (id, (_, d, _)) =>
+      assert(d == naive.getOrElse(id, 0L),
+        s"doc $id: merged coverage $d != set-union coverage ${naive.getOrElse(id, 0L)}")
+    }
+  }
+
+  test("activity streaks partition each user's active days") {
+    val activeDays = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val st = run("p_events_streaks").collect()
+    assert(st.length == activeDays.size)
+    st.foreach { r =>
+      val (u, nStreaks, longest, active) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // streaks partition the active-day set: lengths sum to the
+      // independently-counted distinct days, and max*count bounds the sum
+      assert(active == activeDays(u), s"user $u active_days $active != ${activeDays(u)}")
+      assert(longest <= active && nStreaks <= active)
+      assert(longest * nStreaks >= active)
+    }
+  }
+
+  test("forward fill carries the last non-click value per user (LOCF replay)") {
+    val ff = run("p_events_ffill").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val rows = events
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .collect()
+    rows.groupBy(_.getLong(1)).foreach { case (u, rs) =>
+      var lastV: Option[Double] = None
+      rs.sortBy(r => (r.getTimestamp(2).getTime, r.getLong(0))).foreach { r =>
+        if (r.getString(3) != "click") lastV = Some(r.getDouble(4))
+        assert(ff(r.getLong(0)) == lastV,
+          s"user $u event ${r.getLong(0)}: ffill ${ff(r.getLong(0))} != replay $lastV")
+      }
+    }
+  }
+
+  test("entropy is bounded by ln(n_uniq) and agrees with p_text_stats' vocabulary") {
+    val stats = run("p_text_stats").collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    run("p_text_entropy").collect().foreach { r =>
+      val (id, u, h, hn) = (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(u == stats(id).toLong, s"doc $id n_uniq $u != stats ${stats(id)}")
+      // 1e-4 absorbs the 1e-6 per-term fixed-point quantization plus the
+      // 6-dp output rounding; the bounds are information-theoretic.
+      assert(h >= -1e-4 && h <= math.log(u.toDouble) + 1e-4, s"doc $id H=$h outside [0, ln($u)]")
+      assert(hn >= -1e-4 && hn <= 1.0 + 1e-4, s"doc $id norm H=$hn")
+      assert((u == 1L) == (h <= 1e-4), s"doc $id degenerate iff H=0 violated: u=$u h=$h")
+    }
+  }
 }
