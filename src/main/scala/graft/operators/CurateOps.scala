@@ -215,5 +215,47 @@ object CurateOps {
              |WHERE ((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16
              |     + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1)) < thresh"""
         .stripMargin)),
+
+    // ---- model-based quality gate (fixed-weight logistic classifier) --
+    // The fastText/DCLM-style classifier gate as a pure scan-speed
+    // projection: a logistic score over the same exact-ratio features
+    // the heuristic ops compute (type-token ratio, length saturation,
+    // stopword density, duplicated-bigram fraction), with FIXED weights
+    // standing in for trained ones — the production shape (model weights
+    // broadcast as literals into codegen; scoring never shuffles; the
+    // gate is one filterable column). The linear term z is built from
+    // exact integer ratios with the identical expression in both
+    // engines; only the final sigmoid evaluates transcendentally and is
+    // rounded to 6 dp for the cross-engine hash.
+    Q("p_curate_quality_model",
+      (s, dir) => words(s, dir)
+        .withColumn("n_words", size(col("ws")))
+        .withColumn("z", expr(
+          """-1.0 + 2.0 * (cast(size(array_distinct(ws)) as double) / n_words)
+            |     + 1.5 * least(1.0, cast(n_words as double) / 200)
+            |     + 3.0 * (cast(size(filter(ws, w -> w = 'the' OR w = 'a')) as double) / n_words)
+            |     - 2.0 * (case when n_words >= 2
+            |        then cast(n_words - 1 - size(array_distinct(
+            |               transform(sequence(0, n_words - 2), i -> concat(ws[i], ' ', ws[i+1]))))
+            |             as double) / (n_words - 1)
+            |        else 0.0 end)""".stripMargin))
+        .select(col("doc_id"),
+          round(expr("1.0 / (1.0 + exp(-z))"), 6).as("score"),
+          (round(expr("1.0 / (1.0 + exp(-z))"), 6) >= 0.5).as("keep")),
+      Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws,
+             |              len(string_split(text, ' ')) AS n_words FROM documents),
+             |f AS (SELECT doc_id,
+             |        -1.0 + 2.0 * (len(list_distinct(ws))::DOUBLE / n_words)
+             |             + 1.5 * least(1.0, n_words::DOUBLE / 200)
+             |             + 3.0 * (len(list_filter(ws, w -> w = 'the' OR w = 'a'))::DOUBLE / n_words)
+             |             - 2.0 * (CASE WHEN n_words >= 2
+             |                THEN (n_words - 1 - len(list_distinct(list_transform(
+             |                       range(1, n_words), i -> ws[i] || ' ' || ws[i+1]))))::DOUBLE
+             |                     / (n_words - 1)
+             |                ELSE 0.0 END) AS z
+             |      FROM dd)
+             |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+             |       round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+             |FROM f""".stripMargin)),
   )
 }

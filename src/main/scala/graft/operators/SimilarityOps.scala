@@ -156,66 +156,58 @@ object SimilarityOps {
     // (block, code, dim)-keyed aggregate with map-side combine.
     Q("p_sim_pq",
       (s, dir) => {
-        val e = quantized(s, dir)
-        val blocks = e.select(col("vec_id"),
-          explode(expr(
-            "transform(sequence(0, 7), b -> struct(b as block, slice(q, b*8+1, 8) as sub))"))
-            .as("x"))
-          .select(col("vec_id"), col("x.block").as("block"), col("x.sub").as("sub"))
-        def assign(cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-          val w = Window.partitionBy(col("vec_id"), col("block"))
-            .orderBy(col("dist"), col("code"))
-          blocks.join(broadcast(cb), Seq("block"))
-            .withColumn("dist", expr(
-              "array_dot_long(sub, sub) - 2 * array_dot_long(sub, csub) + array_dot_long(csub, csub)"))
-            .withColumn("rnk", row_number().over(w))
-            .filter(col("rnk") === 1)
-            .select(col("vec_id"), col("block"), col("code"), col("dist"))
-        }
-        val seeds = blocks.filter(col("vec_id") < 4)
-          .select(col("vec_id").as("code"), col("block"), col("sub").as("csub"))
-        val refined = assign(seeds)
-          .join(blocks, Seq("vec_id", "block"))
-          .select(col("block"), col("code"),
-            posexplode(col("sub")).as(Seq("pos", "x")))
-          .groupBy("block", "code", "pos")
-          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
-          .groupBy("block", "code")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, sx div n as v))), p -> p.v)")
-            .as("csub"))
-        assign(refined)
+        val (blocks, refined) = pqModel(s, dir)
+        pqAssign(blocks, refined)
       },
-      Some("""WITH e AS (SELECT vec_id,
-             |         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS q
-             |       FROM embeddings),
-             |blocks AS (SELECT vec_id, b AS block, q[b*8+1 : b*8+8] AS sub
-             |           FROM e, (SELECT unnest(range(8)) AS b)),
-             |cb0 AS (SELECT vec_id AS code, block, sub AS csub FROM blocks WHERE vec_id < 4),
-             |s0 AS (SELECT x.vec_id, x.block, cb0.code,
-             |         CAST(list_sum(list_transform(range(1, 9),
-             |           i -> (x.sub[i] - cb0.csub[i]) * (x.sub[i] - cb0.csub[i]))) AS BIGINT) AS dist
-             |       FROM blocks x JOIN cb0 USING (block)),
-             |a0 AS (SELECT vec_id, block, code FROM (
-             |         SELECT vec_id, block, code,
-             |           ROW_NUMBER() OVER (PARTITION BY vec_id, block
-             |                              ORDER BY dist, code) AS rnk
-             |         FROM s0) WHERE rnk = 1),
-             |rc AS (SELECT a0.block, a0.code, i,
-             |         CAST(sum(b.sub[i]) AS BIGINT) // count(*) AS v
-             |       FROM a0 JOIN blocks b USING (vec_id, block),
-             |            (SELECT unnest(range(1, 9)) AS i)
-             |       GROUP BY a0.block, a0.code, i),
-             |cb1 AS (SELECT block, code, list(v ORDER BY i) AS csub
-             |        FROM rc GROUP BY block, code),
-             |s1 AS (SELECT x.vec_id, x.block, cb1.code,
-             |         CAST(list_sum(list_transform(range(1, 9),
-             |           i -> (x.sub[i] - cb1.csub[i]) * (x.sub[i] - cb1.csub[i]))) AS BIGINT) AS dist
-             |       FROM blocks x JOIN cb1 USING (block)),
-             |ranked AS (SELECT vec_id, block, code, dist,
-             |             ROW_NUMBER() OVER (PARTITION BY vec_id, block
-             |                                ORDER BY dist, code) AS rnk
-             |           FROM s1)
-             |SELECT vec_id, block, code, dist FROM ranked WHERE rnk = 1""".stripMargin)),
+      Some(pqOracleCte +
+        "\nSELECT vec_id, block, code, dist FROM ranked WHERE rnk = 1")),
+
+    // ---- PQ asymmetric-distance (ADC) top-k search --------------------
+    // The serving half of the PQ index (p_sim_pq is the build half): a
+    // query keeps its RAW sub-vectors, precomputes one lookup table of
+    // exact ‖sub_q − centroid‖² per (block, code) — Q×8×K integers —
+    // and every corpus vector's approximate distance is then 8 LUT adds
+    // over its 1-byte codes. This is THE 100 TB ANN read path: the scan
+    // touches only the codes table (8 bytes/vector, not 256 float
+    // bytes), the LUT is a broadcast, and the per-query top-k is a
+    // window over the summed distances — no full-vector I/O anywhere.
+    // All distances are exact int64 on both engines, ties break on
+    // vec_id, so the oracle hash-matches bit-for-bit.
+    Q("p_sim_pq_search",
+      (s, dir) => {
+        val (blocks, refined) = pqModel(s, dir)
+        val codes = pqAssign(blocks, refined).select("vec_id", "block", "code")
+        val lut = blocks.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("block"), col("sub"))
+          .join(refined, Seq("block"))
+          .select(col("qid"), col("block"), col("code"), expr(
+            "array_dot_long(sub, sub) - 2 * array_dot_long(sub, csub) + array_dot_long(csub, csub)")
+            .as("d"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("adc_dist"), col("vec_id"))
+        codes.join(broadcast(lut), Seq("block", "code"))
+          .filter(col("qid") =!= col("vec_id"))
+          .groupBy("qid", "vec_id")
+          .agg(sum(col("d")).cast("long").as("adc_dist"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= topK)
+          .select(col("qid"), col("vec_id"), col("adc_dist"), col("rnk"))
+      },
+      Some(pqOracleCte + """,
+             |codes AS (SELECT vec_id, block, code FROM ranked WHERE rnk = 1),
+             |qs AS (SELECT vec_id AS qid, block, sub FROM blocks WHERE vec_id < 8),
+             |lut AS (SELECT qs.qid, qs.block, cb1.code,
+             |          CAST(list_sum(list_transform(range(1, 9),
+             |            i -> (qs.sub[i] - cb1.csub[i]) * (qs.sub[i] - cb1.csub[i]))) AS BIGINT) AS d
+             |        FROM qs JOIN cb1 USING (block)),
+             |adc AS (SELECT l.qid, c.vec_id, sum(l.d)::BIGINT AS adc_dist
+             |        FROM codes c JOIN lut l ON l.block = c.block AND l.code = c.code
+             |        WHERE l.qid <> c.vec_id
+             |        GROUP BY l.qid, c.vec_id),
+             |rk AS (SELECT qid, vec_id, adc_dist,
+             |         ROW_NUMBER() OVER (PARTITION BY qid
+             |                            ORDER BY adc_dist, vec_id) AS rnk
+             |       FROM adc)
+             |SELECT qid, vec_id, adc_dist, rnk FROM rk WHERE rnk <= 5""".stripMargin)),
 
     // ---- k-means update step: recompute centroids from assignment -----
     // The other half of Lloyd's iteration (p_sim_ivf is the assignment
@@ -449,4 +441,81 @@ object SimilarityOps {
               |FROM (SELECT DISTINCT query_id FROM brute) q
               |LEFT JOIN hits h ON q.query_id = h.query_id""".stripMargin)),
   )
+
+  /** PQ sub-vector blocks (8 blocks × 8 dims) and the one-Lloyd-update
+    * refined codebook — shared by the build op (p_sim_pq) and the ADC
+    * search op (p_sim_pq_search). Returns (blocks, codebook). */
+  // private[graft]: PipelineSpec reconstructs vectors from the codebook
+  // to prove the ADC identity (LUT sum == exact distance to reconstruction)
+  private[graft] def pqModel(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val e = quantized(s, dir)
+    val blocks = e.select(col("vec_id"),
+      explode(expr(
+        "transform(sequence(0, 7), b -> struct(b as block, slice(q, b*8+1, 8) as sub))"))
+        .as("x"))
+      .select(col("vec_id"), col("x.block").as("block"), col("x.sub").as("sub"))
+    val seeds = blocks.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code"), col("block"), col("sub").as("csub"))
+    val refined = pqAssign(blocks, seeds)
+      .join(blocks, Seq("vec_id", "block"))
+      .select(col("block"), col("code"),
+        posexplode(col("sub")).as(Seq("pos", "x")))
+      .groupBy("block", "code", "pos")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .groupBy("block", "code")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, sx div n as v))), p -> p.v)")
+        .as("csub"))
+    (blocks, refined)
+  }
+
+  /** Nearest-sub-centroid assignment of every (vec, block) against a
+    * broadcast codebook; exact int64 distances, code-id tie-break. */
+  private def pqAssign(blocks: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("block"))
+      .orderBy(col("dist"), col("code"))
+    blocks.join(broadcast(cb), Seq("block"))
+      .withColumn("dist", expr(
+        "array_dot_long(sub, sub) - 2 * array_dot_long(sub, csub) + array_dot_long(csub, csub)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("block"), col("code"), col("dist"))
+  }
+
+  /** DuckDB CTE chain replaying the PQ build (quantize → blocks → seed
+    * assignment → Lloyd update → refined codebook cb1 → final ranked
+    * assignment); shared prefix of both PQ oracles. Ends at `ranked`
+    * (no trailing comma — callers append a SELECT or `,\nmore CTEs`). */
+  private lazy val pqOracleCte: String =
+    """WITH e AS (SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS q
+      |       FROM embeddings),
+      |blocks AS (SELECT vec_id, b AS block, q[b*8+1 : b*8+8] AS sub
+      |           FROM e, (SELECT unnest(range(8)) AS b)),
+      |cb0 AS (SELECT vec_id AS code, block, sub AS csub FROM blocks WHERE vec_id < 4),
+      |s0 AS (SELECT x.vec_id, x.block, cb0.code,
+      |         CAST(list_sum(list_transform(range(1, 9),
+      |           i -> (x.sub[i] - cb0.csub[i]) * (x.sub[i] - cb0.csub[i]))) AS BIGINT) AS dist
+      |       FROM blocks x JOIN cb0 USING (block)),
+      |a0 AS (SELECT vec_id, block, code FROM (
+      |         SELECT vec_id, block, code,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, block
+      |                              ORDER BY dist, code) AS rnk
+      |         FROM s0) WHERE rnk = 1),
+      |rc AS (SELECT a0.block, a0.code, i,
+      |         CAST(sum(b.sub[i]) AS BIGINT) // count(*) AS v
+      |       FROM a0 JOIN blocks b USING (vec_id, block),
+      |            (SELECT unnest(range(1, 9)) AS i)
+      |       GROUP BY a0.block, a0.code, i),
+      |cb1 AS (SELECT block, code, list(v ORDER BY i) AS csub
+      |        FROM rc GROUP BY block, code),
+      |s1 AS (SELECT x.vec_id, x.block, cb1.code,
+      |         CAST(list_sum(list_transform(range(1, 9),
+      |           i -> (x.sub[i] - cb1.csub[i]) * (x.sub[i] - cb1.csub[i]))) AS BIGINT) AS dist
+      |       FROM blocks x JOIN cb1 USING (block)),
+      |ranked AS (SELECT vec_id, block, code, dist,
+      |             ROW_NUMBER() OVER (PARTITION BY vec_id, block
+      |                                ORDER BY dist, code) AS rnk
+      |           FROM s1)""".stripMargin
 }

@@ -651,6 +651,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("PQ ADC distance equals the exact distance to the code reconstruction") {
+    // The ADC identity that makes the LUT trick correct: summing the 8
+    // per-block LUT entries must equal the FULL squared distance between
+    // the raw query and the vector RECONSTRUCTED from its codes. A block
+    // misalignment, code mixup, or LUT keying bug breaks this exactly.
+    val (blocks, cb) = SimilarityOps.pqModel(spark, dir)
+    val recon = run("p_sim_pq").select("vec_id", "block", "code")
+      .join(cb, Seq("block", "code"))
+    val q = blocks.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("block"), col("sub").as("qsub"))
+    val exact = q.join(recon, Seq("block"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("d",
+        expr("aggregate(zip_with(qsub, csub, (a, b) -> (a-b)*(a-b)), 0L, (acc, x) -> acc + x)"))
+      .groupBy("qid", "vec_id").agg(sum(col("d")).as("dist"))
+    val adc = run("p_sim_pq_search")
+    assert(adc.count() == 8 * 5)
+    val mism = adc.join(exact, Seq("qid", "vec_id"))
+      .filter(col("adc_dist") =!= col("dist")).count()
+    assert(mism == 0, s"$mism ADC distances differ from reconstruction distance")
+    // and each query's ranks are exactly 1..5 with nondecreasing distance
+    adc.collect().groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to 5))
+      assert(sorted.sliding(2).forall(p => p(0).getLong(2) <= p(1).getLong(2)))
+    }
+  }
+
   test("substring-span coverage: exact duplicates are fully covered, fractions in range") {
     val sub = run("p_dedup_substring").collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
