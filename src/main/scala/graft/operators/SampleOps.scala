@@ -120,5 +120,50 @@ object SampleOps {
              |WHERE ((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 3, 1)) * 16
              |       + strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 4, 1)) - 17) * 4000)
              |      < (least(n_chars, 4000) * 256)""".stripMargin)),
+
+    // ---- weighted reservoir: top-k per stratum without replacement ----
+    // Efraimidis–Spirakis A-ES in its exponential-race form: each doc
+    // draws a deterministic uniform u from md5 hex digits 5-8 (independent
+    // of the other samplers' digits) and races with key −ln(u)/w, weight
+    // w = capped length; the k smallest keys per language are the sample.
+    // Unlike the Bernoulli samplers above, this yields an EXACTLY-k
+    // without-replacement sample with inclusion probability ∝ w — the
+    // "pick the best k docs per language, length-weighted" curation op.
+    // Determinism: u is an exact power-of-two division, −ln(u)/w runs the
+    // identical IEEE expression in both engines, and the key is quantized
+    // to 1e-9 fixed point (int64, the p_text_logfreq discipline) before
+    // ranking with a doc_id tie-break — orderings cannot diverge. Scale:
+    // keys are a scan-speed projection; the per-stratum top-k is one
+    // window over a lang-keyed shuffle (or per-partition heaps + a
+    // k·|strata|-row merge when k is small — no global sort either way).
+    Q("p_sample_reservoir",
+      (s, dir) => {
+        val h = (5 to 8).map(i =>
+          s"(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), $i, 1)) - 1) " +
+            s"* ${Seq(4096, 256, 16, 1)(i - 5)}").mkString(" + ")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("key"), col("doc_id"))
+        docs(s, dir)
+          // 0.5D/65536.0D/1000.0D: plain decimal literals would pull the
+          // whole quotient into limited-scale DECIMAL arithmetic before
+          // ln() and desync from the oracle's double math
+          .withColumn("key", expr(
+            s"cast(round(-ln((($h) + 0.5D) / 65536.0D) / (least(n_chars, 4000) / 1000.0D) * 1e9, 0) as bigint)"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("lang"), col("rnk"), col("doc_id"), col("n_chars"), col("key"))
+      },
+      Some("""WITH k AS (SELECT lang, doc_id, n_chars,
+             |  CAST(round(-ln((((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 5, 1)) - 1) * 4096
+             |        + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 6, 1)) - 1) * 256
+             |        + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 7, 1)) - 1) * 16
+             |        + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 8, 1)) - 1)) + 0.5)
+             |      / 65536.0)
+             |    / (least(n_chars, 4000) / 1000.0) * 1e9, 0) AS BIGINT) AS key
+             |  FROM documents),
+             |r AS (SELECT lang, doc_id, n_chars, key,
+             |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rnk
+             |      FROM k)
+             |SELECT lang, rnk, doc_id, n_chars, key FROM r WHERE rnk <= 10""".stripMargin)),
   )
 }

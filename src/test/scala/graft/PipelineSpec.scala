@@ -651,6 +651,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("weighted reservoir: exact top-k per stratum equals the in-JVM A-ES replay") {
+    val res = run("p_sample_reservoir").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    docs.groupBy(_._2).foreach { case (lang, ds) =>
+      val expectIds = ds.map { case (id, _, nc) =>
+        val h = Integer.parseInt(md5hex(id.toString).slice(4, 8), 16)
+        val key = Math.round(-Math.log((h + 0.5) / 65536.0)
+          / (Math.min(nc, 4000) / 1000.0) * 1e9)
+        (key, id)
+      }.sorted.take(10).map(_._2).toSeq
+      val got = res.filter(_._1 == lang).sortBy(_._2).map(_._3).toSeq
+      assert(got == expectIds, s"lang $lang: reservoir $got != replay $expectIds")
+    }
+  }
+
   test("PQ ADC distance equals the exact distance to the code reconstruction") {
     // The ADC identity that makes the LUT trick correct: summing the 8
     // per-block LUT entries must equal the FULL squared distance between
