@@ -266,4 +266,26 @@ class PlanSpec extends AnyFunSuite {
       s"expected broadcast wedge + semi joins in:\n$p")
     assert(p.contains("LeftSemi"), s"expected closing-edge semi join in:\n$p")
   }
+
+  test("quality-model gate projects with zero shuffle (scores at scan speed)") {
+    // The classifier gate's 100 TB claim is "weights broadcast as
+    // literals into codegen, scoring never shuffles" — any Exchange
+    // falsifies it.
+    val p = plan("p_curate_quality_model")
+    assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
+  }
+
+  test("forward fill runs on ONE user-keyed shuffle") {
+    val p = plan("p_events_ffill")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"expected a single user_id exchange in:\n$p")
+  }
+
+  test("ADC search broadcasts the LUT against the codes table") {
+    // The serving path must stream codes against a broadcast lookup
+    // table; a shuffled (sort-merge) join on (block, code) would move
+    // the whole codes table per query batch.
+    val p = plan("p_sim_pq_search")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast LUT join in:\n$p")
+  }
 }
