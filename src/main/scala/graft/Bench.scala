@@ -36,18 +36,18 @@ object Bench {
     * idle-vs-contended measurement, not code). Recording runs disable
     * the retry (SPARK_GRAFT_RETRY=0) so the baseline itself stays raw. */
   private val familyBand: Map[String, Double] = Map(
-    "g"        -> 95.3,
-    "p_stream" -> 27.0,
-    "p_dedup"  -> 22.5,
-    "gql"      -> 20.5,
-    "q"        -> 11.8,
-    "p_io"     -> 8.4,
-    "p_events" -> 6.7,
-    "p_sim"    -> 4.6,
-    "p_curate" -> 3.9,
-    "p_text"   -> 3.4,
-    "p_mm"     -> 0.8,
-    "p_sample" -> 0.4,
+    "g"        -> 79.2,
+    "p_stream" -> 22.6,
+    "p_dedup"  -> 22.3,
+    "gql"      -> 19.5,
+    "q"        -> 10.5,
+    "p_io"     -> 7.6,
+    "p_events" -> 6.2,
+    "p_sim"    -> 5.2,
+    "p_curate" -> 3.6,
+    "p_text"   -> 3.3,
+    "p_mm"     -> 0.7,
+    "p_sample" -> 0.6,
     "p_pack"   -> 0.1)
   private val retryFactor = 1.5
   // ...and at least this many seconds over the band: sub-second families
