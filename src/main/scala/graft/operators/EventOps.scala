@@ -320,6 +320,64 @@ object EventOps {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |WHERE p.ts - c.ts <= INTERVAL 1 HOUR""".stripMargin)),
 
+    // ---- nearest as-of: closest signal in EITHER direction ------------
+    // "Attach the click closest in time to each purchase" — the
+    // sensor-alignment variant of point-in-time join (backward-only
+    // as-of is the leakage-safe feature lookup; nearest is the
+    // time-series alignment primitive). Third composition on the SAME
+    // custom operator: one backward pass, one forward pass on negated
+    // axes, then a purchase-keyed full outer merge picks the smaller
+    // |Δt| (ties → the earlier, backward click). Still O(L+R) merges,
+    // one exchange per side, and the final merge joins two
+    // purchase_id-keyed frames — nothing quadratic, no interval blowup.
+    Q("p_events_asof_near",
+      (s, dir) => {
+        val purchases = events(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            unix_micros(col("ts")).as("pt"))
+        val clicks = events(s, dir).filter(col("event_type") === "click")
+          .select(col("user_id").as("cuser"), unix_micros(col("ts")).as("ct"))
+        val back = graft.plans.AsOf.join(purchases, clicks, "user_id", "pt", "cuser", "ct")
+          .select(col("purchase_id"), col("user_id").as("bu"), col("pt").as("bpt"),
+            col("ct").as("bt"))
+        val fwd = graft.plans.AsOf.join(
+            purchases.select(col("purchase_id"), col("user_id"), (-col("pt")).as("npt")),
+            clicks.select(col("cuser"), (-col("ct")).as("nct")),
+            "user_id", "npt", "cuser", "nct")
+          .select(col("purchase_id"), col("user_id").as("fu"), (-col("npt")).as("fpt"),
+            (-col("nct")).as("ft"))
+        back.join(fwd, Seq("purchase_id"), "full")
+          .select(col("purchase_id"),
+            coalesce(col("bu"), col("fu")).as("user_id"),
+            coalesce(col("bpt"), col("fpt")).as("pt"), col("bt"), col("ft"))
+          .withColumn("near", expr(
+            """case when bt is null then ft
+              |     when ft is null then bt
+              |     when pt - bt <= ft - pt then bt else ft end""".stripMargin))
+          .select(col("purchase_id"), col("user_id"),
+            timestamp_micros(col("near")).as("near_ts"),
+            abs(col("near") - col("pt")).as("dt_us"))
+      },
+      Some("""WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS pt FROM events
+             |           WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id AS cuser, ts AS ct FROM events WHERE event_type = 'click'),
+             |b AS (SELECT p.purchase_id, p.user_id, p.pt, c.ct AS bt
+             |      FROM p ASOF JOIN c ON p.user_id = c.cuser AND p.pt >= c.ct),
+             |f AS (SELECT p.purchase_id, p.user_id, p.pt, c.ct AS ft
+             |      FROM p ASOF JOIN c ON p.user_id = c.cuser AND p.pt <= c.ct),
+             |j AS (SELECT coalesce(b.purchase_id, f.purchase_id) AS purchase_id,
+             |             coalesce(b.user_id, f.user_id) AS user_id,
+             |             coalesce(b.pt, f.pt) AS pt, b.bt, f.ft
+             |      FROM b FULL JOIN f ON b.purchase_id = f.purchase_id),
+             |n AS (SELECT purchase_id, user_id, pt,
+             |        CASE WHEN bt IS NULL THEN ft
+             |             WHEN ft IS NULL THEN bt
+             |             WHEN pt - bt <= ft - pt THEN bt ELSE ft END AS near_ts
+             |      FROM j)
+             |SELECT purchase_id, user_id, near_ts,
+             |       abs(date_diff('microsecond', pt, near_ts))::BIGINT AS dt_us
+             |FROM n""".stripMargin)),
+
     // ---- binned range join: conversions within a 2h window ------------
     // The scale pattern for inequality joins: bucket both sides to the
     // window length, equi-join on (user, bucket) with the probe side

@@ -165,5 +165,50 @@ object SampleOps {
              |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rnk
              |      FROM k)
              |SELECT lang, rnk, doc_id, n_chars, key FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // ---- temperature-scaled multilingual mixing (mT5 α-sampling) ------
+    // The standard multilingual corpus-balancing policy: sampling rates
+    // ∝ n_lang^α (α = 0.7) instead of ∝ n_lang, boosting low-resource
+    // languages without flattening the mix entirely (mT5 / XLM-R). Same
+    // two-tiny-aggregates + broadcast-threshold shape as p_curate_mix —
+    // per-language counts, one pow() per LANGUAGE (a handful of scalars,
+    // not per-row transcendentals), rates floored to an integer
+    // /256-threshold on md5 hex digits 9-10 (independent of the other
+    // samplers' digits) so every keep decision is an exact integer
+    // comparison. Corpus side: one broadcast join + scan-speed predicate,
+    // no shuffle, no RNG state — reproducible on any layout.
+    Q("p_sample_temperature",
+      (s, dir) => {
+        // z is a float sum over languages — quantize each pow term to
+        // 1e-6 fixed point and sum as int64 (house rule: grouped float
+        // sums must be order-free) so partitioning can't perturb thresh
+        val langs = docs(s, dir).groupBy("lang").agg(count(lit(1)).as("n_l"))
+        val tot = langs.agg(
+          sum(expr("cast(round(pow(cast(n_l as double), 0.7D) * 1000000, 0) as bigint)")).as("zq"),
+          sum(col("n_l")).as("n_total"))
+        val rates = langs.crossJoin(broadcast(tot))
+          .withColumn("thresh", expr(
+            "cast(floor(least(1.0D, (pow(cast(n_l as double), 0.7D) / (zq / 1000000.0D))" +
+              " * (cast(n_total as double) / 2.0D) / n_l) * 256) as int)"))
+          .select(col("lang"), col("thresh"))
+        val h9 = "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 9, 1)) - 1"
+        val h10 = "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 10, 1)) - 1"
+        docs(s, dir).join(broadcast(rates), Seq("lang"))
+          .filter(expr(s"(($h9) * 16 + ($h10)) < thresh"))
+          .select(col("doc_id"), col("lang"))
+      },
+      Some("""WITH langs AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+             |tot AS (SELECT CAST(sum(CAST(round(pow(n_l::DOUBLE, 0.7) * 1000000, 0) AS BIGINT))
+             |                 AS BIGINT) AS zq,
+             |               CAST(sum(n_l) AS BIGINT) AS n_total FROM langs),
+             |rates AS (SELECT lang,
+             |            CAST(floor(least(1.0,
+             |              (pow(n_l::DOUBLE, 0.7) / (zq / 1000000.0)) * (n_total::DOUBLE / 2.0) / n_l)
+             |              * 256) AS INT) AS thresh
+             |          FROM langs, tot)
+             |SELECT doc_id, lang FROM documents JOIN rates USING (lang)
+             |WHERE ((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 9, 1)) - 1) * 16
+             |     + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 10, 1)) - 1)) < thresh"""
+        .stripMargin)),
   )
 }

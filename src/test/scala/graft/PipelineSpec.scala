@@ -671,6 +671,58 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature sampling boosts low-resource languages; keep set replays exactly") {
+    val kept = run("p_sample_temperature").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // replay the rate computation and the per-doc integer keep decision
+    val nL = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val zq = nL.values.map(n => Math.round(Math.pow(n.toDouble, 0.7) * 1e6)).sum
+    val nTotal = nL.values.sum
+    val thresh = nL.map { case (l, n) =>
+      val rate = math.min(1.0,
+        (Math.pow(n.toDouble, 0.7) / (zq / 1e6)) * (nTotal.toDouble / 2.0) / n)
+      l -> math.floor(rate * 256).toInt
+    }
+    val expect = docs.filter { case (id, l) =>
+      Integer.parseInt(md5hex(id.toString).slice(8, 10), 16) < thresh(l)
+    }.toSet
+    assert(kept.toSet == expect, "temperature keep set differs from replay")
+    // α = 0.7 boosts low-resource languages: per-language keep RATES are
+    // anti-monotone in corpus size (smaller language -> rate at least as
+    // high), which proportional sampling would make flat instead
+    val sorted = nL.toSeq.sortBy(_._2).map { case (l, _) => thresh(l) }
+    assert(sorted.reverse == sorted.sorted, s"thresholds not anti-monotone: $sorted")
+    assert(thresh.values.max > thresh.values.min, "α-scaling had no effect on rates")
+  }
+
+  test("nearest as-of picks the min-|dt| click per purchase (imperative replay)") {
+    val near = run("p_events_asof_near").collect()
+      .map(r => r.getLong(0) -> (r.getTimestamp(2), r.getLong(3))).toMap
+    val evs = events.select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("t")).collect()
+    val clicksByUser = evs.filter(_.getString(2) == "click")
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(3)).sorted).toMap
+    val purchases = evs.filter(_.getString(2) == "purchase")
+    assert(near.nonEmpty)
+    purchases.foreach { p =>
+      val (pid, u, pt) = (p.getLong(0), p.getLong(1), p.getLong(3))
+      clicksByUser.get(u) match {
+        case None => assert(!near.contains(pid), s"purchase $pid has no clicks but a match")
+        case Some(cts) =>
+          val best = cts.minBy(ct => (math.abs(ct - pt), ct > pt)) // tie -> earlier
+          val (ts, dt) = near(pid)
+          assert(dt == math.abs(best - pt), s"purchase $pid: dt $dt != ${math.abs(best - pt)}")
+          val tsUs = ts.getTime * 1000 + (ts.getNanos % 1000000) / 1000
+          assert(tsUs == best, s"purchase $pid: near_ts $tsUs != $best us")
+      }
+    }
+  }
+
   test("PQ ADC distance equals the exact distance to the code reconstruction") {
     // The ADC identity that makes the LUT trick correct: summing the 8
     // per-block LUT entries must equal the FULL squared distance between
