@@ -56,20 +56,29 @@ private[operators] object PipeData {
   def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** The events parquet stores TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright; read the raw INT64 nanos (legacy conf, runtime-settable)
-    * — callers convert via [[nanosToTs]]. */
-  def eventsRaw(s: SparkSession, dir: String): DataFrame = {
+  /** Events table with `ts` normalized to TimestampType (a UTC instant —
+    * every session here pins spark.sql.session.timeZone=UTC). The
+    * driver's generator has shipped the column under two physical
+    * layouts: TIMESTAMP(NANOS), which Spark 4 rejects without the
+    * nanosAsLong legacy conf (read as raw int64 nanos, convert), and
+    * plain timestamp[us], which reads natively as TimestampNTZ (naive
+    * UTC micros — cast to the instant type). Both encode the same UTC
+    * wall-clock values, so downstream operators and the DuckDB oracles
+    * (which read the parquet natively as a timestamp either way) see
+    * identical instants regardless of layout. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    // harmless when the layout is not nanos; required before the read
+    // when it is (schema resolution itself throws otherwise)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
-
-  /** ns → µs TimestampType (exact here: the generator emits whole µs). */
-  def nanosToTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-
-  def events(s: SparkSession, dir: String): DataFrame =
-    nanosToTs(eventsRaw(s, dir))
 
   /** Documents split to a word array (texts are single-space separated). */
   def words(s: SparkSession, dir: String): DataFrame =

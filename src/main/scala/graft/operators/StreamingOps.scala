@@ -56,8 +56,14 @@ object StreamingOps {
   }
 
   private def stream(s: SparkSession, dir: String): DataFrame = {
-    val raw = PipeData.eventsRaw(s, dir) // also sets nanosAsLong
-    val schema = raw.schema
+    // Stage the ts-NORMALIZED frame (PipeData.events handles both the
+    // nanos and the timestamp[us] source layouts), so the staged files
+    // and the readStream schema agree on TimestampType and no further
+    // conversion happens downstream. Range bounds are computed and
+    // applied on unix_micros(ts) — approxQuantile takes numeric columns
+    // only.
+    val raw = PipeData.events(s, dir).withColumn("__us", unix_micros(col("ts")))
+    val schema = raw.drop("__us").schema
     val tag = srcTag(dir)
     val staged = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_stream3_" + tag)
@@ -75,7 +81,7 @@ object StreamingOps {
       // ranges (exactness of the split points is irrelevant — the
       // require below only guards distinctness).
       val bounds = raw.stat.approxQuantile(
-        "ts", (1 until stagedFiles).map(_.toDouble / stagedFiles).toArray, 0.001)
+        "__us", (1 until stagedFiles).map(_.toDouble / stagedFiles).toArray, 0.001)
         .map(_.toLong).distinct.sorted
       // Coinciding quantiles (heavy ts duplication) would yield an EMPTY
       // range file and fewer data micro-batches than stagedFiles — the
@@ -89,7 +95,7 @@ object StreamingOps {
       val ranges = (Long.MinValue +: bounds).zip(bounds :+ Long.MaxValue)
       ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
         val tmp = staged.resolve(s"tmp_$i")
-        raw.filter(col("ts") > lo && col("ts") <= hi)
+        raw.filter(col("__us") > lo && col("__us") <= hi).drop("__us")
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = {
           val listing = java.nio.file.Files.list(tmp)
@@ -107,10 +113,9 @@ object StreamingOps {
       }
       java.nio.file.Files.createFile(marker)
     }
-    PipeData.nanosToTs(
-      s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staged.toString))
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
   }
 
   /** Scratch root for per-run (non-durable) streaming checkpoints.

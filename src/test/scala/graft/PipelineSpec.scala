@@ -16,12 +16,20 @@ class PipelineSpec extends AnyFunSuite {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, dir)
 
-  /** Events table with the nanos ts decoded to TimestampType (PipeData is
-    * private to the operators package; this mirrors its reader). */
+  /** Events table with ts normalized to TimestampType (PipeData is
+    * private to the operators package; this mirrors its reader, which
+    * handles both the TIMESTAMP(NANOS) and the timestamp[us] source
+    * layouts the driver's generator has shipped). */
   private def events = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   test("dedup_exact partitions the corpus: n_copies sums to |documents|") {

@@ -25,9 +25,19 @@ class StreamRecoverySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  /** Events with ts normalized to TimestampType (mirrors the operators'
+    * PipeData.events — handles both the TIMESTAMP(NANOS) and the
+    * timestamp[us] source layouts the driver's generator has shipped). */
   private def events = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** Write `df` as a single parquet file at `dest`. */
@@ -54,9 +64,10 @@ class StreamRecoverySpec extends AnyFunSuite {
     val ckpt = root.resolve("ckpt").toString
 
     val out = root.resolve("out").toString
-    val mid = events.stat.approxQuantile("ts", Array(0.5), 0.001)(0).toLong
-    val early = events.filter(col("ts") <= mid)
-    val late = events.filter(col("ts") > mid)
+    val mid = events.withColumn("__us", unix_micros(col("ts")))
+      .stat.approxQuantile("__us", Array(0.5), 0.001)(0).toLong
+    val early = events.filter(unix_micros(col("ts")) <= mid)
+    val late = events.filter(unix_micros(col("ts")) > mid)
     val schema = events.schema
 
     writeOne(early, src.resolve("events_00.parquet"))
@@ -66,7 +77,7 @@ class StreamRecoverySpec extends AnyFunSuite {
     // commits), so recovery is exercised through it
     def runPhase(): Unit = {
       val typed = spark.readStream.schema(schema).parquet(src.toString)
-        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tsl"))
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsl"))
         .as[(Long, Long, Long)]
       val seqd = typed.groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -107,7 +118,7 @@ class StreamRecoverySpec extends AnyFunSuite {
 
       // (b) state resumed: A ∪ B equals the uninterrupted ROW_NUMBER
       val want = events
-        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tsl"))
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsl"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .groupBy(_._1).iterator.flatMap { case (u, es) =>
           es.sortBy(e => (e._3, e._2)).zipWithIndex.map { case ((_, eid, _), i) =>
@@ -127,9 +138,10 @@ class StreamRecoverySpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("graft_upsert_rec_")
     val src = root.resolve("src"); java.nio.file.Files.createDirectories(src)
     val ckpt = root.resolve("ckpt").toString
-    val mid = events.stat.approxQuantile("ts", Array(0.5), 0.001)(0).toLong
-    val early = events.filter(col("ts") <= mid)
-    val late = events.filter(col("ts") > mid)
+    val mid = events.withColumn("__us", unix_micros(col("ts")))
+      .stat.approxQuantile("__us", Array(0.5), 0.001)(0).toLong
+    val early = events.filter(unix_micros(col("ts")) <= mid)
+    val late = events.filter(unix_micros(col("ts")) > mid)
     val schema = events.schema
     writeOne(early, src.resolve("events_00.parquet"))
 
@@ -139,8 +151,7 @@ class StreamRecoverySpec extends AnyFunSuite {
     var lastInc: org.apache.spark.sql.DataFrame = null
     def runPhase(): Int = {
       val q = spark.readStream.schema(schema).parquet(src.toString)
-        .select(col("user_id"), col("event_id"),
-          expr("timestamp_micros(ts div 1000)").as("ts"), col("event_type"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
         .writeStream
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
