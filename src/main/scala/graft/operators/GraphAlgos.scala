@@ -423,6 +423,93 @@ object GraphAlgos {
        |SELECT d AS dist, count(*) AS n FROM s$ssspIters GROUP BY d""".stripMargin
   }
 
+  /** Personalized-PageRank iteration count. The restart set is the 5
+    * region nodes and mass propagates over the REVERSED FK edges
+    * (region→nation→customer/supplier→order→lineitem — the influence
+    * direction; on the forward edges regions are sinks and PPR
+    * degenerates to the seeds). 6 iterations reach the deepest stratum
+    * (lineitems, 4 hops) with margin; like [[prIters]] this is a fixed
+    * power-iteration count, not a convergence bound, and the oracle
+    * unrolls exactly the same 6 steps. */
+  private val pprIters = 6
+
+  // Same recurrence as prOracle with two changes: the edge set is
+  // reversed, and the teleport term is seed-conditional (regions are the
+  // only ids below 2000000000 — GraphLoader's id-range scheme). All
+  // int64, so every engine computes bit-equal ranks.
+  private lazy val pprOracle: String = {
+    val steps = (1 to pprIters).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT nn.id,
+         |  CAST((CASE WHEN nn.id < 2000000000 THEN 150000000 ELSE 0 END)
+         |       + (85 * coalesce(m$i.s, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nn LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(sum(r${i - 1}.rank // od.d) AS BIGINT) AS s
+         |    FROM e JOIN r${i - 1} ON e.src = r${i - 1}.id
+         |    JOIN od ON e.src = od.id GROUP BY e.dst) m$i ON nn.id = m$i.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS MATERIALIZED ($nodeSql),
+       |e0 AS MATERIALIZED ($edgeSql),
+       |e AS MATERIALIZED (SELECT dst AS src, src AS dst FROM e0),
+       |od AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM e GROUP BY src),
+       |r0 AS MATERIALIZED (SELECT id,
+       |  CAST(CASE WHEN id < 2000000000 THEN 1000000000 ELSE 0 END AS BIGINT) AS rank
+       |  FROM nn),
+       |$steps
+       |SELECT id, rank FROM r$pprIters ORDER BY rank DESC, id LIMIT 100""".stripMargin
+  }
+
+  /** k-core peel: k and round bound. Fixpoint measured at 3 rounds
+    * (sf0.001) / 5 (sf0.01, sf0.1) — the peel cascade depth follows the
+    * FK-chain shape (customers with <k orders fall, then their
+    * now-underdegree orders, …), which the schema fixes independent of
+    * scale factor; 8 = 5 + 3 margin, same discipline as [[ccIters]].
+    * k = 3 keeps a large non-trivial core (lineitem nodes have exactly
+    * degree 3); k = 4 empties this graph entirely. */
+  private val kcoreK = 3
+  private val kcoreIters = 8
+
+  // Unrolled peel, same MATERIALIZED discipline as ccOracle. a0 = every
+  // node with at least one edge; each round keeps nodes with >= k
+  // surviving neighbors; rounds past the fixpoint are no-ops, so the
+  // engine's early exit still matches. Output = the in-core degree
+  // histogram (every reported degree is >= k by construction).
+  private lazy val kcoreOracle: String = {
+    val steps = (1 to kcoreIters).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT u.src AS id FROM ue u
+         |  JOIN a${i - 1} x ON u.src = x.id JOIN a${i - 1} y ON u.dst = y.id
+         |  GROUP BY u.src HAVING count(*) >= $kcoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($edgeSql),
+       |ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM ue),
+       |$steps,
+       |fd AS (SELECT u.src AS id, count(*) AS c FROM ue u
+       |  JOIN a$kcoreIters x ON u.src = x.id
+       |  JOIN a$kcoreIters y ON u.dst = y.id GROUP BY u.src)
+       |SELECT c AS core_degree, count(*) AS n_nodes FROM fd GROUP BY c""".stripMargin
+  }
+
+  // Resource-allocation link prediction over the part co-purchase graph:
+  // candidate pair (u,v) at distance 2, score = sum over common
+  // neighbors w of floor(1e9 / deg(w)) — the RA index in integer
+  // division, so the score is exact in any engine (no float log as in
+  // Adamic–Adar). Existing edges are excluded; top-20 under the total
+  // order (ra DESC, u, v).
+  private lazy val linkpredOracle: String =
+    """WITH pairs AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |adj AS (SELECT a AS w, b AS n FROM pairs UNION ALL SELECT b, a FROM pairs),
+      |deg AS (SELECT w, count(*) AS d FROM adj GROUP BY w),
+      |wedge AS (SELECT x.n AS u, y.n AS v, x.w AS w
+      |  FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n),
+      |cand AS (SELECT u, v, w FROM wedge WHERE NOT EXISTS (
+      |  SELECT 1 FROM pairs p WHERE p.a = wedge.u AND p.b = wedge.v)),
+      |scored AS (SELECT u, v, CAST(sum(1000000000 // deg.d) AS BIGINT) AS ra
+      |  FROM cand JOIN deg ON cand.w = deg.w GROUP BY u, v)
+      |SELECT u, v, ra FROM scored ORDER BY ra DESC, u, v LIMIT 20""".stripMargin
+
   /** Co-partitioned full-outer merge of an (id, d) accumulator with an
     * (id, d) delta — the delta's value wins on match, everything else
     * carries over. Both sides arrive hash-partitioned by id (groupBy /
@@ -738,5 +825,151 @@ object GraphAlgos {
       Some(s"""WITH nn AS ($nodeSql)
               |SELECT count(*) AS n_vertices, count(*) AS n_agree
               |FROM nn""".stripMargin)),
+
+    // ---- personalized PageRank from the region seed set ---------------
+    // Same 1-exchange-per-superstep power iteration as g_pagerank (fused
+    // edge+outdeg invariant frame, id-pre-partitioned node frame, the
+    // contribution aggregation as the only per-step shuffle) with two
+    // changes: mass flows over the REVERSED FK edges (the influence
+    // direction — see pprIters) and the teleport term lands only on the
+    // seeds. Contributions are additionally restricted to rank > 0 rows
+    // — a zero rank contributes exactly 0 to every sum, so the result is
+    // bit-identical while message volume tracks the REACHED set, not
+    // |V|: the sparsity win that makes PPR far cheaper than global
+    // PageRank on a 100 TB graph when the seed neighborhood is small.
+    Q("g_ppr",
+      (s, dir) => {
+        val rev = allEdges(s, dir)
+          .select(col("dst").as("src"), col("src").as("dst"))
+        val outdeg = rev.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        val ed = Ckpt.eagerPartitioned(
+          rev.join(outdeg, Seq("src")).repartition(col("src")))
+        val nodes = Ckpt.eagerPartitioned(
+          allNodes(s, dir).repartition(col("id")))
+        val isSeed = col("id") < 2000000000L
+        var ranks = nodes.select(col("id"),
+          when(isSeed, 1000000000L).otherwise(0L).as("rank"))
+        var prev: DataFrame = null
+        for (i <- 1 to pprIters) {
+          val contribs = ed
+            .join(ranks.filter(col("rank") > 0).withColumnRenamed("id", "src"),
+              Seq("src"))
+            .select(col("dst").as("id"), expr("rank div d").as("c"))
+            .groupBy("id").agg(sum("c").as("s"))
+          ranks = nodes.join(contribs, Seq("id"), "left")
+            .select(col("id"),
+              (when(isSeed, 150000000L).otherwise(0L) +
+                expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+          if (i % 3 == 0 && i < pprIters) {
+            ranks = Ckpt.eagerPartitioned(ranks)
+            if (prev != null) Ckpt.drop(prev)
+            prev = ranks
+          }
+        }
+        val out = Ckpt.eager(
+          ranks.orderBy(col("rank").desc, col("id")).limit(100))
+        if (prev != null) Ckpt.drop(prev)
+        Ckpt.drop(ed)
+        Ckpt.drop(nodes)
+        out
+      },
+      Some(pprOracle)),
+
+    // ---- k-core decomposition: iterative peel -------------------------
+    // The density-based graph-cleaning primitive (spam/noise stripping
+    // before community detection at 100 TB). Each round: degrees over
+    // the surviving edge set (one co-partitioned groupBy — edges stay
+    // src-partitioned the whole loop), keep nodes with >= k neighbors,
+    // then filter edges to alive×alive — the src side via a
+    // co-partitioned semi join (zero exchange), the dst side via a
+    // BROADCAST semi join (the alive set is |V|-scale ids, ~8 bytes a
+    // row; on a graph whose alive set outgrows broadcast, swap that side
+    // for a bloom-filter pre-pass + shuffle semi join — plan degrades,
+    // result identical). Early exit on an unchanged alive count (the
+    // peel is monotone ⊇, so count equality ⟺ set equality) with the
+    // usual loud non-convergence failure; the deferred checkpoint's
+    // count doubles as the convergence probe (one job per round).
+    Q("g_kcore",
+      (s, dir) => {
+        val ue = undirectedEdges(s, dir)
+        var edges: DataFrame = ue
+        var nAlive = -1L
+        var converged = false
+        var step = 0
+        var result: DataFrame = null
+        while (step < kcoreIters && !converged) {
+          step += 1
+          val deg = edges.groupBy("src").agg(count(lit(1)).as("c"))
+          val alive = Ckpt.deferredPartitioned(
+            deg.filter(col("c") >= kcoreK).select(col("src").as("id")))
+          val n = alive.count()
+          if (n == nAlive) {
+            converged = true
+            // deg this round is over edges among the PREVIOUS alive set,
+            // which just proved equal to the current one — so these are
+            // exactly the in-core degrees the oracle's fd computes.
+            result = Ckpt.eager(
+              deg.filter(col("c") >= kcoreK)
+                .groupBy("c").agg(count(lit(1)).as("n_nodes"))
+                .select(col("c").as("core_degree"), col("n_nodes")))
+            Ckpt.drop(alive)
+          } else {
+            nAlive = n
+            val next = Ckpt.eagerPartitioned(
+              edges.join(alive, col("src") === col("id"), "left_semi")
+                .join(broadcast(alive.withColumnRenamed("id", "id2")),
+                  col("dst") === col("id2"), "left_semi"))
+            if (edges ne ue) Ckpt.drop(edges)
+            edges = next
+            Ckpt.drop(alive)
+          }
+        }
+        if (edges ne ue) Ckpt.drop(edges)
+        require(converged, s"k-core peel not converged after $kcoreIters rounds")
+        result
+      },
+      Some(kcoreOracle)),
+
+    // ---- resource-allocation link prediction over part co-purchase ----
+    // "Parts bought together with the same third part, but never
+    // together themselves" — the classic RA index, in integer division
+    // (1e9 div deg) so scores are engine-exact (Adamic–Adar's 1/log d
+    // would need float ln). Plan shape: the adjacency, the degree table
+    // and the exclusion edge list are all |E|-scale and BROADCAST, so
+    // the O(Σ deg²) wedge stream is generated, hub-scored, and
+    // anti-filtered IN PLACE — the only exchange is the final (u,v)
+    // partial aggregation, which map-side combine shrinks before it
+    // moves. At 100 TB the wedge fan-out on hub centers is the cost
+    // driver: the exact mitigation is splitting each hub's adjacency
+    // into blocks and crossing blocks pairwise (same output, bounded
+    // tasks), and the approximate one is a df-cut on centers (drops
+    // near-zero 1e9 div d contributions first).
+    Q("g_linkpred",
+      (s, dir) => {
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val pairs = Ckpt.eager(li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct())
+        val adj = pairs.select(col("a").as("w"), col("b").as("n"))
+          .union(pairs.select(col("b").as("w"), col("a").as("n")))
+        val deg = adj.groupBy("w").agg(count(lit(1)).as("d"))
+        val wedges = adj.as("x")
+          .join(broadcast(adj.as("y")),
+            col("x.w") === col("y.w") && col("x.n") < col("y.n"))
+          .select(col("x.n").as("u"), col("y.n").as("v"), col("x.w").as("w"))
+        val cand = wedges.join(
+          broadcast(pairs.select(col("a").as("u"), col("b").as("v"))),
+          Seq("u", "v"), "left_anti")
+        val scored = cand
+          .join(broadcast(deg), Seq("w"))
+          .select(col("u"), col("v"), expr("1000000000L div d").as("ra"))
+          .groupBy("u", "v").agg(sum("ra").as("ra"))
+        val out = Ckpt.eager(
+          scored.orderBy(col("ra").desc, col("u"), col("v")).limit(20))
+        Ckpt.drop(pairs)
+        out
+      },
+      Some(linkpredOracle)),
   )
 }

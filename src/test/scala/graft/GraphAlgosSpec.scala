@@ -97,6 +97,72 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("personalized PageRank equals the in-memory integer replay") {
+    val nodes = collectedNodes()
+    // reversed FK edges — the influence direction (see GraphAlgos.pprIters)
+    val edges = collectedEdges().map { case (s, d) => (d, s) }
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    def seed(id: Long): Boolean = id < 2000000000L
+    var rank = nodes.map(n => n -> (if (seed(n)) 1000000000L else 0L)).toMap
+    for (_ <- 1 to 6) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d) => in(d) += rank(s) / out(s) }
+      rank = nodes.map(n =>
+        n -> ((if (seed(n)) 150000000L else 0L) + (85L * in(n)) / 100L)).toMap
+    }
+    val expected = rank.toSeq.sortBy { case (id, r) => (-r, id) }.take(100)
+    val got = SparkEntry.queries("g_ppr")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    // the restart mass never leaves the seeds' basin untouched: the 5
+    // region seeds hold exactly the teleport term (nothing points AT
+    // them in the reversed graph), and they head the ranking
+    assert(got.take(5) == (0 until 5).map(i => (1000000000L + i, 150000000L)))
+  }
+
+  test("k-core peel equals the in-memory replay") {
+    val edges = collectedEdges()
+    val und = (edges ++ edges.map(_.swap)).distinct
+    var alive = und.map(_._1).toSet
+    var done = false
+    while (!done) {
+      val deg = und.filter { case (a, b) => alive(a) && alive(b) }
+        .groupBy(_._1).map { case (n, es) => n -> es.size }
+      val next = deg.filter(_._2 >= 3).keySet
+      if (next == alive) done = true else alive = next
+    }
+    val coreDeg = und.filter { case (a, b) => alive(a) && alive(b) }
+      .groupBy(_._1).map { case (_, es) => es.size }
+    val expected = coreDeg.groupBy(identity).map { case (d, xs) => d.toLong -> xs.size.toLong }
+    val got = SparkEntry.queries("g_kcore")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.keys.forall(_ >= 3L)) // every in-core degree is >= k
+  }
+
+  test("RA link prediction equals the in-memory replay") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs: Set[(Long, Long)] = li.toSeq.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (w, es) => w -> es.map(_._2).toSeq.sorted }
+    val deg = adj.map { case (w, ns) => w -> ns.size.toLong }
+    val scores = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    adj.foreach { case (w, ns) =>
+      for (u <- ns; v <- ns if u < v && !pairs((u, v)))
+        scores((u, v)) += 1000000000L / deg(w)
+    }
+    val expected = scores.toSeq.map { case ((u, v), ra) => (u, v, ra) }
+      .sortBy { case (u, v, ra) => (-ra, u, v) }.take(20)
+    val got = SparkEntry.queries("g_linkpred")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   // The named 100 TB claim, proved rather than asserted: on a graph
   // whose diameter is NOT schema-bound-small — here a 24-node chain
   // with a 200-leaf hub hanging off one end (high diameter + skew, the
