@@ -103,10 +103,12 @@ object Engine {
       key: (String, String, String), boundVar: String, newVar: String,
       newIsDst: Boolean) extends PhysOp
   /** Same peephole for a variable-length hop: cross+semi over the bounded
-    * closure fuses to one equi-join against the reach frame. */
+    * closure fuses to one equi-join against the reach frame. `distVar`
+    * additionally binds the minimal hop count (`as d`). */
   private final case class PExpandPath(
       key: (String, String, String), lo: Int, hi: Int, boundVar: String,
-      newVar: String, newIsDst: Boolean) extends PhysOp
+      newVar: String, newIsDst: Boolean,
+      distVar: Option[String] = None) extends PhysOp
 
   private def compilePlan(instrs: List[RInstr], cfg: Config): List[PhysOp] =
     if (!cfg.expandPaths) instrs.map(PExec)
@@ -119,12 +121,12 @@ object Engine {
           if sv == v && tv != v =>
         // (fresh v)-[:rl]->(bound tv): new var is the edge's src
         PExpand((sl, rl, tl), tv, v, newIsDst = false) :: compilePlan(rest, cfg)
-      case RMatchNode(v, _) :: RVarPath(sv, key, lo, hi, tv) :: rest
+      case RMatchNode(v, _) :: RVarPath(sv, key, lo, hi, tv, dist) :: rest
           if tv == v && sv != v =>
-        PExpandPath(key, lo, hi, sv, v, newIsDst = true) :: compilePlan(rest, cfg)
-      case RMatchNode(v, _) :: RVarPath(sv, key, lo, hi, tv) :: rest
+        PExpandPath(key, lo, hi, sv, v, newIsDst = true, dist) :: compilePlan(rest, cfg)
+      case RMatchNode(v, _) :: RVarPath(sv, key, lo, hi, tv, dist) :: rest
           if sv == v && tv != v =>
-        PExpandPath(key, lo, hi, tv, v, newIsDst = false) :: compilePlan(rest, cfg)
+        PExpandPath(key, lo, hi, tv, v, newIsDst = false, dist) :: compilePlan(rest, cfg)
       case i :: rest => PExec(i) :: compilePlan(rest, cfg)
       case Nil       => Nil
     }
@@ -163,16 +165,22 @@ object Engine {
           .drop(eS)
         st = st.copy(bindings = joined, env = (newVar, c) :: st.env,
           freshCounter = st.freshCounter + 1)
-      case PExpandPath(key, lo, hi, boundVar, newVar, newIsDst) =>
+      case PExpandPath(key, lo, hi, boundVar, newVar, newIsDst, distVar) =>
         val c = fresh(st)
         val eS = s"${c}_src"
-        val rdf = varPathReach(st.graph, key, lo, hi)
-          .select(col("src").as(if (newIsDst) eS else c),
-            col("dst").as(if (newIsDst) c else eS))
+        val cD = s"${c}_d"
+        val rdf0 =
+          if (distVar.isEmpty) varPathReach(st.graph, key, lo, hi)
+          else varPathReachDist(st.graph, key, lo, hi)
+        val endpointCols = Seq(col("src").as(if (newIsDst) eS else c),
+          col("dst").as(if (newIsDst) c else eS))
+        val rdf = rdf0.select(
+          endpointCols ++ distVar.map(_ => col("hops").as(cD)): _*)
         val joined = st.bindings
           .join(rdf, col(st.colOf(boundVar)) === col(eS))
           .drop(eS)
-        st = st.copy(bindings = joined, env = (newVar, c) :: st.env,
+        st = st.copy(bindings = joined,
+          env = distVar.map(d => (d, cD)).toList ::: (newVar, c) :: st.env,
           freshCounter = st.freshCounter + 1)
     }
     st
@@ -468,15 +476,32 @@ object Engine {
       st.copy(bindings = st.bindings.join(witness, cond, "left_anti"),
         freshCounter = sub.freshCounter)
 
-    case RVarPath(sv, key, lo, hi, tv) =>
+    case RVarPath(sv, key, lo, hi, tv, dist) =>
       // Both endpoints are bound (normalize emits the node instruction
       // first); constrain existing rows to pairs in the bounded closure.
-      val reach = varPathReach(st.graph, key, lo, hi)
-      val joined = st.bindings.join(reach,
-        st.bindings(st.colOf(sv)) === reach("src") &&
-          st.bindings(st.colOf(tv)) === reach("dst"),
-        "left_semi")
-      st.copy(bindings = joined)
+      dist match {
+        case None =>
+          val reach = varPathReach(st.graph, key, lo, hi)
+          val joined = st.bindings.join(reach,
+            st.bindings(st.colOf(sv)) === reach("src") &&
+              st.bindings(st.colOf(tv)) === reach("dst"),
+            "left_semi")
+          st.copy(bindings = joined)
+        case Some(d) =>
+          // same row filter, but each surviving row additionally binds
+          // the pair's minimal hop count — an inner equi-join against
+          // the (src, dst, hops) frame (exactly one hops per pair, so
+          // row multiplicity is unchanged vs the semi join)
+          val c = fresh(st)
+          val reach = varPathReachDist(st.graph, key, lo, hi)
+            .select(col("src"), col("dst"), col("hops").as(c))
+          val joined = st.bindings.join(reach,
+            st.bindings(st.colOf(sv)) === reach("src") &&
+              st.bindings(st.colOf(tv)) === reach("dst"))
+            .drop("src", "dst")
+          st.copy(bindings = joined, env = (d, c) :: st.env,
+            freshCounter = st.freshCounter + 1)
+      }
 
     case RWhere(te) =>
       val (joined, refs) = joinAttrs(st, te :: Nil)
@@ -537,11 +562,17 @@ object Engine {
     val refs = Map.newBuilder[(String, String), String]
     byVar.foreach { case ((v, lbl), as) =>
       val vc = st.colOf(v)
-      val fields = as.map(_.field).distinct
-      val proj = st.graph.nodes(lbl).select(
-        col("id").as(vc) +: fields.map(f => col(f).as(s"__a_${vc}_$f")): _*)
-      df = df.join(proj, Seq(vc), "left")
-      fields.foreach(f => refs += ((v, f)) -> s"__a_${vc}_$f")
+      if (lbl == Typing.PathLabel)
+        // a path-distance binding's `hops` IS its binding column —
+        // no attribute frame exists and no join is needed
+        as.map(_.field).distinct.foreach(f => refs += ((v, f)) -> vc)
+      else {
+        val fields = as.map(_.field).distinct
+        val proj = st.graph.nodes(lbl).select(
+          col("id").as(vc) +: fields.map(f => col(f).as(s"__a_${vc}_$f")): _*)
+        df = df.join(proj, Seq(vc), "left")
+        fields.foreach(f => refs += ((v, f)) -> s"__a_${vc}_$f")
+      }
     }
     (df, refs.result())
   }
@@ -593,6 +624,40 @@ object Engine {
       val hops = if (acc == null) cur else acc
       ident.fold(hops)(_.unionByName(hops)).dropDuplicates("src", "dst")
     }
+  }
+
+  /** [[varPathReach]] with the MINIMAL hop count per reachable pair —
+    * the shortest-path distance within the lo..hi window (`as d`).
+    * Levels are already deduped per hop count, so tagging each level
+    * with its depth and taking the per-pair min adds no asymptotic cost:
+    * the union holds ≤ (hi−lo+1)×|pairs| rows and the closing groupBy
+    * replaces the plain closure's dropDuplicates — same shuffle count,
+    * same per-level co-partitioned self-join chain at scale. A zero-
+    * length identity pair (lo = 0) is depth 0, trivially the minimum. */
+  private[graft] def varPathReachDist(graph: PropertyGraph,
+      key: (String, String, String), lo: Int, hi: Int): DataFrame = {
+    val edges = graph.edges(key).select(col("src"), col("dst"))
+    val ident =
+      if (lo == 0) Some(graph.nodes(key._1)
+        .select(col("id").as("src"), col("id").as("dst"), lit(0L).as("hops")))
+      else None
+    val levels =
+      if (hi == 0) Nil
+      else {
+        var cur = edges
+        val out = List.newBuilder[DataFrame]
+        if (lo <= 1) out += edges.withColumn("hops", lit(1L))
+        for (d <- 2 to hi) {
+          cur = cur.as("p")
+            .join(edges.as("e"), col("p.dst") === col("e.src"))
+            .select(col("p.src").as("src"), col("e.dst").as("dst"))
+            .dropDuplicates("src", "dst")
+          if (d >= lo) out += cur.withColumn("hops", lit(d.toLong))
+        }
+        out.result()
+      }
+    (ident.toList ++ levels).reduce(_ unionByName _)
+      .groupBy("src", "dst").agg(min("hops").as("hops"))
   }
 
   /** Compile a typed expression to a Spark SQL string. Integer division

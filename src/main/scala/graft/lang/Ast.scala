@@ -82,9 +82,17 @@ final case class CompPattern(np: NodePattern, rel: String, rest: Pattern) extend
   * only): b is reachable from a via lo..hi consecutive `r` edges. The
   * relation must be label-homogeneous — exactly one declared `r` triple
   * and its source label equals its target label — so every hop of the
-  * closure is well-typed. */
-final case class VarPattern(np: NodePattern, rel: String, lo: Int, hi: Int, rest: Pattern)
-    extends Pattern
+  * closure is well-typed.
+  *
+  * `dist` is the optional shortest-path distance binding
+  * `-[:r*lo..hi as d]->` (Cypher's `shortestPath` + `length(p)`,
+  * re-expressed without path values): `d` binds, per (a,b) row, the
+  * MINIMAL number of hops among the lo..hi-length paths — a virtual
+  * binding of pseudo-label [[graft.lang.Typing.PathLabel]] whose single
+  * int attribute `d.hops` flows through the existing typed expression
+  * machinery (`where d.hops = 2`, `return d.hops`, aggregates). */
+final case class VarPattern(np: NodePattern, rel: String, lo: Int, hi: Int, rest: Pattern,
+    dist: Option[String] = None) extends Pattern
 
 sealed trait DeletePattern extends Product with Serializable
 final case class DeleteNodes(vs: List[String]) extends DeletePattern

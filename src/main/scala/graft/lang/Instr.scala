@@ -24,9 +24,10 @@ final case class ISet(v: String, field: String, e: Expr) extends Instruction
 /** Extension instructions (no reference counterpart). */
 final case class IReturnExt(items: List[RetItem], order: List[(RetItem, Boolean)],
     limit: Option[Long], distinct: Boolean) extends Instruction
-/** `sv -[:rel*lo..hi]-> tv`, match-only (typing rejects create). */
+/** `sv -[:rel*lo..hi]-> tv`, match-only (typing rejects create).
+  * `dist` carries the optional `as d` shortest-distance binding. */
 final case class IVarPathRel(act: Act, sv: String, rel: String, lo: Int, hi: Int,
-    tv: String) extends Instruction
+    tv: String, dist: Option[String] = None) extends Instruction
 /** Pattern-predicate instructions: `inner` is the match-normalized
   * instruction list of the predicate's pattern tail (node decls, edge
   * hops, var-paths, and the where-conjuncts its inline property maps
@@ -70,7 +71,7 @@ object Normalize {
     pat match {
       case SimpPattern(n)              => np(n)
       case CompPattern(n, _, rest)     => np(n) ++ declProps(rest)
-      case VarPattern(n, _, _, _, rest) => np(n) ++ declProps(rest)
+      case VarPattern(n, _, _, _, rest, _) => np(n) ++ declProps(rest)
     }
   }
 
@@ -78,15 +79,16 @@ object Normalize {
     case SimpPattern(np) => normNodePattern(act, np)
     case CompPattern(np, rl, rest) =>
       normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl), rest)
-    case VarPattern(np, rl, lo, hi, rest) =>
-      normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, lo, hi), rest)
+    case VarPattern(np, rl, lo, hi, rest, dist) =>
+      normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, lo, hi, dist), rest)
   }
 
   /** One hop of a path: fixed (`lo = hi = 1` single edge) or variable. */
-  private final case class Hop(rl: String, lo: Int = 1, hi: Int = 1) {
+  private final case class Hop(rl: String, lo: Int = 1, hi: Int = 1,
+      dist: Option[String] = None) {
     def instr(act: Act, sv: String, tv: String): Instruction =
-      if (lo == 1 && hi == 1) IActOnRel(act, sv, rl, tv)
-      else IVarPathRel(act, sv, rl, lo, hi, tv)
+      if (lo == 1 && hi == 1 && dist.isEmpty) IActOnRel(act, sv, rl, tv)
+      else IVarPathRel(act, sv, rl, lo, hi, tv, dist)
   }
 
   private def tail(act: Act, srcV: String, hop: Hop, pat: Pattern): List[Instruction] =
@@ -96,9 +98,9 @@ object Normalize {
       case CompPattern(np, rl2, rest) =>
         (normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)) ++
           tail(act, np.variable, Hop(rl2), rest)
-      case VarPattern(np, rl2, lo2, hi2, rest) =>
+      case VarPattern(np, rl2, lo2, hi2, rest, dist2) =>
         (normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)) ++
-          tail(act, np.variable, Hop(rl2, lo2, hi2), rest)
+          tail(act, np.variable, Hop(rl2, lo2, hi2, dist2), rest)
     }
 
   private def normClause(c: Clause): List[Instruction] = c match {
@@ -151,8 +153,8 @@ object Normalize {
     pat match {
       case CompPattern(np, rl, rest) =>
         (np, tail(MatchAct, np.variable, Hop(rl), rest) ++ tailProps(rest))
-      case VarPattern(np, rl, lo, hi, rest) =>
-        (np, tail(MatchAct, np.variable, Hop(rl, lo, hi), rest) ++ tailProps(rest))
+      case VarPattern(np, rl, lo, hi, rest, dist) =>
+        (np, tail(MatchAct, np.variable, Hop(rl, lo, hi, dist), rest) ++ tailProps(rest))
       case SimpPattern(np) => (np, Nil) // unreachable: parser requires a hop
     }
   }
@@ -160,7 +162,7 @@ object Normalize {
   private def headDeclProps(pat: Pattern): List[(String, String, Expr)] =
     pat match {
       case CompPattern(DeclPattern(v, _, ps), _, _)       => ps.map { case (f, e) => (v, f, e) }
-      case VarPattern(DeclPattern(v, _, ps), _, _, _, _)  => ps.map { case (f, e) => (v, f, e) }
+      case VarPattern(DeclPattern(v, _, ps), _, _, _, _, _) => ps.map { case (f, e) => (v, f, e) }
       case _                                              => Nil
     }
 

@@ -260,13 +260,21 @@ object Parser {
             val lo = int("path bound")
             expectSym("."); expectSym(".")
             val hi = int("path bound")
-            Some((lo, hi))
+            // optional shortest-distance binding `as d` — `as` is a
+            // CONTEXTUAL identifier (like `order`/`limit`), not a
+            // keyword, so reference-legal programs using `as` as a
+            // variable or label still parse
+            val dist = peek match {
+              case TIdent("as") => i += 1; Some(ident())
+              case _            => None
+            }
+            Some((lo, hi, dist))
           case _ => None
         }
         expectSym("]"); expectSym("->")
         bounds match {
-          case Some((lo, hi)) => VarPattern(np, rl, lo, hi, pattern())
-          case None           => CompPattern(np, rl, pattern())
+          case Some((lo, hi, dist)) => VarPattern(np, rl, lo, hi, pattern(), dist)
+          case None                 => CompPattern(np, rl, pattern())
         }
       } else SimpPattern(np)
     }

@@ -62,7 +62,7 @@ object Typing {
   final case class RReturnExt(items: List[RRet], order: List[(RRet, Boolean)],
       limit: Option[Long], distinct: Boolean = false) extends RInstr
   final case class RVarPath(sv: String, rel: (String, String, String), lo: Int, hi: Int,
-      tv: String) extends RInstr
+      tv: String, dist: Option[String] = None) extends RInstr
   /** optional-match witness expansion: `inner` is the typed instruction
     * list of the pattern tail, `bound` the outer variables it references
     * (join keys), `fresh` the (variable, label) pairs it declares in
@@ -87,13 +87,23 @@ object Typing {
   final case class RMergeNode(v: String, label: String,
       props: List[(String, Value)]) extends RInstr
 
+  /** Pseudo-label of a shortest-distance binding (`-[:r*lo..hi as d]->`):
+    * `%` cannot start a lexer identifier, so it can never collide with a
+    * user schema label. Its single attribute is `hops: int` — the
+    * binding's value itself; [[Schema.attrType]] resolves it so the whole
+    * typed expression machinery (where/return/aggregates) applies to
+    * `d.hops` unchanged. Mutation of a path binding (set/delete) is
+    * rejected explicitly. */
+  val PathLabel = "%path"
+
   /** Validated schema with O(1) lookups. */
   final case class Schema(
       nodeAttrs: Map[String, List[(String, AttribTp)]],
       relTypes: Set[(String, String, String)]) {
     def labels: Set[String] = nodeAttrs.keySet
     def attrType(label: String, field: String): Option[AttribTp] =
-      nodeAttrs.get(label).flatMap(_.collectFirst { case (`field`, tp) => tp })
+      if (label == PathLabel) (if (field == "hops") Some(IntT) else None)
+      else nodeAttrs.get(label).flatMap(_.collectFirst { case (`field`, tp) => tp })
   }
 
   final case class TypedProg(schema: Schema, instrs: List[RInstr])
@@ -188,6 +198,7 @@ object Typing {
         }
       case IDeleteNode(v) =>
         lookup(env, v) match {
+          case Some(PathLabel) => Left(s"cannot delete path-distance binding $v")
           case Some(lbl) => Right((RDeleteNode(v, lbl), env.filterNot(_._1 == v)))
           case None      => Left(s"delete of unbound variable $v")
         }
@@ -326,8 +337,13 @@ object Typing {
             else Right((RNotExists(ris, bound), env)) // existential: env unchanged
         }
 
-      case IVarPathRel(act, sv, rl, lo, hi, tv) =>
+      case IVarPathRel(act, sv, rl, lo, hi, tv, dist) =>
         if (act == CreateAct) Left(s"variable-length pattern -[:$rl*$lo..$hi]-> not allowed in create")
+        else if (dist.exists(d => lookup(env, d).isDefined))
+          // the distance binding declares a NEW variable — rebinding an
+          // existing one (incl. either endpoint: normalize binds them
+          // first) would silently shadow a node column
+          Left(s"shortest-distance binding ${dist.get} already bound")
         else if (lo < 0 || hi < lo)
           // lo = 0 is the Cypher zero-length path: the identity pair
           // (v, v) for every node of the homogeneous label joins the
@@ -350,7 +366,8 @@ object Typing {
               val (hl, _, _) = decls.head
               if (sl != hl) Left(s"variable $sv: label $sl incompatible with (:$hl)-[:$rl]->(:$hl)")
               else if (tl != hl) Left(s"variable $tv: label $tl incompatible with (:$hl)-[:$rl]->(:$hl)")
-              else Right((RVarPath(sv, decls.head, lo, hi, tv), env))
+              else Right((RVarPath(sv, decls.head, lo, hi, tv, dist),
+                dist.fold(env)(d => (d, PathLabel) :: env)))
             }
           case (None, _) => Left(s"variable $sv not bound")
           case (_, None) => Left(s"variable $tv not bound")
@@ -359,6 +376,8 @@ object Typing {
       case ISet(v, f, e) =>
         lookup(env, v) match {
           case None => Left(s"set on unbound variable $v")
+          case Some(PathLabel) =>
+            Left(s"cannot set attribute of path-distance binding $v")
           case Some(lbl) =>
             schema.attrType(lbl, f) match {
               case None => Left(s"attribute $f not declared for label $lbl")
@@ -390,7 +409,7 @@ object Typing {
       val in = it.next()
       in match {
         case IActOnNode(MatchAct, _, _) | IActOnRel(MatchAct, _, _, _) |
-            _: IWhere | IVarPathRel(MatchAct, _, _, _, _, _) => ()
+            _: IWhere | IVarPathRel(MatchAct, _, _, _, _, _, _) => ()
         case other =>
           err = Some(s"$what pattern: illegal instruction $other")
       }
@@ -403,11 +422,16 @@ object Typing {
       case Some(e) => Left(e)
       case None =>
         val ris = out.result()
-        val fresh = ris.collect { case RMatchNode(v, l) => (v, l) }
+        val fresh = ris.collect {
+          case RMatchNode(v, l)                   => (v, l)
+          // a shortest-distance binding inside the witness is declared
+          // by the pattern too — project it like any fresh variable
+          case RVarPath(_, _, _, _, _, Some(d))   => (d, PathLabel)
+        }
         val declared = fresh.map(_._1).toSet
         val refs = ris.flatMap {
           case RMatchEdge(sv, _, _, tv, _) => Seq(sv, tv)
-          case RVarPath(sv, _, _, _, tv)   => Seq(sv, tv)
+          case RVarPath(sv, _, _, _, tv, _) => Seq(sv, tv)
           case RWhere(te)                  => exprVars(te)
           case _                           => Seq.empty
         }.distinct.filterNot(declared)

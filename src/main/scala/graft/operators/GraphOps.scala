@@ -380,6 +380,30 @@ object GraphOps {
              |      WHERE e.dst IS NOT NULL AND r.d < 3)
              |SELECT DISTINCT src AS a, dst AS b FROM r""".stripMargin)),
 
+    // shortest-path distance binding `as d` (Cypher shortestPath +
+    // length(p), without path values): d.hops = minimal hop count per
+    // reachable pair within the bounds window, flowing through the
+    // ordinary typed expression machinery (here: a where filter AND the
+    // projected output). Oracle = recursive CTE + per-pair MIN.
+    Q("gql_shortest",
+      bindings(
+        """match (a:nation) -[:nnext*1..4 as d]-> (b:nation)
+          |where d.hops >= 2
+          |return a, b, d.hops""".stripMargin),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS src,
+             |         CAST(LEAD(n_nationkey) OVER (PARTITION BY n_regionkey
+             |              ORDER BY n_nationkey) AS BIGINT) + 2000000000 AS dst
+             |  FROM nation),
+             |r AS (SELECT src, dst, 1 AS d FROM e WHERE dst IS NOT NULL
+             |      UNION ALL
+             |      SELECT r.src, e.dst, r.d + 1
+             |      FROM r JOIN e ON r.dst = e.src
+             |      WHERE e.dst IS NOT NULL AND r.d < 4),
+             |m AS (SELECT src AS a, dst AS b, CAST(min(d) AS BIGINT) AS d_hops
+             |      FROM r GROUP BY src, dst)
+             |SELECT a, b, d_hops FROM m WHERE d_hops >= 2""".stripMargin)),
+
     // lower bound > 1: hops 2..3 only, composed with where + return attr
     Q("gql_varpath_bounds",
       bindings(

@@ -47,7 +47,8 @@ class DifferentialSpec extends AnyFunSuite {
       else { n += 1; s"v$n" }
     def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
     def intExpr(depth: Int): String = {
-      val xvars = bound("P").map(_ + ".x") ++ bound("Q").map(_ + ".y")
+      val xvars = bound("P").map(_ + ".x") ++ bound("Q").map(_ + ".y") ++
+        bound(Typing.PathLabel).map(_ + ".hops")
       val atom = if (xvars.isEmpty || rnd.nextBoolean()) (rnd.nextInt(10) + 1).toString
                  else pick(xvars)
       if (depth == 0) atom
@@ -110,10 +111,10 @@ class DifferentialSpec extends AnyFunSuite {
         }
       case 3 => // where
         if (env.nonEmpty) sb ++= s"where ${boolExpr(1)}\n"
-      case 4 => // set on an existing binding
+      case 4 => // set on an existing binding (path bindings are immutable)
         if (env.nonEmpty) {
           val (v, lbl) = env(rnd.nextInt(env.size))
-          if (latest(v).contains(lbl))
+          if (latest(v).contains(lbl) && lbl != Typing.PathLabel)
             sb ++= s"set $v.${if (lbl == "P") "x" else "y"} = ${intExpr(1)}\n"
         }
       case 5 => // variable-length path over a self-label relation
@@ -126,15 +127,23 @@ class DifferentialSpec extends AnyFunSuite {
           val (a, rl, l) = pick(starts)
           val lo = rnd.nextInt(3) // 0 = zero-length (identity) lower bound
           val hi = math.max(lo, 1) + rnd.nextInt(3)
+          // a third of varpaths carry the shortest-distance binding
+          // `as d` — exercises min-hop semantics on BOTH engine paths
+          // (inner join + hops column vs the plain semi/equi join) and
+          // feeds d.hops into later where/return draws via the env
+          val dist =
+            if (rnd.nextInt(3) == 0) { n += 1; Some(s"v$n") } else None
+          val distSuffix = dist.fold("")(d => s" as $d")
           val bs = bound(l)
           if (bs.nonEmpty && rnd.nextBoolean())
-            sb ++= s"match ($a) -[:$rl*$lo..$hi]-> (${pick(bs)})\n"
+            sb ++= s"match ($a) -[:$rl*$lo..$hi$distSuffix]-> (${pick(bs)})\n"
           else {
             n += 1
             val v = s"v$n"
-            sb ++= s"match ($a) -[:$rl*$lo..$hi]-> ($v:$l)\n"
+            sb ++= s"match ($a) -[:$rl*$lo..$hi$distSuffix]-> ($v:$l)\n"
             env = (v, l) :: env
           }
+          dist.foreach(d => env = (d, Typing.PathLabel) :: env)
         }
       case 6 => // where not exists — pattern negation (anti-join witness);
         // four shapes: bound→bound (pure edge anti), bound→existential
@@ -210,15 +219,17 @@ class DifferentialSpec extends AnyFunSuite {
           sb ++= s"merge ($v:P {x: ${rnd.nextInt(6)}, nm: \"${pick(Seq("alpha", "beta"))}\"})\n"
         else sb ++= s"merge ($v:Q {y: ${rnd.nextInt(6)}})\n"
         env = (v, lbl) :: env
-      case _ => // delete a node binding (also unbinds)
+      case _ => // delete a node binding (also unbinds; never a path binding)
         if (env.nonEmpty && rnd.nextInt(3) == 0) {
           val (v, _) = env(rnd.nextInt(env.size))
           val lbl = latest(v)
-          sb ++= s"delete $v\n"
-          // conservatively retire every same-label binding: they may alias
-          // the deleted nodes, and reads/sets through dangling bindings
-          // are the one place engine and reference semantics diverge
-          env = env.filterNot { case (w, l) => w == v || lbl.contains(l) }
+          if (!lbl.contains(Typing.PathLabel)) {
+            sb ++= s"delete $v\n"
+            // conservatively retire every same-label binding: they may alias
+            // the deleted nodes, and reads/sets through dangling bindings
+            // are the one place engine and reference semantics diverge
+            env = env.filterNot { case (w, l) => w == v || lbl.contains(l) }
+          }
         }
     }
     // finish: return a distinct subset in random order (or leave the full

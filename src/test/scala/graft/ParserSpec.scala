@@ -120,6 +120,17 @@ class ParserSpec extends AnyFunSuite {
       SimpPattern(DeclPattern("b", "N")))))
   }
 
+  test("varpath shortest-distance binding `as d` parses; `as` stays contextual") {
+    val p = Parser.parse(
+      "(:N {})\n(:N) -[:next]-> (:N)\nmatch (a:N) -[:next*1..4 as d]-> (b:N)\nreturn a, d")
+    val pats = p.query.clauses.collectFirst { case Match(ps) => ps }.get
+    assert(pats == List(VarPattern(DeclPattern("a", "N"), "next", 1, 4,
+      SimpPattern(DeclPattern("b", "N")), Some("d"))))
+    // `as` is NOT a keyword: still legal as a variable name
+    val q = Parser.parse("(:N {})\nmatch (as:N)\nreturn as")
+    assert(q.query.clauses.nonEmpty)
+  }
+
   test("varpath bounds must be integers") {
     val ex = intercept[Parser.ParseError](
       Parser.parse("(:N {})\n(:N) -[:next]-> (:N)\nmatch (a:N) -[:next*x..3]-> (b:N)"))

@@ -123,22 +123,32 @@ object RefInterp {
           rows = st.rows.map(_ :+ id), next = id + 1)
       }
 
-    case RVarPath(sv, (hl, rl, _), lo, hi, tv) =>
+    case RVarPath(sv, (hl, rl, _), lo, hi, tv, dist) =>
       // bounded closure over the rl edges, set semantics per level —
       // mirrors Engine.varPathReach (incl. the lo = 0 identity seed over
-      // every node of the homogeneous label)
+      // every node of the homogeneous label); with a distance binding,
+      // per-pair MINIMAL depth within the window (first-seen level wins,
+      // levels ascending — mirrors Engine.varPathReachDist's min)
       val (cs, ct) = (st.colOf(sv), st.colOf(tv))
       val e1 = st.edges.collect { case (s, `rl`, t) => (s, t) }
-      val ident: Set[(Long, Long)] =
-        if (lo == 0) st.nodes.collect { case (id, n) if n.label == hl => (id, id) }.toSet
-        else Set.empty
+      val minD = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      if (lo == 0) st.nodes.foreach { case (id, n) =>
+        if (n.label == hl) minD.getOrElseUpdate((id, id), 0L) }
       var cur = e1
-      var acc = if (lo <= 1 && hi >= 1) e1 else Set.empty[(Long, Long)]
+      if (lo <= 1 && hi >= 1) e1.foreach(p => minD.getOrElseUpdate(p, 1L))
       for (d <- 2 to hi) {
         cur = for ((s, m) <- cur; (m2, t) <- e1 if m2 == m) yield (s, t)
-        if (d >= lo) acc = acc ++ cur
+        if (d >= lo) cur.foreach(p => minD.getOrElseUpdate(p, d.toLong))
       }
-      st.copy(rows = st.rows.filter(r => (ident ++ acc)((r(cs), r(ct)))))
+      dist match {
+        case None =>
+          st.copy(rows = st.rows.filter(r => minD.contains((r(cs), r(ct)))))
+        case Some(d) =>
+          val kept = st.rows.flatMap { r =>
+            minD.get((r(cs), r(ct))).map(h => r :+ h)
+          }
+          st.copy(env = (d, st.width) :: st.env, width = st.width + 1, rows = kept)
+      }
 
     case RNotExists(inner, bound) =>
       // existential check per distinct bound tuple: interpret the inner
@@ -209,6 +219,9 @@ object RefInterp {
   private def eval(st: St, row: Vector[Long], te: TExpr): Value = te match {
     case TConst(v) => v
     case TNullCheck(v) => BoolV(row(st.colOf(v)) == NullId)
+    case TAttr(v, lbl, _, _) if lbl == Typing.PathLabel =>
+      // a path-distance binding's hops IS its column value
+      IntV(row(st.colOf(v)))
     case TAttr(v, _, f, _) =>
       st.nodes(row(st.colOf(v))).attrs.getOrElse(f,
         throw new IllegalStateException(s"attribute $f not set for $v"))

@@ -190,6 +190,47 @@ class TypingSpec extends AnyFunSuite {
     assert(err(selfHeader + "match (a:N) -[:next*1..11]-> (b:N)").contains("too deep"))
   }
 
+  // --- shortest-distance binding `as d` (engine extension) ---
+
+  test("shortest: d binds with PathLabel, d.hops types as int") {
+    val tp = Typing.compile(selfHeader +
+      "match (a:N) -[:next*1..3 as d]-> (b:N)\nwhere d.hops >= 2\nreturn a, d.hops")
+    assert(tp.instrs.collect { case v: Typing.RVarPath => v } ==
+      List(Typing.RVarPath("a", ("N", "next", "N"), 1, 3, "b", Some("d"))))
+    val attrs = tp.instrs.collect { case Typing.RWhere(te) => te }
+      .flatMap(collectTAttrs)
+    assert(attrs.contains(Typing.TAttr("d", Typing.PathLabel, "hops", graft.lang.IntT)))
+  }
+
+  test("shortest: rebinding an existing variable is rejected") {
+    assert(err(selfHeader + "match (c:N)\nmatch (a:N) -[:next*1..3 as c]-> (b:N)")
+      .contains("already bound"))
+    // either endpoint collides too — normalize binds them first
+    assert(err(selfHeader + "match (a:N) -[:next*1..3 as a]-> (b:N)")
+      .contains("already bound"))
+  }
+
+  test("shortest: only the hops attribute exists on a path binding") {
+    assert(err(selfHeader +
+      "match (a:N) -[:next*1..3 as d]-> (b:N)\nwhere d.len = 2")
+      .contains("not declared"))
+  }
+
+  test("shortest: path bindings are immutable — set and delete rejected") {
+    assert(err(selfHeader +
+      "match (a:N) -[:next*1..3 as d]-> (b:N)\nset d.hops = 1")
+      .contains("cannot set attribute of path-distance binding"))
+    assert(err(selfHeader +
+      "match (a:N) -[:next*1..3 as d]-> (b:N)\ndelete d")
+      .contains("cannot delete path-distance binding"))
+  }
+
+  private def collectTAttrs(te: Typing.TExpr): Seq[Typing.TAttr] = te match {
+    case a: Typing.TAttr            => Seq(a)
+    case Typing.TBin(_, l, r, _)    => collectTAttrs(l) ++ collectTAttrs(r)
+    case _                          => Nil
+  }
+
   test("varpath: relation must be label-homogeneous") {
     assert(err(header + "match (a:P) -[:r*1..2]-> (b:Q)")
       .contains("label-homogeneous"))
