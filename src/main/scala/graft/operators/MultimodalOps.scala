@@ -148,5 +148,51 @@ object MultimodalOps {
              |       list_max(bytes) AS max_byte,
              |       24 AS n_bytes
              |FROM b""".stripMargin)),
+
+    // ---- perceptual-hash slot: byte-4-gram simhash over the payload ---
+    // The multimodal near-dup primitive: a 64-bit locality-sensitive
+    // fingerprint computed directly ON THE BINARY COLUMN (byte 4-grams
+    // of the payload = hex 8-grams at byte stride — the same tally
+    // construction as DedupOps.simhash, applied to bytes instead of
+    // words), so visually-near payloads hash to Hamming-near codes. A
+    // real integration swaps the byte shingles for decoded-raster
+    // features (pHash DCT coefficients) inside the SAME projection —
+    // fingerprint width, banding, and the downstream Hamming join (see
+    // p_dedup_simhash_pairs) are unchanged. Zero-shuffle until the
+    // per-doc tally aggregation; no UDFs.
+    Q("p_mm_phash",
+      (s, dir) => {
+        val feats = corpus(s, dir)
+          .select(col("doc_id"), lower(hex(col("img"))).as("hx"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, 20), i -> substring(hx, 1 + 2 * i, 8))")).as("f"))
+          .select(col("doc_id"), md5(col("f")).as("h"))
+        val tallies = (0 until 64).map { j =>
+          val digit = s"(instr('0123456789abcdef', substring(h, ${1 + j / 4}, 1)) - 1)"
+          val shift = Seq(8, 4, 2, 1)(j % 4)
+          sum(expr(s"2 * (($digit div $shift) % 2) - 1")).as(s"t$j")
+        }
+        feats.groupBy("doc_id").agg(tallies.head, tallies.tail: _*)
+          .select(col("doc_id"),
+            concat((0 until 64).map(j => when(col(s"t$j") > 0, "1").otherwise("0")): _*)
+              .as("phash"))
+      },
+      Some("""WITH img AS (SELECT doc_id, lower(concat(
+             |         lpad(to_hex(64 + doc_id % 512), 8, '0'),
+             |         lpad(to_hex(64 + (doc_id * 7) % 512), 8, '0'),
+             |         md5(text))) AS hx FROM documents),
+             |feats AS (SELECT doc_id, substr(hx, 1 + 2 * i, 8) AS f
+             |          FROM img, (SELECT unnest(range(21)) AS i)),
+             |fc AS (SELECT doc_id, f, count(*) AS cnt FROM feats GROUP BY doc_id, f),
+             |bits AS (SELECT doc_id, j,
+             |           sum(cnt * (2 * ((strpos('0123456789abcdef',
+             |                               substr(md5(f), 1 + (j // 4), 1)) - 1)
+             |                           // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+             |                                          WHEN 2 THEN 2 ELSE 1 END) % 2) - 1)) AS tally
+             |         FROM fc, (SELECT unnest(range(64)) AS j)
+             |         GROUP BY doc_id, j)
+             |SELECT doc_id,
+             |       string_agg(CASE WHEN tally > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS phash
+             |FROM bits GROUP BY doc_id""".stripMargin)),
   )
 }

@@ -97,6 +97,38 @@ object SampleOps {
              |       THEN 'val' ELSE 'test' END AS split
              |FROM documents""".stripMargin)),
 
+    // ---- deterministic global shuffle → training-shard layout ----------
+    // The last step before the dataloader: break curation order (source
+    // files arrive grouped by domain/crawl — training wants documents
+    // i.i.d.) with a SEEDED, data-derived permutation, then assign each
+    // document a (shard, position). Order is the md5 hex string (hex
+    // digit 5 picks the shard — independent of digits 1-4, which the
+    // split/stratified/weighted samplers consume, so all four decisions
+    // compose uncorrelated), position is the rank within the shard; both
+    // are pure functions of the data, so a re-run, a backfill, or a
+    // different cluster layout reproduces byte-identical shards — the
+    // property "seeded shuffle via sort on rand()" does NOT have. One
+    // exchange (the shard window); the production write is the same
+    // frame through repartition(shard) + sortWithinPartitions(hk) with
+    // n_shards sized to ~shard_size, and hash mass balances shards by
+    // construction.
+    Q("p_sample_shard",
+      (s, dir) => {
+        val w = Window.partitionBy(col("shard")).orderBy(col("hk"), col("doc_id"))
+        docs(s, dir)
+          .withColumn("hk", expr("md5(cast(doc_id as string))"))
+          .withColumn("shard", expr(
+            "cast((instr('0123456789abcdef', substring(hk, 5, 1)) - 1) % 8 as bigint)"))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("shard"), col("pos"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 5, 1)) - 1) % 8 AS BIGINT) AS shard,
+             |  CAST(ROW_NUMBER() OVER (
+             |    PARTITION BY (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 5, 1)) - 1) % 8
+             |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS pos
+             |FROM documents""".stripMargin)),
+
     // ---- quality-weighted sampling (importance sampling) ---------------
     // Inclusion probability proportional to a per-doc quality weight —
     // here length capped at 4000 chars, the standard "keep more of the

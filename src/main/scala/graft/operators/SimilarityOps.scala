@@ -209,6 +209,102 @@ object SimilarityOps {
              |       FROM adc)
              |SELECT qid, vec_id, adc_dist, rnk FROM rk WHERE rnk <= 5""".stripMargin)),
 
+    // ---- composed IVF + PQ (ADC) serving path -------------------------
+    // The full FAISS-style IVFPQ read path, end to end: the IVF coarse
+    // quantizer prunes the search to nprobe=2 inverted lists per query,
+    // and WITHIN the probed lists distances are PQ asymmetric (8 LUT
+    // adds over 1-byte codes) — the two halves p_sim_ivf_search and
+    // p_sim_pq_search demonstrate separately, composed here exactly as
+    // a vector store serves at 100 TB: the scan touches only the codes
+    // of the probed cells (pruning × compression — neither alone gives
+    // the read path its shape). Probes, LUT, and the probe→cell map are
+    // all tiny broadcasts; the only shuffle is the per-(query, neighbor)
+    // ADC aggregation over the pruned candidate stream. Every distance
+    // is exact int64 and every rank ties on ids, so the composed oracle
+    // hash-matches bit-for-bit.
+    Q("p_sim_ivfpq_search",
+      (s, dir) => {
+        val e = quantized(s, dir)
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("q").as("cq"), col("nrm").as("cn"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("centroid_id"))
+        val assign = e.select(col("vec_id"), col("q"), col("nrm"))
+          .crossJoin(broadcast(cents))
+          .withColumn("cos", round(cosine("q", "nrm", "cq", "cn"), 6))
+          .withColumn("rank", row_number().over(wAssign))
+          .filter(col("rank") === 1)
+          .select(col("vec_id"), col("centroid_id"))
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("centroid_id"))
+        val probes = e.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nrm").as("na"))
+          .crossJoin(broadcast(cents))
+          .withColumn("cos", round(cosine("qa", "na", "cq", "cn"), 6))
+          .withColumn("rank", row_number().over(wProbe))
+          .filter(col("rank") <= 2)
+          .select(col("query_id"), col("centroid_id"))
+        val (blocks, refined) = pqModel(s, dir)
+        val codes = pqAssign(blocks, refined).select("vec_id", "block", "code")
+        val lut = blocks.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("qid"), col("block"), col("sub"))
+          .join(refined, Seq("block"))
+          .select(col("qid").as("query_id"), col("block"), col("code"), expr(
+            "array_dot_long(sub, sub) - 2 * array_dot_long(sub, csub) + array_dot_long(csub, csub)")
+            .as("d"))
+        // IVF pruning: each query sees ONLY the codes of its 2 probed
+        // cells — the candidate stream the ADC aggregation runs over
+        val cand = assign
+          .join(broadcast(probes), Seq("centroid_id"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id"))
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_dist"), col("vec_id"))
+        cand.join(codes, Seq("vec_id"))
+          .join(broadcast(lut), Seq("query_id", "block", "code"))
+          .groupBy("query_id", "vec_id")
+          .agg(sum(col("d")).cast("long").as("adc_dist"))
+          .withColumn("rnk", row_number().over(wTop))
+          .filter(col("rnk") <= topK)
+          .select(col("query_id"), col("vec_id"), col("adc_dist"), col("rnk"))
+      },
+      Some(pqOracleCte + s""",
+             |codes AS (SELECT vec_id, block, code FROM ranked WHERE rnk = 1),
+             |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nrm FROM e),
+             |cents AS (SELECT vec_id AS centroid_id, q AS cq, nrm AS cn FROM n WHERE vec_id < 8),
+             |ascore AS (SELECT n.vec_id, c.centroid_id,
+             |             round(list_sum(list_transform(range(1, len(n.q) + 1), i -> n.q[i] * c.cq[i]))::DOUBLE
+             |               / (sqrt(n.nrm::DOUBLE) * sqrt(c.cn::DOUBLE)), 6) AS cos
+             |           FROM n, cents c),
+             |assign AS (SELECT vec_id, centroid_id FROM (
+             |             SELECT vec_id, centroid_id,
+             |               ROW_NUMBER() OVER (PARTITION BY vec_id
+             |                                  ORDER BY cos DESC, centroid_id) AS rnk
+             |             FROM ascore) WHERE rnk = 1),
+             |probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+             |             SELECT vec_id, centroid_id,
+             |               ROW_NUMBER() OVER (PARTITION BY vec_id
+             |                                  ORDER BY cos DESC, centroid_id) AS rnk
+             |             FROM ascore WHERE vec_id < $nQueries) WHERE rnk <= 2),
+             |qs AS (SELECT vec_id AS qid, block, sub FROM blocks WHERE vec_id < $nQueries),
+             |lut AS (SELECT qs.qid, qs.block, cb1.code,
+             |          CAST(list_sum(list_transform(range(1, 9),
+             |            i -> (qs.sub[i] - cb1.csub[i]) * (qs.sub[i] - cb1.csub[i]))) AS BIGINT) AS d
+             |        FROM qs JOIN cb1 USING (block)),
+             |cand AS (SELECT p.query_id, a.vec_id
+             |         FROM probes p JOIN assign a USING (centroid_id)
+             |         WHERE a.vec_id <> p.query_id),
+             |adc AS (SELECT c.query_id, c.vec_id, sum(l.d)::BIGINT AS adc_dist
+             |        FROM cand c JOIN codes cd ON cd.vec_id = c.vec_id
+             |        JOIN lut l ON l.qid = c.query_id
+             |          AND l.block = cd.block AND l.code = cd.code
+             |        GROUP BY c.query_id, c.vec_id),
+             |rk AS (SELECT query_id, vec_id, adc_dist,
+             |         ROW_NUMBER() OVER (PARTITION BY query_id
+             |                            ORDER BY adc_dist, vec_id) AS rnk
+             |       FROM adc)
+             |SELECT query_id, vec_id, adc_dist, rnk FROM rk WHERE rnk <= $topK""".stripMargin)),
+
     // ---- k-means update step: recompute centroids from assignment -----
     // The other half of Lloyd's iteration (p_sim_ivf is the assignment
     // half): per-cluster per-dimension means of the assigned vectors.

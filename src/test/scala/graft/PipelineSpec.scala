@@ -759,6 +759,84 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("shard layout: a deterministic permutation partitioned into dense shards") {
+    val rows = run("p_sample_shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    // every document lands in exactly one (shard, pos) slot
+    assert(rows.length == nDocs)
+    assert(rows.map(_._1).distinct.length == nDocs)
+    // positions are dense 1..n within each shard (a dataloader can seek
+    // by offset), and no shard is empty or hot: hex-digit mass splits
+    // 500 docs across 8 shards ~62 each
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length))
+      assert(rs.length > 30 && rs.length < 100, s"shard $shard holds ${rs.length}")
+    }
+    // the permutation is a pure function of the data: byte-identical on
+    // a re-run (the property sort-on-rand() shuffles do not have)
+    val again = run("p_sample_shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+    // and the order within a shard is hash order, not insert order:
+    // doc_ids in any shard are not simply ascending by position
+    val someShard = rows.filter(_._2 == rows.head._2).sortBy(_._3).map(_._1)
+    assert(someShard.zip(someShard.sorted).exists { case (a, b) => a != b },
+      "shard order degenerated to doc_id order — permutation lost")
+  }
+
+  test("IVFPQ search = ADC ranking restricted to each query's probed cells") {
+    // The composition contract: p_sim_ivfpq_search must equal "compute
+    // the PQ-ADC distance to EVERY corpus vector (the un-pruned serving
+    // path), then keep only neighbors assigned to one of the query's 2
+    // probed IVF cells, then take the top-5" — i.e. IVF changes WHICH
+    // vectors are scored, never their scores or order. Probes are
+    // re-derived from the oracle-checked p_sim_ivf assignment operator
+    // (its rank-1 column is the same cosine scorer the probe pass uses,
+    // so the spec reuses a verified component, not a copy).
+    val ivfpq = run("p_sim_ivfpq_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // full ADC scores for the ivfpq queries (vec_id < 10), un-pruned
+    val (blocks, cb) = SimilarityOps.pqModel(spark, dir)
+    val codes = run("p_sim_pq").select("vec_id", "block", "code")
+    val q = blocks.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("block"), col("sub").as("qsub"))
+    val adcAll = q.join(codes.join(cb, Seq("block", "code")), Seq("block"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("d",
+        expr("aggregate(zip_with(qsub, csub, (a, b) -> (a-b)*(a-b)), 0L, (acc, x) -> acc + x)"))
+      .groupBy("qid", "vec_id").agg(sum(col("d")).as("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // probed cells per query: top-2 centroids by the same quantized
+    // cosine p_sim_ivf ranks with — replayed over its (vec, centroid,
+    // cos) scores
+    val ivf = run("p_sim_ivf").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // corpus → its cell
+    val cents = (0L until 8L).toSet
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => Math.round(x.toDouble * 1000000))
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val d = dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    (0L until 10L).foreach { qid =>
+      val probed = cents.toSeq
+        .map(c => (c, cos(quant(emb(qid)), quant(emb(c)))))
+        .sortBy { case (c, s) => (-s, c) }.take(2).map(_._1).toSet
+      val expected = adcAll.collect {
+        case ((`qid`, v), d) if probed.contains(ivf(v)) => (v, d)
+      }.toSeq.sortBy { case (v, d) => (d, v) }.take(5)
+        .zipWithIndex.map { case ((v, d), i) => (qid, v, d, i + 1) }
+      val got = ivfpq.filter(_._1 == qid).sortBy(_._4).toSeq
+      assert(got == expected, s"query $qid: ivfpq != pruned ADC ranking")
+    }
+  }
+
   test("substring-span coverage: exact duplicates are fully covered, fractions in range") {
     val sub = run("p_dedup_substring").collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap

@@ -288,4 +288,53 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("p_sim_pq_search")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast LUT join in:\n$p")
   }
+
+  test("IVFPQ search broadcasts probes, LUT and cell map (pruning never shuffles codes)") {
+    // The composed read path's claim: the IVF probe map and the ADC LUT
+    // are broadcast against the codes stream, so pruning + scoring are
+    // map-side; the only exchange is the final (query, neighbor) ADC
+    // aggregation (plus its window). A sort-merge join on centroid or
+    // (block, code) would falsify the 100 TB shape.
+    val p = plan("p_sim_ivfpq_search")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected broadcast probe + LUT joins in:\n$p")
+  }
+
+  test("shard layout runs on ONE shard-keyed exchange") {
+    // The permutation is hash order WITHIN hash-assigned shards: one
+    // exchange on shard, then a partition-local sort — a global ORDER BY
+    // (RangePartitioning) would funnel the corpus through one task
+    // boundary per shard anyway and is the shape this op exists to avoid.
+    val p = plan("p_sample_shard")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"expected a single shard exchange in:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"unexpected global range sort in:\n$p")
+  }
+
+  test("byte-level phash tallies with map-side partial aggregation, no UDFs") {
+    // fingerprint = scan → hex/shingle projection → partial tally →
+    // one doc_id exchange → final tally; the shingle explode must not
+    // introduce its own shuffle.
+    val p = plan("p_mm_phash")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"expected a single doc_id exchange in:\n$p")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"expected partial aggregation in:\n$p")
+  }
+
+  test("personalized PageRank hands the consumer a materialized frame") {
+    // g_ppr shares fixedPageRank's 1-exchange superstep via the same
+    // eagerPartitioned invariants (the superstep-merge pin covers that
+    // shape); the operator's own contract is that the iteration happens
+    // INSIDE — the consumer sees only the checkpointed top-100 scan,
+    // never the loop's join/exchange chain (an unmaterialized loop plan
+    // here would mean the checkpoint discipline broke and every consumer
+    // action re-runs 6 supersteps).
+    val df = SparkEntry.queries("g_ppr")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Exchange"),
+      s"expected a materialized checkpoint scan in:\n$p")
+    assert(df.count() == 100)
+  }
 }
