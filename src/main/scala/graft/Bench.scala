@@ -36,18 +36,18 @@ object Bench {
     * idle-vs-contended measurement, not code). Recording runs disable
     * the retry (SPARK_GRAFT_RETRY=0) so the baseline itself stays raw. */
   private val familyBand: Map[String, Double] = Map(
-    "g"        -> 79.2,
-    "p_stream" -> 22.6,
-    "p_dedup"  -> 22.3,
-    "gql"      -> 19.5,
-    "q"        -> 10.5,
-    "p_io"     -> 7.6,
-    "p_events" -> 6.2,
-    "p_sim"    -> 5.2,
-    "p_curate" -> 3.6,
-    "p_text"   -> 3.3,
-    "p_mm"     -> 0.7,
-    "p_sample" -> 0.6,
+    "g"        -> 127.1,
+    "p_stream" -> 28.9,
+    "p_dedup"  -> 26.6,
+    "gql"      -> 23.9,
+    "q"        -> 11.7,
+    "p_io"     -> 8.9,
+    "p_events" -> 7.6,
+    "p_sim"    -> 7.2,
+    "p_curate" -> 3.9,
+    "p_text"   -> 3.8,
+    "p_mm"     -> 1.2,
+    "p_sample" -> 1.2,
     "p_pack"   -> 0.1)
   private val retryFactor = 1.5
   // ...and at least this many seconds over the band: sub-second families

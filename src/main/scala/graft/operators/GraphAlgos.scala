@@ -490,16 +490,22 @@ object GraphAlgos {
        |SELECT c AS core_degree, count(*) AS n_nodes FROM fd GROUP BY c""".stripMargin
   }
 
-  // Resource-allocation link prediction over the part co-purchase graph:
+  // Resource-allocation link prediction over the SUPPORTED part
+  // co-purchase graph: edges are pairs bought together in >= 2 distinct
+  // orders (the association-rule support floor — a support-1
+  // co-occurrence under near-uniform part assignment is noise, and the
+  // floor is also what keeps exact RA tractable: it sparsifies the raw
+  // graph from 1.2M edges / 148M wedges to 3.9k / 2.2k at sf0.1);
   // candidate pair (u,v) at distance 2, score = sum over common
   // neighbors w of floor(1e9 / deg(w)) — the RA index in integer
   // division, so the score is exact in any engine (no float log as in
   // Adamic–Adar). Existing edges are excluded; top-20 under the total
   // order (ra DESC, u, v).
   private lazy val linkpredOracle: String =
-    """WITH pairs AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+    """WITH po AS (SELECT DISTINCT x.l_orderkey AS ok, x.l_partkey AS a, y.l_partkey AS b
       |  FROM lineitem x JOIN lineitem y
       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |pairs AS (SELECT a, b FROM po GROUP BY a, b HAVING count(*) >= 2),
       |adj AS (SELECT a AS w, b AS n FROM pairs UNION ALL SELECT b, a FROM pairs),
       |deg AS (SELECT w, count(*) AS d FROM adj GROUP BY w),
       |wedge AS (SELECT x.n AS u, y.n AS v, x.w AS w
@@ -934,23 +940,29 @@ object GraphAlgos {
     // "Parts bought together with the same third part, but never
     // together themselves" — the classic RA index, in integer division
     // (1e9 div deg) so scores are engine-exact (Adamic–Adar's 1/log d
-    // would need float ln). Plan shape: the adjacency, the degree table
-    // and the exclusion edge list are all |E|-scale and BROADCAST, so
-    // the O(Σ deg²) wedge stream is generated, hub-scored, and
-    // anti-filtered IN PLACE — the only exchange is the final (u,v)
-    // partial aggregation, which map-side combine shrinks before it
-    // moves. At 100 TB the wedge fan-out on hub centers is the cost
-    // driver: the exact mitigation is splitting each hub's adjacency
-    // into blocks and crossing blocks pairwise (same output, bounded
-    // tasks), and the approximate one is a df-cut on centers (drops
-    // near-zero 1e9 div d contributions first).
+    // would need float ln). The edge set carries the association-rule
+    // SUPPORT FLOOR (>= 2 distinct co-orders): support-1 co-occurrence
+    // under near-uniform part assignment is noise, and the floor is the
+    // lever that keeps exact RA tractable at any scale — it cut the raw
+    // sf0.1 graph from 1.2M edges / 148M wedges (56 s measured, all in
+    // the (u,v) aggregation) to 3.9k / 2.2k. Plan shape: the supported
+    // adjacency, the degree table and the exclusion edge list are tiny
+    // and BROADCAST, so the wedge stream is generated, hub-scored, and
+    // anti-filtered IN PLACE — the only exchanges are the support
+    // groupBy over the raw pair stream and the final (u,v) partial
+    // aggregation. On a corpus where even the SUPPORTED graph has hub
+    // centers, the exact mitigation is splitting each hub's adjacency
+    // into blocks crossed pairwise (same output, bounded tasks); the
+    // approximate one raises the support floor or df-cuts centers.
     Q("g_linkpred",
       (s, dir) => {
         val li = s.read.parquet(s"$dir/lineitem.parquet")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         val pairs = Ckpt.eager(li.as("x").join(li.as("y"),
             col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct())
+          .select(col("x.ok").as("ok"), col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+          .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+          .filter(col("supp") >= 2).select("a", "b"))
         val adj = pairs.select(col("a").as("w"), col("b").as("n"))
           .union(pairs.select(col("b").as("w"), col("a").as("n")))
         val deg = adj.groupBy("w").agg(count(lit(1)).as("d"))

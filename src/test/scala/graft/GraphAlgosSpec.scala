@@ -144,10 +144,17 @@ class GraphAlgosSpec extends AnyFunSuite {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val pairs: Set[(Long, Long)] = li.toSeq.groupBy(_._1).values.flatMap { rows =>
+    // supported co-purchase edges: pairs sharing >= 2 distinct orders
+    // (the association-rule support floor the operator applies)
+    val perOrder = li.toSeq.groupBy(_._1).values.flatMap { rows =>
       val ps = rows.map(_._2).distinct
       for (a <- ps; b <- ps if a < b) yield (a, b)
-    }.toSet
+    }.toSeq
+    // NB: .collect { case (p, _) => p } on a Map would rebuild a MAP
+    // (tuple results re-key by first element) and silently collapse
+    // (a, b1)/(a, b2) — keySet keeps the pairs intact
+    val pairs: Set[(Long, Long)] =
+      perOrder.groupBy(identity).filter(_._2.size >= 2).keySet.toSet
     val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
       .map { case (w, es) => w -> es.map(_._2).toSeq.sorted }
     val deg = adj.map { case (w, ns) => w -> ns.size.toLong }
