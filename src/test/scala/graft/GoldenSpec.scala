@@ -343,6 +343,25 @@ class GoldenSpec extends AnyFunSuite {
       Set((5L, 0L)))
   }
 
+  test("shortest-path binding inside an optional match witness") {
+    // the dist binding is a fresh witness variable like any other:
+    // matched rows bind (b, hops) per witness, unmatched rows bind BOTH
+    // to NULL (all-or-nothing), and d.hops through an unmatched row is
+    // NULL like any attribute through an unmatched optional binding
+    val r = Engine.runSource(spark, chainSrc +
+      "match (a:N)\noptional match (a) -[:next*2..3 as d]-> (b:N)\nreturn a, b, d.hops")
+    val rows = r.bindings.collect().map { x =>
+      (x.getLong(0),
+        if (x.isNullAt(1)) -1L else x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))
+    }.toSet
+    val matched = for {
+      a <- 0L to 5L; b <- 0L to 5L if b - a >= 2 && b - a <= 3
+    } yield (a, b, b - a) // linear chain: unique path, hops = b - a
+    val unmatched = Set((4L, -1L, -1L), (5L, -1L, -1L)) // no 2..3-hop tail
+    assert(rows == matched.toSet ++ unmatched)
+  }
+
   test("optional match: unmatched rows survive with a NULL binding") {
     val r = Engine.runSource(spark, chainSrc +
       "match (a:N)\noptional match (a) -[:next]-> (b:N)\nreturn a, b")
