@@ -383,11 +383,19 @@ object Engine {
       // distinct aggregates plan as Spark's standard two-phase distinct
       // aggregation (partial dedup before the final agg — no row ships
       // twice); min/max over distinct values equal plain min/max
+      // integer avg = sum div count (truncating): (s - s % n) is exactly
+      // divisible by n, so the double division is EXACT for |avg| < 2^53
+      // and the cast truncates nothing — engine-independent, unlike a
+      // rounded float average
+      def intAvg(s: Column, n: Column): Column =
+        ((s - s % n) / n).cast("long")
       def aggExpr(fn: AggFn, c: Column, dist: Boolean): Column = (fn, dist) match {
         case (AggCount, true) => count_distinct(c)
         case (AggSum, true)   => sum_distinct(c)
+        case (AggAvg, true)   => intAvg(sum_distinct(c), count_distinct(c))
         case (AggCount, _)    => count(c)
         case (AggSum, _)      => sum(c)
+        case (AggAvg, _)      => intAvg(sum(c), count(c))
         case (AggMin, _)      => min(c)
         case (AggMax, _)      => max(c)
       }

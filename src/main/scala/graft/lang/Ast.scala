@@ -108,6 +108,10 @@ case object AggCount extends AggFn { val name = "count" }
 case object AggSum extends AggFn { val name = "sum" }
 case object AggMin extends AggFn { val name = "min" }
 case object AggMax extends AggFn { val name = "max" }
+/** Integer average: `sum div count` with the language's truncating
+  * division (the reference has no floats; Cypher's float avg would be
+  * untypable here) — documented deviation, exact in both engines. */
+case object AggAvg extends AggFn { val name = "avg" }
 
 sealed trait RetItem extends Product with Serializable
 final case class RetVar(v: String) extends RetItem

@@ -169,7 +169,8 @@ object Parser {
     // paren — so every reference-legal program parses unchanged, and
     // plain `return v1, v2` still yields the reference-shaped [[Return]].
     private val aggFns = Map(
-      "count" -> AggCount, "sum" -> AggSum, "min" -> AggMin, "max" -> AggMax)
+      "count" -> AggCount, "sum" -> AggSum, "min" -> AggMin, "max" -> AggMax,
+      "avg" -> AggAvg)
 
     private def returnClause(): Clause = {
       // `distinct` is contextual like order/limit: a modifier only when

@@ -281,6 +281,19 @@ object GraphOps {
              |       CAST(sum(p_size) AS BIGINT) AS sum_p_psize
              |FROM part""".stripMargin)),
 
+    // integer average: sum div count with the language's truncating
+    // division (no floats in MiniGQL — documented deviation from
+    // Cypher's float avg; exact in both engines). Grouped AND composed
+    // with the other aggregates over a positive-domain attribute.
+    Q("gql_agg_avg",
+      bindings(
+        """match (p:part)
+          |return p.brand, avg(p.psize), count(p)""".stripMargin),
+      Some("""SELECT p_brand AS p_brand,
+             |       CAST(sum(p_size) AS BIGINT) // count(*) AS avg_p_psize,
+             |       count(*) AS count_p
+             |FROM part GROUP BY 1""".stripMargin)),
+
     // aggregated top-n: order by the aggregate, id tiebreak, limit
     Q("gql_agg_order",
       bindings(

@@ -310,6 +310,17 @@ class GoldenSpec extends AnyFunSuite {
       (0L to 5L).map(i => (i, i)).toSet)
   }
 
+  test("ext return: integer avg truncates like the language's div") {
+    // x values 0,10,20,30,40,50 → sum 150, count 6 → avg 25 exactly;
+    // restricting to 4 nodes (x <= 30) → sum 60 / 4 = 15; and an
+    // INEXACT case: x <= 20 → 30 / 3 = 10; x <= 40 → 100/5 = 20. Truncation
+    // case via a filter keeping 0,10,30 → 40/3 = 13 (not 13.33…)
+    val r = Engine.runSource(spark, chainSrc +
+      "match (a:N)\nwhere a.x = 0 or a.x = 10 or a.x = 30\nreturn avg(a.x), count(a)")
+    assert(r.bindings.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((13L, 3L)))
+  }
+
   // chain plus a shortcut n0→n2: pairs reachable along BOTH the long and
   // the short route must bind the MINIMAL hop count
   private val shortcutSrc = chainSrc + "match (a0:N), (a2:N) where a0.x = 0 and a2.x = 20\ncreate (a0) -[:next]-> (a2)\n"

@@ -135,6 +135,14 @@ class TypingSpec extends AnyFunSuite {
     assert(err(header + "create (a:P)\nreturn sum(a.s)").contains("int attribute"))
   }
 
+  test("ext return: avg requires an int attribute, rejects bare variables") {
+    assert(err(header + "create (a:P)\nreturn avg(a.s)").contains("int attribute"))
+    assert(err(header + "create (a:P)\nreturn avg(a)").contains("attribute argument"))
+    // avg(int attr) typechecks
+    assert(Typing.compile(header + "create (a:P)\nset a.x = 4\nreturn avg(a.x)")
+      .instrs.nonEmpty)
+  }
+
   test("ext return: sum of a bare variable is rejected") {
     assert(err(header + "create (a:P)\nreturn sum(a)").contains("attribute argument"))
   }
