@@ -36,17 +36,17 @@ object Bench {
     * idle-vs-contended measurement, not code). Recording runs disable
     * the retry (SPARK_GRAFT_RETRY=0) so the baseline itself stays raw. */
   private val familyBand: Map[String, Double] = Map(
-    "g"        -> 127.1,
-    "p_stream" -> 28.9,
-    "p_dedup"  -> 26.6,
-    "gql"      -> 23.9,
-    "q"        -> 11.7,
-    "p_io"     -> 8.9,
-    "p_events" -> 7.6,
-    "p_sim"    -> 7.2,
-    "p_curate" -> 3.9,
-    "p_text"   -> 3.8,
-    "p_mm"     -> 1.2,
+    "g"        -> 116.8,
+    "p_stream" -> 27.3,
+    "p_dedup"  -> 26.9,
+    "gql"      -> 23.2,
+    "q"        -> 11.2,
+    "p_io"     -> 8.2,
+    "p_events" -> 7.7,
+    "p_sim"    -> 7.3,
+    "p_curate" -> 4.5,
+    "p_text"   -> 3.6,
+    "p_mm"     -> 1.1,
     "p_sample" -> 1.2,
     "p_pack"   -> 0.1)
   private val retryFactor = 1.5
