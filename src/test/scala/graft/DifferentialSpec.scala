@@ -360,6 +360,31 @@ class DifferentialSpec extends AnyFunSuite {
         |merge (a) -[:s]-> (m2)
         |merge (a) -[:s]-> (m2)
         |return a, m1, m2, m3
+        |""".stripMargin,
+      // shortest-distance binding on BOTH engine paths: bound→fresh-decl
+      // (PExpandPath peephole) with d.hops in where AND return, under
+      // path multiplicity (a→b direct edge and a→c→b 2-hop: minimum 1)
+      """create (a:P {x: 1, nm: "alpha"})
+        |create (b:P {x: 2, nm: "beta"})
+        |create (c:P {x: 3, nm: "gamma"})
+        |match (p1:P {x: 1}), (p2:P {x: 2}), (p3:P {x: 3})
+        |create (p1) -[:s]-> (p2)
+        |create (p1) -[:s]-> (p3)
+        |create (p3) -[:s]-> (p2)
+        |match (u:P {x: 1})
+        |match (u) -[:s*1..3 as d]-> (w:P)
+        |where d.hops >= 1
+        |return u, w, d
+        |""".stripMargin,
+      // bound→bound shortest path (the inner-join RVarPath path), with
+      // the zero-length identity minimum (hops 0 beats the 1..2 routes)
+      """create (a:P {x: 1, nm: "alpha"})
+        |create (b:P {x: 2, nm: "beta"})
+        |match (p1:P {x: 1}), (p2:P {x: 2})
+        |create (p1) -[:s]-> (p2)
+        |match (u:P), (v:P)
+        |match (u) -[:s*0..2 as d]-> (v)
+        |return u, v, d
         |""".stripMargin)
     progs.foreach(p => runBoth(header + p))
   }
