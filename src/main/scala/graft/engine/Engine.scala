@@ -383,12 +383,15 @@ object Engine {
       // distinct aggregates plan as Spark's standard two-phase distinct
       // aggregation (partial dedup before the final agg — no row ships
       // twice); min/max over distinct values equal plain min/max
-      // integer avg = sum div count (truncating): (s - s % n) is exactly
-      // divisible by n, so the double division is EXACT for |avg| < 2^53
-      // and the cast truncates nothing — engine-independent, unlike a
-      // rounded float average
+      // integer avg = sum div count (truncating), computed with Spark's
+      // IntegralDivide so the quotient stays in exact int64 arithmetic
+      // for ALL long sums — the earlier (s - s%n)/n double route rounded
+      // once |sum| exceeded 2^53 (ADVICE r08), a range 100 TB-scale sums
+      // reach routinely. Same truncation rule as the expression
+      // language's `div` (sql compiler below) and the DuckDB oracle's
+      // integer `//`.
       def intAvg(s: Column, n: Column): Column =
-        ((s - s % n) / n).cast("long")
+        call_function("div", s, n)
       def aggExpr(fn: AggFn, c: Column, dist: Boolean): Column = (fn, dist) match {
         case (AggCount, true) => count_distinct(c)
         case (AggSum, true)   => sum_distinct(c)

@@ -285,7 +285,10 @@ object CurateOps {
         val tgt = w.filter(col("lang") === "en")
           .groupBy("w").agg(count(lit(1)).as("ct"))
         val tots = src.agg(sum("cs").as("ns"), count(lit(1)).as("v"))
-        val ttot = tgt.agg(sum("ct").as("nt"))
+        // coalesce mirrors the oracle's tt CTE: on a target-free corpus
+        // sum(ct) is NULL, which would NULL every λ and drop ALL
+        // documents instead of computing real weights (ADVICE r08)
+        val ttot = tgt.agg(coalesce(sum("ct"), lit(0L)).as("nt"))
         val lam = src.join(tgt, Seq("w"), "left")
           .crossJoin(broadcast(tots)).crossJoin(broadcast(ttot))
           .select(col("w"), expr(

@@ -220,7 +220,13 @@ object RefInterp {
     case TConst(v) => v
     case TNullCheck(v) => BoolV(row(st.colOf(v)) == NullId)
     case TAttr(v, lbl, _, _) if lbl == Typing.PathLabel =>
-      // a path-distance binding's hops IS its column value
+      // a path-distance binding's hops IS its column value; guard the
+      // NULL sentinel so a future generator that attaches `as d` to an
+      // optional varpath cannot silently compare Long.MinValue as a
+      // real hop count (ADVICE r08)
+      if (row(st.colOf(v)) == NullId)
+        throw new IllegalStateException(
+          s"path-distance binding $v is NULL — extend eval to model NULL semantics")
       IntV(row(st.colOf(v)))
     case TAttr(v, _, f, _) =>
       st.nodes(row(st.colOf(v))).attrs.getOrElse(f,
