@@ -57,6 +57,18 @@ object Ckpt {
     c
   }
 
+  /** [[deferred]] for frames that appear MULTIPLE TIMES in one consuming
+    * plan (a varpath frontier level feeds both its output-union branch
+    * and the next hop's join): Catalyst deduplicates the repeated
+    * LogicalRDD leaf with `newInstance`, which re-ids its output but
+    * leaves the checkpoint's origin constraints on the old ids — the
+    * union's constraint rewrite then fails with `key not found`. The
+    * shim drops the origin constraints (stats kept); see
+    * [[GraftShim.dropOriginConstraints]]. Drain ledger unchanged — the
+    * stripped wrapper shares the tracked checkpoint's RDD. */
+  def deferredShared(df: DataFrame): DataFrame =
+    GraftShim.dropOriginConstraints(deferred(df))
+
   /** [[deferred]] with the hash partitioning preserved — same AQE flip
     * as [[eagerPartitioned]]; the plan (and with it the partitioning the
     * LogicalRDD leaf reports) is captured at mark time, so the flip only

@@ -169,9 +169,12 @@ object Engine {
         val c = fresh(st)
         val eS = s"${c}_src"
         val cD = s"${c}_d"
-        val rdf0 =
-          if (distVar.isEmpty) varPathReach(st.graph, key, lo, hi)
-          else varPathReachDist(st.graph, key, lo, hi)
+        // expand the closure FROM the bound side's distinct values —
+        // work scales with the seeds' reached frontier, not the
+        // relation's full closure (see varPathReachSeeded)
+        val seeds = st.bindings.select(col(st.colOf(boundVar)).as("seed")).distinct()
+        val rdf0 = varPathReachSeeded(st.graph, key, lo, hi, seeds,
+          seedIsSrc = newIsDst, dist = distVar.nonEmpty)
         val endpointCols = Seq(col("src").as(if (newIsDst) eS else c),
           col("dst").as(if (newIsDst) c else eS))
         val rdf = rdf0.select(
@@ -490,9 +493,14 @@ object Engine {
     case RVarPath(sv, key, lo, hi, tv, dist) =>
       // Both endpoints are bound (normalize emits the node instruction
       // first); constrain existing rows to pairs in the bounded closure.
+      // both sides bound: seed the closure from the source side's
+      // distinct values (either side works; src keeps the expansion
+      // forward), then re-constrain both endpoints as before
+      val seeds = st.bindings.select(col(st.colOf(sv)).as("seed")).distinct()
       dist match {
         case None =>
-          val reach = varPathReach(st.graph, key, lo, hi)
+          val reach = varPathReachSeeded(st.graph, key, lo, hi, seeds,
+            seedIsSrc = true, dist = false)
           val joined = st.bindings.join(reach,
             st.bindings(st.colOf(sv)) === reach("src") &&
               st.bindings(st.colOf(tv)) === reach("dst"),
@@ -504,7 +512,8 @@ object Engine {
           // the (src, dst, hops) frame (exactly one hops per pair, so
           // row multiplicity is unchanged vs the semi join)
           val c = fresh(st)
-          val reach = varPathReachDist(st.graph, key, lo, hi)
+          val reach = varPathReachSeeded(st.graph, key, lo, hi, seeds,
+            seedIsSrc = true, dist = true)
             .select(col("src"), col("dst"), col("hops").as(c))
           val joined = st.bindings.join(reach,
             st.bindings(st.colOf(sv)) === reach("src") &&
@@ -601,14 +610,17 @@ object Engine {
   }
 
   /** Distinct (src,dst) pairs connected by `lo..hi` consecutive edges of
-    * one label-homogeneous relation type — the bounded transitive closure
-    * behind `-[:r*lo..hi]->`. Each extra hop is ONE distributed self-join
-    * of the edge frame followed by a distinct; the per-level dedup keeps
-    * the intermediate linear in reachable-pairs (path multiplicity never
-    * materializes), which is what makes the bounded closure tractable on
-    * a big cluster — the depth cap (typing: hi <= 10) bounds the join
-    * chain. At scale, hash-partitioning both sides on the join key makes
-    * every level a co-partitioned shuffle join of the same frame. */
+    * one label-homogeneous relation type — the FULL bounded transitive
+    * closure behind `-[:r*lo..hi]->`. Each extra hop is ONE distributed
+    * self-join of the edge frame followed by a distinct; the per-level
+    * dedup keeps the intermediate linear in reachable-pairs (path
+    * multiplicity never materializes) — the depth cap (typing: hi <= 10)
+    * bounds the join chain. The ENGINE no longer calls this directly:
+    * both varpath paths seed the expansion from the bound endpoints
+    * ([[varPathReachSeeded]]), whose work tracks the bindings' frontier
+    * instead of the whole relation; this full closure remains the
+    * exactness baseline the seeded path is differentially pinned
+    * against (PlanSpec / GoldenSpec). */
   private[graft] def varPathReach(graph: PropertyGraph,
       key: (String, String, String), lo: Int, hi: Int): DataFrame = {
     val edges = graph.edges(key).select(col("src"), col("dst"))
@@ -635,6 +647,98 @@ object Engine {
       val hops = if (acc == null) cur else acc
       ident.fold(hops)(_.unionByName(hops)).dropDuplicates("src", "dst")
     }
+  }
+
+  /** Bindings-seeded bounded closure — the engine's varpath path.
+    *
+    * [[varPathReach]]/[[varPathReachDist]] materialize the relation's
+    * FULL lo..hi closure before the bindings join, so their work scales
+    * with |graph|² on a dense relation even when the binding table holds
+    * a handful of rows. This variant expands hop-by-hop FROM the distinct
+    * bound endpoint set (the [[innerWitness]] distinct-probe trick
+    * applied to the closure): per-hop work tracks the reached frontier of
+    * the seeds, not the whole relation — the plan every Cypher engine
+    * uses here. When the seed set IS the whole label (a varpath whose
+    * bound side was itself a full label scan) the expansion degenerates
+    * to exactly the full closure, so there is no regression in the
+    * worst case and no coverage heuristic to tune.
+    *
+    * `seeds` must be a single-column frame `seed` of DISTINCT node ids
+    * (NULL seeds — unmatched optional bindings — drop in the first join,
+    * matching the closure path where NULL equals nothing). `seedIsSrc`
+    * selects the expansion direction: seeds on the pattern's source side
+    * expand forward along edges; seeds on the destination side expand
+    * backward over the flipped edge frame (same frontier argument, same
+    * per-hop dedup). Returns `(src, dst)` pairs of the closure restricted
+    * to the seeded side — plus minimal `hops` within the window when
+    * `dist` — in the PATTERN's orientation, bit-identical to the full
+    * closure filtered to the seed set:
+    *   - per-depth frontiers are deduped on (seed, reached) exactly like
+    *     the closure's per-level (src, dst) dedup, so level d holds the
+    *     same exactly-d-hop pairs restricted to seeds;
+    *   - the lo = 0 identity seeds only nodes PRESENT in the label frame
+    *     (left_semi against it), mirroring the closure's identity scan —
+    *     a dangling binding (node deleted after bind) self-pairs in
+    *     neither.
+    * Scale shape: ≤ hi equi-joins of frontier × edges, each followed by
+    * a pair-keyed dedup; the closing dedup / min-hops aggregate runs
+    * over seed-reachable pairs only. Each intermediate frontier level is
+    * consumed TWICE (its output-union branch and the next hop's join),
+    * so those levels are deferred-localCheckpointed ([[Ckpt.deferred]]):
+    * the level's blocks materialize once inside the query's own action
+    * and both consumers read them — without this, each union branch
+    * re-embeds the whole prior join chain and the edge frame is scanned
+    * O(hi²) times instead of exactly hi (PlanSpec pins the residual
+    * single edge scan + one LogicalRDD leaf per materialized level). */
+  private[graft] def varPathReachSeeded(graph: PropertyGraph,
+      key: (String, String, String), lo: Int, hi: Int,
+      seeds: DataFrame, seedIsSrc: Boolean, dist: Boolean): DataFrame = {
+    val raw = graph.edges(key).select(col("src"), col("dst"))
+    val edges = if (seedIsSrc) raw else raw.select(col("dst").as("src"), col("src").as("dst"))
+    val identLabel = if (seedIsSrc) key._1 else key._3
+    val ident =
+      if (lo == 0) Some {
+        val self = seeds
+          .join(graph.nodes(identLabel).select(col("id").as("seed")), Seq("seed"), "left_semi")
+        if (dist) self.select(col("seed").as("src"), col("seed").as("dst"), lit(0L).as("hops"))
+        else self.select(col("seed").as("src"), col("seed").as("dst"))
+      }
+      else None
+    val levels =
+      if (hi == 0) Nil
+      else {
+        // depth-1 frontier: seeds × edges, deduped on the pair
+        var cur = seeds.join(edges, seeds("seed") === edges("src"))
+          .select(col("seed").as("src"), col("dst"))
+          .dropDuplicates("src", "dst")
+        val out = List.newBuilder[DataFrame]
+        def tag(df: DataFrame, d: Int): DataFrame =
+          if (dist) df.withColumn("hops", lit(d.toLong)) else df
+        // a level consumed by BOTH the output union and the next hop's
+        // join is materialized once (deferred checkpoint, see scaladoc);
+        // a level with a single consumer keeps its lazy plan
+        def share(d: Int): Unit =
+          if (d < hi && d >= lo) cur = graft.Ckpt.deferredShared(cur)
+        share(1)
+        if (lo <= 1) out += tag(cur, 1)
+        for (d <- 2 to hi) {
+          cur = cur.as("p")
+            .join(edges.as("e"), col("p.dst") === col("e.src"))
+            .select(col("p.src").as("src"), col("e.dst").as("dst"))
+            .dropDuplicates("src", "dst")
+          share(d)
+          if (d >= lo) out += tag(cur, d)
+        }
+        out.result()
+      }
+    val unioned = (ident.toList ++ levels).reduce(_ unionByName _)
+    val closed =
+      if (dist) unioned.groupBy("src", "dst").agg(min("hops").as("hops"))
+      else unioned.dropDuplicates("src", "dst")
+    if (seedIsSrc) closed
+    else closed.select(
+      col("dst").as("src") +: col("src").as("dst") +:
+        (if (dist) Seq(col("hops")) else Nil): _*)
   }
 
   /** [[varPathReach]] with the MINIMAL hop count per reachable pair —

@@ -24,6 +24,35 @@ object GraftShim {
       case _ => ()
     }
 
+  /** Rebuild a (local)checkpointed Dataset's LogicalRDD leaf WITHOUT its
+    * origin constraints. A checkpoint that appears MULTIPLE times in one
+    * consuming plan (e.g. an iteration level feeding both an output
+    * union branch and the next iteration's join) gets deduplicated by
+    * Catalyst via `newInstance`, which re-ids the leaf's output
+    * attributes but leaves `originConstraints` referencing the ORIGINAL
+    * ids — Union's constraint rewrite then dies with `key not found:
+    * <attr>`. Origin constraints only feed optional filter inference, so
+    * dropping them is always sound; origin stats are preserved (read
+    * reflectively — they drive broadcast decisions, and losing them
+    * would silently flip small frames to sort-merge joins). No-op for
+    * non-checkpoint frames. */
+  def dropOriginConstraints(ds: Dataset[_]): DataFrame = {
+    val spark = ds.sparkSession.asInstanceOf[classic.SparkSession]
+    ds.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD =>
+        val stats =
+          try {
+            val f = classOf[execution.LogicalRDD].getDeclaredField("originStats")
+            f.setAccessible(true)
+            f.get(lr).asInstanceOf[Option[catalyst.plans.logical.Statistics]]
+          } catch { case _: Throwable => None }
+        ofRows(spark, execution.LogicalRDD(
+          lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+          lr.isStreaming, lr.stream)(spark, stats, None))
+      case _ => ds.toDF()
+    }
+  }
+
   /** Unload every loaded StateStoreProvider and stop the state-store
     * maintenance thread. A stopped streaming query does NOT release its
     * state: HDFSBackedStateStoreProvider keeps the latest state-map

@@ -159,6 +159,95 @@ class PlanSpec extends AnyFunSuite {
       s"varpath hop fell back to a cross join in:\n$p")
   }
 
+  test("varpath expansion is seeded by the bindings, not the full closure") {
+    // VERDICT r08 #1: the engine's varpath work must scale with
+    // |bindings| × reached frontier, not |graph|². Pinned on
+    // varPathReachSeeded (the engine's only varpath entry since round 9)
+    // over a clean edge frame: with a 1-row seed set the expansion
+    // references the edge frame exactly hi times — one frontier×edges
+    // equi-join per hop, every hop pair-deduped — and never builds the
+    // edge×edge self-join chain of the full closure. Then the
+    // differential: seeded results equal the full closure restricted to
+    // the seeds (both orientations, dist and plain, incl. the lo = 0
+    // identity), and seeding with the whole label reproduces the full
+    // closure bit-for-bit.
+    import spark.implicits._
+    import graft.engine.Engine
+    val src =
+      """(:N {x int})
+        |(:N) -[:next]-> (:N)
+        |create (a:N) create (b:N) create (c:N) create (d:N)
+        |create (a) -[:next]-> (b), (a) -[:next]-> (c)
+        |create (b) -[:next]-> (d), (c) -[:next]-> (d), (d) -[:next]-> (a)
+        |""".stripMargin
+    val r = Engine.runSource(spark, src)
+    val edgeSet = Set(0L -> 1L, 0L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 0L)
+    val key = ("N", "next", "N")
+    val g = graft.engine.PropertyGraph(r.graph.schema, r.graph.nodes,
+      Map(key -> edgeSet.toSeq.toDF("src", "dst")))
+    // in-JVM oracle: minimal hops per pair within the lo..hi window
+    def closure(lo: Int, hi: Int): Map[(Long, Long), Long] = {
+      val best = scala.collection.mutable.Map[(Long, Long), Long]()
+      if (lo == 0) (0L to 3L).foreach(n => best((n, n)) = 0L)
+      var hop = edgeSet
+      for (d <- 1 to hi) {
+        if (d > 1) hop = for ((s, m) <- hop; (m2, t) <- edgeSet if m == m2) yield (s, t)
+        if (d >= lo) hop.foreach(p => if (!best.contains(p)) best(p) = d.toLong)
+      }
+      best.toMap
+    }
+    // (1) 1-row seed: the edge frame is scanned exactly hi times ACROSS
+    // the whole computation — each intermediate level is a deferred
+    // checkpoint (one LogicalRDD leaf per materialized level, its single
+    // edge scan inside the checkpoint lineage, computed once), and the
+    // residual plan holds exactly ONE edge scan (the last hop's join).
+    // Without the level materialization each union branch re-embeds the
+    // prior chain and the analyzed plan holds O(hi²) edge leaves — the
+    // full-closure-shaped blowup this test exists to forbid.
+    val seed1 = Seq(0L).toDF("seed")
+    for (hi <- 1 to 4) {
+      val reach = Engine.varPathReachSeeded(g, key, 1, hi, seed1,
+        seedIsSrc = true, dist = false)
+      val a = reach.queryExecution.analyzed.toString
+      // the edge frame is a 2-tuple LocalRelation (_1,_2), the seed frame
+      // a 1-value LocalRelation — distinct leaf shapes, countable apart
+      assert("LocalRelation \\[_1#".r.findAllIn(a).size == 1,
+        s"hi=$hi: expected 1 residual edge-frame scan, got:\n$a")
+      assert("LogicalRDD".r.findAllIn(a).size == (if (hi == 1) 0 else hi),
+        s"hi=$hi: expected ${if (hi == 1) 0 else hi} materialized-level leaves in:\n$a")
+      assert("Deduplicate".r.findAllIn(a).size == 2,
+        s"hi=$hi: last hop + close must pair-dedup in:\n$a")
+      val p = reach.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"seeded hop fell back to cross join:\n$p")
+      val got = reach.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val want = closure(1, hi).keySet.filter(_._1 == 0L)
+      assert(got == want, s"hi=$hi seeded rows $got != restricted closure $want")
+    }
+    // (2) dst-side seed expands backward to the same restricted closure
+    val back = Engine.varPathReachSeeded(g, key, 1, 3, Seq(3L).toDF("seed"),
+      seedIsSrc = false, dist = false)
+    val gotB = back.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(gotB == closure(1, 3).keySet.filter(_._2 == 3L),
+      s"backward seeded mismatch: $gotB")
+    // (3) whole-label seeds reproduce the full closure exactly — plain
+    // and dist, across windows incl. the lo = 0 identity
+    val allSeeds = (0L to 3L).toDF("seed")
+    for ((lo, hi) <- Seq((0, 3), (1, 4), (2, 5))) {
+      val want = closure(lo, hi)
+      val seededD = Engine.varPathReachSeeded(g, key, lo, hi, allSeeds,
+        seedIsSrc = true, dist = true)
+        .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+      val fullD = Engine.varPathReachDist(g, key, lo, hi)
+        .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+      assert(seededD == fullD, s"($lo,$hi) seeded dist != full closure dist")
+      assert(fullD == want, s"($lo,$hi) full closure dist != in-JVM oracle")
+      val seededP = Engine.varPathReachSeeded(g, key, lo, hi, allSeeds,
+        seedIsSrc = true, dist = false)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(seededP == want.keySet, s"($lo,$hi) seeded pairs != closure pairs")
+    }
+  }
+
   test("superstep merge does not re-shuffle an eagerPartitioned checkpoint (AQE on)") {
     // Replays the g_sssp/CC merge shape: `dists` is a checkpoint of a
     // frame hash-partitioned by id, `improved` derives from a
