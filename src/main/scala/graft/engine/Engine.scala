@@ -374,85 +374,42 @@ object Engine {
       st.copy(bindings = projected, env = vs.map(v => (v, v)))
 
     case RReturnExt(items, order, limit, distinct) =>
-      // Attribute items/keys ride the same per-variable left joins the
-      // where/set path uses; everything below stays one Catalyst plan.
-      val attrRefs = (items ++ order.map(_._1)).flatMap(collectRetAttrs).distinct
-      val (joined, refs) = joinAttrs(st, attrRefs.map(a => a: TExpr))
-      def leafCol(it: RRet): Column = it match {
-        case RRetVar(v)             => col(st.colOf(v))
-        case RRetAttr(v, _, f, _)   => col(refs((v, f)))
-        case _: RRetAgg             => throw new IllegalStateException("agg leaf")
-      }
-      // distinct aggregates plan as Spark's standard two-phase distinct
-      // aggregation (partial dedup before the final agg — no row ships
-      // twice); min/max over distinct values equal plain min/max
-      // integer avg = sum div count (truncating), computed with Spark's
-      // IntegralDivide so the quotient stays in exact int64 arithmetic
-      // for ALL long sums — the earlier (s - s%n)/n double route rounded
-      // once |sum| exceeded 2^53 (ADVICE r08), a range 100 TB-scale sums
-      // reach routinely. Same truncation rule as the expression
-      // language's `div` (sql compiler below) and the DuckDB oracle's
-      // integer `//`.
-      def intAvg(s: Column, n: Column): Column =
-        call_function("div", s, n)
-      def aggExpr(fn: AggFn, c: Column, dist: Boolean): Column = (fn, dist) match {
-        case (AggCount, true) => count_distinct(c)
-        case (AggSum, true)   => sum_distinct(c)
-        case (AggAvg, true)   => intAvg(sum_distinct(c), count_distinct(c))
-        case (AggCount, _)    => count(c)
-        case (AggSum, _)      => sum(c)
-        case (AggAvg, _)      => intAvg(sum(c), count(c))
-        case (AggMin, _)      => min(c)
-        case (AggMax, _)      => max(c)
-      }
-      val hasAgg = items.exists(_.isInstanceOf[RRetAgg])
-      val shaped =
-        if (!hasAgg && !distinct) {
-          // order pre-projection (keys may reference non-returned attrs);
-          // orderBy+limit plans as TakeOrderedAndProject — the distributed
-          // top-n, no global sort materialization — which is the shape
-          // that survives scale.
-          val sorted =
-            if (order.isEmpty) joined
-            else joined.orderBy(order.map { case (k, asc) =>
-              if (asc) leafCol(k).asc else leafCol(k).desc }: _*)
-          val limited = limit.fold(sorted)(n => sorted.limit(n.toInt))
-          limited.select(items.map(it => leafCol(it).as(it.outName)): _*)
-        } else if (!hasAgg) {
-          // return distinct: project → dedup → order → limit. Typing
-          // guarantees order keys are returned items, so ordering happens
-          // on out names AFTER the dedup (SQL DISTINCT semantics); the
-          // dedup is one hash aggregate on the projected columns and the
-          // order+limit still plans as TakeOrderedAndProject above it.
-          val projected = joined
-            .select(items.map(it => leafCol(it).as(it.outName)): _*)
-            .dropDuplicates()
-          val sorted =
-            if (order.isEmpty) projected
-            else projected.orderBy(order.map { case (k, asc) =>
-              if (asc) col(k.outName).asc else col(k.outName).desc }: _*)
-          limit.fold(sorted)(n => sorted.limit(n.toInt))
-        } else {
-          // plain items are the grouping keys (SQL semantics); zero plain
-          // items = global aggregate. Partial (map-side) aggregation comes
-          // free from Catalyst.
-          val groups = items.collect { case it @ (_: RRetVar | _: RRetAttr) =>
-            leafCol(it).as(it.outName) }
-          val aggs = items.collect { case it @ RRetAgg(fn, arg, dist) =>
-            aggExpr(fn, leafCol(arg), dist).as(it.outName) }
-          val grouped = joined.groupBy(groups: _*).agg(aggs.head, aggs.tail: _*)
-          // aggregated order keys are returned items → order on out names
-          val sorted =
-            if (order.isEmpty) grouped
-            else grouped.orderBy(order.map { case (k, asc) =>
-              if (asc) col(k.outName).asc else col(k.outName).desc }: _*)
-          val limited = limit.fold(sorted)(n => sorted.limit(n.toInt))
-          limited.select(items.map(it => col(it.outName)): _*)
-        }
+      val shaped = shapeExt(st, items, order, limit, distinct, retName(items))
       // engine env lists EVERY output column (the final projection walks
       // it); the TYPING env is what restricts later instructions to the
       // plain-variable bindings, so the extra outName entries are inert
       st.copy(bindings = shaped, env = items.map(it => (it.outName, it.outName)))
+
+    case RWith(aliasedItems, order, limit, distinct) =>
+      // Same shaping as extended return, but the fold CONTINUES: each
+      // item lands in a fresh internal binding column and re-binds under
+      // its alias — plain variables stay node bindings, attr/agg items
+      // become scalar bindings (virtual labels) whose `.val` reads the
+      // column itself. Shaping cost is identical to the equivalent
+      // return: one hash aggregate when aggregating (map-side partial
+      // free from Catalyst), TakeOrderedAndProject for order+limit.
+      val items = aliasedItems.map(_._1)
+      val base = st.freshCounter
+      val cols = items.indices.map(i => s"__b${base + i}").toList
+      // name items by POSITION (duplicate structural items get their own
+      // columns); order keys resolve to their first occurrence — typing
+      // guarantees agg/distinct keys are items, and duplicates hold
+      // identical values so either column orders the same
+      val shaped = shapeExt(st, items, order, limit, distinct,
+        it => cols(items.indexOf(it)))
+      // with-scalars have binding-NULL semantics (like optional-match
+      // targets): a NULL value — e.g. sum over an empty global group —
+      // fails predicates instead of raising under strict mode. Variable
+      // items keep their nullability.
+      val nullable2: Set[String] = aliasedItems.zip(cols).flatMap {
+        case ((RRetVar(v), _), c) =>
+          if (st.nullable(st.colOf(v))) Some(c) else None
+        case ((_, _), c) => Some(c)
+      }.toSet
+      st.copy(bindings = shaped,
+        env = aliasedItems.zip(cols).map { case ((_, a), c) => (a, c) },
+        freshCounter = base + items.size,
+        nullable = nullable2)
 
     case ROptPath(inner, bound, freshVars) =>
       // All-or-nothing witness expansion (Cypher OPTIONAL MATCH): run
@@ -543,6 +500,93 @@ object Engine {
       bump(st.copy(graph = st.graph.copy(nodes = st.graph.nodes.updated(lbl, n2))), Left(lbl), cfg)
   }
 
+  /** Output-column naming for extended return: the deterministic
+    * outName of each item. */
+  private def retName(items: List[RRet]): RRet => String = _.outName
+
+  /** The shared return/with shaping: attribute joins, aggregation
+    * (plain items = grouping keys), distinct, order, limit. `name`
+    * assigns each item (and, transitively, each item-typed order key)
+    * its output column. Attribute items/keys ride the same per-variable
+    * left joins the where/set path uses; everything below stays one
+    * Catalyst plan. */
+  private def shapeExt(st: ExecState, items: List[RRet],
+      order: List[(RRet, Boolean)], limit: Option[Long], distinct: Boolean,
+      name: RRet => String): DataFrame = {
+    val attrRefs = (items ++ order.map(_._1)).flatMap(collectRetAttrs).distinct
+    val (joined, refs) = joinAttrs(st, attrRefs.map(a => a: TExpr))
+    def leafCol(it: RRet): Column = it match {
+      case RRetVar(v)             => col(st.colOf(v))
+      case RRetAttr(v, _, f, _)   => col(refs((v, f)))
+      case _: RRetAgg             => throw new IllegalStateException("agg leaf")
+    }
+    // distinct aggregates plan as Spark's standard two-phase distinct
+    // aggregation (partial dedup before the final agg — no row ships
+    // twice); min/max over distinct values equal plain min/max
+    // integer avg = sum div count (truncating), computed with Spark's
+    // IntegralDivide so the quotient stays in exact int64 arithmetic
+    // for ALL long sums — the earlier (s - s%n)/n double route rounded
+    // once |sum| exceeded 2^53 (ADVICE r08), a range 100 TB-scale sums
+    // reach routinely. Same truncation rule as the expression
+    // language's `div` (sql compiler below) and the DuckDB oracle's
+    // integer `//`.
+    def intAvg(s: Column, n: Column): Column =
+      call_function("div", s, n)
+    def aggExpr(fn: AggFn, c: Column, dist: Boolean): Column = (fn, dist) match {
+      case (AggCount, true) => count_distinct(c)
+      case (AggSum, true)   => sum_distinct(c)
+      case (AggAvg, true)   => intAvg(sum_distinct(c), count_distinct(c))
+      case (AggCount, _)    => count(c)
+      case (AggSum, _)      => sum(c)
+      case (AggAvg, _)      => intAvg(sum(c), count(c))
+      case (AggMin, _)      => min(c)
+      case (AggMax, _)      => max(c)
+    }
+    val hasAgg = items.exists(_.isInstanceOf[RRetAgg])
+    if (!hasAgg && !distinct) {
+      // order pre-projection (keys may reference non-returned attrs);
+      // orderBy+limit plans as TakeOrderedAndProject — the distributed
+      // top-n, no global sort materialization — which is the shape
+      // that survives scale.
+      val sorted =
+        if (order.isEmpty) joined
+        else joined.orderBy(order.map { case (k, asc) =>
+          if (asc) leafCol(k).asc else leafCol(k).desc }: _*)
+      val limited = limit.fold(sorted)(n => sorted.limit(n.toInt))
+      limited.select(items.map(it => leafCol(it).as(name(it))): _*)
+    } else if (!hasAgg) {
+      // distinct: project → dedup → order → limit. Typing guarantees
+      // order keys are items, so ordering happens on out names AFTER
+      // the dedup (SQL DISTINCT semantics); the dedup is one hash
+      // aggregate on the projected columns and the order+limit still
+      // plans as TakeOrderedAndProject above it.
+      val projected = joined
+        .select(items.map(it => leafCol(it).as(name(it))): _*)
+        .dropDuplicates()
+      val sorted =
+        if (order.isEmpty) projected
+        else projected.orderBy(order.map { case (k, asc) =>
+          if (asc) col(name(k)).asc else col(name(k)).desc }: _*)
+      limit.fold(sorted)(n => sorted.limit(n.toInt))
+    } else {
+      // plain items are the grouping keys (SQL semantics); zero plain
+      // items = global aggregate. Partial (map-side) aggregation comes
+      // free from Catalyst.
+      val groups = items.collect { case it @ (_: RRetVar | _: RRetAttr) =>
+        leafCol(it).as(name(it)) }
+      val aggs = items.collect { case it @ RRetAgg(fn, arg, dist) =>
+        aggExpr(fn, leafCol(arg), dist).as(name(it)) }
+      val grouped = joined.groupBy(groups: _*).agg(aggs.head, aggs.tail: _*)
+      // aggregated order keys are items → order on out names
+      val sorted =
+        if (order.isEmpty) grouped
+        else grouped.orderBy(order.map { case (k, asc) =>
+          if (asc) col(name(k)).asc else col(name(k)).desc }: _*)
+      val limited = limit.fold(sorted)(n => sorted.limit(n.toInt))
+      limited.select(items.map(it => col(name(it))): _*)
+    }
+  }
+
   private def fresh(st: ExecState): String = s"__b${st.freshCounter}"
 
   private def valueLit(v: Value): Column = v match {
@@ -582,9 +626,9 @@ object Engine {
     val refs = Map.newBuilder[(String, String), String]
     byVar.foreach { case ((v, lbl), as) =>
       val vc = st.colOf(v)
-      if (lbl == Typing.PathLabel)
-        // a path-distance binding's `hops` IS its binding column —
-        // no attribute frame exists and no join is needed
+      if (Typing.isVirtual(lbl))
+        // a virtual binding's attribute (`d.hops`, `cnt.val`) IS its
+        // binding column — no attribute frame exists, no join needed
         as.map(_.field).distinct.foreach(f => refs += ((v, f)) -> vc)
       else {
         val fields = as.map(_.field).distinct

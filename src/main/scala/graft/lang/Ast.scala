@@ -77,7 +77,15 @@ final case class VarRefPattern(variable: String) extends NodePattern
   * (reference lang.ml:52-55, parser.mly:50-52). */
 sealed trait Pattern extends Product with Serializable
 final case class SimpPattern(np: NodePattern) extends Pattern
-final case class CompPattern(np: NodePattern, rel: String, rest: Pattern) extends Pattern
+/** `rev` marks a reverse-direction hop `(a)<-[:r]-(b)` (engine
+  * extension; the reference grammar admits only `->`, parser.mly:50-56):
+  * the edge runs FROM the rest-side node TO this pattern's head, so
+  * desugaring emits the relation instruction with swapped endpoints and
+  * everything downstream (typing, the PExpand peephole, the seeded
+  * varpath) is reused unchanged. Directions mix freely along one path:
+  * `(a)<-[:r]-(b)-[:s]->(c)`. */
+final case class CompPattern(np: NodePattern, rel: String, rest: Pattern,
+    rev: Boolean = false) extends Pattern
 /** Variable-length hop `(a)-[:r*lo..hi]->(b)` (engine extension; match
   * only): b is reachable from a via lo..hi consecutive `r` edges. The
   * relation must be label-homogeneous — exactly one declared `r` triple
@@ -92,7 +100,7 @@ final case class CompPattern(np: NodePattern, rel: String, rest: Pattern) extend
   * int attribute `d.hops` flows through the existing typed expression
   * machinery (`where d.hops = 2`, `return d.hops`, aggregates). */
 final case class VarPattern(np: NodePattern, rel: String, lo: Int, hi: Int, rest: Pattern,
-    dist: Option[String] = None) extends Pattern
+    dist: Option[String] = None, rev: Boolean = false) extends Pattern
 
 sealed trait DeletePattern extends Product with Serializable
 final case class DeleteNodes(vs: List[String]) extends DeletePattern
@@ -139,6 +147,30 @@ final case class ReturnExt(
     /** `return distinct <items>` — row-level dedup of the projected
       * output (rejected when an item aggregates: grouped rows are
       * already distinct; use `count(distinct …)` instead). */
+    distinct: Boolean = false) extends Clause
+/** `with <item> [as <alias>], … [order by …] [limit n]` (engine
+  * extension — Cypher's mid-query pipeline composition; the reference
+  * has no aggregation at all, lang.ml:62-69). Projects / aggregates the
+  * binding table EXACTLY like [[ReturnExt]] — same grouping rule (plain
+  * items are the keys when any item aggregates), same order/limit/
+  * distinct machinery — but the query CONTINUES: later clauses see only
+  * the `with` items, each re-bound under its alias.
+  *
+  *   - a plain variable item stays a node binding under its own name
+  *     (alias optional — aliasing re-binds the same node id);
+  *   - an attribute or aggregate item REQUIRES an alias and binds a
+  *     scalar pseudo-label (`%int`/`%bool`/`%string`, mirroring the
+  *     `%path` distance binding) whose single attribute `val` is the
+  *     value — `where cnt.val >= 5`, `return cnt.val`, aggregates over
+  *     it, all through the unchanged typed expression machinery.
+  * With-bound scalars have binding-NULL semantics (like optional-match
+  * targets): a NULL scalar never raises under strict mode, it just
+  * fails predicates. Mutation (set/delete) of a scalar binding is
+  * rejected at typing. */
+final case class WithClause(
+    items: List[(RetItem, Option[String])],
+    order: List[(RetItem, Boolean)],
+    limit: Option[Long],
     distinct: Boolean = false) extends Clause
 /** `optional match (a) -[:r]-> (b:B) [-[:s]-> (c:C) …]` (engine
   * extension): keep every existing row; bind the pattern's declared tail

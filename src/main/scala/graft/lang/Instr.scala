@@ -24,6 +24,12 @@ final case class ISet(v: String, field: String, e: Expr) extends Instruction
 /** Extension instructions (no reference counterpart). */
 final case class IReturnExt(items: List[RetItem], order: List[(RetItem, Boolean)],
     limit: Option[Long], distinct: Boolean) extends Instruction
+/** Mid-query projection/aggregation (see [[WithClause]]); items carry
+  * their optional `as` aliases — resolution (defaulting, scalar
+  * pseudo-labels) happens in typing. */
+final case class IWith(items: List[(RetItem, Option[String])],
+    order: List[(RetItem, Boolean)], limit: Option[Long],
+    distinct: Boolean) extends Instruction
 /** `sv -[:rel*lo..hi]-> tv`, match-only (typing rejects create).
   * `dist` carries the optional `as d` shortest-distance binding. */
 final case class IVarPathRel(act: Act, sv: String, rel: String, lo: Int, hi: Int,
@@ -70,37 +76,41 @@ object Normalize {
     }
     pat match {
       case SimpPattern(n)              => np(n)
-      case CompPattern(n, _, rest)     => np(n) ++ declProps(rest)
-      case VarPattern(n, _, _, _, rest, _) => np(n) ++ declProps(rest)
+      case CompPattern(n, _, rest, _)  => np(n) ++ declProps(rest)
+      case VarPattern(n, _, _, _, rest, _, _) => np(n) ++ declProps(rest)
     }
   }
 
   private def normPattern(act: Act, pat: Pattern): List[Instruction] = pat match {
     case SimpPattern(np) => normNodePattern(act, np)
-    case CompPattern(np, rl, rest) =>
-      normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl), rest)
-    case VarPattern(np, rl, lo, hi, rest, dist) =>
-      normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, lo, hi, dist), rest)
+    case CompPattern(np, rl, rest, rev) =>
+      normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, rev = rev), rest)
+    case VarPattern(np, rl, lo, hi, rest, dist, rev) =>
+      normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, lo, hi, dist, rev), rest)
   }
 
-  /** One hop of a path: fixed (`lo = hi = 1` single edge) or variable. */
+  /** One hop of a path: fixed (`lo = hi = 1` single edge) or variable.
+    * `rev` (a `<-[:r]-` hop) swaps the emitted instruction's endpoints —
+    * the ONLY place pattern direction exists; the IR is direction-free. */
   private final case class Hop(rl: String, lo: Int = 1, hi: Int = 1,
-      dist: Option[String] = None) {
-    def instr(act: Act, sv: String, tv: String): Instruction =
-      if (lo == 1 && hi == 1 && dist.isEmpty) IActOnRel(act, sv, rl, tv)
-      else IVarPathRel(act, sv, rl, lo, hi, tv, dist)
+      dist: Option[String] = None, rev: Boolean = false) {
+    def instr(act: Act, sv: String, tv: String): Instruction = {
+      val (s, t) = if (rev) (tv, sv) else (sv, tv)
+      if (lo == 1 && hi == 1 && dist.isEmpty) IActOnRel(act, s, rl, t)
+      else IVarPathRel(act, s, rl, lo, hi, t, dist)
+    }
   }
 
   private def tail(act: Act, srcV: String, hop: Hop, pat: Pattern): List[Instruction] =
     pat match {
       case SimpPattern(np) =>
         normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)
-      case CompPattern(np, rl2, rest) =>
+      case CompPattern(np, rl2, rest, rev2) =>
         (normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)) ++
-          tail(act, np.variable, Hop(rl2), rest)
-      case VarPattern(np, rl2, lo2, hi2, rest, dist2) =>
+          tail(act, np.variable, Hop(rl2, rev = rev2), rest)
+      case VarPattern(np, rl2, lo2, hi2, rest, dist2, rev2) =>
         (normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)) ++
-          tail(act, np.variable, Hop(rl2, lo2, hi2, dist2), rest)
+          tail(act, np.variable, Hop(rl2, lo2, hi2, dist2, rev2), rest)
     }
 
   private def normClause(c: Clause): List[Instruction] = c match {
@@ -117,6 +127,7 @@ object Normalize {
     case Where(e)                 => List(IWhere(e))
     case Return(vs)               => List(IReturn(vs))
     case ReturnExt(its, ord, lim, dist) => List(IReturnExt(its, ord, lim, dist))
+    case WithClause(its, ord, lim, dist) => List(IWith(its, ord, lim, dist))
     case OptMatch(pat) =>
       // the HEAD node is matched non-optionally (a fresh decl match-binds
       // it, with its props as ordinary outer where-conjuncts); only the
@@ -138,8 +149,9 @@ object Normalize {
       // use would change the semantics from upsert to always-create /
       // filter-after-bind)
       case SimpPattern(DeclPattern(v, l, ps)) => List(IMergeNode(v, l, ps))
-      case CompPattern(a, rl, SimpPattern(b)) =>
-        List(IActOnRel(CreateAct, a.variable, rl, b.variable))
+      case CompPattern(a, rl, SimpPattern(b), rev) =>
+        val (s0, t0) = if (rev) (b.variable, a.variable) else (a.variable, b.variable)
+        List(IActOnRel(CreateAct, s0, rl, t0))
       case _ => throw new IllegalStateException(
         "parser admits only node/edge merge shapes")
     }
@@ -151,18 +163,18 @@ object Normalize {
     def tailProps(p: Pattern): List[Instruction] = declProps(p).map {
       case (v, f, e) => IWhere(Bin(BCeq, AttribAcc(v, f), e)) }
     pat match {
-      case CompPattern(np, rl, rest) =>
-        (np, tail(MatchAct, np.variable, Hop(rl), rest) ++ tailProps(rest))
-      case VarPattern(np, rl, lo, hi, rest, dist) =>
-        (np, tail(MatchAct, np.variable, Hop(rl, lo, hi, dist), rest) ++ tailProps(rest))
+      case CompPattern(np, rl, rest, rev) =>
+        (np, tail(MatchAct, np.variable, Hop(rl, rev = rev), rest) ++ tailProps(rest))
+      case VarPattern(np, rl, lo, hi, rest, dist, rev) =>
+        (np, tail(MatchAct, np.variable, Hop(rl, lo, hi, dist, rev), rest) ++ tailProps(rest))
       case SimpPattern(np) => (np, Nil) // unreachable: parser requires a hop
     }
   }
 
   private def headDeclProps(pat: Pattern): List[(String, String, Expr)] =
     pat match {
-      case CompPattern(DeclPattern(v, _, ps), _, _)       => ps.map { case (f, e) => (v, f, e) }
-      case VarPattern(DeclPattern(v, _, ps), _, _, _, _, _) => ps.map { case (f, e) => (v, f, e) }
+      case CompPattern(DeclPattern(v, _, ps), _, _, _)    => ps.map { case (f, e) => (v, f, e) }
+      case VarPattern(DeclPattern(v, _, ps), _, _, _, _, _, _) => ps.map { case (f, e) => (v, f, e) }
       case _                                              => Nil
     }
 

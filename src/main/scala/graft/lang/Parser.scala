@@ -127,6 +127,10 @@ object Parser {
       case TIdent("merge") =>
         i += 1
         mergeClause()
+      // `with` too: mid-query projection/aggregation (see WithClause)
+      case TIdent("with") =>
+        i += 1
+        withClause()
       case t => fail(s"expected clause keyword, got $t")
     }
 
@@ -139,7 +143,7 @@ object Parser {
       val pat = pattern()
       pat match {
         case SimpPattern(_: DeclPattern) => Merge(pat)
-        case CompPattern(_: VarRefPattern, _, SimpPattern(_: VarRefPattern)) =>
+        case CompPattern(_: VarRefPattern, _, SimpPattern(_: VarRefPattern), _) =>
           Merge(pat)
         case _ => fail("merge supports a single labeled node " +
           "(merge (x: l {f: c})) or one edge between bound variables " +
@@ -172,17 +176,17 @@ object Parser {
       "count" -> AggCount, "sum" -> AggSum, "min" -> AggMin, "max" -> AggMax,
       "avg" -> AggAvg)
 
-    private def returnClause(): Clause = {
-      // `distinct` is contextual like order/limit: a modifier only when
-      // another identifier follows (so `return distinct` still returns a
-      // variable named distinct, and `return distinct.f` its attribute)
-      val distinct = peek match {
-        case TIdent("distinct") if peek2.isInstanceOf[TIdent] => i += 1; true
-        case _ => false
-      }
-      val items = List.newBuilder[RetItem]
-      items += retItem()
-      while (peek == TSym(",")) { i += 1; items += retItem() }
+    /** `distinct` is contextual like order/limit: a modifier only when
+      * another identifier follows (so `return distinct` still returns a
+      * variable named distinct, and `return distinct.f` its attribute). */
+    private def distinctModifier(): Boolean = peek match {
+      case TIdent("distinct") if peek2.isInstanceOf[TIdent] => i += 1; true
+      case _ => false
+    }
+
+    /** `[order by <key> [asc|desc], …] [limit n]` — shared tail of
+      * `return` and `with`. */
+    private def orderLimit(): (List[(RetItem, Boolean)], Option[Long]) = {
       val order = List.newBuilder[(RetItem, Boolean)]
       if (peek == TIdent("order") && peek2 == TIdent("by")) {
         i += 2
@@ -207,10 +211,38 @@ object Parser {
           }
         case _ => None
       }
-      val (its, ord) = (items.result(), order.result())
+      (order.result(), limit)
+    }
+
+    private def returnClause(): Clause = {
+      val distinct = distinctModifier()
+      val items = List.newBuilder[RetItem]
+      items += retItem()
+      while (peek == TSym(",")) { i += 1; items += retItem() }
+      val (ord, limit) = orderLimit()
+      val its = items.result()
       if (!distinct && ord.isEmpty && limit.isEmpty && its.forall(_.isInstanceOf[RetVar]))
         Return(its.collect { case RetVar(v) => v })
       else ReturnExt(its, ord, limit, distinct)
+    }
+
+    /** `with` items are return items plus an optional `as <alias>` —
+      * `as` is contextual exactly like the varpath distance binding's. */
+    private def withClause(): Clause = {
+      val distinct = distinctModifier()
+      val items = List.newBuilder[(RetItem, Option[String])]
+      def one(): Unit = {
+        val it = retItem()
+        val alias = peek match {
+          case TIdent("as") => i += 1; Some(ident())
+          case _            => None
+        }
+        items += ((it, alias))
+      }
+      one()
+      while (peek == TSym(",")) { i += 1; one() }
+      val (ord, limit) = orderLimit()
+      WithClause(items.result(), ord, limit, distinct)
     }
 
     private def retItem(): RetItem = peek match {
@@ -249,6 +281,12 @@ object Parser {
 
     private def pattern(): Pattern = {
       val np = nodePattern()
+      // reverse hop `(a)<-[:r]-(b)` (engine extension — see CompPattern):
+      // `<` `-` is two tokens (the lexer's two-char table has no `<-`);
+      // no legal pattern continuation starts with `<`, so nothing is
+      // stolen from the reference grammar
+      val rev = peek == TSym("<") && peek2 == TSym("-")
+      if (rev) i += 1
       if (peek == TSym("-")) {
         i += 1
         expectSym("["); expectSym(":")
@@ -272,12 +310,14 @@ object Parser {
             Some((lo, hi, dist))
           case _ => None
         }
-        expectSym("]"); expectSym("->")
+        // forward hop closes `]->`, reverse closes `]-` then the node
+        expectSym("]")
+        if (rev) expectSym("-") else expectSym("->")
         bounds match {
-          case Some((lo, hi, dist)) => VarPattern(np, rl, lo, hi, pattern(), dist)
-          case None                 => CompPattern(np, rl, pattern())
+          case Some((lo, hi, dist)) => VarPattern(np, rl, lo, hi, pattern(), dist, rev)
+          case None                 => CompPattern(np, rl, pattern(), rev)
         }
-      } else SimpPattern(np)
+      } else SimpPattern(np) // rev implies peek == '-', so this is fwd-only
     }
 
     private def int(what: String): Int = peek match {

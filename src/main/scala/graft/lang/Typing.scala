@@ -61,6 +61,14 @@ object Typing {
   }
   final case class RReturnExt(items: List[RRet], order: List[(RRet, Boolean)],
       limit: Option[Long], distinct: Boolean = false) extends RInstr
+  /** Mid-query `with` (see [[graft.lang.WithClause]]): the same shaping
+    * as [[RReturnExt]], but each item re-binds under its resolved alias
+    * and the fold continues — plain variable items stay node bindings,
+    * attribute/aggregate items bind scalar pseudo-labels
+    * ([[scalarLabel]]) readable as `<alias>.val`. */
+  final case class RWith(items: List[(RRet, String)],
+      order: List[(RRet, Boolean)], limit: Option[Long],
+      distinct: Boolean = false) extends RInstr
   final case class RVarPath(sv: String, rel: (String, String, String), lo: Int, hi: Int,
       tv: String, dist: Option[String] = None) extends RInstr
   /** optional-match witness expansion: `inner` is the typed instruction
@@ -96,14 +104,39 @@ object Typing {
     * rejected explicitly. */
   val PathLabel = "%path"
 
+  /** Pseudo-label of a `with`-bound scalar (attribute or aggregate item
+    * re-bound under an alias): like [[PathLabel]], `%` can't start a
+    * lexer identifier so no user schema label collides, and the single
+    * attribute `val` is the binding's own value — the whole typed
+    * expression machinery applies to `cnt.val` unchanged. */
+  def scalarLabel(tp: AttribTp): String = tp match {
+    case IntT    => "%int"
+    case BoolT   => "%bool"
+    case StringT => "%string"
+  }
+
+  /** Virtual (non-graph) labels: the `%path` distance binding and the
+    * `%`-scalar with-bindings. They carry a value, not a node id —
+    * mutation (set/delete) is rejected, and the executor reads the
+    * binding column itself instead of joining a node frame. */
+  def isVirtual(label: String): Boolean = label.startsWith("%")
+
+  /** Human name of a virtual label for error messages. */
+  def virtualKind(label: String): String =
+    if (label == PathLabel) "path-distance" else "with-scalar"
+
   /** Validated schema with O(1) lookups. */
   final case class Schema(
       nodeAttrs: Map[String, List[(String, AttribTp)]],
       relTypes: Set[(String, String, String)]) {
     def labels: Set[String] = nodeAttrs.keySet
-    def attrType(label: String, field: String): Option[AttribTp] =
-      if (label == PathLabel) (if (field == "hops") Some(IntT) else None)
-      else nodeAttrs.get(label).flatMap(_.collectFirst { case (`field`, tp) => tp })
+    def attrType(label: String, field: String): Option[AttribTp] = label match {
+      case PathLabel => if (field == "hops") Some(IntT) else None
+      case "%int"    => if (field == "val") Some(IntT) else None
+      case "%bool"   => if (field == "val") Some(BoolT) else None
+      case "%string" => if (field == "val") Some(StringT) else None
+      case _ => nodeAttrs.get(label).flatMap(_.collectFirst { case (`field`, tp) => tp })
+    }
   }
 
   final case class TypedProg(schema: Schema, instrs: List[RInstr])
@@ -198,7 +231,8 @@ object Typing {
         }
       case IDeleteNode(v) =>
         lookup(env, v) match {
-          case Some(PathLabel) => Left(s"cannot delete path-distance binding $v")
+          case Some(l) if isVirtual(l) =>
+            Left(s"cannot delete ${virtualKind(l)} binding $v")
           case Some(lbl) => Right((RDeleteNode(v, lbl), env.filterNot(_._1 == v)))
           case None      => Left(s"delete of unbound variable $v")
         }
@@ -225,57 +259,14 @@ object Typing {
           else Right((RWhere(te), env))
         }
       case IReturnExt(items, order, limit, distinct) =>
-        def resolve(it: RetItem): Either[String, RRet] = it match {
-          case RetVar(v) =>
-            lookup(env, v).toRight(s"return of unbound variable $v").map(_ => RRetVar(v))
-          case RetAttr(v, f) =>
-            lookup(env, v) match {
-              case None => Left(s"return of unbound variable $v")
-              case Some(lbl) =>
-                schema.attrType(lbl, f)
-                  .toRight(s"attribute $f not declared for label $lbl (variable $v)")
-                  .map(tp => RRetAttr(v, lbl, f, tp))
-            }
-          case RetAgg(fn, arg, dist) =>
-            resolve(arg).flatMap {
-              case a: RRetAgg => Left(s"nested aggregate ${fn.name}(${a.outName})")
-              case a @ RRetAttr(v, _, f, tp) =>
-                if (fn != AggCount && tp != IntT)
-                  Left(s"${fn.name}($v.$f) requires an int attribute, got $tp")
-                else Right(RRetAgg(fn, a, dist))
-              case a @ RRetVar(v) =>
-                if (fn != AggCount) Left(s"${fn.name}($v) requires an attribute argument")
-                else Right(RRetAgg(fn, a, dist))
-            }
-        }
-        def sequence(xs: List[Either[String, RRet]]): Either[String, List[RRet]] =
-          xs.foldRight(Right(Nil): Either[String, List[RRet]]) {
-            (e, acc) => for (h <- e; t <- acc) yield h :: t
-          }
-        sequence(items.map(resolve)).flatMap { ritems =>
+        sequenceRet(items.map(resolveRet(schema, env))).flatMap { ritems =>
           val names = ritems.map(_.outName)
           val dups = names.diff(names.distinct).distinct
           if (dups.nonEmpty)
             Left(s"duplicate output column(s) in return: ${dups.mkString(", ")}")
-          else sequence(order.map { case (k, _) => resolve(k) }).flatMap { rkeys =>
-            val hasAgg = ritems.exists(_.isInstanceOf[RRetAgg])
+          else sequenceRet(order.map { case (k, _) => resolveRet(schema, env)(k) }).flatMap { rkeys =>
             val rorder = rkeys.zip(order.map(_._2))
-            val badKey =
-              if (distinct && hasAgg)
-                // grouped rows are already distinct — a silent no-op
-                // invites `return distinct count(v)` when the user means
-                // `return count(distinct v)`
-                Some("return distinct with an aggregated item has no effect; " +
-                  "use count(distinct ...) / sum(distinct ...) instead")
-              else if (hasAgg) rkeys.find(k => !ritems.contains(k)).map(k =>
-                s"order by ${k.outName}: aggregated return may only order by returned items")
-              else if (distinct) rkeys.find(k => !ritems.contains(k)).map(k =>
-                // ordering by a non-returned expression is ill-defined
-                // after row dedup (which representative row's value?)
-                s"order by ${k.outName}: distinct return may only order by returned items")
-              else rkeys.collectFirst { case k: RRetAgg =>
-                s"order by ${k.outName}: aggregate ordering requires an aggregated return" }
-            badKey match {
+            checkRetShape(ritems, rkeys, distinct, "return", "returned items") match {
               case Some(e) => Left(e)
               case None =>
                 // subsequent instructions may reference the surviving
@@ -283,6 +274,43 @@ object Typing {
                 // output-only), mirroring RReturn's env restriction
                 val env2 = ritems.collect { case RRetVar(v) => (v, lookup(env, v).get) }
                 Right((RReturnExt(ritems, rorder, limit, distinct), env2))
+            }
+          }
+        }
+
+      case IWith(items, order, limit, distinct) =>
+        sequenceRet(items.map { case (it, _) => resolveRet(schema, env)(it) }).flatMap { ritems =>
+          // alias resolution: a plain variable re-binds under its own
+          // name unless aliased; attr/agg items REQUIRE an alias --
+          // without one, no later clause could reference the value
+          val aliased = ritems.zip(items.map(_._2)).map {
+            case (r @ RRetVar(v), a) => Right((r, a.getOrElse(v)))
+            case (r, Some(a))        => Right((r, a))
+            case (r, None) =>
+              Left(s"with item ${r.outName} needs an alias (as x) " +
+                "so later clauses can reference it"): Either[String, (RRet, String)]
+          }
+          sequenceRet(aliased).flatMap { pairs =>
+            val names = pairs.map(_._2)
+            val dups = names.diff(names.distinct).distinct
+            if (dups.nonEmpty)
+              Left(s"duplicate with alias(es): ${dups.mkString(", ")}")
+            else sequenceRet(order.map { case (k, _) => resolveRet(schema, env)(k) }).flatMap { rkeys =>
+              checkRetShape(ritems, rkeys, distinct, "with", "with items") match {
+                case Some(e) => Left(e)
+                case None =>
+                  // `with` DEFINES the downstream scope (Cypher
+                  // semantics): the new env is exactly the aliased
+                  // items -- node labels for variables, scalar
+                  // pseudo-labels for attr/agg values
+                  val env2 = pairs.map {
+                    case (RRetVar(v), a)            => (a, lookup(env, v).get)
+                    case (RRetAttr(_, _, _, tp), a) => (a, scalarLabel(tp))
+                    // count and the int-only sum/min/max/avg yield int
+                    case (_: RRetAgg, a)            => (a, scalarLabel(IntT))
+                  }
+                  Right((RWith(pairs, rkeys.zip(order.map(_._2)), limit, distinct), env2))
+              }
             }
           }
         }
@@ -376,8 +404,8 @@ object Typing {
       case ISet(v, f, e) =>
         lookup(env, v) match {
           case None => Left(s"set on unbound variable $v")
-          case Some(PathLabel) =>
-            Left(s"cannot set attribute of path-distance binding $v")
+          case Some(l) if isVirtual(l) =>
+            Left(s"cannot set attribute of ${virtualKind(l)} binding $v")
           case Some(lbl) =>
             schema.attrType(lbl, f) match {
               case None => Left(s"attribute $f not declared for label $lbl")
@@ -390,6 +418,57 @@ object Typing {
             }
         }
     }
+
+  /** Resolve a return/with item against the env + schema — shared by
+    * IReturnExt and IWith. */
+  private def resolveRet(schema: Schema, env: Env)(it: RetItem): Either[String, RRet] = it match {
+    case RetVar(v) =>
+      lookup(env, v).toRight(s"return of unbound variable $v").map(_ => RRetVar(v))
+    case RetAttr(v, f) =>
+      lookup(env, v) match {
+        case None => Left(s"return of unbound variable $v")
+        case Some(lbl) =>
+          schema.attrType(lbl, f)
+            .toRight(s"attribute $f not declared for label $lbl (variable $v)")
+            .map(tp => RRetAttr(v, lbl, f, tp))
+      }
+    case RetAgg(fn, arg, dist) =>
+      resolveRet(schema, env)(arg).flatMap {
+        case a: RRetAgg => Left(s"nested aggregate ${fn.name}(${a.outName})")
+        case a @ RRetAttr(v, _, f, tp) =>
+          if (fn != AggCount && tp != IntT)
+            Left(s"${fn.name}($v.$f) requires an int attribute, got $tp")
+          else Right(RRetAgg(fn, a, dist))
+        case a @ RRetVar(v) =>
+          if (fn != AggCount) Left(s"${fn.name}($v) requires an attribute argument")
+          else Right(RRetAgg(fn, a, dist))
+      }
+  }
+
+  private def sequenceRet[A](xs: List[Either[String, A]]): Either[String, List[A]] =
+    xs.foldRight(Right(Nil): Either[String, List[A]]) {
+      (e, acc) => for (h <- e; t <- acc) yield h :: t
+    }
+
+  /** Order-key / distinct legality shared by return-ext and with:
+    * distinct+agg is a silent no-op (invites `return distinct count(v)`
+    * when the user means `count(distinct v)`); aggregated or distinct
+    * shaping may only order by its own items (ordering a deduped /
+    * grouped row by a non-item expression is ill-defined); aggregate
+    * order keys need an aggregated item list. */
+  private def checkRetShape(ritems: List[RRet], rkeys: List[RRet],
+      distinct: Boolean, clause: String, itemsPhrase: String): Option[String] = {
+    val hasAgg = ritems.exists(_.isInstanceOf[RRetAgg])
+    if (distinct && hasAgg)
+      Some(s"$clause distinct with an aggregated item has no effect; " +
+        "use count(distinct ...) / sum(distinct ...) instead")
+    else if (hasAgg) rkeys.find(k => !ritems.contains(k)).map(k =>
+      s"order by ${k.outName}: aggregated $clause may only order by $itemsPhrase")
+    else if (distinct) rkeys.find(k => !ritems.contains(k)).map(k =>
+      s"order by ${k.outName}: distinct $clause may only order by $itemsPhrase")
+    else rkeys.collectFirst { case k: RRetAgg =>
+      s"order by ${k.outName}: aggregate ordering requires an aggregated $clause" }
+  }
 
   /** Typecheck a pattern-predicate's inner instruction list in a local
     * extension of `env` (discarded by the caller for `not exists`,

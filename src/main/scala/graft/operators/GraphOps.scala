@@ -460,6 +460,108 @@ object GraphOps {
              |      WHERE e.dst IS NOT NULL AND r.d < 2)
              |SELECT DISTINCT src AS a, dst AS b FROM r""".stripMargin)),
 
+    // --- `with` clause (engine extension — Cypher's mid-query pipeline
+    // composition): project/aggregate the binding table, then KEEP
+    // MATCHING. Plain items stay node bindings; aliased attr/agg items
+    // bind %-scalar pseudo-labels readable as `<alias>.val`.
+
+    // aggregate → filter on the aggregate → expand again: nations with
+    // ≥5 customers, then their regions (count survives as cnt.val)
+    Q("gql_with_agg",
+      bindings(
+        """match (c:customer) -[:cnation]-> (n:nation)
+          |with n, count(c) as cnt
+          |where cnt.val >= 5
+          |match (n) -[:nregion]-> (r:region)
+          |return n, cnt.val, r""".stripMargin),
+      Some("""WITH w AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n, count(*) AS cnt
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY 1)
+             |SELECT w.n AS n, w.cnt AS cnt_val,
+             |       CAST(n2.n_regionkey AS BIGINT) + 1000000000 AS r
+             |FROM w JOIN nation n2 ON w.n = CAST(n2.n_nationkey AS BIGINT) + 2000000000
+             |WHERE w.cnt >= 5""".stripMargin)),
+
+    // top-k mid-query: order by the aggregate (item keys only, typing-
+    // enforced), limit, then join the survivors against suppliers
+    Q("gql_with_topk",
+      bindings(
+        """match (c:customer) -[:cnation]-> (n:nation)
+          |with n, count(c) as cnt order by count(c) desc, n limit 3
+          |match (s:supplier) -[:snation]-> (n)
+          |return n, cnt.val, s""".stripMargin),
+      Some("""WITH w AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n, count(*) AS cnt
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY 1 ORDER BY cnt DESC, n LIMIT 3)
+             |SELECT w.n AS n, w.cnt AS cnt_val,
+             |       CAST(s_suppkey AS BIGINT) + 3000000000 AS s
+             |FROM w JOIN supplier ON CAST(s_nationkey AS BIGINT) + 2000000000 = w.n""".stripMargin)),
+
+    // non-aggregating with: an attribute re-bound as a scalar, reused in
+    // arithmetic AFTER the original binding went out of scope
+    Q("gql_with_attr",
+      bindings(
+        """match (p:part)
+          |with p, p.psize as sz
+          |where sz.val * 2 > 90
+          |return p, sz.val""".stripMargin),
+      Some("""SELECT CAST(p_partkey AS BIGINT) + 5000000000 AS p,
+             |       CAST(p_size AS BIGINT) AS sz_val
+             |FROM part WHERE p_size * 2 > 90""".stripMargin)),
+
+    // with distinct: dedup the projection mid-query, then expand — the
+    // classic "nations having customers, now their suppliers" pipeline
+    Q("gql_with_distinct",
+      bindings(
+        """match (c:customer) -[:cnation]-> (n:nation)
+          |with distinct n, n.regionkey as rk
+          |match (s:supplier) -[:snation]-> (n)
+          |return n, rk.val, s""".stripMargin),
+      Some("""WITH w AS (
+             |  SELECT DISTINCT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |         CAST(n_regionkey AS BIGINT) AS rk
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+             |SELECT w.n AS n, w.rk AS rk_val,
+             |       CAST(s_suppkey AS BIGINT) + 3000000000 AS s
+             |FROM w JOIN supplier ON CAST(s_nationkey AS BIGINT) + 2000000000 = w.n""".stripMargin)),
+
+    // --- reverse-direction patterns `<-[:r]-` (engine extension; the
+    // reference grammar admits only `->`, parser.mly:50-56). The mixed
+    // 2-hop below desugars to the SAME IR as gql_match_2hop read
+    // right-to-left — the PExpand peephole fuses both hops into
+    // equi-joins exactly as in the forward form.
+    Q("gql_match_rev",
+      bindings(
+        """match (r:region) <-[:nregion]- (n:nation) <-[:snation]- (s:supplier)
+          |where r.name = "EUROPE"
+          |return s, n, r""".stripMargin),
+      Some("""SELECT CAST(s_suppkey AS BIGINT) + 3000000000 AS s,
+             |       CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |       CAST(r_regionkey AS BIGINT) + 1000000000 AS r
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'EUROPE'""".stripMargin)),
+
+    // reverse variable-length hop: `(b)<-[:nnext*1..3]-(a)` = 1..3-hop
+    // paths FROM a TO b — the seeded expansion runs backward over the
+    // flipped edge frame (varPathReachSeeded seedIsSrc=false)
+    Q("gql_varpath_rev",
+      bindings(
+        "match (b:nation) <-[:nnext*1..3]- (a:nation) return a, b"),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS src,
+             |         CAST(LEAD(n_nationkey) OVER (PARTITION BY n_regionkey
+             |              ORDER BY n_nationkey) AS BIGINT) + 2000000000 AS dst
+             |  FROM nation),
+             |r AS (SELECT src, dst, 1 AS d FROM e WHERE dst IS NOT NULL
+             |      UNION ALL
+             |      SELECT r.src, e.dst, r.d + 1
+             |      FROM r JOIN e ON r.dst = e.src
+             |      WHERE e.dst IS NOT NULL AND r.d < 3)
+             |SELECT DISTINCT src AS a, dst AS b FROM r""".stripMargin)),
+
     // --- optional match (left-outer edge expansion): the region-last
     // nation has no nnext successor and binds NULL
     Q("gql_optional",

@@ -48,7 +48,8 @@ class DifferentialSpec extends AnyFunSuite {
     def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
     def intExpr(depth: Int): String = {
       val xvars = bound("P").map(_ + ".x") ++ bound("Q").map(_ + ".y") ++
-        bound(Typing.PathLabel).map(_ + ".hops")
+        bound(Typing.PathLabel).map(_ + ".hops") ++
+        bound("%int").map(_ + ".val") // with-bound scalars
       val atom = if (xvars.isEmpty || rnd.nextBoolean()) (rnd.nextInt(10) + 1).toString
                  else pick(xvars)
       if (depth == 0) atom
@@ -70,7 +71,7 @@ class DifferentialSpec extends AnyFunSuite {
       else s"($base ${pick(Seq("and", "or"))} ${boolExpr(depth - 1)})"
     }
     val steps = 3 + rnd.nextInt(6)
-    for (_ <- 1 to steps) rnd.nextInt(10) match {
+    for (_ <- 1 to steps) rnd.nextInt(11) match {
       case 0 => // create + immediate set (keeps all attributes defined);
         // half the time via the inline property map, which desugars to
         // the same create+set instruction pair (differential coverage of
@@ -106,15 +107,19 @@ class DifferentialSpec extends AnyFunSuite {
         if (combos.nonEmpty) {
           val (a, rl, b) = pick(combos)
           // merge-edge desugars to create-edge — free differential
-          // coverage of the upsert sugar
-          sb ++= s"${pick(Seq("create", "match", "merge"))} ($a) -[:$rl]-> ($b)\n"
+          // coverage of the upsert sugar; half the time write the hop in
+          // its reverse form `(b)<-[:r]-(a)` (identical IR, so RefInterp
+          // needs no direction handling — exactly the desugar under test)
+          val kw = pick(Seq("create", "match", "merge"))
+          if (rnd.nextBoolean()) sb ++= s"$kw ($b) <-[:$rl]- ($a)\n"
+          else sb ++= s"$kw ($a) -[:$rl]-> ($b)\n"
         }
       case 3 => // where
         if (env.nonEmpty) sb ++= s"where ${boolExpr(1)}\n"
       case 4 => // set on an existing binding (path bindings are immutable)
         if (env.nonEmpty) {
           val (v, lbl) = env(rnd.nextInt(env.size))
-          if (latest(v).contains(lbl) && lbl != Typing.PathLabel)
+          if (latest(v).contains(lbl) && !lbl.startsWith("%") )
             sb ++= s"set $v.${if (lbl == "P") "x" else "y"} = ${intExpr(1)}\n"
         }
       case 5 => // variable-length path over a self-label relation
@@ -135,12 +140,24 @@ class DifferentialSpec extends AnyFunSuite {
             if (rnd.nextInt(3) == 0) { n += 1; Some(s"v$n") } else None
           val distSuffix = dist.fold("")(d => s" as $d")
           val bs = bound(l)
+          // a third of varpaths are written in reverse form
+          // `(b)<-[:rl*lo..hi]-(a)` — same IR with swapped endpoints,
+          // exercising the backward seeded expansion in the engine
+          val revHop = rnd.nextInt(3) == 0
+          def hop(src: String, tgt: String): String =
+            if (revHop) s"match ($tgt) <-[:$rl*$lo..$hi$distSuffix]- ($src)\n"
+            else s"match ($src) -[:$rl*$lo..$hi$distSuffix]-> ($tgt)\n"
           if (bs.nonEmpty && rnd.nextBoolean())
-            sb ++= s"match ($a) -[:$rl*$lo..$hi$distSuffix]-> (${pick(bs)})\n"
+            sb ++= hop(a, pick(bs))
           else {
             n += 1
             val v = s"v$n"
-            sb ++= s"match ($a) -[:$rl*$lo..$hi$distSuffix]-> ($v:$l)\n"
+            // reverse + fresh decl on the rest side binds v as the path
+            // SOURCE (paths v→a) — the backward seeded expansion
+            // (PExpandPath newIsDst=false / varPathReachSeeded
+            // seedIsSrc=false), unreachable from forward-only programs
+            if (revHop) sb ++= s"match ($a) <-[:$rl*$lo..$hi$distSuffix]- ($v:$l)\n"
+            else sb ++= s"match ($a) -[:$rl*$lo..$hi$distSuffix]-> ($v:$l)\n"
             env = (v, l) :: env
           }
           dist.foreach(d => env = (d, Typing.PathLabel) :: env)
@@ -219,11 +236,64 @@ class DifferentialSpec extends AnyFunSuite {
           sb ++= s"merge ($v:P {x: ${rnd.nextInt(6)}, nm: \"${pick(Seq("alpha", "beta"))}\"})\n"
         else sb ++= s"merge ($v:Q {y: ${rnd.nextInt(6)}})\n"
         env = (v, lbl) :: env
-      case _ => // delete a node binding (also unbinds; never a path binding)
+      case 9 => // mid-query `with`: project/aggregate the binding table,
+        // scope reset to exactly the with items — plain vars stay node
+        // bindings (sometimes re-aliased), one optional scalar item
+        // (int attribute or aggregate) binds a %int pseudo-label whose
+        // `.val` feeds later where/set/return draws via intExpr
+        val cands = env.map(_._1).distinct.filterNot(optEnv.contains)
+        if (cands.nonEmpty) {
+          val keep = rnd.shuffle(cands).take(1 + rnd.nextInt(math.min(3, cands.size)))
+          // (itemText, alias clause, alias, post-with label)
+          var items = keep.map { v =>
+            val l = latest(v).get
+            if (rnd.nextInt(4) == 0) { n += 1; (v, s"$v as v$n", s"v$n", l) }
+            else (v, v, v, l)
+          }
+          // int-valued scalar sources readable through any NON-optional
+          // binding (unset attrs never occur: creates set immediately)
+          val intSrcs = env.map(_._1).distinct.filterNot(optEnv.contains)
+            .flatMap { v => latest(v).get match {
+              case "P"                 => Some(s"$v.x")
+              case "Q"                 => Some(s"$v.y")
+              case Typing.PathLabel    => Some(s"$v.hops")
+              case "%int"              => Some(s"$v.val")
+              case _                   => None
+            } }
+          val withAgg = intSrcs.nonEmpty && rnd.nextBoolean()
+          if (withAgg) {
+            val src = pick(intSrcs)
+            val dist = if (rnd.nextInt(4) == 0) "distinct " else ""
+            val fn = pick(Seq("count", "sum", "min", "max", "avg"))
+            val arg = if (fn == "count" && rnd.nextBoolean()) src.split('.').head else src
+            n += 1
+            items = items :+ (s"$fn($dist$arg)", s"$fn($dist$arg) as v$n", s"v$n", "%int")
+          } else if (intSrcs.nonEmpty && rnd.nextInt(3) == 0) {
+            val src = pick(intSrcs)
+            n += 1
+            items = items :+ (src, s"$src as v$n", s"v$n", "%int")
+          }
+          val distinctMod = if (!withAgg && rnd.nextInt(3) == 0) "distinct " else ""
+          // order+limit: keys are ALL items verbatim (structural equality
+          // with the resolved items — required for agg/distinct shaping,
+          // and a total order on grouped/deduped rows so the engine's
+          // TakeOrdered and the interpreter's stable sort pick the same
+          // multiset under limit; duplicate plain rows are interchangeable)
+          val tail =
+            if (rnd.nextInt(3) == 0) {
+              val keys = items.map(_._1).map(k =>
+                if (rnd.nextBoolean()) s"$k desc" else k).mkString(", ")
+              s" order by $keys limit ${1 + rnd.nextInt(4)}"
+            } else ""
+          sb ++= s"with $distinctMod${items.map(_._2).mkString(", ")}$tail\n"
+          env = items.map { case (_, _, a, l) => (a, l) }.toList
+          optEnv = Nil
+        }
+      case _ => // delete a node binding (also unbinds; never virtual)
         if (env.nonEmpty && rnd.nextInt(3) == 0) {
           val (v, _) = env(rnd.nextInt(env.size))
           val lbl = latest(v)
-          if (!lbl.contains(Typing.PathLabel)) {
+          if (!lbl.exists(_.startsWith("%"))) {
             sb ++= s"delete $v\n"
             // conservatively retire every same-label binding: they may alias
             // the deleted nodes, and reads/sets through dangling bindings

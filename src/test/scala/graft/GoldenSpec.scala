@@ -283,6 +283,66 @@ class GoldenSpec extends AnyFunSuite {
       Set((5L, 50L), (4L, 40L)))
   }
 
+  test("with: aggregate, filter on the aggregate, keep matching") {
+    // per-source reach counts over *1..3 on the 6-chain, kept only where
+    // the count is full (3), then expanded one more hop from the source
+    val r = Engine.runSource(spark, chainSrc +
+      "match (a:N) -[:next*1..3]-> (b:N)\n" +
+      "with a, count(b) as c\n" +
+      "where c.val = 3\n" +
+      "match (a) -[:next]-> (m:N)\n" +
+      "return a, c.val, m")
+    assert(r.bindings.columns.toSeq == Seq("a", "c_val", "m"))
+    // sources 0,1,2 reach 3 nodes; their single next-successors
+    assert(r.bindings.collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getLong(2))).toSet ==
+      Set((0L, 3L, 1L), (1L, 3L, 2L), (2L, 3L, 3L)))
+  }
+
+  test("with: order+limit mid-query select the top rows before expanding") {
+    val r = Engine.runSource(spark, chainSrc +
+      "match (n:N)\n" +
+      "with n, n.x as w order by n.x desc limit 2\n" +
+      "match (p:N) -[:next]-> (n)\n" +
+      "return n, w.val, p")
+    // top-2 by x: nodes 5 (x=50) and 4 (x=40); their predecessors 4 and 3
+    assert(r.bindings.collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getLong(2))).toSet ==
+      Set((5L, 50L, 4L), (4L, 40L, 3L)))
+  }
+
+  test("with: variable re-aliased keeps the node binding; old name unbinds") {
+    val r = Engine.runSource(spark, chainSrc +
+      "match (n:N)\nwhere n.x = 20\n" +
+      "with n as m\n" +
+      "set m.x = 99\n" +
+      "return m, m.x")
+    assert(r.bindings.collect().map(x => (x.getLong(0), x.getLong(1))).toSet ==
+      Set((2L, 99L)))
+  }
+
+  test("with distinct: mid-query dedup") {
+    // sources of *1..2 pairs repeat per target; distinct collapses them
+    val r = Engine.runSource(spark, chainSrc +
+      "match (a:N) -[:next*1..2]-> (b:N)\n" +
+      "with distinct a\n" +
+      "return a")
+    assert(r.bindings.collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("reverse hop: `<-[:next]-` binds predecessors (same IR as forward)") {
+    val r = Engine.runSource(spark, chainSrc +
+      "match (n:N) <-[:next]- (p:N)\nwhere n.x = 30\nreturn n, p")
+    assert(r.bindings.collect().map(x => (x.getLong(0), x.getLong(1))).toSet ==
+      Set((3L, 2L)))
+    // reverse varpath with the shortest-distance binding
+    val rv = Engine.runSource(spark, chainSrc +
+      "match (b:N) <-[:next*1..3 as d]- (a:N)\nwhere b.x = 50\nreturn a, b, d.hops")
+    assert(rv.bindings.collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getLong(2))).toSet ==
+      Set((4L, 5L, 1L), (3L, 5L, 2L), (2L, 5L, 3L)))
+  }
+
   test("varpath: bounded closure semantics on the chain (lo > 1)") {
     val r = Engine.runSource(spark, chainSrc +
       "match (a:N) -[:next*2..3]-> (b:N)\nreturn a, b")

@@ -169,6 +169,39 @@ class ParserSpec extends AnyFunSuite {
       List(("distinct", false)))
   }
 
+  test("reverse hop `<-[:r]-` parses and desugars to swapped endpoints") {
+    val p = Parser.parse(header + "(:Q {y int})\n(:P) -[:r]-> (:Q)\n" +
+      "match (q:Q) <-[:r]- (p:P)\nreturn q, p")
+    val pats = p.query.clauses.collectFirst { case Match(ps) => ps }.get
+    assert(pats == List(CompPattern(DeclPattern("q", "Q"), "r",
+      SimpPattern(DeclPattern("p", "P")), rev = true)))
+    // desugars to the relation instruction with swapped endpoints
+    // (edge FROM p TO q) — the IR itself is direction-free
+    val tp = Typing.compile(header + "(:Q {y int})\n(:P) -[:r]-> (:Q)\n" +
+      "match (q:Q) <-[:r]- (p:P)\nreturn q, p")
+    assert(tp.instrs.collect { case e: Typing.RMatchEdge => e } ==
+      List(Typing.RMatchEdge("p", "P", "r", "q", "Q")))
+    // mixed directions along one path
+    val mixed = Parser.parse(header + "(:Q {y int})\n(:P) -[:r]-> (:Q)\n(:Q) -[:t]-> (:Q)\n" +
+      "match (a:Q) <-[:r]- (b:P), (a) -[:t]-> (c:Q)\nreturn a, b, c")
+    assert(mixed.query.clauses.nonEmpty)
+    // reverse varpath, with the distance binding riding along
+    val vp = Parser.parse("(:N {})\n(:N) -[:next]-> (:N)\n" +
+      "match (b:N) <-[:next*1..3 as d]- (a:N)\nreturn a, b, d")
+    val vpats = vp.query.clauses.collectFirst { case Match(ps) => ps }.get
+    assert(vpats == List(VarPattern(DeclPattern("b", "N"), "next", 1, 3,
+      SimpPattern(DeclPattern("a", "N")), Some("d"), rev = true)))
+  }
+
+  test("a lone `<` after a node pattern is a parse error, not a silent hop") {
+    // `<` not followed by `-` is not a reverse hop: the pattern closes
+    // and the stray token errors at clause position with its location
+    val ex = intercept[Parser.ParseError](
+      Parser.parse(header + "match (a:P) < (b:P)\nreturn a"))
+    assert(ex.getMessage.contains("expected clause keyword"))
+    assert(ex.tok == "<")
+  }
+
   test("merge parses both shapes; merge stays a valid variable name") {
     val node = Parser.parse(header + "merge (a:P {x: 1})")
     assert(node.query.clauses ==

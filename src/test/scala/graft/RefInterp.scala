@@ -193,6 +193,101 @@ object RefInterp {
       throw new UnsupportedOperationException(
         "engine extension not supported by the reference-parity interpreter")
 
+    case RWith(aliasedItems, order, limit, distinct) =>
+      // Mid-query `with`, mirroring Engine.RWith: only Long-valued items
+      // (vars, int attributes, aggregates) fit the Long-row model — the
+      // differential generator emits exactly those; a string/bool attr
+      // item is outside scope like RReturnExt.
+      val items = aliasedItems.map(_._1)
+      // leaf value per row; None = NULL (engine SQL NULL ≙ NullId)
+      def leaf(r: Vector[Long], it: RRet): Option[Long] = it match {
+        case RRetVar(v) =>
+          val x = r(st.colOf(v)); if (x == NullId) None else Some(x)
+        case RRetAttr(v, lbl, f, tp) =>
+          if (tp != IntT) throw new UnsupportedOperationException(
+            "non-int with item not supported by the Long-row interpreter")
+          val id = r(st.colOf(v))
+          if (id == NullId) None
+          else if (Typing.isVirtual(lbl)) Some(id) // the binding IS the value
+          else st.nodes(id).attrs.get(f) match {
+            case Some(IntV(i)) => Some(i)
+            case Some(other)   => throw new IllegalStateException(s"non-int attr value $other")
+            case None => throw new IllegalStateException(s"attribute $f not set for $v")
+          }
+        case _: RRetAgg => throw new IllegalStateException("agg leaf")
+      }
+      // NULL leaves are excluded BEFORE aggregation (Spark agg skips
+      // NULL inputs); sum/min/max/avg of an empty set are NULL, count 0
+      def aggVal(fn: AggFn, vals: List[Long], dist: Boolean): Option[Long] = {
+        val xs = if (dist) vals.distinct else vals
+        fn match {
+          case AggCount => Some(xs.size.toLong)
+          case AggSum   => if (xs.isEmpty) None else Some(xs.sum)
+          case AggMin   => if (xs.isEmpty) None else Some(xs.min)
+          case AggMax   => if (xs.isEmpty) None else Some(xs.max)
+          // truncating int64 division — Engine routes through
+          // IntegralDivide, same quotient for all exact int64 sums
+          case AggAvg   => if (xs.isEmpty) None else Some(xs.sum / xs.size)
+        }
+      }
+      def out(o: Option[Long]): Long = o.getOrElse(NullId)
+      // multi-key sort with the engine's NULL placement: NullId =
+      // Long.MinValue sorts first asc / last desc, exactly Spark's
+      // NULLS FIRST (asc) / NULLS LAST (desc) defaults
+      def sortKeyed(xs: List[(List[Long], Vector[Long])]): List[Vector[Long]] =
+        (if (order.isEmpty) xs
+         else xs.sortWith { (a, b) =>
+           var res = 0
+           val it = a._1.iterator.zip(b._1.iterator).zip(order.iterator.map(_._2))
+           while (res == 0 && it.hasNext) {
+             val ((x, y), asc) = it.next()
+             val c = java.lang.Long.compare(x, y)
+             res = if (asc) c else -c
+           }
+           res < 0
+         }).map(_._2)
+      def limited(rows: List[Vector[Long]]): List[Vector[Long]] =
+        limit.fold(rows)(n => rows.take(n.toInt))
+      val hasAgg = items.exists(_.isInstanceOf[RRetAgg])
+      val shaped: List[Vector[Long]] =
+        if (!hasAgg && !distinct) {
+          // engine orders PRE-projection (keys may be non-item exprs)
+          val keyed = st.rows.map { r =>
+            (order.map { case (k, _) => out(leaf(r, k)) },
+             items.map(it => out(leaf(r, it))).toVector)
+          }
+          limited(sortKeyed(keyed))
+        } else if (!hasAgg) {
+          // distinct: project → dedup → order on item positions
+          // (typing guarantees order keys are items)
+          val projected =
+            st.rows.map(r => items.map(it => out(leaf(r, it))).toVector).distinct
+          limited(sortKeyed(projected.map(r =>
+            (order.map { case (k, _) => r(items.indexOf(k)) }, r))))
+        } else {
+          // plain items are the grouping keys; ZERO plain items =
+          // global aggregate — exactly one row even over no input,
+          // like Spark's df.groupBy().agg
+          val plainIdx = items.zipWithIndex.collect {
+            case (it @ (_: RRetVar | _: RRetAttr), i) => (it, i) }
+          val groups: List[(Vector[Long], List[Vector[Long]])] =
+            if (plainIdx.isEmpty) List(Vector.empty[Long] -> st.rows)
+            else st.rows.groupBy(r =>
+              plainIdx.map { case (it, _) => out(leaf(r, it)) }.toVector).toList
+          val outRows = groups.map { case (key, rs) =>
+            items.zipWithIndex.map {
+              case (_: RRetVar | _: RRetAttr, i) =>
+                key(plainIdx.indexWhere(_._2 == i))
+              case (RRetAgg(fn, arg, dist), _) =>
+                out(aggVal(fn, rs.flatMap(r => leaf(r, arg)), dist))
+            }.toVector
+          }
+          limited(sortKeyed(outRows.map(r =>
+            (order.map { case (k, _) => r(items.indexOf(k)) }, r))))
+        }
+      st.copy(env = aliasedItems.map(_._2).zipWithIndex,
+        width = items.size, rows = shaped)
+
     case RSet(v, _, f, _, te) =>
       val c = st.colOf(v)
       // bindings dangling after a delete no-op, like the engine's
@@ -219,14 +314,14 @@ object RefInterp {
   private def eval(st: St, row: Vector[Long], te: TExpr): Value = te match {
     case TConst(v) => v
     case TNullCheck(v) => BoolV(row(st.colOf(v)) == NullId)
-    case TAttr(v, lbl, _, _) if lbl == Typing.PathLabel =>
-      // a path-distance binding's hops IS its column value; guard the
-      // NULL sentinel so a future generator that attaches `as d` to an
-      // optional varpath cannot silently compare Long.MinValue as a
-      // real hop count (ADVICE r08)
+    case TAttr(v, lbl, _, _) if Typing.isVirtual(lbl) =>
+      // a virtual binding's attribute (d.hops, cnt.val) IS its column
+      // value; guard the NULL sentinel so a future generator extension
+      // (optional varpath distances, nullable with-scalars) cannot
+      // silently compare Long.MinValue as a real value (ADVICE r08)
       if (row(st.colOf(v)) == NullId)
         throw new IllegalStateException(
-          s"path-distance binding $v is NULL — extend eval to model NULL semantics")
+          s"virtual binding $v is NULL — extend eval to model NULL semantics")
       IntV(row(st.colOf(v)))
     case TAttr(v, _, f, _) =>
       st.nodes(row(st.colOf(v))).attrs.getOrElse(f,

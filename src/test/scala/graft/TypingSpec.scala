@@ -233,6 +233,63 @@ class TypingSpec extends AnyFunSuite {
       .contains("cannot delete path-distance binding"))
   }
 
+  // --- with clause (mid-query projection/aggregation) ---
+
+  test("with: attr and agg items need an alias") {
+    assert(err(header + "create (a:P)\nwith a.x").contains("needs an alias"))
+    assert(err(header + "create (a:P)\nwith a, count(a)").contains("needs an alias"))
+  }
+
+  test("with: duplicate aliases rejected") {
+    assert(err(header + "create (a:P)\nwith a.x as w, count(a) as w")
+      .contains("duplicate with alias"))
+  }
+
+  test("with: the new scope is exactly the items — dropped bindings unbind") {
+    assert(err(header + "create (a:P)\ncreate (b:Q)\nwith a\nreturn b")
+      .contains("unbound"))
+    // ...and the same variable read through where
+    assert(err(header + "create (a:P)\ncreate (b:Q)\nwith a\nwhere b.y = 1")
+      .contains("not bound"))
+  }
+
+  test("with scalar: .val reads, other attrs rejected, set/delete rejected") {
+    val tp = Typing.compile(header +
+      "create (a:P)\nwith a, a.x as w\nwhere w.val > 1\nreturn a, w.val")
+    assert(tp.instrs.exists(_.isInstanceOf[Typing.RWith]))
+    assert(err(header + "create (a:P)\nwith a.x as w\nwhere w.value = 1")
+      .contains("not declared"))
+    assert(err(header + "create (a:P)\nwith a.x as w\nset w.val = 3")
+      .contains("cannot set attribute of with-scalar"))
+    assert(err(header + "create (a:P)\nwith a.x as w\ndelete w")
+      .contains("cannot delete with-scalar"))
+  }
+
+  test("with: scalar types flow — string attr item binds %string, int-only ordering applies") {
+    assert(err(header + "create (a:P)\nwith a.s as w\nwhere w.val > 1")
+      .contains("ordering"))
+    val eq = Typing.compile(header +
+      "create (a:P)\nwith a.s as w\nwhere w.val = \"hi\"\nreturn w.val")
+    assert(eq.instrs.exists(_.isInstanceOf[Typing.RWith]))
+  }
+
+  test("with: aggregated order keys must be with items") {
+    assert(err(header + "create (a:P)\nwith a, count(a) as c order by a.x")
+      .contains("may only order by with items"))
+  }
+
+  test("with distinct + aggregate rejected") {
+    assert(err(header + "create (a:P)\nwith distinct count(a) as c")
+      .contains("has no effect"))
+  }
+
+  test("with: var items keep node labels for later matching and mutation") {
+    val tp = Typing.compile(header +
+      "create (a:P)\ncreate (b:Q)\ncreate (a) -[:r]-> (b)\n" +
+      "with a\nmatch (a) -[:r]-> (q:Q)\nset a.x = 1\nreturn a, q")
+    assert(tp.instrs.count(_.isInstanceOf[Typing.RWith]) == 1)
+  }
+
   private def collectTAttrs(te: Typing.TExpr): Seq[Typing.TAttr] = te match {
     case a: Typing.TAttr            => Seq(a)
     case Typing.TBin(_, l, r, _)    => collectTAttrs(l) ++ collectTAttrs(r)
