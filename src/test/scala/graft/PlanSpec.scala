@@ -57,6 +57,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
   }
 
+  test("real BMP decode keeps the stub ops' dataflow: zero shuffles") {
+    // the decode seam claim (SURVEY §8.3): swapping the stub for a real
+    // parser changes only the bytes inspected — scan → mapPartitions,
+    // no Exchange; and the real-raster phash keeps the single per-doc
+    // tally aggregate of the stub phash
+    val p = plan("p_mm_bmp_decode")
+    assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
+    val ph = plan("p_mm_bmp_phash")
+    assert("Exchange".r.findAllIn(ph).size <= 1,
+      s"expected the single per-doc tally exchange in:\n$ph")
+  }
+
   test("aggregation uses map-side partial aggregates") {
     val p = plan("q_agg_pricing")
     // partial + final HashAggregate pair
