@@ -71,7 +71,17 @@ object Engine {
       nextId: Long,
       freshCounter: Int,
       mutationDepth: Map[FrameKey, Int],
-      nullable: Set[String] = Set.empty) {
+      nullable: Set[String] = Set.empty,
+      /** True only while `bindings` is the UNTOUCHED 1-row/0-column unit
+        * table: the first match/merge then IS its label scan — no cross
+        * join. More than convenience: CartesianProduct output has
+        * unknown partitioning, so the 1-row cross join would erase a
+        * bucketed scan's distribution and force a join-key exchange the
+        * bucketed GraphStore layout exists to avoid (PlanSpec pins the
+        * exchange-free 1-hop). Cleared after EVERY instruction by the
+        * execPlan fold — even a constant `where` changes the row count,
+        * so no instruction preserves unit-ness. */
+      unitTable: Boolean = false) {
     def colOf(v: String): String =
       env.collectFirst { case (`v`, c) => c }
         .getOrElse(throw new IllegalStateException(s"variable $v not bound"))
@@ -134,7 +144,7 @@ object Engine {
   def run(spark: SparkSession, prog: TypedProg, graph: PropertyGraph,
           nextId: Long = 0L, config: Config = Config()): QueryResult = {
     val st0 = ExecState(graph, unitBindings(spark), Nil, nextId, 0,
-      Map.empty[FrameKey, Int].withDefaultValue(0))
+      Map.empty[FrameKey, Int].withDefaultValue(0), unitTable = true)
     val st = execPlan(spark, prog.schema, st0, prog.instrs, config)
     // Final table: distinct variable names, latest binding, header order
     // (latest-first, like the reference's prepended header) — unless the
@@ -153,7 +163,9 @@ object Engine {
   private def execPlan(spark: SparkSession, schema: Schema, st0: ExecState,
       instrs: List[RInstr], config: Config): ExecState = {
     var st = st0
-    compilePlan(instrs, config).foreach {
+    compilePlan(instrs, config).foreach { op =>
+      val wasUnit = st.unitTable
+      op match {
       case PExec(in) => st = exec(spark, schema, st, in, config)
       case PExpand(key, boundVar, newVar, newIsDst) =>
         val c = fresh(st)
@@ -185,6 +197,9 @@ object Engine {
         st = st.copy(bindings = joined,
           env = distVar.map(d => (d, cD)).toList ::: (newVar, c) :: st.env,
           freshCounter = st.freshCounter + 1)
+      }
+      // unit-ness survives nothing: even a constant where filters the row
+      if (wasUnit) st = st.copy(unitTable = false)
     }
     st
   }
@@ -291,7 +306,11 @@ object Engine {
     case RMatchNode(v, lb) =>
       val c = fresh(st)
       val scan = st.graph.nodes(lb).select(col("id").as(c))
-      st.copy(bindings = st.bindings.crossJoin(scan),
+      // first match on the untouched unit table IS the scan (1 row x S =
+      // S) — skipping the cross join keeps the scan's output
+      // partitioning (bucketed store) visible to the next join
+      val joined = if (st.unitTable) scan else st.bindings.crossJoin(scan)
+      st.copy(bindings = joined,
         env = (v, c) :: st.env, freshCounter = st.freshCounter + 1)
 
     case RMergeNode(v, lb, props) =>
@@ -307,9 +326,12 @@ object Engine {
       val matches = props.foldLeft(st.graph.nodes(lb)) {
         case (df, (f, value)) => df.filter(col(f) === valueLit(value))
       }
-      if (matches.count() > 0L)
-        st.copy(bindings = st.bindings.crossJoin(matches.select(col("id").as(c))),
+      if (matches.count() > 0L) {
+        val scan = matches.select(col("id").as(c))
+        st.copy(
+          bindings = if (st.unitTable) scan else st.bindings.crossJoin(scan),
           env = (v, c) :: st.env, freshCounter = st.freshCounter + 1)
+      }
       else if (st.bindings.isEmpty)
         // zero rows merge nothing (Cypher: MERGE runs per row) — the
         // binding column still appears, typed and empty

@@ -57,6 +57,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
   }
 
+  test("bucketed graph store: pattern-match joins read bucket-aligned") {
+    // SURVEY §9.3(1): a RE-LOADED bucketed graph joins node scans
+    // (bucketBy id) against edge frames (bucketBy src, equal bucket
+    // counts) with NO join-key exchange on either side for the first
+    // hop, and none on the EDGE side of later hops — only the re-keyed
+    // binding table ever moves. Broadcast is disabled so the bucket
+    // alignment (not a small-table fallback) is what's pinned.
+    val (g, nextId) = graft.sources.GraphLoader.load(spark, dir)
+    graft.sources.GraphStore.saveBucketed(g, spark, "planspec_bkt", buckets = 4)
+    val g2 = graft.sources.GraphStore.loadBucketed(spark, "planspec_bkt")
+    val cfg = graft.engine.Engine.Config(strict = false)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hdr = graft.sources.GraphLoader.headerGql
+      val one = graft.engine.Engine.runSourceOn(spark, hdr +
+        "match (c:customer) -[:cnation]-> (n:nation)\nreturn c, n",
+        g2, nextId, cfg).bindings
+      val p1 = one.queryExecution.executedPlan.toString
+      assert(p1.contains("SortMergeJoin"), s"expected bucket SMJ in:\n$p1")
+      assert(!p1.contains("Exchange hashpartitioning"),
+        s"join-key exchange in the bucket-aligned 1-hop match:\n$p1")
+      val two = graft.engine.Engine.runSourceOn(spark, hdr +
+        "match (s:supplier) -[:snation]-> (n:nation) -[:nregion]-> (r:region)\nreturn s, n, r",
+        g2, nextId, cfg).bindings
+      val p2 = two.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(p2).size <= 1,
+        s"expected at most the binding-table re-key exchange in the 2-hop:\n$p2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("real BMP decode keeps the stub ops' dataflow: zero shuffles") {
     // the decode seam claim (SURVEY §8.3): swapping the stub for a real
     // parser changes only the bytes inspected — scan → mapPartitions,
