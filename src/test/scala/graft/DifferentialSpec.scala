@@ -455,6 +455,61 @@ class DifferentialSpec extends AnyFunSuite {
         |match (u:P), (v:P)
         |match (u) -[:s*0..2 as d]-> (v)
         |return u, v, d
+        |""".stripMargin,
+      // round 9: with — grouped aggregate, filter on the scalar, keep
+      // matching; the scalar survives into the final table
+      """create (a:P {x: 1, nm: "alpha"})
+        |create (b:P {x: 2, nm: "beta"})
+        |create (q1:Q {y: 5})
+        |create (q2:Q {y: 6})
+        |match (p:P), (q:Q)
+        |create (p) -[:r]-> (q)
+        |match (p2:P) -[:r]-> (q3:Q)
+        |with p2, count(q3) as c
+        |where c.val >= 2
+        |match (p2) -[:r]-> (q4:Q)
+        |return p2, c, q4
+        |""".stripMargin,
+      // round 9: with — re-alias keeps the node binding (set through the
+      // alias mutates the same node), old names unbind, attr scalar item
+      """create (a:P {x: 7, nm: "alpha"})
+        |create (b:P {x: 9, nm: "beta"})
+        |match (p:P)
+        |with p as m, p.x as w
+        |where w.val > 8
+        |set m.x = (w.val * 2)
+        |return m, w
+        |""".stripMargin,
+      // round 9: with order+limit mid-query (total order via all items)
+      """create (a:P {x: 1, nm: "alpha"})
+        |create (b:P {x: 2, nm: "beta"})
+        |create (c:P {x: 3, nm: "gamma"})
+        |match (p:P)
+        |with p, p.x as w order by p.x desc, p limit 2
+        |return p, w
+        |""".stripMargin,
+      // round 9: with distinct collapses duplicate rows mid-query
+      """create (a:P {x: 1, nm: "alpha"})
+        |create (q1:Q {y: 5})
+        |create (q2:Q {y: 6})
+        |match (p:P), (q:Q)
+        |create (p) -[:r]-> (q)
+        |match (p2:P) -[:r]-> (q3:Q)
+        |with distinct p2
+        |return p2
+        |""".stripMargin,
+      // round 9: reverse hops — edge + varpath written backward are the
+      // same IR; fresh decl on the rest side of a reverse varpath binds
+      // the path SOURCE (backward seeded expansion)
+      """create (a:P {x: 1, nm: "alpha"})
+        |create (b:P {x: 2, nm: "beta"})
+        |create (q1:Q {y: 5})
+        |match (p1:P {x: 1}), (p2:P {x: 2}), (q:Q)
+        |create (q) <-[:r]- (p1)
+        |create (p1) -[:s]-> (p2)
+        |match (q2:Q) <-[:r]- (w:P)
+        |match (p2) <-[:s*1..2 as d]- (src:P)
+        |return q2, w, src, d
         |""".stripMargin)
     progs.foreach(p => runBoth(header + p))
   }
