@@ -27,28 +27,32 @@ object Bench {
     if (name.startsWith("p_")) name.split("_", 3).take(2).mkString("_")
     else name.takeWhile(_ != '_')
 
-  /** Recorded per-family totals (seconds) from the BASELINE.md runs=3
-    * cold-process re-record (median of 3; tools/record_baseline.sh).
-    * A family whose FIRST-PASS total exceeds its band ×[[retryFactor]]
-    * is re-run once and each query reports the min of its passes —
-    * ambient machine contention during one pass can no longer be the
-    * round's only number (VERDICT r06/r07: a 2.4× "regression" that was
-    * idle-vs-contended measurement, not code). Recording runs disable
-    * the retry (SPARK_GRAFT_RETRY=0) so the baseline itself stays raw. */
+  /** Recorded per-family totals (seconds) from the BASELINE.md round-9
+    * runs=7 cold-process re-record (per-family sums of per-query
+    * MEDIANS across the 7 runs; tools/record_baseline.sh +
+    * distill_baseline.py — recorded on a contended host window, see
+    * BASELINE.md's environment note; the idle-floor min profile is
+    * ~30% lower). A family whose FIRST-PASS total exceeds its band
+    * ×[[retryFactor]] is re-run once and each query reports the min of
+    * its passes — ambient machine contention during one pass can no
+    * longer be the round's only number (VERDICT r06/r07: a 2.4×
+    * "regression" that was idle-vs-contended measurement, not code).
+    * Recording runs disable the retry (SPARK_GRAFT_RETRY=0) so the
+    * baseline itself stays raw. */
   private val familyBand: Map[String, Double] = Map(
-    "g"        -> 116.8,
-    "p_stream" -> 27.3,
-    "p_dedup"  -> 26.9,
-    "gql"      -> 23.2,
-    "q"        -> 11.2,
-    "p_io"     -> 8.2,
-    "p_events" -> 7.7,
-    "p_sim"    -> 7.3,
-    "p_curate" -> 4.5,
-    "p_text"   -> 3.6,
-    "p_mm"     -> 1.1,
-    "p_sample" -> 1.2,
-    "p_pack"   -> 0.1)
+    "g"        -> 168.7,
+    "p_stream" -> 55.0,
+    "p_dedup"  -> 46.3,
+    "gql"      -> 40.4,
+    "q"        -> 18.2,
+    "p_sim"    -> 17.6,
+    "p_io"     -> 16.3,
+    "p_events" -> 15.6,
+    "p_curate" -> 8.8,
+    "p_text"   -> 5.2,
+    "p_mm"     -> 3.8,
+    "p_sample" -> 2.6,
+    "p_pack"   -> 0.2)
   private val retryFactor = 1.5
   // ...and at least this many seconds over the band: sub-second families
   // (p_pack, p_sample) would otherwise re-run on trivial jitter. Bands
