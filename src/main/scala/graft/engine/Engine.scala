@@ -455,6 +455,21 @@ object Engine {
         freshCounter = sub.freshCounter,
         nullable = st.nullable ++ freshCols)
 
+    case RExists(inner, bound) =>
+      // Positive pattern predicate: keep rows WITH a witness — the same
+      // distinct-probe witness sub-plan as not-exists, joined left_semi
+      // (match-edge's join type, but existential: no bindings, no row
+      // multiplication). A NULL bound column never equals a witness key
+      // and drops, the complement of its not-exists survival.
+      val (subE, boundColsE) = innerWitness(spark, schema, st, inner, bound, cfg)
+      val wAliasesE = boundColsE.indices.map(k => s"__w$k").toList
+      val witnessE = subE.bindings.select(
+        boundColsE.zip(wAliasesE).map { case (bc, a) => col(bc).as(a) }: _*)
+      val condE = boundColsE.zip(wAliasesE)
+        .map { case (bc, a) => st.bindings(bc) === witnessE(a) }.reduce(_ && _)
+      st.copy(bindings = st.bindings.join(witnessE, condE, "left_semi"),
+        freshCounter = subE.freshCounter)
+
     case RNotExists(inner, bound) =>
       // The mirror of match-edge's left_semi: keep rows with NO witness.
       // Witness keys are the bound columns only (inner declarations are

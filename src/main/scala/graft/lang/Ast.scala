@@ -189,6 +189,14 @@ final case class OptMatch(pat: Pattern) extends Clause
   * referenced variables must be bound. Compiles to a left_anti join —
   * the mirror of match-edge's left_semi. */
 final case class NotExists(pat: Pattern) extends Clause
+/** `where exists (a) -[:r]-> (b:B)` (engine extension) — the POSITIVE
+  * pattern predicate (Cypher's `WHERE EXISTS { … }`): keep only the
+  * rows for which SOME expansion of the pattern exists. Unlike `match`,
+  * declared variables stay existential (bind nothing) and row
+  * MULTIPLICITY is preserved — a row with many witnesses appears once,
+  * where match-edge would multiply it per witness. Compiles to a
+  * left_semi join over the same witness sub-plan as [[NotExists]]. */
+final case class Exists(pat: Pattern) extends Clause
 /** `merge` (engine extension, Cypher-shaped upsert). Two forms, both
   * parser-enforced:
   *   - `merge (x:L {f: const, …})` — if any L-node carries exactly the

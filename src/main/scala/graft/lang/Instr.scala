@@ -45,6 +45,9 @@ final case class IVarPathRel(act: Act, sv: String, rel: String, lo: Int, hi: Int
   * declarations are existential and bind nothing. */
 final case class IOptPath(inner: List[Instruction]) extends Instruction
 final case class INotExists(inner: List[Instruction]) extends Instruction
+/** Positive pattern predicate `where exists` — keep rows WITH a
+  * witness; same inner shape as [[INotExists]], semi instead of anti. */
+final case class IExists(inner: List[Instruction]) extends Instruction
 /** Node-form `merge (v:label {props})` (see [[Merge]]); the edge form
   * desugars to `IActOnRel(CreateAct, …)` in Normalize (create-edge's set
   * semantics ARE the edge upsert). Props must type to constants. */
@@ -141,6 +144,10 @@ object Normalize {
       // outer, declared ones are existential — so head decls/props also
       // go INSIDE (a fresh head decl is just another existential)
       List(INotExists(normPattern(MatchAct, pat) ++
+        declProps(pat).map { case (v, f, e) =>
+          IWhere(Bin(BCeq, AttribAcc(v, f), e)) }))
+    case Exists(pat) =>
+      List(IExists(normPattern(MatchAct, pat) ++
         declProps(pat).map { case (v, f, e) =>
           IWhere(Bin(BCeq, AttribAcc(v, f), e)) }))
     case Merge(pat) => pat match {

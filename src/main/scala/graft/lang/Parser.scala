@@ -112,6 +112,13 @@ object Parser {
               case TIdent("not") if peek2 == TIdent("exists") =>
                 i += 2
                 pathPattern("not exists")
+              // positive form: `exists` is contextual on the following
+              // '(' — an expression headed by an identifier must
+              // continue with '.', so `exists (` can never start a
+              // reference-legal where expression
+              case TIdent("exists") if peek2 == TSym("(") =>
+                i += 1
+                pathPattern("exists")
               case _ => Where(expr())
             }
           case _        => SetClause(assignList()) // "set"
@@ -160,8 +167,11 @@ object Parser {
       pat match {
         case SimpPattern(_) =>
           fail(s"$what requires a path pattern with at least one hop")
-        case _ =>
-          if (what == "not exists") NotExists(pat) else OptMatch(pat)
+        case _ => what match {
+          case "not exists" => NotExists(pat)
+          case "exists"     => Exists(pat)
+          case _            => OptMatch(pat)
+        }
       }
     }
 

@@ -89,6 +89,13 @@ object Typing {
     * survive. */
   final case class RNotExists(inner: List[RInstr], bound: List[String])
       extends RInstr
+  /** `where exists <pattern>`: keep rows WITH a witness — a left_semi
+    * join on `bound`, sharing [[RNotExists]]'s witness sub-plan; row
+    * multiplicity preserved (unlike match-edge, which multiplies per
+    * witness). A NULL bound column has no witness and DROPS — the
+    * complement of its survival under not-exists. */
+  final case class RExists(inner: List[RInstr], bound: List[String])
+      extends RInstr
   /** Node-form merge: bind every `label` node whose props equal the
     * constant `props` exactly, or create ONE such node and bind it to
     * every row when none matches (see [[graft.lang.Merge]]). */
@@ -363,6 +370,14 @@ object Typing {
               // keeping all rows or none
               Left("not exists pattern must reference at least one bound variable")
             else Right((RNotExists(ris, bound), env)) // existential: env unchanged
+        }
+
+      case IExists(inner) =>
+        tcInner(schema, env, inner, "exists").flatMap {
+          case (ris, bound, _) =>
+            if (bound.isEmpty)
+              Left("exists pattern must reference at least one bound variable")
+            else Right((RExists(ris, bound), env))
         }
 
       case IVarPathRel(act, sv, rl, lo, hi, tv, dist) =>

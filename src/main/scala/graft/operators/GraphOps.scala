@@ -633,6 +633,22 @@ object GraphOps {
              |                  WHERE o.o_custkey = c.c_custkey
              |                    AND o.o_orderpriority = '1-URGENT')""".stripMargin)),
 
+    // --- positive pattern predicate `where exists` (round 9): the
+    // left_semi mirror — customers WITH an urgent order, each appearing
+    // ONCE regardless of how many urgent orders they have (row
+    // multiplicity preserved, unlike a match which would multiply)
+    Q("gql_exists",
+      bindings(
+        """match (c:customer)
+          |where exists (o:orders {urgent: true}) -[:ocust]-> (c)
+          |return c, c.name""".stripMargin),
+      Some("""SELECT CAST(c_custkey AS BIGINT) + 4000000000 AS c,
+             |       c_name AS c_name
+             |FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_orderpriority = '1-URGENT')""".stripMargin)),
+
     // bound source + existential target narrowed by an inline props
     // conjunct (filters INSIDE the anti-joined witness)
     Q("gql_not_exists_props",

@@ -162,10 +162,12 @@ class DifferentialSpec extends AnyFunSuite {
           }
           dist.foreach(d => env = (d, Typing.PathLabel) :: env)
         }
-      case 6 => // where not exists — pattern negation (anti-join witness);
-        // four shapes: bound→bound (pure edge anti), bound→existential
+      case 6 => // pattern predicates: `where not exists` (anti witness)
+        // and, half the time, the positive `where exists` (semi witness,
+        // round 9) — four shapes each: bound→bound, bound→existential
         // decl, existential decl with an inline props conjunct, and a
-        // bounded-varpath witness (reachability negation, incl. lo = 0)
+        // bounded-varpath witness (incl. lo = 0)
+        val neg = if (rnd.nextBoolean()) "not exists" else "exists"
         val combos = Seq(("P", "r", "Q"), ("P", "s", "P"), ("Q", "t", "Q"))
           .flatMap { case (sl, rl, tl) => bound(sl).map(a => (a, rl, tl)) }
         val vpStarts = Seq(("P", "s"), ("Q", "t"))
@@ -176,22 +178,22 @@ class DifferentialSpec extends AnyFunSuite {
           val hi = math.max(lo, 1) + rnd.nextInt(3)
           val bs = bound(l)
           if (bs.nonEmpty && rnd.nextBoolean())
-            sb ++= s"where not exists ($a) -[:$rl*$lo..$hi]-> (${pick(bs)})\n"
+            sb ++= s"where $neg ($a) -[:$rl*$lo..$hi]-> (${pick(bs)})\n"
           else {
             n += 1
-            sb ++= s"where not exists ($a) -[:$rl*$lo..$hi]-> (v$n:$l)\n"
+            sb ++= s"where $neg ($a) -[:$rl*$lo..$hi]-> (v$n:$l)\n"
           }
         } else if (combos.nonEmpty) {
           val (a, rl, tl) = pick(combos)
           val bs = bound(tl)
           if (bs.nonEmpty && rnd.nextBoolean())
-            sb ++= s"where not exists ($a) -[:$rl]-> (${pick(bs)})\n"
+            sb ++= s"where $neg ($a) -[:$rl]-> (${pick(bs)})\n"
           else {
             n += 1
             if (rnd.nextInt(3) == 0) {
               val p = if (tl == "P") s"x: ${rnd.nextInt(50)}" else s"y: ${rnd.nextInt(50)}"
-              sb ++= s"where not exists ($a) -[:$rl]-> (v$n:$tl {$p})\n"
-            } else sb ++= s"where not exists ($a) -[:$rl]-> (v$n:$tl)\n"
+              sb ++= s"where $neg ($a) -[:$rl]-> (v$n:$tl {$p})\n"
+            } else sb ++= s"where $neg ($a) -[:$rl]-> (v$n:$tl)\n"
           }
         }
       case 7 => // optional match — all-or-nothing witness tails: 1-hop,

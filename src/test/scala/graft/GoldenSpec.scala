@@ -476,6 +476,17 @@ class GoldenSpec extends AnyFunSuite {
     assert(rows == Set((0L, -1L), (1L, -1L), (2L, 3L), (3L, -1L), (4L, -1L), (5L, -1L)))
   }
 
+  test("exists: keeps rows with a witness, multiplicity preserved") {
+    // node 0 has TWO successors via the shortcut chain below; with
+    // `exists` it still appears exactly once (match would duplicate it)
+    val r = Engine.runSource(spark, chainSrc +
+      "match (e:N {x: 50})\nmatch (s:N {x: 0})\ncreate (s) -[:next]-> (e)\n" +
+      "match (n:N)\nwhere exists (n) -[:next]-> (m:N)\nreturn n")
+    // every node except the tail (5) has an outgoing edge; node 0 has 2
+    val got = r.bindings.collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(0L, 1L, 2L, 3L, 4L), s"got $got")
+  }
+
   test("not exists: keeps exactly the rows with no witness") {
     // only the chain tail (5) has no successor
     val r = Engine.runSource(spark, chainSrc +

@@ -150,6 +150,16 @@ object RefInterp {
           st.copy(env = (d, st.width) :: st.env, width = st.width + 1, rows = kept)
       }
 
+    case RExists(inner, bound) =>
+      // positive pattern predicate: keep rows WITH a witness (the
+      // left_semi mirror of RNotExists below); row multiplicity
+      // preserved — the witness count never multiplies the row
+      val idxE = bound.map(st.colOf)
+      val probeE = st.rows.map(r => idxE.map(r).toVector).distinct
+      val subE = St(st.nodes, st.edges, bound.zipWithIndex, bound.size, probeE, st.next)
+      val witnessE = inner.foldLeft(subE)(exec).rows.map(_.take(bound.size)).toSet
+      st.copy(rows = st.rows.filter(r => witnessE(idxE.map(r).toVector)))
+
     case RNotExists(inner, bound) =>
       // existential check per distinct bound tuple: interpret the inner
       // pattern over a probe table of the bound columns, keep outer rows

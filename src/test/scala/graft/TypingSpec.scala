@@ -233,6 +233,14 @@ class TypingSpec extends AnyFunSuite {
       .contains("cannot delete path-distance binding"))
   }
 
+  test("exists: pattern must reference a bound variable; env unchanged") {
+    assert(err(header + "create (a:P)\nwhere exists (z:P) -[:r]-> (w:Q)")
+      .contains("must reference at least one bound variable"))
+    // existential decls do NOT bind
+    assert(err(header + "create (a:P)\nwhere exists (a) -[:r]-> (w:Q)\nreturn w")
+      .contains("unbound"))
+  }
+
   // --- with clause (mid-query projection/aggregation) ---
 
   test("with: attr and agg items need an alias") {
