@@ -28,8 +28,8 @@ object Bench {
     else name.takeWhile(_ != '_')
 
   /** Recorded per-family totals (seconds) from the BASELINE.md round-9
-    * runs=7 cold-process re-record (per-family sums of per-query
-    * MEDIANS across the 7 runs; tools/record_baseline.sh +
+    * runs=10 cold-process re-record (per-family sums of per-query
+    * MEDIANS across the 10 runs; tools/record_baseline.sh +
     * distill_baseline.py — recorded on a contended host window, see
     * BASELINE.md's environment note; the idle-floor min profile is
     * ~30% lower). A family whose FIRST-PASS total exceeds its band
@@ -40,18 +40,18 @@ object Bench {
     * Recording runs disable the retry (SPARK_GRAFT_RETRY=0) so the
     * baseline itself stays raw. */
   private val familyBand: Map[String, Double] = Map(
-    "g"        -> 168.7,
-    "p_stream" -> 55.0,
-    "p_dedup"  -> 46.3,
-    "gql"      -> 40.4,
-    "q"        -> 18.2,
-    "p_sim"    -> 17.6,
-    "p_io"     -> 16.3,
-    "p_events" -> 15.6,
-    "p_curate" -> 8.8,
-    "p_text"   -> 5.2,
+    "g"        -> 172.4,
+    "p_stream" -> 53.8,
+    "p_dedup"  -> 49.4,
+    "gql"      -> 42.9,
+    "q"        -> 18.5,
+    "p_sim"    -> 16.8,
+    "p_io"     -> 16.6,
+    "p_events" -> 16.2,
+    "p_curate" -> 8.4,
+    "p_text"   -> 5.6,
     "p_mm"     -> 3.8,
-    "p_sample" -> 2.6,
+    "p_sample" -> 2.7,
     "p_pack"   -> 0.2)
   private val retryFactor = 1.5
   // ...and at least this many seconds over the band: sub-second families
