@@ -112,13 +112,24 @@ object Engine {
   private final case class PExpand(
       key: (String, String, String), boundVar: String, newVar: String,
       newIsDst: Boolean) extends PhysOp
+  /** Fused undirected hop: cross+semi over EITHER edge orientation fuses
+    * to one equi-join against the union of the declared orientation
+    * frames, deduplicated on the node pair — cross+semi yields exactly
+    * one row per connected (sv,tv) pair, and the union can hold a pair
+    * twice (reciprocal edges on a self-label relation), so unlike the
+    * directed [[PExpand]] the dedup is load-bearing. `sl`/`tl` are the
+    * pattern's sv-/tv-side labels, `fwd`/`rev` which orientations the
+    * schema declares (typing guarantees at least one). */
+  private final case class PExpandUndir(
+      sl: String, rl: String, tl: String, fwd: Boolean, rev: Boolean,
+      boundVar: String, newVar: String, newIsTv: Boolean) extends PhysOp
   /** Same peephole for a variable-length hop: cross+semi over the bounded
     * closure fuses to one equi-join against the reach frame. `distVar`
     * additionally binds the minimal hop count (`as d`). */
   private final case class PExpandPath(
       key: (String, String, String), lo: Int, hi: Int, boundVar: String,
       newVar: String, newIsDst: Boolean,
-      distVar: Option[String] = None) extends PhysOp
+      distVar: Option[String] = None, undir: Boolean = false) extends PhysOp
 
   private def compilePlan(instrs: List[RInstr], cfg: Config): List[PhysOp] =
     if (!cfg.expandPaths) instrs.map(PExec)
@@ -131,12 +142,19 @@ object Engine {
           if sv == v && tv != v =>
         // (fresh v)-[:rl]->(bound tv): new var is the edge's src
         PExpand((sl, rl, tl), tv, v, newIsDst = false) :: compilePlan(rest, cfg)
-      case RMatchNode(v, _) :: RVarPath(sv, key, lo, hi, tv, dist) :: rest
+      case RMatchNode(v, _) :: RMatchEdgeUndir(sv, sl, rl, tv, tl, f, r) :: rest
           if tv == v && sv != v =>
-        PExpandPath(key, lo, hi, sv, v, newIsDst = true, dist) :: compilePlan(rest, cfg)
-      case RMatchNode(v, _) :: RVarPath(sv, key, lo, hi, tv, dist) :: rest
+        // (bound sv)-[:rl]-(fresh v): new var is the pattern's tv side
+        PExpandUndir(sl, rl, tl, f, r, sv, v, newIsTv = true) :: compilePlan(rest, cfg)
+      case RMatchNode(v, _) :: RMatchEdgeUndir(sv, sl, rl, tv, tl, f, r) :: rest
           if sv == v && tv != v =>
-        PExpandPath(key, lo, hi, tv, v, newIsDst = false, dist) :: compilePlan(rest, cfg)
+        PExpandUndir(sl, rl, tl, f, r, tv, v, newIsTv = false) :: compilePlan(rest, cfg)
+      case RMatchNode(v, _) :: RVarPath(sv, key, lo, hi, tv, dist, undir) :: rest
+          if tv == v && sv != v =>
+        PExpandPath(key, lo, hi, sv, v, newIsDst = true, dist, undir) :: compilePlan(rest, cfg)
+      case RMatchNode(v, _) :: RVarPath(sv, key, lo, hi, tv, dist, undir) :: rest
+          if sv == v && tv != v =>
+        PExpandPath(key, lo, hi, tv, v, newIsDst = false, dist, undir) :: compilePlan(rest, cfg)
       case i :: rest => PExec(i) :: compilePlan(rest, cfg)
       case Nil       => Nil
     }
@@ -177,7 +195,25 @@ object Engine {
           .drop(eS)
         st = st.copy(bindings = joined, env = (newVar, c) :: st.env,
           freshCounter = st.freshCounter + 1)
-      case PExpandPath(key, lo, hi, boundVar, newVar, newIsDst, distVar) =>
+      case PExpandUndir(sl, rl, tl, fwd, rev, boundVar, newVar, newIsTv) =>
+        val c = fresh(st)
+        val eS = s"${c}_src"
+        // pair frame in pattern orientation (svSide, tvSide); the rev
+        // orientation's frame is read dst-as-svSide. Same broadcast/
+        // shuffle hash join as PExpand after the pair dedup.
+        val (svName, tvName) = if (newIsTv) (eS, c) else (c, eS)
+        val fdf = if (fwd) Some(st.graph.edges((sl, rl, tl))
+          .select(col("src").as(svName), col("dst").as(tvName))) else None
+        val rdf = if (rev) Some(st.graph.edges((tl, rl, sl))
+          .select(col("dst").as(svName), col("src").as(tvName))) else None
+        val pairs = (fdf.toSeq ++ rdf.toSeq).reduce(_ unionByName _)
+          .dropDuplicates(svName, tvName)
+        val joinedU = st.bindings
+          .join(pairs, col(st.colOf(boundVar)) === col(eS))
+          .drop(eS)
+        st = st.copy(bindings = joinedU, env = (newVar, c) :: st.env,
+          freshCounter = st.freshCounter + 1)
+      case PExpandPath(key, lo, hi, boundVar, newVar, newIsDst, distVar, undir) =>
         val c = fresh(st)
         val eS = s"${c}_src"
         val cD = s"${c}_d"
@@ -186,7 +222,7 @@ object Engine {
         // relation's full closure (see varPathReachSeeded)
         val seeds = st.bindings.select(col(st.colOf(boundVar)).as("seed")).distinct()
         val rdf0 = varPathReachSeeded(st.graph, key, lo, hi, seeds,
-          seedIsSrc = newIsDst, dist = distVar.nonEmpty)
+          seedIsSrc = newIsDst, dist = distVar.nonEmpty, undir = undir)
         val endpointCols = Seq(col("src").as(if (newIsDst) eS else c),
           col("dst").as(if (newIsDst) c else eS))
         val rdf = rdf0.select(
@@ -368,6 +404,22 @@ object Engine {
         "left_semi")
       st.copy(bindings = joined)
 
+    case RMatchEdgeUndir(sv, sl, rl, tv, tl, fwd, rev) =>
+      // either-direction existence: semi-join against the union of the
+      // declared orientation frames (rev read dst-as-src). left_semi
+      // ignores multiplicity, so no pair dedup is needed here — the
+      // fused PExpandUndir path is where the dedup matters.
+      val fdf = if (fwd) Some(st.graph.edges((sl, rl, tl))
+        .select(col("src"), col("dst"))) else None
+      val rdf = if (rev) Some(st.graph.edges((tl, rl, sl))
+        .select(col("dst").as("src"), col("src").as("dst"))) else None
+      val pairs = (fdf.toSeq ++ rdf.toSeq).reduce(_ unionByName _)
+      val joinedU = st.bindings.join(pairs,
+        st.bindings(st.colOf(sv)) === pairs("src") &&
+          st.bindings(st.colOf(tv)) === pairs("dst"),
+        "left_semi")
+      st.copy(bindings = joinedU)
+
     case RDeleteNode(v, lbl) =>
       val cs = st.env.collect { case (`v`, c) => c }
       val doomed = st.bindings.select(col(cs.head).as("id")).distinct()
@@ -484,7 +536,7 @@ object Engine {
       st.copy(bindings = st.bindings.join(witness, cond, "left_anti"),
         freshCounter = sub.freshCounter)
 
-    case RVarPath(sv, key, lo, hi, tv, dist) =>
+    case RVarPath(sv, key, lo, hi, tv, dist, undir) =>
       // Both endpoints are bound (normalize emits the node instruction
       // first); constrain existing rows to pairs in the bounded closure.
       // both sides bound: seed the closure from the source side's
@@ -494,7 +546,7 @@ object Engine {
       dist match {
         case None =>
           val reach = varPathReachSeeded(st.graph, key, lo, hi, seeds,
-            seedIsSrc = true, dist = false)
+            seedIsSrc = true, dist = false, undir = undir)
           val joined = st.bindings.join(reach,
             st.bindings(st.colOf(sv)) === reach("src") &&
               st.bindings(st.colOf(tv)) === reach("dst"),
@@ -507,7 +559,7 @@ object Engine {
           // row multiplicity is unchanged vs the semi join)
           val c = fresh(st)
           val reach = varPathReachSeeded(st.graph, key, lo, hi, seeds,
-            seedIsSrc = true, dist = true)
+            seedIsSrc = true, dist = true, undir = undir)
             .select(col("src"), col("dst"), col("hops").as(c))
           val joined = st.bindings.join(reach,
             st.bindings(st.colOf(sv)) === reach("src") &&
@@ -773,8 +825,17 @@ object Engine {
     * single edge scan + one LogicalRDD leaf per materialized level). */
   private[graft] def varPathReachSeeded(graph: PropertyGraph,
       key: (String, String, String), lo: Int, hi: Int,
-      seeds: DataFrame, seedIsSrc: Boolean, dist: Boolean): DataFrame = {
-    val raw = graph.edges(key).select(col("src"), col("dst"))
+      seeds: DataFrame, seedIsSrc: Boolean, dist: Boolean,
+      undir: Boolean = false): DataFrame = {
+    // undirected closure (`-[:r*lo..hi]-`): walk the SYMMETRIZED edge
+    // relation — each declared edge usable in either direction. No base
+    // dedup (reciprocal pairs duplicate only until the depth-1 frontier's
+    // pair dedup); the seedIsSrc flip is then a semantic no-op but kept
+    // so the output orientation logic below stays untouched.
+    val raw0 = graph.edges(key).select(col("src"), col("dst"))
+    val raw =
+      if (undir) raw0.unionByName(raw0.select(col("dst").as("src"), col("src").as("dst")))
+      else raw0
     val edges = if (seedIsSrc) raw else raw.select(col("dst").as("src"), col("src").as("dst"))
     val identLabel = if (seedIsSrc) key._1 else key._3
     val ident =

@@ -77,15 +77,22 @@ final case class VarRefPattern(variable: String) extends NodePattern
   * (reference lang.ml:52-55, parser.mly:50-52). */
 sealed trait Pattern extends Product with Serializable
 final case class SimpPattern(np: NodePattern) extends Pattern
-/** `rev` marks a reverse-direction hop `(a)<-[:r]-(b)` (engine
-  * extension; the reference grammar admits only `->`, parser.mly:50-56):
-  * the edge runs FROM the rest-side node TO this pattern's head, so
-  * desugaring emits the relation instruction with swapped endpoints and
-  * everything downstream (typing, the PExpand peephole, the seeded
-  * varpath) is reused unchanged. Directions mix freely along one path:
-  * `(a)<-[:r]-(b)-[:s]->(c)`. */
+/** Hop direction (engine extension; the reference grammar admits only
+  * `->`, parser.mly:50-56). [[Rev]] — `(a)<-[:r]-(b)` — runs the edge
+  * FROM the rest-side node TO this pattern's head: desugaring emits the
+  * relation instruction with swapped endpoints and everything downstream
+  * (typing, the PExpand peephole, the seeded varpath) is reused
+  * unchanged. [[Undir]] — `(a)-[:r]-(b)` — matches the edge in EITHER
+  * direction (Cypher's undirected relationship): match-only (direction
+  * is storage, so create/merge reject it in typing), evaluated over the
+  * union of the declared orientations. Directions mix freely along one
+  * path: `(a)<-[:r]-(b)-[:s]->(c)-[:t]-(d)`. */
+sealed trait Dir extends Product with Serializable
+case object Fwd extends Dir
+case object Rev extends Dir
+case object Undir extends Dir
 final case class CompPattern(np: NodePattern, rel: String, rest: Pattern,
-    rev: Boolean = false) extends Pattern
+    dir: Dir = Fwd) extends Pattern
 /** Variable-length hop `(a)-[:r*lo..hi]->(b)` (engine extension; match
   * only): b is reachable from a via lo..hi consecutive `r` edges. The
   * relation must be label-homogeneous — exactly one declared `r` triple
@@ -100,7 +107,7 @@ final case class CompPattern(np: NodePattern, rel: String, rest: Pattern,
   * int attribute `d.hops` flows through the existing typed expression
   * machinery (`where d.hops = 2`, `return d.hops`, aggregates). */
 final case class VarPattern(np: NodePattern, rel: String, lo: Int, hi: Int, rest: Pattern,
-    dist: Option[String] = None, rev: Boolean = false) extends Pattern
+    dist: Option[String] = None, dir: Dir = Fwd) extends Pattern
 
 sealed trait DeletePattern extends Product with Serializable
 final case class DeleteNodes(vs: List[String]) extends DeletePattern

@@ -15,7 +15,12 @@ case object MatchAct extends Act
 
 sealed trait Instruction extends Product with Serializable
 final case class IActOnNode(act: Act, v: String, label: String) extends Instruction
-final case class IActOnRel(act: Act, sv: String, rel: String, tv: String) extends Instruction
+/** `undir` marks an undirected hop `-[:r]-` (match-only; typing rejects
+  * create/merge — direction is storage): the edge may run EITHER way
+  * between `sv` and `tv`. Directed hops are emitted with `undir = false`
+  * and reverse hops simply swap `sv`/`tv` at desugar time. */
+final case class IActOnRel(act: Act, sv: String, rel: String, tv: String,
+    undir: Boolean = false) extends Instruction
 final case class IDeleteNode(v: String) extends Instruction
 final case class IDeleteRel(sv: String, rel: String, tv: String) extends Instruction
 final case class IReturn(vs: List[String]) extends Instruction
@@ -31,9 +36,11 @@ final case class IWith(items: List[(RetItem, Option[String])],
     order: List[(RetItem, Boolean)], limit: Option[Long],
     distinct: Boolean) extends Instruction
 /** `sv -[:rel*lo..hi]-> tv`, match-only (typing rejects create).
-  * `dist` carries the optional `as d` shortest-distance binding. */
+  * `dist` carries the optional `as d` shortest-distance binding;
+  * `undir` an undirected closure `-[:r*lo..hi]-` (hops over the
+  * SYMMETRIZED edge relation — walks, like the directed semantics). */
 final case class IVarPathRel(act: Act, sv: String, rel: String, lo: Int, hi: Int,
-    tv: String, dist: Option[String] = None) extends Instruction
+    tv: String, dist: Option[String] = None, undir: Boolean = false) extends Instruction
 /** Pattern-predicate instructions: `inner` is the match-normalized
   * instruction list of the predicate's pattern tail (node decls, edge
   * hops, var-paths, and the where-conjuncts its inline property maps
@@ -86,21 +93,24 @@ object Normalize {
 
   private def normPattern(act: Act, pat: Pattern): List[Instruction] = pat match {
     case SimpPattern(np) => normNodePattern(act, np)
-    case CompPattern(np, rl, rest, rev) =>
-      normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, rev = rev), rest)
-    case VarPattern(np, rl, lo, hi, rest, dist, rev) =>
-      normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, lo, hi, dist, rev), rest)
+    case CompPattern(np, rl, rest, dir) =>
+      normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, dir = dir), rest)
+    case VarPattern(np, rl, lo, hi, rest, dist, dir) =>
+      normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, lo, hi, dist, dir), rest)
   }
 
   /** One hop of a path: fixed (`lo = hi = 1` single edge) or variable.
-    * `rev` (a `<-[:r]-` hop) swaps the emitted instruction's endpoints —
-    * the ONLY place pattern direction exists; the IR is direction-free. */
+    * `Rev` (a `<-[:r]-` hop) swaps the emitted instruction's endpoints,
+    * `Undir` (`-[:r]-`) sets the instruction's undirected flag — the
+    * ONLY places pattern direction exists; the IR is orientation-free
+    * beyond that one bit. */
   private final case class Hop(rl: String, lo: Int = 1, hi: Int = 1,
-      dist: Option[String] = None, rev: Boolean = false) {
+      dist: Option[String] = None, dir: Dir = Fwd) {
     def instr(act: Act, sv: String, tv: String): Instruction = {
-      val (s, t) = if (rev) (tv, sv) else (sv, tv)
-      if (lo == 1 && hi == 1 && dist.isEmpty) IActOnRel(act, s, rl, t)
-      else IVarPathRel(act, s, rl, lo, hi, t, dist)
+      val (s, t) = if (dir == Rev) (tv, sv) else (sv, tv)
+      val undir = dir == Undir
+      if (lo == 1 && hi == 1 && dist.isEmpty) IActOnRel(act, s, rl, t, undir)
+      else IVarPathRel(act, s, rl, lo, hi, t, dist, undir)
     }
   }
 
@@ -108,12 +118,12 @@ object Normalize {
     pat match {
       case SimpPattern(np) =>
         normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)
-      case CompPattern(np, rl2, rest, rev2) =>
+      case CompPattern(np, rl2, rest, dir2) =>
         (normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)) ++
-          tail(act, np.variable, Hop(rl2, rev = rev2), rest)
-      case VarPattern(np, rl2, lo2, hi2, rest, dist2, rev2) =>
+          tail(act, np.variable, Hop(rl2, dir = dir2), rest)
+      case VarPattern(np, rl2, lo2, hi2, rest, dist2, dir2) =>
         (normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)) ++
-          tail(act, np.variable, Hop(rl2, lo2, hi2, dist2, rev2), rest)
+          tail(act, np.variable, Hop(rl2, lo2, hi2, dist2, dir2), rest)
     }
 
   private def normClause(c: Clause): List[Instruction] = c match {
@@ -156,9 +166,11 @@ object Normalize {
       // use would change the semantics from upsert to always-create /
       // filter-after-bind)
       case SimpPattern(DeclPattern(v, l, ps)) => List(IMergeNode(v, l, ps))
-      case CompPattern(a, rl, SimpPattern(b), rev) =>
-        val (s0, t0) = if (rev) (b.variable, a.variable) else (a.variable, b.variable)
-        List(IActOnRel(CreateAct, s0, rl, t0))
+      case CompPattern(a, rl, SimpPattern(b), dir) =>
+        // Undir flows through as an undirected CREATE, which typing
+        // rejects with the direction-is-storage message
+        val (s0, t0) = if (dir == Rev) (b.variable, a.variable) else (a.variable, b.variable)
+        List(IActOnRel(CreateAct, s0, rl, t0, dir == Undir))
       case _ => throw new IllegalStateException(
         "parser admits only node/edge merge shapes")
     }
@@ -170,10 +182,10 @@ object Normalize {
     def tailProps(p: Pattern): List[Instruction] = declProps(p).map {
       case (v, f, e) => IWhere(Bin(BCeq, AttribAcc(v, f), e)) }
     pat match {
-      case CompPattern(np, rl, rest, rev) =>
-        (np, tail(MatchAct, np.variable, Hop(rl, rev = rev), rest) ++ tailProps(rest))
-      case VarPattern(np, rl, lo, hi, rest, dist, rev) =>
-        (np, tail(MatchAct, np.variable, Hop(rl, lo, hi, dist, rev), rest) ++ tailProps(rest))
+      case CompPattern(np, rl, rest, dir) =>
+        (np, tail(MatchAct, np.variable, Hop(rl, dir = dir), rest) ++ tailProps(rest))
+      case VarPattern(np, rl, lo, hi, rest, dist, dir) =>
+        (np, tail(MatchAct, np.variable, Hop(rl, lo, hi, dist, dir), rest) ++ tailProps(rest))
       case SimpPattern(np) => (np, Nil) // unreachable: parser requires a hop
     }
   }

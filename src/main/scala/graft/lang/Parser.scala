@@ -320,12 +320,21 @@ object Parser {
             Some((lo, hi, dist))
           case _ => None
         }
-        // forward hop closes `]->`, reverse closes `]-` then the node
+        // forward hop closes `]->`, reverse closes `]-` then the node;
+        // undirected `-[:r]-` closes `]-` with NO preceding `<` — the
+        // next token is then the node's `(`, which no directed form
+        // admits, so nothing is stolen from the directed grammar
         expectSym("]")
-        if (rev) expectSym("-") else expectSym("->")
+        val dir: Dir =
+          if (rev) { expectSym("-"); Rev }
+          else peek match {
+            case TSym("->") => i += 1; Fwd
+            case TSym("-")  => i += 1; Undir
+            case t          => fail(s"expected '->' or '-', got $t")
+          }
         bounds match {
-          case Some((lo, hi, dist)) => VarPattern(np, rl, lo, hi, pattern(), dist, rev)
-          case None                 => CompPattern(np, rl, pattern(), rev)
+          case Some((lo, hi, dist)) => VarPattern(np, rl, lo, hi, pattern(), dist, dir)
+          case None                 => CompPattern(np, rl, pattern(), dir)
         }
       } else SimpPattern(np) // rev implies peek == '-', so this is fwd-only
     }

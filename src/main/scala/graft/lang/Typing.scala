@@ -35,6 +35,15 @@ object Typing {
   final case class RMatchNode(v: String, label: String) extends RInstr
   final case class RCreateEdge(sv: String, srcLabel: String, rel: String, tv: String, tgtLabel: String) extends RInstr
   final case class RMatchEdge(sv: String, srcLabel: String, rel: String, tv: String, tgtLabel: String) extends RInstr
+  /** Undirected edge match `-[:r]-` (extension): keep rows where the
+    * edge runs EITHER way between `sv` and `tv`. `fwd`/`rev` record
+    * which orientations the schema declares — (srcLabel,rel,tgtLabel)
+    * and (tgtLabel,rel,srcLabel) respectively; at least one holds (typing
+    * rejects otherwise), and on a self-label relation both do. The
+    * executor unions exactly the declared frames, so it still does no
+    * name resolution. */
+  final case class RMatchEdgeUndir(sv: String, srcLabel: String, rel: String,
+      tv: String, tgtLabel: String, fwd: Boolean, rev: Boolean) extends RInstr
   final case class RDeleteNode(v: String, label: String) extends RInstr
   final case class RDeleteEdge(sv: String, srcLabel: String, rel: String, tv: String, tgtLabel: String) extends RInstr
   final case class RReturn(vs: List[String]) extends RInstr
@@ -69,8 +78,12 @@ object Typing {
   final case class RWith(items: List[(RRet, String)],
       order: List[(RRet, Boolean)], limit: Option[Long],
       distinct: Boolean = false) extends RInstr
+  /** `undir`: an undirected closure `-[:r*lo..hi]-` — hops walk the
+    * SYMMETRIZED edge relation (each declared edge usable in either
+    * direction, walk semantics like the directed closure, so e.g. the
+    * 2-hop walk a-b-a self-pairs any node with a neighbour). */
   final case class RVarPath(sv: String, rel: (String, String, String), lo: Int, hi: Int,
-      tv: String, dist: Option[String] = None) extends RInstr
+      tv: String, dist: Option[String] = None, undir: Boolean = false) extends RInstr
   /** optional-match witness expansion: `inner` is the typed instruction
     * list of the pattern tail, `bound` the outer variables it references
     * (join keys), `fresh` the (variable, label) pairs it declares in
@@ -224,8 +237,25 @@ object Typing {
           case CreateAct => Right((RCreateNode(v, lb), (v, lb) :: env))
           case MatchAct  => Right((RMatchNode(v, lb), (v, lb) :: env))
         }
-      case IActOnRel(act, sv, rl, tv) =>
+      case IActOnRel(act, sv, rl, tv, undir) =>
         (lookup(env, sv), lookup(env, tv)) match {
+          case (Some(sl), Some(tl)) if undir =>
+            // undirected hop: legal iff SOME orientation is declared;
+            // match evaluates the union of the declared orientations.
+            // Direction is storage, so mutation through an undirected
+            // pattern is ill-posed — create (and the merge edge form
+            // that desugars to it) reject it outright.
+            if (act == CreateAct)
+              Left(s"undirected -[:$rl]- not allowed in create/merge: " +
+                "an edge is stored with a direction - write -[:" + rl + "]->")
+            else {
+              val fwd = schema.relTypes((sl, rl, tl))
+              val rev = schema.relTypes((tl, rl, sl))
+              if (!fwd && !rev)
+                Left(s"undeclared relation type (:$sl)-[:$rl]->(:$tl) " +
+                  s"(or (:$tl)-[:$rl]->(:$sl))")
+              else Right((RMatchEdgeUndir(sv, sl, rl, tv, tl, fwd, rev), env))
+            }
           case (Some(sl), Some(tl)) =>
             if (!schema.relTypes((sl, rl, tl)))
               Left(s"undeclared relation type (:$sl)-[:$rl]->(:$tl)")
@@ -380,7 +410,7 @@ object Typing {
             else Right((RExists(ris, bound), env))
         }
 
-      case IVarPathRel(act, sv, rl, lo, hi, tv, dist) =>
+      case IVarPathRel(act, sv, rl, lo, hi, tv, dist, undir) =>
         if (act == CreateAct) Left(s"variable-length pattern -[:$rl*$lo..$hi]-> not allowed in create")
         else if (dist.exists(d => lookup(env, d).isDefined))
           // the distance binding declares a NEW variable — rebinding an
@@ -409,7 +439,7 @@ object Typing {
               val (hl, _, _) = decls.head
               if (sl != hl) Left(s"variable $sv: label $sl incompatible with (:$hl)-[:$rl]->(:$hl)")
               else if (tl != hl) Left(s"variable $tv: label $tl incompatible with (:$hl)-[:$rl]->(:$hl)")
-              else Right((RVarPath(sv, decls.head, lo, hi, tv, dist),
+              else Right((RVarPath(sv, decls.head, lo, hi, tv, dist, undir),
                 dist.fold(env)(d => (d, PathLabel) :: env)))
             }
           case (None, _) => Left(s"variable $sv not bound")
@@ -502,8 +532,8 @@ object Typing {
     while (err.isEmpty && it.hasNext) {
       val in = it.next()
       in match {
-        case IActOnNode(MatchAct, _, _) | IActOnRel(MatchAct, _, _, _) |
-            _: IWhere | IVarPathRel(MatchAct, _, _, _, _, _, _) => ()
+        case IActOnNode(MatchAct, _, _) | IActOnRel(MatchAct, _, _, _, _) |
+            _: IWhere | IVarPathRel(MatchAct, _, _, _, _, _, _, _) => ()
         case other =>
           err = Some(s"$what pattern: illegal instruction $other")
       }
@@ -520,12 +550,13 @@ object Typing {
           case RMatchNode(v, l)                   => (v, l)
           // a shortest-distance binding inside the witness is declared
           // by the pattern too — project it like any fresh variable
-          case RVarPath(_, _, _, _, _, Some(d))   => (d, PathLabel)
+          case RVarPath(_, _, _, _, _, Some(d), _) => (d, PathLabel)
         }
         val declared = fresh.map(_._1).toSet
         val refs = ris.flatMap {
           case RMatchEdge(sv, _, _, tv, _) => Seq(sv, tv)
-          case RVarPath(sv, _, _, _, tv, _) => Seq(sv, tv)
+          case RMatchEdgeUndir(sv, _, _, tv, _, _, _) => Seq(sv, tv)
+          case RVarPath(sv, _, _, _, tv, _, _) => Seq(sv, tv)
           case RWhere(te)                  => exprVars(te)
           case _                           => Seq.empty
         }.distinct.filterNot(declared)

@@ -562,6 +562,84 @@ object GraphOps {
              |      WHERE e.dst IS NOT NULL AND r.d < 3)
              |SELECT DISTINCT src AS a, dst AS b FROM r""".stripMargin)),
 
+    // undirected hop `-[:r]-` (Cypher's third direction): the edge may
+    // run either way — on the self-label nnext chain each interior
+    // nation pairs with BOTH neighbours. Match semantics stay
+    // cross+semi: one row per connected node pair (the fused
+    // PExpandUndir dedups the two-orientation union)
+    Q("gql_match_undir",
+      bindings(
+        "match (a:nation) -[:nnext]- (b:nation) return a, b"),
+      Some("""WITH e AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS src,
+             |         CAST(LEAD(n_nationkey) OVER (PARTITION BY n_regionkey
+             |              ORDER BY n_nationkey) AS BIGINT) + 2000000000 AS dst
+             |  FROM nation),
+             |u AS (SELECT src, dst FROM e WHERE dst IS NOT NULL
+             |      UNION
+             |      SELECT dst, src FROM e WHERE dst IS NOT NULL)
+             |SELECT src AS a, dst AS b FROM u""".stripMargin)),
+
+    // undirected hop where only the REVERSE orientation is declared
+    // (snation is supplier->nation): `(n)-[:snation]-(s)` typechecks via
+    // the (supplier,snation,nation) triple alone and reads that frame
+    // dst-as-src — the rev-only branch of RMatchEdgeUndir
+    Q("gql_match_undir_mixed",
+      bindings(
+        """match (n:nation) -[:snation]- (s:supplier)
+          |where n.nationkey = 5
+          |return s, n""".stripMargin),
+      Some("""SELECT CAST(s_suppkey AS BIGINT) + 3000000000 AS s,
+             |       CAST(n_nationkey AS BIGINT) + 2000000000 AS n
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_nationkey = 5""".stripMargin)),
+
+    // undirected variable-length hop: walks over the SYMMETRIZED chain,
+    // so depth 2 includes the a-b-a self-pair and both-direction
+    // sibling pairs — walk semantics, exactly like the directed closure
+    Q("gql_varpath_undir",
+      bindings(
+        "match (a:nation) -[:nnext*1..2]- (b:nation) return a, b"),
+      Some("""WITH e AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS src,
+             |         CAST(LEAD(n_nationkey) OVER (PARTITION BY n_regionkey
+             |              ORDER BY n_nationkey) AS BIGINT) + 2000000000 AS dst
+             |  FROM nation),
+             |u AS (SELECT src, dst FROM e WHERE dst IS NOT NULL
+             |      UNION
+             |      SELECT dst, src FROM e WHERE dst IS NOT NULL),
+             |w AS (SELECT src, dst FROM u
+             |      UNION
+             |      SELECT a.src, b.dst FROM u a JOIN u b ON a.dst = b.src)
+             |SELECT src AS a, dst AS b FROM w""".stripMargin)),
+
+    // undirected shortest distance: minimal symmetrized walk length in
+    // the 1..3 window from one seed nation — backward chain neighbours
+    // are distance 1 here, where the directed `as d` would not reach
+    // them at all
+    Q("gql_shortest_undir",
+      bindings(
+        """match (a:nation) -[:nnext*1..3 as d]- (b:nation)
+          |where a.nationkey = 5
+          |return b, d.hops""".stripMargin),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS src,
+             |         CAST(LEAD(n_nationkey) OVER (PARTITION BY n_regionkey
+             |              ORDER BY n_nationkey) AS BIGINT) + 2000000000 AS dst
+             |  FROM nation),
+             |u AS (SELECT src, dst FROM e WHERE dst IS NOT NULL
+             |      UNION
+             |      SELECT dst, src FROM e WHERE dst IS NOT NULL),
+             |w AS (SELECT src, dst, 1 AS d FROM u
+             |      UNION ALL
+             |      SELECT w.src, u.dst, w.d + 1
+             |      FROM w JOIN u ON w.dst = u.src
+             |      WHERE w.d < 3)
+             |SELECT dst AS b, CAST(min(d) AS BIGINT) AS d_hops
+             |FROM w
+             |WHERE src = 2000000005
+             |GROUP BY dst""".stripMargin)),
+
     // --- optional match (left-outer edge expansion): the region-last
     // nation has no nnext successor and binds NULL
     Q("gql_optional",

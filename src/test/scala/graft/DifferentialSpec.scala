@@ -111,7 +111,15 @@ class DifferentialSpec extends AnyFunSuite {
           // its reverse form `(b)<-[:r]-(a)` (identical IR, so RefInterp
           // needs no direction handling — exactly the desugar under test)
           val kw = pick(Seq("create", "match", "merge"))
-          if (rnd.nextBoolean()) sb ++= s"$kw ($b) <-[:$rl]- ($a)\n"
+          // a third of MATCH hops are undirected `-[:r]-` (round 9+) —
+          // written from either side, so the rev-only orientation branch
+          // of RMatchEdgeUndir (e.g. `(q:Q)-[:r]-(p:P)` with only
+          // (P,r,Q) declared) is generated too
+          if (kw == "match" && rnd.nextInt(3) == 0) {
+            if (rnd.nextBoolean()) sb ++= s"$kw ($a) -[:$rl]- ($b)\n"
+            else sb ++= s"$kw ($b) -[:$rl]- ($a)\n"
+          }
+          else if (rnd.nextBoolean()) sb ++= s"$kw ($b) <-[:$rl]- ($a)\n"
           else sb ++= s"$kw ($a) -[:$rl]-> ($b)\n"
         }
       case 3 => // where
@@ -142,11 +150,16 @@ class DifferentialSpec extends AnyFunSuite {
           val bs = bound(l)
           // a third of varpaths are written in reverse form
           // `(b)<-[:rl*lo..hi]-(a)` — same IR with swapped endpoints,
-          // exercising the backward seeded expansion in the engine
-          val revHop = rnd.nextInt(3) == 0
-          def hop(src: String, tgt: String): String =
-            if (revHop) s"match ($tgt) <-[:$rl*$lo..$hi$distSuffix]- ($src)\n"
-            else s"match ($src) -[:$rl*$lo..$hi$distSuffix]-> ($tgt)\n"
+          // exercising the backward seeded expansion in the engine —
+          // and another third UNDIRECTED `-[:rl*lo..hi]-` (round 9+):
+          // the closure walks the symmetrized edge set on both engine
+          // paths (seeded expansion + the PExpandPath peephole)
+          val dirDraw = rnd.nextInt(3)
+          def hop(src: String, tgt: String): String = dirDraw match {
+            case 1 => s"match ($tgt) <-[:$rl*$lo..$hi$distSuffix]- ($src)\n"
+            case 2 => s"match ($src) -[:$rl*$lo..$hi$distSuffix]- ($tgt)\n"
+            case _ => s"match ($src) -[:$rl*$lo..$hi$distSuffix]-> ($tgt)\n"
+          }
           if (bs.nonEmpty && rnd.nextBoolean())
             sb ++= hop(a, pick(bs))
           else {
@@ -155,9 +168,13 @@ class DifferentialSpec extends AnyFunSuite {
             // reverse + fresh decl on the rest side binds v as the path
             // SOURCE (paths v→a) — the backward seeded expansion
             // (PExpandPath newIsDst=false / varPathReachSeeded
-            // seedIsSrc=false), unreachable from forward-only programs
-            if (revHop) sb ++= s"match ($a) <-[:$rl*$lo..$hi$distSuffix]- ($v:$l)\n"
-            else sb ++= s"match ($a) -[:$rl*$lo..$hi$distSuffix]-> ($v:$l)\n"
+            // seedIsSrc=false), unreachable from forward-only programs;
+            // undirected + fresh decl is the undirected peephole
+            dirDraw match {
+              case 1 => sb ++= s"match ($a) <-[:$rl*$lo..$hi$distSuffix]- ($v:$l)\n"
+              case 2 => sb ++= s"match ($a) -[:$rl*$lo..$hi$distSuffix]- ($v:$l)\n"
+              case _ => sb ++= s"match ($a) -[:$rl*$lo..$hi$distSuffix]-> ($v:$l)\n"
+            }
             env = (v, l) :: env
           }
           dist.foreach(d => env = (d, Typing.PathLabel) :: env)
@@ -512,6 +529,22 @@ class DifferentialSpec extends AnyFunSuite {
         |match (q2:Q) <-[:r]- (w:P)
         |match (p2) <-[:s*1..2 as d]- (src:P)
         |return q2, w, src, d
+        |""".stripMargin,
+      // round 9: undirected hops — fixed hop from BOTH sides (fwd-only
+      // and rev-only orientations of RMatchEdgeUndir), the undirected
+      // peephole (fresh decl), and the undirected varpath incl. the
+      // a-b-a walk self-pair and the distance binding over the
+      // symmetrized closure
+      """create (a:P {x: 1, nm: "alpha"})
+        |create (b:P {x: 2, nm: "beta"})
+        |create (q1:Q {y: 5})
+        |match (p1:P {x: 1}), (p2:P {x: 2}), (q:Q)
+        |create (p1) -[:r]-> (q)
+        |create (p1) -[:s]-> (p2)
+        |match (q2:Q) -[:r]- (w:P)
+        |match (w2:P) -[:r]- (q)
+        |match (p2) -[:s*1..2 as d]- (other:P)
+        |return q2, w, w2, other, d
         |""".stripMargin)
     progs.foreach(p => runBoth(header + p))
   }

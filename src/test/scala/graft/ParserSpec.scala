@@ -174,7 +174,7 @@ class ParserSpec extends AnyFunSuite {
       "match (q:Q) <-[:r]- (p:P)\nreturn q, p")
     val pats = p.query.clauses.collectFirst { case Match(ps) => ps }.get
     assert(pats == List(CompPattern(DeclPattern("q", "Q"), "r",
-      SimpPattern(DeclPattern("p", "P")), rev = true)))
+      SimpPattern(DeclPattern("p", "P")), dir = Rev)))
     // desugars to the relation instruction with swapped endpoints
     // (edge FROM p TO q) — the IR itself is direction-free
     val tp = Typing.compile(header + "(:Q {y int})\n(:P) -[:r]-> (:Q)\n" +
@@ -190,7 +190,32 @@ class ParserSpec extends AnyFunSuite {
       "match (b:N) <-[:next*1..3 as d]- (a:N)\nreturn a, b, d")
     val vpats = vp.query.clauses.collectFirst { case Match(ps) => ps }.get
     assert(vpats == List(VarPattern(DeclPattern("b", "N"), "next", 1, 3,
-      SimpPattern(DeclPattern("a", "N")), Some("d"), rev = true)))
+      SimpPattern(DeclPattern("a", "N")), Some("d"), dir = Rev)))
+  }
+
+  test("undirected hop `-[:r]-` parses as Undir; varpath form rides along") {
+    val p = Parser.parse(header + "(:Q {y int})\n(:P) -[:r]-> (:Q)\n" +
+      "match (p:P) -[:r]- (q:Q)\nreturn p, q")
+    val pats = p.query.clauses.collectFirst { case Match(ps) => ps }.get
+    assert(pats == List(CompPattern(DeclPattern("p", "P"), "r",
+      SimpPattern(DeclPattern("q", "Q")), dir = Undir)))
+    // the typed form records WHICH orientations the schema declares:
+    // here only (P,r,Q), so fwd alone
+    val tp = Typing.compile(header + "(:Q {y int})\n(:P) -[:r]-> (:Q)\n" +
+      "match (p:P) -[:r]- (q:Q)\nreturn p, q")
+    assert(tp.instrs.collect { case e: Typing.RMatchEdgeUndir => e } ==
+      List(Typing.RMatchEdgeUndir("p", "P", "r", "q", "Q", fwd = true, rev = false)))
+    // written from the other side: rev-only
+    val tp2 = Typing.compile(header + "(:Q {y int})\n(:P) -[:r]-> (:Q)\n" +
+      "match (q:Q) -[:r]- (p:P)\nreturn q, p")
+    assert(tp2.instrs.collect { case e: Typing.RMatchEdgeUndir => e } ==
+      List(Typing.RMatchEdgeUndir("q", "Q", "r", "p", "P", fwd = false, rev = true)))
+    // undirected variable-length hop, distance binding riding along
+    val vp = Parser.parse("(:N {})\n(:N) -[:next]-> (:N)\n" +
+      "match (a:N) -[:next*1..3 as d]- (b:N)\nreturn a, b, d")
+    val vpats = vp.query.clauses.collectFirst { case Match(ps) => ps }.get
+    assert(vpats == List(VarPattern(DeclPattern("a", "N"), "next", 1, 3,
+      SimpPattern(DeclPattern("b", "N")), Some("d"), dir = Undir)))
   }
 
   test("a lone `<` after a node pattern is a parse error, not a silent hop") {

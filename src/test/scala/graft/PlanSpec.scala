@@ -49,6 +49,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"unfused cross join in:\n$p")
   }
 
+  test("undirected hop fuses too: equi-join against the orientation union") {
+    // PExpandUndir — cross+semi over either orientation fuses to ONE
+    // equi-join against the (deduped) union of the declared orientation
+    // frames; same no-cartesian guarantee as the directed peephole, for
+    // both the fixed hop and the undirected varpath
+    for (q <- Seq("gql_match_undir", "gql_match_undir_mixed", "gql_varpath_undir")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"unfused cross join in $q:\n$p")
+    }
+  }
+
   test("per-row repetition signals project with zero shuffle") {
     // p_text_rep_ngrams builds and dedups its n-gram arrays per row, so
     // the plan must be scan → project — any Exchange would mean the

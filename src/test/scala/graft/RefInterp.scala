@@ -76,6 +76,13 @@ object RefInterp {
       val (cs, ct) = (st.colOf(sv), st.colOf(tv))
       st.copy(rows = st.rows.filter(r => st.edges((r(cs), rl, r(ct)))))
 
+    case RMatchEdgeUndir(sv, _, rl, tv, _, _, _) =>
+      // either-direction existence (the model ignores labels, so the
+      // declared-orientation flags are moot here)
+      val (cs, ct) = (st.colOf(sv), st.colOf(tv))
+      st.copy(rows = st.rows.filter(r =>
+        st.edges((r(cs), rl, r(ct))) || st.edges((r(ct), rl, r(cs)))))
+
     case RDeleteNode(v, _) =>
       // latest binding first (engine parity: Engine.RDeleteNode cs.head);
       // a Set.head would have arbitrary order beyond 4 elements
@@ -123,14 +130,17 @@ object RefInterp {
           rows = st.rows.map(_ :+ id), next = id + 1)
       }
 
-    case RVarPath(sv, (hl, rl, _), lo, hi, tv, dist) =>
+    case RVarPath(sv, (hl, rl, _), lo, hi, tv, dist, undir) =>
       // bounded closure over the rl edges, set semantics per level —
       // mirrors Engine.varPathReach (incl. the lo = 0 identity seed over
       // every node of the homogeneous label); with a distance binding,
       // per-pair MINIMAL depth within the window (first-seen level wins,
-      // levels ascending — mirrors Engine.varPathReachDist's min)
+      // levels ascending — mirrors Engine.varPathReachDist's min).
+      // Undirected closures walk the symmetrized edge set, mirroring
+      // varPathReachSeeded's undir union.
       val (cs, ct) = (st.colOf(sv), st.colOf(tv))
-      val e1 = st.edges.collect { case (s, `rl`, t) => (s, t) }
+      val e1dir = st.edges.collect { case (s, `rl`, t) => (s, t) }
+      val e1 = if (undir) e1dir ++ e1dir.map { case (s, t) => (t, s) } else e1dir
       val minD = scala.collection.mutable.Map.empty[(Long, Long), Long]
       if (lo == 0) st.nodes.foreach { case (id, n) =>
         if (n.label == hl) minD.getOrElseUpdate((id, id), 0L) }

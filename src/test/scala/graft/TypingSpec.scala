@@ -325,6 +325,37 @@ class TypingSpec extends AnyFunSuite {
       List(Typing.RVarPath("a", ("N", "next", "N"), 1, 3, "b")))
   }
 
+  // --- undirected hops (engine extension) ---
+
+  test("undirected: create and merge-edge reject -[:r]- (direction is storage)") {
+    assert(err(header + "create (a:P)\ncreate (b:Q)\ncreate (a) -[:r]- (b)")
+      .contains("not allowed in create/merge"))
+    assert(err(header + "create (a:P)\ncreate (b:Q)\nmerge (a) -[:r]- (b)")
+      .contains("not allowed in create/merge"))
+  }
+
+  test("undirected: both orientations undeclared rejected; either declared accepts") {
+    // no r between two Ps in either direction
+    assert(err(header + "create (a:P)\ncreate (b:P)\nmatch (a) -[:r]- (b)\nreturn a")
+      .contains("undeclared relation type"))
+    // fwd-only (P,r,Q) and rev-only (written Q-side) both typecheck,
+    // recording exactly the declared orientations
+    val fwd = Typing.compile(header +
+      "create (a:P)\ncreate (b:Q)\nmatch (a) -[:r]- (b)\nreturn a, b")
+    assert(fwd.instrs.collect { case e: Typing.RMatchEdgeUndir => e } ==
+      List(Typing.RMatchEdgeUndir("a", "P", "r", "b", "Q", fwd = true, rev = false)))
+    val rev = Typing.compile(header +
+      "create (a:P)\ncreate (b:Q)\nmatch (b) -[:r]- (a)\nreturn a, b")
+    assert(rev.instrs.collect { case e: Typing.RMatchEdgeUndir => e } ==
+      List(Typing.RMatchEdgeUndir("b", "Q", "r", "a", "P", fwd = false, rev = true)))
+  }
+
+  test("undirected varpath: typed with the undir flag over the self-label relation") {
+    val tp = Typing.compile(selfHeader + "match (a:N) -[:next*0..2]- (b:N)\nreturn a, b")
+    assert(tp.instrs.collect { case v: Typing.RVarPath => v } ==
+      List(Typing.RVarPath("a", ("N", "next", "N"), 0, 2, "b", None, undir = true)))
+  }
+
   // --- optional match (engine extension) ---
 
   test("optional match: source must be bound") {
