@@ -447,14 +447,14 @@ object Engine {
       val projected = st.bindings.select(vs.map(v => col(st.colOf(v)).as(v)): _*)
       st.copy(bindings = projected, env = vs.map(v => (v, v)))
 
-    case RReturnExt(items, order, limit, distinct) =>
-      val shaped = shapeExt(st, items, order, limit, distinct, retName(items))
+    case RReturnExt(items, order, skip, limit, distinct) =>
+      val shaped = shapeExt(st, items, order, skip, limit, distinct, retName(items))
       // engine env lists EVERY output column (the final projection walks
       // it); the TYPING env is what restricts later instructions to the
       // plain-variable bindings, so the extra outName entries are inert
       st.copy(bindings = shaped, env = items.map(it => (it.outName, it.outName)))
 
-    case RWith(aliasedItems, order, limit, distinct) =>
+    case RWith(aliasedItems, order, skip, limit, distinct) =>
       // Same shaping as extended return, but the fold CONTINUES: each
       // item lands in a fresh internal binding column and re-binds under
       // its alias — plain variables stay node bindings, attr/agg items
@@ -469,7 +469,7 @@ object Engine {
       // columns); order keys resolve to their first occurrence — typing
       // guarantees agg/distinct keys are items, and duplicates hold
       // identical values so either column orders the same
-      val shaped = shapeExt(st, items, order, limit, distinct,
+      val shaped = shapeExt(st, items, order, skip, limit, distinct,
         it => cols(items.indexOf(it)))
       // with-scalars have binding-NULL semantics (like optional-match
       // targets): a NULL value — e.g. sum over an empty global group —
@@ -594,14 +594,21 @@ object Engine {
   private def retName(items: List[RRet]): RRet => String = _.outName
 
   /** The shared return/with shaping: attribute joins, aggregation
-    * (plain items = grouping keys), distinct, order, limit. `name`
+    * (plain items = grouping keys), distinct, order, skip, limit. `name`
     * assigns each item (and, transitively, each item-typed order key)
     * its output column. Attribute items/keys ride the same per-variable
     * left joins the where/set path uses; everything below stays one
-    * Catalyst plan. */
+    * Catalyst plan. `skip` (Cypher's OFFSET) drops rows after ordering
+    * and before limit — Spark plans offset+limit into the same global
+    * limit operator (the driver fetches skip+n rows, discards skip), so
+    * pagination stays a top-k shape, not a global sort. */
   private def shapeExt(st: ExecState, items: List[RRet],
-      order: List[(RRet, Boolean)], limit: Option[Long], distinct: Boolean,
-      name: RRet => String): DataFrame = {
+      order: List[(RRet, Boolean)], skip: Option[Long], limit: Option[Long],
+      distinct: Boolean, name: RRet => String): DataFrame = {
+    def page(df: DataFrame): DataFrame = {
+      val skipped = skip.fold(df)(n => df.offset(n.toInt))
+      limit.fold(skipped)(n => skipped.limit(n.toInt))
+    }
     val attrRefs = (items ++ order.map(_._1)).flatMap(collectRetAttrs).distinct
     val (joined, refs) = joinAttrs(st, attrRefs.map(a => a: TExpr))
     def leafCol(it: RRet): Column = it match {
@@ -641,8 +648,7 @@ object Engine {
         if (order.isEmpty) joined
         else joined.orderBy(order.map { case (k, asc) =>
           if (asc) leafCol(k).asc else leafCol(k).desc }: _*)
-      val limited = limit.fold(sorted)(n => sorted.limit(n.toInt))
-      limited.select(items.map(it => leafCol(it).as(name(it))): _*)
+      page(sorted).select(items.map(it => leafCol(it).as(name(it))): _*)
     } else if (!hasAgg) {
       // distinct: project → dedup → order → limit. Typing guarantees
       // order keys are items, so ordering happens on out names AFTER
@@ -656,7 +662,7 @@ object Engine {
         if (order.isEmpty) projected
         else projected.orderBy(order.map { case (k, asc) =>
           if (asc) col(name(k)).asc else col(name(k)).desc }: _*)
-      limit.fold(sorted)(n => sorted.limit(n.toInt))
+      page(sorted)
     } else {
       // plain items are the grouping keys (SQL semantics); zero plain
       // items = global aggregate. Partial (map-side) aggregation comes
@@ -671,8 +677,7 @@ object Engine {
         if (order.isEmpty) grouped
         else grouped.orderBy(order.map { case (k, asc) =>
           if (asc) col(name(k)).asc else col(name(k)).desc }: _*)
-      val limited = limit.fold(sorted)(n => sorted.limit(n.toInt))
-      limited.select(items.map(it => col(name(it))): _*)
+      page(sorted).select(items.map(it => col(name(it))): _*)
     }
   }
 

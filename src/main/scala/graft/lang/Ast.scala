@@ -143,13 +143,17 @@ final case class Delete(dp: DeletePattern) extends Clause
 final case class SetClause(assigns: List[(String, String, Expr)]) extends Clause
 final case class Where(e: Expr) extends Clause
 final case class Return(vs: List[String]) extends Clause
-/** `return <items> [order by <key> [desc], …] [limit n]` — the extended
-  * form; parsed only when an item is non-variable or order/limit appears,
-  * so reference-shaped programs take the [[Return]] path unchanged. If
-  * any item aggregates, the plain items become the grouping keys. */
+/** `return <items> [order by <key> [desc], …] [skip s] [limit n]` — the
+  * extended form; parsed only when an item is non-variable or
+  * order/skip/limit appears, so reference-shaped programs take the
+  * [[Return]] path unchanged. If any item aggregates, the plain items
+  * become the grouping keys. `skip` (Cypher's OFFSET) drops the first s
+  * rows AFTER ordering and BEFORE limit — like limit, deterministic
+  * only under an order that fully determines the page boundary. */
 final case class ReturnExt(
     items: List[RetItem],
     order: List[(RetItem, Boolean)], // (key, ascending)
+    skip: Option[Long],
     limit: Option[Long],
     /** `return distinct <items>` — row-level dedup of the projected
       * output (rejected when an item aggregates: grouped rows are
@@ -177,6 +181,7 @@ final case class ReturnExt(
 final case class WithClause(
     items: List[(RetItem, Option[String])],
     order: List[(RetItem, Boolean)],
+    skip: Option[Long],
     limit: Option[Long],
     distinct: Boolean = false) extends Clause
 /** `optional match (a) -[:r]-> (b:B) [-[:s]-> (c:C) …]` (engine

@@ -28,12 +28,12 @@ final case class IWhere(e: Expr) extends Instruction
 final case class ISet(v: String, field: String, e: Expr) extends Instruction
 /** Extension instructions (no reference counterpart). */
 final case class IReturnExt(items: List[RetItem], order: List[(RetItem, Boolean)],
-    limit: Option[Long], distinct: Boolean) extends Instruction
+    skip: Option[Long], limit: Option[Long], distinct: Boolean) extends Instruction
 /** Mid-query projection/aggregation (see [[WithClause]]); items carry
   * their optional `as` aliases — resolution (defaulting, scalar
   * pseudo-labels) happens in typing. */
 final case class IWith(items: List[(RetItem, Option[String])],
-    order: List[(RetItem, Boolean)], limit: Option[Long],
+    order: List[(RetItem, Boolean)], skip: Option[Long], limit: Option[Long],
     distinct: Boolean) extends Instruction
 /** `sv -[:rel*lo..hi]-> tv`, match-only (typing rejects create).
   * `dist` carries the optional `as d` shortest-distance binding;
@@ -139,8 +139,8 @@ object Normalize {
     case SetClause(as)            => as.map { case (v, f, e) => ISet(v, f, e) }
     case Where(e)                 => List(IWhere(e))
     case Return(vs)               => List(IReturn(vs))
-    case ReturnExt(its, ord, lim, dist) => List(IReturnExt(its, ord, lim, dist))
-    case WithClause(its, ord, lim, dist) => List(IWith(its, ord, lim, dist))
+    case ReturnExt(its, ord, sk, lim, dist) => List(IReturnExt(its, ord, sk, lim, dist))
+    case WithClause(its, ord, sk, lim, dist) => List(IWith(its, ord, sk, lim, dist))
     case OptMatch(pat) =>
       // the HEAD node is matched non-optionally (a fresh decl match-binds
       // it, with its props as ordinary outer where-conjuncts); only the

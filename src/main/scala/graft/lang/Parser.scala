@@ -194,9 +194,10 @@ object Parser {
       case _ => false
     }
 
-    /** `[order by <key> [asc|desc], …] [limit n]` — shared tail of
-      * `return` and `with`. */
-    private def orderLimit(): (List[(RetItem, Boolean)], Option[Long]) = {
+    /** `[order by <key> [asc|desc], …] [skip s] [limit n]` — shared tail
+      * of `return` and `with`. `skip` (Cypher's OFFSET; contextual like
+      * limit) precedes `limit`, matching Cypher's clause order. */
+    private def orderLimit(): (List[(RetItem, Boolean)], Option[Long], Option[Long]) = {
       val order = List.newBuilder[(RetItem, Boolean)]
       if (peek == TIdent("order") && peek2 == TIdent("by")) {
         i += 2
@@ -212,6 +213,15 @@ object Parser {
         key()
         while (peek == TSym(",")) { i += 1; key() }
       }
+      val skip = peek match {
+        case TIdent("skip") =>
+          i += 1
+          peek match {
+            case TInt(v) => i += 1; Some(v)
+            case t       => fail(s"expected integer after skip, got $t")
+          }
+        case _ => None
+      }
       val limit = peek match {
         case TIdent("limit") =>
           i += 1
@@ -221,7 +231,7 @@ object Parser {
           }
         case _ => None
       }
-      (order.result(), limit)
+      (order.result(), skip, limit)
     }
 
     private def returnClause(): Clause = {
@@ -229,11 +239,12 @@ object Parser {
       val items = List.newBuilder[RetItem]
       items += retItem()
       while (peek == TSym(",")) { i += 1; items += retItem() }
-      val (ord, limit) = orderLimit()
+      val (ord, skip, limit) = orderLimit()
       val its = items.result()
-      if (!distinct && ord.isEmpty && limit.isEmpty && its.forall(_.isInstanceOf[RetVar]))
+      if (!distinct && ord.isEmpty && skip.isEmpty && limit.isEmpty &&
+          its.forall(_.isInstanceOf[RetVar]))
         Return(its.collect { case RetVar(v) => v })
-      else ReturnExt(its, ord, limit, distinct)
+      else ReturnExt(its, ord, skip, limit, distinct)
     }
 
     /** `with` items are return items plus an optional `as <alias>` —
@@ -251,8 +262,8 @@ object Parser {
       }
       one()
       while (peek == TSym(",")) { i += 1; one() }
-      val (ord, limit) = orderLimit()
-      WithClause(items.result(), ord, limit, distinct)
+      val (ord, skip, limit) = orderLimit()
+      WithClause(items.result(), ord, skip, limit, distinct)
     }
 
     private def retItem(): RetItem = peek match {

@@ -69,14 +69,14 @@ object Typing {
     }
   }
   final case class RReturnExt(items: List[RRet], order: List[(RRet, Boolean)],
-      limit: Option[Long], distinct: Boolean = false) extends RInstr
+      skip: Option[Long], limit: Option[Long], distinct: Boolean = false) extends RInstr
   /** Mid-query `with` (see [[graft.lang.WithClause]]): the same shaping
     * as [[RReturnExt]], but each item re-binds under its resolved alias
     * and the fold continues — plain variable items stay node bindings,
     * attribute/aggregate items bind scalar pseudo-labels
     * ([[scalarLabel]]) readable as `<alias>.val`. */
   final case class RWith(items: List[(RRet, String)],
-      order: List[(RRet, Boolean)], limit: Option[Long],
+      order: List[(RRet, Boolean)], skip: Option[Long], limit: Option[Long],
       distinct: Boolean = false) extends RInstr
   /** `undir`: an undirected closure `-[:r*lo..hi]-` — hops walk the
     * SYMMETRIZED edge relation (each declared edge usable in either
@@ -295,7 +295,7 @@ object Typing {
           if (te.tp != BoolT) Left(s"where expression must be bool, got ${te.tp}")
           else Right((RWhere(te), env))
         }
-      case IReturnExt(items, order, limit, distinct) =>
+      case IReturnExt(items, order, skip, limit, distinct) =>
         sequenceRet(items.map(resolveRet(schema, env))).flatMap { ritems =>
           val names = ritems.map(_.outName)
           val dups = names.diff(names.distinct).distinct
@@ -310,12 +310,12 @@ object Typing {
                 // plain-variable bindings only (attr/agg columns are
                 // output-only), mirroring RReturn's env restriction
                 val env2 = ritems.collect { case RRetVar(v) => (v, lookup(env, v).get) }
-                Right((RReturnExt(ritems, rorder, limit, distinct), env2))
+                Right((RReturnExt(ritems, rorder, skip, limit, distinct), env2))
             }
           }
         }
 
-      case IWith(items, order, limit, distinct) =>
+      case IWith(items, order, skip, limit, distinct) =>
         sequenceRet(items.map { case (it, _) => resolveRet(schema, env)(it) }).flatMap { ritems =>
           // alias resolution: a plain variable re-binds under its own
           // name unless aliased; attr/agg items REQUIRE an alias --
@@ -346,7 +346,7 @@ object Typing {
                     // count and the int-only sum/min/max/avg yield int
                     case (_: RRetAgg, a)            => (a, scalarLabel(IntT))
                   }
-                  Right((RWith(pairs, rkeys.zip(order.map(_._2)), limit, distinct), env2))
+                  Right((RWith(pairs, rkeys.zip(order.map(_._2)), skip, limit, distinct), env2))
               }
             }
           }

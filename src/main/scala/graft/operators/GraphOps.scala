@@ -312,6 +312,32 @@ object GraphOps {
              |       CAST(p_size AS BIGINT) AS p_psize
              |FROM part ORDER BY p_size DESC, 1 LIMIT 10""".stripMargin)),
 
+    // `skip` (Cypher's OFFSET): page 2 of the same deterministic order —
+    // rows 6..15; Spark folds offset+limit into the one global-limit
+    // operator (drivers fetch skip+n, discard skip — still top-k shaped)
+    Q("gql_order_skip",
+      bindings(
+        "match (p:part) return p, p.psize order by p.psize desc, p skip 5 limit 10"),
+      Some("""SELECT CAST(p_partkey AS BIGINT) + 5000000000 AS p,
+             |       CAST(p_size AS BIGINT) AS p_psize
+             |FROM part ORDER BY p_size DESC, 1 LIMIT 10 OFFSET 5""".stripMargin)),
+
+    // skip mid-query: `with … skip … limit` pages the binding table and
+    // the query keeps matching against the page
+    Q("gql_with_skip",
+      bindings(
+        """match (c:customer) -[:cnation]-> (n:nation)
+          |with n, count(c) as cnt order by count(c) desc, n skip 2 limit 3
+          |match (s:supplier) -[:snation]-> (n)
+          |return n, cnt.val, s""".stripMargin),
+      Some("""WITH w AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n, count(*) AS cnt
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY 1 ORDER BY cnt DESC, n LIMIT 3 OFFSET 2)
+             |SELECT w.n AS n, w.cnt AS cnt_val,
+             |       CAST(s_suppkey AS BIGINT) + 3000000000 AS s
+             |FROM w JOIN supplier ON CAST(s_nationkey AS BIGINT) + 2000000000 = w.n""".stripMargin)),
+
     // --- return distinct: row-level dedup of the projected output,
     // SQL DISTINCT semantics (project → dedup → order) — one hash
     // aggregate on the out columns, TakeOrderedAndProject above it

@@ -302,7 +302,10 @@ class DifferentialSpec extends AnyFunSuite {
             if (rnd.nextInt(3) == 0) {
               val keys = items.map(_._1).map(k =>
                 if (rnd.nextBoolean()) s"$k desc" else k).mkString(", ")
-              s" order by $keys limit ${1 + rnd.nextInt(4)}"
+              // half the pages also skip (Cypher OFFSET; round 9) — same
+              // total-order argument makes the page boundary exact
+              val skip = if (rnd.nextBoolean()) s" skip ${rnd.nextInt(3)}" else ""
+              s" order by $keys$skip limit ${1 + rnd.nextInt(4)}"
             } else ""
           sb ++= s"with $distinctMod${items.map(_._2).mkString(", ")}$tail\n"
           env = items.map { case (_, _, a, l) => (a, l) }.toList
@@ -545,6 +548,16 @@ class DifferentialSpec extends AnyFunSuite {
         |match (w2:P) -[:r]- (q)
         |match (p2) -[:s*1..2 as d]- (other:P)
         |return q2, w, w2, other, d
+        |""".stripMargin,
+      // round 9: `skip` pages a fully-ordered with — rows 2.. of the
+      // 3-row P table survive, and the continuation matches against
+      // exactly that page
+      """create (a:P {x: 3, nm: "alpha"})
+        |create (b:P {x: 1, nm: "beta"})
+        |create (c:P {x: 2, nm: "alpha"})
+        |match (p:P)
+        |with p, p.x as w order by p.x, p skip 1 limit 2
+        |return p, w
         |""".stripMargin)
     progs.foreach(p => runBoth(header + p))
   }

@@ -96,13 +96,27 @@ class ParserSpec extends AnyFunSuite {
       List(RetVar("a"), RetAttr("a", "x"), RetAgg(AggCount, RetVar("a")),
         RetAgg(AggSum, RetAttr("a", "x"))),
       List((RetAttr("a", "x"), false), (RetVar("a"), true)),
-      Some(7L)))
+      None, Some(7L)))
   }
 
   test("aggregate names stay valid identifiers without the call paren") {
     // a variable literally named `count` — contextual keywords only
     val p = Parser.parse("(:P {})\ncreate (count:P)\nreturn count")
     assert(p.query.clauses.last == Return(List("count")))
+  }
+
+  test("skip parses between order and limit; skip stays a variable name") {
+    val p = Parser.parse(
+      header + "create (a:P)\nreturn a order by a skip 2 limit 3")
+    assert(p.query.clauses.last ==
+      ReturnExt(List(RetVar("a")), List((RetVar("a"), true)), Some(2L), Some(3L), false))
+    // contextual: a variable named skip returns plainly
+    val v = Parser.parse(header + "create (skip:P)\nreturn skip")
+    assert(v.query.clauses.last == Return(List("skip")))
+    // skip without limit is legal (drop a prefix, keep the rest)
+    val s = Parser.parse(header + "create (a:P)\nreturn a order by a skip 1")
+    assert(s.query.clauses.last ==
+      ReturnExt(List(RetVar("a")), List((RetVar("a"), true)), Some(1L), None, false))
   }
 
   test("order/limit are contextual: order-by needs both words") {
@@ -155,17 +169,17 @@ class ParserSpec extends AnyFunSuite {
     // `return distinct.f` → attribute access on the variable
     val attr = Parser.parse(header + "create (distinct:P)\nreturn distinct.x")
     assert(attr.query.clauses.collect {
-      case ReturnExt(List(RetAttr(v, f)), _, _, d) => (v, f, d) } ==
+      case ReturnExt(List(RetAttr(v, f)), _, _, _, d) => (v, f, d) } ==
       List(("distinct", "x", false)))
   }
 
   test("count(distinct v) parses; count(distinct) counts a variable named distinct") {
     val m = Parser.parse(header + "create (a:P)\nreturn count(distinct a)")
     assert(m.query.clauses.collect {
-      case ReturnExt(List(RetAgg(AggCount, RetVar("a"), d)), _, _, _) => d } == List(true))
+      case ReturnExt(List(RetAgg(AggCount, RetVar("a"), d)), _, _, _, _) => d } == List(true))
     val bare = Parser.parse(header + "create (distinct:P)\nreturn count(distinct)")
     assert(bare.query.clauses.collect {
-      case ReturnExt(List(RetAgg(AggCount, RetVar(v), d)), _, _, _) => (v, d) } ==
+      case ReturnExt(List(RetAgg(AggCount, RetVar(v), d)), _, _, _, _) => (v, d) } ==
       List(("distinct", false)))
   }
 

@@ -213,7 +213,7 @@ object RefInterp {
       throw new UnsupportedOperationException(
         "engine extension not supported by the reference-parity interpreter")
 
-    case RWith(aliasedItems, order, limit, distinct) =>
+    case RWith(aliasedItems, order, skip, limit, distinct) =>
       // Mid-query `with`, mirroring Engine.RWith: only Long-valued items
       // (vars, int attributes, aggregates) fit the Long-row model — the
       // differential generator emits exactly those; a string/bool attr
@@ -266,8 +266,11 @@ object RefInterp {
            }
            res < 0
          }).map(_._2)
-      def limited(rows: List[Vector[Long]]): List[Vector[Long]] =
-        limit.fold(rows)(n => rows.take(n.toInt))
+      def limited(rows: List[Vector[Long]]): List[Vector[Long]] = {
+        // skip drops AFTER ordering, BEFORE limit (Cypher OFFSET order)
+        val skipped = skip.fold(rows)(n => rows.drop(n.toInt))
+        limit.fold(skipped)(n => skipped.take(n.toInt))
+      }
       val hasAgg = items.exists(_.isInstanceOf[RRetAgg])
       val shaped: List[Vector[Long]] =
         if (!hasAgg && !distinct) {

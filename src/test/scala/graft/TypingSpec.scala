@@ -498,7 +498,7 @@ class TypingSpec extends AnyFunSuite {
   test("count(distinct v) resolves with a distinct-marked output name") {
     val tp = Typing.compile(header + "create (a:P)\nreturn count(distinct a)")
     assert(tp.instrs.collect {
-      case Typing.RReturnExt(items, _, _, _) => items.map(_.outName)
+      case Typing.RReturnExt(items, _, _, _, _) => items.map(_.outName)
     }.flatten == List("count_distinct_a"))
   }
 
