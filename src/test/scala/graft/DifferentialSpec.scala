@@ -189,28 +189,32 @@ class DifferentialSpec extends AnyFunSuite {
           .flatMap { case (sl, rl, tl) => bound(sl).map(a => (a, rl, tl)) }
         val vpStarts = Seq(("P", "s"), ("Q", "t"))
           .flatMap { case (l, rl) => bound(l).map(a => (a, rl, l)) }
+        // a quarter of witness hops are undirected (round 9+): the
+        // witness sub-plan runs the same RMatchEdgeUndir / symmetrized
+        // closure inside the semi/anti probe
+        val uh = if (rnd.nextInt(4) == 0) "-" else "->"
         if (vpStarts.nonEmpty && rnd.nextInt(3) == 0) {
           val (a, rl, l) = pick(vpStarts)
           val lo = rnd.nextInt(3)
           val hi = math.max(lo, 1) + rnd.nextInt(3)
           val bs = bound(l)
           if (bs.nonEmpty && rnd.nextBoolean())
-            sb ++= s"where $neg ($a) -[:$rl*$lo..$hi]-> (${pick(bs)})\n"
+            sb ++= s"where $neg ($a) -[:$rl*$lo..$hi]$uh (${pick(bs)})\n"
           else {
             n += 1
-            sb ++= s"where $neg ($a) -[:$rl*$lo..$hi]-> (v$n:$l)\n"
+            sb ++= s"where $neg ($a) -[:$rl*$lo..$hi]$uh (v$n:$l)\n"
           }
         } else if (combos.nonEmpty) {
           val (a, rl, tl) = pick(combos)
           val bs = bound(tl)
           if (bs.nonEmpty && rnd.nextBoolean())
-            sb ++= s"where $neg ($a) -[:$rl]-> (${pick(bs)})\n"
+            sb ++= s"where $neg ($a) -[:$rl]$uh (${pick(bs)})\n"
           else {
             n += 1
             if (rnd.nextInt(3) == 0) {
               val p = if (tl == "P") s"x: ${rnd.nextInt(50)}" else s"y: ${rnd.nextInt(50)}"
-              sb ++= s"where $neg ($a) -[:$rl]-> (v$n:$tl {$p})\n"
-            } else sb ++= s"where $neg ($a) -[:$rl]-> (v$n:$tl)\n"
+              sb ++= s"where $neg ($a) -[:$rl]$uh (v$n:$tl {$p})\n"
+            } else sb ++= s"where $neg ($a) -[:$rl]$uh (v$n:$tl)\n"
           }
         }
       case 7 => // optional match — all-or-nothing witness tails: 1-hop,
@@ -225,7 +229,10 @@ class DifferentialSpec extends AnyFunSuite {
             case 0 =>
               val (rl, tl) = pick(hop1(l))
               n += 1
-              sb ++= s"optional match ($a) -[:$rl]-> (v$n:$tl)\n"
+              // a quarter of single-hop optional tails undirected —
+              // the left-outer witness over the orientation union
+              val oh = if (rnd.nextInt(4) == 0) "-" else "->"
+              sb ++= s"optional match ($a) -[:$rl]$oh (v$n:$tl)\n"
               optEnv ::= s"v$n"
             case 1 =>
               val (rl, ml) = pick(hop1(l))
