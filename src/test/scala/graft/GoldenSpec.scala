@@ -536,6 +536,44 @@ class GoldenSpec extends AnyFunSuite {
     assert(eng == ref && eng.nonEmpty)
   }
 
+  test("undirected hop: interior node pairs with both chain neighbours") {
+    // bound-bound form (RMatchEdgeUndir semi-join)
+    val r = Engine.runSource(spark, chainSrc +
+      "match (a:N {x: 20})\nmatch (b:N)\nmatch (a) -[:next]- (b)\nreturn b")
+    assert(r.bindings.collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 3L))
+    // fused form (PExpandUndir peephole) — same answer
+    val f = Engine.runSource(spark, chainSrc +
+      "match (a:N {x: 20}) -[:next]- (b:N)\nreturn b")
+    assert(f.bindings.collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 3L))
+  }
+
+  test("undirected varpath: exact-2 walks include the a-b-a self-pair") {
+    // from the chain head, length-2 symmetrized walks reach 2 (forward
+    // twice) and 0 itself (out and back over the same edge — walk
+    // semantics, deliberately not Cypher's relationship-unique trails)
+    val r = Engine.runSource(spark, chainSrc +
+      "match (a:N {x: 0}) -[:next*2..2]- (b:N)\nreturn b")
+    assert(r.bindings.collect().map(_.getLong(0)).toSeq.sorted == Seq(0L, 2L))
+  }
+
+  test("undirected shortest distance: backward neighbours at distance 1") {
+    val r = Engine.runSource(spark, chainSrc +
+      "match (a:N {x: 30}) -[:next*1..2 as d]- (b:N)\nreturn b, d.hops")
+    val got = r.bindings.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((2L, 1L), (4L, 1L), (1L, 2L), (5L, 2L), (3L, 2L)), s"got $got")
+  }
+
+  test("skip pages a deterministic order in return and with") {
+    val r = Engine.runSource(spark, chainSrc +
+      "match (n:N)\nreturn n, n.x order by n.x desc, n skip 2 limit 2")
+    assert(r.bindings.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((3L, 30L), (2L, 20L)))
+    // mid-query: the page is what later clauses see
+    val w = Engine.runSource(spark, chainSrc +
+      "match (n:N)\nwith n order by n.x, n skip 4\nreturn n")
+    assert(w.bindings.collect().map(_.getLong(0)).toSeq.sorted == Seq(4L, 5L))
+  }
+
   test("x-mode explain golden: fused 2-hop match is stable and shows the pinned shapes") {
     // The user-facing EXPLAIN (Cli x-mode) over the parquet graph must
     // not silently drift from the PlanSpec-pinned plan shapes. Two
