@@ -158,7 +158,21 @@ object Bench {
     val total = timings.values.sum
     val errs = jmap(errors.toSeq.map { case (k, v) => k -> s"\"${esc(v)}\"" })
     // Line 1: full per-query detail (head of the capture window may cut it).
-    println(s"""{"metric":"detail","queries":${jmap(timings.toSeq.map { case (k, v) => k -> fmt(v) })},"sf":"$sfDir"}""")
+    val detailLine = s"""{"metric":"detail","value":${fmt(total)},"unit":"sec","n_queries":${timings.size},"runs":$runs,"retried":${retried.map(f => s"\"${esc(f)}\"").mkString("[", ",", "]")},"errors":$errs,"queries":${jmap(timings.toSeq.map { case (k, v) => k -> fmt(v) })},"sf":"$sfDir"}"""
+    println(detailLine)
+    // Sidecar file with the SAME complete detail line (VERDICT r09 item 1:
+    // the driver tail-captures only 2,000 chars of stdout, so ~135 of the
+    // 198 per-query numbers never survived into BENCH_r{N}.json — the
+    // sidecar is the durable full-resolution artifact for cross-round
+    // per-query diffing). Best-effort: a read-only cwd must not fail the
+    // bench itself.
+    val detailOut = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailOut),
+        (detailLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $detailOut: ${e.getMessage}")
+    }
     // Final line: the summary the tail capture must always contain whole.
     // Families + errors are small; slowest-query entries are added only
     // while the line stays under the 1,900-byte cap (2,000-char window

@@ -257,42 +257,25 @@ object DedupOps {
 
     // ---- dup clustering + survivor selection --------------------------
     // The full pipeline stage the dedup family exists for: LSH-verified
-    // pairs -> connected components over the duplicate graph (min-label
-    // propagation, 5 supersteps — dup clusters are short chains) ->
-    // per-cluster survivor by quality score (highest quality wins, doc_id
-    // tie-break: near-identical docs often tie on quality). Output: one
-    // row per clustered document with its cluster id and keep flag.
+    // pairs -> connected components over the duplicate graph
+    // (convergence-driven delta min-label propagation — see
+    // [[dupClusterLabels]]) -> per-cluster survivor by quality score
+    // (highest quality wins, doc_id tie-break: near-identical docs often
+    // tie on quality). Output: one row per clustered document with its
+    // cluster id and keep flag.
     Q("p_dedup_clusters",
       (s, dir) => {
         // memoized + cached across queries (see pairsMemo), then snapshot
         // to a localCheckpoint HERE: the checkpoint leaf truncates the
-        // plan under the 5-superstep loop (the loop's plan doubles per
+        // plan under the superstep loop (the loop's plan doubles per
         // superstep over whatever sits beneath it — over the cached-but-
         // full logical plan this measured 4× slower than over a
         // checkpoint, pure planning weight). Snapshotting a populated
         // cache costs one cheap pass over a few hundred rows.
         val pairs = graft.Ckpt.eager(minhashPairs(s, dir))
-        val und = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-        var labels = pairs.select(col("a").as("doc_id"))
-          .union(pairs.select(col("b").as("doc_id"))).distinct()
-          .select(col("doc_id"), col("doc_id").as("cluster"))
-        for (_ <- 1 to 5) {
-          val msgs = und.join(labels, und("a") === labels("doc_id"))
-            .select(und("b").as("doc_id"), col("cluster"))
-          labels = labels.union(msgs).groupBy("doc_id").agg(min("cluster").as("cluster"))
-        }
-        // Materialize once: the convergence probe below and the survivor
-        // join both consume the 5-superstep plan.
-        labels = graft.Ckpt.eager(labels)
-        // Convergence assertion (VERDICT r02): one MORE propagation step
-        // must change no label — the oracle replays the same 5 supersteps,
-        // so silent under-convergence would still hash-match. Fail loudly.
-        val extra = und.join(labels, und("a") === labels("doc_id"))
-          .select(und("b").as("doc_id"), col("cluster").as("cand"))
-          .groupBy("doc_id").agg(min("cand").as("cand"))
-          .join(labels, Seq("doc_id"))
-          .filter(col("cand") < col("cluster"))
-        require(extra.isEmpty, "dup clusters not converged after 5 supersteps")
+        // Materialize once: the survivor join consumes the loop's result
+        // repeatedly (window + join).
+        val labels = graft.Ckpt.eager(dupClusterLabels(pairs, maxIters = 20))
         val q = words(s, dir)
           .withColumn("n_words", size(col("ws")))
           .withColumn("n_uniq", size(array_distinct(col("ws"))))
@@ -334,16 +317,28 @@ object DedupOps {
           |  SELECT doc_id, cluster FROM l4
           |  UNION ALL SELECT und.b, l4.cluster FROM und JOIN l4 ON und.a = l4.doc_id) x
           |  GROUP BY x.doc_id),
+          |l6 AS MATERIALIZED (SELECT x.doc_id, min(x.cluster) AS cluster FROM (
+          |  SELECT doc_id, cluster FROM l5
+          |  UNION ALL SELECT und.b, l5.cluster FROM und JOIN l5 ON und.a = l5.doc_id) x
+          |  GROUP BY x.doc_id),
+          |l7 AS MATERIALIZED (SELECT x.doc_id, min(x.cluster) AS cluster FROM (
+          |  SELECT doc_id, cluster FROM l6
+          |  UNION ALL SELECT und.b, l6.cluster FROM und JOIN l6 ON und.a = l6.doc_id) x
+          |  GROUP BY x.doc_id),
+          |l8 AS MATERIALIZED (SELECT x.doc_id, min(x.cluster) AS cluster FROM (
+          |  SELECT doc_id, cluster FROM l7
+          |  UNION ALL SELECT und.b, l7.cluster FROM und JOIN l7 ON und.a = l7.doc_id) x
+          |  GROUP BY x.doc_id),
           |qual AS (SELECT doc_id, round(
           |    0.4 * (len(list_distinct(ws))::DOUBLE / len(ws))
           |    + 0.3 * least(1.0, len(ws)::DOUBLE / 150)
           |    + 0.3 * (len(list_filter(ws, w -> w = 'the' OR w = 'a'))::DOUBLE / len(ws)), 6)
           |    AS quality
           |  FROM dd)
-          |SELECT l5.doc_id, l5.cluster, qual.quality,
-          |  ROW_NUMBER() OVER (PARTITION BY l5.cluster
-          |                     ORDER BY qual.quality DESC, l5.doc_id) = 1 AS keep
-          |FROM l5 JOIN qual ON l5.doc_id = qual.doc_id""".stripMargin)),
+          |SELECT l8.doc_id, l8.cluster, qual.quality,
+          |  ROW_NUMBER() OVER (PARTITION BY l8.cluster
+          |                     ORDER BY qual.quality DESC, l8.doc_id) = 1 AS keep
+          |FROM l8 JOIN qual ON l8.doc_id = qual.doc_id""".stripMargin)),
 
     // ---- SimHash: 64-bit weighted fingerprint per document ------------
     // Feature = word with multiplicity; bit j of md5(word) (hex digit
@@ -698,6 +693,64 @@ object DedupOps {
       df.count()
       df
     })
+  }
+
+  /** Connected components over a dup-pair frame `(a, b)` by
+    * CONVERGENCE-DRIVEN delta min-label propagation: every clustered
+    * document is labeled with the minimum doc_id of its component.
+    *
+    * Round 9's fixed 5-superstep loop was correct-but-brittle: a dup
+    * chain longer than 5 hops would ABORT the pipeline via the
+    * post-hoc convergence `require` (VERDICT r09 item 2). This loop
+    * runs until a superstep changes no label, so any chain length up to
+    * `maxIters` converges; exhausting the bound still fails loudly
+    * (the backstop — the DuckDB oracle replays a fixed unrolling, so a
+    * silent under-convergence would hash-match).
+    *
+    * Same delta shape as GraphAlgos.deltaCC: only labels that DECREASED
+    * last superstep send messages (a neighbor unchanged since round r
+    * already contributed its value in round r+1, and labels only
+    * decrease — per-round labels are provably identical to full
+    * propagation), one deferred checkpoint per superstep whose
+    * convergence-probe count is the materializing job, previous
+    * checkpoint released as soon as the next materializes. Supersteps
+    * scale with CLUSTER diameter — dup clusters are near-cliques plus
+    * short chains, so this converges in a handful of rounds regardless
+    * of corpus size; a pathological long-chain corpus at 100 TB would
+    * instead route through GraphAlgos.starCC (O(log n) rounds on any
+    * diameter) over the same pair frame. PipelineSpec pins an 11-hop
+    * chain the fixed-depth loop would have aborted on. */
+  private[graft] def dupClusterLabels(pairs: DataFrame, maxIters: Int): DataFrame = {
+    val und = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+    var prev: DataFrame = graft.Ckpt.eager(
+      pairs.select(col("a").as("doc_id"))
+        .union(pairs.select(col("b").as("doc_id"))).distinct()
+        .select(col("doc_id"), col("doc_id").as("cluster")))
+    var labels = prev
+    var changed = labels
+    var converged = false
+    var step = 0
+    while (step < maxIters && !converged) {
+      step += 1
+      val msgs = und.join(changed, und("a") === changed("doc_id"))
+        .select(und("b").as("doc_id"), col("cluster").as("cand"))
+        .groupBy("doc_id").agg(min("cand").as("cand"))
+      val joined = graft.Ckpt.deferredPartitioned(
+        labels.join(msgs, Seq("doc_id"), "left"))
+      // this count is the superstep's ONLY job: it materializes the
+      // deferred checkpoint AND is the convergence probe
+      val nChanged = joined.filter(col("cand") < col("cluster")).count()
+      graft.Ckpt.drop(prev)
+      prev = joined
+      labels = joined.select(col("doc_id"),
+        least(col("cluster"), coalesce(col("cand"), col("cluster"))).as("cluster"))
+      changed = joined.filter(col("cand") < col("cluster"))
+        .select(col("doc_id"), col("cand").as("cluster"))
+      converged = nChanged == 0L
+    }
+    require(converged,
+      s"dup clusters not converged after $maxIters supersteps")
+    labels
   }
 
   private def buildMinhashPairs(s: SparkSession, dir: String): DataFrame = {
