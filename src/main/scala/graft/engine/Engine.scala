@@ -91,7 +91,12 @@ object Engine {
     * (reference sem.ml:25 `Table([], [[]])`). */
   def unitBindings(spark: SparkSession): DataFrame = spark.range(1).select()
 
-  final case class QueryResult(graph: PropertyGraph, bindings: DataFrame)
+  /** `nextId` is the post-query id counter (reference State's third
+    * component, sem.ml:41) — callers persisting the graph must persist
+    * it too, or a later session's creates collide with stored ids
+    * (GraphStore round-trips it). */
+  final case class QueryResult(graph: PropertyGraph, bindings: DataFrame,
+      nextId: Long)
 
   // --- physical instruction stream -----------------------------------
   // The reference executes the IR literally: a pattern hop
@@ -172,7 +177,7 @@ object Engine {
       if (seen.add(v)) Some(col(c).as(v)) else None
     }
     val out = if (outCols.isEmpty) st.bindings else st.bindings.select(outCols: _*)
-    QueryResult(st.graph, out)
+    QueryResult(st.graph, out, st.nextId)
   }
 
   /** Fold the compiled physical ops over a state — the reference's

@@ -296,6 +296,7 @@ object Typing {
           else Right((RWhere(te), env))
         }
       case IReturnExt(items, order, skip, limit, distinct) =>
+        checkPage(skip, limit, "return").flatMap(_ =>
         sequenceRet(items.map(resolveRet(schema, env))).flatMap { ritems =>
           val names = ritems.map(_.outName)
           val dups = names.diff(names.distinct).distinct
@@ -313,9 +314,10 @@ object Typing {
                 Right((RReturnExt(ritems, rorder, skip, limit, distinct), env2))
             }
           }
-        }
+        })
 
       case IWith(items, order, skip, limit, distinct) =>
+        checkPage(skip, limit, "with").flatMap(_ =>
         sequenceRet(items.map { case (it, _) => resolveRet(schema, env)(it) }).flatMap { ritems =>
           // alias resolution: a plain variable re-binds under its own
           // name unless aliased; attr/agg items REQUIRE an alias --
@@ -350,7 +352,7 @@ object Typing {
               }
             }
           }
-        }
+        })
 
       case IMergeNode(v, lb, props) =>
         if (!schema.labels(lb)) Left(s"undeclared node label $lb")
@@ -494,6 +496,19 @@ object Typing {
     xs.foldRight(Right(Nil): Either[String, List[A]]) {
       (e, acc) => for (h <- e; t <- acc) yield h :: t
     }
+
+  /** Paging bounds shared by return-ext and with (ADVICE r09): the
+    * engine pages through `Dataset.offset`/`limit`, which take Int — a
+    * parser-supplied Long above Int.MaxValue would silently wrap to a
+    * negative offset/limit. A >2^31 page bound is always a typo (no
+    * binding table has 2 billion rows a user pages by hand), so reject
+    * at typing time rather than truncate at run time. */
+  private def checkPage(skip: Option[Long], limit: Option[Long],
+      clause: String): Either[String, Unit] =
+    (skip.filter(_ > Int.MaxValue).map(n => s"$clause skip $n") orElse
+      limit.filter(_ > Int.MaxValue).map(n => s"$clause limit $n"))
+      .map(what => s"$what exceeds the maximum page bound ${Int.MaxValue}")
+      .toLeft(())
 
   /** Order-key / distinct legality shared by return-ext and with:
     * distinct+agg is a silent no-op (invites `return distinct count(v)`

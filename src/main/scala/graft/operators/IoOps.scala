@@ -319,8 +319,8 @@ object IoOps {
     // engines with no float/format hazard. Exact NDV here because the
     // oracle must hash-match; at 100 TB the same shape swaps
     // count_distinct for approx_count_distinct (HLL, mergeable,
-    // single-pass — certificate-checked by p_events_approx_users) since
-    // 4 exact distincts cost an expanded 4x shuffle.
+    // single-pass) since 4 exact distincts cost an expanded 4x shuffle —
+    // that variant is p_io_stats_approx below, certificate-checked.
     Q("p_io_stats",
       (s, dir) => {
         val cols = Seq("c_orderkey", "c_quantity", "c_price_cents", "c_shipdate_ms")
@@ -354,5 +354,53 @@ object IoOps {
              |  count(DISTINCT c_price_cents), min(c_price_cents), max(c_price_cents) FROM t
              |UNION ALL SELECT 'c_shipdate_ms', count(c_shipdate_ms),
              |  count(DISTINCT c_shipdate_ms), min(c_shipdate_ms), max(c_shipdate_ms) FROM t""".stripMargin)),
+
+    // ---- the 100 TB variant of p_io_stats: HLL NDV ---------------------
+    // Same one-scan row-per-column shape, but n_distinct comes from
+    // approx_count_distinct (HyperLogLog++, rsd 0.02): the 4 exact
+    // distincts above each expand the shuffle 4x at scale, while the HLL
+    // sketches partially aggregate map-side like count/min/max — the
+    // whole profile stays ONE map-side-combined pass. Sketches aren't
+    // bit-stable across engines, so the certificate pattern
+    // (p_events_approx_users) applies: the output carries the EXACT NDV
+    // (oracle-hashable) plus ndv_ok = |hll/exact - 1| <= 0.10 (5x the
+    // configured rsd — ~never trips honestly, always trips on a broken
+    // sketch); the oracle replays exact with literal true. The exact
+    // count_distinct here exists only to judge the sketch; the
+    // production profile drops it and keeps the HLL column.
+    Q("p_io_stats_approx",
+      (s, dir) => {
+        val cols = Seq("c_orderkey", "c_quantity", "c_price_cents", "c_shipdate_ms")
+        val t = s.read.parquet(s"$dir/lineitem.parquet").select(
+          col("l_orderkey").as("c_orderkey"),
+          col("l_quantity").cast("bigint").as("c_quantity"),
+          expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("c_price_cents"),
+          unix_millis(col("l_shipdate").cast("timestamp")).as("c_shipdate_ms"))
+        val aggs = cols.flatMap(c => Seq(
+          count(col(c)).as(s"${c}_n"),
+          count_distinct(col(c)).as(s"${c}_ndv"),
+          approx_count_distinct(col(c), 0.02).as(s"${c}_hll"),
+          min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max")))
+        t.agg(aggs.head, aggs.tail: _*)
+          .select(expr(s"stack(${cols.size}, " +
+            cols.map(c => s"'$c', ${c}_n, ${c}_ndv, " +
+              s"abs(cast(${c}_hll as double) / ${c}_ndv - 1.0) <= 0.10, " +
+              s"${c}_min, ${c}_max").mkString(", ") +
+            ") as (col_name, n_non_null, n_distinct, ndv_ok, min_v, max_v)"))
+      },
+      Some("""WITH t AS (SELECT l_orderkey AS c_orderkey,
+             |  CAST(l_quantity AS BIGINT) AS c_quantity,
+             |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c_price_cents,
+             |  epoch_ms(l_shipdate) AS c_shipdate_ms FROM lineitem)
+             |SELECT 'c_orderkey' AS col_name, count(c_orderkey) AS n_non_null,
+             |  count(DISTINCT c_orderkey) AS n_distinct, true AS ndv_ok,
+             |  min(c_orderkey) AS min_v, max(c_orderkey) AS max_v FROM t
+             |UNION ALL SELECT 'c_quantity', count(c_quantity),
+             |  count(DISTINCT c_quantity), true, min(c_quantity), max(c_quantity) FROM t
+             |UNION ALL SELECT 'c_price_cents', count(c_price_cents),
+             |  count(DISTINCT c_price_cents), true, min(c_price_cents), max(c_price_cents) FROM t
+             |UNION ALL SELECT 'c_shipdate_ms', count(c_shipdate_ms),
+             |  count(DISTINCT c_shipdate_ms), true, min(c_shipdate_ms), max(c_shipdate_ms) FROM t""".stripMargin)),
   )
 }

@@ -76,8 +76,8 @@ class PlanSpec extends AnyFunSuite {
     // binding table ever moves. Broadcast is disabled so the bucket
     // alignment (not a small-table fallback) is what's pinned.
     val (g, nextId) = graft.sources.GraphLoader.load(spark, dir)
-    graft.sources.GraphStore.saveBucketed(g, spark, "planspec_bkt", buckets = 4)
-    val g2 = graft.sources.GraphStore.loadBucketed(spark, "planspec_bkt")
+    graft.sources.GraphStore.saveBucketed(g, nextId, spark, "planspec_bkt", buckets = 4)
+    val (g2, _) = graft.sources.GraphStore.loadBucketed(spark, "planspec_bkt")
     val cfg = graft.engine.Engine.Config(strict = false)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -529,4 +529,17 @@ class TypingSpec extends AnyFunSuite {
     assert(err(header + "merge (q:Q {y: 1})\nmerge (a) -[:r]-> (q)")
       .contains("variable a not bound"))
   }
+
+  test("skip/limit beyond Int.MaxValue rejected at typing time (ADVICE r09)") {
+    // the engine pages via Dataset.offset/limit (Int): a Long value
+    // above 2^31-1 used to silently wrap to a negative page
+    assert(err(header + "match (a:P) return a limit 3000000000")
+      .contains("exceeds the maximum page bound"))
+    assert(err(header + "match (a:P) return a order by a skip 3000000000 limit 1")
+      .contains("exceeds the maximum page bound"))
+    assert(err(header + "match (a:P) with a as b skip 3000000000 return b")
+      .contains("exceeds the maximum page bound"))
+    // boundary value still typechecks
+    Typing.compile(header + s"match (a:P) return a limit ${Int.MaxValue}")
+  }
 }
