@@ -166,18 +166,50 @@ object Engine {
 
   def run(spark: SparkSession, prog: TypedProg, graph: PropertyGraph,
           nextId: Long = 0L, config: Config = Config()): QueryResult = {
-    val st0 = ExecState(graph, unitBindings(spark), Nil, nextId, 0,
-      Map.empty[FrameKey, Int].withDefaultValue(0), unitTable = true)
-    val st = execPlan(spark, prog.schema, st0, prog.instrs, config)
-    // Final table: distinct variable names, latest binding, header order
-    // (latest-first, like the reference's prepended header) — unless the
-    // query ended in `return`, in which case env is exactly the return list.
+    // union branches (typing reassembled them around RUnion markers):
+    // each is a standalone READ-ONLY query from its own unit table
+    // against the shared graph; results are bag-unioned (`union all`)
+    // or deduplicated (`union`). Typing guarantees identical output
+    // column names/kinds, so this is one Catalyst Union node — each
+    // branch keeps its own plan (pushdown, fused hops) and the optional
+    // dedup is a single hash aggregate over the combined output.
+    val parts: List[List[RInstr]] = {
+      val out = List.newBuilder[List[RInstr]]
+      var cur = List.newBuilder[RInstr]
+      prog.instrs.foreach {
+        case RUnion(_) => out += cur.result(); cur = List.newBuilder
+        case in        => cur += in
+      }
+      out += cur.result()
+      out.result()
+    }
+    def branchOut(instrs: List[RInstr]): DataFrame = {
+      val st0 = ExecState(graph, unitBindings(spark), Nil, nextId, 0,
+        Map.empty[FrameKey, Int].withDefaultValue(0), unitTable = true)
+      finalProject(execPlan(spark, prog.schema, st0, instrs, config))
+    }
+    if (parts.size == 1) {
+      val st0 = ExecState(graph, unitBindings(spark), Nil, nextId, 0,
+        Map.empty[FrameKey, Int].withDefaultValue(0), unitTable = true)
+      val st = execPlan(spark, prog.schema, st0, prog.instrs, config)
+      QueryResult(st.graph, finalProject(st), st.nextId)
+    } else {
+      val all = prog.instrs.collectFirst { case RUnion(a) => a }.get
+      val combined = parts.map(branchOut).reduce(_ unionByName _)
+      QueryResult(graph, if (all) combined else combined.dropDuplicates(), nextId)
+    }
+  }
+
+  /** Final table: distinct variable names, latest binding, header order
+    * (latest-first, like the reference's prepended header) — unless the
+    * query ended in `return`, in which case env is exactly the return
+    * list. */
+  private def finalProject(st: ExecState): DataFrame = {
     val seen = scala.collection.mutable.LinkedHashSet[String]()
     val outCols = st.env.flatMap { case (v, c) =>
       if (seen.add(v)) Some(col(c).as(v)) else None
     }
-    val out = if (outCols.isEmpty) st.bindings else st.bindings.select(outCols: _*)
-    QueryResult(st.graph, out, st.nextId)
+    if (outCols.isEmpty) st.bindings else st.bindings.select(outCols: _*)
   }
 
   /** Fold the compiled physical ops over a state — the reference's
@@ -578,6 +610,27 @@ object Engine {
       val (joined, refs) = joinAttrs(st, te :: Nil)
       val filtered = joined.filter(expr(sql(te, refs, st, cfg.strict)))
       st.copy(bindings = filtered.select(st.bindings.columns.map(col): _*))
+
+    case RUnwind(tes, alias, _) =>
+      // Per row, one output row per list element — explode over the
+      // per-row array of compiled element expressions: a codegen'd
+      // generator inheriting the scan's partitioning (no shuffle), the
+      // same shape as the multimodal frame-sample explode. Elements ride
+      // the where/set attribute joins; the new column is a scalar
+      // binding with with-scalar NULL semantics (null-guarded under
+      // strict mode).
+      val (joinedU2, refsU) = joinAttrs(st, tes)
+      val c2 = fresh(st)
+      val elems = tes.map(te => expr(sql(te, refsU, st, cfg.strict)))
+      val unwound = joinedU2.select(
+        st.bindings.columns.map(col) :+ explode(array(elems: _*)).as(c2): _*)
+      st.copy(bindings = unwound, env = (alias, c2) :: st.env,
+        freshCounter = st.freshCounter + 1,
+        nullable = st.nullable + c2)
+
+    case RUnion(_) =>
+      throw new IllegalStateException(
+        "union marker reached the instruction executor — run() splits branches")
 
     case RSet(v, lbl, f, tp, te) =>
       val (joined, refs) = joinAttrs(st, te :: Nil)

@@ -209,6 +209,28 @@ final case class NotExists(pat: Pattern) extends Clause
   * where match-edge would multiply it per witness. Compiles to a
   * left_semi join over the same witness sub-plan as [[NotExists]]. */
 final case class Exists(pat: Pattern) extends Clause
+/** `unwind [e1, …, en] as x` (engine extension — Cypher's UNWIND over
+  * an inline list; MiniGQL has no list values, so the literal bracket
+  * form IS the list constructor). For each binding row, produce one row
+  * per element with `x` bound to the element's value — the row-
+  * multiplying dual of `with`'s row-collapsing aggregation. Elements
+  * are full expressions (constants, attribute accesses, arithmetic)
+  * that must share one type; `x` binds the matching scalar pseudo-label
+  * (`%int`/`%bool`/`%string`) readable as `x.val`, exactly like a
+  * with-bound scalar. The empty list (Cypher: zero rows) is rejected —
+  * with no element there is no type. */
+final case class Unwind(items: List[Expr], alias: String) extends Clause
+/** `union` / `union all` between two complete queries (engine extension
+  * — Cypher's UNION): the clause list splits at each separator into
+  * BRANCHES, each a standalone query evaluated from its own empty
+  * binding table against the same graph. Branch results are combined
+  * as a bag (`union all`) or deduplicated (`union`). Typing enforces
+  * Cypher's rules: every branch ends in a `return` with the same
+  * output column names (and runtime-compatible types), the two
+  * flavors cannot mix in one query, and — because branches are
+  * independent reads of one graph, with no defined evaluation order —
+  * every branch must be read-only (no create/delete/set/merge). */
+final case class UnionSep(all: Boolean) extends Clause
 /** `merge` (engine extension, Cypher-shaped upsert). Two forms, both
   * parser-enforced:
   *   - `merge (x:L {f: const, …})` — if any L-node carries exactly the

@@ -60,6 +60,14 @@ final case class IExists(inner: List[Instruction]) extends Instruction
   * semantics ARE the edge upsert). Props must type to constants. */
 final case class IMergeNode(v: String, label: String,
     props: List[(String, Expr)]) extends Instruction
+/** `unwind [items] as alias` (see [[Unwind]]): per row, one output row
+  * per element with `alias` bound to the element value. */
+final case class IUnwind(items: List[Expr], alias: String) extends Instruction
+/** Query-branch separator (see [[UnionSep]]): typing splits the
+  * instruction stream at these markers and checks each branch as a
+  * standalone read-only query; the executor evaluates branches
+  * independently and combines their return tables. */
+final case class IUnion(all: Boolean) extends Instruction
 
 final case class NormProg(types: GraphTypes, instrs: List[Instruction])
 
@@ -160,6 +168,8 @@ object Normalize {
       List(IExists(normPattern(MatchAct, pat) ++
         declProps(pat).map { case (v, f, e) =>
           IWhere(Bin(BCeq, AttribAcc(v, f), e)) }))
+    case Unwind(items, alias) => List(IUnwind(items, alias))
+    case UnionSep(all)        => List(IUnion(all))
     case Merge(pat) => pat match {
       // node form keeps its props INSIDE the instruction (they are the
       // lookup key, not a post-hoc set/where — the desugar create/match

@@ -138,7 +138,38 @@ object Parser {
       case TIdent("with") =>
         i += 1
         withClause()
+      // `unwind [e, …] as x` — clause position never admits a bare
+      // identifier, so `unwind` is contextual like merge/with
+      case TIdent("unwind") =>
+        i += 1
+        unwindClause()
+      // `union [all]` — the query-branch separator (see UnionSep);
+      // `all` is consumed only immediately after `union`, where no
+      // clause form could otherwise start with it
+      case TIdent("union") =>
+        i += 1
+        val all = peek match {
+          case TIdent("all") => i += 1; true
+          case _             => false
+        }
+        UnionSep(all)
       case t => fail(s"expected clause keyword, got $t")
+    }
+
+    /** `unwind [e1, …, en] as x` — the bracket list is the language's
+      * only list constructor; at least one element (an empty list has
+      * no element type), mandatory alias. */
+    private def unwindClause(): Clause = {
+      expectSym("[")
+      val items = List.newBuilder[Expr]
+      items += expr()
+      while (peek == TSym(",")) { i += 1; items += expr() }
+      expectSym("]")
+      peek match {
+        case TIdent("as") => i += 1
+        case t            => fail(s"expected 'as' after unwind list, got $t")
+      }
+      Unwind(items.result(), ident())
     }
 
     /** The two merge shapes (see [[Merge]]): a single labeled node

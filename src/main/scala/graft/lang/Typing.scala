@@ -114,6 +114,16 @@ object Typing {
     * every row when none matches (see [[graft.lang.Merge]]). */
   final case class RMergeNode(v: String, label: String,
       props: List[(String, Value)]) extends RInstr
+  /** `unwind [items] as alias` (see [[graft.lang.Unwind]]): per row, one
+    * output row per element; `alias` binds the scalar pseudo-label of
+    * the elements' shared type `tp`. */
+  final case class RUnwind(items: List[TExpr], alias: String,
+      tp: AttribTp) extends RInstr
+  /** Query-branch separator (see [[graft.lang.UnionSep]]): never reaches
+    * the per-instruction executor — Engine.run splits the instruction
+    * stream at these markers and combines the branches' return tables
+    * (deduplicated unless `all`). */
+  final case class RUnion(all: Boolean) extends RInstr
 
   /** Pseudo-label of a shortest-distance binding (`-[:r*lo..hi as d]->`):
     * `%` cannot start a lexer identifier, so it can never collide with a
@@ -448,6 +458,24 @@ object Typing {
           case (_, None) => Left(s"variable $tv not bound")
         }
 
+      case IUnwind(items, alias) =>
+        if (items.isEmpty) Left("unwind of an empty list has no element type")
+        else sequenceRet(items.map(e => tpExpr(schema, env, e))).flatMap { tes =>
+          val tps = tes.map(_.tp).distinct
+          if (tps.size != 1)
+            Left(s"unwind list elements must share one type, got " +
+              tps.mkString(", "))
+          // the alias binds a scalar pseudo-label exactly like a
+          // with-bound attr/agg item; rebinding shadows, as everywhere
+          else Right((RUnwind(tes, alias, tps.head),
+            (alias, scalarLabel(tps.head)) :: env))
+        }
+
+      case IUnion(_) =>
+        // typecheck splits the stream on union markers before the fold;
+        // a marker reaching tcInstr means it sat inside a sub-pattern
+        Left("union is only legal between complete queries")
+
       case ISet(v, f, e) =>
         lookup(env, v) match {
           case None => Left(s"set on unbound variable $v")
@@ -586,19 +614,113 @@ object Typing {
     case _: TConst         => Nil
   }
 
+  /** Fold [[tcInstr]] over one branch; returns the typed instructions
+    * and the final environment. */
+  private def tcBranch(schema: Schema, instrs: List[Instruction])
+      : Either[String, (List[RInstr], Env)] = {
+    val out = List.newBuilder[RInstr]
+    var env: Env = Nil
+    var err: Option[String] = None
+    val it = instrs.iterator
+    while (err.isEmpty && it.hasNext) {
+      tcInstr(schema, env, it.next()) match {
+        case Left(e)           => err = Some(e)
+        case Right((ri, env2)) => out += ri; env = env2
+      }
+    }
+    err.toLeft((out.result(), env))
+  }
+
+  /** Runtime column kind of a binding label, for union compatibility:
+    * node ids and every int-like virtual binding are int64 columns;
+    * the other scalars are their own types. */
+  private def colKind(label: String): AttribTp = label match {
+    case "%bool"   => BoolT
+    case "%string" => StringT
+    case _         => IntT // node ids, %int, %path
+  }
+
+  /** Output signature (name, runtime kind) of a union branch, derived
+    * from its final return instruction + post-return env. */
+  private def branchSig(last: RInstr, env: Env): List[(String, AttribTp)] =
+    last match {
+      // plain return: env IS the return list (name → label), in order
+      case RReturn(_) => env.map { case (v, l) => (v, colKind(l)) }
+      case RReturnExt(items, _, _, _, _) => items.map {
+        // the post-return env keeps exactly the plain-variable items
+        case RRetVar(v)              => (v, colKind(lookup(env, v).get))
+        case a @ RRetAttr(_, _, _, tp) => (a.outName, tp)
+        case a: RRetAgg              => (a.outName, IntT)
+      }
+      case other => throw new IllegalStateException(s"non-return last $other")
+    }
+
+  private def mutationKind(ri: RInstr): Option[String] = ri match {
+    case _: RCreateNode | _: RCreateEdge => Some("create")
+    case _: RMergeNode                   => Some("merge")
+    case _: RDeleteNode | _: RDeleteEdge => Some("delete")
+    case _: RSet                         => Some("set")
+    case _                               => None
+  }
+
   def typecheck(np: NormProg): Either[String, TypedProg] =
     checkGraphTypes(np.types).flatMap { schema =>
-      val out = List.newBuilder[RInstr]
-      var env: Env = Nil
-      var err: Option[String] = None
-      val it = np.instrs.iterator
-      while (err.isEmpty && it.hasNext) {
-        tcInstr(schema, env, it.next()) match {
-          case Left(e)          => err = Some(e)
-          case Right((ri, env2)) => out += ri; env = env2
+      // split the stream on union markers into standalone branches
+      val parts: List[List[Instruction]] = {
+        val out = List.newBuilder[List[Instruction]]
+        var cur = List.newBuilder[Instruction]
+        np.instrs.foreach {
+          case IUnion(_) => out += cur.result(); cur = List.newBuilder
+          case in        => cur += in
+        }
+        out += cur.result()
+        out.result()
+      }
+      if (parts.size == 1)
+        tcBranch(schema, np.instrs).map { case (ris, _) => TypedProg(schema, ris) }
+      else {
+        val flags = np.instrs.collect { case IUnion(a) => a }
+        if (flags.distinct.size > 1)
+          Left("cannot mix union and union all in one query")
+        else sequenceRet(parts.map(tcBranch(schema, _))).flatMap { typed =>
+          // each branch: read-only (branches are independent reads of
+          // ONE graph with no defined order — a mutating branch would
+          // make the others' results order-dependent), ending in return
+          val problems = typed.zipWithIndex.flatMap { case ((ris, _), k) =>
+            val mut = ris.flatMap(mutationKind).headOption
+              .map(m => s"union branch ${k + 1} mutates the graph ($m): " +
+                "union branches must be read-only")
+            val noRet = ris.lastOption match {
+              case Some(_: RReturn) | Some(_: RReturnExt) => None
+              case _ => Some(s"union branch ${k + 1} must end with return")
+            }
+            mut.toList ++ noRet.toList
+          }
+          if (problems.nonEmpty) Left(problems.head)
+          else {
+            val sigs = typed.map { case (ris, env) => branchSig(ris.last, env) }
+            sigs.zipWithIndex.drop(1).collectFirst {
+              case (s, k) if s.map(_._1) != sigs.head.map(_._1) =>
+                s"union branch ${k + 1} returns columns " +
+                  s"(${s.map(_._1).mkString(", ")}) but branch 1 returns " +
+                  s"(${sigs.head.map(_._1).mkString(", ")})"
+              case (s, k) if s != sigs.head =>
+                val (n, tp) = s.zip(sigs.head).collectFirst {
+                  case (a, b) if a != b => a }.get
+                s"union branch ${k + 1} column $n has type $tp, " +
+                  "incompatible with branch 1"
+            } match {
+              case Some(e) => Left(e)
+              case None =>
+                // reassemble with the markers so the executor can split
+                val ris = typed.map(_._1)
+                val marker = RUnion(flags.head)
+                Right(TypedProg(schema,
+                  ris.head ::: ris.tail.flatMap(b => marker :: b)))
+            }
+          }
         }
       }
-      err.toLeft(TypedProg(schema, out.result()))
     }
 
   /** Parse → normalize → typecheck, throwing on error. */

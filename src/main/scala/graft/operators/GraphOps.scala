@@ -338,6 +338,89 @@ object GraphOps {
              |       CAST(s_suppkey AS BIGINT) + 3000000000 AS s
              |FROM w JOIN supplier ON CAST(s_nationkey AS BIGINT) + 2000000000 = w.n""".stripMargin)),
 
+    // --- unwind: per-row list explosion (Cypher UNWIND; round 10).
+    // Elements are full expressions evaluated per row; the alias binds
+    // a scalar pseudo-label, so `k.val` feeds the typed where machinery.
+    // Plans as a codegen'd Generate over the scan — no shuffle.
+    Q("gql_unwind",
+      bindings(
+        """match (n:nation)
+          |unwind [1, n.nationkey mod 3, 2] as k
+          |where k.val >= 1
+          |return n, k""".stripMargin),
+      Some("""SELECT n, k FROM (
+             |  SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |         unnest([CAST(1 AS BIGINT), CAST(n_nationkey AS BIGINT) % 3,
+             |                 CAST(2 AS BIGINT)]) AS k
+             |  FROM nation) u
+             |WHERE k >= 1""".stripMargin)),
+
+    // unwound scalars group like any binding: the row-multiplying dual
+    // of with-aggregation, composed here with extended return
+    Q("gql_unwind_agg",
+      bindings(
+        """match (n:nation)
+          |unwind [n.regionkey, 7] as k
+          |return k, count(n)""".stripMargin),
+      Some("""SELECT k, count(*) AS count_n FROM (
+             |  SELECT n_nationkey,
+             |         unnest([CAST(n_regionkey AS BIGINT), CAST(7 AS BIGINT)]) AS k
+             |  FROM nation) u
+             |GROUP BY k""".stripMargin)),
+
+    // --- union: query-level branch composition (Cypher UNION; round
+    // 10). Branches are independent read-only queries over one graph;
+    // `union` dedups the combined bag — one Catalyst Union + one hash
+    // aggregate, each branch keeping its own pushdown/fused-hop plan.
+    Q("gql_union",
+      bindings(
+        """match (s:supplier) -[:snation]-> (n:nation)
+          |where n.regionkey = 0
+          |return s
+          |union
+          |match (s:supplier)
+          |where s.nationkey < 8
+          |return s""".stripMargin),
+      Some("""SELECT CAST(s_suppkey AS BIGINT) + 3000000000 AS s
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_regionkey = 0
+             |UNION
+             |SELECT CAST(s_suppkey AS BIGINT) + 3000000000 AS s
+             |FROM supplier WHERE s_nationkey < 8""".stripMargin)),
+
+    // union all preserves multiplicity: rows matching both branches
+    // appear twice (BUILDING customers of region 1)
+    Q("gql_union_all",
+      bindings(
+        """match (c:customer) -[:cnation]-> (n:nation)
+          |where n.regionkey = 1
+          |return n, c
+          |union all
+          |match (c:customer) -[:cnation]-> (n:nation)
+          |where c.mktsegment = "BUILDING"
+          |return n, c""".stripMargin),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |       CAST(c_custkey AS BIGINT) + 4000000000 AS c
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE n_regionkey = 1
+             |UNION ALL
+             |SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |       CAST(c_custkey AS BIGINT) + 4000000000 AS c
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_mktsegment = 'BUILDING'""".stripMargin)),
+
+    // branch output names come from the RETURN shape, so differently-
+    // computed aggregates align through `with … as cnt` — the
+    // union × with × aggregate composition
+    Q("gql_union_agg",
+      bindings(
+        """match (n:nation) where n.regionkey = 0 with count(n) as cnt return cnt
+          |union all
+          |match (s:supplier) with count(s) as cnt return cnt""".stripMargin),
+      Some("""SELECT count(*) AS cnt FROM nation WHERE n_regionkey = 0
+             |UNION ALL
+             |SELECT count(*) AS cnt FROM supplier""".stripMargin)),
+
     // --- return distinct: row-level dedup of the projected output,
     // SQL DISTINCT semantics (project → dedup → order) — one hash
     // aggregate on the out columns, TakeOrderedAndProject above it

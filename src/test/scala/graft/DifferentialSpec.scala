@@ -71,7 +71,7 @@ class DifferentialSpec extends AnyFunSuite {
       else s"($base ${pick(Seq("and", "or"))} ${boolExpr(depth - 1)})"
     }
     val steps = 3 + rnd.nextInt(6)
-    for (_ <- 1 to steps) rnd.nextInt(11) match {
+    for (_ <- 1 to steps) rnd.nextInt(12) match {
       case 0 => // create + immediate set (keeps all attributes defined);
         // half the time via the inline property map, which desugars to
         // the same create+set instruction pair (differential coverage of
@@ -318,6 +318,15 @@ class DifferentialSpec extends AnyFunSuite {
           env = items.map { case (_, _, a, l) => (a, l) }.toList
           optEnv = Nil
         }
+      case 10 => // unwind an int expression list (round 10): each row
+        // explodes to its elements; the alias binds a %int scalar that
+        // feeds later where/with/return draws via intExpr like any
+        // with-bound scalar
+        val sz = 1 + rnd.nextInt(3)
+        val elems = (1 to sz).map(_ => intExpr(1)).mkString(", ")
+        n += 1
+        sb ++= s"unwind [$elems] as v$n\n"
+        env = (s"v$n", "%int") :: env
       case _ => // delete a node binding (also unbinds; never virtual)
         if (env.nonEmpty && rnd.nextInt(3) == 0) {
           val (v, _) = env(rnd.nextInt(env.size))
@@ -399,6 +408,55 @@ class DifferentialSpec extends AnyFunSuite {
 
   test("pinned regression seeds") {
     for (seed <- Seq(1L, 7L, 42L, 1234L, 99999L)) runBoth(genProgram(seed))
+  }
+
+  /** Read-only union query over the P/Q graph: 2-3 branches, every
+    * branch returning the single column `u` (node binding — typing's
+    * signature rule), drawn from plain matches, filtered matches, edge
+    * hops, and unwind compositions. */
+  private def genUnionQuery(seed: Long): String = {
+    val rnd = new scala.util.Random(seed)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    def branch(): String = rnd.nextInt(4) match {
+      case 0 => s"match (u:${pick(Seq("P", "Q"))})\nreturn u"
+      case 1 =>
+        val (l, f) = pick(Seq(("P", "x"), ("Q", "y")))
+        s"match (u:$l)\nwhere u.$f ${pick(Seq(">=", "<", "<>"))} ${rnd.nextInt(20)}\nreturn u"
+      case 2 =>
+        val (sl, rl, tl) = pick(Seq(("P", "r", "Q"), ("P", "s", "P"), ("Q", "t", "Q")))
+        if (rnd.nextBoolean()) s"match (u:$sl) -[:$rl]-> (w:$tl)\nreturn u"
+        else s"match (w:$sl) -[:$rl]-> (u:$tl)\nreturn u"
+      case _ =>
+        // unwind × union composition: the branch's rows multiply per
+        // element before the filter
+        s"match (u:P)\nunwind [u.x, ${rnd.nextInt(10)}] as k\n" +
+          s"where k.val >= ${rnd.nextInt(10)}\nreturn u"
+    }
+    val sep = if (rnd.nextBoolean()) "union all" else "union"
+    (1 to (2 + rnd.nextInt(2))).map(_ => branch()).mkString("", s"\n$sep\n", "\n")
+  }
+
+  test("random union queries agree with the interpreter over generator-built graphs") {
+    for (seed <- Seq(2L, 11L, 77L, 555L, 31337L, 424242L)) {
+      // build a graph with the standard generator (both engines replay
+      // it — covered by the other tests), then run a READ-ONLY union
+      // query against it on both sides
+      val buildSrc = genProgram(seed)
+      val tpB = Typing.compile(buildSrc)
+      val expB = RefInterp.run(tpB)
+      val rB = Engine.run(spark, tpB, PropertyGraph.empty(spark, tpB.schema))
+      val unionSrc = header + genUnionQuery(seed)
+      val tpU = Typing.compile(unionSrc)
+      val expU = RefInterp.runOn(tpU, expB.nodes, expB.edges, firstId = 100000L)
+      val rU = Engine.run(spark, tpU, rB.graph, 100000L)
+      assert(rU.bindings.columns.toList == expU.header, s"header mismatch\n$unionSrc")
+      val got = rU.bindings.collect().map(_.toSeq.map {
+        case null => RefInterp.NullId
+        case x    => x.asInstanceOf[Long]
+      }.toList).toList
+      assert(got.sorted == expU.rows.map(_.toList).sorted,
+        s"rows mismatch\n$buildSrc\n---\n$unionSrc")
+    }
   }
 
   test("forced new-shape coverage: optional tails, not-exists varpath, zero-length") {
@@ -565,6 +623,21 @@ class DifferentialSpec extends AnyFunSuite {
         |match (p:P)
         |with p, p.x as w order by p.x, p skip 1 limit 2
         |return p, w
+        |""".stripMargin,
+      // round 10: unwind — expression elements per row, duplicates
+      // preserved, scalar alias in where AND as a with-group key, and
+      // an unwind over the unit table (no prior match)
+      """create (a:P {x: 2, nm: "alpha"})
+        |create (b:P {x: 5, nm: "beta"})
+        |match (p:P)
+        |unwind [p.x, (p.x + 1), 2] as k
+        |where k.val >= 2
+        |with k, count(p) as c
+        |return k, c
+        |""".stripMargin,
+      """unwind [4, 4, 1] as k
+        |where k.val > 2
+        |return k
         |""".stripMargin)
     progs.foreach(p => runBoth(header + p))
   }

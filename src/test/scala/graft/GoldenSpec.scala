@@ -330,6 +330,51 @@ class GoldenSpec extends AnyFunSuite {
     assert(r.bindings.collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("unwind: per-row list explosion with expression elements") {
+    val r = Engine.runSource(spark, chainSrc +
+      "match (n:N)\nwhere n.x <= 10\nunwind [n.x, n.x + 1, 7] as k\nreturn n, k")
+    assert(r.bindings.columns.toSeq == Seq("n", "k"))
+    // bag semantics: each of the 2 matched rows explodes to its own 3
+    // elements, evaluated per row
+    assert(r.bindings.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq ==
+      Seq((0L, 0L), (0L, 1L), (0L, 7L), (1L, 7L), (1L, 10L), (1L, 11L)))
+  }
+
+  test("unwind: duplicates preserved; scalar alias feeds where and aggregates") {
+    // on the untouched unit table the unwind IS the first row source
+    val r = Engine.runSource(spark,
+      "(:N {x int})\nunwind [2, 2, 3] as k\nwhere k.val = 2\nreturn k")
+    assert(r.bindings.collect().map(_.getLong(0)).toSeq == Seq(2L, 2L))
+    // the alias groups like any binding (count over exploded rows)
+    val r2 = Engine.runSource(spark, chainSrc +
+      "match (n:N)\nunwind [1, 1] as k\nreturn n, count(k)")
+    assert(r2.bindings.collect().map(x => (x.getLong(0), x.getLong(1))).toSet ==
+      (0L to 5L).map(n => (n, 2L)).toSet)
+  }
+
+  test("union: distinct dedups across branches, union all preserves the bag") {
+    // branches must be read-only, so build the chain first and run the
+    // union query against the persisted-in-session graph
+    val base = Engine.runSource(spark, chainSrc)
+    val hdr = "(:N {x int})\n(:N) -[:next]-> (:N)\n"
+    val r = Engine.runSourceOn(spark, hdr +
+      "match (n:N) where n.x <= 20 return n\nunion\nmatch (n:N) where n.x >= 20 return n",
+      base.graph, base.nextId)
+    assert(r.bindings.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L, 5L)) // node 2 (x=20) matched twice, kept once
+    val r2 = Engine.runSourceOn(spark, hdr +
+      "match (n:N) where n.x <= 20 return n\nunion all\nmatch (n:N) where n.x >= 20 return n",
+      base.graph, base.nextId)
+    assert(r2.bindings.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 1L, 2L, 2L, 3L, 4L, 5L))
+    // a query that builds the graph and then unions is rejected: the
+    // creates land in branch 1, which must be read-only
+    assert(intercept[graft.lang.Typing.TypeError] {
+      graft.lang.Typing.compile(chainSrc +
+        "match (n:N) return n\nunion\nmatch (n:N) return n")
+    }.getMessage.contains("read-only"))
+  }
+
   test("reverse hop: `<-[:next]-` binds predecessors (same IR as forward)") {
     val r = Engine.runSource(spark, chainSrc +
       "match (n:N) <-[:next]- (p:N)\nwhere n.x = 30\nreturn n, p")

@@ -261,4 +261,30 @@ class ParserSpec extends AnyFunSuite {
       Parser.parse("(:N {})\n(:N) -[:next]-> (:N)\nmatch (a:N)\nmerge (a) -[:next*1..2]-> (a)"))
     assert(ex2.getMessage.contains("merge supports"))
   }
+
+  test("unwind parses expression lists; alias mandatory; name stays contextual") {
+    val p = Parser.parse(header + "match (a:P)\nunwind [1, a.x + 2] as k\nreturn a, k")
+    assert(p.query.clauses(1) ==
+      Unwind(List(Const(IntV(1)), Bin(BAadd, AttribAcc("a", "x"), Const(IntV(2)))), "k"))
+    val ex = intercept[Parser.ParseError](
+      Parser.parse(header + "match (a:P)\nunwind [1, 2]\nreturn a"))
+    assert(ex.getMessage.contains("expected 'as' after unwind list"))
+    // empty list: no element to parse — the expression parser reports it
+    intercept[Parser.ParseError](Parser.parse(header + "unwind [] as k return k"))
+    // contextual: a variable named unwind still parses in patterns/returns
+    val v = Parser.parse(header + "create (unwind:P)\nreturn unwind")
+    assert(v.query.clauses.collect { case Return(vs) => vs }.flatten == List("unwind"))
+  }
+
+  test("union separates branches; all-modifier; name stays contextual") {
+    val p = Parser.parse(header +
+      "match (a:P) return a\nunion\nmatch (b:P) return b")
+    assert(p.query.clauses(2) == UnionSep(all = false))
+    val pa = Parser.parse(header +
+      "match (a:P) return a\nunion all\nmatch (b:P) return b")
+    assert(pa.query.clauses(2) == UnionSep(all = true))
+    // contextual: union as a variable name
+    val v = Parser.parse(header + "create (union:P)\nreturn union")
+    assert(v.query.clauses.collect { case Return(vs) => vs }.flatten == List("union"))
+  }
 }

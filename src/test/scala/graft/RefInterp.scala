@@ -44,14 +44,43 @@ object RefInterp {
       header: List[String],
       rows: List[List[Long]])
 
-  def run(tp: TypedProg, firstId: Long = 0L): Result = {
-    val fin = tp.instrs.foldLeft(
-      St(Map.empty, Set.empty, Nil, 0, List(Vector.empty), firstId))(exec)
-    // Engine output: distinct vars, latest binding, latest-first order.
-    val seen = scala.collection.mutable.LinkedHashSet[String]()
-    val outCols = fin.env.flatMap { case (v, c) => if (seen.add(v)) Some((v, c)) else None }
-    Result(fin.nodes, fin.edges, outCols.map(_._1),
-      fin.rows.map(r => outCols.map { case (_, c) => r(c) }))
+  def run(tp: TypedProg, firstId: Long = 0L): Result =
+    runOn(tp, Map.empty, Set.empty, firstId)
+
+  /** [[run]] against a PRE-BUILT graph (the Engine.runSourceOn twin) —
+    * lets the differential harness replay read-only union queries over a
+    * graph a previous program built. */
+  def runOn(tp: TypedProg, nodes0: Map[Long, Node],
+      edges0: Set[(Long, String, Long)], firstId: Long): Result = {
+    // union branches (typing reassembled them around RUnion markers):
+    // each a standalone read-only query; results bag-unioned or deduped
+    val parts: List[List[RInstr]] = {
+      val out = List.newBuilder[List[RInstr]]
+      var cur = List.newBuilder[RInstr]
+      tp.instrs.foreach {
+        case RUnion(_) => out += cur.result(); cur = List.newBuilder
+        case in        => cur += in
+      }
+      out += cur.result()
+      out.result()
+    }
+    def runBranch(instrs: List[RInstr]): Result = {
+      val fin = instrs.foldLeft(
+        St(nodes0, edges0, Nil, 0, List(Vector.empty), firstId))(exec)
+      // Engine output: distinct vars, latest binding, latest-first order.
+      val seen = scala.collection.mutable.LinkedHashSet[String]()
+      val outCols = fin.env.flatMap { case (v, c) => if (seen.add(v)) Some((v, c)) else None }
+      Result(fin.nodes, fin.edges, outCols.map(_._1),
+        fin.rows.map(r => outCols.map { case (_, c) => r(c) }))
+    }
+    val results = parts.map(runBranch)
+    if (results.sizeIs == 1) results.head
+    else {
+      val all = tp.instrs.collectFirst { case RUnion(a) => a }.get
+      val rows = results.flatMap(_.rows)
+      // read-only branches: every branch saw the same (initial) graph
+      results.head.copy(rows = if (all) rows else rows.distinct)
+    }
   }
 
   private def exec(st: St, in: RInstr): St = in match {
@@ -310,6 +339,27 @@ object RefInterp {
         }
       st.copy(env = aliasedItems.map(_._2).zipWithIndex,
         width = items.size, rows = shaped)
+
+    case RUnwind(tes, alias, tp) =>
+      // per row, one output row per element, in element order —
+      // mirrors Engine's explode(array(…)); int-only in the Long-row
+      // model (the differential generator emits exactly that)
+      if (tp != IntT) throw new UnsupportedOperationException(
+        "non-int unwind not supported by the Long-row interpreter")
+      val rows2 = st.rows.flatMap { r =>
+        tes.map { te =>
+          r :+ (eval(st, r, te) match {
+            case IntV(i) => i
+            case other   => throw new IllegalStateException(s"non-int unwind value $other")
+          })
+        }
+      }
+      st.copy(env = (alias, st.width) :: st.env, width = st.width + 1,
+        rows = rows2)
+
+    case RUnion(_) =>
+      throw new IllegalStateException(
+        "union marker reached the instruction fold — run() splits branches")
 
     case RSet(v, _, f, _, te) =>
       val c = st.colOf(v)

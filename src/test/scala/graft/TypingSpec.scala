@@ -530,6 +530,49 @@ class TypingSpec extends AnyFunSuite {
       .contains("variable a not bound"))
   }
 
+  test("unwind: elements must share one type; alias is an immutable scalar") {
+    assert(err(header + "match (a:P) unwind [1, a.s] as k return k")
+      .contains("unwind list elements must share one type"))
+    assert(err(header + "unwind [1, 2] as k set k.val = 3")
+      .contains("cannot set attribute of with-scalar binding"))
+    assert(err(header + "unwind [1, 2] as k delete k")
+      .contains("cannot delete with-scalar binding"))
+    // element expressions type like any where expression
+    assert(err(header + "unwind [b.x] as k return k")
+      .contains("variable b not bound"))
+    // legal: expression elements, alias in where/return, string lists
+    Typing.compile(header +
+      "match (a:P) unwind [a.x, a.x + 1] as k where k.val > 0 return a, k")
+    Typing.compile(header + "unwind [\"u\", \"v\"] as s return s")
+  }
+
+  test("union: branches read-only, return-terminated, signature-matched") {
+    assert(err(header + "create (a:P) return a union match (b:P) return b")
+      .contains("read-only"))
+    assert(err(header + "match (a:P) return a union match (b:P)")
+      .contains("must end with return"))
+    assert(err(header + "match (a:P) return a union match (b:P) return b")
+      .contains("returns columns (b) but branch 1 returns (a)"))
+    // same output NAME, different runtime type → the type leg fires
+    assert(err(header +
+      "match (a:P) with a.x as v return v union all " +
+      "match (a:P) with a.s as v return v")
+      .contains("incompatible with branch 1"))
+    // different outNames are a name mismatch, caught before types
+    assert(err(header + "match (a:P) return a, a.x union all match (a:P) return a, a.s")
+      .contains("returns columns (a, a_s) but branch 1 returns (a, a_x)"))
+    assert(err(header +
+      "match (a:P) return a union match (a:P) return a union all match (a:P) return a")
+      .contains("cannot mix union and union all"))
+    // legal: same names via with-aliasing across differently-shaped branches
+    Typing.compile(header +
+      "match (a:P) with count(a) as cnt return cnt union all " +
+      "match (q:Q) with count(q) as cnt return cnt")
+    // node bindings of DIFFERENT labels are runtime-compatible (both ids)
+    Typing.compile(header +
+      "match (a:P) with a as v return v union match (q:Q) with q as v return v")
+  }
+
   test("skip/limit beyond Int.MaxValue rejected at typing time (ADVICE r09)") {
     // the engine pages via Dataset.offset/limit (Int): a Long value
     // above 2^31-1 used to silently wrap to a negative page
