@@ -99,6 +99,42 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed graph store: seeded varpath reads the edge frame bucket-aligned") {
+    // VERDICT r09 item 6: extend the exchange pin from fixed hops to the
+    // seeded varpath closure. The per-hop self-join chain joins the
+    // frontier against the nnext edge frame on e.src — with the store's
+    // bucketBy(src) layout, the EDGE side of every hop must read in
+    // place; only the frontier (re-keyed per hop) and the pair dedups
+    // may move.
+    val (g, nextId) = graft.sources.GraphLoader.load(spark, dir)
+    graft.sources.GraphStore.saveBucketed(g, nextId, spark, "planspec_vp_bkt", buckets = 4)
+    val (g2, _) = graft.sources.GraphStore.loadBucketed(spark, "planspec_vp_bkt")
+    val cfg = graft.engine.Engine.Config(strict = false)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val r = graft.engine.Engine.runSourceOn(spark,
+        graft.sources.GraphLoader.headerGql +
+          "match (a:nation) -[:nnext*1..2]-> (b:nation)\nreturn a, b",
+        g2, nextId, cfg)
+      val p = r.bindings.queryExecution.executedPlan.toString
+      // the bucketed nnext scan appears once per hop level + once for
+      // the seed join, and NONE of those scans sits under a join-key
+      // exchange of its own output: the measured plan has exactly 4
+      // exchanges — (1) the depth-1 pair dedup, (2) the frontier re-key
+      // onto hop 2's e.src, (3) the hop-2 pair dedup, (4) the closing
+      // cross-level dedup feeding the endpoint equi-join (the binding
+      // side IS the bucketed label scan, so it never moves). The
+      // depth-1 seed join itself is exchange-free: seeds come off the
+      // id-bucketed scan and edges off the src-bucketed scan with equal
+      // bucket counts. Anything above 4 means an edge-frame or
+      // full-closure re-shuffle crept in.
+      val n = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(n <= 4, s"expected <=4 exchanges (frontier re-keys + dedups), got $n in:\n$p")
+      assert(!p.contains("CartesianProduct"), s"unfused varpath join in:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("real BMP decode keeps the stub ops' dataflow: zero shuffles") {
     // the decode seam claim (SURVEY §8.3): swapping the stub for a real
     // parser changes only the bytes inspected — scan → mapPartitions,
