@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.BmpCodec
+import graft.functions.{BmpCodec, PngCodec}
 import PipeData._
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
@@ -60,6 +60,29 @@ object MultimodalOps {
         (id, BmpCodec.encode(w, h, raster))
       }
     }.toDF("doc_id", "bmp")
+  }
+
+  private def pngDims(id: Long): (Int, Int) =
+    ((2 + id % 6).toInt, (1 + id % 6).toInt)
+
+  /** REAL 8-bit truecolor PNG files, one per document, built in-executor
+    * with [[graft.functions.PngCodec]] — heights 1..6 cycle through all
+    * FIVE scanline filters (the encoder filters row y with `y mod 5`),
+    * so every defilter path of the decoder is exercised, and the zlib
+    * round-trip makes this the compressed-format seam proof. */
+  private def pngCorpus(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    docs(s, dir).select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val (w, h) = pngDims(id)
+        val raster = Array.tabulate(3 * w * h) { p =>
+          val y = p / (3 * w); val x = (p % (3 * w)) / 3; val c = p % 3
+          px(id, x, y, c).toByte
+        }
+        (id, PngCodec.encode(w, h, raster))
+      }
+    }.toDF("doc_id", "png")
   }
 
   val all: List[Q] = List(
@@ -251,6 +274,100 @@ object MultimodalOps {
               .as("phash"))
       },
       Some("""WITH d AS (SELECT doc_id, 2 + doc_id % 6 AS w, 1 + doc_id % 4 AS h
+             |           FROM documents),
+             |img AS (SELECT doc_id, w, h,
+             |    lower(list_aggregate(list_transform(range(3*w*h), i ->
+             |      lpad(to_hex((doc_id + 7*((i % (3*w)) // 3) + 13*(i // (3*w))
+             |                   + 29*(i % 3)) % 256), 2, '0')),
+             |      'string_agg', '')) AS hx
+             |  FROM d),
+             |feats AS (SELECT doc_id, hx, unnest(range(3*w*h - 3)) AS i FROM img),
+             |fc AS (SELECT doc_id, substr(hx, 1 + 2*i, 8) AS f, count(*) AS cnt
+             |       FROM feats GROUP BY 1, 2),
+             |bits AS (SELECT doc_id, j,
+             |           sum(cnt * (2 * ((strpos('0123456789abcdef',
+             |                               substr(md5(f), 1 + (j // 4), 1)) - 1)
+             |                           // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+             |                                          WHEN 2 THEN 2 ELSE 1 END) % 2) - 1)) AS tally
+             |         FROM fc, (SELECT unnest(range(64)) AS j)
+             |         GROUP BY doc_id, j)
+             |SELECT doc_id,
+             |       string_agg(CASE WHEN tally > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS phash
+             |FROM bits GROUP BY doc_id""".stripMargin)),
+
+    // ---- REAL PNG decode: the COMPRESSED-format seam proof -----------
+    // Round 9's BMP pair proved the decode seam on an uncompressed
+    // raster; this is the realistic case — deflate-compressed scanlines
+    // with per-row filters, where decode cost dominates scan cost. Same
+    // dataflow as every decode op: scan → mapPartitions, zero shuffles
+    // (PlanSpec). The position-weighted wsum is order-sensitive, so a
+    // defilter bug in ANY of the five filter paths (heights 1..6 cycle
+    // them all) cannot hash-match the oracle, which recomputes ground
+    // truth from the pixel function without touching the file layout.
+    // n_bytes is the UNCOMPRESSED raster length (3wh) — the compressed
+    // file size is deflate-implementation-defined, deliberately not
+    // part of the contract.
+    Q("p_mm_png_decode",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        pngCorpus(s, dir).as[(Long, Array[Byte])].mapPartitions { rows =>
+          rows.map { case (id, bytes) =>
+            val png = PngCodec.decode(bytes)
+            var pxsum = 0L; var wsum = 0L
+            var i = 0
+            while (i < png.raster.length) {
+              val v = png.raster(i) & 0xff
+              pxsum += v; wsum += (i + 1).toLong * v
+              i += 1
+            }
+            (id, png.width.toLong, png.height.toLong,
+              png.raster.length.toLong, pxsum, wsum)
+          }
+        }.toDF("doc_id", "width", "height", "n_bytes", "pxsum", "wsum")
+      },
+      Some("""WITH d AS (SELECT doc_id, 2 + doc_id % 6 AS w, 1 + doc_id % 6 AS h
+             |           FROM documents)
+             |SELECT doc_id, w AS width, h AS height,
+             |  3*w*h AS n_bytes,
+             |  CAST(list_sum(list_transform(range(3*w*h), i ->
+             |    (doc_id + 7*((i % (3*w)) // 3) + 13*(i // (3*w)) + 29*(i % 3)) % 256))
+             |    AS BIGINT) AS pxsum,
+             |  CAST(list_sum(list_transform(range(3*w*h), i -> (i + 1) *
+             |    ((doc_id + 7*((i % (3*w)) // 3) + 13*(i // (3*w)) + 29*(i % 3)) % 256)))
+             |    AS BIGINT) AS wsum
+             |FROM d""".stripMargin)),
+
+    // ---- phash over the PNG-decoded raster ----------------------------
+    // Same claim as p_mm_bmp_phash, now through the compressed format:
+    // the real decoder changes only the bytes inspected — fingerprint
+    // width, tally shape, and the single per-doc aggregate are the
+    // stub's, fed by the inflate+defilter raster.
+    Q("p_mm_png_phash",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        val decoded = pngCorpus(s, dir).as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            rows.map { case (id, bytes) =>
+              (id, PngCodec.decode(bytes).raster.map(b => f"${b & 0xff}%02x").mkString)
+            }
+          }.toDF("doc_id", "hx")
+        val feats = decoded
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, length(hx) div 2 - 4), i -> substring(hx, 1 + 2 * i, 8))")).as("f"))
+          .select(col("doc_id"), md5(col("f")).as("h"))
+        val tallies = (0 until 64).map { j =>
+          val digit = s"(instr('0123456789abcdef', substring(h, ${1 + j / 4}, 1)) - 1)"
+          val shift = Seq(8, 4, 2, 1)(j % 4)
+          sum(expr(s"2 * (($digit div $shift) % 2) - 1")).as(s"t$j")
+        }
+        feats.groupBy("doc_id").agg(tallies.head, tallies.tail: _*)
+          .select(col("doc_id"),
+            concat((0 until 64).map(j => when(col(s"t$j") > 0, "1").otherwise("0")): _*)
+              .as("phash"))
+      },
+      Some("""WITH d AS (SELECT doc_id, 2 + doc_id % 6 AS w, 1 + doc_id % 6 AS h
              |           FROM documents),
              |img AS (SELECT doc_id, w, h,
              |    lower(list_aggregate(list_transform(range(3*w*h), i ->

@@ -145,6 +145,13 @@ class PlanSpec extends AnyFunSuite {
     val ph = plan("p_mm_bmp_phash")
     assert("Exchange".r.findAllIn(ph).size <= 1,
       s"expected the single per-doc tally exchange in:\n$ph")
+    // the COMPRESSED-format twin (round 10): inflate + defilter inside
+    // the same scan → mapPartitions shape, identical shuffle budget
+    val pp = plan("p_mm_png_decode")
+    assert(!pp.contains("Exchange"), s"unexpected shuffle in:\n$pp")
+    val pph = plan("p_mm_png_phash")
+    assert("Exchange".r.findAllIn(pph).size <= 1,
+      s"expected the single per-doc tally exchange in:\n$pph")
   }
 
   test("aggregation uses map-side partial aggregates") {
