@@ -81,10 +81,22 @@ object Engine {
         * exchange-free 1-hop). Cleared after EVERY instruction by the
         * execPlan fold — even a constant `where` changes the row count,
         * so no instruction preserves unit-ness. */
-      unitTable: Boolean = false) {
+      unitTable: Boolean = false,
+      /** Rel bindings (round-10 edge properties): var → its matched
+        * edge's (srcColumn, dstColumn) in the binding table — an edge
+        * binding ALIASES its endpoint columns, it owns none. Latest
+        * binding first; reset by the scope-restricting instructions
+        * (return / with) and retired when an endpoint column is dropped
+        * (delete of the endpoint variable → later access fails loudly
+        * as a dangling binding). */
+      edgeEnv: List[(String, (String, String))] = Nil) {
     def colOf(v: String): String =
       env.collectFirst { case (`v`, c) => c }
         .getOrElse(throw new IllegalStateException(s"variable $v not bound"))
+    def edgeColsOf(v: String): (String, String) =
+      edgeEnv.collectFirst { case (`v`, cs) => cs }
+        .getOrElse(throw new IllegalStateException(
+          s"rel variable $v dangling (an endpoint binding was deleted?)"))
   }
 
   /** 1-row, 0-column DataFrame: the nullary cartesian-product identity
@@ -113,10 +125,13 @@ object Engine {
   private sealed trait PhysOp
   private final case class PExec(in: RInstr) extends PhysOp
   /** Join bindings with edge table `key`; `boundVar`'s column matches the
-    * src (if `newIsDst`) or dst side; the other side becomes `newVar`. */
+    * src (if `newIsDst`) or dst side; the other side becomes `newVar`.
+    * `rv` optionally registers a rel binding for the matched edge
+    * (round-10 edge properties) — it aliases the two endpoint columns,
+    * adding no join or column of its own. */
   private final case class PExpand(
       key: (String, String, String), boundVar: String, newVar: String,
-      newIsDst: Boolean) extends PhysOp
+      newIsDst: Boolean, rv: Option[String] = None) extends PhysOp
   /** Fused undirected hop: cross+semi over EITHER edge orientation fuses
     * to one equi-join against the union of the declared orientation
     * frames, deduplicated on the node pair — cross+semi yields exactly
@@ -139,14 +154,14 @@ object Engine {
   private def compilePlan(instrs: List[RInstr], cfg: Config): List[PhysOp] =
     if (!cfg.expandPaths) instrs.map(PExec)
     else instrs match {
-      case RMatchNode(v, _) :: RMatchEdge(sv, sl, rl, tv, tl) :: rest
+      case RMatchNode(v, _) :: RMatchEdge(sv, sl, rl, tv, tl, rv) :: rest
           if tv == v && sv != v =>
         // (bound sv)-[:rl]->(fresh v): new var is the edge's dst
-        PExpand((sl, rl, tl), sv, v, newIsDst = true) :: compilePlan(rest, cfg)
-      case RMatchNode(v, _) :: RMatchEdge(sv, sl, rl, tv, tl) :: rest
+        PExpand((sl, rl, tl), sv, v, newIsDst = true, rv) :: compilePlan(rest, cfg)
+      case RMatchNode(v, _) :: RMatchEdge(sv, sl, rl, tv, tl, rv) :: rest
           if sv == v && tv != v =>
         // (fresh v)-[:rl]->(bound tv): new var is the edge's src
-        PExpand((sl, rl, tl), tv, v, newIsDst = false) :: compilePlan(rest, cfg)
+        PExpand((sl, rl, tl), tv, v, newIsDst = false, rv) :: compilePlan(rest, cfg)
       case RMatchNode(v, _) :: RMatchEdgeUndir(sv, sl, rl, tv, tl, f, r) :: rest
           if tv == v && sv != v =>
         // (bound sv)-[:rl]-(fresh v): new var is the pattern's tv side
@@ -222,7 +237,7 @@ object Engine {
       val wasUnit = st.unitTable
       op match {
       case PExec(in) => st = exec(spark, schema, st, in, config)
-      case PExpand(key, boundVar, newVar, newIsDst) =>
+      case PExpand(key, boundVar, newVar, newIsDst, rv) =>
         val c = fresh(st)
         val eS = s"${c}_src"
         val edf = st.graph.edges(key).select(col("src").as(if (newIsDst) eS else c),
@@ -230,8 +245,12 @@ object Engine {
         val joined = st.bindings
           .join(edf, col(st.colOf(boundVar)) === col(eS))
           .drop(eS)
+        // a rel binding aliases the endpoint columns of the fused join
+        val bc = st.colOf(boundVar)
         st = st.copy(bindings = joined, env = (newVar, c) :: st.env,
-          freshCounter = st.freshCounter + 1)
+          freshCounter = st.freshCounter + 1,
+          edgeEnv = rv.fold(st.edgeEnv)(x =>
+            (x, if (newIsDst) (bc, c) else (c, bc)) :: st.edgeEnv))
       case PExpandUndir(sl, rl, tl, fwd, rev, boundVar, newVar, newIsTv) =>
         val c = fresh(st)
         val eS = s"${c}_src"
@@ -425,21 +444,44 @@ object Engine {
           freshCounter = st.freshCounter + 1), Left(lb), cfg)
       }
 
-    case RCreateEdge(sv, sl, rl, tv, tl) =>
+    case RCreateEdge(sv, sl, rl, tv, tl, props) =>
       val key = (sl, rl, tl)
-      val newEdges = st.bindings.select(
-        col(st.colOf(sv)).as("src"), col(st.colOf(tv)).as("dst"))
-      // set semantics on (src,dst) — reference graphstruct.ml:30-32
-      val e2 = st.graph.edges(key).unionByName(newEdges).dropDuplicates("src", "dst")
+      val old = st.graph.edges(key)
+      // inline edge properties evaluated PER ROW (they may reference
+      // node attributes — they ride the same joins as where/set)
+      val (joinedC, refsC) = joinAttrs(st, props.map(_._3))
+      val newEdges0 = joinedC.select(
+        col(st.colOf(sv)).as("src") +: col(st.colOf(tv)).as("dst") +:
+          props.map { case (f, _, te) =>
+            expr(sql(te, refsC, st, cfg.strict)).as(f) }: _*)
+      val attrNames = old.columns.drop(2).toSeq // declared attr columns
+      val withAll = attrNames.foldLeft(newEdges0) { (df, f) =>
+        if (df.columns.contains(f)) df
+        else df.withColumn(f, lit(null).cast(old.schema(f).dataType))
+      }
+      // set semantics on (src,dst) — reference graphstruct.ml:30-32.
+      // Among the new rows, a pair created by several rows resolves
+      // conflicting prop values by max (the node-set rule); a pair that
+      // ALREADY exists keeps its stored attrs — re-create is a no-op
+      // (test3.q), so existing rows win via the anti-join.
+      val newDistinct =
+        if (attrNames.isEmpty) withAll.dropDuplicates("src", "dst")
+        else withAll.groupBy("src", "dst").agg(
+          max(attrNames.head).as(attrNames.head),
+          attrNames.tail.map(f => max(f).as(f)): _*)
+      val added = newDistinct.join(old, Seq("src", "dst"), "left_anti")
+      val e2 = old.unionByName(added)
       bump(st.copy(graph = st.graph.copy(edges = st.graph.edges.updated(key, e2))),
         Right(key), cfg)
 
-    case RMatchEdge(sv, sl, rl, tv, tl) =>
+    case RMatchEdge(sv, sl, rl, tv, tl, rv) =>
       val edf = st.graph.edges((sl, rl, tl))
       val joined = st.bindings.join(edf,
         st.bindings(st.colOf(sv)) === edf("src") && st.bindings(st.colOf(tv)) === edf("dst"),
         "left_semi")
-      st.copy(bindings = joined)
+      st.copy(bindings = joined,
+        edgeEnv = rv.fold(st.edgeEnv)(x =>
+          (x, (st.colOf(sv), st.colOf(tv))) :: st.edgeEnv))
 
     case RMatchEdgeUndir(sv, sl, rl, tv, tl, fwd, rev) =>
       // either-direction existence: semi-join against the union of the
@@ -469,8 +511,13 @@ object Engine {
         key -> d
       }
       val g2 = st.graph.copy(nodes = st.graph.nodes.updated(lbl, n2), edges = e2)
+      // rel bindings aliasing a dropped column are retired — a later
+      // access fails loudly as dangling (edgeColsOf)
+      val csSet = cs.toSet
       bump(st.copy(graph = g2, bindings = st.bindings.drop(cs: _*),
-        env = st.env.filterNot(_._1 == v)), Left(lbl), cfg)
+        env = st.env.filterNot(_._1 == v),
+        edgeEnv = st.edgeEnv.filterNot { case (_, (a, b)) => csSet(a) || csSet(b) }),
+        Left(lbl), cfg)
 
     case RDeleteEdge(sv, sl, rl, tv, tl) =>
       val key = (sl, rl, tl)
@@ -482,14 +529,16 @@ object Engine {
 
     case RReturn(vs) =>
       val projected = st.bindings.select(vs.map(v => col(st.colOf(v)).as(v)): _*)
-      st.copy(bindings = projected, env = vs.map(v => (v, v)))
+      // scope restriction drops every rel binding (not returnable)
+      st.copy(bindings = projected, env = vs.map(v => (v, v)), edgeEnv = Nil)
 
     case RReturnExt(items, order, skip, limit, distinct) =>
       val shaped = shapeExt(st, items, order, skip, limit, distinct, retName(items))
       // engine env lists EVERY output column (the final projection walks
       // it); the TYPING env is what restricts later instructions to the
       // plain-variable bindings, so the extra outName entries are inert
-      st.copy(bindings = shaped, env = items.map(it => (it.outName, it.outName)))
+      st.copy(bindings = shaped, env = items.map(it => (it.outName, it.outName)),
+        edgeEnv = Nil)
 
     case RWith(aliasedItems, order, skip, limit, distinct) =>
       // Same shaping as extended return, but the fold CONTINUES: each
@@ -520,7 +569,8 @@ object Engine {
       st.copy(bindings = shaped,
         env = aliasedItems.zip(cols).map { case ((_, a), c) => (a, c) },
         freshCounter = base + items.size,
-        nullable = nullable2)
+        nullable = nullable2,
+        edgeEnv = Nil) // with resets the scope; rel bindings don't survive it
 
     case ROptPath(inner, bound, freshVars) =>
       // All-or-nothing witness expansion (Cypher OPTIONAL MATCH): run
@@ -645,6 +695,32 @@ object Engine {
         .withColumn(f, coalesce(col("__newv"), col(f)))
         .drop("__newv")
       bump(st.copy(graph = st.graph.copy(nodes = st.graph.nodes.updated(lbl, n2))), Left(lbl), cfg)
+
+    case RSetEdge(v, key, f, _, te) =>
+      // `set x.f = e` through a rel binding: the node-set join-update
+      // applied to the edge frame on its (src, dst) identity — per-row
+      // evaluation, max conflict resolution.
+      val (joinedS, refsS) = joinAttrs(st, te :: Nil)
+      val (cS, cD) = st.edgeColsOf(v)
+      val upd = joinedS
+        .select(col(cS).as("src"), col(cD).as("dst"),
+          expr(sql(te, refsS, st, cfg.strict)).as("__newv"))
+        .groupBy("src", "dst").agg(max("__newv").as("__newv"))
+      val e2 = st.graph.edges(key)
+        .join(upd, Seq("src", "dst"), "left")
+        .withColumn(f, coalesce(col("__newv"), col(f)))
+        .drop("__newv")
+      bump(st.copy(graph = st.graph.copy(edges = st.graph.edges.updated(key, e2))),
+        Right(key), cfg)
+
+    case RDeleteEdgeBinding(v, key) =>
+      // `delete x`: remove the bound (src, dst) pairs; the table keeps
+      // its rows (an edge binding owns no column)
+      val (cS, cD) = st.edgeColsOf(v)
+      val victims = st.bindings.select(col(cS).as("src"), col(cD).as("dst")).distinct()
+      val e2 = st.graph.edges(key).join(victims, Seq("src", "dst"), "left_anti")
+      bump(st.copy(graph = st.graph.copy(edges = st.graph.edges.updated(key, e2)),
+        edgeEnv = st.edgeEnv.filterNot(_._1 == v)), Right(key), cfg)
   }
 
   /** Output-column naming for extended return: the deterministic
@@ -777,12 +853,31 @@ object Engine {
     var df = st.bindings
     val refs = Map.newBuilder[(String, String), String]
     byVar.foreach { case ((v, lbl), as) =>
-      val vc = st.colOf(v)
-      if (Typing.isVirtual(lbl))
+      if (Typing.isRelLabel(lbl)) {
+        // rel binding: left-join the EDGE frame on the (src, dst)
+        // identity pair the binding aliases — one row per pair (edge
+        // set semantics), so row multiplicity is unchanged, exactly
+        // like the per-variable node joins. Ref column names derive
+        // from the internal endpoint columns (never from the user
+        // variable, which may be an auto `%rN` name unsafe in SQL).
+        val (cS, cD) = st.edgeColsOf(v)
+        val key = Typing.relKeyOf(lbl)
+        val fields = as.map(_.field).distinct
+        val base = s"__ea_${cS}_${cD}"
+        val proj = st.graph.edges(key).select(
+          col("src").as(s"${base}_src") +: col("dst").as(s"${base}_dst") +:
+            fields.map(f => col(f).as(s"${base}_$f")): _*)
+        df = df.join(proj,
+          df(cS) === proj(s"${base}_src") && df(cD) === proj(s"${base}_dst"),
+          "left")
+          .drop(s"${base}_src", s"${base}_dst")
+        fields.foreach(f => refs += ((v, f)) -> s"${base}_$f")
+      } else if (Typing.isVirtual(lbl))
         // a virtual binding's attribute (`d.hops`, `cnt.val`) IS its
         // binding column — no attribute frame exists, no join needed
-        as.map(_.field).distinct.foreach(f => refs += ((v, f)) -> vc)
+        as.map(_.field).distinct.foreach(f => refs += ((v, f)) -> st.colOf(v))
       else {
+        val vc = st.colOf(v)
         val fields = as.map(_.field).distinct
         val proj = st.graph.nodes(lbl).select(
           col("id").as(vc) +: fields.map(f => col(f).as(s"__a_${vc}_$f")): _*)
@@ -998,14 +1093,20 @@ object Engine {
         if (strict) {
           val raise =
             s"if(isnull($c), raise_error('attribute $f not set for variable $v'), $c)"
-          if (st.nullable(st.colOf(v)))
-            // optional-match binding: a NULL binding means "no witness",
-            // not "unset attribute" — don't raise, yield NULL (the row
-            // then drops from any predicate, SQL semantics), keeping
-            // optional match + attribute predicates usable under the
-            // reference-parity strict config (ADVICE r06)
-            s"if(isnull(${st.colOf(v)}), cast(null as ${sqlTp(tp)}), $raise)"
-          else raise
+          // rel bindings live in edgeEnv, not env — a matched edge
+          // always exists, so no binding-NULL guard applies (an unset
+          // edge attribute raises like an unset node attribute)
+          st.env.collectFirst { case (`v`, bc) => bc } match {
+            case Some(bc) if st.nullable(bc) =>
+              // optional-match binding: a NULL binding means "no
+              // witness", not "unset attribute" — don't raise, yield
+              // NULL (the row then drops from any predicate, SQL
+              // semantics), keeping optional match + attribute
+              // predicates usable under the reference-parity strict
+              // config (ADVICE r06)
+              s"if(isnull($bc), cast(null as ${sqlTp(tp)}), $raise)"
+            case _ => raise
+          }
         } else c
       case TBin(op, l, r, _) =>
         val (a, b) = (sql(l, refs, st, strict), sql(r, refs, st, strict))

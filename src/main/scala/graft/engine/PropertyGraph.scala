@@ -42,9 +42,21 @@ object PropertyGraph {
           StructField(f, sparkType(tp), nullable = true)
         })
 
+  /** Attribute-free edge frame shape (kept for relation types with no
+    * declared attrs and for callers that only read endpoints). */
   val edgeSchema: StructType = StructType(Seq(
     StructField("src", LongType, nullable = false),
     StructField("dst", LongType, nullable = false)))
+
+  /** Per-relation edge frame shape: `src, dst` + one typed nullable
+    * column per declared edge attribute (round-10 edge properties). */
+  def edgeSchema(schema: Typing.Schema, key: (String, String, String)): StructType =
+    StructType(
+      StructField("src", LongType, nullable = false) ::
+        StructField("dst", LongType, nullable = false) ::
+        schema.relAttrsOf(key).map { case (f, tp) =>
+          StructField(f, sparkType(tp), nullable = true)
+        })
 
   def empty(spark: SparkSession, schema: Typing.Schema): PropertyGraph = {
     def emptyDf(st: StructType): DataFrame =
@@ -52,6 +64,6 @@ object PropertyGraph {
     PropertyGraph(
       schema,
       schema.nodeAttrs.keys.map(l => l -> emptyDf(nodeSchema(schema, l))).toMap,
-      schema.relTypes.map(rt => rt -> emptyDf(edgeSchema)).toMap)
+      schema.relTypes.map(rt => rt -> emptyDf(edgeSchema(schema, rt))).toMap)
   }
 }

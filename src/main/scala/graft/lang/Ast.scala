@@ -91,8 +91,21 @@ sealed trait Dir extends Product with Serializable
 case object Fwd extends Dir
 case object Rev extends Dir
 case object Undir extends Dir
+/** `relVar`/`relProps` (round-10 extension — typed edge properties; the
+  * reference PDF explicitly excludes attributes on edges, "mais pas aux
+  * arcs"): `(a)-[x:r]->(b)` binds `x` to the matched edge so `x.f`
+  * reads / `set x.f` writes / `delete x` removes it (match-only —
+  * typing rejects rel variables on create/undirected hops), and
+  * `-[:r {f: e, …}]->` attaches an inline property map — on `create`
+  * the new edge's attribute values (evaluated per row), on `match`
+  * equality conjuncts on an auto-bound rel variable. An edge has no id:
+  * its identity IS the (src, dst) pair within its relation type, so a
+  * rel binding occupies no new binding column — it aliases the two
+  * endpoint columns — and cannot be returned or grouped directly (only
+  * its attributes can). */
 final case class CompPattern(np: NodePattern, rel: String, rest: Pattern,
-    dir: Dir = Fwd) extends Pattern
+    dir: Dir = Fwd, relVar: Option[String] = None,
+    relProps: List[(String, Expr)] = Nil) extends Pattern
 /** Variable-length hop `(a)-[:r*lo..hi]->(b)` (engine extension; match
   * only): b is reachable from a via lo..hi consecutive `r` edges. The
   * relation must be label-homogeneous — exactly one declared `r` triple
@@ -254,7 +267,11 @@ final case class Query(clauses: List[Clause])
   * Node types carry ordered attribute declarations; relation types are
   * (srcLabel, relLabel, tgtLabel) triples with no attributes. */
 final case class NodeTypeDecl(label: String, attribs: List[(String, AttribTp)])
-final case class RelTypeDecl(src: String, rel: String, tgt: String)
+/** `(:A) -[:r {f t, …}]-> (:B)` — the optional attribute list is the
+  * round-10 edge-property extension; reference-legal declarations (no
+  * braces) parse unchanged. */
+final case class RelTypeDecl(src: String, rel: String, tgt: String,
+    attribs: List[(String, AttribTp)] = Nil)
 final case class GraphTypes(nodeTypes: List[NodeTypeDecl], relTypes: List[RelTypeDecl])
 
 final case class Prog(types: GraphTypes, query: Query)

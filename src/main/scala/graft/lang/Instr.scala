@@ -18,9 +18,17 @@ final case class IActOnNode(act: Act, v: String, label: String) extends Instruct
 /** `undir` marks an undirected hop `-[:r]-` (match-only; typing rejects
   * create/merge — direction is storage): the edge may run EITHER way
   * between `sv` and `tv`. Directed hops are emitted with `undir = false`
-  * and reverse hops simply swap `sv`/`tv` at desugar time. */
+  * and reverse hops simply swap `sv`/`tv` at desugar time.
+  *
+  * Round-10 edge properties: `rv` is the optional rel-variable binding
+  * `[x:r]` (match-only, directed-only — typing enforces); `props` is
+  * the inline property map, kept in the instruction ONLY for create
+  * (the new edge's per-row attribute values) — match props are
+  * desugared by Normalize into where conjuncts on an auto-bound rel
+  * variable, so the instruction never carries them. */
 final case class IActOnRel(act: Act, sv: String, rel: String, tv: String,
-    undir: Boolean = false) extends Instruction
+    undir: Boolean = false, rv: Option[String] = None,
+    props: List[(String, Expr)] = Nil) extends Instruction
 final case class IDeleteNode(v: String) extends Instruction
 final case class IDeleteRel(sv: String, rel: String, tv: String) extends Instruction
 final case class IReturn(vs: List[String]) extends Instruction
@@ -93,16 +101,16 @@ object Normalize {
       case _                     => Nil
     }
     pat match {
-      case SimpPattern(n)              => np(n)
-      case CompPattern(n, _, rest, _)  => np(n) ++ declProps(rest)
+      case SimpPattern(n)                    => np(n)
+      case CompPattern(n, _, rest, _, _, _)  => np(n) ++ declProps(rest)
       case VarPattern(n, _, _, _, rest, _, _) => np(n) ++ declProps(rest)
     }
   }
 
   private def normPattern(act: Act, pat: Pattern): List[Instruction] = pat match {
     case SimpPattern(np) => normNodePattern(act, np)
-    case CompPattern(np, rl, rest, dir) =>
-      normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, dir = dir), rest)
+    case CompPattern(np, rl, rest, dir, rv, rps) =>
+      normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, dir = dir, rv = rv, props = rps), rest)
     case VarPattern(np, rl, lo, hi, rest, dist, dir) =>
       normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, lo, hi, dist, dir), rest)
   }
@@ -111,13 +119,15 @@ object Normalize {
     * `Rev` (a `<-[:r]-` hop) swaps the emitted instruction's endpoints,
     * `Undir` (`-[:r]-`) sets the instruction's undirected flag — the
     * ONLY places pattern direction exists; the IR is orientation-free
-    * beyond that one bit. */
+    * beyond that one bit. `rv`/`props` ride the fixed-hop instruction
+    * verbatim (the parser rejects them on variable-length hops). */
   private final case class Hop(rl: String, lo: Int = 1, hi: Int = 1,
-      dist: Option[String] = None, dir: Dir = Fwd) {
+      dist: Option[String] = None, dir: Dir = Fwd,
+      rv: Option[String] = None, props: List[(String, Expr)] = Nil) {
     def instr(act: Act, sv: String, tv: String): Instruction = {
       val (s, t) = if (dir == Rev) (tv, sv) else (sv, tv)
       val undir = dir == Undir
-      if (lo == 1 && hi == 1 && dist.isEmpty) IActOnRel(act, s, rl, t, undir)
+      if (lo == 1 && hi == 1 && dist.isEmpty) IActOnRel(act, s, rl, t, undir, rv, props)
       else IVarPathRel(act, s, rl, lo, hi, t, dist, undir)
     }
   }
@@ -126,22 +136,62 @@ object Normalize {
     pat match {
       case SimpPattern(np) =>
         normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)
-      case CompPattern(np, rl2, rest, dir2) =>
+      case CompPattern(np, rl2, rest, dir2, rv2, rps2) =>
         (normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)) ++
-          tail(act, np.variable, Hop(rl2, dir = dir2), rest)
+          tail(act, np.variable, Hop(rl2, dir = dir2, rv = rv2, props = rps2), rest)
       case VarPattern(np, rl2, lo2, hi2, rest, dist2, dir2) =>
         (normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)) ++
           tail(act, np.variable, Hop(rl2, lo2, hi2, dist2, dir2), rest)
     }
 
-  private def normClause(c: Clause): List[Instruction] = c match {
+  /** Ensure every MATCH hop carrying an inline edge-property map has a
+    * rel variable to hang its equality conjuncts on — auto-binding
+    * `%r<k>` names where the user gave none (`%` cannot lex as an
+    * identifier, so no user variable collides). */
+  private def assignRelVars(pat: Pattern, fresh: () => String): Pattern = pat match {
+    case cp @ CompPattern(_, _, rest, _, rv, props) =>
+      cp.copy(
+        relVar = if (props.nonEmpty && rv.isEmpty) Some(fresh()) else rv,
+        rest = assignRelVars(rest, fresh))
+    case vp @ VarPattern(_, _, _, _, rest, _, _) =>
+      vp.copy(rest = assignRelVars(rest, fresh))
+    case sp: SimpPattern => sp
+  }
+
+  /** Equality conjuncts of a match pattern's edge-property maps —
+    * `x.f = e` per entry, through the (auto-)bound rel variable. */
+  private def relPropConjuncts(pat: Pattern): List[Instruction] = pat match {
+    case CompPattern(_, _, rest, _, rv, props) =>
+      props.map { case (f, e) =>
+        IWhere(Bin(BCeq, AttribAcc(rv.get, f), e)): Instruction } ++
+        relPropConjuncts(rest)
+    case VarPattern(_, _, _, _, rest, _, _) => relPropConjuncts(rest)
+    case _: SimpPattern => Nil
+  }
+
+  /** Drop the (now-conjunct) props from match-emitted edge instructions. */
+  private def stripMatchRelProps(ins: List[Instruction]): List[Instruction] =
+    ins.map {
+      case r @ IActOnRel(MatchAct, _, _, _, _, _, ps) if ps.nonEmpty => r.copy(props = Nil)
+      case x => x
+    }
+
+  private def normClause(fresh: () => String)(c: Clause): List[Instruction] = c match {
     case Create(pats) =>
+      // create-edge property maps stay IN the instruction (the new
+      // edge's per-row attribute values — a post-hoc set/where desugar
+      // would change the semantics)
       pats.flatMap(normPattern(CreateAct, _)) ++
         pats.flatMap(declProps).map { case (v, f, e) => ISet(v, f, e) }
-    case Match(pats) =>
-      pats.flatMap(normPattern(MatchAct, _)) ++
+    case Match(pats0) =>
+      // match-edge property maps become `x.f = e` conjuncts through an
+      // (auto-)bound rel variable, APPENDED like node props so the
+      // PExpand peephole still sees node+edge adjacency
+      val pats = pats0.map(assignRelVars(_, fresh))
+      stripMatchRelProps(pats.flatMap(normPattern(MatchAct, _))) ++
         pats.flatMap(declProps).map { case (v, f, e) =>
-          IWhere(Bin(BCeq, AttribAcc(v, f), e)) }
+          IWhere(Bin(BCeq, AttribAcc(v, f), e)) } ++
+        pats.flatMap(relPropConjuncts)
     case Delete(DeleteNodes(vs))  => vs.map(IDeleteNode)
     case Delete(DeleteRels(ts))   => ts.map { case (s, r, t) => IDeleteRel(s, r, t) }
     case SetClause(as)            => as.map { case (v, f, e) => ISet(v, f, e) }
@@ -149,25 +199,33 @@ object Normalize {
     case Return(vs)               => List(IReturn(vs))
     case ReturnExt(its, ord, sk, lim, dist) => List(IReturnExt(its, ord, sk, lim, dist))
     case WithClause(its, ord, sk, lim, dist) => List(IWith(its, ord, sk, lim, dist))
-    case OptMatch(pat) =>
+    case OptMatch(pat0) =>
       // the HEAD node is matched non-optionally (a fresh decl match-binds
       // it, with its props as ordinary outer where-conjuncts); only the
-      // tail of the path is the optional witness
+      // tail of the path is the optional witness. Edge-property maps in
+      // the tail filter INSIDE the witness (conjuncts through the
+      // auto-bound rel variable, which stays witness-local).
+      val pat = assignRelVars(pat0, fresh)
       val (head, innerTail) = splitHead(pat)
       val headProps = headDeclProps(pat).map { case (v, f, e) =>
         IWhere(Bin(BCeq, AttribAcc(v, f), e)) }
-      normNodePattern(MatchAct, head) ++ headProps :+ IOptPath(innerTail)
-    case NotExists(pat) =>
+      normNodePattern(MatchAct, head) ++ headProps :+
+        IOptPath(stripMatchRelProps(innerTail) ++ relPropConjuncts(pat))
+    case NotExists(pat0) =>
       // the whole pattern is the predicate: referenced variables stay
       // outer, declared ones are existential — so head decls/props also
       // go INSIDE (a fresh head decl is just another existential)
-      List(INotExists(normPattern(MatchAct, pat) ++
+      val pat = assignRelVars(pat0, fresh)
+      List(INotExists(stripMatchRelProps(normPattern(MatchAct, pat)) ++
         declProps(pat).map { case (v, f, e) =>
-          IWhere(Bin(BCeq, AttribAcc(v, f), e)) }))
-    case Exists(pat) =>
-      List(IExists(normPattern(MatchAct, pat) ++
+          IWhere(Bin(BCeq, AttribAcc(v, f), e)) } ++
+        relPropConjuncts(pat)))
+    case Exists(pat0) =>
+      val pat = assignRelVars(pat0, fresh)
+      List(IExists(stripMatchRelProps(normPattern(MatchAct, pat)) ++
         declProps(pat).map { case (v, f, e) =>
-          IWhere(Bin(BCeq, AttribAcc(v, f), e)) }))
+          IWhere(Bin(BCeq, AttribAcc(v, f), e)) } ++
+        relPropConjuncts(pat)))
     case Unwind(items, alias) => List(IUnwind(items, alias))
     case UnionSep(all)        => List(IUnion(all))
     case Merge(pat) => pat match {
@@ -176,9 +234,10 @@ object Normalize {
       // use would change the semantics from upsert to always-create /
       // filter-after-bind)
       case SimpPattern(DeclPattern(v, l, ps)) => List(IMergeNode(v, l, ps))
-      case CompPattern(a, rl, SimpPattern(b), dir) =>
+      case CompPattern(a, rl, SimpPattern(b), dir, _, _) =>
         // Undir flows through as an undirected CREATE, which typing
-        // rejects with the direction-is-storage message
+        // rejects with the direction-is-storage message (the parser
+        // already rejects rel vars / props on merge edges)
         val (s0, t0) = if (dir == Rev) (b.variable, a.variable) else (a.variable, b.variable)
         List(IActOnRel(CreateAct, s0, rl, t0, dir == Undir))
       case _ => throw new IllegalStateException(
@@ -192,8 +251,11 @@ object Normalize {
     def tailProps(p: Pattern): List[Instruction] = declProps(p).map {
       case (v, f, e) => IWhere(Bin(BCeq, AttribAcc(v, f), e)) }
     pat match {
-      case CompPattern(np, rl, rest, dir) =>
-        (np, tail(MatchAct, np.variable, Hop(rl, dir = dir), rest) ++ tailProps(rest))
+      case CompPattern(np, rl, rest, dir, rv, rps) =>
+        // rel vars / edge props inside predicate patterns ride the
+        // instruction verbatim — typing rejects them with a clear
+        // message (witness sub-plans have no rel-binding surface)
+        (np, tail(MatchAct, np.variable, Hop(rl, dir = dir, rv = rv, props = rps), rest) ++ tailProps(rest))
       case VarPattern(np, rl, lo, hi, rest, dist, dir) =>
         (np, tail(MatchAct, np.variable, Hop(rl, lo, hi, dist, dir), rest) ++ tailProps(rest))
       case SimpPattern(np) => (np, Nil) // unreachable: parser requires a hop
@@ -202,11 +264,16 @@ object Normalize {
 
   private def headDeclProps(pat: Pattern): List[(String, String, Expr)] =
     pat match {
-      case CompPattern(DeclPattern(v, _, ps), _, _, _)    => ps.map { case (f, e) => (v, f, e) }
+      case CompPattern(DeclPattern(v, _, ps), _, _, _, _, _) => ps.map { case (f, e) => (v, f, e) }
       case VarPattern(DeclPattern(v, _, ps), _, _, _, _, _, _) => ps.map { case (f, e) => (v, f, e) }
-      case _                                              => Nil
+      case _                                                 => Nil
     }
 
-  def normalize(p: Prog): NormProg =
-    NormProg(p.types, p.query.clauses.flatMap(normClause))
+  def normalize(p: Prog): NormProg = {
+    // auto rel-variable namer for match-edge property maps; `%` cannot
+    // lex as an identifier, so generated names never collide
+    var k = 0
+    val fresh = () => { k += 1; s"%r$k" }
+    NormProg(p.types, p.query.clauses.flatMap(normClause(fresh)))
+  }
 }

@@ -78,15 +78,36 @@ object Parser {
             }
             expectSym("}"); expectSym(")")
             nodeTps += NodeTypeDecl(lbl, attrs.result())
-          case TSym(")") => // relation type decl: (:A) -[:r]-> (:B)
+          case TSym(")") => // relation type decl: (:A) -[:r {f t, …}]-> (:B)
             i += 1
             expectSym("-"); expectSym("["); expectSym(":")
             val rl = ident()
+            // optional typed attribute list (round-10 edge properties;
+            // `{` never follows the rel label in the reference grammar)
+            val rattrs = peek match {
+              case TSym("{") =>
+                i += 1
+                val b = List.newBuilder[(String, AttribTp)]
+                if (peek != TSym("}")) {
+                  var more = true
+                  while (more) {
+                    val f = ident()
+                    peek match {
+                      case TTp(tp) => i += 1; b += ((f, tp))
+                      case t       => fail(s"expected type, got $t")
+                    }
+                    if (peek == TSym(",")) i += 1 else more = false
+                  }
+                }
+                expectSym("}")
+                b.result()
+              case _ => Nil
+            }
             expectSym("]"); expectSym("->")
             expectSym("("); expectSym(":")
             val tgt = ident()
             expectSym(")")
-            relTps += RelTypeDecl(lbl, rl, tgt)
+            relTps += RelTypeDecl(lbl, rl, tgt, rattrs)
           case t => fail(s"expected '{' or ')', got $t")
         }
       }
@@ -181,7 +202,7 @@ object Parser {
       val pat = pattern()
       pat match {
         case SimpPattern(_: DeclPattern) => Merge(pat)
-        case CompPattern(_: VarRefPattern, _, SimpPattern(_: VarRefPattern), _) =>
+        case CompPattern(_: VarRefPattern, _, SimpPattern(_: VarRefPattern), _, None, Nil) =>
           Merge(pat)
         case _ => fail("merge supports a single labeled node " +
           "(merge (x: l {f: c})) or one edge between bound variables " +
@@ -341,7 +362,14 @@ object Parser {
       if (rev) i += 1
       if (peek == TSym("-")) {
         i += 1
-        expectSym("["); expectSym(":")
+        expectSym("[")
+        // optional rel-variable binding `[x:r]` (round-10 edge props;
+        // the reference grammar admits only `[:r]`, so nothing is stolen)
+        val relVar = peek match {
+          case TIdent(v) if peek2 == TSym(":") => i += 1; Some(v)
+          case _                               => None
+        }
+        expectSym(":")
         val rl = ident()
         // variable-length hop `*lo..hi` (engine extension; ".." is two
         // '.' tokens — the lexer has no two-char dot symbol)
@@ -362,6 +390,23 @@ object Parser {
             Some((lo, hi, dist))
           case _ => None
         }
+        // optional inline property map `{f: e, …}` on the edge
+        // (round-10; `{` never precedes `]` in the reference grammar)
+        val relProps = peek match {
+          case TSym("{") =>
+            i += 1
+            val b = List.newBuilder[(String, Expr)]
+            def one(): Unit = { val f = ident(); expectSym(":"); b += ((f, expr())) }
+            one()
+            while (peek == TSym(",")) { i += 1; one() }
+            expectSym("}")
+            b.result()
+          case _ => Nil
+        }
+        // a variable-length hop matches PATHS, not one edge — a rel
+        // variable or property map on it has no single referent
+        if (bounds.isDefined && (relVar.isDefined || relProps.nonEmpty))
+          fail("variable-length hops cannot carry a rel variable or property map")
         // forward hop closes `]->`, reverse closes `]-` then the node;
         // undirected `-[:r]-` closes `]-` with NO preceding `<` — the
         // next token is then the node's `(`, which no directed form
@@ -376,7 +421,7 @@ object Parser {
           }
         bounds match {
           case Some((lo, hi, dist)) => VarPattern(np, rl, lo, hi, pattern(), dist, dir)
-          case None                 => CompPattern(np, rl, pattern(), dir)
+          case None => CompPattern(np, rl, pattern(), dir, relVar, relProps)
         }
       } else SimpPattern(np) // rev implies peek == '-', so this is fwd-only
     }

@@ -33,8 +33,33 @@ object Typing {
   sealed trait RInstr extends Product with Serializable
   final case class RCreateNode(v: String, label: String) extends RInstr
   final case class RMatchNode(v: String, label: String) extends RInstr
-  final case class RCreateEdge(sv: String, srcLabel: String, rel: String, tv: String, tgtLabel: String) extends RInstr
-  final case class RMatchEdge(sv: String, srcLabel: String, rel: String, tv: String, tgtLabel: String) extends RInstr
+  /** `props` (round-10 edge properties): the created edge's attribute
+    * values, typed against the relation's declared attrs and evaluated
+    * PER ROW (like node set). A pair created by several rows resolves
+    * conflicts by max (the node-set rule); a pair that ALREADY exists
+    * keeps its stored attributes — re-creating an edge is a no-op, the
+    * reference's set semantics (test3.q). */
+  final case class RCreateEdge(sv: String, srcLabel: String, rel: String,
+      tv: String, tgtLabel: String,
+      props: List[(String, AttribTp, TExpr)] = Nil) extends RInstr
+  /** `rv` (round-10): the optional rel-variable binding of a matched
+    * edge. An edge's identity is its (src, dst) pair within the
+    * relation type, so the binding aliases the two endpoint columns —
+    * `rv.f` reads the edge frame, `set rv.f` join-updates it,
+    * `delete rv` anti-joins it; returning/grouping the binding itself
+    * is rejected (no edge ids exist). */
+  final case class RMatchEdge(sv: String, srcLabel: String, rel: String,
+      tv: String, tgtLabel: String, rv: Option[String] = None) extends RInstr
+  /** `set x.f = e` through a rel binding: join-update of the edge frame
+    * on (src, dst), per-row evaluation, max conflict resolution —
+    * mirror of [[RSet]]. */
+  final case class RSetEdge(v: String, key: (String, String, String),
+      field: String, tp: AttribTp, e: TExpr) extends RInstr
+  /** `delete x` through a rel binding: remove the bound (src, dst)
+    * pairs from the edge frame. The binding table is unchanged — an
+    * edge binding owns no column (it aliases its endpoints'). */
+  final case class RDeleteEdgeBinding(v: String,
+      key: (String, String, String)) extends RInstr
   /** Undirected edge match `-[:r]-` (extension): keep rows where the
     * edge runs EITHER way between `sv` and `tv`. `fwd`/`rev` record
     * which orientations the schema declares — (srcLabel,rel,tgtLabel)
@@ -145,26 +170,49 @@ object Typing {
     case StringT => "%string"
   }
 
-  /** Virtual (non-graph) labels: the `%path` distance binding and the
-    * `%`-scalar with-bindings. They carry a value, not a node id —
-    * mutation (set/delete) is rejected, and the executor reads the
-    * binding column itself instead of joining a node frame. */
+  /** Virtual (non-graph) labels: the `%path` distance binding, the
+    * `%`-scalar with-bindings, and `%rel:`-prefixed edge bindings. They
+    * carry no node id — node mutation through them is rejected, and the
+    * executor resolves their attributes specially (scalars read the
+    * binding column itself; edge bindings join the edge frame on the
+    * endpoint pair). */
   def isVirtual(label: String): Boolean = label.startsWith("%")
+
+  /** Pseudo-label of an edge binding `(a)-[x:r]->(b)` — encodes the
+    * statically-resolved relation triple (labels are ASCII-alnum, so
+    * `:` is a safe separator and `%` keeps it out of user space). */
+  def relLabel(key: (String, String, String)): String =
+    s"%rel:${key._1}:${key._2}:${key._3}"
+  def isRelLabel(label: String): Boolean = label.startsWith("%rel:")
+  def relKeyOf(label: String): (String, String, String) = {
+    val parts = label.stripPrefix("%rel:").split(':')
+    (parts(0), parts(1), parts(2))
+  }
 
   /** Human name of a virtual label for error messages. */
   def virtualKind(label: String): String =
-    if (label == PathLabel) "path-distance" else "with-scalar"
+    if (label == PathLabel) "path-distance"
+    else if (isRelLabel(label)) "relationship"
+    else "with-scalar"
 
-  /** Validated schema with O(1) lookups. */
+  /** Validated schema with O(1) lookups. `relAttrs` is the round-10
+    * edge-property extension: declared typed attributes per relation
+    * triple (empty for reference-shaped declarations). */
   final case class Schema(
       nodeAttrs: Map[String, List[(String, AttribTp)]],
-      relTypes: Set[(String, String, String)]) {
+      relTypes: Set[(String, String, String)],
+      relAttrs: Map[(String, String, String), List[(String, AttribTp)]] =
+        Map.empty.withDefaultValue(Nil)) {
     def labels: Set[String] = nodeAttrs.keySet
+    def relAttrsOf(key: (String, String, String)): List[(String, AttribTp)] =
+      relAttrs.getOrElse(key, Nil)
     def attrType(label: String, field: String): Option[AttribTp] = label match {
       case PathLabel => if (field == "hops") Some(IntT) else None
       case "%int"    => if (field == "val") Some(IntT) else None
       case "%bool"   => if (field == "val") Some(BoolT) else None
       case "%string" => if (field == "val") Some(StringT) else None
+      case l if isRelLabel(l) =>
+        relAttrsOf(relKeyOf(l)).collectFirst { case (`field`, tp) => tp }
       case _ => nodeAttrs.get(label).flatMap(_.collectFirst { case (`field`, tp) => tp })
     }
   }
@@ -181,7 +229,7 @@ object Typing {
     if (dupLabels.nonEmpty)
       return Left(s"duplicate node type declaration(s): ${dupLabels.mkString(", ")}")
     val labelSet = labels.toSet
-    for (RelTypeDecl(s, r, t) <- gt.relTypes) {
+    for (RelTypeDecl(s, r, t, _) <- gt.relTypes) {
       if (!labelSet(s)) return Left(s"relation type (:$s)-[:$r]->(:$t): undeclared source label $s")
       if (!labelSet(t)) return Left(s"relation type (:$s)-[:$r]->(:$t): undeclared target label $t")
     }
@@ -195,7 +243,18 @@ object Typing {
       val dups = fs.diff(fs.distinct).distinct
       if (dups.nonEmpty) return Left(s"node type $l: duplicate attribute(s) ${dups.mkString(", ")}")
     }
-    Right(Schema(gt.nodeTypes.map(n => n.label -> n.attribs).toMap, triples.toSet))
+    // ...and within one relation type (round-10 edge properties)
+    for (RelTypeDecl(s, r, t, attrs) <- gt.relTypes) {
+      val fs = attrs.map(_._1)
+      val dups = fs.diff(fs.distinct).distinct
+      if (dups.nonEmpty)
+        return Left(s"relation type (:$s)-[:$r]->(:$t): duplicate attribute(s) ${dups.mkString(", ")}")
+    }
+    Right(Schema(
+      gt.nodeTypes.map(n => n.label -> n.attribs).toMap,
+      triples.toSet,
+      gt.relTypes.map(r => (r.src, r.rel, r.tgt) -> r.attribs).toMap
+        .withDefaultValue(Nil)))
   }
 
   /** Environment: vname → label bindings, latest-first (shadowing wins). */
@@ -247,17 +306,23 @@ object Typing {
           case CreateAct => Right((RCreateNode(v, lb), (v, lb) :: env))
           case MatchAct  => Right((RMatchNode(v, lb), (v, lb) :: env))
         }
-      case IActOnRel(act, sv, rl, tv, undir) =>
+      case IActOnRel(act, sv, rl, tv, undir, rv, props) =>
         (lookup(env, sv), lookup(env, tv)) match {
           case (Some(sl), Some(tl)) if undir =>
             // undirected hop: legal iff SOME orientation is declared;
             // match evaluates the union of the declared orientations.
             // Direction is storage, so mutation through an undirected
             // pattern is ill-posed — create (and the merge edge form
-            // that desugars to it) reject it outright.
+            // that desugars to it) reject it outright. A rel binding on
+            // an undirected hop is ambiguous (which orientation's frame
+            // would x.f read?) — rejected too.
             if (act == CreateAct)
               Left(s"undirected -[:$rl]- not allowed in create/merge: " +
                 "an edge is stored with a direction - write -[:" + rl + "]->")
+            else if (rv.isDefined || props.nonEmpty)
+              Left(s"rel variable / property map not allowed on an " +
+                s"undirected hop -[:$rl]-: the matched edge's orientation " +
+                "(and with it its stored attributes) is ambiguous")
             else {
               val fwd = schema.relTypes((sl, rl, tl))
               val rev = schema.relTypes((tl, rl, sl))
@@ -270,14 +335,57 @@ object Typing {
             if (!schema.relTypes((sl, rl, tl)))
               Left(s"undeclared relation type (:$sl)-[:$rl]->(:$tl)")
             else act match {
-              case CreateAct => Right((RCreateEdge(sv, sl, rl, tv, tl), env))
-              case MatchAct  => Right((RMatchEdge(sv, sl, rl, tv, tl), env))
+              case CreateAct =>
+                if (rv.isDefined)
+                  Left(s"rel variable ${rv.get} not allowed on create: " +
+                    "bind edges by matching them - set properties inline " +
+                    s"with -[:$rl {f: e}]->")
+                else {
+                  val key = (sl, rl, tl)
+                  val declared = schema.relAttrsOf(key)
+                  val dups = props.map(_._1).diff(props.map(_._1).distinct).distinct
+                  if (dups.nonEmpty)
+                    Left(s"duplicate edge propert${if (dups.size == 1) "y" else "ies"} " +
+                      s"${dups.mkString(", ")} on -[:$rl]->")
+                  else sequenceRet(props.map { case (f, e) =>
+                    declared.collectFirst { case (`f`, tp) => tp } match {
+                      case None =>
+                        Left(s"attribute $f not declared for relation (:$sl)-[:$rl]->(:$tl)")
+                      case Some(tp) => tpExpr(schema, env, e).flatMap { te =>
+                        if (te.tp != tp)
+                          Left(s"edge property $f of -[:$rl]->: expression type ${te.tp} != declared $tp")
+                        else Right((f, tp, te))
+                      }
+                    }
+                  }).map(ps => (RCreateEdge(sv, sl, rl, tv, tl, ps), env))
+                }
+              case MatchAct =>
+                if (props.nonEmpty)
+                  // Normalize desugars every match-edge property map to
+                  // conjuncts (clauses AND pattern predicates) before
+                  // typing — reaching here is a desugarer bug
+                  Left(s"internal: undesugared edge property map on -[:$rl]->")
+                else rv match {
+                  case Some(x) if lookup(env, x).isDefined =>
+                    // rebinding a rel variable would silently shadow a
+                    // node/scalar column with an edge alias — reject
+                    Left(s"rel variable $x already bound")
+                  case _ =>
+                    val key = (sl, rl, tl)
+                    val env2 = rv.fold(env)(x => (x, relLabel(key)) :: env)
+                    Right((RMatchEdge(sv, sl, rl, tv, tl, rv), env2))
+                }
             }
           case (None, _) => Left(s"variable $sv not bound")
           case (_, None) => Left(s"variable $tv not bound")
         }
       case IDeleteNode(v) =>
         lookup(env, v) match {
+          case Some(l) if isRelLabel(l) =>
+            // `delete x` through a rel binding removes the bound edges
+            // (Cypher's DELETE r); the variable unbinds, the table keeps
+            // its rows (an edge binding owns no column)
+            Right((RDeleteEdgeBinding(v, relKeyOf(l)), env.filterNot(_._1 == v)))
           case Some(l) if isVirtual(l) =>
             Left(s"cannot delete ${virtualKind(l)} binding $v")
           case Some(lbl) => Right((RDeleteNode(v, lbl), env.filterNot(_._1 == v)))
@@ -296,7 +404,12 @@ object Typing {
         if (vs.distinct.size != vs.size) Left(s"duplicate variables in return: ${vs.mkString(", ")}")
         else {
           val unbound = vs.filter(v => lookup(env, v).isEmpty)
+          val relVs = vs.filter(v => lookup(env, v).exists(isRelLabel))
           if (unbound.nonEmpty) Left(s"return of unbound variable(s): ${unbound.mkString(", ")}")
+          else if (relVs.nonEmpty)
+            // edges have no ids — a rel binding has no returnable value
+            Left(s"cannot return relationship binding(s) ${relVs.mkString(", ")}: " +
+              "return endpoint variables or edge attributes (x.f) instead")
           // env restricted to vs (reference typing.ml:252), latest binding of each
           else Right((RReturn(vs), vs.map(v => (v, lookup(env, v).get))))
         }
@@ -479,6 +592,20 @@ object Typing {
       case ISet(v, f, e) =>
         lookup(env, v) match {
           case None => Left(s"set on unbound variable $v")
+          case Some(l) if isRelLabel(l) =>
+            // `set x.f = e` through a rel binding (round-10): join-update
+            // of the edge frame, the mirror of node set
+            val key = relKeyOf(l)
+            schema.relAttrsOf(key).collectFirst { case (`f`, tp) => tp } match {
+              case None => Left(s"attribute $f not declared for relation " +
+                s"(:${key._1})-[:${key._2}]->(:${key._3})")
+              case Some(declTp) =>
+                tpExpr(schema, env, e).flatMap { te =>
+                  if (te.tp != declTp)
+                    Left(s"set $v.$f: expression type ${te.tp} != declared $declTp")
+                  else Right((RSetEdge(v, key, f, declTp, te), env))
+                }
+            }
           case Some(l) if isVirtual(l) =>
             Left(s"cannot set attribute of ${virtualKind(l)} binding $v")
           case Some(lbl) =>
@@ -498,7 +625,12 @@ object Typing {
     * IReturnExt and IWith. */
   private def resolveRet(schema: Schema, env: Env)(it: RetItem): Either[String, RRet] = it match {
     case RetVar(v) =>
-      lookup(env, v).toRight(s"return of unbound variable $v").map(_ => RRetVar(v))
+      lookup(env, v).toRight(s"return of unbound variable $v").flatMap { l =>
+        if (isRelLabel(l))
+          Left(s"cannot return/project relationship binding $v: " +
+            "use its endpoints or edge attributes (x.f) instead")
+        else Right(RRetVar(v))
+      }
     case RetAttr(v, f) =>
       lookup(env, v) match {
         case None => Left(s"return of unbound variable $v")
@@ -575,7 +707,7 @@ object Typing {
     while (err.isEmpty && it.hasNext) {
       val in = it.next()
       in match {
-        case IActOnNode(MatchAct, _, _) | IActOnRel(MatchAct, _, _, _, _) |
+        case IActOnNode(MatchAct, _, _) | IActOnRel(MatchAct, _, _, _, _, _, _) |
             _: IWhere | IVarPathRel(MatchAct, _, _, _, _, _, _, _) => ()
         case other =>
           err = Some(s"$what pattern: illegal instruction $other")
@@ -596,14 +728,27 @@ object Typing {
           case RVarPath(_, _, _, _, _, Some(d), _) => (d, PathLabel)
         }
         val declared = fresh.map(_._1).toSet
+        // rel variables declared inside the witness are witness-local
+        // (they alias endpoint columns, bind nothing projectable) —
+        // exclude them from the outer-reference set like fresh decls
+        val innerRels = ris.collect {
+          case RMatchEdge(_, _, _, _, _, Some(x)) => x
+        }.toSet
         val refs = ris.flatMap {
-          case RMatchEdge(sv, _, _, tv, _) => Seq(sv, tv)
+          case RMatchEdge(sv, _, _, tv, _, _) => Seq(sv, tv)
           case RMatchEdgeUndir(sv, _, _, tv, _, _, _) => Seq(sv, tv)
           case RVarPath(sv, _, _, _, tv, _, _) => Seq(sv, tv)
           case RWhere(te)                  => exprVars(te)
           case _                           => Seq.empty
-        }.distinct.filterNot(declared)
-        Right((ris, refs, fresh))
+        }.distinct.filterNot(declared).filterNot(innerRels)
+        // an OUTER rel binding has no witness-probe column (it aliases
+        // endpoint columns) — reference its endpoints instead
+        refs.find(v => lookup(outer, v).exists(isRelLabel)) match {
+          case Some(x) =>
+            Left(s"rel variable $x cannot be referenced inside a $what " +
+              "pattern: reference its endpoint variables instead")
+          case None => Right((ris, refs, fresh))
+        }
     }
   }
 
@@ -658,8 +803,9 @@ object Typing {
   private def mutationKind(ri: RInstr): Option[String] = ri match {
     case _: RCreateNode | _: RCreateEdge => Some("create")
     case _: RMergeNode                   => Some("merge")
-    case _: RDeleteNode | _: RDeleteEdge => Some("delete")
-    case _: RSet                         => Some("set")
+    case _: RDeleteNode | _: RDeleteEdge
+       | _: RDeleteEdgeBinding           => Some("delete")
+    case _: RSet | _: RSetEdge           => Some("set")
     case _                               => None
   }
 

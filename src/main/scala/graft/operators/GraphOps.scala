@@ -47,6 +47,18 @@ object GraphOps {
       spark: SparkSession, dir: String): DataFrame =
     exec(spark, dir, q).graph.edges(key).select(col("src"), col("dst"))
 
+  /** [[edgeFrame]] with explicit columns — for relation types carrying
+    * typed edge attributes (round 10). */
+  private def edgeFrameCols(q: String, key: (String, String, String),
+      cols: String*)(spark: SparkSession, dir: String): DataFrame =
+    exec(spark, dir, q).graph.edges(key).select(cols.map(col): _*)
+
+  /** Oracle prelude: the id-assigned lineitem table as `lids` (column
+    * `lid` IS the node id — LineitemBase-rooted ROW_NUMBER over the
+    * loader's total order). */
+  private def lineIdSql(body: String): String =
+    s"WITH lids AS (SELECT *, ${GraphLoader.lineIdSql} AS lid FROM lineitem)\n$body"
+
   val all: List[Q] = List(
 
     // §2.1#3 match node: label scan × cross product (here on the unit table)
@@ -337,6 +349,83 @@ object GraphOps {
              |SELECT w.n AS n, w.cnt AS cnt_val,
              |       CAST(s_suppkey AS BIGINT) + 3000000000 AS s
              |FROM w JOIN supplier ON CAST(s_nationkey AS BIGINT) + 2000000000 = w.n""".stripMargin)),
+
+    // --- typed edge properties (round 10; the reference excludes edge
+    // attrs — "mais pas aux arcs"). The loaded graph declares
+    // (:lineitem)-[:lpart {qty int}]->(:part) with qty = l_quantity (a
+    // real per-edge datum) and (:nation)-[:tagged {w int}]->(:tag).
+
+    // rel binding + attribute read + inline equality map: x.qty rides
+    // the same per-variable left joins as node attrs (edge identity =
+    // the (src,dst) pair, one row per pair, multiplicity unchanged)
+    Q("gql_edge_props_match",
+      bindings(
+        """match (l:lineitem) -[x:lpart]-> (p:part)
+          |where x.qty >= 45 and p.psize <= 5
+          |return l, p, x.qty""".stripMargin),
+      Some(lineIdSql(
+        """SELECT lid AS l,
+          |       CAST(l_partkey AS BIGINT) + 5000000000 AS p,
+          |       CAST(l_quantity AS BIGINT) AS x_qty
+          |FROM lids JOIN part ON l_partkey = p_partkey
+          |WHERE CAST(l_quantity AS BIGINT) >= 45 AND p_size <= 5""".stripMargin))),
+
+    // inline edge-property map on match = equality conjunct through an
+    // auto-bound rel variable
+    Q("gql_edge_props_match_inline",
+      bindings(
+        """match (l:lineitem) -[:lpart {qty: 50}]-> (p:part)
+          |where p.psize <= 10
+          |return l, p""".stripMargin),
+      Some(lineIdSql(
+        """SELECT lid AS l,
+          |       CAST(l_partkey AS BIGINT) + 5000000000 AS p
+          |FROM lids JOIN part ON l_partkey = p_partkey
+          |WHERE CAST(l_quantity AS BIGINT) = 50 AND p_size <= 10""".stripMargin))),
+
+    // create with an inline edge-property map: each created edge takes
+    // its own row's expression values (per-row evaluation, like node
+    // create props)
+    Q("gql_edge_props_create",
+      edgeFrameCols(
+        """match (n:nation)
+          |where n.regionkey = 2
+          |create (t:tag)
+          |create (n) -[:tagged {w: n.nationkey * 10}]-> (t)""".stripMargin,
+        ("nation", "tagged", "tag"), "src", "dst", "w"),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS src,
+             |       20000000000 + ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS dst,
+             |       CAST(n_nationkey AS BIGINT) * 10 AS w
+             |FROM nation WHERE n_regionkey = 2""".stripMargin)),
+
+    // set through a rel binding: join-update of the edge frame on its
+    // (src,dst) identity — the node-set mirror
+    Q("gql_edge_props_set",
+      edgeFrameCols(
+        """match (l:lineitem) -[x:lpart]-> (p:part)
+          |where p.psize = 1
+          |set x.qty = x.qty + 100""".stripMargin,
+        ("lineitem", "lpart", "part"), "src", "dst", "qty"),
+      Some(lineIdSql(
+        """SELECT lid AS src,
+          |       CAST(l_partkey AS BIGINT) + 5000000000 AS dst,
+          |       CAST(l_quantity AS BIGINT)
+          |         + CASE WHEN p_size = 1 THEN 100 ELSE 0 END AS qty
+          |FROM lids JOIN part ON l_partkey = p_partkey""".stripMargin))),
+
+    // delete through a rel binding removes exactly the bound pairs
+    Q("gql_edge_props_delete",
+      edgeFrameCols(
+        """match (l:lineitem) -[x:lpart]-> (p:part)
+          |where x.qty >= 48
+          |delete x""".stripMargin,
+        ("lineitem", "lpart", "part"), "src", "dst", "qty"),
+      Some(lineIdSql(
+        """SELECT lid AS src,
+          |       CAST(l_partkey AS BIGINT) + 5000000000 AS dst,
+          |       CAST(l_quantity AS BIGINT) AS qty
+          |FROM lids
+          |WHERE CAST(l_quantity AS BIGINT) < 48""".stripMargin))),
 
     // --- unwind: per-row list explosion (Cypher UNWIND; round 10).
     // Elements are full expressions evaluated per row; the alias binds

@@ -76,7 +76,15 @@ object GraphLoader {
       // the self-relation that variable-length paths -[:nnext*lo..hi]->
       // traverse; derived, not a source FK
       ("nation", "nnext", "nation"),
-    ))
+    ),
+    // typed edge properties (round 10): lpart carries the line's
+    // quantity (loaded from l_quantity — a REAL per-edge datum: it
+    // belongs to the (lineitem, part) relationship, not to either
+    // node); tagged carries a writable weight for the create/set ops
+    relAttrs = Map(
+      ("lineitem", "lpart", "part") -> List("qty" -> IntT),
+      ("nation", "tagged", "tag") -> List("w" -> IntT),
+    ).withDefaultValue(Nil))
 
   /** The loaded graph's schema as MiniGQL type declarations — the header
     * the CLI `g` mode (and GraphOps) prepends to user programs so a .q
@@ -97,9 +105,9 @@ object GraphLoader {
       |(:nation) -[:nregion]-> (:region)
       |(:orders) -[:ocust]-> (:customer)
       |(:lineitem) -[:lorder]-> (:orders)
-      |(:lineitem) -[:lpart]-> (:part)
+      |(:lineitem) -[:lpart {qty int}]-> (:part)
       |(:lineitem) -[:lsupp]-> (:supplier)
-      |(:nation) -[:tagged]-> (:tag)
+      |(:nation) -[:tagged {w int}]-> (:tag)
       |(:nation) -[:nnext]-> (:nation)
       |""".stripMargin
 
@@ -118,9 +126,10 @@ object GraphLoader {
     s"${LineitemBase - 1} + ROW_NUMBER() OVER (ORDER BY $lineitemOrderSql)"
 
   /** Columns of the persisted/cached lineitem-id frame — exactly what the
-    * node/edge projections read (sort-only columns are dropped). */
+    * node/edge projections read (sort-only columns are dropped;
+    * l_quantity feeds the lpart edge's qty attribute, round 10). */
   private val lidCols = Seq("lid", "l_orderkey", "l_linenumber", "l_partkey",
-    "l_suppkey", "l_returnflag", "l_linestatus")
+    "l_suppkey", "l_quantity", "l_returnflag", "l_linestatus")
 
   /** The id-assigned lineitem frame, from the persisted id store when one
     * matches the source's content fingerprint, else built (distributed
@@ -149,7 +158,8 @@ object GraphLoader {
       finally walk.close()
     }
     val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$src\n$fingerprint\nv1".getBytes("UTF-8"))
+      // v2: lid store gained l_quantity (the lpart qty edge attribute)
+      .digest(s"$src\n$fingerprint\nv2".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val store = Paths.get(sys.props("java.io.tmpdir"), s"graft_lids_$tag")
     if (!Files.exists(store.resolve("_SUCCESS"))) {
@@ -277,7 +287,8 @@ object GraphLoader {
         (col("l_orderkey") + OrdersBase).as("dst")),
       ("lineitem", "lpart", "part") -> lineitem.select(
         lineId.as("src"),
-        (col("l_partkey") + PartBase).as("dst")),
+        (col("l_partkey") + PartBase).as("dst"),
+        col("l_quantity").cast("long").as("qty")),
       ("lineitem", "lsupp", "supplier") -> lineitem.select(
         lineId.as("src"),
         (col("l_suppkey") + SupplierBase).as("dst")),

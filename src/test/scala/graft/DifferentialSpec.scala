@@ -23,7 +23,7 @@ class DifferentialSpec extends AnyFunSuite {
   private val header =
     """(:P {x int, nm string})
       |(:Q {y int})
-      |(:P) -[:r]-> (:Q)
+      |(:P) -[:r {w int}]-> (:Q)
       |(:P) -[:s]-> (:P)
       |(:Q) -[:t]-> (:Q)
       |""".stripMargin
@@ -109,8 +109,14 @@ class DifferentialSpec extends AnyFunSuite {
           // merge-edge desugars to create-edge — free differential
           // coverage of the upsert sugar; half the time write the hop in
           // its reverse form `(b)<-[:r]-(a)` (identical IR, so RefInterp
-          // needs no direction handling — exactly the desugar under test)
-          val kw = pick(Seq("create", "match", "merge"))
+          // needs no direction handling — exactly the desugar under test).
+          // Round 10: the r relation carries {w int} — creates on r
+          // ALWAYS attach a per-row w expression (so every r-edge has w
+          // set and rel-binding reads are total), merge is excluded on
+          // r (it would create an unset-w edge).
+          val kw = if (rl == "r") pick(Seq("create", "match"))
+                   else pick(Seq("create", "match", "merge"))
+          val props = if (rl == "r" && kw == "create") s" {w: ${intExpr(1)}}" else ""
           // a third of MATCH hops are undirected `-[:r]-` (round 9+) —
           // written from either side, so the rev-only orientation branch
           // of RMatchEdgeUndir (e.g. `(q:Q)-[:r]-(p:P)` with only
@@ -118,9 +124,22 @@ class DifferentialSpec extends AnyFunSuite {
           if (kw == "match" && rnd.nextInt(3) == 0) {
             if (rnd.nextBoolean()) sb ++= s"$kw ($a) -[:$rl]- ($b)\n"
             else sb ++= s"$kw ($b) -[:$rl]- ($a)\n"
+          } else if (kw == "match" && rl == "r" && rnd.nextInt(3) == 0) {
+            // rel binding (round 10): bind the matched edge and
+            // immediately read / update / remove it through the binding
+            n += 1
+            val x = s"v$n"
+            if (rnd.nextBoolean()) sb ++= s"match ($b) <-[$x:r]- ($a)\n"
+            else sb ++= s"match ($a) -[$x:r]-> ($b)\n"
+            rnd.nextInt(4) match {
+              case 0 => sb ++= s"where $x.w >= ${rnd.nextInt(40)}\n"
+              case 1 => sb ++= s"set $x.w = ${intExpr(1)}\n"
+              case 2 => sb ++= s"delete $x\n"
+              case _ => sb ++= s"where ($x.w mod ${rnd.nextInt(3) + 2}) = 0\n"
+            }
           }
-          else if (rnd.nextBoolean()) sb ++= s"$kw ($b) <-[:$rl]- ($a)\n"
-          else sb ++= s"$kw ($a) -[:$rl]-> ($b)\n"
+          else if (rnd.nextBoolean()) sb ++= s"$kw ($b) <-[:$rl$props]- ($a)\n"
+          else sb ++= s"$kw ($a) -[:$rl$props]-> ($b)\n"
         }
       case 3 => // where
         if (env.nonEmpty) sb ++= s"where ${boolExpr(1)}\n"
@@ -387,9 +406,24 @@ class DifferentialSpec extends AnyFunSuite {
       assert(gotNodes == expNodes, s"nodes($lbl) mismatch\n$src")
     }
     for (key @ (_, rl, _) <- tp.schema.relTypes) {
-      val gotE = r.graph.edges(key).collect()
-        .map(row => (row.getLong(0), rl, row.getLong(1))).toSet
-      val expE = expected.edges.filter(_._2 == rl)
+      val attrs = tp.schema.relAttrsOf(key)
+      // edge set AND edge attributes (round 10): engine frames carry the
+      // typed columns after (src, dst); RefInterp mirrors them in eattrs
+      val gotE: Map[(Long, String, Long), Map[String, Any]] =
+        r.graph.edges(key).collect().map { row =>
+          ((row.getLong(0), rl, row.getLong(1)),
+            attrs.zipWithIndex.flatMap { case ((f, _), i) =>
+              if (row.isNullAt(i + 2)) None else Some(f -> row.get(i + 2))
+            }.toMap)
+        }.toMap
+      val expE: Map[(Long, String, Long), Map[String, Any]] =
+        expected.edges.filter(_._2 == rl).map { k =>
+          k -> expected.eattrs.getOrElse(k, Map.empty).map {
+            case (f, graft.lang.IntV(i))    => f -> (i: Any)
+            case (f, graft.lang.StringV(x)) => f -> (x: Any)
+            case (f, graft.lang.BoolV(b))   => f -> (b: Any)
+          }
+        }.toMap
       assert(gotE == expE, s"edges($key) mismatch\n$src")
     }
   }
@@ -638,6 +672,33 @@ class DifferentialSpec extends AnyFunSuite {
       """unwind [4, 4, 1] as k
         |where k.val > 2
         |return k
+        |""".stripMargin,
+      // round 10: typed edge properties — per-row create map, set-
+      // semantics no-op on re-create, rel-binding read/set/delete
+      """create (a:P {x: 4, nm: "alpha"})
+        |create (b:Q {y: 7})
+        |create (c:Q {y: 8})
+        |match (p:P), (q:Q)
+        |create (p) -[:r {w: p.x + q.y}]-> (q)
+        |create (p) -[:r {w: 999}]-> (q)
+        |match (p2:P) -[x:r]-> (q2:Q)
+        |where x.w >= 12
+        |set x.w = x.w * 2
+        |match (p3:P) -[x2:r]-> (q3:Q)
+        |where x2.w < 23
+        |delete x2
+        |return p3, q3
+        |""".stripMargin,
+      // round 10: edge props inside a pattern predicate (witness-local
+      // rel binding via the inline map) + reverse-form create with props
+      """create (a:P {x: 1, nm: "alpha"})
+        |create (b:P {x: 2, nm: "beta"})
+        |create (q1:Q {y: 5})
+        |match (p1:P {x: 1}), (q:Q)
+        |create (q) <-[:r {w: 30}]- (p1)
+        |match (u:P)
+        |where exists (u) -[:r {w: 30}]-> (v:Q)
+        |return u
         |""".stripMargin)
     progs.foreach(p => runBoth(header + p))
   }

@@ -330,6 +330,62 @@ class GoldenSpec extends AnyFunSuite {
     assert(r.bindings.collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L, 4L))
   }
 
+  private val edgeSrc =
+    """(:N {x int})
+      |(:N) -[:e {w int}]-> (:N)
+      |create (a:N) create (b:N) create (c:N)
+      |set a.x = 1, b.x = 2, c.x = 3
+      |create (a) -[:e {w: a.x * 10}]-> (b)
+      |create (b) -[:e {w: 100}]-> (c)
+      |""".stripMargin
+
+  test("edge properties: create map, rel-binding read, strict unset raise") {
+    val r = Engine.runSource(spark, edgeSrc +
+      "match (u:N) -[x:e]-> (v:N)\nwhere x.w >= 20\nreturn u, v, x.w")
+    assert(r.bindings.columns.toSeq == Seq("u", "v", "x_w"))
+    assert(r.bindings.collect().map(t => (t.getLong(0), t.getLong(1), t.getLong(2))).toSet ==
+      Set((1L, 2L, 100L))) // only b->c carries w=100; a->b has w=10
+    // the stored frame carries the typed column
+    val e = r.graph.edges(("N", "e", "N")).orderBy("src").collect()
+      .map(t => (t.getLong(0), t.getLong(1), t.getLong(2)))
+    assert(e.toSeq == Seq((0L, 1L, 10L), (1L, 2L, 100L)))
+    // strict mode: an UNSET edge attribute raises like an unset node attr
+    val r2 = Engine.runSource(spark,
+      "(:N {x int})\n(:N) -[:e {w int}]-> (:N)\n" +
+        "create (a:N) create (b:N)\ncreate (a) -[:e]-> (b)\n" +
+        "match (u:N) -[x:e]-> (v:N)\nwhere x.w = 1\nreturn u")
+    val ex = intercept[Exception](r2.bindings.collect())
+    assert(ex.getMessage.contains("attribute w not set"))
+  }
+
+  test("edge properties: set and delete through the rel binding") {
+    val r = Engine.runSource(spark, edgeSrc +
+      "match (u:N) -[x:e]-> (v:N)\nwhere u.x = 1\nset x.w = x.w + 5")
+    assert(r.graph.edges(("N", "e", "N")).orderBy("src").collect()
+      .map(t => (t.getLong(0), t.getLong(1), t.getLong(2))).toSeq ==
+      Seq((0L, 1L, 15L), (1L, 2L, 100L))) // only a->b updated
+    val r2 = Engine.runSource(spark, edgeSrc +
+      "match (u:N) -[x:e]-> (v:N)\nwhere x.w = 100\ndelete x")
+    assert(r2.graph.edges(("N", "e", "N")).collect()
+      .map(t => (t.getLong(0), t.getLong(1))).toSeq == Seq((0L, 1L)))
+  }
+
+  test("edge properties: re-creating an existing edge keeps its stored attrs") {
+    // the reference's set semantics (test3.q) extended to attrs: the
+    // existing pair wins, the re-create's map is a no-op
+    val r = Engine.runSource(spark, edgeSrc +
+      "match (u:N), (v:N)\nwhere u.x = 1 and v.x = 2\n" +
+      "create (u) -[:e {w: 999}]-> (v)")
+    assert(r.graph.edges(("N", "e", "N")).orderBy("src").collect()
+      .map(t => (t.getLong(0), t.getLong(1), t.getLong(2))).toSeq ==
+      Seq((0L, 1L, 10L), (1L, 2L, 100L)))
+    // inline match map filters like the explicit conjunct
+    val r2 = Engine.runSource(spark, edgeSrc +
+      "match (u:N) -[:e {w: 10}]-> (v:N)\nreturn u, v")
+    assert(r2.bindings.collect().map(t => (t.getLong(0), t.getLong(1))).toSet ==
+      Set((0L, 1L)))
+  }
+
   test("unwind: per-row list explosion with expression elements") {
     val r = Engine.runSource(spark, chainSrc +
       "match (n:N)\nwhere n.x <= 10\nunwind [n.x, n.x + 1, 7] as k\nreturn n, k")

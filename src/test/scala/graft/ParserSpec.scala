@@ -262,6 +262,30 @@ class ParserSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("merge supports"))
   }
 
+  test("edge-property syntax: rel decls, rel vars, inline maps (round 10)") {
+    // declaration attrs
+    val d = Parser.parse("(:P {x int})\n(:Q {})\n(:P) -[:r {w int, tag string}]-> (:Q)\ncreate (a:P)")
+    assert(d.types.relTypes ==
+      List(RelTypeDecl("P", "r", "Q", List(("w", IntT), ("tag", StringT)))))
+    // rel var + inline map on a hop
+    val p = Parser.parse("(:P {x int})\n(:Q {})\n(:P) -[:r {w int}]-> (:Q)\n" +
+      "match (a:P) -[x:r {w: 3}]-> (b:Q)\nreturn a")
+    assert(p.query.clauses.head ==
+      Match(List(CompPattern(DeclPattern("a", "P"), "r",
+        SimpPattern(DeclPattern("b", "Q")), Fwd, Some("x"), List(("w", Const(IntV(3))))))))
+    // variable-length hops cannot carry either
+    val ex = intercept[Parser.ParseError](Parser.parse(
+      "(:N {})\n(:N) -[:s]-> (:N)\nmatch (a:N) -[x:s*1..2]-> (b:N)\nreturn a"))
+    assert(ex.getMessage.contains("variable-length hops cannot carry"))
+    val ex2 = intercept[Parser.ParseError](Parser.parse(
+      "(:N {})\n(:N) -[:s]-> (:N)\nmatch (a:N) -[:s*1..2 {w: 1}]-> (b:N)\nreturn a"))
+    assert(ex2.getMessage.contains("variable-length hops cannot carry"))
+    // reference-legal forms parse unchanged
+    val ref = Parser.parse("(:P {})\n(:P) -[:r]-> (:P)\ncreate (a:P)\ncreate (b:P)\n" +
+      "create (a) -[:r]-> (b)\nreturn a, b")
+    assert(ref.types.relTypes == List(RelTypeDecl("P", "r", "P", Nil)))
+  }
+
   test("unwind parses expression lists; alias mandatory; name stays contextual") {
     val p = Parser.parse(header + "match (a:P)\nunwind [1, a.x + 2] as k\nreturn a, k")
     assert(p.query.clauses(1) ==

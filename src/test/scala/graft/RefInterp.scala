@@ -34,15 +34,23 @@ object RefInterp {
       env: List[(String, Int)], // var → column index, latest binding first
       width: Int,
       rows: List[Vector[Long]],
-      next: Long) {
+      next: Long,
+      /** Edge attributes (round-10): (src, relLabel, dst) → attrs. */
+      eattrs: Map[(Long, String, Long), Map[String, Value]] = Map.empty,
+      /** Rel bindings: var → (srcColIdx, dstColIdx) — aliases of the
+        * endpoint columns, mirroring Engine.ExecState.edgeEnv. */
+      edgeEnv: List[(String, (Int, Int))] = Nil) {
     def colOf(v: String): Int = env.collectFirst { case (`v`, c) => c }.get
+    def edgeColsOf(v: String): (Int, Int) =
+      edgeEnv.collectFirst { case (`v`, cs) => cs }.get
   }
 
   final case class Result(
       nodes: Map[Long, Node],
       edges: Set[(Long, String, Long)],
       header: List[String],
-      rows: List[List[Long]])
+      rows: List[List[Long]],
+      eattrs: Map[(Long, String, Long), Map[String, Value]] = Map.empty)
 
   def run(tp: TypedProg, firstId: Long = 0L): Result =
     runOn(tp, Map.empty, Set.empty, firstId)
@@ -51,7 +59,8 @@ object RefInterp {
     * lets the differential harness replay read-only union queries over a
     * graph a previous program built. */
   def runOn(tp: TypedProg, nodes0: Map[Long, Node],
-      edges0: Set[(Long, String, Long)], firstId: Long): Result = {
+      edges0: Set[(Long, String, Long)], firstId: Long,
+      eattrs0: Map[(Long, String, Long), Map[String, Value]] = Map.empty): Result = {
     // union branches (typing reassembled them around RUnion markers):
     // each a standalone read-only query; results bag-unioned or deduped
     val parts: List[List[RInstr]] = {
@@ -66,12 +75,12 @@ object RefInterp {
     }
     def runBranch(instrs: List[RInstr]): Result = {
       val fin = instrs.foldLeft(
-        St(nodes0, edges0, Nil, 0, List(Vector.empty), firstId))(exec)
+        St(nodes0, edges0, Nil, 0, List(Vector.empty), firstId, eattrs0))(exec)
       // Engine output: distinct vars, latest binding, latest-first order.
       val seen = scala.collection.mutable.LinkedHashSet[String]()
       val outCols = fin.env.flatMap { case (v, c) => if (seen.add(v)) Some((v, c)) else None }
       Result(fin.nodes, fin.edges, outCols.map(_._1),
-        fin.rows.map(r => outCols.map { case (_, c) => r(c) }))
+        fin.rows.map(r => outCols.map { case (_, c) => r(c) }), fin.eattrs)
     }
     val results = parts.map(runBranch)
     if (results.sizeIs == 1) results.head
@@ -97,13 +106,32 @@ object RefInterp {
       st.copy(env = (v, st.width) :: st.env, width = st.width + 1,
         rows = for (r <- st.rows; id <- ids) yield r :+ id)
 
-    case RCreateEdge(sv, _, rl, tv, _) =>
+    case RCreateEdge(sv, _, rl, tv, _, props) =>
       val (cs, ct) = (st.colOf(sv), st.colOf(tv))
-      st.copy(edges = st.edges ++ st.rows.map(r => (r(cs), rl, r(ct))))
+      // set semantics: existing pairs keep their stored attrs
+      // (re-create is a no-op); NEW pairs take per-row prop values,
+      // conflicts across creating rows resolved by max (node-set rule)
+      val newAttrs = st.rows
+        .map(r => (r(cs), rl, r(ct)) -> props.map { case (f, _, te) =>
+          f -> eval(st, r, te) }.toMap)
+        .filterNot { case (k, _) => st.edges(k) }
+        .groupBy(_._1)
+        .map { case (k, kvs) =>
+          k -> kvs.map(_._2).reduce((a, b) =>
+            (a.keySet ++ b.keySet).map { f =>
+              f -> ((a.get(f), b.get(f)) match {
+                case (Some(x), Some(y)) => valueMax(x, y)
+                case (x, y)             => x.orElse(y).get
+              })
+            }.toMap)
+        }
+      st.copy(edges = st.edges ++ st.rows.map(r => (r(cs), rl, r(ct))),
+        eattrs = st.eattrs ++ newAttrs)
 
-    case RMatchEdge(sv, _, rl, tv, _) =>
+    case RMatchEdge(sv, _, rl, tv, _, rv) =>
       val (cs, ct) = (st.colOf(sv), st.colOf(tv))
-      st.copy(rows = st.rows.filter(r => st.edges((r(cs), rl, r(ct)))))
+      st.copy(rows = st.rows.filter(r => st.edges((r(cs), rl, r(ct)))),
+        edgeEnv = rv.fold(st.edgeEnv)(x => (x, (cs, ct)) :: st.edgeEnv))
 
     case RMatchEdgeUndir(sv, _, rl, tv, _, _, _) =>
       // either-direction existence (the model ignores labels, so the
@@ -123,20 +151,45 @@ object RefInterp {
       st.copy(
         nodes = st.nodes -- doomed,
         edges = st.edges.filterNot { case (s, _, t) => doomed(s) || doomed(t) },
+        eattrs = st.eattrs.filterNot { case ((s, _, t), _) => doomed(s) || doomed(t) },
         env = st.env.collect { case (w, c) if w != v && remap.contains(c) => (w, remap(c)) },
+        // rel bindings referencing a dropped column retire (engine parity)
+        edgeEnv = st.edgeEnv.collect {
+          case (x, (a, b)) if remap.contains(a) && remap.contains(b) =>
+            (x, (remap(a), remap(b)))
+        },
         width = keptIdx.size,
         rows = st.rows.map(r => keptIdx.map(r)))
 
     case RDeleteEdge(sv, _, rl, tv, _) =>
       val (cs, ct) = (st.colOf(sv), st.colOf(tv))
-      st.copy(edges = st.edges -- st.rows.map(r => (r(cs), rl, r(ct))))
+      val victims = st.rows.map(r => (r(cs), rl, r(ct)))
+      st.copy(edges = st.edges -- victims, eattrs = st.eattrs -- victims)
+
+    case RSetEdge(v, (_, rl, _), f, _, te) =>
+      // join-update mirror: per-row evaluation over the bound pairs,
+      // max conflict resolution; pairs whose edge was deleted since the
+      // match are a no-op (the engine's left join misses them)
+      val (ca, cb) = st.edgeColsOf(v)
+      val perEdge = st.rows.groupBy(r => (r(ca), rl, r(cb)))
+        .filter { case (k, _) => st.edges(k) }
+        .map { case (k, rs) => k -> rs.map(r => eval(st, r, te)).reduce(valueMax) }
+      st.copy(eattrs = st.eattrs ++ perEdge.map { case (k, value) =>
+        k -> (st.eattrs.getOrElse(k, Map.empty) + (f -> value))
+      })
+
+    case RDeleteEdgeBinding(v, (_, rl, _)) =>
+      val (ca, cb) = st.edgeColsOf(v)
+      val victims = st.rows.map(r => (r(ca), rl, r(cb)))
+      st.copy(edges = st.edges -- victims, eattrs = st.eattrs -- victims,
+        edgeEnv = st.edgeEnv.filterNot(_._1 == v))
 
     case RReturn(vs) =>
       // env in vs order (the engine's RReturn rebuilds env as the return
       // list, and its final projection walks env in list order)
       val cols = vs.map(st.colOf)
       st.copy(env = vs.zipWithIndex, width = vs.size,
-        rows = st.rows.map(r => cols.map(r).toVector))
+        rows = st.rows.map(r => cols.map(r).toVector), edgeEnv = Nil)
 
     case RWhere(te) =>
       st.copy(rows = st.rows.filter(r => eval(st, r, te) == BoolV(true)))
@@ -195,7 +248,7 @@ object RefInterp {
       // preserved — the witness count never multiplies the row
       val idxE = bound.map(st.colOf)
       val probeE = st.rows.map(r => idxE.map(r).toVector).distinct
-      val subE = St(st.nodes, st.edges, bound.zipWithIndex, bound.size, probeE, st.next)
+      val subE = St(st.nodes, st.edges, bound.zipWithIndex, bound.size, probeE, st.next, st.eattrs)
       val witnessE = inner.foldLeft(subE)(exec).rows.map(_.take(bound.size)).toSet
       st.copy(rows = st.rows.filter(r => witnessE(idxE.map(r).toVector)))
 
@@ -206,7 +259,7 @@ object RefInterp {
       // over the witness frame
       val idx = bound.map(st.colOf)
       val probe = st.rows.map(r => idx.map(r).toVector).distinct
-      val sub0 = St(st.nodes, st.edges, bound.zipWithIndex, bound.size, probe, st.next)
+      val sub0 = St(st.nodes, st.edges, bound.zipWithIndex, bound.size, probe, st.next, st.eattrs)
       val witness = inner.foldLeft(sub0)(exec).rows.map(_.take(bound.size)).toSet
       st.copy(rows = st.rows.filterNot(r => witness(idx.map(r).toVector)))
 
@@ -220,7 +273,7 @@ object RefInterp {
       // binds NullId again, like the engine's null-never-equals join.
       val idx = bound.map(st.colOf)
       val probe = st.rows.map(r => idx.map(r).toVector).distinct
-      val sub0 = St(st.nodes, st.edges, bound.zipWithIndex, bound.size, probe, st.next)
+      val sub0 = St(st.nodes, st.edges, bound.zipWithIndex, bound.size, probe, st.next, st.eattrs)
       val sub = inner.foldLeft(sub0)(exec)
       val freshIdx = freshVars.map { case (v, _) => sub.colOf(v) }.distinct
       val wmap = sub.rows.groupBy(_.take(bound.size))
@@ -338,7 +391,7 @@ object RefInterp {
             (order.map { case (k, _) => r(items.indexOf(k)) }, r))))
         }
       st.copy(env = aliasedItems.map(_._2).zipWithIndex,
-        width = items.size, rows = shaped)
+        width = items.size, rows = shaped, edgeEnv = Nil)
 
     case RUnwind(tes, alias, tp) =>
       // per row, one output row per element, in element order —
@@ -387,6 +440,12 @@ object RefInterp {
   private def eval(st: St, row: Vector[Long], te: TExpr): Value = te match {
     case TConst(v) => v
     case TNullCheck(v) => BoolV(row(st.colOf(v)) == NullId)
+    case TAttr(v, lbl, f, _) if Typing.isRelLabel(lbl) =>
+      // edge attribute through a rel binding: (src, rel, dst) lookup
+      val (ca, cb) = st.edgeColsOf(v)
+      val rl = Typing.relKeyOf(lbl)._2
+      st.eattrs.getOrElse((row(ca), rl, row(cb)), Map.empty).getOrElse(f,
+        throw new IllegalStateException(s"edge attribute $f not set for $v"))
     case TAttr(v, lbl, _, _) if Typing.isVirtual(lbl) =>
       // a virtual binding's attribute (d.hops, cnt.val) IS its column
       // value; guard the NULL sentinel so a future generator extension

@@ -573,6 +573,55 @@ class TypingSpec extends AnyFunSuite {
       "match (a:P) with a as v return v union match (q:Q) with q as v return v")
   }
 
+  test("edge properties: declaration and create-map rules (round 10)") {
+    val eh = "(:P {x int})\n(:Q {y int})\n(:P) -[:r {w int, tag string}]-> (:Q)\n" +
+      "(:P) -[:s]-> (:P)\n"
+    assert(err("(:P {})\n(:Q {})\n(:P) -[:r {w int, w string}]-> (:Q)\ncreate (a:P)")
+      .contains("duplicate attribute"))
+    assert(err(eh + "create (a:P)\ncreate (b:Q)\ncreate (a) -[:r {z: 1}]-> (b)")
+      .contains("attribute z not declared for relation"))
+    assert(err(eh + "create (a:P)\ncreate (b:Q)\ncreate (a) -[:r {w: \"s\"}]-> (b)")
+      .contains("expression type StringT != declared IntT"))
+    assert(err(eh + "create (a:P)\ncreate (b:Q)\ncreate (a) -[:r {w: 1, w: 2}]-> (b)")
+      .contains("duplicate edge property"))
+    assert(err(eh + "create (a:P)\ncreate (b:Q)\ncreate (a) -[x:r]-> (b)")
+      .contains("rel variable x not allowed on create"))
+    // legal: per-row expression values, reverse form included
+    Typing.compile(eh + "create (a:P)\nset a.x = 3\ncreate (b:Q)\n" +
+      "create (b) <-[:r {w: a.x * 2, tag: \"k\"}]- (a)")
+  }
+
+  test("edge properties: rel bindings read, set, delete; misuse rejected") {
+    val eh = "(:P {x int})\n(:Q {y int})\n(:P) -[:r {w int}]-> (:Q)\n" +
+      "(:Q) -[:r]-> (:P)\n"
+    val m = "match (a:P)\nmatch (b:Q)\nmatch (a) -[x:r]-> (b)\n"
+    // legal surface: attr read in where/return-ext, set, delete
+    Typing.compile(eh + m + "where x.w >= 2 return a, x.w")
+    Typing.compile(eh + m + "set x.w = x.w + 1")
+    Typing.compile(eh + m + "delete x")
+    // the binding itself has no value
+    assert(err(eh + m + "return x").contains("cannot return relationship"))
+    assert(err(eh + m + "return count(x)").contains("cannot return/project relationship"))
+    assert(err(eh + m + "with x as y return y")
+      .contains("cannot return/project relationship"))
+    // undeclared attr / wrong type through the binding
+    assert(err(eh + m + "where x.z = 1").contains("attribute z not declared"))
+    assert(err(eh + m + "set x.w = \"s\"").contains("expression type StringT"))
+    // rebinding a rel variable shadows silently — rejected
+    assert(err(eh + m + "match (a) -[x:r]-> (b)").contains("rel variable x already bound"))
+    // undirected hop cannot carry a binding (ambiguous orientation)
+    assert(err(eh + "match (a:P)\nmatch (b:Q)\nmatch (a) -[x:r]- (b)")
+      .contains("not allowed on an undirected hop"))
+    // an INNER rel binding inside a predicate is witness-local (legal:
+    // its prop conjuncts filter inside the witness; it binds nothing
+    // outside), but an inline node prop referencing an OUTER rel var
+    // has no witness-probe column — rejected
+    Typing.compile(eh + m + "where not exists (a) -[x2:r {w: 5}]-> (b)\nreturn a")
+    assert(err(eh + "match (a:P)\nmatch (b:Q)\nmatch (a) -[x:r]-> (b)\n" +
+      "where exists (b) -[:r]-> (c:P {x: x.w})\nreturn a")
+      .contains("rel variable x cannot be referenced inside"))
+  }
+
   test("skip/limit beyond Int.MaxValue rejected at typing time (ADVICE r09)") {
     // the engine pages via Dataset.offset/limit (Int): a Long value
     // above 2^31-1 used to silently wrap to a negative page
