@@ -376,13 +376,22 @@ object IoOps {
           col("l_quantity").cast("bigint").as("c_quantity"),
           expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("c_price_cents"),
           unix_millis(col("l_shipdate").cast("timestamp")).as("c_shipdate_ms"))
-        val aggs = cols.flatMap(c => Seq(
+        // TWO single-pass aggregates, cross-joined (both are 1-row):
+        // the production profile (count/min/max/HLL — all map-side-
+        // combining, ONE scan, no Expand) and the exact-NDV certificate
+        // basis. Mixing the four count_distincts INTO the HLL aggregate
+        // would make Catalyst plan every aggregate over the 5× Expand
+        // stream it needs for multi-column exact distincts — measured
+        // 28× slower than the split (52 s vs 1.8 s at sf0.1). At 100 TB
+        // only the first aggregate runs at all.
+        val hllAggs = cols.flatMap(c => Seq(
           count(col(c)).as(s"${c}_n"),
-          count_distinct(col(c)).as(s"${c}_ndv"),
           approx_count_distinct(col(c), 0.02).as(s"${c}_hll"),
           min(col(c)).as(s"${c}_min"),
           max(col(c)).as(s"${c}_max")))
-        t.agg(aggs.head, aggs.tail: _*)
+        val exactAggs = cols.map(c => count_distinct(col(c)).as(s"${c}_ndv"))
+        t.agg(hllAggs.head, hllAggs.tail: _*)
+          .crossJoin(t.agg(exactAggs.head, exactAggs.tail: _*))
           .select(expr(s"stack(${cols.size}, " +
             cols.map(c => s"'$c', ${c}_n, ${c}_ndv, " +
               s"abs(cast(${c}_hll as double) / ${c}_ndv - 1.0) <= 0.10, " +
