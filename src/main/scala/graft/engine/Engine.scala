@@ -143,6 +143,14 @@ object Engine {
   private final case class PExpandUndir(
       sl: String, rl: String, tl: String, fwd: Boolean, rev: Boolean,
       boundVar: String, newVar: String, newIsTv: Boolean) extends PhysOp
+  /** Fused `[:a|b]` alternation hop: one equi-join against the
+    * pair-deduped union of the resolved frames (each read in its
+    * pattern orientation — `flipped` frames dst-as-src). The dedup is
+    * load-bearing exactly like [[PExpandUndir]]'s: a pair connected by
+    * several listed types (or both orientations) must yield ONE row. */
+  private final case class PExpandAlt(
+      frames: List[((String, String, String), Boolean)],
+      boundVar: String, newVar: String, newIsTv: Boolean) extends PhysOp
   /** Same peephole for a variable-length hop: cross+semi over the bounded
     * closure fuses to one equi-join against the reach frame. `distVar`
     * additionally binds the minimal hop count (`as d`). */
@@ -169,6 +177,12 @@ object Engine {
       case RMatchNode(v, _) :: RMatchEdgeUndir(sv, sl, rl, tv, tl, f, r) :: rest
           if sv == v && tv != v =>
         PExpandUndir(sl, rl, tl, f, r, tv, v, newIsTv = false) :: compilePlan(rest, cfg)
+      case RMatchNode(v, _) :: RMatchEdgeAlt(sv, _, tv, _, frames) :: rest
+          if tv == v && sv != v =>
+        PExpandAlt(frames, sv, v, newIsTv = true) :: compilePlan(rest, cfg)
+      case RMatchNode(v, _) :: RMatchEdgeAlt(sv, _, tv, _, frames) :: rest
+          if sv == v && tv != v =>
+        PExpandAlt(frames, tv, v, newIsTv = false) :: compilePlan(rest, cfg)
       case RMatchNode(v, _) :: RVarPath(sv, key, lo, hi, tv, dist, undir) :: rest
           if tv == v && sv != v =>
         PExpandPath(key, lo, hi, sv, v, newIsDst = true, dist, undir) :: compilePlan(rest, cfg)
@@ -268,6 +282,20 @@ object Engine {
           .join(pairs, col(st.colOf(boundVar)) === col(eS))
           .drop(eS)
         st = st.copy(bindings = joinedU, env = (newVar, c) :: st.env,
+          freshCounter = st.freshCounter + 1)
+      case PExpandAlt(frames, boundVar, newVar, newIsTv) =>
+        val c = fresh(st)
+        val eS = s"${c}_src"
+        val (svName, tvName) = if (newIsTv) (eS, c) else (c, eS)
+        val pairsA = frames.map { case (key, flipped) =>
+          val df = st.graph.edges(key)
+          if (flipped) df.select(col("dst").as(svName), col("src").as(tvName))
+          else df.select(col("src").as(svName), col("dst").as(tvName))
+        }.reduce(_ unionByName _).dropDuplicates(svName, tvName)
+        val joinedA = st.bindings
+          .join(pairsA, col(st.colOf(boundVar)) === col(eS))
+          .drop(eS)
+        st = st.copy(bindings = joinedA, env = (newVar, c) :: st.env,
           freshCounter = st.freshCounter + 1)
       case PExpandPath(key, lo, hi, boundVar, newVar, newIsDst, distVar, undir) =>
         val c = fresh(st)
@@ -482,6 +510,20 @@ object Engine {
       st.copy(bindings = joined,
         edgeEnv = rv.fold(st.edgeEnv)(x =>
           (x, (st.colOf(sv), st.colOf(tv))) :: st.edgeEnv))
+
+    case RMatchEdgeAlt(sv, _, tv, _, frames) =>
+      // any-of existence: semi-join against the union of the resolved
+      // frames (flipped ones read dst-as-src); left_semi ignores
+      // multiplicity, so no pair dedup is needed on this path
+      val pairsAlt = frames.map { case (key, flipped) =>
+        val df = st.graph.edges(key)
+        if (flipped) df.select(col("dst").as("src"), col("src").as("dst"))
+        else df.select(col("src"), col("dst"))
+      }.reduce(_ unionByName _)
+      st.copy(bindings = st.bindings.join(pairsAlt,
+        st.bindings(st.colOf(sv)) === pairsAlt("src") &&
+          st.bindings(st.colOf(tv)) === pairsAlt("dst"),
+        "left_semi"))
 
     case RMatchEdgeUndir(sv, sl, rl, tv, tl, fwd, rev) =>
       // either-direction existence: semi-join against the union of the

@@ -103,9 +103,17 @@ case object Undir extends Dir
   * rel binding occupies no new binding column — it aliases the two
   * endpoint columns — and cannot be returned or grouped directly (only
   * its attributes can). */
+/** `relAlts` (round-10 continued — Cypher's `[:a|b]` alternation): the
+  * hop matches when ANY of `rel :: relAlts` connects the endpoints.
+  * Match-only, per-PAIR existence semantics (a pair connected by
+  * several of the listed types yields ONE row, consistent with the
+  * engine's cross+semi pair semantics and the undirected reciprocal
+  * dedup); rel variables and property maps are rejected on alternation
+  * hops (which type's attrs would they refer to?). */
 final case class CompPattern(np: NodePattern, rel: String, rest: Pattern,
     dir: Dir = Fwd, relVar: Option[String] = None,
-    relProps: List[(String, Expr)] = Nil) extends Pattern
+    relProps: List[(String, Expr)] = Nil,
+    relAlts: List[String] = Nil) extends Pattern
 /** Variable-length hop `(a)-[:r*lo..hi]->(b)` (engine extension; match
   * only): b is reachable from a via lo..hi consecutive `r` edges. The
   * relation must be label-homogeneous — exactly one declared `r` triple

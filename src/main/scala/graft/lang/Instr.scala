@@ -28,7 +28,10 @@ final case class IActOnNode(act: Act, v: String, label: String) extends Instruct
   * variable, so the instruction never carries them. */
 final case class IActOnRel(act: Act, sv: String, rel: String, tv: String,
     undir: Boolean = false, rv: Option[String] = None,
-    props: List[(String, Expr)] = Nil) extends Instruction
+    props: List[(String, Expr)] = Nil,
+    /** `[:a|b]` alternation (round 10): the hop matches when ANY of
+      * `rel :: alts` connects — match-only, per-pair existence. */
+    alts: List[String] = Nil) extends Instruction
 final case class IDeleteNode(v: String) extends Instruction
 final case class IDeleteRel(sv: String, rel: String, tv: String) extends Instruction
 final case class IReturn(vs: List[String]) extends Instruction
@@ -102,15 +105,15 @@ object Normalize {
     }
     pat match {
       case SimpPattern(n)                    => np(n)
-      case CompPattern(n, _, rest, _, _, _)  => np(n) ++ declProps(rest)
+      case CompPattern(n, _, rest, _, _, _, _) => np(n) ++ declProps(rest)
       case VarPattern(n, _, _, _, rest, _, _) => np(n) ++ declProps(rest)
     }
   }
 
   private def normPattern(act: Act, pat: Pattern): List[Instruction] = pat match {
     case SimpPattern(np) => normNodePattern(act, np)
-    case CompPattern(np, rl, rest, dir, rv, rps) =>
-      normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, dir = dir, rv = rv, props = rps), rest)
+    case CompPattern(np, rl, rest, dir, rv, rps, ralts) =>
+      normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, dir = dir, rv = rv, props = rps, alts = ralts), rest)
     case VarPattern(np, rl, lo, hi, rest, dist, dir) =>
       normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, lo, hi, dist, dir), rest)
   }
@@ -123,11 +126,12 @@ object Normalize {
     * verbatim (the parser rejects them on variable-length hops). */
   private final case class Hop(rl: String, lo: Int = 1, hi: Int = 1,
       dist: Option[String] = None, dir: Dir = Fwd,
-      rv: Option[String] = None, props: List[(String, Expr)] = Nil) {
+      rv: Option[String] = None, props: List[(String, Expr)] = Nil,
+      alts: List[String] = Nil) {
     def instr(act: Act, sv: String, tv: String): Instruction = {
       val (s, t) = if (dir == Rev) (tv, sv) else (sv, tv)
       val undir = dir == Undir
-      if (lo == 1 && hi == 1 && dist.isEmpty) IActOnRel(act, s, rl, t, undir, rv, props)
+      if (lo == 1 && hi == 1 && dist.isEmpty) IActOnRel(act, s, rl, t, undir, rv, props, alts)
       else IVarPathRel(act, s, rl, lo, hi, t, dist, undir)
     }
   }
@@ -136,9 +140,9 @@ object Normalize {
     pat match {
       case SimpPattern(np) =>
         normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)
-      case CompPattern(np, rl2, rest, dir2, rv2, rps2) =>
+      case CompPattern(np, rl2, rest, dir2, rv2, rps2, ralts2) =>
         (normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)) ++
-          tail(act, np.variable, Hop(rl2, dir = dir2, rv = rv2, props = rps2), rest)
+          tail(act, np.variable, Hop(rl2, dir = dir2, rv = rv2, props = rps2, alts = ralts2), rest)
       case VarPattern(np, rl2, lo2, hi2, rest, dist2, dir2) =>
         (normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)) ++
           tail(act, np.variable, Hop(rl2, lo2, hi2, dist2, dir2), rest)
@@ -149,7 +153,7 @@ object Normalize {
     * `%r<k>` names where the user gave none (`%` cannot lex as an
     * identifier, so no user variable collides). */
   private def assignRelVars(pat: Pattern, fresh: () => String): Pattern = pat match {
-    case cp @ CompPattern(_, _, rest, _, rv, props) =>
+    case cp @ CompPattern(_, _, rest, _, rv, props, _) =>
       cp.copy(
         relVar = if (props.nonEmpty && rv.isEmpty) Some(fresh()) else rv,
         rest = assignRelVars(rest, fresh))
@@ -161,7 +165,7 @@ object Normalize {
   /** Equality conjuncts of a match pattern's edge-property maps —
     * `x.f = e` per entry, through the (auto-)bound rel variable. */
   private def relPropConjuncts(pat: Pattern): List[Instruction] = pat match {
-    case CompPattern(_, _, rest, _, rv, props) =>
+    case CompPattern(_, _, rest, _, rv, props, _) =>
       props.map { case (f, e) =>
         IWhere(Bin(BCeq, AttribAcc(rv.get, f), e)): Instruction } ++
         relPropConjuncts(rest)
@@ -172,7 +176,7 @@ object Normalize {
   /** Drop the (now-conjunct) props from match-emitted edge instructions. */
   private def stripMatchRelProps(ins: List[Instruction]): List[Instruction] =
     ins.map {
-      case r @ IActOnRel(MatchAct, _, _, _, _, _, ps) if ps.nonEmpty => r.copy(props = Nil)
+      case r @ IActOnRel(MatchAct, _, _, _, _, _, ps, _) if ps.nonEmpty => r.copy(props = Nil)
       case x => x
     }
 
@@ -234,7 +238,7 @@ object Normalize {
       // use would change the semantics from upsert to always-create /
       // filter-after-bind)
       case SimpPattern(DeclPattern(v, l, ps)) => List(IMergeNode(v, l, ps))
-      case CompPattern(a, rl, SimpPattern(b), dir, _, _) =>
+      case CompPattern(a, rl, SimpPattern(b), dir, _, _, _) =>
         // Undir flows through as an undirected CREATE, which typing
         // rejects with the direction-is-storage message (the parser
         // already rejects rel vars / props on merge edges)
@@ -251,11 +255,11 @@ object Normalize {
     def tailProps(p: Pattern): List[Instruction] = declProps(p).map {
       case (v, f, e) => IWhere(Bin(BCeq, AttribAcc(v, f), e)) }
     pat match {
-      case CompPattern(np, rl, rest, dir, rv, rps) =>
+      case CompPattern(np, rl, rest, dir, rv, rps, ralts) =>
         // rel vars / edge props inside predicate patterns ride the
         // instruction verbatim — typing rejects them with a clear
         // message (witness sub-plans have no rel-binding surface)
-        (np, tail(MatchAct, np.variable, Hop(rl, dir = dir, rv = rv, props = rps), rest) ++ tailProps(rest))
+        (np, tail(MatchAct, np.variable, Hop(rl, dir = dir, rv = rv, props = rps, alts = ralts), rest) ++ tailProps(rest))
       case VarPattern(np, rl, lo, hi, rest, dist, dir) =>
         (np, tail(MatchAct, np.variable, Hop(rl, lo, hi, dist, dir), rest) ++ tailProps(rest))
       case SimpPattern(np) => (np, Nil) // unreachable: parser requires a hop
@@ -264,7 +268,7 @@ object Normalize {
 
   private def headDeclProps(pat: Pattern): List[(String, String, Expr)] =
     pat match {
-      case CompPattern(DeclPattern(v, _, ps), _, _, _, _, _) => ps.map { case (f, e) => (v, f, e) }
+      case CompPattern(DeclPattern(v, _, ps), _, _, _, _, _, _) => ps.map { case (f, e) => (v, f, e) }
       case VarPattern(DeclPattern(v, _, ps), _, _, _, _, _, _) => ps.map { case (f, e) => (v, f, e) }
       case _                                                 => Nil
     }

@@ -78,7 +78,7 @@ object Lexer {
             out += ((TSym(two), i, i + 2)); i += 2
           case _ =>
             c match {
-              case '{' | '}' | '[' | ']' | '(' | ')' | '.' | ',' | ':' | '+' | '-' | '*' | '/' | '=' | '>' | '<' =>
+              case '{' | '}' | '[' | ']' | '(' | ')' | '.' | ',' | ':' | '+' | '-' | '*' | '/' | '=' | '>' | '<' | '|' =>
                 out += ((TSym(c.toString), i, i + 1)); i += 1
               case _ => throw LexError(s"unrecognized symbol '$c'", i)
             }

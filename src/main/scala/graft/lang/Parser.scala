@@ -202,7 +202,7 @@ object Parser {
       val pat = pattern()
       pat match {
         case SimpPattern(_: DeclPattern) => Merge(pat)
-        case CompPattern(_: VarRefPattern, _, SimpPattern(_: VarRefPattern), _, None, Nil) =>
+        case CompPattern(_: VarRefPattern, _, SimpPattern(_: VarRefPattern), _, None, Nil, Nil) =>
           Merge(pat)
         case _ => fail("merge supports a single labeled node " +
           "(merge (x: l {f: c})) or one edge between bound variables " +
@@ -371,6 +371,11 @@ object Parser {
         }
         expectSym(":")
         val rl = ident()
+        // relation alternation `[:a|b|c]` (Cypher's type union; `|`
+        // appears nowhere in the reference grammar)
+        val alts = List.newBuilder[String]
+        while (peek == TSym("|")) { i += 1; alts += ident() }
+        val relAlts = alts.result()
         // variable-length hop `*lo..hi` (engine extension; ".." is two
         // '.' tokens — the lexer has no two-char dot symbol)
         val bounds = peek match {
@@ -407,6 +412,13 @@ object Parser {
         // variable or property map on it has no single referent
         if (bounds.isDefined && (relVar.isDefined || relProps.nonEmpty))
           fail("variable-length hops cannot carry a rel variable or property map")
+        // alternation composes with neither: varpaths are label-
+        // homogeneous, and a rel var / prop map on `[:a|b]` has no
+        // single relation type to resolve attributes against
+        if (relAlts.nonEmpty && bounds.isDefined)
+          fail("variable-length hops cannot alternate relation types")
+        if (relAlts.nonEmpty && (relVar.isDefined || relProps.nonEmpty))
+          fail("rel variables / property maps cannot combine with [:a|b] alternation")
         // forward hop closes `]->`, reverse closes `]-` then the node;
         // undirected `-[:r]-` closes `]-` with NO preceding `<` — the
         // next token is then the node's `(`, which no directed form
@@ -421,7 +433,7 @@ object Parser {
           }
         bounds match {
           case Some((lo, hi, dist)) => VarPattern(np, rl, lo, hi, pattern(), dist, dir)
-          case None => CompPattern(np, rl, pattern(), dir, relVar, relProps)
+          case None => CompPattern(np, rl, pattern(), dir, relVar, relProps, relAlts)
         }
       } else SimpPattern(np) // rev implies peek == '-', so this is fwd-only
     }

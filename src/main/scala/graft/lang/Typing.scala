@@ -69,6 +69,19 @@ object Typing {
     * name resolution. */
   final case class RMatchEdgeUndir(sv: String, srcLabel: String, rel: String,
       tv: String, tgtLabel: String, fwd: Boolean, rev: Boolean) extends RInstr
+  /** `[:a|b]` alternation hop (round 10, match-only): keep rows where
+    * ANY of `frames` connects `sv` to `tv`. Each frame is a declared
+    * relation triple plus its orientation relative to the pattern
+    * (`flipped` = read dst-as-src — the undirected alternation's
+    * reverse orientations); typing resolves exactly the declared
+    * combinations, statically-empty alternatives are dropped (at least
+    * one must survive). Per-PAIR existence semantics: a pair connected
+    * by several listed types yields ONE row — consistent with the
+    * cross+semi pair semantics of every match and the undirected
+    * reciprocal dedup. */
+  final case class RMatchEdgeAlt(sv: String, srcLabel: String, tv: String,
+      tgtLabel: String,
+      frames: List[((String, String, String), Boolean)]) extends RInstr
   final case class RDeleteNode(v: String, label: String) extends RInstr
   final case class RDeleteEdge(sv: String, srcLabel: String, rel: String, tv: String, tgtLabel: String) extends RInstr
   final case class RReturn(vs: List[String]) extends RInstr
@@ -306,7 +319,34 @@ object Typing {
           case CreateAct => Right((RCreateNode(v, lb), (v, lb) :: env))
           case MatchAct  => Right((RMatchNode(v, lb), (v, lb) :: env))
         }
-      case IActOnRel(act, sv, rl, tv, undir, rv, props) =>
+      case IActOnRel(act, sv, rl, tv, undir, rv, props, alts) if alts.nonEmpty =>
+        // `[:a|b]` alternation (parser guarantees no rv/props here)
+        (lookup(env, sv), lookup(env, tv)) match {
+          case (Some(sl), Some(tl)) =>
+            if (act == CreateAct)
+              Left(s"create needs a single relation type - " +
+                s"[:${(rl :: alts).mkString("|")}] alternation is match-only")
+            else {
+              val labels = (rl :: alts).distinct
+              // keep exactly the DECLARED combinations; undirected
+              // alternation admits each label's reverse orientation too
+              val frames = labels.flatMap { l =>
+                val f = if (schema.relTypes((sl, l, tl)))
+                  List(((sl, l, tl), false)) else Nil
+                val r = if (undir && schema.relTypes((tl, l, sl)))
+                  List(((tl, l, sl), true)) else Nil
+                f ++ r
+              }
+              if (frames.isEmpty)
+                Left(s"no declared relation type matches " +
+                  s"[:${labels.mkString("|")}] between (:$sl) and (:$tl)")
+              else Right((RMatchEdgeAlt(sv, sl, tv, tl, frames), env))
+            }
+          case (None, _) => Left(s"variable $sv not bound")
+          case (_, None) => Left(s"variable $tv not bound")
+        }
+
+      case IActOnRel(act, sv, rl, tv, undir, rv, props, _) =>
         (lookup(env, sv), lookup(env, tv)) match {
           case (Some(sl), Some(tl)) if undir =>
             // undirected hop: legal iff SOME orientation is declared;
@@ -707,7 +747,7 @@ object Typing {
     while (err.isEmpty && it.hasNext) {
       val in = it.next()
       in match {
-        case IActOnNode(MatchAct, _, _) | IActOnRel(MatchAct, _, _, _, _, _, _) |
+        case IActOnNode(MatchAct, _, _) | IActOnRel(MatchAct, _, _, _, _, _, _, _) |
             _: IWhere | IVarPathRel(MatchAct, _, _, _, _, _, _, _) => ()
         case other =>
           err = Some(s"$what pattern: illegal instruction $other")
@@ -737,6 +777,7 @@ object Typing {
         val refs = ris.flatMap {
           case RMatchEdge(sv, _, _, tv, _, _) => Seq(sv, tv)
           case RMatchEdgeUndir(sv, _, _, tv, _, _, _) => Seq(sv, tv)
+          case RMatchEdgeAlt(sv, _, tv, _, _) => Seq(sv, tv)
           case RVarPath(sv, _, _, _, tv, _, _) => Seq(sv, tv)
           case RWhere(te)                  => exprVars(te)
           case _                           => Seq.empty

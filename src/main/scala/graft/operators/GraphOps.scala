@@ -427,6 +427,40 @@ object GraphOps {
           |FROM lids
           |WHERE CAST(l_quantity AS BIGINT) < 48""".stripMargin))),
 
+    // --- `[:a|b]` relation alternation (round 10; Cypher's type
+    // union). Per-PAIR existence semantics: a pair connected by several
+    // listed types yields ONE row. Built on in-query edges over the two
+    // nation→tag relations; a single merged tag node keeps the
+    // multiplicity accounting trivial for the oracle.
+    Q("gql_match_alt",
+      bindings(
+        """merge (t:tag)
+          |match (a:nation) where a.regionkey = 0
+          |create (a) -[:tagged]-> (t)
+          |match (b:nation) where b.nationkey < 4
+          |create (b) -[:flagged]-> (t)
+          |match (m:nation) -[:tagged|flagged]-> (t2:tag)
+          |return distinct m""".stripMargin),
+      Some("""SELECT DISTINCT CAST(n_nationkey AS BIGINT) + 2000000000 AS m
+             |FROM nation WHERE n_regionkey = 0 OR n_nationkey < 4""".stripMargin)),
+
+    // bound-bound alternation: the semi-join path (no peephole), with
+    // row multiplicity preserved like any match-edge
+    Q("gql_match_alt_semi",
+      bindings(
+        """merge (t:tag)
+          |match (a:nation) where a.regionkey = 0
+          |create (a) -[:tagged]-> (t)
+          |match (b:nation) where b.nationkey < 4
+          |create (b) -[:flagged]-> (t)
+          |with distinct t as t3
+          |match (m:nation), (t2:tag)
+          |match (m) -[:tagged|flagged]-> (t2)
+          |return m, t2""".stripMargin),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS m,
+             |       20000000000 AS t2
+             |FROM nation WHERE n_regionkey = 0 OR n_nationkey < 4""".stripMargin)),
+
     // --- unwind: per-row list explosion (Cypher UNWIND; round 10).
     // Elements are full expressions evaluated per row; the alias binds
     // a scalar pseudo-label, so `k.val` feeds the typed where machinery.

@@ -72,6 +72,9 @@ object GraphLoader {
       ("lineitem", "lpart", "part"),
       ("lineitem", "lsupp", "supplier"),
       ("nation", "tagged", "tag"),
+      // a second nation→tag relation (round 10): gives `[:tagged|flagged]`
+      // alternation a same-endpoint pair to range over
+      ("nation", "flagged", "tag"),
       // label-homogeneous successor chain (same region, next nationkey):
       // the self-relation that variable-length paths -[:nnext*lo..hi]->
       // traverse; derived, not a source FK
@@ -108,6 +111,7 @@ object GraphLoader {
       |(:lineitem) -[:lpart {qty int}]-> (:part)
       |(:lineitem) -[:lsupp]-> (:supplier)
       |(:nation) -[:tagged {w int}]-> (:tag)
+      |(:nation) -[:flagged]-> (:tag)
       |(:nation) -[:nnext]-> (:nation)
       |""".stripMargin
 
@@ -294,6 +298,8 @@ object GraphLoader {
         (col("l_suppkey") + SupplierBase).as("dst")),
       ("nation", "tagged", "tag") -> PropertyGraph.empty(spark, schema)
         .edges(("nation", "tagged", "tag")),
+      ("nation", "flagged", "tag") -> PropertyGraph.empty(spark, schema)
+        .edges(("nation", "flagged", "tag")),
       // successor within region: a partitioned window (shuffles by
       // regionkey, sorts within partition — no single-partition funnel)
       ("nation", "nnext", "nation") -> {

@@ -25,6 +25,7 @@ class DifferentialSpec extends AnyFunSuite {
       |(:Q {y int})
       |(:P) -[:r {w int}]-> (:Q)
       |(:P) -[:s]-> (:P)
+      |(:P) -[:s2]-> (:P)
       |(:Q) -[:t]-> (:Q)
       |""".stripMargin
 
@@ -100,7 +101,7 @@ class DifferentialSpec extends AnyFunSuite {
         } else sb ++= s"match ($v:$lbl)\n"
         env = (v, lbl) :: env
       case 2 => // create or match edge on a declared rel type
-        val combos = Seq(("P", "r", "Q"), ("P", "s", "P"), ("Q", "t", "Q"))
+        val combos = Seq(("P", "r", "Q"), ("P", "s", "P"), ("P", "s2", "P"), ("Q", "t", "Q"))
           .flatMap { case (sl, rl, tl) =>
             for (a <- bound(sl); b <- bound(tl)) yield (a, rl, b)
           }
@@ -121,7 +122,16 @@ class DifferentialSpec extends AnyFunSuite {
           // written from either side, so the rev-only orientation branch
           // of RMatchEdgeUndir (e.g. `(q:Q)-[:r]-(p:P)` with only
           // (P,r,Q) declared) is generated too
-          if (kw == "match" && rnd.nextInt(3) == 0) {
+          if (kw == "match" && (rl == "s" || rl == "s2") && rnd.nextInt(3) == 0) {
+            // `[:s|s2]` alternation (round 10): per-pair existence over
+            // the two P→P relations, in all three directions
+            val alt = if (rl == "s") "s|s2" else "s2|s"
+            rnd.nextInt(3) match {
+              case 0 => sb ++= s"$kw ($a) -[:$alt]-> ($b)\n"
+              case 1 => sb ++= s"$kw ($b) <-[:$alt]- ($a)\n"
+              case _ => sb ++= s"$kw ($a) -[:$alt]- ($b)\n"
+            }
+          } else if (kw == "match" && rnd.nextInt(3) == 0) {
             if (rnd.nextBoolean()) sb ++= s"$kw ($a) -[:$rl]- ($b)\n"
             else sb ++= s"$kw ($b) -[:$rl]- ($a)\n"
           } else if (kw == "match" && rl == "r" && rnd.nextInt(3) == 0) {
@@ -699,6 +709,20 @@ class DifferentialSpec extends AnyFunSuite {
         |match (u:P)
         |where exists (u) -[:r {w: 30}]-> (v:Q)
         |return u
+        |""".stripMargin,
+      // round 10: [:s|s2] alternation — a pair connected by BOTH types
+      // yields ONE row (fused + bound-bound + undirected forms)
+      """create (a:P {x: 1, nm: "alpha"})
+        |create (b:P {x: 2, nm: "beta"})
+        |create (c:P {x: 3, nm: "gamma"})
+        |match (p1:P {x: 1}), (p2:P {x: 2}), (p3:P {x: 3})
+        |create (p1) -[:s]-> (p2)
+        |create (p1) -[:s2]-> (p2)
+        |create (p2) -[:s2]-> (p3)
+        |match (u:P) -[:s|s2]-> (v:P)
+        |match (u2:P)
+        |match (u2) -[:s|s2]- (v)
+        |return u, v, u2
         |""".stripMargin)
     progs.foreach(p => runBoth(header + p))
   }

@@ -386,6 +386,61 @@ class GoldenSpec extends AnyFunSuite {
       Set((0L, 1L)))
   }
 
+  test("relation alternation: per-pair existence, fused and semi paths, undirected") {
+    val altSrc =
+      """(:N {x int})
+        |(:N) -[:e]-> (:N)
+        |(:N) -[:f]-> (:N)
+        |create (a:N) create (b:N) create (c:N)
+        |set a.x = 1, b.x = 2, c.x = 3
+        |create (a) -[:e]-> (b)
+        |create (b) -[:f]-> (c)
+        |create (a) -[:f]-> (b)
+        |""".stripMargin
+    // fused (fresh target): a-b connected by BOTH e and f → ONE row
+    val r = Engine.runSource(spark, altSrc +
+      "match (u:N) -[:e|f]-> (v:N)\nreturn u, v")
+    assert(r.bindings.collect().map(t => (t.getLong(0), t.getLong(1))).sorted.toSeq ==
+      Seq((0L, 1L), (1L, 2L)))
+    // bound-bound (semi path): same pairs, multiplicity preserved
+    val r2 = Engine.runSource(spark, altSrc +
+      "match (u:N), (v:N)\nmatch (u) -[:e|f]-> (v)\nreturn u, v")
+    assert(r2.bindings.collect().map(t => (t.getLong(0), t.getLong(1))).sorted.toSeq ==
+      Seq((0L, 1L), (1L, 2L)))
+    // undirected alternation: b's neighbours via either type, either way
+    val r3 = Engine.runSource(spark, altSrc +
+      "match (u:N) -[:e|f]- (v:N)\nwhere u.x = 2\nreturn v")
+    assert(r3.bindings.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L))
+  }
+
+  test("relation alternation composes with exists / not exists / optional match") {
+    val altSrc =
+      """(:N {x int})
+        |(:N) -[:e]-> (:N)
+        |(:N) -[:f]-> (:N)
+        |create (a:N) create (b:N) create (c:N)
+        |set a.x = 1, b.x = 2, c.x = 3
+        |create (a) -[:e]-> (b)
+        |create (b) -[:f]-> (c)
+        |create (a) -[:f]-> (b)
+        |""".stripMargin
+    // exists: nodes with ANY outgoing e-or-f edge (a and b; not c)
+    val r = Engine.runSource(spark, altSrc +
+      "match (u:N)\nwhere exists (u) -[:e|f]-> (v:N)\nreturn u")
+    assert(r.bindings.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
+    // not exists: the mirror (only c has no outgoing edge of either type)
+    val r2 = Engine.runSource(spark, altSrc +
+      "match (u:N)\nwhere not exists (u) -[:e|f]-> (v:N)\nreturn u")
+    assert(r2.bindings.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // optional match: c survives with a NULL binding; a-b stays ONE row
+    // despite being connected by both types (per-pair witness dedup)
+    val r3 = Engine.runSource(spark, altSrc +
+      "match (u:N)\noptional match (u) -[:e|f]-> (v:N)\nreturn u, v")
+    assert(r3.bindings.collect()
+      .map(t => (t.getLong(0), if (t.isNullAt(1)) -1L else t.getLong(1)))
+      .sorted.toSeq == Seq((0L, 1L), (1L, 2L), (2L, -1L)))
+  }
+
   test("unwind: per-row list explosion with expression elements") {
     val r = Engine.runSource(spark, chainSrc +
       "match (n:N)\nwhere n.x <= 10\nunwind [n.x, n.x + 1, 7] as k\nreturn n, k")

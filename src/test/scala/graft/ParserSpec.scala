@@ -286,6 +286,24 @@ class ParserSpec extends AnyFunSuite {
     assert(ref.types.relTypes == List(RelTypeDecl("P", "r", "P", Nil)))
   }
 
+  test("relation alternation [:a|b] parses; illegal combinations rejected") {
+    val hdr = "(:P {x int})\n(:Q {})\n(:P) -[:r]-> (:Q)\n(:P) -[:s]-> (:Q)\n"
+    val p = Parser.parse(hdr + "match (a:P) -[:r|s]-> (b:Q)\nreturn a")
+    assert(p.query.clauses.head ==
+      Match(List(CompPattern(DeclPattern("a", "P"), "r",
+        SimpPattern(DeclPattern("b", "Q")), Fwd, None, Nil, List("s")))))
+    assert(intercept[Parser.ParseError](Parser.parse(hdr +
+      "match (a:P) -[x:r|s]-> (b:Q)\nreturn a"))
+      .getMessage.contains("cannot combine with [:a|b]"))
+    assert(intercept[Parser.ParseError](Parser.parse(hdr +
+      "match (a:P) -[:r|s {w: 1}]-> (b:Q)\nreturn a"))
+      .getMessage.contains("cannot combine with [:a|b]"))
+    assert(intercept[Parser.ParseError](Parser.parse(
+      "(:N {})\n(:N) -[:e]-> (:N)\n(:N) -[:f]-> (:N)\n" +
+        "match (a:N) -[:e|f*1..2]-> (b:N)\nreturn a"))
+      .getMessage.contains("cannot alternate"))
+  }
+
   test("unwind parses expression lists; alias mandatory; name stays contextual") {
     val p = Parser.parse(header + "match (a:P)\nunwind [1, a.x + 2] as k\nreturn a, k")
     assert(p.query.clauses(1) ==

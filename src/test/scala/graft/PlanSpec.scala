@@ -60,6 +60,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("alternation hop fuses too: equi-join against the type union") {
+    // PExpandAlt — cross+semi over any listed relation type fuses to
+    // ONE equi-join against the pair-deduped union of the resolved
+    // frames; the bound-bound form stays a semi-join (no cartesian
+    // reintroduced by the union side)
+    for (q <- Seq("gql_match_alt", "gql_match_alt_semi")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"unfused cross join in $q:\n$p")
+    }
+  }
+
   test("per-row repetition signals project with zero shuffle") {
     // p_text_rep_ngrams builds and dedups its n-gram arrays per row, so
     // the plan must be scan → project — any Exchange would mean the

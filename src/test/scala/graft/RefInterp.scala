@@ -133,6 +133,16 @@ object RefInterp {
       st.copy(rows = st.rows.filter(r => st.edges((r(cs), rl, r(ct)))),
         edgeEnv = rv.fold(st.edgeEnv)(x => (x, (cs, ct)) :: st.edgeEnv))
 
+    case RMatchEdgeAlt(sv, _, tv, _, frames) =>
+      // any-of existence over the resolved frames (flipped = reverse
+      // orientation); per-pair semantics like every match
+      val (cs, ct) = (st.colOf(sv), st.colOf(tv))
+      st.copy(rows = st.rows.filter(r => frames.exists {
+        case ((_, l, _), flipped) =>
+          if (flipped) st.edges((r(ct), l, r(cs)))
+          else st.edges((r(cs), l, r(ct)))
+      }))
+
     case RMatchEdgeUndir(sv, _, rl, tv, _, _, _) =>
       // either-direction existence (the model ignores labels, so the
       // declared-orientation flags are moot here)

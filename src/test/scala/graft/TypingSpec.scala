@@ -622,6 +622,27 @@ class TypingSpec extends AnyFunSuite {
       .contains("rel variable x cannot be referenced inside"))
   }
 
+  test("relation alternation: match-only, declared-combination resolution") {
+    val ah = "(:P {x int})\n(:Q {y int})\n(:P) -[:r]-> (:Q)\n(:P) -[:s]-> (:Q)\n" +
+      "(:Q) -[:t]-> (:P)\n"
+    // match-only
+    assert(err(ah + "create (a:P)\ncreate (b:Q)\ncreate (a) -[:r|s]-> (b)")
+      .contains("alternation is match-only"))
+    // no declared combination at all
+    assert(err(ah + "match (a:P)\nmatch (b:Q)\nmatch (b) -[:r|s]-> (a)")
+      .contains("no declared relation type matches"))
+    // statically-empty alternatives drop; survivors resolve
+    val tp = Typing.compile(ah +
+      "match (a:P)\nmatch (b:Q)\nmatch (a) -[:r|s|t]-> (b)\nreturn a, b")
+    assert(tp.instrs.collectFirst { case Typing.RMatchEdgeAlt(_, _, _, _, fs) => fs }
+      .contains(List((("P", "r", "Q"), false), (("P", "s", "Q"), false))))
+    // undirected alternation admits each label's declared reverse too
+    val tpu = Typing.compile(ah +
+      "match (a:P)\nmatch (b:Q)\nmatch (a) -[:r|t]- (b)\nreturn a, b")
+    assert(tpu.instrs.collectFirst { case Typing.RMatchEdgeAlt(_, _, _, _, fs) => fs }
+      .contains(List((("P", "r", "Q"), false), (("Q", "t", "P"), true))))
+  }
+
   test("skip/limit beyond Int.MaxValue rejected at typing time (ADVICE r09)") {
     // the engine pages via Dataset.offset/limit (Int): a Long value
     // above 2^31-1 used to silently wrap to a negative page
