@@ -933,6 +933,9 @@ object Engine {
   private def collectAttrs(te: TExpr): Seq[TAttr] = te match {
     case a: TAttr         => Seq(a)
     case TBin(_, l, r, _) => collectAttrs(l) ++ collectAttrs(r)
+    case TUn(_, e, _)     => collectAttrs(e)
+    case TCase(ws, o, _)  =>
+      ws.flatMap { case (c, v) => collectAttrs(c) ++ collectAttrs(v) } ++ collectAttrs(o)
     case _                => Nil
   }
 
@@ -1152,14 +1155,36 @@ object Engine {
         } else c
       case TBin(op, l, r, _) =>
         val (a, b) = (sql(l, refs, st, strict), sql(r, refs, st, strict))
-        val o = op match {
-          case BAadd => "+"; case BAsub => "-"; case BAmul => "*"
-          case BAdiv => "div"; case BAmod => "%"
-          case BCeq => "="; case BCne => "<>"
-          case BCge => ">="; case BCgt => ">"; case BCle => "<="; case BClt => "<"
-          case BLand => "AND"; case BLor => "OR"
+        op match {
+          // string predicates compile to Spark's codegen'd functions
+          case BSstarts   => s"startswith($a, $b)"
+          case BSends     => s"endswith($a, $b)"
+          case BScontains => s"contains($a, $b)"
+          case _ =>
+            val o = op match {
+              case BAadd => "+"; case BAsub => "-"; case BAmul => "*"
+              case BAdiv => "div"; case BAmod => "%"
+              case BCeq => "="; case BCne => "<>"
+              case BCge => ">="; case BCgt => ">"; case BCle => "<="; case BClt => "<"
+              case BLand => "AND"; case BLor => "OR"
+              case other => throw new IllegalStateException(s"unreachable binop $other")
+            }
+            s"($a $o $b)"
         }
-        s"($a $o $b)"
+      case TUn(op, e, _) =>
+        val a = sql(e, refs, st, strict)
+        op match {
+          case USlower => s"lower($a)"
+          case USupper => s"upper($a)"
+          case UStrim  => s"trim($a)"
+          // Spark length() is INT; the language's only int is int64
+          case USsize  => s"cast(length($a) as bigint)"
+        }
+      case TCase(whens, otherwise, _) =>
+        val ws = whens.map { case (c, v) =>
+          s"WHEN ${sql(c, refs, st, strict)} THEN ${sql(v, refs, st, strict)}"
+        }.mkString(" ")
+        s"(CASE $ws ELSE ${sql(otherwise, refs, st, strict)} END)"
     }
 
   private def sqlTp(tp: AttribTp): String = tp match {

@@ -39,12 +39,37 @@ case object BCne extends BinOp
 // unset-attribute raise, ANSI div-by-zero). Documented in Engine's scaladoc.
 case object BLand extends BinOp
 case object BLor extends BinOp
+// string predicates (string × string → bool; engine extension — Cypher's
+// STARTS WITH / ENDS WITH / CONTAINS, parsed at comparison precedence)
+case object BSstarts extends BinOp
+case object BSends extends BinOp
+case object BScontains extends BinOp
+
+/** Unary string functions (engine extension; Cypher's
+  * toLower/toUpper/trim/size over the string value type). `size` is
+  * string → int (character count); the rest are string → string. */
+sealed trait UnOp extends Product with Serializable
+case object USlower extends UnOp
+case object USupper extends UnOp
+case object UStrim extends UnOp
+case object USsize extends UnOp
 
 sealed trait Expr extends Product with Serializable
 final case class Const(v: Value) extends Expr
 /** `v.f` — attribute access on the node bound to variable `v`. */
 final case class AttribAcc(v: String, field: String) extends Expr
 final case class Bin(op: BinOp, l: Expr, r: Expr) extends Expr
+/** `lower(e)` / `upper(e)` / `trim(e)` / `size(e)` — contextual call
+  * shapes like `null(v)`: a variable named lower still works. */
+final case class Un(op: UnOp, e: Expr) extends Expr
+/** Searched `case when c1 then e1 … else e end` (engine extension —
+  * Cypher/SQL's conditional). The `else` is MANDATORY: MiniGQL values
+  * have no NULL, so Cypher's implicit null default has no counterpart
+  * (a deliberate, typed deviation). Branch types must agree; only the
+  * taken branch's effects (strict unset-attr raise, ANSI div-by-zero)
+  * can fire — SQL CASE short-circuits, consistent with the documented
+  * AND/OR deviation from the reference's evaluate-both order. */
+final case class CaseExpr(whens: List[(Expr, Expr)], otherwise: Expr) extends Expr
 /** `null(v)` — true iff `v`'s binding is NULL on this row (engine
   * extension; only an `optional match` target can be NULL). Composes
   * with equality for negation: `null(m) = false`. */

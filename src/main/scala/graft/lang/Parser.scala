@@ -512,8 +512,29 @@ object Parser {
     def expr(): Expr = orExpr()
     private def orExpr(): Expr = leftAssoc(andExpr, Map("or" -> BLor))
     private def andExpr(): Expr = leftAssoc(cmpExpr, Map("and" -> BLand))
-    private def cmpExpr(): Expr = leftAssoc(addExpr,
-      Map("=" -> BCeq, ">=" -> BCge, ">" -> BCgt, "<=" -> BCle, "<" -> BClt, "<>" -> BCne))
+    private val cmpOps =
+      Map("=" -> BCeq, ">=" -> BCge, ">" -> BCgt, "<=" -> BCle, "<" -> BClt, "<>" -> BCne)
+    private def cmpExpr(): Expr = {
+      // symbol comparisons plus the contextual string predicates
+      // `starts with` / `ends with` / `contains` (Cypher spelling; same
+      // precedence tier). `starts`/`ends`/`contains` stay usable as
+      // variable names — only the operator POSITION (after a complete
+      // operand, with `with` following for the two-word forms) is
+      // special, like every other contextual keyword
+      var e = addExpr()
+      var go = true
+      while (go) peek match {
+        case TSym(s) if cmpOps.contains(s) => i += 1; e = Bin(cmpOps(s), e, addExpr())
+        case TIdent("starts") if peek2 == TIdent("with") =>
+          i += 2; e = Bin(BSstarts, e, addExpr())
+        case TIdent("ends") if peek2 == TIdent("with") =>
+          i += 2; e = Bin(BSends, e, addExpr())
+        case TIdent("contains") =>
+          i += 1; e = Bin(BScontains, e, addExpr())
+        case _ => go = false
+      }
+      e
+    }
     private def addExpr(): Expr = leftAssoc(mulExpr, Map("+" -> BAadd, "-" -> BAsub))
     private def mulExpr(): Expr = leftAssoc(primary,
       Map("*" -> BAmul, "/" -> BAdiv, "mod" -> BAmod))
@@ -540,6 +561,37 @@ object Parser {
         val v = ident()
         expectSym(")")
         NullCheck(v)
+      // unary string functions — contextual call shapes (a variable
+      // named lower still works: `lower.f` has peek2 == '.')
+      case TIdent(fn @ ("lower" | "upper" | "trim" | "size")) if peek2 == TSym("(") =>
+        i += 2
+        val e = expr()
+        expectSym(")")
+        Un(fn match {
+          case "lower" => USlower; case "upper" => USupper
+          case "trim"  => UStrim;  case "size"  => USsize
+        }, e)
+      // searched case expression: `case when c then e … else e end`.
+      // Contextual on `case` FOLLOWED BY `when`, so `case.f` stays an
+      // attribute access on a variable named case
+      case TIdent("case") if peek2 == TIdent("when") =>
+        i += 1
+        val whens = List.newBuilder[(Expr, Expr)]
+        while (peek == TIdent("when")) {
+          i += 1
+          val c = expr()
+          if (peek != TIdent("then")) fail(s"expected then in case expression, got $peek")
+          i += 1
+          whens += ((c, expr()))
+        }
+        if (peek != TIdent("else"))
+          fail(s"case expression requires an else branch (MiniGQL has no " +
+            s"NULL value to default to), got $peek")
+        i += 1
+        val other = expr()
+        if (peek != TIdent("end")) fail(s"expected end closing case expression, got $peek")
+        i += 1
+        CaseExpr(whens.result(), other)
       case TIdent(v) =>
         i += 1
         expectSym(".")

@@ -26,6 +26,9 @@ object Typing {
   }
   final case class TAttr(v: String, label: String, field: String, tp: AttribTp) extends TExpr
   final case class TBin(op: BinOp, l: TExpr, r: TExpr, tp: AttribTp) extends TExpr
+  final case class TUn(op: UnOp, e: TExpr, tp: AttribTp) extends TExpr
+  final case class TCase(whens: List[(TExpr, TExpr)], otherwise: TExpr,
+      tp: AttribTp) extends TExpr
   /** `null(v)` — binding-null test (extension; see [[ROptMatch]]). */
   final case class TNullCheck(v: String) extends TExpr { def tp: AttribTp = BoolT }
 
@@ -306,8 +309,45 @@ object Typing {
           case BLand | BLor =>
             if (tl.tp == BoolT && tr.tp == BoolT) Right(TBin(op, tl, tr, BoolT))
             else Left(s"logic $op requires bool operands, got ${tl.tp}/${tr.tp}")
+          case BSstarts | BSends | BScontains =>
+            if (tl.tp == StringT && tr.tp == StringT) Right(TBin(op, tl, tr, BoolT))
+            else Left(s"string predicate ${strPredName(op)} requires string " +
+              s"operands, got ${tl.tp}/${tr.tp}")
         }
       } yield res
+    case Un(op, e1) =>
+      tpExpr(schema, env, e1).flatMap { te =>
+        if (te.tp != StringT)
+          Left(s"${unName(op)} requires a string operand, got ${te.tp}")
+        else Right(TUn(op, te, if (op == USsize) IntT else StringT))
+      }
+    case CaseExpr(whens, otherwise) =>
+      val typedWhens = whens.foldLeft[Either[String, List[(TExpr, TExpr)]]](Right(Nil)) {
+        case (acc, (c, v)) =>
+          for {
+            tail <- acc
+            tc <- tpExpr(schema, env, c)
+            _ <- if (tc.tp == BoolT) Right(())
+                 else Left(s"case condition must be bool, got ${tc.tp}")
+            tv <- tpExpr(schema, env, v)
+          } yield (tc, tv) :: tail
+      }.map(_.reverse)
+      for {
+        tws <- typedWhens
+        to <- tpExpr(schema, env, otherwise)
+        tps = (tws.map(_._2.tp) :+ to.tp).distinct
+        res <- if (tps.size == 1) Right(TCase(tws, to, to.tp))
+               else Left(s"case branches must share one type, got ${tps.mkString("/")}")
+      } yield res
+  }
+
+  private def strPredName(op: BinOp): String = op match {
+    case BSstarts => "starts with"; case BSends => "ends with"
+    case _        => "contains"
+  }
+  private def unName(op: UnOp): String = op match {
+    case USlower => "lower"; case USupper => "upper"
+    case UStrim  => "trim";  case USsize  => "size"
   }
 
   /** Per-instruction environment transformer (reference typing.ml:201-268). */
@@ -797,6 +837,9 @@ object Typing {
     case TAttr(v, _, _, _) => List(v)
     case TNullCheck(v)     => List(v)
     case TBin(_, l, r, _)  => exprVars(l) ++ exprVars(r)
+    case TUn(_, e, _)      => exprVars(e)
+    case TCase(ws, o, _)   =>
+      ws.flatMap { case (c, v) => exprVars(c) ++ exprVars(v) } ++ exprVars(o)
     case _: TConst         => Nil
   }
 

@@ -491,6 +491,66 @@ object GraphOps {
              |  FROM nation) u
              |GROUP BY k""".stripMargin)),
 
+    // --- string predicates + functions + case (round 10 continued —
+    // Cypher's STARTS WITH / ENDS WITH / CONTAINS at comparison
+    // precedence, lower/upper/trim/size call shapes, searched CASE with
+    // a mandatory else). All compile to codegen'd Spark SQL functions
+    // inside the same filter/projection — no UDFs, scan-speed.
+    Q("gql_str_pred",
+      bindings(
+        """match (n:nation) -[:nregion]-> (r:region)
+          |where r.name starts with "A" or r.name ends with "PE"
+          |   or n.name contains "2" and n.nationkey < 21
+          |return n, r""".stripMargin),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |       CAST(r_regionkey AS BIGINT) + 1000000000 AS r
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |WHERE starts_with(r_name, 'A') OR ends_with(r_name, 'PE')
+             |   OR (contains(n_name, '2') AND n_nationkey < 21)""".stripMargin)),
+
+    // string functions compose with predicates and feed unwind's scalar
+    // projection idiom (a 1-element list projects a computed value)
+    Q("gql_str_fn",
+      bindings(
+        """match (r:region)
+          |where size(r.name) >= 6 and lower(r.name) contains "a"
+          |unwind [trim(upper(r.name))] as u
+          |return r, u""".stripMargin),
+      Some("""SELECT CAST(r_regionkey AS BIGINT) + 1000000000 AS r,
+             |       trim(upper(r_name)) AS u
+             |FROM region
+             |WHERE length(r_name) >= 6 AND contains(lower(r_name), 'a')""".stripMargin)),
+
+    // searched case: first matching branch wins, else is mandatory
+    // (MiniGQL has no NULL value to default to); only the taken branch
+    // evaluates — SQL CASE semantics
+    Q("gql_case",
+      bindings(
+        """match (n:nation)
+          |unwind [case when n.regionkey = 0 then "zero"
+          |             when n.name ends with "1" then "one like"
+          |             else lower(n.name) end] as bucket
+          |return n, bucket""".stripMargin),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |       CASE WHEN n_regionkey = 0 THEN 'zero'
+             |            WHEN ends_with(n_name, '1') THEN 'one like'
+             |            ELSE lower(n_name) END AS bucket
+             |FROM nation""".stripMargin)),
+
+    // case drives a conditional set: the computed value lands on the
+    // graph and a re-match reads it back (per-row spec semantics)
+    Q("gql_case_set",
+      nodeFrame(
+        """match (p:part) where p.psize < 20
+          |set p.psize = case when p.psize mod 2 = 0 then p.psize / 2
+          |                   else p.psize * 3 + 1 end""".stripMargin,
+        "part", ("id", "p"), ("psize", "psize")),
+      Some("""SELECT CAST(p_partkey AS BIGINT) + 5000000000 AS p,
+             |       CAST(CASE WHEN p_size >= 20 THEN p_size
+             |                 WHEN p_size % 2 = 0 THEN p_size // 2
+             |                 ELSE p_size * 3 + 1 END AS BIGINT) AS psize
+             |FROM part""".stripMargin)),
+
     // --- union: query-level branch composition (Cypher UNION; round
     // 10). Branches are independent read-only queries over one graph;
     // `union` dedups the combined bag — one Catalyst Union + one hash

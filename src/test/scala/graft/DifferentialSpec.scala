@@ -54,20 +54,41 @@ class DifferentialSpec extends AnyFunSuite {
       val atom = if (xvars.isEmpty || rnd.nextBoolean()) (rnd.nextInt(10) + 1).toString
                  else pick(xvars)
       if (depth == 0) atom
-      else rnd.nextInt(4) match {
+      else rnd.nextInt(6) match {
         case 0 => s"($atom + ${intExpr(depth - 1)})"
         case 1 => s"(${intExpr(depth - 1)} * ${rnd.nextInt(3) + 1})"
         case 2 => s"(${intExpr(depth - 1)} / ${rnd.nextInt(3) + 2})" // nonzero const divisor
-        case _ => s"(${intExpr(depth - 1)} mod ${rnd.nextInt(4) + 2})"
+        case 3 => s"(${intExpr(depth - 1)} mod ${rnd.nextInt(4) + 2})"
+        // round 10: size over a string expression (string → int)
+        case 4 => s"(size(${strExpr(1)}) + ${intExpr(depth - 1)})"
+        // round 10: searched case — only the taken branch evaluates in
+        // BOTH engines (SQL CASE / RefInterp's collectFirst), and the
+        // generator keeps all attrs set + const divisors nonzero, so
+        // short-circuiting is unobservable and results stay equal
+        case _ => s"(case when ${boolExpr(0)} then ${intExpr(depth - 1)} " +
+          s"else ${intExpr(depth - 1)} end)"
       }
+    }
+    def strExpr(depth: Int): String = {
+      val svars = bound("P").map(_ + ".nm")
+      val atom = if (svars.nonEmpty && rnd.nextBoolean()) pick(svars)
+                 else s"\"${pick(Seq("alpha", "beta", "gamma", " padded "))}\""
+      if (depth == 0) atom
+      else s"${pick(Seq("lower", "upper", "trim"))}(${strExpr(depth - 1)})"
     }
     def boolExpr(depth: Int): String = {
       val svars = bound("P").map(_ + ".nm")
-      val base =
-        if (svars.nonEmpty && rnd.nextInt(4) == 0)
+      val base = rnd.nextInt(8) match {
+        case 0 | 1 if svars.nonEmpty =>
           // polymorphic string equality (reference sem.ml:168,173)
           s"${pick(svars)} ${pick(Seq("=", "<>"))} \"${pick(Seq("alpha", "beta", "gamma"))}\""
-        else s"${intExpr(1)} ${pick(Seq("=", "<>", ">=", ">", "<=", "<"))} ${intExpr(1)}"
+        case 2 | 3 =>
+          // round 10: string predicates over function-wrapped operands
+          s"${strExpr(1)} ${pick(Seq("starts with", "ends with", "contains"))} " +
+            s"\"${pick(Seq("a", "al", "ta", "mm", "ET", "pad", ""))}\""
+        case _ =>
+          s"${intExpr(1)} ${pick(Seq("=", "<>", ">=", ">", "<=", "<"))} ${intExpr(1)}"
+      }
       if (depth == 0 || rnd.nextBoolean()) base
       else s"($base ${pick(Seq("and", "or"))} ${boolExpr(depth - 1)})"
     }
@@ -156,8 +177,14 @@ class DifferentialSpec extends AnyFunSuite {
       case 4 => // set on an existing binding (path bindings are immutable)
         if (env.nonEmpty) {
           val (v, lbl) = env(rnd.nextInt(env.size))
-          if (latest(v).contains(lbl) && !lbl.startsWith("%") )
-            sb ++= s"set $v.${if (lbl == "P") "x" else "y"} = ${intExpr(1)}\n"
+          if (latest(v).contains(lbl) && !lbl.startsWith("%")) {
+            // round 10: a third of P-sets write the STRING attr through
+            // the string-function pipeline instead of the int attr
+            if (lbl == "P" && rnd.nextInt(3) == 0)
+              sb ++= s"set $v.nm = ${strExpr(1 + rnd.nextInt(2))}\n"
+            else
+              sb ++= s"set $v.${if (lbl == "P") "x" else "y"} = ${intExpr(1)}\n"
+          }
         }
       case 5 => // variable-length path over a self-label relation
         // the two forms exercise both engine paths: bound→bound is the
@@ -723,6 +750,23 @@ class DifferentialSpec extends AnyFunSuite {
         |match (u2:P)
         |match (u2) -[:s|s2]- (v)
         |return u, v, u2
+        |""".stripMargin,
+      // round 10: string predicates / functions / case — every new
+      // expression form on both engines, incl. trim of a padded
+      // literal, size as an int atom, and a case-driven conditional set
+      """create (a:P {x: 1, nm: "alpha"})
+        |create (b:P {x: 2, nm: "beta"})
+        |create (c:P {x: 3, nm: " padded "})
+        |match (u:P)
+        |where u.nm starts with "a" or u.nm ends with "ta"
+        |   or trim(u.nm) = "padded" and size(u.nm) > 6
+        |set u.x = case when upper(u.nm) contains "ALP" then u.x * 10
+        |               when size(trim(u.nm)) = 6 then 66
+        |               else u.x + 100 end
+        |set u.nm = lower(upper(trim(u.nm)))
+        |match (w:P)
+        |where w.nm contains ""
+        |return w
         |""".stripMargin)
     progs.foreach(p => runBoth(header + p))
   }

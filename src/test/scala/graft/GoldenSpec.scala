@@ -222,6 +222,51 @@ class GoldenSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("string predicates/functions and case: values, and case's strict short-circuit") {
+    val src =
+      """(:N {x int, s string})
+        |create (a:N {x: 1, s: "Alpha One"})
+        |create (b:N {x: 2, s: " beta "})
+        |""".stripMargin
+    // predicates + functions in one filter: a matches via contains
+    // (case-normalized), b via trim+size
+    val r = Engine.runSource(spark, src +
+      "match (n:N)\nwhere lower(n.s) contains \"alpha\" or size(trim(n.s)) = 4\nreturn n, n.x")
+    assert(r.bindings.collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
+    // starts/ends are case-sensitive; upper() feeds them
+    val r2 = Engine.runSource(spark, src +
+      "match (n:N)\nwhere n.s starts with \"Al\" and upper(n.s) ends with \"ONE\"\nreturn n.x")
+    assert(r2.bindings.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // case picks the first matching branch; computed via set, read back
+    // (the re-match multiplies against the 2-row binding table: 2×2
+    // rows, each m value seen twice — spec cross-join semantics)
+    val r3 = Engine.runSource(spark, src +
+      """match (n:N)
+        |set n.x = case when n.s contains "eta" then 20
+        |               when n.s starts with "Al" then 10 else 0 end
+        |match (m:N)
+        |return m.x""".stripMargin)
+    assert(r3.bindings.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 10L, 20L, 20L))
+    // STRICT short-circuit: the unset attribute in the UNTAKEN branch
+    // must not raise (SQL CASE evaluates only the taken branch — the
+    // documented extension semantics, Ast.CaseExpr)
+    val partial =
+      """(:N {x int, s string})
+        |create (a:N {s: "go"})
+        |""".stripMargin
+    val r4 = Engine.runSource(spark, partial +
+      "match (n:N)\nwhere (case when n.s = \"go\" then 7 else n.x end) = 7\nreturn n")
+    assert(r4.bindings.collect().length == 1)
+    // …and the TAKEN branch still raises on the unset attribute
+    val ex = intercept[Exception] {
+      Engine.runSource(spark, partial +
+        "match (n:N)\nwhere (case when n.s = \"go\" then n.x else 7 end) = 7\nreturn n")
+        .bindings.collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("match-props semantics: strict raises on an unset attribute, non-strict drops the row") {
     // the documented deliberate deviation from Cypher (Ast.DeclPattern):
     // {f: e} desugars to the language's own `where v.f = e`, so it

@@ -329,4 +329,48 @@ class ParserSpec extends AnyFunSuite {
     val v = Parser.parse(header + "create (union:P)\nreturn union")
     assert(v.query.clauses.collect { case Return(vs) => vs }.flatten == List("union"))
   }
+
+  test("string predicates parse at comparison precedence; names stay contextual") {
+    // `and` binds looser than `contains`:  (s contains t) and (…)
+    val e = whereExpr(header +
+      "create (a:P)\nset a.s = \"ab\"\nmatch (p:P)\nwhere p.s contains \"a\" and p.s starts with \"b\"")
+    e match {
+      case Typing.TBin(BLand,
+        Typing.TBin(BScontains, _, _, _), Typing.TBin(BSstarts, _, _, _), _) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    // two-word forms require the `with`; `ends` alone is just an ident
+    intercept[Exception](Parser.parse(header + "match (p:P)\nwhere p.s ends \"a\"\nreturn p"))
+    // starts / ends / contains remain legal variable names
+    val v = Parser.parse(header + "create (starts:P)\ncreate (contains:P)\nreturn starts, contains")
+    assert(v.query.clauses.collect { case Return(vs) => vs }.flatten ==
+      List("starts", "contains"))
+  }
+
+  test("string functions and case parse; case demands then/else/end") {
+    val e = whereExpr(header +
+      "create (a:P)\nwhere size(trim(lower(upper(a.s)))) = 2")
+    e match {
+      case Typing.TBin(BCeq, Typing.TUn(USsize,
+        Typing.TUn(UStrim, Typing.TUn(USlower, Typing.TUn(USupper, _, _), _), _), IntT), _, _) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    val c = whereExpr(header +
+      "create (a:P)\nwhere (case when a.x > 1 then 2 when a.x = 0 then 3 else 4 end) = 2")
+    c match {
+      case Typing.TBin(BCeq, Typing.TCase(List(_, _), _, IntT), _, _) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    assert(intercept[Parser.ParseError](Parser.parse(header +
+      "match (a:P)\nwhere case when a.x > 1 then 2 end = 2\nreturn a"))
+      .getMessage.contains("requires an else branch"))
+    assert(intercept[Parser.ParseError](Parser.parse(header +
+      "match (a:P)\nwhere case when a.x > 1 else 4 end = 2\nreturn a"))
+      .getMessage.contains("expected then"))
+    // `case` and `lower` stay usable as variable names (call/when shape
+    // is what's special, like null(v))
+    val v = Parser.parse(header + "create (case:P)\ncreate (lower:P)\nreturn case, lower")
+    assert(v.query.clauses.collect { case Return(vs) => vs }.flatten ==
+      List("case", "lower"))
+  }
 }

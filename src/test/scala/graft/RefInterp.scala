@@ -483,6 +483,9 @@ object RefInterp {
         }
         case (StringV(a), StringV(b)) => op match {
           case BCeq => BoolV(a == b); case BCne => BoolV(a != b)
+          case BSstarts   => BoolV(a.startsWith(b))
+          case BSends     => BoolV(a.endsWith(b))
+          case BScontains => BoolV(a.contains(b))
           case _ => throw new IllegalStateException(s"bad string op $op")
         }
         case (BoolV(a), BoolV(b)) => op match {
@@ -492,6 +495,22 @@ object RefInterp {
         }
         case other => throw new IllegalStateException(s"type error at runtime: $other")
       }
+    case TUn(op, e, _) =>
+      eval(st, row, e) match {
+        case StringV(a) => op match {
+          // Locale.ROOT case mapping and ASCII-space trim: exactly
+          // Spark's UTF8String semantics on the generator's charset
+          case USlower => StringV(a.toLowerCase(java.util.Locale.ROOT))
+          case USupper => StringV(a.toUpperCase(java.util.Locale.ROOT))
+          case UStrim  => StringV(a.replaceAll("^ +| +$", ""))
+          case USsize  => IntV(a.codePointCount(0, a.length).toLong)
+        }
+        case other => throw new IllegalStateException(s"string fn on $other")
+      }
+    case TCase(whens, otherwise, _) =>
+      whens.collectFirst {
+        case (c, v) if eval(st, row, c) == BoolV(true) => eval(st, row, v)
+      }.getOrElse(eval(st, row, otherwise))
   }
 
   private object VecOrd extends Ordering[Vector[Long]] {

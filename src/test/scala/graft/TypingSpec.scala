@@ -655,4 +655,28 @@ class TypingSpec extends AnyFunSuite {
     // boundary value still typechecks
     Typing.compile(header + s"match (a:P) return a limit ${Int.MaxValue}")
   }
+
+  test("string predicates/functions/case typecheck strictly (round 10)") {
+    // predicates need string × string
+    assert(err(header + "match (a:P)\nwhere a.x contains \"1\"\nreturn a")
+      .contains("requires string operands"))
+    assert(err(header + "match (a:P)\nwhere a.s starts with a.x\nreturn a")
+      .contains("requires string operands"))
+    // functions need a string operand; size yields int
+    assert(err(header + "match (a:P)\nwhere size(a.x) = 1\nreturn a")
+      .contains("size requires a string operand"))
+    assert(err(header + "match (a:P)\nwhere lower(a.s) = size(a.s)\nreturn a")
+      .contains("same-typed operands"))
+    // case: bool conditions, one branch type
+    assert(err(header + "match (a:P)\nwhere (case when a.x then 1 else 2 end) = 1\nreturn a")
+      .contains("case condition must be bool"))
+    assert(err(header + "match (a:P)\nwhere (case when a.x = 1 then a.s else 2 end) = 2\nreturn a")
+      .contains("case branches must share one type"))
+    // positive: the full composition types as bool where / int set
+    Typing.compile(header +
+      """match (a:P)
+        |where lower(a.s) ends with trim(" x ") and size(upper(a.s)) > 1
+        |set a.x = case when a.s contains "q" then size(a.s) else a.x end
+        |return a""".stripMargin)
+  }
 }
