@@ -575,7 +575,7 @@ object Engine {
       st.copy(bindings = projected, env = vs.map(v => (v, v)), edgeEnv = Nil)
 
     case RReturnExt(items, order, skip, limit, distinct) =>
-      val shaped = shapeExt(st, items, order, skip, limit, distinct, retName(items))
+      val shaped = shapeExt(st, items, order, skip, limit, distinct, retName(items), cfg.strict)
       // engine env lists EVERY output column (the final projection walks
       // it); the TYPING env is what restricts later instructions to the
       // plain-variable bindings, so the extra outName entries are inert
@@ -598,7 +598,7 @@ object Engine {
       // guarantees agg/distinct keys are items, and duplicates hold
       // identical values so either column orders the same
       val shaped = shapeExt(st, items, order, skip, limit, distinct,
-        it => cols(items.indexOf(it)))
+        it => cols(items.indexOf(it)), cfg.strict)
       // with-scalars have binding-NULL semantics (like optional-match
       // targets): a NULL value — e.g. sum over an empty global group —
       // fails predicates instead of raising under strict mode. Variable
@@ -780,7 +780,7 @@ object Engine {
     * pagination stays a top-k shape, not a global sort. */
   private def shapeExt(st: ExecState, items: List[RRet],
       order: List[(RRet, Boolean)], skip: Option[Long], limit: Option[Long],
-      distinct: Boolean, name: RRet => String): DataFrame = {
+      distinct: Boolean, name: RRet => String, strict: Boolean): DataFrame = {
     def page(df: DataFrame): DataFrame = {
       val skipped = skip.fold(df)(n => df.offset(n.toInt))
       limit.fold(skipped)(n => skipped.limit(n.toInt))
@@ -790,6 +790,10 @@ object Engine {
     def leafCol(it: RRet): Column = it match {
       case RRetVar(v)             => col(st.colOf(v))
       case RRetAttr(v, _, f, _)   => col(refs((v, f)))
+      // full-expression item / order key / aggregate argument: the same
+      // compiled-SQL column the where/set path uses (strict-mode
+      // unset-attr guards included) — stays inside the one projection
+      case RRetExpr(te)           => expr(sql(te, refs, st, strict))
       case _: RRetAgg             => throw new IllegalStateException("agg leaf")
     }
     // distinct aggregates plan as Spark's standard two-phase distinct
@@ -843,7 +847,7 @@ object Engine {
       // plain items are the grouping keys (SQL semantics); zero plain
       // items = global aggregate. Partial (map-side) aggregation comes
       // free from Catalyst.
-      val groups = items.collect { case it @ (_: RRetVar | _: RRetAttr) =>
+      val groups = items.collect { case it @ (_: RRetVar | _: RRetAttr | _: RRetExpr) =>
         leafCol(it).as(name(it)) }
       val aggs = items.collect { case it @ RRetAgg(fn, arg, dist) =>
         aggExpr(fn, leafCol(arg), dist).as(name(it)) }
@@ -942,6 +946,7 @@ object Engine {
   private def collectRetAttrs(it: RRet): Seq[TAttr] = it match {
     case RRetAttr(v, l, f, tp) => Seq(TAttr(v, l, f, tp))
     case RRetAgg(_, arg, _)    => collectRetAttrs(arg)
+    case RRetExpr(te)          => collectAttrs(te)
     case _: RRetVar            => Nil
   }
 

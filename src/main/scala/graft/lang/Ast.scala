@@ -177,10 +177,18 @@ case object AggAvg extends AggFn { val name = "avg" }
 sealed trait RetItem extends Product with Serializable
 final case class RetVar(v: String) extends RetItem
 final case class RetAttr(v: String, field: String) extends RetItem
+/** A full expression as a projection item (round 10 continued —
+  * Cypher's `WITH expr AS x`): legal in `with` (where the alias
+  * machinery names it — an alias is mandatory) and as an `order by`
+  * key; a plain `return` REJECTS it in typing (return items have no
+  * alias syntax — project through `with <expr> as x` first). Also the
+  * argument form of aggregates over expressions (`sum(x.f * 2)`,
+  * `count(case … end)`). */
+final case class RetExpr(e: Expr) extends RetItem
 /** `distinct` aggregates over the argument's distinct values —
   * `count(distinct v)` / `sum(distinct v.f)`; a no-op for min/max. */
 final case class RetAgg(fn: AggFn, arg: RetItem,
-    distinct: Boolean = false) extends RetItem // arg: RetVar | RetAttr
+    distinct: Boolean = false) extends RetItem // arg: RetVar | RetAttr | RetExpr
 
 sealed trait Clause extends Product with Serializable
 final case class Create(pats: List[Pattern]) extends Clause

@@ -327,16 +327,37 @@ object Parser {
           case TIdent("distinct") if peek2.isInstanceOf[TIdent] => i += 1; true
           case _ => false
         }
-        val arg = varOrAttr()
+        val arg = retArg()
         expectSym(")")
         RetAgg(aggFns(fn), arg, dist)
-      case _ => varOrAttr()
+      case _ => retArg()
     }
 
-    private def varOrAttr(): RetItem = {
-      val v = ident()
-      if (peek == TSym(".")) { i += 1; RetAttr(v, ident()) } else RetVar(v)
+    /** A projection item / aggregate argument: a bare variable stays
+      * [[RetVar]], a lone attribute access [[RetAttr]]; anything that
+      * starts (or continues) as a larger expression — `v.f + 1`,
+      * `size(v.s)`, `case when … end`, literals — becomes [[RetExpr]]
+      * via the full expression parser (round 10 continued). The ONLY
+      * lookahead needed is "does this start like an expression": an
+      * identifier followed by `.` might still be a plain attr item,
+      * so we parse the expression and classify the RESULT. */
+    private def retArg(): RetItem = peek match {
+      case TIdent(name) if peek2 == TSym(".") || exprHead(name) =>
+        expr() match {
+          case AttribAcc(v, f) => RetAttr(v, f)
+          case e               => RetExpr(e)
+        }
+      case TIdent(_) => RetVar(ident())
+      case _ => RetExpr(expr()) // literals, parenthesized expressions
     }
+
+    /** Contextual expression heads that are NOT attr accesses: the
+      * call shapes (null/lower/upper/trim/size + `(`) and `case when`. */
+    private def exprHead(name: String): Boolean =
+      (peek2 == TSym("(") &&
+        (name == "null" || name == "lower" || name == "upper" ||
+          name == "trim" || name == "size")) ||
+      (name == "case" && peek2 == TIdent("when"))
 
     private def identList(): List[String] = {
       val b = List.newBuilder[String]

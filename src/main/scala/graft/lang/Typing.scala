@@ -99,12 +99,21 @@ object Typing {
   final case class RRetAttr(v: String, label: String, field: String, tp: AttribTp) extends RRet {
     def outName: String = s"${v}_$field"
   }
+  /** A typed full-expression projection item (round 10 continued —
+    * `with <expr> as x` / aggregate-over-expression arguments / order
+    * keys). `outName` is a placeholder: in `with` the mandatory alias
+    * names the column, in `return` typing rejects the item, and order
+    * keys never surface a name. */
+  final case class RRetExpr(te: TExpr) extends RRet {
+    def outName: String = "<expr>"
+  }
   final case class RRetAgg(fn: AggFn, arg: RRet, distinct: Boolean = false) extends RRet {
     def outName: String = {
       val d = if (distinct) "distinct_" else ""
       arg match {
         case RRetVar(v)              => s"${fn.name}_$d$v"
         case RRetAttr(v, _, f, _)    => s"${fn.name}_$d${v}_$f"
+        case _: RRetExpr             => s"${fn.name}_$d<expr>" // with-only: the alias names it
         case a: RRetAgg              => s"${fn.name}_$d${a.outName}" // unreachable: parser rejects nesting
       }
     }
@@ -503,7 +512,18 @@ object Typing {
         sequenceRet(items.map(resolveRet(schema, env))).flatMap { ritems =>
           val names = ritems.map(_.outName)
           val dups = names.diff(names.distinct).distinct
-          if (dups.nonEmpty)
+          // return items have no alias syntax, so a full-expression item
+          // (or aggregate-over-expression) has no output name — point
+          // the user at with's alias machinery instead
+          val hasExpr = ritems.exists {
+            case _: RRetExpr                 => true
+            case RRetAgg(_, _: RRetExpr, _)  => true
+            case _                           => false
+          }
+          if (hasExpr)
+            Left("expression return items need an alias: project them " +
+              "through `with <expr> as x` (then return x)")
+          else if (dups.nonEmpty)
             Left(s"duplicate output column(s) in return: ${dups.mkString(", ")}")
           else sequenceRet(order.map { case (k, _) => resolveRet(schema, env)(k) }).flatMap { rkeys =>
             val rorder = rkeys.zip(order.map(_._2))
@@ -548,6 +568,8 @@ object Typing {
                   val env2 = pairs.map {
                     case (RRetVar(v), a)            => (a, lookup(env, v).get)
                     case (RRetAttr(_, _, _, tp), a) => (a, scalarLabel(tp))
+                    // a full-expression item binds the scalar of its type
+                    case (RRetExpr(te), a)          => (a, scalarLabel(te.tp))
                     // count and the int-only sum/min/max/avg yield int
                     case (_: RRetAgg, a)            => (a, scalarLabel(IntT))
                   }
@@ -719,12 +741,20 @@ object Typing {
             .toRight(s"attribute $f not declared for label $lbl (variable $v)")
             .map(tp => RRetAttr(v, lbl, f, tp))
       }
+    case RetExpr(e) => tpExpr(schema, env, e).map(RRetExpr(_))
     case RetAgg(fn, arg, dist) =>
       resolveRet(schema, env)(arg).flatMap {
         case a: RRetAgg => Left(s"nested aggregate ${fn.name}(${a.outName})")
         case a @ RRetAttr(v, _, f, tp) =>
           if (fn != AggCount && tp != IntT)
             Left(s"${fn.name}($v.$f) requires an int attribute, got $tp")
+          else Right(RRetAgg(fn, a, dist))
+        case a @ RRetExpr(te) =>
+          // aggregate over a full expression (round 10 continued):
+          // sum/min/max/avg need an int-typed expression; count takes
+          // any (every MiniGQL value is non-null, so it counts rows)
+          if (fn != AggCount && te.tp != IntT)
+            Left(s"${fn.name}(<expr>) requires an int expression, got ${te.tp}")
           else Right(RRetAgg(fn, a, dist))
         case a @ RRetVar(v) =>
           if (fn != AggCount) Left(s"${fn.name}($v) requires an attribute argument")
@@ -880,6 +910,8 @@ object Typing {
         case RRetVar(v)              => (v, colKind(lookup(env, v).get))
         case a @ RRetAttr(_, _, _, tp) => (a.outName, tp)
         case a: RRetAgg              => (a.outName, IntT)
+        // unreachable: IReturnExt rejects expression items before this
+        case e: RRetExpr => throw new IllegalStateException(s"expr return item $e")
       }
       case other => throw new IllegalStateException(s"non-return last $other")
     }

@@ -537,6 +537,61 @@ object GraphOps {
              |            ELSE lower(n_name) END AS bucket
              |FROM nation""".stripMargin)),
 
+    // --- expression projection items (round 10 continued): full
+    // expressions ride `with … as x` (alias machinery names them),
+    // aggregate arguments (`sum(case … end)` — conditional
+    // aggregation), and `order by` keys. All stay inside the one
+    // shaping projection/aggregate — the plan cost is identical to the
+    // equivalent attr item.
+    Q("gql_with_expr",
+      bindings(
+        """match (n:nation)
+          |with n, case when n.regionkey = 0 then n.nationkey * 100
+          |             else n.nationkey end as score
+          |where score.val >= 100
+          |return n, score""".stripMargin),
+      Some("""SELECT n, score FROM (
+             |  SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |         CASE WHEN n_regionkey = 0 THEN CAST(n_nationkey AS BIGINT) * 100
+             |              ELSE CAST(n_nationkey AS BIGINT) END AS score
+             |  FROM nation) t
+             |WHERE score >= 100""".stripMargin)),
+
+    // conditional aggregation: sum over a case expression, grouped by a
+    // plain attr item — the SQL sum-filter idiom
+    Q("gql_agg_expr",
+      bindings(
+        """match (n:nation)
+          |with n.regionkey as rk,
+          |     sum(case when n.nationkey mod 2 = 0 then 1 else 0 end) as evens,
+          |     count(n) as total
+          |return rk, evens, total""".stripMargin),
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS rk,
+             |       CAST(SUM(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS evens,
+             |       COUNT(*) AS total
+             |FROM nation GROUP BY 1""".stripMargin)),
+
+    // a STRING expression as the grouping key (scalar pseudo-label
+    // carries its type through the continued query)
+    Q("gql_group_expr",
+      bindings(
+        """match (s:supplier)
+          |with case when s.nationkey < 12 then "low" else upper("hi") end as bucket,
+          |     count(s) as c
+          |return bucket, c""".stripMargin),
+      Some("""SELECT CASE WHEN s_nationkey < 12 THEN 'low' ELSE upper('hi') END AS bucket,
+             |       COUNT(*) AS c
+             |FROM supplier GROUP BY 1""".stripMargin)),
+
+    // expression ORDER BY key in return: top-3 regions by name length
+    // (desc), name as the tiebreak — the key never becomes a column
+    Q("gql_order_expr",
+      bindings(
+        "match (r:region)\nreturn r, r.name order by size(r.name) desc, r.name limit 3"),
+      Some("""SELECT CAST(r_regionkey AS BIGINT) + 1000000000 AS r,
+             |       r_name AS r_name
+             |FROM region ORDER BY length(r_name) DESC, r_name LIMIT 3""".stripMargin)),
+
     // case drives a conditional set: the computed value lands on the
     // graph and a re-match reads it back (per-row spec semantics)
     Q("gql_case_set",

@@ -342,16 +342,34 @@ class DifferentialSpec extends AnyFunSuite {
               case "%int"              => Some(s"$v.val")
               case _                   => None
             } }
+          // round 10: an int-expression source — a case/arith expression
+          // over a scalar attr (kept parenthesized so the order-key
+          // re-parse is structurally identical to the item)
+          def exprSrc(): String = {
+            val src = pick(intSrcs)
+            rnd.nextInt(3) match {
+              case 0 => s"($src + ${rnd.nextInt(5) + 1})"
+              case 1 => s"($src mod ${rnd.nextInt(3) + 2})"
+              case _ => s"(case when $src > ${rnd.nextInt(8)} then $src " +
+                s"else ${rnd.nextInt(5)} end)"
+            }
+          }
           val withAgg = intSrcs.nonEmpty && rnd.nextBoolean()
           if (withAgg) {
             val src = pick(intSrcs)
             val dist = if (rnd.nextInt(4) == 0) "distinct " else ""
             val fn = pick(Seq("count", "sum", "min", "max", "avg"))
-            val arg = if (fn == "count" && rnd.nextBoolean()) src.split('.').head else src
+            // a third of aggregate arguments are full expressions
+            // (conditional aggregation, round 10)
+            val arg =
+              if (rnd.nextInt(3) == 0) exprSrc()
+              else if (fn == "count" && rnd.nextBoolean()) src.split('.').head
+              else src
             n += 1
             items = items :+ (s"$fn($dist$arg)", s"$fn($dist$arg) as v$n", s"v$n", "%int")
           } else if (intSrcs.nonEmpty && rnd.nextInt(3) == 0) {
-            val src = pick(intSrcs)
+            // half bare attr sources, half full expression items
+            val src = if (rnd.nextBoolean()) exprSrc() else pick(intSrcs)
             n += 1
             items = items :+ (src, s"$src as v$n", s"v$n", "%int")
           }

@@ -267,6 +267,33 @@ class GoldenSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("expression projection: with items, conditional aggregation, expr order keys") {
+    val src =
+      """(:N {x int, s string})
+        |create (a:N {x: 1, s: "aa"})
+        |create (b:N {x: 2, s: "bbb"})
+        |create (c:N {x: 3, s: "bbb"})
+        |""".stripMargin
+    // expression item + continued filter on the scalar
+    val r = Engine.runSource(spark, src +
+      "match (n:N)\nwith n, case when n.x mod 2 = 1 then n.x * 10 else n.x end as y\nwhere y.val >= 10\nreturn y")
+    assert(r.bindings.collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 30L))
+    // conditional aggregation over a string-grouped key: group by s,
+    // sum(case odd→x else 0)
+    val r2 = Engine.runSource(spark, src +
+      "match (n:N)\nwith n.s as g, sum(case when n.x mod 2 = 1 then n.x else 0 end) as odds\nreturn g, odds")
+    assert(r2.bindings.collect().map(t => (t.getString(0), t.getLong(1))).sortBy(_._1)
+      .toSeq == Seq(("aa", 1L), ("bbb", 3L)))
+    // expression order key in return: by size(s) desc then x desc, top 2
+    val r3 = Engine.runSource(spark, src +
+      "match (n:N)\nreturn n.x order by size(n.s) desc, n.x desc limit 2")
+    assert(r3.bindings.collect().map(_.getLong(0)).toSeq == Seq(3L, 2L))
+    // a literal item is a constant scalar the query continues with
+    val r4 = Engine.runSource(spark, src +
+      "match (n:N)\nwith n, 5 as k\nwhere n.x < k.val\nreturn n.x")
+    assert(r4.bindings.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("match-props semantics: strict raises on an unset attribute, non-strict drops the row") {
     // the documented deliberate deviation from Cypher (Ast.DeclPattern):
     // {f: e} desugars to the language's own `where v.f = e`, so it

@@ -373,4 +373,31 @@ class ParserSpec extends AnyFunSuite {
     assert(v.query.clauses.collect { case Return(vs) => vs }.flatten ==
       List("case", "lower"))
   }
+
+  test("projection items classify: var / attr / expression / agg-over-expr") {
+    val p = Parser.parse(header +
+      "match (a:P)\nwith a, a.x as b, a.x + 1 as c, sum(a.x * 2) as d, 7 as e\nreturn a")
+    val items = p.query.clauses.collectFirst {
+      case WithClause(its, _, _, _, _) => its }.get
+    assert(items(0) == ((RetVar("a"), None)))
+    assert(items(1) == ((RetAttr("a", "x"), Some("b"))))          // lone attr stays RetAttr
+    items(2) match {
+      case (RetExpr(Bin(BAadd, AttribAcc("a", "x"), _)), Some("c")) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    items(3) match {
+      case (RetAgg(AggSum, RetExpr(Bin(BAmul, _, _)), false), Some("d")) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    assert(items(4) == ((RetExpr(Const(IntV(7))), Some("e"))))   // literal item
+    // expression order keys parse through the same item grammar
+    val o = Parser.parse(header +
+      "match (a:P)\nreturn a order by size(a.s) desc limit 2")
+    val keys = o.query.clauses.collectFirst {
+      case ReturnExt(_, ord, _, _, _) => ord }.get
+    keys.head match {
+      case (RetExpr(Un(USsize, AttribAcc("a", "s"))), false) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+  }
 }

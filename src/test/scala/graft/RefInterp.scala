@@ -326,6 +326,15 @@ object RefInterp {
             case Some(other)   => throw new IllegalStateException(s"non-int attr value $other")
             case None => throw new IllegalStateException(s"attribute $f not set for $v")
           }
+        case RRetExpr(te) =>
+          // full-expression item / order key / aggregate argument
+          // (round 10 continued): int-only in the Long-row model, like
+          // attr items — the generator draws exactly int exprs
+          eval(st, r, te) match {
+            case IntV(i) => Some(i)
+            case other => throw new UnsupportedOperationException(
+              s"non-int with expression not supported by the Long-row interpreter: $other")
+          }
         case _: RRetAgg => throw new IllegalStateException("agg leaf")
       }
       // NULL leaves are excluded BEFORE aggregation (Spark agg skips
@@ -384,14 +393,14 @@ object RefInterp {
           // global aggregate — exactly one row even over no input,
           // like Spark's df.groupBy().agg
           val plainIdx = items.zipWithIndex.collect {
-            case (it @ (_: RRetVar | _: RRetAttr), i) => (it, i) }
+            case (it @ (_: RRetVar | _: RRetAttr | _: RRetExpr), i) => (it, i) }
           val groups: List[(Vector[Long], List[Vector[Long]])] =
             if (plainIdx.isEmpty) List(Vector.empty[Long] -> st.rows)
             else st.rows.groupBy(r =>
               plainIdx.map { case (it, _) => out(leaf(r, it)) }.toVector).toList
           val outRows = groups.map { case (key, rs) =>
             items.zipWithIndex.map {
-              case (_: RRetVar | _: RRetAttr, i) =>
+              case (_: RRetVar | _: RRetAttr | _: RRetExpr, i) =>
                 key(plainIdx.indexWhere(_._2 == i))
               case (RRetAgg(fn, arg, dist), _) =>
                 out(aggVal(fn, rs.flatMap(r => leaf(r, arg)), dist))

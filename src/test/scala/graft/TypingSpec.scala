@@ -679,4 +679,32 @@ class TypingSpec extends AnyFunSuite {
         |set a.x = case when a.s contains "q" then size(a.s) else a.x end
         |return a""".stripMargin)
   }
+
+  test("expression projection items: with-only, typed aliases, agg args") {
+    // return has no alias syntax — expression items rejected with the
+    // with-pointer, for both bare items and aggregate arguments
+    assert(err(header + "match (a:P)\nreturn a, a.x + 1")
+      .contains("through `with <expr> as x`"))
+    assert(err(header + "match (a:P)\nreturn a, sum(a.x * 2)")
+      .contains("through `with <expr> as x`"))
+    // with: expression items REQUIRE an alias (the generic with rule)
+    assert(err(header + "match (a:P)\nwith a, a.x + 1\nreturn a")
+      .contains("needs an alias"))
+    // non-count aggregates need an int-typed expression argument
+    assert(err(header + "match (a:P)\nwith sum(lower(a.s)) as s\nreturn s")
+      .contains("requires an int expression"))
+    // the alias binds the expression's TYPE: a string expression makes
+    // a %string scalar — int arithmetic on it rejects downstream
+    assert(err(header +
+      "match (a:P)\nwith lower(a.s) as t\nwhere t.val + 1 = 2\nreturn t")
+      .contains("requires int operands"))
+    // …and a bool one feeds where directly
+    Typing.compile(header +
+      "match (a:P)\nwith a, a.s contains \"q\" as f\nwhere f.val\nreturn a")
+    // count over any-typed expression is legal; expr order keys too
+    Typing.compile(header +
+      "match (a:P)\nwith count(lower(a.s)) as c\nreturn c")
+    Typing.compile(header +
+      "match (a:P)\nreturn a order by size(a.s) desc, a.x mod 3 limit 2")
+  }
 }
