@@ -574,12 +574,17 @@ object Engine {
       // scope restriction drops every rel binding (not returnable)
       st.copy(bindings = projected, env = vs.map(v => (v, v)), edgeEnv = Nil)
 
-    case RReturnExt(items, order, skip, limit, distinct) =>
-      val shaped = shapeExt(st, items, order, skip, limit, distinct, retName(items), cfg.strict)
+    case RReturnExt(pairs, order, skip, limit, distinct) =>
+      // items are named by their resolved pair name (explicit alias or
+      // derived outName); order keys equal to an item resolve to its
+      // first occurrence — duplicates hold identical values
+      val items = pairs.map(_._1)
+      val shaped = shapeExt(st, items, order, skip, limit, distinct,
+        it => pairs(items.indexOf(it))._2, cfg.strict)
       // engine env lists EVERY output column (the final projection walks
       // it); the TYPING env is what restricts later instructions to the
-      // plain-variable bindings, so the extra outName entries are inert
-      st.copy(bindings = shaped, env = items.map(it => (it.outName, it.outName)),
+      // plain-variable bindings, so the extra name entries are inert
+      st.copy(bindings = shaped, env = pairs.map { case (_, a) => (a, a) },
         edgeEnv = Nil)
 
     case RWith(aliasedItems, order, skip, limit, distinct) =>
@@ -764,10 +769,6 @@ object Engine {
       bump(st.copy(graph = st.graph.copy(edges = st.graph.edges.updated(key, e2)),
         edgeEnv = st.edgeEnv.filterNot(_._1 == v)), Right(key), cfg)
   }
-
-  /** Output-column naming for extended return: the deterministic
-    * outName of each item. */
-  private def retName(items: List[RRet]): RRet => String = _.outName
 
   /** The shared return/with shaping: attribute joins, aggregation
     * (plain items = grouping keys), distinct, order, skip, limit. `name`

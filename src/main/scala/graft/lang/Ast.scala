@@ -205,7 +205,12 @@ final case class Return(vs: List[String]) extends Clause
   * rows AFTER ordering and BEFORE limit — like limit, deterministic
   * only under an order that fully determines the page boundary. */
 final case class ReturnExt(
-    items: List[RetItem],
+    /** Items with their optional `as alias` output names (round 10
+      * continued — Cypher's `RETURN expr AS x`): an alias renames any
+      * item's output column; expression items REQUIRE one (no derivable
+      * name); an aliased plain variable also re-binds under the alias
+      * for any later clause, mirroring `with`. */
+    items: List[(RetItem, Option[String])],
     order: List[(RetItem, Boolean)], // (key, ascending)
     skip: Option[Long],
     limit: Option[Long],

@@ -38,7 +38,8 @@ final case class IReturn(vs: List[String]) extends Instruction
 final case class IWhere(e: Expr) extends Instruction
 final case class ISet(v: String, field: String, e: Expr) extends Instruction
 /** Extension instructions (no reference counterpart). */
-final case class IReturnExt(items: List[RetItem], order: List[(RetItem, Boolean)],
+final case class IReturnExt(items: List[(RetItem, Option[String])],
+    order: List[(RetItem, Boolean)],
     skip: Option[Long], limit: Option[Long], distinct: Boolean) extends Instruction
 /** Mid-query projection/aggregation (see [[WithClause]]); items carry
   * their optional `as` aliases — resolution (defaulting, scalar

@@ -288,14 +288,24 @@ object Parser {
 
     private def returnClause(): Clause = {
       val distinct = distinctModifier()
-      val items = List.newBuilder[RetItem]
-      items += retItem()
-      while (peek == TSym(",")) { i += 1; items += retItem() }
+      // items carry an optional `as alias` exactly like with items
+      // (round 10 continued — Cypher's RETURN expr AS x)
+      val items = List.newBuilder[(RetItem, Option[String])]
+      def one(): Unit = {
+        val it = retItem()
+        val alias = peek match {
+          case TIdent("as") => i += 1; Some(ident())
+          case _            => None
+        }
+        items += ((it, alias))
+      }
+      one()
+      while (peek == TSym(",")) { i += 1; one() }
       val (ord, skip, limit) = orderLimit()
       val its = items.result()
       if (!distinct && ord.isEmpty && skip.isEmpty && limit.isEmpty &&
-          its.forall(_.isInstanceOf[RetVar]))
-        Return(its.collect { case RetVar(v) => v })
+          its.forall { case (it, a) => it.isInstanceOf[RetVar] && a.isEmpty })
+        Return(its.collect { case (RetVar(v), _) => v })
       else ReturnExt(its, ord, skip, limit, distinct)
     }
 
@@ -322,9 +332,13 @@ object Parser {
       case TIdent(fn) if aggFns.contains(fn) && peek2 == TSym("(") =>
         i += 2
         // `count(distinct v)` — same contextual-identifier rule as the
-        // return-level modifier
+        // return-level modifier, extended to parenthesized expression
+        // arguments (`sum(distinct (v.x + 1))`, round 10): a bare
+        // variable named distinct still counts via `count(distinct)`,
+        // and `distinct` followed by an ident or `(` is the modifier
         val dist = peek match {
-          case TIdent("distinct") if peek2.isInstanceOf[TIdent] => i += 1; true
+          case TIdent("distinct")
+              if peek2.isInstanceOf[TIdent] || peek2 == TSym("(") => i += 1; true
           case _ => false
         }
         val arg = retArg()

@@ -118,7 +118,9 @@ object Typing {
       }
     }
   }
-  final case class RReturnExt(items: List[RRet], order: List[(RRet, Boolean)],
+  /** Extended return: items paired with their resolved output names
+    * (explicit `as` alias, or the derived outName — round 10 continued). */
+  final case class RReturnExt(items: List[(RRet, String)], order: List[(RRet, Boolean)],
       skip: Option[Long], limit: Option[Long], distinct: Boolean = false) extends RInstr
   /** Mid-query `with` (see [[graft.lang.WithClause]]): the same shaping
     * as [[RReturnExt]], but each item re-binds under its resolved alias
@@ -509,32 +511,37 @@ object Typing {
         }
       case IReturnExt(items, order, skip, limit, distinct) =>
         checkPage(skip, limit, "return").flatMap(_ =>
-        sequenceRet(items.map(resolveRet(schema, env))).flatMap { ritems =>
-          val names = ritems.map(_.outName)
-          val dups = names.diff(names.distinct).distinct
-          // return items have no alias syntax, so a full-expression item
-          // (or aggregate-over-expression) has no output name — point
-          // the user at with's alias machinery instead
-          val hasExpr = ritems.exists {
-            case _: RRetExpr                 => true
-            case RRetAgg(_, _: RRetExpr, _)  => true
-            case _                           => false
+        sequenceRet(items.map { case (it, _) => resolveRet(schema, env)(it) }).flatMap { ritems =>
+          // output naming (round 10 continued — Cypher's RETURN … AS x):
+          // an explicit alias renames any item; var/attr/agg items
+          // default to their derived outName; a full-expression item (or
+          // aggregate-over-expression) has no derivable name, so the
+          // alias is mandatory — same rule as with
+          val named = ritems.zip(items.map(_._2)).map {
+            case (r, Some(a)) => Right((r, a))
+            case (r @ (_: RRetExpr | RRetAgg(_, _: RRetExpr, _)), None) =>
+              Left(s"expression return item needs an alias (as x)"):
+                Either[String, (RRet, String)]
+            case (r, None) => Right((r, r.outName))
           }
-          if (hasExpr)
-            Left("expression return items need an alias: project them " +
-              "through `with <expr> as x` (then return x)")
-          else if (dups.nonEmpty)
-            Left(s"duplicate output column(s) in return: ${dups.mkString(", ")}")
-          else sequenceRet(order.map { case (k, _) => resolveRet(schema, env)(k) }).flatMap { rkeys =>
-            val rorder = rkeys.zip(order.map(_._2))
-            checkRetShape(ritems, rkeys, distinct, "return", "returned items") match {
-              case Some(e) => Left(e)
-              case None =>
-                // subsequent instructions may reference the surviving
-                // plain-variable bindings only (attr/agg columns are
-                // output-only), mirroring RReturn's env restriction
-                val env2 = ritems.collect { case RRetVar(v) => (v, lookup(env, v).get) }
-                Right((RReturnExt(ritems, rorder, skip, limit, distinct), env2))
+          sequenceRet(named).flatMap { pairs =>
+            val names = pairs.map(_._2)
+            val dups = names.diff(names.distinct).distinct
+            if (dups.nonEmpty)
+              Left(s"duplicate output column(s) in return: ${dups.mkString(", ")}")
+            else sequenceRet(order.map { case (k, _) => resolveRet(schema, env)(k) }).flatMap { rkeys =>
+              val rorder = rkeys.zip(order.map(_._2))
+              checkRetShape(ritems, rkeys, distinct, "return", "returned items") match {
+                case Some(e) => Left(e)
+                case None =>
+                  // subsequent instructions may reference the surviving
+                  // plain-variable bindings only (attr/agg columns are
+                  // output-only), mirroring RReturn's env restriction;
+                  // an aliased variable re-binds under its alias
+                  val env2 = pairs.collect {
+                    case (RRetVar(v), a) => (a, lookup(env, v).get) }
+                  Right((RReturnExt(pairs, rorder, skip, limit, distinct), env2))
+              }
             }
           }
         })
@@ -906,12 +913,11 @@ object Typing {
       // plain return: env IS the return list (name → label), in order
       case RReturn(_) => env.map { case (v, l) => (v, colKind(l)) }
       case RReturnExt(items, _, _, _, _) => items.map {
-        // the post-return env keeps exactly the plain-variable items
-        case RRetVar(v)              => (v, colKind(lookup(env, v).get))
-        case a @ RRetAttr(_, _, _, tp) => (a.outName, tp)
-        case a: RRetAgg              => (a.outName, IntT)
-        // unreachable: IReturnExt rejects expression items before this
-        case e: RRetExpr => throw new IllegalStateException(s"expr return item $e")
+        // output name is the resolved pair name; kind from the item
+        case (RRetVar(v), a)            => (a, colKind(lookup(env, a).orElse(lookup(env, v)).get))
+        case (RRetAttr(_, _, _, tp), a) => (a, tp)
+        case (_: RRetAgg, a)            => (a, IntT)
+        case (RRetExpr(te), a)          => (a, te.tp)
       }
       case other => throw new IllegalStateException(s"non-return last $other")
     }

@@ -592,6 +592,20 @@ object GraphOps {
              |       r_name AS r_name
              |FROM region ORDER BY length(r_name) DESC, r_name LIMIT 3""".stripMargin)),
 
+    // return item aliases (Cypher's RETURN expr AS x): expression items
+    // ride return directly once aliased; attr/agg items rename — the
+    // one projection/aggregate names the output columns, nothing extra
+    Q("gql_ret_alias",
+      bindings(
+        """match (n:nation)
+          |return n.regionkey as rk,
+          |       sum(case when n.nationkey mod 2 = 0 then 1 else 0 end) as evens,
+          |       count(n) as total""".stripMargin),
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS rk,
+             |       CAST(SUM(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS evens,
+             |       COUNT(*) AS total
+             |FROM nation GROUP BY 1""".stripMargin)),
+
     // case drives a conditional set: the computed value lands on the
     // graph and a re-match reads it back (per-row spec semantics)
     Q("gql_case_set",

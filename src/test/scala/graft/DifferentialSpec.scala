@@ -496,7 +496,9 @@ class DifferentialSpec extends AnyFunSuite {
   }
 
   test("pinned regression seeds") {
-    for (seed <- Seq(1L, 7L, 42L, 1234L, 99999L)) runBoth(genProgram(seed))
+    // -1629: count(distinct (expr)) — the agg distinct modifier must
+    // admit a parenthesized expression argument (round 10)
+    for (seed <- Seq(1L, 7L, 42L, 1234L, 99999L, -1629L)) runBoth(genProgram(seed))
   }
 
   /** Read-only union query over the P/Q graph: 2-3 branches, every

@@ -292,6 +292,17 @@ class GoldenSpec extends AnyFunSuite {
     val r4 = Engine.runSource(spark, src +
       "match (n:N)\nwith n, 5 as k\nwhere n.x < k.val\nreturn n.x")
     assert(r4.bindings.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // return item aliases: expression items directly in return, and
+    // aliased attr/agg output columns (Cypher RETURN expr AS x)
+    val r5 = Engine.runSource(spark, src +
+      "match (n:N)\nreturn n.s as g, sum(case when n.x mod 2 = 1 then n.x else 0 end) as odds")
+    assert(r5.bindings.columns.toSeq == Seq("g", "odds"))
+    assert(r5.bindings.collect().map(t => (t.getString(0), t.getLong(1))).sortBy(_._1)
+      .toSeq == Seq(("aa", 1L), ("bbb", 3L)))
+    val r6 = Engine.runSource(spark, src +
+      "match (n:N)\nreturn n.x * 10 as tens order by n.x desc limit 2")
+    assert(r6.bindings.columns.toSeq == Seq("tens"))
+    assert(r6.bindings.collect().map(_.getLong(0)).toSeq == Seq(30L, 20L))
   }
 
   test("match-props semantics: strict raises on an unset attribute, non-strict drops the row") {

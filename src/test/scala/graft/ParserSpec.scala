@@ -94,7 +94,7 @@ class ParserSpec extends AnyFunSuite {
       header + "create (a:P)\nreturn a, a.x, count(a), sum(a.x) order by a.x desc, a limit 7")
     assert(p.query.clauses.last == ReturnExt(
       List(RetVar("a"), RetAttr("a", "x"), RetAgg(AggCount, RetVar("a")),
-        RetAgg(AggSum, RetAttr("a", "x"))),
+        RetAgg(AggSum, RetAttr("a", "x"))).map(it => (it, None)),
       List((RetAttr("a", "x"), false), (RetVar("a"), true)),
       None, Some(7L)))
   }
@@ -109,14 +109,14 @@ class ParserSpec extends AnyFunSuite {
     val p = Parser.parse(
       header + "create (a:P)\nreturn a order by a skip 2 limit 3")
     assert(p.query.clauses.last ==
-      ReturnExt(List(RetVar("a")), List((RetVar("a"), true)), Some(2L), Some(3L), false))
+      ReturnExt(List((RetVar("a"), None)), List((RetVar("a"), true)), Some(2L), Some(3L), false))
     // contextual: a variable named skip returns plainly
     val v = Parser.parse(header + "create (skip:P)\nreturn skip")
     assert(v.query.clauses.last == Return(List("skip")))
     // skip without limit is legal (drop a prefix, keep the rest)
     val s = Parser.parse(header + "create (a:P)\nreturn a order by a skip 1")
     assert(s.query.clauses.last ==
-      ReturnExt(List(RetVar("a")), List((RetVar("a"), true)), Some(1L), None, false))
+      ReturnExt(List((RetVar("a"), None)), List((RetVar("a"), true)), Some(1L), None, false))
   }
 
   test("order/limit are contextual: order-by needs both words") {
@@ -169,17 +169,17 @@ class ParserSpec extends AnyFunSuite {
     // `return distinct.f` → attribute access on the variable
     val attr = Parser.parse(header + "create (distinct:P)\nreturn distinct.x")
     assert(attr.query.clauses.collect {
-      case ReturnExt(List(RetAttr(v, f)), _, _, _, d) => (v, f, d) } ==
+      case ReturnExt(List((RetAttr(v, f), None)), _, _, _, d) => (v, f, d) } ==
       List(("distinct", "x", false)))
   }
 
   test("count(distinct v) parses; count(distinct) counts a variable named distinct") {
     val m = Parser.parse(header + "create (a:P)\nreturn count(distinct a)")
     assert(m.query.clauses.collect {
-      case ReturnExt(List(RetAgg(AggCount, RetVar("a"), d)), _, _, _, _) => d } == List(true))
+      case ReturnExt(List((RetAgg(AggCount, RetVar("a"), d), None)), _, _, _, _) => d } == List(true))
     val bare = Parser.parse(header + "create (distinct:P)\nreturn count(distinct)")
     assert(bare.query.clauses.collect {
-      case ReturnExt(List(RetAgg(AggCount, RetVar(v), d)), _, _, _, _) => (v, d) } ==
+      case ReturnExt(List((RetAgg(AggCount, RetVar(v), d), None)), _, _, _, _) => (v, d) } ==
       List(("distinct", false)))
   }
 
@@ -399,5 +399,22 @@ class ParserSpec extends AnyFunSuite {
       case (RetExpr(Un(USsize, AttribAcc("a", "s"))), false) => ()
       case other => fail(s"wrong shape: $other")
     }
+  }
+
+  test("return items take as-aliases; aliased plain vars leave the fast path") {
+    val p = Parser.parse(header +
+      "match (a:P)\nreturn a, a.x as y, a.x + 1 as z")
+    val items = p.query.clauses.collectFirst {
+      case ReturnExt(its, _, _, _, _) => its }.get
+    assert(items(0) == ((RetVar("a"), None)))
+    assert(items(1) == ((RetAttr("a", "x"), Some("y"))))
+    items(2) match {
+      case (RetExpr(Bin(BAadd, _, _)), Some("z")) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    // `return a as b` alone is extended (the plain Return fast path
+    // carries no aliases)
+    assert(Parser.parse(header + "match (a:P)\nreturn a as b")
+      .query.clauses.last == ReturnExt(List((RetVar("a"), Some("b"))), Nil, None, None, false))
   }
 }

@@ -498,7 +498,7 @@ class TypingSpec extends AnyFunSuite {
   test("count(distinct v) resolves with a distinct-marked output name") {
     val tp = Typing.compile(header + "create (a:P)\nreturn count(distinct a)")
     assert(tp.instrs.collect {
-      case Typing.RReturnExt(items, _, _, _, _) => items.map(_.outName)
+      case Typing.RReturnExt(items, _, _, _, _) => items.map(_._2)
     }.flatten == List("count_distinct_a"))
   }
 
@@ -680,16 +680,29 @@ class TypingSpec extends AnyFunSuite {
         |return a""".stripMargin)
   }
 
-  test("expression projection items: with-only, typed aliases, agg args") {
-    // return has no alias syntax — expression items rejected with the
-    // with-pointer, for both bare items and aggregate arguments
+  test("expression projection items: typed aliases, agg args") {
+    // expression items demand an alias in BOTH return and with — there
+    // is no derivable output name
     assert(err(header + "match (a:P)\nreturn a, a.x + 1")
-      .contains("through `with <expr> as x`"))
+      .contains("needs an alias"))
     assert(err(header + "match (a:P)\nreturn a, sum(a.x * 2)")
-      .contains("through `with <expr> as x`"))
-    // with: expression items REQUIRE an alias (the generic with rule)
+      .contains("needs an alias"))
     assert(err(header + "match (a:P)\nwith a, a.x + 1\nreturn a")
       .contains("needs an alias"))
+    // aliased, they are first-class return items (round 10 continued)
+    val tp = Typing.compile(header +
+      "match (a:P)\nreturn a, a.x + 1 as y, sum(a.x * 2) as s")
+    assert(tp.instrs.collect { case Typing.RReturnExt(items, _, _, _, _) =>
+      items.map(_._2) }.flatten == List("a", "y", "s"))
+    // aliases rename var/attr/agg items too; duplicates rejected on the
+    // FINAL names; an aliased plain variable re-binds under the alias
+    assert(err(header + "match (a:P)\nreturn a.x as y, count(a) as y")
+      .contains("duplicate output"))
+    Typing.compile(header +
+      "match (a:P)\nreturn a as b, a.x as y order by a.x limit 2\nset b.x = 1")
+    assert(err(header +
+      "match (a:P)\nreturn a as b, a.x as y limit 2\nset a.x = 1")
+      .contains("unbound"))
     // non-count aggregates need an int-typed expression argument
     assert(err(header + "match (a:P)\nwith sum(lower(a.s)) as s\nreturn s")
       .contains("requires an int expression"))
