@@ -108,6 +108,14 @@ object Typing {
     def outName: String = "<expr>"
   }
   final case class RRetAgg(fn: AggFn, arg: RRet, distinct: Boolean = false) extends RRet {
+    /** Result type: count is int; min/max (and the int-only sum/avg)
+      * take their argument's type — min/max over STRING attributes are
+      * legal (lexicographic, round 10 continued). */
+    def tp: AttribTp = if (fn == AggCount) IntT else arg match {
+      case RRetAttr(_, _, _, t) => t
+      case RRetExpr(te)         => te.tp
+      case _                    => IntT // RRetVar arg: count-only (unreachable here)
+    }
     def outName: String = {
       val d = if (distinct) "distinct_" else ""
       arg match {
@@ -529,7 +537,8 @@ object Typing {
             val dups = names.diff(names.distinct).distinct
             if (dups.nonEmpty)
               Left(s"duplicate output column(s) in return: ${dups.mkString(", ")}")
-            else sequenceRet(order.map { case (k, _) => resolveRet(schema, env)(k) }).flatMap { rkeys =>
+            else sequenceRet(order.map { case (k, _) =>
+              resolveKeyAliased(schema, env, pairs)(k) }).flatMap { rkeys =>
               val rorder = rkeys.zip(order.map(_._2))
               checkRetShape(ritems, rkeys, distinct, "return", "returned items") match {
                 case Some(e) => Left(e)
@@ -564,7 +573,8 @@ object Typing {
             val dups = names.diff(names.distinct).distinct
             if (dups.nonEmpty)
               Left(s"duplicate with alias(es): ${dups.mkString(", ")}")
-            else sequenceRet(order.map { case (k, _) => resolveRet(schema, env)(k) }).flatMap { rkeys =>
+            else sequenceRet(order.map { case (k, _) =>
+              resolveKeyAliased(schema, env, pairs)(k) }).flatMap { rkeys =>
               checkRetShape(ritems, rkeys, distinct, "with", "with items") match {
                 case Some(e) => Left(e)
                 case None =>
@@ -577,8 +587,9 @@ object Typing {
                     case (RRetAttr(_, _, _, tp), a) => (a, scalarLabel(tp))
                     // a full-expression item binds the scalar of its type
                     case (RRetExpr(te), a)          => (a, scalarLabel(te.tp))
-                    // count and the int-only sum/min/max/avg yield int
-                    case (_: RRetAgg, a)            => (a, scalarLabel(IntT))
+                    // count yields int; min/max take the argument's
+                    // type (string min/max bind %string scalars)
+                    case (g: RRetAgg, a)            => (a, scalarLabel(g.tp))
                   }
                   Right((RWith(pairs, rkeys.zip(order.map(_._2)), skip, limit, distinct), env2))
               }
@@ -753,14 +764,19 @@ object Typing {
       resolveRet(schema, env)(arg).flatMap {
         case a: RRetAgg => Left(s"nested aggregate ${fn.name}(${a.outName})")
         case a @ RRetAttr(v, _, f, tp) =>
-          if (fn != AggCount && tp != IntT)
+          // min/max extend to strings (lexicographic, round 10
+          // continued); sum/avg stay int-only
+          if (fn != AggCount && tp != IntT &&
+              !(tp == StringT && (fn == AggMin || fn == AggMax)))
             Left(s"${fn.name}($v.$f) requires an int attribute, got $tp")
           else Right(RRetAgg(fn, a, dist))
         case a @ RRetExpr(te) =>
           // aggregate over a full expression (round 10 continued):
-          // sum/min/max/avg need an int-typed expression; count takes
-          // any (every MiniGQL value is non-null, so it counts rows)
-          if (fn != AggCount && te.tp != IntT)
+          // sum/avg need an int-typed expression, min/max admit string
+          // too; count takes any (every MiniGQL value is non-null, so
+          // it counts rows)
+          if (fn != AggCount && te.tp != IntT &&
+              !(te.tp == StringT && (fn == AggMin || fn == AggMax)))
             Left(s"${fn.name}(<expr>) requires an int expression, got ${te.tp}")
           else Right(RRetAgg(fn, a, dist))
         case a @ RRetVar(v) =>
@@ -768,6 +784,23 @@ object Typing {
           else Right(RRetAgg(fn, a, dist))
       }
   }
+
+  /** Order-key resolution with alias awareness (round 10 continued —
+    * Cypher's `ORDER BY alias`): a bare identifier key resolves FIRST
+    * against the item output names — `return n.x as y order by y` /
+    * `with … as y order by y` order by the aliased item (structurally
+    * equal to it, satisfying the aggregated/distinct keys-are-items
+    * rule) — and only then against the variable bindings. Projection
+    * scope wins over a same-named binding, Cypher's rule (an unaliased
+    * returned variable hits both and resolves identically either way). */
+  private def resolveKeyAliased(schema: Schema, env: Env,
+      pairs: List[(RRet, String)])(k: RetItem): Either[String, RRet] =
+    k match {
+      case RetVar(a) =>
+        pairs.collectFirst { case (r, `a`) => r }
+          .fold(resolveRet(schema, env)(k))(Right(_))
+      case _ => resolveRet(schema, env)(k)
+    }
 
   private def sequenceRet[A](xs: List[Either[String, A]]): Either[String, List[A]] =
     xs.foldRight(Right(Nil): Either[String, List[A]]) {
@@ -916,7 +949,7 @@ object Typing {
         // output name is the resolved pair name; kind from the item
         case (RRetVar(v), a)            => (a, colKind(lookup(env, a).orElse(lookup(env, v)).get))
         case (RRetAttr(_, _, _, tp), a) => (a, tp)
-        case (_: RRetAgg, a)            => (a, IntT)
+        case (g: RRetAgg, a)            => (a, g.tp)
         case (RRetExpr(te), a)          => (a, te.tp)
       }
       case other => throw new IllegalStateException(s"non-return last $other")

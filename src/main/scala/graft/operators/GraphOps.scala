@@ -606,6 +606,19 @@ object GraphOps {
              |       COUNT(*) AS total
              |FROM nation GROUP BY 1""".stripMargin)),
 
+    // ORDER BY alias + string min/max (round 10 continued): the order
+    // key resolves to the aliased item (Cypher ORDER BY alias), and
+    // min/max extend to strings lexicographically
+    Q("gql_order_alias",
+      bindings(
+        """match (n:nation) -[:nregion]-> (r:region)
+          |return r, min(n.name) as lo, max(n.name) as hi, count(n) as c
+          |order by lo desc limit 3""".stripMargin),
+      Some("""SELECT CAST(r_regionkey AS BIGINT) + 1000000000 AS r,
+             |       min(n_name) AS lo, max(n_name) AS hi, COUNT(*) AS c
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1 ORDER BY lo DESC LIMIT 3""".stripMargin)),
+
     // case drives a conditional set: the computed value lands on the
     // graph and a re-match reads it back (per-row spec semantics)
     Q("gql_case_set",

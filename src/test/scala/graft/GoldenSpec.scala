@@ -303,6 +303,17 @@ class GoldenSpec extends AnyFunSuite {
       "match (n:N)\nreturn n.x * 10 as tens order by n.x desc limit 2")
     assert(r6.bindings.columns.toSeq == Seq("tens"))
     assert(r6.bindings.collect().map(_.getLong(0)).toSeq == Seq(30L, 20L))
+    // ORDER BY alias: the key resolves to the aliased item (round 10
+    // continued), here under the aggregated keys-are-items rule
+    val r7 = Engine.runSource(spark, src +
+      "match (n:N)\nreturn n.s as g, count(n) as c order by c desc, g limit 1")
+    assert(r7.bindings.collect().map(t => (t.getString(0), t.getLong(1))).toSeq ==
+      Seq(("bbb", 2L)))
+    // string min/max: lexicographic over the group
+    val r8 = Engine.runSource(spark, src +
+      "match (n:N)\nreturn min(n.s) as lo, max(upper(n.s)) as hi")
+    assert(r8.bindings.collect().map(t => (t.getString(0), t.getString(1))).toSeq ==
+      Seq(("aa", "BBB")))
   }
 
   test("match-props semantics: strict raises on an unset attribute, non-strict drops the row") {

@@ -703,6 +703,26 @@ class TypingSpec extends AnyFunSuite {
     assert(err(header +
       "match (a:P)\nreturn a as b, a.x as y limit 2\nset a.x = 1")
       .contains("unbound"))
+    // ORDER BY alias (round 10 continued): a bare non-variable key
+    // resolves to the item carrying that output name — in return, in
+    // with, and under the aggregated keys-are-items rule
+    Typing.compile(header +
+      "match (a:P)\nreturn a.x + 1 as y order by y desc limit 2")
+    Typing.compile(header +
+      "match (a:P)\nreturn a, count(a) as c order by c desc limit 3")
+    Typing.compile(header +
+      "match (a:P)\nwith a, a.x * 2 as y order by y limit 5\nreturn a")
+    // an unknown name is still the plain unbound error
+    assert(err(header + "match (a:P)\nreturn a order by zz limit 1")
+      .contains("unbound"))
+    // min/max extend to strings (lexicographic); sum/avg stay int-only
+    Typing.compile(header + "match (a:P)\nreturn min(a.s) as lo, max(a.s) as hi")
+    Typing.compile(header + "match (a:P)\nwith min(lower(a.s)) as lo\nreturn lo")
+    assert(err(header + "match (a:P)\nreturn sum(a.s) as t").contains("int attribute"))
+    // a string min/max alias binds a %string scalar downstream
+    assert(err(header +
+      "match (a:P)\nwith max(a.s) as hi\nwhere hi.val + 1 = 2\nreturn hi")
+      .contains("requires int operands"))
     // non-count aggregates need an int-typed expression argument
     assert(err(header + "match (a:P)\nwith sum(lower(a.s)) as s\nreturn s")
       .contains("requires an int expression"))
