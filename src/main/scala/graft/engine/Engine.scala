@@ -939,6 +939,8 @@ object Engine {
     case a: TAttr         => Seq(a)
     case TBin(_, l, r, _) => collectAttrs(l) ++ collectAttrs(r)
     case TUn(_, e, _)     => collectAttrs(e)
+    case TSubstr(a, b, c)  => collectAttrs(a) ++ collectAttrs(b) ++ collectAttrs(c)
+    case TReplace(a, b, c) => collectAttrs(a) ++ collectAttrs(b) ++ collectAttrs(c)
     case TCase(ws, o, _)  =>
       ws.flatMap { case (c, v) => collectAttrs(c) ++ collectAttrs(v) } ++ collectAttrs(o)
     case _                => Nil
@@ -1159,9 +1161,12 @@ object Engine {
             case _ => raise
           }
         } else c
-      case TBin(op, l, r, _) =>
+      case TBin(op, l, r, tpB) =>
         val (a, b) = (sql(l, refs, st, strict), sql(r, refs, st, strict))
         op match {
+          // string concatenation (typing routed string+string here;
+          // Spark `+` would try numeric coercion, so emit concat)
+          case BAadd if tpB == StringT => s"concat($a, $b)"
           // string predicates compile to Spark's codegen'd functions
           case BSstarts   => s"startswith($a, $b)"
           case BSends     => s"endswith($a, $b)"
@@ -1186,6 +1191,13 @@ object Engine {
           // Spark length() is INT; the language's only int is int64
           case USsize  => s"cast(length($a) as bigint)"
         }
+      case TSubstr(e1, e2, e3) =>
+        // Spark's SQL substring: 1-based position, clamping, negative
+        // counts from the end (substringSQL); len<=0 yields ""
+        s"substring(${sql(e1, refs, st, strict)}, cast(${sql(e2, refs, st, strict)} as int), cast(${sql(e3, refs, st, strict)} as int))"
+      case TReplace(e1, e2, e3) =>
+        // replace-all of literal occurrences; empty find = no-op
+        s"replace(${sql(e1, refs, st, strict)}, ${sql(e2, refs, st, strict)}, ${sql(e3, refs, st, strict)})"
       case TCase(whens, otherwise, _) =>
         val ws = whens.map { case (c, v) =>
           s"WHEN ${sql(c, refs, st, strict)} THEN ${sql(v, refs, st, strict)}"

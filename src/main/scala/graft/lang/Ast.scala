@@ -62,6 +62,15 @@ final case class Bin(op: BinOp, l: Expr, r: Expr) extends Expr
 /** `lower(e)` / `upper(e)` / `trim(e)` / `size(e)` — contextual call
   * shapes like `null(v)`: a variable named lower still works. */
 final case class Un(op: UnOp, e: Expr) extends Expr
+/** `substring(s, pos, len)` — SQL 1-based position (Spark/DuckDB
+  * convention, a documented deviation from Cypher's 0-based
+  * `substring`); out-of-range positions clamp, non-positive lengths
+  * yield the empty string. Contextual call shape. */
+final case class Substr(s: Expr, pos: Expr, len: Expr) extends Expr
+/** `replace(s, find, repl)` — replace ALL non-overlapping literal
+  * occurrences; an empty `find` leaves the string unchanged (Spark's
+  * StringReplace rule). Contextual call shape. */
+final case class Replace(s: Expr, find: Expr, repl: Expr) extends Expr
 /** Searched `case when c1 then e1 … else e end` (engine extension —
   * Cypher/SQL's conditional). The `else` is MANDATORY: MiniGQL values
   * have no NULL, so Cypher's implicit null default has no counterpart

@@ -370,7 +370,8 @@ object Parser {
     private def exprHead(name: String): Boolean =
       (peek2 == TSym("(") &&
         (name == "null" || name == "lower" || name == "upper" ||
-          name == "trim" || name == "size")) ||
+          name == "trim" || name == "size" ||
+          name == "substring" || name == "replace")) ||
       (name == "case" && peek2 == TIdent("when"))
 
     private def identList(): List[String] = {
@@ -606,6 +607,13 @@ object Parser {
           case "lower" => USlower; case "upper" => USupper
           case "trim"  => UStrim;  case "size"  => USsize
         }, e)
+      // ternary string functions — substring(s, pos, len) (1-based,
+      // SQL convention) and replace(s, find, repl)
+      case TIdent(fn @ ("substring" | "replace")) if peek2 == TSym("(") =>
+        i += 2
+        val a = expr(); expectSym(","); val b = expr(); expectSym(","); val c = expr()
+        expectSym(")")
+        if (fn == "substring") Substr(a, b, c) else Replace(a, b, c)
       // searched case expression: `case when c then e … else e end`.
       // Contextual on `case` FOLLOWED BY `when`, so `case.f` stays an
       // attribute access on a variable named case

@@ -27,6 +27,12 @@ object Typing {
   final case class TAttr(v: String, label: String, field: String, tp: AttribTp) extends TExpr
   final case class TBin(op: BinOp, l: TExpr, r: TExpr, tp: AttribTp) extends TExpr
   final case class TUn(op: UnOp, e: TExpr, tp: AttribTp) extends TExpr
+  final case class TSubstr(s: TExpr, pos: TExpr, len: TExpr) extends TExpr {
+    def tp: AttribTp = StringT
+  }
+  final case class TReplace(s: TExpr, find: TExpr, repl: TExpr) extends TExpr {
+    def tp: AttribTp = StringT
+  }
   final case class TCase(whens: List[(TExpr, TExpr)], otherwise: TExpr,
       tp: AttribTp) extends TExpr
   /** `null(v)` — binding-null test (extension; see [[ROptMatch]]). */
@@ -316,6 +322,11 @@ object Typing {
         tl <- tpExpr(schema, env, l)
         tr <- tpExpr(schema, env, r)
         res <- op match {
+          case BAadd if tl.tp == StringT && tr.tp == StringT =>
+            // string concatenation (round 10 continued — Cypher's `+`
+            // on strings; the reference's `+` is int-only, documented
+            // extension)
+            Right(TBin(op, tl, tr, StringT))
           case BAadd | BAsub | BAmul | BAdiv | BAmod =>
             if (tl.tp == IntT && tr.tp == IntT) Right(TBin(op, tl, tr, IntT))
             else Left(s"arithmetic $op requires int operands, got ${tl.tp}/${tr.tp}")
@@ -340,6 +351,26 @@ object Typing {
           Left(s"${unName(op)} requires a string operand, got ${te.tp}")
         else Right(TUn(op, te, if (op == USsize) IntT else StringT))
       }
+    case Substr(e1, e2, e3) =>
+      for {
+        ts <- tpExpr(schema, env, e1)
+        tp <- tpExpr(schema, env, e2)
+        tl <- tpExpr(schema, env, e3)
+        r <- if (ts.tp != StringT)
+               Left(s"substring requires a string first argument, got ${ts.tp}")
+             else if (tp.tp != IntT || tl.tp != IntT)
+               Left(s"substring position/length must be int, got ${tp.tp}/${tl.tp}")
+             else Right(TSubstr(ts, tp, tl))
+      } yield r
+    case Replace(e1, e2, e3) =>
+      for {
+        ts <- tpExpr(schema, env, e1)
+        tf <- tpExpr(schema, env, e2)
+        tr2 <- tpExpr(schema, env, e3)
+        r <- if (ts.tp != StringT || tf.tp != StringT || tr2.tp != StringT)
+               Left(s"replace requires string arguments, got ${ts.tp}/${tf.tp}/${tr2.tp}")
+             else Right(TReplace(ts, tf, tr2))
+      } yield r
     case CaseExpr(whens, otherwise) =>
       val typedWhens = whens.foldLeft[Either[String, List[(TExpr, TExpr)]]](Right(Nil)) {
         case (acc, (c, v)) =>
@@ -908,6 +939,8 @@ object Typing {
     case TNullCheck(v)     => List(v)
     case TBin(_, l, r, _)  => exprVars(l) ++ exprVars(r)
     case TUn(_, e, _)      => exprVars(e)
+    case TSubstr(a, b, c)  => exprVars(a) ++ exprVars(b) ++ exprVars(c)
+    case TReplace(a, b, c) => exprVars(a) ++ exprVars(b) ++ exprVars(c)
     case TCase(ws, o, _)   =>
       ws.flatMap { case (c, v) => exprVars(c) ++ exprVars(v) } ++ exprVars(o)
     case _: TConst         => Nil

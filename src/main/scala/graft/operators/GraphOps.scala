@@ -619,6 +619,19 @@ object GraphOps {
              |FROM nation JOIN region ON n_regionkey = r_regionkey
              |GROUP BY 1 ORDER BY lo DESC LIMIT 3""".stripMargin)),
 
+    // concat + substring + replace (round 10 continued): SQL 1-based
+    // substring, replace-all, `+` concatenation — the string-building
+    // trio, composed in one projection
+    Q("gql_str_build",
+      bindings(
+        """match (c:customer)
+          |where c.nationkey = 3
+          |return c, replace(substring(c.name, 10, 8), "0", "") + "x" as cid
+          |""".stripMargin),
+      Some("""SELECT CAST(c_custkey AS BIGINT) + 4000000000 AS c,
+             |       replace(substring(c_name, 10, 8), '0', '') || 'x' AS cid
+             |FROM customer WHERE c_nationkey = 3""".stripMargin)),
+
     // case drives a conditional set: the computed value lands on the
     // graph and a re-match reads it back (per-row spec semantics)
     Q("gql_case_set",

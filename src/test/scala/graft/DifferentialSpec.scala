@@ -74,7 +74,17 @@ class DifferentialSpec extends AnyFunSuite {
       val atom = if (svars.nonEmpty && rnd.nextBoolean()) pick(svars)
                  else s"\"${pick(Seq("alpha", "beta", "gamma", " padded "))}\""
       if (depth == 0) atom
-      else s"${pick(Seq("lower", "upper", "trim"))}(${strExpr(depth - 1)})"
+      else rnd.nextInt(6) match {
+        // round 10 continued: concat, substring (incl. the pos-0 and
+        // negative-position edge rules — negatives spelled 0-k, the
+        // lexer has no negative literals), replace
+        case 0 => s"(${strExpr(depth - 1)} + ${strExpr(0)})"
+        case 1 => s"substring(${strExpr(depth - 1)}, ${rnd.nextInt(5)}, ${rnd.nextInt(6)})"
+        case 2 if rnd.nextBoolean() =>
+          s"substring(${strExpr(depth - 1)}, 0 - ${rnd.nextInt(9) + 1}, ${rnd.nextInt(4) + 1})"
+        case 2 => s"replace(${strExpr(depth - 1)}, \"${pick(Seq("a", "ta", "dd", ""))}\", \"${pick(Seq("X", "", "yz"))}\")"
+        case _ => s"${pick(Seq("lower", "upper", "trim"))}(${strExpr(depth - 1)})"
+      }
     }
     def boolExpr(depth: Int): String = {
       val svars = bound("P").map(_ + ".nm")
@@ -787,6 +797,20 @@ class DifferentialSpec extends AnyFunSuite {
         |match (w:P)
         |where w.nm contains ""
         |return w
+        |""".stripMargin,
+      // round 10 continued: concat + substring edge rules (pos 0 acts
+      // like 1; negative pos counts from the end with the END computed
+      // from the UNCLAMPED start; len 0 empty) + replace (empty find =
+      // no-op) — pinned against the real Spark functions
+      """create (a:P {x: 1, nm: "alpha"})
+        |match (u:P)
+        |set u.nm = (substring(u.nm, 0, 3) + substring(u.nm, 0 - 2, 2))
+        |match (v:P)
+        |where replace(v.nm, "", "ZZ") = v.nm
+        |   and substring(v.nm, 0 - 9, 2) = ""
+        |   and substring(v.nm, 2, 0) = ""
+        |set v.nm = replace((v.nm + "ha"), "haha", "HA")
+        |return v
         |""".stripMargin)
     progs.foreach(p => runBoth(header + p))
   }

@@ -314,6 +314,18 @@ class GoldenSpec extends AnyFunSuite {
       "match (n:N)\nreturn min(n.s) as lo, max(upper(n.s)) as hi")
     assert(r8.bindings.collect().map(t => (t.getString(0), t.getString(1))).toSeq ==
       Seq(("aa", "BBB")))
+    // concat / substring / replace: engine values (SQL 1-based
+    // substring; negative pos from the end; empty find no-op)
+    val r9 = Engine.runSource(spark, src +
+      """match (n:N)
+        |where n.x = 2
+        |unwind [substring(n.s + "X", 2, 3),
+        |        substring(n.s, 0 - 2, 2),
+        |        replace(n.s, "b", "Q"),
+        |        replace(n.s, "", "Z")] as u
+        |return u""".stripMargin)
+    assert(r9.bindings.collect().map(_.getString(0)).toSeq ==
+      Seq("bbX", "bb", "QQQ", "bbb"))
   }
 
   test("match-props semantics: strict raises on an unset attribute, non-strict drops the row") {

@@ -372,6 +372,18 @@ class ParserSpec extends AnyFunSuite {
     val v = Parser.parse(header + "create (case:P)\ncreate (lower:P)\nreturn case, lower")
     assert(v.query.clauses.collect { case Return(vs) => vs }.flatten ==
       List("case", "lower"))
+    // ternary calls parse; `substring` stays a variable name off the
+    // call shape; string + parses at additive precedence
+    val t = whereExpr(header +
+      "create (a:P)\nwhere replace(substring(a.s + \"x\", 1, 2), \"a\", \"b\") = a.s")
+    t match {
+      case Typing.TBin(BCeq, Typing.TReplace(Typing.TSubstr(
+        Typing.TBin(BAadd, _, _, StringT), _, _), _, _), _, _) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    val sv = Parser.parse(header + "create (substring:P)\nreturn substring")
+    assert(sv.query.clauses.collect { case Return(vs) => vs }.flatten ==
+      List("substring"))
   }
 
   test("projection items classify: var / attr / expression / agg-over-expr") {

@@ -492,6 +492,7 @@ object RefInterp {
         }
         case (StringV(a), StringV(b)) => op match {
           case BCeq => BoolV(a == b); case BCne => BoolV(a != b)
+          case BAadd      => StringV(a + b) // concat (round 10)
           case BSstarts   => BoolV(a.startsWith(b))
           case BSends     => BoolV(a.endsWith(b))
           case BScontains => BoolV(a.contains(b))
@@ -515,6 +516,30 @@ object RefInterp {
           case USsize  => IntV(a.codePointCount(0, a.length).toLong)
         }
         case other => throw new IllegalStateException(s"string fn on $other")
+      }
+    case TSubstr(e1, e2, e3) =>
+      (eval(st, row, e1), eval(st, row, e2), eval(st, row, e3)) match {
+        case (StringV(a), IntV(pos), IntV(len)) =>
+          // Spark UTF8String.substringSQL: 1-based; pos 0 acts like 1;
+          // negative pos counts from the end. The end is computed from
+          // the UNCLAMPED start (so substring("abc", 0-5, 2) is "",
+          // not "ab"), then both bounds clamp; len<=0 yields ""
+          val n = a.length.toLong // ASCII corpus: chars == codepoints
+          val rawStart =
+            if (pos > 0) pos - 1 else if (pos < 0) n + pos else 0L
+          val rawEnd = rawStart + len
+          val from = math.max(rawStart, 0L)
+          val until = math.min(rawEnd, n)
+          StringV(if (from >= until) "" else a.substring(from.toInt, until.toInt))
+        case other => throw new IllegalStateException(s"substring on $other")
+      }
+    case TReplace(e1, e2, e3) =>
+      (eval(st, row, e1), eval(st, row, e2), eval(st, row, e3)) match {
+        case (StringV(a), StringV(f), StringV(r)) =>
+          // Spark StringReplace: empty search leaves the string as-is
+          // (Java's replace would interleave r at every position)
+          StringV(if (f.isEmpty) a else a.replace(f, r))
+        case other => throw new IllegalStateException(s"replace on $other")
       }
     case TCase(whens, otherwise, _) =>
       whens.collectFirst {

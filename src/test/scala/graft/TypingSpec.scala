@@ -740,4 +740,20 @@ class TypingSpec extends AnyFunSuite {
     Typing.compile(header +
       "match (a:P)\nreturn a order by size(a.s) desc, a.x mod 3 limit 2")
   }
+
+  test("string concat, substring, replace typecheck (round 10 continued)") {
+    // + is concat on string × string, arithmetic on int × int; mixing rejects
+    Typing.compile(header + "match (a:P)\nset a.s = a.s + \"x\"\nreturn a")
+    assert(err(header + "match (a:P)\nwhere a.s + a.x = a.s\nreturn a")
+      .contains("arithmetic"))
+    // substring: string, int, int; replace: three strings
+    Typing.compile(header +
+      "match (a:P)\nset a.s = substring(a.s, a.x + 1, 2) + replace(a.s, \"x\", \"y\")\nreturn a")
+    assert(err(header + "match (a:P)\nwhere substring(a.x, 1, 2) = \"a\"\nreturn a")
+      .contains("string first argument"))
+    assert(err(header + "match (a:P)\nwhere substring(a.s, \"1\", 2) = \"a\"\nreturn a")
+      .contains("must be int"))
+    assert(err(header + "match (a:P)\nwhere replace(a.s, 1, \"y\") = \"a\"\nreturn a")
+      .contains("requires string arguments"))
+  }
 }
