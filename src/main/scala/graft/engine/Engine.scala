@@ -1190,6 +1190,7 @@ object Engine {
           case UStrim  => s"trim($a)"
           // Spark length() is INT; the language's only int is int64
           case USsize  => s"cast(length($a) as bigint)"
+          case UStoStr => s"cast($a as string)"
         }
       case TSubstr(e1, e2, e3) =>
         // Spark's SQL substring: 1-based position, clamping, negative

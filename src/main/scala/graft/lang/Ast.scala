@@ -53,6 +53,11 @@ case object USlower extends UnOp
 case object USupper extends UnOp
 case object UStrim extends UnOp
 case object USsize extends UnOp
+/** `toString(e)` — any value to its string rendering (ints in decimal,
+  * bools as `true`/`false`, strings unchanged); Cypher's toString,
+  * identical in Spark CAST AS STRING and DuckDB CAST AS VARCHAR for
+  * this value domain. */
+case object UStoStr extends UnOp
 
 sealed trait Expr extends Product with Serializable
 final case class Const(v: Value) extends Expr

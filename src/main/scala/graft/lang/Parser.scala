@@ -370,7 +370,7 @@ object Parser {
     private def exprHead(name: String): Boolean =
       (peek2 == TSym("(") &&
         (name == "null" || name == "lower" || name == "upper" ||
-          name == "trim" || name == "size" ||
+          name == "trim" || name == "size" || name == "toString" ||
           name == "substring" || name == "replace")) ||
       (name == "case" && peek2 == TIdent("when"))
 
@@ -599,13 +599,14 @@ object Parser {
         NullCheck(v)
       // unary string functions — contextual call shapes (a variable
       // named lower still works: `lower.f` has peek2 == '.')
-      case TIdent(fn @ ("lower" | "upper" | "trim" | "size")) if peek2 == TSym("(") =>
+      case TIdent(fn @ ("lower" | "upper" | "trim" | "size" | "toString")) if peek2 == TSym("(") =>
         i += 2
         val e = expr()
         expectSym(")")
         Un(fn match {
           case "lower" => USlower; case "upper" => USupper
           case "trim"  => UStrim;  case "size"  => USsize
+          case _       => UStoStr
         }, e)
       // ternary string functions — substring(s, pos, len) (1-based,
       // SQL convention) and replace(s, find, repl)

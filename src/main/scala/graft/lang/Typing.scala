@@ -347,7 +347,8 @@ object Typing {
       } yield res
     case Un(op, e1) =>
       tpExpr(schema, env, e1).flatMap { te =>
-        if (te.tp != StringT)
+        if (op == UStoStr) Right(TUn(op, te, StringT)) // any type renders
+        else if (te.tp != StringT)
           Left(s"${unName(op)} requires a string operand, got ${te.tp}")
         else Right(TUn(op, te, if (op == USsize) IntT else StringT))
       }
@@ -398,6 +399,7 @@ object Typing {
   private def unName(op: UnOp): String = op match {
     case USlower => "lower"; case USupper => "upper"
     case UStrim  => "trim";  case USsize  => "size"
+    case UStoStr => "toString"
   }
 
   /** Per-instruction environment transformer (reference typing.ml:201-268). */

@@ -632,6 +632,22 @@ object GraphOps {
              |       replace(substring(c_name, 10, 8), '0', '') || 'x' AS cid
              |FROM customer WHERE c_nationkey = 3""".stripMargin)),
 
+    // toString completes the conversion story: int/bool render as
+    // strings (decimal, true/false) identically in Spark CAST AS STRING
+    // and DuckDB CAST AS VARCHAR
+    Q("gql_tostring",
+      bindings(
+        """match (n:nation)
+          |where n.nationkey < 5
+          |return n, toString(n.nationkey * 7) + substring(n.name, 7, 3) as t,
+          |       toString(n.regionkey = 0) as even
+          |""".stripMargin),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |       CAST(CAST(n_nationkey AS BIGINT) * 7 AS VARCHAR)
+             |         || substring(n_name, 7, 3) AS t,
+             |       CAST(n_regionkey = 0 AS VARCHAR) AS even
+             |FROM nation WHERE n_nationkey < 5""".stripMargin)),
+
     // case drives a conditional set: the computed value lands on the
     // graph and a re-match reads it back (per-row spec semantics)
     Q("gql_case_set",

@@ -74,10 +74,11 @@ class DifferentialSpec extends AnyFunSuite {
       val atom = if (svars.nonEmpty && rnd.nextBoolean()) pick(svars)
                  else s"\"${pick(Seq("alpha", "beta", "gamma", " padded "))}\""
       if (depth == 0) atom
-      else rnd.nextInt(6) match {
+      else rnd.nextInt(7) match {
         // round 10 continued: concat, substring (incl. the pos-0 and
         // negative-position edge rules — negatives spelled 0-k, the
-        // lexer has no negative literals), replace
+        // lexer has no negative literals), replace, toString
+        case 5 => s"toString(${intExpr(0)})"
         case 0 => s"(${strExpr(depth - 1)} + ${strExpr(0)})"
         case 1 => s"substring(${strExpr(depth - 1)}, ${rnd.nextInt(5)}, ${rnd.nextInt(6)})"
         case 2 if rnd.nextBoolean() =>

@@ -326,6 +326,14 @@ class GoldenSpec extends AnyFunSuite {
         |return u""".stripMargin)
     assert(r9.bindings.collect().map(_.getString(0)).toSeq ==
       Seq("bbX", "bb", "QQQ", "bbb"))
+    // toString: ints in decimal, bools as true/false, strings identity
+    val r10 = Engine.runSource(spark, src +
+      """match (n:N)
+        |where n.x = 1
+        |unwind [toString(n.x * 100), toString(n.x = 1), toString(n.s)] as u
+        |return u""".stripMargin)
+    assert(r10.bindings.collect().map(_.getString(0)).toSeq ==
+      Seq("100", "true", "aa"))
   }
 
   test("match-props semantics: strict raises on an unset attribute, non-strict drops the row") {

@@ -505,6 +505,12 @@ object RefInterp {
         }
         case other => throw new IllegalStateException(s"type error at runtime: $other")
       }
+    case TUn(UStoStr, e, _) =>
+      eval(st, row, e) match {
+        case IntV(i)    => StringV(i.toString)
+        case BoolV(b)   => StringV(if (b) "true" else "false")
+        case s: StringV => s
+      }
     case TUn(op, e, _) =>
       eval(st, row, e) match {
         case StringV(a) => op match {

@@ -755,5 +755,8 @@ class TypingSpec extends AnyFunSuite {
       .contains("must be int"))
     assert(err(header + "match (a:P)\nwhere replace(a.s, 1, \"y\") = \"a\"\nreturn a")
       .contains("requires string arguments"))
+    // toString renders any type as a string
+    Typing.compile(header +
+      "match (a:P)\nset a.s = toString(a.x) + toString(a.x = 1) + toString(a.s)\nreturn a")
   }
 }
