@@ -743,6 +743,33 @@ object Engine {
         .drop("__newv")
       bump(st.copy(graph = st.graph.copy(nodes = st.graph.nodes.updated(lbl, n2))), Left(lbl), cfg)
 
+    case RRemove(v, lbl, f) =>
+      // NULL-out the attribute on the bound nodes: a marker semi-join
+      // against the distinct bound ids, then a conditional projection —
+      // the set machinery minus the value computation (NULL bound ids,
+      // unmatched optionals, drop in the join)
+      val vcR = st.colOf(v)
+      val victimsR = st.bindings.select(col(vcR).as("id")).na.drop().distinct()
+        .withColumn("__rm", lit(true))
+      val n2R = st.graph.nodes(lbl)
+        .join(victimsR, Seq("id"), "left")
+        .withColumn(f, when(col("__rm").isNotNull, lit(null)).otherwise(col(f)))
+        .drop("__rm")
+      bump(st.copy(graph = st.graph.copy(nodes = st.graph.nodes.updated(lbl, n2R))),
+        Left(lbl), cfg)
+
+    case RRemoveEdge(v, key, f) =>
+      // edge twin through the rel binding's (src, dst) identity
+      val (cSR, cDR) = st.edgeColsOf(v)
+      val victimsE = st.bindings.select(col(cSR).as("src"), col(cDR).as("dst"))
+        .na.drop().distinct().withColumn("__rm", lit(true))
+      val e2R = st.graph.edges(key)
+        .join(victimsE, Seq("src", "dst"), "left")
+        .withColumn(f, when(col("__rm").isNotNull, lit(null)).otherwise(col(f)))
+        .drop("__rm")
+      bump(st.copy(graph = st.graph.copy(edges = st.graph.edges.updated(key, e2R))),
+        Right(key), cfg)
+
     case RSetEdge(v, key, f, _, te) =>
       // `set x.f = e` through a rel binding: the node-set join-update
       // applied to the edge frame on its (src, dst) identity — per-row

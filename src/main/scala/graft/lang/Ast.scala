@@ -206,6 +206,12 @@ final case class RetAgg(fn: AggFn, arg: RetItem,
 
 sealed trait Clause extends Product with Serializable
 final case class Create(pats: List[Pattern]) extends Clause
+/** `remove v.f, …` (round 10 continued — Cypher's attribute REMOVE):
+  * unset the attribute on every node (or, through a rel binding, edge)
+  * bound to `v` — the value becomes NULL, exactly the state of a
+  * never-set attribute: strict mode raises on a later read, non-strict
+  * predicates treat it as a non-match. Contextual keyword. */
+final case class RemoveClause(targets: List[(String, String)]) extends Clause
 final case class Match(pats: List[Pattern]) extends Clause
 final case class Delete(dp: DeletePattern) extends Clause
 final case class SetClause(assigns: List[(String, String, Expr)]) extends Clause

@@ -37,6 +37,8 @@ final case class IDeleteRel(sv: String, rel: String, tv: String) extends Instruc
 final case class IReturn(vs: List[String]) extends Instruction
 final case class IWhere(e: Expr) extends Instruction
 final case class ISet(v: String, field: String, e: Expr) extends Instruction
+/** `remove v.f` — unset the attribute (round 10; see RemoveClause). */
+final case class IRemove(v: String, field: String) extends Instruction
 /** Extension instructions (no reference counterpart). */
 final case class IReturnExt(items: List[(RetItem, Option[String])],
     order: List[(RetItem, Boolean)],
@@ -200,6 +202,7 @@ object Normalize {
     case Delete(DeleteNodes(vs))  => vs.map(IDeleteNode)
     case Delete(DeleteRels(ts))   => ts.map { case (s, r, t) => IDeleteRel(s, r, t) }
     case SetClause(as)            => as.map { case (v, f, e) => ISet(v, f, e) }
+    case RemoveClause(ts)         => ts.map { case (v, f) => IRemove(v, f) }
     case Where(e)                 => List(IWhere(e))
     case Return(vs)               => List(IReturn(vs))
     case ReturnExt(its, ord, sk, lim, dist) => List(IReturnExt(its, ord, sk, lim, dist))

@@ -164,6 +164,15 @@ object Parser {
       case TIdent("unwind") =>
         i += 1
         unwindClause()
+      // `remove v.f, …` — attribute unset (clause position never
+      // admits a bare identifier, so `remove` is contextual too)
+      case TIdent("remove") =>
+        i += 1
+        val ts = List.newBuilder[(String, String)]
+        def one(): Unit = { val v = ident(); expectSym("."); ts += ((v, ident())) }
+        one()
+        while (peek == TSym(",")) { i += 1; one() }
+        RemoveClause(ts.result())
       // `union [all]` — the query-branch separator (see UnionSep);
       // `all` is consumed only immediately after `union`, where no
       // clause form could otherwise start with it

@@ -96,6 +96,11 @@ object Typing {
   final case class RReturn(vs: List[String]) extends RInstr
   final case class RWhere(e: TExpr) extends RInstr
   final case class RSet(v: String, label: String, field: String, tp: AttribTp, e: TExpr) extends RInstr
+  /** `remove v.f` (round 10 — Cypher REMOVE): NULL-out the attribute on
+    * every bound node; the edge twin goes through a rel binding. */
+  final case class RRemove(v: String, label: String, field: String) extends RInstr
+  final case class RRemoveEdge(v: String, key: (String, String, String),
+      field: String) extends RInstr
 
   // --- extension instructions (no reference counterpart) ---
   /** Resolved extended-return item; `outName` is the deterministic output
@@ -741,6 +746,22 @@ object Typing {
         // typecheck splits the stream on union markers before the fold;
         // a marker reaching tcInstr means it sat inside a sub-pattern
         Left("union is only legal between complete queries")
+
+      case IRemove(v, f) =>
+        lookup(env, v) match {
+          case None => Left(s"remove on unbound variable $v")
+          case Some(l) if isRelLabel(l) =>
+            val key = relKeyOf(l)
+            if (schema.relAttrsOf(key).exists(_._1 == f))
+              Right((RRemoveEdge(v, key, f), env))
+            else Left(s"attribute $f not declared for relation " +
+              s"(:${key._1})-[:${key._2}]->(:${key._3})")
+          case Some(l) if isVirtual(l) =>
+            Left(s"cannot remove attribute of ${virtualKind(l)} binding $v")
+          case Some(lbl) =>
+            if (schema.attrType(lbl, f).isDefined) Right((RRemove(v, lbl, f), env))
+            else Left(s"attribute $f not declared for label $lbl")
+        }
 
       case ISet(v, f, e) =>
         lookup(env, v) match {

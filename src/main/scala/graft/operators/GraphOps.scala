@@ -648,6 +648,31 @@ object GraphOps {
              |       CAST(n_regionkey = 0 AS VARCHAR) AS even
              |FROM nation WHERE n_nationkey < 5""".stripMargin)),
 
+    // --- remove (round 10 continued — Cypher's attribute REMOVE):
+    // unset node / edge attributes, leaving exactly the never-set NULL
+    // state (strict raises on read, non-strict predicates non-match)
+    Q("gql_remove",
+      nodeFrame(
+        "match (p:part) where p.psize < 10 remove p.psize",
+        "part", ("id", "p"), ("psize", "psize")),
+      Some("""SELECT CAST(p_partkey AS BIGINT) + 5000000000 AS p,
+             |       CASE WHEN p_size < 10 THEN NULL
+             |            ELSE CAST(p_size AS BIGINT) END AS psize
+             |FROM part""".stripMargin)),
+
+    Q("gql_remove_edge",
+      edgeFrameCols(
+        """match (l:lineitem) -[x:lpart]-> (p:part)
+          |where p.psize > 40
+          |remove x.qty""".stripMargin,
+        ("lineitem", "lpart", "part"), "src", "dst", "qty"),
+      Some(lineIdSql(
+        """SELECT lid AS src,
+          |       CAST(l_partkey AS BIGINT) + 5000000000 AS dst,
+          |       CASE WHEN p_size > 40 THEN NULL
+          |            ELSE CAST(l_quantity AS BIGINT) END AS qty
+          |FROM lids JOIN part ON l_partkey = p_partkey""".stripMargin))),
+
     // case drives a conditional set: the computed value lands on the
     // graph and a re-match reads it back (per-row spec semantics)
     Q("gql_case_set",

@@ -812,6 +812,24 @@ class DifferentialSpec extends AnyFunSuite {
         |   and substring(v.nm, 2, 0) = ""
         |set v.nm = replace((v.nm + "ha"), "haha", "HA")
         |return v
+        |""".stripMargin,
+      // round 10: remove — final graph state carries the unset attr on
+      // exactly the filtered nodes / bound edges (engine NULL column ≡
+      // interpreter's missing key in runCompare); no later reads, so
+      // strict mode never fires
+      """create (a:P {x: 1, nm: "alpha"})
+        |create (b:P {x: 2, nm: "beta"})
+        |create (c:Q {y: 3})
+        |match (p1:P {x: 1})
+        |match (q1:Q)
+        |create (p1) -[:r {w: 5}]-> (q1)
+        |match (u:P)
+        |where u.x = 2
+        |remove u.nm
+        |match (s1:P), (t1:Q)
+        |match (s1) -[e:r]-> (t1)
+        |remove e.w
+        |return s1, t1
         |""".stripMargin)
     progs.foreach(p => runBoth(header + p))
   }

@@ -336,6 +336,31 @@ class GoldenSpec extends AnyFunSuite {
       Seq("100", "true", "aa"))
   }
 
+  test("remove: unset equals never-set — strict raises, non-strict non-matches") {
+    val src =
+      """(:N {x int, s string})
+        |create (a:N {x: 1, s: "aa"})
+        |create (b:N {x: 2, s: "bb"})
+        |""".stripMargin
+    // strict: reading the removed attribute raises like a never-set one
+    val ex = intercept[Exception] {
+      Engine.runSource(spark, src +
+        "match (n:N)\nwhere n.x = 1\nremove n.s\nmatch (m:N)\nwhere m.s = \"aa\"\nreturn m")
+        .bindings.collect()
+    }
+    assert(ex.getMessage != null)
+    // non-strict: the removed attribute is a non-match; b survives
+    val r = Engine.runSource(spark, src +
+      "match (n:N)\nwhere n.x = 1\nremove n.s\nmatch (m:N)\nwhere m.s = \"bb\"\nreturn m, m.x",
+      Engine.Config(strict = false))
+    assert(r.bindings.collect().map(_.getLong(1)).toSeq == Seq(2L))
+    // re-set after remove restores readability (per-row set semantics)
+    val r2 = Engine.runSource(spark, src +
+      "match (n:N)\nremove n.x\nmatch (m:N)\nset m.x = 7\nmatch (k:N)\nreturn k.x",
+      Engine.Config(strict = false))
+    assert(r2.bindings.collect().map(_.getLong(0)).forall(_ == 7L))
+  }
+
   test("match-props semantics: strict raises on an unset attribute, non-strict drops the row") {
     // the documented deliberate deviation from Cypher (Ast.DeclPattern):
     // {f: e} desugars to the language's own `where v.f = e`, so it

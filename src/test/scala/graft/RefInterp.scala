@@ -433,6 +433,19 @@ object RefInterp {
       throw new IllegalStateException(
         "union marker reached the instruction fold — run() splits branches")
 
+    case RRemove(v, _, f) =>
+      // unset on every bound node (NULL sentinel bindings bind nothing)
+      val ids = st.rows.map(r => r(st.colOf(v))).filter(_ != NullId).toSet
+      st.copy(nodes = st.nodes.map { case (id, n) =>
+        if (ids(id)) id -> n.copy(attrs = n.attrs - f) else id -> n })
+
+    case RRemoveEdge(v, key, f) =>
+      val (cs, ct) = st.edgeColsOf(v)
+      val pairs = st.rows.map(r => (r(cs), key._2, r(ct)))
+        .filter(p => p._1 != NullId && p._3 != NullId).toSet
+      st.copy(eattrs = st.eattrs.map { case (k, m) =>
+        if (pairs(k)) k -> (m - f) else k -> m })
+
     case RSet(v, _, f, _, te) =>
       val c = st.colOf(v)
       // bindings dangling after a delete no-op, like the engine's
@@ -520,6 +533,7 @@ object RefInterp {
           case USupper => StringV(a.toUpperCase(java.util.Locale.ROOT))
           case UStrim  => StringV(a.replaceAll("^ +| +$", ""))
           case USsize  => IntV(a.codePointCount(0, a.length).toLong)
+          case UStoStr => StringV(a) // handled above; exhaustiveness
         }
         case other => throw new IllegalStateException(s"string fn on $other")
       }

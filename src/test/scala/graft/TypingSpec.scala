@@ -759,4 +759,16 @@ class TypingSpec extends AnyFunSuite {
     Typing.compile(header +
       "match (a:P)\nset a.s = toString(a.x) + toString(a.x = 1) + toString(a.s)\nreturn a")
   }
+
+  test("remove: declared attrs only, node and edge, virtuals rejected") {
+    val eh = header.replace("(:P) -[:r]-> (:Q)", "(:P) -[:r {w int}]-> (:Q)")
+    Typing.compile(eh + "match (a:P)\nremove a.x, a.s\nreturn a")
+    Typing.compile(eh +
+      "match (a:P)\nmatch (b:Q)\nmatch (a) -[x:r]-> (b)\nremove x.w\nreturn a")
+    assert(err(eh + "match (a:P)\nremove a.zz")
+      .contains("attribute zz not declared"))
+    assert(err(eh + "remove a.x").contains("unbound variable a"))
+    assert(err(eh + "match (a:P)\nwith count(a) as c\nremove c.val\nreturn c")
+      .contains("cannot remove attribute"))
+  }
 }
