@@ -159,6 +159,16 @@ object PngCodec {
       got += n
     }
     require(got == filtered.length, s"short IDAT: $got of ${filtered.length}")
+    // the loop exits on `got == filtered.length` without draining the
+    // stream — probe one extra byte so trailing compressed data beyond
+    // the expected raster fails loudly (the documented contract)
+    if (!inf.finished()) {
+      val extra = inf.inflate(new Array[Byte](1), 0, 1)
+      require(extra == 0 && inf.finished(),
+        "over-long IDAT stream: compressed data beyond the raster")
+    }
+    require(inf.getRemaining == 0,
+      "over-long IDAT stream: trailing bytes after the deflate stream")
     inf.end()
     val raster = new Array[Byte](bpl * height)
     var y = 0
