@@ -433,7 +433,13 @@ object Engine {
       st.copy(bindings = joined,
         env = (v, c) :: st.env, freshCounter = st.freshCounter + 1)
 
-    case RMergeNode(v, lb, props) =>
+    case RMergeNode(v, lb, props, onCreate, onMatch) =>
+      // conditional actions (round 11 — Cypher ON CREATE/MATCH SET):
+      // this merge form decides match-vs-create GLOBALLY (see the Merge
+      // scaladoc), so exactly one action list fires, re-entering the
+      // ordinary set machinery on the post-merge state
+      def applyActions(s2: ExecState, as: List[RInstr]): ExecState =
+        as.foldLeft(s2)((s, in) => exec(spark, schema, s, in, cfg))
       // Constant-prop lookup: a pushdown-eligible filtered label scan,
       // row-independent by construction (typing enforces const props) —
       // which is what lets Cypher's sequential MERGE collapse to
@@ -448,13 +454,14 @@ object Engine {
       }
       if (matches.count() > 0L) {
         val scan = matches.select(col("id").as(c))
-        st.copy(
+        applyActions(st.copy(
           bindings = if (st.unitTable) scan else st.bindings.crossJoin(scan),
-          env = (v, c) :: st.env, freshCounter = st.freshCounter + 1)
+          env = (v, c) :: st.env, freshCounter = st.freshCounter + 1), onMatch)
       }
       else if (st.bindings.isEmpty)
         // zero rows merge nothing (Cypher: MERGE runs per row) — the
-        // binding column still appears, typed and empty
+        // binding column still appears, typed and empty; neither action
+        // fires (no row merged anything)
         st.copy(bindings = st.bindings.withColumn(c, lit(null).cast(LongType)),
           env = (v, c) :: st.env, freshCounter = st.freshCounter + 1)
       else {
@@ -467,9 +474,10 @@ object Engine {
           }: _*)
         val g2 = st.graph.copy(nodes = st.graph.nodes.updated(
           lb, st.graph.nodes(lb).unionByName(newNode)))
-        bump(st.copy(graph = g2, bindings = st.bindings.withColumn(c, lit(id)),
-          env = (v, c) :: st.env, nextId = id + 1,
-          freshCounter = st.freshCounter + 1), Left(lb), cfg)
+        applyActions(
+          bump(st.copy(graph = g2, bindings = st.bindings.withColumn(c, lit(id)),
+            env = (v, c) :: st.env, nextId = id + 1,
+            freshCounter = st.freshCounter + 1), Left(lb), cfg), onCreate)
       }
 
     case RCreateEdge(sv, sl, rl, tv, tl, props) =>
@@ -575,12 +583,10 @@ object Engine {
       st.copy(bindings = projected, env = vs.map(v => (v, v)), edgeEnv = Nil)
 
     case RReturnExt(pairs, order, skip, limit, distinct) =>
-      // items are named by their resolved pair name (explicit alias or
-      // derived outName); order keys equal to an item resolve to its
-      // first occurrence — duplicates hold identical values
-      val items = pairs.map(_._1)
-      val shaped = shapeExt(st, items, order, skip, limit, distinct,
-        it => pairs(items.indexOf(it))._2, cfg.strict)
+      // items are named positionally by their resolved pair name
+      // (explicit alias or derived outName), so duplicate structural
+      // items with distinct aliases each get their own column
+      val shaped = shapeExt(st, pairs, order, skip, limit, distinct, cfg.strict)
       // engine env lists EVERY output column (the final projection walks
       // it); the TYPING env is what restricts later instructions to the
       // plain-variable bindings, so the extra name entries are inert
@@ -602,8 +608,8 @@ object Engine {
       // columns); order keys resolve to their first occurrence — typing
       // guarantees agg/distinct keys are items, and duplicates hold
       // identical values so either column orders the same
-      val shaped = shapeExt(st, items, order, skip, limit, distinct,
-        it => cols(items.indexOf(it)), cfg.strict)
+      val shaped = shapeExt(st, items.zip(cols), order, skip, limit, distinct,
+        cfg.strict)
       // with-scalars have binding-NULL semantics (like optional-match
       // targets): a NULL value — e.g. sum over an empty global group —
       // fails predicates instead of raising under strict mode. Variable
@@ -806,9 +812,15 @@ object Engine {
     * and before limit — Spark plans offset+limit into the same global
     * limit operator (the driver fetches skip+n rows, discards skip), so
     * pagination stays a top-k shape, not a global sort. */
-  private def shapeExt(st: ExecState, items: List[RRet],
+  private def shapeExt(st: ExecState, namedItems: List[(RRet, String)],
       order: List[(RRet, Boolean)], skip: Option[Long], limit: Option[Long],
-      distinct: Boolean, name: RRet => String, strict: Boolean): DataFrame = {
+      distinct: Boolean, strict: Boolean): DataFrame = {
+    val items = namedItems.map(_._1)
+    // order keys equal to an item resolve to its FIRST occurrence —
+    // structurally-equal duplicates hold identical values, so either
+    // column orders the same. Item projection itself is positional
+    // (namedItems zip), so `return n.x as a, n.x as b` names both.
+    def name(it: RRet): String = namedItems.find(_._1 == it).get._2
     def page(df: DataFrame): DataFrame = {
       val skipped = skip.fold(df)(n => df.offset(n.toInt))
       limit.fold(skipped)(n => skipped.limit(n.toInt))
@@ -845,6 +857,13 @@ object Engine {
       case (AggAvg, _)      => intAvg(sum(c), count(c))
       case (AggMin, _)      => min(c)
       case (AggMax, _)      => max(c)
+      // sorted concat (round 11): ascending order makes the result a
+      // pure function of the group's value BAG (set under distinct) —
+      // row order, partitioning, and merge order can't perturb it.
+      // collect_list/_set keep map-side partial aggregation; the sort
+      // happens once per group at the final merge.
+      case (AggStrJoin, false) => array_join(array_sort(collect_list(c)), ",")
+      case (AggStrJoin, true)  => array_join(array_sort(collect_set(c)), ",")
     }
     val hasAgg = items.exists(_.isInstanceOf[RRetAgg])
     if (!hasAgg && !distinct) {
@@ -856,7 +875,7 @@ object Engine {
         if (order.isEmpty) joined
         else joined.orderBy(order.map { case (k, asc) =>
           if (asc) leafCol(k).asc else leafCol(k).desc }: _*)
-      page(sorted).select(items.map(it => leafCol(it).as(name(it))): _*)
+      page(sorted).select(namedItems.map { case (it, a) => leafCol(it).as(a) }: _*)
     } else if (!hasAgg) {
       // distinct: project → dedup → order → limit. Typing guarantees
       // order keys are items, so ordering happens on out names AFTER
@@ -864,7 +883,7 @@ object Engine {
       // aggregate on the projected columns and the order+limit still
       // plans as TakeOrderedAndProject above it.
       val projected = joined
-        .select(items.map(it => leafCol(it).as(name(it))): _*)
+        .select(namedItems.map { case (it, a) => leafCol(it).as(a) }: _*)
         .dropDuplicates()
       val sorted =
         if (order.isEmpty) projected
@@ -875,17 +894,17 @@ object Engine {
       // plain items are the grouping keys (SQL semantics); zero plain
       // items = global aggregate. Partial (map-side) aggregation comes
       // free from Catalyst.
-      val groups = items.collect { case it @ (_: RRetVar | _: RRetAttr | _: RRetExpr) =>
-        leafCol(it).as(name(it)) }
-      val aggs = items.collect { case it @ RRetAgg(fn, arg, dist) =>
-        aggExpr(fn, leafCol(arg), dist).as(name(it)) }
+      val groups = namedItems.collect { case (it @ (_: RRetVar | _: RRetAttr | _: RRetExpr), a) =>
+        leafCol(it).as(a) }
+      val aggs = namedItems.collect { case (RRetAgg(fn, arg, dist), a) =>
+        aggExpr(fn, leafCol(arg), dist).as(a) }
       val grouped = joined.groupBy(groups: _*).agg(aggs.head, aggs.tail: _*)
       // aggregated order keys are items → order on out names
       val sorted =
         if (order.isEmpty) grouped
         else grouped.orderBy(order.map { case (k, asc) =>
           if (asc) col(name(k)).asc else col(name(k)).desc }: _*)
-      page(sorted).select(items.map(it => col(name(it))): _*)
+      page(sorted).select(namedItems.map { case (_, a) => col(a) }: _*)
     }
   }
 
@@ -926,18 +945,21 @@ object Engine {
     val byVar = accesses.groupBy(a => (a.v, a.label))
     var df = st.bindings
     val refs = Map.newBuilder[(String, String), String]
-    byVar.foreach { case ((v, lbl), as) =>
+    byVar.zipWithIndex.foreach { case (((v, lbl), as), vIdx) =>
       if (Typing.isRelLabel(lbl)) {
         // rel binding: left-join the EDGE frame on the (src, dst)
         // identity pair the binding aliases — one row per pair (edge
         // set semantics), so row multiplicity is unchanged, exactly
         // like the per-variable node joins. Ref column names derive
-        // from the internal endpoint columns (never from the user
-        // variable, which may be an auto `%rN` name unsafe in SQL).
+        // from the internal endpoint columns plus a per-variable index
+        // (never from the user variable, which may be an auto `%rN`
+        // name unsafe in SQL) — the index keeps two rel variables bound
+        // to the SAME endpoint pair from joining identically-named
+        // columns (e.g. `match (a)-[x:r]->(b) match (a)-[y:r]->(b)`).
         val (cS, cD) = st.edgeColsOf(v)
         val key = Typing.relKeyOf(lbl)
         val fields = as.map(_.field).distinct
-        val base = s"__ea_${cS}_${cD}"
+        val base = s"__ea${vIdx}_${cS}_${cD}"
         val proj = st.graph.edges(key).select(
           col("src").as(s"${base}_src") +: col("dst").as(s"${base}_dst") +:
             fields.map(f => col(f).as(s"${base}_$f")): _*)
@@ -970,6 +992,8 @@ object Engine {
     case TReplace(a, b, c) => collectAttrs(a) ++ collectAttrs(b) ++ collectAttrs(c)
     case TCase(ws, o, _)  =>
       ws.flatMap { case (c, v) => collectAttrs(c) ++ collectAttrs(v) } ++ collectAttrs(o)
+    case Typing.TInList(e, items, _) => collectAttrs(e) ++ items.flatMap(collectAttrs)
+    case Typing.TCoalesce(items, _)  => items.flatMap(collectAttrs)
     case _                => Nil
   }
 
@@ -1231,6 +1255,15 @@ object Engine {
           s"WHEN ${sql(c, refs, st, strict)} THEN ${sql(v, refs, st, strict)}"
         }.mkString(" ")
         s"(CASE $ws ELSE ${sql(otherwise, refs, st, strict)} END)"
+      case Typing.TInList(e, items, neg) =>
+        // SQL IN with its NULL semantics: a NULL tested value (a
+        // guarded optional-match attribute) yields NULL, dropping the
+        // row from any predicate — under both polarities
+        val list = items.map(sql(_, refs, st, strict)).mkString(", ")
+        val in = s"(${sql(e, refs, st, strict)} IN ($list))"
+        if (neg) s"(NOT $in)" else in
+      case Typing.TCoalesce(items, _) =>
+        s"coalesce(${items.map(sql(_, refs, st, strict)).mkString(", ")})"
     }
 
   private def sqlTp(tp: AttribTp): String = tp match {

@@ -88,6 +88,22 @@ final case class CaseExpr(whens: List[(Expr, Expr)], otherwise: Expr) extends Ex
   * extension; only an `optional match` target can be NULL). Composes
   * with equality for negation: `null(m) = false`. */
 final case class NullCheck(v: String) extends Expr
+/** `e in [e1, …, en]` / `e not in [e1, …, en]` — list membership at
+  * comparison precedence (Cypher's IN over the same inline-list
+  * constructor `unwind` uses; MiniGQL has no list values, so the
+  * bracket literal IS the list). Elements are full expressions
+  * evaluated per row; the empty list is rejected like unwind's.
+  * Contextual: only `in`/`not in` followed by `[` in operator
+  * position is special — variables named in/not stay legal. */
+final case class InList(e: Expr, items: List[Expr], neg: Boolean) extends Expr
+/** `coalesce(e1, …, en)` — first non-NULL argument (Cypher/SQL).
+  * MiniGQL values themselves have no NULL: NULL enters only through
+  * binding-NULL semantics (an unmatched `optional match` target's
+  * guarded attribute read, a NULL `with`-scalar), so coalesce is the
+  * recovery point for those — an UNSET attribute on a present binding
+  * still raises under strict mode (it is an error, not a NULL).
+  * Contextual call shape; ≥2 arguments. */
+final case class Coalesce(items: List[Expr]) extends Expr
 
 /** Node patterns: `(v: L)` declares-and-binds, `(v)` references an
   * existing binding (reference lang.ml:47-50). */
@@ -187,6 +203,12 @@ case object AggMax extends AggFn { val name = "max" }
   * division (the reference has no floats; Cypher's float avg would be
   * untypable here) — documented deviation, exact in both engines. */
 case object AggAvg extends AggFn { val name = "avg" }
+/** `strjoin(e)` / `strjoin(distinct e)` — the group's string values
+  * concatenated in ASCENDING order, comma-separated (round 11 — the
+  * deterministic stand-in for Cypher's collect(): MiniGQL has no list
+  * values, and the sort makes the result independent of row order,
+  * partitioning, and engine, so it oracle-checks bit-exactly). */
+case object AggStrJoin extends AggFn { val name = "strjoin" }
 
 sealed trait RetItem extends Product with Serializable
 final case class RetVar(v: String) extends RetItem
@@ -324,8 +346,17 @@ final case class UnionSep(all: Boolean) extends Clause
   *   - `merge (a)-[:r]->(b)` with a, b bound — ensure the edge exists;
   *     desugars to create-edge, whose set semantics already upsert.
   * Merge matching always uses NULL-propagating equality (an unset
-  *  attribute never matches), independent of strict mode. */
-final case class Merge(pat: Pattern) extends Clause
+  *  attribute never matches), independent of strict mode.
+  *
+  * Node-form merge takes optional conditional actions (round 11 —
+  * Cypher's ON CREATE SET / ON MATCH SET): plain set-assignments run
+  * only on the branch merge actually took. Because this merge form is
+  * globally match-or-create-ONE, the chosen branch applies to the whole
+  * binding table — exactly Cypher-observable for constant-prop merges.
+  * Each action list is (variable, field, expr) like [[SetClause]]. */
+final case class Merge(pat: Pattern,
+    onCreate: List[(String, String, Expr)] = Nil,
+    onMatch: List[(String, String, Expr)] = Nil) extends Clause
 
 final case class Query(clauses: List[Clause])
 

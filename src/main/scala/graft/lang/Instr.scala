@@ -73,7 +73,9 @@ final case class IExists(inner: List[Instruction]) extends Instruction
   * desugars to `IActOnRel(CreateAct, …)` in Normalize (create-edge's set
   * semantics ARE the edge upsert). Props must type to constants. */
 final case class IMergeNode(v: String, label: String,
-    props: List[(String, Expr)]) extends Instruction
+    props: List[(String, Expr)],
+    onCreate: List[(String, String, Expr)] = Nil,
+    onMatch: List[(String, String, Expr)] = Nil) extends Instruction
 /** `unwind [items] as alias` (see [[Unwind]]): per row, one output row
   * per element with `alias` bound to the element value. */
 final case class IUnwind(items: List[Expr], alias: String) extends Instruction
@@ -236,16 +238,17 @@ object Normalize {
         relPropConjuncts(pat)))
     case Unwind(items, alias) => List(IUnwind(items, alias))
     case UnionSep(all)        => List(IUnion(all))
-    case Merge(pat) => pat match {
+    case Merge(pat, onC, onM) => pat match {
       // node form keeps its props INSIDE the instruction (they are the
       // lookup key, not a post-hoc set/where — the desugar create/match
       // use would change the semantics from upsert to always-create /
-      // filter-after-bind)
-      case SimpPattern(DeclPattern(v, l, ps)) => List(IMergeNode(v, l, ps))
+      // filter-after-bind); the conditional actions ride along as raw
+      // assignments, typed per-branch like ISet
+      case SimpPattern(DeclPattern(v, l, ps)) => List(IMergeNode(v, l, ps, onC, onM))
       case CompPattern(a, rl, SimpPattern(b), dir, _, _, _) =>
         // Undir flows through as an undirected CREATE, which typing
         // rejects with the direction-is-storage message (the parser
-        // already rejects rel vars / props on merge edges)
+        // already rejects rel vars / props / on-actions on merge edges)
         val (s0, t0) = if (dir == Rev) (b.variable, a.variable) else (a.variable, b.variable)
         List(IActOnRel(CreateAct, s0, rl, t0, dir == Undir))
       case _ => throw new IllegalStateException(

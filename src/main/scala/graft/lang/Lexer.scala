@@ -32,8 +32,14 @@ object Lexer {
     while (i < n) {
       val c = src(i)
       if (c == ' ' || c == '\t' || c == '\n' || c == '\r') { i += 1 }
-      else if (c == '(' && i + 1 < n && src(i + 1) == '*') {
-        // comment: scan to matching "*)" (non-nested, like the ocamllex regex)
+      else if (c == '(' && i + 1 < n && src(i + 1) == '*' &&
+               !(i + 2 < n && src(i + 2) == ')')) {
+        // comment: scan to matching "*)" (non-nested, like the ocamllex
+        // regex). The exact three-char sequence `(*)` is NOT a comment
+        // opener — it lexes as `(` `*` `)` so `count(*)` works (round 11
+        // extension). Documented deviation: a comment whose body starts
+        // with `)` must be written `(* )…` with a space; no reference
+        // program is affected (the corpus has no such comment).
         val end = src.indexOf("*)", i + 2)
         if (end < 0) throw LexError("unterminated comment", i)
         i = end + 2

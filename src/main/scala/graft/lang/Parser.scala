@@ -190,16 +190,12 @@ object Parser {
       * only list constructor; at least one element (an empty list has
       * no element type), mandatory alias. */
     private def unwindClause(): Clause = {
-      expectSym("[")
-      val items = List.newBuilder[Expr]
-      items += expr()
-      while (peek == TSym(",")) { i += 1; items += expr() }
-      expectSym("]")
+      val items = bracketList("unwind")
       peek match {
         case TIdent("as") => i += 1
         case t            => fail(s"expected 'as' after unwind list, got $t")
       }
-      Unwind(items.result(), ident())
+      Unwind(items, ident())
     }
 
     /** The two merge shapes (see [[Merge]]): a single labeled node
@@ -209,14 +205,40 @@ object Parser {
       * the position info `fail` carries. */
     private def mergeClause(): Clause = {
       val pat = pattern()
-      pat match {
-        case SimpPattern(_: DeclPattern) => Merge(pat)
+      val nodeForm = pat match {
+        case SimpPattern(_: DeclPattern) => true
         case CompPattern(_: VarRefPattern, _, SimpPattern(_: VarRefPattern), _, None, Nil, Nil) =>
-          Merge(pat)
+          false
         case _ => fail("merge supports a single labeled node " +
           "(merge (x: l {f: c})) or one edge between bound variables " +
           "(merge (a) -[:r]-> (b))")
       }
+      // conditional actions (round 11 — Cypher's ON CREATE/MATCH SET):
+      // `on` is contextual (only `on create set` / `on match set` right
+      // after a merge pattern parses as an action), node form only —
+      // the edge form desugars to create-edge, which has no branch
+      var onCreate = List.empty[(String, String, Expr)]
+      var onMatch = List.empty[(String, String, Expr)]
+      while (peek == TIdent("on") &&
+             (peek2 == TKw("create") || peek2 == TKw("match"))) {
+        if (!nodeForm)
+          fail("on create/on match actions apply to node-form merge only")
+        i += 1
+        val isCreate = peek == TKw("create")
+        i += 1
+        if (peek != TKw("set")) fail(s"expected set after on ${
+          if (isCreate) "create" else "match"}, got $peek")
+        i += 1
+        val as = assignList()
+        if (isCreate) {
+          if (onCreate.nonEmpty) fail("duplicate on create set")
+          onCreate = as
+        } else {
+          if (onMatch.nonEmpty) fail("duplicate on match set")
+          onMatch = as
+        }
+      }
+      Merge(pat, onCreate, onMatch)
     }
 
     /** Shared shape check for the two pattern-predicate clauses: a path
@@ -245,7 +267,7 @@ object Parser {
     // plain `return v1, v2` still yields the reference-shaped [[Return]].
     private val aggFns = Map(
       "count" -> AggCount, "sum" -> AggSum, "min" -> AggMin, "max" -> AggMax,
-      "avg" -> AggAvg)
+      "avg" -> AggAvg, "strjoin" -> AggStrJoin)
 
     /** `distinct` is contextual like order/limit: a modifier only when
       * another identifier follows (so `return distinct` still returns a
@@ -350,9 +372,18 @@ object Parser {
               if peek2.isInstanceOf[TIdent] || peek2 == TSym("(") => i += 1; true
           case _ => false
         }
-        val arg = retArg()
-        expectSym(")")
-        RetAgg(aggFns(fn), arg, dist)
+        // `count(*)` — Cypher/SQL's row count: sugar for counting a
+        // never-NULL constant, so it counts ROWS (a nullable binding
+        // under count(v) skips NULL bindings; count(*) does not)
+        if (fn == "count" && !dist && peek == TSym("*")) {
+          i += 1
+          expectSym(")")
+          RetAgg(AggCount, RetExpr(Const(IntV(1L))), distinct = false)
+        } else {
+          val arg = retArg()
+          expectSym(")")
+          RetAgg(aggFns(fn), arg, dist)
+        }
       case _ => retArg()
     }
 
@@ -380,7 +411,7 @@ object Parser {
       (peek2 == TSym("(") &&
         (name == "null" || name == "lower" || name == "upper" ||
           name == "trim" || name == "size" || name == "toString" ||
-          name == "substring" || name == "replace")) ||
+          name == "substring" || name == "replace" || name == "coalesce")) ||
       (name == "case" && peek2 == TIdent("when"))
 
     private def identList(): List[String] = {
@@ -576,9 +607,29 @@ object Parser {
           i += 2; e = Bin(BSends, e, addExpr())
         case TIdent("contains") =>
           i += 1; e = Bin(BScontains, e, addExpr())
+        // list membership `e in [x, …]` / `e not in [x, …]` — the `[`
+        // lookahead keeps `in` usable as a variable name everywhere
+        case TIdent("in") if peek2 == TSym("[") =>
+          i += 1; e = InList(e, bracketList("in"), neg = false)
+        case TIdent("not") if peek2 == TIdent("in") =>
+          i += 2
+          if (peek != TSym("[")) fail(s"expected '[' after not in, got $peek")
+          e = InList(e, bracketList("not in"), neg = true)
         case _ => go = false
       }
       e
+    }
+
+    /** `[e1, …, en]` — the shared inline-list form (unwind, in). The
+      * empty list is rejected: MiniGQL has no list values to carry it. */
+    private def bracketList(ctx: String): List[Expr] = {
+      expectSym("[")
+      if (peek == TSym("]")) fail(s"$ctx list cannot be empty")
+      val b = List.newBuilder[Expr]
+      b += expr()
+      while (peek == TSym(",")) { i += 1; b += expr() }
+      expectSym("]")
+      b.result()
     }
     private def addExpr(): Expr = leftAssoc(mulExpr, Map("+" -> BAadd, "-" -> BAsub))
     private def mulExpr(): Expr = leftAssoc(primary,
@@ -624,6 +675,17 @@ object Parser {
         val a = expr(); expectSym(","); val b = expr(); expectSym(","); val c = expr()
         expectSym(")")
         if (fn == "substring") Substr(a, b, c) else Replace(a, b, c)
+      // `coalesce(e1, …, en)` — contextual call shape like the string
+      // functions; at least two arguments (one would be the identity)
+      case TIdent("coalesce") if peek2 == TSym("(") =>
+        i += 2
+        val items = List.newBuilder[Expr]
+        items += expr()
+        while (peek == TSym(",")) { i += 1; items += expr() }
+        expectSym(")")
+        val es = items.result()
+        if (es.size < 2) fail("coalesce needs at least two arguments")
+        Coalesce(es)
       // searched case expression: `case when c then e … else e end`.
       // Contextual on `case` FOLLOWED BY `when`, so `case.f` stays an
       // attribute access on a variable named case

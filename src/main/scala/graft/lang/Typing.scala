@@ -37,6 +37,12 @@ object Typing {
       tp: AttribTp) extends TExpr
   /** `null(v)` — binding-null test (extension; see [[ROptMatch]]). */
   final case class TNullCheck(v: String) extends TExpr { def tp: AttribTp = BoolT }
+  /** `e in [items]` / `e not in [items]` — elements share e's type. */
+  final case class TInList(e: TExpr, items: List[TExpr], neg: Boolean) extends TExpr {
+    def tp: AttribTp = BoolT
+  }
+  /** `coalesce(e1, …, en)` — all arguments share one type. */
+  final case class TCoalesce(items: List[TExpr], tp: AttribTp) extends TExpr
 
   // --- resolved instructions ---
   sealed trait RInstr extends Product with Serializable
@@ -119,14 +125,17 @@ object Typing {
     def outName: String = "<expr>"
   }
   final case class RRetAgg(fn: AggFn, arg: RRet, distinct: Boolean = false) extends RRet {
-    /** Result type: count is int; min/max (and the int-only sum/avg)
-      * take their argument's type — min/max over STRING attributes are
-      * legal (lexicographic, round 10 continued). */
-    def tp: AttribTp = if (fn == AggCount) IntT else arg match {
-      case RRetAttr(_, _, _, t) => t
-      case RRetExpr(te)         => te.tp
-      case _                    => IntT // RRetVar arg: count-only (unreachable here)
-    }
+    /** Result type: count is int; strjoin is string; min/max (and the
+      * int-only sum/avg) take their argument's type — min/max over
+      * STRING attributes are legal (lexicographic, round 10 continued). */
+    def tp: AttribTp =
+      if (fn == AggCount) IntT
+      else if (fn == AggStrJoin) StringT
+      else arg match {
+        case RRetAttr(_, _, _, t) => t
+        case RRetExpr(te)         => te.tp
+        case _                    => IntT // RRetVar arg: count-only (unreachable here)
+      }
     def outName: String = {
       val d = if (distinct) "distinct_" else ""
       arg match {
@@ -184,7 +193,9 @@ object Typing {
     * constant `props` exactly, or create ONE such node and bind it to
     * every row when none matches (see [[graft.lang.Merge]]). */
   final case class RMergeNode(v: String, label: String,
-      props: List[(String, Value)]) extends RInstr
+      props: List[(String, Value)],
+      onCreate: List[RInstr] = Nil,
+      onMatch: List[RInstr] = Nil) extends RInstr
   /** `unwind [items] as alias` (see [[graft.lang.Unwind]]): per row, one
     * output row per element; `alias` binds the scalar pseudo-label of
     * the elements' shared type `tp`. */
@@ -395,6 +406,33 @@ object Typing {
         res <- if (tps.size == 1) Right(TCase(tws, to, to.tp))
                else Left(s"case branches must share one type, got ${tps.mkString("/")}")
       } yield res
+    case InList(e1, items, neg) =>
+      for {
+        te <- tpExpr(schema, env, e1)
+        tis <- items.foldLeft[Either[String, List[TExpr]]](Right(Nil)) {
+          case (acc, it) => for {
+            tail <- acc
+            ti <- tpExpr(schema, env, it)
+          } yield ti :: tail
+        }.map(_.reverse)
+        res <- {
+          val bad = tis.map(_.tp).filterNot(_ == te.tp).distinct
+          if (bad.isEmpty) Right(TInList(te, tis, neg))
+          else Left(s"in-list elements must match the tested ${te.tp}, " +
+            s"got ${bad.mkString("/")}")
+        }
+      } yield res
+    case Coalesce(items) =>
+      items.foldLeft[Either[String, List[TExpr]]](Right(Nil)) {
+        case (acc, it) => for {
+          tail <- acc
+          ti <- tpExpr(schema, env, it)
+        } yield ti :: tail
+      }.map(_.reverse).flatMap { tis =>
+        val tps = tis.map(_.tp).distinct
+        if (tps.size == 1) Right(TCoalesce(tis, tps.head))
+        else Left(s"coalesce arguments must share one type, got ${tps.mkString("/")}")
+      }
   }
 
   private def strPredName(op: BinOp): String = op match {
@@ -635,7 +673,7 @@ object Typing {
           }
         })
 
-      case IMergeNode(v, lb, props) =>
+      case IMergeNode(v, lb, props, onC, onM) =>
         if (!schema.labels(lb)) Left(s"undeclared node label $lb")
         else {
           val dups = props.map(_._1).diff(props.map(_._1).distinct).distinct
@@ -663,7 +701,24 @@ object Typing {
                   }
                 } yield (f, value) :: tail
             }
-            typed.map(ps => (RMergeNode(v, lb, ps), (v, lb) :: env))
+            // on create/on match actions (round 11): each assignment
+            // types exactly like a standalone `set` in the env WITH the
+            // merged variable bound (they may also target other bound
+            // variables, like Cypher)
+            val env2 = (v, lb) :: env
+            def tcActions(as: List[(String, String, Expr)])
+                : Either[String, List[RInstr]] =
+              as.foldRight(Right(Nil): Either[String, List[RInstr]]) {
+                case ((av, af, ae), acc) => for {
+                  tail <- acc
+                  r <- tcInstr(schema, env2, ISet(av, af, ae)).map(_._1)
+                } yield r :: tail
+              }
+            for {
+              ps <- typed
+              rc <- tcActions(onC)
+              rm <- tcActions(onM)
+            } yield (RMergeNode(v, lb, ps, rc, rm), env2)
           }
         }
 
@@ -819,17 +874,21 @@ object Typing {
         case a: RRetAgg => Left(s"nested aggregate ${fn.name}(${a.outName})")
         case a @ RRetAttr(v, _, f, tp) =>
           // min/max extend to strings (lexicographic, round 10
-          // continued); sum/avg stay int-only
-          if (fn != AggCount && tp != IntT &&
+          // continued); strjoin is string-only; sum/avg stay int-only
+          if (fn == AggStrJoin && tp != StringT)
+            Left(s"strjoin($v.$f) requires a string attribute, got $tp")
+          else if (fn != AggCount && fn != AggStrJoin && tp != IntT &&
               !(tp == StringT && (fn == AggMin || fn == AggMax)))
             Left(s"${fn.name}($v.$f) requires an int attribute, got $tp")
           else Right(RRetAgg(fn, a, dist))
         case a @ RRetExpr(te) =>
           // aggregate over a full expression (round 10 continued):
           // sum/avg need an int-typed expression, min/max admit string
-          // too; count takes any (every MiniGQL value is non-null, so
-          // it counts rows)
-          if (fn != AggCount && te.tp != IntT &&
+          // too, strjoin requires string; count takes any (every MiniGQL
+          // value is non-null, so it counts rows)
+          if (fn == AggStrJoin && te.tp != StringT)
+            Left(s"strjoin(<expr>) requires a string expression, got ${te.tp}")
+          else if (fn != AggCount && fn != AggStrJoin && te.tp != IntT &&
               !(te.tp == StringT && (fn == AggMin || fn == AggMax)))
             Left(s"${fn.name}(<expr>) requires an int expression, got ${te.tp}")
           else Right(RRetAgg(fn, a, dist))
@@ -966,6 +1025,8 @@ object Typing {
     case TReplace(a, b, c) => exprVars(a) ++ exprVars(b) ++ exprVars(c)
     case TCase(ws, o, _)   =>
       ws.flatMap { case (c, v) => exprVars(c) ++ exprVars(v) } ++ exprVars(o)
+    case TInList(e, items, _) => exprVars(e) ++ items.flatMap(exprVars)
+    case TCoalesce(items, _)  => items.flatMap(exprVars)
     case _: TConst         => Nil
   }
 
@@ -1017,6 +1078,7 @@ object Typing {
     case _: RDeleteNode | _: RDeleteEdge
        | _: RDeleteEdgeBinding           => Some("delete")
     case _: RSet | _: RSetEdge           => Some("set")
+    case _: RRemove | _: RRemoveEdge     => Some("remove")
     case _                               => None
   }
 

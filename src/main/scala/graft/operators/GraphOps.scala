@@ -537,6 +537,88 @@ object GraphOps {
              |            ELSE lower(n_name) END AS bucket
              |FROM nation""".stripMargin)),
 
+    // --- in-list membership / coalesce / count(*) (round 11 — Cypher's
+    // IN over the inline-list constructor, NULL recovery, row count).
+    // All compile into the same codegen'd filter/projection/aggregate
+    // as their hand-written equivalents — no new plan shapes.
+
+    // `e in [..]` and `not in` at comparison precedence; elements are
+    // full expressions; SQL IN NULL semantics ride along for free
+    Q("gql_in_list",
+      bindings(
+        """match (n:nation)
+          |where n.nationkey in [1, 3, 5 + 2] or n.regionkey not in [0, 1]
+          |return n""".stripMargin),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n
+             |FROM nation
+             |WHERE n_nationkey IN (1, 3, 7) OR n_regionkey NOT IN (0, 1)""".stripMargin)),
+
+    // coalesce recovers an unmatched optional target's guarded NULL
+    // attribute (each region's chain tail has no nnext successor);
+    // the lexer has no negative literals, hence `0 - 1`
+    Q("gql_coalesce",
+      bindings(
+        """match (n:nation)
+          |optional match (n) -[:nnext]-> (m:nation)
+          |return n, coalesce(m.nationkey, 0 - 1) as succ""".stripMargin),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |       COALESCE(CAST(LEAD(n_nationkey) OVER (
+             |         PARTITION BY n_regionkey ORDER BY n_nationkey) AS BIGINT),
+             |         -1) AS succ
+             |FROM nation""".stripMargin)),
+
+    // merge conditional actions (round 11 — Cypher ON CREATE SET /
+    // ON MATCH SET): the first merge misses (no nationkey-999 nation)
+    // so only its on-create sets fire; the second hits nationkey 1 so
+    // only its on-match set fires. Observable output = the mutated
+    // nation frame (created node id = FreshBase, the loader contract).
+    Q("gql_merge_actions",
+      nodeFrame(
+        """merge (x:nation {nationkey: 999})
+          |on create set x.name = "ghost", x.regionkey = 42
+          |on match set x.name = "seen"
+          |merge (y:nation {nationkey: 1})
+          |on create set y.name = "ghost2"
+          |on match set y.regionkey = y.regionkey + 100
+          |return x, y""".stripMargin, "nation",
+        ("id", "id"), ("name", "name"), ("regionkey", "regionkey")),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS id,
+             |       n_name AS name,
+             |       CAST(n_regionkey AS BIGINT) +
+             |         CASE WHEN n_nationkey = 1 THEN 100 ELSE 0 END AS regionkey
+             |FROM nation
+             |UNION ALL
+             |SELECT 20000000000 AS id, 'ghost' AS name, 42 AS regionkey""".stripMargin)),
+
+    // strjoin: the deterministic collect() stand-in — the group's
+    // strings concatenated in ASCENDING order (a pure function of the
+    // value bag, so partitioning can't perturb it); map-side partial
+    // collect_list, one sort per group at the merge
+    Q("gql_strjoin",
+      bindings(
+        """match (n:nation) -[:nregion]-> (r:region)
+          |where n.nationkey < 10
+          |return r, strjoin(n.name) as members, strjoin(distinct substring(n.name, 1, 6)) as prefixes""".stripMargin),
+      Some("""SELECT CAST(r_regionkey AS BIGINT) + 1000000000 AS r,
+             |       string_agg(n_name, ',' ORDER BY n_name) AS members,
+             |       string_agg(DISTINCT substring(n_name, 1, 6), ','
+             |                  ORDER BY substring(n_name, 1, 6)) AS prefixes
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |WHERE n_nationkey < 10
+             |GROUP BY r_regionkey""".stripMargin)),
+
+    // count(*) counts ROWS; count(m) skips NULL optional bindings —
+    // the SQL distinction, reproduced over the same left-join witness
+    Q("gql_count_star",
+      bindings(
+        """match (n:nation)
+          |optional match (n) -[:nnext]-> (m:nation)
+          |return count(*) as total, count(m) as hits""".stripMargin),
+      Some("""SELECT COUNT(*) AS total, COUNT(dst) AS hits FROM (
+             |  SELECT LEAD(n_nationkey) OVER (
+             |    PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+             |  FROM nation) t""".stripMargin)),
+
     // --- expression projection items (round 10 continued): full
     // expressions ride `with … as x` (alias machinery names them),
     // aggregate arguments (`sum(case … end)` — conditional

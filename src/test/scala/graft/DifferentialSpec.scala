@@ -60,7 +60,10 @@ class DifferentialSpec extends AnyFunSuite {
         case 2 => s"(${intExpr(depth - 1)} / ${rnd.nextInt(3) + 2})" // nonzero const divisor
         case 3 => s"(${intExpr(depth - 1)} mod ${rnd.nextInt(4) + 2})"
         // round 10: size over a string expression (string → int)
-        case 4 => s"(size(${strExpr(1)}) + ${intExpr(depth - 1)})"
+        case 4 if rnd.nextBoolean() => s"(size(${strExpr(1)}) + ${intExpr(depth - 1)})"
+        // round 11: coalesce over non-nullable ints (= first argument;
+        // the NULL-recovery leg is drawn at the optional-match site)
+        case 4 => s"coalesce(${intExpr(depth - 1)}, ${intExpr(0)})"
         // round 10: searched case — only the taken branch evaluates in
         // BOTH engines (SQL CASE / RefInterp's collectFirst), and the
         // generator keeps all attrs set + const divisors nonzero, so
@@ -89,7 +92,7 @@ class DifferentialSpec extends AnyFunSuite {
     }
     def boolExpr(depth: Int): String = {
       val svars = bound("P").map(_ + ".nm")
-      val base = rnd.nextInt(8) match {
+      val base = rnd.nextInt(10) match {
         case 0 | 1 if svars.nonEmpty =>
           // polymorphic string equality (reference sem.ml:168,173)
           s"${pick(svars)} ${pick(Seq("=", "<>"))} \"${pick(Seq("alpha", "beta", "gamma"))}\""
@@ -97,6 +100,15 @@ class DifferentialSpec extends AnyFunSuite {
           // round 10: string predicates over function-wrapped operands
           s"${strExpr(1)} ${pick(Seq("starts with", "ends with", "contains"))} " +
             s"\"${pick(Seq("a", "al", "ta", "mm", "ET", "pad", ""))}\""
+        // round 11: in-list membership, both polarities, string and int
+        // element draws (elements are full expressions)
+        case 8 if svars.nonEmpty =>
+          val elems = Seq.fill(1 + rnd.nextInt(3))(
+            s"\"${pick(Seq("alpha", "beta", "gamma", "delta"))}\"").mkString(", ")
+          s"${pick(svars)}${if (rnd.nextBoolean()) "" else " not"} in [$elems]"
+        case 9 =>
+          val elems = Seq.fill(1 + rnd.nextInt(3))(intExpr(0)).mkString(", ")
+          s"${intExpr(1)}${if (rnd.nextBoolean()) "" else " not"} in [$elems]"
         case _ =>
           s"${intExpr(1)} ${pick(Seq("=", "<>", ">=", ">", "<=", "<"))} ${intExpr(1)}"
       }
@@ -292,7 +304,7 @@ class DifferentialSpec extends AnyFunSuite {
         if (srcs.nonEmpty) {
           val hop1 = Map("P" -> Seq(("r", "Q"), ("s", "P")), "Q" -> Seq(("t", "Q")))
           val (a, l) = pick(srcs)
-          rnd.nextInt(3) match {
+          val headLbl = rnd.nextInt(3) match {
             case 0 =>
               val (rl, tl) = pick(hop1(l))
               n += 1
@@ -301,12 +313,14 @@ class DifferentialSpec extends AnyFunSuite {
               val oh = if (rnd.nextInt(4) == 0) "-" else "->"
               sb ++= s"optional match ($a) -[:$rl]$oh (v$n:$tl)\n"
               optEnv ::= s"v$n"
+              tl
             case 1 =>
               val (rl, ml) = pick(hop1(l))
               val (rl2, tl) = pick(hop1(ml))
               n += 2
               sb ++= s"optional match ($a) -[:$rl]-> (v${n - 1}:$ml) -[:$rl2]-> (v$n:$tl)\n"
               optEnv = s"v$n" :: s"v${n - 1}" :: optEnv
+              tl
             case _ =>
               val rl = if (l == "P") "s" else "t"
               val lo = rnd.nextInt(3)
@@ -314,20 +328,42 @@ class DifferentialSpec extends AnyFunSuite {
               n += 1
               sb ++= s"optional match ($a) -[:$rl*$lo..$hi]-> (v$n:$l)\n"
               optEnv ::= s"v$n"
+              l
           }
           // half the time, immediately filter on the new binding's
-          // nullness (both polarities of the null() predicate)
+          // nullness (both polarities of the null() predicate); a third
+          // of the rest read THROUGH the possibly-NULL binding under
+          // coalesce (round 11) — the one sanctioned NULL-attr read:
+          // the engine's strict guard yields NULL, coalesce recovers it
           if (rnd.nextBoolean())
             sb ++= s"where null(${optEnv.head})${if (rnd.nextBoolean()) " = false" else ""}\n"
+          else if (rnd.nextInt(3) == 0) {
+            val (ov, oattr) = headLbl match {
+              case "P" => (optEnv.head, "x"); case _ => (optEnv.head, "y")
+            }
+            sb ++= s"where coalesce($ov.$oattr, ${rnd.nextInt(60)}) >= ${rnd.nextInt(40)}\n"
+          }
         }
       case 8 => // merge node — match-or-create-one; SMALL value space so
         // both paths (collision → match-all, miss → create-one-bind-all)
-        // occur across seeds, including matches against earlier merges
+        // occur across seeds, including matches against earlier merges.
+        // A third carry on create/on match actions (round 11) — both
+        // engines must fire exactly the taken branch's sets
         val v = freshOrReuse()
         val lbl = pick(Seq("P", "Q"))
+        val actions =
+          if (rnd.nextInt(3) > 0) ""
+          else {
+            val sets =
+              if (lbl == "P") Seq(s"$v.x = ${intExpr(1)}", s"$v.nm = ${strExpr(1)}")
+              else Seq(s"$v.y = ${intExpr(1)}")
+            val a1 = s" on create set ${pick(sets)}"
+            val a2 = if (rnd.nextBoolean()) s" on match set ${pick(sets)}" else ""
+            if (rnd.nextBoolean()) a1 + a2 else a2 + a1
+          }
         if (lbl == "P")
-          sb ++= s"merge ($v:P {x: ${rnd.nextInt(6)}, nm: \"${pick(Seq("alpha", "beta"))}\"})\n"
-        else sb ++= s"merge ($v:Q {y: ${rnd.nextInt(6)}})\n"
+          sb ++= s"merge ($v:P {x: ${rnd.nextInt(6)}, nm: \"${pick(Seq("alpha", "beta"))}\"})$actions\n"
+        else sb ++= s"merge ($v:Q {y: ${rnd.nextInt(6)}})$actions\n"
         env = (v, lbl) :: env
       case 9 => // mid-query `with`: project/aggregate the binding table,
         // scope reset to exactly the with items — plain vars stay node
@@ -377,7 +413,12 @@ class DifferentialSpec extends AnyFunSuite {
               else if (fn == "count" && rnd.nextBoolean()) src.split('.').head
               else src
             n += 1
-            items = items :+ (s"$fn($dist$arg)", s"$fn($dist$arg) as v$n", s"v$n", "%int")
+            // count(*) (round 11): row count — the desugared constant-1
+            // leaf counts every row in both engines
+            val call =
+              if (fn == "count" && dist.isEmpty && rnd.nextInt(3) == 0) "count(*)"
+              else s"$fn($dist$arg)"
+            items = items :+ (call, s"$call as v$n", s"v$n", "%int")
           } else if (intSrcs.nonEmpty && rnd.nextInt(3) == 0) {
             // half bare attr sources, half full expression items
             val src = if (rnd.nextBoolean()) exprSrc() else pick(intSrcs)

@@ -478,6 +478,105 @@ class GoldenSpec extends AnyFunSuite {
       |create (b) -[:e {w: 100}]-> (c)
       |""".stripMargin
 
+  test("in-list membership filters; coalesce recovers optional-match NULLs; count(*)") {
+    val src =
+      """(:N {x int, s string})
+        |(:N) -[:e]-> (:N)
+        |create (a:N {x: 1, s: "aa"}) create (b:N {x: 2, s: "bb"})
+        |create (c:N {x: 3, s: "cc"})
+        |create (a) -[:e]-> (b)
+        |""".stripMargin
+    val r = Engine.runSource(spark, src +
+      "match (n:N)\nwhere n.x in [1, 3, 9]\nreturn n.x")
+    assert(r.bindings.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    val r2 = Engine.runSource(spark, src +
+      "match (n:N)\nwhere n.s not in [\"bb\", \"zz\"]\nreturn n.x")
+    assert(r2.bindings.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // coalesce over an unmatched optional target yields the default:
+    // only a has an e-successor, so m is NULL for b and c
+    val r3 = Engine.runSource(spark, src +
+      "match (n:N)\noptional match (n) -[:e]-> (m:N)\n" +
+        "return n.x as nx, coalesce(m.x, 0) as mx")
+    assert(r3.bindings.collect().map(t => (t.getLong(0), t.getLong(1))).toSet ==
+      Set((1L, 2L), (2L, 0L), (3L, 0L)))
+    // count(*) counts ROWS; count(m) skips NULL bindings
+    val r4 = Engine.runSource(spark, src +
+      "match (n:N)\noptional match (n) -[:e]-> (m:N)\n" +
+        "return count(*) as rows, count(m) as hits")
+    assert(r4.bindings.collect().map(t => (t.getLong(0), t.getLong(1))).toSeq ==
+      Seq((3L, 1L)))
+  }
+
+  test("merge on create/on match: exactly the taken branch's sets fire") {
+    val src = "(:N {x int, s string})\n"
+    // miss → create branch: on create fires, on match doesn't
+    val r = Engine.runSource(spark, src +
+      "merge (a:N {x: 1}) on create set a.s = \"new\" on match set a.s = \"seen\"\nreturn a, a.s")
+    assert(r.bindings.collect().map(t => (t.getLong(0), t.getString(1))).toSeq ==
+      Seq((0L, "new")))
+    // hit → match branch; the action may reference current attrs
+    val r2 = Engine.runSource(spark, src +
+      "create (n:N {x: 1, s: \"orig\"})\n" +
+        "merge (a:N {x: 1}) on create set a.s = \"new\" on match set a.s = a.s + \" seen\"\n" +
+        "return a.s")
+    assert(r2.bindings.collect().map(_.getString(0)).toSeq == Seq("orig seen"))
+    // actions may target OTHER bound variables too (Cypher)
+    val r3 = Engine.runSource(spark, src +
+      "create (n:N {x: 5, s: \"keep\"})\n" +
+        "merge (a:N {x: 7}) on create set n.s = \"missed\"\nreturn n.s")
+    assert(r3.bindings.collect().map(_.getString(0)).toSeq == Seq("missed"))
+  }
+
+  test("strjoin aggregates the group's strings in ascending order") {
+    val src =
+      """(:N {x int, s string})
+        |create (a:N {x: 1, s: "cc"}) create (b:N {x: 1, s: "aa"})
+        |create (c:N {x: 2, s: "bb"}) create (d:N {x: 1, s: "aa"})
+        |""".stripMargin
+    val r = Engine.runSource(spark, src +
+      "match (n:N)\nreturn n.x as g, strjoin(n.s) as all, strjoin(distinct n.s) as uniq")
+    assert(r.bindings.columns.toSeq == Seq("g", "all", "uniq"))
+    assert(r.bindings.collect().map(t =>
+      (t.getLong(0), t.getString(1), t.getString(2))).toSet ==
+      Set((1L, "aa,aa,cc", "aa,cc"), (2L, "bb", "bb")))
+    // expression argument + global group; with-binding reads as a string scalar
+    val r2 = Engine.runSource(spark, src +
+      "match (n:N)\nwith strjoin(distinct upper(n.s)) as j\nwhere j.val contains \"BB\"\nreturn j")
+    assert(r2.bindings.collect().map(_.getString(0)).toSeq == Seq("AA,BB,CC"))
+  }
+
+  test("duplicate structural items with distinct aliases each get a column") {
+    // positional naming (ADVICE r10): `return n.x as a, n.x as b` used
+    // to name both columns `a` and fail on the final projection of `b`
+    val src = "(:N {x int})\ncreate (n:N) set n.x = 7\n"
+    val r = Engine.runSource(spark, src + "match (n:N)\nreturn n.x as a, n.x as b")
+    assert(r.bindings.columns.toSeq == Seq("a", "b"))
+    assert(r.bindings.collect().map(t => (t.getLong(0), t.getLong(1))).toSeq ==
+      Seq((7L, 7L)))
+    // same shape under aggregation (duplicate group keys) and with
+    val r2 = Engine.runSource(spark, src +
+      "match (n:N)\nreturn n.x as a, n.x as b, count(n) as c")
+    assert(r2.bindings.columns.toSeq == Seq("a", "b", "c"))
+    assert(r2.bindings.collect().map(t =>
+      (t.getLong(0), t.getLong(1), t.getLong(2))).toSeq == Seq((7L, 7L, 1L)))
+    val r3 = Engine.runSource(spark, src +
+      "match (n:N)\nwith n.x as a, n.x as b\nwhere a.val = b.val\nreturn a, b")
+    assert(r3.bindings.collect().map(t => (t.getLong(0), t.getLong(1))).toSeq ==
+      Seq((7L, 7L)))
+  }
+
+  test("two rel variables over the same endpoint pair read attrs unambiguously") {
+    // per-variable discriminator in the edge-attr ref name (ADVICE r10):
+    // x and y alias the same (src,dst) pair — their attr joins used to
+    // produce identically-named columns and fail at analysis time
+    val r = Engine.runSource(spark, edgeSrc +
+      "match (u:N) -[x:e]-> (v:N)\nmatch (u) -[y:e]-> (v)\n" +
+        "where x.w = y.w\nreturn u, x.w as xw, y.w as yw")
+    assert(r.bindings.columns.toSeq == Seq("u", "xw", "yw"))
+    assert(r.bindings.collect().map(t => (t.getLong(0), t.getLong(1), t.getLong(2)))
+      .toSet == Set((0L, 10L, 10L), (1L, 100L, 100L)))
+  }
+
   test("edge properties: create map, rel-binding read, strict unset raise") {
     val r = Engine.runSource(spark, edgeSrc +
       "match (u:N) -[x:e]-> (v:N)\nwhere x.w >= 20\nreturn u, v, x.w")

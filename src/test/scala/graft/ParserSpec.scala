@@ -253,6 +253,29 @@ class ParserSpec extends AnyFunSuite {
     assert(v.query.clauses.collect { case Return(vs) => vs }.flatten == List("merge"))
   }
 
+  test("merge on create/on match actions parse; node form only; no duplicates") {
+    val p = Parser.parse(header +
+      "merge (a:P {x: 1}) on create set a.s = \"new\" on match set a.x = a.x + 1, a.s = \"seen\"")
+    p.query.clauses.head match {
+      case Merge(SimpPattern(_: DeclPattern),
+          List(("a", "s", Const(StringV("new")))),
+          List(("a", "x", Bin(BAadd, _, _)), ("a", "s", Const(StringV("seen"))))) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    // order-independent; each action at most once
+    Parser.parse(header + "merge (a:P {x: 1}) on match set a.x = 2 on create set a.x = 3")
+    assert(intercept[Parser.ParseError](Parser.parse(header +
+      "merge (a:P {x: 1}) on create set a.x = 2 on create set a.x = 3"))
+      .getMessage.contains("duplicate on create"))
+    // the edge form has no branch to condition on
+    assert(intercept[Parser.ParseError](Parser.parse(header +
+      "create (a:P)\ncreate (b:Q)\nmerge (a) -[:r]-> (b) on create set a.x = 1"))
+      .getMessage.contains("node-form merge only"))
+    // `on` alone is not stolen: a variable named on still parses
+    val v = Parser.parse(header + "create (on:P)\nreturn on")
+    assert(v.query.clauses.collect { case Return(vs) => vs }.flatten == List("on"))
+  }
+
   test("merge rejects paths through fresh nodes and var-length hops") {
     val ex = intercept[Parser.ParseError](
       Parser.parse(header + "merge (a:P) -[:r]-> (b:Q)"))
@@ -428,5 +451,60 @@ class ParserSpec extends AnyFunSuite {
     // carries no aliases)
     assert(Parser.parse(header + "match (a:P)\nreturn a as b")
       .query.clauses.last == ReturnExt(List((RetVar("a"), Some("b"))), Nil, None, None, false))
+  }
+
+  test("in-list membership parses at comparison tier; names stay contextual") {
+    val e = Parser.parse(header + "match (a:P)\nwhere a.x in [1, a.x + 2, 3]\nreturn a")
+      .query.clauses.collectFirst { case Where(w) => w }.get
+    e match {
+      case InList(AttribAcc("a", "x"),
+        List(Const(IntV(1)), Bin(BAadd, _, _), Const(IntV(3))), false) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    // negation + precedence: `in` binds tighter than and/or
+    val e2 = Parser.parse(header +
+      "match (a:P)\nwhere a.x not in [1, 2] and a.x > 0\nreturn a")
+      .query.clauses.collectFirst { case Where(w) => w }.get
+    e2 match {
+      case Bin(BLand, InList(_, List(_, _), true), Bin(BCgt, _, _)) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    // the empty list is rejected like unwind's
+    assert(intercept[Parser.ParseError](
+      Parser.parse(header + "match (a:P)\nwhere a.x in []\nreturn a"))
+      .getMessage.contains("in list cannot be empty"))
+    // `in` and `not` stay valid variable names (no `[` lookahead → no steal)
+    val v = Parser.parse(header + "create (in:P)\ncreate (not:P)\nreturn in, not")
+    assert(v.query.clauses.collect { case Return(vs) => vs }.flatten == List("in", "not"))
+  }
+
+  test("coalesce parses as a call shape; arity and contextual name enforced") {
+    val e = Parser.parse(header +
+      "match (a:P)\nwhere coalesce(a.x, 5) > 2\nreturn a")
+      .query.clauses.collectFirst { case Where(w) => w }.get
+    e match {
+      case Bin(BCgt, Coalesce(List(AttribAcc("a", "x"), Const(IntV(5)))), _) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    assert(intercept[Parser.ParseError](
+      Parser.parse(header + "match (a:P)\nwhere coalesce(a.x) > 2\nreturn a"))
+      .getMessage.contains("at least two arguments"))
+    // a variable named coalesce still works (no `(` after it)
+    val v = Parser.parse(header + "create (coalesce:P)\nreturn coalesce")
+    assert(v.query.clauses.collect { case Return(vs) => vs }.flatten == List("coalesce"))
+  }
+
+  test("count(*) parses as row count; only plain count admits the star") {
+    val p = Parser.parse(header + "match (a:P)\nreturn a, count(*) as c")
+    val items = p.query.clauses.collectFirst {
+      case ReturnExt(its, _, _, _, _) => its }.get
+    assert(items(1) ==
+      ((RetAgg(AggCount, RetExpr(Const(IntV(1L))), distinct = false), Some("c"))))
+    // sum(*) is not a thing — the argument parser reports the star
+    intercept[Parser.ParseError](
+      Parser.parse(header + "match (a:P)\nreturn sum(*) as s"))
+    // count(distinct *) is rejected too (distinct needs a real argument)
+    intercept[Parser.ParseError](
+      Parser.parse(header + "match (a:P)\nreturn count(distinct *) as c"))
   }
 }

@@ -204,22 +204,25 @@ object RefInterp {
     case RWhere(te) =>
       st.copy(rows = st.rows.filter(r => eval(st, r, te) == BoolV(true)))
 
-    case RMergeNode(v, lb, props) =>
-      // match-or-create-one (see Merge scaladoc): unset attrs never match
+    case RMergeNode(v, lb, props, onCreate, onMatch) =>
+      // match-or-create-one (see Merge scaladoc): unset attrs never
+      // match; exactly one conditional action list fires (round 11),
+      // re-entering the ordinary set path on the post-merge state
       val matches = st.nodes.collect {
         case (id, n) if n.label == lb &&
           props.forall { case (f, value) => n.attrs.get(f).contains(value) } => id
       }.toList.sorted
       if (matches.nonEmpty)
-        st.copy(env = (v, st.width) :: st.env, width = st.width + 1,
-          rows = for (r <- st.rows; id <- matches) yield r :+ id)
+        onMatch.foldLeft(st.copy(env = (v, st.width) :: st.env,
+          width = st.width + 1,
+          rows = for (r <- st.rows; id <- matches) yield r :+ id))(exec)
       else if (st.rows.isEmpty)
         st.copy(env = (v, st.width) :: st.env, width = st.width + 1)
       else {
         val id = st.next
-        st.copy(nodes = st.nodes + (id -> Node(lb, props.toMap)),
+        onCreate.foldLeft(st.copy(nodes = st.nodes + (id -> Node(lb, props.toMap)),
           env = (v, st.width) :: st.env, width = st.width + 1,
-          rows = st.rows.map(_ :+ id), next = id + 1)
+          rows = st.rows.map(_ :+ id), next = id + 1))(exec)
       }
 
     case RVarPath(sv, (hl, rl, _), lo, hi, tv, dist, undir) =>
@@ -349,6 +352,8 @@ object RefInterp {
           // truncating int64 division — Engine routes through
           // IntegralDivide, same quotient for all exact int64 sums
           case AggAvg   => if (xs.isEmpty) None else Some(xs.sum / xs.size)
+          case AggStrJoin => throw new UnsupportedOperationException(
+            "string aggregate not supported by the Long-row interpreter")
         }
       }
       def out(o: Option[Long]): Long = o.getOrElse(NullId)
@@ -565,6 +570,24 @@ object RefInterp {
       whens.collectFirst {
         case (c, v) if eval(st, row, c) == BoolV(true) => eval(st, row, v)
       }.getOrElse(eval(st, row, otherwise))
+    case Typing.TInList(e, items, neg) =>
+      // the generator draws non-nullable operands, so plain equality
+      // models SQL IN here (the engine's NULL-drop leg has no
+      // counterpart in the Long-row model)
+      val v = eval(st, row, e)
+      val hit = items.exists(it => eval(st, row, it) == v)
+      BoolV(if (neg) !hit else hit)
+    case Typing.TCoalesce(items, _) =>
+      // NULL enters only through a guarded optional-match attribute:
+      // model exactly that leg (a NullId binding skips the argument);
+      // every other argument evaluates to a real value
+      items.iterator.flatMap {
+        case Typing.TAttr(v, lbl, _, _)
+            if !Typing.isRelLabel(lbl) && !Typing.isVirtual(lbl) &&
+               row(st.colOf(v)) == NullId => None
+        case it => Some(eval(st, row, it))
+      }.nextOption().getOrElse(
+        throw new IllegalStateException("all coalesce arguments NULL"))
   }
 
   private object VecOrd extends Ordering[Vector[Long]] {

@@ -523,7 +523,7 @@ class TypingSpec extends AnyFunSuite {
   test("merge: binds the variable; edge form requires bound endpoints") {
     val tp = Typing.compile(header + "merge (b:P {x: 1})\nreturn b")
     assert(tp.instrs.collectFirst {
-      case Typing.RMergeNode(v, lb, ps) => (v, lb, ps)
+      case Typing.RMergeNode(v, lb, ps, _, _) => (v, lb, ps)
     }.contains(("b", "P", List(("x", graft.lang.IntV(1))))))
     // edge form desugars to create-edge: unbound source is ITS error
     assert(err(header + "merge (q:Q {y: 1})\nmerge (a) -[:r]-> (q)")
@@ -770,5 +770,54 @@ class TypingSpec extends AnyFunSuite {
     assert(err(eh + "remove a.x").contains("unbound variable a"))
     assert(err(eh + "match (a:P)\nwith count(a) as c\nremove c.val\nreturn c")
       .contains("cannot remove attribute"))
+    // union branches are read-only: remove is a mutation like set/delete
+    // (ADVICE r10 — it used to slip through mutationKind and be silently
+    // dropped by the union path)
+    assert(err(eh + "match (a:P)\nremove a.x\nreturn a union match (b:P) return b")
+      .contains("read-only"))
+    assert(err(eh +
+      "match (a:P)\nmatch (b:Q)\nmatch (a) -[x:r]-> (b)\nremove x.w\nreturn a " +
+      "union match (c:P) return c")
+      .contains("read-only"))
+  }
+
+  test("in-list: element types must match the tested expression") {
+    Typing.compile(header + "match (a:P)\nwhere a.x in [1, 2, 3]\nreturn a")
+    Typing.compile(header + "match (a:P)\nwhere a.s not in [\"u\", a.s]\nreturn a")
+    assert(err(header + "match (a:P)\nwhere a.x in [1, \"u\"]\nreturn a")
+      .contains("in-list elements must match the tested Int"))
+    assert(err(header + "match (a:P)\nwhere a.s in [a.x]\nreturn a")
+      .contains("in-list elements must match the tested String"))
+    // the whole membership is bool: it can't feed arithmetic
+    assert(err(header + "match (a:P)\nwhere (a.x in [1]) + 1 > 0\nreturn a")
+      .contains("arithmetic"))
+    // unbound variables inside elements are caught like anywhere else
+    assert(err(header + "match (a:P)\nwhere a.x in [z.x]\nreturn a")
+      .contains("variable z not bound"))
+  }
+
+  test("strjoin: string-only argument; result types as string") {
+    Typing.compile(header + "match (a:P)\nreturn strjoin(a.s)")
+    Typing.compile(header + "match (a:P)\nreturn strjoin(distinct lower(a.s)) as j")
+    assert(err(header + "match (a:P)\nreturn strjoin(a.x)")
+      .contains("requires a string attribute"))
+    assert(err(header + "match (a:P)\nreturn strjoin(a.x + 1) as j")
+      .contains("requires a string expression"))
+    assert(err(header + "match (a:P)\nreturn strjoin(a)")
+      .contains("attribute argument"))
+    // the result is a STRING: int contexts reject it
+    assert(err(header +
+      "match (a:P)\nwith strjoin(a.s) as j\nwhere j.val > 1\nreturn j")
+      .contains("ordering"))
+  }
+
+  test("coalesce: one shared argument type; composes as that type") {
+    Typing.compile(header + "match (a:P)\nwhere coalesce(a.x, 0) > 1\nreturn a")
+    Typing.compile(header +
+      "match (a:P)\nwhere size(coalesce(a.s, \"d\")) > 1\nreturn a")
+    assert(err(header + "match (a:P)\nwhere coalesce(a.x, \"u\") > 1\nreturn a")
+      .contains("coalesce arguments must share one type"))
+    assert(err(header + "match (a:P)\nwhere coalesce(a.s, 0) > 1\nreturn a")
+      .contains("coalesce arguments must share one type"))
   }
 }
