@@ -77,7 +77,20 @@ object GraftFunctions {
       (args: Seq[Expression]) => ArrayDotLong(args(0), args(1))),
     (FunctionIdentifier("array_intersect_count"),
       new ExpressionInfo(classOf[ArrayIntersectCount].getName, "array_intersect_count"),
-      (args: Seq[Expression]) => ArrayIntersectCount(args(0), args(1))))
+      (args: Seq[Expression]) => ArrayIntersectCount(args(0), args(1))),
+    // Spark's own runtime-filter predicate, exposed as a callable
+    // function: args = (serialized util.sketch.BloomFilter literal,
+    // xxhash64 of the tested value). The same codegen'd membership test
+    // InjectRuntimeFilter plants — here built EXPLICITLY over a chosen
+    // key set (e.g. benchmark shingles) so the corpus-side scan drops
+    // non-candidates before any join. Spark ships no public SQL surface
+    // for it (might_contain is internal), hence the registration.
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))))
 
   /** Idempotent per-session registration (library embedding path). */
   def register(spark: SparkSession): Unit = {

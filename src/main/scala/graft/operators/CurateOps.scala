@@ -58,6 +58,48 @@ object CurateOps {
              |FROM dsh JOIN bench USING (shingle)
              |WHERE doc_id % 20 <> 0 GROUP BY doc_id""".stripMargin)),
 
+    // ---- bloom-prefiltered decontamination ----------------------------
+    // The 100 TB shape of the op above: build a Bloom filter over the
+    // benchmark shingles ONCE (distributed treeAggregate; the filter —
+    // not the shingles — ships to every task as a literal), drop
+    // non-candidate corpus shingles AT THE SCAN with Spark's own
+    // codegen'd BloomFilterMightContain predicate, and only then run the
+    // exact semi-join on the survivors. False positives cost one join
+    // probe each and are removed by the verify join, so the RESULT is
+    // bit-identical to the exact op (same oracle); the corpus side still
+    // never shuffles, but now it doesn't even HASH non-candidates into
+    // the join — at a 1% FP rate the verify join sees ~|hits| rows
+    // instead of |corpus|. This is InjectRuntimeFilter's plan shape,
+    // made explicit and persistent (a saved filter decontaminates every
+    // future crawl batch without touching the benchmark again).
+    Q("p_curate_decontaminate_bloom",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val sh = shingles(s, dir)
+        val bench = sh.filter(col("doc_id") % 20 === 0)
+          .select(col("shingle")).distinct()
+        val hashed = bench.select(xxhash64(col("shingle")).as("h"))
+        // n ≥ 1 guards the degenerate empty benchmark; 1% FP keeps the
+        // filter at ~1.2 bytes/key — 10^9 benchmark shingles ≈ 1.2 GB,
+        // still a broadcastable literal
+        val bf = hashed.stat.bloomFilter("h", math.max(hashed.count(), 1L), 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        val candidates = sh.filter(col("doc_id") % 20 =!= 0)
+          .filter(call_function("graft_might_contain",
+            lit(bos.toByteArray), xxhash64(col("shingle"))))
+        candidates.join(broadcast(bench), Seq("shingle"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      },
+      Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+             |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle FROM dd),
+             |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+             |bench AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 20 = 0)
+             |SELECT doc_id, count(*) AS n_hits
+             |FROM dsh JOIN bench USING (shingle)
+             |WHERE doc_id % 20 <> 0 GROUP BY doc_id""".stripMargin)),
+
     // ---- denylist redaction -------------------------------------------
     // Replace denylisted terms with a sentinel and report the redaction
     // count plus a digest of the scrubbed text (the digest puts the

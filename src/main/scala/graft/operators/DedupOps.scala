@@ -63,6 +63,38 @@ object DedupOps {
              |FROM documents
              |GROUP BY 1""".stripMargin)),
 
+    // ---- incremental dedup against a persisted fingerprint store ------
+    // The continuous-crawl shape of exact dedup: the accumulated corpus'
+    // content hashes live in a BUCKETED store (built once, appended per
+    // batch); each new batch dedups by (1) anti-joining its hashes
+    // against the store and (2) collapsing batch-internal copies. The
+    // store side — the 100 TB side — is never reshuffled: the anti join
+    // reads it bucket-aligned on the hash, so a daily batch costs one
+    // shuffle of the BATCH only, forever, regardless of corpus growth.
+    // Here history = 80% of documents (doc_id % 10 < 8), batch = the
+    // rest; output = the batch's surviving representatives.
+    Q("p_dedup_incremental",
+      (s, dir) => {
+        val ft = bucketedTable(s, "graft_bkt_fingerprints", dir, "th", 16)(
+          docs(s, dir).filter(col("doc_id") % 10 < 8)
+            .select(md5(col("text")).as("th")).distinct())
+        docs(s, dir).filter(col("doc_id") % 10 >= 8)
+          .select(col("doc_id"), md5(col("text")).as("th"))
+          .hint("merge") // sort-merge: store side stays bucket-aligned
+          .join(s.table(ft), Seq("th"), "left_anti")
+          .groupBy(col("th").as("text_hash"))
+          .agg(min(col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n_batch_copies"))
+      },
+      Some("""WITH h AS (SELECT DISTINCT md5(text) AS th FROM documents
+             |           WHERE doc_id % 10 < 8),
+             |b AS (SELECT doc_id, md5(text) AS th FROM documents
+             |      WHERE doc_id % 10 >= 8)
+             |SELECT th AS text_hash, min(doc_id) AS keep_id,
+             |       count(*) AS n_batch_copies
+             |FROM b WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.th = b.th)
+             |GROUP BY th""".stripMargin)),
+
     // ---- asymmetric n-gram containment: sub-document duplication ------
     // containment(a in b) = |A ∩ B| / |A| — catches a document embedded
     // inside a larger one, which symmetric Jaccard dilutes. Same shingle

@@ -116,4 +116,35 @@ private[operators] object PipeData {
   def cosine(qa: String, na: String, qb: String, nb: String) = expr(
     s"cast(array_dot_long($qa, $qb) as double)" +
       s" / (sqrt(cast($na as double)) * sqrt(cast($nb as double)))")
+
+  /** Idempotent content-fingerprinted bucketed table: builds (once per
+    * dataset generation) a warehouse table bucketed+sorted on `key` and
+    * returns its name. Extracted from q_join_bucketed so every op that
+    * persists a co-location layout shares one implementation. The name
+    * carries [[contentTag]] (ADVICE r04: regenerated data mints fresh
+    * tables); stale-tag siblings are reaped exactly (ADVICE r05/r06:
+    * base name + one 8-hex tag, catalog entry dropped before the dir). */
+  def bucketedTable(s: SparkSession, base: String, dir: String, key: String,
+      buckets: Int)(df: => DataFrame): String = {
+    val name = s"${base}_${contentTag(dir, 8)}"
+    if (!s.catalog.tableExists(name)) {
+      val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+      val sibling = java.util.regex.Pattern.compile(
+        java.util.regex.Pattern.quote(s"${base}_") + "[0-9a-f]{8}")
+      Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty)
+        .foreach { f =>
+          if (sibling.matcher(f.getName).matches() && f.getName != name) {
+            if (s.catalog.tableExists(f.getName))
+              s.sql(s"DROP TABLE IF EXISTS ${f.getName}")
+            org.apache.commons.io.FileUtils.deleteQuietly(f)
+          }
+        }
+      val loc = new java.io.File(wh, name)
+      if (loc.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      df.write.mode("overwrite").bucketBy(buckets, key)
+        .sortBy(key).format("parquet").saveAsTable(name)
+    }
+    name
+  }
 }

@@ -653,47 +653,14 @@ object RelOps {
     // PlanSpec asserts no hashpartitioning exchange on the join keys.
     Q("q_join_bucketed",
       (s, dir) => {
-        // Content-fingerprinted table names (ADVICE r04): a regenerated
-        // dataset at the same path gets FRESH bucketed tables instead of
-        // being served the session's stale catalog entry.
-        val tag = PipeData.contentTag(dir, 8)
-        val ot = s"graft_bkt_orders_$tag"
-        val lt = s"graft_bkt_lineitem_$tag"
-        // The in-memory catalog dies with the session but the warehouse
-        // directory persists; Spark refuses a managed-table location it
-        // doesn't own, so clear any orphaned layout before rebuilding.
-        def build(name: String, df: => DataFrame, key: String): Unit =
-          if (!s.catalog.tableExists(name)) {
-            val wh = java.net.URI.create(
-              s.conf.get("spark.sql.warehouse.dir")).getPath
-            // Reap STALE-tag siblings too (ADVICE r05): regeneration
-            // mints a new tag and the old warehouse dirs would
-            // accumulate forever. Catalog entries (if any, same session)
-            // are dropped first so table state and disk stay consistent.
-            // Exact sibling shape (ADVICE r06): base name + one 8-hex
-            // contentTag — startsWith alone would also claim any future
-            // table whose name merely extends this one's prefix.
-            val stalePrefix = name.substring(0, name.lastIndexOf('_') + 1)
-            val sibling = java.util.regex.Pattern.compile(
-              java.util.regex.Pattern.quote(stalePrefix) + "[0-9a-f]{8}")
-            Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty)
-              .foreach { f =>
-                if (sibling.matcher(f.getName).matches() && f.getName != name) {
-                  if (s.catalog.tableExists(f.getName))
-                    s.sql(s"DROP TABLE IF EXISTS ${f.getName}")
-                  org.apache.commons.io.FileUtils.deleteQuietly(f)
-                }
-              }
-            val loc = new java.io.File(wh, name)
-            if (loc.exists())
-              org.apache.commons.io.FileUtils.deleteDirectory(loc)
-            df.write.mode("overwrite").bucketBy(16, key)
-              .sortBy(key).format("parquet").saveAsTable(name)
-          }
-        build(ot, t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
-          "o_orderkey")
-        build(lt, t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
-          "l_orderkey")
+        // Content-fingerprinted bucketed tables (ADVICE r04-r06 rules
+        // live in the shared PipeData.bucketedTable helper).
+        val ot = PipeData.bucketedTable(s, "graft_bkt_orders", dir,
+          "o_orderkey", 16)(
+          t(s, dir, "orders").select("o_orderkey", "o_orderpriority"))
+        val lt = PipeData.bucketedTable(s, "graft_bkt_lineitem", dir,
+          "l_orderkey", 16)(
+          t(s, dir, "lineitem").select("l_orderkey", "l_quantity"))
         s.table(lt).hint("merge")
           .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderpriority"))

@@ -440,6 +440,28 @@ class PlanSpec extends AnyFunSuite {
       s"expected broadcast semi join for the benchmark set in:\n$p")
   }
 
+  test("bloom decontamination prefilters at the scan and still semi-joins exactly") {
+    // the 100 TB claim: corpus shingles meet Spark's codegen'd
+    // BloomFilterMightContain BEFORE the verify join (non-candidates
+    // never hash into it), and the verify join stays the broadcast
+    // semi-join of the exact op — corpus side never shuffles
+    val p = plan("p_curate_decontaminate_bloom")
+    assert(p.contains("might_contain") || p.contains("BloomFilterMightContain"),
+      s"expected a bloom membership prefilter in:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected the exact verify semi-join above the prefilter in:\n$p")
+  }
+
+  test("incremental dedup anti-joins the fingerprint store bucket-aligned") {
+    // the store (the 100 TB side) must not reshuffle: only the batch
+    // side may exchange on the hash
+    val p = plan("p_dedup_incremental")
+    assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"),
+      s"expected a sort-merge anti join over the bucketed store in:\n$p")
+    assert("Exchange hashpartitioning\\(th".r.findAllIn(p).size <= 1,
+      s"the bucketed fingerprint store should not re-exchange on th:\n$p")
+  }
+
   test("bucketed join reads co-located buckets with no join-key exchange") {
     val p = plan("q_join_bucketed")
     assert(p.contains("SortMergeJoin"), s"expected SMJ over buckets in:\n$p")
