@@ -1192,6 +1192,9 @@ object Engine {
       case TConst(IntV(i))    => s"${i}L"
       case TConst(StringV(s)) => s"'$s'"
       case Typing.TNullCheck(v) => s"isnull(${st.colOf(v)})"
+      // id(v): the binding column IS the id; a NULL optional binding
+      // yields NULL (drops from predicates, recoverable via coalesce)
+      case Typing.TIdFn(v) => st.colOf(v)
       case TAttr(v, _, f, tp) =>
         val c = refs((v, f))
         if (strict) {

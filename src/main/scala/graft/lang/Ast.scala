@@ -96,6 +96,13 @@ final case class NullCheck(v: String) extends Expr
   * Contextual: only `in`/`not in` followed by `[` in operator
   * position is special — variables named in/not stay legal. */
 final case class InList(e: Expr, items: List[Expr], neg: Boolean) extends Expr
+/** `id(v)` — the node id of the binding as an int (Cypher's id();
+  * round 11). Ids are engine-assigned (loader bases / dense create
+  * counters) but DETERMINISTIC, so they are legitimately queryable —
+  * interop code keys caches and external joins on them. Node bindings
+  * only (a rel binding has no id; scalars are values already).
+  * Contextual call shape like `null(v)`. */
+final case class IdFn(v: String) extends Expr
 /** `coalesce(e1, …, en)` — first non-NULL argument (Cypher/SQL).
   * MiniGQL values themselves have no NULL: NULL enters only through
   * binding-NULL semantics (an unmatched `optional match` target's

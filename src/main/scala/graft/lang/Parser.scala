@@ -411,7 +411,8 @@ object Parser {
       (peek2 == TSym("(") &&
         (name == "null" || name == "lower" || name == "upper" ||
           name == "trim" || name == "size" || name == "toString" ||
-          name == "substring" || name == "replace" || name == "coalesce")) ||
+          name == "substring" || name == "replace" || name == "coalesce" ||
+          name == "id")) ||
       (name == "case" && peek2 == TIdent("when"))
 
     private def identList(): List[String] = {
@@ -657,6 +658,12 @@ object Parser {
         val v = ident()
         expectSym(")")
         NullCheck(v)
+      // `id(v)` node-id read — same contextual call shape (round 11)
+      case TIdent("id") if peek2 == TSym("(") =>
+        i += 2
+        val v = ident()
+        expectSym(")")
+        IdFn(v)
       // unary string functions — contextual call shapes (a variable
       // named lower still works: `lower.f` has peek2 == '.')
       case TIdent(fn @ ("lower" | "upper" | "trim" | "size" | "toString")) if peek2 == TSym("(") =>

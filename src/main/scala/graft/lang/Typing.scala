@@ -37,6 +37,8 @@ object Typing {
       tp: AttribTp) extends TExpr
   /** `null(v)` — binding-null test (extension; see [[ROptMatch]]). */
   final case class TNullCheck(v: String) extends TExpr { def tp: AttribTp = BoolT }
+  /** `id(v)` — the node binding's id as an int (see [[graft.lang.IdFn]]). */
+  final case class TIdFn(v: String) extends TExpr { def tp: AttribTp = IntT }
   /** `e in [items]` / `e not in [items]` — elements share e's type. */
   final case class TInList(e: TExpr, items: List[TExpr], neg: Boolean) extends TExpr {
     def tp: AttribTp = BoolT
@@ -324,6 +326,15 @@ object Typing {
     case NullCheck(v) =>
       if (lookup(env, v).isEmpty) Left(s"variable $v not bound")
       else Right(TNullCheck(v))
+    case IdFn(v) =>
+      lookup(env, v) match {
+        case None => Left(s"variable $v not bound")
+        case Some(l) if isRelLabel(l) =>
+          Left(s"id($v): a rel binding has no id — its identity is the (src, dst) pair")
+        case Some(l) if isVirtual(l) =>
+          Left(s"id($v): ${virtualKind(l)} binding $v is a value, not a node")
+        case Some(_) => Right(TIdFn(v))
+      }
     case AttribAcc(v, f) =>
       lookup(env, v) match {
         case None => Left(s"variable $v not bound")
@@ -1019,6 +1030,7 @@ object Typing {
   private def exprVars(te: TExpr): List[String] = te match {
     case TAttr(v, _, _, _) => List(v)
     case TNullCheck(v)     => List(v)
+    case TIdFn(v)          => List(v)
     case TBin(_, l, r, _)  => exprVars(l) ++ exprVars(r)
     case TUn(_, e, _)      => exprVars(e)
     case TSubstr(a, b, c)  => exprVars(a) ++ exprVars(b) ++ exprVars(c)

@@ -567,6 +567,19 @@ object GraphOps {
              |         -1) AS succ
              |FROM nation""".stripMargin)),
 
+    // id(): the deterministic node id as a first-class int (Cypher's
+    // id() — interop code keys caches/external joins on it). The loader
+    // contract (nationkey + NationBase) makes it oracle-checkable.
+    Q("gql_id",
+      bindings(
+        """match (n:nation)
+          |where id(n) mod 2 = 0 and n.regionkey < 2
+          |return id(n) as nid, n.name as name""".stripMargin),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS nid,
+             |       n_name AS name
+             |FROM nation
+             |WHERE (n_nationkey + 2000000000) % 2 = 0 AND n_regionkey < 2""".stripMargin)),
+
     // merge conditional actions (round 11 — Cypher ON CREATE SET /
     // ON MATCH SET): the first merge misses (no nationkey-999 nation)
     // so only its on-create sets fire; the second hits nationkey 1 so

@@ -50,7 +50,10 @@ class DifferentialSpec extends AnyFunSuite {
     def intExpr(depth: Int): String = {
       val xvars = bound("P").map(_ + ".x") ++ bound("Q").map(_ + ".y") ++
         bound(Typing.PathLabel).map(_ + ".hops") ++
-        bound("%int").map(_ + ".val") // with-bound scalars
+        bound("%int").map(_ + ".val") ++ // with-bound scalars
+        // id() over node bindings (round 11) — ids are deterministic
+        // in both engines, so they are ordinary int atoms
+        (bound("P") ++ bound("Q")).map(v => s"id($v)")
       val atom = if (xvars.isEmpty || rnd.nextBoolean()) (rnd.nextInt(10) + 1).toString
                  else pick(xvars)
       if (depth == 0) atom

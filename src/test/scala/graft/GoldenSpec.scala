@@ -505,6 +505,12 @@ class GoldenSpec extends AnyFunSuite {
         "return count(*) as rows, count(m) as hits")
     assert(r4.bindings.collect().map(t => (t.getLong(0), t.getLong(1))).toSeq ==
       Seq((3L, 1L)))
+    // id() reads the binding id; NULL optional bindings recover via coalesce
+    val r5 = Engine.runSource(spark, src +
+      "match (n:N)\noptional match (n) -[:e]-> (m:N)\n" +
+        "return id(n) as nid, coalesce(id(m), 0 - 1) as mid")
+    assert(r5.bindings.collect().map(t => (t.getLong(0), t.getLong(1))).toSet ==
+      Set((0L, 1L), (1L, -1L), (2L, -1L)))
   }
 
   test("merge on create/on match: exactly the taken branch's sets fire") {

@@ -494,6 +494,17 @@ class ParserSpec extends AnyFunSuite {
     assert(v.query.clauses.collect { case Return(vs) => vs }.flatten == List("coalesce"))
   }
 
+  test("id(v) parses as a call shape; id stays a variable name") {
+    val e = Parser.parse(header + "match (a:P)\nwhere id(a) mod 2 = 0\nreturn a")
+      .query.clauses.collectFirst { case Where(w) => w }.get
+    e match {
+      case Bin(BCeq, Bin(BAmod, IdFn("a"), _), _) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    val v = Parser.parse(header + "create (id:P)\nreturn id")
+    assert(v.query.clauses.collect { case Return(vs) => vs }.flatten == List("id"))
+  }
+
   test("count(*) parses as row count; only plain count admits the star") {
     val p = Parser.parse(header + "match (a:P)\nreturn a, count(*) as c")
     val items = p.query.clauses.collectFirst {

@@ -477,6 +477,13 @@ object RefInterp {
   private def eval(st: St, row: Vector[Long], te: TExpr): Value = te match {
     case TConst(v) => v
     case TNullCheck(v) => BoolV(row(st.colOf(v)) == NullId)
+    case Typing.TIdFn(v) =>
+      // engine: NULL binding → NULL id; only the coalesce leg below may
+      // read one, so a bare NullId read here is a generator bug
+      if (row(st.colOf(v)) == NullId)
+        throw new IllegalStateException(
+          s"id($v) on a NULL binding — extend eval to model NULL semantics")
+      IntV(row(st.colOf(v)))
     case TAttr(v, lbl, f, _) if Typing.isRelLabel(lbl) =>
       // edge attribute through a rel binding: (src, rel, dst) lookup
       val (ca, cb) = st.edgeColsOf(v)
@@ -585,6 +592,7 @@ object RefInterp {
         case Typing.TAttr(v, lbl, _, _)
             if !Typing.isRelLabel(lbl) && !Typing.isVirtual(lbl) &&
                row(st.colOf(v)) == NullId => None
+        case Typing.TIdFn(v) if row(st.colOf(v)) == NullId => None
         case it => Some(eval(st, row, it))
       }.nextOption().getOrElse(
         throw new IllegalStateException("all coalesce arguments NULL"))

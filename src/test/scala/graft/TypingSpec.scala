@@ -811,6 +811,20 @@ class TypingSpec extends AnyFunSuite {
       .contains("ordering"))
   }
 
+  test("id(): node bindings only; types as int") {
+    Typing.compile(header + "match (a:P)\nwhere id(a) >= 0\nreturn a")
+    assert(err(header + "where id(z) = 1").contains("variable z not bound"))
+    assert(err(header + "match (a:P)\nwith count(a) as c\nwhere id(c) = 1\nreturn c")
+      .contains("is a value, not a node"))
+    val eh = header.replace("(:P) -[:r]-> (:Q)", "(:P) -[:r {w int}]-> (:Q)")
+    assert(err(eh +
+      "match (a:P)\nmatch (b:Q)\nmatch (a) -[x:r]-> (b)\nwhere id(x) = 1\nreturn a")
+      .contains("has no id"))
+    // string context rejects the int result
+    assert(err(header + "match (a:P)\nwhere id(a) contains \"1\"\nreturn a")
+      .contains("string"))
+  }
+
   test("coalesce: one shared argument type; composes as that type") {
     Typing.compile(header + "match (a:P)\nwhere coalesce(a.x, 0) > 1\nreturn a")
     Typing.compile(header +
