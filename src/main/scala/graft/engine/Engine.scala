@@ -731,6 +731,19 @@ object Engine {
         freshCounter = st.freshCounter + 1,
         nullable = st.nullable + c2)
 
+    case RUnwindVar(v, alias, elemTp) =>
+      // one row per element of the with-bound list: the same codegen'd
+      // Generate as literal unwind, over the stored array column. The
+      // element binding is a plain with-scalar; a NULL list (an
+      // optional-null'd with chain) drops its rows like Cypher's
+      // UNWIND NULL.
+      val c2 = fresh(st)
+      val unwound = st.bindings.select(
+        st.bindings.columns.map(col) :+ explode(col(st.colOf(v))).as(c2): _*)
+      st.copy(bindings = unwound, env = (alias, c2) :: st.env,
+        freshCounter = st.freshCounter + 1,
+        nullable = st.nullable + c2)
+
     case RUnion(_) =>
       throw new IllegalStateException(
         "union marker reached the instruction executor — run() splits branches")
@@ -864,6 +877,9 @@ object Engine {
       // happens once per group at the final merge.
       case (AggStrJoin, false) => array_join(array_sort(collect_list(c)), ",")
       case (AggStrJoin, true)  => array_join(array_sort(collect_set(c)), ",")
+      // list collect (round 11): same sorted-ascending determinism rule
+      case (AggCollect, false) => array_sort(collect_list(c))
+      case (AggCollect, true)  => array_sort(collect_set(c))
     }
     val hasAgg = items.exists(_.isInstanceOf[RRetAgg])
     if (!hasAgg && !distinct) {
@@ -994,6 +1010,7 @@ object Engine {
       ws.flatMap { case (c, v) => collectAttrs(c) ++ collectAttrs(v) } ++ collectAttrs(o)
     case Typing.TInList(e, items, _) => collectAttrs(e) ++ items.flatMap(collectAttrs)
     case Typing.TCoalesce(items, _)  => items.flatMap(collectAttrs)
+    case Typing.TIndex(e, ix, _)     => collectAttrs(e) ++ collectAttrs(ix)
     case _                => Nil
   }
 
@@ -1242,7 +1259,9 @@ object Engine {
           case USlower => s"lower($a)"
           case USupper => s"upper($a)"
           case UStrim  => s"trim($a)"
-          // Spark length() is INT; the language's only int is int64
+          // Spark length()/size() are INT; the language's int is int64.
+          // size over a LIST operand (round 11) counts elements.
+          case USsize if e.tp.isInstanceOf[ListT] => s"cast(size($a) as bigint)"
           case USsize  => s"cast(length($a) as bigint)"
           case UStoStr => s"cast($a as string)"
         }
@@ -1267,11 +1286,18 @@ object Engine {
         if (neg) s"(NOT $in)" else in
       case Typing.TCoalesce(items, _) =>
         s"coalesce(${items.map(sql(_, refs, st, strict)).mkString(", ")})"
+      case Typing.TIndex(e, ix, _) =>
+        // 0-based element access (Cypher's convention; Spark's SQL
+        // bracket is GetArrayItem, 0-based); out-of-range RAISES under
+        // the session's ANSI mode — the strict-engine flavor of
+        // Cypher's null, pinned in GoldenSpec
+        s"(${sql(e, refs, st, strict)})[cast(${sql(ix, refs, st, strict)} as int)]"
     }
 
   private def sqlTp(tp: AttribTp): String = tp match {
     case BoolT   => "boolean"
     case IntT    => "bigint"
     case StringT => "string"
+    case ListT(el) => s"array<${sqlTp(el)}>"
   }
 }

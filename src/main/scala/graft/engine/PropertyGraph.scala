@@ -33,6 +33,9 @@ object PropertyGraph {
     case BoolT   => BooleanType
     case IntT    => LongType
     case StringT => StringType
+    // lists are expression-level only (no list attribute declarations);
+    // mapped for totality — with-bound collects never reach storage
+    case ListT(el) => ArrayType(sparkType(el), containsNull = false)
   }
 
   def nodeSchema(schema: Typing.Schema, label: String): StructType =

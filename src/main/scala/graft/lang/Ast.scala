@@ -16,6 +16,12 @@ sealed trait AttribTp extends Product with Serializable
 case object BoolT extends AttribTp
 case object IntT extends AttribTp
 case object StringT extends AttribTp
+/** List of one scalar element type (round 11 — the value type behind
+  * Cypher's collect()/UNWIND roundtrip). Expression-level only: node
+  * and edge attribute DECLARATIONS stay scalar (the parser's type
+  * grammar has no list syntax), and `collect` rejects list arguments,
+  * so lists never nest and never reach storage. */
+final case class ListT(elem: AttribTp) extends AttribTp
 
 sealed trait BinOp extends Product with Serializable
 // arithmetic (int × int → int)
@@ -103,6 +109,12 @@ final case class InList(e: Expr, items: List[Expr], neg: Boolean) extends Expr
   * only (a rel binding has no id; scalars are values already).
   * Contextual call shape like `null(v)`. */
 final case class IdFn(v: String) extends Expr
+/** `e[i]` — 0-based list element access (Cypher's convention; round
+  * 11). The operand must be list-typed (a with-bound collect read via
+  * `xs.val`); an out-of-range index RAISES (ANSI array access — the
+  * strict-engine flavor of Cypher's null), pinned in tests. Postfix,
+  * binds tighter than any operator. */
+final case class IndexAcc(e: Expr, i: Expr) extends Expr
 /** `coalesce(e1, …, en)` — first non-NULL argument (Cypher/SQL).
   * MiniGQL values themselves have no NULL: NULL enters only through
   * binding-NULL semantics (an unmatched `optional match` target's
@@ -216,6 +228,12 @@ case object AggAvg extends AggFn { val name = "avg" }
   * values, and the sort makes the result independent of row order,
   * partitioning, and engine, so it oracle-checks bit-exactly). */
 case object AggStrJoin extends AggFn { val name = "strjoin" }
+/** `collect(e)` / `collect(distinct e)` — the group's values as a list,
+  * SORTED ASCENDING (round 11; documented deviation from Cypher's
+  * row-order list: the sort makes the value a pure function of the
+  * group's bag, so partitioning and merge order can't perturb it —
+  * the list-valued twin of [[AggStrJoin]]). Scalar arguments only. */
+case object AggCollect extends AggFn { val name = "collect" }
 
 sealed trait RetItem extends Product with Serializable
 final case class RetVar(v: String) extends RetItem
@@ -328,6 +346,10 @@ final case class Exists(pat: Pattern) extends Clause
   * with-bound scalar. The empty list (Cypher: zero rows) is rejected —
   * with no element there is no type. */
 final case class Unwind(items: List[Expr], alias: String) extends Clause
+/** `unwind xs as x` over a LIST BINDING (round 11 — the second half of
+  * the collect()/UNWIND roundtrip): one output row per element of the
+  * with-bound list, `x` bound to the element's scalar pseudo-label. */
+final case class UnwindVar(v: String, alias: String) extends Clause
 /** `union` / `union all` between two complete queries (engine extension
   * — Cypher's UNION): the clause list splits at each separator into
   * BRANCHES, each a standalone query evaluated from its own empty

@@ -79,6 +79,8 @@ final case class IMergeNode(v: String, label: String,
 /** `unwind [items] as alias` (see [[Unwind]]): per row, one output row
   * per element with `alias` bound to the element value. */
 final case class IUnwind(items: List[Expr], alias: String) extends Instruction
+/** `unwind xs as x` over a list binding (see [[UnwindVar]]). */
+final case class IUnwindVar(v: String, alias: String) extends Instruction
 /** Query-branch separator (see [[UnionSep]]): typing splits the
   * instruction stream at these markers and checks each branch as a
   * standalone read-only query; the executor evaluates branches
@@ -237,6 +239,7 @@ object Normalize {
           IWhere(Bin(BCeq, AttribAcc(v, f), e)) } ++
         relPropConjuncts(pat)))
     case Unwind(items, alias) => List(IUnwind(items, alias))
+    case UnwindVar(v, alias)  => List(IUnwindVar(v, alias))
     case UnionSep(all)        => List(IUnion(all))
     case Merge(pat, onC, onM) => pat match {
       // node form keeps its props INSIDE the instruction (they are the

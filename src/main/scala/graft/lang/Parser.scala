@@ -190,12 +190,23 @@ object Parser {
       * only list constructor; at least one element (an empty list has
       * no element type), mandatory alias. */
     private def unwindClause(): Clause = {
-      val items = bracketList("unwind")
-      peek match {
-        case TIdent("as") => i += 1
-        case t            => fail(s"expected 'as' after unwind list, got $t")
+      // two operand forms: a bracket literal, or a bound LIST variable
+      // (round 11 — `with collect(…) as xs unwind xs as x`)
+      if (peek.isInstanceOf[TIdent]) {
+        val v = ident()
+        peek match {
+          case TIdent("as") => i += 1
+          case t            => fail(s"expected 'as' after unwind variable, got $t")
+        }
+        UnwindVar(v, ident())
+      } else {
+        val items = bracketList("unwind")
+        peek match {
+          case TIdent("as") => i += 1
+          case t            => fail(s"expected 'as' after unwind list, got $t")
+        }
+        Unwind(items, ident())
       }
-      Unwind(items, ident())
     }
 
     /** The two merge shapes (see [[Merge]]): a single labeled node
@@ -267,7 +278,7 @@ object Parser {
     // plain `return v1, v2` still yields the reference-shaped [[Return]].
     private val aggFns = Map(
       "count" -> AggCount, "sum" -> AggSum, "min" -> AggMin, "max" -> AggMax,
-      "avg" -> AggAvg, "strjoin" -> AggStrJoin)
+      "avg" -> AggAvg, "strjoin" -> AggStrJoin, "collect" -> AggCollect)
 
     /** `distinct` is contextual like order/limit: a modifier only when
       * another identifier follows (so `return distinct` still returns a
@@ -646,7 +657,21 @@ object Parser {
       e
     }
 
-    private def primary(): Expr = peek match {
+    /** Postfix list indexing `e[i]` (round 11): `[` after a complete
+      * operand appears nowhere else in the expression grammar, so this
+      * steals nothing; binds tighter than every operator. */
+    private def primary(): Expr = {
+      var e = primaryBase()
+      while (peek == TSym("[")) {
+        i += 1
+        val ix = expr()
+        expectSym("]")
+        e = IndexAcc(e, ix)
+      }
+      e
+    }
+
+    private def primaryBase(): Expr = peek match {
       case TBool(b)   => i += 1; Const(BoolV(b))
       case TInt(v)    => i += 1; Const(IntV(v))
       case TString(s) => i += 1; Const(StringV(s))

@@ -45,6 +45,8 @@ object Typing {
   }
   /** `coalesce(e1, …, en)` — all arguments share one type. */
   final case class TCoalesce(items: List[TExpr], tp: AttribTp) extends TExpr
+  /** `e[i]` — 0-based list element access; `tp` is the element type. */
+  final case class TIndex(e: TExpr, i: TExpr, tp: AttribTp) extends TExpr
 
   // --- resolved instructions ---
   sealed trait RInstr extends Product with Serializable
@@ -130,14 +132,17 @@ object Typing {
     /** Result type: count is int; strjoin is string; min/max (and the
       * int-only sum/avg) take their argument's type — min/max over
       * STRING attributes are legal (lexicographic, round 10 continued). */
-    def tp: AttribTp =
-      if (fn == AggCount) IntT
-      else if (fn == AggStrJoin) StringT
-      else arg match {
+    def tp: AttribTp = {
+      def argTp: AttribTp = arg match {
         case RRetAttr(_, _, _, t) => t
         case RRetExpr(te)         => te.tp
         case _                    => IntT // RRetVar arg: count-only (unreachable here)
       }
+      if (fn == AggCount) IntT
+      else if (fn == AggStrJoin) StringT
+      else if (fn == AggCollect) ListT(argTp)
+      else argTp
+    }
     def outName: String = {
       val d = if (distinct) "distinct_" else ""
       arg match {
@@ -201,6 +206,10 @@ object Typing {
   /** `unwind [items] as alias` (see [[graft.lang.Unwind]]): per row, one
     * output row per element; `alias` binds the scalar pseudo-label of
     * the elements' shared type `tp`. */
+  /** `unwind xs as x` over a list binding (round 11): one row per
+    * element of `v`'s list, `alias` bound to the element scalar. */
+  final case class RUnwindVar(v: String, alias: String, elemTp: AttribTp)
+      extends RInstr
   final case class RUnwind(items: List[TExpr], alias: String,
       tp: AttribTp) extends RInstr
   /** Query-branch separator (see [[graft.lang.UnionSep]]): never reaches
@@ -227,6 +236,9 @@ object Typing {
     case IntT    => "%int"
     case BoolT   => "%bool"
     case StringT => "%string"
+    // list bindings (round 11): element type rides in the label so
+    // attrType can recover it; no nesting (collect rejects list args)
+    case ListT(el) => s"%list${scalarLabel(el)}"
   }
 
   /** Virtual (non-graph) labels: the `%path` distance binding, the
@@ -270,6 +282,9 @@ object Typing {
       case "%int"    => if (field == "val") Some(IntT) else None
       case "%bool"   => if (field == "val") Some(BoolT) else None
       case "%string" => if (field == "val") Some(StringT) else None
+      case "%list%int"    => if (field == "val") Some(ListT(IntT)) else None
+      case "%list%bool"   => if (field == "val") Some(ListT(BoolT)) else None
+      case "%list%string" => if (field == "val") Some(ListT(StringT)) else None
       case l if isRelLabel(l) =>
         relAttrsOf(relKeyOf(l)).collectFirst { case (`field`, tp) => tp }
       case _ => nodeAttrs.get(label).flatMap(_.collectFirst { case (`field`, tp) => tp })
@@ -374,7 +389,14 @@ object Typing {
       } yield res
     case Un(op, e1) =>
       tpExpr(schema, env, e1).flatMap { te =>
-        if (op == UStoStr) Right(TUn(op, te, StringT)) // any type renders
+        if (op == UStoStr)
+          // any SCALAR renders; list rendering differs across engines,
+          // so it is rejected rather than silently divergent
+          if (te.tp.isInstanceOf[ListT])
+            Left("toString of a list is not supported (render elements instead)")
+          else Right(TUn(op, te, StringT))
+        else if (op == USsize && te.tp.isInstanceOf[ListT])
+          Right(TUn(op, te, IntT)) // size(list) = element count (round 11)
         else if (te.tp != StringT)
           Left(s"${unName(op)} requires a string operand, got ${te.tp}")
         else Right(TUn(op, te, if (op == USsize) IntT else StringT))
@@ -444,6 +466,17 @@ object Typing {
         if (tps.size == 1) Right(TCoalesce(tis, tps.head))
         else Left(s"coalesce arguments must share one type, got ${tps.mkString("/")}")
       }
+    case IndexAcc(e1, ix) =>
+      for {
+        te <- tpExpr(schema, env, e1)
+        ti <- tpExpr(schema, env, ix)
+        res <- te.tp match {
+          case ListT(el) =>
+            if (ti.tp == IntT) Right(TIndex(te, ti, el))
+            else Left(s"list index must be int, got ${ti.tp}")
+          case other => Left(s"indexing requires a list operand, got $other")
+        }
+      } yield res
   }
 
   private def strPredName(op: BinOp): String = op match {
@@ -808,6 +841,18 @@ object Typing {
             (alias, scalarLabel(tps.head)) :: env))
         }
 
+      case IUnwindVar(v, alias) =>
+        lookup(env, v) match {
+          case None => Left(s"unwind of unbound variable $v")
+          case Some(l) => schema.attrType(l, "val") match {
+            case Some(ListT(el)) =>
+              Right((RUnwindVar(v, alias, el), (alias, scalarLabel(el)) :: env))
+            case _ => Left(s"unwind variable $v must be a list binding " +
+              s"(a with-bound collect), got " +
+              (if (isVirtual(l)) virtualKind(l) else s"a :$l node"))
+          }
+        }
+
       case IUnion(_) =>
         // typecheck splits the stream on union markers before the fold;
         // a marker reaching tcInstr means it sat inside a sub-pattern
@@ -885,21 +930,28 @@ object Typing {
         case a: RRetAgg => Left(s"nested aggregate ${fn.name}(${a.outName})")
         case a @ RRetAttr(v, _, f, tp) =>
           // min/max extend to strings (lexicographic, round 10
-          // continued); strjoin is string-only; sum/avg stay int-only
+          // continued); strjoin is string-only; collect takes any
+          // SCALAR (no nesting); sum/avg stay int-only
           if (fn == AggStrJoin && tp != StringT)
             Left(s"strjoin($v.$f) requires a string attribute, got $tp")
-          else if (fn != AggCount && fn != AggStrJoin && tp != IntT &&
+          else if (fn == AggCollect && tp.isInstanceOf[ListT])
+            Left(s"collect($v.$f): cannot collect a list (lists don't nest)")
+          else if (fn != AggCount && fn != AggStrJoin && fn != AggCollect &&
+              tp != IntT &&
               !(tp == StringT && (fn == AggMin || fn == AggMax)))
             Left(s"${fn.name}($v.$f) requires an int attribute, got $tp")
           else Right(RRetAgg(fn, a, dist))
         case a @ RRetExpr(te) =>
           // aggregate over a full expression (round 10 continued):
           // sum/avg need an int-typed expression, min/max admit string
-          // too, strjoin requires string; count takes any (every MiniGQL
-          // value is non-null, so it counts rows)
+          // too, strjoin requires string, collect any scalar; count
+          // takes any (every MiniGQL value is non-null — it counts rows)
           if (fn == AggStrJoin && te.tp != StringT)
             Left(s"strjoin(<expr>) requires a string expression, got ${te.tp}")
-          else if (fn != AggCount && fn != AggStrJoin && te.tp != IntT &&
+          else if (fn == AggCollect && te.tp.isInstanceOf[ListT])
+            Left("collect(<expr>): cannot collect a list (lists don't nest)")
+          else if (fn != AggCount && fn != AggStrJoin && fn != AggCollect &&
+              te.tp != IntT &&
               !(te.tp == StringT && (fn == AggMin || fn == AggMax)))
             Left(s"${fn.name}(<expr>) requires an int expression, got ${te.tp}")
           else Right(RRetAgg(fn, a, dist))
@@ -1039,6 +1091,7 @@ object Typing {
       ws.flatMap { case (c, v) => exprVars(c) ++ exprVars(v) } ++ exprVars(o)
     case TInList(e, items, _) => exprVars(e) ++ items.flatMap(exprVars)
     case TCoalesce(items, _)  => items.flatMap(exprVars)
+    case TIndex(e, ix, _)     => exprVars(e) ++ exprVars(ix)
     case _: TConst         => Nil
   }
 
@@ -1065,6 +1118,9 @@ object Typing {
   private def colKind(label: String): AttribTp = label match {
     case "%bool"   => BoolT
     case "%string" => StringT
+    case "%list%int"    => ListT(IntT)
+    case "%list%bool"   => ListT(BoolT)
+    case "%list%string" => ListT(StringT)
     case _         => IntT // node ids, %int, %path
   }
 

@@ -567,6 +567,32 @@ object GraphOps {
              |         -1) AS succ
              |FROM nation""".stripMargin)),
 
+    // lists (round 11 — Cypher's collect()/UNWIND roundtrip, sorted
+    // ascending for determinism): collect into a with-bound list, read
+    // size/elements (0-based; sorted ⇒ [0] = min, [size-1] = max), then
+    // unwind back to rows. One hash aggregate (map-side partial
+    // collect) + one codegen'd Generate — no extra shuffles.
+    Q("gql_collect",
+      bindings(
+        """match (n:nation)
+          |with n.regionkey as rk, collect(n.nationkey) as ks
+          |return rk, size(ks.val) as cnt, ks.val[0] as lo, ks.val[size(ks.val) - 1] as hi""".stripMargin),
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS rk,
+             |       count(*) AS cnt,
+             |       CAST(min(n_nationkey) AS BIGINT) AS lo,
+             |       CAST(max(n_nationkey) AS BIGINT) AS hi
+             |FROM nation GROUP BY n_regionkey""".stripMargin)),
+
+    Q("gql_collect_unwind",
+      bindings(
+        """match (n:nation)
+          |with n.regionkey as rk, collect(distinct n.nationkey mod 3) as ms
+          |unwind ms as m
+          |return rk, m""".stripMargin),
+      Some("""SELECT DISTINCT CAST(n_regionkey AS BIGINT) AS rk,
+             |       CAST(n_nationkey % 3 AS BIGINT) AS m
+             |FROM nation""".stripMargin)),
+
     // id(): the deterministic node id as a first-class int (Cypher's
     // id() — interop code keys caches/external joins on it). The loader
     // contract (nationkey + NationBase) makes it oracle-checkable.

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 import graft.engine.PropertyGraph
-import graft.lang.{BoolT, IntT, StringT, Normalize, Parser, Typing}
+import graft.lang.{BoolT, IntT, ListT, StringT, Normalize, Parser, Typing}
 
 /** Persistent graph storage: one parquet dataset per node label and per
   * relation type, plus the schema serialized in MiniGQL's own declaration
@@ -195,7 +195,8 @@ object GraphStore {
   def schemaGql(schema: Typing.Schema): String = {
     val nodes = schema.nodeAttrs.toSeq.sortBy(_._1).map { case (l, attrs) =>
       val as = attrs.map { case (f, tp) =>
-        val t = tp match { case BoolT => "bool"; case IntT => "int"; case StringT => "string" }
+        val t = tp match { case BoolT => "bool"; case IntT => "int"; case StringT => "string"
+          case t: ListT => throw new IllegalStateException(s"undeclarable attr type $t") }
         s"$f $t"
       }.mkString(", ")
       s"(:$l {$as})"
@@ -205,7 +206,8 @@ object GraphStore {
       val as =
         if (attrs.isEmpty) ""
         else attrs.map { case (f, tp) =>
-          val t0 = tp match { case BoolT => "bool"; case IntT => "int"; case StringT => "string" }
+          val t0 = tp match { case BoolT => "bool"; case IntT => "int"; case StringT => "string"
+          case t: ListT => throw new IllegalStateException(s"undeclarable attr type $t") }
           s"$f $t0"
         }.mkString(" {", ", ", "}")
       s"(:$s) -[:$r$as]-> (:$t)"

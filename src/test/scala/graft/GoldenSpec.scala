@@ -551,6 +551,30 @@ class GoldenSpec extends AnyFunSuite {
     assert(r2.bindings.collect().map(_.getString(0)).toSeq == Seq("AA,BB,CC"))
   }
 
+  test("lists: collect sorts ascending; index/size read; unwind roundtrips") {
+    val src =
+      """(:N {x int, s string})
+        |create (a:N {x: 3, s: "u"}) create (b:N {x: 1, s: "v"})
+        |create (c:N {x: 2, s: "u"}) create (d:N {x: 1, s: "w"})
+        |""".stripMargin
+    // grouped collect: sorted ascending, duplicates kept (distinct drops)
+    val r = Engine.runSource(spark, src +
+      "match (n:N)\nwith n.s as g, collect(n.x) as xs\n" +
+        "return g, size(xs.val) as n, xs.val[0] as lo, xs.val[size(xs.val) - 1] as hi")
+    assert(r.bindings.collect().map(t =>
+      (t.getString(0), t.getLong(1), t.getLong(2), t.getLong(3))).toSet ==
+      Set(("u", 2L, 2L, 3L), ("v", 1L, 1L, 1L), ("w", 1L, 1L, 1L)))
+    // collect → unwind roundtrip (global group), distinct variant
+    val r2 = Engine.runSource(spark, src +
+      "match (n:N)\nwith collect(distinct n.x) as xs\nunwind xs as x\nreturn x")
+    assert(r2.bindings.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // out-of-range index RAISES (ANSI array access — documented rule)
+    val r3 = Engine.runSource(spark, src +
+      "match (n:N)\nwith collect(n.x) as xs\nreturn xs.val[99] as v")
+    val ex = intercept[Exception](r3.bindings.collect())
+    assert(ex.getMessage.toLowerCase.contains("index"))
+  }
+
   test("duplicate structural items with distinct aliases each get a column") {
     // positional naming (ADVICE r10): `return n.x as a, n.x as b` used
     // to name both columns `a` and fail on the final projection of `b`

@@ -505,6 +505,25 @@ class ParserSpec extends AnyFunSuite {
     assert(v.query.clauses.collect { case Return(vs) => vs }.flatten == List("id"))
   }
 
+  test("collect, list indexing, and unwind-variable parse (round 11)") {
+    // collect is an ordinary aggregate name
+    val p = Parser.parse(header + "match (a:P)\nwith collect(a.x) as xs\nreturn xs")
+    val items = p.query.clauses.collectFirst { case WithClause(its, _, _, _, _) => its }.get
+    assert(items.head == ((RetAgg(AggCollect, RetAttr("a", "x"), distinct = false), Some("xs"))))
+    // postfix index binds tighter than operators; chains left
+    val e = Parser.parse(header +
+      "match (a:P)\nwith collect(a.x) as xs\nwhere xs.val[1 + 2] > 0\nreturn xs")
+      .query.clauses.collectFirst { case Where(w) => w }.get
+    e match {
+      case Bin(BCgt, IndexAcc(AttribAcc("xs", "val"), Bin(BAadd, _, _)), _) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    // unwind over a variable instead of a bracket literal
+    val u = Parser.parse(header +
+      "match (a:P)\nwith collect(a.x) as xs\nunwind xs as x\nreturn x")
+    assert(u.query.clauses(2) == UnwindVar("xs", "x"))
+  }
+
   test("count(*) parses as row count; only plain count admits the star") {
     val p = Parser.parse(header + "match (a:P)\nreturn a, count(*) as c")
     val items = p.query.clauses.collectFirst {

@@ -301,10 +301,11 @@ object RefInterp {
         width = st.width + freshIdx.size,
         rows = newRows)
 
-    case _: RReturnExt =>
-      // extended return emits non-Long output columns — outside this
-      // interpreter's Long-row model and its reference-parity scope
-      // (GoldenSpec pins it in-JVM, the DuckDB oracle end-to-end)
+    case _: RReturnExt | _: RUnwindVar =>
+      // extended return / list-binding unwind emit or consume non-Long
+      // columns — outside this interpreter's Long-row model and its
+      // reference-parity scope (GoldenSpec pins them in-JVM, the DuckDB
+      // oracle end-to-end)
       throw new UnsupportedOperationException(
         "engine extension not supported by the reference-parity interpreter")
 
@@ -352,8 +353,8 @@ object RefInterp {
           // truncating int64 division — Engine routes through
           // IntegralDivide, same quotient for all exact int64 sums
           case AggAvg   => if (xs.isEmpty) None else Some(xs.sum / xs.size)
-          case AggStrJoin => throw new UnsupportedOperationException(
-            "string aggregate not supported by the Long-row interpreter")
+          case AggStrJoin | AggCollect => throw new UnsupportedOperationException(
+            "string/list aggregate not supported by the Long-row interpreter")
         }
       }
       def out(o: Option[Long]): Long = o.getOrElse(NullId)
@@ -596,6 +597,11 @@ object RefInterp {
         case it => Some(eval(st, row, it))
       }.nextOption().getOrElse(
         throw new IllegalStateException("all coalesce arguments NULL"))
+    case _: Typing.TIndex =>
+      // list values live outside the Long-row model (like RReturnExt);
+      // the generator never draws them
+      throw new UnsupportedOperationException(
+        "list indexing not supported by the Long-row interpreter")
   }
 
   private object VecOrd extends Ordering[Vector[Long]] {

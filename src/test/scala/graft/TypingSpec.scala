@@ -825,6 +825,39 @@ class TypingSpec extends AnyFunSuite {
       .contains("string"))
   }
 
+  test("lists: collect typing, indexing, size, unwind-var; no nesting") {
+    // collect any scalar; result is a %list binding readable via .val
+    Typing.compile(header +
+      "match (a:P)\nwith collect(a.x) as xs\nreturn xs, size(xs.val) as n")
+    Typing.compile(header +
+      "match (a:P)\nwith collect(distinct a.s) as ss\nwhere ss.val[0] contains \"a\"\nreturn ss")
+    Typing.compile(header +
+      "match (a:P)\nwith collect(a.x) as xs\nunwind xs as x\nwhere x.val > 1\nreturn x")
+    // nesting rejected
+    assert(err(header +
+      "match (a:P)\nwith collect(a.x) as xs\nwith collect(xs.val) as yss\nreturn yss")
+      .contains("cannot collect a list"))
+    // index typing: int index over a list operand only
+    assert(err(header +
+      "match (a:P)\nwith collect(a.x) as xs\nwhere xs.val[\"u\"] > 0\nreturn xs")
+      .contains("list index must be int"))
+    assert(err(header + "match (a:P)\nwhere a.x[0] > 0\nreturn a")
+      .contains("indexing requires a list operand"))
+    // element type flows: string elements reject int comparison
+    assert(err(header +
+      "match (a:P)\nwith collect(a.s) as ss\nwhere ss.val[0] > 1\nreturn ss")
+      .contains("ordering"))
+    // unwind-var demands a list binding; toString of lists rejected
+    assert(err(header + "match (a:P)\nunwind a as x\nreturn x")
+      .contains("must be a list binding"))
+    assert(err(header +
+      "match (a:P)\nwith count(a) as c\nunwind c as x\nreturn x")
+      .contains("must be a list binding"))
+    assert(err(header +
+      "match (a:P)\nwith collect(a.x) as xs\nreturn toString(xs.val) as t")
+      .contains("toString of a list"))
+  }
+
   test("coalesce: one shared argument type; composes as that type") {
     Typing.compile(header + "match (a:P)\nwhere coalesce(a.x, 0) > 1\nreturn a")
     Typing.compile(header +
