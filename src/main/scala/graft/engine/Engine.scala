@@ -744,6 +744,20 @@ object Engine {
         freshCounter = st.freshCounter + 1,
         nullable = st.nullable + c2)
 
+    case RUnwindExpr(te, alias, _) =>
+      // general list-expression unwind (`unwind range(1, n.x) as i`):
+      // attrs in the expression ride the standard joins; same explode
+      // shape as the other unwind forms. An EMPTY per-row list yields
+      // zero rows for that binding row (Cypher), which explode gives.
+      val (joinedE, refsE) = joinAttrs(st, te :: Nil)
+      val c2 = fresh(st)
+      val unwound = joinedE.select(
+        st.bindings.columns.map(col) :+
+          explode(expr(sql(te, refsE, st, cfg.strict))).as(c2): _*)
+      st.copy(bindings = unwound, env = (alias, c2) :: st.env,
+        freshCounter = st.freshCounter + 1,
+        nullable = st.nullable + c2)
+
     case RUnion(_) =>
       throw new IllegalStateException(
         "union marker reached the instruction executor — run() splits branches")
@@ -1011,6 +1025,8 @@ object Engine {
     case Typing.TInList(e, items, _) => collectAttrs(e) ++ items.flatMap(collectAttrs)
     case Typing.TCoalesce(items, _)  => items.flatMap(collectAttrs)
     case Typing.TIndex(e, ix, _)     => collectAttrs(e) ++ collectAttrs(ix)
+    case Typing.TRange(a, b)         => collectAttrs(a) ++ collectAttrs(b)
+    case Typing.TInListE(e, l, _)    => collectAttrs(e) ++ collectAttrs(l)
     case _                => Nil
   }
 
@@ -1292,6 +1308,16 @@ object Engine {
         // the session's ANSI mode — the strict-engine flavor of
         // Cypher's null, pinned in GoldenSpec
         s"(${sql(e, refs, st, strict)})[cast(${sql(ix, refs, st, strict)} as int)]"
+      case Typing.TRange(lo, hi) =>
+        // inclusive a..b, EMPTY when a > b (Cypher's rule — Spark's
+        // sequence would descend there, so guard the direction)
+        val (a, b) = (sql(lo, refs, st, strict), sql(hi, refs, st, strict))
+        s"(case when $a <= $b then sequence($a, $b) " +
+          "else cast(array() as array<bigint>) end)"
+      case Typing.TInListE(e, le, neg) =>
+        val test = s"array_contains(${sql(le, refs, st, strict)}, " +
+          s"${sql(e, refs, st, strict)})"
+        if (neg) s"(NOT $test)" else test
     }
 
   private def sqlTp(tp: AttribTp): String = tp match {

@@ -109,6 +109,16 @@ final case class InList(e: Expr, items: List[Expr], neg: Boolean) extends Expr
   * only (a rel binding has no id; scalars are values already).
   * Contextual call shape like `null(v)`. */
 final case class IdFn(v: String) extends Expr
+/** `range(a, b)` — the inclusive int list a..b (Cypher's range/2;
+  * round 11). Empty when a > b (Cypher's rule — Spark's sequence would
+  * DESCEND there, so the compiler guards the direction explicitly).
+  * Contextual call shape. The workhorse list constructor for
+  * `unwind range(1, n) as i` row generation. */
+final case class RangeE(lo: Expr, hi: Expr) extends Expr
+/** `e in xs` / `e not in xs` over a LIST EXPRESSION (round 11 — the
+  * general membership test completing [[InList]]'s literal form):
+  * `n.x in ks.val`, `i in range(1, 5)`. Same precedence tier. */
+final case class InListE(e: Expr, list: Expr, neg: Boolean) extends Expr
 /** `e[i]` — 0-based list element access (Cypher's convention; round
   * 11). The operand must be list-typed (a with-bound collect read via
   * `xs.val`); an out-of-range index RAISES (ANSI array access — the
@@ -350,6 +360,10 @@ final case class Unwind(items: List[Expr], alias: String) extends Clause
   * the collect()/UNWIND roundtrip): one output row per element of the
   * with-bound list, `x` bound to the element's scalar pseudo-label. */
 final case class UnwindVar(v: String, alias: String) extends Clause
+/** `unwind <list-expr> as x` over a general LIST EXPRESSION (round 11):
+  * `unwind range(1, n.x) as i`, `unwind xs.val as x`. One row per
+  * element; the Cypher row-generation workhorse. */
+final case class UnwindExpr(e: Expr, alias: String) extends Clause
 /** `union` / `union all` between two complete queries (engine extension
   * — Cypher's UNION): the clause list splits at each separator into
   * BRANCHES, each a standalone query evaluated from its own empty

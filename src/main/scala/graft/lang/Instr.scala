@@ -81,6 +81,8 @@ final case class IMergeNode(v: String, label: String,
 final case class IUnwind(items: List[Expr], alias: String) extends Instruction
 /** `unwind xs as x` over a list binding (see [[UnwindVar]]). */
 final case class IUnwindVar(v: String, alias: String) extends Instruction
+/** `unwind <list-expr> as x` (see [[UnwindExpr]]). */
+final case class IUnwindExpr(e: Expr, alias: String) extends Instruction
 /** Query-branch separator (see [[UnionSep]]): typing splits the
   * instruction stream at these markers and checks each branch as a
   * standalone read-only query; the executor evaluates branches
@@ -240,6 +242,7 @@ object Normalize {
         relPropConjuncts(pat)))
     case Unwind(items, alias) => List(IUnwind(items, alias))
     case UnwindVar(v, alias)  => List(IUnwindVar(v, alias))
+    case UnwindExpr(e, alias) => List(IUnwindExpr(e, alias))
     case UnionSep(all)        => List(IUnion(all))
     case Merge(pat, onC, onM) => pat match {
       // node form keeps its props INSIDE the instruction (they are the

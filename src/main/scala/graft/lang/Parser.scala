@@ -39,6 +39,7 @@ object Parser {
     private var i = 0
     private def peek: Token = toks(i)._1
     private def peek2: Token = if (i + 1 < toks.length) toks(i + 1)._1 else TEof
+    private def peek3: Token = if (i + 2 < toks.length) toks(i + 2)._1 else TEof
     private def pos: Int = toks(i)._2
     private def fail(msg: String): Nothing = {
       val (_, start, end) = toks(i)
@@ -190,9 +191,19 @@ object Parser {
       * only list constructor; at least one element (an empty list has
       * no element type), mandatory alias. */
     private def unwindClause(): Clause = {
-      // two operand forms: a bracket literal, or a bound LIST variable
-      // (round 11 — `with collect(…) as xs unwind xs as x`)
-      if (peek.isInstanceOf[TIdent]) {
+      // three operand forms: a bracket literal, a bound LIST variable
+      // (round 11 — `with collect(…) as xs unwind xs as x`), or a
+      // general list EXPRESSION (`unwind range(1, n.x) as i`,
+      // `unwind xs.val as x`) — disambiguated by lookahead
+      if (peek.isInstanceOf[TIdent] &&
+          (peek2 == TSym(".") || peek2 == TSym("("))) {
+        val e = expr()
+        peek match {
+          case TIdent("as") => i += 1
+          case t            => fail(s"expected 'as' after unwind expression, got $t")
+        }
+        UnwindExpr(e, ident())
+      } else if (peek.isInstanceOf[TIdent]) {
         val v = ident()
         peek match {
           case TIdent("as") => i += 1
@@ -423,7 +434,7 @@ object Parser {
         (name == "null" || name == "lower" || name == "upper" ||
           name == "trim" || name == "size" || name == "toString" ||
           name == "substring" || name == "replace" || name == "coalesce" ||
-          name == "id")) ||
+          name == "id" || name == "range")) ||
       (name == "case" && peek2 == TIdent("when"))
 
     private def identList(): List[String] = {
@@ -619,14 +630,23 @@ object Parser {
           i += 2; e = Bin(BSends, e, addExpr())
         case TIdent("contains") =>
           i += 1; e = Bin(BScontains, e, addExpr())
-        // list membership `e in [x, …]` / `e not in [x, …]` — the `[`
-        // lookahead keeps `in` usable as a variable name everywhere
+        // list membership `e in [x, …]` / `e not in [x, …]`, plus the
+        // list-EXPRESSION form `e in xs.val` / `e in range(1, 5)`
+        // (round 11). The lookahead — `[`, or an identifier followed by
+        // `.` / `(` — keeps `in` usable as a variable name everywhere
         case TIdent("in") if peek2 == TSym("[") =>
           i += 1; e = InList(e, bracketList("in"), neg = false)
+        case TIdent("in") if peek2.isInstanceOf[TIdent] &&
+            (peek3 == TSym(".") || peek3 == TSym("(")) =>
+          i += 1; e = InListE(e, addExpr(), neg = false)
         case TIdent("not") if peek2 == TIdent("in") =>
           i += 2
-          if (peek != TSym("[")) fail(s"expected '[' after not in, got $peek")
-          e = InList(e, bracketList("not in"), neg = true)
+          peek match {
+            case TSym("[") => e = InList(e, bracketList("not in"), neg = true)
+            case TIdent(_) if peek2 == TSym(".") || peek2 == TSym("(") =>
+              e = InListE(e, addExpr(), neg = true)
+            case t => fail(s"expected a list after not in, got $t")
+          }
         case _ => go = false
       }
       e
@@ -707,6 +727,12 @@ object Parser {
         val a = expr(); expectSym(","); val b = expr(); expectSym(","); val c = expr()
         expectSym(")")
         if (fn == "substring") Substr(a, b, c) else Replace(a, b, c)
+      // `range(a, b)` — the inclusive int list constructor (round 11)
+      case TIdent("range") if peek2 == TSym("(") =>
+        i += 2
+        val a = expr(); expectSym(","); val b = expr()
+        expectSym(")")
+        RangeE(a, b)
       // `coalesce(e1, …, en)` — contextual call shape like the string
       // functions; at least two arguments (one would be the identity)
       case TIdent("coalesce") if peek2 == TSym("(") =>

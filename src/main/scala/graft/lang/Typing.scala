@@ -47,6 +47,14 @@ object Typing {
   final case class TCoalesce(items: List[TExpr], tp: AttribTp) extends TExpr
   /** `e[i]` — 0-based list element access; `tp` is the element type. */
   final case class TIndex(e: TExpr, i: TExpr, tp: AttribTp) extends TExpr
+  /** `range(a, b)` — inclusive int list; empty when a > b. */
+  final case class TRange(lo: TExpr, hi: TExpr) extends TExpr {
+    def tp: AttribTp = ListT(IntT)
+  }
+  /** `e in <list-expr>` / `not in` — membership over a list value. */
+  final case class TInListE(e: TExpr, list: TExpr, neg: Boolean) extends TExpr {
+    def tp: AttribTp = BoolT
+  }
 
   // --- resolved instructions ---
   sealed trait RInstr extends Product with Serializable
@@ -209,6 +217,10 @@ object Typing {
   /** `unwind xs as x` over a list binding (round 11): one row per
     * element of `v`'s list, `alias` bound to the element scalar. */
   final case class RUnwindVar(v: String, alias: String, elemTp: AttribTp)
+      extends RInstr
+  /** `unwind <list-expr> as x` (round 11): one row per element of the
+    * per-row list value. */
+  final case class RUnwindExpr(e: TExpr, alias: String, elemTp: AttribTp)
       extends RInstr
   final case class RUnwind(items: List[TExpr], alias: String,
       tp: AttribTp) extends RInstr
@@ -475,6 +487,24 @@ object Typing {
             if (ti.tp == IntT) Right(TIndex(te, ti, el))
             else Left(s"list index must be int, got ${ti.tp}")
           case other => Left(s"indexing requires a list operand, got $other")
+        }
+      } yield res
+    case RangeE(lo, hi) =>
+      for {
+        tl <- tpExpr(schema, env, lo)
+        th <- tpExpr(schema, env, hi)
+        res <- if (tl.tp == IntT && th.tp == IntT) Right(TRange(tl, th))
+               else Left(s"range bounds must be int, got ${tl.tp}/${th.tp}")
+      } yield res
+    case InListE(e1, le, neg) =>
+      for {
+        te <- tpExpr(schema, env, e1)
+        tl <- tpExpr(schema, env, le)
+        res <- tl.tp match {
+          case ListT(el) =>
+            if (te.tp == el) Right(TInListE(te, tl, neg))
+            else Left(s"in: tested ${te.tp} does not match list elements $el")
+          case other => Left(s"in requires a list right operand, got $other")
         }
       } yield res
   }
@@ -853,6 +883,15 @@ object Typing {
           }
         }
 
+      case IUnwindExpr(e, alias) =>
+        tpExpr(schema, env, e).flatMap { te =>
+          te.tp match {
+            case ListT(el) =>
+              Right((RUnwindExpr(te, alias, el), (alias, scalarLabel(el)) :: env))
+            case other => Left(s"unwind expression must be a list, got $other")
+          }
+        }
+
       case IUnion(_) =>
         // typecheck splits the stream on union markers before the fold;
         // a marker reaching tcInstr means it sat inside a sub-pattern
@@ -1092,6 +1131,8 @@ object Typing {
     case TInList(e, items, _) => exprVars(e) ++ items.flatMap(exprVars)
     case TCoalesce(items, _)  => items.flatMap(exprVars)
     case TIndex(e, ix, _)     => exprVars(e) ++ exprVars(ix)
+    case TRange(a, b)         => exprVars(a) ++ exprVars(b)
+    case TInListE(e, l, _)    => exprVars(e) ++ exprVars(l)
     case _: TConst         => Nil
   }
 

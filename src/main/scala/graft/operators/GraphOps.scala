@@ -593,6 +593,37 @@ object GraphOps {
              |       CAST(n_nationkey % 3 AS BIGINT) AS m
              |FROM nation""".stripMargin)),
 
+    // range(a, b) + in-over-expression (round 11): inclusive int list
+    // constructor — Cypher's row-generation workhorse — and general
+    // membership over any list value. sequence() is codegen'd; the
+    // explode inherits the scan partitioning (no shuffle).
+    Q("gql_range",
+      bindings(
+        """match (n:nation)
+          |where n.nationkey < 4
+          |unwind range(0, n.regionkey) as i
+          |where i.val mod 2 = 0
+          |return n, i""".stripMargin),
+      Some("""SELECT n, i FROM (
+             |  SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |         unnest(generate_series(0, CAST(n_regionkey AS BIGINT)))::BIGINT AS i
+             |  FROM nation WHERE n_nationkey < 4) t
+             |WHERE i % 2 = 0""".stripMargin)),
+
+    Q("gql_in_collected",
+      bindings(
+        """match (n:nation)
+          |where n.nationkey < 8
+          |with collect(distinct n.regionkey) as rs
+          |match (m:nation)
+          |where m.regionkey in rs.val and m.nationkey >= 20
+          |return m""".stripMargin),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS m
+             |FROM nation
+             |WHERE n_regionkey IN (SELECT DISTINCT n_regionkey FROM nation
+             |                      WHERE n_nationkey < 8)
+             |  AND n_nationkey >= 20""".stripMargin)),
+
     // id(): the deterministic node id as a first-class int (Cypher's
     // id() — interop code keys caches/external joins on it). The loader
     // contract (nationkey + NationBase) makes it oracle-checkable.

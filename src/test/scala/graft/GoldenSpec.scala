@@ -573,6 +573,23 @@ class GoldenSpec extends AnyFunSuite {
       "match (n:N)\nwith collect(n.x) as xs\nreturn xs.val[99] as v")
     val ex = intercept[Exception](r3.bindings.collect())
     assert(ex.getMessage.toLowerCase.contains("index"))
+    // range row generation: inclusive bounds, per-row length, empty
+    // when lo > hi (Cypher's rule — the reversed pair contributes 0 rows)
+    val r4 = Engine.runSource(spark, src +
+      "match (n:N)\nwhere n.s = \"u\"\nunwind range(n.x, 3) as i\nreturn n.x as x, i")
+    assert(r4.bindings.collect().map(t => (t.getLong(0), t.getLong(1))).toSet ==
+      Set((3L, 3L), (2L, 2L), (2L, 3L))) // x=3 → [3]; x=2 → [2,3]
+    val r5 = Engine.runSource(spark, src +
+      "match (n:N)\nunwind range(5, n.x) as i\nreturn i")
+    assert(r5.bindings.collect().isEmpty) // all x < 5 → every list empty
+    // membership over a collected list and over range
+    val r6 = Engine.runSource(spark, src +
+      "match (n:N)\nwhere n.x in range(2, 9)\nreturn n.x")
+    assert(r6.bindings.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    val r7 = Engine.runSource(spark, src +
+      "match (n:N)\nwhere n.s = \"u\"\nwith collect(n.x) as xs\n" +
+        "match (m:N)\nwhere m.x not in xs.val\nreturn m.x")
+    assert(r7.bindings.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 1L))
   }
 
   test("duplicate structural items with distinct aliases each get a column") {

@@ -524,6 +524,32 @@ class ParserSpec extends AnyFunSuite {
     assert(u.query.clauses(2) == UnwindVar("xs", "x"))
   }
 
+  test("range, in-over-expression, and unwind-expression parse (round 11)") {
+    val e = Parser.parse(header + "match (a:P)\nwhere a.x in range(1, a.x + 3)\nreturn a")
+      .query.clauses.collectFirst { case Where(w) => w }.get
+    e match {
+      case InListE(AttribAcc("a", "x"), RangeE(Const(IntV(1)), Bin(BAadd, _, _)), false) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    // not-in over an attr-access list expression
+    val e2 = Parser.parse(header +
+      "match (a:P)\nwith collect(a.x) as xs\nmatch (b:P)\nwhere b.x not in xs.val\nreturn b")
+      .query.clauses.collectFirst { case Where(w) => w }.get
+    assert(e2 == InListE(AttribAcc("b", "x"), AttribAcc("xs", "val"), neg = true))
+    // unwind expression forms
+    val u = Parser.parse(header + "match (a:P)\nunwind range(0, a.x) as i\nreturn a, i")
+    u.query.clauses(1) match {
+      case UnwindExpr(RangeE(_, _), "i") => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    val u2 = Parser.parse(header +
+      "match (a:P)\nwith collect(a.x) as xs\nunwind xs.val as x\nreturn x")
+    assert(u2.query.clauses(2) == UnwindExpr(AttribAcc("xs", "val"), "x"))
+    // a variable named range still parses (no `(` after it)
+    val v = Parser.parse(header + "create (range:P)\nreturn range")
+    assert(v.query.clauses.collect { case Return(vs) => vs }.flatten == List("range"))
+  }
+
   test("count(*) parses as row count; only plain count admits the star") {
     val p = Parser.parse(header + "match (a:P)\nreturn a, count(*) as c")
     val items = p.query.clauses.collectFirst {

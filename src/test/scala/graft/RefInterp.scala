@@ -301,7 +301,7 @@ object RefInterp {
         width = st.width + freshIdx.size,
         rows = newRows)
 
-    case _: RReturnExt | _: RUnwindVar =>
+    case _: RReturnExt | _: RUnwindVar | _: RUnwindExpr =>
       // extended return / list-binding unwind emit or consume non-Long
       // columns — outside this interpreter's Long-row model and its
       // reference-parity scope (GoldenSpec pins them in-JVM, the DuckDB
@@ -597,11 +597,11 @@ object RefInterp {
         case it => Some(eval(st, row, it))
       }.nextOption().getOrElse(
         throw new IllegalStateException("all coalesce arguments NULL"))
-    case _: Typing.TIndex =>
+    case _: Typing.TIndex | _: Typing.TRange | _: Typing.TInListE =>
       // list values live outside the Long-row model (like RReturnExt);
       // the generator never draws them
       throw new UnsupportedOperationException(
-        "list indexing not supported by the Long-row interpreter")
+        "list values not supported by the Long-row interpreter")
   }
 
   private object VecOrd extends Ordering[Vector[Long]] {

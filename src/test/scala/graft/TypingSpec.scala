@@ -858,6 +858,21 @@ class TypingSpec extends AnyFunSuite {
       .contains("toString of a list"))
   }
 
+  test("range and in-over-expression type; unwind-expression demands a list") {
+    Typing.compile(header + "match (a:P)\nwhere a.x in range(1, 5)\nreturn a")
+    Typing.compile(header +
+      "match (a:P)\nwith collect(a.s) as ss\nmatch (b:P)\nwhere b.s not in ss.val\nreturn b")
+    Typing.compile(header + "match (a:P)\nunwind range(0, a.x) as i\nwhere i.val > 1\nreturn a, i")
+    assert(err(header + "match (a:P)\nwhere a.x in range(1, \"u\")\nreturn a")
+      .contains("range bounds must be int"))
+    assert(err(header + "match (a:P)\nwhere a.s in range(1, 5)\nreturn a")
+      .contains("does not match list elements"))
+    assert(err(header + "match (a:P)\nwhere a.x in a.x + 1\nreturn a")
+      .contains("requires a list right operand"))
+    assert(err(header + "match (a:P)\nunwind lower(a.s) as x\nreturn x")
+      .contains("unwind expression must be a list"))
+  }
+
   test("coalesce: one shared argument type; composes as that type") {
     Typing.compile(header + "match (a:P)\nwhere coalesce(a.x, 0) > 1\nreturn a")
     Typing.compile(header +
