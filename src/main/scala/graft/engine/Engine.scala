@@ -1280,6 +1280,7 @@ object Engine {
           case USsize if e.tp.isInstanceOf[ListT] => s"cast(size($a) as bigint)"
           case USsize  => s"cast(length($a) as bigint)"
           case UStoStr => s"cast($a as string)"
+          case ULnot   => s"(NOT $a)"
         }
       case TSubstr(e1, e2, e3) =>
         // Spark's SQL substring: 1-based position, clamping, negative

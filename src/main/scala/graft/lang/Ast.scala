@@ -64,6 +64,12 @@ case object USsize extends UnOp
   * identical in Spark CAST AS STRING and DuckDB CAST AS VARCHAR for
   * this value domain. */
 case object UStoStr extends UnOp
+/** Prefix `not e` — boolean negation (round 11; Cypher precedence:
+  * looser than comparison, tighter than `and`, so `not a.x > 1` negates
+  * the comparison). Contextual: `not` at OPERAND position followed by
+  * anything but `.` (a variable named not keeps `not.f` working); the
+  * clause-level `not exists <pattern>` form wins at clause position. */
+case object ULnot extends UnOp
 
 sealed trait Expr extends Product with Serializable
 final case class Const(v: Value) extends Expr

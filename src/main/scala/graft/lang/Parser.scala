@@ -435,7 +435,10 @@ object Parser {
           name == "trim" || name == "size" || name == "toString" ||
           name == "substring" || name == "replace" || name == "coalesce" ||
           name == "id" || name == "range")) ||
-      (name == "case" && peek2 == TIdent("when"))
+      (name == "case" && (peek2 match {
+        case TIdent(_) | TInt(_) | TString(_) | TBool(_) | TSym("(") => true
+        case _ => false
+      }))
 
     private def identList(): List[String] = {
       val b = List.newBuilder[String]
@@ -610,7 +613,15 @@ object Parser {
     // --- expressions, precedence climbing ---
     def expr(): Expr = orExpr()
     private def orExpr(): Expr = leftAssoc(andExpr, Map("or" -> BLor))
-    private def andExpr(): Expr = leftAssoc(cmpExpr, Map("and" -> BLand))
+    private def andExpr(): Expr = leftAssoc(notExpr, Map("and" -> BLand))
+    /** Prefix `not` (round 11) — Cypher precedence: looser than
+      * comparison, tighter than and/or. Contextual: a variable named
+      * not keeps `not.f` (attr access) and `x not in […]` (the cmp-tier
+      * postfix) working; nested `not not e` parses. */
+    private def notExpr(): Expr = peek match {
+      case TIdent("not") if peek2 != TSym(".") => i += 1; Un(ULnot, notExpr())
+      case _ => cmpExpr()
+    }
     private val cmpOps =
       Map("=" -> BCeq, ">=" -> BCge, ">" -> BCgt, "<=" -> BCle, "<" -> BClt, "<>" -> BCne)
     private def cmpExpr(): Expr = {
@@ -744,6 +755,37 @@ object Parser {
         val es = items.result()
         if (es.size < 2) fail("coalesce needs at least two arguments")
         Coalesce(es)
+      // simple case expression `case e when k then r … else e end`
+      // (round 11 — SQL/Cypher's value-dispatch form): desugars HERE to
+      // the searched form with equality arms (`when k` → `when e = k`),
+      // so typing/executors see one CASE shape; the operand expression
+      // is pure, so its per-arm duplication is unobservable. Trigger:
+      // `case` followed by an expression start that is NOT `when`
+      // (except `when.f`, a legal operand on a variable named when)
+      case TIdent("case") if (peek2 match {
+            case TIdent("when")  => peek3 == TSym(".")
+            case TIdent(_) | TInt(_) | TString(_) | TBool(_) | TSym("(") => true
+            case _ => false
+          }) =>
+        i += 1
+        val operand = expr()
+        val whens = List.newBuilder[(Expr, Expr)]
+        if (peek != TIdent("when")) fail(s"expected when in case expression, got $peek")
+        while (peek == TIdent("when")) {
+          i += 1
+          val k = expr()
+          if (peek != TIdent("then")) fail(s"expected then in case expression, got $peek")
+          i += 1
+          whens += ((Bin(BCeq, operand, k), expr()))
+        }
+        if (peek != TIdent("else"))
+          fail(s"case expression requires an else branch (MiniGQL has no " +
+            s"NULL value to default to), got $peek")
+        i += 1
+        val other = expr()
+        if (peek != TIdent("end")) fail(s"expected end closing case expression, got $peek")
+        i += 1
+        CaseExpr(whens.result(), other)
       // searched case expression: `case when c then e … else e end`.
       // Contextual on `case` FOLLOWED BY `when`, so `case.f` stays an
       // attribute access on a variable named case

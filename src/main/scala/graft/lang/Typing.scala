@@ -401,7 +401,10 @@ object Typing {
       } yield res
     case Un(op, e1) =>
       tpExpr(schema, env, e1).flatMap { te =>
-        if (op == UStoStr)
+        if (op == ULnot)
+          if (te.tp == BoolT) Right(TUn(op, te, BoolT))
+          else Left(s"not requires a bool operand, got ${te.tp}")
+        else if (op == UStoStr)
           // any SCALAR renders; list rendering differs across engines,
           // so it is rejected rather than silently divergent
           if (te.tp.isInstanceOf[ListT])
@@ -516,7 +519,7 @@ object Typing {
   private def unName(op: UnOp): String = op match {
     case USlower => "lower"; case USupper => "upper"
     case UStrim  => "trim";  case USsize  => "size"
-    case UStoStr => "toString"
+    case UStoStr => "toString"; case ULnot => "not"
   }
 
   /** Per-instruction environment transformer (reference typing.ml:201-268). */

@@ -624,6 +624,22 @@ object GraphOps {
              |                      WHERE n_nationkey < 8)
              |  AND n_nationkey >= 20""".stripMargin)),
 
+    // prefix not + simple case (round 11): boolean negation at its own
+    // precedence tier, and SQL/Cypher's value-dispatch case form
+    // (desugared in the parser to searched equality arms)
+    Q("gql_not_case",
+      bindings(
+        """match (n:nation)
+          |where not n.regionkey = 2 and not (n.nationkey >= 15 or n.regionkey = 0)
+          |unwind [case n.regionkey when 1 then "one" when 3 then "three" else "other" end] as b
+          |return n, b""".stripMargin),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |       CASE n_regionkey WHEN 1 THEN 'one' WHEN 3 THEN 'three'
+             |            ELSE 'other' END AS b
+             |FROM nation
+             |WHERE NOT n_regionkey = 2
+             |  AND NOT (n_nationkey >= 15 OR n_regionkey = 0)""".stripMargin)),
+
     // id(): the deterministic node id as a first-class int (Cypher's
     // id() — interop code keys caches/external joins on it). The loader
     // contract (nationkey + NationBase) makes it oracle-checkable.

@@ -71,6 +71,13 @@ class DifferentialSpec extends AnyFunSuite {
         // BOTH engines (SQL CASE / RefInterp's collectFirst), and the
         // generator keeps all attrs set + const divisors nonzero, so
         // short-circuiting is unobservable and results stay equal
+        // round 11: half the case draws use the SIMPLE form (value
+        // dispatch) — it desugars in the parser to the searched form,
+        // so this covers the sugar end-to-end
+        case _ if rnd.nextBoolean() =>
+          s"(case ${intExpr(0)} when ${rnd.nextInt(6)} then ${intExpr(depth - 1)} " +
+            s"when ${rnd.nextInt(10)} then ${intExpr(0)} " +
+            s"else ${intExpr(depth - 1)} end)"
         case _ => s"(case when ${boolExpr(0)} then ${intExpr(depth - 1)} " +
           s"else ${intExpr(depth - 1)} end)"
       }
@@ -115,8 +122,11 @@ class DifferentialSpec extends AnyFunSuite {
         case _ =>
           s"${intExpr(1)} ${pick(Seq("=", "<>", ">=", ">", "<=", "<"))} ${intExpr(1)}"
       }
-      if (depth == 0 || rnd.nextBoolean()) base
-      else s"($base ${pick(Seq("and", "or"))} ${boolExpr(depth - 1)})"
+      // round 11: prefix not at its own tier (negate the atom so the
+      // draw covers not-over-comparison without reparenthesizing)
+      val base2 = if (rnd.nextInt(4) == 0) s"not ($base)" else base
+      if (depth == 0 || rnd.nextBoolean()) base2
+      else s"($base2 ${pick(Seq("and", "or"))} ${boolExpr(depth - 1)})"
     }
     val steps = 3 + rnd.nextInt(6)
     for (_ <- 1 to steps) rnd.nextInt(12) match {

@@ -550,6 +550,36 @@ class ParserSpec extends AnyFunSuite {
     assert(v.query.clauses.collect { case Return(vs) => vs }.flatten == List("range"))
   }
 
+  test("prefix not and simple case parse (round 11)") {
+    // not binds looser than comparison, tighter than and
+    val e = Parser.parse(header + "match (a:P)\nwhere not a.x > 1 and a.x < 9\nreturn a")
+      .query.clauses.collectFirst { case Where(w) => w }.get
+    e match {
+      case Bin(BLand, Un(ULnot, Bin(BCgt, _, _)), Bin(BClt, _, _)) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    // nested not; a variable named not keeps attr access
+    Parser.parse(header + "match (a:P)\nwhere not not a.x = 1\nreturn a")
+    val v = Parser.parse(header + "create (not:P)\nwhere not.x = 1 or not not.x = 2\nreturn not")
+    assert(v.query.clauses.collect { case Return(vs) => vs }.flatten == List("not"))
+    // simple case desugars to searched equality arms
+    val c = Parser.parse(header +
+      "match (a:P)\nwhere case a.x when 1 then true when 2 + 1 then false else a.x > 5 end\nreturn a")
+      .query.clauses.collectFirst { case Where(w) => w }.get
+    c match {
+      case CaseExpr(List(
+          (Bin(BCeq, AttribAcc("a", "x"), Const(IntV(1))), Const(BoolV(true))),
+          (Bin(BCeq, AttribAcc("a", "x"), Bin(BAadd, _, _)), Const(BoolV(false)))),
+          Bin(BCgt, _, _)) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    // at least one arm; else still mandatory
+    intercept[Parser.ParseError](Parser.parse(header +
+      "match (a:P)\nwhere case a.x else true end\nreturn a"))
+    intercept[Parser.ParseError](Parser.parse(header +
+      "match (a:P)\nwhere case a.x when 1 then true end\nreturn a"))
+  }
+
   test("count(*) parses as row count; only plain count admits the star") {
     val p = Parser.parse(header + "match (a:P)\nreturn a, count(*) as c")
     val items = p.query.clauses.collectFirst {

@@ -531,6 +531,11 @@ object RefInterp {
         }
         case other => throw new IllegalStateException(s"type error at runtime: $other")
       }
+    case TUn(ULnot, e, _) =>
+      eval(st, row, e) match {
+        case BoolV(b) => BoolV(!b)
+        case other    => throw new IllegalStateException(s"not on $other")
+      }
     case TUn(UStoStr, e, _) =>
       eval(st, row, e) match {
         case IntV(i)    => StringV(i.toString)
@@ -547,6 +552,7 @@ object RefInterp {
           case UStrim  => StringV(a.replaceAll("^ +| +$", ""))
           case USsize  => IntV(a.codePointCount(0, a.length).toLong)
           case UStoStr => StringV(a) // handled above; exhaustiveness
+          case ULnot   => throw new IllegalStateException("not on a string")
         }
         case other => throw new IllegalStateException(s"string fn on $other")
       }

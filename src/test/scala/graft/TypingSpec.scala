@@ -873,6 +873,18 @@ class TypingSpec extends AnyFunSuite {
       .contains("unwind expression must be a list"))
   }
 
+  test("not: bool-only operand; simple case types through the desugar") {
+    Typing.compile(header + "match (a:P)\nwhere not a.x > 1\nreturn a")
+    assert(err(header + "match (a:P)\nwhere not a.x\nreturn a")
+      .contains("not requires a bool operand"))
+    // simple-case arm keys type against the operand via the equality desugar
+    assert(err(header +
+      "match (a:P)\nwhere case a.x when \"u\" then true else false end\nreturn a")
+      .contains("same-typed"))
+    Typing.compile(header +
+      "match (a:P)\nwhere case a.s when \"u\" then a.x > 1 else false end\nreturn a")
+  }
+
   test("coalesce: one shared argument type; composes as that type") {
     Typing.compile(header + "match (a:P)\nwhere coalesce(a.x, 0) > 1\nreturn a")
     Typing.compile(header +
