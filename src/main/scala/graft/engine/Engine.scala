@@ -1027,6 +1027,13 @@ object Engine {
     case Typing.TIndex(e, ix, _)     => collectAttrs(e) ++ collectAttrs(ix)
     case Typing.TRange(a, b)         => collectAttrs(a) ++ collectAttrs(b)
     case Typing.TInListE(e, l, _)    => collectAttrs(e) ++ collectAttrs(l)
+    // lambda bodies: OUTER attr references need their joins like
+    // anywhere else; the lambda's own variable (TLamVar) needs none
+    case Typing.TListPred(_, _, l, p) => collectAttrs(l) ++ collectAttrs(p)
+    case Typing.TListComp(_, l, p, m, _) =>
+      collectAttrs(l) ++ p.toSeq.flatMap(collectAttrs) ++ m.toSeq.flatMap(collectAttrs)
+    case Typing.TReduce(_, init, _, l, b) =>
+      collectAttrs(init) ++ collectAttrs(l) ++ collectAttrs(b)
     case _                => Nil
   }
 
@@ -1319,6 +1326,39 @@ object Engine {
         val test = s"array_contains(${sql(le, refs, st, strict)}, " +
           s"${sql(e, refs, st, strict)})"
         if (neg) s"(NOT $test)" else test
+      // lambda-bound reads compile to the lambda argument. The `__lam_`
+      // prefix keeps the SQL name out of every generated-column
+      // namespace (attr-join columns, binding columns) — typing already
+      // banned shadowing BOUND variables, and generated frame columns
+      // never start with __lam_, so capture is impossible.
+      case Typing.TLamVar(n, _) => s"__lam_$n"
+      case Typing.TListPred(kind, v, le, p) =>
+        // Spark's codegen'd higher-order functions; vacuous-truth
+        // semantics follow Cypher (all over [] = true, any/single = false)
+        val l = sql(le, refs, st, strict)
+        val body = s"__lam_$v -> ${sql(p, refs, st, strict)}"
+        kind match {
+          case "any"    => s"exists($l, $body)"
+          case "all"    => s"forall($l, $body)"
+          case "none"   => s"(NOT exists($l, $body))"
+          case "single" => s"(size(filter($l, $body)) = 1)"
+          case other    => throw new IllegalStateException(s"unreachable list predicate $other")
+        }
+      case Typing.TListComp(v, le, p, m, _) =>
+        // filter preserves the operand's canonical ascending order; a
+        // mapping arm may break monotonicity, so the result re-sorts —
+        // MiniGQL lists are pure functions of their element bag
+        val base = sql(le, refs, st, strict)
+        val filtered = p.fold(base)(pe =>
+          s"filter($base, __lam_$v -> ${sql(pe, refs, st, strict)})")
+        m.fold(filtered)(me =>
+          s"array_sort(transform($filtered, __lam_$v -> ${sql(me, refs, st, strict)}))")
+      case Typing.TReduce(acc, init, v, le, body) =>
+        // left fold over the canonical ascending order — deterministic
+        // for non-commutative bodies because the order is a value
+        // property, not an execution artifact
+        s"aggregate(${sql(le, refs, st, strict)}, ${sql(init, refs, st, strict)}, " +
+          s"(__lam_$acc, __lam_$v) -> ${sql(body, refs, st, strict)})"
     }
 
   private def sqlTp(tp: AttribTp): String = tp match {

@@ -139,6 +139,29 @@ final case class IndexAcc(e: Expr, i: Expr) extends Expr
   * still raises under strict mode (it is an error, not a NULL).
   * Contextual call shape; ≥2 arguments. */
 final case class Coalesce(items: List[Expr]) extends Expr
+/** `any/all/none/single(x in <list> where p)` — Cypher's list
+  * predicates (round 11). `x` binds a fresh SCALAR variable over the
+  * list's elements, read as `x.val` inside `p` like every other
+  * scalar binding (the unwind convention); shadowing an existing
+  * binding is rejected. Compiles to Spark's codegen'd higher-order
+  * functions (exists/forall/filter) — per-row, no joins, no shuffles.
+  * `kind` ∈ any | all | none | single. Vacuous truth follows Cypher:
+  * `all` over the empty list is true, `any`/`single` false. */
+final case class ListPred(kind: String, v: String, list: Expr, pred: Expr) extends Expr
+/** `[x in <list> where p | e]` — Cypher's list comprehension (round
+  * 11); `where` and the `|` mapping arm are each optional (both absent
+  * = identity copy). The RESULT is re-sorted ascending — MiniGQL list
+  * values are canonically sorted (the collect() rule: a pure function
+  * of the element bag), so a non-monotonic mapping cannot leak
+  * engine-dependent order. The mapped element must be scalar (no
+  * nested lists, same rule as collect). */
+final case class ListComp(v: String, list: Expr, pred: Option[Expr], map: Option[Expr]) extends Expr
+/** `reduce(acc = init, x in <list> | e)` — Cypher's left fold (round
+  * 11). Folds over the list's canonical ASCENDING order (lists are
+  * sorted values here), so the result is deterministic even for
+  * non-commutative bodies. `acc`/`x` bind fresh scalar variables read
+  * as `.val`; init (and hence the fold) must be scalar-typed. */
+final case class ReduceE(acc: String, init: Expr, v: String, list: Expr, body: Expr) extends Expr
 
 /** Node patterns: `(v: L)` declares-and-binds, `(v)` references an
   * existing binding (reference lang.ml:47-50). */

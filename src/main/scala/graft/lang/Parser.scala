@@ -40,6 +40,13 @@ object Parser {
     private def peek: Token = toks(i)._1
     private def peek2: Token = if (i + 1 < toks.length) toks(i + 1)._1 else TEof
     private def peek3: Token = if (i + 2 < toks.length) toks(i + 2)._1 else TEof
+    private def peekAt(k: Int): Token = if (i + k < toks.length) toks(i + k)._1 else TEof
+    /** True iff the token at offset `off` opens a list COMPREHENSION
+      * `[x in …]` rather than a bracket literal — the same `ident in`
+      * lookahead the primary-position case uses. */
+    private def compAhead(off: Int): Boolean =
+      peekAt(off) == TSym("[") && peekAt(off + 1).isInstanceOf[TIdent] &&
+        peekAt(off + 2) == TIdent("in")
     private def pos: Int = toks(i)._2
     private def fail(msg: String): Nothing = {
       val (_, start, end) = toks(i)
@@ -195,8 +202,8 @@ object Parser {
       // (round 11 — `with collect(…) as xs unwind xs as x`), or a
       // general list EXPRESSION (`unwind range(1, n.x) as i`,
       // `unwind xs.val as x`) — disambiguated by lookahead
-      if (peek.isInstanceOf[TIdent] &&
-          (peek2 == TSym(".") || peek2 == TSym("("))) {
+      if (compAhead(0) || (peek.isInstanceOf[TIdent] &&
+          (peek2 == TSym(".") || peek2 == TSym("(")))) {
         val e = expr()
         peek match {
           case TIdent("as") => i += 1
@@ -434,7 +441,8 @@ object Parser {
         (name == "null" || name == "lower" || name == "upper" ||
           name == "trim" || name == "size" || name == "toString" ||
           name == "substring" || name == "replace" || name == "coalesce" ||
-          name == "id" || name == "range")) ||
+          name == "id" || name == "range" || name == "any" || name == "all" ||
+          name == "none" || name == "single" || name == "reduce")) ||
       (name == "case" && (peek2 match {
         case TIdent(_) | TInt(_) | TString(_) | TBool(_) | TSym("(") => true
         case _ => false
@@ -645,15 +653,17 @@ object Parser {
         // list-EXPRESSION form `e in xs.val` / `e in range(1, 5)`
         // (round 11). The lookahead — `[`, or an identifier followed by
         // `.` / `(` — keeps `in` usable as a variable name everywhere
-        case TIdent("in") if peek2 == TSym("[") =>
+        case TIdent("in") if peek2 == TSym("[") && !compAhead(1) =>
           i += 1; e = InList(e, bracketList("in"), neg = false)
-        case TIdent("in") if peek2.isInstanceOf[TIdent] &&
-            (peek3 == TSym(".") || peek3 == TSym("(")) =>
+        case TIdent("in") if compAhead(1) || (peek2.isInstanceOf[TIdent] &&
+            (peek3 == TSym(".") || peek3 == TSym("("))) =>
           i += 1; e = InListE(e, addExpr(), neg = false)
         case TIdent("not") if peek2 == TIdent("in") =>
           i += 2
           peek match {
-            case TSym("[") => e = InList(e, bracketList("not in"), neg = true)
+            case TSym("[") if !compAhead(0) =>
+              e = InList(e, bracketList("not in"), neg = true)
+            case TSym("[") => e = InListE(e, addExpr(), neg = true)
             case TIdent(_) if peek2 == TSym(".") || peek2 == TSym("(") =>
               e = InListE(e, addExpr(), neg = true)
             case t => fail(s"expected a list after not in, got $t")
@@ -744,6 +754,33 @@ object Parser {
         val a = expr(); expectSym(","); val b = expr()
         expectSym(")")
         RangeE(a, b)
+      // list predicates any/all/none/single(x in <list> where p) —
+      // contextual call shapes (round 11); the lambda variable is an
+      // ordinary identifier read as `x.val` in the predicate
+      case TIdent(kind @ ("any" | "all" | "none" | "single")) if peek2 == TSym("(") =>
+        i += 2
+        val v = ident()
+        if (peek != TIdent("in")) fail(s"expected in after $kind($v, got $peek")
+        i += 1
+        val list = expr()
+        if (peek != TKw("where")) fail(s"expected where in $kind(...), got $peek")
+        i += 1
+        val p = expr()
+        expectSym(")")
+        ListPred(kind, v, list, p)
+      // reduce(acc = init, x in <list> | e) — Cypher's left fold
+      case TIdent("reduce") if peek2 == TSym("(") =>
+        i += 2
+        val acc = ident(); expectSym("=")
+        val init = expr(); expectSym(",")
+        val v = ident()
+        if (peek != TIdent("in")) fail(s"expected in after reduce's element variable, got $peek")
+        i += 1
+        val list = expr()
+        expectSym("|")
+        val body = expr()
+        expectSym(")")
+        ReduceE(acc, init, v, list, body)
       // `coalesce(e1, …, en)` — contextual call shape like the string
       // functions; at least two arguments (one would be the identity)
       case TIdent("coalesce") if peek2 == TSym("(") =>
@@ -811,6 +848,24 @@ object Parser {
         i += 1
         expectSym(".")
         AttribAcc(v, ident())
+      // list comprehension `[x in <list> (where p)? (| e)?]` (round
+      // 11) — `[` in OPERAND position is unambiguous (the in-list and
+      // unwind brackets follow operators/keywords; postfix indexing
+      // follows a complete operand), and the `ident in` lookahead
+      // keeps the bare bracket a parse error, as before: list
+      // LITERALS are still not general expressions
+      case TSym("[") if (peek2 match {
+            case TIdent(_) => peek3 == TIdent("in")
+            case _ => false
+          }) =>
+        i += 1
+        val v = ident()
+        i += 1 // the `in` the lookahead saw
+        val list = expr()
+        val p = if (peek == TKw("where")) { i += 1; Some(expr()) } else None
+        val m = if (peek == TSym("|")) { i += 1; Some(expr()) } else None
+        expectSym("]")
+        ListComp(v, list, p, m)
       case TSym("(") =>
         i += 1
         val e = expr(); expectSym(")"); e

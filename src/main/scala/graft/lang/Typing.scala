@@ -55,6 +55,22 @@ object Typing {
   final case class TInListE(e: TExpr, list: TExpr, neg: Boolean) extends TExpr {
     def tp: AttribTp = BoolT
   }
+  /** A lambda-bound element/accumulator read (`x.val` inside a list
+    * predicate / comprehension / reduce body). Compiles to the SQL
+    * lambda argument, not a frame column — carries no join. */
+  final case class TLamVar(name: String, tp: AttribTp) extends TExpr
+  /** `any/all/none/single(v in list where pred)` (see [[graft.lang.ListPred]]). */
+  final case class TListPred(kind: String, v: String, list: TExpr, pred: TExpr) extends TExpr {
+    def tp: AttribTp = BoolT
+  }
+  /** `[v in list where pred | map]`; `tp` is the RESULT list type. */
+  final case class TListComp(v: String, list: TExpr, pred: Option[TExpr],
+      map: Option[TExpr], tp: AttribTp) extends TExpr
+  /** `reduce(acc = init, v in list | body)`; folds ascending. */
+  final case class TReduce(acc: String, init: TExpr, v: String, list: TExpr,
+      body: TExpr) extends TExpr {
+    def tp: AttribTp = init.tp
+  }
 
   // --- resolved instructions ---
   sealed trait RInstr extends Product with Serializable
@@ -272,10 +288,17 @@ object Typing {
     (parts(0), parts(1), parts(2))
   }
 
+  /** Pseudo-label of a lambda-bound scalar (list predicate /
+    * comprehension / reduce element or accumulator); typing-internal —
+    * it is pushed onto env only while the lambda body is typed. */
+  def lamLabel(tp: AttribTp): String = s"%lam${scalarLabel(tp)}"
+  def isLamLabel(label: String): Boolean = label.startsWith("%lam")
+
   /** Human name of a virtual label for error messages. */
   def virtualKind(label: String): String =
     if (label == PathLabel) "path-distance"
     else if (isRelLabel(label)) "relationship"
+    else if (isLamLabel(label)) "lambda"
     else "with-scalar"
 
   /** Validated schema with O(1) lookups. `relAttrs` is the round-10
@@ -297,6 +320,11 @@ object Typing {
       case "%list%int"    => if (field == "val") Some(ListT(IntT)) else None
       case "%list%bool"   => if (field == "val") Some(ListT(BoolT)) else None
       case "%list%string" => if (field == "val") Some(ListT(StringT)) else None
+      // lambda-bound scalars (list predicates/comprehension/reduce) —
+      // typing-internal: these labels never escape the lambda body
+      case "%lam%int"    => if (field == "val") Some(IntT) else None
+      case "%lam%bool"   => if (field == "val") Some(BoolT) else None
+      case "%lam%string" => if (field == "val") Some(StringT) else None
       case l if isRelLabel(l) =>
         relAttrsOf(relKeyOf(l)).collectFirst { case (`field`, tp) => tp }
       case _ => nodeAttrs.get(label).flatMap(_.collectFirst { case (`field`, tp) => tp })
@@ -351,8 +379,12 @@ object Typing {
   def tpExpr(schema: Schema, env: Env, e: Expr): Either[String, TExpr] = e match {
     case Const(v) => Right(TConst(v))
     case NullCheck(v) =>
-      if (lookup(env, v).isEmpty) Left(s"variable $v not bound")
-      else Right(TNullCheck(v))
+      lookup(env, v) match {
+        case None => Left(s"variable $v not bound")
+        case Some(l) if isLamLabel(l) =>
+          Left(s"null($v): a lambda-bound element is never NULL")
+        case Some(_) => Right(TNullCheck(v))
+      }
     case IdFn(v) =>
       lookup(env, v) match {
         case None => Left(s"variable $v not bound")
@@ -368,6 +400,9 @@ object Typing {
         case Some(lbl) =>
           schema.attrType(lbl, f) match {
             case None     => Left(s"attribute $f not declared for label $lbl (variable $v)")
+            // a lambda-bound element/accumulator read — compiles to
+            // the SQL lambda argument, not a frame column
+            case Some(tp) if isLamLabel(lbl) => Right(TLamVar(v, tp))
             case Some(tp) => Right(TAttr(v, lbl, f, tp))
           }
       }
@@ -510,7 +545,77 @@ object Typing {
           case other => Left(s"in requires a list right operand, got $other")
         }
       } yield res
+    case ListPred(kind, v, list, pred) =>
+      for {
+        tl <- tpExpr(schema, env, list)
+        el <- tl.tp match {
+          case ListT(e2) => Right(e2)
+          case other => Left(s"$kind requires a list operand, got $other")
+        }
+        _ <- lamFresh(env, v, kind)
+        tpred <- tpExpr(schema, (v, lamLabel(el)) :: env, pred)
+        res <- if (tpred.tp == BoolT) Right(TListPred(kind, v, tl, tpred))
+               else Left(s"$kind predicate must be bool, got ${tpred.tp}")
+      } yield res
+    case ListComp(v, list, pred, map) =>
+      for {
+        tl <- tpExpr(schema, env, list)
+        el <- tl.tp match {
+          case ListT(e2) => Right(e2)
+          case other => Left(s"list comprehension requires a list operand, got $other")
+        }
+        _ <- lamFresh(env, v, "list comprehension")
+        lamEnv = (v, lamLabel(el)) :: env
+        tpred <- pred match {
+          case None => Right(None)
+          case Some(p) => tpExpr(schema, lamEnv, p).flatMap { tp0 =>
+            if (tp0.tp == BoolT) Right(Some(tp0))
+            else Left(s"comprehension where-predicate must be bool, got ${tp0.tp}")
+          }
+        }
+        tmap <- map match {
+          case None => Right(None)
+          case Some(m) => tpExpr(schema, lamEnv, m).flatMap { tm =>
+            // no nested lists — the collect rule: list elements are
+            // scalars, so every list stays one ListT level deep
+            if (tm.tp.isInstanceOf[ListT])
+              Left("comprehension element must be scalar (no nested lists)")
+            else Right(Some(tm))
+          }
+        }
+      } yield TListComp(v, tl, tpred, tmap, ListT(tmap.fold(el)(_.tp)))
+    case ReduceE(acc, init, v, list, body) =>
+      for {
+        tinit <- tpExpr(schema, env, init)
+        _ <- if (tinit.tp.isInstanceOf[ListT])
+               Left("reduce accumulator must be scalar (no list accumulation)")
+             else Right(())
+        tl <- tpExpr(schema, env, list)
+        el <- tl.tp match {
+          case ListT(e2) => Right(e2)
+          case other => Left(s"reduce requires a list operand, got $other")
+        }
+        _ <- lamFresh(env, acc, "reduce")
+        _ <- lamFresh(env, v, "reduce")
+        _ <- if (acc == v)
+               Left(s"reduce: accumulator and element variable must differ, both are $acc")
+             else Right(())
+        tbody <- tpExpr(schema,
+          (v, lamLabel(el)) :: (acc, lamLabel(tinit.tp)) :: env, body)
+        res <- if (tbody.tp == tinit.tp) Right(TReduce(acc, tinit, v, tl, tbody))
+               else Left(s"reduce body must match the accumulator type " +
+                 s"${tinit.tp}, got ${tbody.tp}")
+      } yield res
   }
+
+  /** A lambda variable must be FRESH — shadowing an existing binding
+    * (including an enclosing lambda's) is rejected: inside a Spark SQL
+    * lambda the parameter would capture-shadow same-named outer
+    * references silently, so the ambiguity is banned at typing. */
+  private def lamFresh(env: Env, v: String, ctx: String): Either[String, Unit] =
+    if (lookup(env, v).isDefined)
+      Left(s"$ctx: lambda variable $v shadows an existing binding")
+    else Right(())
 
   private def strPredName(op: BinOp): String = op match {
     case BSstarts => "starts with"; case BSends => "ends with"
@@ -1136,6 +1241,14 @@ object Typing {
     case TIndex(e, ix, _)     => exprVars(e) ++ exprVars(ix)
     case TRange(a, b)         => exprVars(a) ++ exprVars(b)
     case TInListE(e, l, _)    => exprVars(e) ++ exprVars(l)
+    // a lambda body's outer references surface as TAttr/TIdFn as
+    // usual; the lambda's own variable is a TLamVar — not a binding
+    case TListPred(_, _, l, p)   => exprVars(l) ++ exprVars(p)
+    case TListComp(_, l, p, m, _) =>
+      exprVars(l) ++ p.toList.flatMap(exprVars) ++ m.toList.flatMap(exprVars)
+    case TReduce(_, init, _, l, b) =>
+      exprVars(init) ++ exprVars(l) ++ exprVars(b)
+    case _: TLamVar        => Nil
     case _: TConst         => Nil
   }
 

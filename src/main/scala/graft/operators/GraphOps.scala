@@ -653,6 +653,62 @@ object GraphOps {
              |FROM nation
              |WHERE (n_nationkey + 2000000000) % 2 = 0 AND n_regionkey < 2""".stripMargin)),
 
+    // list predicates (round 11 — Cypher's any/all/none/single over a
+    // collected list): each compiles to ONE codegen'd higher-order
+    // function (exists/forall/filter) over the grouped array — per-row
+    // evaluation, no joins, no shuffle beyond collect's own aggregate.
+    // Vacuous truth follows Cypher: all over [] = true, any/single
+    // false (region 42, if empty, would pin it — sf graphs are dense
+    // so the oracle covers the populated legs).
+    Q("gql_listpred",
+      bindings(
+        """match (n:nation)
+          |with n.regionkey as rk, collect(n.nationkey) as ks
+          |return rk,
+          |  any(x in ks.val where x.val mod 7 = 0) as p7,
+          |  all(x in ks.val where x.val < 20) as lt20,
+          |  none(x in ks.val where x.val = 3) as no3,
+          |  single(x in ks.val where x.val mod 5 = 0) as one5""".stripMargin),
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS rk,
+             |  count(*) FILTER (WHERE n_nationkey % 7 = 0) > 0 AS p7,
+             |  count(*) FILTER (WHERE NOT n_nationkey < 20) = 0 AS lt20,
+             |  count(*) FILTER (WHERE n_nationkey = 3) = 0 AS no3,
+             |  count(*) FILTER (WHERE n_nationkey % 5 = 0) = 1 AS one5
+             |FROM nation GROUP BY n_regionkey""".stripMargin)),
+
+    // list comprehension (round 11): filter preserves the collected
+    // list's canonical ascending order; the mapping arm re-sorts (a
+    // list is a pure function of its element bag — the collect rule),
+    // then unwind explodes it back to rows. An all-odd group yields
+    // the empty list, whose unwind drops the group — bag semantics.
+    Q("gql_listcomp",
+      bindings(
+        """match (n:nation)
+          |with n.regionkey as rk, collect(n.nationkey) as ks
+          |unwind [x in ks.val where x.val mod 2 = 0 | x.val * x.val] as sq
+          |return rk, sq""".stripMargin),
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS rk,
+             |       CAST(n_nationkey * n_nationkey AS BIGINT) AS sq
+             |FROM nation WHERE n_nationkey % 2 = 0""".stripMargin)),
+
+    // reduce (round 11 — Cypher's left fold): folds the list's
+    // canonical ASCENDING order, so non-commutative bodies (the Horner
+    // hash) are deterministic cross-engine — the oracle's list_reduce
+    // over an ORDER BY'd list pins the fold order itself, not just a
+    // commutative collapse of it.
+    Q("gql_reduce",
+      bindings(
+        """match (n:nation)
+          |with n.regionkey as rk, collect(n.nationkey) as ks
+          |return rk,
+          |  reduce(s = 0, x in ks.val | s.val + x.val) as tot,
+          |  reduce(h = 0, x in ks.val | h.val * 31 + x.val) as horner""".stripMargin),
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS rk,
+             |  CAST(sum(n_nationkey) AS BIGINT) AS tot,
+             |  CAST(list_reduce(list(n_nationkey ORDER BY n_nationkey),
+             |       (h, x) -> h * 31 + x) AS BIGINT) AS horner
+             |FROM nation GROUP BY n_regionkey""".stripMargin)),
+
     // merge conditional actions (round 11 — Cypher ON CREATE SET /
     // ON MATCH SET): the first merge misses (no nationkey-999 nation)
     // so only its on-create sets fire; the second hits nationkey 1 so

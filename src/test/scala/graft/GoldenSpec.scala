@@ -592,6 +592,64 @@ class GoldenSpec extends AnyFunSuite {
     assert(r7.bindings.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 1L))
   }
 
+  test("list predicates/comprehension/reduce: vacuous truth, re-sort, fold order") {
+    val src =
+      """(:N {x int, s string})
+        |create (a:N {x: 3, s: "u"}) create (b:N {x: 1, s: "v"})
+        |create (c:N {x: 2, s: "u"}) create (d:N {x: 1, s: "w"})
+        |""".stripMargin
+    // any/all/none/single over a populated group (u: [2,3])
+    val r = Engine.runSource(spark, src +
+      "match (n:N)\nwhere n.s = \"u\"\nwith collect(n.x) as xs\n" +
+        "return any(x in xs.val where x.val > 2) as a, " +
+        "all(x in xs.val where x.val > 1) as b, " +
+        "none(x in xs.val where x.val = 9) as c, " +
+        "single(x in xs.val where x.val = 3) as d")
+    assert(r.bindings.collect().map(t =>
+      (t.getBoolean(0), t.getBoolean(1), t.getBoolean(2), t.getBoolean(3))).toSeq ==
+      Seq((true, true, true, true)))
+    // vacuous truth over the EMPTY list (an always-false comprehension):
+    // all/none = true, any/single = false — Cypher's rule
+    val r2 = Engine.runSource(spark, src +
+      "match (n:N)\nwith collect(n.x) as xs\n" +
+        "return any(x in [y in xs.val where y.val > 99] where x.val > 0) as a, " +
+        "all(x in [y in xs.val where y.val > 99] where x.val > 0) as b, " +
+        "none(x in [y in xs.val where y.val > 99] where x.val > 0) as c, " +
+        "single(x in [y in xs.val where y.val > 99] where x.val > 0) as d")
+    assert(r2.bindings.collect().map(t =>
+      (t.getBoolean(0), t.getBoolean(1), t.getBoolean(2), t.getBoolean(3))).toSeq ==
+      Seq((false, true, true, false)))
+    // a non-monotonic mapping arm re-sorts: 0 - x over [1,1,2,3] is
+    // [-3,-2,-1,-1] ascending — element [0] is the most negative
+    val r3 = Engine.runSource(spark, src +
+      "match (n:N)\nwith collect(n.x) as xs\n" +
+        "unwind [x in xs.val | 0 - x.val] as m\nreturn m")
+    assert(r3.bindings.collect().map(_.getLong(0)).toSeq.sorted ==
+      Seq(-3L, -2L, -1L, -1L))
+    val r3b = Engine.runSource(spark, src +
+      "match (n:N)\nwith collect(n.x) as xs\n" +
+        "with [x in xs.val | 0 - x.val] as ms\nreturn ms.val[0] as first")
+    assert(r3b.bindings.collect().map(_.getLong(0)).toSeq == Seq(-3L))
+    // reduce folds ASCENDING: Horner over [1,1,2,3] with base 10 =
+    // ((1*10+1)*10+2)*10+3 = 1123 — order-dependent, so this pins it
+    val r4 = Engine.runSource(spark, src +
+      "match (n:N)\nwith collect(n.x) as xs\n" +
+        "return reduce(h = 0, x in xs.val | h.val * 10 + x.val) as horner")
+    assert(r4.bindings.collect().map(_.getLong(0)).toSeq == Seq(1123L))
+    // reduce over an empty list yields the init value
+    val r5 = Engine.runSource(spark, src +
+      "match (n:N)\nwith collect(n.x) as xs\n" +
+        "return reduce(h = 42, x in [y in xs.val where y.val > 99] | h.val + x.val) as v")
+    assert(r5.bindings.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    // outer references resolve inside a lambda body: m.x joins the
+    // frame as usual and compares against each element
+    val r6 = Engine.runSource(spark, src +
+      "match (n:N)\nwith collect(n.x) as xs\n" +
+        "match (m:N)\nwhere any(x in xs.val where x.val > m.x + 1)\nreturn m.x as mx")
+    // elements [1,1,2,3]: m.x=1 sees 3>2 ✓ (twice: two x=1 nodes); 2 sees none>3 ✗...
+    assert(r6.bindings.collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 1L))
+  }
+
   test("duplicate structural items with distinct aliases each get a column") {
     // positional naming (ADVICE r10): `return n.x as a, n.x as b` used
     // to name both columns `a` and fail on the final projection of `b`

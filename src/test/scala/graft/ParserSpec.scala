@@ -580,6 +580,69 @@ class ParserSpec extends AnyFunSuite {
       "match (a:P)\nwhere case a.x when 1 then true end\nreturn a"))
   }
 
+  test("list predicates, comprehension, and reduce parse (round 11)") {
+    // any/all/none/single: call shape with a lambda variable
+    val e = Parser.parse(header +
+      "match (a:P)\nwith collect(a.x) as xs\nwhere any(x in xs.val where x.val > 3)\nreturn xs")
+      .query.clauses.collectFirst { case Where(w) => w }.get
+    e match {
+      case ListPred("any", "x", AttribAcc("xs", "val"),
+          Bin(BCgt, AttribAcc("x", "val"), Const(IntV(3)))) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    for (k <- Seq("all", "none", "single"))
+      Parser.parse(header +
+        s"match (a:P)\nwith collect(a.x) as xs\nwhere $k(x in xs.val where x.val > 3)\nreturn xs")
+    // missing where inside the call is rejected
+    intercept[Parser.ParseError](Parser.parse(header +
+      "match (a:P)\nwith collect(a.x) as xs\nwhere any(x in xs.val)\nreturn xs"))
+    // a variable named any still works (no call shape without `(`)
+    val v = Parser.parse(header + "create (any:P)\nwhere any.x = 1\nreturn any")
+    assert(v.query.clauses.collect { case Return(vs) => vs }.flatten == List("any"))
+
+    // comprehension: all four form combinations
+    val full = Parser.parse(header +
+      "match (a:P)\nwith collect(a.x) as xs\nunwind [x in xs.val where x.val > 1 | x.val * 2] as y\nreturn y")
+    full.query.clauses(2) match {
+      case UnwindExpr(ListComp("x", AttribAcc("xs", "val"), Some(_), Some(_)), "y") => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    Parser.parse(header +
+      "match (a:P)\nwith collect(a.x) as xs\nunwind [x in xs.val where x.val > 1] as y\nreturn y")
+    Parser.parse(header +
+      "match (a:P)\nwith collect(a.x) as xs\nunwind [x in xs.val | x.val + 1] as y\nreturn y")
+    Parser.parse(header +
+      "match (a:P)\nwith collect(a.x) as xs\nunwind [x in xs.val] as y\nreturn y")
+    // comprehension in membership position (the compAhead carve-out)
+    val m = Parser.parse(header +
+      "match (a:P)\nwith collect(a.x) as xs\nmatch (b:P)\nwhere b.x in [x in xs.val | x.val * 2]\nreturn b")
+      .query.clauses.collectFirst { case Where(w) => w }.get
+    m match {
+      case InListE(AttribAcc("b", "x"), _: ListComp, false) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    // ...while a bracket literal after in still parses as InList
+    val lit = Parser.parse(header + "match (a:P)\nwhere a.x in [1, 2]\nreturn a")
+      .query.clauses.collectFirst { case Where(w) => w }.get
+    assert(lit.isInstanceOf[InList])
+
+    // reduce: acc = init, element in list | body
+    val r = Parser.parse(header +
+      "match (a:P)\nwith collect(a.x) as xs\nreturn reduce(s = 0, x in xs.val | s.val + x.val) as tot")
+    val items = r.query.clauses.collectFirst {
+      case ReturnExt(its, _, _, _, _) => its }.get
+    items.head._1 match {
+      case RetExpr(ReduceE("s", Const(IntV(0)), "x", AttribAcc("xs", "val"),
+          Bin(BAadd, AttribAcc("s", "val"), AttribAcc("x", "val")))) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    // malformed reduce shapes are rejected
+    intercept[Parser.ParseError](Parser.parse(header +
+      "match (a:P)\nwith collect(a.x) as xs\nreturn reduce(s = 0, x in xs.val) as t"))
+    intercept[Parser.ParseError](Parser.parse(header +
+      "match (a:P)\nwith collect(a.x) as xs\nreturn reduce(x in xs.val | 1) as t"))
+  }
+
   test("count(*) parses as row count; only plain count admits the star") {
     val p = Parser.parse(header + "match (a:P)\nreturn a, count(*) as c")
     val items = p.query.clauses.collectFirst {

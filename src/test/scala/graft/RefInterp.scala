@@ -603,7 +603,9 @@ object RefInterp {
         case it => Some(eval(st, row, it))
       }.nextOption().getOrElse(
         throw new IllegalStateException("all coalesce arguments NULL"))
-    case _: Typing.TIndex | _: Typing.TRange | _: Typing.TInListE =>
+    case _: Typing.TIndex | _: Typing.TRange | _: Typing.TInListE |
+         _: Typing.TLamVar | _: Typing.TListPred | _: Typing.TListComp |
+         _: Typing.TReduce =>
       // list values live outside the Long-row model (like RReturnExt);
       // the generator never draws them
       throw new UnsupportedOperationException(

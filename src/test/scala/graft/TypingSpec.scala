@@ -894,4 +894,57 @@ class TypingSpec extends AnyFunSuite {
     assert(err(header + "match (a:P)\nwhere coalesce(a.s, 0) > 1\nreturn a")
       .contains("coalesce arguments must share one type"))
   }
+
+  test("list predicates: list operand, bool body, fresh lambda variable") {
+    val pre = header + "match (a:P)\nwith collect(a.x) as xs\n"
+    Typing.compile(pre + "where any(x in xs.val where x.val > 1)\nreturn xs")
+    // the lambda variable carries the element type (string here)
+    Typing.compile(header +
+      "match (a:P)\nwith collect(a.s) as ss\n" +
+      "where all(x in ss.val where x.val starts with \"u\")\nreturn ss")
+    // outer references compose inside the body
+    Typing.compile(header +
+      "match (a:P)\nwith a.x as m, collect(a.x) as xs\n" +
+      "where single(x in xs.val where x.val = m.val)\nreturn m")
+    assert(err(header + "match (a:P)\nwhere any(x in a.x where x.val > 1)\nreturn a")
+      .contains("any requires a list operand"))
+    assert(err(pre + "where none(x in xs.val where x.val + 1)\nreturn xs")
+      .contains("none predicate must be bool"))
+    // shadowing an existing binding is rejected (SQL lambda capture)
+    assert(err(pre + "match (x:P)\nwhere any(x in xs.val where x.val > 1)\nreturn xs")
+      .contains("shadows an existing binding"))
+    // element reads type as the element: string list vs int comparison
+    assert(err(header +
+      "match (a:P)\nwith collect(a.s) as ss\n" +
+      "where any(x in ss.val where x.val > 1)\nreturn ss")
+      .contains("ordering"))
+    // null()/id() have no meaning on a lambda binding
+    assert(err(pre + "where any(x in xs.val where null(x))\nreturn xs")
+      .contains("never NULL"))
+    assert(err(pre + "where any(x in xs.val where id(x) > 0)\nreturn xs")
+      .contains("lambda"))
+  }
+
+  test("list comprehension: scalar elements; reduce: scalar fold, fresh vars") {
+    val pre = header + "match (a:P)\nwith collect(a.x) as xs\n"
+    Typing.compile(pre + "unwind [x in xs.val where x.val > 1 | x.val * 2] as y\nreturn y")
+    // mapping arm may change the element type (int -> string)
+    Typing.compile(pre + "unwind [x in xs.val | toString(x.val)] as s\nreturn s")
+    // nested-list elements rejected (the collect rule)
+    assert(err(pre + "unwind [x in xs.val | range(0, x.val)] as y\nreturn y")
+      .contains("must be scalar"))
+    assert(err(pre + "unwind [x in xs.val where x.val + 1] as y\nreturn y")
+      .contains("where-predicate must be bool"))
+
+    Typing.compile(pre + "return reduce(s = 0, x in xs.val | s.val + x.val) as t")
+    // fold type = init type; body must match it
+    assert(err(pre + "return reduce(s = 0, x in xs.val | toString(x.val)) as t")
+      .contains("must match the accumulator type"))
+    assert(err(pre + "return reduce(s = 0, x in xs.val | s.val + x.val) as t, " +
+      "reduce(x = 0, x in xs.val | 1) as u")
+      .contains("must differ"))
+    // membership over a comprehension composes
+    Typing.compile(pre +
+      "match (b:P)\nwhere b.x in [x in xs.val | x.val * 2]\nreturn b")
+  }
 }
