@@ -1288,6 +1288,10 @@ object Engine {
           case USsize  => s"cast(length($a) as bigint)"
           case UStoStr => s"cast($a as string)"
           case ULnot   => s"(NOT $a)"
+          // int magnitude/signum (round 11); abs(Long.MinValue)
+          // raises under ANSI — the strict-engine overflow rule
+          case UIabs   => s"abs($a)"
+          case UIsign  => s"cast(sign($a) as bigint)"
         }
       case TSubstr(e1, e2, e3) =>
         // Spark's SQL substring: 1-based position, clamping, negative

@@ -70,6 +70,14 @@ case object UStoStr extends UnOp
   * anything but `.` (a variable named not keeps `not.f` working); the
   * clause-level `not exists <pattern>` form wins at clause position. */
 case object ULnot extends UnOp
+/** `abs(e)` / `sign(e)` — integer magnitude and signum (round 11).
+  * The lexer has no negative literals (`0 - 1` spells −1), so abs is
+  * the idiomatic way distance-like expressions (`abs(a.x - b.x)`)
+  * stay non-negative. Int-only, like the rest of the arithmetic
+  * tier; abs(Long.MinValue) RAISES under the session's ANSI mode
+  * (arithmetic overflow — the strict-engine rule, like div-by-zero). */
+case object UIabs extends UnOp
+case object UIsign extends UnOp
 
 sealed trait Expr extends Product with Serializable
 final case class Const(v: Value) extends Expr

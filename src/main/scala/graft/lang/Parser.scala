@@ -442,7 +442,8 @@ object Parser {
           name == "trim" || name == "size" || name == "toString" ||
           name == "substring" || name == "replace" || name == "coalesce" ||
           name == "id" || name == "range" || name == "any" || name == "all" ||
-          name == "none" || name == "single" || name == "reduce")) ||
+          name == "none" || name == "single" || name == "reduce" ||
+          name == "abs" || name == "sign")) ||
       (name == "case" && (peek2 match {
         case TIdent(_) | TInt(_) | TString(_) | TBool(_) | TSym("(") => true
         case _ => false
@@ -732,13 +733,15 @@ object Parser {
         IdFn(v)
       // unary string functions — contextual call shapes (a variable
       // named lower still works: `lower.f` has peek2 == '.')
-      case TIdent(fn @ ("lower" | "upper" | "trim" | "size" | "toString")) if peek2 == TSym("(") =>
+      case TIdent(fn @ ("lower" | "upper" | "trim" | "size" | "toString" |
+                        "abs" | "sign")) if peek2 == TSym("(") =>
         i += 2
         val e = expr()
         expectSym(")")
         Un(fn match {
           case "lower" => USlower; case "upper" => USupper
           case "trim"  => UStrim;  case "size"  => USsize
+          case "abs"   => UIabs;   case "sign"  => UIsign
           case _       => UStoStr
         }, e)
       // ternary string functions — substring(s, pos, len) (1-based,

@@ -447,6 +447,9 @@ object Typing {
           else Right(TUn(op, te, StringT))
         else if (op == USsize && te.tp.isInstanceOf[ListT])
           Right(TUn(op, te, IntT)) // size(list) = element count (round 11)
+        else if (op == UIabs || op == UIsign)
+          if (te.tp == IntT) Right(TUn(op, te, IntT))
+          else Left(s"${unName(op)} requires an int operand, got ${te.tp}")
         else if (te.tp != StringT)
           Left(s"${unName(op)} requires a string operand, got ${te.tp}")
         else Right(TUn(op, te, if (op == USsize) IntT else StringT))
@@ -625,6 +628,7 @@ object Typing {
     case USlower => "lower"; case USupper => "upper"
     case UStrim  => "trim";  case USsize  => "size"
     case UStoStr => "toString"; case ULnot => "not"
+    case UIabs   => "abs";      case UIsign => "sign"
   }
 
   /** Per-instruction environment transformer (reference typing.ml:201-268). */

@@ -709,6 +709,20 @@ object GraphOps {
              |       (h, x) -> h * 31 + x) AS BIGINT) AS horner
              |FROM nation GROUP BY n_regionkey""".stripMargin)),
 
+    // abs/sign (round 11): integer magnitude and signum — the lexer
+    // has no negative literals, so abs is how distance expressions
+    // stay non-negative; codegen'd, pushdown-eligible like the rest
+    // of the arithmetic tier.
+    Q("gql_abs_sign",
+      bindings(
+        """match (n:nation)
+          |where abs(n.regionkey - 2) <= 1
+          |return n, abs(n.nationkey - 10) as d, sign(n.nationkey - 10) as s""".stripMargin),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |       CAST(abs(n_nationkey - 10) AS BIGINT) AS d,
+             |       CAST(sign(n_nationkey - 10) AS BIGINT) AS s
+             |FROM nation WHERE abs(n_regionkey - 2) <= 1""".stripMargin)),
+
     // merge conditional actions (round 11 — Cypher ON CREATE SET /
     // ON MATCH SET): the first merge misses (no nationkey-999 nation)
     // so only its on-create sets fire; the second hits nationkey 1 so

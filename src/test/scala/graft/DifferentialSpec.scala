@@ -65,7 +65,10 @@ class DifferentialSpec extends AnyFunSuite {
         // round 10: size over a string expression (string → int)
         case 4 if rnd.nextBoolean() => s"(size(${strExpr(1)}) + ${intExpr(depth - 1)})"
         // round 11: coalesce over non-nullable ints (= first argument;
-        // the NULL-recovery leg is drawn at the optional-match site)
+        // the NULL-recovery leg is drawn at the optional-match site);
+        // abs/sign (subtraction-heavy operands exercise the negatives)
+        case 4 if rnd.nextBoolean() =>
+          s"${pick(Seq("abs", "sign"))}((${intExpr(depth - 1)} - ${intExpr(0)}))"
         case 4 => s"coalesce(${intExpr(depth - 1)}, ${intExpr(0)})"
         // round 10: searched case — only the taken branch evaluates in
         // BOTH engines (SQL CASE / RefInterp's collectFirst), and the

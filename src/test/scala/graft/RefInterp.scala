@@ -542,6 +542,20 @@ object RefInterp {
         case BoolV(b)   => StringV(if (b) "true" else "false")
         case s: StringV => s
       }
+    case TUn(UIabs, e, _) =>
+      eval(st, row, e) match {
+        case IntV(i) =>
+          // engine ANSI rule: abs(Long.MinValue) overflows and raises
+          if (i == Long.MinValue)
+            throw new ArithmeticException("abs overflow on Long.MinValue")
+          IntV(math.abs(i))
+        case other => throw new IllegalStateException(s"abs on $other")
+      }
+    case TUn(UIsign, e, _) =>
+      eval(st, row, e) match {
+        case IntV(i) => IntV(java.lang.Long.signum(i).toLong)
+        case other   => throw new IllegalStateException(s"sign on $other")
+      }
     case TUn(op, e, _) =>
       eval(st, row, e) match {
         case StringV(a) => op match {
@@ -553,6 +567,7 @@ object RefInterp {
           case USsize  => IntV(a.codePointCount(0, a.length).toLong)
           case UStoStr => StringV(a) // handled above; exhaustiveness
           case ULnot   => throw new IllegalStateException("not on a string")
+          case UIabs | UIsign => throw new IllegalStateException(s"$op on a string")
         }
         case other => throw new IllegalStateException(s"string fn on $other")
       }

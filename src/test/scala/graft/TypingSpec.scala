@@ -895,6 +895,15 @@ class TypingSpec extends AnyFunSuite {
       .contains("coalesce arguments must share one type"))
   }
 
+  test("abs/sign: int-only operand, types as int") {
+    Typing.compile(header + "match (a:P)\nwhere abs(a.x - 5) < 2\nreturn a")
+    Typing.compile(header + "match (a:P)\nwhere sign(a.x - 5) = 0 - 1\nreturn a")
+    assert(err(header + "match (a:P)\nwhere abs(a.s) > 0\nreturn a")
+      .contains("abs requires an int operand"))
+    assert(err(header + "match (a:P)\nwhere sign(a.x) = \"u\"\nreturn a")
+      .contains("same-typed"))
+  }
+
   test("list predicates: list operand, bool body, fresh lambda variable") {
     val pre = header + "match (a:P)\nwith collect(a.x) as xs\n"
     Typing.compile(pre + "where any(x in xs.val where x.val > 1)\nreturn xs")
