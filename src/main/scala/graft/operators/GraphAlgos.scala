@@ -394,6 +394,27 @@ object GraphAlgos {
        |SELECT d AS dist, count(*) AS n FROM d$bfsIters GROUP BY d""".stripMargin
   }
 
+  // Unrolled multi-source BFS (seed column carried through the same
+  // min-distance recurrence as bfsOracle), then the harmonic sum in
+  // 1e-6 fixed point. Same MATERIALIZED discipline.
+  private lazy val harmonicOracle: String = {
+    val steps = (1 to bfsIters).map { i =>
+      s"""h$i AS MATERIALIZED (SELECT x.seed, x.id, min(x.d) AS d FROM (
+         |  SELECT seed, id, d FROM h${i - 1}
+         |  UNION ALL SELECT h${i - 1}.seed, ue.dst AS id, h${i - 1}.d + 1
+         |  FROM ue JOIN h${i - 1} ON ue.src = h${i - 1}.id) x GROUP BY x.seed, x.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS MATERIALIZED ($nodeSql),
+       |e AS MATERIALIZED ($edgeSql),
+       |ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |h0 AS MATERIALIZED (SELECT id AS seed, id, 0::BIGINT AS d FROM nn
+       |                    WHERE id < 2000000000),
+       |$steps
+       |SELECT id, CAST(sum(1000000 // d) AS BIGINT) AS h FROM h$bfsIters
+       |WHERE d > 0 GROUP BY id ORDER BY h DESC, id LIMIT 50""".stripMargin
+  }
+
   /** SSSP source/bound. Weights are a deterministic symmetric function of
     * the endpoints — `1 + (src+dst) % 2` ∈ {1,2} — so both engines (and
     * the in-JVM Dijkstra replay) compute bit-identical integer distances
@@ -632,6 +653,65 @@ object GraphAlgos {
         dists.groupBy(col("d").as("dist")).agg(count(lit(1)).as("n"))
       },
       Some(bfsOracle)),
+
+    // ---- landmark harmonic centrality: multi-source BFS ----------------
+    // Approximate harmonic centrality ĥ(v) = Σ_{s ∈ L} 1/d(s,v) from a
+    // SMALL deterministic landmark set L (the 5 region hubs — ids below
+    // 2000000000, the loader's id-range scheme), the standard
+    // cluster-scale stand-in for exact closeness/harmonic centrality:
+    // exact needs all-pairs distances (O(|V|·(|V|+|E|)) BFS work — dead
+    // at 100 TB), landmarks need K frontier BFS passes with total
+    // message volume K·|V|, and ranking quality degrades gracefully
+    // with K (Potamias et al., "Fast Shortest Path Distance Estimation
+    // in Large Networks"). ONE multi-source pass: the frontier carries
+    // a seed column, so all K BFS trees advance in the SAME superstep
+    // joins — K× messages per superstep, not K passes over the graph.
+    // 1/d in 1e-6 fixed point (integer div) keeps the sum order-free
+    // and bit-equal cross-engine; top-50 with id tiebreak makes the
+    // cut deterministic. Same frontier-delta discipline as g_bfs:
+    // newly-discovered (seed,id) pairs only, co-partitioned merge,
+    // checkpoint-per-superstep, early exit + loud non-convergence.
+    Q("g_harmonic_landmarks",
+      (s, dir) => {
+        val ue = undirectedEdges(s, dir)
+        val seeds = allNodes(s, dir).filter(col("id") < 2000000000L)
+          .select(col("id").as("seed"), col("id"), lit(0L).as("d"))
+        var dists: DataFrame = Ckpt.eager(seeds)
+        var frontier: DataFrame = Ckpt.eager(seeds)
+        var converged = false
+        var step = 0
+        while (step < bfsIters && !converged) {
+          step += 1
+          val cand = ue.join(frontier, ue("src") === frontier("id"))
+            .select(col("seed"), ue("dst").as("id"), (col("d") + 1).as("cand"))
+            .groupBy("seed", "id").agg(min("cand").as("cand"))
+          // newly-discovered (seed,id) pairs only; deferred — the
+          // convergence-probe count materializes it (one job/superstep)
+          val next = Ckpt.deferredPartitioned(
+            cand.join(dists, Seq("seed", "id"), "left_anti")
+              .select(col("seed"), col("id"), col("cand").as("d")))
+          converged = next.count() == 0L
+          if (converged) Ckpt.drop(next)
+          else {
+            // co-partitioned (seed,id) full-outer merge — disjoint
+            // sides, so coalesce ≡ union without losing partitioning
+            val merged = Ckpt.eagerPartitioned(
+              dists.join(next.select(col("seed"), col("id"), col("d").as("nd")),
+                  Seq("seed", "id"), "full")
+                .select(col("seed"), col("id"), coalesce(col("nd"), col("d")).as("d")))
+            Ckpt.drop(dists)
+            Ckpt.drop(frontier)
+            dists = merged
+            frontier = next
+          }
+        }
+        Ckpt.drop(frontier)
+        require(converged, s"landmark BFS not converged after $bfsIters supersteps")
+        dists.filter(col("d") > 0)
+          .groupBy("id").agg(sum(expr("1000000 div d")).as("h"))
+          .orderBy(col("h").desc, col("id")).limit(50)
+      },
+      Some(harmonicOracle)),
 
     // ---- connected components: delta min-label propagation ------------
     Q("g_connected_components",

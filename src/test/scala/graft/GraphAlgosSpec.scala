@@ -81,6 +81,31 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("landmark harmonic centrality equals the in-memory multi-BFS replay") {
+    val seeds = collectedNodes().filter(_ < 2000000000L) // the 5 regions
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+    collectedEdges().foreach { case (a, b) =>
+      adj(a) = b :: adj(a); adj(b) = a :: adj(b)
+    }
+    val h = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    seeds.foreach { s =>
+      val dist = scala.collection.mutable.Map(s -> 0L)
+      var frontier = List(s)
+      var d = 0L
+      while (frontier.nonEmpty) {
+        d += 1
+        val next = frontier.flatMap(adj).distinct.filterNot(dist.contains)
+        next.foreach(v => dist(v) = d)
+        frontier = next
+      }
+      dist.foreach { case (v, dv) => if (dv > 0) h(v) += 1000000L / dv }
+    }
+    val expected = h.toSeq.sortBy { case (id, hv) => (-hv, id) }.take(50)
+    val got = SparkEntry.queries("g_harmonic_landmarks")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
   test("fixed-point PageRank equals the in-memory integer replay") {
     val nodes = collectedNodes()
     val edges = collectedEdges()
