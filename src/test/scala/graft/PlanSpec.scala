@@ -391,6 +391,29 @@ class PlanSpec extends AnyFunSuite {
     graft.Ckpt.drain()
   }
 
+  test("multi-source superstep merge stays co-partitioned on the (seed,id) pair") {
+    // The g_harmonic_landmarks shape: the accumulated distance frame is
+    // keyed by the COMPOSITE (seed,id) and the per-superstep delta comes
+    // off a groupBy(seed,id) — the full-outer merge must reuse the
+    // checkpoint's composite-key partitioning exactly like the
+    // single-key CC/SSSP merge (the seed column must ride inside the
+    // partitioning, not demote the merge to a re-exchange of both sides).
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(s"$dir/customer.parquet")
+      .select((col("c_custkey") % 3).as("seed"), col("c_custkey").as("id"),
+        col("c_nationkey").as("d"))
+    val dists = graft.Ckpt.eagerPartitioned(
+      base.groupBy("seed", "id").agg(min("d").as("d")))
+    val next = base.filter(col("d") > 2)
+      .groupBy("seed", "id").agg(min("d").as("nd"))
+    val merged = dists.join(next, Seq("seed", "id"), "full")
+      .select(col("seed"), col("id"), coalesce(col("nd"), col("d")).as("d"))
+    merged.count()
+    val nEx = "Exchange".r.findAllIn(merged.queryExecution.executedPlan.toString).size
+    assert(nEx <= 1, s"composite-key merge re-shuffled the checkpoint ($nEx exchanges)")
+    graft.Ckpt.drain()
+  }
+
   test("hash sampler scan prunes the text column") {
     // the sample predicate and output touch only doc_id/lang — reading
     // the (dominant) text column would make the \"scan-speed\" claim false
