@@ -74,6 +74,64 @@ object SampleOps {
               |       CAST((cum - n_tokens) // $chunkTokens AS BIGINT) AS chunk_id
               |FROM c""".stripMargin)),
 
+    // ---- no-split bin packing: whole docs -> budget-bounded bins -------
+    // The SFT-style counterpart of p_pack_chunks: documents are NOT
+    // split across sequences (instruction/chat samples must stay whole),
+    // so packing is the classic greedy walk — docs in doc_id order, a
+    // bin closes when the next doc would overflow the token budget; an
+    // oversized doc gets a bin of its own. The walk is inherently
+    // SEQUENTIAL within a shard (a running accumulator with reset has
+    // no relational form — no window function expresses it), so it runs
+    // as a sorted per-partition fold via mapPartitions, the documented
+    // last-resort case. Scale shape: ONE shuffle (repartition by the
+    // shard key) then scan-speed sequential packing inside each shard;
+    // shards are independent, so at 100 TB the key generalizes to
+    // (lang, doc_id div shardDocs) and parallelism tracks corpus size —
+    // bin ids are then local to a shard, exactly how production packers
+    // (T5/LLM sequence packing) shard the problem. Deterministic: the
+    // walk order is (lang, doc_id), a pure function of the data.
+    Q("p_pack_bins",
+      (s, dir) => {
+        import s.implicits._
+        val budget = 256L
+        words(s, dir)
+          .select(col("lang"), col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+          .repartition(col("lang"))
+          .sortWithinPartitions("lang", "doc_id")
+          .as[(String, Long, Long)]
+          .mapPartitions { it =>
+            // per-partition greedy state; a hash partition may carry
+            // several langs back to back — the sort groups them, and a
+            // lang change resets the walk
+            var lang: String = null
+            var bin = 0L
+            var fill = 0L
+            it.map { case (l, id, n) =>
+              if (l != lang) { lang = l; bin = 0L; fill = n }
+              else if (fill + n <= budget) fill += n
+              else { bin += 1; fill = n }
+              (l, id, n, bin)
+            }
+          }
+          .toDF("lang", "doc_id", "n_tokens", "bin_id")
+      },
+      Some("""WITH RECURSIVE dd AS (
+              |  SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tokens,
+              |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+              |  FROM documents),
+              |rec AS (
+              |  SELECT lang, rn, doc_id, n_tokens, 0::BIGINT AS bin_id,
+              |         n_tokens AS fill
+              |  FROM dd WHERE rn = 1
+              |  UNION ALL
+              |  SELECT d.lang, d.rn, d.doc_id, d.n_tokens,
+              |         CASE WHEN r.fill + d.n_tokens <= 256 THEN r.bin_id
+              |              ELSE r.bin_id + 1 END,
+              |         CASE WHEN r.fill + d.n_tokens <= 256 THEN r.fill + d.n_tokens
+              |              ELSE d.n_tokens END
+              |  FROM rec r JOIN dd d ON d.lang = r.lang AND d.rn = r.rn + 1)
+              |SELECT lang, doc_id, n_tokens, bin_id FROM rec""".stripMargin)),
+
     // ---- deterministic train/val/test split ----------------------------
     // Same hash-as-function-of-data discipline as the sampler: the split
     // is stable under re-runs, engine changes, and corpus growth (a doc's

@@ -32,6 +32,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bin packing: budget respected, bins contiguous and maximal per lang") {
+    val rows = SparkEntry.queries("p_pack_bins")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val budget = 256L
+    rows.groupBy(_._1).foreach { case (lang, ds) =>
+      val inOrder = ds.sortBy(_._2)
+      // bin ids start at 0 and never skip or decrease along doc order
+      assert(inOrder.head._4 == 0L, s"$lang: first bin not 0")
+      inOrder.sliding(2).foreach {
+        case Array((_, _, _, b1), (_, _, _, b2)) =>
+          assert(b2 == b1 || b2 == b1 + 1, s"$lang: bin jump $b1 -> $b2")
+        case _ => ()
+      }
+      val fills = inOrder.groupBy(_._4).view.mapValues(_.map(_._3).sum)
+      // every multi-doc bin respects the budget (an oversized single
+      // doc may exceed it alone — the greedy rule)
+      inOrder.groupBy(_._4).foreach { case (b, docs) =>
+        if (docs.length > 1)
+          assert(fills(b) <= budget, s"$lang bin $b overfull: ${fills(b)}")
+      }
+      // maximality: a closed bin could not have absorbed the next doc
+      val maxBin = inOrder.map(_._4).max
+      (0L until maxBin).foreach { b =>
+        val nextDoc = inOrder.find(_._4 == b + 1).get
+        assert(fills(b) + nextDoc._3 > budget,
+          s"$lang bin $b closed early: ${fills(b)} + ${nextDoc._3} <= $budget")
+      }
+    }
+  }
+
   test("dedup_exact partitions the corpus: n_copies sums to |documents|") {
     val total = spark.read.parquet(s"$dir/documents.parquet").count()
     val agg = run("p_dedup_exact").agg(sum("n_copies")).collect()(0).getLong(0)
