@@ -123,6 +123,16 @@ final case class InList(e: Expr, items: List[Expr], neg: Boolean) extends Expr
   * only (a rel binding has no id; scalars are values already).
   * Contextual call shape like `null(v)`. */
 final case class IdFn(v: String) extends Expr
+/** `label(v)` / `type(x)` — the node binding's label / the rel
+  * binding's relation name as a string (round 11; Cypher's labels()/
+  * type() specialized to this engine's single-label model). Labels are
+  * STATIC here — the typechecker resolved them — so both compile to
+  * string constants: zero runtime cost, and they exist purely for
+  * interop (generic result-shaping code that tags rows by provenance).
+  * label takes a node binding, type a rel binding; each rejects the
+  * other. Contextual call shapes like `id(v)`. */
+final case class LabelFn(v: String) extends Expr
+final case class TypeFn(v: String) extends Expr
 /** `range(a, b)` — the inclusive int list a..b (Cypher's range/2;
   * round 11). Empty when a > b (Cypher's rule — Spark's sequence would
   * DESCEND there, so the compiler guards the direction explicitly).

@@ -443,7 +443,7 @@ object Parser {
           name == "substring" || name == "replace" || name == "coalesce" ||
           name == "id" || name == "range" || name == "any" || name == "all" ||
           name == "none" || name == "single" || name == "reduce" ||
-          name == "abs" || name == "sign")) ||
+          name == "abs" || name == "sign" || name == "label" || name == "type")) ||
       (name == "case" && (peek2 match {
         case TIdent(_) | TInt(_) | TString(_) | TBool(_) | TSym("(") => true
         case _ => false
@@ -731,6 +731,12 @@ object Parser {
         val v = ident()
         expectSym(")")
         IdFn(v)
+      // `label(v)` / `type(x)` — static label/relation name (round 11)
+      case TIdent(fn @ ("label" | "type")) if peek2 == TSym("(") =>
+        i += 2
+        val v = ident()
+        expectSym(")")
+        if (fn == "label") LabelFn(v) else TypeFn(v)
       // unary string functions — contextual call shapes (a variable
       // named lower still works: `lower.f` has peek2 == '.')
       case TIdent(fn @ ("lower" | "upper" | "trim" | "size" | "toString" |

@@ -394,6 +394,25 @@ object Typing {
           Left(s"id($v): ${virtualKind(l)} binding $v is a value, not a node")
         case Some(_) => Right(TIdFn(v))
       }
+    // label(v)/type(x): the typechecker already resolved every binding's
+    // label statically, so both fold to STRING CONSTANTS right here —
+    // the engine and RefInterp never see a new node kind
+    case LabelFn(v) =>
+      lookup(env, v) match {
+        case None => Left(s"variable $v not bound")
+        case Some(l) if isRelLabel(l) =>
+          Left(s"label($v): $v is a relationship binding — use type($v)")
+        case Some(l) if isVirtual(l) =>
+          Left(s"label($v): ${virtualKind(l)} binding $v is a value, not a node")
+        case Some(l) => Right(TConst(StringV(l)))
+      }
+    case TypeFn(v) =>
+      lookup(env, v) match {
+        case None => Left(s"variable $v not bound")
+        case Some(l) if isRelLabel(l) => Right(TConst(StringV(relKeyOf(l)._2)))
+        case Some(l) =>
+          Left(s"type($v): $v is not a relationship binding (label $l)")
+      }
     case AttribAcc(v, f) =>
       lookup(env, v) match {
         case None => Left(s"variable $v not bound")

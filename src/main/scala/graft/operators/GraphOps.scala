@@ -723,6 +723,19 @@ object GraphOps {
              |       CAST(sign(n_nationkey - 10) AS BIGINT) AS s
              |FROM nation WHERE abs(n_regionkey - 2) <= 1""".stripMargin)),
 
+    // label(v)/type(x) (round 11): Cypher's labels()/type() specialized
+    // to the single-label model — statically resolved, so they fold to
+    // string CONSTANTS at typing time (zero runtime cost; interop
+    // provenance tags for generic result-shaping code).
+    Q("gql_label_type",
+      bindings(
+        """match (n:nation) -[x:nregion]-> (r:region)
+          |where n.nationkey < 3
+          |return n, label(n) as lbl, type(x) as rel""".stripMargin),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |       'nation' AS lbl, 'nregion' AS rel
+             |FROM nation WHERE n_nationkey < 3""".stripMargin)),
+
     // merge conditional actions (round 11 — Cypher ON CREATE SET /
     // ON MATCH SET): the first merge misses (no nationkey-999 nation)
     // so only its on-create sets fire; the second hits nationkey 1 so

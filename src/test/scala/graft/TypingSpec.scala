@@ -895,6 +895,17 @@ class TypingSpec extends AnyFunSuite {
       .contains("coalesce arguments must share one type"))
   }
 
+  test("label/type: fold to static strings; wrong binding kinds rejected") {
+    Typing.compile(header +
+      "match (a:P) -[x:r]-> (b:Q)\nwhere label(a) = \"P\" and type(x) = \"r\"\nreturn a")
+    assert(err(header + "match (a:P) -[x:r]-> (b:Q)\nwhere label(x) = \"r\"\nreturn a")
+      .contains("use type"))
+    assert(err(header + "match (a:P) -[x:r]-> (b:Q)\nwhere type(a) = \"P\"\nreturn a")
+      .contains("not a relationship"))
+    assert(err(header + "match (a:P)\nwith a.x as c\nwhere label(c) = \"x\"\nreturn c")
+      .contains("is a value"))
+  }
+
   test("abs/sign: int-only operand, types as int") {
     Typing.compile(header + "match (a:P)\nwhere abs(a.x - 5) < 2\nreturn a")
     Typing.compile(header + "match (a:P)\nwhere sign(a.x - 5) = 0 - 1\nreturn a")
