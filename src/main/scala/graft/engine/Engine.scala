@@ -894,6 +894,16 @@ object Engine {
       // list collect (round 11): same sorted-ascending determinism rule
       case (AggCollect, false) => array_sort(collect_list(c))
       case (AggCollect, true)  => array_sort(collect_set(c))
+      // exact LOW median (round 11): element (n-1) div 2 of the sorted
+      // group — deterministic, no interpolation. NULL on an empty
+      // (global) group like sum/min/max — the when-guard keeps ANSI
+      // element_at from raising on index 0 there. No map-side partial
+      // form: the group's values gather at the merge (exact-median
+      // cost; the sketch-based twin is p_events_quantiles_approx).
+      case (AggMedian, d) =>
+        val sorted = array_sort(if (d) collect_set(c) else collect_list(c))
+        when(size(sorted) === 0, lit(null).cast("bigint"))
+          .otherwise(element_at(sorted, ((size(sorted) + 1) / 2).cast("int")))
     }
     val hasAgg = items.exists(_.isInstanceOf[RRetAgg])
     if (!hasAgg && !distinct) {

@@ -291,6 +291,16 @@ case object AggStrJoin extends AggFn { val name = "strjoin" }
   * group's bag, so partitioning and merge order can't perturb it —
   * the list-valued twin of [[AggStrJoin]]). Scalar arguments only. */
 case object AggCollect extends AggFn { val name = "collect" }
+/** `median(e)` / `median(distinct e)` — the LOW median: element
+  * `(n-1) div 2` of the group's ascending-sorted values (round 11).
+  * Int-only; exact and deterministic (no interpolation — MiniGQL has
+  * no floats, and the low-median convention makes even-sized groups
+  * unambiguous), so it oracle-checks bit-exactly. Unlike sum/avg it
+  * has no map-side partial form — the full group's values gather at
+  * the merge (the exact-median cost; production approximates with a
+  * quantile sketch when that gather is too wide — `p_events_
+  * quantiles_approx` is that operator). */
+case object AggMedian extends AggFn { val name = "median" }
 
 sealed trait RetItem extends Product with Serializable
 final case class RetVar(v: String) extends RetItem

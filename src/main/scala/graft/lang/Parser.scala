@@ -296,7 +296,8 @@ object Parser {
     // plain `return v1, v2` still yields the reference-shaped [[Return]].
     private val aggFns = Map(
       "count" -> AggCount, "sum" -> AggSum, "min" -> AggMin, "max" -> AggMax,
-      "avg" -> AggAvg, "strjoin" -> AggStrJoin, "collect" -> AggCollect)
+      "avg" -> AggAvg, "strjoin" -> AggStrJoin, "collect" -> AggCollect,
+      "median" -> AggMedian)
 
     /** `distinct` is contextual like order/limit: a modifier only when
       * another identifier follows (so `return distinct` still returns a

@@ -723,6 +723,25 @@ object GraphOps {
              |       CAST(sign(n_nationkey - 10) AS BIGINT) AS s
              |FROM nation WHERE abs(n_regionkey - 2) <= 1""".stripMargin)),
 
+    // median (round 11): the exact LOW median — element (n-1) div 2 of
+    // the group's ascending sort. Deterministic (no interpolation, no
+    // floats) so it oracle-checks bit-exactly; the distinct variant
+    // medians the value SET. Exact medians gather the group at the
+    // merge — the sketch twin (p_events_quantiles_approx) is the
+    // 100 TB fallback when groups are too wide.
+    Q("gql_median",
+      bindings(
+        """match (n:nation)
+          |return n.regionkey as rk, median(n.nationkey) as med,
+          |       median(distinct n.nationkey mod 5) as dmed, count(n) as cnt""".stripMargin),
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS rk,
+             |  CAST((list(n_nationkey ORDER BY n_nationkey))[(count(*) + 1) // 2]
+             |       AS BIGINT) AS med,
+             |  CAST((list(DISTINCT n_nationkey % 5 ORDER BY n_nationkey % 5))
+             |       [(count(DISTINCT n_nationkey % 5) + 1) // 2] AS BIGINT) AS dmed,
+             |  count(*) AS cnt
+             |FROM nation GROUP BY n_regionkey""".stripMargin)),
+
     // label(v)/type(x) (round 11): Cypher's labels()/type() specialized
     // to the single-label model — statically resolved, so they fold to
     // string CONSTANTS at typing time (zero runtime cost; interop

@@ -421,7 +421,7 @@ class DifferentialSpec extends AnyFunSuite {
           if (withAgg) {
             val src = pick(intSrcs)
             val dist = if (rnd.nextInt(4) == 0) "distinct " else ""
-            val fn = pick(Seq("count", "sum", "min", "max", "avg"))
+            val fn = pick(Seq("count", "sum", "min", "max", "avg", "median"))
             // a third of aggregate arguments are full expressions
             // (conditional aggregation, round 10)
             val arg =

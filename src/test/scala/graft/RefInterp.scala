@@ -353,6 +353,9 @@ object RefInterp {
           // truncating int64 division — Engine routes through
           // IntegralDivide, same quotient for all exact int64 sums
           case AggAvg   => if (xs.isEmpty) None else Some(xs.sum / xs.size)
+          // LOW median: element (n-1)/2 of the ascending sort
+          case AggMedian =>
+            if (xs.isEmpty) None else Some(xs.sorted.apply((xs.size - 1) / 2))
           case AggStrJoin | AggCollect => throw new UnsupportedOperationException(
             "string/list aggregate not supported by the Long-row interpreter")
         }
