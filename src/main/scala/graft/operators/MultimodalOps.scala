@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{BmpCodec, PngCodec}
+import graft.functions.{BmpCodec, PngCodec, WavCodec}
 import PipeData._
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
@@ -388,6 +388,57 @@ object MultimodalOps {
              |SELECT doc_id,
              |       string_agg(CASE WHEN tally > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS phash
              |FROM bits GROUP BY doc_id""".stripMargin)),
+
+    // ---- REAL WAV decode: the audio leg of the seam proof -------------
+    // One genuine audio container through the same scan → mapPartitions
+    // decode shape as BMP/PNG: [[graft.functions.WavCodec]] builds a
+    // RIFF/PCM-16 file per document in-executor and decodes it back by
+    // WALKING the chunk list (fmt/data at any offset, unknown chunks
+    // skipped — the part every real audio pipeline needs). The checksum
+    // is POSITION-WEIGHTED over the interleaved samples, so an
+    // endianness flip, a sign error, or a chunk-offset miss cannot
+    // cancel out; the oracle recomputes it from the sample function,
+    // never touching the file bytes. Zero shuffles, no UDFs in the
+    // aggregate path — the decode cost rides the scan exactly like a
+    // 100 TB audio corpus would want (decode-at-read, no re-shuffle of
+    // raw bytes).
+    Q("p_mm_wav_decode",
+      (s, dir) => {
+        val sp = s
+        import sp.implicits._
+        docs(s, dir).select(col("doc_id")).as[Long].mapPartitions { ids =>
+          ids.map { id =>
+            val ch = (1 + id % 2).toInt
+            val rate = (8000 * (1 + id % 3)).toInt
+            val frames = (40 + id % 61).toInt
+            val samples = Array.tabulate(frames * ch) { i =>
+              ((id * 31 + i * 17) % 65536 - 32768).toShort
+            }
+            val bytes = WavCodec.encode(ch, rate, samples)
+            val wav = WavCodec.decode(bytes)
+            var ampsum = 0L; var wsum = 0L
+            var i = 0
+            while (i < wav.samples.length) {
+              val v = wav.samples(i).toLong
+              ampsum += math.abs(v); wsum += (i + 1) * v
+              i += 1
+            }
+            (id, wav.channels.toLong, wav.sampleRate.toLong, wav.frames.toLong,
+              bytes.length.toLong, ampsum, wsum)
+          }
+        }.toDF("doc_id", "channels", "rate", "frames", "n_bytes", "ampsum", "wsum")
+      },
+      Some("""WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS ch,
+             |                  8000 * (1 + doc_id % 3) AS rate,
+             |                  40 + doc_id % 61 AS frames
+             |           FROM documents)
+             |SELECT doc_id, ch AS channels, rate, frames,
+             |  44 + 2 * frames * ch AS n_bytes,
+             |  CAST(list_sum(list_transform(range(frames * ch), i ->
+             |    abs((doc_id * 31 + i * 17) % 65536 - 32768))) AS BIGINT) AS ampsum,
+             |  CAST(list_sum(list_transform(range(frames * ch), i ->
+             |    (i + 1) * ((doc_id * 31 + i * 17) % 65536 - 32768))) AS BIGINT) AS wsum
+             |FROM d""".stripMargin)),
 
     // ---- perceptual-hash slot: byte-4-gram simhash over the payload ---
     // The multimodal near-dup primitive: a 64-bit locality-sensitive
