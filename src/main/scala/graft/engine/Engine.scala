@@ -1037,6 +1037,9 @@ object Engine {
     case Typing.TIndex(e, ix, _)     => collectAttrs(e) ++ collectAttrs(ix)
     case Typing.TRange(a, b)         => collectAttrs(a) ++ collectAttrs(b)
     case Typing.TInListE(e, l, _)    => collectAttrs(e) ++ collectAttrs(l)
+    case Typing.TSplit(s, sep)       => collectAttrs(s) ++ collectAttrs(sep)
+    case Typing.TSlice(e, lo, hi, _) =>
+      collectAttrs(e) ++ collectAttrs(lo) ++ collectAttrs(hi)
     // lambda bodies: OUTER attr references need their joins like
     // anywhere else; the lambda's own variable (TLamVar) needs none
     case Typing.TListPred(_, _, l, p) => collectAttrs(l) ++ collectAttrs(p)
@@ -1302,6 +1305,9 @@ object Engine {
           // raises under ANSI — the strict-engine overflow rule
           case UIabs   => s"abs($a)"
           case UIsign  => s"cast(sign($a) as bigint)"
+          // string→int parse; non-numeric RAISES under ANSI (the
+          // strict flavor of Cypher's toInteger-null)
+          case UStoInt => s"cast($a as bigint)"
         }
       case TSubstr(e1, e2, e3) =>
         // Spark's SQL substring: 1-based position, clamping, negative
@@ -1340,6 +1346,26 @@ object Engine {
         val test = s"array_contains(${sql(le, refs, st, strict)}, " +
           s"${sql(e, refs, st, strict)})"
         if (neg) s"(NOT $test)" else test
+      case Typing.TSplit(s2, sep) =>
+        // literal-separator split: the separator is \Q...\E-quoted so
+        // Spark's regex split treats it verbatim (DuckDB's string_split
+        // is literal natively). Empty separator RAISES — the two
+        // engines disagree on that edge, so it is banned, not divergent.
+        val a = sql(s2, refs, st, strict)
+        val b = sql(sep, refs, st, strict)
+        s"if($b = '', raise_error('split separator must be non-empty'), " +
+          s"split($a, concat('\\\\Q', $b, '\\\\E')))"
+      case Typing.TSlice(e, lo, hi, _) =>
+        // clamped 0-based end-exclusive slice: start = max(lo,0),
+        // length = max(0, min(hi, size) - start); Spark slice is
+        // 1-based with a length argument. Operands are pure, so the
+        // repeated evaluation is unobservable (the CASE-duplication
+        // argument from the simple-case desugar).
+        val a = sql(e, refs, st, strict)
+        val l = sql(lo, refs, st, strict)
+        val h = sql(hi, refs, st, strict)
+        s"slice($a, cast(greatest($l, 0L) + 1 as int), " +
+          s"cast(greatest(least($h, size($a)) - greatest($l, 0L), 0L) as int))"
       // lambda-bound reads compile to the lambda argument. The `__lam_`
       // prefix keeps the SQL name out of every generated-column
       // namespace (attr-join columns, binding columns) — typing already

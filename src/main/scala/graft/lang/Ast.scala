@@ -78,6 +78,14 @@ case object ULnot extends UnOp
   * (arithmetic overflow — the strict-engine rule, like div-by-zero). */
 case object UIabs extends UnOp
 case object UIsign extends UnOp
+/** `toInteger(s)` — string to int (round 11; Cypher's toInteger,
+  * strict flavor): parses an optionally-signed decimal integer; a
+  * non-numeric string RAISES under ANSI (Cypher's null has no home
+  * here — same strict-engine rule as div-by-zero and OOB indexing).
+  * The other half of the tokenization story: `toInteger(split(s,
+  * "_")[1])` recovers numbers from structured strings; inverse of
+  * `toString` on the int domain. */
+case object UStoInt extends UnOp
 
 sealed trait Expr extends Product with Serializable
 final case class Const(v: Value) extends Expr
@@ -180,6 +188,25 @@ final case class ListComp(v: String, list: Expr, pred: Option[Expr], map: Option
   * non-commutative bodies. `acc`/`x` bind fresh scalar variables read
   * as `.val`; init (and hence the fold) must be scalar-typed. */
 final case class ReduceE(acc: String, init: Expr, v: String, list: Expr, body: Expr) extends Expr
+/** `split(s, sep)` — s split on the LITERAL separator sep into a
+  * string list (round 11; Cypher's split). The result keeps TOKEN
+  * ORDER — a split list is a pure function of the string, so it is
+  * deterministic without collect's canonical re-sort (the ascending
+  * rule exists to canonicalize BAGS; split has an inherent order).
+  * Both engines keep leading/trailing/interior empty tokens
+  * (`split(",a,", ",")` = ["", "a", ""]). An EMPTY separator RAISES
+  * (strict-engine rule: Spark and DuckDB disagree on that edge, so it
+  * is banned rather than silently divergent). The workhorse for
+  * in-language tokenization: `unwind split(n.name, "_") as part`. */
+final case class SplitFn(s: Expr, sep: Expr) extends Expr
+/** `xs.val[lo..hi]` — list slice (round 11; Cypher's convention):
+  * 0-based, lo inclusive, hi EXCLUSIVE, both bounds CLAMPED to the
+  * list (so out-of-range never raises, unlike single-element
+  * indexing's ANSI raise — a slice is a set carve, not an element
+  * dereference; empty when lo >= hi after clamping). Negative bounds
+  * clamp to 0 (Cypher's from-the-end negatives are not supported —
+  * documented deviation; `size(xs.val) - k` spells them). */
+final case class SliceAcc(e: Expr, lo: Expr, hi: Expr) extends Expr
 
 /** Node patterns: `(v: L)` declares-and-binds, `(v)` references an
   * existing binding (reference lang.ml:47-50). */

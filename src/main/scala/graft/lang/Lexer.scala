@@ -53,7 +53,14 @@ object Lexer {
         val sb = new StringBuilder
         while (i < n && src(i) != '"') {
           val ch = src(i)
-          if (!(ch.isLetterOrDigit && ch < 128) && ch != ' ')
+          // printable ASCII, minus the three chars that would need an
+          // escape mechanism the grammar doesn't have: `"` closes the
+          // literal, `'` would break the engine's SQL string emission,
+          // `\` would break the \Q…\E literal-quoting split relies on.
+          // (Round 11 — the reference corpus uses only [a-zA-Z0-9 ],
+          // so every reference-legal program still lexes identically;
+          // punctuation is what real text data needs.)
+          if (ch < 0x20 || ch > 0x7e || ch == '\'' || ch == '\\')
             throw LexError(s"illegal string char '$ch'", i)
           sb += ch; i += 1
         }

@@ -444,7 +444,8 @@ object Parser {
           name == "substring" || name == "replace" || name == "coalesce" ||
           name == "id" || name == "range" || name == "any" || name == "all" ||
           name == "none" || name == "single" || name == "reduce" ||
-          name == "abs" || name == "sign" || name == "label" || name == "type")) ||
+          name == "abs" || name == "sign" || name == "label" || name == "type" ||
+          name == "split" || name == "toInteger")) ||
       (name == "case" && (peek2 match {
         case TIdent(_) | TInt(_) | TString(_) | TBool(_) | TSym("(") => true
         case _ => false
@@ -708,8 +709,18 @@ object Parser {
       while (peek == TSym("[")) {
         i += 1
         val ix = expr()
-        expectSym("]")
-        e = IndexAcc(e, ix)
+        // slice `[lo..hi]` (round 11) — ".." is two '.' tokens, which
+        // can never FOLLOW a complete expression, so the lookahead is
+        // unambiguous with single-element indexing
+        if (peek == TSym(".") && peek2 == TSym(".")) {
+          i += 2
+          val hi = expr()
+          expectSym("]")
+          e = SliceAcc(e, ix, hi)
+        } else {
+          expectSym("]")
+          e = IndexAcc(e, ix)
+        }
       }
       e
     }
@@ -741,7 +752,7 @@ object Parser {
       // unary string functions — contextual call shapes (a variable
       // named lower still works: `lower.f` has peek2 == '.')
       case TIdent(fn @ ("lower" | "upper" | "trim" | "size" | "toString" |
-                        "abs" | "sign")) if peek2 == TSym("(") =>
+                        "abs" | "sign" | "toInteger")) if peek2 == TSym("(") =>
         i += 2
         val e = expr()
         expectSym(")")
@@ -749,6 +760,7 @@ object Parser {
           case "lower" => USlower; case "upper" => USupper
           case "trim"  => UStrim;  case "size"  => USsize
           case "abs"   => UIabs;   case "sign"  => UIsign
+          case "toInteger" => UStoInt
           case _       => UStoStr
         }, e)
       // ternary string functions — substring(s, pos, len) (1-based,
@@ -758,6 +770,12 @@ object Parser {
         val a = expr(); expectSym(","); val b = expr(); expectSym(","); val c = expr()
         expectSym(")")
         if (fn == "substring") Substr(a, b, c) else Replace(a, b, c)
+      // `split(s, sep)` — literal-separator split to a string list
+      case TIdent("split") if peek2 == TSym("(") =>
+        i += 2
+        val a = expr(); expectSym(","); val b = expr()
+        expectSym(")")
+        SplitFn(a, b)
       // `range(a, b)` — the inclusive int list constructor (round 11)
       case TIdent("range") if peek2 == TSym("(") =>
         i += 2

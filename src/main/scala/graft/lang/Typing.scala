@@ -55,6 +55,12 @@ object Typing {
   final case class TInListE(e: TExpr, list: TExpr, neg: Boolean) extends TExpr {
     def tp: AttribTp = BoolT
   }
+  /** `split(s, sep)` — literal-separator split; token order kept. */
+  final case class TSplit(s: TExpr, sep: TExpr) extends TExpr {
+    def tp: AttribTp = ListT(StringT)
+  }
+  /** `e[lo..hi]` — clamped 0-based end-exclusive slice; list-typed. */
+  final case class TSlice(e: TExpr, lo: TExpr, hi: TExpr, tp: AttribTp) extends TExpr
   /** A lambda-bound element/accumulator read (`x.val` inside a list
     * predicate / comprehension / reduce body). Compiles to the SQL
     * lambda argument, not a frame column — carries no join. */
@@ -469,6 +475,9 @@ object Typing {
         else if (op == UIabs || op == UIsign)
           if (te.tp == IntT) Right(TUn(op, te, IntT))
           else Left(s"${unName(op)} requires an int operand, got ${te.tp}")
+        else if (op == UStoInt)
+          if (te.tp == StringT) Right(TUn(op, te, IntT))
+          else Left(s"toInteger requires a string operand, got ${te.tp}")
         else if (te.tp != StringT)
           Left(s"${unName(op)} requires a string operand, got ${te.tp}")
         else Right(TUn(op, te, if (op == USsize) IntT else StringT))
@@ -567,6 +576,26 @@ object Typing {
           case other => Left(s"in requires a list right operand, got $other")
         }
       } yield res
+    case SplitFn(s, sep) =>
+      for {
+        ts <- tpExpr(schema, env, s)
+        tsep <- tpExpr(schema, env, sep)
+        res <- if (ts.tp != StringT || tsep.tp != StringT)
+                 Left(s"split requires string arguments, got ${ts.tp}/${tsep.tp}")
+               else Right(TSplit(ts, tsep))
+      } yield res
+    case SliceAcc(e1, lo, hi) =>
+      for {
+        te <- tpExpr(schema, env, e1)
+        tl <- tpExpr(schema, env, lo)
+        th <- tpExpr(schema, env, hi)
+        res <- te.tp match {
+          case lt: ListT =>
+            if (tl.tp == IntT && th.tp == IntT) Right(TSlice(te, tl, th, lt))
+            else Left(s"slice bounds must be int, got ${tl.tp}/${th.tp}")
+          case other => Left(s"slicing requires a list operand, got $other")
+        }
+      } yield res
     case ListPred(kind, v, list, pred) =>
       for {
         tl <- tpExpr(schema, env, list)
@@ -648,6 +677,7 @@ object Typing {
     case UStrim  => "trim";  case USsize  => "size"
     case UStoStr => "toString"; case ULnot => "not"
     case UIabs   => "abs";      case UIsign => "sign"
+    case UStoInt => "toInteger"
   }
 
   /** Per-instruction environment transformer (reference typing.ml:201-268). */
@@ -1264,6 +1294,8 @@ object Typing {
     case TIndex(e, ix, _)     => exprVars(e) ++ exprVars(ix)
     case TRange(a, b)         => exprVars(a) ++ exprVars(b)
     case TInListE(e, l, _)    => exprVars(e) ++ exprVars(l)
+    case TSplit(s, sep)       => exprVars(s) ++ exprVars(sep)
+    case TSlice(e, lo, hi, _) => exprVars(e) ++ exprVars(lo) ++ exprVars(hi)
     // a lambda body's outer references surface as TAttr/TIdFn as
     // usual; the lambda's own variable is a TLamVar — not a binding
     case TListPred(_, _, l, p)   => exprVars(l) ++ exprVars(p)

@@ -723,6 +723,55 @@ object GraphOps {
              |       CAST(sign(n_nationkey - 10) AS BIGINT) AS s
              |FROM nation WHERE abs(n_regionkey - 2) <= 1""".stripMargin)),
 
+    // split (round 11): literal-separator tokenization into a string
+    // list that KEEPS token order (a pure function of the string — no
+    // canonical re-sort needed for determinism, unlike collect's bag);
+    // pairs with unwind/indexing for in-language tokenization. Empty
+    // separators raise (Spark/DuckDB disagree on that edge — banned).
+    Q("gql_split",
+      bindings(
+        """match (n:nation)
+          |where n.nationkey < 6
+          |with n, split(n.name, "_") as ps
+          |unwind ps as p
+          |return n, p, size(ps.val) as k, ps.val[1] as num""".stripMargin),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |       unnest(string_split(n_name, '_')) AS p,
+             |       CAST(len(string_split(n_name, '_')) AS BIGINT) AS k,
+             |       string_split(n_name, '_')[2] AS num
+             |FROM nation WHERE n_nationkey < 6""".stripMargin)),
+
+    // toInteger (round 11): strict string→int parse (non-numeric
+    // raises under ANSI — the strict flavor of Cypher's null); with
+    // split it recovers numbers from structured strings, and it
+    // inverts toString on the int domain.
+    Q("gql_tointeger",
+      bindings(
+        """match (n:nation)
+          |where n.nationkey >= 20
+          |return n, toInteger(split(n.name, "_")[1]) as num,
+          |       toInteger(toString(n.nationkey * 3)) as rt""".stripMargin),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |       CAST(string_split(n_name, '_')[2] AS BIGINT) AS num,
+             |       CAST(n_nationkey * 3 AS BIGINT) AS rt
+             |FROM nation WHERE n_nationkey >= 20""".stripMargin)),
+
+    // list slice (round 11): 0-based end-EXCLUSIVE [lo..hi], both
+    // bounds clamped (a slice is a set carve — no ANSI raise, unlike
+    // single-element indexing); over the ascending collect, [1..4]
+    // reads the 2nd..4th smallest, and a negative lo clamps to 0.
+    Q("gql_slice",
+      bindings(
+        """match (n:nation)
+          |with n.regionkey as rk, collect(n.nationkey) as ks
+          |return rk, size(ks.val[1..4]) as mid, ks.val[1..4][0] as second,
+          |       size(ks.val[0 - 2..99]) as clamped""".stripMargin),
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS rk,
+             |  CAST(len((list(n_nationkey ORDER BY n_nationkey))[2:4]) AS BIGINT) AS mid,
+             |  CAST(((list(n_nationkey ORDER BY n_nationkey))[2:4])[1] AS BIGINT) AS second,
+             |  CAST(len(list(n_nationkey ORDER BY n_nationkey)) AS BIGINT) AS clamped
+             |FROM nation GROUP BY n_regionkey""".stripMargin)),
+
     // median (round 11): the exact LOW median — element (n-1) div 2 of
     // the group's ascending sort. Deterministic (no interpolation, no
     // floats) so it oracle-checks bit-exactly; the distinct variant

@@ -69,6 +69,10 @@ class DifferentialSpec extends AnyFunSuite {
         // abs/sign (subtraction-heavy operands exercise the negatives)
         case 4 if rnd.nextBoolean() =>
           s"${pick(Seq("abs", "sign"))}((${intExpr(depth - 1)} - ${intExpr(0)}))"
+        // toInteger ∘ toString roundtrip (round 11) — pins the strict
+        // parse against Spark's ANSI cast on negative values too
+        case 4 if rnd.nextBoolean() =>
+          s"toInteger(toString((${intExpr(depth - 1)} - ${intExpr(0)})))"
         case 4 => s"coalesce(${intExpr(depth - 1)}, ${intExpr(0)})"
         // round 10: searched case — only the taken branch evaluates in
         // BOTH engines (SQL CASE / RefInterp's collectFirst), and the

@@ -650,6 +650,61 @@ class GoldenSpec extends AnyFunSuite {
     assert(r6.bindings.collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 1L))
   }
 
+  test("median is the LOW median of the sorted group (even sizes unambiguous)") {
+    val r = Engine.runSource(spark,
+      "(:N {x int})\ncreate (a:N {x: 5}) create (b:N {x: 1}) " +
+        "create (c:N {x: 9}) create (d:N {x: 3})\n" +
+        "match (n:N)\nreturn median(n.x) as m, median(distinct n.x mod 4) as dm")
+    // sorted [1,3,5,9] → element (4-1) div 2 = index 1 = 3;
+    // distinct mods {1,3} (5,1,9 ≡ 1) → low median 1
+    assert(r.bindings.collect().map(t => (t.getLong(0), t.getLong(1))).toSeq ==
+      Seq((3L, 1L)))
+  }
+
+  test("split keeps token order and raises on empty separators; slices clamp") {
+    val src =
+      """(:N {x int, s string})
+        |create (a:N {x: 3, s: "u-vv-w"}) create (b:N {x: 1, s: "-z-"})
+        |""".stripMargin
+    // token order preserved (NOT sorted): "u-vv-w" -> [u, vv, w] with
+    // [0]=u, [2]=w; empty edge tokens kept: "-z-" -> ["", z, ""]
+    val r = Engine.runSource(spark, src +
+      "match (n:N)\nwith n.s as s, split(n.s, \"-\") as ps\n" +
+        "return s, size(ps.val) as k, ps.val[0] as first, ps.val[size(ps.val) - 1] as last")
+    assert(r.bindings.collect().map(t =>
+      (t.getString(0), t.getLong(1), t.getString(2), t.getString(3))).toSet ==
+      Set(("u-vv-w", 3L, "u", "w"), ("-z-", 3L, "", "")))
+    // regex metacharacters in the separator are LITERAL (\Q..\E quote)
+    val r2 = Engine.runSource(spark,
+      "(:N {s string})\ncreate (a:N {s: \"a.b.c\"})\n" +
+        "match (n:N)\nreturn size(split(n.s, \".\")) as k")
+    assert(r2.bindings.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // empty separator raises (strict-engine rule)
+    val r3 = Engine.runSource(spark,
+      "(:N {s string})\ncreate (a:N {s: \"ab\"})\n" +
+        "match (n:N)\nreturn size(split(n.s, \"\")) as k")
+    val ex = intercept[Exception](r3.bindings.collect())
+    assert(ex.getMessage.contains("separator"))
+    // toInteger parses signed decimals and raises on anything else
+    val r5 = Engine.runSource(spark,
+      "(:N {s string})\ncreate (a:N {s: \"-42\"})\n" +
+        "match (n:N)\nreturn toInteger(n.s) as v, toInteger(trim(\" 7 \")) as t")
+    assert(r5.bindings.collect().map(t => (t.getLong(0), t.getLong(1))).toSeq ==
+      Seq((-42L, 7L)))
+    val r5b = Engine.runSource(spark,
+      "(:N {s string})\ncreate (a:N {s: \"x1\"})\n" +
+        "match (n:N)\nreturn toInteger(n.s) as v")
+    intercept[Exception](r5b.bindings.collect())
+    // slice clamps both bounds; [1..3] of [u,vv,w] = [vv,w]; lo>=hi empty
+    val r4 = Engine.runSource(spark, src +
+      "match (n:N)\nwhere n.x = 3\nwith split(n.s, \"-\") as ps\n" +
+        "return size(ps.val[1..99]) as hi, size(ps.val[0 - 5..1]) as lo, " +
+        "size(ps.val[2..1]) as rev, ps.val[1..3][0] as m")
+    assert(r4.bindings.collect().map(t =>
+      (t.getLong(0), t.getLong(1), t.getLong(2), t.getString(3))).toSeq ==
+      Seq((2L, 1L, 0L, "vv")))
+  }
+
   test("duplicate structural items with distinct aliases each get a column") {
     // positional naming (ADVICE r10): `return n.x as a, n.x as b` used
     // to name both columns `a` and fail on the final projection of `b`

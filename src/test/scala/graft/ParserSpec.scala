@@ -643,6 +643,50 @@ class ParserSpec extends AnyFunSuite {
       "match (a:P)\nwith collect(a.x) as xs\nreturn reduce(x in xs.val | 1) as t"))
   }
 
+  test("string charset: printable ASCII except quote kinds and backslash (round 11)") {
+    // punctuation now lexes (real text data needs it; the reference
+    // corpus only ever used [a-zA-Z0-9 ], so its programs are unchanged)
+    val p = Parser.parse(header +
+      "match (a:P)\nwhere a.s = \"x-y_z.w:7/8#@!(),\"\nreturn a")
+    p.query.clauses.collectFirst { case Where(Bin(BCeq, _, Const(StringV(s)))) =>
+      assert(s == "x-y_z.w:7/8#@!(),")
+    }.getOrElse(fail("no where"))
+    // the three unescapable chars and non-printables still reject
+    intercept[Lexer.LexError](Parser.parse(header +
+      "match (a:P)\nwhere a.s = \"a'b\"\nreturn a"))
+    intercept[Lexer.LexError](Parser.parse(header +
+      "match (a:P)\nwhere a.s = \"a\\b\"\nreturn a"))
+    intercept[Lexer.LexError](Parser.parse(header +
+      "match (a:P)\nwhere a.s = \"a\tb\"\nreturn a"))
+    intercept[Lexer.LexError](Parser.parse(header +
+      "match (a:P)\nwhere a.s = \"aéb\"\nreturn a"))
+  }
+
+  test("split and slice parse; slice chains with indexing (round 11)") {
+    val s = Parser.parse(header +
+      "match (a:P)\nunwind split(a.s, \"-\") as p\nreturn p")
+    s.query.clauses(1) match {
+      case UnwindExpr(SplitFn(AttribAcc("a", "s"), Const(StringV("-"))), "p") => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    // a variable named split keeps attr access
+    val v = Parser.parse(header + "create (split:P)\nwhere split.x = 1\nreturn split")
+    assert(v.query.clauses.collect { case Return(vs) => vs }.flatten == List("split"))
+    // slice: [lo..hi] distinguishes from [i]; chains with indexing
+    val e = Parser.parse(header +
+      "match (a:P)\nwith collect(a.x) as xs\nwhere xs.val[1..3][0] > xs.val[0]\nreturn xs")
+      .query.clauses.collectFirst { case Where(w) => w }.get
+    e match {
+      case Bin(BCgt,
+          IndexAcc(SliceAcc(AttribAcc("xs", "val"), Const(IntV(1)), Const(IntV(3))), Const(IntV(0))),
+          IndexAcc(AttribAcc("xs", "val"), Const(IntV(0)))) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    // expression bounds parse
+    Parser.parse(header +
+      "match (a:P)\nwith collect(a.x) as xs\nreturn size(xs.val[a.x - 1..size(xs.val)]) as k")
+  }
+
   test("count(*) parses as row count; only plain count admits the star") {
     val p = Parser.parse(header + "match (a:P)\nreturn a, count(*) as c")
     val items = p.query.clauses.collectFirst {

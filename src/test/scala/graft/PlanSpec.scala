@@ -414,6 +414,18 @@ class PlanSpec extends AnyFunSuite {
     graft.Ckpt.drain()
   }
 
+  test("bin packing is one shard exchange + an in-partition fold") {
+    // p_pack_bins' scale shape: ONE repartition-by-shard-key exchange,
+    // then sort + greedy fold INSIDE each partition — a second
+    // exchange would mean the sequential walk isn't running where the
+    // shuffle put the data
+    val df = SparkEntry.queries("p_pack_bins")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly the shard exchange:\n$p")
+  }
+
   test("hash sampler scan prunes the text column") {
     // the sample predicate and output touch only doc_id/lang — reading
     // the (dominant) text column would make the \"scan-speed\" claim false

@@ -569,6 +569,9 @@ object RefInterp {
           case UStrim  => StringV(a.replaceAll("^ +| +$", ""))
           case USsize  => IntV(a.codePointCount(0, a.length).toLong)
           case UStoStr => StringV(a) // handled above; exhaustiveness
+          // Spark ANSI cast trims surrounding whitespace, then raises
+          // on anything that is not an optionally-signed decimal
+          case UStoInt => IntV(java.lang.Long.parseLong(a.trim))
           case ULnot   => throw new IllegalStateException("not on a string")
           case UIabs | UIsign => throw new IllegalStateException(s"$op on a string")
         }
@@ -623,7 +626,7 @@ object RefInterp {
         throw new IllegalStateException("all coalesce arguments NULL"))
     case _: Typing.TIndex | _: Typing.TRange | _: Typing.TInListE |
          _: Typing.TLamVar | _: Typing.TListPred | _: Typing.TListComp |
-         _: Typing.TReduce =>
+         _: Typing.TReduce | _: Typing.TSplit | _: Typing.TSlice =>
       // list values live outside the Long-row model (like RReturnExt);
       // the generator never draws them
       throw new UnsupportedOperationException(

@@ -895,6 +895,29 @@ class TypingSpec extends AnyFunSuite {
       .contains("coalesce arguments must share one type"))
   }
 
+  test("split/slice: string-only split, int slice bounds on a list") {
+    Typing.compile(header + "match (a:P)\nunwind split(a.s, \"-\") as p\nreturn p")
+    Typing.compile(header +
+      "match (a:P)\nwith collect(a.x) as xs\nwhere size(xs.val[1..3]) > 0\nreturn xs")
+    // split result is a string list: int comparison on elements rejected
+    assert(err(header + "match (a:P)\nunwind split(a.s, \"-\") as p\nwhere p.val > 1\nreturn p")
+      .contains("ordering"))
+    assert(err(header + "match (a:P)\nunwind split(a.x, \"-\") as p\nreturn p")
+      .contains("split requires string arguments"))
+    assert(err(header +
+      "match (a:P)\nwith collect(a.x) as xs\nwhere size(xs.val[\"u\"..3]) > 0\nreturn xs")
+      .contains("slice bounds must be int"))
+    assert(err(header + "match (a:P)\nwhere size(a.s[1..3]) > 0\nreturn a")
+      .contains("slicing requires a list operand"))
+    // a slice stays list-typed: element access composes on top
+    Typing.compile(header +
+      "match (a:P)\nwith collect(a.x) as xs\nwhere xs.val[1..3][0] > 0\nreturn xs")
+    // toInteger: string-only operand, int result
+    Typing.compile(header + "match (a:P)\nwhere toInteger(a.s) > a.x\nreturn a")
+    assert(err(header + "match (a:P)\nwhere toInteger(a.x) > 0\nreturn a")
+      .contains("toInteger requires a string operand"))
+  }
+
   test("label/type: fold to static strings; wrong binding kinds rejected") {
     Typing.compile(header +
       "match (a:P) -[x:r]-> (b:Q)\nwhere label(a) = \"P\" and type(x) = \"r\"\nreturn a")
