@@ -415,6 +415,45 @@ object GraphAlgos {
        |WHERE d > 0 GROUP BY id ORDER BY h DESC, id LIMIT 50""".stripMargin
   }
 
+  // CC unroll (the ccOracle recurrence) + root-seeded BFS unroll (the
+  // harmonicOracle recurrence, seeds = component minima) + the parity
+  // join over the directed edge list. Same MATERIALIZED discipline.
+  private lazy val bipartiteOracle: String = {
+    val ccSteps = (1 to ccIters).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT x.id, min(x.comp) AS comp FROM (
+         |  SELECT id, comp FROM c${i - 1}
+         |  UNION ALL SELECT ue.dst AS id, c${i - 1}.comp
+         |  FROM ue JOIN c${i - 1} ON ue.src = c${i - 1}.id) x GROUP BY x.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    val bfsSteps = (1 to bfsIters).map { i =>
+      s"""b$i AS MATERIALIZED (SELECT x.seed, x.id, min(x.d) AS d FROM (
+         |  SELECT seed, id, d FROM b${i - 1}
+         |  UNION ALL SELECT b${i - 1}.seed, ue.dst AS id, b${i - 1}.d + 1
+         |  FROM ue JOIN b${i - 1} ON ue.src = b${i - 1}.id) x GROUP BY x.seed, x.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS MATERIALIZED ($nodeSql),
+       |e AS MATERIALIZED ($edgeSql),
+       |ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |c0 AS MATERIALIZED (SELECT id, id AS comp FROM nn),
+       |$ccSteps,
+       |b0 AS MATERIALIZED (SELECT id AS seed, id, 0::BIGINT AS d
+       |                    FROM c$ccIters WHERE id = comp),
+       |$bfsSteps,
+       |oe AS (SELECT du.seed, count(*) AS n_edges,
+       |         sum(CASE WHEN (du.d + dv.d) % 2 = 0 THEN 1 ELSE 0 END) AS n_odd
+       |       FROM e JOIN b$bfsIters du ON e.src = du.id
+       |              JOIN b$bfsIters dv ON e.dst = dv.id
+       |       GROUP BY du.seed),
+       |comps AS (SELECT comp, count(*)::BIGINT AS n_nodes FROM c$ccIters GROUP BY comp)
+       |SELECT comps.comp, n_nodes,
+       |       COALESCE(oe.n_edges, 0)::BIGINT AS n_edges,
+       |       COALESCE(oe.n_odd, 0)::BIGINT AS n_odd,
+       |       COALESCE(oe.n_odd, 0) = 0 AS bipartite
+       |FROM comps LEFT JOIN oe ON oe.seed = comps.comp""".stripMargin
+  }
+
   /** SSSP source/bound. Weights are a deterministic symmetric function of
     * the endpoints — `1 + (src+dst) % 2` ∈ {1,2} — so both engines (and
     * the in-JVM Dijkstra replay) compute bit-identical integer distances
@@ -712,6 +751,73 @@ object GraphAlgos {
           .orderBy(col("h").desc, col("id")).limit(50)
       },
       Some(harmonicOracle)),
+
+    // ---- bipartiteness: per-component BFS 2-coloring ------------------
+    // Is the graph layered the way the schema claims? A graph is
+    // bipartite iff no edge joins two nodes at the SAME PARITY of BFS
+    // depth from their component's root — the classic odd-cycle
+    // witness, and the first sanity probe on a supposedly-layered
+    // 100 TB graph (user–item, doc–shard, FK trees) before any
+    // bipartite-only algorithm (alternating matching, two-mode
+    // projection) is let loose on it. Plan: one deltaCC (shared
+    // discipline), then ONE root-seeded BFS pass — seeds are each
+    // component's minimum node (= its CC label), and since components
+    // partition the nodes, every node is reached by exactly one seed:
+    // total message volume is |V|, NOT seeds×|V| (contrast
+    // g_harmonic_landmarks, whose K trees overlap). The parity check
+    // is then a single broadcast-free 3-way equi-join of the DIRECTED
+    // edge list against the distance frame. Output: per component —
+    // size, odd-parity edge count, bipartite verdict.
+    Q("g_bipartite",
+      (s, dir) => {
+        val ue = undirectedEdges(s, dir)
+        val nodes = allNodes(s, dir)
+        val (labels, _) = deltaCC(nodes, ue, ccIters)
+        val seeds = labels.filter(col("id") === col("comp"))
+          .select(col("comp").as("seed"), col("id"), lit(0L).as("d"))
+        var dists: DataFrame = Ckpt.eager(seeds)
+        var frontier: DataFrame = Ckpt.eager(seeds)
+        var converged = false
+        var step = 0
+        while (step < bfsIters && !converged) {
+          step += 1
+          val cand = ue.join(frontier, ue("src") === frontier("id"))
+            .select(col("seed"), ue("dst").as("id"), (col("d") + 1).as("cand"))
+            .groupBy("seed", "id").agg(min("cand").as("cand"))
+          val next = Ckpt.deferredPartitioned(
+            cand.join(dists, Seq("seed", "id"), "left_anti")
+              .select(col("seed"), col("id"), col("cand").as("d")))
+          converged = next.count() == 0L
+          if (converged) Ckpt.drop(next)
+          else {
+            val merged = Ckpt.eagerPartitioned(
+              dists.join(next.select(col("seed"), col("id"), col("d").as("nd")),
+                  Seq("seed", "id"), "full")
+                .select(col("seed"), col("id"), coalesce(col("nd"), col("d")).as("d")))
+            Ckpt.drop(dists)
+            Ckpt.drop(frontier)
+            dists = merged
+            frontier = next
+          }
+        }
+        Ckpt.drop(frontier)
+        require(converged, s"root BFS not converged after $bfsIters supersteps")
+        // parity check over each DIRECTED edge (one row per edge, no
+        // reciprocal double-count); the edge's component = its src's seed
+        val du = dists.select(col("seed"), col("id").as("src"), col("d").as("ds"))
+        val dv = dists.select(col("id").as("dst"), col("d").as("dt"))
+        val odd = allEdges(s, dir).join(du, "src").join(dv, "dst")
+          .groupBy("seed")
+          .agg(count(lit(1)).as("n_edges"),
+            sum(when((col("ds") + col("dt")) % 2 === 0, 1L).otherwise(0L)).as("n_odd"))
+        labels.groupBy(col("comp")).agg(count(lit(1)).as("n_nodes"))
+          .join(odd, labels("comp") === odd("seed"), "left")
+          .select(col("comp"), col("n_nodes"),
+            coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+            coalesce(col("n_odd"), lit(0L)).as("n_odd"),
+            (coalesce(col("n_odd"), lit(0L)) === 0L).as("bipartite"))
+      },
+      Some(bipartiteOracle)),
 
     // ---- connected components: delta min-label propagation ------------
     Q("g_connected_components",

@@ -106,6 +106,48 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("bipartiteness check equals the in-memory BFS-parity replay") {
+    val nodes = collectedNodes()
+    val edges = collectedEdges()
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+    edges.foreach { case (a, b) => adj(a) = b :: adj(a); adj(b) = a :: adj(b) }
+    // components via union-find, root = min id (the CC label contract)
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x; while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val rootOf = nodes.groupBy(find).flatMap { case (_, ns) =>
+      val root = ns.min; ns.map(_ -> root)
+    }
+    // BFS depth from each component's root
+    val dist = scala.collection.mutable.Map.empty[Long, Long]
+    rootOf.values.toSet.foreach { (root: Long) =>
+      dist(root) = 0L
+      var frontier = List(root); var d = 0L
+      while (frontier.nonEmpty) {
+        d += 1
+        val next = frontier.flatMap(adj).distinct.filterNot(dist.contains)
+        next.foreach(v => dist(v) = d)
+        frontier = next
+      }
+    }
+    val expected = nodes.groupBy(rootOf).map { case (root, ns) =>
+      val es = edges.filter { case (a, _) => rootOf(a) == root }
+      val odd = es.count { case (a, b) => (dist(a) + dist(b)) % 2 == 0 }
+      root -> ((ns.size.toLong, es.size.toLong, odd.toLong, odd == 0))
+    }
+    val got = SparkEntry.queries("g_bipartite")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == expected)
+  }
+
   test("fixed-point PageRank equals the in-memory integer replay") {
     val nodes = collectedNodes()
     val edges = collectedEdges()
