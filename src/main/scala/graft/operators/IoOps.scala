@@ -172,6 +172,55 @@ object IoOps {
              |FROM events WHERE event_type = 'purchase'
              |GROUP BY 1""".stripMargin)),
 
+    // ---- snapshot diff: what changed between two dataset versions -----
+    // The dataset-ops audit every continuous-crawl pipeline runs before
+    // promoting a new snapshot: keyed full-outer join of version A
+    // against version B comparing a content hash — each key classifies
+    // as added / removed / changed / same, and the counts are the
+    // promotion gate (a 40%-removed snapshot is a crawler bug, not a
+    // release). Version B is derived deterministically here (drop
+    // doc_id ≡ 0 mod 97, rewrite text for ≡ 0 mod 89, append fresh ids
+    // past the max), so both engines rebuild the identical pair. Scale
+    // shape: ONE co-partitioned full-outer join on the key — against
+    // bucketed snapshot stores (p_dedup_incremental's layout) it is
+    // exchange-free on the stored side; the md5 comparison makes row
+    // width irrelevant (hashes travel, text doesn't).
+    Q("p_io_snapshot_diff",
+      (s, dir) => {
+        val a = docs(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+        val b = docs(s, dir)
+          .filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 89 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("h"))
+          .unionByName(
+            docs(s, dir).agg(max(col("doc_id")).as("m"))
+              .select(explode(sequence(col("m") + 1, col("m") + 25)).as("doc_id"),
+                md5(concat(lit("new "), (col("m") + 1).cast("string"))).as("h")))
+        a.withColumnRenamed("h", "ha").join(
+            b.withColumnRenamed("h", "hb"), Seq("doc_id"), "full")
+          .select(when(col("ha").isNull, "added")
+            .when(col("hb").isNull, "removed")
+            .when(col("ha") =!= col("hb"), "changed")
+            .otherwise("same").as("status"))
+          .groupBy("status").agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+             |mx AS (SELECT max(doc_id) AS m FROM documents),
+             |b AS (SELECT doc_id,
+             |        md5(CASE WHEN doc_id % 89 = 0 THEN text || ' v2'
+             |                 ELSE text END) AS hb
+             |      FROM documents WHERE doc_id % 97 <> 0
+             |      UNION ALL
+             |      SELECT m + i AS doc_id, md5('new ' || (m + 1)::VARCHAR) AS hb
+             |      FROM mx, (SELECT unnest(generate_series(1, 25)) AS i)),
+             |j AS (SELECT CASE WHEN ha IS NULL THEN 'added'
+             |                  WHEN hb IS NULL THEN 'removed'
+             |                  WHEN ha <> hb THEN 'changed'
+             |                  ELSE 'same' END AS status
+             |      FROM a FULL OUTER JOIN b USING (doc_id))
+             |SELECT status, count(*) AS n FROM j GROUP BY status""".stripMargin)),
+
     // ---- schema evolution: mergeSchema over mixed generations ---------
     // The other table-maintenance reality of a long-lived dataset: the
     // schema GROWS. Generation 1 (clicks) is written with the v1 column
