@@ -43,7 +43,10 @@ object Bench {
     "g"        -> 172.4,
     "p_stream" -> 53.8,
     "p_dedup"  -> 49.4,
-    "gql"      -> 47.5, // 42.9 (46-query record) + 4.65 (the 6 late-round undirected/skip medians)
+    "gql"      -> 81.0, // round-11 idle first pass at the 102-query gql
+                        // inventory (the 47.5 band predated 50+ added
+                        // queries and fired a false family retry on an
+                        // IDLE run — bands must track inventory growth)
     "q"        -> 18.5,
     "p_sim"    -> 16.8,
     "p_io"     -> 16.6,
