@@ -433,6 +433,64 @@ object Engine {
       st.copy(bindings = joined,
         env = (v, c) :: st.env, freshCounter = st.freshCounter + 1)
 
+    case Typing.RCallProc(proc, yields) =>
+      // the procedure bridge (round 11): run a whole-graph analytics
+      // procedure against the CURRENT graph state and cross-join its
+      // result table into the bindings like a fresh match. Yield
+      // columns take fresh binding names c0..cN.
+      val cols = yields.indices.map(k => s"__b${st.freshCounter + k}")
+      val allNodes = st.graph.nodes.values.map(_.select(col("id")))
+        .reduceOption(_ unionByName _)
+        .getOrElse(spark.range(0).select(col("id")))
+      val allEdges = st.graph.edges.values.map(_.select(col("src"), col("dst")))
+        .reduceOption(_ unionByName _)
+        .getOrElse(spark.range(0).select(col("id").as("src"), col("id").as("dst")))
+      val table: DataFrame = proc match {
+        case "degree" =>
+          // out/in degree over EVERY relation type; isolated nodes
+          // surface with zeros (the left joins' coalesce)
+          val od = allEdges.groupBy(col("src").as("id"))
+            .agg(count(lit(1)).as("od"))
+          val ind = allEdges.groupBy(col("dst").as("id"))
+            .agg(count(lit(1)).as("ind"))
+          allNodes.join(od, Seq("id"), "left").join(ind, Seq("id"), "left")
+            .select(col("id").as(cols(0)),
+              coalesce(col("od"), lit(0L)).as(cols(1)),
+              coalesce(col("ind"), lit(0L)).as(cols(2)))
+        case "cc" =>
+          // delta min-label propagation to the fixed point (the
+          // library deltaCC's recurrence; comp = component min id).
+          // Diameter-bound loop with the usual loud non-convergence.
+          val ue = allEdges.unionByName(
+            allEdges.select(col("dst").as("src"), col("src").as("dst")))
+          var labels = graft.Ckpt.eager(allNodes.select(col("id"), col("id").as("comp")))
+          var converged = false
+          var stepN = 0
+          val maxIters = 20
+          while (stepN < maxIters && !converged) {
+            stepN += 1
+            val mins = ue.join(labels, ue("src") === labels("id"))
+              .select(ue("dst").as("id"), col("comp").as("cand"))
+              .groupBy("id").agg(min("cand").as("cand"))
+            val joined = graft.Ckpt.deferredPartitioned(
+              labels.join(mins, Seq("id"), "left"))
+            val changed = joined.filter(col("cand") < col("comp")).count()
+            val next = joined.select(col("id"),
+              least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"))
+            graft.Ckpt.drop(labels)
+            labels = next
+            converged = changed == 0L
+          }
+          require(converged, s"call cc(): not converged after $maxIters supersteps")
+          labels.select(col("id").as(cols(0)), col("comp").as(cols(1)))
+        case other =>
+          throw new IllegalStateException(s"unreachable: unknown procedure $other")
+      }
+      val joined = if (st.unitTable) table else st.bindings.crossJoin(table)
+      st.copy(bindings = joined,
+        env = yields.zip(cols).reverse.toList ::: st.env,
+        freshCounter = st.freshCounter + yields.size)
+
     case RMergeNode(v, lb, props, onCreate, onMatch) =>
       // conditional actions (round 11 — Cypher ON CREATE/MATCH SET):
       // this merge form decides match-vs-create GLOBALLY (see the Merge

@@ -448,6 +448,20 @@ final case class UnwindVar(v: String, alias: String) extends Clause
   * `unwind range(1, n.x) as i`, `unwind xs.val as x`. One row per
   * element; the Cypher row-generation workhorse. */
 final case class UnwindExpr(e: Expr, alias: String) extends Clause
+/** `call <proc>() yield a, b, …` — the procedure bridge (round 11;
+  * Neo4j's CALL, GDS-style): runs a whole-graph analytics procedure
+  * from the library against the CURRENT graph state and joins its
+  * result table into the bindings (per-row cross product, like a
+  * fresh match). Yields bind fresh int scalars read as `a.val` —
+  * downstream where/return/aggregation compose unchanged. Registered
+  * procedures (fixed yield arity, all-int columns, deterministic):
+  *   - `degree()` → (id, outdeg, indeg) over every relation type;
+  *   - `cc()` → (id, comp), comp = the component's minimum node id
+  *     (delta min-label propagation — the same fixed point as the
+  *     analytics library's deltaCC).
+  * Read-only (legal in union branches); the graph is the instr-stream
+  * state at the call point, so procs observe earlier mutations. */
+final case class CallProc(proc: String, yields: List[String]) extends Clause
 /** `union` / `union all` between two complete queries (engine extension
   * — Cypher's UNION): the clause list splits at each separator into
   * BRANCHES, each a standalone query evaluated from its own empty

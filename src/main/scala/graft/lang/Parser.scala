@@ -172,6 +172,16 @@ object Parser {
       case TIdent("unwind") =>
         i += 1
         unwindClause()
+      // `call <proc>() yield a, b, …` — the procedure bridge (round 11)
+      case TIdent("call") =>
+        i += 1
+        val name = ident()
+        expectSym("("); expectSym(")")
+        peek match {
+          case TIdent("yield") => i += 1
+          case t => fail(s"expected yield after call $name(), got $t")
+        }
+        CallProc(name, identList())
       // `remove v.f, …` — attribute unset (clause position never
       // admits a bare identifier, so `remove` is contextual too)
       case TIdent("remove") =>

@@ -242,6 +242,12 @@ object Typing {
       extends RInstr
   /** `unwind <list-expr> as x` (round 11): one row per element of the
     * per-row list value. */
+  /** `call <proc>() yield …` — each yield binds an int scalar column
+    * of the procedure's result frame (see [[graft.lang.CallProc]]). */
+  final case class RCallProc(proc: String, yields: List[String]) extends RInstr
+  /** Registered procedures → yield arity (columns are all int). */
+  val procYieldArity: Map[String, Int] = Map("degree" -> 3, "cc" -> 2)
+
   final case class RUnwindExpr(e: TExpr, alias: String, elemTp: AttribTp)
       extends RInstr
   final case class RUnwind(items: List[TExpr], alias: String,
@@ -1051,6 +1057,24 @@ object Typing {
               Right((RUnwindExpr(te, alias, el), (alias, scalarLabel(el)) :: env))
             case other => Left(s"unwind expression must be a list, got $other")
           }
+        }
+
+      case ICallProc(proc, yields) =>
+        procYieldArity.get(proc) match {
+          case None =>
+            Left(s"unknown procedure $proc (registered: " +
+              s"${procYieldArity.keys.toList.sorted.mkString(", ")})")
+          case Some(n) if yields.size != n =>
+            Left(s"call $proc() yields $n column(s), got ${yields.size}")
+          case Some(_) =>
+            if (yields.distinct.size != yields.size)
+              Left(s"call $proc(): duplicate yield name(s)")
+            else yields.find(y => lookup(env, y).isDefined) match {
+              case Some(y) => Left(s"call $proc(): yield $y rebinds an existing variable")
+              case None =>
+                Right((RCallProc(proc, yields),
+                  yields.reverse.map(y => (y, "%int")) ::: env))
+            }
         }
 
       case IUnion(_) =>

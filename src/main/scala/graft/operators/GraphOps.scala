@@ -741,6 +741,43 @@ object GraphOps {
              |       string_split(n_name, '_')[2] AS num
              |FROM nation WHERE n_nationkey < 6""".stripMargin)),
 
+    // call procedures (round 11 — the GDS-style bridge): whole-graph
+    // analytics procedures run INSIDE MiniGQL against the current
+    // graph state, yields binding int scalars that compose with
+    // where/return like any binding. degree() counts over every
+    // relation type (nregion + the derived nnext chain + the FK
+    // in-edges from customer/supplier; tagged/flagged start empty).
+    Q("gql_call_degree",
+      bindings(
+        """call degree() yield id, outdeg, indeg
+          |where id.val >= 2000000000 and id.val < 3000000000
+          |return id, outdeg, indeg""".stripMargin),
+      Some("""SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS id,
+             |  CAST(1 + CASE WHEN n_nationkey < (SELECT max(n2.n_nationkey)
+             |                   FROM nation n2 WHERE n2.n_regionkey = nation.n_regionkey)
+             |           THEN 1 ELSE 0 END AS BIGINT) AS outdeg,
+             |  CAST((SELECT count(*) FROM customer c WHERE c.c_nationkey = nation.n_nationkey)
+             |     + (SELECT count(*) FROM supplier s WHERE s.s_nationkey = nation.n_nationkey)
+             |     + CASE WHEN n_nationkey > (SELECT min(n2.n_nationkey)
+             |              FROM nation n2 WHERE n2.n_regionkey = nation.n_regionkey)
+             |       THEN 1 ELSE 0 END AS BIGINT) AS indeg
+             |FROM nation""".stripMargin)),
+
+    // cc() — component labels (comp = component min id) as bindings.
+    // The loaded TPC-H graph is ONE component at the tested SFs
+    // (lineitems bridge regions via their order's customer AND their
+    // supplier; pinned independently by g_bipartite's n_nodes), whose
+    // minimum id is region 0 — so the oracle is the total node count.
+    Q("gql_call_cc",
+      bindings(
+        """call cc() yield id, comp
+          |return comp, count(id) as n""".stripMargin),
+      Some("""SELECT CAST(1000000000 AS BIGINT) AS comp,
+             |  CAST((SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+             |     + (SELECT count(*) FROM supplier) + (SELECT count(*) FROM customer)
+             |     + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders)
+             |     + (SELECT count(*) FROM lineitem) AS BIGINT) AS n""".stripMargin)),
+
     // toInteger (round 11): strict string→int parse (non-numeric
     // raises under ANSI — the strict flavor of Cypher's null); with
     // split it recovers numbers from structured strings, and it

@@ -650,6 +650,29 @@ class GoldenSpec extends AnyFunSuite {
     assert(r6.bindings.collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 1L))
   }
 
+  test("call degree/cc observe the current graph state (entreprise fixture)") {
+    // entreprise graph: nodes 0:P 1:E 2:P 3:E; edges (0,ami,2),(3,f,1),
+    // (2,emp,3),(0,emp,1) — degrees: 0→(2,0), 2→(1,1), 3→(1,1), 1→(0,2);
+    // one component, min id 0
+    val pre = q("/root/reference/graphDB/test/entreprise.q")
+      .split("\n").takeWhile(!_.startsWith("match")).mkString("\n")
+    val r = Engine.runSource(spark, pre +
+      "\ncall degree() yield v, o, n\nreturn v, o, n")
+    assert(r.bindings.collect().map(t =>
+      (t.getLong(0), t.getLong(1), t.getLong(2))).toSet ==
+      Set((0L, 2L, 0L), (1L, 0L, 2L), (2L, 1L, 1L), (3L, 1L, 1L)))
+    val r2 = Engine.runSource(spark, pre +
+      "\ncall cc() yield v, c\nreturn c, count(v) as k")
+    assert(r2.bindings.collect().map(t => (t.getLong(0), t.getLong(1))).toSeq ==
+      Seq((0L, 4L)))
+    // the proc sees MUTATIONS made earlier in the same program
+    val r3 = Engine.runSource(spark,
+      "(:N {x int})\ncreate (a:N) create (b:N)\n" +
+        "call cc() yield v, c\nreturn c, count(v) as k")
+    assert(r3.bindings.collect().map(t => (t.getLong(0), t.getLong(1))).toSet ==
+      Set((0L, 1L), (1L, 1L))) // two isolated nodes = two components
+  }
+
   test("median is the LOW median of the sorted group (even sizes unambiguous)") {
     val r = Engine.runSource(spark,
       "(:N {x int})\ncreate (a:N {x: 5}) create (b:N {x: 1}) " +

@@ -643,6 +643,17 @@ class ParserSpec extends AnyFunSuite {
       "match (a:P)\nwith collect(a.x) as xs\nreturn reduce(x in xs.val | 1) as t"))
   }
 
+  test("call procedures parse: proc() yield list; malformed shapes rejected") {
+    val p = Parser.parse(header + "call degree() yield id, o, n\nwhere o.val > 1\nreturn id")
+    assert(p.query.clauses.head == CallProc("degree", List("id", "o", "n")))
+    // yield keyword and the () are mandatory
+    intercept[Parser.ParseError](Parser.parse(header + "call degree() return x"))
+    intercept[Parser.ParseError](Parser.parse(header + "call degree yield a\nreturn a"))
+    // a variable named call still works everywhere BUT clause position
+    val v = Parser.parse(header + "create (call:P)\nwhere call.x = 1\nreturn call")
+    assert(v.query.clauses.collect { case Return(vs) => vs }.flatten == List("call"))
+  }
+
   test("string charset: printable ASCII except quote kinds and backslash (round 11)") {
     // punctuation now lexes (real text data needs it; the reference
     // corpus only ever used [a-zA-Z0-9 ], so its programs are unchanged)

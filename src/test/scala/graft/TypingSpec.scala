@@ -895,6 +895,20 @@ class TypingSpec extends AnyFunSuite {
       .contains("coalesce arguments must share one type"))
   }
 
+  test("call: registered procs only, arity, fresh distinct yields") {
+    Typing.compile(header +
+      "call degree() yield id, o, n\nwhere o.val + n.val > 0\nreturn id, o")
+    Typing.compile(header + "call cc() yield id, comp\nreturn comp, count(id) as k")
+    assert(err(header + "call pagerank() yield a, b\nreturn a")
+      .contains("unknown procedure"))
+    assert(err(header + "call degree() yield a, b\nreturn a")
+      .contains("yields 3 column(s)"))
+    assert(err(header + "call cc() yield a, a\nreturn a")
+      .contains("duplicate yield"))
+    assert(err(header + "match (x:P)\ncall cc() yield x, c\nreturn c")
+      .contains("rebinds an existing variable"))
+  }
+
   test("split/slice: string-only split, int slice bounds on a list") {
     Typing.compile(header + "match (a:P)\nunwind split(a.s, \"-\") as p\nreturn p")
     Typing.compile(header +
