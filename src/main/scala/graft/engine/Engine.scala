@@ -433,7 +433,7 @@ object Engine {
       st.copy(bindings = joined,
         env = (v, c) :: st.env, freshCounter = st.freshCounter + 1)
 
-    case Typing.RCallProc(proc, yields) =>
+    case Typing.RCallProc(proc, yields, args) =>
       // the procedure bridge (round 11): run a whole-graph analytics
       // procedure against the CURRENT graph state and cross-join its
       // result table into the bindings like a fresh match. Yield
@@ -483,6 +483,66 @@ object Engine {
           }
           require(converged, s"call cc(): not converged after $maxIters supersteps")
           labels.select(col("id").as(cols(0)), col("comp").as(cols(1)))
+        case "pagerank" =>
+          // the analytics library's fixed-point INTEGER PageRank
+          // recurrence (8 iterations, rank0 = 1e9, damping 0.85 in
+          // exact integer arithmetic: 150000000 + 85·Σ/100) over the
+          // graph's full edge set — deterministic, so oracle-checkable
+          val od = allEdges.groupBy(col("src").as("id"))
+            .agg(count(lit(1)).as("od"))
+          val withOd = allEdges.join(od, allEdges("src") === od("id"))
+            .select(allEdges("src"), allEdges("dst"), col("od"))
+          var rank = graft.Ckpt.eager(
+            allNodes.select(col("id"), lit(1000000000L).as("rank")))
+          for (_ <- 1 to 8) {
+            val contrib = withOd.join(rank, withOd("src") === rank("id"))
+              .select(withOd("dst").as("id"),
+                expr("rank div od").as("c"))
+              .groupBy("id").agg(sum(col("c")).as("s"))
+            val next = graft.Ckpt.eagerPartitioned(
+              allNodes.join(contrib, Seq("id"), "left")
+                .select(col("id"),
+                  (lit(150000000L) + expr("85 * coalesce(s, 0) div 100")).as("rank")))
+            graft.Ckpt.drop(rank)
+            rank = next
+          }
+          rank.select(col("id").as(cols(0)), col("rank").as(cols(1)))
+        case "bfs" =>
+          // undirected hop distances from the literal source id —
+          // frontier-delta iteration (newly-discovered only), reached
+          // nodes in the output, absent source reaches nothing
+          val ue = allEdges.unionByName(
+            allEdges.select(col("dst").as("src"), col("src").as("dst")))
+          val src = allNodes.filter(col("id") === args.head)
+            .select(col("id"), lit(0L).as("d"))
+          var dists = graft.Ckpt.eager(src)
+          var frontier = graft.Ckpt.eager(src)
+          var converged = false
+          var stepN = 0
+          val maxIters = 20
+          while (stepN < maxIters && !converged) {
+            stepN += 1
+            val cand = ue.join(frontier, ue("src") === frontier("id"))
+              .select(ue("dst").as("id"), (col("d") + 1).as("cand"))
+              .groupBy("id").agg(min("cand").as("cand"))
+            val next = graft.Ckpt.deferredPartitioned(
+              cand.join(dists, Seq("id"), "left_anti")
+                .select(col("id"), col("cand").as("d")))
+            converged = next.count() == 0L
+            if (converged) graft.Ckpt.drop(next)
+            else {
+              val merged = graft.Ckpt.eagerPartitioned(
+                dists.join(next.select(col("id"), col("d").as("nd")), Seq("id"), "full")
+                  .select(col("id"), coalesce(col("nd"), col("d")).as("d")))
+              graft.Ckpt.drop(dists)
+              graft.Ckpt.drop(frontier)
+              dists = merged
+              frontier = next
+            }
+          }
+          graft.Ckpt.drop(frontier)
+          require(converged, s"call bfs(): not converged after $maxIters supersteps")
+          dists.select(col("id").as(cols(0)), col("d").as(cols(1)))
         case other =>
           throw new IllegalStateException(s"unreachable: unknown procedure $other")
       }

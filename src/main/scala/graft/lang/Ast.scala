@@ -460,8 +460,13 @@ final case class UnwindExpr(e: Expr, alias: String) extends Clause
   *     (delta min-label propagation — the same fixed point as the
   *     analytics library's deltaCC).
   * Read-only (legal in union branches); the graph is the instr-stream
-  * state at the call point, so procs observe earlier mutations. */
-final case class CallProc(proc: String, yields: List[String]) extends Clause
+  * state at the call point, so procs observe earlier mutations.
+  * `args` are int-literal parameters (round 11 continued):
+  *   - `bfs(src)` → (id, dist) — undirected hop distances from the
+  *     node `src`, reached nodes only (the whole-graph reachability
+  *     probe; src need not exist — an absent id reaches nothing). */
+final case class CallProc(proc: String, yields: List[String],
+    args: List[Long] = Nil) extends Clause
 /** `union` / `union all` between two complete queries (engine extension
   * — Cypher's UNION): the clause list splits at each separator into
   * BRANCHES, each a standalone query evaluated from its own empty

@@ -88,8 +88,9 @@ final case class IUnwindExpr(e: Expr, alias: String) extends Instruction
   * standalone read-only query; the executor evaluates branches
   * independently and combines their return tables. */
 final case class IUnion(all: Boolean) extends Instruction
-/** `call <proc>() yield …` (see [[graft.lang.CallProc]]). */
-final case class ICallProc(proc: String, yields: List[String]) extends Instruction
+/** `call <proc>(…) yield …` (see [[graft.lang.CallProc]]). */
+final case class ICallProc(proc: String, yields: List[String],
+    args: List[Long] = Nil) extends Instruction
 
 final case class NormProg(types: GraphTypes, instrs: List[Instruction])
 
@@ -245,7 +246,7 @@ object Normalize {
     case Unwind(items, alias) => List(IUnwind(items, alias))
     case UnwindVar(v, alias)  => List(IUnwindVar(v, alias))
     case UnwindExpr(e, alias) => List(IUnwindExpr(e, alias))
-    case CallProc(p, ys)      => List(ICallProc(p, ys))
+    case CallProc(p, ys, as)  => List(ICallProc(p, ys, as))
     case UnionSep(all)        => List(IUnion(all))
     case Merge(pat, onC, onM) => pat match {
       // node form keeps its props INSIDE the instruction (they are the

@@ -172,16 +172,27 @@ object Parser {
       case TIdent("unwind") =>
         i += 1
         unwindClause()
-      // `call <proc>() yield a, b, …` — the procedure bridge (round 11)
+      // `call <proc>(args?) yield a, b, …` — the procedure bridge
+      // (round 11); args are int literals (node ids, bounds)
       case TIdent("call") =>
         i += 1
         val name = ident()
-        expectSym("("); expectSym(")")
+        expectSym("(")
+        def longArg(): Long = peek match {
+          case TInt(v) => i += 1; v
+          case t => fail(s"expected call $name argument integer, got $t")
+        }
+        val args = List.newBuilder[Long]
+        if (peek != TSym(")")) {
+          args += longArg()
+          while (peek == TSym(",")) { i += 1; args += longArg() }
+        }
+        expectSym(")")
         peek match {
           case TIdent("yield") => i += 1
-          case t => fail(s"expected yield after call $name(), got $t")
+          case t => fail(s"expected yield after call $name(…), got $t")
         }
-        CallProc(name, identList())
+        CallProc(name, identList(), args.result())
       // `remove v.f, …` — attribute unset (clause position never
       // admits a bare identifier, so `remove` is contextual too)
       case TIdent("remove") =>

@@ -242,11 +242,15 @@ object Typing {
       extends RInstr
   /** `unwind <list-expr> as x` (round 11): one row per element of the
     * per-row list value. */
-  /** `call <proc>() yield …` — each yield binds an int scalar column
+  /** `call <proc>(…) yield …` — each yield binds an int scalar column
     * of the procedure's result frame (see [[graft.lang.CallProc]]). */
-  final case class RCallProc(proc: String, yields: List[String]) extends RInstr
-  /** Registered procedures → yield arity (columns are all int). */
-  val procYieldArity: Map[String, Int] = Map("degree" -> 3, "cc" -> 2)
+  final case class RCallProc(proc: String, yields: List[String],
+      args: List[Long] = Nil) extends RInstr
+  /** Registered procedures → (argument arity, yield arity); yield
+    * columns are all int, arguments are int literals. */
+  val procArity: Map[String, (Int, Int)] =
+    Map("degree" -> ((0, 3)), "cc" -> ((0, 2)), "bfs" -> ((1, 2)),
+      "pagerank" -> ((0, 2)))
 
   final case class RUnwindExpr(e: TExpr, alias: String, elemTp: AttribTp)
       extends RInstr
@@ -1059,20 +1063,22 @@ object Typing {
           }
         }
 
-      case ICallProc(proc, yields) =>
-        procYieldArity.get(proc) match {
+      case ICallProc(proc, yields, args) =>
+        procArity.get(proc) match {
           case None =>
             Left(s"unknown procedure $proc (registered: " +
-              s"${procYieldArity.keys.toList.sorted.mkString(", ")})")
-          case Some(n) if yields.size != n =>
-            Left(s"call $proc() yields $n column(s), got ${yields.size}")
+              s"${procArity.keys.toList.sorted.mkString(", ")})")
+          case Some((na, _)) if args.size != na =>
+            Left(s"call $proc() takes $na argument(s), got ${args.size}")
+          case Some((_, ny)) if yields.size != ny =>
+            Left(s"call $proc() yields $ny column(s), got ${yields.size}")
           case Some(_) =>
             if (yields.distinct.size != yields.size)
               Left(s"call $proc(): duplicate yield name(s)")
             else yields.find(y => lookup(env, y).isDefined) match {
               case Some(y) => Left(s"call $proc(): yield $y rebinds an existing variable")
               case None =>
-                Right((RCallProc(proc, yields),
+                Right((RCallProc(proc, yields, args),
                   yields.reverse.map(y => (y, "%int")) ::: env))
             }
         }

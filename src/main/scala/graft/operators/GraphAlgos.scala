@@ -313,7 +313,7 @@ object GraphAlgos {
   private def liSql: String =
     s"SELECT *, ${graft.sources.GraphLoader.lineIdSql} AS lid FROM lineitem"
 
-  private lazy val edgeSql: String =
+  private[operators] lazy val edgeSql: String =
     s"""SELECT c_custkey + 4000000000 AS src, c_nationkey + 2000000000 AS dst FROM customer
        |UNION ALL SELECT s_suppkey + 3000000000, s_nationkey + 2000000000 FROM supplier
        |UNION ALL SELECT n_nationkey + 2000000000, n_regionkey + 1000000000 FROM nation
@@ -322,7 +322,7 @@ object GraphAlgos {
        |UNION ALL SELECT lid, l_partkey + 5000000000 FROM ($liSql)
        |UNION ALL SELECT lid, l_suppkey + 3000000000 FROM ($liSql)""".stripMargin
 
-  private lazy val nodeSql: String =
+  private[operators] lazy val nodeSql: String =
     s"""SELECT r_regionkey + 1000000000 AS id FROM region
        |UNION ALL SELECT n_nationkey + 2000000000 FROM nation
        |UNION ALL SELECT s_suppkey + 3000000000 FROM supplier

@@ -33,6 +33,63 @@ object GraphOps {
   }
 
   /** Program result = final binding table. */
+  /** Unrolled undirected BFS from region 0 over the LOADED gql graph's
+    * edge set (the FK edges [[GraphAlgos.edgeSql]] plus the derived
+    * nnext successor chain; tagged/flagged start empty) — the oracle
+    * for `call bfs(...)`. Same MATERIALIZED recurrence as the g-family
+    * BFS oracles; 9 steps = diameter bound + margin. */
+  private lazy val callBfsOracle: String = {
+    val steps = (1 to 9).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT x.id, min(x.d) AS d FROM (
+         |  SELECT id, d FROM d${i - 1}
+         |  UNION ALL SELECT ue.dst AS id, d${i - 1}.d + 1
+         |  FROM ue JOIN d${i - 1} ON ue.src = d${i - 1}.id) x GROUP BY x.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (${GraphAlgos.edgeSql}
+       |UNION ALL SELECT src, dst FROM (
+       |  SELECT n_nationkey + 2000000000 AS src,
+       |         2000000000 + LEAD(n_nationkey) OVER (
+       |           PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+       |  FROM nation) x WHERE dst IS NOT NULL),
+       |ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |d0 AS MATERIALIZED (SELECT CAST(1000000000 AS BIGINT) AS id, 0::BIGINT AS d),
+       |$steps
+       |SELECT d AS dist, count(*) AS n FROM d9 GROUP BY d""".stripMargin
+  }
+
+  /** The gql graph's DIRECTED edge set for call-procedure oracles: the
+    * FK edges plus the derived nnext successor chain (tagged/flagged
+    * start empty). */
+  private lazy val gqlEdgeSql: String =
+    s"""${GraphAlgos.edgeSql}
+       |UNION ALL SELECT src, dst FROM (
+       |  SELECT n_nationkey + 2000000000 AS src,
+       |         2000000000 + LEAD(n_nationkey) OVER (
+       |           PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+       |  FROM nation) x WHERE dst IS NOT NULL""".stripMargin
+
+  /** Unrolled fixed-point integer PageRank over the gql edge set — the
+    * `call pagerank()` oracle (the analytics prOracle recurrence with
+    * nnext added; same 8 iterations, rank0 1e9, integer damping). */
+  private lazy val callPrOracle: String = {
+    val steps = (1 to 8).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT nn.id,
+         |  CAST(150000000 + (85 * coalesce(m$i.s, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nn LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(sum(r${i - 1}.rank // od.d) AS BIGINT) AS s
+         |    FROM e JOIN r${i - 1} ON e.src = r${i - 1}.id
+         |    JOIN od ON e.src = od.id GROUP BY e.dst) m$i ON nn.id = m$i.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS MATERIALIZED (${GraphAlgos.nodeSql}),
+       |e AS MATERIALIZED ($gqlEdgeSql),
+       |od AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM e GROUP BY src),
+       |r0 AS MATERIALIZED (SELECT id, 1000000000::BIGINT AS rank FROM nn),
+       |$steps
+       |SELECT id, rank FROM r8 ORDER BY rank DESC, id LIMIT 100""".stripMargin
+  }
+
   private def bindings(q: String)(spark: SparkSession, dir: String): DataFrame =
     exec(spark, dir, q).bindings
 
@@ -777,6 +834,28 @@ object GraphOps {
              |     + (SELECT count(*) FROM supplier) + (SELECT count(*) FROM customer)
              |     + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders)
              |     + (SELECT count(*) FROM lineitem) AS BIGINT) AS n""".stripMargin)),
+
+    // bfs(src) — the parameterized procedure form: undirected hop
+    // distances from a literal node id over the whole loaded graph
+    // (incl. the derived nnext chain), reached nodes only. The same
+    // frontier-delta discipline as the analytics g_bfs, surfaced
+    // in-language.
+    Q("gql_call_bfs",
+      bindings(
+        """call bfs(1000000000) yield id, dist
+          |return dist, count(id) as n""".stripMargin),
+      Some(callBfsOracle)),
+
+    // pagerank() — the library's fixed-point integer PageRank as an
+    // in-language procedure; ranks compose with return's top-n
+    // (TakeOrderedAndProject — the distributed top-k, no global sort).
+    Q("gql_call_pagerank",
+      bindings(
+        """call pagerank() yield id, rank
+          |return id, rank
+          |order by rank desc, id
+          |limit 100""".stripMargin),
+      Some(callPrOracle)),
 
     // toInteger (round 11): strict string→int parse (non-numeric
     // raises under ANSI — the strict flavor of Cypher's null); with

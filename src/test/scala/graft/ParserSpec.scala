@@ -646,9 +646,13 @@ class ParserSpec extends AnyFunSuite {
   test("call procedures parse: proc() yield list; malformed shapes rejected") {
     val p = Parser.parse(header + "call degree() yield id, o, n\nwhere o.val > 1\nreturn id")
     assert(p.query.clauses.head == CallProc("degree", List("id", "o", "n")))
-    // yield keyword and the () are mandatory
+    // int-literal arguments
+    val b = Parser.parse(header + "call bfs(1000000000) yield id, d\nreturn d")
+    assert(b.query.clauses.head == CallProc("bfs", List("id", "d"), List(1000000000L)))
+    // yield keyword and the () are mandatory; args are int literals
     intercept[Parser.ParseError](Parser.parse(header + "call degree() return x"))
     intercept[Parser.ParseError](Parser.parse(header + "call degree yield a\nreturn a"))
+    intercept[Parser.ParseError](Parser.parse(header + "call bfs(x) yield a, b\nreturn a"))
     // a variable named call still works everywhere BUT clause position
     val v = Parser.parse(header + "create (call:P)\nwhere call.x = 1\nreturn call")
     assert(v.query.clauses.collect { case Return(vs) => vs }.flatten == List("call"))

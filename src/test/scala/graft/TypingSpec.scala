@@ -901,6 +901,13 @@ class TypingSpec extends AnyFunSuite {
     Typing.compile(header + "call cc() yield id, comp\nreturn comp, count(id) as k")
     assert(err(header + "call pagerank() yield a, b\nreturn a")
       .contains("unknown procedure"))
+    // parameterized form: bfs takes exactly one int argument
+    Typing.compile(header +
+      "call bfs(1000000000) yield id, dist\nreturn dist, count(id) as k")
+    assert(err(header + "call bfs() yield id, dist\nreturn id")
+      .contains("takes 1 argument(s)"))
+    assert(err(header + "call degree(7) yield a, b, c\nreturn a")
+      .contains("takes 0 argument(s)"))
     assert(err(header + "call degree() yield a, b\nreturn a")
       .contains("yields 3 column(s)"))
     assert(err(header + "call cc() yield a, a\nreturn a")
