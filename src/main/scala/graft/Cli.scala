@@ -20,8 +20,43 @@ import graft.engine.{Engine, PropertyGraph}
   *   - no args — help (interf.ml:71).
   */
 object Cli {
+
+  /** `--param name=value` → typed [[graft.lang.Value]]: all-digit (with
+    * optional sign) → int, true/false → bool, anything else → string.
+    * Typed substitution happens at compile time (Typing.compile's params
+    * path) — no string splicing into the program text, so a value can
+    * never change the program's parse. */
+  private[graft] def parseParam(s: String): (String, graft.lang.Value) =
+    s.split("=", 2) match {
+      case Array(n, v) if n.nonEmpty && n.head.isLetter =>
+        val value: graft.lang.Value =
+          if (v == "true") graft.lang.BoolV(true)
+          else if (v == "false") graft.lang.BoolV(false)
+          else if (v.matches("-?[0-9]+")) graft.lang.IntV(v.toLong)
+          else graft.lang.StringV(v)
+        (n, value)
+      case _ =>
+        System.err.println(s"bad --param '$s' (expected name=value)")
+        sys.exit(2)
+    }
+
+  /** Split `--param n=v` pairs out of an option tail. */
+  private def splitParams(rest: List[String]): (List[String], Map[String, graft.lang.Value]) = {
+    val (others, ps) = (List.newBuilder[String], Map.newBuilder[String, graft.lang.Value])
+    var xs = rest
+    while (xs.nonEmpty) xs match {
+      case "--param" :: spec :: tl => ps += parseParam(spec); xs = tl
+      case "--param" :: Nil =>
+        System.err.println("--param needs name=value"); sys.exit(2)
+      case hd :: tl => others += hd; xs = tl
+      case Nil => ()
+    }
+    (others.result(), ps.result())
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
-    case "f" :: file :: rest =>
+    case "f" :: file :: rest0 =>
+      val (rest, params) = splitParams(rest0)
       val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)))
       val opts = rest.grouped(2).map {
         case List(k @ ("--tex" | "--dot"), v) => k -> v
@@ -38,7 +73,7 @@ object Cli {
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       try {
-        val r = try Engine.runSource(spark, src) catch {
+        val r = try Engine.runSource(spark, src, params = params) catch {
           // Reference-shaped parse-error path (interf.ml:43-46): print
           // the line/column/token report plus the rest-of-input echo,
           // then stop with a nonzero exit (the reference's failwith).
@@ -65,7 +100,8 @@ object Cli {
     // clauses). Engine extension — the reference has no external
     // sources at all (interf.ml:38-47). Prints the binding table only
     // (row-capped): the loaded graph is data-sized, not render-sized.
-    case "g" :: dir :: file :: Nil =>
+    case "g" :: dir :: file :: rest0 if splitParams(rest0)._1.isEmpty =>
+      val params = splitParams(rest0)._2
       val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)))
       val full = graft.sources.GraphLoader.headerGql + src
       val spark = SparkSession.builder()
@@ -80,7 +116,7 @@ object Cli {
         val r = try {
           val (g, nextId) = graft.sources.GraphLoader.load(spark, dir)
           Engine.runSourceOn(spark, full, g, nextId,
-            Engine.Config(strict = false))
+            Engine.Config(strict = false), params)
         } catch {
           case e: graft.lang.Parser.ParseError =>
             println(graft.lang.Parser.errorReport(full, Some(file), e))
@@ -182,7 +218,10 @@ object Cli {
           |              explain) of the final binding table — with <dir>,
           |              against the parquet graph like g-mode
           |  i           read programs from stdin, print normalized IR
-          |  h           this help""".stripMargin)
+          |  h           this help
+          |f/g modes accept --param name=value (repeatable): supplies the
+          |program's $name query parameters as typed constants (all-digit →
+          |int, true/false → bool, else string) at compile time.""".stripMargin)
   }
 
   /** x-mode body (also pinned by PlanSpec): the FORMATTED explain of the

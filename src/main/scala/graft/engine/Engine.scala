@@ -341,17 +341,21 @@ object Engine {
     (execPlan(spark, schema, sub0, inner, cfg), boundCols)
   }
 
-  /** Convenience: compile source and run against an empty graph. */
-  def runSource(spark: SparkSession, src: String, config: Config = Config()): QueryResult = {
-    val tp = Typing.compile(src)
+  /** Convenience: compile source and run against an empty graph.
+    * `params` supplies `$name` query-parameter values, substituted as
+    * typed constants before typing (see [[graft.lang.Params]]). */
+  def runSource(spark: SparkSession, src: String, config: Config = Config(),
+                params: Map[String, Value] = Map.empty): QueryResult = {
+    val tp = Typing.compile(src, params)
     run(spark, tp, PropertyGraph.empty(spark, tp.schema), 0L, config)
   }
 
   /** Compile source and run against a pre-loaded graph (the program's
     * declared schema must structurally match the graph's). */
   def runSourceOn(spark: SparkSession, src: String, graph: PropertyGraph,
-                  nextId: Long, config: Config = Config()): QueryResult = {
-    val tp = Typing.compile(src)
+                  nextId: Long, config: Config = Config(),
+                  params: Map[String, Value] = Map.empty): QueryResult = {
+    val tp = Typing.compile(src, params)
     // Structural check, not just label-name subset: a drifted attribute
     // list or relation type would otherwise surface later as an opaque
     // unionByName/analysis error (ADVICE r01). Report the first mismatch.
@@ -437,12 +441,18 @@ object Engine {
       // the procedure bridge (round 11): run a whole-graph analytics
       // procedure against the CURRENT graph state and cross-join its
       // result table into the bindings like a fresh match. Yield
-      // columns take fresh binding names c0..cN.
+      // columns take fresh binding names c0..cN. A string argument
+      // (round 12, typing-validated) scopes degree/cc to ONE declared
+      // relation type; nodes always stay whole-graph, so unscoped
+      // nodes surface as zero-degree / singleton components.
       val cols = yields.indices.map(k => s"__b${st.freshCounter + k}")
+      val relScope: Option[String] = args.collectFirst { case StringV(r) => r }
       val allNodes = st.graph.nodes.values.map(_.select(col("id")))
         .reduceOption(_ unionByName _)
         .getOrElse(spark.range(0).select(col("id")))
-      val allEdges = st.graph.edges.values.map(_.select(col("src"), col("dst")))
+      val allEdges = st.graph.edges
+        .collect { case ((_, rl, _), df) if relScope.forall(_ == rl) =>
+          df.select(col("src"), col("dst")) }
         .reduceOption(_ unionByName _)
         .getOrElse(spark.range(0).select(col("id").as("src"), col("id").as("dst")))
       val table: DataFrame = proc match {
@@ -513,7 +523,11 @@ object Engine {
           // nodes in the output, absent source reaches nothing
           val ue = allEdges.unionByName(
             allEdges.select(col("dst").as("src"), col("src").as("dst")))
-          val src = allNodes.filter(col("id") === args.head)
+          val srcId = args.head match {
+            case IntV(v) => v
+            case other => throw new IllegalStateException(s"bfs arg: $other")
+          }
+          val src = allNodes.filter(col("id") === srcId)
             .select(col("id"), lit(0L).as("d"))
           var dists = graft.Ckpt.eager(src)
           var frontier = graft.Ckpt.eager(src)
@@ -1396,6 +1410,8 @@ object Engine {
           case BSstarts   => s"startswith($a, $b)"
           case BSends     => s"endswith($a, $b)"
           case BScontains => s"contains($a, $b)"
+          // codegen'd Java-regex find; dialect pin at [[graft.lang.BSregex]]
+          case BSregex    => s"($a RLIKE $b)"
           case _ =>
             val o = op match {
               case BAadd => "+"; case BAsub => "-"; case BAmul => "*"

@@ -92,7 +92,7 @@ object WavCodec {
     while (off + 8 <= riffEnd && (channels < 0 || dataOff < 0)) {
       val id = tag(bytes, off)
       val sz = getLE32(bytes, off + 4)
-      require(sz >= 0 && off + 8 + sz <= bytes.length,
+      require(sz >= 0 && off.toLong + 8L + sz <= bytes.length,
         s"chunk $id overruns the file (size $sz at offset $off)")
       id match {
         case "fmt " =>

@@ -50,6 +50,16 @@ case object BLor extends BinOp
 case object BSstarts extends BinOp
 case object BSends extends BinOp
 case object BScontains extends BinOp
+/** `s =~ pat` (Cypher's regex operator, comparison precedence): true iff
+  * `s` CONTAINS a match of `pat` (find semantics — anchor with ^...$ for
+  * full match). Dialect pin: the engine compiles to Spark's codegen'd
+  * RLIKE (java.util.regex); the DuckDB oracle uses regexp_matches (RE2).
+  * Programs must stay inside the shared dialect subset — literals,
+  * classes, anchors, quantifiers, alternation — and avoid backrefs or
+  * lookaround (Java-only) so both engines agree. The lexer already bans
+  * `\` in string literals, which rules out the escape-class divergences
+  * (\d \w \b \Q…) wholesale. */
+case object BSregex extends BinOp
 
 /** Unary string functions (engine extension; Cypher's
   * toLower/toUpper/trim/size over the string value type). `size` is
@@ -89,6 +99,16 @@ case object UStoInt extends UnOp
 
 sealed trait Expr extends Product with Serializable
 final case class Const(v: Value) extends Expr
+/** `$name` — a query parameter (round 12; Cypher's `$param`): a typed
+  * constant supplied at compile time via `Typing.compile(src, params)`
+  * (CLI `--param name=value`). Substitution happens on the normalized
+  * instruction stream BEFORE typechecking, so a parameter is exactly a
+  * literal of its value's type everywhere an expression is legal —
+  * including `call` procedure arguments — and a mistyped parameter
+  * fails with the ordinary typing error for that position. A `$name`
+  * with no supplied value is a compile error (never a runtime NULL):
+  * programmatic callers get the missing-parameter list up front. */
+final case class Param(name: String) extends Expr
 /** `v.f` — attribute access on the node bound to variable `v`. */
 final case class AttribAcc(v: String, field: String) extends Expr
 final case class Bin(op: BinOp, l: Expr, r: Expr) extends Expr
@@ -461,12 +481,17 @@ final case class UnwindExpr(e: Expr, alias: String) extends Clause
   *     analytics library's deltaCC).
   * Read-only (legal in union branches); the graph is the instr-stream
   * state at the call point, so procs observe earlier mutations.
-  * `args` are int-literal parameters (round 11 continued):
+  * `args` are literal parameters — int, string, or `$param` (rounds
+  * 11-12):
   *   - `bfs(src)` → (id, dist) — undirected hop distances from the
   *     node `src`, reached nodes only (the whole-graph reachability
-  *     probe; src need not exist — an absent id reaches nothing). */
+  *     probe; src need not exist — an absent id reaches nothing);
+  *   - `degree("rel")` / `cc("rel")` — the same procedures SCOPED to
+  *     one declared relation type: degrees count only `rel` edges,
+  *     components use only `rel` edges (every node still appears —
+  *     isolated nodes are their own component / zero-degree). */
 final case class CallProc(proc: String, yields: List[String],
-    args: List[Long] = Nil) extends Clause
+    args: List[Expr] = Nil) extends Clause
 /** `union` / `union all` between two complete queries (engine extension
   * — Cypher's UNION): the clause list splits at each separator into
   * BRANCHES, each a standalone query evaluated from its own empty

@@ -90,7 +90,7 @@ final case class IUnwindExpr(e: Expr, alias: String) extends Instruction
 final case class IUnion(all: Boolean) extends Instruction
 /** `call <proc>(…) yield …` (see [[graft.lang.CallProc]]). */
 final case class ICallProc(proc: String, yields: List[String],
-    args: List[Long] = Nil) extends Instruction
+    args: List[Expr] = Nil) extends Instruction
 
 final case class NormProg(types: GraphTypes, instrs: List[Instruction])
 

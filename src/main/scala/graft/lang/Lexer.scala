@@ -14,6 +14,7 @@ object Lexer {
   final case class TBool(b: Boolean) extends Token
   final case class TTp(tp: AttribTp) extends Token
   final case class TKw(kw: String) extends Token // create delete match return set where
+  final case class TParam(name: String) extends Token // `$name` query parameter
   final case class TSym(s: String) extends Token // punctuation & operators
   case object TEof extends Token
 
@@ -67,6 +68,15 @@ object Lexer {
         if (i >= n) throw LexError("unterminated string", start)
         i += 1
         out += ((TString(sb.result()), start, i))
+      } else if (c == '$') {
+        // `$name` — query parameter (round 12); the name follows ident
+        // rules (letter head). A bare `$` is a lex error.
+        val start = i
+        i += 1
+        if (i >= n || !src(i).isLetter)
+          throw LexError("expected a parameter name after '$'", start)
+        while (i < n && src(i).isLetterOrDigit) i += 1
+        out += ((TParam(src.substring(start + 1, i)), start, i))
       } else if (c.isLetter) {
         val start = i
         while (i < n && (src(i).isLetterOrDigit)) i += 1
@@ -87,7 +97,7 @@ object Lexer {
       } else {
         val two = if (i + 1 < n) src.substring(i, i + 2) else ""
         two match {
-          case "->" | ">=" | "<=" | "<>" =>
+          case "->" | ">=" | "<=" | "<>" | "=~" =>
             out += ((TSym(two), i, i + 2)); i += 2
           case _ =>
             c match {

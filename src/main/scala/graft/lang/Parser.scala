@@ -178,14 +178,19 @@ object Parser {
         i += 1
         val name = ident()
         expectSym("(")
-        def longArg(): Long = peek match {
-          case TInt(v) => i += 1; v
-          case t => fail(s"expected call $name argument integer, got $t")
+        // args are literal parameters only — int, string, or `$param`
+        // (rounds 11-12); general expressions have no row to bind to
+        def litArg(): Expr = peek match {
+          case TInt(v)    => i += 1; Const(IntV(v))
+          case TString(s) => i += 1; Const(StringV(s))
+          case TParam(p)  => i += 1; Param(p)
+          case t => fail(s"expected call $name argument literal (int, " +
+            s"string, or $$param), got $t")
         }
-        val args = List.newBuilder[Long]
+        val args = List.newBuilder[Expr]
         if (peek != TSym(")")) {
-          args += longArg()
-          while (peek == TSym(",")) { i += 1; args += longArg() }
+          args += litArg()
+          while (peek == TSym(",")) { i += 1; args += litArg() }
         }
         expectSym(")")
         peek match {
@@ -673,6 +678,8 @@ object Parser {
           i += 2; e = Bin(BSends, e, addExpr())
         case TIdent("contains") =>
           i += 1; e = Bin(BScontains, e, addExpr())
+        case TSym("=~") =>
+          i += 1; e = Bin(BSregex, e, addExpr())
         // list membership `e in [x, …]` / `e not in [x, …]`, plus the
         // list-EXPRESSION form `e in xs.val` / `e in range(1, 5)`
         // (round 11). The lookahead — `[`, or an identifier followed by
@@ -750,6 +757,7 @@ object Parser {
       case TBool(b)   => i += 1; Const(BoolV(b))
       case TInt(v)    => i += 1; Const(IntV(v))
       case TString(s) => i += 1; Const(StringV(s))
+      case TParam(p)  => i += 1; Param(p)
       // `null(v)` binding-null test — contextual like the aggregate
       // names: only the call shape is special, `null.f` stays an
       // ordinary attribute access on a variable named null

@@ -243,14 +243,19 @@ object Typing {
   /** `unwind <list-expr> as x` (round 11): one row per element of the
     * per-row list value. */
   /** `call <proc>(…) yield …` — each yield binds an int scalar column
-    * of the procedure's result frame (see [[graft.lang.CallProc]]). */
+    * of the procedure's result frame (see [[graft.lang.CallProc]]).
+    * `args` are RESOLVED literal values (params already substituted). */
   final case class RCallProc(proc: String, yields: List[String],
-      args: List[Long] = Nil) extends RInstr
-  /** Registered procedures → (argument arity, yield arity); yield
-    * columns are all int, arguments are int literals. */
-  val procArity: Map[String, (Int, Int)] =
-    Map("degree" -> ((0, 3)), "cc" -> ((0, 2)), "bfs" -> ((1, 2)),
-      "pagerank" -> ((0, 2)))
+      args: List[Value] = Nil) extends RInstr
+  /** Registered procedures → (allowed argument-type signatures, yield
+    * arity); yield columns are all int. degree/cc take an optional
+    * relation-name string that scopes the procedure to one declared
+    * relation type (round 12). */
+  val procSigs: Map[String, (List[List[AttribTp]], Int)] =
+    Map("degree"   -> ((List(Nil, List(StringT)), 3)),
+        "cc"       -> ((List(Nil, List(StringT)), 2)),
+        "bfs"      -> ((List(List(IntT)), 2)),
+        "pagerank" -> ((List(Nil), 2)))
 
   final case class RUnwindExpr(e: TExpr, alias: String, elemTp: AttribTp)
       extends RInstr
@@ -394,6 +399,9 @@ object Typing {
 
   def tpExpr(schema: Schema, env: Env, e: Expr): Either[String, TExpr] = e match {
     case Const(v) => Right(TConst(v))
+    // params are substituted before typing (Params.subst); one reaching
+    // here means the caller never supplied a value for it
+    case Param(n) => Left(s"missing parameter $$$n (supply it via params)")
     case NullCheck(v) =>
       lookup(env, v) match {
         case None => Left(s"variable $v not bound")
@@ -463,7 +471,7 @@ object Typing {
           case BLand | BLor =>
             if (tl.tp == BoolT && tr.tp == BoolT) Right(TBin(op, tl, tr, BoolT))
             else Left(s"logic $op requires bool operands, got ${tl.tp}/${tr.tp}")
-          case BSstarts | BSends | BScontains =>
+          case BSstarts | BSends | BScontains | BSregex =>
             if (tl.tp == StringT && tr.tp == StringT) Right(TBin(op, tl, tr, BoolT))
             else Left(s"string predicate ${strPredName(op)} requires string " +
               s"operands, got ${tl.tp}/${tr.tp}")
@@ -680,6 +688,7 @@ object Typing {
 
   private def strPredName(op: BinOp): String = op match {
     case BSstarts => "starts with"; case BSends => "ends with"
+    case BSregex  => "=~"
     case _        => "contains"
   }
   private def unName(op: UnOp): String = op match {
@@ -1064,23 +1073,67 @@ object Typing {
         }
 
       case ICallProc(proc, yields, args) =>
-        procArity.get(proc) match {
-          case None =>
-            Left(s"unknown procedure $proc (registered: " +
-              s"${procArity.keys.toList.sorted.mkString(", ")})")
-          case Some((na, _)) if args.size != na =>
-            Left(s"call $proc() takes $na argument(s), got ${args.size}")
-          case Some((_, ny)) if yields.size != ny =>
-            Left(s"call $proc() yields $ny column(s), got ${yields.size}")
-          case Some(_) =>
-            if (yields.distinct.size != yields.size)
-              Left(s"call $proc(): duplicate yield name(s)")
-            else yields.find(y => lookup(env, y).isDefined) match {
-              case Some(y) => Left(s"call $proc(): yield $y rebinds an existing variable")
-              case None =>
-                Right((RCallProc(proc, yields, args),
-                  yields.reverse.map(y => (y, "%int")) ::: env))
-            }
+        // resolve args to literal values first (params substituted
+        // upstream — a surviving Param is a missing parameter)
+        val resolved: Either[String, List[Value]] =
+          args.foldRight(Right(Nil): Either[String, List[Value]]) {
+            case (Const(v), Right(acc)) => Right(v :: acc)
+            case (Param(n), _) =>
+              Left(s"missing parameter $$$n (supply it via params)")
+            case (_, acc @ Left(_)) => acc
+            case (other, _) =>
+              Left(s"call $proc() arguments must be literals, got $other")
+          }
+        def tpOfV(v: Value): AttribTp = v match {
+          case IntV(_) => IntT; case StringV(_) => StringT; case BoolV(_) => BoolT
+        }
+        def tpName(t: AttribTp): String = t match {
+          case IntT => "int"; case StringT => "string"; case BoolT => "bool"
+          case ListT(e) => s"list of ${tpName(e)}"
+        }
+        resolved.flatMap { vals =>
+          procSigs.get(proc) match {
+            case None =>
+              Left(s"unknown procedure $proc (registered: " +
+                s"${procSigs.keys.toList.sorted.mkString(", ")})")
+            case Some((sigs, _)) if !sigs.exists(_.size == vals.size) =>
+              val arities = sigs.map(_.size).distinct.sorted.mkString(" or ")
+              Left(s"call $proc() takes $arities argument(s), got ${vals.size}")
+            case Some((sigs, ny)) =>
+              val tps = vals.map(tpOfV)
+              val sized = sigs.filter(_.size == vals.size)
+              if (!sized.contains(tps)) {
+                val k = sized.head.indices
+                  .find(i => sized.forall(s => s(i) != tps(i))).getOrElse(0)
+                Left(s"call $proc() argument ${k + 1} must be " +
+                  s"${sized.map(s => tpName(s(k))).distinct.mkString(" or ")}, " +
+                  s"got ${tpName(tps(k))}")
+              } else if (yields.size != ny)
+                Left(s"call $proc() yields $ny column(s), got ${yields.size}")
+              else if (yields.distinct.size != yields.size)
+                Left(s"call $proc(): duplicate yield name(s)")
+              else {
+                // a relation-scope arg must name a DECLARED relation
+                // type — catch the typo at compile time, not as an
+                // empty result
+                val badRel = vals.collectFirst {
+                  case StringV(r) if !schema.relTypes.exists(_._2 == r) => r
+                }
+                badRel match {
+                  case Some(r) =>
+                    Left(s"call $proc(): unknown relation type :$r (declared: " +
+                      s"${schema.relTypes.map(_._2).toList.distinct.sorted.mkString(", ")})")
+                  case None =>
+                    yields.find(y => lookup(env, y).isDefined) match {
+                      case Some(y) =>
+                        Left(s"call $proc(): yield $y rebinds an existing variable")
+                      case None =>
+                        Right((RCallProc(proc, yields, vals),
+                          yields.reverse.map(y => (y, "%int")) ::: env))
+                    }
+                }
+              }
+          }
         }
 
       case IUnion(_) =>
@@ -1453,9 +1506,19 @@ object Typing {
     }
 
   /** Parse → normalize → typecheck, throwing on error. */
-  def compile(src: String): TypedProg =
-    typecheck(Normalize.normalize(Parser.parse(src))) match {
+  def compile(src: String): TypedProg = compile(src, Map.empty)
+
+  /** Parse → normalize → substitute `$name` query parameters →
+    * typecheck, throwing on error. Values substitute as typed literal
+    * constants ([[graft.lang.Params]]); unknown `$name`s raise a
+    * missing-parameter TypeError, mistyped values the ordinary typing
+    * error for their position. Extra map entries are ignored (a shared
+    * parameter set may serve many queries). */
+  def compile(src: String, params: Map[String, Value]): TypedProg = {
+    val np = Normalize.normalize(Parser.parse(src))
+    typecheck(np.copy(instrs = Params.subst(np.instrs, params))) match {
       case Right(tp) => tp
       case Left(e)   => throw TypeError(e)
     }
+  }
 }

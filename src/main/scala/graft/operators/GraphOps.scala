@@ -93,6 +93,13 @@ object GraphOps {
   private def bindings(q: String)(spark: SparkSession, dir: String): DataFrame =
     exec(spark, dir, q).bindings
 
+  /** Like [[bindings]] with `$name` query parameters (round 12). */
+  private def bindingsP(q: String, params: Map[String, graft.lang.Value])(
+      spark: SparkSession, dir: String): DataFrame = {
+    val (g, nextId) = GraphLoader.load(spark, dir)
+    Engine.runSourceOn(spark, header + q, g, nextId, cfg, params).bindings
+  }
+
   /** Program result = a post-mutation graph frame (for create/delete/set,
     * whose observable output is the graph, not the table). */
   private def nodeFrame(q: String, label: String, cols: (String, String)*)(
@@ -565,6 +572,25 @@ object GraphOps {
              |WHERE starts_with(r_name, 'A') OR ends_with(r_name, 'PE')
              |   OR (contains(n_name, '2') AND n_nationkey < 21)""".stripMargin)),
 
+    // regex matching `s =~ pat` (round 12 — Cypher's operator at the
+    // same comparison tier): compiles to Spark's codegen'd RLIKE (find
+    // semantics, java.util.regex); the oracle is DuckDB regexp_matches
+    // (RE2, also find semantics). The patterns below stay inside the
+    // shared dialect subset pinned at [[graft.lang.BSregex]] — anchors,
+    // classes, quantifiers, alternation — where both engines agree.
+    Q("gql_regex",
+      bindings(
+        """match (n:nation) -[:nregion]-> (r:region)
+          |where n.name =~ "^NATION_1[0-9]$" or r.name =~ "^A(FRI|SI)A$"
+          |   or not n.name =~ "_[0-9]+$"
+          |return n, r""".stripMargin),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |       CAST(r_regionkey AS BIGINT) + 1000000000 AS r
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |WHERE regexp_matches(n_name, '^NATION_1[0-9]$')
+             |   OR regexp_matches(r_name, '^A(FRI|SI)A$')
+             |   OR NOT regexp_matches(n_name, '_[0-9]+$')""".stripMargin)),
+
     // string functions compose with predicates and feed unwind's scalar
     // projection idiom (a 1-element list projects a computed value)
     Q("gql_str_fn",
@@ -856,6 +882,59 @@ object GraphOps {
           |order by rank desc, id
           |limit 100""".stripMargin),
       Some(callPrOracle)),
+
+    // degree("rel") — the RELATION-SCOPED procedure form (round 12):
+    // degrees count only the named relation's edges, so per-relation
+    // analytics ("how many customers per nation?") run without
+    // whole-graph noise. Nodes stay whole-graph (zeros elsewhere);
+    // the filter keeps the checked rows to the nation id band.
+    Q("gql_call_degree_rel",
+      bindings(
+        """call degree("cnation") yield id, outdeg, indeg
+          |where id.val >= 2000000000 and id.val < 3000000000
+          |return id, outdeg, indeg""".stripMargin),
+      Some("""SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS id,
+             |  CAST(0 AS BIGINT) AS outdeg,
+             |  CAST((SELECT count(*) FROM customer c
+             |        WHERE c.c_nationkey = nation.n_nationkey) AS BIGINT) AS indeg
+             |FROM nation""".stripMargin)),
+
+    // cc("rel") — components over ONE relation's subgraph: nregion
+    // yields one component per region (min id = the region node);
+    // every unscoped node is a singleton, filtered out by the id band.
+    Q("gql_call_cc_rel",
+      bindings(
+        """call cc("nregion") yield id, comp
+          |where comp.val < 2000000000
+          |return comp, count(id) as n""".stripMargin),
+      Some("""SELECT CAST(r_regionkey + 1000000000 AS BIGINT) AS comp,
+             |  CAST(1 + (SELECT count(*) FROM nation n
+             |            WHERE n.n_regionkey = region.r_regionkey) AS BIGINT) AS n
+             |FROM region""".stripMargin)),
+
+    // $name query parameters (round 12 — Cypher's `$param`): typed
+    // constants substituted BEFORE typing, so the parameterized filter
+    // is a foldable literal to Catalyst — same pushdown as a
+    // hand-written constant. The int, string, AND call-argument forms
+    // in one program.
+    Q("gql_param",
+      bindingsP(
+        """match (n:nation) -[:nregion]-> (r:region)
+          |where n.nationkey >= $lo and r.name starts with $pre
+          |return n, r""".stripMargin,
+        Map("lo" -> graft.lang.IntV(10), "pre" -> graft.lang.StringV("A"))),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS n,
+             |       CAST(r_regionkey AS BIGINT) + 1000000000 AS r
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |WHERE n_nationkey >= 10 AND starts_with(r_name, 'A')""".stripMargin)),
+
+    // …and a parameterized procedure argument: call bfs($src)
+    Q("gql_param_call",
+      bindingsP(
+        """call bfs($src) yield id, dist
+          |return dist, count(id) as n""".stripMargin,
+        Map("src" -> graft.lang.IntV(1000000000L))),
+      Some(callBfsOracle)),
 
     // toInteger (round 11): strict string→int parse (non-numeric
     // raises under ANSI — the strict flavor of Cypher's null); with

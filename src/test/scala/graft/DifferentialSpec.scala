@@ -117,6 +117,12 @@ class DifferentialSpec extends AnyFunSuite {
           // round 10: string predicates over function-wrapped operands
           s"${strExpr(1)} ${pick(Seq("starts with", "ends with", "contains"))} " +
             s"\"${pick(Seq("a", "al", "ta", "mm", "ET", "pad", ""))}\""
+        case 7 =>
+          // round 12: regex =~ (find semantics both sides — RefInterp
+          // Pattern.find vs Spark RLIKE, both java.util.regex)
+          // no backslash draws: the lexer bans `\` in string literals
+          s"${strExpr(1)} =~ " +
+            s"\"${pick(Seq("a", "^al", "t.a", "[ad]m*", "a+$$", "(be|ga)", "^$$", "[^x]{2}"))}\""
         // round 11: in-list membership, both polarities, string and int
         // element draws (elements are full expressions)
         case 8 if svars.nonEmpty =>

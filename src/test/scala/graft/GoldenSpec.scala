@@ -267,6 +267,36 @@ class GoldenSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("regex =~: find semantics, metacharacters, composition (round 12)") {
+    val src =
+      """(:N {x int, s string})
+        |create (a:N {x: 1, s: "Alpha One"})
+        |create (b:N {x: 2, s: " beta "})
+        |create (c:N {x: 3, s: "a1b22c"})
+        |""".stripMargin
+    def xs(q: String): Seq[Long] =
+      Engine.runSource(spark, src + q).bindings.collect().map(_.getLong(0)).sorted.toSeq
+    // FIND semantics: unanchored pattern matches anywhere in the subject
+    assert(xs("match (n:N)\nwhere n.s =~ \"a\"\nreturn n.x") == Seq(1L, 2L, 3L))
+    // anchors turn find into full/prefix/suffix match
+    assert(xs("match (n:N)\nwhere n.s =~ \"^a\"\nreturn n.x") == Seq(3L))
+    assert(xs("match (n:N)\nwhere n.s =~ \"^a1b2+c$\"\nreturn n.x") == Seq(3L))
+    // `.` is a metacharacter (any char), classes + alternation work
+    assert(xs("match (n:N)\nwhere n.s =~ \"A.pha\"\nreturn n.x") == Seq(1L))
+    assert(xs("match (n:N)\nwhere n.s =~ \"[0-9][0-9]\"\nreturn n.x") == Seq(3L))
+    assert(xs("match (n:N)\nwhere n.s =~ \"(One|beta)\"\nreturn n.x") == Seq(1L, 2L))
+    // case-sensitive by default; composes with functions and not
+    assert(xs("match (n:N)\nwhere n.s =~ \"one\"\nreturn n.x") == Seq())
+    assert(xs("match (n:N)\nwhere lower(n.s) =~ \"one$\"\nreturn n.x") == Seq(1L))
+    assert(xs("match (n:N)\nwhere not n.s =~ \"[0-9]\"\nreturn n.x") == Seq(1L, 2L))
+    // a malformed pattern raises loudly rather than returning false
+    val bad = intercept[Exception] {
+      Engine.runSource(spark, src +
+        "match (n:N)\nwhere n.s =~ \"[unclosed\"\nreturn n.x").bindings.collect()
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("expression projection: with items, conditional aggregation, expr order keys") {
     val src =
       """(:N {x int, s string})

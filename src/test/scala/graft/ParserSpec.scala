@@ -368,6 +368,18 @@ class ParserSpec extends AnyFunSuite {
     val v = Parser.parse(header + "create (starts:P)\ncreate (contains:P)\nreturn starts, contains")
     assert(v.query.clauses.collect { case Return(vs) => vs }.flatten ==
       List("starts", "contains"))
+    // `=~` sits at the same comparison tier: `and` binds looser, `+`
+    // binds tighter ((p.s + "x") =~ …) and (…)
+    val r = whereExpr(header +
+      "create (a:P)\nset a.s = \"ab\"\nmatch (p:P)\nwhere p.s + \"x\" =~ \"a.*\" and p.s =~ \"b+\"")
+    r match {
+      case Typing.TBin(BLand,
+        Typing.TBin(BSregex, Typing.TBin(BAadd, _, _, _), _, _),
+        Typing.TBin(BSregex, _, _, _), _) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    // `= ~` does not exist: the two-char lex wins only on adjacency
+    intercept[Exception](Parser.parse(header + "match (p:P)\nwhere p.s = ~ \"a\"\nreturn p"))
   }
 
   test("string functions and case parse; case demands then/else/end") {
@@ -648,11 +660,20 @@ class ParserSpec extends AnyFunSuite {
     assert(p.query.clauses.head == CallProc("degree", List("id", "o", "n")))
     // int-literal arguments
     val b = Parser.parse(header + "call bfs(1000000000) yield id, d\nreturn d")
-    assert(b.query.clauses.head == CallProc("bfs", List("id", "d"), List(1000000000L)))
-    // yield keyword and the () are mandatory; args are int literals
+    assert(b.query.clauses.head ==
+      CallProc("bfs", List("id", "d"), List(Const(IntV(1000000000L)))))
+    // string-literal and $param arguments (round 12)
+    val s = Parser.parse(header + "call degree(\"r\") yield id, o, n\nreturn id")
+    assert(s.query.clauses.head ==
+      CallProc("degree", List("id", "o", "n"), List(Const(StringV("r")))))
+    val q = Parser.parse(header + "call bfs($src) yield id, d\nreturn d")
+    assert(q.query.clauses.head ==
+      CallProc("bfs", List("id", "d"), List(Param("src"))))
+    // yield keyword and the () are mandatory; args are literals only
     intercept[Parser.ParseError](Parser.parse(header + "call degree() return x"))
     intercept[Parser.ParseError](Parser.parse(header + "call degree yield a\nreturn a"))
     intercept[Parser.ParseError](Parser.parse(header + "call bfs(x) yield a, b\nreturn a"))
+    intercept[Parser.ParseError](Parser.parse(header + "call bfs(1 + 2) yield a, b\nreturn a"))
     // a variable named call still works everywhere BUT clause position
     val v = Parser.parse(header + "create (call:P)\nwhere call.x = 1\nreturn call")
     assert(v.query.clauses.collect { case Return(vs) => vs }.flatten == List("call"))

@@ -525,6 +525,8 @@ object RefInterp {
           case BSstarts   => BoolV(a.startsWith(b))
           case BSends     => BoolV(a.endsWith(b))
           case BScontains => BoolV(a.contains(b))
+          // find semantics, same as Spark RLIKE (both java.util.regex)
+          case BSregex    => BoolV(java.util.regex.Pattern.compile(b).matcher(a).find())
           case _ => throw new IllegalStateException(s"bad string op $op")
         }
         case (BoolV(a), BoolV(b)) => op match {

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.lang.Typing
+import graft.lang.{Value, IntV, StringV, BoolV}
 
 /** Negative corpus (SURVEY.md §5.2(2)): one test per distinct analysis
   * error class of the reference type checker (typing.ml:57-98, 128-163,
@@ -678,6 +679,15 @@ class TypingSpec extends AnyFunSuite {
         |where lower(a.s) ends with trim(" x ") and size(upper(a.s)) > 1
         |set a.x = case when a.s contains "q" then size(a.s) else a.x end
         |return a""".stripMargin)
+    // regex `=~` is string × string → bool like the other predicates
+    Typing.compile(header +
+      "match (a:P)\nwhere a.s =~ \"^a[bc]+$\" and not a.s =~ lower(a.s)\nreturn a")
+    assert(err(header + "match (a:P)\nwhere a.x =~ \"1\"\nreturn a")
+      .contains("requires string operands"))
+    assert(err(header + "match (a:P)\nwhere a.s =~ a.x\nreturn a")
+      .contains("requires string operands"))
+    assert(err(header + "match (a:P)\nwhere (a.s =~ \"a\") =~ \"b\"\nreturn a")
+      .contains("requires string operands"))
   }
 
   test("expression projection items: typed aliases, agg args") {
@@ -899,21 +909,64 @@ class TypingSpec extends AnyFunSuite {
     Typing.compile(header +
       "call degree() yield id, o, n\nwhere o.val + n.val > 0\nreturn id, o")
     Typing.compile(header + "call cc() yield id, comp\nreturn comp, count(id) as k")
-    assert(err(header + "call pagerank() yield a, b\nreturn a")
+    Typing.compile(header +
+      "call pagerank() yield id, rank\nreturn rank, count(id) as k")
+    assert(err(header + "call nope() yield a, b\nreturn a")
       .contains("unknown procedure"))
     // parameterized form: bfs takes exactly one int argument
     Typing.compile(header +
       "call bfs(1000000000) yield id, dist\nreturn dist, count(id) as k")
     assert(err(header + "call bfs() yield id, dist\nreturn id")
       .contains("takes 1 argument(s)"))
+    // degree/cc take an OPTIONAL relation-name string (round 12): a
+    // non-string single arg is a type error, two args an arity error,
+    // an undeclared relation name a compile error
     assert(err(header + "call degree(7) yield a, b, c\nreturn a")
-      .contains("takes 0 argument(s)"))
+      .contains("argument 1 must be string, got int"))
+    assert(err(header + "call degree(\"x\", \"y\") yield a, b, c\nreturn a")
+      .contains("takes 0 or 1 argument(s), got 2"))
+    assert(err(header + "call cc(\"nosuchrel\") yield id, comp\nreturn comp")
+      .contains("unknown relation type :nosuchrel"))
+    assert(err(header + "call bfs(\"emp\") yield id, dist\nreturn id")
+      .contains("argument 1 must be int, got string"))
+    // positive: scoping to the declared relation compiles
+    Typing.compile(header +
+      "call degree(\"r\") yield id, o, n\nreturn id, o, n")
+    Typing.compile(header + "call cc(\"r\") yield id, comp\nreturn comp")
     assert(err(header + "call degree() yield a, b\nreturn a")
       .contains("yields 3 column(s)"))
     assert(err(header + "call cc() yield a, a\nreturn a")
       .contains("duplicate yield"))
     assert(err(header + "match (x:P)\ncall cc() yield x, c\nreturn c")
       .contains("rebinds an existing variable"))
+  }
+
+  test("query parameters: substitute as typed constants (round 12)") {
+    val ps = Map[String, Value]("lo" -> IntV(5), "pre" -> StringV("ab"),
+      "flag" -> BoolV(true), "src" -> IntV(42))
+    def ok(q: String): Unit =
+      Typing.compile(header + q, ps): Unit
+    def perr(q: String): String =
+      intercept[Typing.TypeError](Typing.compile(header + q, ps)).getMessage
+    // params work anywhere an expression is legal, typed by their value
+    ok("match (a:P)\nwhere a.x > $lo and a.s starts with $pre\nreturn a")
+    ok("match (a:P)\nwhere $flag or a.x = 0\nset a.x = $lo + 1\nreturn a")
+    ok("create (a:P {x: $lo, s: $pre})\nreturn a")
+    ok("call bfs($src) yield id, dist\nreturn dist, count(id) as k")
+    // missing parameter is a compile error, not a NULL
+    assert(perr("match (a:P)\nwhere a.x > $nope\nreturn a")
+      .contains("missing parameter $nope"))
+    assert(perr("call bfs($nope) yield id, dist\nreturn id")
+      .contains("missing parameter $nope"))
+    // mistyped parameter fails with the ordinary typing error
+    assert(perr("match (a:P)\nwhere a.x > $pre\nreturn a")
+      .contains("requires int operands"))
+    assert(perr("match (a:P)\nwhere a.s contains $lo\nreturn a")
+      .contains("requires string operands"))
+    assert(perr("call bfs($pre) yield id, dist\nreturn id")
+      .contains("argument 1 must be int, got string"))
+    // extra params are ignored; empty map means plain compile
+    Typing.compile(header + "match (a:P)\nreturn a", ps): Unit
   }
 
   test("split/slice: string-only split, int slice bounds on a list") {
