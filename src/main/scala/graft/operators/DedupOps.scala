@@ -95,6 +95,55 @@ object DedupOps {
              |FROM b WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.th = b.th)
              |GROUP BY th""".stripMargin)),
 
+    // ---- incremental dedup with store INGESTION (round 12) ------------
+    // The WRITABLE half of the continuous-crawl loop: after a batch is
+    // deduped, its surviving hashes are APPENDED to the bucketed store
+    // so the next batch dedups against them. insertInto on a bucketed
+    // table writes NEW bucket-aligned files only — the store's existing
+    // files (the 100 TB side) are never rewritten, re-read, or
+    // re-exchanged by the append; the appended batch is hashed into its
+    // buckets at write time, one batch-sized write per day forever.
+    // Naturally idempotent: a re-run's survivors are already stored, so
+    // the anti-join leaves nothing to append. The fingerprint is the
+    // SORTED-VOCABULARY hash (md5 of the doc's distinct words, sorted,
+    // space-joined) — the order-insensitive exact-dedup key that
+    // catches reshuffled/reordered copies a raw byte hash misses (and
+    // the corpus actually contains cross-batch vocabulary duplicates,
+    // so the loop's visibility is testable). Here: history (doc_id%10
+    // < 8) seeds the store, batch 1 (=8) is deduped AND ingested, and
+    // the output is batch 2 (=9) deduped against history ∪ batch 1 —
+    // batch-2-sees-batch-1 is the loop closing.
+    Q("p_dedup_incremental_ingest",
+      (s, dir) => {
+        val fp = md5(array_join(
+          array_sort(array_distinct(split(col("text"), " "))), " ")).as("th")
+        val ft = bucketedTable(s, "graft_bkt_fp_live", dir, "th", 16)(
+          docs(s, dir).filter(col("doc_id") % 10 < 8).select(fp).distinct())
+        val b1Survivors = docs(s, dir).filter(col("doc_id") % 10 === 8)
+          .select(fp).distinct()
+          .hint("merge")
+          .join(s.table(ft), Seq("th"), "left_anti")
+        b1Survivors.write.mode("append").insertInto(ft)
+        docs(s, dir).filter(col("doc_id") % 10 === 9)
+          .select(col("doc_id"), fp)
+          .hint("merge")
+          .join(s.table(ft), Seq("th"), "left_anti")
+          .groupBy(col("th").as("vocab_hash"))
+          .agg(min(col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n_batch_copies"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS th
+             |  FROM documents),
+             |h AS (SELECT DISTINCT th FROM d WHERE doc_id % 10 < 8),
+             |b1 AS (SELECT DISTINCT th FROM d WHERE doc_id % 10 = 8),
+             |h2 AS (SELECT th FROM h UNION SELECT th FROM b1),
+             |b2 AS (SELECT doc_id, th FROM d WHERE doc_id % 10 = 9)
+             |SELECT th AS vocab_hash, min(doc_id) AS keep_id,
+             |       count(*) AS n_batch_copies
+             |FROM b2 WHERE NOT EXISTS (SELECT 1 FROM h2 WHERE h2.th = b2.th)
+             |GROUP BY th""".stripMargin)),
+
     // ---- asymmetric n-gram containment: sub-document duplication ------
     // containment(a in b) = |A ∩ B| / |A| — catches a document embedded
     // inside a larger one, which symmetric Jaccard dilutes. Same shingle

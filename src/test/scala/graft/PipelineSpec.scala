@@ -984,6 +984,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental ingest: batch 2 sees batch 1's survivors; re-run is a no-op") {
+    import spark.implicits._
+    // first run builds the store (history = doc_id%10<8), ingests batch
+    // 1 (=8), and dedups batch 2 (=9) against history ∪ batch 1
+    val out1 = run("p_dedup_incremental_ingest")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // batch-2-sees-batch-1: no surviving batch-2 hash may exist in
+    // batch 1 (the plain store-less anti-join against history alone
+    // WOULD keep them — that difference is the ingested delta)
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val vocabFp = md5(array_join(
+      array_sort(array_distinct(split(col("text"), " "))), " "))
+    val b1Hashes = docsDf.filter(col("doc_id") % 10 === 8)
+      .select(vocabFp).as[String].collect().toSet
+    assert(out1.nonEmpty)
+    assert(!out1.exists { case (th, _) => b1Hashes.contains(th) },
+      "a batch-2 survivor duplicates a batch-1 hash: ingest not visible")
+    // …and the delta is non-trivial at this SF: some batch-2 hash IS in
+    // batch 1 and got suppressed (otherwise this test pins nothing)
+    val b2 = docsDf.filter(col("doc_id") % 10 === 9)
+      .select(vocabFp).as[String].collect().toSet
+    assert((b2 intersect b1Hashes).nonEmpty,
+      "test data has no cross-batch duplicate; pin is vacuous")
+    // idempotency: a second run appends nothing and returns the same set
+    val out2 = run("p_dedup_incremental_ingest")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out2 == out1, "re-run changed the result: ingest not idempotent")
+    // the store grew by exactly batch 1's survivor count (distinct
+    // hashes not in history), not by the re-run
+    val hist = docsDf.filter(col("doc_id") % 10 < 8)
+      .select(vocabFp).as[String].collect().toSet
+    val storeName = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_bkt_fp_live_")).head
+    val storeN = spark.table(storeName).count()
+    assert(storeN == hist.size + (b1Hashes -- hist).size,
+      s"store has $storeN hashes, expected history ${hist.size} + delta ${(b1Hashes -- hist).size}")
+  }
+
   test("entropy is bounded by ln(n_uniq) and agrees with p_text_stats' vocabulary") {
     val stats = run("p_text_stats").collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     run("p_text_entropy").collect().foreach { r =>

@@ -497,6 +497,18 @@ class PlanSpec extends AnyFunSuite {
       s"the bucketed fingerprint store should not re-exchange on th:\n$p")
   }
 
+  test("incremental ingest keeps the store exchange-free through the append") {
+    // same discipline as the read-only op, now with the store having
+    // been APPENDED to: the post-ingest batch-2 anti-join must still
+    // read the store bucket-aligned (at most the batch side exchanges
+    // on th), proving insertInto preserved the bucket layout
+    val p = plan("p_dedup_incremental_ingest")
+    assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"),
+      s"expected a sort-merge anti join over the bucketed store in:\n$p")
+    assert("Exchange hashpartitioning\\(th".r.findAllIn(p).size <= 1,
+      s"the bucketed fingerprint store should not re-exchange on th:\n$p")
+  }
+
   test("bucketed join reads co-located buckets with no join-key exchange") {
     val p = plan("q_join_bucketed")
     assert(p.contains("SortMergeJoin"), s"expected SMJ over buckets in:\n$p")
