@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import PipeData._
 
@@ -36,7 +37,149 @@ object TextOps {
     s"len(list_filter(ws, w -> $preds))"
   }
 
+  // ---- byte-pair encoding (round 12) ---------------------------------
+  // The canonical training-data tokenization kernel. Training never
+  // touches the corpus more than once: the ONLY corpus-wide job is the
+  // word-frequency aggregate (map-side combinable — at 100 TB it is a
+  // scan plus one shuffle of the distinct-word table), and each of the K
+  // merge rounds is one tiny aggregate over that vocabulary table with a
+  // 1-row argmax collect — the documented driver-loop shape. Encoding is
+  // pure per-row string work (K chained codegen'd replaces inside a
+  // higher-order transform), zero shuffles.
+  //
+  // Tokenization state of a word is its SPACED form " c h a r s " —
+  // tokens separated and flanked by single spaces — so applying a merge
+  // (a, b) is exactly one literal string replace of " a b " with " ab ".
+  // Replace is single-pass, left-to-right, non-overlapping, resuming
+  // AFTER each replacement — identical semantics in Spark and DuckDB.
+  // Documented deviation from strict greedy BPE: inside a run of
+  // immediately-repeating symbols ("a a a a"), adjacent matches share
+  // their boundary space, so the single pass merges the 1st+2nd and
+  // 4th+5th tokens where strict greedy would take 3rd+4th — a different
+  // but equally deterministic canonical form, replayed bit-identically
+  // by the oracle.
+
+  private val bpeK = 8
+
+  /** Spaced-token form of word `w`: `" c h a r s "`. Built with a
+    * regexp_replace (each char → "char "), identical in both engines. */
+  private def spaced(w: Column): Column =
+    concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
+
+  /** Train: the K merge pairs in rank order (ties broken by pair string
+    * ascending). One corpus pass + K vocabulary-table aggregates. */
+  private[operators] def bpeTrain(s: SparkSession, dir: String): Seq[(String, String)] = {
+    val wf0 = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(spaced(col("w")).as("toks"), col("freq"))
+      .cache()
+    var wf: DataFrame = wf0
+    val merges = Seq.newBuilder[(String, String)]
+    for (_ <- 1 to bpeK) {
+      val ts = split(trim(col("toks")), " ")
+      val top = wf
+        .select(explode(zip_with(
+          slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+          (x, y) => concat(x, lit(" "), y))).as("p"), col("freq"))
+        .groupBy("p").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("p").asc)
+        .limit(1).collect()
+      require(top.nonEmpty, "bpe train: corpus exhausted before K merges")
+      val Array(a, b) = top(0).getString(0).split(" ", 2)
+      merges += ((a, b))
+      wf = wf.withColumn("toks",
+        regexp_replace(col("toks"), lit(java.util.regex.Pattern.quote(s" $a $b ")),
+          lit(java.util.regex.Matcher.quoteReplacement(s" $a$b "))))
+    }
+    wf0.unpersist()
+    merges.result()
+  }
+
+  /** SQL expression encoding one word column `w` with the trained
+    * merges: spaced form, then the K replaces in rank order. */
+  private def encodeSql(merges: Seq[(String, String)], w: String): String =
+    merges.foldLeft(s"concat(' ', regexp_replace($w, '(.)', '$$1 '))") {
+      case (acc, (a, b)) => s"replace($acc, ' $a $b ', ' $a$b ')"
+    }
+
+  /** The train CTE chain shared by both DuckDB oracles: w0 (spaced
+    * word-frequency table), then per round k the pair counts `c{k}`, the
+    * argmax `m{k}`, and the merged table `w{k}`. */
+  private def bpeTrainCtes: String = {
+    // MATERIALIZED throughout: each round references its predecessor
+    // twice (pair count + merge application), so inlined CTEs would
+    // re-derive the whole chain exponentially
+    val w0 =
+      """w0 AS MATERIALIZED (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS toks,
+        |              count(*) AS freq
+        |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |       GROUP BY w)""".stripMargin
+    val rounds = (1 to bpeK).map { k =>
+      s"""c$k AS MATERIALIZED (SELECT p, sum(freq) AS n FROM (
+         |  SELECT unnest(list_transform(range(1, len(ts)),
+         |           i -> ts[i] || ' ' || ts[i+1])) AS p, freq
+         |  FROM (SELECT string_split(trim(toks), ' ') AS ts, freq FROM w${k - 1}))
+         |  GROUP BY p),
+         |m$k AS MATERIALIZED (SELECT p FROM c$k ORDER BY n DESC, p LIMIT 1),
+         |w$k AS MATERIALIZED (SELECT replace(toks, ' ' || (SELECT p FROM m$k) || ' ',
+         |          ' ' || replace((SELECT p FROM m$k), ' ', '') || ' ') AS toks,
+         |          freq FROM w${k - 1})""".stripMargin
+    }
+    (w0 +: rounds).mkString(",\n")
+  }
+
+  private lazy val bpeTrainOracle: String = {
+    val ranks = (1 to bpeK).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, p AS pair, replace(p, ' ', '') AS merged FROM m$k")
+    s"WITH $bpeTrainCtes\n${ranks.mkString("\nUNION ALL\n")}"
+  }
+
+  private lazy val bpeEncodeOracle: String = {
+    val enc0 =
+      """enc0 AS MATERIALIZED (SELECT doc_id, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS toks
+        |         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |               FROM documents))""".stripMargin
+    val encs = (1 to bpeK).map { k =>
+      s"""enc$k AS MATERIALIZED (SELECT doc_id, replace(toks, ' ' || (SELECT p FROM m$k) || ' ',
+         |  ' ' || replace((SELECT p FROM m$k), ' ', '') || ' ') AS toks FROM enc${k - 1})"""
+        .stripMargin
+    }
+    s"""WITH $bpeTrainCtes,
+       |$enc0,
+       |${encs.mkString(",\n")}
+       |SELECT doc_id,
+       |       CAST(sum(len(string_split(trim(toks), ' '))) AS BIGINT) AS n_tokens,
+       |       CAST(count(*) AS BIGINT) AS n_words
+       |FROM enc$bpeK GROUP BY doc_id""".stripMargin
+  }
+
   val all: List[Q] = List(
+
+    // ---- BPE train: the merge vocabulary as a table --------------------
+    Q("p_text_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        bpeTrain(s, dir).zipWithIndex
+          .map { case ((a, b), i) => (i + 1L, s"$a $b", s"$a$b") }
+          .toDF("rank", "pair", "merged")
+      },
+      Some(bpeTrainOracle)),
+
+    // ---- BPE encode: per-document token counts --------------------------
+    // transform() maps the encoder over each document's words in place;
+    // aggregate() folds the counts — all inside one projection, so the
+    // whole encode is a parquet scan at whole-stage-codegen speed.
+    Q("p_text_bpe_encode",
+      (s, dir) => {
+        val enc = encodeSql(bpeTrain(s, dir), "w")
+        docs(s, dir).select(col("doc_id"),
+          expr(s"""aggregate(transform(split(text, ' '),
+                     w -> cast(size(split(trim($enc), ' ')) as bigint)),
+                   cast(0 as bigint), (acc, x) -> acc + x)""").as("n_tokens"),
+          size(split(col("text"), " ")).cast("long").as("n_words"))
+      },
+      Some(bpeEncodeOracle)),
 
     // ---- token statistics --------------------------------------------
     Q("p_text_stats",

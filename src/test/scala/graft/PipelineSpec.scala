@@ -1022,6 +1022,43 @@ class PipelineSpec extends AnyFunSuite {
       s"store has $storeN hashes, expected history ${hist.size} + delta ${(b1Hashes -- hist).size}")
   }
 
+  test("bpe: decode(encode(w)) = w for every word; counts bounded; vocab sane") {
+    // vocab table: K ranked merges, merged = pair with the space removed
+    val vocab = run("p_text_bpe_train").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(vocab.map(_._1).toSeq == (1L to vocab.length).toSeq)
+    vocab.foreach { case (_, pair, merged) =>
+      assert(pair.count(_ == ' ') == 1 && pair.replace(" ", "") == merged,
+        s"malformed merge: '$pair' -> '$merged'")
+    }
+    // ranks must be distinct merges (training can't emit the same pair twice)
+    assert(vocab.map(_._2).distinct.length == vocab.length)
+    // ROUNDTRIP: encoding only moves token boundaries — stripping the
+    // separators reconstructs the original word, for EVERY word. The
+    // encoder expression here is the op's own (same merges, same order).
+    val merges = vocab.map(v => (v._2.split(" ")(0), v._2.split(" ")(1)))
+    val enc = merges.foldLeft("concat(' ', regexp_replace(w, '(.)', '$1 '))") {
+      case (acc, (a, b)) => s"replace($acc, ' $a $b ', ' $a$b ')"
+    }
+    val bad = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(expr(s"replace($enc, ' ', '')") =!= col("w"))
+      .count()
+    assert(bad == 0L, s"$bad words fail decode(encode(w)) = w")
+    // token counts: compression is real but lossless — per doc,
+    // n_words <= n_tokens <= n_chars-without-spaces, strictly less than
+    // chars somewhere (the merges fired)
+    val counts = run("p_text_bpe_encode").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val chars = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), (col("n_chars") - (size(split(col("text"), " ")) - 1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    counts.foreach { case (id, nt, nw) =>
+      assert(nw <= nt && nt <= chars(id), s"doc $id: n_words=$nw n_tokens=$nt chars=${chars(id)}")
+    }
+    assert(counts.exists { case (id, nt, _) => nt < chars(id) }, "no merge ever fired")
+  }
+
   test("entropy is bounded by ln(n_uniq) and agrees with p_text_stats' vocabulary") {
     val stats = run("p_text_stats").collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     run("p_text_entropy").collect().foreach { r =>
