@@ -157,7 +157,8 @@ object Engine {
   private final case class PExpandPath(
       key: (String, String, String), lo: Int, hi: Int, boundVar: String,
       newVar: String, newIsDst: Boolean,
-      distVar: Option[String] = None, undir: Boolean = false) extends PhysOp
+      distVar: Option[String] = None, undir: Boolean = false,
+      pathVar: Option[String] = None) extends PhysOp
 
   private def compilePlan(instrs: List[RInstr], cfg: Config): List[PhysOp] =
     if (!cfg.expandPaths) instrs.map(PExec)
@@ -183,12 +184,12 @@ object Engine {
       case RMatchNode(v, _) :: RMatchEdgeAlt(sv, _, tv, _, frames) :: rest
           if sv == v && tv != v =>
         PExpandAlt(frames, tv, v, newIsTv = false) :: compilePlan(rest, cfg)
-      case RMatchNode(v, _) :: RVarPath(sv, key, lo, hi, tv, dist, undir) :: rest
+      case RMatchNode(v, _) :: RVarPath(sv, key, lo, hi, tv, dist, undir, pathV) :: rest
           if tv == v && sv != v =>
-        PExpandPath(key, lo, hi, sv, v, newIsDst = true, dist, undir) :: compilePlan(rest, cfg)
-      case RMatchNode(v, _) :: RVarPath(sv, key, lo, hi, tv, dist, undir) :: rest
+        PExpandPath(key, lo, hi, sv, v, newIsDst = true, dist, undir, pathV) :: compilePlan(rest, cfg)
+      case RMatchNode(v, _) :: RVarPath(sv, key, lo, hi, tv, dist, undir, pathV) :: rest
           if sv == v && tv != v =>
-        PExpandPath(key, lo, hi, tv, v, newIsDst = false, dist, undir) :: compilePlan(rest, cfg)
+        PExpandPath(key, lo, hi, tv, v, newIsDst = false, dist, undir, pathV) :: compilePlan(rest, cfg)
       case i :: rest => PExec(i) :: compilePlan(rest, cfg)
       case Nil       => Nil
     }
@@ -297,25 +298,29 @@ object Engine {
           .drop(eS)
         st = st.copy(bindings = joinedA, env = (newVar, c) :: st.env,
           freshCounter = st.freshCounter + 1)
-      case PExpandPath(key, lo, hi, boundVar, newVar, newIsDst, distVar, undir) =>
+      case PExpandPath(key, lo, hi, boundVar, newVar, newIsDst, distVar, undir, pathVar) =>
         val c = fresh(st)
         val eS = s"${c}_src"
         val cD = s"${c}_d"
+        val cP = s"${c}_p"
         // expand the closure FROM the bound side's distinct values —
         // work scales with the seeds' reached frontier, not the
         // relation's full closure (see varPathReachSeeded)
         val seeds = st.bindings.select(col(st.colOf(boundVar)).as("seed")).distinct()
         val rdf0 = varPathReachSeeded(st.graph, key, lo, hi, seeds,
-          seedIsSrc = newIsDst, dist = distVar.nonEmpty, undir = undir)
+          seedIsSrc = newIsDst, dist = distVar.nonEmpty, undir = undir,
+          path = pathVar.nonEmpty)
         val endpointCols = Seq(col("src").as(if (newIsDst) eS else c),
           col("dst").as(if (newIsDst) c else eS))
         val rdf = rdf0.select(
-          endpointCols ++ distVar.map(_ => col("hops").as(cD)): _*)
+          endpointCols ++ distVar.map(_ => col("hops").as(cD)) ++
+            pathVar.map(_ => col("path").as(cP)): _*)
         val joined = st.bindings
           .join(rdf, col(st.colOf(boundVar)) === col(eS))
           .drop(eS)
         st = st.copy(bindings = joined,
-          env = distVar.map(d => (d, cD)).toList ::: (newVar, c) :: st.env,
+          env = pathVar.map(p => (p, cP)).toList :::
+            distVar.map(d => (d, cD)).toList ::: (newVar, c) :: st.env,
           freshCounter = st.freshCounter + 1)
       }
       // unit-ness survives nothing: even a constant where filters the row
@@ -808,37 +813,43 @@ object Engine {
       st.copy(bindings = st.bindings.join(witness, cond, "left_anti"),
         freshCounter = sub.freshCounter)
 
-    case RVarPath(sv, key, lo, hi, tv, dist, undir) =>
+    case RVarPath(sv, key, lo, hi, tv, dist, undir, pathV) =>
       // Both endpoints are bound (normalize emits the node instruction
       // first); constrain existing rows to pairs in the bounded closure.
       // both sides bound: seed the closure from the source side's
       // distinct values (either side works; src keeps the expansion
       // forward), then re-constrain both endpoints as before
       val seeds = st.bindings.select(col(st.colOf(sv)).as("seed")).distinct()
-      dist match {
-        case None =>
-          val reach = varPathReachSeeded(st.graph, key, lo, hi, seeds,
-            seedIsSrc = true, dist = false, undir = undir)
-          val joined = st.bindings.join(reach,
-            st.bindings(st.colOf(sv)) === reach("src") &&
-              st.bindings(st.colOf(tv)) === reach("dst"),
-            "left_semi")
-          st.copy(bindings = joined)
-        case Some(d) =>
-          // same row filter, but each surviving row additionally binds
-          // the pair's minimal hop count — an inner equi-join against
-          // the (src, dst, hops) frame (exactly one hops per pair, so
-          // row multiplicity is unchanged vs the semi join)
-          val c = fresh(st)
-          val reach = varPathReachSeeded(st.graph, key, lo, hi, seeds,
-            seedIsSrc = true, dist = true, undir = undir)
-            .select(col("src"), col("dst"), col("hops").as(c))
-          val joined = st.bindings.join(reach,
-            st.bindings(st.colOf(sv)) === reach("src") &&
-              st.bindings(st.colOf(tv)) === reach("dst"))
-            .drop("src", "dst")
-          st.copy(bindings = joined, env = (d, c) :: st.env,
-            freshCounter = st.freshCounter + 1)
+      if (dist.isEmpty && pathV.isEmpty) {
+        val reach = varPathReachSeeded(st.graph, key, lo, hi, seeds,
+          seedIsSrc = true, dist = false, undir = undir)
+        val joined = st.bindings.join(reach,
+          st.bindings(st.colOf(sv)) === reach("src") &&
+            st.bindings(st.colOf(tv)) === reach("dst"),
+          "left_semi")
+        st.copy(bindings = joined)
+      } else {
+        // same row filter, but each surviving row additionally binds
+        // the pair's minimal hop count and/or canonical witness list —
+        // an inner equi-join against the (src, dst, hops[, path]) frame
+        // (exactly one row per pair, so row multiplicity is unchanged
+        // vs the semi join)
+        val cD = dist.map(_ => fresh(st))
+        val cP = pathV.map(_ => s"${fresh(st)}_p")
+        val reach0 = varPathReachSeeded(st.graph, key, lo, hi, seeds,
+          seedIsSrc = true, dist = dist.nonEmpty, undir = undir,
+          path = pathV.nonEmpty)
+        val reach = reach0.select(
+          col("src") +: col("dst") +:
+            (cD.map(c => col("hops").as(c)).toSeq ++
+              cP.map(c => col("path").as(c)).toSeq): _*)
+        val joined = st.bindings.join(reach,
+          st.bindings(st.colOf(sv)) === reach("src") &&
+            st.bindings(st.colOf(tv)) === reach("dst"))
+          .drop("src", "dst")
+        st.copy(bindings = joined,
+          env = pathV.zip(cP).toList ::: dist.zip(cD).toList ::: st.env,
+          freshCounter = st.freshCounter + 1)
       }
 
     case RWhere(te) =>
@@ -1273,36 +1284,58 @@ object Engine {
   private[graft] def varPathReachSeeded(graph: PropertyGraph,
       key: (String, String, String), lo: Int, hi: Int,
       seeds: DataFrame, seedIsSrc: Boolean, dist: Boolean,
-      undir: Boolean = false): DataFrame = {
+      undir: Boolean = false, path: Boolean = false): DataFrame = {
     // undirected closure (`-[:r*lo..hi]-`): walk the SYMMETRIZED edge
     // relation — each declared edge usable in either direction. No base
     // dedup (reciprocal pairs duplicate only until the depth-1 frontier's
     // pair dedup); the seedIsSrc flip is then a semantic no-op but kept
     // so the output orientation logic below stays untouched.
+    //
+    // `path` (round 12, named paths): additionally carry ONE canonical
+    // witness node-id list per (src, dst) pair — the lexicographically
+    // smallest among the MINIMAL-hop walks, in STORAGE src→dst order
+    // regardless of which side seeds (append when walking forward,
+    // prepend when walking reversed, so the stored array is always
+    // storage-ordered and the per-level lex-min prune is canonical by
+    // prefix-optimality: a lex-min k-hop walk's pruned sub-walk is
+    // itself lex-min for its endpoints). Arrays ride the same frontier
+    // frames; dedup becomes a groupBy min instead of dropDuplicates —
+    // same single shuffle per level.
     val raw0 = graph.edges(key).select(col("src"), col("dst"))
     val raw =
       if (undir) raw0.unionByName(raw0.select(col("dst").as("src"), col("src").as("dst")))
       else raw0
     val edges = if (seedIsSrc) raw else raw.select(col("dst").as("src"), col("src").as("dst"))
     val identLabel = if (seedIsSrc) key._1 else key._3
+    val withHops = dist || path
     val ident =
       if (lo == 0) Some {
         val self = seeds
           .join(graph.nodes(identLabel).select(col("id").as("seed")), Seq("seed"), "left_semi")
-        if (dist) self.select(col("seed").as("src"), col("seed").as("dst"), lit(0L).as("hops"))
-        else self.select(col("seed").as("src"), col("seed").as("dst"))
+        self.select(
+          Seq(col("seed").as("src"), col("seed").as("dst")) ++
+            (if (withHops) Seq(lit(0L).as("hops")) else Nil) ++
+            (if (path) Seq(array(col("seed")).as("path")) else Nil): _*)
       }
       else None
+    // per-level pair dedup: plain distinct, or the canonical lex-min
+    // witness when paths ride along (all walks at one level share the
+    // hop count, so min(path) alone is the right tie-break here)
+    def dedup(df: DataFrame): DataFrame =
+      if (path) df.groupBy("src", "dst").agg(min("path").as("path"))
+      else df.dropDuplicates("src", "dst")
     val levels =
       if (hi == 0) Nil
       else {
         // depth-1 frontier: seeds × edges, deduped on the pair
-        var cur = seeds.join(edges, seeds("seed") === edges("src"))
-          .select(col("seed").as("src"), col("dst"))
-          .dropDuplicates("src", "dst")
+        var cur = dedup(seeds.join(edges, seeds("seed") === edges("src"))
+          .select(col("seed").as("src") +: col("dst") +:
+            (if (path) Seq((if (seedIsSrc) array(col("seed"), col("dst"))
+                            else array(col("dst"), col("seed"))).as("path"))
+             else Nil): _*))
         val out = List.newBuilder[DataFrame]
         def tag(df: DataFrame, d: Int): DataFrame =
-          if (dist) df.withColumn("hops", lit(d.toLong)) else df
+          if (withHops) df.withColumn("hops", lit(d.toLong)) else df
         // a level consumed by BOTH the output union and the next hop's
         // join is materialized once (deferred checkpoint, see scaladoc);
         // a level with a single consumer keeps its lazy plan
@@ -1311,10 +1344,12 @@ object Engine {
         share(1)
         if (lo <= 1) out += tag(cur, 1)
         for (d <- 2 to hi) {
-          cur = cur.as("p")
+          cur = dedup(cur.as("p")
             .join(edges.as("e"), col("p.dst") === col("e.src"))
-            .select(col("p.src").as("src"), col("e.dst").as("dst"))
-            .dropDuplicates("src", "dst")
+            .select(col("p.src").as("src") +: col("e.dst").as("dst") +:
+              (if (path) Seq((if (seedIsSrc) concat(col("p.path"), array(col("e.dst")))
+                              else concat(array(col("e.dst")), col("p.path"))).as("path"))
+               else Nil): _*))
           share(d)
           if (d >= lo) out += tag(cur, d)
         }
@@ -1322,12 +1357,20 @@ object Engine {
       }
     val unioned = (ident.toList ++ levels).reduce(_ unionByName _)
     val closed =
-      if (dist) unioned.groupBy("src", "dst").agg(min("hops").as("hops"))
+      if (path)
+        // min over (hops, path) structs: minimal hops first, then the
+        // lex-min storage-order witness among that level's candidates
+        unioned.groupBy("src", "dst")
+          .agg(min(struct(col("hops"), col("path"))).as("w"))
+          .select(col("src"), col("dst"),
+            col("w.hops").as("hops"), col("w.path").as("path"))
+      else if (dist) unioned.groupBy("src", "dst").agg(min("hops").as("hops"))
       else unioned.dropDuplicates("src", "dst")
     if (seedIsSrc) closed
     else closed.select(
-      col("dst").as("src") +: col("src").as("dst") +:
-        (if (dist) Seq(col("hops")) else Nil): _*)
+      Seq(col("dst").as("src"), col("src").as("dst")) ++
+        (if (withHops) Seq(col("hops")) else Nil) ++
+        (if (path) Seq(col("path")) else Nil): _*)
   }
 
   /** [[varPathReach]] with the MINIMAL hop count per reachable pair —

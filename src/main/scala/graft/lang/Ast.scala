@@ -115,6 +115,14 @@ final case class Bin(op: BinOp, l: Expr, r: Expr) extends Expr
 /** `lower(e)` / `upper(e)` / `trim(e)` / `size(e)` — contextual call
   * shapes like `null(v)`: a variable named lower still works. */
 final case class Un(op: UnOp, e: Expr) extends Expr
+/** `length(p)` / `nodes(p)` over a named-path binding (round 12; see
+  * [[VarPattern.pathVar]]): `nodes(p)` is the canonical witness's
+  * node-id list (`%list%int`-typed — composes with size/indexing/
+  * unwind/in), `length(p)` its hop count (`size(nodes(p)) - 1`). Both
+  * are contextual call shapes like `id(v)`; typing desugars them onto
+  * the existing list machinery, so no new executor surface exists. */
+final case class LengthFn(v: String) extends Expr
+final case class NodesFn(v: String) extends Expr
 /** `substring(s, pos, len)` — SQL 1-based position (Spark/DuckDB
   * convention, a documented deviation from Cypher's 0-based
   * `substring`); out-of-range positions clamp, non-positive lengths
@@ -304,9 +312,27 @@ final case class CompPattern(np: NodePattern, rel: String, rest: Pattern,
   * MINIMAL number of hops among the lo..hi-length paths — a virtual
   * binding of pseudo-label [[graft.lang.Typing.PathLabel]] whose single
   * int attribute `d.hops` flows through the existing typed expression
-  * machinery (`where d.hops = 2`, `return d.hops`, aggregates). */
+  * machinery (`where d.hops = 2`, `return d.hops`, aggregates).
+  *
+  * `pathVar` is the optional NAMED-PATH binding `match p = (a)
+  * -[:r*lo..hi]-> (b)` (round 12 — Cypher's path values, re-expressed
+  * over the engine's reachability semantics): `p` binds, per (a,b) row,
+  * ONE CANONICAL WITNESS — the lexicographically smallest node-id
+  * sequence among the MINIMAL-hop paths — as a `%pathval` virtual
+  * binding whose value is the node-id list. `nodes(p)` reads the list,
+  * `length(p)` = size - 1 = the hop count (≡ the `as d` binding), and
+  * `p.val` exposes the list to the round-11 machinery (unwind,
+  * indexing, size, `in`). Row multiplicity is UNCHANGED — this is the
+  * documented canonical-witness deviation from Cypher's one-row-per-
+  * path enumeration; determinism makes it oracle-checkable. The list
+  * runs along the STORAGE edge direction (for `<-[:r*..]-` it starts
+  * at the pattern's right endpoint; for undirected hops, at the left
+  * seed). Canonicality survives the per-level pruning by
+  * prefix-optimality: the lex-min k-hop path's (k-1)-hop prefix is
+  * itself lex-min for its endpoint pair. */
 final case class VarPattern(np: NodePattern, rel: String, lo: Int, hi: Int, rest: Pattern,
-    dist: Option[String] = None, dir: Dir = Fwd) extends Pattern
+    dist: Option[String] = None, dir: Dir = Fwd,
+    pathVar: Option[String] = None) extends Pattern
 
 sealed trait DeletePattern extends Product with Serializable
 final case class DeleteNodes(vs: List[String]) extends DeletePattern

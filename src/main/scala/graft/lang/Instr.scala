@@ -54,7 +54,8 @@ final case class IWith(items: List[(RetItem, Option[String])],
   * `undir` an undirected closure `-[:r*lo..hi]-` (hops over the
   * SYMMETRIZED edge relation — walks, like the directed semantics). */
 final case class IVarPathRel(act: Act, sv: String, rel: String, lo: Int, hi: Int,
-    tv: String, dist: Option[String] = None, undir: Boolean = false) extends Instruction
+    tv: String, dist: Option[String] = None, undir: Boolean = false,
+    path: Option[String] = None) extends Instruction
 /** Pattern-predicate instructions: `inner` is the match-normalized
   * instruction list of the predicate's pattern tail (node decls, edge
   * hops, var-paths, and the where-conjuncts its inline property maps
@@ -118,7 +119,7 @@ object Normalize {
     pat match {
       case SimpPattern(n)                    => np(n)
       case CompPattern(n, _, rest, _, _, _, _) => np(n) ++ declProps(rest)
-      case VarPattern(n, _, _, _, rest, _, _) => np(n) ++ declProps(rest)
+      case VarPattern(n, _, _, _, rest, _, _, _) => np(n) ++ declProps(rest)
     }
   }
 
@@ -126,8 +127,8 @@ object Normalize {
     case SimpPattern(np) => normNodePattern(act, np)
     case CompPattern(np, rl, rest, dir, rv, rps, ralts) =>
       normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, dir = dir, rv = rv, props = rps, alts = ralts), rest)
-    case VarPattern(np, rl, lo, hi, rest, dist, dir) =>
-      normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, lo, hi, dist, dir), rest)
+    case VarPattern(np, rl, lo, hi, rest, dist, dir, pv) =>
+      normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, lo, hi, dist, dir, pathVar = pv), rest)
   }
 
   /** One hop of a path: fixed (`lo = hi = 1` single edge) or variable.
@@ -139,12 +140,13 @@ object Normalize {
   private final case class Hop(rl: String, lo: Int = 1, hi: Int = 1,
       dist: Option[String] = None, dir: Dir = Fwd,
       rv: Option[String] = None, props: List[(String, Expr)] = Nil,
-      alts: List[String] = Nil) {
+      alts: List[String] = Nil, pathVar: Option[String] = None) {
     def instr(act: Act, sv: String, tv: String): Instruction = {
       val (s, t) = if (dir == Rev) (tv, sv) else (sv, tv)
       val undir = dir == Undir
-      if (lo == 1 && hi == 1 && dist.isEmpty) IActOnRel(act, s, rl, t, undir, rv, props, alts)
-      else IVarPathRel(act, s, rl, lo, hi, t, dist, undir)
+      if (lo == 1 && hi == 1 && dist.isEmpty && pathVar.isEmpty)
+        IActOnRel(act, s, rl, t, undir, rv, props, alts)
+      else IVarPathRel(act, s, rl, lo, hi, t, dist, undir, pathVar)
     }
   }
 
@@ -155,9 +157,9 @@ object Normalize {
       case CompPattern(np, rl2, rest, dir2, rv2, rps2, ralts2) =>
         (normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)) ++
           tail(act, np.variable, Hop(rl2, dir = dir2, rv = rv2, props = rps2, alts = ralts2), rest)
-      case VarPattern(np, rl2, lo2, hi2, rest, dist2, dir2) =>
+      case VarPattern(np, rl2, lo2, hi2, rest, dist2, dir2, pv2) =>
         (normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)) ++
-          tail(act, np.variable, Hop(rl2, lo2, hi2, dist2, dir2), rest)
+          tail(act, np.variable, Hop(rl2, lo2, hi2, dist2, dir2, pathVar = pv2), rest)
     }
 
   /** Ensure every MATCH hop carrying an inline edge-property map has a
@@ -169,7 +171,7 @@ object Normalize {
       cp.copy(
         relVar = if (props.nonEmpty && rv.isEmpty) Some(fresh()) else rv,
         rest = assignRelVars(rest, fresh))
-    case vp @ VarPattern(_, _, _, _, rest, _, _) =>
+    case vp @ VarPattern(_, _, _, _, rest, _, _, _) =>
       vp.copy(rest = assignRelVars(rest, fresh))
     case sp: SimpPattern => sp
   }
@@ -181,7 +183,7 @@ object Normalize {
       props.map { case (f, e) =>
         IWhere(Bin(BCeq, AttribAcc(rv.get, f), e)): Instruction } ++
         relPropConjuncts(rest)
-    case VarPattern(_, _, _, _, rest, _, _) => relPropConjuncts(rest)
+    case VarPattern(_, _, _, _, rest, _, _, _) => relPropConjuncts(rest)
     case _: SimpPattern => Nil
   }
 
@@ -277,8 +279,8 @@ object Normalize {
         // instruction verbatim — typing rejects them with a clear
         // message (witness sub-plans have no rel-binding surface)
         (np, tail(MatchAct, np.variable, Hop(rl, dir = dir, rv = rv, props = rps, alts = ralts), rest) ++ tailProps(rest))
-      case VarPattern(np, rl, lo, hi, rest, dist, dir) =>
-        (np, tail(MatchAct, np.variable, Hop(rl, lo, hi, dist, dir), rest) ++ tailProps(rest))
+      case VarPattern(np, rl, lo, hi, rest, dist, dir, pv) =>
+        (np, tail(MatchAct, np.variable, Hop(rl, lo, hi, dist, dir, pathVar = pv), rest) ++ tailProps(rest))
       case SimpPattern(np) => (np, Nil) // unreachable: parser requires a hop
     }
   }
@@ -286,7 +288,7 @@ object Normalize {
   private def headDeclProps(pat: Pattern): List[(String, String, Expr)] =
     pat match {
       case CompPattern(DeclPattern(v, _, ps), _, _, _, _, _, _) => ps.map { case (f, e) => (v, f, e) }
-      case VarPattern(DeclPattern(v, _, ps), _, _, _, _, _, _) => ps.map { case (f, e) => (v, f, e) }
+      case VarPattern(DeclPattern(v, _, ps), _, _, _, _, _, _, _) => ps.map { case (f, e) => (v, f, e) }
       case _                                                 => Nil
     }
 

@@ -129,7 +129,7 @@ object Parser {
         i += 1
         kw match {
           case "create" => Create(patternList())
-          case "match"  => Match(patternList())
+          case "match"  => Match(matchPatternList())
           case "delete" => Delete(deletePattern())
           case "return" => returnClause()
           case "where"  =>
@@ -471,7 +471,8 @@ object Parser {
           name == "id" || name == "range" || name == "any" || name == "all" ||
           name == "none" || name == "single" || name == "reduce" ||
           name == "abs" || name == "sign" || name == "label" || name == "type" ||
-          name == "split" || name == "toInteger")) ||
+          name == "split" || name == "toInteger" ||
+          name == "length" || name == "nodes")) ||
       (name == "case" && (peek2 match {
         case TIdent(_) | TInt(_) | TString(_) | TBool(_) | TSym("(") => true
         case _ => false
@@ -489,6 +490,36 @@ object Parser {
       b += pattern()
       while (peek == TSym(",")) { i += 1; b += pattern() }
       b.result()
+    }
+
+    /** match patterns additionally admit the named-path form
+      * `p = (a) -[:r*lo..hi]-> (b)` (round 12): clause position never
+      * admits a bare identifier and a pattern always opens with `(`, so
+      * the ident `=` `(` lookahead steals nothing. The name attaches to
+      * the pattern's single variable-length hop, which must END the
+      * pattern — a fixed hop after it would extend the path the witness
+      * doesn't cover. */
+    private def matchPatternList(): List[Pattern] = {
+      val b = List.newBuilder[Pattern]
+      def one(): Unit = peek match {
+        case TIdent(p) if peek2 == TSym("=") && peek3 == TSym("(") =>
+          i += 2
+          b += namePath(p, pattern())
+        case _ => b += pattern()
+      }
+      one()
+      while (peek == TSym(",")) { i += 1; one() }
+      b.result()
+    }
+
+    private def namePath(p: String, pat: Pattern): Pattern = pat match {
+      case vp @ VarPattern(_, _, _, _, _: SimpPattern, _, _, _) =>
+        vp.copy(pathVar = Some(p))
+      case _: VarPattern =>
+        fail(s"named path $p: the variable-length hop must end the pattern")
+      case _ =>
+        fail(s"named path $p requires exactly one variable-length hop " +
+          "((a) -[:r*lo..hi]-> (b)) — fixed hops have no path value")
     }
 
     private def pattern(): Pattern = {
@@ -778,6 +809,13 @@ object Parser {
         val v = ident()
         expectSym(")")
         if (fn == "label") LabelFn(v) else TypeFn(v)
+      // `length(p)` / `nodes(p)` — named-path reads (round 12), same
+      // contextual call shape
+      case TIdent(fn @ ("length" | "nodes")) if peek2 == TSym("(") =>
+        i += 2
+        val v = ident()
+        expectSym(")")
+        if (fn == "length") LengthFn(v) else NodesFn(v)
       // unary string functions — contextual call shapes (a variable
       // named lower still works: `lower.f` has peek2 == '.')
       case TIdent(fn @ ("lower" | "upper" | "trim" | "size" | "toString" |

@@ -200,7 +200,8 @@ object Typing {
     * direction, walk semantics like the directed closure, so e.g. the
     * 2-hop walk a-b-a self-pairs any node with a neighbour). */
   final case class RVarPath(sv: String, rel: (String, String, String), lo: Int, hi: Int,
-      tv: String, dist: Option[String] = None, undir: Boolean = false) extends RInstr
+      tv: String, dist: Option[String] = None, undir: Boolean = false,
+      pathV: Option[String] = None) extends RInstr
   /** optional-match witness expansion: `inner` is the typed instruction
     * list of the pattern tail, `bound` the outer variables it references
     * (join keys), `fresh` the (variable, label) pairs it declares in
@@ -276,6 +277,13 @@ object Typing {
     * rejected explicitly. */
   val PathLabel = "%path"
 
+  /** Pseudo-label of a NAMED-PATH binding (`match p = (a)-[:r*lo..hi]->
+    * (b)`, round 12): the binding column is the canonical witness's
+    * node-id list, exposed as `val: %list%int` so the round-11 list
+    * machinery (size/indexing/slices/unwind/in) applies unchanged;
+    * `nodes(p)` / `length(p)` desugar onto it in typing. */
+  val PathValLabel = "%pathval"
+
   /** Pseudo-label of a `with`-bound scalar (attribute or aggregate item
     * re-bound under an alias): like [[PathLabel]], `%` can't start a
     * lexer identifier so no user schema label collides, and the single
@@ -318,6 +326,7 @@ object Typing {
   /** Human name of a virtual label for error messages. */
   def virtualKind(label: String): String =
     if (label == PathLabel) "path-distance"
+    else if (label == PathValLabel) "named-path"
     else if (isRelLabel(label)) "relationship"
     else if (isLamLabel(label)) "lambda"
     else "with-scalar"
@@ -335,6 +344,7 @@ object Typing {
       relAttrs.getOrElse(key, Nil)
     def attrType(label: String, field: String): Option[AttribTp] = label match {
       case PathLabel => if (field == "hops") Some(IntT) else None
+      case PathValLabel => if (field == "val") Some(ListT(IntT)) else None
       case "%int"    => if (field == "val") Some(IntT) else None
       case "%bool"   => if (field == "val") Some(BoolT) else None
       case "%string" => if (field == "val") Some(StringT) else None
@@ -436,6 +446,23 @@ object Typing {
         case Some(l) if isRelLabel(l) => Right(TConst(StringV(relKeyOf(l)._2)))
         case Some(l) =>
           Left(s"type($v): $v is not a relationship binding (label $l)")
+      }
+    // nodes(p)/length(p): pure desugarings onto the named-path binding's
+    // list value — the executor sees only existing TExpr shapes
+    case NodesFn(v) =>
+      lookup(env, v) match {
+        case None => Left(s"variable $v not bound")
+        case Some(PathValLabel) => Right(TAttr(v, PathValLabel, "val", ListT(IntT)))
+        case Some(l) => Left(s"nodes($v): $v is not a named-path binding (label $l)")
+      }
+    case LengthFn(v) =>
+      lookup(env, v) match {
+        case None => Left(s"variable $v not bound")
+        case Some(PathValLabel) =>
+          Right(TBin(BAsub,
+            TUn(USsize, TAttr(v, PathValLabel, "val", ListT(IntT)), IntT),
+            TConst(IntV(1L)), IntT))
+        case Some(l) => Left(s"length($v): $v is not a named-path binding (label $l)")
       }
     case AttribAcc(v, f) =>
       lookup(env, v) match {
@@ -1002,13 +1029,17 @@ object Typing {
             else Right((RExists(ris, bound), env))
         }
 
-      case IVarPathRel(act, sv, rl, lo, hi, tv, dist, undir) =>
+      case IVarPathRel(act, sv, rl, lo, hi, tv, dist, undir, pathV) =>
         if (act == CreateAct) Left(s"variable-length pattern -[:$rl*$lo..$hi]-> not allowed in create")
         else if (dist.exists(d => lookup(env, d).isDefined))
           // the distance binding declares a NEW variable — rebinding an
           // existing one (incl. either endpoint: normalize binds them
           // first) would silently shadow a node column
           Left(s"shortest-distance binding ${dist.get} already bound")
+        else if (pathV.exists(pv => lookup(env, pv).isDefined))
+          Left(s"named-path binding ${pathV.get} already bound")
+        else if (pathV.isDefined && pathV == dist)
+          Left(s"named-path binding ${pathV.get} collides with the distance binding")
         else if (lo < 0 || hi < lo)
           // lo = 0 is the Cypher zero-length path: the identity pair
           // (v, v) for every node of the homogeneous label joins the
@@ -1031,8 +1062,11 @@ object Typing {
               val (hl, _, _) = decls.head
               if (sl != hl) Left(s"variable $sv: label $sl incompatible with (:$hl)-[:$rl]->(:$hl)")
               else if (tl != hl) Left(s"variable $tv: label $tl incompatible with (:$hl)-[:$rl]->(:$hl)")
-              else Right((RVarPath(sv, decls.head, lo, hi, tv, dist, undir),
-                dist.fold(env)(d => (d, PathLabel) :: env)))
+              else {
+                val env1 = dist.fold(env)(d => (d, PathLabel) :: env)
+                val env2 = pathV.fold(env1)(pv => (pv, PathValLabel) :: env1)
+                Right((RVarPath(sv, decls.head, lo, hi, tv, dist, undir, pathV), env2))
+              }
             }
           case (None, _) => Left(s"variable $sv not bound")
           case (_, None) => Left(s"variable $tv not bound")
@@ -1317,7 +1351,7 @@ object Typing {
       val in = it.next()
       in match {
         case IActOnNode(MatchAct, _, _) | IActOnRel(MatchAct, _, _, _, _, _, _, _) |
-            _: IWhere | IVarPathRel(MatchAct, _, _, _, _, _, _, _) => ()
+            _: IWhere | IVarPathRel(MatchAct, _, _, _, _, _, _, _, _) => ()
         case other =>
           err = Some(s"$what pattern: illegal instruction $other")
       }
@@ -1330,11 +1364,13 @@ object Typing {
       case Some(e) => Left(e)
       case None =>
         val ris = out.result()
-        val fresh = ris.collect {
-          case RMatchNode(v, l)                   => (v, l)
-          // a shortest-distance binding inside the witness is declared
-          // by the pattern too — project it like any fresh variable
-          case RVarPath(_, _, _, _, _, Some(d), _) => (d, PathLabel)
+        val fresh = ris.flatMap {
+          case RMatchNode(v, l)                   => Seq((v, l))
+          // a shortest-distance / named-path binding inside the witness
+          // is declared by the pattern too — project like fresh variables
+          case RVarPath(_, _, _, _, _, d, _, pv) =>
+            d.map((_, PathLabel)).toSeq ++ pv.map((_, PathValLabel)).toSeq
+          case _ => Seq.empty
         }
         val declared = fresh.map(_._1).toSet
         // rel variables declared inside the witness are witness-local
@@ -1347,7 +1383,7 @@ object Typing {
           case RMatchEdge(sv, _, _, tv, _, _) => Seq(sv, tv)
           case RMatchEdgeUndir(sv, _, _, tv, _, _, _) => Seq(sv, tv)
           case RMatchEdgeAlt(sv, _, tv, _, _) => Seq(sv, tv)
-          case RVarPath(sv, _, _, _, tv, _, _) => Seq(sv, tv)
+          case RVarPath(sv, _, _, _, tv, _, _, _) => Seq(sv, tv)
           case RWhere(te)                  => exprVars(te)
           case _                           => Seq.empty
         }.distinct.filterNot(declared).filterNot(innerRels)

@@ -912,6 +912,31 @@ object GraphOps {
              |            WHERE n.n_regionkey = region.r_regionkey) AS BIGINT) AS n
              |FROM region""".stripMargin)),
 
+    // named paths (round 12 — Cypher's path values over the engine's
+    // reachability semantics): `p = (a)-[:r*lo..hi]->(b)` binds ONE
+    // canonical witness per row — the lex-smallest minimal-hop node
+    // sequence — as a list value; length(p)/nodes(p) read it through
+    // the round-11 list machinery. Over the nnext successor chain the
+    // witness is the unique run of region-sorted nations, so the oracle
+    // reconstructs it with one window + two self-joins.
+    Q("gql_named_path",
+      bindings(
+        """match p = (a:nation) -[:nnext*1..3]-> (b:nation)
+          |where a.regionkey = 0
+          |with a, b, length(p) as l, nodes(p) as ns
+          |unwind ns as nid
+          |return a, b, l, ns.val[1] as second, nid""".stripMargin),
+      Some("""WITH n0 AS (SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS id,
+             |         row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS pos,
+             |         n_regionkey AS rk FROM nation)
+             |SELECT x.id AS a, y.id AS b, CAST(y.pos - x.pos AS BIGINT) AS l,
+             |       s2.id AS second, z.id AS nid
+             |FROM n0 x
+             |JOIN n0 y  ON y.rk = x.rk AND y.pos - x.pos BETWEEN 1 AND 3
+             |JOIN n0 s2 ON s2.rk = x.rk AND s2.pos = x.pos + 1
+             |JOIN n0 z  ON z.rk = x.rk AND z.pos BETWEEN x.pos AND y.pos
+             |WHERE x.rk = 0""".stripMargin)),
+
     // $name query parameters (round 12 — Cypher's `$param`): typed
     // constants substituted BEFORE typing, so the parameterized filter
     // is a foldable literal to Catalyst — same pushdown as a

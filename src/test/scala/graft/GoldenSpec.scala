@@ -267,6 +267,69 @@ class GoldenSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("named paths: canonical lex-min witness, length/nodes, zero-length (round 12)") {
+    // diamond + tail: a(0)->b(1), a->c(2), b->d(3), c->d, d->e(4)
+    val g =
+      """(:N {x int})
+        |(:N) -[:r]-> (:N)
+        |create (a:N {x: 10}) -[:r]-> (b:N {x: 11})
+        |create (c:N {x: 12})
+        |create (d:N {x: 13})
+        |create (e:N {x: 14})
+        |create (a) -[:r]-> (c)
+        |create (b) -[:r]-> (d)
+        |create (c) -[:r]-> (d)
+        |create (d) -[:r]-> (e)
+        |""".stripMargin
+    def rows(q: String): Seq[Seq[Long]] =
+      Engine.runSource(spark, g + q).bindings.collect()
+        .map(_.toSeq.map(_.asInstanceOf[Long]).toSeq).toSeq.sortBy(_.mkString(","))
+    // two 2-hop paths a->d ([0,1,3] via b, [0,2,3] via c): the canonical
+    // witness is the lex-min [0,1,3]; length = min hops = 2
+    val r = rows(
+      """match p = (s:N) -[:r*1..3]-> (t:N)
+        |where id(s) = 0 and id(t) = 3
+        |with length(p) as l, nodes(p) as ns
+        |unwind ns as n
+        |return l, n""".stripMargin)
+    assert(r == Seq(Seq(2L, 0L), Seq(2L, 1L), Seq(2L, 3L)), s"got $r")
+    // order within the witness: second element is b (1), not c (2)
+    val r2 = rows(
+      """match p = (s:N) -[:r*1..3]-> (t:N)
+        |where id(s) = 0 and id(t) = 3
+        |with nodes(p) as ns
+        |return ns.val[0] as h0, ns.val[1] as h1, ns.val[2] as h2""".stripMargin)
+    assert(r2 == Seq(Seq(0L, 1L, 3L)), s"got $r2")
+    // a min-hop direct path beats any longer alternative: a->c is 1 hop
+    val r3 = rows(
+      """match p = (s:N) -[:r*1..3]-> (t:N)
+        |where id(s) = 0 and id(t) = 2
+        |with length(p) as l, nodes(p) as ns
+        |return l, size(ns.val) as k""".stripMargin)
+    assert(r3 == Seq(Seq(1L, 2L)), s"got $r3")
+    // zero-length window: the identity witness is the single-node list
+    val r0 = rows(
+      """match p = (s:N) -[:r*0..2]-> (t:N)
+        |where id(s) = 4 and id(t) = 4
+        |with length(p) as l, nodes(p) as ns
+        |return l, size(ns.val) as k, ns.val[0] as n0""".stripMargin)
+    assert(r0 == Seq(Seq(0L, 1L, 4L)), s"got $r0")
+    // length(p) agrees with the `as d` distance binding on every pair
+    val rd = rows(
+      """match p = (s:N) -[:r*1..3 as dd]-> (t:N)
+        |with s, t, length(p) as l, dd.hops as h
+        |where l.val <> h.val
+        |return l, h""".stripMargin)
+    assert(rd.isEmpty, s"length(p) disagreed with the distance binding: $rd")
+    // multiplicity is UNCHANGED (canonical witness, not per-path rows):
+    // a->d has 2 distinct 2-hop paths but exactly ONE row
+    val rm = rows(
+      """match p = (s:N) -[:r*2..2]-> (t:N)
+        |where id(s) = 0 and id(t) = 3
+        |return s""".stripMargin)
+    assert(rm.size == 1, s"row multiplicity changed: $rm")
+  }
+
   test("regex =~: find semantics, metacharacters, composition (round 12)") {
     val src =
       """(:N {x int, s string})

@@ -655,6 +655,33 @@ class ParserSpec extends AnyFunSuite {
       "match (a:P)\nwith collect(a.x) as xs\nreturn reduce(x in xs.val | 1) as t"))
   }
 
+  test("named paths parse only on a terminal varpath; match-only (round 12)") {
+    val p = Parser.parse(header +
+      "match p = (a:P) -[:r*1..2]-> (b:Q)\nreturn a, b")
+    p.query.clauses.head match {
+      case Match(List(VarPattern(_, "r", 1, 2, _: SimpPattern, None, Fwd, Some("p")))) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    // the name requires the varpath to END the pattern; fixed hops and
+    // plain patterns have no path value
+    intercept[Parser.ParseError](Parser.parse(header +
+      "match p = (a:P) -[:r]-> (b:Q)\nreturn a"))
+    intercept[Parser.ParseError](Parser.parse(header +
+      "match p = (a:P) -[:r*1..2]-> (b:Q) -[:r]-> (c:Q)\nreturn a"))
+    // create admits no named paths (patterns there start with '(')
+    intercept[Parser.ParseError](Parser.parse(header +
+      "create p = (a:P) -[:r*1..2]-> (b:Q)\nreturn a"))
+    // `p` stays a legal variable name: ident '=' only triggers before '('
+    val v = Parser.parse(header + "match (p:P)\nwhere p.x = 1\nreturn p")
+    assert(v.query.clauses.collect { case Return(vs) => vs }.flatten == List("p"))
+    // length/nodes parse as contextual calls at expression positions
+    val w = Parser.parse(header +
+      "match q = (a:P) -[:r*1..2]-> (b:Q)\nwhere length(q) > 1\nunwind nodes(q) as n\nreturn n")
+    assert(w.query.clauses.exists {
+      case Where(Bin(BCgt, LengthFn("q"), _)) => true; case _ => false
+    })
+  }
+
   test("call procedures parse: proc() yield list; malformed shapes rejected") {
     val p = Parser.parse(header + "call degree() yield id, o, n\nwhere o.val > 1\nreturn id")
     assert(p.query.clauses.head == CallProc("degree", List("id", "o", "n")))

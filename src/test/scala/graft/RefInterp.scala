@@ -225,7 +225,11 @@ object RefInterp {
           rows = st.rows.map(_ :+ id), next = id + 1))(exec)
       }
 
-    case RVarPath(sv, (hl, rl, _), lo, hi, tv, dist, undir) =>
+    case RVarPath(sv, (hl, rl, _), lo, hi, tv, dist, undir, pathV) =>
+      // named paths bind a LIST — outside this interpreter's Long-row
+      // model (the differential generator never draws them; GoldenSpec
+      // and the DuckDB oracle cover them instead)
+      require(pathV.isEmpty, "RefInterp: named paths not modeled")
       // bounded closure over the rl edges, set semantics per level —
       // mirrors Engine.varPathReach (incl. the lo = 0 identity seed over
       // every node of the homogeneous label); with a distance binding,

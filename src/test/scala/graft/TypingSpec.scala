@@ -941,6 +941,33 @@ class TypingSpec extends AnyFunSuite {
       .contains("rebinds an existing variable"))
   }
 
+  test("named paths: %pathval immutability, length/nodes typing (round 12)") {
+    val h2 = header + "(:P) -[:s]-> (:P)\n"
+    // positive: list value flows through the round-11 machinery
+    Typing.compile(h2 +
+      """match p = (a:P) -[:s*1..2]-> (b:P)
+        |where length(p) > 0 and size(nodes(p)) = length(p) + 1
+        |unwind nodes(p) as n
+        |return a, b, n""".stripMargin)
+    Typing.compile(h2 +
+      "match p = (a:P) -[:s*0..2]-> (b:P)\nwhere a.x in p.val\nreturn a")
+    // length/nodes demand a named-path binding
+    assert(err(h2 + "match (a:P)\nwhere length(a) > 0\nreturn a")
+      .contains("not a named-path binding"))
+    assert(err(h2 + "match (a:P)\nunwind nodes(a) as n\nreturn n")
+      .contains("not a named-path binding"))
+    // the binding is fresh: rebinds and collisions are rejected
+    assert(err(h2 + "match (p:P)\nmatch p = (a:P) -[:s*1..2]-> (b:P)\nreturn p")
+      .contains("named-path binding p already bound"))
+    assert(err(h2 + "match p = (a:P) -[:s*1..2 as p]-> (b:P)\nreturn a")
+      .contains("collides with the distance binding"))
+    // a named path is a value: node mutation through it is rejected
+    assert(err(h2 + "match p = (a:P) -[:s*1..2]-> (b:P)\nset p.x = 1\nreturn a")
+      .contains("named-path"))
+    assert(err(h2 + "match p = (a:P) -[:s*1..2]-> (b:P)\ndelete p\nreturn a")
+      .nonEmpty)
+  }
+
   test("query parameters: substitute as typed constants (round 12)") {
     val ps = Map[String, Value]("lo" -> IntV(5), "pre" -> StringV("ab"),
       "flag" -> BoolV(true), "src" -> IntV(42))
