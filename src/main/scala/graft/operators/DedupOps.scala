@@ -293,6 +293,59 @@ object DedupOps {
       (s, dir) => minhashPairs(s, dir),
       Some(minhashOracle + "\nSELECT a, b FROM pairs")),
 
+    // ---- incremental NEAR-dup dedup against a persisted band store ----
+    // The continuous-crawl shape of MinHash-LSH (round 12; the near-dup
+    // counterpart of p_dedup_incremental's exact store): the accumulated
+    // corpus' LSH BAND TABLE lives bucketed on the bucket hash, so a new
+    // batch finds its history near-dup candidates with one bucket-
+    // aligned join — the store (the 100 TB side) never re-exchanges; the
+    // batch shuffles only its own 8·|batch| band rows. Candidates are
+    // exact-Jaccard verified (so a cross-band bucket-hash collision can
+    // never emit a wrong pair), and each batch doc reports its minimal
+    // history duplicate. Appending the surviving batch's band rows back
+    // is the same insertInto mechanics p_dedup_incremental_ingest pins.
+    Q("p_dedup_lsh_incremental",
+      (s, dir) => {
+        val dsh = shingles(s, dir).cache()
+        val hist = docs(s, dir).filter(col("doc_id") % 10 < 8).select("doc_id")
+        val ft = bucketedTable(s, "graft_bkt_lshbands", dir, "bh", 16)(
+          bandTable(dsh.join(hist, Seq("doc_id"), "left_semi")))
+        val batch = docs(s, dir).filter(col("doc_id") % 10 >= 8).select("doc_id")
+        val bb = bandTable(dsh.join(batch, Seq("doc_id"), "left_semi"))
+        val cand = bb.select(col("doc_id").as("a"), col("bh"))
+          .hint("merge")
+          .join(s.table(ft).select(col("doc_id").as("b"), col("bh")), Seq("bh"))
+          .select("a", "b").distinct()
+        exactJaccard(dsh, cand, jaccardTau)
+          .groupBy(col("a").as("doc_id"))
+          .agg(min(col("b")).as("dup_of"), count(lit(1)).as("n_matches"))
+      },
+      Some(s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+         |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle FROM dd),
+         |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |mh AS (SELECT doc_id, seed,
+         |         min(md5(seed::VARCHAR || '|' || shingle)) AS mh
+         |       FROM dsh, (SELECT unnest(range($mhSeeds)) AS seed)
+         |       GROUP BY doc_id, seed),
+         |bands AS (SELECT doc_id, seed // $mhRows AS band,
+         |            md5(string_agg(mh, ',' ORDER BY seed)) AS bh
+         |          FROM mh GROUP BY doc_id, seed // $mhRows),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y ON x.bh = y.bh
+         |         WHERE x.doc_id % 10 >= 8 AND y.doc_id % 10 < 8),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+         |common AS (SELECT c.a, c.b, count(*) AS cnt FROM cand c
+         |           JOIN dsh da ON da.doc_id = c.a
+         |           JOIN dsh db ON db.doc_id = c.b AND da.shingle = db.shingle
+         |           GROUP BY c.a, c.b),
+         |ver AS (SELECT common.a, common.b FROM common
+         |        JOIN sizes sa ON common.a = sa.doc_id
+         |        JOIN sizes sb ON common.b = sb.doc_id
+         |        WHERE cnt::DOUBLE / (sa.n + sb.n - cnt) >= $jaccardTau)
+         |SELECT a AS doc_id, min(b) AS dup_of, count(*) AS n_matches
+         |FROM ver GROUP BY a""".stripMargin)),
+
     // ---- LSH recall: the dedup-quality loop closed with integers -----
     // p_sim_recall's counterpart for the dedup family: how many of the
     // TRUE near-dup pairs (exact all-pairs Jaccard >= tau, the
@@ -834,11 +887,11 @@ object DedupOps {
     labels
   }
 
-  private def buildMinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // Cached (plan-deduped): feeds the signature build, sizes, and both
-    // verify join sides (4 subplans) — and the same index as the other
-    // shingle-based operators.
-    val dsh = shingles(s, dir).cache()
+  /** `(doc_id, band, bh)` LSH band table of a shingle index: the 16-hash
+    * MinHash signature folded into 8 two-row band bucket hashes. ONE
+    * wide shuffle (the signature groupBy); shared by the batch pair
+    * operator and the incremental band store. */
+  private def bandTable(dsh: DataFrame): DataFrame = {
     val sig = dsh.groupBy("doc_id").agg(
       min(md5(concat(lit("0"), lit("|"), col("shingle")))).as("mh0"),
       (1 until mhSeeds).map(i =>
@@ -847,8 +900,16 @@ object DedupOps {
       struct(lit(b).as("band"),
         md5(concat(col(s"mh${mhRows * b}"), lit(","), col(s"mh${mhRows * b + 1}"))).as("bh"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+  }
+
+  private def buildMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // Cached (plan-deduped): feeds the signature build, sizes, and both
+    // verify join sides (4 subplans) — and the same index as the other
+    // shingle-based operators.
+    val dsh = shingles(s, dir).cache()
+    val bands = bandTable(dsh)
     val cand = bands.select(col("doc_id").as("a"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("b"), col("band"), col("bh")), Seq("band", "bh"))
       .filter(col("a") < col("b"))

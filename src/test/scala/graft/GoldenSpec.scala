@@ -328,6 +328,23 @@ class GoldenSpec extends AnyFunSuite {
         |where id(s) = 0 and id(t) = 3
         |return s""".stripMargin)
     assert(rm.size == 1, s"row multiplicity changed: $rm")
+    // reverse hop: the witness list runs in STORAGE direction — for
+    // d <-[:r*2..2]- a it still reads [0, 1, 3] (a -> b -> d)
+    val rr = rows(
+      """match p = (t:N) <-[:r*2..2]- (s:N)
+        |where id(s) = 0 and id(t) = 3
+        |with nodes(p) as ns
+        |return ns.val[0] as h0, ns.val[1] as h1, ns.val[2] as h2""".stripMargin)
+    assert(rr == Seq(Seq(0L, 1L, 3L)), s"got $rr")
+    // undirected closure: e(4) reaches a(0) against edge direction in 3
+    // hops — witness runs from the hop's LEFT endpoint: [4, 3, 1, 0]
+    // (d->b beats d->c at the tie since 1 < 2)
+    val ru = rows(
+      """match p = (s:N) -[:r*1..3]- (t:N)
+        |where id(s) = 4 and id(t) = 0
+        |with length(p) as l, nodes(p) as ns
+        |return l, ns.val[0] as h0, ns.val[1] as h1, ns.val[2] as h2, ns.val[3] as h3""".stripMargin)
+    assert(ru == Seq(Seq(3L, 4L, 3L, 1L, 0L)), s"got $ru")
   }
 
   test("regex =~: find semantics, metacharacters, composition (round 12)") {

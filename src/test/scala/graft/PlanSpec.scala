@@ -509,6 +509,17 @@ class PlanSpec extends AnyFunSuite {
       s"the bucketed fingerprint store should not re-exchange on th:\n$p")
   }
 
+  test("incremental LSH candidate join keeps the band store exchange-free") {
+    // the near-dup store discipline: the bucketed band table (the
+    // 100 TB side) must not reshuffle on the bucket hash — only the
+    // batch's own band rows may exchange
+    val p = plan("p_dedup_lsh_incremental")
+    assert(p.contains("SortMergeJoin"),
+      s"expected a sort-merge join over the bucketed band store in:\n$p")
+    assert("Exchange hashpartitioning\\(bh".r.findAllIn(p).size <= 1,
+      s"the bucketed band store should not re-exchange on bh:\n$p")
+  }
+
   test("bucketed join reads co-located buckets with no join-key exchange") {
     val p = plan("q_join_bucketed")
     assert(p.contains("SortMergeJoin"), s"expected SMJ over buckets in:\n$p")
