@@ -255,8 +255,8 @@ object Typing {
   val procSigs: Map[String, (List[List[AttribTp]], Int)] =
     Map("degree"   -> ((List(Nil, List(StringT)), 3)),
         "cc"       -> ((List(Nil, List(StringT)), 2)),
-        "bfs"      -> ((List(List(IntT)), 2)),
-        "pagerank" -> ((List(Nil), 2)))
+        "bfs"      -> ((List(List(IntT), List(IntT, StringT)), 2)),
+        "pagerank" -> ((List(Nil, List(StringT)), 2)))
 
   final case class RUnwindExpr(e: TExpr, alias: String, elemTp: AttribTp)
       extends RInstr

@@ -72,7 +72,12 @@ object GraphOps {
   /** Unrolled fixed-point integer PageRank over the gql edge set — the
     * `call pagerank()` oracle (the analytics prOracle recurrence with
     * nnext added; same 8 iterations, rank0 1e9, integer damping). */
-  private lazy val callPrOracle: String = {
+  private lazy val callPrOracle: String = prOracleOver(gqlEdgeSql)
+
+  /** The same unrolled fixed-point integer PageRank recurrence over an
+    * arbitrary edge set — shared by the whole-graph and the
+    * relation-scoped `call pagerank(...)` oracles (round 12). */
+  private def prOracleOver(edgeSql: String): String = {
     val steps = (1 to 8).map { i =>
       s"""r$i AS MATERIALIZED (SELECT nn.id,
          |  CAST(150000000 + (85 * coalesce(m$i.s, 0)) // 100 AS BIGINT) AS rank
@@ -83,7 +88,7 @@ object GraphOps {
         .stripMargin
     }.mkString(",\n")
     s"""WITH nn AS MATERIALIZED (${GraphAlgos.nodeSql}),
-       |e AS MATERIALIZED ($gqlEdgeSql),
+       |e AS MATERIALIZED ($edgeSql),
        |od AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM e GROUP BY src),
        |r0 AS MATERIALIZED (SELECT id, 1000000000::BIGINT AS rank FROM nn),
        |$steps
@@ -936,6 +941,35 @@ object GraphOps {
              |JOIN n0 s2 ON s2.rk = x.rk AND s2.pos = x.pos + 1
              |JOIN n0 z  ON z.rk = x.rk AND z.pos BETWEEN x.pos AND y.pos
              |WHERE x.rk = 0""".stripMargin)),
+
+    // pagerank("rel") / bfs(src, "rel") — relation scope on the other
+    // two procedures (round 12 continued): the scoped edge frame is the
+    // only change, the iterative bodies are untouched. nnext is the
+    // per-region successor chain, so scoped PageRank ranks grow along
+    // each chain and scoped BFS from a region node sees exactly its
+    // nregion neighbourhood.
+    Q("gql_call_pagerank_rel",
+      bindings(
+        """call pagerank("nnext") yield id, rank
+          |return id, rank
+          |order by rank desc, id
+          |limit 100""".stripMargin),
+      Some(prOracleOver(
+        """SELECT src, dst FROM (
+          |  SELECT n_nationkey + 2000000000 AS src,
+          |         2000000000 + LEAD(n_nationkey) OVER (
+          |           PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+          |  FROM nation) x WHERE dst IS NOT NULL""".stripMargin))),
+
+    Q("gql_call_bfs_rel",
+      bindings(
+        """call bfs(1000000000, "nregion") yield id, dist
+          |return dist, count(id) as n""".stripMargin),
+      Some("""SELECT CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS n
+             |UNION ALL
+             |SELECT CAST(1 AS BIGINT),
+             |       CAST((SELECT count(*) FROM nation WHERE n_regionkey = 0) AS BIGINT)"""
+        .stripMargin)),
 
     // $name query parameters (round 12 — Cypher's `$param`): typed
     // constants substituted BEFORE typing, so the parameterized filter

@@ -687,6 +687,69 @@ object StreamingOps {
              |      FROM events)
              |WHERE rn = 1""".stripMargin)),
 
+    // ---- streaming dedup against a PERSISTED key store -----------------
+    // The streaming half of the incremental-dedup loop (round 12; the
+    // idempotent-consumer / first-touch-attribution shape): each
+    // micro-batch reduces to its first event per user, anti-joins the
+    // BUCKETED seen-users store bucket-aligned, emits only first
+    // sightings, and APPENDS the new keys via insertInto — so the store,
+    // unlike dropDuplicates' in-memory state, survives restarts and is
+    // shared by every pipeline that consumes the feed. Read-then-append
+    // on one table is safe because the anti-join is materialized
+    // (localCheckpoint) BEFORE the insert. At 100 TB the store side
+    // never re-exchanges and each batch shuffles only itself — the same
+    // discipline as p_dedup_incremental_ingest, driven from a stream.
+    Q("p_stream_dedup_store",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val name = "graft_bkt_seen_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        s.sql(s"CREATE TABLE $name (user_id BIGINT) USING parquet " +
+          "CLUSTERED BY (user_id) SORTED BY (user_id) INTO 16 BUCKETS")
+        val target = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+        val ckpt = ckptScratch.resolve(name)
+        val q = withStreamShuffle(s) {
+          stream(s, dir).writeStream
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              val firsts = batch.groupBy("user_id")
+                .agg(min(struct(col("ts"), col("event_id"))).as("w"))
+                .select(col("user_id"), col("w.event_id").as("first_event_id"),
+                  col("w.ts").as("first_ts"))
+              val fresh = graft.Ckpt.eager(
+                firsts.hint("merge").join(s.table(name), Seq("user_id"), "left_anti"))
+              val prev = target.get()
+              target.set(if (prev == null) fresh else prev.unionByName(fresh))
+              fresh.select("user_id").write.mode("append").insertInto(name)
+              // the micro-batch runs under a CLONED session: invalidate
+              // the cached file listing on the outer one explicitly, or
+              // the next batch's anti-join reads the CREATE-time (empty)
+              // snapshot forever
+              s.catalog.refreshTable(name)
+              ()
+            }
+            .start()
+        }
+        try q.awaitTermination()
+        finally {
+          lastRunDataBatches = q.recentProgress.count(_.numInputRows > 0)
+          q.stop()
+          releaseStreamingResidue(s)
+          org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+          s.sql(s"DROP TABLE IF EXISTS $name")
+        }
+        require(target.get() != null, "dedup-store stream produced no batches")
+        target.get()
+      },
+      // batches arrive in ascending ts ranges, so first-sighting-per-
+      // batch composes to the GLOBAL first event per user
+      Some("""SELECT user_id, event_id AS first_event_id, ts AS first_ts
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             |                ORDER BY ts, event_id) AS rn
+             |      FROM events)
+             |WHERE rn = 1""".stripMargin)),
+
     // ---- stateless streaming ETL: filter + project + route ------------
     Q("p_stream_errors",
       (s, dir) => {

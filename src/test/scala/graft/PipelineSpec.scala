@@ -1022,6 +1022,30 @@ class PipelineSpec extends AnyFunSuite {
       s"store has $storeN hashes, expected history ${hist.size} + delta ${(b1Hashes -- hist).size}")
   }
 
+  test("stream dedup-store: one row per user, store state carried across batches") {
+    val out = run("p_stream_dedup_store").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exactly one first-sighting per user — a second batch re-emitting a
+    // stored user would duplicate here
+    assert(out.map(_._1).distinct.length == out.length,
+      "a user was emitted by more than one micro-batch: store not consulted")
+    // the stream really ran multiple data batches (state-carry exercised)
+    assert(StreamingOps.lastRunDataBatches >= StreamingOps.stagedFiles,
+      s"expected >= ${StreamingOps.stagedFiles} data batches, " +
+        s"got ${StreamingOps.lastRunDataBatches}")
+    // and users genuinely span batches at this SF: some user's events
+    // cross the staged ts-range bounds (otherwise the pin is vacuous) —
+    // users with events in both the first and last ts third qualify
+    val ev = events.select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (lo, hi) = (ev.map(_._2).min, ev.map(_._2).max)
+    val third = (hi - lo) / 3
+    val spanners = ev.groupBy(_._1).filter { case (_, es) =>
+      es.exists(_._2 < lo + third) && es.exists(_._2 > hi - third)
+    }
+    assert(spanners.nonEmpty, "no user spans batches; store pin is vacuous")
+  }
+
   test("bpe: decode(encode(w)) = w for every word; counts bounded; vocab sane") {
     // vocab table: K ranked merges, merged = pair with the space removed
     val vocab = run("p_text_bpe_train").collect()

@@ -917,7 +917,7 @@ class TypingSpec extends AnyFunSuite {
     Typing.compile(header +
       "call bfs(1000000000) yield id, dist\nreturn dist, count(id) as k")
     assert(err(header + "call bfs() yield id, dist\nreturn id")
-      .contains("takes 1 argument(s)"))
+      .contains("takes 1 or 2 argument(s)"))
     // degree/cc take an OPTIONAL relation-name string (round 12): a
     // non-string single arg is a type error, two args an arity error,
     // an undeclared relation name a compile error
@@ -929,10 +929,16 @@ class TypingSpec extends AnyFunSuite {
       .contains("unknown relation type :nosuchrel"))
     assert(err(header + "call bfs(\"emp\") yield id, dist\nreturn id")
       .contains("argument 1 must be int, got string"))
-    // positive: scoping to the declared relation compiles
+    // positive: scoping to the declared relation compiles, on all four
     Typing.compile(header +
       "call degree(\"r\") yield id, o, n\nreturn id, o, n")
     Typing.compile(header + "call cc(\"r\") yield id, comp\nreturn comp")
+    Typing.compile(header + "call pagerank(\"r\") yield id, rank\nreturn rank")
+    Typing.compile(header + "call bfs(7, \"r\") yield id, dist\nreturn dist")
+    assert(err(header + "call bfs(7, \"nosuch\") yield id, dist\nreturn dist")
+      .contains("unknown relation type :nosuch"))
+    assert(err(header + "call bfs(\"r\", 7) yield id, dist\nreturn dist")
+      .contains("argument 1 must be int, got string"))
     assert(err(header + "call degree() yield a, b\nreturn a")
       .contains("yields 3 column(s)"))
     assert(err(header + "call cc() yield a, a\nreturn a")
