@@ -40,22 +40,23 @@ object Bench {
     * Recording runs disable the retry (SPARK_GRAFT_RETRY=0) so the
     * baseline itself stays raw. */
   private val familyBand: Map[String, Double] = Map(
-    "g"        -> 172.4,
-    "p_stream" -> 53.8,
-    "p_dedup"  -> 49.4,
-    "gql"      -> 81.0, // round-11 idle first pass at the 102-query gql
-                        // inventory (the 47.5 band predated 50+ added
-                        // queries and fired a false family retry on an
-                        // IDLE run — bands must track inventory growth)
-    "q"        -> 18.5,
-    "p_sim"    -> 16.8,
-    "p_io"     -> 16.6,
-    "p_events" -> 16.2,
-    "p_curate" -> 8.4,
-    "p_text"   -> 5.6,
-    "p_mm"     -> 3.8,
-    "p_sample" -> 2.7,
-    "p_pack"   -> 0.2)
+    // round-12 idle first-pass family totals at the full 271-query
+    // inventory (BENCH_IDLE_r12.json, load < 1/32, retried:[]) — bands
+    // must track inventory growth (the r11 lesson: a stale band fired a
+    // false family retry on an idle run)
+    "g"        -> 131.1,
+    "gql"      -> 130.9, // incl. the 4 whole-graph call procs (~65 s)
+    "p_stream" -> 26.7,
+    "p_dedup"  -> 26.1,
+    "q"        -> 11.4,
+    "p_io"     -> 11.1,
+    "p_events" -> 8.0,
+    "p_sim"    -> 7.4,
+    "p_text"   -> 6.3,
+    "p_curate" -> 5.7,
+    "p_mm"     -> 3.1,
+    "p_sample" -> 1.2,
+    "p_pack"   -> 0.3)
   private val retryFactor = 1.5
   // ...and at least this many seconds over the band: sub-second families
   // (p_pack, p_sample) would otherwise re-run on trivial jitter. Bands
