@@ -49,6 +49,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"unfused cross join in:\n$p")
   }
 
+  test("named path keeps the varpath fusion: no cartesian, witness rides the reach join") {
+    // the pathVar-carrying PExpandPath must fuse exactly like the plain
+    // varpath — the witness array is one extra column on the reach
+    // frame, never a second join or a cross product
+    val p = plan("gql_named_path")
+    assert(!p.contains("CartesianProduct"), s"unfused cross join in:\n$p")
+  }
+
+  test("bpe encode is one scan stage: zero exchanges") {
+    // the whole encoder (spaced form + K replaces + HOF fold) is a
+    // per-row projection — any Exchange here means the scan-speed claim
+    // is false. (Training runs its own jobs; this pins the ENCODE op's
+    // final plan only.)
+    val p = plan("p_text_bpe_encode")
+    assert(!p.contains("Exchange"), s"unexpected shuffle in the encode scan:\n$p")
+  }
+
   test("undirected hop fuses too: equi-join against the orientation union") {
     // PExpandUndir — cross+semi over either orientation fuses to ONE
     // equi-join against the (deduped) union of the declared orientation
