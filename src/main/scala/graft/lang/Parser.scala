@@ -301,7 +301,20 @@ object Parser {
       * `optional match` it binds nothing optional, for `not exists` a
       * bound variable trivially exists). */
     private def pathPattern(what: String): Clause = {
-      val pat = pattern()
+      // `optional match p = (…)` — named paths compose with the optional
+      // form (round 12): the witness sub-plan declares the path binding
+      // like any fresh variable, and a row with no witness binds it (and
+      // nodes(p)) to NULL, the ordinary all-or-nothing semantics. The
+      // existential predicates bind nothing, so a name there is vacuous
+      // — rejected rather than silently ignored.
+      val pat = peek match {
+        case TIdent(p) if peek2 == TSym("=") && peek3 == TSym("(") =>
+          if (what != "optional match")
+            fail(s"$what binds nothing — a named path $p cannot escape it")
+          i += 2
+          namePath(p, pattern())
+        case _ => pattern()
+      }
       pat match {
         case SimpPattern(_) =>
           fail(s"$what requires a path pattern with at least one hop")

@@ -942,6 +942,25 @@ object GraphOps {
              |JOIN n0 z  ON z.rk = x.rk AND z.pos BETWEEN x.pos AND y.pos
              |WHERE x.rk = 0""".stripMargin)),
 
+    // …and the OPTIONAL form (round 12 continued): the witness sub-plan
+    // declares the path binding like any fresh variable, so a row with
+    // no witness binds p (and nodes/length reads) to NULL — recovered
+    // here through null(p) + case into a sentinel. Chain tails (the
+    // last 1-2 nations per region) exercise the NULL leg.
+    Q("gql_named_path_opt",
+      bindings(
+        """match (n:nation)
+          |optional match p = (n) -[:nnext*1..2]-> (m:nation)
+          |with n, m, case when null(p) then 0 - 1 else length(p) end as l
+          |return n, m, l""".stripMargin),
+      Some("""WITH n0 AS (SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS id,
+             |         row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS pos,
+             |         n_regionkey AS rk FROM nation)
+             |SELECT x.id AS n, y.id AS m,
+             |       coalesce(CAST(y.pos - x.pos AS BIGINT), -1) AS l
+             |FROM n0 x LEFT JOIN n0 y
+             |  ON y.rk = x.rk AND y.pos - x.pos BETWEEN 1 AND 2""".stripMargin)),
+
     // pagerank("rel") / bfs(src, "rel") — relation scope on the other
     // two procedures (round 12 continued): the scoped edge frame is the
     // only change, the iterative bodies are untouched. nnext is the

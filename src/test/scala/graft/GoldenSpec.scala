@@ -336,6 +336,16 @@ class GoldenSpec extends AnyFunSuite {
         |with nodes(p) as ns
         |return ns.val[0] as h0, ns.val[1] as h1, ns.val[2] as h2""".stripMargin)
     assert(rr == Seq(Seq(0L, 1L, 3L)), s"got $rr")
+    // optional named path: rows without a witness bind p to NULL —
+    // null(p) sees it, length(p) reads NULL through the guard (never a
+    // strict-mode raise), and matched rows carry the real hop count
+    val ro = rows(
+      """match (s:N)
+        |optional match p = (s) -[:r*2..2]-> (t:N)
+        |with s, case when null(p) then 0 - 1 else length(p) end as l
+        |return s, l""".stripMargin)
+    assert(ro == Seq(Seq(0L, 2L), Seq(1L, 2L), Seq(2L, 2L), Seq(3L, -1L), Seq(4L, -1L)),
+      s"got $ro")
     // undirected closure: e(4) reaches a(0) against edge direction in 3
     // hops — witness runs from the hop's LEFT endpoint: [4, 3, 1, 0]
     // (d->b beats d->c at the tie since 1 < 2)

@@ -680,6 +680,18 @@ class ParserSpec extends AnyFunSuite {
     assert(w.query.clauses.exists {
       case Where(Bin(BCgt, LengthFn("q"), _)) => true; case _ => false
     })
+    // optional match admits the name (the witness binds it, NULL when
+    // none); the existential predicates bind nothing — name rejected
+    val o = Parser.parse(header +
+      "match (a:P)\noptional match p = (a) -[:r*1..2]-> (b:Q)\nreturn a, b")
+    o.query.clauses(1) match {
+      case OptMatch(VarPattern(_, _, _, _, _, _, _, Some("p"))) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    intercept[Parser.ParseError](Parser.parse(header +
+      "match (a:P)\nwhere exists p = (a) -[:r*1..2]-> (b:Q)\nreturn a"))
+    intercept[Parser.ParseError](Parser.parse(header +
+      "match (a:P)\nwhere not exists p = (a) -[:r*1..2]-> (b:Q)\nreturn a"))
   }
 
   test("call procedures parse: proc() yield list; malformed shapes rejected") {
