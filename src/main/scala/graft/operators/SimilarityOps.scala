@@ -27,6 +27,59 @@ object SimilarityOps {
   private val bucketK = 3
   private val nQueries = 10 // queries = vec_id < 10
 
+  /** The exact brute-force top-k oracle (p_sim_topk_brute). */
+  private lazy val bruteTopkOracle: String =
+    s"""WITH e AS (SELECT vec_id,
+              |         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS q
+              |       FROM embeddings),
+              |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nrm FROM e),
+              |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              |             round(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i]))::DOUBLE
+              |               / (sqrt(a.nrm::DOUBLE) * sqrt(b.nrm::DOUBLE)), 6) AS cos
+              |           FROM n a JOIN n b ON a.vec_id < $nQueries AND a.vec_id <> b.vec_id),
+              |ranked AS (SELECT query_id, neighbor_id, cos,
+              |             ROW_NUMBER() OVER (PARTITION BY query_id
+              |                                ORDER BY cos DESC, neighbor_id) AS rank
+              |           FROM scored)
+              |SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= $topK""".stripMargin
+
+  /** The IVF query-path oracle — shared by the in-memory op and the
+    * persisted-index op (round 12): identical query semantics, so one
+    * SQL replay verifies both. */
+  private lazy val ivfSearchOracle: String =
+    s"""WITH e AS (SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS q
+       |       FROM embeddings),
+       |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nrm FROM e),
+       |cents AS (SELECT vec_id AS centroid_id, q AS cq, nrm AS cn FROM n WHERE vec_id < 8),
+       |ascore AS (SELECT n.vec_id, c.centroid_id,
+       |             round(list_sum(list_transform(range(1, len(n.q) + 1), i -> n.q[i] * c.cq[i]))::DOUBLE
+       |               / (sqrt(n.nrm::DOUBLE) * sqrt(c.cn::DOUBLE)), 6) AS cos
+       |           FROM n, cents c),
+       |assign AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+       |             SELECT vec_id, centroid_id,
+       |               ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                                  ORDER BY cos DESC, centroid_id) AS rnk
+       |             FROM ascore) WHERE rnk = 1),
+       |probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+       |             SELECT vec_id, centroid_id,
+       |               ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                                  ORDER BY cos DESC, centroid_id) AS rnk
+       |             FROM ascore WHERE vec_id < $nQueries) WHERE rnk <= 2),
+       |scored AS (SELECT p.query_id, a.neighbor_id,
+       |             round(list_sum(list_transform(range(1, len(nq.q) + 1), i -> nq.q[i] * nb.q[i]))::DOUBLE
+       |               / (sqrt(nq.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) AS cos
+       |           FROM probes p
+       |           JOIN assign a ON p.centroid_id = a.centroid_id
+       |           JOIN n nq ON nq.vec_id = p.query_id
+       |           JOIN n nb ON nb.vec_id = a.neighbor_id
+       |           WHERE a.neighbor_id <> p.query_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                ORDER BY cos DESC, neighbor_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= $topK""".stripMargin
+
   val all: List[Q] = List(
 
     // ---- exact brute-force cosine top-k per query ---------------------
@@ -45,19 +98,7 @@ object SimilarityOps {
           .filter(col("rank") <= topK)
           .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
       },
-      Some(s"""WITH e AS (SELECT vec_id,
-              |         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS q
-              |       FROM embeddings),
-              |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nrm FROM e),
-              |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-              |             round(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i]))::DOUBLE
-              |               / (sqrt(a.nrm::DOUBLE) * sqrt(b.nrm::DOUBLE)), 6) AS cos
-              |           FROM n a JOIN n b ON a.vec_id < $nQueries AND a.vec_id <> b.vec_id),
-              |ranked AS (SELECT query_id, neighbor_id, cos,
-              |             ROW_NUMBER() OVER (PARTITION BY query_id
-              |                                ORDER BY cos DESC, neighbor_id) AS rank
-              |           FROM scored)
-              |SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= $topK""".stripMargin)),
+      Some(bruteTopkOracle)),
 
     // ---- centroid outliers: farthest-from-class-centroid vectors ------
     // Embedding-quality triage: cosine to the label centroid, 3 lowest
@@ -394,38 +435,54 @@ object SimilarityOps {
           .filter(col("rank") <= topK)
           .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
       },
-      Some(s"""WITH e AS (SELECT vec_id,
-              |         list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000000, 0) AS BIGINT)) AS q
-              |       FROM embeddings),
-              |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nrm FROM e),
-              |cents AS (SELECT vec_id AS centroid_id, q AS cq, nrm AS cn FROM n WHERE vec_id < 8),
-              |ascore AS (SELECT n.vec_id, c.centroid_id,
-              |             round(list_sum(list_transform(range(1, len(n.q) + 1), i -> n.q[i] * c.cq[i]))::DOUBLE
-              |               / (sqrt(n.nrm::DOUBLE) * sqrt(c.cn::DOUBLE)), 6) AS cos
-              |           FROM n, cents c),
-              |assign AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
-              |             SELECT vec_id, centroid_id,
-              |               ROW_NUMBER() OVER (PARTITION BY vec_id
-              |                                  ORDER BY cos DESC, centroid_id) AS rnk
-              |             FROM ascore) WHERE rnk = 1),
-              |probes AS (SELECT vec_id AS query_id, centroid_id FROM (
-              |             SELECT vec_id, centroid_id,
-              |               ROW_NUMBER() OVER (PARTITION BY vec_id
-              |                                  ORDER BY cos DESC, centroid_id) AS rnk
-              |             FROM ascore WHERE vec_id < $nQueries) WHERE rnk <= 2),
-              |scored AS (SELECT p.query_id, a.neighbor_id,
-              |             round(list_sum(list_transform(range(1, len(nq.q) + 1), i -> nq.q[i] * nb.q[i]))::DOUBLE
-              |               / (sqrt(nq.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) AS cos
-              |           FROM probes p
-              |           JOIN assign a ON p.centroid_id = a.centroid_id
-              |           JOIN n nq ON nq.vec_id = p.query_id
-              |           JOIN n nb ON nb.vec_id = a.neighbor_id
-              |           WHERE a.neighbor_id <> p.query_id),
-              |ranked AS (SELECT query_id, neighbor_id, cos,
-              |             ROW_NUMBER() OVER (PARTITION BY query_id
-              |                                ORDER BY cos DESC, neighbor_id) AS rank
-              |           FROM scored)
-              |SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= $topK""".stripMargin)),
+      Some(ivfSearchOracle)),
+
+    // ---- PERSISTED IVF index, probed bucket-aligned (round 12) --------
+    // The serving-path shape of ANN at 100 TB: the index — every vector
+    // with its assigned cell, quantized ints and norm alongside — lives
+    // as a table BUCKETED on centroid_id, built once (content-tagged)
+    // and reused by every query batch. A probe batch then joins the
+    // index on centroid_id: the INDEX side reads bucket-aligned (never
+    // re-exchanges — the 100 TB side), the query batch shuffles only
+    // itself (or broadcasts — it is nprobe rows per query). Scoring
+    // happens against the STORED vectors, so the corpus embeddings
+    // table isn't touched at query time at all. Same query semantics as
+    // p_sim_ivf_search ⇒ same oracle.
+    Q("p_sim_ivf_store",
+      (s, dir) => {
+        val e = quantized(s, dir)
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("q").as("cq"), col("nrm").as("cn"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("centroid_id"))
+        val ft = bucketedTable(s, "graft_bkt_ivf", dir, "centroid_id", 8)(
+          e.select(col("vec_id"), col("q"), col("nrm"))
+            .crossJoin(broadcast(cents))
+            .withColumn("cos", round(cosine("q", "nrm", "cq", "cn"), 6))
+            .withColumn("rank", row_number().over(wAssign))
+            .filter(col("rank") === 1)
+            .select(col("vec_id").as("neighbor_id"), col("centroid_id"),
+              col("q").as("qb"), col("nrm").as("nb")))
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("centroid_id"))
+        val probes = e.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nrm").as("na"))
+          .crossJoin(broadcast(cents))
+          .withColumn("cos", round(cosine("qa", "na", "cq", "cn"), 6))
+          .withColumn("rank", row_number().over(wProbe))
+          .filter(col("rank") <= 2)
+          .select(col("query_id"), col("centroid_id"), col("qa"), col("na"))
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))
+        probes.hint("merge")
+          .join(s.table(ft), Seq("centroid_id"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos", round(cosine("qa", "na", "qb", "nb"), 6))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= topK)
+          .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+      },
+      Some(ivfSearchOracle)),
 
     // ---- sign-LSH bucketed top-k (IVF-style candidate pruning) --------
     Q("p_sim_lsh_bucket",

@@ -526,6 +526,15 @@ class PlanSpec extends AnyFunSuite {
       s"the bucketed fingerprint store should not re-exchange on th:\n$p")
   }
 
+  test("persisted IVF probe keeps the index exchange-free on centroid_id") {
+    // the ANN serving path: the bucketed index (the 100 TB side) must
+    // read bucket-aligned through the probe join — at most the tiny
+    // probe batch may exchange on the cell id
+    val p = plan("p_sim_ivf_store")
+    assert("Exchange hashpartitioning\\(centroid_id".r.findAllIn(p).size <= 1,
+      s"the bucketed IVF index should not re-exchange on centroid_id:\n$p")
+  }
+
   test("incremental LSH candidate join keeps the band store exchange-free") {
     // the near-dup store discipline: the bucketed band table (the
     // 100 TB side) must not reshuffle on the bucket hash — only the
