@@ -870,6 +870,56 @@ object GraphAlgos {
               |d AS (SELECT src, count(*) AS degree FROM e GROUP BY src)
               |SELECT degree, count(*) AS n_nodes FROM d GROUP BY degree""".stripMargin)),
 
+    // ---- degree assortativity (round 12) -------------------------------
+    // Pearson correlation of endpoint TOTAL degrees over the FK edge
+    // list — the classic one-number answer to "do hubs attach to hubs?"
+    // (strongly negative here: the graph is a star-of-stars, every
+    // high-degree dimension node fed by degree-3 lineitems). All six
+    // moments are EXACT int64 sums (degrees are ints, map-side combined;
+    // one |V|-sized degree table joined on each endpoint — two keyed
+    // shuffles, nothing quadratic), and only the final Pearson formula
+    // divides through double with the IDENTICAL expression in the
+    // oracle, so the 6-dp result is bit-stable cross-engine.
+    Q("g_assortativity",
+      (s, dir) => {
+        val e = allEdges(s, dir)
+        val deg = e.select(col("src").as("id"))
+          .unionByName(e.select(col("dst").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("d"))
+        val xy = e
+          .join(deg.select(col("id").as("src"), col("d").as("x")), Seq("src"))
+          .join(deg.select(col("id").as("dst"), col("d").as("y")), Seq("dst"))
+        val n = col("n").cast("double")
+        xy.agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+          .select(col("n"),
+            round((n * col("sxy") - col("sx").cast("double") * col("sy")) /
+              (sqrt(n * col("sxx") - col("sx").cast("double") * col("sx")) *
+                sqrt(n * col("syy") - col("sy").cast("double") * col("sy"))), 6)
+              .as("assortativity"))
+      },
+      Some(s"""WITH e AS ($edgeSql),
+              |deg AS (SELECT id, count(*) AS d FROM (
+              |          SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+              |        GROUP BY id),
+              |xy AS (SELECT dx.d AS x, dy.d AS y FROM e
+              |       JOIN deg dx ON e.src = dx.id
+              |       JOIN deg dy ON e.dst = dy.id),
+              |agg AS (SELECT count(*) AS n,
+              |          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              |          CAST(sum(x*y) AS BIGINT) AS sxy,
+              |          CAST(sum(x*x) AS BIGINT) AS sxx,
+              |          CAST(sum(y*y) AS BIGINT) AS syy
+              |        FROM xy)
+              |SELECT n, round((n::DOUBLE * sxy - sx::DOUBLE * sy) /
+              |  (sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx) *
+              |   sqrt(n::DOUBLE * syy - sy::DOUBLE * sy)), 6) AS assortativity
+              |FROM agg""".stripMargin)),
+
     // ---- triangle counting over the part co-purchase graph ------------
     // Edges = distinct part pairs that share an order (the classic
     // projected co-occurrence graph); triangles are enumerated with the
