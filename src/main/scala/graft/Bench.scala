@@ -44,14 +44,16 @@ object Bench {
     // inventory (BENCH_IDLE_r12.json, load < 1/32, retried:[]) — bands
     // must track inventory growth (the r11 lesson: a stale band fired a
     // false family retry on an idle run)
-    "g"        -> 131.1,
-    "gql"      -> 130.9, // incl. the 4 whole-graph call procs (~65 s)
+    // (+ marginal post-record additions: g_assortativity ≈ +5 amortized,
+    // gql_named_path_opt ≈ +2, p_sim_ivf_store ≈ +3)
+    "g"        -> 136.0,
+    "gql"      -> 133.0, // incl. the 4 whole-graph call procs (~65 s)
     "p_stream" -> 26.7,
     "p_dedup"  -> 26.1,
     "q"        -> 11.4,
     "p_io"     -> 11.1,
     "p_events" -> 8.0,
-    "p_sim"    -> 7.4,
+    "p_sim"    -> 10.4,
     "p_text"   -> 6.3,
     "p_curate" -> 5.7,
     "p_mm"     -> 3.1,
