@@ -9,6 +9,11 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Non-exhaustive matches are ERRORS: the IR walkers (Params.subst,
+// Normalize, Typing) document "a new Expr/Instruction case is a compile
+// error here, not a silent miss" — this makes that claim actually hold
+// (ADVICE r12: a new Expr case slipped past Params.sE as a warning).
+ThisBuild / scalacOptions += "-Wconf:cat=other-match-analysis:error"
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -100,8 +100,13 @@ object Cli {
     // clauses). Engine extension — the reference has no external
     // sources at all (interf.ml:38-47). Prints the binding table only
     // (row-capped): the loaded graph is data-sized, not render-sized.
-    case "g" :: dir :: file :: rest0 if splitParams(rest0)._1.isEmpty =>
-      val params = splitParams(rest0)._2
+    case "g" :: dir :: file :: rest0 =>
+      val (leftover, params) = splitParams(rest0)
+      if (leftover.nonEmpty) {
+        System.err.println(
+          s"bad argument(s) after g <dir> <file.q>: ${leftover.mkString(" ")} (only --param name=value is accepted)")
+        sys.exit(2)
+      }
       val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)))
       val full = graft.sources.GraphLoader.headerGql + src
       val spark = SparkSession.builder()

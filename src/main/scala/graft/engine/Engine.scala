@@ -460,6 +460,26 @@ object Engine {
           df.select(col("src"), col("dst")) }
         .reduceOption(_ unionByName _)
         .getOrElse(spark.range(0).select(col("id").as("src"), col("id").as("dst")))
+      // Loop-invariant frames are hoisted, REPARTITIONED BY THE PER-
+      // SUPERSTEP JOIN KEY and materialized once before the iterative
+      // loops — the library discipline (GraphAlgos fixedPageRank's
+      // Ckpt.eagerPartitioned(edge.repartition(src))). Left lazy, every
+      // superstep would re-derive the edge union from the per-relation
+      // frames (a storage re-scan) AND re-exchange it for the join —
+      // measured 2× vs the library twins on the same graph (VERDICT
+      // r12), and at 100 TB the gap is supersteps×|E| of avoidable
+      // shuffle. eagerPartitioned (AQE off for the materialization) so
+      // the checkpoint reports the concrete hash partitioning instead
+      // of UnknownPartitioning.
+      def hoistUndirected(): DataFrame =
+        graft.Ckpt.eagerPartitioned(
+          allEdges.unionByName(
+            allEdges.select(col("dst").as("src"), col("src").as("dst")))
+            .repartition(col("src")))
+      def intArg(what: String): Long = args.head match {
+        case IntV(v) => v
+        case other   => throw new IllegalStateException(s"$what arg: $other")
+      }
       val table: DataFrame = proc match {
         case "degree" =>
           // out/in degree over EVERY relation type; isolated nodes
@@ -476,8 +496,7 @@ object Engine {
           // delta min-label propagation to the fixed point (the
           // library deltaCC's recurrence; comp = component min id).
           // Diameter-bound loop with the usual loud non-convergence.
-          val ue = allEdges.unionByName(
-            allEdges.select(col("dst").as("src"), col("src").as("dst")))
+          val ue = hoistUndirected()
           var labels = graft.Ckpt.eager(allNodes.select(col("id"), col("id").as("comp")))
           var converged = false
           var stepN = 0
@@ -496,6 +515,7 @@ object Engine {
             labels = next
             converged = changed == 0L
           }
+          graft.Ckpt.drop(ue)
           require(converged, s"call cc(): not converged after $maxIters supersteps")
           labels.select(col("id").as(cols(0)), col("comp").as(cols(1)))
         case "pagerank" =>
@@ -503,35 +523,41 @@ object Engine {
           // recurrence (8 iterations, rank0 = 1e9, damping 0.85 in
           // exact integer arithmetic: 150000000 + 85·Σ/100) over the
           // graph's full edge set — deterministic, so oracle-checkable
-          val od = allEdges.groupBy(col("src").as("id"))
+          // edge list FUSED with its out-degree (one static join, not
+          // one per iteration) and pre-placed on the probe key; nodes
+          // pre-partitioned by id so the per-iteration left join and
+          // the next round's probe both reuse the placement — the only
+          // per-superstep shuffle left is the contribution aggregation
+          // itself (the irreducible PageRank shuffle).
+          val od = allEdges.groupBy(col("src"))
             .agg(count(lit(1)).as("od"))
-          val withOd = allEdges.join(od, allEdges("src") === od("id"))
-            .select(allEdges("src"), allEdges("dst"), col("od"))
+          val ed = graft.Ckpt.eagerPartitioned(
+            allEdges.join(od, Seq("src")).repartition(col("src")))
+          val nodesP = graft.Ckpt.eagerPartitioned(
+            allNodes.repartition(col("id")))
           var rank = graft.Ckpt.eager(
-            allNodes.select(col("id"), lit(1000000000L).as("rank")))
+            nodesP.select(col("id"), lit(1000000000L).as("rank")))
           for (_ <- 1 to 8) {
-            val contrib = withOd.join(rank, withOd("src") === rank("id"))
-              .select(withOd("dst").as("id"),
+            val contrib = ed.join(rank.withColumnRenamed("id", "src"), Seq("src"))
+              .select(col("dst").as("id"),
                 expr("rank div od").as("c"))
               .groupBy("id").agg(sum(col("c")).as("s"))
             val next = graft.Ckpt.eagerPartitioned(
-              allNodes.join(contrib, Seq("id"), "left")
+              nodesP.join(contrib, Seq("id"), "left")
                 .select(col("id"),
                   (lit(150000000L) + expr("85 * coalesce(s, 0) div 100")).as("rank")))
             graft.Ckpt.drop(rank)
             rank = next
           }
+          graft.Ckpt.drop(ed)
+          graft.Ckpt.drop(nodesP)
           rank.select(col("id").as(cols(0)), col("rank").as(cols(1)))
         case "bfs" =>
           // undirected hop distances from the literal source id —
           // frontier-delta iteration (newly-discovered only), reached
           // nodes in the output, absent source reaches nothing
-          val ue = allEdges.unionByName(
-            allEdges.select(col("dst").as("src"), col("src").as("dst")))
-          val srcId = args.head match {
-            case IntV(v) => v
-            case other => throw new IllegalStateException(s"bfs arg: $other")
-          }
+          val ue = hoistUndirected()
+          val srcId = intArg("bfs")
           val src = allNodes.filter(col("id") === srcId)
             .select(col("id"), lit(0L).as("d"))
           var dists = graft.Ckpt.eager(src)
@@ -560,8 +586,139 @@ object Engine {
             }
           }
           graft.Ckpt.drop(frontier)
+          graft.Ckpt.drop(ue)
           require(converged, s"call bfs(): not converged after $maxIters supersteps")
           dists.select(col("id").as(cols(0)), col("d").as(cols(1)))
+        case "sssp" =>
+          // weighted Bellman–Ford delta iteration (the library g_sssp
+          // recurrence): deterministic integer weight w(u,v) = 1 +
+          // (u + v) mod 2 — no weight column materialized anywhere,
+          // exact in any engine. The frontier is the IMPROVED set (a
+          // settled node re-enters when its distance drops — weighted
+          // relaxation, unlike BFS, can improve a settled node).
+          val ue = hoistUndirected()
+          val srcId = intArg("sssp")
+          val src = allNodes.filter(col("id") === srcId)
+            .select(col("id"), lit(0L).as("d"))
+          var dists = graft.Ckpt.eager(src)
+          var frontier = graft.Ckpt.eager(src)
+          var converged = false
+          var stepN = 0
+          val maxIters = 24
+          while (stepN < maxIters && !converged) {
+            stepN += 1
+            val cand = ue.join(frontier, ue("src") === frontier("id"))
+              .select(ue("dst").as("id"),
+                (col("d") + lit(1L) + (ue("src") + ue("dst")) % 2).as("cand"))
+              .groupBy("id").agg(min("cand").as("cand"))
+            val improved = graft.Ckpt.deferredPartitioned(
+              cand.join(dists.withColumnRenamed("d", "old"), Seq("id"), "left")
+                .filter(col("old").isNull || col("cand") < col("old"))
+                .select(col("id"), col("cand").as("d")))
+            converged = improved.count() == 0L
+            if (converged) graft.Ckpt.drop(improved)
+            else {
+              // co-partitioned full-outer merge — the delta's value
+              // wins on match; neither side re-shuffles (both arrive
+              // hash-partitioned by id)
+              val merged = graft.Ckpt.eagerPartitioned(
+                dists.join(improved.select(col("id"), col("d").as("nd")), Seq("id"), "full")
+                  .select(col("id"), coalesce(col("nd"), col("d")).as("d")))
+              graft.Ckpt.drop(dists)
+              graft.Ckpt.drop(frontier)
+              dists = merged
+              frontier = improved
+            }
+          }
+          graft.Ckpt.drop(frontier)
+          graft.Ckpt.drop(ue)
+          require(converged, s"call sssp(): not converged after $maxIters supersteps")
+          dists.select(col("id").as(cols(0)), col("d").as(cols(1)))
+        case "kcore" =>
+          // iterative k-core peel (the library g_kcore recurrence, k as
+          // the call argument): each round degrees the surviving edges
+          // (co-partitioned groupBy — the hoisted frame stays src-
+          // partitioned the whole loop), keeps nodes with >= k
+          // neighbors, filters edges to alive×alive (src side
+          // co-partitioned semi, dst side broadcast semi). Early exit
+          // on an unchanged alive count (the peel is monotone ⊇).
+          val k = intArg("kcore")
+          val ue = hoistUndirected()
+          var edges: DataFrame = ue
+          var nAlive = -1L
+          var converged = false
+          var stepN = 0
+          val maxIters = 12
+          var result: DataFrame = null
+          while (stepN < maxIters && !converged) {
+            stepN += 1
+            val deg = edges.groupBy("src").agg(count(lit(1)).as("c"))
+            val alive = graft.Ckpt.deferredPartitioned(
+              deg.filter(col("c") >= k).select(col("src").as("id")))
+            val n = alive.count()
+            if (n == nAlive) {
+              converged = true
+              // deg this round is over edges among the PREVIOUS alive
+              // set, which just proved equal to the current one — the
+              // in-core degrees
+              result = graft.Ckpt.eager(
+                deg.filter(col("c") >= k)
+                  .select(col("src").as(cols(0)), col("c").as(cols(1))))
+              graft.Ckpt.drop(alive)
+            } else {
+              nAlive = n
+              val next = graft.Ckpt.eagerPartitioned(
+                edges.join(alive, col("src") === col("id"), "left_semi")
+                  .join(broadcast(alive.withColumnRenamed("id", "id2")),
+                    col("dst") === col("id2"), "left_semi"))
+              if (edges ne ue) graft.Ckpt.drop(edges)
+              edges = next
+              graft.Ckpt.drop(alive)
+            }
+          }
+          if (edges ne ue) graft.Ckpt.drop(edges)
+          graft.Ckpt.drop(ue)
+          require(converged, s"call kcore(): not converged after $maxIters rounds")
+          result
+        case "triangles" =>
+          // per-node triangle counts over the canonical undirected pair
+          // set, enumerated with the DEGREE-ORDERED orientation (each
+          // pair points from its lower-(degree, id) endpoint — every
+          // triangle produced once, wedge fan-out O(sqrt(m)) even on
+          // hubs; the library g_triangles shape). The |V|-scale degree
+          // table and |E|-scale oriented list are broadcast, so the
+          // wedge stream is generated, existence-checked and partially
+          // aggregated in place; on a graph whose edge list outgrows
+          // broadcast, drop the hints — the plan degrades to SMJ,
+          // still correct. Zero-participation nodes surface with 0.
+          val pairs = allEdges
+            .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+            .filter(col("a") =!= col("b")).distinct()
+          val deg = pairs.select(col("a").as("id"))
+            .union(pairs.select(col("b").as("id")))
+            .groupBy("id").agg(count(lit(1)).as("d"))
+          val keyed = pairs
+            .join(broadcast(deg.select(col("id").as("a"), col("d").as("da"))), Seq("a"))
+            .join(broadcast(deg.select(col("id").as("b"), col("d").as("db"))), Seq("b"))
+          val aFirst = col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b"))
+          val o = keyed.select(
+            when(aFirst, col("a")).otherwise(col("b")).as("src"),
+            when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+            when(aFirst, col("db")).otherwise(col("da")).as("ddst")).cache()
+          val wedgeOrder = col("e1.ddst") < col("e2.ddst") ||
+            (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
+          val tri = o.as("e1")
+            .join(broadcast(o.as("e2")), col("e1.src") === col("e2.src") && wedgeOrder)
+            .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+            .join(broadcast(o.select(col("src").as("v"), col("dst").as("w"))),
+              Seq("v", "w"), "left_semi")
+          val counts = tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+            .groupBy("id").agg(count(lit(1)).as("n_tri"))
+          allNodes.join(counts, Seq("id"), "left")
+            .select(col("id").as(cols(0)),
+              coalesce(col("n_tri"), lit(0L)).as(cols(1)))
         case other =>
           throw new IllegalStateException(s"unreachable: unknown procedure $other")
       }

@@ -61,6 +61,8 @@ object Params {
     case f: IdFn             => f
     case f: LabelFn          => f
     case f: TypeFn           => f
+    case f: LengthFn         => f
+    case f: NodesFn          => f
     case Bin(op, l, r)       => Bin(op, sE(p)(l), sE(p)(r))
     case Un(op, e1)          => Un(op, sE(p)(e1))
     case Substr(s, pos, len) => Substr(sE(p)(s), sE(p)(pos), sE(p)(len))

@@ -249,14 +249,18 @@ object Typing {
   final case class RCallProc(proc: String, yields: List[String],
       args: List[Value] = Nil) extends RInstr
   /** Registered procedures → (allowed argument-type signatures, yield
-    * arity); yield columns are all int. degree/cc take an optional
-    * relation-name string that scopes the procedure to one declared
-    * relation type (round 12). */
+    * arity); yield columns are all int. Every procedure takes an
+    * optional TRAILING relation-name string that scopes it to one
+    * declared relation type (round 12); bfs/sssp lead with the source
+    * node id, kcore with the core threshold k (round 13). */
   val procSigs: Map[String, (List[List[AttribTp]], Int)] =
-    Map("degree"   -> ((List(Nil, List(StringT)), 3)),
-        "cc"       -> ((List(Nil, List(StringT)), 2)),
-        "bfs"      -> ((List(List(IntT), List(IntT, StringT)), 2)),
-        "pagerank" -> ((List(Nil, List(StringT)), 2)))
+    Map("degree"    -> ((List(Nil, List(StringT)), 3)),
+        "cc"        -> ((List(Nil, List(StringT)), 2)),
+        "bfs"       -> ((List(List(IntT), List(IntT, StringT)), 2)),
+        "pagerank"  -> ((List(Nil, List(StringT)), 2)),
+        "sssp"      -> ((List(List(IntT), List(IntT, StringT)), 2)),
+        "kcore"     -> ((List(List(IntT), List(IntT, StringT)), 2)),
+        "triangles" -> ((List(Nil, List(StringT)), 2)))
 
   final case class RUnwindExpr(e: TExpr, alias: String, elemTp: AttribTp)
       extends RInstr

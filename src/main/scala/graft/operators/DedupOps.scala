@@ -119,10 +119,17 @@ object DedupOps {
           array_sort(array_distinct(split(col("text"), " "))), " ")).as("th")
         val ft = bucketedTable(s, "graft_bkt_fp_live", dir, "th", 16)(
           docs(s, dir).filter(col("doc_id") % 10 < 8).select(fp).distinct())
-        val b1Survivors = docs(s, dir).filter(col("doc_id") % 10 === 8)
-          .select(fp).distinct()
-          .hint("merge")
-          .join(s.table(ft), Seq("th"), "left_anti")
+        // Eagerly materialized BEFORE the append: the survivor plan reads
+        // the same table it appends to, and while insertInto alone is
+        // safe (file listing snapshots at scan planning), any second
+        // consumer of a lazy survivor frame after the append would see
+        // the appended files — the read-then-append discipline
+        // p_stream_dedup_store pins applies here too.
+        val b1Survivors = graft.Ckpt.eager(
+          docs(s, dir).filter(col("doc_id") % 10 === 8)
+            .select(fp).distinct()
+            .hint("merge")
+            .join(s.table(ft), Seq("th"), "left_anti"))
         b1Survivors.write.mode("append").insertInto(ft)
         docs(s, dir).filter(col("doc_id") % 10 === 9)
           .select(col("doc_id"), fp)

@@ -95,6 +95,63 @@ object GraphOps {
        |SELECT id, rank FROM r8 ORDER BY rank DESC, id LIMIT 100""".stripMargin
   }
 
+  /** Unrolled Bellman–Ford over the gql edge set (weight 1 + (u+v)%2,
+    * the library g_sssp recurrence) — the `call sssp(...)` oracle.
+    * Full relaxation per step; 16 = 2×(hop eccentricity ≤ 7) + margin,
+    * steps past the fixpoint are no-ops so the engine's delta
+    * iteration + early exit still matches. */
+  private lazy val callSsspOracle: String = {
+    val steps = (1 to 16).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT x.id, min(x.d) AS d FROM (
+         |  SELECT id, d FROM s${i - 1}
+         |  UNION ALL SELECT ue.dst AS id, s${i - 1}.d + 1 + (ue.src + ue.dst) % 2
+         |  FROM ue JOIN s${i - 1} ON ue.src = s${i - 1}.id) x GROUP BY x.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($gqlEdgeSql),
+       |ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |s0 AS MATERIALIZED (SELECT CAST(1000000000 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d),
+       |$steps
+       |SELECT d AS dist, count(*) AS n FROM s16 GROUP BY d""".stripMargin
+  }
+
+  /** Unrolled k-core peel over the gql edge set (k = 3, the library
+    * g_kcore recurrence) — the `call kcore(3)` oracle. 8 rounds =
+    * measured fixpoint (5) + margin; output is the in-core degree
+    * histogram. */
+  private lazy val callKcoreOracle: String = {
+    val steps = (1 to 8).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT u.src AS id FROM ue u
+         |  JOIN a${i - 1} x ON u.src = x.id JOIN a${i - 1} y ON u.dst = y.id
+         |  GROUP BY u.src HAVING count(*) >= 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($gqlEdgeSql),
+       |ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM ue),
+       |$steps,
+       |fd AS (SELECT u.src AS id, count(*) AS c FROM ue u
+       |  JOIN a8 x ON u.src = x.id
+       |  JOIN a8 y ON u.dst = y.id GROUP BY u.src)
+       |SELECT c AS coredeg, count(*) AS n FROM fd GROUP BY c""".stripMargin
+  }
+
+  /** Per-node triangle counts over the gql graph's canonical undirected
+    * pair set, enumerated by id order (the triangle SET is identical
+    * under any acyclic orientation, so the counts match the engine's
+    * degree-ordered enumeration) — the `call triangles()` oracle. Only
+    * the graph's triangles are nation–successor–region wedges closing
+    * through nregion, so participating nodes are regions and
+    * chain-adjacent nations. */
+  private lazy val callTriOracle: String =
+    s"""WITH e AS MATERIALIZED ($gqlEdgeSql),
+       |pairs AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e WHERE src <> dst),
+       |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+       |        FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
+       |        JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |corners AS (SELECT unnest([u, v, w]) AS id FROM tri)
+       |SELECT id, CAST(count(*) AS BIGINT) AS ntri FROM corners GROUP BY id""".stripMargin
+
   private def bindings(q: String)(spark: SparkSession, dir: String): DataFrame =
     exec(spark, dir, q).bindings
 
@@ -989,6 +1046,51 @@ object GraphOps {
              |SELECT CAST(1 AS BIGINT),
              |       CAST((SELECT count(*) FROM nation WHERE n_regionkey = 0) AS BIGINT)"""
         .stripMargin)),
+
+    // sssp(src) — weighted shortest paths through the bridge (round 13):
+    // the library's Bellman–Ford delta iteration (deterministic integer
+    // weight 1 + (u+v) mod 2) over the whole loaded graph, inheriting
+    // the hoisted pre-partitioned loop-invariant edge frame.
+    Q("gql_call_sssp",
+      bindings(
+        """call sssp(1000000000) yield id, dist
+          |return dist, count(id) as n""".stripMargin),
+      Some(callSsspOracle)),
+
+    // sssp(src, "rel") — the relation-scoped form: over nregion alone
+    // the reachable set from region 0 is its star (the region plus its
+    // nations), each nation at weight 1 + (nation_id + region_id) mod 2
+    // — closed-form oracle, no recurrence needed.
+    Q("gql_call_sssp_rel",
+      bindings(
+        """call sssp(1000000000, "nregion") yield id, dist
+          |return dist, count(id) as n""".stripMargin),
+      Some("""SELECT CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS n
+             |UNION ALL
+             |SELECT dist, CAST(count(*) AS BIGINT) AS n FROM (
+             |  SELECT CAST(1 + (CAST(n_nationkey AS BIGINT) + 2000000000 + 1000000000) % 2 AS BIGINT) AS dist
+             |  FROM nation WHERE n_regionkey = 0) GROUP BY dist""".stripMargin)),
+
+    // kcore(k) — the iterative peel through the bridge (round 13): k is
+    // the call argument; yields the surviving nodes' in-core degrees,
+    // aggregated here into the degree histogram (the library g_kcore
+    // output shape).
+    Q("gql_call_kcore",
+      bindings(
+        """call kcore(3) yield id, coredeg
+          |return coredeg, count(id) as n""".stripMargin),
+      Some(callKcoreOracle)),
+
+    // triangles() — per-node triangle participation through the bridge
+    // (round 13): degree-ordered enumeration, zero-participation nodes
+    // yield 0 and are filtered here (the where exercises yield-binding
+    // composition; the oracle's GROUP BY produces participants only).
+    Q("gql_call_triangles",
+      bindings(
+        """call triangles() yield id, ntri
+          |where ntri.val > 0
+          |return id, ntri""".stripMargin),
+      Some(callTriOracle)),
 
     // $name query parameters (round 12 — Cypher's `$param`): typed
     // constants substituted BEFORE typing, so the parameterized filter

@@ -96,11 +96,19 @@ object TextOps {
     merges.result()
   }
 
+  /** A trained token as a Spark SQL string literal — backslashes and
+    * quotes escaped, so an arbitrary corpus alphabet (quotes in words)
+    * can't break or alter the generated expression. The current test
+    * corpus is [a-z0-9], but the encoder must not depend on that. */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /** SQL expression encoding one word column `w` with the trained
     * merges: spaced form, then the K replaces in rank order. */
   private def encodeSql(merges: Seq[(String, String)], w: String): String =
     merges.foldLeft(s"concat(' ', regexp_replace($w, '(.)', '$$1 '))") {
-      case (acc, (a, b)) => s"replace($acc, ' $a $b ', ' $a$b ')"
+      case (acc, (a, b)) =>
+        s"replace($acc, ${sqlLit(s" $a $b ")}, ${sqlLit(s" $a$b ")})"
     }
 
   /** The train CTE chain shared by both DuckDB oracles: w0 (spaced

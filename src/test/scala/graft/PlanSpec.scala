@@ -408,6 +408,45 @@ class PlanSpec extends AnyFunSuite {
     graft.Ckpt.drain()
   }
 
+  test("call-bridge superstep join reads the hoisted edge frame in place") {
+    // VERDICT r12 #1: the procedure bridge (Engine RCallProc cc/bfs/sssp)
+    // now hoists its loop-invariant undirected edge frame into
+    // Ckpt.eagerPartitioned(union.repartition(src)) BEFORE the superstep
+    // loops. This replays one bridge superstep over that exact frame and
+    // pins that the edge side contributes NO exchange and NO re-scan of
+    // the per-relation frames: the only exchanges are the label probe's
+    // re-key onto src and the min-aggregation — 2, never 3+.
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("src"), (col("c_nationkey") + 1000000L).as("dst"))
+    def stepExchanges(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val ue = mk(e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))))
+      val labels = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"), col("c_custkey").as("comp"))
+      val step = ue.join(labels, ue("src") === labels("id"))
+        .select(ue("dst").as("id"), col("comp").as("cand"))
+        .groupBy("id").agg(min("cand").as("cand"))
+      step.count()
+      val p = step.queryExecution.executedPlan.toString
+      ("Exchange".r.findAllIn(p).size, "Scan parquet".r.findAllIn(p).size)
+    }
+    val (nHoisted, scansHoisted) = stepExchanges(df =>
+      graft.Ckpt.eagerPartitioned(df.repartition(col("src"))))
+    assert(nHoisted <= 2,
+      s"hoisted edge frame re-exchanged in the superstep join ($nHoisted exchanges)")
+    assert(scansHoisted <= 1, // the labels probe only
+      s"hoisted superstep re-scanned the edge frames ($scansHoisted parquet scans)")
+    // discriminator — the r12 bug this pin guards against: a LAZY edge
+    // union pays a per-superstep exchange AND re-derives the union from
+    // storage (2 extra parquet scans here; per-relation frames in the
+    // engine)
+    val (nLazy, scansLazy) = stepExchanges(identity)
+    assert(nLazy > 2 || scansLazy > 1,
+      "a lazy edge union now plans like the hoisted checkpoint — " +
+        "re-measure whether the bridge hoist is still load-bearing")
+    graft.Ckpt.drain()
+  }
+
   test("multi-source superstep merge stays co-partitioned on the (seed,id) pair") {
     // The g_harmonic_landmarks shape: the accumulated distance frame is
     // keyed by the COMPOSITE (seed,id) and the per-superstep delta comes

@@ -459,6 +459,13 @@ object RefInterp {
       st.copy(eattrs = st.eattrs.map { case (k, m) =>
         if (pairs(k)) k -> (m - f) else k -> m })
 
+    case _: RCallProc =>
+      // differential generation never emits call: the procedures are
+      // iterative whole-graph analytics (cc/pagerank/…) whose oracle is
+      // the per-query unrolled-recurrence SQL, not this row interpreter
+      throw new UnsupportedOperationException(
+        "RefInterp does not model call procedures (oracle-checked per query)")
+
     case RSet(v, _, f, _, te) =>
       val c = st.colOf(v)
       // bindings dangling after a delete no-op, like the engine's

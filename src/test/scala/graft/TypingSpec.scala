@@ -945,6 +945,24 @@ class TypingSpec extends AnyFunSuite {
       .contains("duplicate yield"))
     assert(err(header + "match (x:P)\ncall cc() yield x, c\nreturn c")
       .contains("rebinds an existing variable"))
+    // round 13: sssp/kcore/triangles through the bridge — same argument
+    // grammar (sssp/kcore lead with an int, every proc takes an
+    // optional trailing relation scope)
+    Typing.compile(header +
+      "call sssp(1000000000) yield id, dist\nreturn dist, count(id) as k")
+    Typing.compile(header + "call sssp(7, \"r\") yield id, dist\nreturn dist")
+    Typing.compile(header + "call kcore(3) yield id, cd\nreturn cd, count(id) as k")
+    Typing.compile(header + "call kcore(3, \"r\") yield id, cd\nreturn cd")
+    Typing.compile(header + "call triangles() yield id, t\nreturn id, t")
+    Typing.compile(header + "call triangles(\"r\") yield id, t\nreturn id, t")
+    assert(err(header + "call sssp() yield id, dist\nreturn id")
+      .contains("takes 1 or 2 argument(s)"))
+    assert(err(header + "call kcore(\"r\") yield id, cd\nreturn cd")
+      .contains("argument 1 must be int, got string"))
+    assert(err(header + "call triangles(3) yield id, t\nreturn t")
+      .contains("argument 1 must be string, got int"))
+    assert(err(header + "call sssp(7, \"nosuch\") yield id, dist\nreturn dist")
+      .contains("unknown relation type :nosuch"))
   }
 
   test("named paths: %pathval immutability, length/nodes typing (round 12)") {
