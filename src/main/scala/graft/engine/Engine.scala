@@ -236,8 +236,10 @@ object Engine {
     * list. */
   private def finalProject(st: ExecState): DataFrame = {
     val seen = scala.collection.mutable.LinkedHashSet[String]()
+    // `%`-prefixed bindings are engine-internal (named-path segments,
+    // `%rels_` companions) — never user-visible in a return-less table
     val outCols = st.env.flatMap { case (v, c) =>
-      if (seen.add(v)) Some(col(c).as(v)) else None
+      if (!v.startsWith("%") && seen.add(v)) Some(col(c).as(v)) else None
     }
     if (outCols.isEmpty) st.bindings else st.bindings.select(outCols: _*)
   }
@@ -315,11 +317,19 @@ object Engine {
         val rdf = rdf0.select(
           endpointCols ++ distVar.map(_ => col("hops").as(cD)) ++
             pathVar.map(_ => col("path").as(cP)): _*)
-        val joined = st.bindings
+        val joined0 = st.bindings
           .join(rdf, col(st.colOf(boundVar)) === col(eS))
           .drop(eS)
+        // every named path binds its hidden `%rels_<p>` hop-label list
+        // alongside the witness (relationships(p) reads it; one label
+        // per hop — a lazy per-row projection Catalyst prunes when
+        // unread, so unconsumed companions cost nothing)
+        val cR = s"${c}_r"
+        val joined = pathVar.fold(joined0)(_ => joined0.withColumn(cR,
+          array_repeat(lit(key._2), size(col(cP)) - 1)))
         st = st.copy(bindings = joined,
-          env = pathVar.map(p => (p, cP)).toList :::
+          env = pathVar.map(p => (s"%rels_$p", cR)).toList :::
+            pathVar.map(p => (p, cP)).toList :::
             distVar.map(d => (d, cD)).toList ::: (newVar, c) :: st.env,
           freshCounter = st.freshCounter + 1)
       }
@@ -1000,14 +1010,48 @@ object Engine {
           col("src") +: col("dst") +:
             (cD.map(c => col("hops").as(c)).toSeq ++
               cP.map(c => col("path").as(c)).toSeq): _*)
-        val joined = st.bindings.join(reach,
+        val joined0 = st.bindings.join(reach,
           st.bindings(st.colOf(sv)) === reach("src") &&
             st.bindings(st.colOf(tv)) === reach("dst"))
           .drop("src", "dst")
+        // hidden `%rels_<p>` hop-label companion, as in the fused
+        // PExpandPath case (pruned when unread)
+        val cR = cP.map(c => s"${c}r")
+        val joined = cP.fold(joined0)(c => joined0.withColumn(cR.get,
+          array_repeat(lit(key._2), size(col(c)) - 1)))
         st.copy(bindings = joined,
-          env = pathV.zip(cP).toList ::: dist.zip(cD).toList ::: st.env,
+          env = pathV.zip(cR).map { case (p, c) => (s"%rels_$p", c) }.toList :::
+            pathV.zip(cP).toList ::: dist.zip(cD).toList ::: st.env,
           freshCounter = st.freshCounter + 1)
       }
+
+    case Typing.RNamedPath(p, segs) =>
+      // Pattern-order concatenation of the per-segment witnesses (round
+      // 13): reverse hops flip their storage-ordered witness; each
+      // segment after the first drops its leading junction node. Pure
+      // per-row array projections — no join, no shuffle, row
+      // multiplicity unchanged; a NULL segment (inside an optional
+      // witness) propagates NULL through concat, the all-or-nothing
+      // semantics. The `%rels_<p>` companion is the per-segment label
+      // repeated hop-count (size-1) times, concatenated.
+      def segCol(sv: String, rev: Boolean): Column = {
+        val c = col(st.colOf(sv))
+        if (rev) reverse(c) else c
+      }
+      val nodesCol = segs.tail.foldLeft(segCol(segs.head._1, segs.head._3)) {
+        case (acc, (sv, _, rev)) =>
+          val c = segCol(sv, rev)
+          concat(acc, slice(c, lit(2), size(c) - 1))
+      }
+      val relsCol = segs.map { case (sv, rl, _) =>
+        array_repeat(lit(rl), size(col(st.colOf(sv))) - 1)
+      }.reduce(concat(_, _))
+      val base = fresh(st)
+      val (cP2, cR2) = (s"${base}_p", s"${base}_r")
+      st.copy(
+        bindings = st.bindings.withColumn(cP2, nodesCol).withColumn(cR2, relsCol),
+        env = (s"%rels_$p", cR2) :: (p, cP2) :: st.env,
+        freshCounter = st.freshCounter + 1)
 
     case RWhere(te) =>
       val (joined, refs) = joinAttrs(st, te :: Nil)

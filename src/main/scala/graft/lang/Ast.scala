@@ -123,6 +123,13 @@ final case class Un(op: UnOp, e: Expr) extends Expr
   * the existing list machinery, so no new executor surface exists. */
 final case class LengthFn(v: String) extends Expr
 final case class NodesFn(v: String) extends Expr
+/** `relationships(p)` (round 13): the named path's hop-LABEL list, in
+  * pattern order — a `%list%string` value (composes with size/indexing/
+  * unwind/in like any string list). Typing desugars it onto the hidden
+  * companion binding `%rels_<p>` the executor materializes alongside
+  * every named-path witness (per segment: the relation label repeated
+  * hop-count times; multi-segment paths concatenate). */
+final case class RelsFn(v: String) extends Expr
 /** `substring(s, pos, len)` — SQL 1-based position (Spark/DuckDB
   * convention, a documented deviation from Cypher's 0-based
   * `substring`); out-of-range positions clamp, non-positive lengths
@@ -333,6 +340,20 @@ final case class CompPattern(np: NodePattern, rel: String, rest: Pattern,
 final case class VarPattern(np: NodePattern, rel: String, lo: Int, hi: Int, rest: Pattern,
     dist: Option[String] = None, dir: Dir = Fwd,
     pathVar: Option[String] = None) extends Pattern
+
+/** A GENERAL named path `p = (a)-[:r]->(b)-[:s*1..2]->(c)` (round 13 —
+  * the fixed-hop / multi-segment forms round 12's single-trailing-
+  * varpath restriction rejected). The parser validates the chain (pure
+  * `[:r]` / `[:r*lo..hi]` hops only — rel variables, property maps and
+  * alternation have no single witness to ride) and wraps it; Normalize
+  * desugars BEFORE pattern normalization: each hop becomes a witness-
+  * carrying var-path segment (fixed hops are the lo = hi = 1 case of
+  * the existing machinery) bound to a hidden `%`-name, and one
+  * [[INamedPath]] instruction binds `p` to the segments' concatenation
+  * in PATTERN order (reverse hops flip their storage-ordered witness).
+  * A single forward/undirected trailing varpath keeps the round-12
+  * direct binding — identical plan, no concat step. */
+final case class NamedPattern(name: String, pat: Pattern) extends Pattern
 
 sealed trait DeletePattern extends Product with Serializable
 final case class DeleteNodes(vs: List[String]) extends DeletePattern

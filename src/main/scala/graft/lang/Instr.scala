@@ -92,6 +92,17 @@ final case class IUnion(all: Boolean) extends Instruction
 /** `call <proc>(…) yield …` (see [[graft.lang.CallProc]]). */
 final case class ICallProc(proc: String, yields: List[String],
     args: List[Expr] = Nil) extends Instruction
+/** Binds `target` to the PATTERN-ORDER concatenation of the per-segment
+  * named-path witnesses (round 13 — see [[graft.lang.NamedPattern]]).
+  * `segs` = (hidden segment path var, relation label, reversed): each
+  * segment var was bound by the preceding [[IVarPathRel]] instructions
+  * this desugar emitted; reversed segments (`<-[:r]-` hops) flip their
+  * storage-ordered witness before concatenation, and every segment
+  * after the first drops its leading node (the junction, already the
+  * previous segment's tail). Also binds the hidden `%rels_<target>`
+  * companion — the hop-label list `relationships(target)` reads. */
+final case class INamedPath(target: String,
+    segs: List[(String, String, Boolean)]) extends Instruction
 
 final case class NormProg(types: GraphTypes, instrs: List[Instruction])
 
@@ -120,8 +131,41 @@ object Normalize {
       case SimpPattern(n)                    => np(n)
       case CompPattern(n, _, rest, _, _, _, _) => np(n) ++ declProps(rest)
       case VarPattern(n, _, _, _, rest, _, _, _) => np(n) ++ declProps(rest)
+      case NamedPattern(_, inner)            => declProps(inner)
     }
   }
+
+  /** Desugar a [[NamedPattern]] (round 13) into a plain hop chain whose
+    * every hop carries a hidden per-segment witness binding, plus the
+    * [[INamedPath]] that concatenates them — appended after the
+    * clause's pattern instructions like property conjuncts (row-
+    * preserving, so the PExpand peephole's node+edge adjacency is
+    * untouched). Non-named patterns pass through. The parser already
+    * validated the chain (pure hops, no rel vars/props/alternation). */
+  private def desugarNamed(fresh: () => String)(pat: Pattern): (Pattern, List[Instruction]) =
+    pat match {
+      case NamedPattern(p, inner) =>
+        val segs = List.newBuilder[(String, String, Boolean)]
+        def walk(q: Pattern): Pattern = q match {
+          case sp: SimpPattern => sp
+          case CompPattern(np, rl, rest, dir, _, _, _) =>
+            // a fixed hop is the lo = hi = 1 case of the witness
+            // machinery: same reach semantics (edges are sets — one row
+            // per connected pair), witness = [s, t]
+            val sv = fresh()
+            segs += ((sv, rl, dir == Rev))
+            VarPattern(np, rl, 1, 1, walk(rest), None, dir, Some(sv))
+          case vp @ VarPattern(_, rl, _, _, rest, _, dir, _) =>
+            val sv = fresh()
+            segs += ((sv, rl, dir == Rev))
+            vp.copy(rest = walk(rest), pathVar = Some(sv))
+          case NamedPattern(_, _) => throw new IllegalStateException(
+            "parser rejects nested named paths")
+        }
+        val rewritten = walk(inner)
+        (rewritten, List(INamedPath(p, segs.result())))
+      case other => (other, Nil)
+    }
 
   private def normPattern(act: Act, pat: Pattern): List[Instruction] = pat match {
     case SimpPattern(np) => normNodePattern(act, np)
@@ -129,6 +173,8 @@ object Normalize {
       normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, dir = dir, rv = rv, props = rps, alts = ralts), rest)
     case VarPattern(np, rl, lo, hi, rest, dist, dir, pv) =>
       normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, lo, hi, dist, dir, pathVar = pv), rest)
+    case NamedPattern(_, _) => throw new IllegalStateException(
+      "NamedPattern is desugared before normalization (desugarNamed)")
   }
 
   /** One hop of a path: fixed (`lo = hi = 1` single edge) or variable.
@@ -160,6 +206,8 @@ object Normalize {
       case VarPattern(np, rl2, lo2, hi2, rest, dist2, dir2, pv2) =>
         (normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)) ++
           tail(act, np.variable, Hop(rl2, lo2, hi2, dist2, dir2, pathVar = pv2), rest)
+      case NamedPattern(_, _) => throw new IllegalStateException(
+        "NamedPattern is desugared before normalization")
     }
 
   /** Ensure every MATCH hop carrying an inline edge-property map has a
@@ -174,6 +222,8 @@ object Normalize {
     case vp @ VarPattern(_, _, _, _, rest, _, _, _) =>
       vp.copy(rest = assignRelVars(rest, fresh))
     case sp: SimpPattern => sp
+    case NamedPattern(_, _) => throw new IllegalStateException(
+      "NamedPattern is desugared before rel-var assignment")
   }
 
   /** Equality conjuncts of a match pattern's edge-property maps —
@@ -185,6 +235,7 @@ object Normalize {
         relPropConjuncts(rest)
     case VarPattern(_, _, _, _, rest, _, _, _) => relPropConjuncts(rest)
     case _: SimpPattern => Nil
+    case NamedPattern(_, inner) => relPropConjuncts(inner)
   }
 
   /** Drop the (now-conjunct) props from match-emitted edge instructions. */
@@ -204,12 +255,15 @@ object Normalize {
     case Match(pats0) =>
       // match-edge property maps become `x.f = e` conjuncts through an
       // (auto-)bound rel variable, APPENDED like node props so the
-      // PExpand peephole still sees node+edge adjacency
-      val pats = pats0.map(assignRelVars(_, fresh))
+      // PExpand peephole still sees node+edge adjacency; general named
+      // paths (round 13) desugar FIRST — their concat instruction is
+      // appended last, after every hop's witness is bound
+      val (plain, namedExtras) = pats0.map(desugarNamed(fresh)).unzip
+      val pats = plain.map(assignRelVars(_, fresh))
       stripMatchRelProps(pats.flatMap(normPattern(MatchAct, _))) ++
         pats.flatMap(declProps).map { case (v, f, e) =>
           IWhere(Bin(BCeq, AttribAcc(v, f), e)) } ++
-        pats.flatMap(relPropConjuncts)
+        pats.flatMap(relPropConjuncts) ++ namedExtras.flatten
     case Delete(DeleteNodes(vs))  => vs.map(IDeleteNode)
     case Delete(DeleteRels(ts))   => ts.map { case (s, r, t) => IDeleteRel(s, r, t) }
     case SetClause(as)            => as.map { case (v, f, e) => ISet(v, f, e) }
@@ -223,13 +277,17 @@ object Normalize {
       // it, with its props as ordinary outer where-conjuncts); only the
       // tail of the path is the optional witness. Edge-property maps in
       // the tail filter INSIDE the witness (conjuncts through the
-      // auto-bound rel variable, which stays witness-local).
-      val pat = assignRelVars(pat0, fresh)
+      // auto-bound rel variable, which stays witness-local). A general
+      // named path desugars first; its concat instruction joins the
+      // witness sub-plan, so a row with no witness binds the path (and
+      // relationships(p)) to NULL all-or-nothing like every fresh var.
+      val (patD, namedExtras) = desugarNamed(fresh)(pat0)
+      val pat = assignRelVars(patD, fresh)
       val (head, innerTail) = splitHead(pat)
       val headProps = headDeclProps(pat).map { case (v, f, e) =>
         IWhere(Bin(BCeq, AttribAcc(v, f), e)) }
       normNodePattern(MatchAct, head) ++ headProps :+
-        IOptPath(stripMatchRelProps(innerTail) ++ relPropConjuncts(pat))
+        IOptPath(stripMatchRelProps(innerTail) ++ relPropConjuncts(pat) ++ namedExtras)
     case NotExists(pat0) =>
       // the whole pattern is the predicate: referenced variables stay
       // outer, declared ones are existential — so head decls/props also
@@ -282,6 +340,8 @@ object Normalize {
       case VarPattern(np, rl, lo, hi, rest, dist, dir, pv) =>
         (np, tail(MatchAct, np.variable, Hop(rl, lo, hi, dist, dir, pathVar = pv), rest) ++ tailProps(rest))
       case SimpPattern(np) => (np, Nil) // unreachable: parser requires a hop
+      case NamedPattern(_, _) => throw new IllegalStateException(
+        "NamedPattern is desugared before head splitting")
     }
   }
 
@@ -289,6 +349,7 @@ object Normalize {
     pat match {
       case CompPattern(DeclPattern(v, _, ps), _, _, _, _, _, _) => ps.map { case (f, e) => (v, f, e) }
       case VarPattern(DeclPattern(v, _, ps), _, _, _, _, _, _, _) => ps.map { case (f, e) => (v, f, e) }
+      case NamedPattern(_, inner) => headDeclProps(inner)
       case _                                                 => Nil
     }
 

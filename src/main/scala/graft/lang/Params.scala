@@ -63,6 +63,7 @@ object Params {
     case f: TypeFn           => f
     case f: LengthFn         => f
     case f: NodesFn          => f
+    case f: RelsFn           => f
     case Bin(op, l, r)       => Bin(op, sE(p)(l), sE(p)(r))
     case Un(op, e1)          => Un(op, sE(p)(e1))
     case Substr(s, pos, len) => Substr(sE(p)(s), sE(p)(pos), sE(p)(len))

@@ -485,7 +485,7 @@ object Parser {
           name == "none" || name == "single" || name == "reduce" ||
           name == "abs" || name == "sign" || name == "label" || name == "type" ||
           name == "split" || name == "toInteger" ||
-          name == "length" || name == "nodes")) ||
+          name == "length" || name == "nodes" || name == "relationships")) ||
       (name == "case" && (peek2 match {
         case TIdent(_) | TInt(_) | TString(_) | TBool(_) | TSym("(") => true
         case _ => false
@@ -525,14 +525,38 @@ object Parser {
       b.result()
     }
 
-    private def namePath(p: String, pat: Pattern): Pattern = pat match {
-      case vp @ VarPattern(_, _, _, _, _: SimpPattern, _, _, _) =>
-        vp.copy(pathVar = Some(p))
-      case _: VarPattern =>
-        fail(s"named path $p: the variable-length hop must end the pattern")
-      case _ =>
-        fail(s"named path $p requires exactly one variable-length hop " +
-          "((a) -[:r*lo..hi]-> (b)) — fixed hops have no path value")
+    /** `p = <hop chain>` (rounds 12-13). A single trailing forward/
+      * undirected varpath binds the witness directly (the round-12
+      * machinery, unchanged plan); any other pure hop chain — fixed
+      * hops, several segments, reverse hops — is wrapped for Normalize
+      * to desugar into per-segment witnesses + a concat (see
+      * [[graft.lang.NamedPattern]]). Rel variables, property maps and
+      * `[:a|b]` alternation are rejected: a named path's witness is one
+      * canonical node sequence, and those constructs bind/filter single
+      * edges the witness doesn't expose. */
+    private def namePath(p: String, pat: Pattern): Pattern = {
+      def check(q: Pattern): Unit = q match {
+        case SimpPattern(_) => ()
+        case CompPattern(_, _, rest, _, rv, props, alts) =>
+          if (rv.isDefined)
+            fail(s"named path $p: a rel variable cannot ride a named-path hop")
+          if (props.nonEmpty)
+            fail(s"named path $p: an edge property map cannot ride a named-path hop")
+          if (alts.nonEmpty)
+            fail(s"named path $p: [:a|b] alternation cannot ride a named-path hop")
+          check(rest)
+        case VarPattern(_, _, _, _, rest, _, _, _) => check(rest)
+        case NamedPattern(_, _) =>
+          fail(s"named path $p: nested path names are not supported")
+      }
+      check(pat)
+      pat match {
+        case vp @ VarPattern(_, _, _, _, _: SimpPattern, _, dir, _) if dir != Rev =>
+          vp.copy(pathVar = Some(p))
+        case SimpPattern(_) =>
+          fail(s"named path $p requires at least one hop")
+        case other => NamedPattern(p, other)
+      }
     }
 
     private def pattern(): Pattern = {
@@ -822,13 +846,17 @@ object Parser {
         val v = ident()
         expectSym(")")
         if (fn == "label") LabelFn(v) else TypeFn(v)
-      // `length(p)` / `nodes(p)` — named-path reads (round 12), same
-      // contextual call shape
-      case TIdent(fn @ ("length" | "nodes")) if peek2 == TSym("(") =>
+      // `length(p)` / `nodes(p)` / `relationships(p)` — named-path
+      // reads (rounds 12-13), same contextual call shape
+      case TIdent(fn @ ("length" | "nodes" | "relationships")) if peek2 == TSym("(") =>
         i += 2
         val v = ident()
         expectSym(")")
-        if (fn == "length") LengthFn(v) else NodesFn(v)
+        fn match {
+          case "length" => LengthFn(v)
+          case "nodes"  => NodesFn(v)
+          case _        => RelsFn(v)
+        }
       // unary string functions — contextual call shapes (a variable
       // named lower still works: `lower.f` has peek2 == '.')
       case TIdent(fn @ ("lower" | "upper" | "trim" | "size" | "toString" |

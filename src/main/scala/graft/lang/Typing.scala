@@ -262,6 +262,12 @@ object Typing {
         "kcore"     -> ((List(List(IntT), List(IntT, StringT)), 2)),
         "triangles" -> ((List(Nil, List(StringT)), 2)))
 
+  /** Bind `target` to the pattern-order concatenation of per-segment
+    * named-path witnesses, and `%rels_<target>` to the hop-label list
+    * (round 13 — see [[graft.lang.INamedPath]]). */
+  final case class RNamedPath(target: String,
+      segs: List[(String, String, Boolean)]) extends RInstr
+
   final case class RUnwindExpr(e: TExpr, alias: String, elemTp: AttribTp)
       extends RInstr
   final case class RUnwind(items: List[TExpr], alias: String,
@@ -467,6 +473,16 @@ object Typing {
             TUn(USsize, TAttr(v, PathValLabel, "val", ListT(IntT)), IntT),
             TConst(IntV(1L)), IntT))
         case Some(l) => Left(s"length($v): $v is not a named-path binding (label $l)")
+      }
+    // relationships(p): desugars onto the hidden `%rels_<p>` companion
+    // (a %list%string with-scalar) the executor binds alongside every
+    // named-path witness — hop labels in pattern order, one per hop
+    case RelsFn(v) =>
+      lookup(env, v) match {
+        case None => Left(s"variable $v not bound")
+        case Some(PathValLabel) =>
+          Right(TAttr(s"%rels_$v", scalarLabel(ListT(StringT)), "val", ListT(StringT)))
+        case Some(l) => Left(s"relationships($v): $v is not a named-path binding (label $l)")
       }
     case AttribAcc(v, f) =>
       lookup(env, v) match {
@@ -1054,11 +1070,43 @@ object Typing {
             "hop is a distributed self-join of the edge set)")
         else (lookup(env, sv), lookup(env, tv)) match {
           case (Some(sl), Some(tl)) =>
-            // label-homogeneity: every hop reuses the same relation type,
-            // so the closure is only well-typed over a self-label relation
             val decls = schema.relTypes.filter(_._2 == rl)
+            def ok(key: (String, String, String)) = {
+              val env1 = dist.fold(env)(d => (d, PathLabel) :: env)
+              val env2 = pathV.fold(env1)(pv => (pv, PathValLabel) :: env1)
+              Right((RVarPath(sv, key, lo, hi, tv, dist, undir, pathV), env2))
+            }
             if (decls.isEmpty) Left(s"undeclared relation label $rl")
+            else if (lo == 1 && hi == 1) {
+              // single-hop window (a named path's fixed-hop segment
+              // desugars here, round 13): no hop composes with another,
+              // so ANY declared triple matching the endpoints is
+              // well-typed — resolution mirrors the fixed-hop rules.
+              val fwd = decls.find(d => d._1 == sl && d._3 == tl)
+              val rev = decls.find(d => d._1 == tl && d._3 == sl)
+              if (undir) {
+                // the undirected closure symmetrizes ONE declared frame;
+                // two distinct declared orientations would need their
+                // union — reject rather than silently drop one side
+                // (the unnamed fixed hop handles that via PExpandUndir)
+                if (fwd.isDefined && rev.isDefined && sl != tl)
+                  Left(s"undirected single-hop -[:$rl]- between :$sl and :$tl is " +
+                    "declared in both orientations — an unnamed pattern handles " +
+                    "this; a named path cannot (one witness frame)")
+                else fwd.orElse(rev) match {
+                  case Some(key) => ok(key)
+                  case None => Left(s"no declared relation :$rl connects :$sl and :$tl")
+                }
+              } else fwd match {
+                case Some(key) => ok(key)
+                case None => Left(s"relation (:$sl)-[:$rl]->(:$tl) not declared" +
+                  (if (rev.isDefined) s" (the reverse orientation is — use <-[:$rl]-)" else ""))
+              }
+            }
             else if (decls.size > 1 || decls.head._1 != decls.head._3)
+              // label-homogeneity: every hop reuses the same relation type,
+              // so a multi-hop closure is only well-typed over a
+              // self-label relation
               Left(s"variable-length -[:$rl*]-> requires a single label-homogeneous " +
                 s"relation type (:L)-[:$rl]->(:L); declared: " +
                 decls.toSeq.sorted.map { case (s0, r0, t0) => s"(:$s0)-[:$r0]->(:$t0)" }.mkString(", "))
@@ -1066,14 +1114,26 @@ object Typing {
               val (hl, _, _) = decls.head
               if (sl != hl) Left(s"variable $sv: label $sl incompatible with (:$hl)-[:$rl]->(:$hl)")
               else if (tl != hl) Left(s"variable $tv: label $tl incompatible with (:$hl)-[:$rl]->(:$hl)")
-              else {
-                val env1 = dist.fold(env)(d => (d, PathLabel) :: env)
-                val env2 = pathV.fold(env1)(pv => (pv, PathValLabel) :: env1)
-                Right((RVarPath(sv, decls.head, lo, hi, tv, dist, undir, pathV), env2))
-              }
+              else ok(decls.head)
             }
           case (None, _) => Left(s"variable $sv not bound")
           case (_, None) => Left(s"variable $tv not bound")
+        }
+
+      case INamedPath(p, segs) =>
+        // desugar-generated (round 13): the hidden segment vars were
+        // bound by the var-path instructions Normalize emitted just
+        // before; only the USER name needs the rebinding check
+        if (lookup(env, p).isDefined)
+          Left(s"named-path binding $p already bound")
+        else segs.collectFirst {
+          case (sv, _, _) if !lookup(env, sv).contains(PathValLabel) => sv
+        } match {
+          case Some(sv) => Left(s"internal error: named-path segment $sv " +
+            "not bound as a witness (desugar invariant broken)")
+          case None =>
+            Right((RNamedPath(p, segs),
+              (s"%rels_$p", scalarLabel(ListT(StringT))) :: (p, PathValLabel) :: env))
         }
 
       case IUnwind(items, alias) =>
@@ -1355,7 +1415,8 @@ object Typing {
       val in = it.next()
       in match {
         case IActOnNode(MatchAct, _, _) | IActOnRel(MatchAct, _, _, _, _, _, _, _) |
-            _: IWhere | IVarPathRel(MatchAct, _, _, _, _, _, _, _, _) => ()
+            _: IWhere | IVarPathRel(MatchAct, _, _, _, _, _, _, _, _) |
+            _: INamedPath => ()
         case other =>
           err = Some(s"$what pattern: illegal instruction $other")
       }
@@ -1371,9 +1432,17 @@ object Typing {
         val fresh = ris.flatMap {
           case RMatchNode(v, l)                   => Seq((v, l))
           // a shortest-distance / named-path binding inside the witness
-          // is declared by the pattern too — project like fresh variables
+          // is declared by the pattern too — project like fresh
+          // variables, each named path with its hidden `%rels_` hop-
+          // label companion (relationships(p) reads it outside)
           case RVarPath(_, _, _, _, _, d, _, pv) =>
-            d.map((_, PathLabel)).toSeq ++ pv.map((_, PathValLabel)).toSeq
+            // hidden `%`-segment witnesses stay witness-local (their
+            // concatenation, bound by RNamedPath below, is what escapes)
+            d.map((_, PathLabel)).toSeq ++
+              pv.toSeq.filterNot(_.startsWith("%")).flatMap(p =>
+                Seq((p, PathValLabel), (s"%rels_$p", scalarLabel(ListT(StringT)))))
+          case RNamedPath(p, _) =>
+            Seq((p, PathValLabel), (s"%rels_$p", scalarLabel(ListT(StringT))))
           case _ => Seq.empty
         }
         val declared = fresh.map(_._1).toSet

@@ -466,6 +466,12 @@ object RefInterp {
       throw new UnsupportedOperationException(
         "RefInterp does not model call procedures (oracle-checked per query)")
 
+    case _: RNamedPath =>
+      // named paths bind LISTS — outside the Long-row model, like the
+      // RVarPath pathV form above (DuckDB oracles cover them)
+      throw new UnsupportedOperationException(
+        "RefInterp does not model named paths (oracle-checked per query)")
+
     case RSet(v, _, f, _, te) =>
       val c = st.colOf(v)
       // bindings dangling after a delete no-op, like the engine's
