@@ -481,7 +481,15 @@ object Typing {
       lookup(env, v) match {
         case None => Left(s"variable $v not bound")
         case Some(PathValLabel) =>
-          Right(TAttr(s"%rels_$v", scalarLabel(ListT(StringT)), "val", ListT(StringT)))
+          // IWith re-aliases the companion whenever the path binding is
+          // projected, so this guard only trips on an internal bug —
+          // but fail at TYPE time with a pointer, never at execution
+          if (lookup(env, s"%rels_$v").isEmpty)
+            Left(s"relationships($v): the hop-label companion of $v is " +
+              "not in scope — project the path binding itself through " +
+              "the intervening with")
+          else
+            Right(TAttr(s"%rels_$v", scalarLabel(ListT(StringT)), "val", ListT(StringT)))
         case Some(l) => Left(s"relationships($v): $v is not a named-path binding (label $l)")
       }
     case AttribAcc(v, f) =>
@@ -955,11 +963,27 @@ object Typing {
               checkRetShape(ritems, rkeys, distinct, "with", "with items") match {
                 case Some(e) => Left(e)
                 case None =>
+                  // a projected named-path binding implicitly carries
+                  // its hidden `%rels_` companion through the with,
+                  // re-aliased under the new name, so
+                  // relationships(alias) keeps working downstream —
+                  // Cypher's path value includes its relationships.
+                  // The hidden item joins grouping/distinct keys, which
+                  // is path-identity semantics (same nodes, different
+                  // hop labels = distinct paths). `%` is unlexable in
+                  // user aliases, so no collision is possible.
+                  val companions = pairs.collect {
+                    case (RRetVar(v), a)
+                        if lookup(env, v).contains(PathValLabel) &&
+                          lookup(env, s"%rels_$v").isDefined =>
+                      (RRetVar(s"%rels_$v"): RRet, s"%rels_$a")
+                  }
+                  val pairs2 = pairs ++ companions
                   // `with` DEFINES the downstream scope (Cypher
                   // semantics): the new env is exactly the aliased
                   // items -- node labels for variables, scalar
                   // pseudo-labels for attr/agg values
-                  val env2 = pairs.map {
+                  val env2 = pairs2.map {
                     case (RRetVar(v), a)            => (a, lookup(env, v).get)
                     case (RRetAttr(_, _, _, tp), a) => (a, scalarLabel(tp))
                     // a full-expression item binds the scalar of its type
@@ -968,7 +992,7 @@ object Typing {
                     // type (string min/max bind %string scalars)
                     case (g: RRetAgg, a)            => (a, scalarLabel(g.tp))
                   }
-                  Right((RWith(pairs, rkeys.zip(order.map(_._2)), skip, limit, distinct), env2))
+                  Right((RWith(pairs2, rkeys.zip(order.map(_._2)), skip, limit, distinct), env2))
               }
             }
           }
@@ -1073,7 +1097,12 @@ object Typing {
             val decls = schema.relTypes.filter(_._2 == rl)
             def ok(key: (String, String, String)) = {
               val env1 = dist.fold(env)(d => (d, PathLabel) :: env)
-              val env2 = pathV.fold(env1)(pv => (pv, PathValLabel) :: env1)
+              // a direct-bound witness carries its hidden `%rels_` hop-
+              // label companion too (the executor binds both — see the
+              // RVarPath case in Engine), so relationships(pv) types
+              val env2 = pathV.fold(env1)(pv =>
+                (s"%rels_$pv", scalarLabel(ListT(StringT))) ::
+                  (pv, PathValLabel) :: env1)
               Right((RVarPath(sv, key, lo, hi, tv, dist, undir, pathV), env2))
             }
             if (decls.isEmpty) Left(s"undeclared relation label $rl")

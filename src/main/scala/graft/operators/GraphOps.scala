@@ -1018,6 +1018,86 @@ object GraphOps {
              |FROM n0 x LEFT JOIN n0 y
              |  ON y.rk = x.rk AND y.pos - x.pos BETWEEN 1 AND 2""".stripMargin)),
 
+    // general named paths (round 13): the name attaches to ANY pure hop
+    // chain — fixed hops are the lo = hi = 1 window of the witness
+    // machinery; multi-segment chains desugar into per-segment hidden
+    // witnesses concatenated in PATTERN order (junctions dropped);
+    // relationships(p) reads the hop-label companion. A single fixed
+    // hop: witness [n, r], length 1, one label.
+    Q("gql_named_path_fixed",
+      bindings(
+        """match p = (n:nation) -[:nregion]-> (r:region)
+          |with n, r, length(p) as l, nodes(p) as ns, relationships(p) as rs
+          |return n, r, l, ns.val[0] as h0, ns.val[1] as h1, rs.val[0] as rel0""".stripMargin),
+      Some("""SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS n,
+             |       CAST(r_regionkey + 1000000000 AS BIGINT) AS r,
+             |       CAST(1 AS BIGINT) AS l,
+             |       CAST(n_nationkey + 2000000000 AS BIGINT) AS h0,
+             |       CAST(r_regionkey + 1000000000 AS BIGINT) AS h1,
+             |       'nregion' AS rel0
+             |FROM nation JOIN region ON r_regionkey = n_regionkey""".stripMargin)),
+
+    // two heterogeneous fixed segments: the junction nation appears
+    // once; labels in pattern order, one per hop.
+    Q("gql_named_path_multi",
+      bindings(
+        """match p = (c:customer) -[:cnation]-> (n:nation) -[:nregion]-> (r:region)
+          |where n.regionkey = 0
+          |with c, r, length(p) as l, nodes(p) as ns, relationships(p) as rs
+          |return c, r, l, ns.val[1] as mid, rs.val[0] as rel0, rs.val[1] as rel1""".stripMargin),
+      Some("""SELECT CAST(c_custkey + 4000000000 AS BIGINT) AS c,
+             |       CAST(r_regionkey + 1000000000 AS BIGINT) AS r,
+             |       CAST(2 AS BIGINT) AS l,
+             |       CAST(n_nationkey + 2000000000 AS BIGINT) AS mid,
+             |       'cnation' AS rel0, 'nregion' AS rel1
+             |FROM customer
+             |JOIN nation ON n_nationkey = c_nationkey
+             |JOIN region ON r_regionkey = n_regionkey
+             |WHERE n_regionkey = 0""".stripMargin)),
+
+    // trailing REVERSE varpath: round 13 fixes the witness to PATTERN
+    // order (it starts at the pattern's left endpoint b and walks back
+    // to a), consistent with multi-segment concatenation and Cypher's
+    // nodes(p). The oracle reads the region-sorted chain positions.
+    Q("gql_named_path_rev",
+      bindings(
+        """match p = (b:nation) <-[:nnext*1..3]- (a:nation)
+          |where a.regionkey = 0
+          |with a, b, length(p) as l, nodes(p) as ns
+          |return a, b, l, ns.val[0] as h0, ns.val[1] as second""".stripMargin),
+      Some("""WITH n0 AS (SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS id,
+             |         row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS pos,
+             |         n_regionkey AS rk FROM nation)
+             |SELECT x.id AS a, y.id AS b, CAST(y.pos - x.pos AS BIGINT) AS l,
+             |       y.id AS h0, s2.id AS second
+             |FROM n0 x
+             |JOIN n0 y  ON y.rk = x.rk AND y.pos - x.pos BETWEEN 1 AND 3
+             |JOIN n0 s2 ON s2.rk = x.rk AND s2.pos = y.pos - 1
+             |WHERE x.rk = 0""".stripMargin)),
+
+    // varpath + trailing fixed hop (the shape round 12 rejected): the
+    // varpath witness splices in, the fixed hop extends it; the hidden
+    // relationships companion survives the `with` (re-aliased
+    // implicitly) and unwinds one row per hop label.
+    Q("gql_named_path_rels",
+      bindings(
+        """match p = (a:nation) -[:nnext*2..2]-> (b:nation) -[:nregion]-> (r:region)
+          |where a.regionkey = 0
+          |with a, r, p
+          |unwind relationships(p) as lbl
+          |return a, r, length(p) as l, lbl""".stripMargin),
+      Some("""WITH n0 AS (SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS id,
+             |         n_regionkey AS rk,
+             |         row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS pos
+             |         FROM nation)
+             |SELECT x.id AS a, CAST(1000000000 AS BIGINT) AS r,
+             |       CAST(3 AS BIGINT) AS l, u.lbl AS lbl
+             |FROM n0 x
+             |JOIN n0 y ON y.rk = x.rk AND y.pos = x.pos + 2
+             |CROSS JOIN (SELECT 'nnext' AS lbl UNION ALL SELECT 'nnext'
+             |            UNION ALL SELECT 'nregion') u
+             |WHERE x.rk = 0""".stripMargin)),
+
     // pagerank("rel") / bfs(src, "rel") — relation scope on the other
     // two procedures (round 12 continued): the scoped edge frame is the
     // only change, the iterative bodies are untouched. nnext is the

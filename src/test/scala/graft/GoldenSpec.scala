@@ -328,14 +328,17 @@ class GoldenSpec extends AnyFunSuite {
         |where id(s) = 0 and id(t) = 3
         |return s""".stripMargin)
     assert(rm.size == 1, s"row multiplicity changed: $rm")
-    // reverse hop: the witness list runs in STORAGE direction — for
-    // d <-[:r*2..2]- a it still reads [0, 1, 3] (a -> b -> d)
+    // reverse hop: the witness list runs in PATTERN order (round 13 —
+    // Cypher's nodes(p), and what multi-segment concatenation already
+    // produces): for t <-[:r*2..2]- s the list starts at t, so the
+    // d(3) <- a(0) match reads [3, 1, 0] (storage path a -> b -> d,
+    // flipped to the pattern's left-to-right direction)
     val rr = rows(
       """match p = (t:N) <-[:r*2..2]- (s:N)
         |where id(s) = 0 and id(t) = 3
         |with nodes(p) as ns
         |return ns.val[0] as h0, ns.val[1] as h1, ns.val[2] as h2""".stripMargin)
-    assert(rr == Seq(Seq(0L, 1L, 3L)), s"got $rr")
+    assert(rr == Seq(Seq(3L, 1L, 0L)), s"got $rr")
     // optional named path: rows without a witness bind p to NULL —
     // null(p) sees it, length(p) reads NULL through the guard (never a
     // strict-mode raise), and matched rows carry the real hop count
@@ -355,6 +358,85 @@ class GoldenSpec extends AnyFunSuite {
         |with length(p) as l, nodes(p) as ns
         |return l, ns.val[0] as h0, ns.val[1] as h1, ns.val[2] as h2, ns.val[3] as h3""".stripMargin)
     assert(ru == Seq(Seq(3L, 4L, 3L, 1L, 0L)), s"got $ru")
+  }
+
+  test("named paths: fixed hops, multi-segment concat, relationships (round 13)") {
+    // triangle over two relation types: a(0) -r-> b(1) -s-> c(2) -r-> a
+    val g =
+      """(:N {x int})
+        |(:N) -[:r]-> (:N)
+        |(:N) -[:s]-> (:N)
+        |create (a:N {x: 10}) -[:r]-> (b:N {x: 11})
+        |create (c:N {x: 12})
+        |create (b) -[:s]-> (c)
+        |create (c) -[:r]-> (a)
+        |""".stripMargin
+    def rows(q: String): Seq[Seq[Any]] =
+      Engine.runSource(spark, g + q).bindings.collect()
+        .map(_.toSeq.toSeq).toSeq.sortBy(_.mkString(","))
+    // a single FIXED hop carries a path value: witness [s, t], length 1,
+    // one hop label
+    val rf = rows(
+      """match p = (a:N) -[:r]-> (b:N)
+        |where id(a) = 0
+        |with length(p) as l, nodes(p) as ns, relationships(p) as rs
+        |return l, ns.val[0] as n0, ns.val[1] as n1, rs.val[0] as r0""".stripMargin)
+    assert(rf == Seq(Seq(1L, 0L, 1L, "r")), s"got $rf")
+    // multi-segment concat: junction node appears ONCE; hop labels in
+    // pattern order, one per hop
+    val rm = rows(
+      """match p = (a:N) -[:r]-> (b:N) -[:s]-> (c:N)
+        |where id(a) = 0
+        |with length(p) as l, nodes(p) as ns, relationships(p) as rs
+        |return l, ns.val[0] as n0, ns.val[1] as n1, ns.val[2] as n2,
+        |  rs.val[0] as r0, rs.val[1] as r1""".stripMargin)
+    assert(rm == Seq(Seq(2L, 0L, 1L, 2L, "r", "s")), s"got $rm")
+    // varpath + trailing fixed hop (the shape round 12 rejected): the
+    // varpath witness splices in, the fixed hop extends it
+    val rv = rows(
+      """match p = (a:N) -[:r*1..1]-> (b:N) -[:s]-> (c:N)
+        |where id(a) = 0
+        |with length(p) as l, nodes(p) as ns
+        |return l, ns.val[0] as n0, ns.val[2] as n2""".stripMargin)
+    assert(rv == Seq(Seq(2L, 0L, 2L)), s"got $rv")
+    // reverse fixed hop: witness in PATTERN order (starts at the
+    // pattern's left endpoint)
+    val rr = rows(
+      """match p = (b:N) <-[:r]- (a:N)
+        |where id(a) = 0
+        |with nodes(p) as ns, relationships(p) as rs
+        |return ns.val[0] as n0, ns.val[1] as n1, rs.val[0] as r0""".stripMargin)
+    assert(rr == Seq(Seq(1L, 0L, "r")), s"got $rr")
+    // relationships(p) survives a `with` that projects the path binding
+    // (the hidden companion is carried and re-aliased implicitly)
+    val rw = rows(
+      """match p = (a:N) -[:r]-> (b:N) -[:s]-> (c:N)
+        |where id(a) = 0
+        |with p, id(c) as tc
+        |return tc, length(p) as l, relationships(p)[1] as r1""".stripMargin)
+    assert(rw == Seq(Seq(2L, 2L, "s")), s"got $rw")
+    // ... including under an alias: `with p as q` rebinds the companion
+    // under the new name
+    val ra = rows(
+      """match p = (a:N) -[:r]-> (b:N)
+        |where id(a) = 0
+        |with p as q
+        |return length(q) as l, relationships(q)[0] as r0""".stripMargin)
+    assert(ra == Seq(Seq(1L, "r")), s"got $ra")
+    // unwind over relationships: one row per hop label, pattern order
+    val ru = rows(
+      """match p = (a:N) -[:r]-> (b:N) -[:s]-> (c:N)
+        |where id(a) = 0
+        |with relationships(p) as rs
+        |unwind rs as lbl
+        |return lbl""".stripMargin)
+    assert(ru.map(_.head) == Seq("r", "s"), s"got $ru")
+    // membership test composes: `in` over the hop-label list
+    val ri = rows(
+      """match p = (a:N) -[:r]-> (b:N) -[:s]-> (c:N)
+        |where "s" in relationships(p)
+        |return id(a) as s0""".stripMargin)
+    assert(ri == Seq(Seq(0L)), s"got $ri")
   }
 
   test("regex =~: find semantics, metacharacters, composition (round 12)") {

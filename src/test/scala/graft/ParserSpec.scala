@@ -655,19 +655,42 @@ class ParserSpec extends AnyFunSuite {
       "match (a:P)\nwith collect(a.x) as xs\nreturn reduce(x in xs.val | 1) as t"))
   }
 
-  test("named paths parse only on a terminal varpath; match-only (round 12)") {
+  test("named paths parse on any pure hop chain; match-only (rounds 12-13)") {
     val p = Parser.parse(header +
       "match p = (a:P) -[:r*1..2]-> (b:Q)\nreturn a, b")
     p.query.clauses.head match {
       case Match(List(VarPattern(_, "r", 1, 2, _: SimpPattern, None, Fwd, Some("p")))) => ()
       case other => fail(s"wrong shape: $other")
     }
-    // the name requires the varpath to END the pattern; fixed hops and
-    // plain patterns have no path value
+    // round 13: fixed hops and multi-segment chains are legal — they
+    // wrap in NamedPattern for Normalize.desugarNamed (a trailing
+    // forward/undirected varpath still binds the witness directly)
+    Parser.parse(header + "match p = (a:P) -[:r]-> (b:Q)\nreturn a")
+      .query.clauses.head match {
+      case Match(List(NamedPattern("p", CompPattern(_, "r", _: SimpPattern, Fwd, None, Nil, Nil)))) => ()
+      case other => fail(s"wrong fixed-hop shape: $other")
+    }
+    Parser.parse(header +
+      "match p = (a:P) -[:r*1..2]-> (b:Q) -[:r]-> (c:Q)\nreturn a")
+      .query.clauses.head match {
+      case Match(List(NamedPattern("p", VarPattern(_, "r", 1, 2, _: CompPattern, None, Fwd, None)))) => ()
+      case other => fail(s"wrong multi-segment shape: $other")
+    }
+    // a trailing REVERSE varpath also wraps (the witness flips to
+    // pattern order through the desugar, not the direct binding)
+    Parser.parse(header + "match p = (a:P) <-[:r*1..2]- (b:Q)\nreturn a")
+      .query.clauses.head match {
+      case Match(List(NamedPattern("p", VarPattern(_, "r", 1, 2, _, None, Rev, None)))) => ()
+      case other => fail(s"wrong reverse shape: $other")
+    }
+    // rel variables / property maps / alternation cannot ride a named
+    // hop; nested names are rejected; zero-hop names are meaningless
     intercept[Parser.ParseError](Parser.parse(header +
-      "match p = (a:P) -[:r]-> (b:Q)\nreturn a"))
+      "match p = (a:P) -[x:r]-> (b:Q)\nreturn a"))
     intercept[Parser.ParseError](Parser.parse(header +
-      "match p = (a:P) -[:r*1..2]-> (b:Q) -[:r]-> (c:Q)\nreturn a"))
+      "match p = (a:P) -[:r|s]-> (b:Q)\nreturn a"))
+    intercept[Parser.ParseError](Parser.parse(header +
+      "match p = (a:P)\nreturn a"))
     // create admits no named paths (patterns there start with '(')
     intercept[Parser.ParseError](Parser.parse(header +
       "create p = (a:P) -[:r*1..2]-> (b:Q)\nreturn a"))

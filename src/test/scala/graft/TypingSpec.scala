@@ -992,6 +992,39 @@ class TypingSpec extends AnyFunSuite {
       .nonEmpty)
   }
 
+  test("named paths: fixed/multi-segment typing + rejection paths (round 13)") {
+    val h2 = header + "(:P) -[:s]-> (:P)\n(:Q) -[:t]-> (:P)\n"
+    // positives: fixed hop, heterogeneous multi-segment chain, reverse
+    // hop, relationships() on the binding and through a with
+    Typing.compile(h2 +
+      "match p = (a:P) -[:r]-> (b:Q)\nreturn a, length(p) as l")
+    Typing.compile(h2 +
+      """match p = (a:P) -[:r]-> (b:Q) -[:t]-> (c:P)
+        |where size(relationships(p)) = 2
+        |unwind relationships(p) as lbl
+        |return lbl""".stripMargin)
+    Typing.compile(h2 +
+      "match p = (b:Q) <-[:r]- (a:P)\nreturn nodes(p) as ns")
+    Typing.compile(h2 +
+      "match p = (a:P) -[:s*1..2]-> (b:P)\nwith p\nreturn relationships(p) as rs")
+    Typing.compile(h2 +
+      "match p = (a:P) -[:r]-> (b:Q)\nwith p as q\nreturn relationships(q) as rs")
+    // relationships demands a named-path binding
+    assert(err(h2 + "match (a:P)\nreturn relationships(a) as rs")
+      .contains("not a named-path binding"))
+    // a fixed-hop segment must exist in the PATTERN's orientation (the
+    // error points at the declared reverse when that's the miss)
+    assert(err(h2 + "match p = (b:Q) -[:r]-> (a:P)\nreturn a")
+      .contains("use <-[:r]-"))
+    // undirected single-hop with BOTH orientations declared is ambiguous
+    // for the one-witness named form (the unnamed pattern handles it)
+    val h3 = h2 + "(:Q) -[:u]-> (:P)\n(:P) -[:u]-> (:Q)\n"
+    assert(err(h3 + "match p = (a:P) -[:u]- (b:Q)\nreturn a")
+      .contains("declared in both orientations"))
+    // ... but a single declared orientation symmetrizes fine
+    Typing.compile(h2 + "match p = (a:Q) -[:t]- (b:P)\nreturn length(p) as l")
+  }
+
   test("query parameters: substitute as typed constants (round 12)") {
     val ps = Map[String, Value]("lo" -> IntV(5), "pre" -> StringV("ab"),
       "flag" -> BoolV(true), "src" -> IntV(42))
