@@ -677,10 +677,18 @@ object Engine {
               graft.Ckpt.drop(alive)
             } else {
               nAlive = n
+              // dst side: alive is |V|-scale on the FIRST rounds (every
+              // endpoint), shrinking as the peel proceeds — the hint
+              // fires up to maxIters times, so gate it on the measured
+              // count (≈32 MB of packed longs at the ceiling). Beyond
+              // the gate the hint drops and the plan degrades to a
+              // shuffled join on dst — one extra |E| exchange per round,
+              // still correct, never an executor-OOM broadcast.
+              val aliveDst = alive.withColumnRenamed("id", "id2")
+              val dstSide = if (n <= 4000000L) broadcast(aliveDst) else aliveDst
               val next = graft.Ckpt.eagerPartitioned(
                 edges.join(alive, col("src") === col("id"), "left_semi")
-                  .join(broadcast(alive.withColumnRenamed("id", "id2")),
-                    col("dst") === col("id2"), "left_semi"))
+                  .join(dstSide, col("dst") === col("id2"), "left_semi"))
               if (edges ne ue) graft.Ckpt.drop(edges)
               edges = next
               graft.Ckpt.drop(alive)
@@ -724,8 +732,15 @@ object Engine {
             .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
             .join(broadcast(o.select(col("src").as("v"), col("dst").as("w"))),
               Seq("v", "w"), "left_semi")
-          val counts = tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
-            .groupBy("id").agg(count(lit(1)).as("n_tri"))
+          // materialize the |V|-scale counts NOW (drain-ledger
+          // checkpoint, released between statements) so the |E|-scale
+          // oriented list can be unpersisted immediately — the bridge is
+          // re-entrant, and a raw cache would pin one edge-scale frame
+          // per `call triangles()` for the session's lifetime
+          val counts = graft.Ckpt.eager(
+            tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+              .groupBy("id").agg(count(lit(1)).as("n_tri")))
+          o.unpersist(false)
           allNodes.join(counts, Seq("id"), "left")
             .select(col("id").as(cols(0)),
               coalesce(col("n_tri"), lit(0L)).as(cols(1)))
