@@ -452,6 +452,20 @@ object Engine {
       st.copy(bindings = joined,
         env = (v, c) :: st.env, freshCounter = st.freshCounter + 1)
 
+    case Typing.RMatchAnyNode(v) =>
+      // unlabeled standalone match (round 14): the union of EVERY
+      // label's id scan — ids are globally unique (disjoint per-label
+      // bases) so the legs are disjoint; each leg is a one-column scan
+      // (column pruning reaches the store), and the union is a narrow
+      // no-shuffle operator
+      val c = fresh(st)
+      val scan = st.graph.nodes.values.map(_.select(col("id").as(c)))
+        .reduceOption(_ unionByName _)
+        .getOrElse(spark.range(0).select(col("id").as(c)))
+      val joined = if (st.unitTable) scan else st.bindings.crossJoin(scan)
+      st.copy(bindings = joined,
+        env = (v, c) :: st.env, freshCounter = st.freshCounter + 1)
+
     case Typing.RCallProc(proc, yields, args) =>
       // the procedure bridge (round 11): run a whole-graph analytics
       // procedure against the CURRENT graph state and cross-join its

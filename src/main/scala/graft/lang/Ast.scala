@@ -440,8 +440,11 @@ final case class ReturnExt(
       * for any later clause, mirroring `with`. */
     items: List[(RetItem, Option[String])],
     order: List[(RetItem, Boolean)], // (key, ascending)
-    skip: Option[Long],
-    limit: Option[Long],
+    /** Page bounds: an integer literal or a `$param` (round 14) — the
+      * parser admits only [[Const]]/[[Param]] here; substitution turns
+      * the param into the same foldable constant a literal gives. */
+    skip: Option[Expr],
+    limit: Option[Expr],
     /** `return distinct <items>` — row-level dedup of the projected
       * output (rejected when an item aggregates: grouped rows are
       * already distinct; use `count(distinct …)` instead). */
@@ -468,8 +471,8 @@ final case class ReturnExt(
 final case class WithClause(
     items: List[(RetItem, Option[String])],
     order: List[(RetItem, Boolean)],
-    skip: Option[Long],
-    limit: Option[Long],
+    skip: Option[Expr],
+    limit: Option[Expr],
     distinct: Boolean = false) extends Clause
 /** `optional match (a) -[:r]-> (b:B) [-[:s]-> (c:C) …]` (engine
   * extension): keep every existing row; bind the pattern's declared tail

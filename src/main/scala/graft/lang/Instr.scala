@@ -42,12 +42,12 @@ final case class IRemove(v: String, field: String) extends Instruction
 /** Extension instructions (no reference counterpart). */
 final case class IReturnExt(items: List[(RetItem, Option[String])],
     order: List[(RetItem, Boolean)],
-    skip: Option[Long], limit: Option[Long], distinct: Boolean) extends Instruction
+    skip: Option[Expr], limit: Option[Expr], distinct: Boolean) extends Instruction
 /** Mid-query projection/aggregation (see [[WithClause]]); items carry
   * their optional `as` aliases — resolution (defaulting, scalar
   * pseudo-labels) happens in typing. */
 final case class IWith(items: List[(RetItem, Option[String])],
-    order: List[(RetItem, Boolean)], skip: Option[Long], limit: Option[Long],
+    order: List[(RetItem, Boolean)], skip: Option[Expr], limit: Option[Expr],
     distinct: Boolean) extends Instruction
 /** `sv -[:rel*lo..hi]-> tv`, match-only (typing rejects create).
   * `dist` carries the optional `as d` shortest-distance binding;
@@ -103,6 +103,15 @@ final case class ICallProc(proc: String, yields: List[String],
   * companion — the hop-label list `relationships(target)` reads. */
 final case class INamedPath(target: String,
     segs: List[(String, String, Boolean)]) extends Instruction
+/** Standalone unlabeled match node `match (n)` (round 14 — Cypher's
+  * any-label scan). Emitted only for a bare `(v)` that IS the whole
+  * pattern: hop endpoints stay plain references so the relational
+  * instructions can infer a concrete label from the relation's declared
+  * endpoint types instead. Typing resolves: an already-bound `v` makes
+  * this a no-op re-reference (the round-12 behavior); an unbound `v`
+  * becomes the union of every label's id scan, bound at the virtual
+  * any-label (attribute access restricted until a later hop narrows). */
+final case class IMatchAnyNode(v: String) extends Instruction
 
 final case class NormProg(types: GraphTypes, instrs: List[Instruction])
 
@@ -168,6 +177,11 @@ object Normalize {
     }
 
   private def normPattern(act: Act, pat: Pattern): List[Instruction] = pat match {
+    // a STANDALONE bare node in match position is the any-label scan
+    // (or a no-op if the variable is bound — typing decides); create
+    // keeps the reference-only reading, and hop endpoints never reach
+    // here (tail emits them), so edge-label inference stays available
+    case SimpPattern(VarRefPattern(v)) if act == MatchAct => List(IMatchAnyNode(v))
     case SimpPattern(np) => normNodePattern(act, np)
     case CompPattern(np, rl, rest, dir, rv, rps, ralts) =>
       normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, dir = dir, rv = rv, props = rps, alts = ralts), rest)

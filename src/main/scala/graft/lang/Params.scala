@@ -30,10 +30,12 @@ object Params {
     case ISet(v, f, e)        => ISet(v, f, sE(p)(e))
     case IReturnExt(items, order, skip, limit, distinct) =>
       IReturnExt(items.map { case (it, a) => (sR(p)(it), a) },
-        order.map { case (it, asc) => (sR(p)(it), asc) }, skip, limit, distinct)
+        order.map { case (it, asc) => (sR(p)(it), asc) },
+        skip.map(sE(p)), limit.map(sE(p)), distinct)
     case IWith(items, order, skip, limit, distinct) =>
       IWith(items.map { case (it, a) => (sR(p)(it), a) },
-        order.map { case (it, asc) => (sR(p)(it), asc) }, skip, limit, distinct)
+        order.map { case (it, asc) => (sR(p)(it), asc) },
+        skip.map(sE(p)), limit.map(sE(p)), distinct)
     case IOptPath(inner)      => IOptPath(inner.map(sI(p)))
     case INotExists(inner)    => INotExists(inner.map(sI(p)))
     case IExists(inner)       => IExists(inner.map(sI(p)))

@@ -349,7 +349,7 @@ object Parser {
     /** `[order by <key> [asc|desc], …] [skip s] [limit n]` — shared tail
       * of `return` and `with`. `skip` (Cypher's OFFSET; contextual like
       * limit) precedes `limit`, matching Cypher's clause order. */
-    private def orderLimit(): (List[(RetItem, Boolean)], Option[Long], Option[Long]) = {
+    private def orderLimit(): (List[(RetItem, Boolean)], Option[Expr], Option[Expr]) = {
       val order = List.newBuilder[(RetItem, Boolean)]
       if (peek == TIdent("order") && peek2 == TIdent("by")) {
         i += 2
@@ -369,8 +369,9 @@ object Parser {
         case TIdent("skip") =>
           i += 1
           peek match {
-            case TInt(v) => i += 1; Some(v)
-            case t       => fail(s"expected integer after skip, got $t")
+            case TInt(v)    => i += 1; Some(Const(IntV(v)): Expr)
+            case TParam(pn) => i += 1; Some(Param(pn): Expr)
+            case t => fail(s"expected integer or $$param after skip, got $t")
           }
         case _ => None
       }
@@ -378,8 +379,9 @@ object Parser {
         case TIdent("limit") =>
           i += 1
           peek match {
-            case TInt(v) => i += 1; Some(v)
-            case t       => fail(s"expected integer after limit, got $t")
+            case TInt(v)    => i += 1; Some(Const(IntV(v)): Expr)
+            case TParam(pn) => i += 1; Some(Param(pn): Expr)
+            case t => fail(s"expected integer or $$param after limit, got $t")
           }
         case _ => None
       }

@@ -82,6 +82,9 @@ object Typing {
   sealed trait RInstr extends Product with Serializable
   final case class RCreateNode(v: String, label: String) extends RInstr
   final case class RMatchNode(v: String, label: String) extends RInstr
+  /** Unlabeled standalone match `match (n)` (round 14): scans the union
+    * of EVERY label's node ids; the binding carries [[AnyLabel]]. */
+  final case class RMatchAnyNode(v: String) extends RInstr
   /** `props` (round-10 edge properties): the created edge's attribute
     * values, typed against the relation's declared attrs and evaluated
     * PER ROW (like node set). A pair created by several rows resolves
@@ -294,6 +297,15 @@ object Typing {
     * `nodes(p)` / `length(p)` desugar onto it in typing. */
   val PathValLabel = "%pathval"
 
+  /** Virtual label of an UNLABELED standalone match binding `match (n)`
+    * (round 14): the bound column is a real node id drawn from the
+    * union of every label's scan, so id()/return/count/order work, but
+    * the label is statically unknown — attribute access, set and delete
+    * are rejected with a pointer, and a later relational hop NARROWS
+    * the binding to its inferred endpoint label (ids are globally
+    * unique across labels, so the narrowing is sound). */
+  val AnyLabel = "%any"
+
   /** Pseudo-label of a `with`-bound scalar (attribute or aggregate item
     * re-bound under an alias): like [[PathLabel]], `%` can't start a
     * lexer identifier so no user schema label collides, and the single
@@ -337,6 +349,7 @@ object Typing {
   def virtualKind(label: String): String =
     if (label == PathLabel) "path-distance"
     else if (label == PathValLabel) "named-path"
+    else if (label == AnyLabel) "unlabeled"
     else if (isRelLabel(label)) "relationship"
     else if (isLamLabel(label)) "lambda"
     else "with-scalar"
@@ -434,7 +447,8 @@ object Typing {
         case None => Left(s"variable $v not bound")
         case Some(l) if isRelLabel(l) =>
           Left(s"id($v): a rel binding has no id — its identity is the (src, dst) pair")
-        case Some(l) if isVirtual(l) =>
+        // an unlabeled binding IS a node (any-label scan): id works
+        case Some(l) if isVirtual(l) && l != AnyLabel =>
           Left(s"id($v): ${virtualKind(l)} binding $v is a value, not a node")
         case Some(_) => Right(TIdFn(v))
       }
@@ -446,6 +460,9 @@ object Typing {
         case None => Left(s"variable $v not bound")
         case Some(l) if isRelLabel(l) =>
           Left(s"label($v): $v is a relationship binding — use type($v)")
+        case Some(AnyLabel) =>
+          Left(s"label($v): $v is unlabeled (match ($v) binds every " +
+            "label), so its label is not statically known")
         case Some(l) if isVirtual(l) =>
           Left(s"label($v): ${virtualKind(l)} binding $v is a value, not a node")
         case Some(l) => Right(TConst(StringV(l)))
@@ -495,6 +512,10 @@ object Typing {
     case AttribAcc(v, f) =>
       lookup(env, v) match {
         case None => Left(s"variable $v not bound")
+        case Some(AnyLabel) =>
+          Left(s"$v.$f: $v is unlabeled (match ($v) binds every label) — " +
+            s"its attributes are unknown; label it, ($v:label), or reach " +
+            "it through a relation hop that determines the label")
         case Some(lbl) =>
           schema.attrType(lbl, f) match {
             case None     => Left(s"attribute $f not declared for label $lbl (variable $v)")
@@ -763,6 +784,10 @@ object Typing {
           case CreateAct => Right((RCreateNode(v, lb), (v, lb) :: env))
           case MatchAct  => Right((RMatchNode(v, lb), (v, lb) :: env))
         }
+      case IMatchAnyNode(_) =>
+        // resolved by tcInstrN (no-op or any-label scan) before ever
+        // reaching the 1:1 transformer
+        Left("internal: IMatchAnyNode outside tcInstrN")
       case IActOnRel(act, sv, rl, tv, undir, rv, props, alts) if alts.nonEmpty =>
         // `[:a|b]` alternation (parser guarantees no rv/props here)
         (lookup(env, sv), lookup(env, tv)) match {
@@ -902,8 +927,8 @@ object Typing {
           if (te.tp != BoolT) Left(s"where expression must be bool, got ${te.tp}")
           else Right((RWhere(te), env))
         }
-      case IReturnExt(items, order, skip, limit, distinct) =>
-        checkPage(skip, limit, "return").flatMap(_ =>
+      case IReturnExt(items, order, skip0, limit0, distinct) =>
+        checkPage(skip0, limit0, "return").flatMap { case (skip, limit) =>
         sequenceRet(items.map { case (it, _) => resolveRet(schema, env)(it) }).flatMap { ritems =>
           // output naming (round 10 continued — Cypher's RETURN … AS x):
           // an explicit alias renames any item; var/attr/agg items
@@ -938,10 +963,10 @@ object Typing {
               }
             }
           }
-        })
+        }}
 
-      case IWith(items, order, skip, limit, distinct) =>
-        checkPage(skip, limit, "with").flatMap(_ =>
+      case IWith(items, order, skip0, limit0, distinct) =>
+        checkPage(skip0, limit0, "with").flatMap { case (skip, limit) =>
         sequenceRet(items.map { case (it, _) => resolveRet(schema, env)(it) }).flatMap { ritems =>
           // alias resolution: a plain variable re-binds under its own
           // name unless aliased; attr/agg items REQUIRE an alias --
@@ -996,7 +1021,7 @@ object Typing {
               }
             }
           }
-        })
+        }}
 
       case IMergeNode(v, lb, props, onC, onM) =>
         if (!schema.labels(lb)) Left(s"undeclared node label $lb")
@@ -1048,10 +1073,19 @@ object Typing {
         }
 
       case IOptPath(inner) =>
-        tcInner(schema, env, inner, "optional match").map {
+        tcInner(schema, env, inner, "optional match").flatMap {
           case (ris, bound, fresh) =>
-            // fresh vars bind NULLABLE, latest-first like match decls
-            (ROptPath(ris, bound, fresh), fresh.reverse ::: env)
+            if (bound.isEmpty)
+              // an uncorrelated optional match is a cross join against
+              // the whole witness set (label inference can make every
+              // endpoint a fresh declaration, round 14) — the executor
+              // left-joins on the bound columns, so require one, like
+              // the existential predicates
+              Left("optional match pattern must reference at least one " +
+                "bound variable")
+            else
+              // fresh vars bind NULLABLE, latest-first like match decls
+              Right((ROptPath(ris, bound, fresh), fresh.reverse ::: env))
         }
 
       case INotExists(inner) =>
@@ -1329,6 +1363,10 @@ object Typing {
     case RetAttr(v, f) =>
       lookup(env, v) match {
         case None => Left(s"return of unbound variable $v")
+        case Some(AnyLabel) =>
+          Left(s"$v.$f: $v is unlabeled (match ($v) binds every label) — " +
+            s"its attributes are unknown; label it, ($v:label), or reach " +
+            "it through a relation hop that determines the label")
         case Some(lbl) =>
           schema.attrType(lbl, f)
             .toRight(s"attribute $f not declared for label $lbl (variable $v)")
@@ -1399,12 +1437,30 @@ object Typing {
     * negative offset/limit. A >2^31 page bound is always a typo (no
     * binding table has 2 billion rows a user pages by hand), so reject
     * at typing time rather than truncate at run time. */
-  private def checkPage(skip: Option[Long], limit: Option[Long],
-      clause: String): Either[String, Unit] =
-    (skip.filter(_ > Int.MaxValue).map(n => s"$clause skip $n") orElse
-      limit.filter(_ > Int.MaxValue).map(n => s"$clause limit $n"))
-      .map(what => s"$what exceeds the maximum page bound ${Int.MaxValue}")
-      .toLeft(())
+  /** Resolve the page bounds to plain longs (round 14: `skip`/`limit`
+    * admit `$param` — substitution already turned a supplied param into
+    * the same Const a literal gives, so anything else here is an
+    * error). Literals lex unsigned; a NEGATIVE value can only arrive
+    * through a param and is rejected like the overflow case. */
+  private def checkPage(skip: Option[Expr], limit: Option[Expr],
+      clause: String): Either[String, (Option[Long], Option[Long])] = {
+    def one(e: Option[Expr], what: String): Either[String, Option[Long]] =
+      e match {
+        case None => Right(None)
+        case Some(Const(IntV(n))) =>
+          if (n < 0) Left(s"$clause $what $n is negative")
+          else if (n > Int.MaxValue)
+            Left(s"$clause $what $n exceeds the maximum page bound ${Int.MaxValue}")
+          else Right(Some(n))
+        case Some(Param(pn)) =>
+          Left(s"missing parameter $$$pn (supply it via params)")
+        case Some(Const(v)) =>
+          Left(s"$clause $what must be an integer, got $v")
+        case Some(other) =>
+          Left(s"internal: non-literal $clause $what $other")
+      }
+    for { sk <- one(skip, "skip"); lim <- one(limit, "limit") } yield (sk, lim)
+  }
 
   /** Order-key / distinct legality shared by return-ext and with:
     * distinct+agg is a silent no-op (invites `return distinct count(v)`
@@ -1445,13 +1501,13 @@ object Typing {
       in match {
         case IActOnNode(MatchAct, _, _) | IActOnRel(MatchAct, _, _, _, _, _, _, _) |
             _: IWhere | IVarPathRel(MatchAct, _, _, _, _, _, _, _, _) |
-            _: INamedPath => ()
+            _: INamedPath | _: IMatchAnyNode => ()
         case other =>
           err = Some(s"$what pattern: illegal instruction $other")
       }
-      if (err.isEmpty) tcInstr(schema, env, in) match {
-        case Left(e)           => err = Some(e)
-        case Right((ri, env2)) => out += ri; env = env2
+      if (err.isEmpty) tcInstrN(schema, env, in) match {
+        case Left(e)            => err = Some(e)
+        case Right((ris, env2)) => out ++= ris; env = env2
       }
     }
     err match {
@@ -1460,6 +1516,7 @@ object Typing {
         val ris = out.result()
         val fresh = ris.flatMap {
           case RMatchNode(v, l)                   => Seq((v, l))
+          case RMatchAnyNode(v)                   => Seq((v, AnyLabel))
           // a shortest-distance / named-path binding inside the witness
           // is declared by the pattern too — project like fresh
           // variables, each named path with its hidden `%rels_` hop-
@@ -1528,7 +1585,84 @@ object Typing {
     case _: TConst         => Nil
   }
 
-  /** Fold [[tcInstr]] over one branch; returns the typed instructions
+  /** Endpoint-label inference for unlabeled match-hop endpoints (round
+    * 14): an UNBOUND endpoint, or one bound at [[AnyLabel]], takes the
+    * hop relation's declared endpoint label when the declarations
+    * (filtered by the other endpoint where known) agree on exactly one.
+    * An unbound endpoint additionally gets an [[RMatchNode]] scan
+    * inserted BEFORE the relational instruction — the exact sequence an
+    * explicit label produces, so the engine (and its PExpand peephole)
+    * never sees a difference. A bound-at-%any endpoint only NARROWS
+    * (rebinds the type-env label; node ids are globally unique, so
+    * every row surviving the hop's id join belongs to the inferred
+    * label's frame). Ambiguity is an error naming the candidates. */
+  private def inferHopEndpoints(schema: Schema, env: Env, sv: String,
+      tv: String, rels: List[String], undir: Boolean)
+      : Either[String, (List[RInstr], Env)] = {
+    def needs(e: Env, v: String): Boolean =
+      lookup(e, v).forall(_ == AnyLabel)
+    def known(e: Env, v: String): Option[String] =
+      lookup(e, v).filterNot(_ == AnyLabel)
+    if (!needs(env, sv) && !needs(env, tv)) Right((Nil, env))
+    else {
+      val rs = rels.distinct.mkString("|")
+      val arrow = if (undir) s"-[:$rs]-" else s"-[:$rs]->"
+      val triples = schema.relTypes.toList.filter(t => rels.contains(t._2))
+      val orients = (triples.map(t => (t._1, t._3)) ++
+        (if (undir) triples.map(t => (t._3, t._1)) else Nil)).distinct
+      def one(v: String, cands: List[String], st: (List[RInstr], Env))
+          : Either[String, (List[RInstr], Env)] = {
+        val (pre, e) = st
+        if (!needs(e, v)) Right(st)
+        else cands match {
+          case l :: Nil =>
+            if (lookup(e, v).isEmpty) Right((pre :+ RMatchNode(v, l), (v, l) :: e))
+            else Right((pre, (v, l) :: e)) // %any: narrow, no new scan
+          case Nil => Left(s"no declared relation type matches $arrow here" +
+            known(e, sv).fold("")(l => s" from (:$l)") +
+            known(e, tv).fold("")(l => s" to (:$l)"))
+          case many => Left(s"cannot infer a label for $v from $arrow: " +
+            s"candidates ${many.sorted.map(":" + _).mkString(", ")} — " +
+            s"label it explicitly, ($v:label)")
+        }
+      }
+      val fits = orients.filter { case (s, t) =>
+        known(env, sv).forall(_ == s) && known(env, tv).forall(_ == t) }
+      for {
+        st1 <- one(sv, fits.map(_._1).distinct, (Nil, env))
+        // tv candidates re-filtered by sv's now-resolved label (also
+        // covers the self-loop (n)-[:r]->(n): sv's binding is tv's)
+        st2 <- one(tv, fits.filter { case (s, _) =>
+          known(st1._2, sv).forall(_ == s) }.map(_._2).distinct, st1)
+      } yield st2
+    }
+  }
+
+  /** [[tcInstr]] with multi-instruction output: unlabeled-match
+    * resolution (round 14) may PREPEND inferred endpoint scans, or
+    * resolve to no instruction at all (a bound bare `(v)` is a no-op
+    * re-reference). Everything else delegates 1:1. */
+  private def tcInstrN(schema: Schema, env: Env, in: Instruction)
+      : Either[String, (List[RInstr], Env)] = in match {
+    case IMatchAnyNode(v) =>
+      lookup(env, v) match {
+        case Some(_) => Right((Nil, env)) // bound: a re-reference
+        case None    => Right((List(RMatchAnyNode(v)), (v, AnyLabel) :: env))
+      }
+    case IActOnRel(MatchAct, sv, rl, tv, undir, _, _, alts) =>
+      inferHopEndpoints(schema, env, sv, tv, rl :: alts, undir).flatMap {
+        case (pre, env1) =>
+          tcInstr(schema, env1, in).map { case (ri, env2) => (pre :+ ri, env2) }
+      }
+    case IVarPathRel(MatchAct, sv, rl, _, _, tv, _, undir, _) =>
+      inferHopEndpoints(schema, env, sv, tv, List(rl), undir).flatMap {
+        case (pre, env1) =>
+          tcInstr(schema, env1, in).map { case (ri, env2) => (pre :+ ri, env2) }
+      }
+    case other => tcInstr(schema, env, other).map { case (ri, e) => (List(ri), e) }
+  }
+
+  /** Fold [[tcInstrN]] over one branch; returns the typed instructions
     * and the final environment. */
   private def tcBranch(schema: Schema, instrs: List[Instruction])
       : Either[String, (List[RInstr], Env)] = {
@@ -1537,9 +1671,9 @@ object Typing {
     var err: Option[String] = None
     val it = instrs.iterator
     while (err.isEmpty && it.hasNext) {
-      tcInstr(schema, env, it.next()) match {
-        case Left(e)           => err = Some(e)
-        case Right((ri, env2)) => out += ri; env = env2
+      tcInstrN(schema, env, it.next()) match {
+        case Left(e)            => err = Some(e)
+        case Right((ris, env2)) => out ++= ris; env = env2
       }
     }
     err.toLeft((out.result(), env))

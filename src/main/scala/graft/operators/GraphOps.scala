@@ -1098,6 +1098,55 @@ object GraphOps {
              |            UNION ALL SELECT 'nregion') u
              |WHERE x.rk = 0""".stripMargin)),
 
+    // unlabeled match (round 14): a bare `(n)` scans the union of every
+    // label's ids (virtual any-label binding — id/count/order work,
+    // attribute access is a type error until a hop narrows the label);
+    // unlabeled HOP endpoints infer the relation's declared endpoint
+    // labels, so attribute access works without a label.
+    Q("gql_match_any",
+      bindings(
+        """match (n)
+          |where id(n) < 3000000000
+          |return n""".stripMargin),
+      Some("""SELECT CAST(r_regionkey + 1000000000 AS BIGINT) AS n FROM region
+             |UNION ALL
+             |SELECT CAST(n_nationkey + 2000000000 AS BIGINT) FROM nation""".stripMargin)),
+
+    Q("gql_match_any_count",
+      bindings(
+        """match (n)
+          |return count(n) as total""".stripMargin),
+      Some("""SELECT CAST((SELECT count(*) FROM region) +
+             |  (SELECT count(*) FROM nation) + (SELECT count(*) FROM supplier) +
+             |  (SELECT count(*) FROM customer) + (SELECT count(*) FROM part) +
+             |  (SELECT count(*) FROM orders) + (SELECT count(*) FROM lineitem)
+             |  AS BIGINT) AS total""".stripMargin)),
+
+    // endpoint inference: c and m take customer/nation from cnation's
+    // declaration — m.name proves the binding carries a REAL label
+    Q("gql_match_any_edge",
+      bindings(
+        """match (c) -[:cnation]-> (m)
+          |where m.regionkey = 0
+          |return c, m, m.name as mname""".stripMargin),
+      Some("""SELECT CAST(c_custkey + 4000000000 AS BIGINT) AS c,
+             |       CAST(n_nationkey + 2000000000 AS BIGINT) AS m,
+             |       n_name AS mname
+             |FROM customer JOIN nation ON n_nationkey = c_nationkey
+             |WHERE n_regionkey = 0""".stripMargin)),
+
+    // varpath endpoint inference over the label-homogeneous chain
+    Q("gql_match_any_varpath",
+      bindings(
+        """match (u) -[:nnext*2..2]-> (v)
+          |return u, v, u.regionkey as rk""".stripMargin),
+      Some("""WITH n0 AS (SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS id,
+             |         n_regionkey AS rk,
+             |         row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS pos
+             |         FROM nation)
+             |SELECT x.id AS u, y.id AS v, CAST(x.rk AS BIGINT) AS rk
+             |FROM n0 x JOIN n0 y ON y.rk = x.rk AND y.pos = x.pos + 2""".stripMargin)),
+
     // pagerank("rel") / bfs(src, "rel") — relation scope on the other
     // two procedures (round 12 continued): the scoped edge frame is the
     // only change, the iterative bodies are untouched. nnext is the
@@ -1195,6 +1244,30 @@ object GraphOps {
           |return dist, count(id) as n""".stripMargin,
         Map("src" -> graft.lang.IntV(1000000000L))),
       Some(callBfsOracle)),
+
+    // $param in skip/limit position (round 14): substitution turns the
+    // param into the same foldable constant a literal gives, so the
+    // TakeOrderedAndProject shaping is identical
+    Q("gql_param_limit",
+      bindingsP(
+        """match (n:nation)
+          |return n, n.name as name
+          |order by n skip $off limit $k""".stripMargin,
+        Map("off" -> graft.lang.IntV(3L), "k" -> graft.lang.IntV(7L))),
+      Some("""SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS n, n_name AS name
+             |FROM nation ORDER BY 1 OFFSET 3 LIMIT 7""".stripMargin)),
+
+    // $param as a procedure's relation-scope string argument
+    Q("gql_param_call_rel",
+      bindingsP(
+        """call cc($rel) yield id, comp
+          |where comp.val < 2000000000
+          |return comp, count(id) as n""".stripMargin,
+        Map("rel" -> graft.lang.StringV("nregion"))),
+      Some("""SELECT CAST(r_regionkey + 1000000000 AS BIGINT) AS comp,
+             |  CAST(1 + (SELECT count(*) FROM nation n
+             |            WHERE n.n_regionkey = region.r_regionkey) AS BIGINT) AS n
+             |FROM region""".stripMargin)),
 
     // toInteger (round 11): strict string→int parse (non-numeric
     // raises under ANSI — the strict flavor of Cypher's null); with

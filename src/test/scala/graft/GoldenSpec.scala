@@ -439,6 +439,51 @@ class GoldenSpec extends AnyFunSuite {
     assert(ri == Seq(Seq(0L)), s"got $ri")
   }
 
+  test("unlabeled match: any-label scan, endpoint inference, narrowing (round 14)") {
+    // two labels + a cross-label edge + a same-label chain:
+    // a(0):N, b(1):N, c(2):M; a -r-> c; a -s-> b
+    val g =
+      """(:N {x int})
+        |(:M {y int})
+        |(:N) -[:r]-> (:M)
+        |(:N) -[:s]-> (:N)
+        |create (a:N {x: 1})
+        |create (b:N {x: 2})
+        |create (c:M {y: 7})
+        |create (a) -[:r]-> (c)
+        |create (a) -[:s]-> (b)
+        |""".stripMargin
+    def rows(q: String): Seq[Seq[Any]] =
+      Engine.runSource(spark, g + q).bindings.collect()
+        .map(_.toSeq.toSeq).toSeq.sortBy(_.mkString(","))
+    // bare (n): the union of every label's scan — all three nodes
+    val r0 = rows("match (n)\nreturn n")
+    assert(r0 == Seq(Seq(0L), Seq(1L), Seq(2L)), s"got $r0")
+    // id()/count/order work on the any-label binding
+    val rc = rows("match (n)\nwhere id(n) > 0\nreturn count(n) as c")
+    assert(rc == Seq(Seq(2L)), s"got $rc")
+    // hop endpoints INFER labels from the relation declaration —
+    // attribute access works on both ends without a label
+    val re = rows("match (n) -[:r]-> (m)\nreturn n.x as nx, m.y as my")
+    assert(re == Seq(Seq(1L, 7L)), s"got $re")
+    // an any-label binding NARROWS through a later hop: n is :N after
+    // the -[:r]-> hop, so n.x becomes readable
+    val rn = rows("match (n)\nmatch (n) -[:r]-> (m)\nreturn n.x as nx, m.y as my")
+    assert(rn == Seq(Seq(1L, 7L)), s"got $rn")
+    // varpath endpoints infer from the label-homogeneous relation
+    val rv = rows("match (u) -[:s*1..1]-> (v)\nreturn u.x as ux, v.x as vx")
+    assert(rv == Seq(Seq(1L, 2L)), s"got $rv")
+    // optional match: the inferred fresh endpoint binds NULL-or-id
+    val ro = rows(
+      """match (n:N)
+        |optional match (n) -[:r]-> (m)
+        |return n, case when null(m) then 0 - 1 else id(m) end as mi""".stripMargin)
+    assert(ro == Seq(Seq(0L, 2L), Seq(1L, -1L)), s"got $ro")
+    // a bound bare (v) is a no-op re-reference (round-12 behavior kept)
+    val rb = rows("match (a:M)\nmatch (a)\nreturn a")
+    assert(rb == Seq(Seq(2L)), s"got $rb")
+  }
+
   test("regex =~: find semantics, metacharacters, composition (round 12)") {
     val src =
       """(:N {x int, s string})

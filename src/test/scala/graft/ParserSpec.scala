@@ -96,7 +96,7 @@ class ParserSpec extends AnyFunSuite {
       List(RetVar("a"), RetAttr("a", "x"), RetAgg(AggCount, RetVar("a")),
         RetAgg(AggSum, RetAttr("a", "x"))).map(it => (it, None)),
       List((RetAttr("a", "x"), false), (RetVar("a"), true)),
-      None, Some(7L)))
+      None, Some(Const(IntV(7L)))))
   }
 
   test("aggregate names stay valid identifiers without the call paren") {
@@ -109,14 +109,14 @@ class ParserSpec extends AnyFunSuite {
     val p = Parser.parse(
       header + "create (a:P)\nreturn a order by a skip 2 limit 3")
     assert(p.query.clauses.last ==
-      ReturnExt(List((RetVar("a"), None)), List((RetVar("a"), true)), Some(2L), Some(3L), false))
+      ReturnExt(List((RetVar("a"), None)), List((RetVar("a"), true)), Some(Const(IntV(2L))), Some(Const(IntV(3L))), false))
     // contextual: a variable named skip returns plainly
     val v = Parser.parse(header + "create (skip:P)\nreturn skip")
     assert(v.query.clauses.last == Return(List("skip")))
     // skip without limit is legal (drop a prefix, keep the rest)
     val s = Parser.parse(header + "create (a:P)\nreturn a order by a skip 1")
     assert(s.query.clauses.last ==
-      ReturnExt(List((RetVar("a"), None)), List((RetVar("a"), true)), Some(1L), None, false))
+      ReturnExt(List((RetVar("a"), None)), List((RetVar("a"), true)), Some(Const(IntV(1L))), None, false))
   }
 
   test("order/limit are contextual: order-by needs both words") {

@@ -106,6 +106,12 @@ object RefInterp {
       st.copy(env = (v, st.width) :: st.env, width = st.width + 1,
         rows = for (r <- st.rows; id <- ids) yield r :+ id)
 
+    case Typing.RMatchAnyNode(v) =>
+      // unlabeled match (round 14): every node regardless of label
+      val ids = st.nodes.keys.toList.sorted
+      st.copy(env = (v, st.width) :: st.env, width = st.width + 1,
+        rows = for (r <- st.rows; id <- ids) yield r :+ id)
+
     case RCreateEdge(sv, _, rl, tv, _, props) =>
       val (cs, ct) = (st.colOf(sv), st.colOf(tv))
       // set semantics: existing pairs keep their stored attrs

@@ -359,8 +359,12 @@ class TypingSpec extends AnyFunSuite {
 
   // --- optional match (engine extension) ---
 
-  test("optional match: source must be bound") {
-    assert(err(header + "optional match (a) -[:r]-> (b:Q)").contains("not bound"))
+  test("optional match: an uncorrelated pattern is rejected") {
+    // round 14: an unlabeled source INFERS :P from the relation
+    // declaration, so the pattern becomes fully fresh — rejected by the
+    // correlation guard (the executor left-joins on bound columns)
+    assert(err(header + "optional match (a) -[:r]-> (b:Q)")
+      .contains("reference at least one bound variable"))
   }
 
   test("optional match: relation type must be declared for the labels") {
@@ -397,9 +401,12 @@ class TypingSpec extends AnyFunSuite {
 
   // --- where not exists (pattern negation, engine extension) ---
 
-  test("not exists: referenced variable must be bound") {
+  test("not exists: an uncorrelated pattern is rejected") {
+    // round 14: the unlabeled zz infers :P and becomes a fresh
+    // declaration, making the pattern fully existential — caught by the
+    // correlation guard instead of an unbound-variable error
     assert(err(header + "create (a:P)\nwhere not exists (zz) -[:r]-> (b:Q)")
-      .contains("variable zz not bound"))
+      .contains("reference at least one bound variable"))
   }
 
   test("not exists: fully-existential pattern rejected") {
@@ -1025,9 +1032,44 @@ class TypingSpec extends AnyFunSuite {
     Typing.compile(h2 + "match p = (a:Q) -[:t]- (b:P)\nreturn length(p) as l")
   }
 
+  test("unlabeled match: any-label restrictions + inference errors (round 14)") {
+    // header declares (:P)-[:r]->(:Q); add a reverse r and a self rel
+    val h2 = header + "(:P) -[:s]-> (:P)\n"
+    val hAmb = h2 + "(:Q) -[:r]-> (:P)\n"
+    // positives: scan, id, count, inference on both ends, narrowing
+    Typing.compile(h2 + "match (n)\nreturn n")
+    Typing.compile(h2 + "match (n)\nwhere id(n) > 0\nreturn count(n) as c")
+    Typing.compile(h2 + "match (n) -[:r]-> (m)\nreturn n.x, m.y")
+    Typing.compile(h2 + "match (n)\nmatch (n) -[:r]-> (m)\nreturn n.x")
+    Typing.compile(h2 + "match (u) -[:s*1..2]-> (v)\nreturn u.x, v.x")
+    // undirected inference works when both orientations land on one
+    // label (self relation); bound bare (v) is a no-op re-reference
+    Typing.compile(h2 + "match (u) -[:s]- (v)\nreturn u.x")
+    Typing.compile(h2 + "match (a:P)\nmatch (a)\nreturn a.x")
+    // the any-label binding is a node with an UNKNOWN label: attribute
+    // access / set / delete / label() are rejected with a pointer
+    assert(err(h2 + "match (n)\nreturn n.x")
+      .contains("unlabeled"))
+    assert(err(h2 + "match (n)\nset n.x = 1\nreturn n")
+      .contains("unlabeled"))
+    assert(err(h2 + "match (n)\ndelete n\nreturn 1 as k")
+      .contains("unlabeled"))
+    assert(err(h2 + "match (n)\nreturn label(n) as l")
+      .contains("unlabeled"))
+    // inference demands a UNIQUE declared endpoint label
+    assert(err(hAmb + "match (x) -[:r]-> (y)\nreturn x")
+      .contains("cannot infer a label for x"))
+    // ... and an undirected hop over a non-self relation is two-sided
+    assert(err(h2 + "match (x) -[:r]- (y)\nreturn x")
+      .contains("cannot infer"))
+    // no declared relation fits: the known endpoint contradicts
+    assert(err(h2 + "match (q:Q)\nmatch (q) -[:r]-> (z)\nreturn z")
+      .contains("no declared relation type matches"))
+  }
+
   test("query parameters: substitute as typed constants (round 12)") {
     val ps = Map[String, Value]("lo" -> IntV(5), "pre" -> StringV("ab"),
-      "flag" -> BoolV(true), "src" -> IntV(42))
+      "flag" -> BoolV(true), "src" -> IntV(42), "neg" -> IntV(-2))
     def ok(q: String): Unit =
       Typing.compile(header + q, ps): Unit
     def perr(q: String): String =
@@ -1049,6 +1091,19 @@ class TypingSpec extends AnyFunSuite {
       .contains("requires string operands"))
     assert(perr("call bfs($pre) yield id, dist\nreturn id")
       .contains("argument 1 must be int, got string"))
+    // $param in skip/limit position (round 14): same foldable constant
+    // a literal gives; missing/mistyped/negative rejected at typing
+    ok("match (a:P)\nreturn a order by a skip $lo limit $lo")
+    ok("match (a:P)\nwith a order by a limit $lo\nreturn a")
+    assert(perr("match (a:P)\nreturn a limit $nope")
+      .contains("missing parameter $nope"))
+    assert(perr("match (a:P)\nreturn a limit $pre")
+      .contains("must be an integer"))
+    assert(perr("match (a:P)\nreturn a order by a skip $neg")
+      .contains("negative"))
+    // ... and as a procedure's relation-scope string argument
+    Typing.compile(header + "call cc($rel) yield id, comp\nreturn comp",
+      Map[String, Value]("rel" -> StringV("r"))): Unit
     // extra params are ignored; empty map means plain compile
     Typing.compile(header + "match (a:P)\nreturn a", ps): Unit
   }
