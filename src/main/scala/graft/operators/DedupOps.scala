@@ -182,6 +182,58 @@ object DedupOps {
              |FROM common JOIN sizes sa ON common.a = sa.doc_id
              |WHERE c::DOUBLE / sa.n >= 0.8""".stripMargin)),
 
+    // ---- df-cut containment: the production-scale path (round 14) -----
+    // Candidate generation over RARE shingles only (hot boilerplate cut
+    // by the broadcast anti, >= 2 shared rare shingles), then EXACT
+    // containment verification on candidate pairs via the collected-set
+    // counter. Recall bound, sharper than the Jaccard case: a pair with
+    // containment >= 0.8 shares >= 0.8·|A| shingles — losing it needs
+    // ALL of that overlap except at most one rare shingle to be hot,
+    // i.e. A is boilerplate-plus-one-trigram, the precision-killing
+    // class the cut exists to drop. Output is a provable subset of
+    // p_dedup_containment (PipelineSpec pins the relation).
+    Q("p_dedup_containment_dfcut",
+      (s, dir) => {
+        val dsh = shingles(s, dir).cache()
+        val nDocs = docs(s, dir).count()
+        val maxDf = math.max(1L, nDocs / 100)
+        val hot = dsh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("shingle")
+        val rare = dsh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        val cand = rare.select(col("doc_id").as("a"), col("shingle"))
+          .join(rare.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("nshared"))
+          .filter(col("nshared") >= 2).select("a", "b")
+        exactContainment(dsh, cand)
+      },
+      Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)-1),
+             |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle FROM dd),
+             |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+             |cut AS (SELECT greatest(1, (SELECT count(*) FROM documents) // 100) AS maxdf),
+             |rare AS (SELECT dsh.doc_id, dsh.shingle FROM dsh
+             |         JOIN (SELECT shingle FROM dsh GROUP BY shingle
+             |               HAVING count(*) <= (SELECT maxdf FROM cut)) r
+             |           ON dsh.shingle = r.shingle),
+             |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+             |         FROM rare x JOIN rare y
+             |           ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+             |         GROUP BY 1, 2 HAVING count(*) >= 2),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+             |common AS MATERIALIZED (SELECT c.a, c.b, count(*) AS c FROM cand c
+             |           JOIN dsh da ON da.doc_id = c.a
+             |           JOIN dsh db ON db.doc_id = c.b AND da.shingle = db.shingle
+             |           GROUP BY c.a, c.b),
+             |dirs AS (
+             |  SELECT common.a, common.b, c::DOUBLE / sa.n AS containment
+             |  FROM common JOIN sizes sa ON common.a = sa.doc_id
+             |  UNION ALL
+             |  SELECT common.b, common.a, c::DOUBLE / sb.n
+             |  FROM common JOIN sizes sb ON common.b = sb.doc_id)
+             |SELECT a, b, round(containment, 3) AS containment
+             |FROM dirs WHERE containment >= 0.8""".stripMargin)),
+
     // ---- exact n-gram Jaccard over the shingle inverted index ---------
     // Self-join on shingle = candidate pairs share >=1 shingle (exact for
     // J>0); count of shared shingles + per-doc set sizes -> Jaccard.
@@ -936,6 +988,28 @@ object DedupOps {
     * (AQE broadcasts it at test scale; at corpus scale it's an equi-join
     * on doc id, still linear). |A∩B| via set arrays is identical to the
     * join-count the oracles compute — dsh is distinct by construction. */
+  /** Exact asymmetric containment on CANONICAL (a < b) candidate pairs,
+    * emitting both directions from the one symmetric intersection count
+    * (|A∩B|/|A| and |A∩B|/|B|) — the verify stage of the df-cut
+    * containment path, same collected-set counter as [[exactJaccard]]. */
+  private def exactContainment(dsh: DataFrame, cand: DataFrame,
+      tau: Double = 0.8): DataFrame = {
+    graft.functions.GraftFunctions.register(dsh.sparkSession)
+    val sets = dsh.groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("sh"), count(lit(1)).as("n"))
+    val withC = cand
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sa"), col("n").as("na")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("sb"), col("n").as("nb")), Seq("b"))
+      .withColumn("c", expr("array_intersect_count(sa, sb)"))
+      .select(col("a"), col("b"), col("c"), col("na"), col("nb"))
+    val ab = withC.select(col("a"), col("b"),
+      (col("c").cast("double") / col("na")).as("containment"))
+    val ba = withC.select(col("b").as("a"), col("a").as("b"),
+      (col("c").cast("double") / col("nb")).as("containment"))
+    ab.unionByName(ba).filter(col("containment") >= tau)
+      .select(col("a"), col("b"), round(col("containment"), 3).as("containment"))
+  }
+
   private def exactJaccard(dsh: DataFrame, cand: DataFrame, tau: Double = 0.5): DataFrame = {
     // |A∩B| via the native codegen'd counter (no per-pair intersection
     // array) — identical to size(array_intersect) here because each

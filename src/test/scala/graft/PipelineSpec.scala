@@ -259,6 +259,20 @@ class PipelineSpec extends AnyFunSuite {
       .foreach(k => assert(cut.contains(k), s"$k lost by df-cut"))
   }
 
+  test("df-cut containment is a subset of plain containment, retains the >= 0.8 band") {
+    val plain = run("p_dedup_containment").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val cut = run("p_dedup_containment_dfcut").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // candidates from a subset of shingles, identical exact verification
+    assert(cut.keySet.subsetOf(plain.keySet))
+    cut.foreach { case (k, c) => assert(plain(k) == c) }
+    // recall on this corpus: a containment >= 0.8 pair shares 0.8·|A|
+    // shingles — the planted sub-document dups carry document-specific
+    // rare trigrams, so the cut loses nothing in the output band
+    plain.keySet.foreach(k => assert(cut.contains(k), s"$k lost by df-cut"))
+  }
+
   test("containment is a superset relation of symmetric high-Jaccard pairs") {
     val cont = run("p_dedup_containment").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

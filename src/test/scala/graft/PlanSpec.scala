@@ -28,6 +28,11 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("p_dedup_ngram_jaccard_dfcut")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"expected broadcast anti join for the df cut in:\n$p")
+    // the containment production path (round 14) uses the same cut:
+    // candidate generation never joins a shingle group above maxDf
+    val pc = plan("p_dedup_containment_dfcut")
+    assert(pc.contains("BroadcastHashJoin") && pc.contains("LeftAnti"),
+      s"expected broadcast anti join for the containment df cut in:\n$pc")
   }
 
   test("global top-k plans as TakeOrderedAndProject (no full sort)") {
