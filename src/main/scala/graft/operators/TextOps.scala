@@ -59,7 +59,23 @@ object TextOps {
   // but equally deterministic canonical form, replayed bit-identically
   // by the oracle.
 
-  private val bpeK = 8
+  private val bpeK = 64
+
+  /** Lineage-cut cadence: re-materialize the vocabulary table every R
+    * merge rounds, so round k's pair aggregate replays at most R chained
+    * replaces on top of a materialized table instead of all k — O(K·R)
+    * total replace work and bounded plan depth, not O(K²). The cut is a
+    * drain-ledger localCheckpoint (released between queries); the
+    * superseded one is dropped as soon as the next materializes. */
+  private val bpeCkptEvery = 8
+
+  /** Trained merges memoized per (session, dir): training is
+    * deterministic and both the train-table and encode operators need
+    * the same merge list — without the memo the encode query replays
+    * the whole K-round driver loop. Stopped sessions are swept on
+    * access (the GraphLoader memo discipline). */
+  private val trainMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[(String, String)]]()
 
   /** Spaced-token form of word `w`: `" c h a r s "`. Built with a
     * regexp_replace (each char → "char "), identical in both engines. */
@@ -67,16 +83,24 @@ object TextOps {
     concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
 
   /** Train: the K merge pairs in rank order (ties broken by pair string
-    * ascending). One corpus pass + K vocabulary-table aggregates. */
+    * ascending). One corpus pass + K vocabulary-table aggregates, with a
+    * lineage cut every [[bpeCkptEvery]] rounds. Memoized per
+    * (session, dir). */
   private[operators] def bpeTrain(s: SparkSession, dir: String): Seq[(String, String)] = {
+    trainMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    trainMemo.computeIfAbsent((s, dir), { _ => bpeTrainUncached(s, dir) })
+  }
+
+  private[graft] def bpeTrainUncached(s: SparkSession, dir: String): Seq[(String, String)] = {
     val wf0 = docs(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(spaced(col("w")).as("toks"), col("freq"))
       .cache()
     var wf: DataFrame = wf0
+    var lastCk: Option[DataFrame] = None
     val merges = Seq.newBuilder[(String, String)]
-    for (_ <- 1 to bpeK) {
+    for (k <- 1 to bpeK) {
       val ts = split(trim(col("toks")), " ")
       val top = wf
         .select(explode(zip_with(
@@ -91,8 +115,15 @@ object TextOps {
       wf = wf.withColumn("toks",
         regexp_replace(col("toks"), lit(java.util.regex.Pattern.quote(s" $a $b ")),
           lit(java.util.regex.Matcher.quoteReplacement(s" $a$b "))))
+      if (k % bpeCkptEvery == 0 && k < bpeK) {
+        val ck = graft.Ckpt.eager(wf)
+        lastCk.foreach(graft.Ckpt.drop)
+        lastCk = Some(ck)
+        wf = ck
+      }
     }
     wf0.unpersist()
+    lastCk.foreach(graft.Ckpt.drop)
     merges.result()
   }
 

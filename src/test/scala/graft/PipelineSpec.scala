@@ -1097,6 +1097,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(counts.exists { case (id, nt, _) => nt < chars(id) }, "no merge ever fired")
   }
 
+  test("bpe train at K=64: per-round job count flat (lineage cuts in effect)") {
+    // each merge round is one argmax collect (1-2 jobs under AQE) plus
+    // one checkpoint materialization every bpeCkptEvery rounds — the
+    // job-group count catches any accidental extra action sneaking into
+    // the driver loop (an eager count, a per-round cache rebuild)
+    spark.sparkContext.setJobGroup("bpe_pin", "bpe train job-count pin")
+    val merges =
+      try TextOps.bpeTrainUncached(spark, dir)
+      finally spark.sparkContext.clearJobGroup()
+    assert(merges.length == 64 && merges.distinct.length == 64)
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("bpe_pin").length
+    assert(jobs <= 64 * 3 + 16, s"per-round job count not flat: $jobs jobs for 64 rounds")
+  }
+
   test("entropy is bounded by ln(n_uniq) and agrees with p_text_stats' vocabulary") {
     val stats = run("p_text_stats").collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     run("p_text_entropy").collect().foreach { r =>
