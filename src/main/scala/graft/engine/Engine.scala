@@ -457,14 +457,19 @@ object Engine {
       // label's id scan — ids are globally unique (disjoint per-label
       // bases) so the legs are disjoint; each leg is a one-column scan
       // (column pruning reaches the store), and the union is a narrow
-      // no-shuffle operator
+      // no-shuffle operator. The hidden `%label_` companion is a
+      // per-leg LITERAL (label(v) reads it) — a constant column costs
+      // nothing and Catalyst prunes it when unread.
       val c = fresh(st)
-      val scan = st.graph.nodes.values.map(_.select(col("id").as(c)))
+      val cL = s"${c}_lbl"
+      val scan = st.graph.nodes.toSeq.sortBy(_._1)
+        .map { case (lb, df) => df.select(col("id").as(c), lit(lb).as(cL)) }
         .reduceOption(_ unionByName _)
-        .getOrElse(spark.range(0).select(col("id").as(c)))
+        .getOrElse(spark.range(0).select(col("id").as(c), lit("").as(cL)))
       val joined = if (st.unitTable) scan else st.bindings.crossJoin(scan)
       st.copy(bindings = joined,
-        env = (v, c) :: st.env, freshCounter = st.freshCounter + 1)
+        env = (s"%label_$v", cL) :: (v, c) :: st.env,
+        freshCounter = st.freshCounter + 1)
 
     case Typing.RCallProc(proc, yields, args) =>
       // the procedure bridge (round 11): run a whole-graph analytics

@@ -266,6 +266,16 @@ final case class DeclPattern(variable: String, label: String,
     props: List[(String, Expr)] = Nil) extends NodePattern
 final case class VarRefPattern(variable: String) extends NodePattern
 
+/** Sentinel relation name of an any-relation hop `-[]->` (round 14 —
+  * Cypher's untyped relationship): the empty string can never lex as an
+  * identifier, so no declared relation collides. Typing resolves it to
+  * the union of the declared triples between the endpoint labels. */
+object AnyRel {
+  val name = ""
+  def apply(): String = name
+  def unapply(s: String): Boolean = s == name
+}
+
 /** Right-nested path pattern `(a:A)-[:r]->(b:B)-[:s]->(c)`
   * (reference lang.ml:52-55, parser.mly:50-52). */
 sealed trait Pattern extends Product with Serializable

@@ -539,7 +539,10 @@ object Parser {
     private def namePath(p: String, pat: Pattern): Pattern = {
       def check(q: Pattern): Unit = q match {
         case SimpPattern(_) => ()
-        case CompPattern(_, _, rest, _, rv, props, alts) =>
+        case CompPattern(_, rl, rest, _, rv, props, alts) =>
+          if (rl == AnyRel.name)
+            fail(s"named path $p: -[]-> cannot ride a named path " +
+              "(the hop-label witness needs a concrete relation type)")
           if (rv.isDefined)
             fail(s"named path $p: a rel variable cannot ride a named-path hop")
           if (props.nonEmpty)
@@ -572,6 +575,24 @@ object Parser {
       if (peek == TSym("-")) {
         i += 1
         expectSym("[")
+        // any-relation hop `-[]->` / `<-[]-` / `-[]-` (round 14 —
+        // Cypher's untyped relationship): the hop ranges over EVERY
+        // declared relation type between the endpoint labels (typing
+        // resolves the union; match-only). `]` directly after `[`
+        // appears nowhere else, so nothing is stolen. No rel variable,
+        // label, alternation, bounds, or props can ride it — close the
+        // bracket and the direction here.
+        if (peek == TSym("]")) {
+          i += 1
+          val dir: Dir =
+            if (rev) { expectSym("-"); Rev }
+            else peek match {
+              case TSym("->") => i += 1; Fwd
+              case TSym("-")  => i += 1; Undir
+              case t          => fail(s"expected '->' or '-', got $t")
+            }
+          return CompPattern(np, AnyRel.name, pattern(), dir, None, Nil, Nil)
+        }
         // optional rel-variable binding `[x:r]` (round-10 edge props;
         // the reference grammar admits only `[:r]`, so nothing is stolen)
         val relVar = peek match {

@@ -461,8 +461,14 @@ object Typing {
         case Some(l) if isRelLabel(l) =>
           Left(s"label($v): $v is a relationship binding — use type($v)")
         case Some(AnyLabel) =>
-          Left(s"label($v): $v is unlabeled (match ($v) binds every " +
-            "label), so its label is not statically known")
+          // round 14: an unlabeled binding's RUNTIME label rides the
+          // hidden per-leg literal companion its scan bound
+          if (lookup(env, s"%label_$v").isEmpty)
+            Left(s"label($v): the label companion of $v is not in " +
+              "scope — project the binding itself through the " +
+              "intervening with")
+          else
+            Right(TAttr(s"%label_$v", scalarLabel(StringT), "val", StringT))
         case Some(l) if isVirtual(l) =>
           Left(s"label($v): ${virtualKind(l)} binding $v is a value, not a node")
         case Some(l) => Right(TConst(StringV(l)))
@@ -788,6 +794,33 @@ object Typing {
         // resolved by tcInstrN (no-op or any-label scan) before ever
         // reaching the 1:1 transformer
         Left("internal: IMatchAnyNode outside tcInstrN")
+      case IActOnRel(act, sv, AnyRel(), tv, undir, rv, _, _) =>
+        // any-relation hop `-[]->` (round 14 — Cypher's untyped
+        // relationship): the union of EVERY declared relation type
+        // between the endpoint labels, riding the alternation machinery
+        (lookup(env, sv), lookup(env, tv)) match {
+          case (Some(sl), Some(tl)) =>
+            if (act == CreateAct)
+              Left("create needs a concrete relation type - -[]-> is match-only")
+            else if (rv.isDefined)
+              Left(s"rel variable ${rv.get} cannot ride an any-relation " +
+                "hop -[]->: the matched relation type varies per row")
+            else {
+              val frames = schema.relTypes.toList.sorted.flatMap { t =>
+                val f = if (t._1 == sl && t._3 == tl) List((t, false)) else Nil
+                val r = if (undir && t._1 == tl && t._3 == sl)
+                  List((t, true)) else Nil
+                f ++ r
+              }
+              if (frames.isEmpty)
+                Left(s"no relation type is declared between (:$sl) and (:$tl)" +
+                  (if (undir) " in either orientation" else ""))
+              else Right((RMatchEdgeAlt(sv, sl, tv, tl, frames), env))
+            }
+          case (None, _) => Left(s"variable $sv not bound")
+          case (_, None) => Left(s"variable $tv not bound")
+        }
+
       case IActOnRel(act, sv, rl, tv, undir, rv, props, alts) if alts.nonEmpty =>
         // `[:a|b]` alternation (parser guarantees no rv/props here)
         (lookup(env, sv), lookup(env, tv)) match {
@@ -1002,6 +1035,14 @@ object Typing {
                         if lookup(env, v).contains(PathValLabel) &&
                           lookup(env, s"%rels_$v").isDefined =>
                       (RRetVar(s"%rels_$v"): RRet, s"%rels_$a")
+                    // an unlabeled binding's label companion follows it
+                    // too (label(alias) keeps working; the extra
+                    // grouping/distinct key is the node itself + its
+                    // label, which the id already determines)
+                    case (RRetVar(v), a)
+                        if lookup(env, v).contains(AnyLabel) &&
+                          lookup(env, s"%label_$v").isDefined =>
+                      (RRetVar(s"%label_$v"): RRet, s"%label_$a")
                   }
                   val pairs2 = pairs ++ companions
                   // `with` DEFINES the downstream scope (Cypher
@@ -1516,7 +1557,8 @@ object Typing {
         val ris = out.result()
         val fresh = ris.flatMap {
           case RMatchNode(v, l)                   => Seq((v, l))
-          case RMatchAnyNode(v)                   => Seq((v, AnyLabel))
+          case RMatchAnyNode(v)                   =>
+            Seq((v, AnyLabel), (s"%label_$v", scalarLabel(StringT)))
           // a shortest-distance / named-path binding inside the witness
           // is declared by the pattern too — project like fresh
           // variables, each named path with its hidden `%rels_` hop-
@@ -1597,7 +1639,7 @@ object Typing {
     * every row surviving the hop's id join belongs to the inferred
     * label's frame). Ambiguity is an error naming the candidates. */
   private def inferHopEndpoints(schema: Schema, env: Env, sv: String,
-      tv: String, rels: List[String], undir: Boolean)
+      tv: String, rels0: List[String], undir: Boolean)
       : Either[String, (List[RInstr], Env)] = {
     def needs(e: Env, v: String): Boolean =
       lookup(e, v).forall(_ == AnyLabel)
@@ -1605,8 +1647,11 @@ object Typing {
       lookup(e, v).filterNot(_ == AnyLabel)
     if (!needs(env, sv) && !needs(env, tv)) Right((Nil, env))
     else {
-      val rs = rels.distinct.mkString("|")
-      val arrow = if (undir) s"-[:$rs]-" else s"-[:$rs]->"
+      // an any-relation hop infers over EVERY declared relation type
+      val anyRel = rels0.forall(_ == AnyRel.name)
+      val rels = if (anyRel) schema.relTypes.map(_._2).toList.distinct else rels0
+      val rs = if (anyRel) "" else ":" + rels.distinct.mkString("|")
+      val arrow = if (undir) s"-[$rs]-" else s"-[$rs]->"
       val triples = schema.relTypes.toList.filter(t => rels.contains(t._2))
       val orients = (triples.map(t => (t._1, t._3)) ++
         (if (undir) triples.map(t => (t._3, t._1)) else Nil)).distinct
@@ -1647,7 +1692,10 @@ object Typing {
     case IMatchAnyNode(v) =>
       lookup(env, v) match {
         case Some(_) => Right((Nil, env)) // bound: a re-reference
-        case None    => Right((List(RMatchAnyNode(v)), (v, AnyLabel) :: env))
+        case None    => Right((List(RMatchAnyNode(v)),
+          // the runtime label rides a hidden per-leg literal companion
+          // (label(v) reads it; Catalyst prunes it when unread)
+          (s"%label_$v", scalarLabel(StringT)) :: (v, AnyLabel) :: env))
       }
     case IActOnRel(MatchAct, sv, rl, tv, undir, _, _, alts) =>
       inferHopEndpoints(schema, env, sv, tv, rl :: alts, undir).flatMap {

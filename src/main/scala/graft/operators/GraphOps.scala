@@ -1147,6 +1147,35 @@ object GraphOps {
              |SELECT x.id AS u, y.id AS v, CAST(x.rk AS BIGINT) AS rk
              |FROM n0 x JOIN n0 y ON y.rk = x.rk AND y.pos = x.pos + 2""".stripMargin)),
 
+    // any-relation hop -[]-> (round 14 — Cypher's untyped relationship):
+    // the union of every declared relation type between the endpoint
+    // labels — here BOTH nation->tag relations, built in-program like
+    // the alternation oracle
+    Q("gql_match_any_rel",
+      bindings(
+        """merge (t:tag)
+          |match (a:nation) where a.regionkey = 0
+          |create (a) -[:tagged]-> (t)
+          |match (b:nation) where b.nationkey < 4
+          |create (b) -[:flagged]-> (t)
+          |match (m:nation) -[]-> (t2:tag)
+          |return distinct m""".stripMargin),
+      Some("""SELECT DISTINCT CAST(n_nationkey AS BIGINT) + 2000000000 AS m
+             |FROM nation WHERE n_regionkey = 0 OR n_nationkey < 4""".stripMargin)),
+
+    // label(n) on an unlabeled binding: the RUNTIME label from the
+    // hidden per-leg literal companion the any-scan binds
+    Q("gql_match_any_label",
+      bindings(
+        """match (n)
+          |where id(n) < 3000000000
+          |return n, label(n) as lbl""".stripMargin),
+      Some("""SELECT CAST(r_regionkey + 1000000000 AS BIGINT) AS n,
+             |       'region' AS lbl FROM region
+             |UNION ALL
+             |SELECT CAST(n_nationkey + 2000000000 AS BIGINT), 'nation'
+             |FROM nation""".stripMargin)),
+
     // pagerank("rel") / bfs(src, "rel") — relation scope on the other
     // two procedures (round 12 continued): the scoped edge frame is the
     // only change, the iterative bodies are untouched. nnext is the

@@ -482,6 +482,25 @@ class GoldenSpec extends AnyFunSuite {
     // a bound bare (v) is a no-op re-reference (round-12 behavior kept)
     val rb = rows("match (a:M)\nmatch (a)\nreturn a")
     assert(rb == Seq(Seq(2L)), s"got $rb")
+    // any-relation hop -[]->: the union of every declared relation type
+    // between the endpoint labels
+    val rr1 = rows("match (x:N) -[]-> (y:M)\nreturn x, y")
+    assert(rr1 == Seq(Seq(0L, 2L)), s"got $rr1")
+    val rr2 = rows("match (x:N) -[]-> (y:N)\nreturn x, y")
+    assert(rr2 == Seq(Seq(0L, 1L)), s"got $rr2")
+    // undirected any-rel admits the reverse orientation
+    val rr3 = rows("match (x:M) -[]- (y:N)\nreturn x, y")
+    assert(rr3 == Seq(Seq(2L, 0L)), s"got $rr3")
+    // label(n): the RUNTIME label of an unlabeled binding (hidden
+    // per-leg literal companion), surviving a with like the path
+    // companions do
+    val rl = rows("match (n)\nreturn n, label(n) as l")
+    assert(rl == Seq(Seq(0L, "N"), Seq(1L, "N"), Seq(2L, "M")), s"got $rl")
+    val rlw = rows("match (n)\nwith n\nwhere id(n) = 2\nreturn label(n) as l")
+    assert(rlw == Seq(Seq("M")), s"got $rlw")
+    // ... and NARROWING folds it to the inferred constant
+    val rln = rows("match (n)\nmatch (n) -[:r]-> (m)\nreturn label(n) as l, label(m) as lm")
+    assert(rln == Seq(Seq("N", "M")), s"got $rln")
   }
 
   test("regex =~: find semantics, metacharacters, composition (round 12)") {

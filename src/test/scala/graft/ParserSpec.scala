@@ -717,6 +717,30 @@ class ParserSpec extends AnyFunSuite {
       "match (a:P)\nwhere not exists p = (a) -[:r*1..2]-> (b:Q)\nreturn a"))
   }
 
+  test("any-relation hop -[]-> parses (round 14); named paths and rel vars reject it") {
+    val p = Parser.parse(header + "match (a:P) -[]-> (b:Q)\nreturn a")
+    p.query.clauses.head match {
+      case Match(List(CompPattern(_, AnyRel(), _: SimpPattern, Fwd, None, Nil, Nil))) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    Parser.parse(header + "match (a:P) -[]- (b:Q)\nreturn a")
+      .query.clauses.head match {
+      case Match(List(CompPattern(_, AnyRel(), _, Undir, _, _, _))) => ()
+      case other => fail(s"wrong undirected shape: $other")
+    }
+    Parser.parse(header + "match (b:Q) <-[]- (a:P)\nreturn a")
+      .query.clauses.head match {
+      case Match(List(CompPattern(_, AnyRel(), _, Rev, _, _, _))) => ()
+      case other => fail(s"wrong reverse shape: $other")
+    }
+    // a named path's hop-label witness needs concrete relation types
+    intercept[Parser.ParseError](Parser.parse(header +
+      "match p = (a:P) -[]-> (b:Q)\nreturn a"))
+    // `[x]` without a label is not a rel-binding form
+    intercept[Parser.ParseError](Parser.parse(header +
+      "match (a:P) -[x]-> (b:Q)\nreturn a"))
+  }
+
   test("call procedures parse: proc() yield list; malformed shapes rejected") {
     val p = Parser.parse(header + "call degree() yield id, o, n\nwhere o.val > 1\nreturn id")
     assert(p.query.clauses.head == CallProc("degree", List("id", "o", "n")))

@@ -62,6 +62,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"unfused cross join in:\n$p")
   }
 
+  test("unlabeled scan is a narrow union: no exchange, no cartesian") {
+    // RMatchAnyNode = union of one-column label scans; the where filter
+    // pushes through the Union into every leg — any Exchange here means
+    // the any-label scan stopped being a narrow operator
+    val p = plan("gql_match_any")
+    assert(p.contains("Union"), s"expected a union of label scans in:\n$p")
+    assert(!p.contains("Exchange"), s"unexpected shuffle in the any-label scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the any-label scan:\n$p")
+  }
+
   test("bpe encode is one scan stage: zero exchanges") {
     // the whole encoder (spaced form + K replaces + HOF fold) is a
     // per-row projection — any Exchange here means the scan-speed claim

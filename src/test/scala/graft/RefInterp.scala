@@ -107,7 +107,11 @@ object RefInterp {
         rows = for (r <- st.rows; id <- ids) yield r :+ id)
 
     case Typing.RMatchAnyNode(v) =>
-      // unlabeled match (round 14): every node regardless of label
+      // unlabeled match (round 14): every node regardless of label.
+      // The engine's hidden string-typed `%label_` companion has no
+      // home in this Long-row model — programs here always end in a
+      // return that restricts the env, and the differential generator
+      // never draws label() on an unlabeled binding, so it stays unread.
       val ids = st.nodes.keys.toList.sorted
       st.copy(env = (v, st.width) :: st.env, width = st.width + 1,
         rows = for (r <- st.rows; id <- ids) yield r :+ id)

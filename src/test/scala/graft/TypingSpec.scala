@@ -1054,8 +1054,6 @@ class TypingSpec extends AnyFunSuite {
       .contains("unlabeled"))
     assert(err(h2 + "match (n)\ndelete n\nreturn 1 as k")
       .contains("unlabeled"))
-    assert(err(h2 + "match (n)\nreturn label(n) as l")
-      .contains("unlabeled"))
     // inference demands a UNIQUE declared endpoint label
     assert(err(hAmb + "match (x) -[:r]-> (y)\nreturn x")
       .contains("cannot infer a label for x"))
@@ -1065,6 +1063,24 @@ class TypingSpec extends AnyFunSuite {
     // no declared relation fits: the known endpoint contradicts
     assert(err(h2 + "match (q:Q)\nmatch (q) -[:r]-> (z)\nreturn z")
       .contains("no declared relation type matches"))
+    // any-relation hop -[]->: match-only union over declared triples
+    Typing.compile(h2 + "match (a:P) -[]-> (b:Q)\nreturn a, b")
+    Typing.compile(h2 + "match (a:P) -[]- (b:Q)\nreturn a") // undirected
+    // endpoint inference composes: unique over ALL rel types (header
+    // declares only r: P->Q), ambiguous when several endpoints fit
+    Typing.compile(header + "match (a:P) -[]-> (b)\nreturn b.y")
+    assert(err(h2 + "match (a:P) -[]-> (b)\nreturn b")
+      .contains("cannot infer"))
+    assert(err(h2 + "create (a:P) -[]-> (b:Q)")
+      .contains("match-only"))
+    assert(err(h2 + "match (a:Q) -[]-> (b:Q)\nreturn a")
+      .contains("no relation type is declared"))
+    // label(n) on an unlabeled binding reads the runtime companion —
+    // well-typed, including through a with; still rejected on scalars
+    Typing.compile(h2 + "match (n)\nreturn n, label(n) as l")
+    Typing.compile(h2 + "match (n)\nwith n\nreturn label(n) as l")
+    assert(err(h2 + "match (a:P)\nwith a.x as v\nreturn label(v) as l")
+      .contains("is a value, not a node"))
   }
 
   test("query parameters: substitute as typed constants (round 12)") {
