@@ -40,24 +40,22 @@ object Bench {
     * Recording runs disable the retry (SPARK_GRAFT_RETRY=0) so the
     * baseline itself stays raw. */
   private val familyBand: Map[String, Double] = Map(
-    // round-12 idle first-pass family totals at the full 271-query
-    // inventory (BENCH_IDLE_r12.json, load < 1/32, retried:[]) — bands
+    // round-14 idle first-pass family totals at the full 291-query
+    // inventory (BENCH_IDLE_r14.json, load ≈2.3/32, retried:[]) — bands
     // must track inventory growth (the r11 lesson: a stale band fired a
     // false family retry on an idle run)
-    // (+ marginal post-record additions: g_assortativity ≈ +5 amortized,
-    // gql_named_path_opt ≈ +2, p_sim_ivf_store ≈ +3)
-    "g"        -> 136.0,
-    "gql"      -> 133.0, // incl. the 4 whole-graph call procs (~65 s)
-    "p_stream" -> 26.7,
-    "p_dedup"  -> 26.1,
-    "q"        -> 11.4,
-    "p_io"     -> 11.1,
-    "p_events" -> 8.0,
-    "p_sim"    -> 10.4,
-    "p_text"   -> 6.3,
-    "p_curate" -> 5.7,
+    "g"        -> 136.5,
+    "gql"      -> 141.7, // incl. the 7 whole-graph call procs (~85 s)
+    "p_stream" -> 27.6,
+    "p_dedup"  -> 30.2,
+    "q"        -> 12.1,
+    "p_io"     -> 11.2,
+    "p_events" -> 8.2,
+    "p_sim"    -> 9.0,
+    "p_text"   -> 11.0, // incl. the one memoized K=64 BPE train (~6 s)
+    "p_curate" -> 5.5,
     "p_mm"     -> 3.1,
-    "p_sample" -> 1.2,
+    "p_sample" -> 1.4,
     "p_pack"   -> 0.3)
   private val retryFactor = 1.5
   // ...and at least this many seconds over the band: sub-second families

@@ -62,6 +62,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"unfused cross join in:\n$p")
   }
 
+  test("inferred endpoints fuse like explicit labels: no cartesian") {
+    // inference INSERTS the same RMatchNode an explicit label produces,
+    // so the PExpand peephole must fire identically
+    for (q <- Seq("gql_match_any_edge", "gql_match_any_varpath")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q lost the fusion:\n$p")
+    }
+  }
+
   test("unlabeled scan is a narrow union: no exchange, no cartesian") {
     // RMatchAnyNode = union of one-column label scans; the where filter
     // pushes through the Union into every leg — any Exchange here means
