@@ -53,7 +53,7 @@ class DifferentialSpec extends AnyFunSuite {
         bound("%int").map(_ + ".val") ++ // with-bound scalars
         // id() over node bindings (round 11) — ids are deterministic
         // in both engines, so they are ordinary int atoms
-        (bound("P") ++ bound("Q")).map(v => s"id($v)")
+        (bound("P") ++ bound("Q") ++ bound(Typing.AnyLabel)).map(v => s"id($v)")
       val atom = if (xvars.isEmpty || rnd.nextBoolean()) (rnd.nextInt(10) + 1).toString
                  else pick(xvars)
       if (depth == 0) atom
@@ -142,7 +142,7 @@ class DifferentialSpec extends AnyFunSuite {
       else s"($base2 ${pick(Seq("and", "or"))} ${boolExpr(depth - 1)})"
     }
     val steps = 3 + rnd.nextInt(6)
-    for (_ <- 1 to steps) rnd.nextInt(12) match {
+    for (_ <- 1 to steps) rnd.nextInt(13) match {
       case 0 => // create + immediate set (keeps all attributes defined);
         // half the time via the inline property map, which desugars to
         // the same create+set instruction pair (differential coverage of
@@ -469,6 +469,48 @@ class DifferentialSpec extends AnyFunSuite {
           sb ++= s"with $distinctMod${items.map(_._2).mkString(", ")}$tail\n"
           env = items.map { case (_, _, a, l) => (a, l) }.toList
           optEnv = Nil
+        }
+      case 11 => // round 14: the unlabeled surface — a bare any-label
+        // scan (id-only binding), an inferred-endpoint hop, or an
+        // any-relation hop between bound endpoints
+        rnd.nextInt(3) match {
+          case 0 =>
+            // bare (v): binds every node at the virtual %any label; the
+            // engine side also binds the hidden %label_ companion
+            // (RefInterp mirrors it as a label-index code), which rides
+            // silently through any later with-projection
+            n += 1
+            val v = s"v$n"
+            sb ++= s"match ($v)\n"
+            env = (v, Typing.AnyLabel) :: env
+          case 1 =>
+            // unlabeled hop endpoint: r names only (P,r,Q) and t only
+            // (Q,t,Q), so inference binds the target at the REAL label —
+            // downstream draws use it like an explicit decl
+            val srcs = bound("P").map((_, "r", "Q")) ++
+              bound("Q").map((_, "t", "Q"))
+            if (srcs.nonEmpty) {
+              val (a, rl, tl) = pick(srcs)
+              n += 1
+              val v = s"v$n"
+              sb ++= s"match ($a) -[:$rl]-> ($v)\n"
+              env = (v, tl) :: env
+            }
+          case _ =>
+            // any-relation hop -[]->: the union of every declared
+            // relation type between the endpoint labels (P→P unions
+            // s AND s2 — the multi-frame case), all three directions
+            val combos = Seq(("P", "Q"), ("P", "P"), ("Q", "Q"))
+              .flatMap { case (sl, tl) =>
+                for (a <- bound(sl); b <- bound(tl)) yield (a, b) }
+            if (combos.nonEmpty) {
+              val (a, b) = pick(combos)
+              rnd.nextInt(3) match {
+                case 0 => sb ++= s"match ($a) -[]-> ($b)\n"
+                case 1 => sb ++= s"match ($b) <-[]- ($a)\n"
+                case _ => sb ++= s"match ($a) -[]- ($b)\n"
+              }
+            }
         }
       case 10 => // unwind an int expression list (round 10): each row
         // explodes to its elements; the alias binds a %int scalar that

@@ -76,9 +76,12 @@ object RefInterp {
     def runBranch(instrs: List[RInstr]): Result = {
       val fin = instrs.foldLeft(
         St(nodes0, edges0, Nil, 0, List(Vector.empty), firstId, eattrs0))(exec)
-      // Engine output: distinct vars, latest binding, latest-first order.
+      // Engine output: distinct vars, latest binding, latest-first order;
+      // `%`-prefixed bindings are engine-internal (named-path segments,
+      // `%rels_`/`%label_` companions) — hidden like Engine.finalProject
       val seen = scala.collection.mutable.LinkedHashSet[String]()
-      val outCols = fin.env.flatMap { case (v, c) => if (seen.add(v)) Some((v, c)) else None }
+      val outCols = fin.env.flatMap { case (v, c) =>
+        if (!v.startsWith("%") && seen.add(v)) Some((v, c)) else None }
       Result(fin.nodes, fin.edges, outCols.map(_._1),
         fin.rows.map(r => outCols.map { case (_, c) => r(c) }), fin.eattrs)
     }
@@ -107,14 +110,19 @@ object RefInterp {
         rows = for (r <- st.rows; id <- ids) yield r :+ id)
 
     case Typing.RMatchAnyNode(v) =>
-      // unlabeled match (round 14): every node regardless of label.
-      // The engine's hidden string-typed `%label_` companion has no
-      // home in this Long-row model — programs here always end in a
-      // return that restricts the env, and the differential generator
-      // never draws label() on an unlabeled binding, so it stays unread.
-      val ids = st.nodes.keys.toList.sorted
-      st.copy(env = (v, st.width) :: st.env, width = st.width + 1,
-        rows = for (r <- st.rows; id <- ids) yield r :+ id)
+      // unlabeled match (round 14): every node regardless of label. The
+      // engine's string-typed `%label_` companion is encoded here as
+      // the label's SORTED-SCHEMA index — this Long-row model has no
+      // strings, and the injective code behaves identically through
+      // with-projection, distinct and grouping; label() itself folds at
+      // typing only after narrowing, and the differential generator
+      // never draws a raw label() read (output would mix code/string)
+      val labels = st.nodes.values.map(_.label).toList.distinct.sorted
+      val ids = st.nodes.toList.sortBy(_._1)
+      st.copy(env = (s"%label_$v", st.width + 1) :: (v, st.width) :: st.env,
+        width = st.width + 2,
+        rows = for (r <- st.rows; (id, nd) <- ids)
+          yield r :+ id :+ labels.indexOf(nd.label).toLong)
 
     case RCreateEdge(sv, _, rl, tv, _, props) =>
       val (cs, ct) = (st.colOf(sv), st.colOf(tv))
