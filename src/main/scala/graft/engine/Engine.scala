@@ -907,6 +907,32 @@ object Engine {
         edgeEnv = st.edgeEnv.filterNot { case (_, (a, b)) => csSet(a) || csSet(b) }),
         Left(lbl), cfg)
 
+    case Typing.RDeleteAnyNode(v) =>
+      // unlabeled delete (round 14): the binding carries only ids — ids
+      // are globally unique, so anti-joining EVERY label frame removes
+      // exactly the owning rows (other frames lose nothing), and every
+      // relation frame drops incident edges on both endpoints. The
+      // doomed id set feeds one anti-join per frame, so it materializes
+      // once through the drain ledger instead of recomputing per frame.
+      val cs = st.env.collect { case (`v`, c) => c }
+      val doomed = graft.Ckpt.eager(
+        st.bindings.select(col(cs.head).as("id")).distinct())
+      val n2 = st.graph.nodes.map { case (lbl, df) =>
+        lbl -> df.join(doomed, Seq("id"), "left_anti") }
+      val e2 = st.graph.edges.map { case (key, df) =>
+        key -> df
+          .join(doomed.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+          .join(doomed.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+      }
+      val csSet = cs.toSet
+      val st2 = st.copy(graph = st.graph.copy(nodes = n2, edges = e2),
+        bindings = st.bindings.drop(cs: _*),
+        env = st.env.filterNot(_._1 == v),
+        edgeEnv = st.edgeEnv.filterNot { case (_, (a, b)) => csSet(a) || csSet(b) })
+      // every frame mutated: advance each one's checkpoint cadence
+      val stE = st.graph.edges.keys.foldLeft(st2)((s2, k) => bump(s2, Right(k), cfg))
+      st.graph.nodes.keys.foldLeft(stE)((s2, l) => bump(s2, Left(l), cfg))
+
     case RDeleteEdge(sv, sl, rl, tv, tl) =>
       val key = (sl, rl, tl)
       val victims = st.bindings.select(

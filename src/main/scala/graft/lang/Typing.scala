@@ -135,6 +135,11 @@ object Typing {
       tgtLabel: String,
       frames: List[((String, String, String), Boolean)]) extends RInstr
   final case class RDeleteNode(v: String, label: String) extends RInstr
+  /** Delete through an UNLABELED binding (round 14): deletion needs
+    * only ids — the executor anti-joins every label frame (ids are
+    * globally unique, so only the owning frame loses rows) and drops
+    * incident edges from every relation frame. */
+  final case class RDeleteAnyNode(v: String) extends RInstr
   final case class RDeleteEdge(sv: String, srcLabel: String, rel: String, tv: String, tgtLabel: String) extends RInstr
   final case class RReturn(vs: List[String]) extends RInstr
   final case class RWhere(e: TExpr) extends RInstr
@@ -928,6 +933,11 @@ object Typing {
             // (Cypher's DELETE r); the variable unbinds, the table keeps
             // its rows (an edge binding owns no column)
             Right((RDeleteEdgeBinding(v, relKeyOf(l)), env.filterNot(_._1 == v)))
+          case Some(AnyLabel) =>
+            // round 14: the label is statically unknown but deletion
+            // needs only the id — every label frame anti-joins, every
+            // relation frame drops incident edges
+            Right((RDeleteAnyNode(v), env.filterNot(_._1 == v)))
           case Some(l) if isVirtual(l) =>
             Left(s"cannot delete ${virtualKind(l)} binding $v")
           case Some(lbl) => Right((RDeleteNode(v, lbl), env.filterNot(_._1 == v)))

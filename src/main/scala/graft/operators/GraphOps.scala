@@ -1176,6 +1176,19 @@ object GraphOps {
              |SELECT CAST(n_nationkey + 2000000000 AS BIGINT), 'nation'
              |FROM nation""".stripMargin)),
 
+    // unlabeled DELETE (round 14): deletion needs only ids — every
+    // label frame anti-joins the doomed set, every relation frame drops
+    // incident edges on both endpoints
+    Q("gql_delete_any",
+      bindings(
+        """match (n)
+          |where id(n) < 1000000002
+          |delete n
+          |match (r:region)
+          |return distinct r""".stripMargin),
+      Some("""SELECT CAST(r_regionkey + 1000000000 AS BIGINT) AS r
+             |FROM region WHERE r_regionkey >= 2""".stripMargin)),
+
     // pagerank("rel") / bfs(src, "rel") — relation scope on the other
     // two procedures (round 12 continued): the scoped edge frame is the
     // only change, the iterative bodies are untouched. nnext is the

@@ -521,11 +521,20 @@ class DifferentialSpec extends AnyFunSuite {
         n += 1
         sb ++= s"unwind [$elems] as v$n\n"
         env = (s"v$n", "%int") :: env
-      case _ => // delete a node binding (also unbinds; never virtual)
+      case _ => // delete a node binding (also unbinds)
         if (env.nonEmpty && rnd.nextInt(3) == 0) {
           val (v, _) = env(rnd.nextInt(env.size))
           val lbl = latest(v)
-          if (!lbl.exists(_.startsWith("%"))) {
+          if (lbl.contains(Typing.AnyLabel)) {
+            // round 14: unlabeled delete works by id — it may remove
+            // nodes of ANY label, so conservatively retire every node
+            // binding (an attr read through a dangling P/Q binding is
+            // the known divergence point; %any bindings themselves only
+            // admit id/return reads, which are total on both sides)
+            sb ++= s"delete $v\n"
+            env = env.filterNot { case (_, l) =>
+              l == "P" || l == "Q" || l == Typing.AnyLabel }
+          } else if (!lbl.exists(_.startsWith("%"))) {
             sb ++= s"delete $v\n"
             // conservatively retire every same-label binding: they may alias
             // the deleted nodes, and reads/sets through dangling bindings

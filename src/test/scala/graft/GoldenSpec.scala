@@ -501,6 +501,22 @@ class GoldenSpec extends AnyFunSuite {
     // ... and NARROWING folds it to the inferred constant
     val rln = rows("match (n)\nmatch (n) -[:r]-> (m)\nreturn label(n) as l, label(m) as lm")
     assert(rln == Seq(Seq("N", "M")), s"got $rln")
+    // unlabeled DELETE: deletion needs only the id — every label frame
+    // anti-joins, incident edges die with the node
+    val rd = rows(
+      """match (n)
+        |where id(n) < 1
+        |delete n
+        |match (m)
+        |return m""".stripMargin)
+    assert(rd == Seq(Seq(1L), Seq(2L)), s"got $rd")
+    val rd2 = rows(
+      """match (n)
+        |where id(n) = 0
+        |delete n
+        |match (x:N) -[:s]-> (y:N)
+        |return x, y""".stripMargin)
+    assert(rd2.isEmpty, s"got $rd2")
   }
 
   test("regex =~: find semantics, metacharacters, composition (round 12)") {

@@ -95,7 +95,30 @@ object RefInterp {
     }
   }
 
-  private def exec(st: St, in: RInstr): St = in match {
+  private def exec(st: St, in: RInstr): St = {
+    // shared by the labeled and unlabeled delete cases below
+    def deleteNodeBinding(v: String): St = {
+      // latest binding first (engine parity: Engine.RDeleteNode cs.head);
+      // a Set.head would have arbitrary order beyond 4 elements
+        val colsList = st.env.collect { case (`v`, c) => c }
+        val cols = colsList.toSet
+        val doomed = st.rows.map(r => r(colsList.head)).toSet
+        val keptIdx = (0 until st.width).filterNot(cols).toVector
+        val remap = keptIdx.zipWithIndex.toMap
+        st.copy(
+          nodes = st.nodes -- doomed,
+          edges = st.edges.filterNot { case (s, _, t) => doomed(s) || doomed(t) },
+          eattrs = st.eattrs.filterNot { case ((s, _, t), _) => doomed(s) || doomed(t) },
+          env = st.env.collect { case (w, c) if w != v && remap.contains(c) => (w, remap(c)) },
+          // rel bindings referencing a dropped column retire (engine parity)
+          edgeEnv = st.edgeEnv.collect {
+            case (x, (a, b)) if remap.contains(a) && remap.contains(b) =>
+              (x, (remap(a), remap(b)))
+          },
+          width = keptIdx.size,
+          rows = st.rows.map(r => keptIdx.map(r)))
+    }
+    in match {
     case RCreateNode(v, lb) =>
       // deterministic ids: number rows in lexicographic order
       val ordered = st.rows.sortBy(identity)(VecOrd)
@@ -168,26 +191,12 @@ object RefInterp {
       st.copy(rows = st.rows.filter(r =>
         st.edges((r(cs), rl, r(ct))) || st.edges((r(ct), rl, r(cs)))))
 
-    case RDeleteNode(v, _) =>
-      // latest binding first (engine parity: Engine.RDeleteNode cs.head);
-      // a Set.head would have arbitrary order beyond 4 elements
-      val colsList = st.env.collect { case (`v`, c) => c }
-      val cols = colsList.toSet
-      val doomed = st.rows.map(r => r(colsList.head)).toSet
-      val keptIdx = (0 until st.width).filterNot(cols).toVector
-      val remap = keptIdx.zipWithIndex.toMap
-      st.copy(
-        nodes = st.nodes -- doomed,
-        edges = st.edges.filterNot { case (s, _, t) => doomed(s) || doomed(t) },
-        eattrs = st.eattrs.filterNot { case ((s, _, t), _) => doomed(s) || doomed(t) },
-        env = st.env.collect { case (w, c) if w != v && remap.contains(c) => (w, remap(c)) },
-        // rel bindings referencing a dropped column retire (engine parity)
-        edgeEnv = st.edgeEnv.collect {
-          case (x, (a, b)) if remap.contains(a) && remap.contains(b) =>
-            (x, (remap(a), remap(b)))
-        },
-        width = keptIdx.size,
-        rows = st.rows.map(r => keptIdx.map(r)))
+    case RDeleteNode(v, _) => deleteNodeBinding(v)
+
+    case Typing.RDeleteAnyNode(v) =>
+      // unlabeled delete (round 14): this model already deletes by id
+      // plus ALL incident edges regardless of label — the same fold
+      deleteNodeBinding(v)
 
     case RDeleteEdge(sv, _, rl, tv, _) =>
       val (cs, ct) = (st.colOf(sv), st.colOf(tv))
@@ -502,6 +511,7 @@ object RefInterp {
       st.copy(nodes = st.nodes ++ perNode.map { case (id, value) =>
         id -> st.nodes(id).copy(attrs = st.nodes(id).attrs.updated(f, value))
       })
+    }
   }
 
   /** Same ordering Spark's max() uses per type (values are same-typed

@@ -1052,8 +1052,10 @@ class TypingSpec extends AnyFunSuite {
       .contains("unlabeled"))
     assert(err(h2 + "match (n)\nset n.x = 1\nreturn n")
       .contains("unlabeled"))
-    assert(err(h2 + "match (n)\ndelete n\nreturn 1 as k")
-      .contains("unlabeled"))
+    // delete needs only the id, so it works through %any (round 14's
+    // unlabeled-delete extension); the binding unbinds as usual
+    Typing.compile(h2 + "match (n)\nwhere id(n) = 0\ndelete n\nreturn 1 as k")
+    assert(err(h2 + "match (n)\ndelete n\nreturn n").contains("unbound"))
     // inference demands a UNIQUE declared endpoint label
     assert(err(hAmb + "match (x) -[:r]-> (y)\nreturn x")
       .contains("cannot infer a label for x"))
