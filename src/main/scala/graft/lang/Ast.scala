@@ -276,6 +276,18 @@ object AnyRel {
   def unapply(s: String): Boolean = s == name
 }
 
+/** Sentinel label of an unlabeled-with-props node pattern `(n {x: 1})`
+  * (round 14): like [[AnyRel]], the empty string can never lex, so no
+  * declared label collides. Normalization treats it as the bare-node
+  * form (any-label scan / inference); its props desugar to where
+  * conjuncts that type after inference binds the real label. */
+object AnyNodeLabel {
+  val name = ""
+  def apply(): String = name
+  def unapply(s: String): Boolean = s == name
+}
+
+
 /** Right-nested path pattern `(a:A)-[:r]->(b:B)-[:s]->(c)`
   * (reference lang.ml:52-55, parser.mly:50-52). */
 sealed trait Pattern extends Product with Serializable

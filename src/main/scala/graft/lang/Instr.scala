@@ -118,6 +118,11 @@ final case class NormProg(types: GraphTypes, instrs: List[Instruction])
 object Normalize {
 
   private def normNodePattern(act: Act, np: NodePattern): List[Instruction] = np match {
+    // an unlabeled-with-props MATCH endpoint emits no node instruction
+    // (relational inference binds it, round 14 — its props ride the
+    // ordinary conjunct desugar); in CREATE position it keeps the
+    // sentinel-labeled instruction so typing rejects with a pointer
+    case DeclPattern(_, AnyNodeLabel(), _) if act == MatchAct => Nil
     case DeclPattern(v, l, _) => List(IActOnNode(act, v, l))
     case VarRefPattern(_)     => Nil
   }
@@ -180,8 +185,13 @@ object Normalize {
     // a STANDALONE bare node in match position is the any-label scan
     // (or a no-op if the variable is bound — typing decides); create
     // keeps the reference-only reading, and hop endpoints never reach
-    // here (tail emits them), so edge-label inference stays available
+    // here (tail emits them), so edge-label inference stays available.
+    // The unlabeled-with-props form scans the same way — its props
+    // desugar to conjuncts that then fail typing with the unlabeled-
+    // attribute pointer (only a hop can determine the label)
     case SimpPattern(VarRefPattern(v)) if act == MatchAct => List(IMatchAnyNode(v))
+    case SimpPattern(DeclPattern(v, AnyNodeLabel(), _)) if act == MatchAct =>
+      List(IMatchAnyNode(v))
     case SimpPattern(np) => normNodePattern(act, np)
     case CompPattern(np, rl, rest, dir, rv, rps, ralts) =>
       normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, dir = dir, rv = rv, props = rps, alts = ralts), rest)

@@ -676,27 +676,37 @@ object Parser {
     private def nodePattern(): NodePattern = {
       expectSym("(")
       val v = ident()
+      // inline property map `{f: e, …}` (engine extension — `{` never
+      // follows a label or a variable in the reference grammar)
+      def propMap(): List[(String, Expr)] = peek match {
+        case TSym("{") =>
+          i += 1
+          val b = List.newBuilder[(String, Expr)]
+          def one(): Unit = {
+            val f = ident(); expectSym(":"); b += ((f, expr()))
+          }
+          one()
+          while (peek == TSym(",")) { i += 1; one() }
+          expectSym("}")
+          b.result()
+        case _ => Nil
+      }
       peek match {
         case TSym(":") =>
           i += 1
           val l = ident()
-          // optional inline property map `{f: e, …}` (engine extension —
-          // `{` never follows a label in the reference grammar)
-          val props = peek match {
-            case TSym("{") =>
-              i += 1
-              val b = List.newBuilder[(String, Expr)]
-              def one(): Unit = {
-                val f = ident(); expectSym(":"); b += ((f, expr()))
-              }
-              one()
-              while (peek == TSym(",")) { i += 1; one() }
-              expectSym("}")
-              b.result()
-            case _ => Nil
-          }
+          val props = propMap()
           expectSym(")")
           DeclPattern(v, l, props)
+        case TSym("{") =>
+          // UNLABELED node with props (round 14): legal where the label
+          // is inferable (hop endpoints) — the props desugar to where
+          // conjuncts that type AFTER inference binds the real label; a
+          // standalone `match (n {x: 1})` fails typing with the
+          // unlabeled-attribute pointer, and create demands a label
+          val props = propMap()
+          expectSym(")")
+          DeclPattern(v, AnyNodeLabel.name, props)
         case TSym(")") => i += 1; VarRefPattern(v)
         case t         => fail(s"expected ':' or ')', got $t")
       }

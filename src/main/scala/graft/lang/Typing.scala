@@ -790,7 +790,12 @@ object Typing {
   private def tcInstr(schema: Schema, env: Env, in: Instruction): Either[String, (RInstr, Env)] =
     in match {
       case IActOnNode(act, v, lb) =>
-        if (!schema.labels(lb)) Left(s"undeclared node label $lb")
+        if (lb == AnyNodeLabel.name)
+          // only CREATE reaches here with the sentinel (round 14 —
+          // match-side unlabeled decls resolve via scan/inference)
+          Left(s"create ($v {…}) needs a label — a new node is created " +
+            "into one label's frame")
+        else if (!schema.labels(lb)) Left(s"undeclared node label $lb")
         else act match {
           case CreateAct => Right((RCreateNode(v, lb), (v, lb) :: env))
           case MatchAct  => Right((RMatchNode(v, lb), (v, lb) :: env))
@@ -1075,7 +1080,10 @@ object Typing {
         }}
 
       case IMergeNode(v, lb, props, onC, onM) =>
-        if (!schema.labels(lb)) Left(s"undeclared node label $lb")
+        if (lb == AnyNodeLabel.name)
+          Left(s"merge ($v {…}) needs a label — the match-or-create " +
+            "lookup runs against one label's frame")
+        else if (!schema.labels(lb)) Left(s"undeclared node label $lb")
         else {
           val dups = props.map(_._1).diff(props.map(_._1).distinct).distinct
           if (dups.nonEmpty)

@@ -1176,6 +1176,19 @@ object GraphOps {
              |SELECT CAST(n_nationkey + 2000000000 AS BIGINT), 'nation'
              |FROM nation""".stripMargin)),
 
+    // unlabeled node WITH props (round 14 continued): the inline map
+    // desugars to where conjuncts that type AFTER the hop's inference
+    // binds the real label
+    Q("gql_match_any_props",
+      bindings(
+        """match (c {mktsegment: "BUILDING"}) -[:cnation]-> (m)
+          |where m.regionkey = 0
+          |return c, m""".stripMargin),
+      Some("""SELECT CAST(c_custkey + 4000000000 AS BIGINT) AS c,
+             |       CAST(n_nationkey + 2000000000 AS BIGINT) AS m
+             |FROM customer JOIN nation ON n_nationkey = c_nationkey
+             |WHERE n_regionkey = 0 AND c_mktsegment = 'BUILDING'""".stripMargin)),
+
     // unlabeled DELETE (round 14): deletion needs only ids — every
     // label frame anti-joins the doomed set, every relation frame drops
     // incident edges on both endpoints

@@ -501,6 +501,15 @@ class GoldenSpec extends AnyFunSuite {
     // ... and NARROWING folds it to the inferred constant
     val rln = rows("match (n)\nmatch (n) -[:r]-> (m)\nreturn label(n) as l, label(m) as lm")
     assert(rln == Seq(Seq("N", "M")), s"got $rln")
+    // runtime-label FILTERING composes: label(n) is an ordinary string
+    val rlf = rows("match (n)\nwhere label(n) = \"M\"\nreturn n")
+    assert(rlf == Seq(Seq(2L)), s"got $rlf")
+    // unlabeled node WITH props: the props desugar to where conjuncts
+    // that type after the hop's inference binds the real label
+    val rp = rows("match (u {x: 1}) -[:r]-> (m)\nreturn u, m")
+    assert(rp == Seq(Seq(0L, 2L)), s"got $rp")
+    val rp2 = rows("match (u {x: 2}) -[:r]-> (m)\nreturn u, m")
+    assert(rp2.isEmpty, s"got $rp2")
     // unlabeled DELETE: deletion needs only the id — every label frame
     // anti-joins, incident edges die with the node
     val rd = rows(

@@ -1056,6 +1056,13 @@ class TypingSpec extends AnyFunSuite {
     // unlabeled-delete extension); the binding unbinds as usual
     Typing.compile(h2 + "match (n)\nwhere id(n) = 0\ndelete n\nreturn 1 as k")
     assert(err(h2 + "match (n)\ndelete n\nreturn n").contains("unbound"))
+    // unlabeled nodes WITH props: legal on inferable hop endpoints
+    // (props type after inference); standalone keeps the unlabeled-
+    // attribute pointer, and create/merge demand a label outright
+    Typing.compile(h2 + "match (a {x: 1}) -[:r]-> (b)\nreturn b.y")
+    assert(err(h2 + "match (n {x: 1})\nreturn n").contains("unlabeled"))
+    assert(err(h2 + "create (n {x: 1})\nreturn n").contains("needs a label"))
+    assert(err(h2 + "merge (n {x: 1})\nreturn n").contains("needs a label"))
     // inference demands a UNIQUE declared endpoint label
     assert(err(hAmb + "match (x) -[:r]-> (y)\nreturn x")
       .contains("cannot infer a label for x"))
