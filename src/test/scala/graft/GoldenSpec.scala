@@ -510,6 +510,15 @@ class GoldenSpec extends AnyFunSuite {
     assert(rp == Seq(Seq(0L, 2L)), s"got $rp")
     val rp2 = rows("match (u {x: 2}) -[:r]-> (m)\nreturn u, m")
     assert(rp2.isEmpty, s"got $rp2")
+    // any-rel hops compose with the pattern predicates and optional
+    // match (the witness sub-plans run the same alternation union)
+    val re1 = rows("match (x:N)\nwhere exists (x) -[]-> (y:M)\nreturn x")
+    assert(re1 == Seq(Seq(0L)), s"got $re1")
+    val re2 = rows(
+      """match (x:N)
+        |optional match (x) -[]-> (w:M)
+        |return x, case when null(w) then 0 - 1 else id(w) end as wi""".stripMargin)
+    assert(re2 == Seq(Seq(0L, 2L), Seq(1L, -1L)), s"got $re2")
     // unlabeled DELETE: deletion needs only the id — every label frame
     // anti-joins, incident edges die with the node
     val rd = rows(
