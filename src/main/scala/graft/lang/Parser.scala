@@ -313,6 +313,16 @@ object Parser {
             fail(s"$what binds nothing — a named path $p cannot escape it")
           i += 2
           namePath(p, pattern())
+        // the shortestPath(…) wrapper composes with optional match the
+        // same transparent way it does at clause position
+        case TIdent(p) if peek2 == TSym("=") &&
+            peek3 == TIdent("shortestPath") && peekAt(3) == TSym("(") =>
+          if (what != "optional match")
+            fail(s"$what binds nothing — a named path $p cannot escape it")
+          i += 4
+          val inner = pattern()
+          expectSym(")")
+          namePath(p, inner)
         case _ => pattern()
       }
       pat match {
@@ -520,6 +530,18 @@ object Parser {
         case TIdent(p) if peek2 == TSym("=") && peek3 == TSym("(") =>
           i += 2
           b += namePath(p, pattern())
+        // `p = shortestPath((a)-[:r*lo..hi]->(b))` (round 14 — Cypher
+        // spelling): a TRANSPARENT wrapper — this engine's named-path
+        // witness is already the canonical minimal-hop walk, so the
+        // call form desugars to the bare named path. Contextual: the
+        // ident is only special right after `p = `, so a variable named
+        // shortestPath stays legal everywhere else.
+        case TIdent(p) if peek2 == TSym("=") &&
+            peek3 == TIdent("shortestPath") && peekAt(3) == TSym("(") =>
+          i += 4
+          val pat = pattern()
+          expectSym(")")
+          b += namePath(p, pat)
         case _ => b += pattern()
       }
       one()

@@ -1018,6 +1018,21 @@ object GraphOps {
              |FROM n0 x LEFT JOIN n0 y
              |  ON y.rk = x.rk AND y.pos - x.pos BETWEEN 1 AND 2""".stripMargin)),
 
+    // shortestPath(...) (round 14 — Cypher's spelling): a transparent
+    // wrapper over the named-path form, whose witness is already the
+    // canonical minimal-hop walk
+    Q("gql_shortest_fn",
+      bindings(
+        """match p = shortestPath((a:nation) -[:nnext*1..3]-> (b:nation))
+          |where a.regionkey = 0
+          |return a, b, length(p) as l""".stripMargin),
+      Some("""WITH n0 AS (SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS id,
+             |         row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS pos,
+             |         n_regionkey AS rk FROM nation)
+             |SELECT x.id AS a, y.id AS b, CAST(y.pos - x.pos AS BIGINT) AS l
+             |FROM n0 x JOIN n0 y ON y.rk = x.rk AND y.pos - x.pos BETWEEN 1 AND 3
+             |WHERE x.rk = 0""".stripMargin)),
+
     // general named paths (round 13): the name attaches to ANY pure hop
     // chain — fixed hops are the lo = hi = 1 window of the witness
     // machinery; multi-segment chains desugar into per-segment hidden

@@ -314,6 +314,13 @@ class GoldenSpec extends AnyFunSuite {
         |with length(p) as l, nodes(p) as ns
         |return l, size(ns.val) as k, ns.val[0] as n0""".stripMargin)
     assert(r0 == Seq(Seq(0L, 1L, 4L)), s"got $r0")
+    // shortestPath(...) is a transparent wrapper (round 14 — the
+    // witness IS the minimal-hop canonical walk)
+    val rsp = rows(
+      """match p = shortestPath((s:N) -[:r*1..3]-> (t:N))
+        |where id(s) = 0 and id(t) = 3
+        |return length(p) as l""".stripMargin)
+    assert(rsp == Seq(Seq(2L)), s"got $rsp")
     // length(p) agrees with the `as d` distance binding on every pair
     val rd = rows(
       """match p = (s:N) -[:r*1..3 as dd]-> (t:N)

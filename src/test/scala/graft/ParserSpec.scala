@@ -683,6 +683,17 @@ class ParserSpec extends AnyFunSuite {
       case Match(List(NamedPattern("p", VarPattern(_, "r", 1, 2, _, None, Rev, None)))) => ()
       case other => fail(s"wrong reverse shape: $other")
     }
+    // Cypher's shortestPath(...) spelling is a TRANSPARENT wrapper
+    // (round 14): the witness is already the canonical minimal-hop walk
+    Parser.parse(header +
+      "match q = shortestPath((a:P) -[:r*1..2]-> (b:Q))\nreturn a, b")
+      .query.clauses.head match {
+      case Match(List(VarPattern(_, "r", 1, 2, _: SimpPattern, None, Fwd, Some("q")))) => ()
+      case other => fail(s"wrong shortestPath shape: $other")
+    }
+    // ... and it stays contextual: a variable named shortestPath works
+    assert(Parser.parse(header + "match (shortestPath:P)\nreturn shortestPath")
+      .query.clauses.nonEmpty)
     // rel variables / property maps / alternation cannot ride a named
     // hop; nested names are rejected; zero-hop names are meaningless
     intercept[Parser.ParseError](Parser.parse(header +
