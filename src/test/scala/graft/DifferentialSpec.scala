@@ -377,6 +377,13 @@ class DifferentialSpec extends AnyFunSuite {
         // engines must fire exactly the taken branch's sets
         val v = freshOrReuse()
         val lbl = pick(Seq("P", "Q"))
+        // rebind BEFORE drawing the actions: typing types on create/on
+        // match sets in the env WITH the merged variable bound, so an
+        // action expression must never reach v through its PRE-merge
+        // binding (a reused with-scalar name drew `v.val` inside its
+        // own merge's action and type-erred against the merged label —
+        // latent since round 11, surfaced by seed 71069)
+        env = (v, lbl) :: env
         val actions =
           if (rnd.nextInt(3) > 0) ""
           else {
@@ -390,7 +397,6 @@ class DifferentialSpec extends AnyFunSuite {
         if (lbl == "P")
           sb ++= s"merge ($v:P {x: ${rnd.nextInt(6)}, nm: \"${pick(Seq("alpha", "beta"))}\"})$actions\n"
         else sb ++= s"merge ($v:Q {y: ${rnd.nextInt(6)}})$actions\n"
-        env = (v, lbl) :: env
       case 9 => // mid-query `with`: project/aggregate the binding table,
         // scope reset to exactly the with items — plain vars stay node
         // bindings (sometimes re-aliased), one optional scalar item
@@ -493,7 +499,14 @@ class DifferentialSpec extends AnyFunSuite {
               val (a, rl, tl) = pick(srcs)
               n += 1
               val v = s"v$n"
-              sb ++= s"match ($a) -[:$rl]-> ($v)\n"
+              // a third carry an inline prop map WITHOUT a label (round
+              // 14 continued): the conjunct types AFTER inference binds
+              // the real label (all attrs set by construction, so the
+              // strict read is total)
+              if (rnd.nextInt(3) == 0)
+                sb ++= s"match ($a) -[:$rl]-> ($v {y: ${rnd.nextInt(50)}})\n"
+              else
+                sb ++= s"match ($a) -[:$rl]-> ($v)\n"
               env = (v, tl) :: env
             }
           case _ =>
@@ -627,7 +640,10 @@ class DifferentialSpec extends AnyFunSuite {
   test("pinned regression seeds") {
     // -1629: count(distinct (expr)) — the agg distinct modifier must
     // admit a parenthesized expression argument (round 10)
-    for (seed <- Seq(1L, 7L, 42L, 1234L, 99999L, -1629L)) runBoth(genProgram(seed))
+    // 71069: a merge REUSING a with-scalar name must draw its action
+    // expressions in the POST-merge env (round 14 generator fix)
+    for (seed <- Seq(1L, 7L, 42L, 1234L, 99999L, -1629L, 71069L))
+      runBoth(genProgram(seed))
   }
 
   /** Read-only union query over the P/Q graph: 2-3 branches, every
