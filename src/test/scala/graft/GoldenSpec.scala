@@ -517,6 +517,20 @@ class GoldenSpec extends AnyFunSuite {
     assert(rp == Seq(Seq(0L, 2L)), s"got $rp")
     val rp2 = rows("match (u {x: 2}) -[:r]-> (m)\nreturn u, m")
     assert(rp2.isEmpty, s"got $rp2")
+    // the runtime label is an ordinary grouping/ordering value: counts
+    // per label via the companion, ordered by it
+    val rg = rows(
+      """match (n)
+        |return label(n) as l, count(n) as c
+        |order by l""".stripMargin)
+    assert(rg == Seq(Seq("M", 1L), Seq("N", 2L)), s"got $rg")
+    // membership over ids composes with the any-label binding
+    val rin = rows("match (n)\nwhere id(n) in [0, 2]\nreturn n")
+    assert(rin == Seq(Seq(0L), Seq(2L)), s"got $rin")
+    // `with distinct n` carries the label companion into the dedup key
+    // (the id already determines it, so the row set is unchanged)
+    val rwd = rows("match (n)\nwith distinct n\nreturn count(n) as c")
+    assert(rwd == Seq(Seq(3L)), s"got $rwd")
     // any-rel hops compose with the pattern predicates and optional
     // match (the witness sub-plans run the same alternation union)
     val re1 = rows("match (x:N)\nwhere exists (x) -[]-> (y:M)\nreturn x")
