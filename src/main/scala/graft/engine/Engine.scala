@@ -914,7 +914,11 @@ object Engine {
       // relation frame drops incident edges on both endpoints. The
       // doomed id set feeds one anti-join per frame, so it materializes
       // once through the drain ledger instead of recomputing per frame.
+      // The hidden %label_ companion column unbinds with its owner so
+      // the dead string column doesn't ride through later cross joins.
+      val comp = s"%label_$v"
       val cs = st.env.collect { case (`v`, c) => c }
+      val csComp = st.env.collect { case (`comp`, c) => c }
       val doomed = graft.Ckpt.eager(
         st.bindings.select(col(cs.head).as("id")).distinct())
       val n2 = st.graph.nodes.map { case (lbl, df) =>
@@ -926,8 +930,8 @@ object Engine {
       }
       val csSet = cs.toSet
       val st2 = st.copy(graph = st.graph.copy(nodes = n2, edges = e2),
-        bindings = st.bindings.drop(cs: _*),
-        env = st.env.filterNot(_._1 == v),
+        bindings = st.bindings.drop(cs ++ csComp: _*),
+        env = st.env.filterNot(e => e._1 == v || e._1 == comp),
         edgeEnv = st.edgeEnv.filterNot { case (_, (a, b)) => csSet(a) || csSet(b) })
       // every frame mutated: advance each one's checkpoint cadence
       val stE = st.graph.edges.keys.foldLeft(st2)((s2, k) => bump(s2, Right(k), cfg))

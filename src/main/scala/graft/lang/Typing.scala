@@ -942,7 +942,9 @@ object Typing {
             // round 14: the label is statically unknown but deletion
             // needs only the id — every label frame anti-joins, every
             // relation frame drops incident edges
-            Right((RDeleteAnyNode(v), env.filterNot(_._1 == v)))
+            // the hidden %label_ companion unbinds with its owner
+            Right((RDeleteAnyNode(v),
+              env.filterNot(e => e._1 == v || e._1 == s"%label_$v")))
           case Some(l) if isVirtual(l) =>
             Left(s"cannot delete ${virtualKind(l)} binding $v")
           case Some(lbl) => Right((RDeleteNode(v, lbl), env.filterNot(_._1 == v)))

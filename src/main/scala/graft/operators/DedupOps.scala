@@ -976,18 +976,6 @@ object DedupOps {
     exactJaccard(dsh, cand, jaccardTau).select("a", "b")
   }
 
-  /** Exact-Jaccard verification over candidate pairs.
-    *
-    * Shape: aggregate the shingle index into one SET-ARRAY per document
-    * (a ~100-element array — documents are bounded, so this is always
-    * small per row), join each candidate pair to its two arrays, and
-    * intersect inside the row (`array_intersect`, codegen'd). Compared
-    * with re-joining the pair list against the full inverted index twice
-    * and re-counting matches, this replaces two index-scale shuffles with
-    * one doc-scale aggregation + two joins against a doc-count-sized frame
-    * (AQE broadcasts it at test scale; at corpus scale it's an equi-join
-    * on doc id, still linear). |A∩B| via set arrays is identical to the
-    * join-count the oracles compute — dsh is distinct by construction. */
   /** Exact asymmetric containment on CANONICAL (a < b) candidate pairs,
     * emitting both directions from the one symmetric intersection count
     * (|A∩B|/|A| and |A∩B|/|B|) — the verify stage of the df-cut
@@ -1010,6 +998,18 @@ object DedupOps {
       .select(col("a"), col("b"), round(col("containment"), 3).as("containment"))
   }
 
+  /** Exact-Jaccard verification over candidate pairs.
+    *
+    * Shape: aggregate the shingle index into one SET-ARRAY per document
+    * (a ~100-element array — documents are bounded, so this is always
+    * small per row), join each candidate pair to its two arrays, and
+    * intersect inside the row (`array_intersect`, codegen'd). Compared
+    * with re-joining the pair list against the full inverted index twice
+    * and re-counting matches, this replaces two index-scale shuffles with
+    * one doc-scale aggregation + two joins against a doc-count-sized frame
+    * (AQE broadcasts it at test scale; at corpus scale it's an equi-join
+    * on doc id, still linear). |A∩B| via set arrays is identical to the
+    * join-count the oracles compute — dsh is distinct by construction. */
   private def exactJaccard(dsh: DataFrame, cand: DataFrame, tau: Double = 0.5): DataFrame = {
     // |A∩B| via the native codegen'd counter (no per-pair intersection
     // array) — identical to size(array_intersect) here because each

@@ -69,13 +69,16 @@ object TextOps {
     * superseded one is dropped as soon as the next materializes. */
   private val bpeCkptEvery = 8
 
-  /** Trained merges memoized per (session, dir): training is
-    * deterministic and both the train-table and encode operators need
-    * the same merge list — without the memo the encode query replays
-    * the whole K-round driver loop. Stopped sessions are swept on
-    * access (the GraphLoader memo discipline). */
+  /** Trained merges memoized per (session, dir, corpus contentTag):
+    * training is deterministic and both the train-table and encode
+    * operators need the same merge list — without the memo the encode
+    * query replays the whole K-round driver loop. The contentTag in the
+    * key (file listing + sizes + mtimes, the PipeData srcTag discipline)
+    * invalidates the memo when the documents under dir are rewritten
+    * within one session. Stopped sessions are swept on access (the
+    * GraphLoader memo discipline). */
   private val trainMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[(String, String)]]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Seq[(String, String)]]()
 
   /** Spaced-token form of word `w`: `" c h a r s "`. Built with a
     * regexp_replace (each char → "char "), identical in both engines. */
@@ -88,7 +91,8 @@ object TextOps {
     * (session, dir). */
   private[operators] def bpeTrain(s: SparkSession, dir: String): Seq[(String, String)] = {
     trainMemo.keySet.removeIf(_._1.sparkContext.isStopped)
-    trainMemo.computeIfAbsent((s, dir), { _ => bpeTrainUncached(s, dir) })
+    trainMemo.computeIfAbsent((s, dir, PipeData.contentTag(dir)),
+      { _ => bpeTrainUncached(s, dir) })
   }
 
   private[graft] def bpeTrainUncached(s: SparkSession, dir: String): Seq[(String, String)] = {
