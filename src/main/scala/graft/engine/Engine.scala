@@ -763,6 +763,39 @@ object Engine {
           allNodes.join(counts, Seq("id"), "left")
             .select(col("id").as(cols(0)),
               coalesce(col("n_tri"), lit(0L)).as(cols(1)))
+        case "labelprop" =>
+          // synchronous label propagation communities (round 15): every
+          // node simultaneously adopts the (most-frequent, then
+          // smallest) label of its CLOSED neighborhood (self-inclusion
+          // — own label counts once; pure neighbor-mode LPA oscillates
+          // wholesale on this multipartite graph) each round, for a
+          // FIXED 6 rounds — the library labelProp recurrence
+          // (GraphAlgos.lpIters; synchronous LPA has no convergence
+          // guarantee, so the fixed-round snapshot IS the semantics).
+          // Isolated/unscoped nodes keep their own id label (singleton
+          // communities). Per superstep: one (node,label) count shuffle
+          // over the message stream + the label-count-sized argmax
+          // re-key; the argmax covers every node (self leg), so there
+          // is no carry-over merge join, and labels come out hash-
+          // partitioned by id for the next round's message join.
+          val ue = hoistUndirected()
+          var labels = graft.Ckpt.eagerPartitioned(
+            allNodes.select(col("id"), col("id").as("lbl"))
+              .repartition(col("id")))
+          for (_ <- 1 to 6) {
+            val msgs = ue.join(labels, ue("src") === labels("id"))
+              .select(ue("dst").as("id"), col("lbl"))
+              .unionByName(labels)
+            val next = graft.Ckpt.eagerPartitioned(
+              msgs.groupBy("id", "lbl").agg(count(lit(1)).as("cnt"))
+                .groupBy("id")
+                .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
+                .select(col("id"), col("m.l").as("lbl")))
+            graft.Ckpt.drop(labels)
+            labels = next
+          }
+          graft.Ckpt.drop(ue)
+          labels.select(col("id").as(cols(0)), col("lbl").as(cols(1)))
         case other =>
           throw new IllegalStateException(s"unreachable: unknown procedure $other")
       }

@@ -268,7 +268,8 @@ object Typing {
         "pagerank"  -> ((List(Nil, List(StringT)), 2)),
         "sssp"      -> ((List(List(IntT), List(IntT, StringT)), 2)),
         "kcore"     -> ((List(List(IntT), List(IntT, StringT)), 2)),
-        "triangles" -> ((List(Nil, List(StringT)), 2)))
+        "triangles" -> ((List(Nil, List(StringT)), 2)),
+        "labelprop" -> ((List(Nil, List(StringT)), 2)))
 
   /** Bind `target` to the pattern-order concatenation of per-segment
     * named-path witnesses, and `%rels_<target>` to the hop-label list

@@ -587,6 +587,202 @@ object GraphAlgos {
       acc.join(delta.select(col("id"), col("d").as("nd")), Seq("id"), "full")
         .select(col("id"), coalesce(col("nd"), col("d")).as("d")))
 
+  // ---- label propagation communities (round 15) ----------------------
+
+  /** Synchronous LPA rounds — FIXED, not convergence-driven: synchronous
+    * label propagation has no convergence guarantee (period-2 label
+    * cycles persist — measured: a long churn tail of a few hundred
+    * flip-flopping nodes at every SF), so "run to convergence" is not
+    * well-defined and the fixed-round snapshot IS the semantics — the
+    * same determinism stance as the fixed prIters PageRank. 6 rounds is
+    * where the partition quality plateaus on this graph (measured
+    * modularity of the snapshot: 0.31 at sf0.001, 0.41 at sf0.01, 0.40
+    * at sf0.1; rounds beyond 6 only shuffle the residual churn tail). */
+  private[operators] val lpIters = 6
+
+  /** Synchronous label propagation (Raghavan et al. 2007,
+    * arXiv:0709.2938) with two determinism/stability choices over the
+    * literature's randomized formulation:
+    *
+    *   - DETERMINISTIC tie-break — (most-frequent, then smallest)
+    *     label — where the paper breaks ties uniformly at random
+    *     (an oracle-checkable replacement);
+    *   - SELF-INCLUSION — each node's own label counts once alongside
+    *     its neighbors' (the "label retention"/inertia variant). On
+    *     this multipartite FK graph pure neighbor-mode LPA oscillates
+    *     wholesale (same-type nodes never link, so star layers swap
+    *     labels with their hubs every round — measured modularity of
+    *     that snapshot is NEGATIVE at every SF); retention damps the
+    *     oscillation to a small churn tail and the snapshot reaches
+    *     modularity ≈ 0.4.
+    *
+    * Every node simultaneously adopts the (most-frequent, then
+    * smallest) label of its closed neighborhood each round, for exactly
+    * `iters` rounds; isolated nodes keep their own id label (singleton
+    * communities).
+    *
+    * Scale shape per superstep: one (node,label) count shuffle over the
+    * message stream (partial aggregation collapses duplicate labels
+    * map-side — on a settled graph most messages carry the community
+    * label, so the combiner does most of the work), then the argmax
+    * re-key of the label-count frame (label-count-sized, ≤ one row per
+    * distinct (node,label) — far below the edge stream once communities
+    * form). The argmax is min(struct(-count, label)) — one aggregate,
+    * no window, and it covers every node (the self-inclusion leg), so
+    * no carry-over merge join is needed. Labels come out of the argmax
+    * hash-partitioned by id, so the next round's message join against
+    * the src-partitioned edge frame never re-exchanges either side. */
+  def labelProp(nodes: DataFrame, undirected: DataFrame, iters: Int): DataFrame = {
+    var labels = Ckpt.eagerPartitioned(
+      nodes.select(col("id"), col("id").as("lbl")).repartition(col("id")))
+    for (_ <- 1 to iters) {
+      val msgs = undirected.join(labels, undirected("src") === labels("id"))
+        .select(undirected("dst").as("id"), col("lbl"))
+        .unionByName(labels) // self-inclusion: own label counts once
+      val counts = msgs.groupBy("id", "lbl").agg(count(lit(1)).as("cnt"))
+      val next = Ckpt.eagerPartitioned(
+        counts.groupBy("id")
+          .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
+          .select(col("id"), col("m.l").as("lbl")))
+      Ckpt.drop(labels)
+      labels = next
+    }
+    labels
+  }
+
+  /** Unrolled LPA steps for a DuckDB oracle: CTEs `l0..l{iters}` over
+    * pre-bound `nn(id)` and `ue(src,dst)` CTEs. Every step references
+    * its predecessor twice (messages + self-inclusion) — MATERIALIZED,
+    * the ccOracle discipline. Shared by the library and call-bridge LPA
+    * oracles (GraphOps parameterizes the edge set). */
+  private[operators] def lpStepsSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT t.id, t.lbl FROM (
+         |  SELECT c.id, c.lbl, row_number() OVER (
+         |    PARTITION BY c.id ORDER BY c.cnt DESC, c.lbl) AS rn
+         |  FROM (SELECT x.id, x.lbl, count(*) AS cnt FROM (
+         |          SELECT ue.dst AS id, q.lbl
+         |          FROM ue JOIN l${i - 1} q ON ue.src = q.id
+         |          UNION ALL SELECT id, lbl FROM l${i - 1}) x
+         |        GROUP BY x.id, x.lbl) c) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nn),\n$steps"
+  }
+
+  private lazy val lpOracle: String =
+    s"""WITH nn AS MATERIALIZED ($nodeSql),
+       |e AS MATERIALIZED ($edgeSql),
+       |ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |${lpStepsSql(lpIters)}
+       |SELECT lbl AS comm, CAST(count(*) AS BIGINT) AS n
+       |FROM l$lpIters GROUP BY lbl ORDER BY n DESC, comm LIMIT 20""".stripMargin
+
+  // Modularity of the LPA partition — Q = Σ_c [e_c/m − (d_c/2m)²] where
+  // m = |directed FK edges|, e_c = intra-community edges, d_c = total
+  // (undirected) degree of community c. Computed as the exact integer
+  // numerator qnum = Σ_c (4·m·e_c − d_c²) over denominator 4m², so the
+  // aggregation is order-free int64 (fits: m ≈ 2.1M at sf0.1 → 4m² ≈
+  // 1.8e13); only the final display value divides through double with
+  // the identical expression on both sides (the PipeData discipline).
+  private lazy val modularityOracle: String =
+    s"""WITH nn AS MATERIALIZED ($nodeSql),
+       |e AS MATERIALIZED ($edgeSql),
+       |ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |${lpStepsSql(lpIters)},
+       |lab AS MATERIALIZED (SELECT id, lbl FROM l$lpIters),
+       |ec AS (SELECT la.lbl, count(*) AS e_c FROM e
+       |  JOIN lab la ON e.src = la.id JOIN lab lb ON e.dst = lb.id
+       |  WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+       |dc AS (SELECT lab.lbl, count(*) AS d_c FROM ue
+       |  JOIN lab ON ue.src = lab.id GROUP BY lab.lbl),
+       |tot AS (SELECT (SELECT count(*) FROM e) AS m,
+       |  CAST(sum(4 * (SELECT count(*) FROM e) * coalesce(ec.e_c, 0)
+       |           - dc.d_c * dc.d_c) AS BIGINT) AS qnum
+       |  FROM dc LEFT JOIN ec ON dc.lbl = ec.lbl)
+       |SELECT CAST(m AS BIGINT) AS m, qnum,
+       |       round(qnum / (4.0 * m * m), 6) AS modularity
+       |FROM tot""".stripMargin
+
+  /** Per-node triangle corner counts and degrees over the part
+    * co-purchase graph (distinct part pairs sharing an order) — the
+    * shared build behind g_triangles and g_clustering. Triangles are
+    * enumerated with the DEGREE-ORDERED orientation: each undirected
+    * edge points from its lower-(degree, id) endpoint to the higher, so
+    * every triangle is produced exactly once and the wedge fan-out per
+    * node is O(sqrt(m)) even on heavy hitters — the standard fix that
+    * keeps the wedge-check join from exploding on hub nodes at 100 TB.
+    * Both the wedge build side and the closing-edge semi side are the
+    * |E|-sized oriented list — orders of magnitude smaller than the
+    * wedge stream (41M wedges vs 1.2M edges at sf0.1). Broadcasting
+    * them means the wedge stream is generated, existence-checked, and
+    * partially aggregated IN PLACE: zero shuffle/sort of the 41M rows
+    * (it previously cost two 41M-row exchanges + sorts). On a graph
+    * whose edge list outgrows broadcast, drop the hints: the plan
+    * degrades to the SMJ form, still correct, and the degree
+    * orientation still bounds the per-task wedge fan-out. The oracles
+    * enumerate by id order instead; the triangle SET is identical under
+    * any acyclic orientation, so the per-node counts agree.
+    *
+    * Returns (triCounts id→n_tri over participating nodes only,
+    * degrees id→d over every node of the pair graph). */
+  private def coPurchaseTriangles(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+    // degree table is |V|-sized (parts, not pairs) — broadcast, so
+    // the two endpoint-degree lookups never shuffle the edge list.
+    val deg = pairs.select(col("a").as("id"))
+      .union(pairs.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val keyed = pairs
+      .join(broadcast(deg.select(col("id").as("a"), col("d").as("da"))), Seq("a"))
+      .join(broadcast(deg.select(col("id").as("b"), col("d").as("db"))), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = keyed.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddst")).cache()
+    val wedgeOrder = col("e1.ddst") < col("e2.ddst") ||
+      (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
+    val tri = o.as("e1")
+      .join(broadcast(o.as("e2")), col("e1.src") === col("e2.src") && wedgeOrder)
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+      .join(broadcast(o.select(col("src").as("v"), col("dst").as("w"))),
+        Seq("v", "w"), "left_semi")
+    val tc = tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    (tc, deg)
+  }
+
+  // Local clustering coefficient over the part co-purchase graph:
+  // coeff(v) = 2·tri(v) / (d(v)·(d(v)−1)) for d ≥ 2, in parts-per-
+  // million integer division so the ranking is engine-exact. The
+  // triangle corner counts and degrees are the same frames g_triangles
+  // builds (shared helper).
+  private lazy val clusteringOracle: String =
+    """WITH pairs AS MATERIALIZED (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      |        FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
+      |        JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |corners AS (SELECT unnest([u, v, w]) AS id FROM tri),
+      |tc AS (SELECT id, count(*) AS n_tri FROM corners GROUP BY id),
+      |deg AS (SELECT id, count(*) AS d FROM
+      |  (SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs) x GROUP BY id)
+      |SELECT deg.id, CAST(deg.d AS BIGINT) AS d,
+      |       CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+      |       CAST((2000000 * coalesce(tc.n_tri, 0)) // (deg.d * (deg.d - 1))
+      |            AS BIGINT) AS coeff_ppm
+      |FROM deg LEFT JOIN tc ON deg.id = tc.id
+      |WHERE deg.d >= 2
+      |ORDER BY coeff_ppm DESC, n_tri DESC, deg.id LIMIT 20""".stripMargin
+
   val all: List[Q] = List(
 
     // ---- weighted single-source shortest paths (Bellman–Ford delta) ---
@@ -922,55 +1118,13 @@ object GraphAlgos {
 
     // ---- triangle counting over the part co-purchase graph ------------
     // Edges = distinct part pairs that share an order (the classic
-    // projected co-occurrence graph); triangles are enumerated with the
-    // DEGREE-ORDERED orientation: each undirected edge points from its
-    // lower-(degree, id) endpoint to the higher, so every triangle is
-    // produced exactly once and the wedge fan-out per node is O(sqrt(m))
-    // even on heavy hitters — the standard fix that keeps the
-    // wedge-check join from exploding on hub nodes at 100 TB. The oracle
-    // enumerates by id order instead; the triangle SET is identical
-    // under any acyclic orientation, so the per-node counts agree.
+    // projected co-occurrence graph); enumeration/orientation/broadcast
+    // reasoning in [[coPurchaseTriangles]] (shared with g_clustering).
     // Output: top-20 parts by triangle participation.
     Q("g_triangles",
       (s, dir) => {
-        val li = s.read.parquet(s"$dir/lineitem.parquet")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val pairs = li.as("x").join(li.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
-        // degree table is |V|-sized (parts, not pairs) — broadcast, so
-        // the two endpoint-degree lookups never shuffle the edge list.
-        val deg = pairs.select(col("a").as("id"))
-          .union(pairs.select(col("b").as("id")))
-          .groupBy("id").agg(count(lit(1)).as("d"))
-        val keyed = pairs
-          .join(broadcast(deg.select(col("id").as("a"), col("d").as("da"))), Seq("a"))
-          .join(broadcast(deg.select(col("id").as("b"), col("d").as("db"))), Seq("b"))
-        val aFirst = col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b"))
-        val o = keyed.select(
-          when(aFirst, col("a")).otherwise(col("b")).as("src"),
-          when(aFirst, col("b")).otherwise(col("a")).as("dst"),
-          when(aFirst, col("db")).otherwise(col("da")).as("ddst")).cache()
-        val wedgeOrder = col("e1.ddst") < col("e2.ddst") ||
-          (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
-        // Both the wedge build side and the closing-edge semi side are the
-        // |E|-sized oriented list — orders of magnitude smaller than the
-        // wedge stream (41M wedges vs 1.2M edges at sf0.1). Broadcasting
-        // them means the wedge stream is generated, existence-checked, and
-        // partially aggregated IN PLACE: zero shuffle/sort of the 41M rows
-        // (it previously cost two 41M-row exchanges + sorts). On a graph
-        // whose edge list outgrows broadcast, drop the hints: the plan
-        // degrades to the SMJ form, still correct, and the degree
-        // orientation still bounds the per-task wedge fan-out.
-        val tri = o.as("e1")
-          .join(broadcast(o.as("e2")), col("e1.src") === col("e2.src") && wedgeOrder)
-          .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
-          .join(broadcast(o.select(col("src").as("v"), col("dst").as("w"))),
-            Seq("v", "w"), "left_semi")
-        tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
-          .groupBy("id").agg(count(lit(1)).as("n_tri"))
-          .orderBy(col("n_tri").desc, col("id")).limit(20)
+        val (tc, _) = coPurchaseTriangles(s, dir)
+        tc.orderBy(col("n_tri").desc, col("id")).limit(20)
       },
       Some("""WITH pairs AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
              |  FROM lineitem x JOIN lineitem y
@@ -1219,5 +1373,67 @@ object GraphAlgos {
         out
       },
       Some(linkpredOracle)),
+
+    // ---- label propagation communities (round 15) ----------------------
+    // Synchronous LPA over the undirected FK graph — the standard
+    // near-linear community detection (see [[labelProp]] for the
+    // deterministic tie-break and the fixed-round semantics). Output:
+    // top-20 communities by size under the (n desc, comm) total order.
+    Q("g_labelprop",
+      (s, dir) => {
+        val labels = labelProp(allNodes(s, dir), undirectedEdges(s, dir), lpIters)
+        labels.groupBy(col("lbl").as("comm")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("comm")).limit(20)
+      },
+      Some(lpOracle)),
+
+    // ---- modularity of the LPA partition -------------------------------
+    // Newman modularity Q = Σ_c [e_c/m − (d_c/2m)²] of the g_labelprop
+    // communities — the standard partition-quality score, computed as an
+    // exact integer numerator over 4m² (see [[modularityOracle]] for the
+    // overflow accounting); one edge-frame join pass + two community-
+    // keyed aggregations on top of the shared LPA labels.
+    Q("g_modularity",
+      (s, dir) => {
+        val e = allEdges(s, dir)
+        val labels = labelProp(allNodes(s, dir), undirectedEdges(s, dir), lpIters)
+        val m = e.count()
+        val ec = e
+          .join(labels.select(col("id").as("src"), col("lbl").as("sl")), Seq("src"))
+          .join(labels.select(col("id").as("dst"), col("lbl").as("tl")), Seq("dst"))
+          .filter(col("sl") === col("tl"))
+          .groupBy(col("sl").as("lbl")).agg(count(lit(1)).as("e_c"))
+        // total community degree over BOTH orientations (so Σ d_c = 2m)
+        val dc = undirectedEdges(s, dir)
+          .join(labels.select(col("id").as("src"), col("lbl")), Seq("src"))
+          .groupBy("lbl").agg(count(lit(1)).as("d_c"))
+        dc.join(ec, Seq("lbl"), "left")
+          .select((lit(4L) * lit(m) * coalesce(col("e_c"), lit(0L))
+            - col("d_c") * col("d_c")).as("t"))
+          .agg(sum("t").as("qnum"))
+          .select(lit(m).as("m"), col("qnum"),
+            round(col("qnum") / (lit(4.0) * lit(m) * lit(m)), 6).as("modularity"))
+      },
+      Some(modularityOracle)),
+
+    // ---- local clustering coefficient over part co-purchase ------------
+    // coeff(v) = 2·tri(v)/(d(v)·(d(v)−1)) in parts-per-million integer
+    // division (engine-exact ranking, no float); shares the triangle
+    // corner counts and degree table with g_triangles. Top-20 under the
+    // (coeff desc, n_tri desc, id) total order — the most tightly-knit
+    // co-purchase neighborhoods.
+    Q("g_clustering",
+      (s, dir) => {
+        val (tc, deg) = coPurchaseTriangles(s, dir)
+        deg.join(tc, Seq("id"), "left")
+          .filter(col("d") >= 2)
+          .select(col("id"), col("d"),
+            coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+          .withColumn("coeff_ppm",
+            expr("(2000000 * n_tri) div (d * (d - 1))"))
+          .orderBy(col("coeff_ppm").desc, col("n_tri").desc, col("id"))
+          .limit(20)
+      },
+      Some(clusteringOracle)),
   )
 }

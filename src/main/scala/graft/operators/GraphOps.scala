@@ -74,6 +74,18 @@ object GraphOps {
     * nnext added; same 8 iterations, rank0 1e9, integer damping). */
   private lazy val callPrOracle: String = prOracleOver(gqlEdgeSql)
 
+  /** Unrolled synchronous LPA over the gql edge set (the analytics
+    * lpStepsSql recurrence, same fixed 4 rounds and deterministic
+    * tie-break) — the `call labelprop()` oracle. */
+  private lazy val callLpOracle: String =
+    s"""WITH nn AS MATERIALIZED (${GraphAlgos.nodeSql}),
+       |e AS MATERIALIZED ($gqlEdgeSql),
+       |ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |${GraphAlgos.lpStepsSql(GraphAlgos.lpIters)}
+       |SELECT lbl AS comm, CAST(count(*) AS BIGINT) AS n
+       |FROM l${GraphAlgos.lpIters} GROUP BY lbl
+       |ORDER BY n DESC, comm LIMIT 20""".stripMargin
+
   /** The same unrolled fixed-point integer PageRank recurrence over an
     * arbitrary edge set — shared by the whole-graph and the
     * relation-scoped `call pagerank(...)` oracles (round 12). */
@@ -1290,6 +1302,36 @@ object GraphOps {
           |where ntri.val > 0
           |return id, ntri""".stripMargin),
       Some(callTriOracle)),
+
+    // labelprop() — synchronous LPA communities through the bridge
+    // (round 15): fixed 6 rounds, self-inclusive closed-neighborhood
+    // mode with the (most-frequent, smallest) tie-break — the library
+    // g_labelprop recurrence over the gql edge set (FK edges + the
+    // nnext chain). Top-20 communities by size.
+    Q("gql_call_labelprop",
+      bindings(
+        """call labelprop() yield id, comm
+          |return comm, count(id) as n
+          |order by n desc, comm
+          |limit 20""".stripMargin),
+      Some(callLpOracle)),
+
+    // labelprop("rel") — the relation-scoped form over the cnation
+    // stars: with self-inclusion each star settles in ONE round on the
+    // NATION's label (every count ties at 1, and the nation id band
+    // 2e9 undercuts the customer band 4e9 on both the leaf and hub
+    // argmax), so the nation-band filter keeps one community per
+    // nation — closed-form oracle: 1 + its customer count. Every
+    // non-cnation node is a singleton outside the band.
+    Q("gql_call_labelprop_rel",
+      bindings(
+        """call labelprop("cnation") yield id, comm
+          |where comm.val >= 2000000000 and comm.val < 3000000000
+          |return comm, count(id) as n""".stripMargin),
+      Some("""SELECT CAST(2000000000 + n_nationkey AS BIGINT) AS comm,
+             |       CAST(1 + (SELECT count(*) FROM customer c
+             |                 WHERE c.c_nationkey = n.n_nationkey) AS BIGINT) AS n
+             |FROM nation n""".stripMargin)),
 
     // $name query parameters (round 12 — Cypher's `$param`): typed
     // constants substituted BEFORE typing, so the parameterized filter

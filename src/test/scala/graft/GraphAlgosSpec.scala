@@ -274,4 +274,75 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(starRounds <= 8 && starRounds < deltaSteps / 2,
       s"star-CC took $starRounds rounds vs delta's $deltaSteps — O(log n) advantage lost")
   }
+
+  /** In-memory synchronous self-inclusive LPA replay ((count desc,
+    * label asc) tie-break over the closed neighborhood) — shared by the
+    * labelprop and modularity tests. */
+  private def lpaReplay(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    // multiplicity preserved — the operator's ue is union-all, so a
+    // hypothetical parallel edge would count twice in the mode too
+    val und = edges ++ edges.map(_.swap)
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      val incoming = und.groupBy(_._2)
+      lbl = lbl.map { case (n, own) =>
+        val msgs = incoming.getOrElse(n, Nil).map(e => lbl(e._1)) :+ own
+        val counts = msgs.groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        n -> counts.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lbl
+  }
+
+  test("label propagation equals the in-memory synchronous replay") {
+    val lbl = lpaReplay(collectedNodes(), collectedEdges(), 6)
+    val expected = lbl.values.groupBy(identity)
+      .map { case (l, xs) => (l, xs.size.toLong) }
+      .toSeq.sortBy { case (c, n) => (-n, c) }.take(20)
+    val got = SparkEntry.queries("g_labelprop")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("modularity equals the in-memory replay over the LPA partition") {
+    val nodes = collectedNodes()
+    val edges = collectedEdges()
+    val lbl = lpaReplay(nodes, edges, 6)
+    val m = edges.size.toLong
+    val eC = edges.filter { case (a, b) => lbl(a) == lbl(b) }
+      .groupBy { case (a, _) => lbl(a) }.map { case (l, es) => l -> es.size.toLong }
+    val dC = (edges ++ edges.map(_.swap))
+      .groupBy { case (a, _) => lbl(a) }.map { case (l, es) => l -> es.size.toLong }
+    val qnum = dC.map { case (l, d) => 4L * m * eC.getOrElse(l, 0L) - d * d }.sum
+    val row = SparkEntry.queries("g_modularity")(spark, dir).collect().head
+    assert(row.getLong(0) == m && row.getLong(1) == qnum)
+    assert(row.getDouble(2) ==
+      BigDecimal(qnum / (4.0 * m * m)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // sanity: a community partition on this graph beats the null model
+    assert(row.getDouble(2) > 0.0)
+  }
+
+  test("local clustering coefficient equals the in-memory replay") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size) yield (ps(i), ps(j))
+    }.toSet
+    val adj = (pairs.toSeq ++ pairs.toSeq.map(_.swap))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val tri = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((u, v) <- pairs if u < v; w <- adj(u) if w > v && adj(v)(w)) {
+      tri(u) += 1; tri(v) += 1; tri(w) += 1
+    }
+    val expected = adj.toSeq.collect { case (n, ns) if ns.size >= 2 =>
+      val d = ns.size.toLong
+      (n, d, tri(n), 2000000L * tri(n) / (d * (d - 1)))
+    }.sortBy { case (n, _, t, c) => (-c, -t, n) }.take(20)
+    val got = SparkEntry.queries("g_clustering")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
 }
