@@ -628,14 +628,41 @@ object Parser {
         val alts = List.newBuilder[String]
         while (peek == TSym("|")) { i += 1; alts += ident() }
         val relAlts = alts.result()
-        // variable-length hop `*lo..hi` (engine extension; ".." is two
-        // '.' tokens — the lexer has no two-char dot symbol)
+        // variable-length hop with the full Cypher bound spellings
+        // (engine extension; round 15 added the open/short forms):
+        // `*lo..hi`, `*n` (exactly n), `*lo..` / `*..hi` / bare `*`
+        // (omitted lower bound defaults to 1, omitted upper bound to
+        // the typing depth cap). ".." is two '.' tokens — the lexer
+        // has no two-char dot symbol.
         val bounds = peek match {
           case TSym("*") =>
             i += 1
-            val lo = int("path bound")
-            expectSym("."); expectSym(".")
-            val hi = int("path bound")
+            // the only legal continuations of `*`; anything else is a
+            // malformed bound, reported as such (not as a late `]` miss)
+            peek match {
+              case TInt(_) | TSym(".") | TSym("]") | TIdent("as") => ()
+              case t => fail(s"expected path bound integer, '..', ']' or 'as', got $t")
+            }
+            val lo = peek match {
+              case TInt(_) => Some(int("path bound"))
+              case _       => None
+            }
+            val dots = peek == TSym(".")
+            if (dots) {
+              expectSym("."); expectSym(".")
+              peek match {
+                case TInt(_) | TSym("]") | TIdent("as") => ()
+                case t => fail(s"expected path bound integer, ']' or 'as', got $t")
+              }
+            }
+            val hi = peek match {
+              case TInt(_) if dots => Some(int("path bound"))
+              case _               => None
+            }
+            val loV = lo.getOrElse(1)
+            // `*n` with no dots means exactly n; any open upper bound
+            // (`*`, `*lo..`) means the cap
+            val hiV = hi.getOrElse(if (dots || lo.isEmpty) Typing.varPathCap else loV)
             // optional shortest-distance binding `as d` — `as` is a
             // CONTEXTUAL identifier (like `order`/`limit`), not a
             // keyword, so reference-legal programs using `as` as a
@@ -644,7 +671,7 @@ object Parser {
               case TIdent("as") => i += 1; Some(ident())
               case _            => None
             }
-            Some((lo, hi, dist))
+            Some((loV, hiV, dist))
           case _ => None
         }
         // optional inline property map `{f: e, …}` on the edge

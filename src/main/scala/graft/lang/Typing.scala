@@ -261,6 +261,12 @@ object Typing {
     * optional TRAILING relation-name string that scopes it to one
     * declared relation type (round 12); bfs/sssp lead with the source
     * node id, kcore with the core threshold k (round 13). */
+  /** Variable-length hop depth cap: each extra hop is one distributed
+    * self-join of the edge set, so the bound is a plan-depth guard.
+    * Also the DEFAULT upper bound for the open-ended spellings (`*`,
+    * `*lo..`, round 15) — omit the bound and you get the cap. */
+  val varPathCap = 10
+
   val procSigs: Map[String, (List[List[AttribTp]], Int)] =
     Map("degree"    -> ((List(Nil, List(StringT)), 3)),
         "cc"        -> ((List(Nil, List(StringT)), 2)),
@@ -1185,8 +1191,8 @@ object Typing {
           // (v, v) for every node of the homogeneous label joins the
           // closure (the endpoints may be the same node)
           Left(s"variable-length bounds *$lo..$hi invalid: need 0 <= lo <= hi")
-        else if (hi > 10)
-          Left(s"variable-length bound *$lo..$hi too deep: hi <= 10 (each extra " +
+        else if (hi > varPathCap)
+          Left(s"variable-length bound *$lo..$hi too deep: hi <= $varPathCap (each extra " +
             "hop is a distributed self-join of the edge set)")
         else (lookup(env, sv), lookup(env, tv)) match {
           case (Some(sl), Some(tl)) =>

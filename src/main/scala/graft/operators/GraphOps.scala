@@ -1826,6 +1826,33 @@ object GraphOps {
              |  ON r.dst = CAST(n.n_nationkey AS BIGINT) + 2000000000
              |WHERE r.d >= 2 AND r.rk = 0""".stripMargin)),
 
+    // open/short bound spellings (round 15 — the Cypher forms `*`,
+    // `*n`, `*lo..`, `*..hi`): omitted lower bound is 1, omitted upper
+    // bound is the typing depth cap (10). `*2` = exactly two hops,
+    // `*..2` = one or two; over the nnext chain (max run length 7 at
+    // every SF — nations per region) the bare `*` and `*2..` forms
+    // reach the same closure a written *1..10 / *2..10 would.
+    Q("gql_varpath_spellings",
+      bindings(
+        """match (a:nation) -[:nnext*2]-> (b:nation), (a) -[:nnext*..2]-> (c:nation),
+          |      (a) -[:nnext*]-> (d:nation)
+          |where a.regionkey = 0
+          |return distinct a, b, c, d""".stripMargin),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT n_regionkey AS rk,
+             |         CAST(n_nationkey AS BIGINT) + 2000000000 AS src,
+             |         CAST(LEAD(n_nationkey) OVER (PARTITION BY n_regionkey
+             |              ORDER BY n_nationkey) AS BIGINT) + 2000000000 AS dst
+             |  FROM nation),
+             |r AS (SELECT rk, src, dst, 1 AS d FROM e WHERE dst IS NOT NULL
+             |      UNION ALL
+             |      SELECT r.rk, r.src, e.dst, r.d + 1
+             |      FROM r JOIN e ON r.dst = e.src
+             |      WHERE e.dst IS NOT NULL AND r.d < 10)
+             |SELECT DISTINCT b.src AS a, b.dst AS b, c.dst AS c, d.dst AS d
+             |FROM r b JOIN r c ON c.src = b.src JOIN r d ON d.src = b.src
+             |WHERE b.d = 2 AND c.d <= 2 AND b.rk = 0""".stripMargin)),
+
     // zero-length lower bound (VERDICT r07 item 5): *0..2 = identity ∪
     // 1..2-hop closure — every nation pairs with itself (even each
     // region's chain tail, which has no outgoing nnext edge); oracle =

@@ -149,6 +149,30 @@ class ParserSpec extends AnyFunSuite {
     val ex = intercept[Parser.ParseError](
       Parser.parse("(:N {})\n(:N) -[:next]-> (:N)\nmatch (a:N) -[:next*x..3]-> (b:N)"))
     assert(ex.getMessage.contains("path bound"))
+    val ex2 = intercept[Parser.ParseError](
+      Parser.parse("(:N {})\n(:N) -[:next]-> (:N)\nmatch (a:N) -[:next*2..x]-> (b:N)"))
+    assert(ex2.getMessage.contains("path bound"))
+  }
+
+  test("varpath open/short bound spellings (round 15): *, *n, *lo.., *..hi") {
+    def boundsOf(src: String): (Int, Int) = {
+      val p = Parser.parse(s"(:N {})\n(:N) -[:next]-> (:N)\nmatch $src\nreturn a, b")
+      p.query.clauses.collectFirst { case Match(ps) => ps }.get match {
+        case List(VarPattern(_, _, lo, hi, _, _, _, _)) => (lo, hi)
+        case other => fail(s"unexpected patterns: $other")
+      }
+    }
+    val cap = graft.lang.Typing.varPathCap
+    assert(boundsOf("(a:N) -[:next*]-> (b:N)") == (1, cap))
+    assert(boundsOf("(a:N) -[:next*3]-> (b:N)") == (3, 3))
+    assert(boundsOf("(a:N) -[:next*2..]-> (b:N)") == (2, cap))
+    assert(boundsOf("(a:N) -[:next*..4]-> (b:N)") == (1, 4))
+    // the `as d` distance binding composes with every spelling
+    val p = Parser.parse(
+      "(:N {})\n(:N) -[:next]-> (:N)\nmatch (a:N) -[:next* as d]-> (b:N)\nreturn a, d")
+    val pats = p.query.clauses.collectFirst { case Match(ps) => ps }.get
+    assert(pats == List(VarPattern(DeclPattern("a", "N"), "next", 1, cap,
+      SimpPattern(DeclPattern("b", "N")), Some("d"))))
   }
 
   test("inline property map parses on declared node patterns") {
