@@ -158,7 +158,7 @@ object Engine {
       key: (String, String, String), lo: Int, hi: Int, boundVar: String,
       newVar: String, newIsDst: Boolean,
       distVar: Option[String] = None, undir: Boolean = false,
-      pathVar: Option[String] = None) extends PhysOp
+      pathVar: Option[String] = None, allPaths: Boolean = false) extends PhysOp
 
   private def compilePlan(instrs: List[RInstr], cfg: Config): List[PhysOp] =
     if (!cfg.expandPaths) instrs.map(PExec)
@@ -184,12 +184,12 @@ object Engine {
       case RMatchNode(v, _) :: RMatchEdgeAlt(sv, _, tv, _, frames) :: rest
           if sv == v && tv != v =>
         PExpandAlt(frames, tv, v, newIsTv = false) :: compilePlan(rest, cfg)
-      case RMatchNode(v, _) :: RVarPath(sv, key, lo, hi, tv, dist, undir, pathV) :: rest
+      case RMatchNode(v, _) :: RVarPath(sv, key, lo, hi, tv, dist, undir, pathV, ap) :: rest
           if tv == v && sv != v =>
-        PExpandPath(key, lo, hi, sv, v, newIsDst = true, dist, undir, pathV) :: compilePlan(rest, cfg)
-      case RMatchNode(v, _) :: RVarPath(sv, key, lo, hi, tv, dist, undir, pathV) :: rest
+        PExpandPath(key, lo, hi, sv, v, newIsDst = true, dist, undir, pathV, ap) :: compilePlan(rest, cfg)
+      case RMatchNode(v, _) :: RVarPath(sv, key, lo, hi, tv, dist, undir, pathV, ap) :: rest
           if sv == v && tv != v =>
-        PExpandPath(key, lo, hi, tv, v, newIsDst = false, dist, undir, pathV) :: compilePlan(rest, cfg)
+        PExpandPath(key, lo, hi, tv, v, newIsDst = false, dist, undir, pathV, ap) :: compilePlan(rest, cfg)
       case i :: rest => PExec(i) :: compilePlan(rest, cfg)
       case Nil       => Nil
     }
@@ -300,7 +300,7 @@ object Engine {
           .drop(eS)
         st = st.copy(bindings = joinedA, env = (newVar, c) :: st.env,
           freshCounter = st.freshCounter + 1)
-      case PExpandPath(key, lo, hi, boundVar, newVar, newIsDst, distVar, undir, pathVar) =>
+      case PExpandPath(key, lo, hi, boundVar, newVar, newIsDst, distVar, undir, pathVar, allPaths) =>
         val c = fresh(st)
         val eS = s"${c}_src"
         val cD = s"${c}_d"
@@ -311,7 +311,7 @@ object Engine {
         val seeds = st.bindings.select(col(st.colOf(boundVar)).as("seed")).distinct()
         val rdf0 = varPathReachSeeded(st.graph, key, lo, hi, seeds,
           seedIsSrc = newIsDst, dist = distVar.nonEmpty, undir = undir,
-          path = pathVar.nonEmpty)
+          path = pathVar.nonEmpty, allPaths = allPaths)
         val endpointCols = Seq(col("src").as(if (newIsDst) eS else c),
           col("dst").as(if (newIsDst) c else eS))
         val rdf = rdf0.select(
@@ -1077,7 +1077,7 @@ object Engine {
       st.copy(bindings = st.bindings.join(witness, cond, "left_anti"),
         freshCounter = sub.freshCounter)
 
-    case RVarPath(sv, key, lo, hi, tv, dist, undir, pathV) =>
+    case RVarPath(sv, key, lo, hi, tv, dist, undir, pathV, allPaths) =>
       // Both endpoints are bound (normalize emits the node instruction
       // first); constrain existing rows to pairs in the bounded closure.
       // both sides bound: seed the closure from the source side's
@@ -1097,12 +1097,14 @@ object Engine {
         // the pair's minimal hop count and/or canonical witness list —
         // an inner equi-join against the (src, dst, hops[, path]) frame
         // (exactly one row per pair, so row multiplicity is unchanged
-        // vs the semi join)
+        // vs the semi join; under allShortestPaths the frame holds one
+        // row per MINIMAL-HOP WALK, so the join fans each binding row
+        // out per witness — Cypher's enumeration semantics)
         val cD = dist.map(_ => fresh(st))
         val cP = pathV.map(_ => s"${fresh(st)}_p")
         val reach0 = varPathReachSeeded(st.graph, key, lo, hi, seeds,
           seedIsSrc = true, dist = dist.nonEmpty, undir = undir,
-          path = pathV.nonEmpty)
+          path = pathV.nonEmpty, allPaths = allPaths)
         val reach = reach0.select(
           col("src") +: col("dst") +:
             (cD.map(c => col("hops").as(c)).toSeq ++
@@ -1582,7 +1584,8 @@ object Engine {
   private[graft] def varPathReachSeeded(graph: PropertyGraph,
       key: (String, String, String), lo: Int, hi: Int,
       seeds: DataFrame, seedIsSrc: Boolean, dist: Boolean,
-      undir: Boolean = false, path: Boolean = false): DataFrame = {
+      undir: Boolean = false, path: Boolean = false,
+      allPaths: Boolean = false): DataFrame = {
     // undirected closure (`-[:r*lo..hi]-`): walk the SYMMETRIZED edge
     // relation — each declared edge usable in either direction. No base
     // dedup (reciprocal pairs duplicate only until the depth-1 frontier's
@@ -1620,17 +1623,42 @@ object Engine {
     // witness when paths ride along (all walks at one level share the
     // hop count, so min(path) alone is the right tie-break here)
     def dedup(df: DataFrame): DataFrame =
-      if (path) df.groupBy("src", "dst").agg(min("path").as("path"))
+      // allShortestPaths keeps EVERY distinct walk per pair; the single-
+      // witness mode collapses to the canonical lex-min; the plain
+      // closure needs only the pair
+      if (allPaths) df.dropDuplicates("src", "dst", "path")
+      else if (path) df.groupBy("src", "dst").agg(min("path").as("path"))
       else df.dropDuplicates("src", "dst")
+    // allShortestPaths prefix prune (valid only when the window floor is
+    // <= 1, i.e. per-pair minimality == global BFS minimality): a walk
+    // whose endpoint pair was reached at an earlier level can neither be
+    // minimal nor prefix a minimal walk (a shortest walk's prefixes are
+    // shortest), so each level anti-joins the accumulated reached-pair
+    // set — the frontier holds exactly the shortest-prefix walks (the
+    // classic BFS-DAG enumeration) instead of every walk. With a floor
+    // >= 2, window-minimal walks may ride non-shortest prefixes (e.g.
+    // a 3-hop walk over a pair at distance 1), so the prune is off and
+    // minimality is restored by the closing per-pair filter.
+    val pruned = allPaths && lo <= 1
+    var reached: DataFrame = null
+    def prune(df: DataFrame): DataFrame =
+      if (!pruned || reached == null) df
+      else df.join(reached, Seq("src", "dst"), "left_anti")
+    def reach(df: DataFrame): Unit =
+      if (pruned) {
+        val pairs = df.select(col("src"), col("dst"))
+        reached = if (reached == null) pairs else reached.unionByName(pairs)
+      }
     val levels =
       if (hi == 0) Nil
       else {
+        if (pruned) ident.foreach(df => reach(df))
         // depth-1 frontier: seeds × edges, deduped on the pair
-        var cur = dedup(seeds.join(edges, seeds("seed") === edges("src"))
+        var cur = prune(dedup(seeds.join(edges, seeds("seed") === edges("src"))
           .select(col("seed").as("src") +: col("dst") +:
             (if (path) Seq((if (seedIsSrc) array(col("seed"), col("dst"))
                             else array(col("dst"), col("seed"))).as("path"))
-             else Nil): _*))
+             else Nil): _*)))
         val out = List.newBuilder[DataFrame]
         def tag(df: DataFrame, d: Int): DataFrame =
           if (withHops) df.withColumn("hops", lit(d.toLong)) else df
@@ -1640,22 +1668,34 @@ object Engine {
         def share(d: Int): Unit =
           if (d < hi && d >= lo) cur = graft.Ckpt.deferredShared(cur)
         share(1)
+        reach(cur)
         if (lo <= 1) out += tag(cur, 1)
         for (d <- 2 to hi) {
-          cur = dedup(cur.as("p")
+          cur = prune(dedup(cur.as("p")
             .join(edges.as("e"), col("p.dst") === col("e.src"))
             .select(col("p.src").as("src") +: col("e.dst").as("dst") +:
               (if (path) Seq((if (seedIsSrc) concat(col("p.path"), array(col("e.dst")))
                               else concat(array(col("e.dst")), col("p.path"))).as("path"))
-               else Nil): _*))
+               else Nil): _*)))
           share(d)
+          reach(cur)
           if (d >= lo) out += tag(cur, d)
         }
         out.result()
       }
     val unioned = (ident.toList ++ levels).reduce(_ unionByName _)
     val closed =
-      if (path)
+      if (allPaths) {
+        // prefix-pruned levels hold each pair only at its minimal level,
+        // so the union IS the enumeration; an un-pruned window (lo >= 2)
+        // restores per-pair minimality with one pair-keyed min filter
+        if (pruned) unioned
+        else unioned
+          .join(unioned.groupBy("src", "dst").agg(min("hops").as("mh")),
+            Seq("src", "dst"))
+          .filter(col("hops") === col("mh")).drop("mh")
+      }
+      else if (path)
         // min over (hops, path) structs: minimal hops first, then the
         // lex-min storage-order witness among that level's candidates
         unioned.groupBy("src", "dst")

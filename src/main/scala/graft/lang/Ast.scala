@@ -361,7 +361,7 @@ final case class CompPattern(np: NodePattern, rel: String, rest: Pattern,
   * itself lex-min for its endpoint pair. */
 final case class VarPattern(np: NodePattern, rel: String, lo: Int, hi: Int, rest: Pattern,
     dist: Option[String] = None, dir: Dir = Fwd,
-    pathVar: Option[String] = None) extends Pattern
+    pathVar: Option[String] = None, allPaths: Boolean = false) extends Pattern
 
 /** A GENERAL named path `p = (a)-[:r]->(b)-[:s*1..2]->(c)` (round 13 —
   * the fixed-hop / multi-segment forms round 12's single-trailing-

@@ -55,7 +55,7 @@ final case class IWith(items: List[(RetItem, Option[String])],
   * SYMMETRIZED edge relation — walks, like the directed semantics). */
 final case class IVarPathRel(act: Act, sv: String, rel: String, lo: Int, hi: Int,
     tv: String, dist: Option[String] = None, undir: Boolean = false,
-    path: Option[String] = None) extends Instruction
+    path: Option[String] = None, allPaths: Boolean = false) extends Instruction
 /** Pattern-predicate instructions: `inner` is the match-normalized
   * instruction list of the predicate's pattern tail (node decls, edge
   * hops, var-paths, and the where-conjuncts its inline property maps
@@ -144,7 +144,7 @@ object Normalize {
     pat match {
       case SimpPattern(n)                    => np(n)
       case CompPattern(n, _, rest, _, _, _, _) => np(n) ++ declProps(rest)
-      case VarPattern(n, _, _, _, rest, _, _, _) => np(n) ++ declProps(rest)
+      case VarPattern(n, _, _, _, rest, _, _, _, _) => np(n) ++ declProps(rest)
       case NamedPattern(_, inner)            => declProps(inner)
     }
   }
@@ -169,7 +169,7 @@ object Normalize {
             val sv = fresh()
             segs += ((sv, rl, dir == Rev))
             VarPattern(np, rl, 1, 1, walk(rest), None, dir, Some(sv))
-          case vp @ VarPattern(_, rl, _, _, rest, _, dir, _) =>
+          case vp @ VarPattern(_, rl, _, _, rest, _, dir, _, _) =>
             val sv = fresh()
             segs += ((sv, rl, dir == Rev))
             vp.copy(rest = walk(rest), pathVar = Some(sv))
@@ -195,8 +195,9 @@ object Normalize {
     case SimpPattern(np) => normNodePattern(act, np)
     case CompPattern(np, rl, rest, dir, rv, rps, ralts) =>
       normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, dir = dir, rv = rv, props = rps, alts = ralts), rest)
-    case VarPattern(np, rl, lo, hi, rest, dist, dir, pv) =>
-      normNodePattern(act, np) ++ tail(act, np.variable, Hop(rl, lo, hi, dist, dir, pathVar = pv), rest)
+    case VarPattern(np, rl, lo, hi, rest, dist, dir, pv, ap) =>
+      normNodePattern(act, np) ++ tail(act, np.variable,
+        Hop(rl, lo, hi, dist, dir, pathVar = pv, allPaths = ap), rest)
     case NamedPattern(_, _) => throw new IllegalStateException(
       "NamedPattern is desugared before normalization (desugarNamed)")
   }
@@ -210,13 +211,14 @@ object Normalize {
   private final case class Hop(rl: String, lo: Int = 1, hi: Int = 1,
       dist: Option[String] = None, dir: Dir = Fwd,
       rv: Option[String] = None, props: List[(String, Expr)] = Nil,
-      alts: List[String] = Nil, pathVar: Option[String] = None) {
+      alts: List[String] = Nil, pathVar: Option[String] = None,
+      allPaths: Boolean = false) {
     def instr(act: Act, sv: String, tv: String): Instruction = {
       val (s, t) = if (dir == Rev) (tv, sv) else (sv, tv)
       val undir = dir == Undir
       if (lo == 1 && hi == 1 && dist.isEmpty && pathVar.isEmpty)
         IActOnRel(act, s, rl, t, undir, rv, props, alts)
-      else IVarPathRel(act, s, rl, lo, hi, t, dist, undir, pathVar)
+      else IVarPathRel(act, s, rl, lo, hi, t, dist, undir, pathVar, allPaths)
     }
   }
 
@@ -227,9 +229,10 @@ object Normalize {
       case CompPattern(np, rl2, rest, dir2, rv2, rps2, ralts2) =>
         (normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)) ++
           tail(act, np.variable, Hop(rl2, dir = dir2, rv = rv2, props = rps2, alts = ralts2), rest)
-      case VarPattern(np, rl2, lo2, hi2, rest, dist2, dir2, pv2) =>
+      case VarPattern(np, rl2, lo2, hi2, rest, dist2, dir2, pv2, ap2) =>
         (normNodePattern(act, np) :+ hop.instr(act, srcV, np.variable)) ++
-          tail(act, np.variable, Hop(rl2, lo2, hi2, dist2, dir2, pathVar = pv2), rest)
+          tail(act, np.variable,
+            Hop(rl2, lo2, hi2, dist2, dir2, pathVar = pv2, allPaths = ap2), rest)
       case NamedPattern(_, _) => throw new IllegalStateException(
         "NamedPattern is desugared before normalization")
     }
@@ -243,7 +246,7 @@ object Normalize {
       cp.copy(
         relVar = if (props.nonEmpty && rv.isEmpty) Some(fresh()) else rv,
         rest = assignRelVars(rest, fresh))
-    case vp @ VarPattern(_, _, _, _, rest, _, _, _) =>
+    case vp @ VarPattern(_, _, _, _, rest, _, _, _, _) =>
       vp.copy(rest = assignRelVars(rest, fresh))
     case sp: SimpPattern => sp
     case NamedPattern(_, _) => throw new IllegalStateException(
@@ -257,7 +260,7 @@ object Normalize {
       props.map { case (f, e) =>
         IWhere(Bin(BCeq, AttribAcc(rv.get, f), e)): Instruction } ++
         relPropConjuncts(rest)
-    case VarPattern(_, _, _, _, rest, _, _, _) => relPropConjuncts(rest)
+    case VarPattern(_, _, _, _, rest, _, _, _, _) => relPropConjuncts(rest)
     case _: SimpPattern => Nil
     case NamedPattern(_, inner) => relPropConjuncts(inner)
   }
@@ -361,7 +364,7 @@ object Normalize {
         // instruction verbatim — typing rejects them with a clear
         // message (witness sub-plans have no rel-binding surface)
         (np, tail(MatchAct, np.variable, Hop(rl, dir = dir, rv = rv, props = rps, alts = ralts), rest) ++ tailProps(rest))
-      case VarPattern(np, rl, lo, hi, rest, dist, dir, pv) =>
+      case VarPattern(np, rl, lo, hi, rest, dist, dir, pv, ap) =>
         (np, tail(MatchAct, np.variable, Hop(rl, lo, hi, dist, dir, pathVar = pv), rest) ++ tailProps(rest))
       case SimpPattern(np) => (np, Nil) // unreachable: parser requires a hop
       case NamedPattern(_, _) => throw new IllegalStateException(
@@ -372,7 +375,7 @@ object Normalize {
   private def headDeclProps(pat: Pattern): List[(String, String, Expr)] =
     pat match {
       case CompPattern(DeclPattern(v, _, ps), _, _, _, _, _, _) => ps.map { case (f, e) => (v, f, e) }
-      case VarPattern(DeclPattern(v, _, ps), _, _, _, _, _, _, _) => ps.map { case (f, e) => (v, f, e) }
+      case VarPattern(DeclPattern(v, _, ps), _, _, _, _, _, _, _, _) => ps.map { case (f, e) => (v, f, e) }
       case NamedPattern(_, inner) => headDeclProps(inner)
       case _                                                 => Nil
     }

@@ -542,6 +542,26 @@ object Parser {
           val pat = pattern()
           expectSym(")")
           b += namePath(p, pat)
+        // `p = allShortestPaths((a)-[:r*lo..hi]->(b))` (round 15 —
+        // Cypher's enumeration form): where shortestPath binds ONE
+        // canonical minimal-hop witness per endpoint pair,
+        // allShortestPaths binds EVERY minimal-hop walk — one row per
+        // witness. Only the single variable-length hop form is
+        // supported (a multi-segment chain has no per-pair minimality
+        // to enumerate against); contextual like shortestPath.
+        case TIdent(p) if peek2 == TSym("=") &&
+            peek3 == TIdent("allShortestPaths") && peekAt(3) == TSym("(") =>
+          i += 4
+          val pat = pattern()
+          expectSym(")")
+          pat match {
+            case vp @ VarPattern(_, _, _, _, _: SimpPattern, _, dir, _, _)
+                if dir != Rev =>
+              b += vp.copy(pathVar = Some(p), allPaths = true)
+            case _ =>
+              fail(s"allShortestPaths $p: requires a single forward or " +
+                "undirected variable-length hop (a)-[:r*lo..hi]->(b)")
+          }
         case _ => b += pattern()
       }
       one()
@@ -572,13 +592,13 @@ object Parser {
           if (alts.nonEmpty)
             fail(s"named path $p: [:a|b] alternation cannot ride a named-path hop")
           check(rest)
-        case VarPattern(_, _, _, _, rest, _, _, _) => check(rest)
+        case VarPattern(_, _, _, _, rest, _, _, _, _) => check(rest)
         case NamedPattern(_, _) =>
           fail(s"named path $p: nested path names are not supported")
       }
       check(pat)
       pat match {
-        case vp @ VarPattern(_, _, _, _, _: SimpPattern, _, dir, _) if dir != Rev =>
+        case vp @ VarPattern(_, _, _, _, _: SimpPattern, _, dir, _, _) if dir != Rev =>
           vp.copy(pathVar = Some(p))
         case SimpPattern(_) =>
           fail(s"named path $p requires at least one hop")

@@ -209,7 +209,7 @@ object Typing {
     * 2-hop walk a-b-a self-pairs any node with a neighbour). */
   final case class RVarPath(sv: String, rel: (String, String, String), lo: Int, hi: Int,
       tv: String, dist: Option[String] = None, undir: Boolean = false,
-      pathV: Option[String] = None) extends RInstr
+      pathV: Option[String] = None, allPaths: Boolean = false) extends RInstr
   /** optional-match witness expansion: `inner` is the typed instruction
     * list of the pattern tail, `bound` the outer variables it references
     * (join keys), `fresh` the (variable, label) pairs it declares in
@@ -1175,7 +1175,7 @@ object Typing {
             else Right((RExists(ris, bound), env))
         }
 
-      case IVarPathRel(act, sv, rl, lo, hi, tv, dist, undir, pathV) =>
+      case IVarPathRel(act, sv, rl, lo, hi, tv, dist, undir, pathV, allPaths) =>
         if (act == CreateAct) Left(s"variable-length pattern -[:$rl*$lo..$hi]-> not allowed in create")
         else if (dist.exists(d => lookup(env, d).isDefined))
           // the distance binding declares a NEW variable — rebinding an
@@ -1205,7 +1205,7 @@ object Typing {
               val env2 = pathV.fold(env1)(pv =>
                 (s"%rels_$pv", scalarLabel(ListT(StringT))) ::
                   (pv, PathValLabel) :: env1)
-              Right((RVarPath(sv, key, lo, hi, tv, dist, undir, pathV), env2))
+              Right((RVarPath(sv, key, lo, hi, tv, dist, undir, pathV, allPaths), env2))
             }
             if (decls.isEmpty) Left(s"undeclared relation label $rl")
             else if (lo == 1 && hi == 1) {
@@ -1568,7 +1568,7 @@ object Typing {
       val in = it.next()
       in match {
         case IActOnNode(MatchAct, _, _) | IActOnRel(MatchAct, _, _, _, _, _, _, _) |
-            _: IWhere | IVarPathRel(MatchAct, _, _, _, _, _, _, _, _) |
+            _: IWhere | IVarPathRel(MatchAct, _, _, _, _, _, _, _, _, _) |
             _: INamedPath | _: IMatchAnyNode => ()
         case other =>
           err = Some(s"$what pattern: illegal instruction $other")
@@ -1590,7 +1590,7 @@ object Typing {
           // is declared by the pattern too — project like fresh
           // variables, each named path with its hidden `%rels_` hop-
           // label companion (relationships(p) reads it outside)
-          case RVarPath(_, _, _, _, _, d, _, pv) =>
+          case RVarPath(_, _, _, _, _, d, _, pv, _) =>
             // hidden `%`-segment witnesses stay witness-local (their
             // concatenation, bound by RNamedPath below, is what escapes)
             d.map((_, PathLabel)).toSeq ++
@@ -1611,7 +1611,7 @@ object Typing {
           case RMatchEdge(sv, _, _, tv, _, _) => Seq(sv, tv)
           case RMatchEdgeUndir(sv, _, _, tv, _, _, _) => Seq(sv, tv)
           case RMatchEdgeAlt(sv, _, tv, _, _) => Seq(sv, tv)
-          case RVarPath(sv, _, _, _, tv, _, _, _) => Seq(sv, tv)
+          case RVarPath(sv, _, _, _, tv, _, _, _, _) => Seq(sv, tv)
           case RWhere(te)                  => exprVars(te)
           case _                           => Seq.empty
         }.distinct.filterNot(declared).filterNot(innerRels)
@@ -1729,7 +1729,7 @@ object Typing {
         case (pre, env1) =>
           tcInstr(schema, env1, in).map { case (ri, env2) => (pre :+ ri, env2) }
       }
-    case IVarPathRel(MatchAct, sv, rl, _, _, tv, _, undir, _) =>
+    case IVarPathRel(MatchAct, sv, rl, _, _, tv, _, undir, _, _) =>
       inferHopEndpoints(schema, env, sv, tv, List(rl), undir).flatMap {
         case (pre, env1) =>
           tcInstr(schema, env1, in).map { case (ri, env2) => (pre :+ ri, env2) }

@@ -1804,6 +1804,51 @@ object GraphOps {
              |      FROM r GROUP BY src, dst)
              |SELECT a, b, d_hops FROM m WHERE d_hops >= 2""".stripMargin)),
 
+    // allShortestPaths (round 15 — Cypher's enumeration form): one row
+    // per MINIMAL-hop walk, not one canonical witness per pair. The
+    // undirected 2..2 window over the nnext chain is the tie case:
+    // every interior chain node self-pairs through BOTH neighbors (two
+    // witnesses), the endpoints through one, and the ±2 pairs through
+    // their unique middle — the oracle builds all witnesses closed-form
+    // from the chain positions.
+    Q("gql_allshortest",
+      bindings(
+        """match p = allShortestPaths((a:nation) -[:nnext*2..2]- (b:nation))
+          |where a.regionkey = 0
+          |with a, b, nodes(p) as ns
+          |return a, b, ns.val[1] as mid""".stripMargin),
+      Some("""WITH n0 AS (SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS id,
+             |         row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS pos,
+             |         n_regionkey AS rk FROM nation)
+             |SELECT x.id AS a, y.id AS b, m.id AS mid
+             |FROM n0 x JOIN n0 y ON y.rk = x.rk AND abs(y.pos - x.pos) = 2
+             |JOIN n0 m ON m.rk = x.rk AND m.pos = (x.pos + y.pos) / 2
+             |WHERE x.rk = 0
+             |UNION ALL
+             |SELECT x.id, x.id, m.id
+             |FROM n0 x JOIN n0 m ON m.rk = x.rk AND abs(m.pos - x.pos) = 1
+             |WHERE x.rk = 0""".stripMargin)),
+
+    // ...and the directed tie-free window (the prefix-pruned BFS-DAG
+    // branch): on the chain every pair has exactly one minimal walk, so
+    // the enumeration must produce exactly the single-witness rows —
+    // no duplicates, composed through nodes(p)/unwind like gql_named_path
+    Q("gql_allshortest_dir",
+      bindings(
+        """match p = allShortestPaths((a:nation) -[:nnext*1..3]-> (b:nation))
+          |where a.regionkey <= 1
+          |with a, b, length(p) as l, nodes(p) as ns
+          |unwind ns as nid
+          |return a, b, l, nid""".stripMargin),
+      Some("""WITH n0 AS (SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS id,
+             |         row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS pos,
+             |         n_regionkey AS rk FROM nation)
+             |SELECT x.id AS a, y.id AS b, CAST(y.pos - x.pos AS BIGINT) AS l, z.id AS nid
+             |FROM n0 x
+             |JOIN n0 y ON y.rk = x.rk AND y.pos - x.pos BETWEEN 1 AND 3
+             |JOIN n0 z ON z.rk = x.rk AND z.pos BETWEEN x.pos AND y.pos
+             |WHERE x.rk <= 1""".stripMargin)),
+
     // lower bound > 1: hops 2..3 only, composed with where + return attr
     Q("gql_varpath_bounds",
       bindings(

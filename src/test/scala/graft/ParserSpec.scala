@@ -158,7 +158,7 @@ class ParserSpec extends AnyFunSuite {
     def boundsOf(src: String): (Int, Int) = {
       val p = Parser.parse(s"(:N {})\n(:N) -[:next]-> (:N)\nmatch $src\nreturn a, b")
       p.query.clauses.collectFirst { case Match(ps) => ps }.get match {
-        case List(VarPattern(_, _, lo, hi, _, _, _, _)) => (lo, hi)
+        case List(VarPattern(_, _, lo, hi, _, _, _, _, _)) => (lo, hi)
         case other => fail(s"unexpected patterns: $other")
       }
     }
@@ -683,7 +683,7 @@ class ParserSpec extends AnyFunSuite {
     val p = Parser.parse(header +
       "match p = (a:P) -[:r*1..2]-> (b:Q)\nreturn a, b")
     p.query.clauses.head match {
-      case Match(List(VarPattern(_, "r", 1, 2, _: SimpPattern, None, Fwd, Some("p")))) => ()
+      case Match(List(VarPattern(_, "r", 1, 2, _: SimpPattern, None, Fwd, Some("p"), false))) => ()
       case other => fail(s"wrong shape: $other")
     }
     // round 13: fixed hops and multi-segment chains are legal — they
@@ -697,14 +697,14 @@ class ParserSpec extends AnyFunSuite {
     Parser.parse(header +
       "match p = (a:P) -[:r*1..2]-> (b:Q) -[:r]-> (c:Q)\nreturn a")
       .query.clauses.head match {
-      case Match(List(NamedPattern("p", VarPattern(_, "r", 1, 2, _: CompPattern, None, Fwd, None)))) => ()
+      case Match(List(NamedPattern("p", VarPattern(_, "r", 1, 2, _: CompPattern, None, Fwd, None, false)))) => ()
       case other => fail(s"wrong multi-segment shape: $other")
     }
     // a trailing REVERSE varpath also wraps (the witness flips to
     // pattern order through the desugar, not the direct binding)
     Parser.parse(header + "match p = (a:P) <-[:r*1..2]- (b:Q)\nreturn a")
       .query.clauses.head match {
-      case Match(List(NamedPattern("p", VarPattern(_, "r", 1, 2, _, None, Rev, None)))) => ()
+      case Match(List(NamedPattern("p", VarPattern(_, "r", 1, 2, _, None, Rev, None, false)))) => ()
       case other => fail(s"wrong reverse shape: $other")
     }
     // Cypher's shortestPath(...) spelling is a TRANSPARENT wrapper
@@ -712,7 +712,7 @@ class ParserSpec extends AnyFunSuite {
     Parser.parse(header +
       "match q = shortestPath((a:P) -[:r*1..2]-> (b:Q))\nreturn a, b")
       .query.clauses.head match {
-      case Match(List(VarPattern(_, "r", 1, 2, _: SimpPattern, None, Fwd, Some("q")))) => ()
+      case Match(List(VarPattern(_, "r", 1, 2, _: SimpPattern, None, Fwd, Some("q"), false))) => ()
       case other => fail(s"wrong shortestPath shape: $other")
     }
     // ... and it stays contextual: a variable named shortestPath works
@@ -743,13 +743,43 @@ class ParserSpec extends AnyFunSuite {
     val o = Parser.parse(header +
       "match (a:P)\noptional match p = (a) -[:r*1..2]-> (b:Q)\nreturn a, b")
     o.query.clauses(1) match {
-      case OptMatch(VarPattern(_, _, _, _, _, _, _, Some("p"))) => ()
+      case OptMatch(VarPattern(_, _, _, _, _, _, _, Some("p"), _)) => ()
       case other => fail(s"wrong shape: $other")
     }
     intercept[Parser.ParseError](Parser.parse(header +
       "match (a:P)\nwhere exists p = (a) -[:r*1..2]-> (b:Q)\nreturn a"))
     intercept[Parser.ParseError](Parser.parse(header +
       "match (a:P)\nwhere not exists p = (a) -[:r*1..2]-> (b:Q)\nreturn a"))
+  }
+
+  test("allShortestPaths parses on the single varpath form only (round 15)") {
+    Parser.parse(header +
+      "match p = allShortestPaths((a:P) -[:r*1..2]-> (b:Q))\nreturn a, b")
+      .query.clauses.head match {
+      case Match(List(VarPattern(_, "r", 1, 2, _: SimpPattern, None, Fwd, Some("p"), true))) => ()
+      case other => fail(s"wrong shape: $other")
+    }
+    // undirected is legal too
+    Parser.parse(header +
+      "match p = allShortestPaths((a:P) -[:r*2..2]- (b:Q))\nreturn a, b")
+      .query.clauses.head match {
+      case Match(List(VarPattern(_, "r", 2, 2, _: SimpPattern, None, Undir, Some("p"), true))) => ()
+      case other => fail(s"wrong undirected shape: $other")
+    }
+    // fixed hops, multi-segment chains and reverse hops have no per-pair
+    // minimality to enumerate — rejected with the allShortestPaths error
+    val e1 = intercept[Parser.ParseError](Parser.parse(header +
+      "match p = allShortestPaths((a:P) -[:r]-> (b:Q))\nreturn a"))
+    assert(e1.getMessage.contains("allShortestPaths"))
+    val e2 = intercept[Parser.ParseError](Parser.parse(header +
+      "match p = allShortestPaths((a:P) -[:r*1..2]-> (b:Q) -[:r]-> (c:Q))\nreturn a"))
+    assert(e2.getMessage.contains("allShortestPaths"))
+    val e3 = intercept[Parser.ParseError](Parser.parse(header +
+      "match p = allShortestPaths((a:P) <-[:r*1..2]- (b:Q))\nreturn a"))
+    assert(e3.getMessage.contains("allShortestPaths"))
+    // contextual: a variable named allShortestPaths stays legal
+    assert(Parser.parse(header + "match (allShortestPaths:P)\nreturn allShortestPaths")
+      .query.clauses.nonEmpty)
   }
 
   test("any-relation hop -[]-> parses (round 14); named paths and rel vars reject it") {

@@ -252,7 +252,7 @@ object RefInterp {
           rows = st.rows.map(_ :+ id), next = id + 1))(exec)
       }
 
-    case RVarPath(sv, (hl, rl, _), lo, hi, tv, dist, undir, pathV) =>
+    case RVarPath(sv, (hl, rl, _), lo, hi, tv, dist, undir, pathV, _) =>
       // named paths bind a LIST — outside this interpreter's Long-row
       // model (the differential generator never draws them; GoldenSpec
       // and the DuckDB oracle cover them instead)
