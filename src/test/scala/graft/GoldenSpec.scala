@@ -367,6 +367,64 @@ class GoldenSpec extends AnyFunSuite {
     assert(ru == Seq(Seq(3L, 4L, 3L, 1L, 0L)), s"got $ru")
   }
 
+  test("allShortestPaths enumerates every minimal-hop walk (round 15)") {
+    // the round-12 diamond + tail: a(0)->b(1), a->c(2), b->d(3), c->d,
+    // d->e(4) — a->d has TWO shortest 2-hop walks, a->e two 3-hop ones
+    val g =
+      """(:N {x int})
+        |(:N) -[:r]-> (:N)
+        |create (a:N {x: 10}) -[:r]-> (b:N {x: 11})
+        |create (c:N {x: 12})
+        |create (d:N {x: 13})
+        |create (e:N {x: 14})
+        |create (a) -[:r]-> (c)
+        |create (b) -[:r]-> (d)
+        |create (c) -[:r]-> (d)
+        |create (d) -[:r]-> (e)
+        |""".stripMargin
+    def rows(q: String): Seq[Seq[Long]] =
+      Engine.runSource(spark, g + q).bindings.collect()
+        .map(_.toSeq.map(_.asInstanceOf[Long]).toSeq).toSeq.sortBy(_.mkString(","))
+    // one row PER minimal-hop walk — where the named path binds the
+    // single canonical [0,1,3], the enumeration yields both witnesses
+    val r = rows(
+      """match p = allShortestPaths((s:N) -[:r*1..3]-> (t:N))
+        |where id(s) = 0 and id(t) = 3
+        |with nodes(p) as ns
+        |return ns.val[0] as h0, ns.val[1] as h1, ns.val[2] as h2""".stripMargin)
+    assert(r == Seq(Seq(0L, 1L, 3L), Seq(0L, 2L, 3L)), s"got $r")
+    // the prefix prune keeps non-shortest walks out: a->e is distance 3
+    // with exactly two witnesses (through the diamond), and no 4-hop
+    // walk survives despite hi = 4
+    val re = rows(
+      """match p = allShortestPaths((s:N) -[:r*1..4]-> (t:N))
+        |where id(s) = 0 and id(t) = 4
+        |with length(p) as l, nodes(p) as ns
+        |return l, ns.val[1] as mid""".stripMargin)
+    assert(re == Seq(Seq(3L, 1L), Seq(3L, 2L)), s"got $re")
+    // the %rels_ companion rides every witness row
+    val rr = rows(
+      """match p = allShortestPaths((s:N) -[:r*1..3]-> (t:N))
+        |where id(s) = 0 and id(t) = 3
+        |with relationships(p) as rs
+        |return size(rs.val) as k""".stripMargin)
+    assert(rr == Seq(Seq(2L), Seq(2L)), s"got $rr")
+    // a lo >= 2 window (no prefix prune — the closing per-pair min
+    // filter restores minimality): both 3-hop a->e witnesses, and the
+    // direct pairs below the floor stay out
+    val rw = rows(
+      """match p = allShortestPaths((s:N) -[:r*2..4]-> (t:N))
+        |where id(s) = 0 and id(t) = 4
+        |return length(p) as l""".stripMargin)
+    assert(rw == Seq(Seq(3L), Seq(3L)), s"got $rw")
+    // a tie-free pair stays a single row (equal to the named-path form)
+    val r1 = rows(
+      """match p = allShortestPaths((s:N) -[:r*1..3]-> (t:N))
+        |where id(s) = 0 and id(t) = 1
+        |return length(p) as l""".stripMargin)
+    assert(r1 == Seq(Seq(1L)), s"got $r1")
+  }
+
   test("named paths: fixed hops, multi-segment concat, relationships (round 13)") {
     // triangle over two relation types: a(0) -r-> b(1) -s-> c(2) -r-> a
     val g =

@@ -471,6 +471,56 @@ class PlanSpec extends AnyFunSuite {
     graft.Ckpt.drain()
   }
 
+  test("label propagation superstep: 2 exchanges, no scan, no carry merge (round 15)") {
+    // Replays one g_labelprop / call-labelprop superstep: messages =
+    // (hoisted src-partitioned edge frame ⋈ id-partitioned labels
+    // checkpoint) ∪ labels (self-inclusion), then the (node,label)
+    // count and the per-node argmax. The fixed shape: the message join
+    // exchanges NEITHER side (src-hash meets id-hash), so the only
+    // exchanges are the two aggregations — count re-key and argmax
+    // re-key — and nothing re-reads storage (both inputs are
+    // checkpoints). The argmax covers every node via the self leg, so
+    // there is no third carry-over merge join to mis-plan.
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("src"), (col("c_nationkey") + 1000000L).as("dst"))
+    def stepShape(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val ue = mk(e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))))
+      val labels = graft.Ckpt.eagerPartitioned(
+        spark.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("id"), col("c_custkey").as("lbl"))
+          .repartition(col("id")))
+      val msgs = ue.join(labels, ue("src") === labels("id"))
+        .select(ue("dst").as("id"), col("lbl"))
+        .unionByName(labels)
+      val next = msgs.groupBy("id", "lbl").agg(count(lit(1)).as("cnt"))
+        .groupBy("id")
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("id"), col("m.l").as("lbl"))
+      next.count()
+      val p = next.queryExecution.executedPlan.toString
+      // SHUFFLE exchanges only: at test scale the small labels side may
+      // ride a BroadcastExchange into the message join — free for the
+      // edge frame, which is what this pin protects
+      ("Exchange hashpartitioning".r.findAllIn(p).size,
+        "Scan parquet".r.findAllIn(p).size)
+    }
+    val (nHoisted, scansHoisted) = stepShape(df =>
+      graft.Ckpt.eagerPartitioned(df.repartition(col("src"))))
+    assert(nHoisted <= 2,
+      s"LPA superstep shuffled beyond the two aggregations ($nHoisted exchanges)")
+    assert(scansHoisted == 0,
+      s"LPA superstep re-read storage ($scansHoisted parquet scans)")
+    // discriminator: a lazy edge union re-scans storage every superstep
+    // — if this ever plans identically, re-measure whether the hoist is
+    // still load-bearing
+    val (nLazy, scansLazy) = stepShape(identity)
+    assert(nLazy > 2 || scansLazy > 0,
+      "a lazy edge union now plans like the hoisted checkpoint — " +
+        "re-measure whether the labelprop hoist is still load-bearing")
+    graft.Ckpt.drain()
+  }
+
   test("multi-source superstep merge stays co-partitioned on the (seed,id) pair") {
     // The g_harmonic_landmarks shape: the accumulated distance frame is
     // keyed by the COMPOSITE (seed,id) and the per-superstep delta comes

@@ -942,6 +942,11 @@ class TypingSpec extends AnyFunSuite {
     Typing.compile(header + "call cc(\"r\") yield id, comp\nreturn comp")
     Typing.compile(header + "call pagerank(\"r\") yield id, rank\nreturn rank")
     Typing.compile(header + "call bfs(7, \"r\") yield id, dist\nreturn dist")
+    // labelprop (round 15): same 0-or-1-string signature as cc
+    Typing.compile(header + "call labelprop() yield id, comm\nreturn comm, count(id) as k")
+    Typing.compile(header + "call labelprop(\"r\") yield id, comm\nreturn comm")
+    assert(err(header + "call labelprop(7) yield id, comm\nreturn comm")
+      .contains("argument 1 must be string, got int"))
     assert(err(header + "call bfs(7, \"nosuch\") yield id, dist\nreturn dist")
       .contains("unknown relation type :nosuch"))
     assert(err(header + "call bfs(\"r\", 7) yield id, dist\nreturn dist")
