@@ -40,23 +40,25 @@ object Bench {
     * Recording runs disable the retry (SPARK_GRAFT_RETRY=0) so the
     * baseline itself stays raw. */
   private val familyBand: Map[String, Double] = Map(
-    // round-14 idle first-pass family totals at the full 291-query
-    // inventory (BENCH_IDLE_r14.json, load ≈2.3/32, retried:[]) — bands
-    // must track inventory growth (the r11 lesson: a stale band fired a
-    // false family retry on an idle run)
-    "g"        -> 136.5,
-    "gql"      -> 141.7, // incl. the 7 whole-graph call procs (~85 s)
-    "p_stream" -> 27.6,
-    "p_dedup"  -> 30.2,
-    "q"        -> 12.1,
-    "p_io"     -> 11.2,
-    "p_events" -> 8.2,
-    "p_sim"    -> 9.0,
-    "p_text"   -> 11.0, // incl. the one memoized K=64 BPE train (~6 s)
-    "p_curate" -> 5.5,
-    "p_mm"     -> 3.1,
+    // round-15 idle family totals at the full 302-query inventory
+    // (BENCH_IDLE_r15.json, second of two passes 2.8% apart, ambient
+    // load 3-9/32, retried:[]) — bands must track inventory growth (the
+    // r11 lesson: a stale band fired a false family retry on an idle
+    // run). g grew by labelprop/modularity/clustering, gql by the
+    // labelprop bridge procs + allShortestPaths + bound spellings.
+    "g"        -> 165.1,
+    "gql"      -> 175.2, // incl. the 8-proc whole-graph call bridge
+    "p_stream" -> 30.7,
+    "p_dedup"  -> 36.4,
+    "q"        -> 12.9,
+    "p_io"     -> 13.1,
+    "p_events" -> 10.2,
+    "p_sim"    -> 9.7,
+    "p_text"   -> 11.5, // incl. the one memoized K=64 BPE train (~6 s)
+    "p_curate" -> 7.0,
+    "p_mm"     -> 3.7,
     "p_sample" -> 1.4,
-    "p_pack"   -> 0.3)
+    "p_pack"   -> 0.4)
   private val retryFactor = 1.5
   // ...and at least this many seconds over the band: sub-second families
   // (p_pack, p_sample) would otherwise re-run on trivial jitter. Bands
