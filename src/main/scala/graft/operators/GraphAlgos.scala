@@ -797,6 +797,47 @@ object GraphAlgos {
     (tc, deg, o)
   }
 
+  // ---- HITS hubs & authorities (round 15) -----------------------------
+  private val hitsIters = 8
+
+  /** Unrolled HITS (Kleinberg 1999) in max-normalized 1e6 fixed point:
+    * auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v), each phase
+    * rescaled to max = 1e6 by integer division — every engine computes
+    * bit-equal scores (the float L2 normalization of the textbook
+    * formulation is replaced by the deterministic max rescale; the
+    * RANKING is the same, which is what HITS is for). Overflow bound:
+    * raw sums ≤ max-degree × 1e6 and the rescale multiplies by 1e6
+    * before dividing, so the intermediate fits int64 while max-degree
+    * < 9.2e6 — three orders above this corpus' hubs; at a scale beyond
+    * that, rescale with a 1e3 factor or decimal(38). */
+  private lazy val hitsOracle: String = {
+    val steps = (1 to hitsIters).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT nn.id, CAST(coalesce(m.s, 0) AS BIGINT) AS r
+         |  FROM nn LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(sum(h${i - 1}.hub) AS BIGINT) AS s
+         |    FROM e JOIN h${i - 1} ON e.src = h${i - 1}.id GROUP BY e.dst) m
+         |  ON nn.id = m.id),
+         |a$i AS MATERIALIZED (SELECT id,
+         |  CAST((r * 1000000) // (SELECT max(r) FROM ar$i) AS BIGINT) AS auth
+         |  FROM ar$i),
+         |hr$i AS MATERIALIZED (SELECT nn.id, CAST(coalesce(m.s, 0) AS BIGINT) AS r
+         |  FROM nn LEFT JOIN (
+         |    SELECT e.src AS id, CAST(sum(a$i.auth) AS BIGINT) AS s
+         |    FROM e JOIN a$i ON e.dst = a$i.id GROUP BY e.src) m
+         |  ON nn.id = m.id),
+         |h$i AS MATERIALIZED (SELECT id,
+         |  CAST((r * 1000000) // (SELECT max(r) FROM hr$i) AS BIGINT) AS hub
+         |  FROM hr$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS MATERIALIZED ($nodeSql),
+       |e AS MATERIALIZED ($edgeSql),
+       |h0 AS MATERIALIZED (SELECT id, 1000000::BIGINT AS hub FROM nn),
+       |$steps
+       |SELECT a.id, a.auth, h.hub
+       |FROM a$hitsIters a JOIN h$hitsIters h ON a.id = h.id
+       |ORDER BY a.auth DESC, a.id LIMIT 20""".stripMargin
+  }
+
   // Local clustering coefficient over the part co-purchase graph:
   // coeff(v) = 2·tri(v) / (d(v)·(d(v)−1)) for d ≥ 2, in parts-per-
   // million integer division so the ranking is engine-exact. The
@@ -1454,6 +1495,54 @@ object GraphAlgos {
             round(col("qnum") / (lit(4.0) * lit(m) * lit(m)), 6).as("modularity"))
       },
       Some(modularityOracle)),
+
+    // ---- HITS hubs & authorities (round 15) ----------------------------
+    // Power iteration over BOTH edge orientations: the a-phase joins the
+    // src-PARTITIONED edge copy against the id-partitioned hub frame
+    // (no exchange on either side) and shuffles only the per-dst
+    // aggregation; the h-phase mirrors it on the dst-partitioned copy —
+    // one shuffle per phase, the PageRank discipline, with the two
+    // loop-invariant copies hoisted once. The max rescale is a driver
+    // scalar over the just-materialized checkpoint (metadata-rate).
+    // See [[hitsOracle]] for the fixed-point formulation and bounds.
+    Q("g_hits",
+      (s, dir) => {
+        val e = allEdges(s, dir)
+        val eS = Ckpt.eagerPartitioned(e.repartition(col("src")))
+        val eD = Ckpt.eagerPartitioned(e.repartition(col("dst")))
+        val nodesP = Ckpt.eagerPartitioned(allNodes(s, dir).repartition(col("id")))
+        var hub: DataFrame = nodesP.select(col("id"), lit(1000000L).as("hub"))
+        var auth: DataFrame = null
+        var prevA: DataFrame = null
+        var prevH: DataFrame = null
+        for (_ <- 1 to hitsIters) {
+          val araw = Ckpt.eagerPartitioned(
+            nodesP.join(
+              eS.join(hub.withColumnRenamed("id", "src"), Seq("src"))
+                .groupBy(col("dst").as("id")).agg(sum("hub").as("s")),
+              Seq("id"), "left")
+              .select(col("id"), coalesce(col("s"), lit(0L)).as("r")))
+          if (prevA != null) Ckpt.drop(prevA)
+          prevA = araw
+          val mA = araw.agg(max("r")).head.getLong(0)
+          auth = araw.select(col("id"), expr(s"r * 1000000L div ${mA}L").as("auth"))
+          val hraw = Ckpt.eagerPartitioned(
+            nodesP.join(
+              eD.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
+                .groupBy(col("src").as("id")).agg(sum("auth").as("s")),
+              Seq("id"), "left")
+              .select(col("id"), coalesce(col("s"), lit(0L)).as("r")))
+          if (prevH != null) Ckpt.drop(prevH)
+          prevH = hraw
+          val mH = hraw.agg(max("r")).head.getLong(0)
+          hub = hraw.select(col("id"), expr(s"r * 1000000L div ${mH}L").as("hub"))
+        }
+        Ckpt.drop(eS)
+        Ckpt.drop(eD)
+        auth.join(hub, Seq("id"))
+          .orderBy(col("auth").desc, col("id")).limit(20)
+      },
+      Some(hitsOracle)),
 
     // ---- local clustering coefficient over part co-purchase ------------
     // coeff(v) = 2·tri(v)/(d(v)·(d(v)−1)) in parts-per-million integer

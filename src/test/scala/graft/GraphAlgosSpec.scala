@@ -323,6 +323,29 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(row.getDouble(2) > 0.0)
   }
 
+  test("HITS equals the in-memory fixed-point replay") {
+    val nodes = collectedNodes()
+    val edges = collectedEdges()
+    val zeros = nodes.map(n => n -> 0L).toMap
+    var hub = nodes.map(n => n -> 1000000L).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to 8) {
+      val ar = zeros ++ edges.groupBy(_._2)
+        .map { case (v, es) => v -> es.map(e => hub(e._1)).sum }
+      val mA = ar.values.max
+      auth = ar.map { case (n, r) => n -> r * 1000000L / mA }
+      val hr = zeros ++ edges.groupBy(_._1)
+        .map { case (u, es) => u -> es.map(e => auth(e._2)).sum }
+      val mH = hr.values.max
+      hub = hr.map { case (n, r) => n -> r * 1000000L / mH }
+    }
+    val expected = nodes.map(n => (n, auth(n), hub(n)))
+      .sortBy { case (n, a, _) => (-a, n) }.take(20)
+    val got = SparkEntry.queries("g_hits")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("local clustering coefficient equals the in-memory replay") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"))
