@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.lang._
@@ -1026,6 +1027,31 @@ object Engine {
         nullable = nullable2,
         edgeEnv = Nil) // with resets the scope; rel bindings don't survive it
 
+    case Typing.RCallSub(imports, inner, pairs, order, skip, limit, distinct) =>
+      // Cypher CALL subquery (round 15): run the inner match/where plan
+      // ONCE over the distinct imported tuples (the innerWitness
+      // distinct-probe trick — per-row semantics at per-distinct-tuple
+      // cost), shape its return PER TUPLE (grouping keys always include
+      // the imports; order/skip/limit page via a keyed row_number
+      // window — the per-key top-k no other clause expresses), and join
+      // the shaped rows back on the imported columns. Zero subquery
+      // rows drop the input row (inner join), EXCEPT when every item
+      // aggregates — Cypher's one-row-per-invocation rule, padded in
+      // shapeCallSub. New bindings append to the outer scope.
+      val (sub, boundCols) = innerWitness(spark, schema, st, inner, imports, cfg)
+      val base = sub.freshCounter
+      val cols = pairs.indices.map(k => s"__b${base + k}").toList
+      val probe = st.bindings.select(boundCols.map(col): _*).distinct()
+      val shaped = shapeCallSub(sub, boundCols, pairs.map(_._1).zip(cols),
+        order, skip, limit, distinct, cfg.strict, probe)
+      val joinedBack =
+        if (imports.isEmpty) st.bindings.crossJoin(shaped)
+        else st.bindings.join(shaped, boundCols)
+      st.copy(bindings = joinedBack,
+        env = pairs.map(_._2).zip(cols).toList ::: st.env,
+        freshCounter = base + pairs.size,
+        nullable = st.nullable ++ cols)
+
     case ROptPath(inner, bound, freshVars) =>
       // All-or-nothing witness expansion (Cypher OPTIONAL MATCH): run
       // the pattern tail as a sub-plan over the distinct bound tuples,
@@ -1282,6 +1308,129 @@ object Engine {
     * and before limit — Spark plans offset+limit into the same global
     * limit operator (the driver fetches skip+n rows, discards skip), so
     * pagination stays a top-k shape, not a global sort. */
+  /** Integer avg = sum div count (truncating), computed with Spark's
+    * IntegralDivide so the quotient stays in exact int64 arithmetic
+    * for ALL long sums — the earlier (s - s%n)/n double route rounded
+    * once |sum| exceeded 2^53 (ADVICE r08), a range 100 TB-scale sums
+    * reach routinely. Same truncation rule as the expression language's
+    * `div` (sql compiler below) and the DuckDB oracle's integer `//`. */
+  private def intAvg(s: Column, n: Column): Column =
+    call_function("div", s, n)
+
+  /** One aggregate item's Column (shared by [[shapeExt]] and
+    * [[shapeCallSub]]). Distinct aggregates plan as Spark's standard
+    * two-phase distinct aggregation (partial dedup before the final agg
+    * — no row ships twice); min/max over distinct values equal plain
+    * min/max. */
+  private def aggExpr(fn: AggFn, c: Column, dist: Boolean): Column = (fn, dist) match {
+    case (AggCount, true) => count_distinct(c)
+    case (AggSum, true)   => sum_distinct(c)
+    case (AggAvg, true)   => intAvg(sum_distinct(c), count_distinct(c))
+    case (AggCount, _)    => count(c)
+    case (AggSum, _)      => sum(c)
+    case (AggAvg, _)      => intAvg(sum(c), count(c))
+    case (AggMin, _)      => min(c)
+    case (AggMax, _)      => max(c)
+    // sorted concat (round 11): ascending order makes the result a
+    // pure function of the group's value BAG (set under distinct) —
+    // row order, partitioning, and merge order can't perturb it.
+    // collect_list/_set keep map-side partial aggregation; the sort
+    // happens once per group at the final merge.
+    case (AggStrJoin, false) => array_join(array_sort(collect_list(c)), ",")
+    case (AggStrJoin, true)  => array_join(array_sort(collect_set(c)), ",")
+    // list collect (round 11): same sorted-ascending determinism rule
+    case (AggCollect, false) => array_sort(collect_list(c))
+    case (AggCollect, true)  => array_sort(collect_set(c))
+    // exact LOW median (round 11): element (n-1) div 2 of the sorted
+    // group — deterministic, no interpolation. NULL on an empty
+    // (global) group like sum/min/max — the when-guard keeps ANSI
+    // element_at from raising on index 0 there. No map-side partial
+    // form: the group's values gather at the merge (exact-median
+    // cost; the sketch-based twin is p_events_quantiles_approx).
+    case (AggMedian, d) =>
+      val sorted = array_sort(if (d) collect_set(c) else collect_list(c))
+      when(size(sorted) === 0, lit(null).cast("bigint"))
+        .otherwise(element_at(sorted, ((size(sorted) + 1) / 2).cast("int")))
+  }
+
+  /** Shape a call subquery's final return PER IMPORTED TUPLE (round
+    * 15): like [[shapeExt]], but grouping keys always include the
+    * imported key columns, and order/skip/limit page per tuple via a
+    * keyed row_number window instead of globally. `probe` is the
+    * distinct imported-tuple frame — when every item aggregates,
+    * Cypher's one-row-per-invocation rule pads tuples whose subquery
+    * matched nothing (count/sum 0; min/max/avg/median NULL; a
+    * documented deviation: collect pads NULL, not []). An uncorrelated
+    * subquery (no imports) takes the global orderBy/offset/limit path —
+    * a row_number window over an empty partition list would
+    * single-thread the frame. */
+  private def shapeCallSub(sub: ExecState, keyCols: List[String],
+      namedItems: List[(RRet, String)], order: List[(RRet, Boolean)],
+      skip: Option[Long], limit: Option[Long], distinct: Boolean,
+      strict: Boolean, probe: DataFrame): DataFrame = {
+    val items = namedItems.map(_._1)
+    val attrRefs = (items ++ order.map(_._1)).flatMap(collectRetAttrs).distinct
+    val (joined, refs) = joinAttrs(sub, attrRefs.map(a => a: TExpr))
+    def leafCol(it: RRet): Column = it match {
+      case RRetVar(v)           => col(sub.colOf(v))
+      case RRetAttr(v, _, f, _) => col(refs((v, f)))
+      case RRetExpr(te)         => expr(sql(te, refs, sub, strict))
+      case _: RRetAgg           => throw new IllegalStateException("agg leaf")
+    }
+    val keys = keyCols.map(col)
+    def page(df: DataFrame, orderCols: Seq[Column]): DataFrame =
+      if (skip.isEmpty && limit.isEmpty) df
+      else if (keyCols.isEmpty) {
+        val sorted = if (orderCols.isEmpty) df else df.orderBy(orderCols: _*)
+        val skipped = skip.fold(sorted)(n => sorted.offset(n.toInt))
+        limit.fold(skipped)(n => skipped.limit(n.toInt))
+      } else {
+        val w = Window.partitionBy(keys: _*).orderBy(orderCols: _*)
+        val lo = skip.getOrElse(0L)
+        val hi = limit.map(lo + _)
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") > lo &&
+            hi.fold(lit(true))(h => col("__rn") <= h))
+          .drop("__rn")
+      }
+    // aggregated/distinct shapes order on output names (typing: keys
+    // are items); the plain shape admits arbitrary keys, computed as
+    // hidden helper columns dropped after the page
+    def name(it: RRet): String = namedItems.find(_._1 == it).get._2
+    def orderOnNames: Seq[Column] = order.map { case (k, asc) =>
+      if (asc) col(name(k)).asc else col(name(k)).desc }
+    val hasAgg = items.exists(_.isInstanceOf[RRetAgg])
+    if (hasAgg) {
+      val groups = keys ++ namedItems.collect {
+        case (it @ (_: RRetVar | _: RRetAttr | _: RRetExpr), a) => leafCol(it).as(a) }
+      val aggs = namedItems.collect { case (RRetAgg(fn, arg, d), a) =>
+        aggExpr(fn, leafCol(arg), d).as(a) }
+      val grouped = joined.groupBy(groups: _*).agg(aggs.head, aggs.tail: _*)
+      val padded =
+        if (items.forall(_.isInstanceOf[RRetAgg]) && keyCols.nonEmpty)
+          probe.join(grouped, keyCols, "left")
+            .select(keys ++ namedItems.map {
+              case (RRetAgg(fn, _, _), a) if fn == AggCount || fn == AggSum =>
+                coalesce(col(a), lit(0L)).as(a)
+              case (_, a) => col(a)
+            }: _*)
+        else grouped
+      page(padded, orderOnNames)
+    } else if (distinct) {
+      val projected = joined.select(keys ++ namedItems.map {
+        case (it, a) => leafCol(it).as(a) }: _*).dropDuplicates()
+      page(projected, orderOnNames)
+    } else {
+      val okCols = order.indices.map(k => s"__ok$k").toList
+      val projected = joined.select(keys ++
+        namedItems.map { case (it, a) => leafCol(it).as(a) } ++
+        order.zip(okCols).map { case ((k, _), c) => leafCol(k).as(c) }: _*)
+      val ordered = page(projected, order.zip(okCols).map { case ((_, asc), c) =>
+        if (asc) col(c).asc else col(c).desc })
+      ordered.drop(okCols: _*)
+    }
+  }
+
   private def shapeExt(st: ExecState, namedItems: List[(RRet, String)],
       order: List[(RRet, Boolean)], skip: Option[Long], limit: Option[Long],
       distinct: Boolean, strict: Boolean): DataFrame = {
@@ -1305,48 +1454,6 @@ object Engine {
       // unset-attr guards included) — stays inside the one projection
       case RRetExpr(te)           => expr(sql(te, refs, st, strict))
       case _: RRetAgg             => throw new IllegalStateException("agg leaf")
-    }
-    // distinct aggregates plan as Spark's standard two-phase distinct
-    // aggregation (partial dedup before the final agg — no row ships
-    // twice); min/max over distinct values equal plain min/max
-    // integer avg = sum div count (truncating), computed with Spark's
-    // IntegralDivide so the quotient stays in exact int64 arithmetic
-    // for ALL long sums — the earlier (s - s%n)/n double route rounded
-    // once |sum| exceeded 2^53 (ADVICE r08), a range 100 TB-scale sums
-    // reach routinely. Same truncation rule as the expression
-    // language's `div` (sql compiler below) and the DuckDB oracle's
-    // integer `//`.
-    def intAvg(s: Column, n: Column): Column =
-      call_function("div", s, n)
-    def aggExpr(fn: AggFn, c: Column, dist: Boolean): Column = (fn, dist) match {
-      case (AggCount, true) => count_distinct(c)
-      case (AggSum, true)   => sum_distinct(c)
-      case (AggAvg, true)   => intAvg(sum_distinct(c), count_distinct(c))
-      case (AggCount, _)    => count(c)
-      case (AggSum, _)      => sum(c)
-      case (AggAvg, _)      => intAvg(sum(c), count(c))
-      case (AggMin, _)      => min(c)
-      case (AggMax, _)      => max(c)
-      // sorted concat (round 11): ascending order makes the result a
-      // pure function of the group's value BAG (set under distinct) —
-      // row order, partitioning, and merge order can't perturb it.
-      // collect_list/_set keep map-side partial aggregation; the sort
-      // happens once per group at the final merge.
-      case (AggStrJoin, false) => array_join(array_sort(collect_list(c)), ",")
-      case (AggStrJoin, true)  => array_join(array_sort(collect_set(c)), ",")
-      // list collect (round 11): same sorted-ascending determinism rule
-      case (AggCollect, false) => array_sort(collect_list(c))
-      case (AggCollect, true)  => array_sort(collect_set(c))
-      // exact LOW median (round 11): element (n-1) div 2 of the sorted
-      // group — deterministic, no interpolation. NULL on an empty
-      // (global) group like sum/min/max — the when-guard keeps ANSI
-      // element_at from raising on index 0 there. No map-side partial
-      // form: the group's values gather at the merge (exact-median
-      // cost; the sketch-based twin is p_events_quantiles_approx).
-      case (AggMedian, d) =>
-        val sorted = array_sort(if (d) collect_set(c) else collect_list(c))
-        when(size(sorted) === 0, lit(null).cast("bigint"))
-          .otherwise(element_at(sorted, ((size(sorted) + 1) / 2).cast("int")))
     }
     val hasAgg = items.exists(_.isInstanceOf[RRetAgg])
     if (!hasAgg && !distinct) {

@@ -564,6 +564,21 @@ final case class UnwindExpr(e: Expr, alias: String) extends Clause
   *     isolated nodes are their own component / zero-degree). */
 final case class CallProc(proc: String, yields: List[String],
     args: List[Expr] = Nil) extends Clause
+/** `call { [with v1, v2] <match/where clauses> return items … }`
+  * (round 15 — Cypher's CALL subquery): a READ-ONLY correlated subquery
+  * run once per input row, with ONLY the imported variables in scope
+  * inside. The output rows join back onto their input row — zero
+  * subquery rows drop the row (inner-join semantics), EXCEPT when every
+  * returned item aggregates, where Cypher's one-row-per-invocation rule
+  * applies (count/sum pad 0, other aggregates NULL). The subquery's
+  * `order by`/`skip`/`limit` page PER INVOCATION — the per-key top-k
+  * no other clause can express (a global `with … limit` pages the whole
+  * table). v1 scope: imports are plain node/scalar variables, inner
+  * clauses are match/where only (varpaths and named paths included),
+  * and the final return's items bind fresh outer names (attr/agg/expr
+  * items need an alias, like `with`). */
+final case class CallSub(imports: List[String], inner: List[Clause],
+    ret: ReturnExt) extends Clause
 /** `union` / `union all` between two complete queries (engine extension
   * — Cypher's UNION): the clause list splits at each separator into
   * BRANCHES, each a standalone query evaluated from its own empty

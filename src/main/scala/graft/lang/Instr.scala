@@ -92,6 +92,11 @@ final case class IUnion(all: Boolean) extends Instruction
 /** `call <proc>(…) yield …` (see [[graft.lang.CallProc]]). */
 final case class ICallProc(proc: String, yields: List[String],
     args: List[Expr] = Nil) extends Instruction
+/** Call subquery (round 15): normalized inner instruction list + the
+  * final return's shape, paged PER imported tuple (see [[CallSub]]). */
+final case class ICallSub(imports: List[String], inner: List[Instruction],
+    items: List[(RetItem, Option[String])], order: List[(RetItem, Boolean)],
+    skip: Option[Expr], limit: Option[Expr], distinct: Boolean) extends Instruction
 /** Binds `target` to the PATTERN-ORDER concatenation of the per-segment
   * named-path witnesses (round 13 — see [[graft.lang.NamedPattern]]).
   * `segs` = (hidden segment path var, relation label, reversed): each
@@ -334,6 +339,11 @@ object Normalize {
     case UnwindVar(v, alias)  => List(IUnwindVar(v, alias))
     case UnwindExpr(e, alias) => List(IUnwindExpr(e, alias))
     case CallProc(p, ys, as)  => List(ICallProc(p, ys, as))
+    case CallSub(imports, inner, ret) =>
+      // inner clauses normalize with the SAME fresh counter (hidden
+      // segment witnesses must not collide with the outer pattern's)
+      List(ICallSub(imports, inner.flatMap(normClause(fresh)),
+        ret.items, ret.order, ret.skip, ret.limit, ret.distinct))
     case UnionSep(all)        => List(IUnion(all))
     case Merge(pat, onC, onM) => pat match {
       // node form keeps its props INSIDE the instruction (they are the

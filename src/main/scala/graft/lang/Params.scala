@@ -46,6 +46,11 @@ object Params {
     case IUnwind(items, a)    => IUnwind(items.map(sE(p)), a)
     case IUnwindExpr(e, a)    => IUnwindExpr(sE(p)(e), a)
     case ICallProc(proc, ys, args) => ICallProc(proc, ys, args.map(sE(p)))
+    case ICallSub(imports, inner, items, order, skip, limit, distinct) =>
+      ICallSub(imports, inner.map(sI(p)),
+        items.map { case (it, a) => (sR(p)(it), a) },
+        order.map { case (it, asc) => (sR(p)(it), asc) },
+        skip.map(sE(p)), limit.map(sE(p)), distinct)
     case other => other // no expression positions
   }
 

@@ -176,6 +176,9 @@ object Parser {
       // (round 11); args are int literals (node ids, bounds)
       case TIdent("call") =>
         i += 1
+        // `call {` opens a subquery (round 15); `call name(` stays the
+        // procedure bridge — the brace appears nowhere else after call
+        if (peek == TSym("{")) { i += 1; return callSubquery() }
         val name = ident()
         expectSym("(")
         // args are literal parameters only — int, string, or `$param`
@@ -223,6 +226,48 @@ object Parser {
     /** `unwind [e1, …, en] as x` — the bracket list is the language's
       * only list constructor; at least one element (an empty list has
       * no element type), mandatory alias. */
+    /** `call { [with v1, v2] <clauses> return … }` (round 15 — Cypher's
+      * CALL subquery). The importing `with` admits PLAIN variables only
+      * (Cypher's rule — projections import nothing new); inner clauses
+      * are match/where (the existential predicate and mutation forms
+      * are rejected here with a pointed error); the subquery must end
+      * in exactly one return. */
+    private def callSubquery(): Clause = {
+      val imports = peek match {
+        case TIdent("with") =>
+          i += 1
+          val b = List.newBuilder[String]
+          b += ident()
+          while (peek == TSym(",")) { i += 1; b += ident() }
+          peek match {
+            case TKw(_) | TSym("}") => ()
+            case t => fail("call subquery imports are plain variables " +
+              s"(with v1, v2) — got $t after the import list")
+          }
+          b.result()
+        case _ => Nil
+      }
+      val inner = List.newBuilder[Clause]
+      var ret: Option[ReturnExt] = None
+      while (peek != TSym("}")) {
+        if (peek == TEof) fail("unterminated call { … } subquery")
+        if (ret.isDefined) fail("call subquery: return must be its last clause")
+        clause() match {
+          case r: ReturnExt  => ret = Some(r)
+          case Return(vs)    =>
+            ret = Some(ReturnExt(vs.map(v => (RetVar(v): RetItem, None)), Nil, None, None))
+          case c @ (_: Match | _: Where) => inner += c
+          case other => fail("call subquery admits match/where clauses " +
+            s"and a final return — got ${other.getClass.getSimpleName}")
+        }
+      }
+      i += 1 // }
+      ret match {
+        case Some(r) => CallSub(imports, inner.result(), r)
+        case None    => fail("call subquery must end in a return")
+      }
+    }
+
     private def unwindClause(): Clause = {
       // three operand forms: a bracket literal, a bound LIST variable
       // (round 11 — `with collect(…) as xs unwind xs as x`), or a

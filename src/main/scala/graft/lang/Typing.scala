@@ -203,6 +203,15 @@ object Typing {
   final case class RWith(items: List[(RRet, String)],
       order: List[(RRet, Boolean)], skip: Option[Long], limit: Option[Long],
       distinct: Boolean = false) extends RInstr
+  /** Call subquery (round 15 — see [[graft.lang.CallSub]]): typed inner
+    * instruction list (match-mode only, scoped to the imports), the
+    * final return's shape, and the per-INVOCATION paging. Each item
+    * binds a fresh OUTER name (appended to the outer env, unlike
+    * RWith's scope replacement); `allAgg` = every item aggregates, so
+    * the one-row-per-invocation pad applies. */
+  final case class RCallSub(imports: List[String], inner: List[RInstr],
+      items: List[(RRet, String)], order: List[(RRet, Boolean)],
+      skip: Option[Long], limit: Option[Long], distinct: Boolean) extends RInstr
   /** `undir`: an undirected closure `-[:r*lo..hi]-` — hops walk the
     * SYMMETRIZED edge relation (each declared edge usable in either
     * direction, walk semantics like the directed closure, so e.g. the
@@ -1087,6 +1096,78 @@ object Typing {
             }
           }
         }}
+
+      case ICallSub(imports, inner, items, order, skip0, limit0, distinct) =>
+        // Cypher CALL subquery (round 15): the inner scope sees ONLY the
+        // imports; inner instructions are match-mode (tcInner's set);
+        // the final return's items bind fresh OUTER names. Paging is
+        // per invocation, so skip/limit demand an order.
+        def importable(l: String): Boolean =
+          !isRelLabel(l) && l != AnyLabel && l != PathValLabel &&
+            !l.startsWith("%list")
+        val dupImp = imports.diff(imports.distinct).distinct
+        if (dupImp.nonEmpty)
+          Left(s"duplicate call subquery import(s): ${dupImp.mkString(", ")}")
+        else imports.find(v => lookup(env, v).isEmpty) match {
+          case Some(v) => Left(s"call subquery import $v is not bound")
+          case None => imports.find(v => !importable(lookup(env, v).get)) match {
+            case Some(v) =>
+              Left(s"call subquery import $v: ${lookup(env, v).get} bindings " +
+                "cannot be imported (plain node and scalar bindings only)")
+            case None =>
+              val env0: Env = imports.map(v => (v, lookup(env, v).get))
+              for {
+                innerT <- tcInner(schema, env0, inner, "call subquery")
+                (ris, _, fresh) = innerT
+                innerEnv = fresh.reverse ::: env0
+                page <- checkPage(skip0, limit0, "call subquery")
+                (skip, limit) = page
+                _ <- if ((skip.isDefined || limit.isDefined) && order.isEmpty)
+                  Left("call subquery skip/limit page per invocation " +
+                    "and need an order by") else Right(())
+                ritems <- sequenceRet(items.map { case (it, _) =>
+                  resolveRet(schema, innerEnv)(it) })
+                pairs <- sequenceRet(ritems.zip(items.map(_._2)).map {
+                  case (r @ RRetVar(v), a) => Right((r, a.getOrElse(v)))
+                  case (r, Some(a))        => Right((r, a))
+                  case (r, None) =>
+                    Left(s"call subquery return item ${r.outName} needs " +
+                      "an alias (as x)"): Either[String, (RRet, String)]
+                })
+                names = pairs.map(_._2)
+                _ <- { val dups = names.diff(names.distinct).distinct
+                  if (dups.nonEmpty) Left("duplicate call subquery output " +
+                    s"name(s): ${dups.mkString(", ")}") else Right(()) }
+                _ <- names.find(a => lookup(env, a).isDefined) match {
+                  case Some(a) => Left(s"call subquery output $a collides " +
+                    "with an outer binding; alias it (as x)")
+                  case None => Right(())
+                }
+                // path/any-label bindings carry hidden companions the
+                // subquery boundary does not transport yet
+                _ <- pairs.collectFirst {
+                  case (RRetVar(v), _) if lookup(innerEnv, v).exists(l =>
+                      l == PathValLabel || l == AnyLabel) => v } match {
+                  case Some(v) => Left("call subquery cannot return the " +
+                    s"path/any-label binding $v")
+                  case None => Right(())
+                }
+                rkeys <- sequenceRet(order.map { case (k, _) =>
+                  resolveKeyAliased(schema, innerEnv, pairs)(k) })
+                _ <- checkRetShape(ritems, rkeys, distinct, "call subquery",
+                  "returned items").toLeft(())
+              } yield {
+                val env2 = pairs.map {
+                  case (RRetVar(v), a)            => (a, lookup(innerEnv, v).get)
+                  case (RRetAttr(_, _, _, tp), a) => (a, scalarLabel(tp))
+                  case (RRetExpr(te), a)          => (a, scalarLabel(te.tp))
+                  case (g: RRetAgg, a)            => (a, scalarLabel(g.tp))
+                }
+                (RCallSub(imports, ris, pairs, rkeys.zip(order.map(_._2)),
+                  skip, limit, distinct), env2 ::: env)
+              }
+          }
+        }
 
       case IMergeNode(v, lb, props, onC, onM) =>
         if (lb == AnyNodeLabel.name)

@@ -1303,6 +1303,79 @@ object GraphOps {
           |return id, ntri""".stripMargin),
       Some(callTriOracle)),
 
+    // call { … } subqueries (round 15 — Cypher's CALL subquery): a
+    // read-only correlated subquery per input row, imports-only scope,
+    // order/skip/limit paging PER INVOCATION. The flagship use is the
+    // per-key top-k no other clause can express: top-2 customers by
+    // name within EACH nation (a keyed row_number window in the plan,
+    // never a global sort).
+    Q("gql_callsub_topk",
+      bindings(
+        """match (n:nation)
+          |call {
+          |  with n
+          |  match (c:customer) -[:cnation]-> (n)
+          |  return c order by c.name desc limit 2
+          |}
+          |return n, c""".stripMargin),
+      Some("""SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS n,
+             |       CAST(c_custkey + 4000000000 AS BIGINT) AS c
+             |FROM (SELECT c_nationkey, c_custkey,
+             |        row_number() OVER (PARTITION BY c_nationkey
+             |                           ORDER BY c_name DESC) AS rn
+             |      FROM customer) x
+             |JOIN nation ON n_nationkey = x.c_nationkey
+             |WHERE rn <= 2""".stripMargin)),
+
+    // aggregation per invocation + Cypher's one-row-per-invocation rule:
+    // a selective inner filter leaves some nations with ZERO matches,
+    // which must surface as k = 0 (count pads), not as dropped rows
+    Q("gql_callsub_agg",
+      bindings(
+        """match (n:nation)
+          |call {
+          |  with n
+          |  match (c:customer) -[:cnation]-> (n)
+          |  where c.mktsegment = "MACHINERY" and c.name ends with "7"
+          |  return count(c) as k
+          |}
+          |return n, k""".stripMargin),
+      Some("""SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS n,
+             |       CAST((SELECT count(*) FROM customer c
+             |             WHERE c.c_nationkey = n.n_nationkey
+             |               AND c.c_mktsegment = 'MACHINERY'
+             |               AND c.c_name LIKE '%7') AS BIGINT) AS k
+             |FROM nation n""".stripMargin)),
+
+    // uncorrelated form: no imports — the subquery runs once from the
+    // unit table and its single aggregate row cross-joins every outer
+    // row (a global scalar usable per row)
+    Q("gql_callsub_uncorr",
+      bindings(
+        """call { match (c:customer) return count(c) as total }
+          |match (n:nation) where n.regionkey <= 1
+          |return n, total""".stripMargin),
+      Some("""SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS n,
+             |       CAST((SELECT count(*) FROM customer) AS BIGINT) AS total
+             |FROM nation WHERE n_regionkey <= 1""".stripMargin)),
+
+    // distinct + a multi-hop inner pattern: the market segments present
+    // in each region (per-invocation dedup over the 2-hop inner match)
+    Q("gql_callsub_distinct",
+      bindings(
+        """match (r:region)
+          |call {
+          |  with r
+          |  match (c:customer) -[:cnation]-> (n:nation) -[:nregion]-> (r)
+          |  return distinct c.mktsegment as seg
+          |}
+          |return r, seg""".stripMargin),
+      Some("""SELECT DISTINCT CAST(r_regionkey + 1000000000 AS BIGINT) AS r,
+             |       c_mktsegment AS seg
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
+
     // labelprop() — synchronous LPA communities through the bridge
     // (round 15): fixed 6 rounds, self-inclusive closed-neighborhood
     // mode with the (most-frequent, smallest) tie-break — the library

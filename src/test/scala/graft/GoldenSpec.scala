@@ -367,6 +367,60 @@ class GoldenSpec extends AnyFunSuite {
     assert(ru == Seq(Seq(3L, 4L, 3L, 1L, 0L)), s"got $ru")
   }
 
+  test("call subqueries: per-invocation paging, aggregate pad, multiplicity (round 15)") {
+    // a(0,x=7) -r-> q1(1,y=10), q2(2,y=20), q3(3,y=30); b(4,x=7) -r-> q1
+    val g =
+      """(:P {x int})
+        |(:Q {y int})
+        |(:P) -[:r]-> (:Q)
+        |create (a:P {x: 7}) -[:r]-> (q1:Q {y: 10})
+        |create (q2:Q {y: 20})
+        |create (q3:Q {y: 30})
+        |create (b:P {x: 7})
+        |create (a) -[:r]-> (q2)
+        |create (a) -[:r]-> (q3)
+        |create (b) -[:r]-> (q1)
+        |""".stripMargin
+    def rows(q: String): Seq[Seq[Long]] =
+      Engine.runSource(spark, g + q).bindings.collect()
+        .map(_.toSeq.map(_.asInstanceOf[Long]).toSeq).toSeq.sortBy(_.mkString(","))
+    // per-invocation top-2: a keeps {30, 20}, b (one target) keeps {10}
+    val r = rows(
+      """match (p:P)
+        |call { with p match (p) -[:r]-> (q:Q) return q.y as y order by q.y desc limit 2 }
+        |return p, y""".stripMargin)
+    assert(r == Seq(Seq(0L, 20L), Seq(0L, 30L), Seq(4L, 10L)), s"got $r")
+    // skip pages per invocation too; b's single row is skipped away and
+    // b DROPS (non-aggregate subqueries are inner-join semantics)
+    val rs = rows(
+      """match (p:P)
+        |call { with p match (p) -[:r]-> (q:Q) return q.y as y order by q.y desc skip 1 limit 1 }
+        |return p, y""".stripMargin)
+    assert(rs == Seq(Seq(0L, 20L)), s"got $rs")
+    // all-aggregate subqueries pad: b has no q.y > 25 row but keeps k = 0
+    val rk = rows(
+      """match (p:P)
+        |call { with p match (p) -[:r]-> (q:Q) where q.y > 25 return count(q) as k }
+        |return p, k""".stripMargin)
+    assert(rk == Seq(Seq(0L, 1L), Seq(4L, 0L)), s"got $rk")
+    // every OUTER row gets the subquery rows (bag semantics): the
+    // unwind duplicates each p, both copies receive k
+    val rm = rows(
+      """match (p:P)
+        |unwind [1, 2] as t
+        |call { with p match (p) -[:r]-> (q:Q) return count(q) as k }
+        |return p, t, k""".stripMargin)
+    assert(rm == Seq(Seq(0L, 1L, 3L), Seq(0L, 2L, 3L), Seq(4L, 1L, 1L), Seq(4L, 2L, 1L)),
+      s"got $rm")
+    // min over an empty invocation pads NULL, which a where drops but
+    // coalesce recovers
+    val rn = rows(
+      """match (p:P)
+        |call { with p match (p) -[:r]-> (q:Q) where q.y > 25 return min(q.y) as m }
+        |return p, coalesce(m.val, 0 - 1) as mv""".stripMargin)
+    assert(rn == Seq(Seq(0L, 30L), Seq(4L, -1L)), s"got $rn")
+  }
+
   test("allShortestPaths enumerates every minimal-hop walk (round 15)") {
     // the round-12 diamond + tail: a(0)->b(1), a->c(2), b->d(3), c->d,
     // d->e(4) — a->d has TWO shortest 2-hop walks, a->e two 3-hop ones

@@ -752,6 +752,45 @@ class ParserSpec extends AnyFunSuite {
       "match (a:P)\nwhere not exists p = (a) -[:r*1..2]-> (b:Q)\nreturn a"))
   }
 
+  test("call { … } subquery parses: imports, inner clauses, final return (round 15)") {
+    val p = Parser.parse(header +
+      "match (a:P)\ncall { with a match (a) -[:r]-> (b:Q) return b order by b.y desc limit 2 }\nreturn a, b")
+    p.query.clauses(1) match {
+      case CallSub(List("a"), List(_: Match), r: ReturnExt) =>
+        assert(r.limit.contains(Const(IntV(2L))))
+      case other => fail(s"wrong shape: $other")
+    }
+    // no imports = uncorrelated; where composes inside
+    Parser.parse(header +
+      "call { match (b:Q) where b.y > 0 return count(b) as k }\nmatch (a:P)\nreturn a, k")
+      .query.clauses.head match {
+      case CallSub(Nil, List(_: Match, _: Where), _) => ()
+      case other => fail(s"wrong uncorrelated shape: $other")
+    }
+    // the procedure form is untouched: `call name(` still parses
+    Parser.parse(header + "call degree() yield id, o, n\nreturn id, o, n")
+    // imports are plain variables only
+    val e1 = intercept[Parser.ParseError](Parser.parse(header +
+      "match (a:P)\ncall { with a.x match (b:Q) return count(b) as k }\nreturn k"))
+    assert(e1.getMessage.contains("plain variables"))
+    // a subquery must end in a return…
+    val e2 = intercept[Parser.ParseError](Parser.parse(header +
+      "match (a:P)\ncall { with a match (a) -[:r]-> (b:Q) }\nreturn a"))
+    assert(e2.getMessage.contains("must end in a return"))
+    // …with nothing after it
+    val e3 = intercept[Parser.ParseError](Parser.parse(header +
+      "match (a:P)\ncall { with a return a as a2 where a.x > 0 }\nreturn a"))
+    assert(e3.getMessage.contains("last clause"))
+    // mutations are rejected with a pointed error
+    val e4 = intercept[Parser.ParseError](Parser.parse(header +
+      "match (a:P)\ncall { with a create (c:Q) return c as c2 }\nreturn a"))
+    assert(e4.getMessage.contains("match/where"))
+    // unterminated subquery
+    val e5 = intercept[Parser.ParseError](Parser.parse(header +
+      "match (a:P)\ncall { with a match (a) -[:r]-> (b:Q) return b"))
+    assert(e5.getMessage.contains("unterminated"))
+  }
+
   test("allShortestPaths parses on the single varpath form only (round 15)") {
     Parser.parse(header +
       "match p = allShortestPaths((a:P) -[:r*1..2]-> (b:Q))\nreturn a, b")

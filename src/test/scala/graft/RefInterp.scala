@@ -493,6 +493,10 @@ object RefInterp {
       throw new UnsupportedOperationException(
         "RefInterp does not model call procedures (oracle-checked per query)")
 
+    case _: Typing.RCallSub =>
+      throw new UnsupportedOperationException(
+        "RefInterp does not model call subqueries (oracle-checked per query)")
+
     case _: RNamedPath =>
       // named paths bind LISTS — outside the Long-row model, like the
       // RVarPath pathV form above (DuckDB oracles cover them)

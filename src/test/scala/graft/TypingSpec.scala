@@ -947,6 +947,47 @@ class TypingSpec extends AnyFunSuite {
     Typing.compile(header + "call labelprop(\"r\") yield id, comm\nreturn comm")
     assert(err(header + "call labelprop(7) yield id, comm\nreturn comm")
       .contains("argument 1 must be string, got int"))
+  }
+
+  test("call subquery: imports-only scope, fresh outputs, per-invocation paging (round 15)") {
+    // positive: correlated aggregate + per-key top-k + uncorrelated
+    Typing.compile(header +
+      "match (a:P)\ncall { with a match (a) -[:r]-> (b:Q) return count(b) as k }\nreturn a, k")
+    Typing.compile(header +
+      "match (a:P)\ncall { with a match (a) -[:r]-> (b:Q) return b order by b.y desc limit 2 }\nreturn a, b")
+    Typing.compile(header +
+      "call { match (b:Q) return count(b) as total }\nmatch (a:P)\nreturn a, total")
+    // scope isolation: the inner query sees ONLY the imports — an
+    // expression reference to a non-imported outer variable is unbound
+    // (a bare pattern head like (c) would instead declare a FRESH inner
+    // variable, Cypher's scoping)
+    assert(err(header +
+      "match (a:P), (c:P)\ncall { with a match (b:Q) where c.x > 0 return count(b) as k }\nreturn a, k")
+      .contains("not bound"))
+    // imports must be bound…
+    assert(err(header +
+      "match (a:P)\ncall { with nope match (b:Q) return count(b) as k }\nreturn a, k")
+      .contains("not bound"))
+    // …and plain (a rel binding has no importable column)
+    assert(err(header +
+      "match (a:P) -[x:r]-> (b:Q)\ncall { with x match (c:Q) return count(c) as k }\nreturn a, k")
+      .contains("cannot be imported"))
+    // outputs bind FRESH outer names
+    assert(err(header +
+      "match (a:P), (b:Q)\ncall { with a match (a) -[:r]-> (b2:Q) return b2 as b }\nreturn a, b")
+      .contains("collides with an outer binding"))
+    // attr/agg items need an alias, like with
+    assert(err(header +
+      "match (a:P)\ncall { with a match (a) -[:r]-> (b:Q) return b.y }\nreturn a")
+      .contains("needs an alias"))
+    // per-invocation paging demands a deterministic order
+    assert(err(header +
+      "match (a:P)\ncall { with a match (a) -[:r]-> (b:Q) return b limit 2 }\nreturn a, b")
+      .contains("need an order by"))
+    // aggregated subqueries may only order by returned items
+    assert(err(header +
+      "match (a:P)\ncall { with a match (a) -[:r]-> (b:Q) return count(b) as k order by b.y limit 1 }\nreturn a, k")
+      .contains("may only order by"))
     assert(err(header + "call bfs(7, \"nosuch\") yield id, dist\nreturn dist")
       .contains("unknown relation type :nosuch"))
     assert(err(header + "call bfs(\"r\", 7) yield id, dist\nreturn dist")
