@@ -471,6 +471,17 @@ class PlanSpec extends AnyFunSuite {
     graft.Ckpt.drain()
   }
 
+  test("call subquery top-k pages with a keyed window, not a global sort") {
+    // gql_callsub_topk: order by + limit INSIDE call { } page per
+    // imported tuple — the plan must be a row_number window partitioned
+    // by the import key (local sort within key partitions), never a
+    // global sort of the inner match output
+    val p = plan("gql_callsub_topk")
+    assert(p.contains("Window"), s"expected a window for per-key paging in:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Sort ") && l.contains("global=true")),
+      s"per-invocation paging fell back to a global sort:\n$p")
+  }
+
   test("label propagation superstep: 2 exchanges, no scan, no carry merge (round 15)") {
     // Replays one g_labelprop / call-labelprop superstep: messages =
     // (hoisted src-partitioned edge frame ⋈ id-partitioned labels
