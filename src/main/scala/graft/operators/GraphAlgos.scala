@@ -1516,25 +1516,29 @@ object GraphAlgos {
         var prevA: DataFrame = null
         var prevH: DataFrame = null
         for (_ <- 1 to hitsIters) {
-          val araw = Ckpt.eagerPartitioned(
+          // deferred checkpoints: the max-rescale probe is the phase's
+          // ONLY job — it materializes the checkpoint AND reads the
+          // scalar (the deltaCC convergence-probe trick; an eager
+          // checkpoint would pay a second job per phase)
+          val araw = Ckpt.deferredPartitioned(
             nodesP.join(
               eS.join(hub.withColumnRenamed("id", "src"), Seq("src"))
                 .groupBy(col("dst").as("id")).agg(sum("hub").as("s")),
               Seq("id"), "left")
               .select(col("id"), coalesce(col("s"), lit(0L)).as("r")))
+          val mA = araw.agg(max("r")).head.getLong(0)
           if (prevA != null) Ckpt.drop(prevA)
           prevA = araw
-          val mA = araw.agg(max("r")).head.getLong(0)
           auth = araw.select(col("id"), expr(s"r * 1000000L div ${mA}L").as("auth"))
-          val hraw = Ckpt.eagerPartitioned(
+          val hraw = Ckpt.deferredPartitioned(
             nodesP.join(
               eD.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
                 .groupBy(col("src").as("id")).agg(sum("auth").as("s")),
               Seq("id"), "left")
               .select(col("id"), coalesce(col("s"), lit(0L)).as("r")))
+          val mH = hraw.agg(max("r")).head.getLong(0)
           if (prevH != null) Ckpt.drop(prevH)
           prevH = hraw
-          val mH = hraw.agg(max("r")).head.getLong(0)
           hub = hraw.select(col("id"), expr(s"r * 1000000L div ${mH}L").as("hub"))
         }
         Ckpt.drop(eS)
