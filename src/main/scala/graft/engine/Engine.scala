@@ -764,6 +764,48 @@ object Engine {
           allNodes.join(counts, Seq("id"), "left")
             .select(col("id").as(cols(0)),
               coalesce(col("n_tri"), lit(0L)).as(cols(1)))
+        case "hits" =>
+          // Kleinberg HITS (round 15): 8 two-phase power iterations in
+          // max-normalized 1e6 fixed point — the library g_hits
+          // recurrence over the scoped edge set. Both orientation
+          // copies of the loop-invariant edge frame are hoisted once;
+          // each phase's max-rescale probe materializes its DEFERRED
+          // checkpoint (one job per phase). max(1, …) keeps an empty
+          // scoped edge set at all-zero scores instead of a div/0.
+          val eS = graft.Ckpt.eagerPartitioned(allEdges.repartition(col("src")))
+          val eD = graft.Ckpt.eagerPartitioned(allEdges.repartition(col("dst")))
+          val nodesP = graft.Ckpt.eagerPartitioned(allNodes.repartition(col("id")))
+          var hub: DataFrame = nodesP.select(col("id"), lit(1000000L).as("hub"))
+          var auth: DataFrame = null
+          var prevA: DataFrame = null
+          var prevH: DataFrame = null
+          for (_ <- 1 to 8) {
+            val araw = graft.Ckpt.deferredPartitioned(
+              nodesP.join(
+                eS.join(hub.withColumnRenamed("id", "src"), Seq("src"))
+                  .groupBy(col("dst").as("id")).agg(sum("hub").as("s")),
+                Seq("id"), "left")
+                .select(col("id"), coalesce(col("s"), lit(0L)).as("r")))
+            val mA = math.max(1L, araw.agg(max("r")).head.getLong(0))
+            if (prevA != null) graft.Ckpt.drop(prevA)
+            prevA = araw
+            auth = araw.select(col("id"), expr(s"r * 1000000L div ${mA}L").as("auth"))
+            val hraw = graft.Ckpt.deferredPartitioned(
+              nodesP.join(
+                eD.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
+                  .groupBy(col("src").as("id")).agg(sum("auth").as("s")),
+                Seq("id"), "left")
+                .select(col("id"), coalesce(col("s"), lit(0L)).as("r")))
+            val mH = math.max(1L, hraw.agg(max("r")).head.getLong(0))
+            if (prevH != null) graft.Ckpt.drop(prevH)
+            prevH = hraw
+            hub = hraw.select(col("id"), expr(s"r * 1000000L div ${mH}L").as("hub"))
+          }
+          graft.Ckpt.drop(eS)
+          graft.Ckpt.drop(eD)
+          auth.join(hub, Seq("id"))
+            .select(col("id").as(cols(0)), col("auth").as(cols(1)),
+              col("hub").as(cols(2)))
         case "labelprop" =>
           // synchronous label propagation communities (round 15): every
           // node simultaneously adopts the (most-frequent, then

@@ -284,7 +284,8 @@ object Typing {
         "sssp"      -> ((List(List(IntT), List(IntT, StringT)), 2)),
         "kcore"     -> ((List(List(IntT), List(IntT, StringT)), 2)),
         "triangles" -> ((List(Nil, List(StringT)), 2)),
-        "labelprop" -> ((List(Nil, List(StringT)), 2)))
+        "labelprop" -> ((List(Nil, List(StringT)), 2)),
+        "hits"      -> ((List(Nil, List(StringT)), 3)))
 
   /** Bind `target` to the pattern-order concatenation of per-segment
     * named-path witnesses, and `%rels_<target>` to the hop-label list

@@ -764,7 +764,7 @@ object GraphAlgos {
       })
     }
 
-  private def coPurchaseTrianglesUncached(
+  private[graft] def coPurchaseTrianglesUncached(
       s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -810,15 +810,22 @@ object GraphAlgos {
     * before dividing, so the intermediate fits int64 while max-degree
     * < 9.2e6 — three orders above this corpus' hubs; at a scale beyond
     * that, rescale with a 1e3 factor or decimal(38). */
-  private lazy val hitsOracle: String = {
-    val steps = (1 to hitsIters).map { i =>
+  /** Unrolled HITS steps for a DuckDB oracle: CTE chains `ar/a/hr/h
+    * 1..iters` over pre-bound `nn(id)` and `e(src,dst)` CTEs plus
+    * `h0(id, hub)`. `greatest(1, max)` guards the all-zero frame an
+    * empty (relation-scoped) edge set produces — scores stay 0 instead
+    * of dividing by zero, matching the engine's max(1L, …) guard.
+    * Shared by the library and call-bridge oracles (GraphOps
+    * parameterizes the edge set). */
+  private[operators] def hitsStepsSql(iters: Int): String =
+    (1 to iters).map { i =>
       s"""ar$i AS MATERIALIZED (SELECT nn.id, CAST(coalesce(m.s, 0) AS BIGINT) AS r
          |  FROM nn LEFT JOIN (
          |    SELECT e.dst AS id, CAST(sum(h${i - 1}.hub) AS BIGINT) AS s
          |    FROM e JOIN h${i - 1} ON e.src = h${i - 1}.id GROUP BY e.dst) m
          |  ON nn.id = m.id),
          |a$i AS MATERIALIZED (SELECT id,
-         |  CAST((r * 1000000) // (SELECT max(r) FROM ar$i) AS BIGINT) AS auth
+         |  CAST((r * 1000000) // greatest(1, (SELECT max(r) FROM ar$i)) AS BIGINT) AS auth
          |  FROM ar$i),
          |hr$i AS MATERIALIZED (SELECT nn.id, CAST(coalesce(m.s, 0) AS BIGINT) AS r
          |  FROM nn LEFT JOIN (
@@ -826,17 +833,18 @@ object GraphAlgos {
          |    FROM e JOIN a$i ON e.dst = a$i.id GROUP BY e.src) m
          |  ON nn.id = m.id),
          |h$i AS MATERIALIZED (SELECT id,
-         |  CAST((r * 1000000) // (SELECT max(r) FROM hr$i) AS BIGINT) AS hub
+         |  CAST((r * 1000000) // greatest(1, (SELECT max(r) FROM hr$i)) AS BIGINT) AS hub
          |  FROM hr$i)""".stripMargin
     }.mkString(",\n")
+
+  private lazy val hitsOracle: String =
     s"""WITH nn AS MATERIALIZED ($nodeSql),
        |e AS MATERIALIZED ($edgeSql),
        |h0 AS MATERIALIZED (SELECT id, 1000000::BIGINT AS hub FROM nn),
-       |$steps
+       |${hitsStepsSql(hitsIters)}
        |SELECT a.id, a.auth, h.hub
        |FROM a$hitsIters a JOIN h$hitsIters h ON a.id = h.id
        |ORDER BY a.auth DESC, a.id LIMIT 20""".stripMargin
-  }
 
   // Local clustering coefficient over the part co-purchase graph:
   // coeff(v) = 2·tri(v) / (d(v)·(d(v)−1)) for d ≥ 2, in parts-per-
@@ -1526,7 +1534,9 @@ object GraphAlgos {
                 .groupBy(col("dst").as("id")).agg(sum("hub").as("s")),
               Seq("id"), "left")
               .select(col("id"), coalesce(col("s"), lit(0L)).as("r")))
-          val mA = araw.agg(max("r")).head.getLong(0)
+          // max(1, …): an all-zero frame (possible under an empty
+          // scoped edge set) keeps scores 0 instead of dividing by zero
+          val mA = math.max(1L, araw.agg(max("r")).head.getLong(0))
           if (prevA != null) Ckpt.drop(prevA)
           prevA = araw
           auth = araw.select(col("id"), expr(s"r * 1000000L div ${mA}L").as("auth"))
@@ -1536,7 +1546,7 @@ object GraphAlgos {
                 .groupBy(col("src").as("id")).agg(sum("auth").as("s")),
               Seq("id"), "left")
               .select(col("id"), coalesce(col("s"), lit(0L)).as("r")))
-          val mH = hraw.agg(max("r")).head.getLong(0)
+          val mH = math.max(1L, hraw.agg(max("r")).head.getLong(0))
           if (prevH != null) Ckpt.drop(prevH)
           prevH = hraw
           hub = hraw.select(col("id"), expr(s"r * 1000000L div ${mH}L").as("hub"))

@@ -74,6 +74,17 @@ object GraphOps {
     * nnext added; same 8 iterations, rank0 1e9, integer damping). */
   private lazy val callPrOracle: String = prOracleOver(gqlEdgeSql)
 
+  /** Unrolled HITS over the gql edge set (the analytics hitsStepsSql
+    * recurrence, same 8 fixed-point iterations and max rescale) — the
+    * `call hits()` oracle. */
+  private lazy val callHitsOracle: String =
+    s"""WITH nn AS MATERIALIZED (${GraphAlgos.nodeSql}),
+       |e AS MATERIALIZED ($gqlEdgeSql),
+       |h0 AS MATERIALIZED (SELECT id, 1000000::BIGINT AS hub FROM nn),
+       |${GraphAlgos.hitsStepsSql(8)}
+       |SELECT a.id, a.auth, h.hub FROM a8 a JOIN h8 h ON a.id = h.id
+       |ORDER BY a.auth DESC, a.id LIMIT 20""".stripMargin
+
   /** Unrolled synchronous LPA over the gql edge set (the analytics
     * lpStepsSql recurrence, same fixed 4 rounds and deterministic
     * tie-break) — the `call labelprop()` oracle. */
@@ -1375,6 +1386,17 @@ object GraphOps {
              |FROM customer
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
+
+    // hits() — Kleinberg hubs & authorities through the bridge
+    // (round 15): the library g_hits fixed-point recurrence over the
+    // gql edge set; yields compose with return's top-n unchanged.
+    Q("gql_call_hits",
+      bindings(
+        """call hits() yield id, auth, hub
+          |return id, auth, hub
+          |order by auth desc, id
+          |limit 20""".stripMargin),
+      Some(callHitsOracle)),
 
     // labelprop() — synchronous LPA communities through the bridge
     // (round 15): fixed 6 rounds, self-inclusive closed-neighborhood

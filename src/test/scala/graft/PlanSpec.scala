@@ -687,8 +687,14 @@ class PlanSpec extends AnyFunSuite {
   test("triangle wedge stream is generated and checked without shuffling") {
     // both the wedge join and the closing-edge semi-join must be
     // broadcast: an exchange of the wedge stream (34x the edge list at
-    // sf0.1) was the 2.4x slowdown this plan shape removed
-    val p = plan("g_triangles")
+    // sf0.1) was the 2.4x slowdown this plan shape removed. Pin the
+    // UNCACHED build — the query itself serves the round-15 memoized
+    // checkpoint once any earlier query in the session built it, which
+    // hides the wedge pipeline from its plan.
+    val (tc, _, o) = graft.operators.GraphAlgos.coPurchaseTrianglesUncached(spark, dir)
+    tc.count()
+    val p = tc.queryExecution.executedPlan.toString
+    o.unpersist(false)
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"expected broadcast wedge + semi joins in:\n$p")
     assert(p.contains("LeftSemi"), s"expected closing-edge semi join in:\n$p")
