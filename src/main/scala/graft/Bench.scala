@@ -40,25 +40,25 @@ object Bench {
     * Recording runs disable the retry (SPARK_GRAFT_RETRY=0) so the
     * baseline itself stays raw. */
   private val familyBand: Map[String, Double] = Map(
-    // round-15 idle family totals at the full 307-query inventory
-    // (BENCH_IDLE_r15.json, third same-day pass; shared-302 subtotal
-    // 0.97x the prior pass, ambient load 3-9/32, retried:[]) — bands
+    // round-15 idle family totals at the full 308-query inventory
+    // (BENCH_IDLE_r15.json, fourth same-day pass; shared-307 subtotal
+    // 0.97x the prior pass, ambient load 4-10/32, retried:[]) — bands
     // must track inventory growth (the r11 lesson: a stale band fired a
     // false family retry on an idle run). g grew by labelprop/
-    // modularity/clustering/hits, gql by the labelprop bridge procs,
-    // call subqueries, allShortestPaths and the bound spellings.
-    "g"        -> 170.7,
-    "gql"      -> 167.7, // incl. the 8-proc whole-graph call bridge
-    "p_stream" -> 32.0,
-    "p_dedup"  -> 37.1,
-    "p_sim"    -> 14.8,
-    "p_io"     -> 13.5,
-    "q"        -> 12.8,
-    "p_text"   -> 11.5, // incl. the one memoized K=64 BPE train (~6 s)
-    "p_events" -> 10.2,
-    "p_curate" -> 7.0,
-    "p_mm"     -> 3.8,
-    "p_sample" -> 1.6,
+    // modularity/clustering/hits, gql by the labelprop/hits bridge
+    // procs, call subqueries, allShortestPaths and the bound spellings.
+    "g"        -> 158.7,
+    "gql"      -> 192.7, // incl. the 9-proc whole-graph call bridge
+    "p_stream" -> 28.3,
+    "p_dedup"  -> 32.9,
+    "q"        -> 13.7,
+    "p_io"     -> 11.9,
+    "p_text"   -> 11.3,  // incl. the one memoized K=64 BPE train (~6 s)
+    "p_sim"    -> 9.6,
+    "p_events" -> 8.8,
+    "p_curate" -> 5.8,
+    "p_mm"     -> 3.5,
+    "p_sample" -> 1.4,
     "p_pack"   -> 0.4)
   private val retryFactor = 1.5
   // ...and at least this many seconds over the band: sub-second families
