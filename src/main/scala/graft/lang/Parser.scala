@@ -241,6 +241,9 @@ object Parser {
           while (peek == TSym(",")) { i += 1; b += ident() }
           peek match {
             case TKw(_) | TSym("}") => ()
+            // contextual clause starters are legal continuations too
+            case TIdent("optional") | TIdent("unwind") | TIdent("call") |
+                TIdent("merge") | TIdent("with") => ()
             case t => fail("call subquery imports are plain variables " +
               s"(with v1, v2) — got $t after the import list")
           }
@@ -256,9 +259,9 @@ object Parser {
           case r: ReturnExt  => ret = Some(r)
           case Return(vs)    =>
             ret = Some(ReturnExt(vs.map(v => (RetVar(v): RetItem, None)), Nil, None, None))
-          case c @ (_: Match | _: Where) => inner += c
-          case other => fail("call subquery admits match/where clauses " +
-            s"and a final return — got ${other.getClass.getSimpleName}")
+          case c @ (_: Match | _: Where | _: OptMatch) => inner += c
+          case other => fail("call subquery admits match/optional match/" +
+            s"where clauses and a final return — got ${other.getClass.getSimpleName}")
         }
       }
       i += 1 // }

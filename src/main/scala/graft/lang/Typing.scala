@@ -1118,7 +1118,8 @@ object Typing {
             case None =>
               val env0: Env = imports.map(v => (v, lookup(env, v).get))
               for {
-                innerT <- tcInner(schema, env0, inner, "call subquery")
+                innerT <- tcInner(schema, env0, inner, "call subquery",
+                  allowOpt = true)
                 (ris, _, fresh) = innerT
                 innerEnv = fresh.reverse ::: env0
                 page <- checkPage(skip0, limit0, "call subquery")
@@ -1641,7 +1642,8 @@ object Typing {
     * emits nothing else for a pattern; anything else is rejected as an
     * internal error. */
   private def tcInner(schema: Schema, outer: Env, inner: List[Instruction],
-      what: String): Either[String, (List[RInstr], List[String], List[(String, String)])] = {
+      what: String, allowOpt: Boolean = false)
+      : Either[String, (List[RInstr], List[String], List[(String, String)])] = {
     val out = List.newBuilder[RInstr]
     var env = outer
     var err: Option[String] = None
@@ -1652,6 +1654,10 @@ object Typing {
         case IActOnNode(MatchAct, _, _) | IActOnRel(MatchAct, _, _, _, _, _, _, _) |
             _: IWhere | IVarPathRel(MatchAct, _, _, _, _, _, _, _, _, _) |
             _: INamedPath | _: IMatchAnyNode => ()
+        // call subqueries admit optional match (a LEFT witness per
+        // invocation); pattern predicates never emit IOptPath, so the
+        // flag only widens the subquery scope
+        case _: IOptPath if allowOpt => ()
         case other =>
           err = Some(s"$what pattern: illegal instruction $other")
       }
@@ -1680,6 +1686,7 @@ object Typing {
                 Seq((p, PathValLabel), (s"%rels_$p", scalarLabel(ListT(StringT)))))
           case RNamedPath(p, _) =>
             Seq((p, PathValLabel), (s"%rels_$p", scalarLabel(ListT(StringT))))
+          case ROptPath(_, _, fv) => fv
           case _ => Seq.empty
         }
         val declared = fresh.map(_._1).toSet
@@ -1695,6 +1702,7 @@ object Typing {
           case RMatchEdgeAlt(sv, _, tv, _, _) => Seq(sv, tv)
           case RVarPath(sv, _, _, _, tv, _, _, _, _) => Seq(sv, tv)
           case RWhere(te)                  => exprVars(te)
+          case ROptPath(_, bound, _)       => bound
           case _                           => Seq.empty
         }.distinct.filterNot(declared).filterNot(innerRels)
         // an OUTER rel binding has no witness-probe column (it aliases

@@ -1387,6 +1387,23 @@ object GraphOps {
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
 
+    // optional match inside call { } (round-15 v2): a LEFT witness per
+    // invocation — here over the EMPTY tagged relation, so every
+    // invocation is unmatched and count pads 0 through the aggregate
+    // (the NULL-binding leg, not the zero-row pad)
+    Q("gql_callsub_optional",
+      bindings(
+        """match (n:nation) where n.nationkey < 5
+          |call {
+          |  with n
+          |  optional match (n) -[:tagged]-> (t:tag)
+          |  return count(t) as k
+          |}
+          |return n, k""".stripMargin),
+      Some("""SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS n,
+             |       CAST(0 AS BIGINT) AS k
+             |FROM nation WHERE n_nationkey < 5""".stripMargin)),
+
     // hits() — Kleinberg hubs & authorities through the bridge
     // (round 15): the library g_hits fixed-point recurrence over the
     // gql edge set; yields compose with return's top-n unchanged.

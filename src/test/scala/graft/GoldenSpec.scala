@@ -368,7 +368,8 @@ class GoldenSpec extends AnyFunSuite {
   }
 
   test("call subqueries: per-invocation paging, aggregate pad, multiplicity (round 15)") {
-    // a(0,x=7) -r-> q1(1,y=10), q2(2,y=20), q3(3,y=30); b(4,x=7) -r-> q1
+    // a(0,x=7) -r-> q1(1,y=10), q2(2,y=20), q3(3,y=30); b(4,x=7) -r-> q1;
+    // c(5,x=9) has NO outgoing edges (the unmatched-invocation case)
     val g =
       """(:P {x int})
         |(:Q {y int})
@@ -380,6 +381,7 @@ class GoldenSpec extends AnyFunSuite {
         |create (a) -[:r]-> (q2)
         |create (a) -[:r]-> (q3)
         |create (b) -[:r]-> (q1)
+        |create (c:P {x: 9})
         |""".stripMargin
     def rows(q: String): Seq[Seq[Long]] =
       Engine.runSource(spark, g + q).bindings.collect()
@@ -397,12 +399,13 @@ class GoldenSpec extends AnyFunSuite {
         |call { with p match (p) -[:r]-> (q:Q) return q.y as y order by q.y desc skip 1 limit 1 }
         |return p, y""".stripMargin)
     assert(rs == Seq(Seq(0L, 20L)), s"got $rs")
-    // all-aggregate subqueries pad: b has no q.y > 25 row but keeps k = 0
+    // all-aggregate subqueries pad: b has no q.y > 25 row and c no edges
+    // at all — both keep k = 0
     val rk = rows(
       """match (p:P)
         |call { with p match (p) -[:r]-> (q:Q) where q.y > 25 return count(q) as k }
         |return p, k""".stripMargin)
-    assert(rk == Seq(Seq(0L, 1L), Seq(4L, 0L)), s"got $rk")
+    assert(rk == Seq(Seq(0L, 1L), Seq(4L, 0L), Seq(5L, 0L)), s"got $rk")
     // every OUTER row gets the subquery rows (bag semantics): the
     // unwind duplicates each p, both copies receive k
     val rm = rows(
@@ -410,15 +413,24 @@ class GoldenSpec extends AnyFunSuite {
         |unwind [1, 2] as t
         |call { with p match (p) -[:r]-> (q:Q) return count(q) as k }
         |return p, t, k""".stripMargin)
-    assert(rm == Seq(Seq(0L, 1L, 3L), Seq(0L, 2L, 3L), Seq(4L, 1L, 1L), Seq(4L, 2L, 1L)),
-      s"got $rm")
+    assert(rm == Seq(Seq(0L, 1L, 3L), Seq(0L, 2L, 3L), Seq(4L, 1L, 1L), Seq(4L, 2L, 1L),
+      Seq(5L, 1L, 0L), Seq(5L, 2L, 0L)), s"got $rm")
     // min over an empty invocation pads NULL, which a where drops but
     // coalesce recovers
     val rn = rows(
       """match (p:P)
         |call { with p match (p) -[:r]-> (q:Q) where q.y > 25 return min(q.y) as m }
         |return p, coalesce(m.val, 0 - 1) as mv""".stripMargin)
-    assert(rn == Seq(Seq(0L, 30L), Seq(4L, -1L)), s"got $rn")
+    assert(rn == Seq(Seq(0L, 30L), Seq(4L, -1L), Seq(5L, -1L)), s"got $rn")
+    // optional match inside (round-15 v2): a LEFT witness per invocation
+    // — the edge-less c keeps a row with q NULL even for a NON-aggregate
+    // return (where plain match drops it), recoverable via coalesce
+    val ro = rows(
+      """match (p:P)
+        |call { with p optional match (p) -[:r]-> (q:Q) return q.y as y }
+        |return p, coalesce(y.val, 0 - 1) as yy""".stripMargin)
+    assert(ro == Seq(Seq(0L, 10L), Seq(0L, 20L), Seq(0L, 30L), Seq(4L, 10L), Seq(5L, -1L)),
+      s"got $ro")
   }
 
   test("allShortestPaths enumerates every minimal-hop walk (round 15)") {

@@ -980,6 +980,9 @@ class TypingSpec extends AnyFunSuite {
     assert(err(header +
       "match (a:P)\ncall { with a match (a) -[:r]-> (b:Q) return b.y }\nreturn a")
       .contains("needs an alias"))
+    // optional match composes inside (round-15 v2)
+    Typing.compile(header +
+      "match (a:P)\ncall { with a optional match (a) -[:r]-> (b:Q) return count(b) as k }\nreturn a, k")
     // per-invocation paging demands a deterministic order
     assert(err(header +
       "match (a:P)\ncall { with a match (a) -[:r]-> (b:Q) return b limit 2 }\nreturn a, b")
