@@ -510,6 +510,50 @@ object Engine {
         case IntV(v) => v
         case other   => throw new IllegalStateException(s"$what arg: $other")
       }
+      // Shared by triangles() and clustering(): per-node triangle
+      // counts and pair-degrees over the canonical undirected pair set,
+      // enumerated with the DEGREE-ORDERED orientation (each pair
+      // points from its lower-(degree, id) endpoint — every triangle
+      // produced once, wedge fan-out O(sqrt(m)) even on hubs; the
+      // library g_triangles shape). The |V|-scale degree table and
+      // |E|-scale oriented list are broadcast, so the wedge stream is
+      // generated, existence-checked and partially aggregated in place;
+      // on a graph whose edge list outgrows broadcast, drop the hints —
+      // the plan degrades to SMJ, still correct. Counts are
+      // materialized NOW (drain-ledger checkpoint, released between
+      // statements) so the |E|-scale oriented list can be unpersisted
+      // immediately — the bridge is re-entrant, and a raw cache would
+      // pin one edge-scale frame per call for the session's lifetime.
+      def pairTriangleCounts(): (DataFrame, DataFrame) = {
+        val pairs = allEdges
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+        val deg = pairs.select(col("a").as("id"))
+          .union(pairs.select(col("b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("d"))
+        val keyed = pairs
+          .join(broadcast(deg.select(col("id").as("a"), col("d").as("da"))), Seq("a"))
+          .join(broadcast(deg.select(col("id").as("b"), col("d").as("db"))), Seq("b"))
+        val aFirst = col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b"))
+        val o = keyed.select(
+          when(aFirst, col("a")).otherwise(col("b")).as("src"),
+          when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+          when(aFirst, col("db")).otherwise(col("da")).as("ddst")).cache()
+        val wedgeOrder = col("e1.ddst") < col("e2.ddst") ||
+          (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
+        val tri = o.as("e1")
+          .join(broadcast(o.as("e2")), col("e1.src") === col("e2.src") && wedgeOrder)
+          .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+          .join(broadcast(o.select(col("src").as("v"), col("dst").as("w"))),
+            Seq("v", "w"), "left_semi")
+        val counts = graft.Ckpt.eager(
+          tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+            .groupBy("id").agg(count(lit(1)).as("n_tri")))
+        o.unpersist(false)
+        (counts, deg)
+      }
       val table: DataFrame = proc match {
         case "degree" =>
           // out/in degree over EVERY relation type; isolated nodes
@@ -719,51 +763,78 @@ object Engine {
           require(converged, s"call kcore(): not converged after $maxIters rounds")
           result
         case "triangles" =>
-          // per-node triangle counts over the canonical undirected pair
-          // set, enumerated with the DEGREE-ORDERED orientation (each
-          // pair points from its lower-(degree, id) endpoint — every
-          // triangle produced once, wedge fan-out O(sqrt(m)) even on
-          // hubs; the library g_triangles shape). The |V|-scale degree
-          // table and |E|-scale oriented list are broadcast, so the
-          // wedge stream is generated, existence-checked and partially
-          // aggregated in place; on a graph whose edge list outgrows
-          // broadcast, drop the hints — the plan degrades to SMJ,
-          // still correct. Zero-participation nodes surface with 0.
-          val pairs = allEdges
-            .select(least(col("src"), col("dst")).as("a"),
-              greatest(col("src"), col("dst")).as("b"))
-            .filter(col("a") =!= col("b")).distinct()
-          val deg = pairs.select(col("a").as("id"))
-            .union(pairs.select(col("b").as("id")))
-            .groupBy("id").agg(count(lit(1)).as("d"))
-          val keyed = pairs
-            .join(broadcast(deg.select(col("id").as("a"), col("d").as("da"))), Seq("a"))
-            .join(broadcast(deg.select(col("id").as("b"), col("d").as("db"))), Seq("b"))
-          val aFirst = col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b"))
-          val o = keyed.select(
-            when(aFirst, col("a")).otherwise(col("b")).as("src"),
-            when(aFirst, col("b")).otherwise(col("a")).as("dst"),
-            when(aFirst, col("db")).otherwise(col("da")).as("ddst")).cache()
-          val wedgeOrder = col("e1.ddst") < col("e2.ddst") ||
-            (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
-          val tri = o.as("e1")
-            .join(broadcast(o.as("e2")), col("e1.src") === col("e2.src") && wedgeOrder)
-            .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
-            .join(broadcast(o.select(col("src").as("v"), col("dst").as("w"))),
-              Seq("v", "w"), "left_semi")
-          // materialize the |V|-scale counts NOW (drain-ledger
-          // checkpoint, released between statements) so the |E|-scale
-          // oriented list can be unpersisted immediately — the bridge is
-          // re-entrant, and a raw cache would pin one edge-scale frame
-          // per `call triangles()` for the session's lifetime
-          val counts = graft.Ckpt.eager(
-            tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
-              .groupBy("id").agg(count(lit(1)).as("n_tri")))
-          o.unpersist(false)
+          // per-node triangle counts (see pairTriangleCounts);
+          // zero-participation nodes surface with 0
+          val (counts, _) = pairTriangleCounts()
           allNodes.join(counts, Seq("id"), "left")
             .select(col("id").as(cols(0)),
               coalesce(col("n_tri"), lit(0L)).as(cols(1)))
+        case "clustering" =>
+          // local clustering coefficient through the bridge (round 15):
+          // coeff(v) = 2·tri(v)/(d(v)·(d(v)−1)) in parts-per-million
+          // integer division (the library g_clustering formula —
+          // engine-exact ranking, no float) over the canonical
+          // undirected pair set; nodes with pair-degree < 2 have no
+          // defined coefficient and are omitted (matching the library)
+          val (counts, deg) = pairTriangleCounts()
+          deg.filter(col("d") >= 2).join(counts, Seq("id"), "left")
+            .select(col("id").as(cols(0)),
+              expr("(2000000 * coalesce(n_tri, 0)) div (d * (d - 1))")
+                .as(cols(1)))
+        case "degreedist" =>
+          // out-degree histogram over the scoped directed edge set —
+          // the library g_degree_dist shape; nodes with no outgoing
+          // edge don't appear (consistent with the library + oracle)
+          allEdges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+            .groupBy("deg").agg(count(lit(1)).as("n"))
+            .select(col("deg").as(cols(0)), col("n").as(cols(1)))
+        case "harmonic" =>
+          // landmark harmonic centrality through the bridge (round 15):
+          // the library g_harmonic_landmarks recurrence — ONE
+          // multi-source BFS whose frontier carries a seed column (all
+          // K trees advance in the same superstep joins, K·|V| total
+          // messages), seeds = the region id band (< 2e9, the loader's
+          // band scheme), ĥ(v) = Σ_s 1/d(s,v) summed in 1e-6 fixed
+          // point (integer div — order-free, bit-equal cross-engine).
+          // Same frontier-delta discipline as call bfs().
+          val ue = hoistUndirected()
+          val seeds = allNodes.filter(col("id") < 2000000000L)
+            .select(col("id").as("seed"), col("id"), lit(0L).as("d"))
+          var dists = graft.Ckpt.eager(seeds)
+          var frontier = graft.Ckpt.eager(seeds)
+          var converged = false
+          var stepN = 0
+          val maxIters = 20
+          while (stepN < maxIters && !converged) {
+            stepN += 1
+            val cand = ue.join(frontier, ue("src") === frontier("id"))
+              .select(col("seed"), ue("dst").as("id"), (col("d") + 1).as("cand"))
+              .groupBy("seed", "id").agg(min("cand").as("cand"))
+            val next = graft.Ckpt.deferredPartitioned(
+              cand.join(dists, Seq("seed", "id"), "left_anti")
+                .select(col("seed"), col("id"), col("cand").as("d")))
+            converged = next.count() == 0L
+            if (converged) graft.Ckpt.drop(next)
+            else {
+              // co-partitioned (seed,id) full-outer merge — disjoint
+              // sides, so coalesce ≡ union without losing partitioning
+              val merged = graft.Ckpt.eagerPartitioned(
+                dists.join(next.select(col("seed"), col("id"), col("d").as("nd")),
+                    Seq("seed", "id"), "full")
+                  .select(col("seed"), col("id"),
+                    coalesce(col("nd"), col("d")).as("d")))
+              graft.Ckpt.drop(dists)
+              graft.Ckpt.drop(frontier)
+              dists = merged
+              frontier = next
+            }
+          }
+          graft.Ckpt.drop(frontier)
+          graft.Ckpt.drop(ue)
+          require(converged, s"call harmonic(): not converged after $maxIters supersteps")
+          dists.filter(col("d") > 0)
+            .groupBy("id").agg(sum(expr("1000000 div d")).as("h"))
+            .select(col("id").as(cols(0)), col("h").as(cols(1)))
         case "hits" =>
           // Kleinberg HITS (round 15): 8 two-phase power iterations in
           // max-normalized 1e6 fixed point — the library g_hits

@@ -242,6 +242,21 @@ final case class SplitFn(s: Expr, sep: Expr) extends Expr
   * clamp to 0 (Cypher's from-the-end negatives are not supported —
   * documented deviation; `size(xs.val) - k` spells them). */
 final case class SliceAcc(e: Expr, lo: Expr, hi: Expr) extends Expr
+/** `count { <pattern> [where e] }` — Cypher's COUNT subquery
+  * expression (round 15): the number of expansions of the pattern,
+  * per row. PARSE-TIME SUGAR: the clause assembler hoists each
+  * occurrence into a hidden `call { }` subquery returning
+  * `count(...) as %csN` immediately before the consuming clause, and
+  * the expression becomes the scalar read `%csN.val` — so typing, the
+  * engine, and the plan are exactly the call-subquery ones (keyed
+  * aggregate, zero-match rows pad 0). Imports are the pattern's BARE
+  * (label-less) variables — Cypher's rule that unlabeled names refer
+  * to the outer row; label the variables you mean to be fresh. The
+  * node only survives to typing when written somewhere the sugar
+  * doesn't reach (inside a call { } body or a pattern property map),
+  * where it is rejected with a pointer. `exists { … }` parses as
+  * `count { … } > 0`. */
+final case class CountPat(pat: Pattern, filter: Option[Expr]) extends Expr
 
 /** Node patterns: `(v: L)` declares-and-binds, `(v)` references an
   * existing binding (reference lang.ml:47-50). */

@@ -89,5 +89,9 @@ object Params {
     case ReduceE(acc, init, v, l, body) =>
       ReduceE(acc, sE(p)(init), v, sE(p)(l), sE(p)(body))
     case SplitFn(s, sep)     => SplitFn(sE(p)(s), sE(p)(sep))
+    // only reachable where the parse-time sugar doesn't rewrite (call
+    // { } bodies, pattern property maps) — typing rejects it there
+    // with a pointer, so substitution inside is moot
+    case c: CountPat         => c
   }
 }

@@ -120,7 +120,7 @@ object Parser {
         }
       }
       val clauses = List.newBuilder[Clause]
-      while (peek != TEof) clauses += clause()
+      while (peek != TEof) clauses ++= desugarCountExprs(clause())
       Prog(GraphTypes(nodeTps.result(), relTps.result()), Query(clauses.result()))
     }
 
@@ -344,6 +344,107 @@ object Parser {
       Merge(pat, onCreate, onMatch)
     }
 
+    // --- count { } subquery expressions (round 15) ---------------------
+    // `%cs` names: `%` cannot lex as an identifier, so generated names
+    // never collide with user variables (the %r / %cnt convention).
+    private var csK = 0
+
+    /** Hoist every [[CountPat]] in a clause's expression positions into
+      * a hidden `call { }` subquery placed immediately BEFORE the
+      * consuming clause — the whole feature then rides the typed
+      * call-subquery machinery unchanged (imports-only scope, keyed
+      * count aggregate, zero-match pad to 0). Imports = the pattern's
+      * bare variables minus its own declarations (Cypher's scope rule:
+      * bare names reference the outer row, labeled ones are fresh); a
+      * bare variable not bound outside fails typing with the ordinary
+      * unknown-import error. The rewrite covers where / extended-return
+      * / with — the only clauses whose expressions can usefully count;
+      * a CountPat anywhere else (a call { } body, a pattern property
+      * map, the filter of ANOTHER count { }) survives to typing, which
+      * rejects it with a pointer. */
+    private def desugarCountExprs(c: Clause): List[Clause] = {
+      val hoisted = List.newBuilder[Clause]
+      def rwE(e: Expr): Expr = e match {
+        case CountPat(pat, filter) =>
+          val (refs0, decls) = patternVars(pat)
+          val refs = refs0.distinct.filterNot(decls.contains)
+          csK += 1
+          val cs = s"%cs$csK"
+          // count an imported variable when one exists (never null);
+          // otherwise the pattern's first declaration — count(v) over
+          // match-bound node rows ≡ the expansion count either way
+          val target = (refs ++ decls).headOption
+            .getOrElse(fail("count { } requires a pattern variable"))
+          hoisted += CallSub(refs,
+            Match(List(pat)) :: filter.map(Where(_): Clause).toList,
+            ReturnExt(List((RetAgg(AggCount, RetVar(target)): RetItem, Some(cs))),
+              Nil, None, None))
+          AttribAcc(cs, "val")
+        case c: Const            => c
+        case p: Param            => p
+        case a: AttribAcc        => a
+        case n: NullCheck        => n
+        case f: IdFn             => f
+        case f: LabelFn          => f
+        case f: TypeFn           => f
+        case f: LengthFn         => f
+        case f: NodesFn          => f
+        case f: RelsFn           => f
+        case Bin(op, l, r)       => Bin(op, rwE(l), rwE(r))
+        case Un(op, e1)          => Un(op, rwE(e1))
+        case Substr(s, pos, len) => Substr(rwE(s), rwE(pos), rwE(len))
+        case Replace(s, f, r)    => Replace(rwE(s), rwE(f), rwE(r))
+        case CaseExpr(whens, ow) =>
+          CaseExpr(whens.map { case (cc, v) => (rwE(cc), rwE(v)) }, rwE(ow))
+        case InList(e1, items, neg) => InList(rwE(e1), items.map(rwE), neg)
+        case InListE(e1, l, neg) => InListE(rwE(e1), rwE(l), neg)
+        case RangeE(lo, hi)      => RangeE(rwE(lo), rwE(hi))
+        case IndexAcc(e1, ix)    => IndexAcc(rwE(e1), rwE(ix))
+        case SliceAcc(e1, lo, hi) => SliceAcc(rwE(e1), rwE(lo), rwE(hi))
+        case Coalesce(items)     => Coalesce(items.map(rwE))
+        case ListPred(k, v, l, pr) => ListPred(k, v, rwE(l), rwE(pr))
+        case ListComp(v, l, pr, m) => ListComp(v, rwE(l), pr.map(rwE), m.map(rwE))
+        case ReduceE(acc, init, v, l, body) =>
+          ReduceE(acc, rwE(init), v, rwE(l), rwE(body))
+        case SplitFn(s, sep)     => SplitFn(rwE(s), rwE(sep))
+      }
+      def rwR(it: RetItem): RetItem = it match {
+        case RetExpr(e)            => RetExpr(rwE(e))
+        case RetAgg(fn, arg, dist) => RetAgg(fn, rwR(arg), dist)
+        case other                 => other
+      }
+      val rewritten = c match {
+        case Where(e) => Where(rwE(e))
+        case ReturnExt(items, order, skip, limit, d) =>
+          ReturnExt(items.map { case (it, a) => (rwR(it), a) },
+            order.map { case (it, asc) => (rwR(it), asc) }, skip, limit, d)
+        case WithClause(items, order, skip, limit, d) =>
+          WithClause(items.map { case (it, a) => (rwR(it), a) },
+            order.map { case (it, asc) => (rwR(it), asc) }, skip, limit, d)
+        case other => other
+      }
+      hoisted.result() :+ rewritten
+    }
+
+    /** The pattern's (references, declarations) in pattern order: bare
+      * `(v)` nodes reference, labeled (and unlabeled-with-props) nodes
+      * declare, as do rel / distance / path bindings. */
+    private def patternVars(p: Pattern): (List[String], List[String]) = p match {
+      case SimpPattern(np) => npVars(np)
+      case CompPattern(np, _, rest, _, rv, _, _) =>
+        val (r1, d1) = npVars(np); val (r2, d2) = patternVars(rest)
+        (r1 ++ r2, d1 ++ rv.toList ++ d2)
+      case VarPattern(np, _, _, _, rest, dist, _, pathVar, _) =>
+        val (r1, d1) = npVars(np); val (r2, d2) = patternVars(rest)
+        (r1 ++ r2, d1 ++ dist.toList ++ pathVar.toList ++ d2)
+      case NamedPattern(name, _) =>
+        fail(s"count { } binds nothing — a named path $name cannot escape it")
+    }
+    private def npVars(np: NodePattern): (List[String], List[String]) = np match {
+      case VarRefPattern(v)       => (List(v), Nil)
+      case DeclPattern(v, _, _)   => (Nil, List(v))
+    }
+
     /** Shared shape check for the two pattern-predicate clauses: a path
       * with at least one hop (a bare `(v)` node is vacuous — for
       * `optional match` it binds nothing optional, for `not exists` a
@@ -525,6 +626,11 @@ object Parser {
       * identifier followed by `.` might still be a plain attr item,
       * so we parse the expression and classify the RESULT. */
     private def retArg(): RetItem = peek match {
+      // `count { … }` / `exists { … }` subquery expressions as items
+      // (round 15 v2): the brace disambiguates from the aggregate's
+      // paren and from a plain variable named count/exists
+      case TIdent("count" | "exists") if peek2 == TSym("{") =>
+        RetExpr(expr())
       case TIdent(name) if peek2 == TSym(".") || exprHead(name) =>
         expr() match {
           case AttribAcc(v, f) => RetAttr(v, f)
@@ -976,6 +1082,20 @@ object Parser {
       case TInt(v)    => i += 1; Const(IntV(v))
       case TString(s) => i += 1; Const(StringV(s))
       case TParam(p)  => i += 1; Param(p)
+      // `count { <pattern> [where e] }` / `exists { <pattern>
+      // [where e] }` — Cypher's subquery EXPRESSIONS (round 15).
+      // Contextual on the brace: no legal expression continues an
+      // identifier with '{', so variables named count/exists stay
+      // legal everywhere else. `count {…}` hoists into a hidden
+      // call { } subquery at clause assembly (see desugarCountExprs);
+      // `exists {…}` is sugar for `count {…} > 0`.
+      case TIdent(fn @ ("count" | "exists")) if peek2 == TSym("{") =>
+        i += 2
+        val pat = pattern()
+        val filter = if (peek == TKw("where")) { i += 1; Some(expr()) } else None
+        expectSym("}")
+        val cp = CountPat(pat, filter)
+        if (fn == "count") cp else Bin(BCgt, cp, Const(IntV(0)))
       // `null(v)` binding-null test — contextual like the aggregate
       // names: only the call shape is special, `null.f` stays an
       // ordinary attribute access on a variable named null

@@ -285,7 +285,10 @@ object Typing {
         "kcore"     -> ((List(List(IntT), List(IntT, StringT)), 2)),
         "triangles" -> ((List(Nil, List(StringT)), 2)),
         "labelprop" -> ((List(Nil, List(StringT)), 2)),
-        "hits"      -> ((List(Nil, List(StringT)), 3)))
+        "hits"      -> ((List(Nil, List(StringT)), 3)),
+        "clustering"  -> ((List(Nil, List(StringT)), 2)),
+        "degreedist"  -> ((List(Nil, List(StringT)), 2)),
+        "harmonic"    -> ((List(Nil, List(StringT)), 2)))
 
   /** Bind `target` to the pattern-order concatenation of per-segment
     * named-path witnesses, and `%rels_<target>` to the hop-label list
@@ -457,6 +460,13 @@ object Typing {
     // params are substituted before typing (Params.subst); one reaching
     // here means the caller never supplied a value for it
     case Param(n) => Left(s"missing parameter $$$n (supply it via params)")
+    // count { } is parse-time sugar rewritten in top-level where/with/
+    // return positions (see Parser.desugarCountExprs); one reaching
+    // typing sits somewhere the rewrite deliberately doesn't touch
+    case CountPat(_, _) =>
+      Left("count { } / exists { } subquery expressions are supported " +
+        "in top-level where/with/return positions only — not inside a " +
+        "call { } body, a pattern property map, or another count { }'s filter")
     case NullCheck(v) =>
       lookup(env, v) match {
         case None => Left(s"variable $v not bound")

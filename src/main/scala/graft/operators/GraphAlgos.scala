@@ -576,6 +576,17 @@ object GraphAlgos {
       |  FROM cand JOIN deg ON cand.w = deg.w GROUP BY u, v)
       |SELECT u, v, ra FROM scored ORDER BY ra DESC, u, v LIMIT 20""".stripMargin
 
+  private lazy val nodesimOracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |d AS (SELECT p, count(*) AS d FROM li GROUP BY p),
+      |pairs AS (SELECT a.p AS u, b.p AS v, count(*) AS inter
+      |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p)
+      |SELECT u, v,
+      |  CAST((1000000 * inter) // (du.d + dv.d - inter) AS BIGINT) AS jac_ppm,
+      |  CAST(inter AS BIGINT) AS inter
+      |FROM pairs JOIN d du ON pairs.u = du.p JOIN d dv ON pairs.v = dv.p
+      |ORDER BY jac_ppm DESC, u, v LIMIT 100""".stripMargin
+
   /** Co-partitioned full-outer merge of an (id, d) accumulator with an
     * (id, d) delta — the delta's value wins on match, everything else
     * carries over. Both sides arrive hash-partitioned by id (groupBy /
@@ -1461,6 +1472,41 @@ object GraphAlgos {
         out
       },
       Some(linkpredOracle)),
+
+    // ---- Jaccard node similarity (round 15) ----------------------------
+    // The GDS-style nodeSimilarity over the part→order bipartite sets:
+    // J(u,v) = |O(u) ∩ O(v)| / |O(u) ∪ O(v)| where O(p) is the set of
+    // orders containing part p, in parts-per-million integer division
+    // (engine-exact ranking, no float). All-pairs Jaccard is quadratic;
+    // this enumerates ONLY pairs with nonzero intersection via the
+    // shared-order self-join — the inverted-index approach, fan-out
+    // bounded by order size (≤ 7 lineitems here), never |parts|². At
+    // 100 TB the same plan holds as long as the "document" fan-out is
+    // bounded (prefix-filter or df-cut hub orders first — the dedup
+    // family's df-cut discipline); for unbounded sets the sub-quadratic
+    // path is MinHash LSH (p_dedup_minhash_lsh). Union via inclusion–
+    // exclusion keeps the ppm exact: |∪| = d(u) + d(v) − inter. The
+    // |parts|-scale degree table broadcasts; the only wide exchange is
+    // the (u,v) partial-agg — map-side combined. Top-100 under the
+    // (jac desc, u, v) total order.
+    Q("g_nodesim",
+      (s, dir) => {
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val d = li.groupBy("p").agg(count(lit(1)).as("d"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(broadcast(d.select(col("p").as("u"), col("d").as("du"))), Seq("u"))
+          .join(broadcast(d.select(col("p").as("v"), col("d").as("dv"))), Seq("v"))
+          .select(col("u"), col("v"),
+            expr("(1000000 * inter) div (du + dv - inter)").as("jac_ppm"),
+            col("inter"))
+          .orderBy(col("jac_ppm").desc, col("u"), col("v")).limit(100)
+      },
+      Some(nodesimOracle)),
 
     // ---- label propagation communities (round 15) ----------------------
     // Synchronous LPA over the undirected FK graph — the standard

@@ -175,6 +175,47 @@ object GraphOps {
        |corners AS (SELECT unnest([u, v, w]) AS id FROM tri)
        |SELECT id, CAST(count(*) AS BIGINT) AS ntri FROM corners GROUP BY id""".stripMargin
 
+  /** Local clustering coefficient over the gql pair set in ppm integer
+    * division (the library g_clustering formula) — the
+    * `call clustering()` oracle, aggregated into the coefficient
+    * histogram so the check covers every d≥2 node. */
+  private lazy val callClusteringOracle: String =
+    s"""WITH e AS MATERIALIZED ($gqlEdgeSql),
+       |pairs AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e WHERE src <> dst),
+       |deg AS MATERIALIZED (SELECT id, count(*) AS d FROM (
+       |  SELECT a AS id FROM pairs UNION ALL SELECT b AS id FROM pairs) x GROUP BY id),
+       |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+       |        FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
+       |        JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |corners AS (SELECT unnest([u, v, w]) AS id FROM tri),
+       |tc AS (SELECT id, count(*) AS ntri FROM corners GROUP BY id)
+       |SELECT CAST((2000000 * coalesce(tc.ntri, 0)) // (deg.d * (deg.d - 1)) AS BIGINT) AS lcc,
+       |       CAST(count(*) AS BIGINT) AS n
+       |FROM deg LEFT JOIN tc ON deg.id = tc.id
+       |WHERE deg.d >= 2 GROUP BY 1""".stripMargin
+
+  /** Unrolled multi-source BFS from the region seeds over the gql edge
+    * set + the 1e-6 fixed-point harmonic sum (the library
+    * g_harmonic_landmarks recurrence) — the `call harmonic()` oracle.
+    * 9 steps = diameter bound + margin (same as callBfsOracle). */
+  private lazy val callHarmonicOracle: String = {
+    val steps = (1 to 9).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT x.seed, x.id, min(x.d) AS d FROM (
+         |  SELECT seed, id, d FROM d${i - 1}
+         |  UNION ALL SELECT d${i - 1}.seed, ue.dst AS id, d${i - 1}.d + 1
+         |  FROM ue JOIN d${i - 1} ON ue.src = d${i - 1}.id) x GROUP BY x.seed, x.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($gqlEdgeSql),
+       |ue AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |d0 AS MATERIALIZED (SELECT CAST(r_regionkey + 1000000000 AS BIGINT) AS seed,
+       |  CAST(r_regionkey + 1000000000 AS BIGINT) AS id, 0::BIGINT AS d FROM region),
+       |$steps
+       |SELECT id, CAST(sum(1000000 // d) AS BIGINT) AS h
+       |FROM d9 WHERE d > 0 GROUP BY id ORDER BY h DESC, id LIMIT 50""".stripMargin
+  }
+
   private def bindings(q: String)(spark: SparkSession, dir: String): DataFrame =
     exec(spark, dir, q).bindings
 
@@ -1404,6 +1445,63 @@ object GraphOps {
              |       CAST(0 AS BIGINT) AS k
              |FROM nation WHERE n_nationkey < 5""".stripMargin)),
 
+    // count { } subquery EXPRESSIONS (round 15 v2 — Cypher's COUNT
+    // subquery): parse-time sugar hoisting a hidden call { } subquery,
+    // so the plan is the keyed-aggregate call-sub one. The return-item
+    // form: per-nation customer counts as an aliased expression item.
+    Q("gql_count_expr",
+      bindings(
+        """match (n:nation)
+          |return n, count { (c:customer) -[:cnation]-> (n) } as k""".stripMargin),
+      Some("""SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS n,
+             |       CAST((SELECT count(*) FROM customer c
+             |             WHERE c.c_nationkey = n.n_nationkey) AS BIGINT) AS k
+             |FROM nation n""".stripMargin)),
+
+    // the where form with an inner filter: count { <pattern> where … }
+    // compared against a threshold — zero-match nations pad 0 and fail
+    // the predicate (never drop before it)
+    Q("gql_count_expr_where",
+      bindings(
+        """match (n:nation) -[:nregion]-> (r:region)
+          |where count { (c:customer) -[:cnation]-> (n)
+          |              where c.mktsegment = "MACHINERY" } >= 12
+          |return n, r""".stripMargin),
+      Some("""SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS n,
+             |       CAST(n_regionkey + 1000000000 AS BIGINT) AS r
+             |FROM nation n
+             |WHERE (SELECT count(*) FROM customer c
+             |       WHERE c.c_nationkey = n.n_nationkey
+             |         AND c.c_mktsegment = 'MACHINERY') >= 12""".stripMargin)),
+
+    // the with form: the count becomes a scalar binding that later
+    // clauses filter and return (scope composition through with)
+    Q("gql_count_expr_with",
+      bindings(
+        """match (n:nation)
+          |with n, count { (s:supplier) -[:snation]-> (n) } as ns
+          |where ns.val >= 1
+          |return n, ns""".stripMargin),
+      Some("""SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS n,
+             |       CAST((SELECT count(*) FROM supplier s
+             |             WHERE s.s_nationkey = n.n_nationkey) AS BIGINT) AS ns
+             |FROM nation n
+             |WHERE (SELECT count(*) FROM supplier s
+             |       WHERE s.s_nationkey = n.n_nationkey) >= 1""".stripMargin)),
+
+    // exists { } — sugar for count { } > 0: suppliers whose nation
+    // name ends in "1" (the inner where references the fresh labeled
+    // binding; the bare head imports the outer row)
+    Q("gql_exists_expr",
+      bindings(
+        """match (s:supplier)
+          |where exists { (s) -[:snation]-> (n:nation)
+          |               where n.name ends with "1" }
+          |return s""".stripMargin),
+      Some("""SELECT CAST(s_suppkey + 3000000000 AS BIGINT) AS s
+             |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+             |WHERE n.n_name LIKE '%1'""".stripMargin)),
+
     // hits() — Kleinberg hubs & authorities through the bridge
     // (round 15): the library g_hits fixed-point recurrence over the
     // gql edge set; yields compose with return's top-n unchanged.
@@ -1444,6 +1542,42 @@ object GraphOps {
              |       CAST(1 + (SELECT count(*) FROM customer c
              |                 WHERE c.c_nationkey = n.n_nationkey) AS BIGINT) AS n
              |FROM nation n""".stripMargin)),
+
+    // clustering() — local clustering coefficients through the bridge
+    // (round 15): ppm integer division over the canonical pair set
+    // (the library g_clustering formula), shared triangle build with
+    // triangles(). Aggregated into the coefficient histogram so the
+    // oracle covers every node with pair-degree ≥ 2.
+    Q("gql_call_clustering",
+      bindings(
+        """call clustering() yield id, lcc
+          |return lcc, count(id) as n""".stripMargin),
+      Some(callClusteringOracle)),
+
+    // degreedist() — the out-degree histogram through the bridge
+    // (round 15): the first thing you compute on an unknown graph (the
+    // library g_degree_dist over the gql edge set).
+    Q("gql_call_degreedist",
+      bindings(
+        """call degreedist() yield deg, n
+          |return deg, n""".stripMargin),
+      Some(s"""WITH e AS MATERIALIZED ($gqlEdgeSql),
+              |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src)
+              |SELECT deg, CAST(count(*) AS BIGINT) AS n
+              |FROM d GROUP BY deg""".stripMargin)),
+
+    // harmonic() — landmark harmonic centrality through the bridge
+    // (round 15): one multi-source BFS from the region seed band,
+    // ĥ(v) = Σ_s 1/d(s,v) in 1e-6 fixed point (the library
+    // g_harmonic_landmarks recurrence over the gql edge set); top-50
+    // with the deterministic id tiebreak.
+    Q("gql_call_harmonic",
+      bindings(
+        """call harmonic() yield id, h
+          |return id, h
+          |order by h desc, id
+          |limit 50""".stripMargin),
+      Some(callHarmonicOracle)),
 
     // $name query parameters (round 12 — Cypher's `$param`): typed
     // constants substituted BEFORE typing, so the parameterized filter

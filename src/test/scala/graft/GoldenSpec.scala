@@ -433,6 +433,45 @@ class GoldenSpec extends AnyFunSuite {
       s"got $ro")
   }
 
+  test("count { } / exists { } subquery expressions (round 15 v2)") {
+    // same graph as the call-subquery test: a(0) -r-> q1/q2/q3,
+    // b(4) -r-> q1, c(5) edge-less
+    val g =
+      """(:P {x int})
+        |(:Q {y int})
+        |(:P) -[:r]-> (:Q)
+        |create (a:P {x: 7}) -[:r]-> (q1:Q {y: 10})
+        |create (q2:Q {y: 20})
+        |create (q3:Q {y: 30})
+        |create (b:P {x: 7})
+        |create (a) -[:r]-> (q2)
+        |create (a) -[:r]-> (q3)
+        |create (b) -[:r]-> (q1)
+        |create (c:P {x: 9})
+        |""".stripMargin
+    def rows(q: String): Seq[Seq[Long]] =
+      Engine.runSource(spark, g + q).bindings.collect()
+        .map(_.toSeq.map(_.asInstanceOf[Long]).toSeq).toSeq.sortBy(_.mkString(","))
+    // return-item form: the edge-less c pads 0, never drops
+    val r = rows("match (p:P)\nreturn p, count { (p) -[:r]-> (q:Q) } as k")
+    assert(r == Seq(Seq(0L, 3L), Seq(4L, 1L), Seq(5L, 0L)), s"got $r")
+    // threshold over a filtered count: only a has two q.y > 15 targets
+    val rw = rows(
+      "match (p:P)\nwhere count { (p) -[:r]-> (q:Q) where q.y > 15 } >= 2\nreturn p")
+    assert(rw == Seq(Seq(0L)), s"got $rw")
+    // exists { } = count { } > 0
+    val re = rows(
+      "match (p:P)\nwhere exists { (p) -[:r]-> (q:Q) where q.y > 25 }\nreturn p")
+    assert(re == Seq(Seq(0L)), s"got $re")
+    // uncorrelated count: a global scalar cross-joined onto every row
+    val ru = rows("match (p:P)\nwith p, count { (q:Q) } as nq\nreturn p, nq")
+    assert(ru == Seq(Seq(0L, 3L), Seq(4L, 3L), Seq(5L, 3L)), s"got $ru")
+    // the counted scalar aggregates downstream like any with-scalar
+    val ra = rows(
+      "match (p:P)\nwith p, count { (p) -[:r]-> (q:Q) } as k\nreturn sum(k.val) as t")
+    assert(ra == Seq(Seq(4L)), s"got $ra")
+  }
+
   test("allShortestPaths enumerates every minimal-hop walk (round 15)") {
     // the round-12 diamond + tail: a(0)->b(1), a->c(2), b->d(3), c->d,
     // d->e(4) — a->d has TWO shortest 2-hop walks, a->e two 3-hop ones

@@ -237,6 +237,31 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("Jaccard node similarity equals the in-memory replay (round 15 v2)") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.distinct
+    val orders: Map[Long, Set[Long]] =
+      li.groupBy(_._2).map { case (p, rows) => p -> rows.map(_._1).toSet }
+    val inter = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    li.groupBy(_._1).values.foreach { rows =>
+      val ps = rows.map(_._2).distinct
+      for (a <- ps; b <- ps if a < b) inter((a, b)) += 1L
+    }
+    val expected = inter.toSeq.map { case ((u, v), n) =>
+      val union = orders(u).size + orders(v).size - n
+      (u, v, 1000000L * n / union, n)
+    }.sortBy { case (u, v, j, _) => (-j, u, v) }.take(100)
+    val got = SparkEntry.queries("g_nodesim")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the intersection really is the shared-order count (spot-check
+    // the top pair against the set model)
+    expected.headOption.foreach { case (u, v, _, n) =>
+      assert((orders(u) intersect orders(v)).size.toLong == n)
+    }
+  }
+
   // The named 100 TB claim, proved rather than asserted: on a graph
   // whose diameter is NOT schema-bound-small — here a 24-node chain
   // with a 200-leaf hub hanging off one end (high diameter + skew, the

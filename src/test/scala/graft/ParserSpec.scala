@@ -926,4 +926,48 @@ class ParserSpec extends AnyFunSuite {
     intercept[Parser.ParseError](
       Parser.parse(header + "match (a:P)\nreturn count(distinct *) as c"))
   }
+
+  test("count { } / exists { } expressions desugar to hidden call { } subqueries (round 15 v2)") {
+    // return-item form: the hoisted subquery lands immediately before
+    // the consuming clause; imports = the pattern's bare variables;
+    // the counted variable is the imported one (never null)
+    val p = Parser.parse(header +
+      "match (n:P)\nreturn n, count { (c:Q) -[:r]-> (n) } as k")
+    p.query.clauses match {
+      case List(_: Match,
+          CallSub(imports, List(Match(_)), sub: ReturnExt),
+          ret: ReturnExt) =>
+        assert(imports == List("n"))
+        sub.items match {
+          case List((RetAgg(AggCount, RetVar("n"), false), Some(cs))) =>
+            assert(cs.startsWith("%cs"))
+            ret.items.collectFirst {
+              case (RetExpr(AttribAcc(v, "val")), Some("k")) => v
+            } match {
+              case Some(v) => assert(v == cs)
+              case None    => fail(s"rewritten item missing: ${ret.items}")
+            }
+          case other => fail(s"wrong subquery return: $other")
+        }
+      case other => fail(s"wrong desugar shape: $other")
+    }
+    // exists { } = count { } > 0; the inner filter rides inside the
+    // subquery as an ordinary where clause
+    val w = Parser.parse(header +
+      "match (a:P)\nwhere exists { (a) -[:r]-> (q:Q) where q.y > 25 }\nreturn a")
+    w.query.clauses match {
+      case List(_: Match,
+          CallSub(List("a"), List(_: Match, _: Where), _),
+          Where(Bin(BCgt, AttribAcc(cs, "val"), Const(IntV(0L)))),
+          Return(List("a"))) =>
+        assert(cs.startsWith("%cs"))
+      case other => fail(s"wrong exists shape: $other")
+    }
+    // contextual on the brace: variables named count / exists stay legal
+    Parser.parse(header + "match (count:P)\nwhere count.x > 0\nreturn count")
+    Parser.parse(header + "match (exists:P)\nreturn exists")
+    // unterminated body
+    intercept[Parser.ParseError](Parser.parse(header +
+      "match (a:P)\nwhere count { (a) -[:r]-> (q:Q) > 0\nreturn a"))
+  }
 }

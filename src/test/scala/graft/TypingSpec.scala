@@ -1277,4 +1277,30 @@ class TypingSpec extends AnyFunSuite {
     Typing.compile(pre +
       "match (b:P)\nwhere b.x in [x in xs.val | x.val * 2]\nreturn b")
   }
+
+  test("count { } expressions: scope + rejection surface (round 15 v2)") {
+    // positives: where / return / with positions, filtered and
+    // uncorrelated forms
+    Typing.compile(header +
+      "match (p:P)\nwhere count { (p) -[:r]-> (q:Q) } >= 1\nreturn p")
+    Typing.compile(header +
+      "match (p:P)\nreturn p, count { (p) -[:r]-> (q:Q) where q.y > 0 } as k")
+    Typing.compile(header +
+      "match (p:P)\nwith p, count { (q:Q) } as nq\nwhere nq.val > 0\nreturn p, nq")
+    Typing.compile(header +
+      "match (p:P)\nwhere exists { (p) -[:r]-> (q:Q) }\nreturn p")
+    // a bare variable not bound outside = unknown import
+    assert(err(header +
+      "match (p:P)\nwhere count { (nope) -[:r]-> (q:Q) } > 0\nreturn p")
+      .contains("nope"))
+    // inner typing errors surface as the ordinary subquery ones
+    assert(err(header +
+      "match (p:P)\nwhere count { (p) -[:r]-> (z:Z) } > 0\nreturn p")
+      .contains("undeclared node label Z"))
+    // inside a call { } body the sugar doesn't reach — pointed rejection
+    assert(err(header +
+      "match (p:P)\ncall { with p match (p) -[:r]-> (q:Q) " +
+      "where count { (q) -[:r]-> (z:Q) } > 0 return count(q) as k }\nreturn p, k")
+      .contains("count { }"))
+  }
 }
