@@ -482,6 +482,21 @@ class PlanSpec extends AnyFunSuite {
       s"per-invocation paging fell back to a global sort:\n$p")
   }
 
+  test("count { } expression plans as the keyed call-subquery aggregate (round 15 v2)") {
+    // gql_count_expr: the parse-time sugar must produce exactly the
+    // hand-written counting subquery's plan — a hash aggregate keyed on
+    // the imported binding with a map-side partial count, re-expanded
+    // onto the outer rows by an equi-join (never a cartesian/nested-
+    // loop re-expansion), and no sort anywhere (nothing orders)
+    val p = plan("gql_count_expr")
+    assert(p.contains("HashAggregate"), s"expected the keyed count aggregate in:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"count not map-side combined in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated count re-expanded without a key in:\n$p")
+    assert(!p.contains("Sort "), s"unexpected sort in an unordered count plan:\n$p")
+  }
+
   test("label propagation superstep: 2 exchanges, no scan, no carry merge (round 15)") {
     // Replays one g_labelprop / call-labelprop superstep: messages =
     // (hoisted src-partitioned edge frame ⋈ id-partitioned labels
