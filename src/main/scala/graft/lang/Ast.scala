@@ -257,6 +257,19 @@ final case class SliceAcc(e: Expr, lo: Expr, hi: Expr) extends Expr
   * where it is rejected with a pointer. `exists { … }` parses as
   * `count { … } > 0`. */
 final case class CountPat(pat: Pattern, filter: Option[Expr]) extends Expr
+/** `[ <pattern> [where e] | <expr> ]` — Cypher's pattern comprehension
+  * (round 15 v2): the list of `<expr>` values over the pattern's
+  * expansions, per row. Same parse-time sugar as [[CountPat]]: a
+  * hidden `call { }` subquery returns `collect(<expr>) as %csN` and
+  * the expression becomes the list read `%csN.val` (the map expression
+  * types INSIDE the subquery — it sees the pattern's fresh variables
+  * plus the imports). Two documented deviations, both inherited from
+  * machinery the engine already pins: elements come out SORTED
+  * ascending (the collect determinism rule — Cypher's match order is
+  * nondeterministic anyway), and a zero-match row binds the list to
+  * NULL with the usual with-scalar binding-NULL semantics (Cypher's
+  * `[]`; guard with `null(xs)` or a size predicate). */
+final case class PatComp(pat: Pattern, filter: Option[Expr], map: Expr) extends Expr
 
 /** Node patterns: `(v: L)` declares-and-binds, `(v)` references an
   * existing binding (reference lang.ml:47-50). */

@@ -90,8 +90,9 @@ object Params {
       ReduceE(acc, sE(p)(init), v, sE(p)(l), sE(p)(body))
     case SplitFn(s, sep)     => SplitFn(sE(p)(s), sE(p)(sep))
     // only reachable where the parse-time sugar doesn't rewrite (call
-    // { } bodies, pattern property maps) — typing rejects it there
+    // { } bodies, pattern property maps) — typing rejects them there
     // with a pointer, so substitution inside is moot
     case c: CountPat         => c
+    case c: PatComp          => c
   }
 }

@@ -138,7 +138,10 @@ object Parser {
             // identifier head must be followed by '.'), so no reference-
             // legal program is stolen
             peek match {
-              case TIdent("not") if peek2 == TIdent("exists") =>
+              // the paren keeps the round-15 expression form composable:
+              // `not exists { … }` falls through to the ordinary
+              // expression parser (ULnot over the count-sugar)
+              case TIdent("not") if peek2 == TIdent("exists") && peek3 == TSym("(") =>
                 i += 2
                 pathPattern("not exists")
               // positive form: `exists` is contextual on the following
@@ -378,6 +381,20 @@ object Parser {
           hoisted += CallSub(refs,
             Match(List(pat)) :: filter.map(Where(_): Clause).toList,
             ReturnExt(List((RetAgg(AggCount, RetVar(target)): RetItem, Some(cs))),
+              Nil, None, None))
+          AttribAcc(cs, "val")
+        case PatComp(pat, filter, map) =>
+          // the comprehension's map expression moves INSIDE the
+          // subquery (it reads the pattern's fresh variables), so it is
+          // NOT rewritten here — a nested count { } / comprehension in
+          // it is rejected at typing like the filter case
+          val (refs0, decls) = patternVars(pat)
+          val refs = refs0.distinct.filterNot(decls.contains)
+          csK += 1
+          val cs = s"%cs$csK"
+          hoisted += CallSub(refs,
+            Match(List(pat)) :: filter.map(Where(_): Clause).toList,
+            ReturnExt(List((RetAgg(AggCollect, RetExpr(map)): RetItem, Some(cs))),
               Nil, None, None))
           AttribAcc(cs, "val")
         case c: Const            => c
@@ -1254,6 +1271,18 @@ object Parser {
         i += 1
         expectSym(".")
         AttribAcc(v, ident())
+      // pattern comprehension `[ <pattern> [where e] | <expr> ]`
+      // (round 15 v2): `[` followed by `(` in operand position is
+      // unambiguous — the list-comprehension form below follows with
+      // `x in`. Hoists like count { } (see desugarCountExprs).
+      case TSym("[") if peek2 == TSym("(") =>
+        i += 1
+        val pat = pattern()
+        val filter = if (peek == TKw("where")) { i += 1; Some(expr()) } else None
+        expectSym("|")
+        val map = expr()
+        expectSym("]")
+        PatComp(pat, filter, map)
       // list comprehension `[x in <list> (where p)? (| e)?]` (round
       // 11) — `[` in OPERAND position is unambiguous (the in-list and
       // unwind brackets follow operators/keywords; postfix indexing

@@ -463,10 +463,11 @@ object Typing {
     // count { } is parse-time sugar rewritten in top-level where/with/
     // return positions (see Parser.desugarCountExprs); one reaching
     // typing sits somewhere the rewrite deliberately doesn't touch
-    case CountPat(_, _) =>
-      Left("count { } / exists { } subquery expressions are supported " +
-        "in top-level where/with/return positions only — not inside a " +
-        "call { } body, a pattern property map, or another count { }'s filter")
+    case (_: CountPat) | (_: PatComp) =>
+      Left("count { } / exists { } / [pattern | expr] subquery expressions " +
+        "are supported in top-level where/with/return positions only — not " +
+        "inside a call { } body, a pattern property map, or another " +
+        "subquery expression's filter/map")
     case NullCheck(v) =>
       lookup(env, v) match {
         case None => Left(s"variable $v not bound")

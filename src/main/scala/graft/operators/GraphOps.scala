@@ -1502,6 +1502,49 @@ object GraphOps {
              |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
              |WHERE n.n_name LIKE '%1'""".stripMargin)),
 
+    // pattern comprehensions [ <pattern> | <expr> ] (round 15 v2 —
+    // Cypher's pattern comprehension, same call-subquery sugar): the
+    // per-region nation-key lists, read back through the round-11 list
+    // machinery (sorted-ascending collect determinism ⇒ [0] is the min)
+    Q("gql_patcomp",
+      bindings(
+        """match (r:region)
+          |with r, [ (n:nation) -[:nregion]-> (r) | n.nationkey ] as ks
+          |return r, size(ks.val) as cnt, ks.val[0] as lo""".stripMargin),
+      Some("""SELECT CAST(n_regionkey + 1000000000 AS BIGINT) AS r,
+             |       count(*) AS cnt,
+             |       CAST(min(n_nationkey) AS BIGINT) AS lo
+             |FROM nation GROUP BY n_regionkey""".stripMargin)),
+
+    // the filtered form + the NULL-on-empty semantics: a nation with
+    // zero MACHINERY customers binds the list to NULL, which the size
+    // predicate drops (the documented binding-NULL deviation)
+    Q("gql_patcomp_filter",
+      bindings(
+        """match (n:nation)
+          |with n, [ (c:customer) -[:cnation]-> (n)
+          |          where c.mktsegment = "MACHINERY" | id(c) ] as ms
+          |where size(ms.val) >= 1
+          |return n, size(ms.val) as k, ms.val[0] as first""".stripMargin),
+      Some("""SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS n,
+             |       count(*) AS k,
+             |       CAST(min(c_custkey) + 4000000000 AS BIGINT) AS first
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_mktsegment = 'MACHINERY'
+             |GROUP BY n_nationkey""".stripMargin)),
+
+    // comprehension + unwind: the collected list re-explodes through
+    // the round-11 unwind-expression machinery (string elements)
+    Q("gql_patcomp_unwind",
+      bindings(
+        """match (r:region) where id(r) <= 1000000001
+          |with r, [ (n:nation) -[:nregion]-> (r) | n.name ] as nms
+          |unwind nms.val as nm
+          |return r, nm""".stripMargin),
+      Some("""SELECT CAST(n_regionkey + 1000000000 AS BIGINT) AS r,
+             |       n_name AS nm
+             |FROM nation WHERE n_regionkey <= 1""".stripMargin)),
+
     // hits() — Kleinberg hubs & authorities through the bridge
     // (round 15): the library g_hits fixed-point recurrence over the
     // gql edge set; yields compose with return's top-n unchanged.

@@ -470,6 +470,52 @@ class GoldenSpec extends AnyFunSuite {
     val ra = rows(
       "match (p:P)\nwith p, count { (p) -[:r]-> (q:Q) } as k\nreturn sum(k.val) as t")
     assert(ra == Seq(Seq(4L)), s"got $ra")
+    // not exists { } composes (the paren-less form reaches the
+    // expression parser): only the edge-less c survives
+    val rn = rows("match (p:P)\nwhere not exists { (p) -[:r]-> (q:Q) }\nreturn p")
+    assert(rn == Seq(Seq(5L)), s"got $rn")
+  }
+
+  test("pattern comprehensions: sorted elements, NULL on empty, filter (round 15 v2)") {
+    val g =
+      """(:P {x int})
+        |(:Q {y int})
+        |(:P) -[:r]-> (:Q)
+        |create (a:P {x: 7}) -[:r]-> (q1:Q {y: 10})
+        |create (q2:Q {y: 20})
+        |create (q3:Q {y: 30})
+        |create (b:P {x: 7})
+        |create (a) -[:r]-> (q2)
+        |create (a) -[:r]-> (q3)
+        |create (b) -[:r]-> (q1)
+        |create (c:P {x: 9})
+        |""".stripMargin
+    def rows(q: String): Seq[Seq[Any]] =
+      Engine.runSource(spark, g + q).bindings.collect()
+        .map(_.toSeq.toSeq).toSeq.sortBy(_.mkString(","))
+    // sorted-ascending elements (the collect determinism rule); the
+    // edge-less c binds NULL, dropped by the size guard
+    val r = rows(
+      """match (p:P)
+        |with p, [ (p) -[:r]-> (q:Q) | q.y ] as ys
+        |where size(ys.val) >= 1
+        |return p, size(ys.val) as n, ys.val[0] as lo""".stripMargin)
+    assert(r == Seq(Seq(0L, 3L, 10L), Seq(4L, 1L, 10L)), s"got $r")
+    // the inner filter applies before collection
+    val rf = rows(
+      """match (p:P)
+        |with p, [ (p) -[:r]-> (q:Q) where q.y > 15 | q.y ] as ys
+        |where size(ys.val) >= 1
+        |return p, ys.val[0] as lo, ys.val[1] as hi""".stripMargin)
+    assert(rf == Seq(Seq(0L, 20L, 30L)), s"got $rf")
+    // NULL-on-empty is observable (the documented deviation from
+    // Cypher's []): null() sees it, coalesce-style guards recover
+    val rz = rows(
+      """match (p:P)
+        |with p, [ (p) -[:r]-> (q:Q) | q.y ] as ys
+        |where null(ys)
+        |return p""".stripMargin)
+    assert(rz == Seq(Seq(5L)), s"got $rz")
   }
 
   test("allShortestPaths enumerates every minimal-hop walk (round 15)") {

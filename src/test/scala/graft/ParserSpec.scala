@@ -969,5 +969,38 @@ class ParserSpec extends AnyFunSuite {
     // unterminated body
     intercept[Parser.ParseError](Parser.parse(header +
       "match (a:P)\nwhere count { (a) -[:r]-> (q:Q) > 0\nreturn a"))
+    // `not exists { … }` composes through the expression parser — the
+    // clause-level `not exists (pattern)` interception requires the
+    // paren, so the brace form reaches ULnot over the count sugar
+    val n = Parser.parse(header +
+      "match (a:P)\nwhere not exists { (a) -[:r]-> (q:Q) }\nreturn a")
+    n.query.clauses(2) match {
+      case Where(Un(ULnot, Bin(BCgt, AttribAcc(_, "val"), _))) => ()
+      case other => fail(s"wrong not-exists shape: $other")
+    }
+    // the clause form still wins on the paren
+    assert(Parser.parse(header +
+      "match (a:P)\nwhere not exists (a) -[:r]-> (q:Q)\nreturn a")
+      .query.clauses(1).isInstanceOf[NotExists])
+  }
+
+  test("pattern comprehensions [ pattern | expr ] desugar to collect subqueries (round 15 v2)") {
+    val p = Parser.parse(header +
+      "match (a:P)\nwith a, [ (a) -[:r]-> (q:Q) where q.y > 0 | q.y ] as ys\nreturn a, ys")
+    p.query.clauses(1) match {
+      case CallSub(List("a"), List(_: Match, _: Where), sub: ReturnExt) =>
+        sub.items match {
+          case List((RetAgg(AggCollect, RetExpr(AttribAcc("q", "y")), false), Some(cs))) =>
+            assert(cs.startsWith("%cs"))
+          case other => fail(s"wrong collect item: $other")
+        }
+      case other => fail(s"wrong comprehension desugar: $other")
+    }
+    // the list-comprehension form is untouched: `[x in …]` still parses
+    Parser.parse(header +
+      "match (a:P)\nwith collect(a.x) as xs\nreturn [x in xs.val | x.val * 2] as d")
+    // a comprehension needs its map expression
+    intercept[Parser.ParseError](Parser.parse(header +
+      "match (a:P)\nreturn a, [ (a) -[:r]-> (q:Q) ] as ys"))
   }
 }

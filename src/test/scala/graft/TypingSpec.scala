@@ -1302,5 +1302,19 @@ class TypingSpec extends AnyFunSuite {
       "match (p:P)\ncall { with p match (p) -[:r]-> (q:Q) " +
       "where count { (q) -[:r]-> (z:Q) } > 0 return count(q) as k }\nreturn p, k")
       .contains("count { }"))
+    // pattern comprehensions: the map types INSIDE the subquery (it
+    // reads the fresh pattern variable); a list comes back
+    Typing.compile(header +
+      "match (p:P)\nwith p, [ (p) -[:r]-> (q:Q) | q.y ] as ys\n" +
+      "return p, size(ys.val) as n")
+    // mistyped map surfaces as the ordinary inner error
+    assert(err(header +
+      "match (p:P)\nwith p, [ (p) -[:r]-> (q:Q) | q.nope ] as ys\nreturn p")
+      .contains("nope"))
+    // a nested subquery expression in the map is rejected with a pointer
+    assert(err(header +
+      "match (p:P)\nwith p, [ (p) -[:r]-> (q:Q) | count { (q) -[:r]-> (z:Q) } ] as ys\n" +
+      "return p")
+      .contains("count { }"))
   }
 }
