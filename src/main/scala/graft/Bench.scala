@@ -47,12 +47,14 @@ object Bench {
     // false family retry on an idle run). g grew by labelprop/
     // modularity/clustering/hits, gql by the labelprop/hits bridge
     // procs, call subqueries, allShortestPaths and the bound spellings.
-    // round-15 session-2 growth: g += g_nodesim (8.4), gql += the
-    // clustering/degreedist/harmonic bridge procs + the four count/
-    // exists expression queries + callsub_optional (~45) — isolated
-    // cold-pass measurements, see BASELINE.md's post-record note
-    "g"        -> 167.1,
-    "gql"      -> 237.7, // incl. the 12-proc whole-graph call bridge
+    // round-15 session-2 growth: g += g_nodesim (8.4) + g_walks (16.2
+    // cold-solo), gql += the clustering/degreedist/harmonic bridge
+    // procs + the four count/exists expression queries + the three
+    // pattern-comprehension queries + callsub_optional (~48) —
+    // isolated cold-pass measurements, see BASELINE.md's post-record
+    // note
+    "g"        -> 183.3,
+    "gql"      -> 240.7, // incl. the 12-proc whole-graph call bridge
     "p_stream" -> 28.3,
     "p_dedup"  -> 32.9,
     "q"        -> 13.7,

@@ -576,6 +576,33 @@ object GraphAlgos {
       |  FROM cand JOIN deg ON cand.w = deg.w GROUP BY u, v)
       |SELECT u, v, ra FROM scored ORDER BY ra DESC, u, v LIMIT 20""".stripMargin
 
+  /** Unrolled deterministic random walks (the g_walks recurrence): at
+    * each step the walker at `cur` moves to the neighbor minimizing the
+    * integer hash h(cur, step, nb) — a per-(position, step) PRNG draw
+    * that both engines compute bit-equally (multipliers sized so every
+    * term stays far under int64 even with ANSI overflow checks). The
+    * id tiebreak makes hash collisions deterministic too. */
+  private def walksOracle(steps: Int): String = {
+    val rounds = (1 to steps).map { i =>
+      s"""w$i AS MATERIALIZED (SELECT start, nb AS cur FROM (
+         |  SELECT w.start, adj.nb,
+         |    row_number() OVER (PARTITION BY w.start
+         |      ORDER BY (w.cur * 48271 + $i * 39916801 + adj.nb * 69621) % 1000000007,
+         |               adj.nb) AS rn
+         |  FROM w${i - 1} w JOIN adj ON w.cur = adj.cur) x WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH po AS (SELECT DISTINCT x.l_orderkey AS ok, x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |e AS (SELECT a, b FROM po GROUP BY a, b HAVING count(*) >= 2),
+       |adj AS MATERIALIZED (SELECT a AS cur, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+       |w0 AS MATERIALIZED (SELECT DISTINCT cur AS start, cur FROM adj),
+       |$rounds
+       |SELECT cur AS endpoint, CAST(count(*) AS BIGINT) AS n
+       |FROM w$steps GROUP BY cur""".stripMargin
+  }
+
   private lazy val nodesimOracle: String =
     """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |d AS (SELECT p, count(*) AS d FROM li GROUP BY p),
@@ -1507,6 +1534,55 @@ object GraphAlgos {
           .orderBy(col("jac_ppm").desc, col("u"), col("v")).limit(100)
       },
       Some(nodesimOracle)),
+
+    // ---- deterministic random-walk sampling (round 15 v2) ---------------
+    // The DeepWalk/node2vec corpus-generation primitive: one fixed-length
+    // walk per start node over the SUPPORTED co-purchase graph (pairs
+    // sharing >= 2 orders — the association-support floor g_linkpred
+    // uses), where each step moves to the neighbor minimizing the
+    // integer hash h(cur, step, nb) — a deterministic PRNG draw, so the
+    // walk corpus is bit-reproducible and ORACLE-CHECKABLE (a real
+    // embedding pipeline swaps in per-walk seeds: same plan, different
+    // hash inputs; this is the unbiased p = q = 1 walk). Plan: the
+    // adjacency is hoisted, pre-partitioned on the walker key and
+    // checkpointed ONCE; each step is one co-partitioned join (the
+    // walker frame comes out of the previous argmin hash-partitioned by
+    // start, the adjacency never moves) + one map-side-combined argmin
+    // — L steps = L joins, no driver loop state, no lineage growth
+    // through the checkpoint. At 100 TB walk count scales with |V| and
+    // each step's width is |frontier| = |V| — embarrassingly keyed.
+    // Output: the step-L endpoint histogram (endpoint, n).
+    Q("g_walks",
+      (s, dir) => {
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val sup = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.ok").as("ok"), col("x.pk").as("a"), col("y.pk").as("b"))
+          .distinct()
+          .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+          .filter(col("supp") >= 2).select("a", "b")
+        val adj = Ckpt.eagerPartitioned(
+          sup.select(col("a").as("cur"), col("b").as("nb"))
+            .union(sup.select(col("b").as("cur"), col("a").as("nb")))
+            .repartition(col("cur")))
+        var walks = adj.select(col("cur").as("start")).distinct()
+          .select(col("start"), col("start").as("cur"))
+        for (step <- 1 to 4) {
+          walks = walks.join(adj, Seq("cur"))
+            .select(col("start"), col("nb"),
+              expr(s"(cur * 48271 + $step * 39916801 + nb * 69621) % 1000000007")
+                .as("h"))
+            .groupBy("start")
+            .agg(min(struct(col("h"), col("nb"))).as("m"))
+            .select(col("start"), col("m.nb").as("cur"))
+        }
+        val out = Ckpt.eager(
+          walks.groupBy(col("cur").as("endpoint")).agg(count(lit(1)).as("n")))
+        Ckpt.drop(adj)
+        out
+      },
+      Some(walksOracle(4))),
 
     // ---- label propagation communities (round 15) ----------------------
     // Synchronous LPA over the undirected FK graph — the standard

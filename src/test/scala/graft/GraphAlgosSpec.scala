@@ -262,6 +262,29 @@ class GraphAlgosSpec extends AnyFunSuite {
     }
   }
 
+  test("deterministic random walks equal the in-memory replay (round 15 v2)") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val perOrder = li.toSeq.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSeq
+    val pairs = perOrder.groupBy(identity).filter(_._2.size >= 2).keySet
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (c, es) => c -> es.map(_._2).toSeq.sorted }
+    def hop(cur: Long, step: Int): Long =
+      adj(cur).minBy(nb => ((cur * 48271 + step * 39916801L + nb * 69621) % 1000000007L, nb))
+    val ends = adj.keys.toSeq.map { start =>
+      (1 to 4).foldLeft(start)((cur, step) => hop(cur, step))
+    }
+    val expected = ends.groupBy(identity).map { case (e, xs) => (e, xs.size.toLong) }
+      .toSeq.sorted
+    val got = SparkEntry.queries("g_walks")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == expected)
+  }
+
   // The named 100 TB claim, proved rather than asserted: on a graph
   // whose diameter is NOT schema-bound-small — here a 24-node chain
   // with a 200-leaf hub hanging off one end (high diameter + skew, the
