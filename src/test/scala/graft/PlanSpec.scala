@@ -547,6 +547,37 @@ class PlanSpec extends AnyFunSuite {
     graft.Ckpt.drain()
   }
 
+  test("walk step joins the hoisted adjacency in place (round 15 v2)") {
+    // The g_walks claim: the adjacency is pre-partitioned on the
+    // walker key and checkpointed once, so each step exchanges ONLY
+    // the walker frame (one hash exchange for the argmin re-key; the
+    // small walker side may ride a broadcast into the join) and never
+    // re-reads storage.
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("cur"), (col("c_nationkey") + 1000000L).as("nb"))
+    val adj = graft.Ckpt.eagerPartitioned(
+      e.union(e.select(col("nb").as("cur"), col("cur").as("nb")))
+        .repartition(col("cur")))
+    val walks = adj.select(col("cur").as("start")).distinct()
+      .select(col("start"), col("start").as("cur"))
+    val next = walks.join(adj, Seq("cur"))
+      .select(col("start"), col("nb"),
+        expr("(cur * 48271 + 1 * 39916801 + nb * 69621) % 1000000007").as("h"))
+      .groupBy("start")
+      .agg(min(struct(col("h"), col("nb"))).as("m"))
+      .select(col("start"), col("m.nb").as("cur"))
+    next.count()
+    val p = next.queryExecution.executedPlan.toString
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    val nScan = "Scan parquet".r.findAllIn(p).size
+    assert(nEx <= 2,
+      s"walk step re-exchanged the adjacency ($nEx hash exchanges):\n$p")
+    assert(nScan <= 1,
+      s"walk step re-read the adjacency from storage ($nScan scans):\n$p")
+    graft.Ckpt.drain()
+  }
+
   test("multi-source superstep merge stays co-partitioned on the (seed,id) pair") {
     // The g_harmonic_landmarks shape: the accumulated distance frame is
     // keyed by the COMPOSITE (seed,id) and the per-superstep delta comes
