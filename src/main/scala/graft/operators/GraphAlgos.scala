@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.GraphLoader
-import graft.Ckpt
+import graft.{Bcast, Ckpt}
 
 /** Iterative graph analytics over the parquet→graph projection — the
   * GraphX-flavored extension axis of the engine (reference has none;
@@ -774,12 +774,17 @@ object GraphAlgos {
     * wedge stream (41M wedges vs 1.2M edges at sf0.1). Broadcasting
     * them means the wedge stream is generated, existence-checked, and
     * partially aggregated IN PLACE: zero shuffle/sort of the 41M rows
-    * (it previously cost two 41M-row exchanges + sorts). On a graph
-    * whose edge list outgrows broadcast, drop the hints: the plan
-    * degrades to the SMJ form, still correct, and the degree
-    * orientation still bounds the per-task wedge fan-out. The oracles
-    * enumerate by id order instead; the triangle SET is identical under
-    * any acyclic orientation, so the per-node counts agree.
+    * (it previously cost two 41M-row exchanges + sorts). The hints are
+    * GATED on the measured pair count ([[graft.Bcast]], VERDICT r15):
+    * the pair frame is cached and counted once up front (the count also
+    * pays for itself — every downstream leg used to re-derive the pair
+    * self-join), and on a graph whose edge list outgrows the cap the
+    * hints are absent — the plan degrades to the SMJ form, still
+    * correct, never an executor-OOM broadcast, and the degree
+    * orientation still bounds the per-task wedge fan-out (PlanSpec pins
+    * BOTH shapes). The oracles enumerate by id order instead; the
+    * triangle SET is identical under any acyclic orientation, so the
+    * per-node counts agree.
     *
     * Returns (triCounts id→n_tri over participating nodes only,
     * degrees id→d over every node of the pair graph), memoized per
@@ -791,32 +796,39 @@ object GraphAlgos {
     memoLock.synchronized {
       triFrames.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
       triFrames.getOrElseUpdate((s, dir), {
-        val (tc, deg, o) = coPurchaseTrianglesUncached(s, dir)
+        val (tc, deg, cached) = coPurchaseTrianglesUncached(s, dir)
         // pin the |V|-scale outputs (drain-safe, session-lifetime), then
-        // release the |E|-scale oriented list immediately — a raw cache
-        // would otherwise pin one edge-scale frame per query for the
+        // release the |E|-scale intermediates immediately — a raw cache
+        // would otherwise pin edge-scale frames per query for the
         // session's lifetime
         val out = (Ckpt.pinned(tc), Ckpt.pinned(deg))
-        o.unpersist(false)
+        cached.foreach(_.unpersist(false))
         out
       })
     }
 
+  /** Returns (triangle counts, degrees, |E|-scale cached intermediates
+    * the caller must unpersist once the outputs are materialized). */
   private[graft] def coPurchaseTrianglesUncached(
-      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+      s: SparkSession, dir: String): (DataFrame, DataFrame, Seq[DataFrame]) = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // cached + counted up front: the count feeds the broadcast gates
+    // below AND every downstream leg (deg build, orientation join) used
+    // to re-derive this self-join from storage
     val pairs = li.as("x").join(li.as("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
-    // degree table is |V|-sized (parts, not pairs) — broadcast, so
-    // the two endpoint-degree lookups never shuffle the edge list.
+      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct().cache()
+    val m = pairs.count()
+    // degree table is |V|-sized (parts, not pairs; |V| ≤ 2·|E|, hence
+    // the 2m bound) — broadcast under the gate, so the two endpoint-
+    // degree lookups never shuffle the edge list.
     val deg = pairs.select(col("a").as("id"))
       .union(pairs.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
     val keyed = pairs
-      .join(broadcast(deg.select(col("id").as("a"), col("d").as("da"))), Seq("a"))
-      .join(broadcast(deg.select(col("id").as("b"), col("d").as("db"))), Seq("b"))
+      .join(Bcast.gated(deg.select(col("id").as("a"), col("d").as("da")), 2 * m), Seq("a"))
+      .join(Bcast.gated(deg.select(col("id").as("b"), col("d").as("db")), 2 * m), Seq("b"))
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     val o = keyed.select(
@@ -826,13 +838,13 @@ object GraphAlgos {
     val wedgeOrder = col("e1.ddst") < col("e2.ddst") ||
       (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))
     val tri = o.as("e1")
-      .join(broadcast(o.as("e2")), col("e1.src") === col("e2.src") && wedgeOrder)
+      .join(Bcast.gated(o.as("e2"), m), col("e1.src") === col("e2.src") && wedgeOrder)
       .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
-      .join(broadcast(o.select(col("src").as("v"), col("dst").as("w"))),
+      .join(Bcast.gated(o.select(col("src").as("v"), col("dst").as("w")), m),
         Seq("v", "w"), "left_semi")
     val tc = tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
-    (tc, deg, o)
+    (tc, deg, Seq(o, pairs))
   }
 
   // ---- HITS hubs & authorities (round 15) -----------------------------
@@ -1463,10 +1475,13 @@ object GraphAlgos {
     // sf0.1 graph from 1.2M edges / 148M wedges (56 s measured, all in
     // the (u,v) aggregation) to 3.9k / 2.2k. Plan shape: the supported
     // adjacency, the degree table and the exclusion edge list are tiny
-    // and BROADCAST, so the wedge stream is generated, hub-scored, and
-    // anti-filtered IN PLACE — the only exchanges are the support
-    // groupBy over the raw pair stream and the final (u,v) partial
-    // aggregation. On a corpus where even the SUPPORTED graph has hub
+    // and broadcast UNDER THE MEASURED-COUNT GATE ([[graft.Bcast]],
+    // VERDICT r15 — fed by one cheap count of the already-checkpointed
+    // pair frame; past the cap the hints drop and the joins degrade to
+    // SMJ, correct and OOM-free), so the wedge stream is generated,
+    // hub-scored, and anti-filtered IN PLACE — the only exchanges are
+    // the support groupBy over the raw pair stream and the final (u,v)
+    // partial aggregation. On a corpus where even the SUPPORTED graph has hub
     // centers, the exact mitigation is splitting each hub's adjacency
     // into blocks crossed pairwise (same output, bounded tasks); the
     // approximate one raises the support floor or df-cuts centers.
@@ -1479,18 +1494,21 @@ object GraphAlgos {
           .select(col("x.ok").as("ok"), col("x.pk").as("a"), col("y.pk").as("b")).distinct()
           .groupBy("a", "b").agg(count(lit(1)).as("supp"))
           .filter(col("supp") >= 2).select("a", "b"))
+        // gate feed: counts the already-materialized checkpoint (cheap);
+        // adjacency/degree sides are ≤ 2·nE rows, exclusion side = nE
+        val nE = pairs.count()
         val adj = pairs.select(col("a").as("w"), col("b").as("n"))
           .union(pairs.select(col("b").as("w"), col("a").as("n")))
         val deg = adj.groupBy("w").agg(count(lit(1)).as("d"))
         val wedges = adj.as("x")
-          .join(broadcast(adj.as("y")),
+          .join(Bcast.gated(adj.as("y"), 2 * nE),
             col("x.w") === col("y.w") && col("x.n") < col("y.n"))
           .select(col("x.n").as("u"), col("y.n").as("v"), col("x.w").as("w"))
         val cand = wedges.join(
-          broadcast(pairs.select(col("a").as("u"), col("b").as("v"))),
+          Bcast.gated(pairs.select(col("a").as("u"), col("b").as("v")), nE),
           Seq("u", "v"), "left_anti")
         val scored = cand
-          .join(broadcast(deg), Seq("w"))
+          .join(Bcast.gated(deg, 2 * nE), Seq("w"))
           .select(col("u"), col("v"), expr("1000000000L div d").as("ra"))
           .groupBy("u", "v").agg(sum("ra").as("ra"))
         val out = Ckpt.eager(

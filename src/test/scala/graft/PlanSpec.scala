@@ -737,13 +737,45 @@ class PlanSpec extends AnyFunSuite {
     // UNCACHED build — the query itself serves the round-15 memoized
     // checkpoint once any earlier query in the session built it, which
     // hides the wedge pipeline from its plan.
-    val (tc, _, o) = graft.operators.GraphAlgos.coPurchaseTrianglesUncached(spark, dir)
+    val (tc, _, cached) = graft.operators.GraphAlgos.coPurchaseTrianglesUncached(spark, dir)
     tc.count()
     val p = tc.queryExecution.executedPlan.toString
-    o.unpersist(false)
+    cached.foreach(_.unpersist(false))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"expected broadcast wedge + semi joins in:\n$p")
     assert(p.contains("LeftSemi"), s"expected closing-edge semi join in:\n$p")
+  }
+
+  test("wedge broadcasts degrade to shuffled joins past the measured-count gate") {
+    // VERDICT r15 item 1: the wedge-pipeline broadcast hints are gated
+    // on the MEASURED pair count — above the cap the hints must be
+    // absent (no executor-OOM broadcast of an |E|-scale frame) and the
+    // plan must degrade to the sort-merge form, with IDENTICAL results.
+    val (tcB, _, cB) = graft.operators.GraphAlgos.coPurchaseTrianglesUncached(spark, dir)
+    val base = tcB.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    cB.foreach(_.unpersist(false))
+    // disable the size-based auto-broadcast too: at sf0.001 everything
+    // fits Spark's own threshold, which would re-broadcast the hint-free
+    // plan and hide a gate that failed to drop the hint
+    val key = graft.Bcast.confKey
+    val autoKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevAuto = spark.conf.getOption(autoKey)
+    spark.conf.set(key, "0")
+    spark.conf.set(autoKey, "-1")
+    try {
+      val (tc, _, cached) = graft.operators.GraphAlgos.coPurchaseTrianglesUncached(spark, dir)
+      val rows = tc.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val p = tc.queryExecution.executedPlan.toString
+      cached.foreach(_.unpersist(false))
+      assert(!p.contains("BroadcastHashJoin"),
+        s"broadcast hint survived a zero row cap in:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected shuffled wedge joins past the gate in:\n$p")
+      assert(rows == base, "gated SMJ form changed the triangle counts")
+    } finally {
+      spark.conf.unset(key)
+      prevAuto.fold(spark.conf.unset(autoKey))(v => spark.conf.set(autoKey, v))
+    }
   }
 
   test("quality-model gate projects with zero shuffle (scores at scan speed)") {
