@@ -1833,7 +1833,30 @@ object Engine {
     val raw =
       if (undir) raw0.unionByName(raw0.select(col("dst").as("src"), col("src").as("dst")))
       else raw0
-    val edges = if (seedIsSrc) raw else raw.select(col("dst").as("src"), col("src").as("dst"))
+    val edges0 = if (seedIsSrc) raw else raw.select(col("dst").as("src"), col("src").as("dst"))
+    // Multi-hop closures consume the oriented edge frame once per
+    // superstep. A STORAGE-BACKED relation re-scans in place each hop —
+    // cheap, and for a bucketed store the scan's bucket alignment is
+    // exactly what keeps the per-hop joins exchange-free (PlanSpec pins
+    // it), so a checkpoint would be a pessimization there. A freshly
+    // MUTATED relation is the opposite: its frame carries up to
+    // checkpointEvery union+dedup+join layers of lineage, and
+    // re-planning + re-executing that stack under AQE once per
+    // superstep is quadratic — a 12-hop closure over a 12-create chain
+    // took minutes (round 16). So hoist through ONE shared deferred
+    // checkpoint (the library algos' loop-invariant discipline) exactly
+    // when the frame's own plan does real work: any join, aggregate, or
+    // set-semantics dedup in it.
+    def complexPlan(df: DataFrame): Boolean = {
+      import org.apache.spark.sql.catalyst.plans.{logical => L}
+      df.queryExecution.optimizedPlan.exists {
+        case _: L.Join | _: L.Aggregate | _: L.Deduplicate | _: L.Window => true
+        case _ => false
+      }
+    }
+    val edges =
+      if (hi >= 2 && complexPlan(edges0)) graft.Ckpt.deferredShared(edges0)
+      else edges0
     val identLabel = if (seedIsSrc) key._1 else key._3
     val withHops = dist || path
     val ident =
@@ -1866,7 +1889,17 @@ object Engine {
     // >= 2, window-minimal walks may ride non-shortest prefixes (e.g.
     // a 3-hop walk over a pair at distance 1), so the prune is off and
     // minimality is restored by the closing per-pair filter.
-    val pruned = allPaths && lo <= 1
+    //
+    // The UNBOUNDED closure (round 16) turns the prune on for EVERY
+    // mode — typing guarantees lo <= 1 there, so first reach is the
+    // window-minimal level for the pair (plain closure: membership;
+    // dist: BFS level = min hops; witness: prefix-optimal lex-min,
+    // the same argument as the bounded single-witness prune) — and the
+    // anti-join doubles as the TERMINATION argument: a frontier of
+    // strictly-new pairs empties exactly at the reachability fixed
+    // point.
+    val unbounded = hi == Typing.varPathUnbounded
+    val pruned = unbounded || (allPaths && lo <= 1)
     var reached: DataFrame = null
     def prune(df: DataFrame): DataFrame =
       if (!pruned || reached == null) df
@@ -1876,19 +1909,59 @@ object Engine {
         val pairs = df.select(col("src"), col("dst"))
         reached = if (reached == null) pairs else reached.unionByName(pairs)
       }
+    // depth-1 frontier: seeds × edges, deduped on the pair; and the
+    // hop-extension step shared by the bounded unroll and the
+    // convergence loop
+    def level1: DataFrame =
+      dedup(seeds.join(edges, seeds("seed") === edges("src"))
+        .select(col("seed").as("src") +: col("dst") +:
+          (if (path) Seq((if (seedIsSrc) array(col("seed"), col("dst"))
+                          else array(col("dst"), col("seed"))).as("path"))
+           else Nil): _*))
+    def step(cur: DataFrame): DataFrame =
+      dedup(cur.as("p")
+        .join(edges.as("e"), col("p.dst") === col("e.src"))
+        .select(col("p.src").as("src") +: col("e.dst").as("dst") +:
+          (if (path) Seq((if (seedIsSrc) concat(col("p.path"), array(col("e.dst")))
+                          else concat(array(col("e.dst")), col("p.path"))).as("path"))
+           else Nil): _*))
+    def tag(df: DataFrame, d: Int): DataFrame =
+      if (withHops) df.withColumn("hops", lit(d.toLong)) else df
     val levels =
       if (hi == 0) Nil
+      else if (unbounded) {
+        // convergence-driven closure (round 16, VERDICT r15 item 2): no
+        // unrolled depth — each superstep's frontier of strictly-new
+        // pairs is checkpoint-marked shared (three consumers: the
+        // output union, the next hop's join, the later levels' prunes)
+        // and COUNTED, the count being the superstep's ONLY job (it
+        // materializes the deferred checkpoint AND is the convergence
+        // probe — the deltaCC discipline). Empty frontier ⟺ the
+        // reachability fixed point; exhausting varPathMaxSupersteps
+        // unconverged fails LOUDLY — never the silent truncation the
+        // old default-cap spelling had.
+        ident.foreach(df => reach(df))
+        val out = List.newBuilder[DataFrame]
+        var cur = graft.Ckpt.deferredShared(prune(level1))
+        var d = 1
+        var n = cur.count()
+        out += tag(cur, 1) // lo <= 1 by typing; empty frame is harmless
+        reach(cur)
+        while (n > 0) {
+          require(d < Typing.varPathMaxSupersteps,
+            s"unbounded variable-length path not converged after " +
+              s"${Typing.varPathMaxSupersteps} supersteps — write an explicit bound")
+          d += 1
+          cur = graft.Ckpt.deferredShared(prune(step(cur)))
+          n = cur.count()
+          if (n > 0) { out += tag(cur, d); reach(cur) }
+        }
+        out.result()
+      }
       else {
         if (pruned) ident.foreach(df => reach(df))
-        // depth-1 frontier: seeds × edges, deduped on the pair
-        var cur = prune(dedup(seeds.join(edges, seeds("seed") === edges("src"))
-          .select(col("seed").as("src") +: col("dst") +:
-            (if (path) Seq((if (seedIsSrc) array(col("seed"), col("dst"))
-                            else array(col("dst"), col("seed"))).as("path"))
-             else Nil): _*)))
+        var cur = prune(level1)
         val out = List.newBuilder[DataFrame]
-        def tag(df: DataFrame, d: Int): DataFrame =
-          if (withHops) df.withColumn("hops", lit(d.toLong)) else df
         // a level consumed by BOTH the output union and the next hop's
         // join is materialized once (deferred checkpoint, see scaladoc);
         // a level with a single consumer keeps its lazy plan
@@ -1898,12 +1971,7 @@ object Engine {
         reach(cur)
         if (lo <= 1) out += tag(cur, 1)
         for (d <- 2 to hi) {
-          cur = prune(dedup(cur.as("p")
-            .join(edges.as("e"), col("p.dst") === col("e.src"))
-            .select(col("p.src").as("src") +: col("e.dst").as("dst") +:
-              (if (path) Seq((if (seedIsSrc) concat(col("p.path"), array(col("e.dst")))
-                              else concat(array(col("e.dst")), col("p.path"))).as("path"))
-               else Nil): _*)))
+          cur = prune(step(cur))
           share(d)
           reach(cur)
           if (d >= lo) out += tag(cur, d)

@@ -851,9 +851,15 @@ object Parser {
               case _               => None
             }
             val loV = lo.getOrElse(1)
-            // `*n` with no dots means exactly n; any open upper bound
-            // (`*`, `*lo..`) means the cap
-            val hiV = hi.getOrElse(if (dots || lo.isEmpty) Typing.varPathCap else loV)
+            // `*n` with no dots means exactly n; an open upper bound
+            // with lo <= 1 (`*`, `*0..`, `*1..`) means UNBOUNDED — the
+            // executor runs the closure to convergence (round 16);
+            // open-ended lo >= 2 keeps the documented depth cap (the
+            // window floor breaks the first-reach BFS argument)
+            val hiV = hi.getOrElse(
+              if (dots || lo.isEmpty)
+                (if (loV <= 1) Typing.varPathUnbounded else Typing.varPathCap)
+              else loV)
             // optional shortest-distance binding `as d` — `as` is a
             // CONTEXTUAL identifier (like `order`/`limit`), not a
             // keyword, so reference-legal programs using `as` as a

@@ -2069,6 +2069,31 @@ object GraphOps {
              |      WHERE e.dst IS NOT NULL AND r.d < 3)
              |SELECT DISTINCT src AS a, dst AS b FROM r""".stripMargin)),
 
+    // UNBOUNDED `*` (round 16, VERDICT r15 item 2): no written upper
+    // bound and no silent cap — the engine runs the seeded closure to
+    // its convergence fixed point (deltaCC-style frontier-count probe
+    // per superstep), so the oracle's recursive CTE carries NO level
+    // bound either: both sides compute true reachability. The nnext
+    // chain is acyclic (per-region successor runs), so the CTE
+    // terminates on its own; hop counts come through `as d` to pin the
+    // BFS levels, not just membership.
+    Q("gql_varpath_unbounded",
+      bindings(
+        """match (a:nation) -[:nnext* as d]-> (b:nation)
+          |return a, b, d.hops""".stripMargin),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) + 2000000000 AS src,
+             |         CAST(LEAD(n_nationkey) OVER (PARTITION BY n_regionkey
+             |              ORDER BY n_nationkey) AS BIGINT) + 2000000000 AS dst
+             |  FROM nation),
+             |r AS (SELECT src, dst, 1 AS d FROM e WHERE dst IS NOT NULL
+             |      UNION ALL
+             |      SELECT r.src, e.dst, r.d + 1
+             |      FROM r JOIN e ON r.dst = e.src
+             |      WHERE e.dst IS NOT NULL)
+             |SELECT src AS a, dst AS b, CAST(min(d) AS BIGINT) AS d_hops
+             |FROM r GROUP BY src, dst""".stripMargin)),
+
     // shortest-path distance binding `as d` (Cypher shortestPath +
     // length(p), without path values): d.hops = minimal hop count per
     // reachable pair within the bounds window, flowing through the

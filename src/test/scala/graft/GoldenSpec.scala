@@ -1713,4 +1713,31 @@ class GoldenSpec extends AnyFunSuite {
       "BroadcastHashJoin".r.findAllIn(a).size >= 2,
       s"fused 2-hop equi-joins missing from:\n$a")
   }
+
+  test("bare * varpath runs to convergence on a diameter-12 chain (round 16)") {
+    // VERDICT r15 item 2: the open spellings used to default to the
+    // depth-10 cap, so on this 13-node chain `-[:nx*]->` silently lost
+    // the 11- and 12-hop pairs (75 rows instead of 78) — the one place
+    // the engine's answer diverged from Cypher reachability without an
+    // error. The convergence-driven closure must return ALL 78 pairs,
+    // with exact BFS hop counts through the `as d` binding.
+    val creates = (0 to 12).map(i => s"create (n$i:C)").mkString("\n")
+    val chain = (0 until 12).map(i => s"create (n$i) -[:nx]-> (n${i + 1})").mkString("\n")
+    val src =
+      s"""(:C {})
+         |(:C) -[:nx]-> (:C)
+         |$creates
+         |$chain
+         |match (s:C) -[:nx* as d]-> (t:C)
+         |return s, t, d.hops
+         |""".stripMargin
+    val r = Engine.runSource(spark, src)
+    val rows = r.bindings.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val want = (for (i <- 0 to 12; j <- (i + 1) to 12)
+      yield (i.toLong, j.toLong, (j - i).toLong)).toSet
+    assert(rows.size == 78 && rows == want,
+      s"unbounded chain closure mismatch (${rows.size} rows): " +
+        s"missing ${want -- rows}, extra ${rows -- want}")
+  }
 }

@@ -163,7 +163,12 @@ class ParserSpec extends AnyFunSuite {
       }
     }
     val cap = graft.lang.Typing.varPathCap
-    assert(boundsOf("(a:N) -[:next*]-> (b:N)") == (1, cap))
+    val unb = graft.lang.Typing.varPathUnbounded
+    // open upper bound with lo <= 1 is UNBOUNDED (round 16 — the
+    // executor runs the closure to convergence); lo >= 2 keeps the cap
+    // (the window floor breaks first-reach BFS)
+    assert(boundsOf("(a:N) -[:next*]-> (b:N)") == (1, unb))
+    assert(boundsOf("(a:N) -[:next*0..]-> (b:N)") == (0, unb))
     assert(boundsOf("(a:N) -[:next*3]-> (b:N)") == (3, 3))
     assert(boundsOf("(a:N) -[:next*2..]-> (b:N)") == (2, cap))
     assert(boundsOf("(a:N) -[:next*..4]-> (b:N)") == (1, 4))
@@ -171,7 +176,7 @@ class ParserSpec extends AnyFunSuite {
     val p = Parser.parse(
       "(:N {})\n(:N) -[:next]-> (:N)\nmatch (a:N) -[:next* as d]-> (b:N)\nreturn a, d")
     val pats = p.query.clauses.collectFirst { case Match(ps) => ps }.get
-    assert(pats == List(VarPattern(DeclPattern("a", "N"), "next", 1, cap,
+    assert(pats == List(VarPattern(DeclPattern("a", "N"), "next", 1, unb,
       SimpPattern(DeclPattern("b", "N")), Some("d"))))
   }
 

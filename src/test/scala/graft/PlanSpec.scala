@@ -350,8 +350,12 @@ class PlanSpec extends AnyFunSuite {
     // checkpoint (one LogicalRDD leaf per materialized level, its single
     // edge scan inside the checkpoint lineage, computed once), and the
     // residual plan holds exactly ONE edge scan (the last hop's join).
-    // Without the level materialization each union branch re-embeds the
-    // prior chain and the analyzed plan holds O(hi²) edge leaves — the
+    // (A CHEAP leaf-backed edge frame like this one is deliberately NOT
+    // hoisted behind a checkpoint — round 16 hoists only mutation-built
+    // frames whose plans do real work; the bucketed-store varpath test
+    // pins the in-place re-scan this preserves.) Without the level
+    // materialization each union branch re-embeds the prior chain and
+    // the analyzed plan holds O(hi²) edge leaves — the
     // full-closure-shaped blowup this test exists to forbid.
     val seed1 = Seq(0L).toDF("seed")
     for (hi <- 1 to 4) {
@@ -395,6 +399,61 @@ class PlanSpec extends AnyFunSuite {
         .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
       assert(seededP == want.keySet, s"($lo,$hi) seeded pairs != closure pairs")
     }
+  }
+
+  test("unbounded varpath converges: one checkpointed level per superstep, then stops") {
+    // Round 16 (VERDICT r15 item 2): hi == varPathUnbounded runs the
+    // seeded closure to its fixed point with the reached-pair anti-join
+    // as both prune and termination. On the cyclic diamond the pair set
+    // saturates at all 16 (every node reaches every node through the
+    // cycle, incl. itself): levels carry 5 + 5 + 6 strictly-new pairs,
+    // the 4th frontier is empty and stops the loop — no unrolled-to-cap
+    // join chain, no infinite loop on the cycle. Plan pin: the result
+    // is a union of exactly the 3 materialized level checkpoints
+    // (LogicalRDD leaves) with NO residual raw edge scan — every hop's
+    // edge scan lives inside its level's checkpoint, computed once by
+    // the superstep's count probe. Hop counts are the BFS levels.
+    import spark.implicits._
+    import graft.engine.Engine
+    val src =
+      """(:N {x int})
+        |(:N) -[:next]-> (:N)
+        |create (a:N) create (b:N) create (c:N) create (d:N)
+        |create (a) -[:next]-> (b), (a) -[:next]-> (c)
+        |create (b) -[:next]-> (d), (c) -[:next]-> (d), (d) -[:next]-> (a)
+        |""".stripMargin
+    val r = Engine.runSource(spark, src)
+    val edgeSet = Set(0L -> 1L, 0L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 0L)
+    val key = ("N", "next", "N")
+    val g = graft.engine.PropertyGraph(r.graph.schema, r.graph.nodes,
+      Map(key -> edgeSet.toSeq.toDF("src", "dst")))
+    val allSeeds = (0L to 3L).toDF("seed")
+    val reach = Engine.varPathReachSeeded(g, key, 1,
+      graft.lang.Typing.varPathUnbounded, allSeeds, seedIsSrc = true, dist = true)
+    val a = reach.queryExecution.analyzed.toString
+    assert("LogicalRDD".r.findAllIn(a).size == 3,
+      s"expected exactly 3 materialized level leaves in:\n$a")
+    assert("LocalRelation \\[_1#".r.findAllIn(a).size == 0,
+      s"expected no residual edge scan (all hops inside checkpoints) in:\n$a")
+    val got = reach.collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val want = Map(
+      (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 1L, (3L, 0L) -> 1L,
+      (0L, 3L) -> 2L, (1L, 0L) -> 2L, (2L, 0L) -> 2L, (3L, 1L) -> 2L, (3L, 2L) -> 2L,
+      (0L, 0L) -> 3L, (1L, 1L) -> 3L, (2L, 2L) -> 3L, (3L, 3L) -> 3L,
+      (1L, 2L) -> 3L, (2L, 1L) -> 3L)
+    assert(got == want, s"unbounded BFS levels mismatch: $got")
+    // plain (non-dist) unbounded returns the same saturated pair set,
+    // and the zero-length floor adds the identity at hop 0
+    val plain = Engine.varPathReachSeeded(g, key, 1,
+      graft.lang.Typing.varPathUnbounded, allSeeds, seedIsSrc = true, dist = false)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(plain == want.keySet)
+    val zero = Engine.varPathReachSeeded(g, key, 0,
+      graft.lang.Typing.varPathUnbounded, allSeeds, seedIsSrc = true, dist = true)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(zero == want ++ (0L to 3L).map(n => (n, n) -> 0L).toMap,
+      s"zero-floor unbounded mismatch: $zero")
   }
 
   test("superstep merge does not re-shuffle an eagerPartitioned checkpoint (AQE on)") {
