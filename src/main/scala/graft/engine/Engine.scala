@@ -842,6 +842,16 @@ object Engine {
           dists.filter(col("d") > 0)
             .groupBy("id").agg(sum(expr("1000000 div d")).as("h"))
             .select(col("id").as(cols(0)), col("h").as(cols(1)))
+        case "scc" =>
+          // strongly connected components over the scoped DIRECTED edge
+          // set (round 16) — delegates to the library coloringSCC
+          // (FW-BW-Trim; algorithm + scale notes there). comp = max
+          // member id: deterministic, so oracle-checkable closed-form.
+          // Nodes outside the scoped edge set trim out as singletons in
+          // the first pass, so the result covers the whole graph like
+          // cc() does.
+          val labels = graft.operators.GraphAlgos.coloringSCC(allNodes, allEdges)
+          labels.select(col("id").as(cols(0)), col("scc").as(cols(1)))
         case "hits" =>
           // Kleinberg HITS (round 15): 8 two-phase power iterations in
           // max-normalized 1e6 fixed point — the library g_hits

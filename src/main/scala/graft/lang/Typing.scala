@@ -308,7 +308,8 @@ object Typing {
         "hits"      -> ((List(Nil, List(StringT)), 3)),
         "clustering"  -> ((List(Nil, List(StringT)), 2)),
         "degreedist"  -> ((List(Nil, List(StringT)), 2)),
-        "harmonic"    -> ((List(Nil, List(StringT)), 2)))
+        "harmonic"    -> ((List(Nil, List(StringT)), 2)),
+        "scc"         -> ((List(Nil, List(StringT)), 2)))
 
   /** Bind `target` to the pattern-order concatenation of per-segment
     * named-path witnesses, and `%rels_<target>` to the hop-label list

@@ -1839,9 +1839,15 @@ object GraphAlgos {
       }
       if (nRemaining > 0) {
         // ---- 2. forward max-color propagation to fixpoint --------------
-        var colors = Ckpt.eagerPartitioned(
+        // the deltaCC frame lifecycle: each superstep's joined frame is
+        // the ONLY materialization (deferred checkpoint + count probe);
+        // colors/changed are lazy projections over it, and the previous
+        // superstep's frame is released only once the next one is
+        // materialized
+        var prevJ: DataFrame = Ckpt.eagerPartitioned(
           remaining.select(col("id"), col("id").as("c")))
-        var changed = colors
+        var colors: DataFrame = prevJ
+        var changed: DataFrame = prevJ
         var steps = 0
         var converged = false
         while (!converged) {
@@ -1853,13 +1859,12 @@ object GraphAlgos {
             .groupBy("id").agg(max("cand").as("cand"))
           val joined = Ckpt.deferredPartitioned(colors.join(cand, Seq("id"), "left"))
           val nChanged = joined.filter(col("cand") > col("c")).count()
-          val next = joined
+          Ckpt.drop(prevJ)
+          prevJ = joined
+          colors = joined
             .select(col("id"), greatest(col("c"), coalesce(col("cand"), col("c"))).as("c"))
           changed = joined.filter(col("cand") > col("c"))
             .select(col("id"), col("cand").as("c"))
-          Ckpt.drop(colors)
-          colors = Ckpt.eagerPartitioned(next)
-          Ckpt.drop(joined)
           converged = nChanged == 0L
         }
         // ---- 3. backward reach from roots within their color -----------
@@ -1893,7 +1898,7 @@ object GraphAlgos {
         nRemaining = keep.count()
         shrink(keep)
         Ckpt.drop(members)
-        Ckpt.drop(colors)
+        Ckpt.drop(prevJ) // the final colors frame, done serving backward
       }
     }
     Ckpt.drop(remaining); Ckpt.drop(remS); Ckpt.drop(remD)
@@ -1918,7 +1923,11 @@ object GraphAlgos {
       |e AS (SELECT a AS src, b AS dst FROM sup WHERE supp >= 2
       |      UNION ALL
       |      SELECT b, a FROM sup WHERE supp >= 3),
-      |n AS (SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e),
+      |-- explicit DISTINCT over UNION ALL: inside a WITH RECURSIVE list
+      |-- DuckDB treats a bare UNION CTE as an anchor/step pair and does
+      |-- NOT dedup across the arms
+      |n AS (SELECT DISTINCT id FROM (
+      |        SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
       |r AS (SELECT src, dst FROM e
       |      UNION
       |      SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),

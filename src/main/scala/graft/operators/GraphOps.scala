@@ -1622,6 +1622,33 @@ object GraphOps {
           |limit 50""".stripMargin),
       Some(callHarmonicOracle)),
 
+    // scc("nnext") — strongly connected components through the bridge
+    // (round 16), exercised against a graph the program itself makes
+    // CYCLIC: each of regions 0-2 gets a wrap-around nnext edge from
+    // its chain tail (no outgoing nnext) to its chain head (no
+    // incoming), turning those chains into directed cycles. Scoped SCC
+    // must then fuse each wrapped region's nations into ONE component
+    // labeled the region's max nation id, leave regions 3-4 as
+    // singletons, and the where prunes the non-nation singleton mass.
+    // The oracle is closed-form from the nation table — no closure
+    // needed, the construction pins the answer.
+    Q("gql_call_scc",
+      bindings(
+        """match (a:nation), (b:nation)
+          |where a.regionkey = b.regionkey and a.regionkey <= 2
+          |  and not exists { (a) -[:nnext]-> (x:nation) }
+          |  and not exists { (y:nation) -[:nnext]-> (b) }
+          |create (a) -[:nnext]-> (b)
+          |call scc("nnext") yield id, comp
+          |where id.val >= 2000000000 and id.val < 3000000000
+          |return comp, count(distinct id) as n""".stripMargin),
+      Some("""SELECT CAST(2000000000 + max(n_nationkey) AS BIGINT) AS comp,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM nation WHERE n_regionkey <= 2 GROUP BY n_regionkey
+             |UNION ALL
+             |SELECT CAST(2000000000 + n_nationkey AS BIGINT), CAST(1 AS BIGINT)
+             |FROM nation WHERE n_regionkey > 2""".stripMargin)),
+
     // $name query parameters (round 12 — Cypher's `$param`): typed
     // constants substituted BEFORE typing, so the parameterized filter
     // is a foldable literal to Catalyst — same pushdown as a
