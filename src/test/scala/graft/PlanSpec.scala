@@ -204,6 +204,13 @@ class PlanSpec extends AnyFunSuite {
     val pph = plan("p_mm_png_phash")
     assert("Exchange".r.findAllIn(pph).size <= 1,
       s"expected the single per-doc tally exchange in:\n$pph")
+    // the LOSSY transform-format leg (round 16): javax.imageio JPEG
+    // decode (and decode→halve resize) ride the same scan →
+    // mapPartitions shape — decode-at-read, zero shuffles
+    val pj = plan("p_mm_jpeg_decode")
+    assert(!pj.contains("Exchange"), s"unexpected shuffle in:\n$pj")
+    val pjr = plan("p_mm_jpeg_resize")
+    assert(!pjr.contains("Exchange"), s"unexpected shuffle in:\n$pjr")
   }
 
   test("aggregation uses map-side partial aggregates") {
