@@ -124,6 +124,57 @@ object CurateOps {
            |FROM dd""".stripMargin
       }),
 
+    // ---- PII redaction (round 16, VERDICT r15 item 5) -----------------
+    // Regex-based email/phone/id-number sentinel replacement — the
+    // curation gap a training-data pipeline can't ship without. The
+    // corpus text carries no PII, so each doc is AUGMENTED with
+    // deterministic synthetic contact lines (email, +1-555 phone,
+    // SSN-shaped id derived from doc_id — identical construction on
+    // both engines), then scrubbed with three patterns in the pinned
+    // Spark∩DuckDB regex dialect (the gql_regex subset: character
+    // classes, bounded repeats, alternation — no lookaround, no \d
+    // shorthand). Output: per-kind match counts (regexp_extract_all
+    // size, NOT a count-distinct — duplicate PII must count twice) and
+    // the md5 of the fully scrubbed text, putting every rewritten byte
+    // on the oracle path. Codegen'd projections at scan speed, zero
+    // shuffles; PipelineSpec pins that CLEAN text is a fixed point of
+    // the scrub chain (no false rewrites).
+    Q("p_curate_pii",
+      (s, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val idRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+        val phoneRe = "\\+1-555-[0-9]{4}"
+        // patterns ride as lit() columns (no SQL-literal backslash
+        // unescaping to second-guess); counts via regexp_extract_all
+        val pad4 = (c: org.apache.spark.sql.Column) => lpad(c.cast("string"), 4, "0")
+        docs(s, dir)
+          .withColumn("aug", concat(
+            col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@ex-"), (col("doc_id") % 7).cast("string"), lit(".org call +1-555-"),
+            pad4(col("doc_id") % 10000),
+            lit(" ref 123-45-"), pad4(col("doc_id") % 10000)))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))).cast("long").as("n_email"),
+            size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0))).cast("long").as("n_phone"),
+            size(regexp_extract_all(col("aug"), lit(idRe), lit(0))).cast("long").as("n_id"),
+            md5(regexp_replace(regexp_replace(regexp_replace(col("aug"),
+              emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), idRe, "<ID>")).as("scrub_md5"))
+      },
+      Some("""WITH aug AS (SELECT doc_id,
+             |    text || ' contact user' || doc_id || '@ex-' || (doc_id % 7)
+             |         || '.org call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |         || ' ref 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS a
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(a, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phone,
+             |  CAST(len(regexp_extract_all(a, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_id,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(a,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+             |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<ID>', 'g')) AS scrub_md5
+             |FROM aug""".stripMargin)),
+
     // ---- repetition scoring (Gopher-style top-bigram fraction) --------
     // Per doc: the most frequent word bigram and the fraction of all
     // bigram slots it occupies — the classic boilerplate/repetition
@@ -194,7 +245,16 @@ object CurateOps {
           // ttr > 0.2  <=>  5 * n_uniq > n_words, in exact integers
           .filter(col("n_words") >= 5 && col("n_uniq") * 5 > col("n_words"))
           .filter(expr(s"($digit) < ($rateExpr)"))
-          .select(col("doc_id"), col("lang"), col("source"))
+          // final stage (round 16): PII scrub of the kept text — same
+          // regex chain as p_curate_pii, riding the projection at scan
+          // speed. The corpus text is clean, so the digest equals
+          // md5(text) — which is exactly the no-false-rewrite property
+          // on the oracle path (PipelineSpec pins it directly too).
+          .select(col("doc_id"), col("lang"), col("source"),
+            md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+              "\\+1-555-[0-9]{4}", "<PHONE>"),
+              "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<ID>")).as("pii_scrub_md5"))
       },
       Some("""WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents
              |              GROUP BY md5(text)),
@@ -205,7 +265,11 @@ object CurateOps {
              |bench AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 20 = 0),
              |contaminated AS (SELECT DISTINCT doc_id FROM dsh JOIN bench USING (shingle)
              |                 WHERE doc_id % 20 <> 0)
-             |SELECT d.doc_id, d.lang, d.source
+             |SELECT d.doc_id, d.lang, d.source,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(d.text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+             |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<ID>', 'g')) AS pii_scrub_md5
              |FROM documents d
              |JOIN surv USING (doc_id)
              |JOIN dd USING (doc_id)

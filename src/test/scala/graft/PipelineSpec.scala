@@ -552,6 +552,30 @@ class PipelineSpec extends AnyFunSuite {
       assert((m == orig(id)) == (n == 0), s"doc $id: n_redacted=$n digest drift")
   }
 
+  test("PII scrub: every planted item caught, clean text is a fixed point (round 16)") {
+    // the augmentation plants EXACTLY one email, one phone, one id per
+    // doc; counts must say so (no under-match) and the scrubbed digest
+    // must differ from the augmented text's digest (rewrite happened)
+    val rows = run("p_curate_pii").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(1) == 1L, s"doc ${r.getLong(0)}: n_email=${r.getLong(1)}")
+      assert(r.getLong(2) == 1L, s"doc ${r.getLong(0)}: n_phone=${r.getLong(2)}")
+      assert(r.getLong(3) == 1L, s"doc ${r.getLong(0)}: n_id=${r.getLong(3)}")
+    }
+    // no false rewrite: the CLEAN corpus text must be a fixed point of
+    // the same scrub chain — pinned via the pipeline's pii_scrub_md5
+    // column, which runs the chain over the raw text
+    val piped = run("p_curate_pipeline").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(piped.nonEmpty)
+    val orig = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), md5(col("text")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, m) <- piped)
+      assert(m == orig(id), s"doc $id: clean text rewritten by the PII scrub")
+  }
+
   test("repetition: top-bigram fraction in (0, 1], count >= 1") {
     val rows = run("p_curate_repetition").collect()
     assert(rows.forall(_.getLong(2) >= 1))
