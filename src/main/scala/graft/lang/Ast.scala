@@ -523,7 +523,12 @@ final case class WithClause(
     order: List[(RetItem, Boolean)],
     skip: Option[Expr],
     limit: Option[Expr],
-    distinct: Boolean = false) extends Clause
+    distinct: Boolean = false,
+    // attached `where` sugar (round 16 — Cypher's `WITH … WHERE p`):
+    // desugars to the standalone where INSTRUCTION after the
+    // projection, matching Cypher's subclause order (projection →
+    // order/skip/limit → filter)
+    where: Option[Expr] = None) extends Clause
 /** `optional match (a) -[:r]-> (b:B) [-[:s]-> (c:C) …]` (engine
   * extension): keep every existing row; bind the pattern's declared tail
   * variables to each full-path witness reachable from the head, or ALL

@@ -303,7 +303,10 @@ object Normalize {
     case Where(e)                 => List(IWhere(e))
     case Return(vs)               => List(IReturn(vs))
     case ReturnExt(its, ord, sk, lim, dist) => List(IReturnExt(its, ord, sk, lim, dist))
-    case WithClause(its, ord, sk, lim, dist) => List(IWith(its, ord, sk, lim, dist))
+    // attached where (round 16): the filter desugars to the standalone
+    // where instruction AFTER the projection — Cypher's subclause order
+    case WithClause(its, ord, sk, lim, dist, wh) =>
+      IWith(its, ord, sk, lim, dist) :: wh.map(IWhere.apply).toList
     case OptMatch(pat0) =>
       // the HEAD node is matched non-optionally (a fresh decl match-binds
       // it, with its props as ordinary outer where-conjuncts); only the

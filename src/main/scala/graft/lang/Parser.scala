@@ -435,9 +435,10 @@ object Parser {
         case ReturnExt(items, order, skip, limit, d) =>
           ReturnExt(items.map { case (it, a) => (rwR(it), a) },
             order.map { case (it, asc) => (rwR(it), asc) }, skip, limit, d)
-        case WithClause(items, order, skip, limit, d) =>
+        case WithClause(items, order, skip, limit, d, wh) =>
           WithClause(items.map { case (it, a) => (rwR(it), a) },
-            order.map { case (it, asc) => (rwR(it), asc) }, skip, limit, d)
+            order.map { case (it, asc) => (rwR(it), asc) }, skip, limit, d,
+            wh.map(rwE))
         case other => other
       }
       hoisted.result() :+ rewritten
@@ -603,7 +604,11 @@ object Parser {
       one()
       while (peek == TSym(",")) { i += 1; one() }
       val (ord, skip, limit) = orderLimit()
-      WithClause(items.result(), ord, skip, limit, distinct)
+      // attached `where` (round 16 — Cypher allows the filter as a WITH
+      // subclause, after order/skip/limit): sugar for a separate where
+      // clause over the projected rows
+      val wh = if (peek == TKw("where")) { i += 1; Some(expr()) } else None
+      WithClause(items.result(), ord, skip, limit, distinct, wh)
     }
 
     private def retItem(): RetItem = peek match {

@@ -651,6 +651,21 @@ object GraphOps {
              |       20000000000 AS t2
              |FROM nation WHERE n_regionkey = 0 OR n_nationkey < 4""".stripMargin)),
 
+    // --- `with … where` sugar (round 16, VERDICT r15 item 7): Cypher
+    // allows the filter attached to the projection; it desugars to a
+    // standalone where AFTER the with (projection → order/skip/limit →
+    // filter), so the predicate sees exactly the projected scope — the
+    // aggregate alias here, like SQL's HAVING.
+    Q("gql_with_where",
+      bindings(
+        """match (c:customer) -[:cnation]-> (n:nation)
+          |with n, count(c) as cnt where cnt.val >= 8
+          |return n, cnt.val as cnt""".stripMargin),
+      Some("""SELECT CAST(n_nationkey + 2000000000 AS BIGINT) AS n,
+             |       CAST(count(*) AS BIGINT) AS cnt
+             |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |GROUP BY n_nationkey HAVING count(*) >= 8""".stripMargin)),
+
     // --- unwind: per-row list explosion (Cypher UNWIND; round 10).
     // Elements are full expressions evaluated per row; the alias binds
     // a scalar pseudo-label, so `k.val` feeds the typed where machinery.

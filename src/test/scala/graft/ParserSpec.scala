@@ -450,11 +450,33 @@ class ParserSpec extends AnyFunSuite {
       List("substring"))
   }
 
+  test("with ... where sugar: filter parses attached, after order/limit (round 16)") {
+    val p = Parser.parse(header +
+      "match (a:P)\nwith a, a.x as v order by a limit 5 where v.val >= 2\nreturn a")
+    val wc = p.query.clauses.collectFirst { case w: WithClause => w }.get
+    assert(wc.limit == Some(Const(IntV(5L))), "order/limit parse before the attached where")
+    wc.where match {
+      case Some(Bin(BCge, AttribAcc("v", "val"), Const(IntV(2L)))) => ()
+      case other => fail(s"attached where shape: $other")
+    }
+    // desugar: the filter becomes a standalone where INSTRUCTION after
+    // the projection (Cypher's subclause order)
+    val tp = Typing.compile(header +
+      "create (a:P)\nset a.x = 3\nmatch (p:P)\nwith p, p.x as v where v.val >= 2\nreturn p")
+    val iWith = tp.instrs.indexWhere(_.isInstanceOf[Typing.RWith])
+    val iWhere = tp.instrs.lastIndexWhere(_.isInstanceOf[Typing.RWhere])
+    assert(iWith >= 0 && iWhere == iWith + 1,
+      s"expected RWhere right after RWith, got ${tp.instrs}")
+    // a with WITHOUT the sugar is untouched (None, no trailing filter)
+    val q = Parser.parse(header + "match (a:P)\nwith a as b\nreturn b")
+    assert(q.query.clauses.collectFirst { case w: WithClause => w }.get.where.isEmpty)
+  }
+
   test("projection items classify: var / attr / expression / agg-over-expr") {
     val p = Parser.parse(header +
       "match (a:P)\nwith a, a.x as b, a.x + 1 as c, sum(a.x * 2) as d, 7 as e\nreturn a")
     val items = p.query.clauses.collectFirst {
-      case WithClause(its, _, _, _, _) => its }.get
+      case WithClause(its, _, _, _, _, _) => its }.get
     assert(items(0) == ((RetVar("a"), None)))
     assert(items(1) == ((RetAttr("a", "x"), Some("b"))))          // lone attr stays RetAttr
     items(2) match {
@@ -549,7 +571,7 @@ class ParserSpec extends AnyFunSuite {
   test("collect, list indexing, and unwind-variable parse (round 11)") {
     // collect is an ordinary aggregate name
     val p = Parser.parse(header + "match (a:P)\nwith collect(a.x) as xs\nreturn xs")
-    val items = p.query.clauses.collectFirst { case WithClause(its, _, _, _, _) => its }.get
+    val items = p.query.clauses.collectFirst { case WithClause(its, _, _, _, _, _) => its }.get
     assert(items.head == ((RetAgg(AggCollect, RetAttr("a", "x"), distinct = false), Some("xs"))))
     // postfix index binds tighter than operators; chains left
     val e = Parser.parse(header +

@@ -262,6 +262,17 @@ class TypingSpec extends AnyFunSuite {
       .contains("not bound"))
   }
 
+  test("with ... where sugar scopes to the PROJECTED bindings (round 16)") {
+    // the attached where desugars AFTER the projection, so it sees the
+    // new scope: a binding the with dropped is a typing error there…
+    assert(err(header + "create (a:P)\ncreate (b:Q)\nwith a where b.y = 1\nreturn a")
+      .contains("not bound"))
+    // …while the projected items (node and scalar alike) type-check
+    val tp = Typing.compile(header +
+      "create (a:P)\nset a.x = 3\nmatch (p:P)\nwith p, p.x as v where v.val >= 2 and p.x < 9\nreturn p")
+    assert(tp.instrs.exists(_.isInstanceOf[Typing.RWhere]))
+  }
+
   test("with scalar: .val reads, other attrs rejected, set/delete rejected") {
     val tp = Typing.compile(header +
       "create (a:P)\nwith a, a.x as w\nwhere w.val > 1\nreturn a, w.val")
