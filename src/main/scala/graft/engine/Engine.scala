@@ -800,14 +800,32 @@ object Engine {
           // the library g_harmonic_landmarks recurrence — ONE
           // multi-source BFS whose frontier carries a seed column (all
           // K trees advance in the same superstep joins, K·|V| total
-          // messages), seeds = the region id band (< 2e9, the loader's
-          // band scheme), ĥ(v) = Σ_s 1/d(s,v) summed in 1e-6 fixed
+          // messages), ĥ(v) = Σ_s 1/d(s,v) summed in 1e-6 fixed
           // point (integer div — order-free, bit-equal cross-engine).
           // Same frontier-delta discipline as call bfs().
+          //
+          // Seed set = ids below a band bound: an optional leading int
+          // argument (`call harmonic(1000)`), defaulting to the
+          // loader's region band (< 2e9). ADVICE r15: on a user-built
+          // graph with small dense ids the default band would silently
+          // make EVERY node a seed — all-sources instead of landmark
+          // harmonic — so the DEFAULT band is guarded loudly below;
+          // an explicit argument states intent and skips the guard.
+          val bandArg = args.collectFirst { case IntV(v) => v }
+          val band = bandArg.getOrElse(2000000000L)
           val ue = hoistUndirected()
-          val seeds = allNodes.filter(col("id") < 2000000000L)
+          val seeds = allNodes.filter(col("id") < band)
             .select(col("id").as("seed"), col("id"), lit(0L).as("d"))
           var dists = graft.Ckpt.eager(seeds)
+          if (bandArg.isEmpty) {
+            val nSeeds = dists.count() // cheap: counts the checkpoint
+            val nOut = allNodes.filter(col("id") >= band).count()
+            require(nSeeds > 0 && nOut > 0,
+              "call harmonic(): the default seed band (id < 2000000000, the " +
+                s"parquet loader's region band) selects $nSeeds of " +
+                s"${nSeeds + nOut} nodes on this graph — not a landmark set. " +
+                "Pass the seed band explicitly: call harmonic(<id bound>).")
+          }
           var frontier = graft.Ckpt.eager(seeds)
           var converged = false
           var stepN = 0

@@ -278,9 +278,13 @@ object Parser {
       // three operand forms: a bracket literal, a bound LIST variable
       // (round 11 — `with collect(…) as xs unwind xs as x`), or a
       // general list EXPRESSION (`unwind range(1, n.x) as i`,
-      // `unwind xs.val as x`) — disambiguated by lookahead
-      if (compAhead(0) || (peek.isInstanceOf[TIdent] &&
-          (peek2 == TSym(".") || peek2 == TSym("(")))) {
+      // `unwind xs.val as x`, and — round 16, ADVICE r15 — a pattern
+      // comprehension `unwind [ (a)-[:r]->(b) | b.x ] as v`, whose
+      // `[ (` prefix is unambiguous vs the bracket literal) —
+      // disambiguated by lookahead
+      if (compAhead(0) || (peek == TSym("[") && peek2 == TSym("(")) ||
+          (peek.isInstanceOf[TIdent] &&
+            (peek2 == TSym(".") || peek2 == TSym("(")))) {
         val e = expr()
         peek match {
           case TIdent("as") => i += 1
@@ -367,10 +371,23 @@ object Parser {
       * rejects it with a pointer. */
     private def desugarCountExprs(c: Clause): List[Clause] = {
       val hoisted = List.newBuilder[Clause]
-      def rwE(e: Expr): Expr = e match {
+      // `lam` = list-lambda variables in scope at this position (any/
+      // all/none/single, list comprehensions, reduce). A subquery
+      // expression whose PATTERN references one cannot be hoisted — the
+      // hoist would land before the consuming clause, outside the
+      // lambda, where the bare name either fails as an unknown import
+      // or, worse, silently binds a SHADOWED outer variable (ADVICE
+      // r15). Rejected with a pointed error, mirroring the call { }
+      // body rejection.
+      def rwE(e: Expr, lam: Set[String] = Set.empty): Expr = e match {
         case CountPat(pat, filter) =>
           val (refs0, decls) = patternVars(pat)
           val refs = refs0.distinct.filterNot(decls.contains)
+          val clash = refs.filter(lam)
+          if (clash.nonEmpty)
+            fail(s"count { } inside a list lambda cannot reference the lambda " +
+              s"variable ${clash.mkString(", ")} — the subquery hoists outside " +
+              "the lambda's scope; bind the value through `with` first")
           csK += 1
           val cs = s"%cs$csK"
           // count an imported variable when one exists (never null);
@@ -390,6 +407,11 @@ object Parser {
           // it is rejected at typing like the filter case
           val (refs0, decls) = patternVars(pat)
           val refs = refs0.distinct.filterNot(decls.contains)
+          val clash = refs.filter(lam)
+          if (clash.nonEmpty)
+            fail(s"pattern comprehension inside a list lambda cannot reference " +
+              s"the lambda variable ${clash.mkString(", ")} — the subquery hoists " +
+              "outside the lambda's scope; bind the value through `with` first")
           csK += 1
           val cs = s"%cs$csK"
           hoisted += CallSub(refs,
@@ -407,23 +429,24 @@ object Parser {
         case f: LengthFn         => f
         case f: NodesFn          => f
         case f: RelsFn           => f
-        case Bin(op, l, r)       => Bin(op, rwE(l), rwE(r))
-        case Un(op, e1)          => Un(op, rwE(e1))
-        case Substr(s, pos, len) => Substr(rwE(s), rwE(pos), rwE(len))
-        case Replace(s, f, r)    => Replace(rwE(s), rwE(f), rwE(r))
+        case Bin(op, l, r)       => Bin(op, rwE(l, lam), rwE(r, lam))
+        case Un(op, e1)          => Un(op, rwE(e1, lam))
+        case Substr(s, pos, len) => Substr(rwE(s, lam), rwE(pos, lam), rwE(len, lam))
+        case Replace(s, f, r)    => Replace(rwE(s, lam), rwE(f, lam), rwE(r, lam))
         case CaseExpr(whens, ow) =>
-          CaseExpr(whens.map { case (cc, v) => (rwE(cc), rwE(v)) }, rwE(ow))
-        case InList(e1, items, neg) => InList(rwE(e1), items.map(rwE), neg)
-        case InListE(e1, l, neg) => InListE(rwE(e1), rwE(l), neg)
-        case RangeE(lo, hi)      => RangeE(rwE(lo), rwE(hi))
-        case IndexAcc(e1, ix)    => IndexAcc(rwE(e1), rwE(ix))
-        case SliceAcc(e1, lo, hi) => SliceAcc(rwE(e1), rwE(lo), rwE(hi))
-        case Coalesce(items)     => Coalesce(items.map(rwE))
-        case ListPred(k, v, l, pr) => ListPred(k, v, rwE(l), rwE(pr))
-        case ListComp(v, l, pr, m) => ListComp(v, rwE(l), pr.map(rwE), m.map(rwE))
+          CaseExpr(whens.map { case (cc, v) => (rwE(cc, lam), rwE(v, lam)) }, rwE(ow, lam))
+        case InList(e1, items, neg) => InList(rwE(e1, lam), items.map(rwE(_, lam)), neg)
+        case InListE(e1, l, neg) => InListE(rwE(e1, lam), rwE(l, lam), neg)
+        case RangeE(lo, hi)      => RangeE(rwE(lo, lam), rwE(hi, lam))
+        case IndexAcc(e1, ix)    => IndexAcc(rwE(e1, lam), rwE(ix, lam))
+        case SliceAcc(e1, lo, hi) => SliceAcc(rwE(e1, lam), rwE(lo, lam), rwE(hi, lam))
+        case Coalesce(items)     => Coalesce(items.map(rwE(_, lam)))
+        case ListPred(k, v, l, pr) => ListPred(k, v, rwE(l, lam), rwE(pr, lam + v))
+        case ListComp(v, l, pr, m) =>
+          ListComp(v, rwE(l, lam), pr.map(rwE(_, lam + v)), m.map(rwE(_, lam + v)))
         case ReduceE(acc, init, v, l, body) =>
-          ReduceE(acc, rwE(init), v, rwE(l), rwE(body))
-        case SplitFn(s, sep)     => SplitFn(rwE(s), rwE(sep))
+          ReduceE(acc, rwE(init, lam), v, rwE(l, lam), rwE(body, lam + acc + v))
+        case SplitFn(s, sep)     => SplitFn(rwE(s, lam), rwE(sep, lam))
       }
       def rwR(it: RetItem): RetItem = it match {
         case RetExpr(e)            => RetExpr(rwE(e))
@@ -438,7 +461,12 @@ object Parser {
         case WithClause(items, order, skip, limit, d, wh) =>
           WithClause(items.map { case (it, a) => (rwR(it), a) },
             order.map { case (it, asc) => (rwR(it), asc) }, skip, limit, d,
-            wh.map(rwE))
+            wh.map(e => rwE(e)))
+        // unwind positions (ADVICE r15 item 3): `unwind [ (a)-[:r]->(b)
+        // | b.x ] as v` is a position Cypher users expect to work — the
+        // comprehension hoists before the unwind like any other clause
+        case Unwind(items, a)  => Unwind(items.map(e => rwE(e)), a)
+        case UnwindExpr(e, a)  => UnwindExpr(rwE(e), a)
         case other => other
       }
       hoisted.result() :+ rewritten

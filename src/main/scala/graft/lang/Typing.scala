@@ -308,7 +308,10 @@ object Typing {
         "hits"      -> ((List(Nil, List(StringT)), 3)),
         "clustering"  -> ((List(Nil, List(StringT)), 2)),
         "degreedist"  -> ((List(Nil, List(StringT)), 2)),
-        "harmonic"    -> ((List(Nil, List(StringT)), 2)),
+        // harmonic's optional leading int is the seed-band bound
+        // (ids < bound seed the multi-source BFS) — round 16, ADVICE
+        // r15: an explicit band states intent on non-loader graphs
+        "harmonic"    -> ((List(Nil, List(StringT), List(IntT), List(IntT, StringT)), 2)),
         "scc"         -> ((List(Nil, List(StringT)), 2)))
 
   /** Bind `target` to the pattern-order concatenation of per-segment

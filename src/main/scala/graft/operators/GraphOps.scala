@@ -1560,6 +1560,19 @@ object GraphOps {
              |       n_name AS nm
              |FROM nation WHERE n_regionkey <= 1""".stripMargin)),
 
+    // …and the DIRECT unwind position (round 16, ADVICE r15 item 3):
+    // the comprehension hoists before the unwind clause itself, no
+    // `with` detour — `unwind [ pattern | expr ] as v` now works as
+    // Cypher users expect.
+    Q("gql_patcomp_unwind_direct",
+      bindings(
+        """match (r:region) where id(r) <= 1000000001
+          |unwind [ (n:nation) -[:nregion]-> (r) | n.name ] as nm
+          |return r, nm""".stripMargin),
+      Some("""SELECT CAST(n_regionkey + 1000000000 AS BIGINT) AS r,
+             |       n_name AS nm
+             |FROM nation WHERE n_regionkey <= 1""".stripMargin)),
+
     // hits() — Kleinberg hubs & authorities through the bridge
     // (round 15): the library g_hits fixed-point recurrence over the
     // gql edge set; yields compose with return's top-n unchanged.

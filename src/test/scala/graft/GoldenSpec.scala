@@ -1714,6 +1714,28 @@ class GoldenSpec extends AnyFunSuite {
       s"fused 2-hop equi-joins missing from:\n$a")
   }
 
+  test("call harmonic() guards the default seed band off the loader graph (round 16)") {
+    // ADVICE r15: on a user-built graph with small dense ids the
+    // default band (id < 2e9, the loader's region band) would make
+    // EVERY node a seed — silently all-sources instead of landmark
+    // harmonic. The default must fail loudly there…
+    val g =
+      """(:C {})
+        |(:C) -[:nx]-> (:C)
+        |create (a:C) create (b:C)
+        |create (a) -[:nx]-> (b)
+        |""".stripMargin
+    val ex = intercept[Exception](Engine.runSource(spark,
+      g + "call harmonic() yield id, h\nreturn id, h\n"))
+    assert(ex.getMessage.contains("seed band"), ex.getMessage)
+    // …while an explicit band states intent: seeds = {0}, so b (id 1)
+    // is the only node at positive distance — ĥ(b) = 1e6/1
+    val r = Engine.runSource(spark,
+      g + "call harmonic(1) yield id, h\nreturn id, h\n")
+    val rows = r.bindings.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(rows == Set((1L, 1000000L)), s"explicit-band harmonic: $rows")
+  }
+
   test("bare * varpath runs to convergence on a diameter-12 chain (round 16)") {
     // VERDICT r15 item 2: the open spellings used to default to the
     // depth-10 cap, so on this 13-node chain `-[:nx*]->` silently lost

@@ -472,6 +472,25 @@ class ParserSpec extends AnyFunSuite {
     assert(q.query.clauses.collectFirst { case w: WithClause => w }.get.where.isEmpty)
   }
 
+  test("subquery expressions in a list lambda: pointed rejection on lambda-var capture") {
+    // ADVICE r15: a count { } / comprehension whose PATTERN references
+    // the enclosing lambda variable would hoist outside the lambda's
+    // scope — an unknown import at best, a silently shadowed OUTER
+    // binding at worst. Both spellings must fail loudly at parse time.
+    val hdr = "(:N {x int})\n(:N) -[:r]-> (:N)\n" +
+      "match (a:N)\nwith a, collect(a.x) as xs\n"
+    val ex = intercept[Parser.ParseError](Parser.parse(hdr +
+      "where any(k in xs.val where count { (k) -[:r]-> (c:N) } > 0)\nreturn a"))
+    assert(ex.getMessage.contains("lambda variable k"), ex.getMessage)
+    val ex2 = intercept[Parser.ParseError](Parser.parse(hdr +
+      "where all(x in xs.val where count { (x) -[:r]-> (c:N) } = 0)\nreturn a"))
+    assert(ex2.getMessage.contains("lambda variable x"), ex2.getMessage)
+    // a subquery NOT touching the lambda variable still hoists fine
+    val ok = Parser.parse(hdr +
+      "where any(k in xs.val where count { (a) -[:r]-> (c:N) } > k.val)\nreturn a")
+    assert(ok.query.clauses.exists(_.isInstanceOf[CallSub]))
+  }
+
   test("projection items classify: var / attr / expression / agg-over-expr") {
     val p = Parser.parse(header +
       "match (a:P)\nwith a, a.x as b, a.x + 1 as c, sum(a.x * 2) as d, 7 as e\nreturn a")
@@ -576,7 +595,9 @@ class ParserSpec extends AnyFunSuite {
     // postfix index binds tighter than operators; chains left
     val e = Parser.parse(header +
       "match (a:P)\nwith collect(a.x) as xs\nwhere xs.val[1 + 2] > 0\nreturn xs")
-      .query.clauses.collectFirst { case Where(w) => w }.get
+      .query.clauses.collectFirst {
+        case Where(w) => w
+        case WithClause(_, _, _, _, _, Some(w)) => w }.get
     e match {
       case Bin(BCgt, IndexAcc(AttribAcc("xs", "val"), Bin(BAadd, _, _)), _) => ()
       case other => fail(s"wrong shape: $other")
@@ -597,7 +618,9 @@ class ParserSpec extends AnyFunSuite {
     // not-in over an attr-access list expression
     val e2 = Parser.parse(header +
       "match (a:P)\nwith collect(a.x) as xs\nmatch (b:P)\nwhere b.x not in xs.val\nreturn b")
-      .query.clauses.collectFirst { case Where(w) => w }.get
+      .query.clauses.collectFirst {
+        case Where(w) => w
+        case WithClause(_, _, _, _, _, Some(w)) => w }.get
     assert(e2 == InListE(AttribAcc("b", "x"), AttribAcc("xs", "val"), neg = true))
     // unwind expression forms
     val u = Parser.parse(header + "match (a:P)\nunwind range(0, a.x) as i\nreturn a, i")
@@ -647,7 +670,9 @@ class ParserSpec extends AnyFunSuite {
     // any/all/none/single: call shape with a lambda variable
     val e = Parser.parse(header +
       "match (a:P)\nwith collect(a.x) as xs\nwhere any(x in xs.val where x.val > 3)\nreturn xs")
-      .query.clauses.collectFirst { case Where(w) => w }.get
+      .query.clauses.collectFirst {
+        case Where(w) => w
+        case WithClause(_, _, _, _, _, Some(w)) => w }.get
     e match {
       case ListPred("any", "x", AttribAcc("xs", "val"),
           Bin(BCgt, AttribAcc("x", "val"), Const(IntV(3)))) => ()
@@ -679,7 +704,9 @@ class ParserSpec extends AnyFunSuite {
     // comprehension in membership position (the compAhead carve-out)
     val m = Parser.parse(header +
       "match (a:P)\nwith collect(a.x) as xs\nmatch (b:P)\nwhere b.x in [x in xs.val | x.val * 2]\nreturn b")
-      .query.clauses.collectFirst { case Where(w) => w }.get
+      .query.clauses.collectFirst {
+        case Where(w) => w
+        case WithClause(_, _, _, _, _, Some(w)) => w }.get
     m match {
       case InListE(AttribAcc("b", "x"), _: ListComp, false) => ()
       case other => fail(s"wrong shape: $other")
@@ -928,7 +955,9 @@ class ParserSpec extends AnyFunSuite {
     // slice: [lo..hi] distinguishes from [i]; chains with indexing
     val e = Parser.parse(header +
       "match (a:P)\nwith collect(a.x) as xs\nwhere xs.val[1..3][0] > xs.val[0]\nreturn xs")
-      .query.clauses.collectFirst { case Where(w) => w }.get
+      .query.clauses.collectFirst {
+        case Where(w) => w
+        case WithClause(_, _, _, _, _, Some(w)) => w }.get
     e match {
       case Bin(BCgt,
           IndexAcc(SliceAcc(AttribAcc("xs", "val"), Const(IntV(1)), Const(IntV(3))), Const(IntV(0))),
