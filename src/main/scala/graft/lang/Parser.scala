@@ -279,10 +279,16 @@ object Parser {
       // (round 11 — `with collect(…) as xs unwind xs as x`), or a
       // general list EXPRESSION (`unwind range(1, n.x) as i`,
       // `unwind xs.val as x`, and — round 16, ADVICE r15 — a pattern
-      // comprehension `unwind [ (a)-[:r]->(b) | b.x ] as v`, whose
-      // `[ (` prefix is unambiguous vs the bracket literal) —
-      // disambiguated by lookahead
-      if (compAhead(0) || (peek == TSym("[") && peek2 == TSym("(")) ||
+      // comprehension `unwind [ (a)-[:r]->(b) | b.x ] as v`) —
+      // disambiguated by lookahead. The comprehension's `[ (` must open
+      // a NODE PATTERN — `( ident` followed by ':'/'{'/')' — which
+      // keeps a bracket literal whose first element is parenthesized
+      // arithmetic (`unwind [ (1 + 2) * 3, 4 ] as v`: '(' followed by
+      // an int, or an ident followed by '.') on the literal path.
+      val patCompAhead = peek == TSym("[") && peek2 == TSym("(") &&
+        peekAt(2).isInstanceOf[TIdent] &&
+        (peekAt(3) == TSym(":") || peekAt(3) == TSym("{") || peekAt(3) == TSym(")"))
+      if (compAhead(0) || patCompAhead ||
           (peek.isInstanceOf[TIdent] &&
             (peek2 == TSym(".") || peek2 == TSym("(")))) {
         val e = expr()
