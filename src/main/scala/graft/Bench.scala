@@ -53,8 +53,17 @@ object Bench {
     // pattern-comprehension queries + callsub_optional (~48) —
     // isolated cold-pass measurements, see BASELINE.md's post-record
     // note
-    "g"        -> 183.3,
-    "gql"      -> 240.7, // incl. the 12-proc whole-graph call bridge
+    // round-16 growth (isolated cold-pass measurements at sf0.1,
+    // SPARK_GRAFT_RETRY=0): g += g_scc (24.9 cold-solo — the shared
+    // co-purchase pair build + ~40 superstep probe jobs), gql +=
+    // gql_call_scc (15.7) + gql_varpath_unbounded (2.2) +
+    // gql_patcomp_unwind_direct (1.1) + gql_with_where (0.8),
+    // p_mm += the two real-JPEG ops (5.4), p_curate += p_curate_pii
+    // (0.2). The gql band is NOT lowered for the round-16 create-edge
+    // analyzer fix (mutation queries got faster) — bands are retry
+    // gates, upper bounds only.
+    "g"        -> 208.2,
+    "gql"      -> 260.5, // incl. the 13-proc whole-graph call bridge
     "p_stream" -> 28.3,
     "p_dedup"  -> 32.9,
     "q"        -> 13.7,
@@ -62,8 +71,8 @@ object Bench {
     "p_text"   -> 11.3,  // incl. the one memoized K=64 BPE train (~6 s)
     "p_sim"    -> 9.6,
     "p_events" -> 8.8,
-    "p_curate" -> 5.8,
-    "p_mm"     -> 3.5,
+    "p_curate" -> 6.0,
+    "p_mm"     -> 8.9,
     "p_sample" -> 1.4,
     "p_pack"   -> 0.4)
   private val retryFactor = 1.5
