@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions.broadcast
   * one extra exchange of the big side, still correct, never an OOM.
   *
   * The cap is a SESSION CONF (`spark.graft.bcastRowCap`) so plan tests
-  * can force both shapes: the default 4M rows of packed longs is ≈32 MB
-  * serialized — comfortably inside a 2-4 GiB executor's broadcast
-  * budget even with several gated frames live at once.
+  * can force both shapes. The budget it denominates is 8-byte CELLS,
+  * not rows (ADVICE r16: a 3-long-column oriented-edge frame at a pure
+  * row cap was 3× the bytes the "packed longs" comment promised, and
+  * several gated frames can be live in one plan): the gate compares
+  * `rows × max(1, columns)` against the cap, so the default 4M cells
+  * is ≈32 MB serialized REGARDLESS of schema width — a wide frame
+  * degrades at proportionally fewer rows. Conf name kept for plan-test
+  * compatibility; read it as "broadcast cell cap".
   */
 object Bcast {
   val confKey = "spark.graft.bcastRowCap"
@@ -29,8 +34,9 @@ object Bcast {
 
   /** `broadcast(df)` when the MEASURED row count of the frame (or a
     * conservative upper bound on it — e.g. the edge count for a
-    * vertex-scale frame, |V| ≤ 2·|E|) fits the cap; `df` untouched
-    * otherwise, degrading the consuming join to its shuffled form. */
+    * vertex-scale frame, |V| ≤ 2·|E|), scaled by the frame's column
+    * count, fits the cell cap; `df` untouched otherwise, degrading the
+    * consuming join to its shuffled form. */
   def gated(df: DataFrame, measuredRows: Long): DataFrame =
-    if (measuredRows <= cap(df)) broadcast(df) else df
+    if (measuredRows * math.max(1, df.schema.size) <= cap(df)) broadcast(df) else df
 }

@@ -529,6 +529,20 @@ object GraphAlgos {
   private val kcoreK = 3
   private val kcoreIters = 8
 
+  /** One k-core peel round's edge filter — edges among the alive set.
+    * Shared by the library g_kcore loop and the `call kcore()` bridge
+    * (Engine) so BOTH ride the same gate: src side is a co-partitioned
+    * semi join (zero exchange — edges arrive src-partitioned), dst side
+    * broadcasts the alive ids only under the measured-count cell cap
+    * ([[graft.Bcast]]); past it the hint drops and the join degrades to
+    * its shuffled form — one extra |E| exchange, never an OOM. Exposed
+    * private[graft] so PlanSpec can pin both shapes. */
+  private[graft] def kcoreAliveFilter(edges: DataFrame, alive: DataFrame,
+      nAlive: Long): DataFrame =
+    edges.join(alive, col("src") === col("id"), "left_semi")
+      .join(graft.Bcast.gated(alive.withColumnRenamed("id", "id2"), nAlive),
+        col("dst") === col("id2"), "left_semi")
+
   // Unrolled peel, same MATERIALIZED discipline as ccOracle. a0 = every
   // node with at least one edge; each round keeps nodes with >= k
   // surviving neighbors; rounds past the fixpoint are no-ops, so the
@@ -601,6 +615,35 @@ object GraphAlgos {
        |$rounds
        |SELECT cur AS endpoint, CAST(count(*) AS BIGINT) AS n
        |FROM w$steps GROUP BY cur""".stripMargin
+  }
+
+  /** The g_nodesim plan, UNCLOSED: (lazy result, the shared (o,p)
+    * checkpoint the caller must drop after consuming). The distinct
+    * (o,p) frame is checkpoint-shared across its three consumers (two
+    * self-join sides + the degree table) and its count — one job that
+    * both materializes the checkpoint and bounds |parts| for the
+    * degree-table broadcast gates (VERDICT r16: the raw hints were the
+    * last ungated data-scale broadcasts). Exposed private[graft] so
+    * PlanSpec can pin the broadcast AND the past-the-cap SMJ shape. */
+  private[graft] def nodesimUncached(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val li = Ckpt.deferredShared(s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
+    val nLi = li.count()
+    val d = li.groupBy("p").agg(count(lit(1)).as("d"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("inter"))
+    val out = pairs
+      .join(graft.Bcast.gated(
+        d.select(col("p").as("u"), col("d").as("du")), nLi), Seq("u"))
+      .join(graft.Bcast.gated(
+        d.select(col("p").as("v"), col("d").as("dv")), nLi), Seq("v"))
+      .select(col("u"), col("v"),
+        expr("(1000000 * inter) div (du + dv - inter)").as("jac_ppm"),
+        col("inter"))
+      .orderBy(col("jac_ppm").desc, col("u"), col("v")).limit(100)
+    (out, li)
   }
 
   private lazy val nodesimOracle: String =
@@ -1416,10 +1459,11 @@ object GraphAlgos {
     // src-partitioned the whole loop), keep nodes with >= k neighbors,
     // then filter edges to alive×alive — the src side via a
     // co-partitioned semi join (zero exchange), the dst side via a
-    // BROADCAST semi join (the alive set is |V|-scale ids, ~8 bytes a
-    // row; on a graph whose alive set outgrows broadcast, swap that side
-    // for a bloom-filter pre-pass + shuffle semi join — plan degrades,
-    // result identical). Early exit on an unchanged alive count (the
+    // broadcast semi join GATED on the measured alive count
+    // ([[graft.Bcast]] — the count is the round's convergence probe, so
+    // the gate is free; past the cell cap the hint drops and the join
+    // degrades to its shuffled form — one extra |E| exchange per round,
+    // still correct, never an OOM). Early exit on an unchanged alive count (the
     // peel is monotone ⊇, so count equality ⟺ set equality) with the
     // usual loud non-convergence failure; the deferred checkpoint's
     // count doubles as the convergence probe (one job per round).
@@ -1449,10 +1493,11 @@ object GraphAlgos {
             Ckpt.drop(alive)
           } else {
             nAlive = n
-            val next = Ckpt.eagerPartitioned(
-              edges.join(alive, col("src") === col("id"), "left_semi")
-                .join(broadcast(alive.withColumnRenamed("id", "id2")),
-                  col("dst") === col("id2"), "left_semi"))
+            // dst side rides the measured-count gate (VERDICT r16): the
+            // first peel rounds' alive set is |V|-scale, and a 3-core
+            // past the cell cap must degrade to the shuffled semi join
+            // instead of OOM-broadcasting a multi-GB id set.
+            val next = Ckpt.eagerPartitioned(kcoreAliveFilter(edges, alive, n))
             if (edges ne ue) Ckpt.drop(edges)
             edges = next
             Ckpt.drop(alive)
@@ -1531,25 +1576,19 @@ object GraphAlgos {
     // family's df-cut discipline); for unbounded sets the sub-quadratic
     // path is MinHash LSH (p_dedup_minhash_lsh). Union via inclusion–
     // exclusion keeps the ppm exact: |∪| = d(u) + d(v) − inter. The
-    // |parts|-scale degree table broadcasts; the only wide exchange is
-    // the (u,v) partial-agg — map-side combined. Top-100 under the
+    // |parts|-scale degree table broadcasts UNDER THE MEASURED-COUNT
+    // GATE (VERDICT r16: |parts| ≤ the distinct (o,p) count, measured
+    // once off the shared checkpoint that also feeds the self-join —
+    // past the cell cap the hints drop and the closing joins degrade to
+    // their shuffled forms); the only wide exchange is the (u,v)
+    // partial-agg — map-side combined. Top-100 under the
     // (jac desc, u, v) total order.
     Q("g_nodesim",
       (s, dir) => {
-        val li = s.read.parquet(s"$dir/lineitem.parquet")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val d = li.groupBy("p").agg(count(lit(1)).as("d"))
-        val pairs = li.as("a").join(li.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-          .agg(count(lit(1)).as("inter"))
-        pairs
-          .join(broadcast(d.select(col("p").as("u"), col("d").as("du"))), Seq("u"))
-          .join(broadcast(d.select(col("p").as("v"), col("d").as("dv"))), Seq("v"))
-          .select(col("u"), col("v"),
-            expr("(1000000 * inter) div (du + dv - inter)").as("jac_ppm"),
-            col("inter"))
-          .orderBy(col("jac_ppm").desc, col("u"), col("v")).limit(100)
+        val (lazyOut, li) = nodesimUncached(s, dir)
+        val out = Ckpt.eager(lazyOut)
+        Ckpt.drop(li)
+        out
       },
       Some(nodesimOracle)),
 

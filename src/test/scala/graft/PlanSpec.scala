@@ -914,4 +914,71 @@ class PlanSpec extends AnyFunSuite {
       s"expected a materialized checkpoint scan in:\n$p")
     assert(df.count() == 100)
   }
+
+  /** Run `body` with the Bcast cell cap forced to `cap` and Spark's own
+    * size-based auto-broadcast disabled (at sf0.001 everything fits the
+    * default threshold, which would re-broadcast a hint-free plan and
+    * hide a gate that failed to drop the hint). */
+  private def withBcastCap[A](cap: String)(body: => A): A = {
+    val autoKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevAuto = spark.conf.getOption(autoKey)
+    spark.conf.set(graft.Bcast.confKey, cap)
+    spark.conf.set(autoKey, "-1")
+    try body
+    finally {
+      spark.conf.unset(graft.Bcast.confKey)
+      prevAuto.fold(spark.conf.unset(autoKey))(v => spark.conf.set(autoKey, v))
+    }
+  }
+
+  test("k-core alive filter broadcasts under the gate and degrades past it") {
+    // VERDICT r16 item 1a: the peel round's dst-side semi join — shared
+    // by the library g_kcore loop and the call kcore() bridge — must
+    // broadcast the alive set only under the measured-count cell cap.
+    import org.apache.spark.sql.functions.{col, expr}
+    val edges = spark.range(0, 200)
+      .select(col("id").as("src"), ((col("id") * 7 + 1) % 200).as("dst"))
+    val alive = spark.range(0, 150).select(col("id"))
+    def run() = graft.operators.GraphAlgos.kcoreAliveFilter(edges, alive, 150L)
+    val under = run()
+    val pUnder = under.queryExecution.executedPlan.toString
+    assert(pUnder.contains("BroadcastHashJoin"),
+      s"expected the dst-side alive broadcast under the cap in:\n$pUnder")
+    val base = under.orderBy("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    withBcastCap("0") {
+      val over = run()
+      val pOver = over.queryExecution.executedPlan.toString
+      assert(!pOver.contains("BroadcastHashJoin"),
+        s"broadcast hint survived a zero cell cap in:\n$pOver")
+      assert(pOver.contains("SortMergeJoin") || pOver.contains("ShuffledHashJoin"),
+        s"expected the shuffled degrade shape in:\n$pOver")
+      val rows = over.orderBy("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == base, "gated SMJ form changed the peel round's edge set")
+    }
+  }
+
+  test("nodesim degree-table broadcasts ride the measured-count gate") {
+    // VERDICT r16 item 1b: the |parts|-scale degree table joins the
+    // (u,v) intersection frame broadcast ONLY under the cell cap —
+    // bounded by the distinct (o,p) count, whose job doubles as the
+    // shared-checkpoint materialization — and degrades to the shuffled
+    // form past it with identical rows.
+    val (under, li1) = graft.operators.GraphAlgos.nodesimUncached(spark, dir)
+    val pUnder = under.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(pUnder).size >= 2,
+      s"expected both degree-side broadcasts under the cap in:\n$pUnder")
+    val base = under.collect().map(_.toSeq).toSeq
+    graft.Ckpt.drop(li1)
+    withBcastCap("0") {
+      val (over, li2) = graft.operators.GraphAlgos.nodesimUncached(spark, dir)
+      val pOver = over.queryExecution.executedPlan.toString
+      assert(!pOver.contains("BroadcastHashJoin"),
+        s"degree-table broadcast survived a zero cell cap in:\n$pOver")
+      assert(pOver.contains("SortMergeJoin") || pOver.contains("ShuffledHashJoin"),
+        s"expected the shuffled degrade shape in:\n$pOver")
+      val rows = over.collect().map(_.toSeq).toSeq
+      graft.Ckpt.drop(li2)
+      assert(rows == base, "gated SMJ form changed the nodesim top-100")
+    }
+  }
 }
