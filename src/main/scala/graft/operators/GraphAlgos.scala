@@ -1816,12 +1816,26 @@ object GraphAlgos {
     * the HITS discipline), with the deferred-checkpoint count as the
     * sole per-step job (the deltaCC probe trick). Outer rounds are
     * bounded by the condensation's root-chain depth — 3 on this corpus,
-    * loud failure at [[sccMaxRounds]]. At 100 TB this is the standard
+    * loud failure at [[sccMaxRounds]] (both bounds session-configurable:
+    * `spark.graft.sccMaxRounds` / `spark.graft.sccMaxSupersteps`, the
+    * high-diameter escape hatch). At 100 TB this is the standard
     * Spark SCC (GraphFrames ships the same FW-BW-coloring shape);
     * single-pivot FW-BW would idle the cluster on one pivot per round.
     * Returns (id, scc). */
   private[graft] def coloringSCC(nodesIn: DataFrame, edgesIn: DataFrame,
-      maxRounds: Int = sccMaxRounds, maxSupersteps: Int = sccMaxSupersteps): DataFrame = {
+      maxRoundsArg: Int = 0, maxSuperstepsArg: Int = 0): DataFrame = {
+    // Bounds are SESSION CONFS with the arguments as test overrides
+    // (ADVICE r16: trim peels one DAG layer per pass and coloring needs
+    // ~diameter supersteps, so a high-diameter graph hits a hard-coded
+    // bound with no user-facing escape hatch — unlike the varpath's
+    // explicit-bound spelling). Defaults keep the corpus margins.
+    val conf = nodesIn.sparkSession.conf
+    val maxRounds =
+      if (maxRoundsArg > 0) maxRoundsArg
+      else conf.get("spark.graft.sccMaxRounds", sccMaxRounds.toString).toInt
+    val maxSupersteps =
+      if (maxSuperstepsArg > 0) maxSuperstepsArg
+      else conf.get("spark.graft.sccMaxSupersteps", sccMaxSupersteps.toString).toInt
     var remaining = Ckpt.eagerPartitioned(
       nodesIn.select(col("id")).repartition(col("id")))
     var remS = Ckpt.eagerPartitioned(
@@ -1923,6 +1937,13 @@ object GraphAlgos {
           val fresh = Ckpt.deferredPartitioned(
             inColor.join(members, Seq("id"), "left_anti"))
           val nFresh = fresh.count()
+          // the previous frontier's one consumer (this superstep's cand
+          // join) just ran — release it now that `fresh` is materialized
+          // (ADVICE r16: non-empty frontiers stayed pinned until the
+          // harness drain, one checkpointed frame per superstep). The
+          // first frontier aliases `members`, which has its own
+          // lifecycle below — never drop it here.
+          if (frontier ne members) Ckpt.drop(frontier)
           if (nFresh == 0L) { converged = true; Ckpt.drop(fresh) }
           else {
             val m2 = Ckpt.eagerPartitioned(members.unionByName(fresh))

@@ -488,4 +488,27 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(sccOf.groupBy(_._2).exists(_._2.size >= 2),
       "fixture degenerated: no non-trivial SCC at sf0.001")
   }
+
+  test("SCC bounds are session-configurable (high-diameter escape hatch)") {
+    // ADVICE r16: trim peels one DAG layer per pass, so a directed path
+    // of ~2x the superstep bound exhausts the default budget — the conf
+    // must let an ordinary high-diameter graph through without a
+    // recompile, and the tight default must still fail LOUDLY.
+    import spark.implicits._
+    val n = 100L
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val key = "spark.graft.sccMaxSupersteps"
+    intercept[IllegalArgumentException] {
+      graft.operators.GraphAlgos.coloringSCC(nodes, edges).collect()
+    }
+    spark.conf.set(key, "120")
+    try {
+      val got = graft.operators.GraphAlgos.coloringSCC(nodes, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // a path is all singleton SCCs: every node labels itself
+      assert(got == (0L until n).map(i => i -> i).toMap,
+        "path graph must decompose into singleton SCCs")
+    } finally spark.conf.unset(key)
+  }
 }
