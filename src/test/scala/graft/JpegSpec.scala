@@ -82,4 +82,50 @@ class JpegSpec extends AnyFunSuite {
     assert(t.width == 2 && t.height == 1)
     assert(t.raster.toSeq == Seq((10 + 20 + 50 + 60) / 4, (30 + 40 + 70 + 80) / 4).map(_.toByte))
   }
+
+  private def tileRaster(id: Long, w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h) { p =>
+      ((id + 17 * ((p % w) / 16) + 31 * ((p / w) / 16)) % 256).toByte
+    }
+
+  test("16x16-tile corpus survives decode -> halve -> re-encode -> decode bit-exact") {
+    // the p_mm_resize closure (round 17): a 16x16 tile is four aligned
+    // constant 8x8 blocks, so the SOURCE encode is DC-only, the box-mean
+    // halving maps tiles to 8x8 blocks exactly, and the THUMB re-encode
+    // is DC-only again — both lossy stages are bit-exact, across every
+    // (dims, id-phase) combination the corpus generates
+    for (id <- 0L until 24L) {
+      val w = 16 * (1 + id % 3).toInt
+      val h = 16 * (1 + id % 2).toInt
+      val src = tileRaster(id, w, h)
+      val g = JpegCodec.decodeGray(JpegCodec.encodeGray(w, h, src))
+      assert(g.raster.sameElements(src), s"id=$id: source round-trip not exact")
+      val half = JpegCodec.halveGray(g)
+      val rt = JpegCodec.decodeGray(
+        JpegCodec.encodeGray(half.width, half.height, half.raster))
+      assert(rt.width == w / 2 && rt.height == h / 2, s"id=$id thumb dims")
+      assert(rt.raster.sameElements(half.raster), s"id=$id: thumb round-trip not exact")
+    }
+  }
+
+  test("SOF0 header parse from the hex stream matches the decoder's dims") {
+    // mirrors p_mm_metadata's codegen'd parse: first FFC0 in hex(jpg),
+    // precision at +8, height at +10, width at +14 (1-based hex offsets)
+    // — and pins the corpus assumption that no earlier byte pair
+    // collides with the marker
+    for (id <- 0L until 24L) {
+      val w = 8 * (1 + id % 3).toInt
+      val h = 8 * (1 + id % 2).toInt
+      val bytes = JpegCodec.encodeGray(w, h, blockRaster(id, w, h))
+      val hx = bytes.map(b => f"${b & 0xff}%02X").mkString
+      val sof = hx.indexOf("FFC0") + 1 // 1-based, like SQL instr
+      assert(sof > 0, s"id=$id: no SOF0 marker")
+      // 1-based segment offsets, exactly the SQL substring arguments
+      def be(off: Int, n: Int) = Integer.parseInt(hx.substring(sof - 1 + off, sof - 1 + off + n), 16)
+      assert(be(8, 2) == 8, s"id=$id precision")
+      assert(be(10, 4) == h, s"id=$id height")
+      assert(be(14, 4) == w, s"id=$id width")
+      assert(hx.substring(12, 22) == "4A46494600", s"id=$id JFIF signature")
+    }
+  }
 }

@@ -211,6 +211,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!pj.contains("Exchange"), s"unexpected shuffle in:\n$pj")
     val pjr = plan("p_mm_jpeg_resize")
     assert(!pjr.contains("Exchange"), s"unexpected shuffle in:\n$pjr")
+    // the GENERIC ops on the real codecs (round 17): SOF header parse
+    // is a pure codegen projection, the re-encoded-thumb resize is two
+    // chained mapPartitions, audio chunking is decode → lateral view →
+    // in-row fold — all zero-Exchange
+    val pm = plan("p_mm_metadata")
+    assert(!pm.contains("Exchange"), s"unexpected shuffle in:\n$pm")
+    val pr = plan("p_mm_resize")
+    assert(!pr.contains("Exchange"), s"unexpected shuffle in:\n$pr")
+    val pa = plan("p_mm_audio_chunks")
+    assert(!pa.contains("Exchange"), s"unexpected shuffle in:\n$pa")
   }
 
   test("aggregation uses map-side partial aggregates") {
