@@ -1946,13 +1946,15 @@ object Engine {
     // minimality is restored by the closing per-pair filter.
     //
     // The UNBOUNDED closure (round 16) turns the prune on for EVERY
-    // mode — typing guarantees lo <= 1 there, so first reach is the
-    // window-minimal level for the pair (plain closure: membership;
-    // dist: BFS level = min hops; witness: prefix-optimal lex-min,
-    // the same argument as the bounded single-witness prune) — and the
-    // anti-join doubles as the TERMINATION argument: a frontier of
-    // strictly-new pairs empties exactly at the reachability fixed
-    // point.
+    // mode — the converged result is the FIRST-REACH closure (plain:
+    // membership; dist: BFS level = min hops; witness: prefix-optimal
+    // lex-min, the same argument as the bounded single-witness prune)
+    // — and the anti-join doubles as the TERMINATION argument: a
+    // frontier of strictly-new pairs empties exactly at the
+    // reachability fixed point. A floor lo >= 2 (round 17) does NOT
+    // turn the prune off the way bounded floors do: the window is
+    // recovered from the converged closure by composition (see the
+    // `windowed` extension below), so the base run always prunes.
     val unbounded = hi == Typing.varPathUnbounded
     val pruned = unbounded || (allPaths && lo <= 1)
     var reached: DataFrame = null
@@ -2000,7 +2002,10 @@ object Engine {
         var cur = graft.Ckpt.deferredShared(prune(level1))
         var d = 1
         var n = cur.count()
-        out += tag(cur, 1) // lo <= 1 by typing; empty frame is harmless
+        // every level joins the base closure regardless of lo — a
+        // floor >= 2 windows AFTER convergence (the `windowed`
+        // composition); empty frame is harmless
+        out += tag(cur, 1)
         reach(cur)
         while (n > 0) {
           require(d < Typing.varPathMaxSupersteps,
@@ -2054,8 +2059,48 @@ object Engine {
             col("w.hops").as("hops"), col("w.path").as("path"))
       else if (dist) unioned.groupBy("src", "dst").agg(min("hops").as("hops"))
       else unioned.dropDuplicates("src", "dst")
-    if (seedIsSrc) closed
-    else closed.select(
+    // UNBOUNDED floor >= 2 (round 17, VERDICT r16 item 5 — formerly the
+    // one spelling that silently truncated at the depth cap): the
+    // window composes as step^(lo-1) OF THE CONVERGED CLOSURE. The
+    // per-level step map S_d → S_{d+1} distributes over unions, so
+    // step^(lo-1)(∪_{d≥1} S_d) = ∪_{d≥lo} S_d — exists-walk membership
+    // is exact on any graph, cyclic included. Hops ride the steps
+    // (+1 each) with the same per-pair min collapse: a window-minimal
+    // walk's length-(L−lo+1) prefix is itself minimal for its endpoint
+    // pair (else a shorter window walk would exist), so extending only
+    // the converged minima — and, in witness modes, only their lex-min
+    // (resp. all-min) walks — loses nothing. Cost: lo−1 extra
+    // co-partitioned edge joins on top of the convergence run.
+    val windowed =
+      if (!(unbounded && lo >= 2)) closed
+      else {
+        var cur = closed
+        for (_ <- 1 to lo - 1) {
+          val j = cur.as("p").join(edges.as("e"), col("p.dst") === col("e.src"))
+            .select(Seq(col("p.src").as("src"), col("e.dst").as("dst")) ++
+              (if (withHops) Seq((col("p.hops") + lit(1L)).as("hops")) else Nil) ++
+              (if (path) Seq((if (seedIsSrc) concat(col("p.path"), array(col("e.dst")))
+                              else concat(array(col("e.dst")), col("p.path"))).as("path"))
+               else Nil): _*)
+          cur =
+            if (allPaths) j.dropDuplicates("src", "dst", "path")
+            else if (path) j.groupBy("src", "dst")
+              .agg(min(struct(col("hops"), col("path"))).as("w"))
+              .select(col("src"), col("dst"),
+                col("w.hops").as("hops"), col("w.path").as("path"))
+            else if (dist) j.groupBy("src", "dst").agg(min("hops").as("hops"))
+            else j.dropDuplicates("src", "dst")
+        }
+        if (allPaths)
+          // different origins q reach a pair at different extended
+          // lengths — keep only the windowed-minimal walks per pair
+          cur.join(cur.groupBy("src", "dst").agg(min("hops").as("mh")),
+              Seq("src", "dst"))
+            .filter(col("hops") === col("mh")).drop("mh")
+        else cur
+      }
+    if (seedIsSrc) windowed
+    else windowed.select(
       Seq(col("dst").as("src"), col("src").as("dst")) ++
         (if (withHops) Seq(col("hops")) else Nil) ++
         (if (path) Seq(col("path")) else Nil): _*)

@@ -890,15 +890,13 @@ object Parser {
               case _               => None
             }
             val loV = lo.getOrElse(1)
-            // `*n` with no dots means exactly n; an open upper bound
-            // with lo <= 1 (`*`, `*0..`, `*1..`) means UNBOUNDED — the
-            // executor runs the closure to convergence (round 16);
-            // open-ended lo >= 2 keeps the documented depth cap (the
-            // window floor breaks the first-reach BFS argument)
+            // `*n` with no dots means exactly n; ANY open upper bound
+            // (`*`, `*0..`, `*1..`, `*2..`, …) means UNBOUNDED — the
+            // executor runs the closure to convergence and composes a
+            // floor >= 2 as step^(lo-1) of the converged closure
+            // (round 17; formerly lo >= 2 silently kept the depth cap)
             val hiV = hi.getOrElse(
-              if (dots || lo.isEmpty)
-                (if (loV <= 1) Typing.varPathUnbounded else Typing.varPathCap)
-              else loV)
+              if (dots || lo.isEmpty) Typing.varPathUnbounded else loV)
             // optional shortest-distance binding `as d` — `as` is a
             // CONTEXTUAL identifier (like `order`/`limit`), not a
             // keyword, so reference-legal programs using `as` as a

@@ -272,22 +272,20 @@ object Typing {
     * node id, kcore with the core threshold k (round 13). */
   /** Variable-length hop depth cap for WRITTEN bounds: each extra hop
     * is one distributed self-join of the edge set, so the bound is a
-    * plan-depth guard. Also the default upper bound the open-ended
-    * spellings with lo >= 2 (`*2..`) fall back to — a convergence-
-    * driven closure with a level-window floor above 1 is not
-    * expressible as first-reach BFS (a pair first reached below the
-    * floor may still carry longer in-window walks through cycles), so
-    * those spellings keep the documented cap. */
+    * plan-depth guard. Open-ended spellings never hit it — any `*lo..`
+    * runs to convergence (see [[varPathUnbounded]]). */
   val varPathCap = 10
 
   /** Sentinel upper bound for the UNBOUNDED spellings (`*`, `*0..`,
-    * `*1..` — round 16, VERDICT r15 item 2): the executor runs the
-    * closure to its FIXED POINT (the deltaCC convergence discipline —
-    * per-superstep frontier count probe, early exit on empty, loud
-    * failure at [[varPathMaxSupersteps]]) instead of truncating at
-    * [[varPathCap]], so `match (a)-[:r*]->(b)` is true Cypher
-    * reachability on any-diameter graphs. Only valid with lo <= 1
-    * (first-reach BFS == window-minimal there). */
+    * `*1..` — round 16, VERDICT r15 item 2; any `*lo..` floor — round
+    * 17): the executor runs the closure to its FIXED POINT (the deltaCC
+    * convergence discipline — per-superstep frontier count probe, early
+    * exit on empty, loud failure at [[varPathMaxSupersteps]]) instead
+    * of truncating at [[varPathCap]], so `match (a)-[:r*]->(b)` is true
+    * Cypher reachability on any-diameter graphs. A floor lo >= 2
+    * composes: step^(lo-1) applied to the converged closure — exact
+    * because the per-level step map distributes over the level union
+    * (see varPathReach's extension notes). */
   val varPathUnbounded: Int = Int.MaxValue
 
   /** Loud superstep bound for the convergence-driven closure: 64 BFS
@@ -1309,10 +1307,6 @@ object Typing {
           // (v, v) for every node of the homogeneous label joins the
           // closure (the endpoints may be the same node)
           Left(s"variable-length bounds *$lo..$hi invalid: need 0 <= lo <= hi")
-        else if (hi == varPathUnbounded && lo > 1)
-          // parser never produces this combination (open-ended lo >= 2
-          // falls back to the cap), but the IR is public to tests
-          Left(s"unbounded variable-length path requires lo <= 1, got *$lo..")
         else if (hi > varPathCap && hi != varPathUnbounded)
           Left(s"variable-length bound *$lo..$hi too deep: hi <= $varPathCap (each extra " +
             "hop is a distributed self-join of the edge set)")

@@ -1762,4 +1762,62 @@ class GoldenSpec extends AnyFunSuite {
       s"unbounded chain closure mismatch (${rows.size} rows): " +
         s"missing ${want -- rows}, extra ${rows -- want}")
   }
+
+  test("open *2.. varpath windows the converged closure on a diameter-12 chain (round 17)") {
+    // VERDICT r16 item 5: `*lo..` with lo >= 2 used to fall back to the
+    // depth-10 cap — the last silent-window divergence. On the 13-node
+    // chain the floor must drop exactly the 12 one-hop pairs and keep
+    // everything through the 11- and 12-hop pairs the old cap lost;
+    // hop counts stay exact through the composition (step^(lo-1) of the
+    // converged closure).
+    val creates = (0 to 12).map(i => s"create (n$i:C)").mkString("\n")
+    val chain = (0 until 12).map(i => s"create (n$i) -[:nx]-> (n${i + 1})").mkString("\n")
+    val src =
+      s"""(:C {})
+         |(:C) -[:nx]-> (:C)
+         |$creates
+         |$chain
+         |match (s:C) -[:nx*2.. as d]-> (t:C)
+         |return s, t, d.hops
+         |""".stripMargin
+    val r = Engine.runSource(spark, src)
+    val rows = r.bindings.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val want = (for (i <- 0 to 12; j <- (i + 2) to 12)
+      yield (i.toLong, j.toLong, (j - i).toLong)).toSet
+    assert(rows.size == 66 && rows == want,
+      s"floored unbounded closure mismatch (${rows.size} rows): " +
+        s"missing ${want -- rows}, extra ${rows -- want}")
+  }
+
+  test("open *3.. varpath is exact on a CYCLE (composition, not min-filter)") {
+    // the semantics pin that separates step^(lo-1) composition from the
+    // tempting-but-wrong "min distance >= lo" filter: on a directed
+    // 4-cycle EVERY ordered pair (self-pairs included) carries walks of
+    // length >= 3, so the floor must return all 16 pairs with the
+    // minimal in-window walk length — e.g. (n0, n1) at distance 1 keeps
+    // hops 5 (1 + one lap), n0 to itself hops 4 — while a min-distance
+    // filter would return only the distance-3 pairs.
+    val creates = (0 to 3).map(i => s"create (n$i:C)").mkString("\n")
+    val edges = (0 to 3).map(i => s"create (n$i) -[:nx]-> (n${(i + 1) % 4})").mkString("\n")
+    val src =
+      s"""(:C {})
+         |(:C) -[:nx]-> (:C)
+         |$creates
+         |$edges
+         |match (s:C) -[:nx*3.. as d]-> (t:C)
+         |return s, t, d.hops
+         |""".stripMargin
+    val r = Engine.runSource(spark, src)
+    val rows = r.bindings.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val want = (for (i <- 0 to 3; j <- 0 to 3) yield {
+      val fwd = ((j - i) % 4 + 4) % 4 // distance along the cycle, 0 for self
+      val hops = if (fwd >= 3) fwd else fwd + 4
+      (i.toLong, j.toLong, hops.toLong)
+    }).toSet
+    assert(rows.size == 16 && rows == want,
+      s"cycle floor mismatch (${rows.size} rows): " +
+        s"missing ${want -- rows}, extra ${rows -- want}")
+  }
 }

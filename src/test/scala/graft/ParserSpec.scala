@@ -164,14 +164,15 @@ class ParserSpec extends AnyFunSuite {
     }
     val cap = graft.lang.Typing.varPathCap
     val unb = graft.lang.Typing.varPathUnbounded
-    // open upper bound with lo <= 1 is UNBOUNDED (round 16 — the
-    // executor runs the closure to convergence); lo >= 2 keeps the cap
-    // (the window floor breaks first-reach BFS)
+    // ANY open upper bound is UNBOUNDED (round 17 — the executor runs
+    // the closure to convergence; a floor >= 2 composes as step^(lo-1)
+    // of the converged closure, so the old cap fallback is gone)
     assert(boundsOf("(a:N) -[:next*]-> (b:N)") == (1, unb))
     assert(boundsOf("(a:N) -[:next*0..]-> (b:N)") == (0, unb))
     assert(boundsOf("(a:N) -[:next*3]-> (b:N)") == (3, 3))
-    assert(boundsOf("(a:N) -[:next*2..]-> (b:N)") == (2, cap))
+    assert(boundsOf("(a:N) -[:next*2..]-> (b:N)") == (2, unb))
     assert(boundsOf("(a:N) -[:next*..4]-> (b:N)") == (1, 4))
+    assert(cap == 10) // written bounds still plan-depth-guarded
     // the `as d` distance binding composes with every spelling
     val p = Parser.parse(
       "(:N {})\n(:N) -[:next]-> (:N)\nmatch (a:N) -[:next* as d]-> (b:N)\nreturn a, d")

@@ -187,6 +187,23 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("open *2.. varpath: extension rides the converged closure, bounded exchanges") {
+    // round 17 (VERDICT r16 item 5): the floored unbounded spelling is
+    // step^(lo-1) OF THE CONVERGED CLOSURE — the visible plan must be
+    // checkpoint scans (the converged levels) + ONE extension join +
+    // the per-pair min collapse + the endpoint equi-joins. No cartesian
+    // product, no unrolled per-level join chain (the convergence loop
+    // already ran), and a bounded exchange budget: closure dedup,
+    // extension re-keys, post-extension min, endpoint joins.
+    val df = SparkEntry.queries("gql_varpath_unbounded_lo2")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"unfused floored varpath in:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the converged closure's checkpoint scans in:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 8, s"expected <=8 exchanges in the floored-closure plan, got $n in:\n$p")
+  }
+
   test("real BMP decode keeps the stub ops' dataflow: zero shuffles") {
     // the decode seam claim (SURVEY §8.3): swapping the stub for a real
     // parser changes only the bytes inspected — scan → mapPartitions,
