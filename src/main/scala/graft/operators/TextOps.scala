@@ -61,13 +61,20 @@ object TextOps {
 
   private val bpeK = 64
 
-  /** Lineage-cut cadence: re-materialize the vocabulary table every R
-    * merge rounds, so round k's pair aggregate replays at most R chained
-    * replaces on top of a materialized table instead of all k — O(K·R)
-    * total replace work and bounded plan depth, not O(K²). The cut is a
-    * drain-ledger localCheckpoint (released between queries); the
-    * superseded one is dropped as soon as the next materializes. */
+  /** Lineage-cut cadence floor: re-materialize the vocabulary table
+    * every R merge rounds, so round k's pair aggregate replays at most
+    * R chained replaces on top of a materialized table instead of all
+    * k — O(K·R) total replace work and bounded plan depth, not O(K²).
+    * The cut is a drain-ledger localCheckpoint (released between
+    * queries); the superseded one is dropped as soon as the next
+    * materializes. The EFFECTIVE cadence is derived from K (round 17,
+    * VERDICT r16 item 6): `max(8, K/32)` keeps the checkpoint count
+    * bounded at 32 while the replace-chain depth grows only with K/32 —
+    * at K=64 that is exactly the old 8, so the oracle-pinned path is
+    * byte-identical; at K=1024 it is 32 cuts of depth ≤ 32 instead of
+    * 128 materializations. */
   private val bpeCkptEvery = 8
+  private def bpeCkptCadence(k: Int): Int = math.max(bpeCkptEvery, k / 32)
 
   /** Trained merges memoized per (session, dir, corpus contentTag):
     * training is deterministic and both the train-table and encode
@@ -95,7 +102,14 @@ object TextOps {
       { _ => bpeTrainUncached(s, dir) })
   }
 
-  private[graft] def bpeTrainUncached(s: SparkSession, dir: String): Seq[(String, String)] = {
+  /** Uncached train. `kMerges` rounds (default the oracle-pinned K=64);
+    * `stopAtExhaustion` turns the loud corpus-exhaustion failure into a
+    * graceful early return of however many merges exist — the SCALE
+    * path's contract (a 32k-vocab run on a small shard legitimately
+    * runs dry; the oracle-checked K=64 path keeps the require). */
+  private[graft] def bpeTrainUncached(s: SparkSession, dir: String,
+      kMerges: Int = bpeK, stopAtExhaustion: Boolean = false): Seq[(String, String)] = {
+    val cadence = bpeCkptCadence(kMerges)
     val wf0 = docs(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -104,7 +118,10 @@ object TextOps {
     var wf: DataFrame = wf0
     var lastCk: Option[DataFrame] = None
     val merges = Seq.newBuilder[(String, String)]
-    for (k <- 1 to bpeK) {
+    var k = 0
+    var dry = false
+    while (k < kMerges && !dry) {
+      k += 1
       val ts = split(trim(col("toks")), " ")
       val top = wf
         .select(explode(zip_with(
@@ -113,17 +130,21 @@ object TextOps {
         .groupBy("p").agg(sum("freq").as("n"))
         .orderBy(col("n").desc, col("p").asc)
         .limit(1).collect()
-      require(top.nonEmpty, "bpe train: corpus exhausted before K merges")
-      val Array(a, b) = top(0).getString(0).split(" ", 2)
-      merges += ((a, b))
-      wf = wf.withColumn("toks",
-        regexp_replace(col("toks"), lit(java.util.regex.Pattern.quote(s" $a $b ")),
-          lit(java.util.regex.Matcher.quoteReplacement(s" $a$b "))))
-      if (k % bpeCkptEvery == 0 && k < bpeK) {
-        val ck = graft.Ckpt.eager(wf)
-        lastCk.foreach(graft.Ckpt.drop)
-        lastCk = Some(ck)
-        wf = ck
+      if (top.isEmpty) {
+        require(stopAtExhaustion, "bpe train: corpus exhausted before K merges")
+        dry = true
+      } else {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        merges += ((a, b))
+        wf = wf.withColumn("toks",
+          regexp_replace(col("toks"), lit(java.util.regex.Pattern.quote(s" $a $b ")),
+            lit(java.util.regex.Matcher.quoteReplacement(s" $a$b "))))
+        if (k % cadence == 0 && k < kMerges) {
+          val ck = graft.Ckpt.eager(wf)
+          lastCk.foreach(graft.Ckpt.drop)
+          lastCk = Some(ck)
+          wf = ck
+        }
       }
     }
     wf0.unpersist()
@@ -223,6 +244,33 @@ object TextOps {
           size(split(col("text"), " ")).cast("long").as("n_words"))
       },
       Some(bpeEncodeOracle)),
+
+    // ---- BPE at vocabulary scale (round 17, VERDICT r16 item 6) -------
+    // The K=1024 bench row: same kernel, same flat per-round job shape
+    // (one argmax collect per round + a lineage cut every max(8, K/32)
+    // rounds — PipelineSpec pins the job count at a larger K), with
+    // graceful early stop when a small shard's pair diversity runs dry
+    // before K. A DuckDB replay would be a 1024-round materialized CTE
+    // chain, so this entry is deliberately rows-only checked; the
+    // kernel's CORRECTNESS oracle is the unchanged K=64 pair
+    // (p_text_bpe_train / p_text_bpe_encode — byte-identical path, the
+    // cadence derivation equals the old 8 there). Output: one summary
+    // row — merge count, an order-sensitive digest of the ranked merge
+    // list, and the last merge — enough to diff runs without shipping
+    // the vocabulary.
+    Q("p_text_bpe_scale",
+      (s, dir) => {
+        import s.implicits._
+        val k = s.conf.get("spark.graft.bpeK", "1024").toInt
+        val merges = bpeTrainUncached(s, dir, k, stopAtExhaustion = true)
+        val blob = merges.map { case (a, b) => s"$a $b" }.mkString("\n")
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(blob.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        val (la, lb) = merges.last
+        Seq((merges.length.toLong, digest, s"$la$lb"))
+          .toDF("n_merges", "vocab_md5", "last_merged")
+      },
+      None),
 
     // ---- token statistics --------------------------------------------
     Q("p_text_stats",

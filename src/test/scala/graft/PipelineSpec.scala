@@ -1135,6 +1135,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(jobs <= 64 * 3 + 16, s"per-round job count not flat: $jobs jobs for 64 rounds")
   }
 
+  test("bpe train at K=256: job count stays flat at scale (round 17)") {
+    // the VOCAB-SCALE pin (VERDICT r16 item 6): the per-round shape —
+    // one argmax collect plus a lineage cut every max(8, K/32) rounds —
+    // must not degrade as K grows (an accidental per-round extra action
+    // multiplies by K). stopAtExhaustion: the sf0.001 shard may run out
+    // of distinct pairs before 256 merges — the bound scales with what
+    // actually trained (+1 for the dry-probe round).
+    spark.sparkContext.setJobGroup("bpe_pin_k256", "bpe scale job-count pin")
+    val merges =
+      try TextOps.bpeTrainUncached(spark, dir, 256, stopAtExhaustion = true)
+      finally spark.sparkContext.clearJobGroup()
+    assert(merges.length > 64, s"scale run trained only ${merges.length} merges")
+    assert(merges.distinct.length == merges.length)
+    val rounds = merges.length + 1
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("bpe_pin_k256").length
+    assert(jobs <= rounds * 3 + rounds / 8 + 16,
+      s"per-round job count not flat at scale: $jobs jobs for $rounds rounds")
+  }
+
   test("entropy is bounded by ln(n_uniq) and agrees with p_text_stats' vocabulary") {
     val stats = run("p_text_stats").collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     run("p_text_entropy").collect().foreach { r =>

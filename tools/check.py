@@ -33,8 +33,19 @@ def canon(df: pd.DataFrame) -> str:
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()
 
 def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    # optional --json <path>: also write the machine-readable tally the
+    # round commits as CORRECTNESS_SELF.json (VERDICT r16 item 2 — the
+    # driver's own correctness artifact came back empty once; the
+    # builder's mirror tally makes that immediately adjudicable)
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    out_dir, sf_dir = args[0], args[1]
+    only = set(args[2:])
+    results = {}
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
     for t in TABLES:
@@ -51,28 +62,44 @@ def main():
               else pd.DataFrame()
         if name not in oracle:
             print(f"  ?  {name}: no oracle ({len(got)} rows)")
+            results[name] = {"status": "rows_only", "rows": len(got),
+                             "ok": bool(len(got) > 0)}
             continue
         try:
             want = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            results[name] = {"status": "oracle_error", "ok": False}
             n_fail += 1; continue
         gc, wc = sorted(got.columns), sorted(want.columns)
         if gc != wc:
             print(f"FAIL {name}: columns {gc} vs oracle {wc}")
+            results[name] = {"status": "schema_mismatch", "ok": False}
             n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs oracle {len(want)}")
+            results[name] = {"status": "row_count_mismatch", "ok": False,
+                             "rows": len(got), "oracle_rows": len(want)}
             n_fail += 1; continue
         if canon(got) != canon(want):
             print(f"FAIL {name}: hash mismatch ({len(got)} rows)")
             g = got.reindex(gc, axis=1).sort_values(gc).head(5)
             w = want.reindex(wc, axis=1).sort_values(wc).head(5)
             print("  got:\n", g.to_string(), "\n  want:\n", w.to_string())
+            results[name] = {"status": "hash_mismatch", "ok": False, "rows": len(got)}
             n_fail += 1; continue
         print(f"  ok {name} ({len(got)} rows)")
+        results[name] = {"status": "ok", "ok": True, "rows": len(got)}
         n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        tally = {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                 "n_rows_only": sum(1 for r in results.values()
+                                    if r["status"] == "rows_only"),
+                 "queries": results}
+        with open(json_out, "w") as f:
+            json.dump(tally, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
 main()
