@@ -640,8 +640,20 @@ object Parser {
       val (ord, skip, limit) = orderLimit()
       // attached `where` (round 16 — Cypher allows the filter as a WITH
       // subclause, after order/skip/limit): sugar for a separate where
-      // clause over the projected rows
-      val wh = if (peek == TKw("where")) { i += 1; Some(expr()) } else None
+      // clause over the projected rows. An `exists (`/`not exists`
+      // PATTERN predicate head is NOT an expression (round 17, found by
+      // the differential generator: `with … where exists (v)-[:t*1..1]->
+      // (u:Q)` died at the '(' as "expected '.'") — leave the `where`
+      // token unconsumed so the clause loop parses the standalone
+      // pattern-predicate form, which the attached spelling is sugar
+      // for anyway (same projected-row scope either way).
+      val wh = peek match {
+        case TKw("where")
+            if !(peek2 == TIdent("exists") && peek3 == TSym("(")) &&
+               !(peek2 == TIdent("not") && peek3 == TIdent("exists")) =>
+          i += 1; Some(expr())
+        case _ => None
+      }
       WithClause(items.result(), ord, skip, limit, distinct, wh)
     }
 

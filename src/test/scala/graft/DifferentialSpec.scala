@@ -642,7 +642,11 @@ class DifferentialSpec extends AnyFunSuite {
     // admit a parenthesized expression argument (round 10)
     // 71069: a merge REUSING a with-scalar name must draw its action
     // expressions in the POST-merge env (round 14 generator fix)
-    for (seed <- Seq(1L, 7L, 42L, 1234L, 99999L, -1629L, 71069L))
+    // 74273: `with … where exists (pattern)` — the round-16 attached
+    // where stole the token and died parsing the pattern head as an
+    // expression; the parser now leaves pattern-predicate `where`s to
+    // the standalone clause (round 17)
+    for (seed <- Seq(1L, 7L, 42L, 1234L, 99999L, -1629L, 71069L, 74273L))
       runBoth(genProgram(seed))
   }
 

@@ -210,14 +210,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(sliding == 4 * total)
   }
 
-  test("multimodal metadata decode matches the synthesis formula") {
+  test("multimodal metadata decode matches the JPEG corpus dims (round 17: real SOF parse)") {
     val rows = run("p_mm_metadata").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val id = r.getLong(0)
-      assert(r.getLong(1) == 64 + id % 512)
-      assert(r.getLong(2) == 64 + (id * 7) % 512)
-      assert(r.getInt(3) == 24)
+      assert(r.getLong(1) == 8 * (1 + id % 3), s"doc $id width")
+      assert(r.getLong(2) == 8 * (1 + id % 2), s"doc $id height")
+      assert(r.getLong(3) == 8, s"doc $id precision")
+      assert(r.getBoolean(4), s"doc $id JFIF signature")
     }
   }
 
