@@ -62,17 +62,25 @@ object Bench {
     // (0.2). The gql band is NOT lowered for the round-16 create-edge
     // analyzer fix (mutation queries got faster) — bands are retry
     // gates, upper bounds only.
+    // round-17 growth (isolated cold-pass measurements at sf0.1,
+    // SPARK_GRAFT_RETRY=0): gql += gql_varpath_unbounded_lo2 (~2.5 — the
+    // unbounded convergence run + one extension join), p_text +=
+    // p_text_bpe_scale (39.6 cold-solo: K=1024 requested, the synthetic
+    // corpus saturates at 89 merges — one argmax job per round at sf0.1
+    // round cost), p_mm: the three generic ops moved onto the real
+    // codecs (SOF parse is still a scan-speed projection; resize +
+    // audio decode add ~2 of mapPartitions codec work).
     "g"        -> 208.2,
-    "gql"      -> 260.5, // incl. the 13-proc whole-graph call bridge
+    "gql"      -> 263.0, // incl. the 13-proc whole-graph call bridge
     "p_stream" -> 28.3,
     "p_dedup"  -> 32.9,
     "q"        -> 13.7,
     "p_io"     -> 11.9,
-    "p_text"   -> 11.3,  // incl. the one memoized K=64 BPE train (~6 s)
+    "p_text"   -> 51.5,  // incl. memoized K=64 train + the K-scale row
     "p_sim"    -> 9.6,
     "p_events" -> 8.8,
     "p_curate" -> 6.0,
-    "p_mm"     -> 8.9,
+    "p_mm"     -> 11.5,
     "p_sample" -> 1.4,
     "p_pack"   -> 0.4)
   private val retryFactor = 1.5

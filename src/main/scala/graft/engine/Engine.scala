@@ -541,11 +541,15 @@ object Engine {
           pairs.select(col("a").as("id"))
             .union(pairs.select(col("b").as("id")))
             .groupBy("id").agg(count(lit(1)).as("d")))
+        // gated on the MEASURED |V| (free off the checkpoint — round
+        // 17): the old 2·|E| bound was ~100× the real count and under
+        // the cell cap would degrade a 20k-row broadcast at sf0.1
+        val nDeg = deg.count()
         val keyed = pairs
           .join(graft.Bcast.gated(
-            deg.select(col("id").as("a"), col("d").as("da")), 2 * m), Seq("a"))
+            deg.select(col("id").as("a"), col("d").as("da")), nDeg), Seq("a"))
           .join(graft.Bcast.gated(
-            deg.select(col("id").as("b"), col("d").as("db")), 2 * m), Seq("b"))
+            deg.select(col("id").as("b"), col("d").as("db")), nDeg), Seq("b"))
         val aFirst = col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b"))
         val o = keyed.select(

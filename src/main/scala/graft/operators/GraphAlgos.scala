@@ -863,15 +863,21 @@ object GraphAlgos {
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct().cache()
     val m = pairs.count()
-    // degree table is |V|-sized (parts, not pairs; |V| ≤ 2·|E|, hence
-    // the 2m bound) — broadcast under the gate, so the two endpoint-
-    // degree lookups never shuffle the edge list.
+    // degree table is |V|-sized (parts, not pairs) — broadcast under
+    // the gate, so the two endpoint-degree lookups never shuffle the
+    // edge list. Gated on its MEASURED count (round 17): the old
+    // |V| ≤ 2·|E| bound was ~100× the real |V| here, and under the
+    // cell-denominated cap that slack started degrading a 20k-row
+    // broadcast to an |E|-scale SMJ at sf0.1. The count is one cheap
+    // aggregate over the cached pair frame, paid once per memoized
+    // build.
     val deg = pairs.select(col("a").as("id"))
       .union(pairs.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
+    val nDeg = deg.count()
     val keyed = pairs
-      .join(Bcast.gated(deg.select(col("id").as("a"), col("d").as("da")), 2 * m), Seq("a"))
-      .join(Bcast.gated(deg.select(col("id").as("b"), col("d").as("db")), 2 * m), Seq("b"))
+      .join(Bcast.gated(deg.select(col("id").as("a"), col("d").as("da")), nDeg), Seq("a"))
+      .join(Bcast.gated(deg.select(col("id").as("b"), col("d").as("db")), nDeg), Seq("b"))
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     val o = keyed.select(
