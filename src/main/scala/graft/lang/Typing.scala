@@ -1310,6 +1310,13 @@ object Typing {
         else if (hi > varPathCap && hi != varPathUnbounded)
           Left(s"variable-length bound *$lo..$hi too deep: hi <= $varPathCap (each extra " +
             "hop is a distributed self-join of the edge set)")
+        else if (hi == varPathUnbounded && lo > varPathCap)
+          // the open spelling's FLOOR is plan-depth too: the windowed
+          // composition builds lo−1 extension joins on top of the
+          // converged closure, so the same depth guard applies (an
+          // unguarded `*1000000..` would hang Catalyst analysis)
+          Left(s"variable-length floor *$lo.. too deep: lo <= $varPathCap for " +
+            "open-ended paths (the floor composes as lo-1 extension joins)")
         else (lookup(env, sv), lookup(env, tv)) match {
           case (Some(sl), Some(tl)) =>
             val decls = schema.relTypes.filter(_._2 == rl)

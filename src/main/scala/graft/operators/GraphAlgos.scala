@@ -865,15 +865,18 @@ object GraphAlgos {
     val m = pairs.count()
     // degree table is |V|-sized (parts, not pairs) — broadcast under
     // the gate, so the two endpoint-degree lookups never shuffle the
-    // edge list. Gated on its MEASURED count (round 17): the old
-    // |V| ≤ 2·|E| bound was ~100× the real |V| here, and under the
-    // cell-denominated cap that slack started degrading a 20k-row
-    // broadcast to an |E|-scale SMJ at sf0.1. The count is one cheap
-    // aggregate over the cached pair frame, paid once per memoized
-    // build.
-    val deg = pairs.select(col("a").as("id"))
-      .union(pairs.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("d"))
+    // edge list. MATERIALIZED once and gated on its MEASURED count
+    // (round 17): the old |V| ≤ 2·|E| bound was ~100× the real |V|
+    // here, and under the cell-denominated cap that slack started
+    // degrading a 20k-row broadcast to an |E|-scale SMJ at sf0.1; an
+    // unmaterialized deg would re-run the aggregation for the count,
+    // both join sides and the memo pin (the Engine twin's ADVICE-r16
+    // discipline). The checkpoint rides the drain ledger; the memoized
+    // wrapper pins its own session-lifetime copy.
+    val deg = graft.Ckpt.eager(
+      pairs.select(col("a").as("id"))
+        .union(pairs.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d")))
     val nDeg = deg.count()
     val keyed = pairs
       .join(Bcast.gated(deg.select(col("id").as("a"), col("d").as("da")), nDeg), Seq("a"))

@@ -266,8 +266,10 @@ object TextOps {
         val blob = merges.map { case (a, b) => s"$a $b" }.mkString("\n")
         val digest = java.security.MessageDigest.getInstance("MD5")
           .digest(blob.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-        val (la, lb) = merges.last
-        Seq((merges.length.toLong, digest, s"$la$lb"))
+        // a degenerate shard (all single-character words) legitimately
+        // trains ZERO merges — the graceful contract must hold there too
+        val last = merges.lastOption.fold("")(m => m._1 + m._2)
+        Seq((merges.length.toLong, digest, last))
           .toDF("n_merges", "vocab_md5", "last_merged")
       },
       None),

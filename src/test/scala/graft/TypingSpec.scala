@@ -197,6 +197,12 @@ class TypingSpec extends AnyFunSuite {
 
   test("varpath: depth cap (each hop is a distributed self-join)") {
     assert(err(selfHeader + "match (a:N) -[:next*1..11]-> (b:N)").contains("too deep"))
+    // the open spelling's FLOOR is plan-depth too (round 17: the window
+    // composes as lo-1 extension joins — an unguarded `*1000000..`
+    // would hang Catalyst analysis); *10.. is the deepest legal floor
+    assert(err(selfHeader + "match (a:N) -[:next*11..]-> (b:N)").contains("too deep"))
+    assert(Typing.compile(selfHeader + "match (a:N) -[:next*10..]-> (b:N)\nreturn a, b")
+      .instrs.collect { case v: Typing.RVarPath => v }.nonEmpty)
   }
 
   // --- shortest-distance binding `as d` (engine extension) ---

@@ -41,8 +41,12 @@ def main():
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: check.py [--json <tally.json>] <outDir> <sfDir> [query...]")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
+    if len(args) < 2:
+        sys.exit("usage: check.py [--json <tally.json>] <outDir> <sfDir> [query...]")
     out_dir, sf_dir = args[0], args[1]
     only = set(args[2:])
     results = {}
