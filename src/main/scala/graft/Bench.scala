@@ -73,7 +73,7 @@ object Bench {
     "g"        -> 208.2,
     "gql"      -> 263.0, // incl. the 13-proc whole-graph call bridge
     "p_stream" -> 28.3,
-    "p_dedup"  -> 32.9,
+    "p_dedup"  -> 33.9, // round 17: + p_dedup_url (~1)
     "q"        -> 13.7,
     "p_io"     -> 11.9,
     "p_text"   -> 51.5,  // incl. memoized K=64 train + the K-scale row

@@ -861,6 +861,84 @@ object DedupOps {
              |       coalesce(a.dup_tokens, 0)::BIGINT AS dup_tokens,
              |       round(coalesce(a.dup_tokens, 0)::DOUBLE / len(d.ws), 6) AS dup_frac
              |FROM d5 d LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
+    // ---- URL canonicalization + dedup (round 17) -----------------------
+    // The crawl-level dedup every web-corpus pipeline runs BEFORE any
+    // content hashing (CCNet/RefinedWeb discipline: the same page is
+    // re-fetched under scheme/case/www./tracking-param/fragment noise,
+    // and URL-level collapse removes the bulk of refetch duplicates at
+    // string speed, no shingling). The corpus carries no URL column, so
+    // each doc is AUGMENTED with a deterministic raw URL (the PII-op
+    // discipline) whose page identity is doc_id % 120 and whose noise —
+    // scheme case, www., host case, trailing slash, utm_* tracking
+    // params, #fragment — varies per doc_id, so canonicalization does
+    // real work and same-page docs collapse (~4 docs/group at sf0.001).
+    // Canonical form: lower scheme+host (path case PRESERVED — real
+    // URL paths are case-sensitive), strip www., strip the fragment,
+    // strip one trailing slash, drop utm_* params keeping the rest.
+    // Every step is a codegen'd regexp projection in the pinned
+    // Spark∩DuckDB dialect; the only exchange is the canonical groupBy
+    // (map-side combined). Output: one row per canonical URL with the
+    // group size and the min-doc_id keeper — the survivorship contract
+    // the exact-dedup ops use.
+    Q("p_dedup_url",
+      (s, dir) => {
+        val id = col("doc_id")
+        val page = (id % 120).cast("string")
+        val host0 = concat(lit("example"), ((id % 120) % 8).cast("string"), lit(".com"))
+        val raw = concat(
+          when(id % 2 === 0, "https://").otherwise("HTTPS://"),
+          when(id % 3 === 0, "www.").otherwise(""),
+          when(id % 5 === 0, upper(host0)).otherwise(host0),
+          lit("/Docs/"), page,
+          when(id % 7 === 0, "/").otherwise(""),
+          when(id % 120 % 2 === 0, concat(lit("?id="), page)).otherwise(""),
+          when(id % 4 === 0, concat(
+            when(id % 120 % 2 === 0, "&").otherwise("?"),
+            lit("utm_source=feed&utm_campaign="), id.cast("string"))).otherwise(""),
+          when(id % 6 === 0, concat(lit("#sec"), id.cast("string"))).otherwise(""))
+        val noFrag = regexp_replace(raw, "#.*$", "")
+        val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+        val host = regexp_replace(
+          lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)), "^www\\.", "")
+        val path = regexp_replace(
+          regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/$", "")
+        val query = regexp_replace(
+          regexp_extract(noFrag, "\\?([^#]*)", 1), "(^|&)utm_[a-z]+=[^&]*", "")
+        val canon = concat(scheme, lit("://"), host, path,
+          when(query =!= "", concat(lit("?"), query)).otherwise(lit("")))
+        docs(s, dir).select(id, canon.as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+      },
+      Some("""WITH raw AS (SELECT doc_id,
+             |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END)
+             |    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+             |    || (CASE WHEN doc_id % 5 = 0
+             |          THEN upper('example' || ((doc_id % 120) % 8) || '.com')
+             |          ELSE 'example' || ((doc_id % 120) % 8) || '.com' END)
+             |    || '/Docs/' || (doc_id % 120)
+             |    || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+             |    || (CASE WHEN (doc_id % 120) % 2 = 0 THEN '?id=' || (doc_id % 120) ELSE '' END)
+             |    || (CASE WHEN doc_id % 4 = 0 THEN
+             |          (CASE WHEN (doc_id % 120) % 2 = 0 THEN '&' ELSE '?' END)
+             |          || 'utm_source=feed&utm_campaign=' || doc_id ELSE '' END)
+             |    || (CASE WHEN doc_id % 6 = 0 THEN '#sec' || doc_id ELSE '' END) AS u
+             |  FROM documents),
+             |nf AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM raw),
+             |parts AS (SELECT doc_id,
+             |    lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+             |    regexp_replace(lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)),
+             |                   '^www\.', '') AS host,
+             |    regexp_replace(regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+             |                   '/$', '') AS path,
+             |    regexp_replace(regexp_extract(u, '\?([^#]*)', 1),
+             |                   '(^|&)utm_[a-z]+=[^&]*', '', 'g') AS q
+             |  FROM nf)
+             |SELECT scheme || '://' || host || path
+             |         || (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS canonical_url,
+             |       count(*) AS n_docs, min(doc_id) AS keeper
+             |FROM parts GROUP BY 1""".stripMargin)),
   )
 
   // Verified-pairs frame per (session, dir): the pair operator and the

@@ -229,6 +229,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats.forall(r => r.getDouble(1) >= 0 && r.getDouble(1) <= 255))
   }
 
+  test("url dedup: canonical form strips every noise axis, groups = page identity") {
+    // semantic pin beyond the oracle hash: no canonical URL may retain
+    // fragment / www. / tracking params / scheme-host case noise, path
+    // case must be PRESERVED, and each group's size must equal the
+    // closed-form count of doc_ids congruent to its page mod 120
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val rows = run("p_dedup_url").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).sum == total, "groups must partition the corpus")
+    rows.foreach { case (u, n, keeper) =>
+      assert(u.startsWith("https://example"), s"scheme/host not canonical: $u")
+      assert(!u.contains("#") && !u.contains("utm_") && !u.contains("www."),
+        s"noise survived canonicalization: $u")
+      assert(u.contains("/Docs/"), s"path case not preserved: $u")
+      assert(!u.endsWith("/"), s"trailing slash survived: $u")
+      val page = u.replaceAll("^.*/Docs/([0-9]+).*$", "$1").toLong
+      assert(keeper % 120 == page, s"keeper $keeper not in page-$page group")
+      val expect = (0L until total).count(_ % 120 == page)
+      assert(n == expect, s"page $page: $n docs, closed form says $expect")
+    }
+  }
+
   // Running the query also exercises the in-operator convergence
   // assertion (DedupOps requires one extra propagation step change no
   // label), so an under-converged superstep count fails here loudly.

@@ -871,6 +871,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("URL dedup is one canonical groupBy: single exchange, no UDFs") {
+    // the crawl-level collapse must run at string speed: synthesize +
+    // canonicalize are codegen'd regexp projections riding the scan,
+    // and the only exchange is the map-side-combined canonical groupBy
+    val p = plan("p_dedup_url")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"expected the single canonical-url exchange in:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation in:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"unexpected UDF in the canonicalization path:\n$p")
+  }
+
   test("quality-model gate projects with zero shuffle (scores at scan speed)") {
     // The classifier gate's 100 TB claim is "weights broadcast as
     // literals into codegen, scoring never shuffles" — any Exchange
