@@ -70,8 +70,14 @@ object Bench {
     // round cost), p_mm: the three generic ops moved onto the real
     // codecs (SOF parse is still a scan-speed projection; resize +
     // audio decode add ~2 of mapPartitions codec work).
+    // round-18 re-anchor (VERDICT r17 item 1c): the gql band had gone
+    // stale against its own idle record — the family grew to 156
+    // queries measuring ~332-335 s idle (judge's clean-window rerun:
+    // 479 s under mild contention), so the 263.0 band fired the retry
+    // at barely 1.2× contention and the retry itself blew the driver's
+    // wall clock (BENCH_r17 rc 124). Band = measured idle family total.
     "g"        -> 208.2,
-    "gql"      -> 263.0, // incl. the 13-proc whole-graph call bridge
+    "gql"      -> 335.0, // incl. the 13-proc whole-graph call bridge
     "p_stream" -> 28.3,
     "p_dedup"  -> 33.9, // round 17: + p_dedup_url (~1)
     "q"        -> 13.7,
@@ -92,6 +98,8 @@ object Bench {
   private val retryMinOverSec = 2.0
 
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt.max(1)
@@ -155,76 +163,122 @@ object Bench {
           case _                 => (f, List(name -> fn)) :: acc
         }
     }.reverse
-    famGroups.foreach { case (fam, qs) =>
-      val t0 = System.nanoTime()
-      qs.foreach { case (name, fn) => timeQuery(name, fn).foreach(timings(name) = _) }
-      val famTotal = qs.flatMap(q => timings.get(q._1)).sum
-      val el = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] family $fam%-12s $el%7.1fs  " +
-        s"loadedStateStores=${org.apache.spark.sql.GraftShim.loadedStateStores()}")
-      // Band check: one contended pass is not allowed to be the family's
-      // only measurement. Re-run the whole family once, keep per-query
-      // MIN across passes (min, not median: contention only ever ADDS
-      // time, so the smaller sample is strictly closer to the machine-
-      // idle truth the recorded baseline measures).
-      familyBand.get(fam).filter(b => retryOn && famTotal > b * retryFactor &&
-          famTotal - b > retryMinOverSec)
-        .foreach { band =>
-          System.err.println(f"[bench] family $fam%-12s $famTotal%.1fs exceeds " +
-            f"band $band%.1fs ×$retryFactor — re-running family once")
-          retried += fam
-          qs.foreach { case (name, fn) =>
-            if (!errors.contains(name))
-              timeQuery(name, fn).foreach { t =>
-                timings(name) = math.min(timings.getOrElse(name, t), t)
-              }
-          }
-        }
-    }
+    // Retry wall-clock budget (VERDICT r17 item 1b): the r17 driver run
+    // timed out (rc 124) because the family retry re-ran a 27-minute
+    // contended gql pass AFTER the first pass had already consumed most
+    // of the driver's window — the harness's own defense mechanism
+    // destroyed the artifact it defends. Retries now fire only while
+    // total elapsed bench time is under this budget; a skipped retry is
+    // recorded in "retry_skipped" so the consumer knows the number is a
+    // single contended pass, not a min-of-two.
+    val retryBudget = sys.env.getOrElse("SPARK_GRAFT_RETRY_BUDGET", "1800").toDouble
+    // Test knob (bench-harness only, never set by the driver): inflates
+    // each family total AS SEEN BY THE BAND CHECK, simulating a
+    // contended window so the provisional-total / retry-budget paths can
+    // be exercised on a fast SF without actually being slow.
+    val simSlow = sys.env.getOrElse("SPARK_GRAFT_SIM_SLOW", "1.0").toDouble
+    val retrySkipped = scala.collection.mutable.ListBuffer.empty[String]
+
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jmap(m: Iterable[(String, String)]) =
       m.map { case (k, v) => s"\"${esc(k)}\":$v" }.mkString("{", ",", "}")
-    val total = timings.values.sum
-    val errs = jmap(errors.toSeq.map { case (k, v) => k -> s"\"${esc(v)}\"" })
-    // Line 1: full per-query detail (head of the capture window may cut it).
-    val detailLine = s"""{"metric":"detail","value":${fmt(total)},"unit":"sec","n_queries":${timings.size},"runs":$runs,"retried":${retried.map(f => s"\"${esc(f)}\"").mkString("[", ",", "]")},"errors":$errs,"queries":${jmap(timings.toSeq.map { case (k, v) => k -> fmt(v) })},"sf":"$sfDir"}"""
-    println(detailLine)
-    // Sidecar file with the SAME complete detail line (VERDICT r09 item 1:
-    // the driver tail-captures only 2,000 chars of stdout, so ~135 of the
-    // 198 per-query numbers never survived into BENCH_r{N}.json — the
-    // sidecar is the durable full-resolution artifact for cross-round
-    // per-query diffing). Best-effort: a read-only cwd must not fail the
-    // bench itself.
-    val detailOut = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(detailOut),
-        (detailLine + "\n").getBytes("UTF-8"))
-    } catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $detailOut: ${e.getMessage}")
+    // Emits the two-line stdout contract (detail, then total) plus the
+    // detail sidecar. Called once after pass 1 when retries are pending
+    // (provisional=true — VERDICT r17 item 1a: if the driver's wall
+    // clock expires mid-retry, the tail capture still holds a complete
+    // parseable total) and once at the end (the authoritative lines; a
+    // retry-free run prints exactly once, unchanged from round 17).
+    def emitSummary(provisional: Boolean): Unit = {
+      val total = timings.values.sum
+      val errs = jmap(errors.toSeq.map { case (k, v) => k -> s"\"${esc(v)}\"" })
+      val provJson = if (provisional) "\"provisional\":true," else ""
+      // Line 1: full per-query detail (head of the capture window may cut it).
+      val detailLine = s"""{"metric":"detail",$provJson"value":${fmt(total)},"unit":"sec","n_queries":${timings.size},"runs":$runs,"retried":${retried.map(f => s"\"${esc(f)}\"").mkString("[", ",", "]")},"errors":$errs,"queries":${jmap(timings.toSeq.map { case (k, v) => k -> fmt(v) })},"sf":"$sfDir"}"""
+      println(detailLine)
+      // Sidecar file with the SAME complete detail line (VERDICT r09 item 1:
+      // the driver tail-captures only 2,000 chars of stdout, so ~135 of the
+      // 198 per-query numbers never survived into BENCH_r{N}.json — the
+      // sidecar is the durable full-resolution artifact for cross-round
+      // per-query diffing). Best-effort: a read-only cwd must not fail the
+      // bench itself. The provisional write is overwritten by the final one.
+      val detailOut = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL.json")
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(detailOut),
+          (detailLine + "\n").getBytes("UTF-8"))
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $detailOut: ${e.getMessage}")
+      }
+      // Final line: the summary the tail capture must always contain whole.
+      // Families + errors are small; slowest-query entries are added only
+      // while the line stays under the 1,900-byte cap (2,000-char window
+      // minus margin for the trailing newline / sbt prefix).
+      val fams = timings.groupBy { case (k, _) => family(k) }
+        .map { case (f, m) => f -> m.values.sum }.toSeq.sortBy(-_._2)
+      // "queries" here is the slowest-first PREFIX that fits the size cap
+      // (contract-shaped for the driver's parser); the complete map is on
+      // the "metric":"detail" line above.
+      // "queries_truncated" flags the prefix explicitly (ADVICE r06) so a
+      // consumer cannot mistake it for the complete per-query map.
+      val retriedJson = retried.map(f => s"\"${esc(f)}\"").mkString("[", ",", "]")
+      val skippedJson = retrySkipped.map(f => s"\"${esc(f)}\"").mkString("[", ",", "]")
+      val head = s"""{"metric":"total",$provJson"value":${fmt(total)},"unit":"sec","n_queries":${timings.size},"runs":$runs,"retried":$retriedJson,"retry_skipped":$skippedJson,"sf":"$sfDir","queries_truncated":true,"errors":$errs,"families":${jmap(fams.map { case (k, v) => k -> fmt(v) })},"queries":{"""
+      val tail = "}}"
+      val budget = 1900 - head.length - tail.length
+      val slow = new StringBuilder
+      var used = 0
+      timings.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+        val entry = (if (used == 0) "" else ",") + s"\"${esc(k)}\":${fmt(v)}"
+        if (used + entry.length <= budget) { slow.append(entry); used += entry.length }
+      }
+      println(head + slow + tail)
+      System.out.flush()
     }
-    // Final line: the summary the tail capture must always contain whole.
-    // Families + errors are small; slowest-query entries are added only
-    // while the line stays under the 1,900-byte cap (2,000-char window
-    // minus margin for the trailing newline / sbt prefix).
-    val fams = timings.groupBy { case (k, _) => family(k) }
-      .map { case (f, m) => f -> m.values.sum }.toSeq.sortBy(-_._2)
-    // "queries" here is the slowest-first PREFIX that fits the size cap
-    // (contract-shaped for the driver's parser); the complete map is on
-    // the "metric":"detail" line above.
-    // "queries_truncated" flags the prefix explicitly (ADVICE r06) so a
-    // consumer cannot mistake it for the complete per-query map.
-    val retriedJson = retried.map(f => s"\"${esc(f)}\"").mkString("[", ",", "]")
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timings.size},"runs":$runs,"retried":$retriedJson,"sf":"$sfDir","queries_truncated":true,"errors":$errs,"families":${jmap(fams.map { case (k, v) => k -> fmt(v) })},"queries":{"""
-    val tail = "}}"
-    val budget = 1900 - head.length - tail.length
-    val slow = new StringBuilder
-    var used = 0
-    timings.toSeq.sortBy(-_._2).foreach { case (k, v) =>
-      val entry = (if (used == 0) "" else ",") + s"\"${esc(k)}\":${fmt(v)}"
-      if (used + entry.length <= budget) { slow.append(entry); used += entry.length }
+
+    // Pass 1: time every family once. Band breaches are QUEUED, not
+    // retried inline (round-17 restructure): the provisional summary
+    // must hit stdout after the complete first pass and before any
+    // retry work begins, so a mid-retry kill can never leave the
+    // artifact without a parseable total.
+    val pendingRetries = scala.collection.mutable.ListBuffer
+      .empty[(String, Double, List[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])]
+    famGroups.foreach { case (fam, qs) =>
+      val t0 = System.nanoTime()
+      qs.foreach { case (name, fn) => timeQuery(name, fn).foreach(timings(name) = _) }
+      val famTotal = qs.flatMap(q => timings.get(q._1)).sum * simSlow
+      val el = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] family $fam%-12s $el%7.1fs  " +
+        s"loadedStateStores=${org.apache.spark.sql.GraftShim.loadedStateStores()}")
+      // Band check: one contended pass is not allowed to be the family's
+      // only measurement. Queue a one-shot re-run of the whole family,
+      // keeping per-query MIN across passes (min, not median: contention
+      // only ever ADDS time, so the smaller sample is strictly closer to
+      // the machine-idle truth the recorded baseline measures).
+      familyBand.get(fam).filter(b => retryOn && famTotal > b * retryFactor &&
+          famTotal - b > retryMinOverSec)
+        .foreach { band => pendingRetries += ((fam, famTotal, qs)) }
     }
-    println(head + slow + tail)
+    if (pendingRetries.nonEmpty) emitSummary(provisional = true)
+    pendingRetries.foreach { case (fam, famTotal, qs) =>
+      val band = familyBand(fam)
+      if (elapsedSec > retryBudget) {
+        System.err.println(f"[bench] family $fam%-12s $famTotal%.1fs exceeds " +
+          f"band $band%.1fs ×$retryFactor but elapsed ${elapsedSec}%.0fs > " +
+          f"retry budget ${retryBudget}%.0fs — skipping retry")
+        retrySkipped += fam
+      } else {
+        System.err.println(f"[bench] family $fam%-12s $famTotal%.1fs exceeds " +
+          f"band $band%.1fs ×$retryFactor — re-running family once")
+        retried += fam
+        qs.foreach { case (name, fn) =>
+          if (!errors.contains(name))
+            timeQuery(name, fn).foreach { t =>
+              timings(name) = math.min(timings.getOrElse(name, t), t)
+            }
+        }
+      }
+    }
+    emitSummary(provisional = false)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
