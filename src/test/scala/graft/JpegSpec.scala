@@ -108,24 +108,88 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
-  test("SOF0 header parse from the hex stream matches the decoder's dims") {
-    // mirrors p_mm_metadata's codegen'd parse: first FFC0 in hex(jpg),
-    // precision at +8, height at +10, width at +14 (1-based hex offsets)
-    // — and pins the corpus assumption that no earlier byte pair
-    // collides with the marker
+  /** Runs p_mm_metadata's actual codegen'd SOF locator + field parse on
+    * a hex stream, returning (sofPos, precision, height, width). */
+  private def sqlSofParse(hx: String): (Long, Long, Long, Long) = {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val r = Seq(hx).toDF("hx")
+      .select(org.apache.spark.sql.functions.expr(
+        graft.operators.MultimodalOps.jpegSofPos).as("sof"),
+        org.apache.spark.sql.functions.col("hx"))
+      .selectExpr("cast(sof as bigint) as sof",
+        "cast(conv(substring(hx, sof + 8, 2), 16, 10) as bigint) as precision",
+        "cast(conv(substring(hx, sof + 10, 4), 16, 10) as bigint) as height",
+        "cast(conv(substring(hx, sof + 14, 4), 16, 10) as bigint) as width")
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("segment-walk SOF parse matches the decoder's dims across the corpus") {
+    // pins p_mm_metadata's codegen'd parse (round 18: a marker-segment
+    // walk, no longer first-FFC0): precision at +8, height at +10,
+    // width at +14 (1-based hex offsets from the located marker)
     for (id <- 0L until 24L) {
       val w = 8 * (1 + id % 3).toInt
       val h = 8 * (1 + id % 2).toInt
       val bytes = JpegCodec.encodeGray(w, h, blockRaster(id, w, h))
       val hx = bytes.map(b => f"${b & 0xff}%02X").mkString
-      val sof = hx.indexOf("FFC0") + 1 // 1-based, like SQL instr
-      assert(sof > 0, s"id=$id: no SOF0 marker")
-      // 1-based segment offsets, exactly the SQL substring arguments
-      def be(off: Int, n: Int) = Integer.parseInt(hx.substring(sof - 1 + off, sof - 1 + off + n), 16)
-      assert(be(8, 2) == 8, s"id=$id precision")
-      assert(be(10, 4) == h, s"id=$id height")
-      assert(be(14, 4) == w, s"id=$id width")
+      val (sof, prec, ph, pw) = sqlSofParse(hx)
+      // on this clean corpus the walk and the naive first-FFC0 scan agree
+      assert(sof == hx.indexOf("FFC0") + 1, s"id=$id walk position")
+      assert(prec == 8, s"id=$id precision")
+      assert(ph == h, s"id=$id height")
+      assert(pw == w, s"id=$id width")
       assert(hx.substring(12, 22) == "4A46494600", s"id=$id JFIF signature")
     }
+  }
+
+  private def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+    Array(0xff.toByte, marker.toByte,
+      (((payload.length + 2) >> 8) & 0xff).toByte,
+      ((payload.length + 2) & 0xff).toByte) ++ payload
+
+  test("segment walk survives an FFC0 byte pair inside a COM/DQT payload") {
+    // the adversarial fixture VERDICT r17 item 2 asks for: a comment
+    // segment and a DQT payload each carrying the literal FF C0 byte
+    // pair BEFORE the real frame header — a first-FFC0 scan mis-locates
+    // here; the length-hopping walk must not
+    val sofPayload = Array[Byte](8, 0, 24, 0, 40, 1, 0x11, 0) // prec 8, 24x40, 1 comp
+    val bytes =
+      Array(0xff.toByte, 0xd8.toByte) ++                      // SOI
+        seg(0xfe, Array(0x68, 0x69, 0xff.toByte, 0xc0.toByte)) ++ // COM "hi" + FFC0
+        seg(0xdb, Array[Byte](0, 0xff.toByte, 0xc0.toByte, 1, 1)) ++ // DQT-ish + FFC0
+        seg(0xc0, sofPayload)                                 // the real SOF0
+    val hx = bytes.map(b => f"${b & 0xff}%02X").mkString
+    val naive = hx.indexOf("FFC0") + 1
+    val (sof, prec, ph, pw) = sqlSofParse(hx)
+    assert(naive < sof, "fixture must place a decoy FFC0 before the real SOF")
+    // SOF segment = marker(4 hex) + length(4 hex) + payload(2·|payload| hex)
+    assert(sof == hx.length - 2 * sofPayload.length - 8 + 1, "walk landed off the SOF marker")
+    assert(prec == 8 && ph == 24 && pw == 40,
+      s"walk parse got ${pw}x$ph precision $prec — decoy FFC0 won")
+  }
+
+  test("segment walk finds SOF1/SOF2 (extended-sequential / progressive) too") {
+    for (m <- Seq(0xc1, 0xc2)) {
+      val sofPayload = Array[Byte](8, 0, 16, 0, 32, 1, 0x11, 0)
+      val bytes = Array(0xff.toByte, 0xd8.toByte) ++
+        seg(0xfe, Array(0xff.toByte, 0xc0.toByte)) ++ seg(m, sofPayload)
+      val hx = bytes.map(b => f"${b & 0xff}%02X").mkString
+      val (_, prec, ph, pw) = sqlSofParse(hx)
+      assert(prec == 8 && ph == 16 && pw == 32, f"marker FF$m%02X not located")
+    }
+  }
+
+  test("segment walk on markerless input yields NULL, not a garbage read") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // SOI + one COM segment, then the stream ends without any SOF
+    val bytes = Array(0xff.toByte, 0xd8.toByte) ++ seg(0xfe, Array[Byte](1, 2))
+    val hx = bytes.map(b => f"${b & 0xff}%02X").mkString
+    val r = Seq(hx).toDF("hx")
+      .selectExpr(s"(${graft.operators.MultimodalOps.jpegSofPos}) as sof")
+      .collect().head
+    assert(r.isNullAt(0), s"expected NULL sof on markerless input, got ${r.get(0)}")
   }
 }
