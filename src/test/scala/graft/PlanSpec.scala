@@ -238,6 +238,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!pr.contains("Exchange"), s"unexpected shuffle in:\n$pr")
     val pa = plan("p_mm_audio_chunks")
     assert(!pa.contains("Exchange"), s"unexpected shuffle in:\n$pa")
+    // the VIDEO leg (round 18): AVI demux + sampled-frame JPEG decode
+    // is scan → mapPartitions → mapPartitions → lateral-view generate —
+    // still zero-Exchange
+    val pf = plan("p_mm_framesample")
+    assert(!pf.contains("Exchange"), s"unexpected shuffle in:\n$pf")
+    assert(pf.contains("Generate"), s"expected the lateral-view explode in:\n$pf")
   }
 
   test("aggregation uses map-side partial aggregates") {
