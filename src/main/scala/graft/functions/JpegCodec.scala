@@ -2,7 +2,8 @@ package graft.functions
 
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+import javax.imageio.{IIOImage, ImageIO, ImageReader, ImageWriteParam, ImageWriter}
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 
 /** Real JPEG encode/decode through `javax.imageio` — in-JDK, zero new
   * dependencies (VERDICT r15 item 4). Grayscale single-component JPEGs
@@ -24,6 +25,26 @@ object JpegCodec {
 
   final case class Gray(width: Int, height: Int, raster: Array[Byte])
 
+  /** Per-thread reader/writer instances (round 18, optimization guide
+    * §4.5 — initialise heavyweight state once per task, not per row):
+    * the corpus ops call encode/decode once per ROW (millions per query
+    * at sf0.1), and a fresh `getImageWritersByFormatName`/`ImageIO.read`
+    * per call pays a ServiceRegistry scan AND — via
+    * `ImageIO.createImageOutputStream`'s default `useCache=true` — a
+    * DISK-BACKED stream cache, i.e. one temp file created and deleted
+    * per image. Plugin instances are not thread-safe but are fine
+    * per-thread; `reset()` after every use returns them to pristine
+    * state. Byte output is unchanged: same plugin class, same params —
+    * only the lookup and the cache-file churn go away. */
+  private val jpgWriter = new ThreadLocal[ImageWriter] {
+    override def initialValue(): ImageWriter =
+      ImageIO.getImageWritersByFormatName("jpg").next()
+  }
+  private val jpgReader = new ThreadLocal[ImageReader] {
+    override def initialValue(): ImageReader =
+      ImageIO.getImageReadersByFormatName("jpg").next()
+  }
+
   /** Encode a row-major 8-bit grayscale raster as a real JPEG file at
     * compression quality 1.0. */
   def encodeGray(width: Int, height: Int, raster: Array[Byte]): Array[Byte] = {
@@ -40,17 +61,17 @@ object JpegCodec {
       }
       y += 1
     }
-    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val writer = jpgWriter.get()
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(1.0f)
     val bos = new ByteArrayOutputStream()
-    val ios = ImageIO.createImageOutputStream(bos)
+    val ios = new MemoryCacheImageOutputStream(bos)
     try {
       writer.setOutput(ios)
       writer.write(null, new IIOImage(img, null, null), param)
     } finally {
-      writer.dispose()
+      writer.reset() // pristine for the thread's next call
       ios.close()
     }
     bos.toByteArray
@@ -58,7 +79,11 @@ object JpegCodec {
 
   /** Decode a JPEG to its row-major 8-bit grayscale raster. */
   def decodeGray(bytes: Array[Byte]): Gray = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val reader = jpgReader.get()
+    val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+    val img =
+      try { reader.setInput(iis); reader.read(0) }
+      finally { reader.reset(); iis.close() }
     require(img != null, "not a decodable image")
     val w = img.getWidth
     val h = img.getHeight
