@@ -645,40 +645,20 @@ object Engine {
           rank.select(col("id").as(cols(0)), col("rank").as(cols(1)))
         case "bfs" =>
           // undirected hop distances from the literal source id —
-          // frontier-delta iteration (newly-discovered only), reached
-          // nodes in the output, absent source reaches nothing
+          // one-job-per-superstep spine loop (round 18; algorithm +
+          // plan-shape notes on [[graft.operators.GraphAlgos.frontierLoop]]),
+          // reached nodes in the output, absent source reaches nothing
           val ue = hoistUndirected()
           val srcId = intArg("bfs")
-          val src = allNodes.filter(col("id") === srcId)
-            .select(col("id"), lit(0L).as("d"))
-          var dists = graft.Ckpt.eager(src)
-          var frontier = graft.Ckpt.eager(src)
-          var converged = false
-          var stepN = 0
-          val maxIters = 20
-          while (stepN < maxIters && !converged) {
-            stepN += 1
-            val cand = ue.join(frontier, ue("src") === frontier("id"))
+          val spine = allNodes
+            .select(col("id"), when(col("id") === srcId, 0L).as("d"))
+          val dists = graft.operators.GraphAlgos.frontierLoop(
+            spine, Seq("id"),
+            f => ue.join(f, ue("src") === f("id"))
               .select(ue("dst").as("id"), (col("d") + 1).as("cand"))
-              .groupBy("id").agg(min("cand").as("cand"))
-            val next = graft.Ckpt.deferredPartitioned(
-              cand.join(dists, Seq("id"), "left_anti")
-                .select(col("id"), col("cand").as("d")))
-            converged = next.count() == 0L
-            if (converged) graft.Ckpt.drop(next)
-            else {
-              val merged = graft.Ckpt.eagerPartitioned(
-                dists.join(next.select(col("id"), col("d").as("nd")), Seq("id"), "full")
-                  .select(col("id"), coalesce(col("nd"), col("d")).as("d")))
-              graft.Ckpt.drop(dists)
-              graft.Ckpt.drop(frontier)
-              dists = merged
-              frontier = next
-            }
-          }
-          graft.Ckpt.drop(frontier)
+              .groupBy("id").agg(min("cand").as("cand")),
+            improve = false, maxIters = 20, "call bfs()")
           graft.Ckpt.drop(ue)
-          require(converged, s"call bfs(): not converged after $maxIters supersteps")
           dists.select(col("id").as(cols(0)), col("d").as(cols(1)))
         case "sssp" =>
           // weighted Bellman–Ford delta iteration (the library g_sssp
@@ -687,43 +667,22 @@ object Engine {
           // exact in any engine. The frontier is the IMPROVED set (a
           // settled node re-enters when its distance drops — weighted
           // relaxation, unlike BFS, can improve a settled node).
+          // one-job-per-superstep spine loop (round 18 — see
+          // [[graft.operators.GraphAlgos.frontierLoop]]); improve=true
+          // is the Bellman–Ford frontier (a settled node re-enters when
+          // its distance drops)
           val ue = hoistUndirected()
           val srcId = intArg("sssp")
-          val src = allNodes.filter(col("id") === srcId)
-            .select(col("id"), lit(0L).as("d"))
-          var dists = graft.Ckpt.eager(src)
-          var frontier = graft.Ckpt.eager(src)
-          var converged = false
-          var stepN = 0
-          val maxIters = 24
-          while (stepN < maxIters && !converged) {
-            stepN += 1
-            val cand = ue.join(frontier, ue("src") === frontier("id"))
+          val spine = allNodes
+            .select(col("id"), when(col("id") === srcId, 0L).as("d"))
+          val dists = graft.operators.GraphAlgos.frontierLoop(
+            spine, Seq("id"),
+            f => ue.join(f, ue("src") === f("id"))
               .select(ue("dst").as("id"),
                 (col("d") + lit(1L) + (ue("src") + ue("dst")) % 2).as("cand"))
-              .groupBy("id").agg(min("cand").as("cand"))
-            val improved = graft.Ckpt.deferredPartitioned(
-              cand.join(dists.withColumnRenamed("d", "old"), Seq("id"), "left")
-                .filter(col("old").isNull || col("cand") < col("old"))
-                .select(col("id"), col("cand").as("d")))
-            converged = improved.count() == 0L
-            if (converged) graft.Ckpt.drop(improved)
-            else {
-              // co-partitioned full-outer merge — the delta's value
-              // wins on match; neither side re-shuffles (both arrive
-              // hash-partitioned by id)
-              val merged = graft.Ckpt.eagerPartitioned(
-                dists.join(improved.select(col("id"), col("d").as("nd")), Seq("id"), "full")
-                  .select(col("id"), coalesce(col("nd"), col("d")).as("d")))
-              graft.Ckpt.drop(dists)
-              graft.Ckpt.drop(frontier)
-              dists = merged
-              frontier = improved
-            }
-          }
-          graft.Ckpt.drop(frontier)
+              .groupBy("id").agg(min("cand").as("cand")),
+            improve = true, maxIters = 24, "call sssp()")
           graft.Ckpt.drop(ue)
-          require(converged, s"call sssp(): not converged after $maxIters supersteps")
           dists.select(col("id").as(cols(0)), col("d").as(cols(1)))
         case "kcore" =>
           // iterative k-core peel (the library g_kcore recurrence, k as
@@ -818,6 +777,10 @@ object Engine {
           // make EVERY node a seed — all-sources instead of landmark
           // harmonic — so the DEFAULT band is guarded loudly below;
           // an explicit argument states intent and skips the guard.
+          // NOT moved onto the round-18 frontierLoop spine: like the
+          // library twin (g_harmonic_landmarks — measured 2× slower on
+          // the K·|V| spine), this keeps the accumulated anti-join +
+          // full-outer-merge shape; see OPTIMIZATION_r18.md.
           val bandArg = args.collectFirst { case IntV(v) => v }
           val band = bandArg.getOrElse(2000000000L)
           val ue = hoistUndirected()

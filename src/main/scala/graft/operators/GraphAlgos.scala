@@ -663,10 +663,75 @@ object GraphAlgos {
     * previous merge outputs through [[Ckpt.eagerPartitioned]]), so the
     * merge re-shuffles NEITHER side — the 1-exchange-per-superstep shape
     * PlanSpec pins. Shared by the BFS and SSSP frontier loops. */
-  private def mergeById(acc: DataFrame, delta: DataFrame): DataFrame =
-    Ckpt.eagerPartitioned(
-      acc.join(delta.select(col("id"), col("d").as("nd")), Seq("id"), "full")
-        .select(col("id"), coalesce(col("nd"), col("d")).as("d")))
+  /** Frontier-delta distance loop over a FULL key spine (round 18,
+    * optimization guide §2.4/§1.2): `spine` carries every key the loop
+    * can ever reach with `d` = 0 at the sources and NULL elsewhere, and
+    * each superstep LEFT-joins the candidate frame onto it — the
+    * deltaCC discipline generalized to the BFS/SSSP family.
+    *
+    * Why this replaces the old anti-join + full-outer-merge shape: a
+    * FULL OUTER SortMergeJoin reports UnknownPartitioning (measured on
+    * Spark 4.1, see PlanSpec "superstep spine left join"), so the old
+    * merged `dists` checkpoint lost its placement and every subsequent
+    * superstep RE-EXCHANGED the whole accumulated frame; and the merge
+    * was a SECOND job + checkpoint per superstep on top of the probe.
+    * A LEFT join keeps the left side's hash partitioning, so here each
+    * superstep is exactly ONE job (the convergence-probe count, which
+    * doubles as the deferred checkpoint's materialization — the deltaCC
+    * rule), ONE checkpoint, and ONE exchange (the candidate
+    * aggregation; the spine side is placed once at step 1 and never
+    * re-shuffled). Iteration count and the result are UNCHANGED: the
+    * probe counts exactly the rows the old anti-join (or, with
+    * `improve`, the old improvement filter) produced, and unreached
+    * spine rows just stay NULL until discovery — the returned frame
+    * filters them out, matching the old accumulated frame row for row.
+    *
+    * `improve=false`: BFS semantics — a key is discovered once (the
+    * frontier is the newly-reached set). `improve=true`: Bellman–Ford —
+    * a smaller candidate re-enters the frontier (`cand < d`).
+    *
+    * At 100 TB the spine costs |keys| rows per superstep checkpoint —
+    * the same asymptotics as the old accumulated frame once the search
+    * saturates (and CC/LP/PR already carry full-|V| frames per
+    * superstep) — in exchange for halving the per-superstep job count
+    * and removing a full re-exchange of the accumulated state, the two
+    * costs that scale with cluster scheduler latency and network. */
+  private[graft] def frontierLoop(
+      spine: DataFrame,
+      keyCols: Seq[String],
+      step: DataFrame => DataFrame,
+      improve: Boolean,
+      maxIters: Int,
+      what: String): DataFrame = {
+    var dists: DataFrame = spine
+    var frontier: DataFrame = spine.filter(col("d").isNotNull)
+    var prev: Option[DataFrame] = None
+    var converged = false
+    var stepN = 0
+    val better =
+      if (improve) col("cand").isNotNull &&
+        (col("d").isNull || col("cand") < col("d"))
+      else col("d").isNull && col("cand").isNotNull
+    while (stepN < maxIters && !converged) {
+      stepN += 1
+      val cand = step(frontier)
+      val joined = Ckpt.deferredPartitioned(dists.join(cand, keyCols, "left"))
+      // the superstep's ONLY job: materializes the checkpoint AND is
+      // the convergence probe
+      converged = joined.filter(better).count() == 0L
+      if (converged) Ckpt.drop(joined)
+      else {
+        dists = joined.select(
+          keyCols.map(col) :+ when(better, col("cand")).otherwise(col("d")).as("d"): _*)
+        frontier = joined.filter(better)
+          .select(keyCols.map(col) :+ col("cand").as("d"): _*)
+        prev.foreach(Ckpt.drop)
+        prev = Some(joined)
+      }
+    }
+    require(converged, s"$what not converged after $maxIters supersteps")
+    dists.filter(col("d").isNotNull)
+  }
 
   // ---- label propagation communities (round 15) ----------------------
 
@@ -989,42 +1054,19 @@ object GraphAlgos {
     // (Pregel/Flink delta iteration), message volume ∝ improvements.
     Q("g_sssp",
       (s, dir) => {
+        // One-job-per-superstep spine loop (round 18 — see
+        // [[frontierLoop]] for why this replaced the anti-join +
+        // full-outer-merge shape): improve=true is the Bellman–Ford
+        // frontier — a settled node re-enters when its distance drops.
         val ue = undirectedEdges(s, dir)
-        val src = allNodes(s, dir).filter(col("id") === bfsSrc)
-          .select(col("id"), lit(0L).as("d"))
-        var dists: DataFrame = Ckpt.eager(src)
-        var frontier: DataFrame = Ckpt.eager(src)
-        var converged = false
-        var step = 0
-        while (step < ssspIters && !converged) {
-          step += 1
-          val cand = ue.join(frontier, ue("src") === frontier("id"))
+        val spine = allNodes(s, dir)
+          .select(col("id"), when(col("id") === bfsSrc, 0L).as("d"))
+        val dists = frontierLoop(spine, Seq("id"),
+          f => ue.join(f, ue("src") === f("id"))
             .select(ue("dst").as("id"),
               (col("d") + lit(1L) + (ue("src") + ue("dst")) % 2).as("cand"))
-            .groupBy("id").agg(min("cand").as("cand"))
-          // improved = strictly better or newly reached — the next frontier.
-          // deferredPartitioned (not eager): the count below materializes
-          // it AND is the convergence probe (one job, not two), and the
-          // partitioning survives — AQE-era localCheckpoint reports
-          // UnknownPartitioning, which would force a full re-exchange of
-          // the accumulated `dists` at EVERY superstep's merge (PlanSpec
-          // pins the 1-exchange shape)
-          val improved = Ckpt.deferredPartitioned(
-            cand.join(dists.withColumnRenamed("d", "old"), Seq("id"), "left")
-              .filter(col("old").isNull || col("cand") < col("old"))
-              .select(col("id"), col("cand").as("d")))
-          converged = improved.count() == 0L
-          if (converged) Ckpt.drop(improved) // skip the no-op merge
-          else {
-            val merged = mergeById(dists, improved)
-            Ckpt.drop(dists)
-            Ckpt.drop(frontier)
-            dists = merged
-            frontier = improved
-          }
-        }
-        Ckpt.drop(frontier)
-        require(converged, s"SSSP not converged after $ssspIters supersteps")
+            .groupBy("id").agg(min("cand").as("cand")),
+          improve = true, ssspIters, "SSSP")
         dists.groupBy(col("d").as("dist")).agg(count(lit(1)).as("n"))
       },
       Some(ssspOracle)),
@@ -1041,40 +1083,17 @@ object GraphAlgos {
     // non-convergence discipline as the CC delta iteration.
     Q("g_bfs",
       (s, dir) => {
+        // One-job-per-superstep spine loop (round 18 — see
+        // [[frontierLoop]]): the frontier is exactly the newly-
+        // discovered set, message volume each BFS level once.
         val ue = undirectedEdges(s, dir)
-        val src = allNodes(s, dir).filter(col("id") === bfsSrc)
-          .select(col("id"), lit(0L).as("d"))
-        var dists: DataFrame = Ckpt.eager(src)
-        var frontier: DataFrame = Ckpt.eager(src)
-        var converged = false
-        var step = 0
-        while (step < bfsIters && !converged) {
-          step += 1
-          val cand = ue.join(frontier, ue("src") === frontier("id"))
+        val spine = allNodes(s, dir)
+          .select(col("id"), when(col("id") === bfsSrc, 0L).as("d"))
+        val dists = frontierLoop(spine, Seq("id"),
+          f => ue.join(f, ue("src") === f("id"))
             .select(ue("dst").as("id"), (col("d") + 1).as("cand"))
-            .groupBy("id").agg(min("cand").as("cand"))
-          // newly-discovered nodes only: anything already in dists keeps
-          // its (provably smaller) distance. Deferred: the count below
-          // materializes it AND is the convergence probe (one job).
-          val next = Ckpt.deferredPartitioned(
-            cand.join(dists, Seq("id"), "left_anti")
-              .select(col("id"), col("cand").as("d")))
-          converged = next.count() == 0L
-          if (converged) Ckpt.drop(next) // skip the no-op merge
-          else {
-            // co-partitioned merge, NOT a union: union output has no
-            // partitioning, which would re-exchange the whole accumulated
-            // frame at the next superstep's anti-join. The two sides are
-            // disjoint (next is anti-joined), so coalesce ≡ union here.
-            val merged = mergeById(dists, next)
-            Ckpt.drop(dists)    // merged is materialized
-            Ckpt.drop(frontier) // cand was consumed into next
-            dists = merged
-            frontier = next
-          }
-        }
-        Ckpt.drop(frontier) // ue is the shared pinned frame — not ours to drop
-        require(converged, s"BFS not converged after $bfsIters supersteps")
+            .groupBy("id").agg(min("cand").as("cand")),
+          improve = false, bfsIters, "BFS")
         dists.groupBy(col("d").as("dist")).agg(count(lit(1)).as("n"))
       },
       Some(bfsOracle)),
@@ -1098,6 +1117,14 @@ object GraphAlgos {
     // checkpoint-per-superstep, early exit + loud non-convergence.
     Q("g_harmonic_landmarks",
       (s, dir) => {
+        // NOT moved onto the round-18 [[frontierLoop]] spine: measured
+        // at sf0.1 the K·|V| (seed,id) spine checkpointed per superstep
+        // DOUBLED this query (9.0 → 17.9/21.4 s, two windows) — unlike
+        // bfs/bipartite, the spine here is K× the node set while the
+        // accumulated frame grows level by level, so the halved job
+        // count loses to K·|V| rows of extra checkpoint volume every
+        // superstep. The accumulated anti-join + full-outer-merge shape
+        // below is the measured winner; see OPTIMIZATION_r18.md.
         val ue = undirectedEdges(s, dir)
         val seeds = allNodes(s, dir).filter(col("id") < 2000000000L)
           .select(col("id").as("seed"), col("id"), lit(0L).as("d"))
@@ -1156,38 +1183,21 @@ object GraphAlgos {
     // size, odd-parity edge count, bipartite verdict.
     Q("g_bipartite",
       (s, dir) => {
+        // One-job-per-superstep spine loop (round 18 — [[frontierLoop]]):
+        // the spine here is the CC labels frame itself — components
+        // partition the nodes, so (comp, id) enumerates exactly the
+        // (seed, id) pairs the root-seeded BFS can ever reach: the spine
+        // is |V| rows, not seeds×|V|, and no cross join is needed.
         val ue = undirectedEdges(s, dir)
         val nodes = allNodes(s, dir)
         val (labels, _) = deltaCC(nodes, ue, ccIters)
-        val seeds = labels.filter(col("id") === col("comp"))
-          .select(col("comp").as("seed"), col("id"), lit(0L).as("d"))
-        var dists: DataFrame = Ckpt.eager(seeds)
-        var frontier: DataFrame = Ckpt.eager(seeds)
-        var converged = false
-        var step = 0
-        while (step < bfsIters && !converged) {
-          step += 1
-          val cand = ue.join(frontier, ue("src") === frontier("id"))
+        val spine = labels.select(col("comp").as("seed"), col("id"),
+          when(col("id") === col("comp"), 0L).as("d"))
+        val dists = frontierLoop(spine, Seq("seed", "id"),
+          f => ue.join(f, ue("src") === f("id"))
             .select(col("seed"), ue("dst").as("id"), (col("d") + 1).as("cand"))
-            .groupBy("seed", "id").agg(min("cand").as("cand"))
-          val next = Ckpt.deferredPartitioned(
-            cand.join(dists, Seq("seed", "id"), "left_anti")
-              .select(col("seed"), col("id"), col("cand").as("d")))
-          converged = next.count() == 0L
-          if (converged) Ckpt.drop(next)
-          else {
-            val merged = Ckpt.eagerPartitioned(
-              dists.join(next.select(col("seed"), col("id"), col("d").as("nd")),
-                  Seq("seed", "id"), "full")
-                .select(col("seed"), col("id"), coalesce(col("nd"), col("d")).as("d")))
-            Ckpt.drop(dists)
-            Ckpt.drop(frontier)
-            dists = merged
-            frontier = next
-          }
-        }
-        Ckpt.drop(frontier)
-        require(converged, s"root BFS not converged after $bfsIters supersteps")
+            .groupBy("seed", "id").agg(min("cand").as("cand")),
+          improve = false, bfsIters, "root BFS")
         // parity check over each DIRECTED edge (one row per edge, no
         // reciprocal double-count); the edge's component = its src's seed
         val du = dists.select(col("seed"), col("id").as("src"), col("d").as("ds"))
