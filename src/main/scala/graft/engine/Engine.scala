@@ -650,7 +650,15 @@ object Engine {
           // reached nodes in the output, absent source reaches nothing
           val ue = hoistUndirected()
           val srcId = intArg("bfs")
-          val spine = allNodes
+          // spine = the REACHABLE key universe, not allNodes: the edge
+          // frame may be relation-scoped (call bfs over one relation's
+          // subgraph), and a full-|V| spine checkpointed per superstep
+          // measured 1.7× slower on the _rel variants at sf0.1 — BFS can
+          // only reach edge endpoints plus the source, so one distinct
+          // over the already-hoisted ue bounds the spine to that set
+          val spine = ue.select(col("dst").as("id"))
+            .unionByName(allNodes.filter(col("id") === srcId).select(col("id")))
+            .distinct()
             .select(col("id"), when(col("id") === srcId, 0L).as("d"))
           val dists = graft.operators.GraphAlgos.frontierLoop(
             spine, Seq("id"),
@@ -673,7 +681,11 @@ object Engine {
           // its distance drops)
           val ue = hoistUndirected()
           val srcId = intArg("sssp")
-          val spine = allNodes
+          // reachable-endpoints spine, not allNodes — same scoped-edge-
+          // frame reasoning as the bfs case above
+          val spine = ue.select(col("dst").as("id"))
+            .unionByName(allNodes.filter(col("id") === srcId).select(col("id")))
+            .distinct()
             .select(col("id"), when(col("id") === srcId, 0L).as("d"))
           val dists = graft.operators.GraphAlgos.frontierLoop(
             spine, Seq("id"),
