@@ -41,6 +41,17 @@ import graft.lang.Typing._
   */
 object Engine {
 
+  /** Session-lifetime memo of the call-procedure bridge's hoisted
+    * undirected edge frame, keyed (session, relScope) and guarded by the
+    * graph's edge-map IDENTITY (round 18 — see hoistUndirected in
+    * RCallProc). Values are drain-ledger-exempt pinned checkpoints; a
+    * superseded entry (mutated graph, same scope) is dropped on
+    * replacement, stopped sessions are swept on access. */
+  private val hoistMemo = new Object
+  private val ueHoists = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (AnyRef, org.apache.spark.sql.DataFrame)]
+
   /** Execution config. `strict=true` reproduces the reference's
     * runtime-error semantics for reads of unset attributes / dangling
     * bindings via `raise_error` in the plan (sem.ml:148-158); `false`
@@ -498,14 +509,37 @@ object Engine {
       // frames (a storage re-scan) AND re-exchange it for the join —
       // measured 2× vs the library twins on the same graph (VERDICT
       // r12), and at 100 TB the gap is supersteps×|E| of avoidable
-      // shuffle. eagerPartitioned (AQE off for the materialization) so
-      // the checkpoint reports the concrete hash partitioning instead
-      // of UnknownPartitioning.
+      // shuffle. Pinned (AQE off for the materialization) so the
+      // checkpoint reports the concrete hash partitioning instead of
+      // UnknownPartitioning.
+      //
+      // Round 18: the hoist is MEMOIZED per (session, relScope, graph
+      // edge-map identity) — the loader returns one PropertyGraph
+      // instance per (session, dir), so the 13+ whole-graph bridge
+      // queries in a bench session share ONE 2|E| hoist (the library's
+      // undirectedEdges discipline) instead of each paying the build
+      // shuffle + checkpoint. A MUTATED graph is a new map instance and
+      // re-hoists; the superseded pin for the same (session, scope) key
+      // is dropped on replacement, so a mutate-call-mutate program holds
+      // at most one pinned frame per scope (sessions are single-threaded
+      // per the Ckpt.confGate contract, so the evicted frame has no
+      // in-flight reader). Callers must NOT drop the returned frame.
       def hoistUndirected(): DataFrame =
-        graft.Ckpt.eagerPartitioned(
-          allEdges.unionByName(
-            allEdges.select(col("dst").as("src"), col("src").as("dst")))
-            .repartition(col("src")))
+        Engine.hoistMemo.synchronized {
+          Engine.ueHoists.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+          val key = (spark, relScope.getOrElse(""))
+          Engine.ueHoists.get(key) match {
+            case Some((g, df)) if g eq st.graph.edges => df
+            case prev =>
+              prev.foreach(p => graft.Ckpt.drop(p._2))
+              val df = graft.Ckpt.pinned(
+                allEdges.unionByName(
+                  allEdges.select(col("dst").as("src"), col("src").as("dst")))
+                  .repartition(col("src")))
+              Engine.ueHoists(key) = (st.graph.edges, df)
+              df
+          }
+        }
       def intArg(what: String): Long = args.head match {
         case IntV(v) => v
         case other   => throw new IllegalStateException(s"$what arg: $other")
@@ -606,7 +640,6 @@ object Engine {
             labels = next
             converged = changed == 0L
           }
-          graft.Ckpt.drop(ue)
           require(converged, s"call cc(): not converged after $maxIters supersteps")
           labels.select(col("id").as(cols(0)), col("comp").as(cols(1)))
         case "pagerank" =>
@@ -666,7 +699,6 @@ object Engine {
               .select(ue("dst").as("id"), (col("d") + 1).as("cand"))
               .groupBy("id").agg(min("cand").as("cand")),
             improve = false, maxIters = 20, "call bfs()")
-          graft.Ckpt.drop(ue)
           dists.select(col("id").as(cols(0)), col("d").as(cols(1)))
         case "sssp" =>
           // weighted Bellman–Ford delta iteration (the library g_sssp
@@ -694,7 +726,6 @@ object Engine {
                 (col("d") + lit(1L) + (ue("src") + ue("dst")) % 2).as("cand"))
               .groupBy("id").agg(min("cand").as("cand")),
             improve = true, maxIters = 24, "call sssp()")
-          graft.Ckpt.drop(ue)
           dists.select(col("id").as(cols(0)), col("d").as(cols(1)))
         case "kcore" =>
           // iterative k-core peel (the library g_kcore recurrence, k as
@@ -744,7 +775,6 @@ object Engine {
             }
           }
           if (edges ne ue) graft.Ckpt.drop(edges)
-          graft.Ckpt.drop(ue)
           require(converged, s"call kcore(): not converged after $maxIters rounds")
           result
         case "triangles" =>
@@ -837,7 +867,6 @@ object Engine {
             }
           }
           graft.Ckpt.drop(frontier)
-          graft.Ckpt.drop(ue)
           require(converged, s"call harmonic(): not converged after $maxIters supersteps")
           dists.filter(col("d") > 0)
             .groupBy("id").agg(sum(expr("1000000 div d")).as("h"))
@@ -925,7 +954,6 @@ object Engine {
             graft.Ckpt.drop(labels)
             labels = next
           }
-          graft.Ckpt.drop(ue)
           labels.select(col("id").as(cols(0)), col("lbl").as(cols(1)))
         case other =>
           throw new IllegalStateException(s"unreachable: unknown procedure $other")

@@ -197,9 +197,27 @@ object GraphLoader {
     g.edges.foreach { case ((_, rel, _), df) => df.createOrReplaceTempView(s"edge_$rel") }
   }
 
+  // Loaded-graph memo per (session, dir) — round 18: the frames are lazy
+  // deterministic projections (memoizing them changes nothing about what
+  // executes), but returning the SAME PropertyGraph instance gives
+  // downstream per-graph caches an identity key: Engine's call-procedure
+  // bridge keys its hoisted undirected edge frame on the graph's edge
+  // map, so 13+ whole-graph bridge queries share ONE 2|E| hoist per
+  // session instead of paying one each, while a MUTATED graph (new map
+  // instance) still re-hoists. Same (session, dir) key and staleness
+  // stance as lidFrames above.
+  private val graphMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (PropertyGraph, Long)]
+
   /** Load the property graph from a testdata directory. Returns the
-    * graph plus the first free node id for `create`. */
+    * graph plus the first free node id for `create`. Memoized per
+    * (session, dir) — see [[graphMemo]]. */
   def load(spark: SparkSession, dir: String): (PropertyGraph, Long) = {
+    graphMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    graphMemo.getOrElseUpdate((spark, dir), loadUncached(spark, dir))
+  }
+
+  private def loadUncached(spark: SparkSession, dir: String): (PropertyGraph, Long) = {
     def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
     val region = t("region")
