@@ -106,6 +106,49 @@ object Ckpt {
     try body finally confGate.unlock()
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` set to `parts` —
+    * the §2 lever for iterative superstep loops, whose per-superstep
+    * label/frontier frames are orders of magnitude smaller than the
+    * session default (= core count) assumes. Every exchange, aggregate
+    * and checkpoint PLANNED inside `body` lands at `parts`; frames
+    * built before the flip (the heavy loop-invariant edge hoists) keep
+    * their compute-width placement, and a join between the two shuffles
+    * only the small side up to the wide side's count (measured on
+    * Spark 4.1: EnsureRequirements reuses the pre-partitioned side).
+    * Same restore-or-unset + single-threaded-session discipline as
+    * [[withoutAqe]]; reentrant with it (one lock). */
+  def withShuffle[A](s: org.apache.spark.sql.SparkSession, parts: Int)(body: => A): A =
+    withConfGate("loop shuffle partitions") {
+      val conf = s.conf
+      val key = "spark.sql.shuffle.partitions"
+      val prev = conf.getOption(key)
+      conf.set(key, parts.toString)
+      try body finally prev match {
+        case Some(v) => conf.set(key, v)
+        case None    => conf.unset(key)
+      }
+    }
+
+  /** Volume-derived shuffle-partition count for an iterative loop's
+    * per-superstep frames (guide §2: size partitions to DATA, not to
+    * core count — the session default, = cpus in the bench harness,
+    * made every superstep of every iterative operator pay exchange +
+    * localCheckpoint + scheduling × cores for frames of a few thousand
+    * rows; measured at sf0.1/32 cores the whole iterative family ran
+    * ~4× FASTER on 8 cores than 32 purely from this). `rows` is the
+    * loop's per-superstep frame bound (|V| for label/distance frames,
+    * |E|-scale for edge-rewrite loops), known to every caller from the
+    * count it already runs (memo builds, convergence probes).
+    * `spark.graft.superstep.rowsPerPartition` (default 250k rows ≈
+    * 4-8 MB of narrow long columns) is the scale knob: at bench SFs it
+    * yields single-digit partition counts, at 100 TB it grows linearly
+    * with the data — never a constant tuned to either. */
+  def partsFor(s: org.apache.spark.sql.SparkSession, rows: Long): Int = {
+    val per = s.conf.get("spark.graft.superstep.rowsPerPartition",
+      sys.env.getOrElse("SPARK_GRAFT_SUPERSTEP_ROWS", "250000")).toLong
+    math.max(1L, math.min((rows + per - 1) / per, 1L << 18)).toInt
+  }
+
   private def withoutAqe(df: DataFrame)(f: DataFrame => DataFrame): DataFrame =
     withConfGate("disable AQE for checkpoint") {
       val conf = df.sparkSession.conf

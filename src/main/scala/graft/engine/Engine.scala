@@ -41,16 +41,66 @@ import graft.lang.Typing._
   */
 object Engine {
 
+  /** Identity key for the hoist memo: two graph versions are the same
+    * hoist iff their edge MAPS are the same instance (mutation builds a
+    * new map). Structural Map equality would be wrong (a re-created
+    * equal graph may hold different frames) and expensive. */
+  private final class GraphKey(val ref: AnyRef) {
+    override def hashCode: Int = System.identityHashCode(ref)
+    override def equals(o: Any): Boolean = o match {
+      case k: GraphKey => k.ref eq ref
+      case _           => false
+    }
+  }
+
+  /** One call-procedure hoist: the 2·|E| undirected src-partitioned
+    * edge frame with its measured row count, plus (built on first
+    * bfs/sssp use) the pinned distinct-endpoint spine universe and ITS
+    * count — the volume input for the loops' partition sizing
+    * ([[graft.Ckpt.partsFor]]) and the per-call spine base (an |V|-
+    * scale union instead of re-running the |E|-scale distinct every
+    * call). */
+  private[engine] final class Hoist(val ue: org.apache.spark.sql.DataFrame, val nUe: Long) {
+    lazy val endpoints: org.apache.spark.sql.DataFrame = graft.Ckpt.pinned(
+      ue.select(org.apache.spark.sql.functions.col("dst").as("id")).distinct())
+    lazy val nEndpoints: Long = endpoints.count()
+  }
+
   /** Session-lifetime memo of the call-procedure bridge's hoisted
-    * undirected edge frame, keyed (session, relScope) and guarded by the
-    * graph's edge-map IDENTITY (round 18 — see hoistUndirected in
-    * RCallProc). Values are drain-ledger-exempt pinned checkpoints; a
-    * superseded entry (mutated graph, same scope) is dropped on
-    * replacement, stopped sessions are swept on access. */
+    * undirected edge frame, keyed (session, relScope, graph edge-map
+    * IDENTITY) — round 19 (ADVICE r18): keying BY the identity instead
+    * of guarding on it lets two graphs (or a graph and its mutated
+    * successor) coexist instead of evicting each other, and removes the
+    * drop-on-replacement that could invalidate still-lazy bindings
+    * referencing the superseded pin (call bfs → mutate → call: the old
+    * result's trivial-convergence path reads the old spine). Values are
+    * drain-ledger-exempt pinned checkpoints that live until their
+    * session stops (swept on access); a mutation-heavy session holds one
+    * 2·|E| pin per graph VERSION it ran a whole-graph procedure on —
+    * bounded by the program's own mutation count, and the price of not
+    * unpersisting frames lazy plans may still reference. */
   private val hoistMemo = new Object
   private val ueHoists = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String),
-      (AnyRef, org.apache.spark.sql.DataFrame)]
+    .empty[(org.apache.spark.sql.SparkSession, String, GraphKey), Hoist]
+
+  /** |V| per (session, graph node-map identity) — one count job per
+    * graph version, feeds the bridges' volume-derived superstep
+    * partition sizing (guide §2). */
+  private val nodeCounts = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, GraphKey), Long]
+
+  /** Per-node triangle counts + pair-degrees of the scoped undirected
+    * pair graph, memoized per (session, relScope, graph edge-map
+    * identity) — round 19 (VERDICT r18 item 3): `call triangles()` and
+    * `call clustering()` consume the SAME |E|-scale wedge enumeration,
+    * and the library twins have shared it via coPurchaseTriangles'
+    * session memo since round 15 — this is the bridge-side parity move.
+    * Values are |V|-scale pinned checkpoints (drain-exempt, live until
+    * session stop, same lifecycle as [[ueHoists]]); the |E|-scale
+    * intermediates are released at build time. */
+  private val triHoists = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, GraphKey),
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
 
   /** Execution config. `strict=true` reproduces the reference's
     * runtime-error semantics for reads of unset attributes / dangling
@@ -524,22 +574,26 @@ object Engine {
       // at most one pinned frame per scope (sessions are single-threaded
       // per the Ckpt.confGate contract, so the evicted frame has no
       // in-flight reader). Callers must NOT drop the returned frame.
-      def hoistUndirected(): DataFrame =
+      def hoistUndirected(): Engine.Hoist =
         Engine.hoistMemo.synchronized {
           Engine.ueHoists.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-          val key = (spark, relScope.getOrElse(""))
-          Engine.ueHoists.get(key) match {
-            case Some((g, df)) if g eq st.graph.edges => df
-            case prev =>
-              prev.foreach(p => graft.Ckpt.drop(p._2))
-              val df = graft.Ckpt.pinned(
-                allEdges.unionByName(
-                  allEdges.select(col("dst").as("src"), col("src").as("dst")))
-                  .repartition(col("src")))
-              Engine.ueHoists(key) = (st.graph.edges, df)
-              df
-          }
+          val key = (spark, relScope.getOrElse(""),
+            new Engine.GraphKey(st.graph.edges))
+          Engine.ueHoists.getOrElseUpdate(key, {
+            val df = graft.Ckpt.pinned(
+              allEdges.unionByName(
+                allEdges.select(col("dst").as("src"), col("src").as("dst")))
+                .repartition(col("src")))
+            new Engine.Hoist(df, df.count())
+          })
         }
+      // |V|, memoized per (session, graph version) — the volume input
+      // for the |V|-scale bridge loops' partition sizing (guide §2)
+      def nNodes(): Long = Engine.hoistMemo.synchronized {
+        Engine.nodeCounts.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+        Engine.nodeCounts.getOrElseUpdate(
+          (spark, new Engine.GraphKey(st.graph.nodes)), allNodes.count())
+      }
       def intArg(what: String): Long = args.head match {
         case IntV(v) => v
         case other   => throw new IllegalStateException(s"$what arg: $other")
@@ -556,11 +610,18 @@ object Engine {
       // leg used to re-derive the pair distinct), and on a graph whose
       // edge list outgrows the cap the hints drop — the plan degrades
       // to SMJ, still correct, never an executor-OOM broadcast. Counts
-      // are materialized NOW (drain-ledger checkpoint, released between
-      // statements) so the |E|-scale intermediates can be unpersisted
-      // immediately — the bridge is re-entrant, and a raw cache would
-      // pin edge-scale frames per call for the session's lifetime.
-      def pairTriangleCounts(): (DataFrame, DataFrame) = {
+      // are materialized NOW (pinned — the [[Engine.triHoists]] memo
+      // value, shared by triangles() and clustering() across calls) so
+      // the |E|-scale intermediates can be unpersisted immediately.
+      def pairTriangleCounts(): (DataFrame, DataFrame) =
+        Engine.hoistMemo.synchronized {
+          Engine.triHoists.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+          Engine.triHoists.getOrElseUpdate(
+            (spark, relScope.getOrElse(""), new Engine.GraphKey(st.graph.edges)),
+            pairTriangleCountsUncached())
+        }
+
+      def pairTriangleCountsUncached(): (DataFrame, DataFrame) = {
         val pairs = allEdges
           .select(least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b"))
@@ -570,8 +631,10 @@ object Engine {
         // TWICE here and outlives pairs.unpersist below in the
         // `clustering` branch — an unmaterialized plan would re-run the
         // |E|-scale distinct pair self-join to rebuild this |V|-scale
-        // table; the checkpoint is released by the harness drain
-        val deg = graft.Ckpt.eager(
+        // table. PINNED (round 19): the frame is one half of the
+        // [[Engine.triHoists]] memo value, so it must survive the
+        // harness drain for the session lifetime.
+        val deg = graft.Ckpt.pinned(
           pairs.select(col("a").as("id"))
             .union(pairs.select(col("b").as("id")))
             .groupBy("id").agg(count(lit(1)).as("d")))
@@ -598,7 +661,7 @@ object Engine {
           .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
           .join(graft.Bcast.gated(o.select(col("src").as("v"), col("dst").as("w")), m),
             Seq("v", "w"), "left_semi")
-        val counts = graft.Ckpt.eager(
+        val counts = graft.Ckpt.pinned(
           tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
             .groupBy("id").agg(count(lit(1)).as("n_tri")))
         o.unpersist(false)
@@ -621,7 +684,14 @@ object Engine {
           // delta min-label propagation to the fixed point (the
           // library deltaCC's recurrence; comp = component min id).
           // Diameter-bound loop with the usual loud non-convergence.
-          val ue = hoistUndirected()
+          val ue = hoistUndirected().ue
+          // NOT partition-shrunk (round 19): unlike the frontier-delta
+          // loops, every superstep here joins the FULL |V| label frame
+          // against the compute-width edge hoist — shrinking the label
+          // side adds a full-|V| re-exchange per superstep to meet the
+          // hoist (measured +10s at sf0.1), and the r18 scaling data
+          // shows this loop was volume-bound (ratio 1.03), not
+          // overhead-bound.
           var labels = graft.Ckpt.eager(allNodes.select(col("id"), col("id").as("comp")))
           var converged = false
           var stepN = 0
@@ -681,15 +751,18 @@ object Engine {
           // one-job-per-superstep spine loop (round 18; algorithm +
           // plan-shape notes on [[graft.operators.GraphAlgos.frontierLoop]]),
           // reached nodes in the output, absent source reaches nothing
-          val ue = hoistUndirected()
+          val hoist = hoistUndirected()
+          val ue = hoist.ue
           val srcId = intArg("bfs")
           // spine = the REACHABLE key universe, not allNodes: the edge
           // frame may be relation-scoped (call bfs over one relation's
           // subgraph), and a full-|V| spine checkpointed per superstep
           // measured 1.7× slower on the _rel variants at sf0.1 — BFS can
-          // only reach edge endpoints plus the source, so one distinct
-          // over the already-hoisted ue bounds the spine to that set
-          val spine = ue.select(col("dst").as("id"))
+          // only reach edge endpoints plus the source. Round 19: the
+          // endpoint set is memoized on the hoist (pinned + counted), so
+          // the per-call distinct is |V|-scale, not |E|-scale, and its
+          // count sizes the loop's partitions (guide §2).
+          val spine = hoist.endpoints
             .unionByName(allNodes.filter(col("id") === srcId).select(col("id")))
             .distinct()
             .select(col("id"), when(col("id") === srcId, 0L).as("d"))
@@ -698,7 +771,8 @@ object Engine {
             f => ue.join(f, ue("src") === f("id"))
               .select(ue("dst").as("id"), (col("d") + 1).as("cand"))
               .groupBy("id").agg(min("cand").as("cand")),
-            improve = false, maxIters = 20, "call bfs()")
+            improve = false, maxIters = 20, "call bfs()",
+            graft.Ckpt.partsFor(spark, hoist.nEndpoints))
           dists.select(col("id").as(cols(0)), col("d").as(cols(1)))
         case "sssp" =>
           // weighted Bellman–Ford delta iteration (the library g_sssp
@@ -711,11 +785,13 @@ object Engine {
           // [[graft.operators.GraphAlgos.frontierLoop]]); improve=true
           // is the Bellman–Ford frontier (a settled node re-enters when
           // its distance drops)
-          val ue = hoistUndirected()
+          val hoist = hoistUndirected()
+          val ue = hoist.ue
           val srcId = intArg("sssp")
           // reachable-endpoints spine, not allNodes — same scoped-edge-
-          // frame reasoning as the bfs case above
-          val spine = ue.select(col("dst").as("id"))
+          // frame reasoning (and round-19 memoized endpoint set +
+          // volume-derived partitions) as the bfs case above
+          val spine = hoist.endpoints
             .unionByName(allNodes.filter(col("id") === srcId).select(col("id")))
             .distinct()
             .select(col("id"), when(col("id") === srcId, 0L).as("d"))
@@ -725,7 +801,8 @@ object Engine {
               .select(ue("dst").as("id"),
                 (col("d") + lit(1L) + (ue("src") + ue("dst")) % 2).as("cand"))
               .groupBy("id").agg(min("cand").as("cand")),
-            improve = true, maxIters = 24, "call sssp()")
+            improve = true, maxIters = 24, "call sssp()",
+            graft.Ckpt.partsFor(spark, hoist.nEndpoints))
           dists.select(col("id").as(cols(0)), col("d").as(cols(1)))
         case "kcore" =>
           // iterative k-core peel (the library g_kcore recurrence, k as
@@ -736,7 +813,7 @@ object Engine {
           // co-partitioned semi, dst side broadcast semi). Early exit
           // on an unchanged alive count (the peel is monotone ⊇).
           val k = intArg("kcore")
-          val ue = hoistUndirected()
+          val ue = hoistUndirected().ue
           var edges: DataFrame = ue
           var nAlive = -1L
           var converged = false
@@ -825,7 +902,7 @@ object Engine {
           // full-outer-merge shape; see OPTIMIZATION_r18.md.
           val bandArg = args.collectFirst { case IntV(v) => v }
           val band = bandArg.getOrElse(2000000000L)
-          val ue = hoistUndirected()
+          val ue = hoistUndirected().ue
           val seeds = allNodes.filter(col("id") < band)
             .select(col("id").as("seed"), col("id"), lit(0L).as("d"))
           var dists = graft.Ckpt.eager(seeds)
@@ -938,7 +1015,9 @@ object Engine {
           // re-key; the argmax covers every node (self leg), so there
           // is no carry-over merge join, and labels come out hash-
           // partitioned by id for the next round's message join.
-          val ue = hoistUndirected()
+          val ue = hoistUndirected().ue
+          // NOT partition-shrunk (round 19): full-|V| label frame joins
+          // the hoist every round — see the cc() note above
           var labels = graft.Ckpt.eagerPartitioned(
             allNodes.select(col("id"), col("id").as("lbl"))
               .repartition(col("id")))

@@ -997,6 +997,13 @@ object DedupOps {
       pairs.select(col("a").as("doc_id"))
         .union(pairs.select(col("b").as("doc_id"))).distinct()
         .select(col("doc_id"), col("doc_id").as("cluster")))
+    // Round 19 (guide §2): per-superstep frames are bounded by the
+    // clustered-doc count (counted free off the checkpoint just
+    // materialized), so the loop's exchanges and checkpoints run at a
+    // volume-derived partition count instead of the session default —
+    // dup-pair frames are tiny next to the corpus.
+    graft.Ckpt.withShuffle(pairs.sparkSession,
+      graft.Ckpt.partsFor(pairs.sparkSession, prev.count())) {
     var labels = prev
     var changed = labels
     var converged = false
@@ -1022,6 +1029,7 @@ object DedupOps {
     require(converged,
       s"dup clusters not converged after $maxIters supersteps")
     labels
+    }
   }
 
   /** `(doc_id, band, bh)` LSH band table of a shingle index: the 16-hash

@@ -75,6 +75,29 @@ object GraphAlgos {
     * bottleneck. */
   private val memoLock = new Object
 
+  /** (|V|, directed |E|) counted ONCE per (session, dir) — feeds the
+    * volume-derived superstep partition counts ([[graft.Ckpt.partsFor]],
+    * guide §2): every iterative loop here sizes its per-superstep
+    * label/frontier exchanges and checkpoints to these instead of
+    * inheriting the session's core-count default. Two count jobs per
+    * session, amortized over every graph query. */
+  private val sizeMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, Long)]
+
+  private def graphScale(s: SparkSession, dir: String): (Long, Long) = memoLock.synchronized {
+    sizeMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    sizeMemo.getOrElseUpdate((s, dir),
+      (allNodes(s, dir).count(), allEdges(s, dir).count()))
+  }
+
+  /** Partition count for |V|-scale per-superstep frames of this graph. */
+  private def nodeParts(s: SparkSession, dir: String): Int =
+    Ckpt.partsFor(s, graphScale(s, dir)._1)
+
+  /** Partition count for |E|-scale per-superstep frames (undirected). */
+  private def edgeParts(s: SparkSession, dir: String): Int =
+    Ckpt.partsFor(s, 2L * graphScale(s, dir)._2)
+
   private def undirectedEdges(s: SparkSession, dir: String): DataFrame = memoLock.synchronized {
     ueFrames.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     ueFrames.getOrElseUpdate((s, dir), {
@@ -115,7 +138,12 @@ object GraphAlgos {
     * convergence; maxIters is the BOUND — exhausting
     * it unconverged fails loudly (the oracle replays the same count, so
     * silent under-convergence would hash-match — VERDICT r02). */
-  def deltaCC(nodes: DataFrame, undirected: DataFrame, maxIters: Int): (DataFrame, Int) = {
+  def deltaCC(nodes: DataFrame, undirected: DataFrame, maxIters: Int,
+      parts: Int): (DataFrame, Int) = Ckpt.withShuffle(nodes.sparkSession, parts) {
+    // `parts` (round 19, guide §2): the per-superstep min-aggregation
+    // exchange and the label checkpoints land at this volume-derived
+    // count; the pre-placed undirected edge frame keeps its compute
+    // width (only the shrinking `changed` side shuffles up to meet it).
     var prev: DataFrame = Ckpt.eager(
       nodes.select(col("id"), col("id").as("comp")))
     var labels = prev
@@ -166,6 +194,12 @@ object GraphAlgos {
     var nEdges = edges.count() // materializes the deferred mark
     var converged = false
     var round = 0
+    // Round 19 (guide §2): every round's frames are bounded by the
+    // canonical edge set (the rewire only shrinks it), so all round
+    // exchanges/checkpoints run at a volume-derived partition count —
+    // the initial distinct above still ran at session width.
+    Ckpt.withShuffle(nodes.sparkSession,
+      Ckpt.partsFor(nodes.sparkSession, 2L * nEdges)) {
     while (round < maxRounds && !converged) {
       round += 1
       // neighborhoods over both orientations of the current edges
@@ -206,6 +240,7 @@ object GraphAlgos {
       Ckpt.drop(edges)
       edges = small
       nEdges = nSmall
+    }
     }
     require(converged,
       s"star CC not converged after $maxRounds rounds")
@@ -281,6 +316,11 @@ object GraphAlgos {
       // UnknownPartitioning, so every per-iteration join would RE-SHUFFLE
       // the loop-invariant frames the repartition exists to pre-place
       val ed = Ckpt.eagerPartitioned(e0.join(outdeg, Seq("src")).repartition(col("src")))
+      // NOT partition-shrunk (round 19): every iteration joins the FULL
+      // |V| rank frame against the compute-width `ed` — shrinking the
+      // rank side adds a full-|V| re-exchange per iteration to meet it
+      // (measured; r18 scaling ratio 0.93 — volume-bound, not
+      // overhead-bound, unlike the frontier-delta loops).
       val nodes = Ckpt.eagerPartitioned(allNodes(s, dir).repartition(col("id")))
       var ranks = nodes.select(col("id"), lit(1000000000L).as("rank"))
       var prev: DataFrame = null
@@ -702,7 +742,15 @@ object GraphAlgos {
       step: DataFrame => DataFrame,
       improve: Boolean,
       maxIters: Int,
-      what: String): DataFrame = {
+      what: String,
+      parts: Int): DataFrame = Ckpt.withShuffle(spine.sparkSession, parts) {
+    // `parts` (round 19, guide §2): every per-superstep exchange —
+    // the candidate aggregation, the spine's one-time placement — and
+    // every checkpoint lands at this volume-derived count instead of
+    // the session's core-count default. The loop-invariant edge frame
+    // the `step` closure joins against was built OUTSIDE this flip at
+    // compute width; only the (small) frontier side shuffles up to
+    // meet it, so map parallelism over |E| is unchanged.
     var dists: DataFrame = spine
     var frontier: DataFrame = spine.filter(col("d").isNotNull)
     var prev: Option[DataFrame] = None
@@ -779,6 +827,11 @@ object GraphAlgos {
     * hash-partitioned by id, so the next round's message join against
     * the src-partitioned edge frame never re-exchanges either side. */
   def labelProp(nodes: DataFrame, undirected: DataFrame, iters: Int): DataFrame = {
+    // NOT partition-shrunk (round 19): every round joins the FULL |V|
+    // label frame against the compute-width edge frame — shrinking the
+    // label side adds a full-|V| re-exchange per round to meet it
+    // (measured on the bridge twin; r18 scaling ratio 1.12 —
+    // volume-bound, unlike the frontier-delta loops).
     var labels = Ckpt.eagerPartitioned(
       nodes.select(col("id"), col("id").as("lbl")).repartition(col("id")))
     for (_ <- 1 to iters) {
@@ -1066,7 +1119,7 @@ object GraphAlgos {
             .select(ue("dst").as("id"),
               (col("d") + lit(1L) + (ue("src") + ue("dst")) % 2).as("cand"))
             .groupBy("id").agg(min("cand").as("cand")),
-          improve = true, ssspIters, "SSSP")
+          improve = true, ssspIters, "SSSP", nodeParts(s, dir))
         dists.groupBy(col("d").as("dist")).agg(count(lit(1)).as("n"))
       },
       Some(ssspOracle)),
@@ -1093,7 +1146,7 @@ object GraphAlgos {
           f => ue.join(f, ue("src") === f("id"))
             .select(ue("dst").as("id"), (col("d") + 1).as("cand"))
             .groupBy("id").agg(min("cand").as("cand")),
-          improve = false, bfsIters, "BFS")
+          improve = false, bfsIters, "BFS", nodeParts(s, dir))
         dists.groupBy(col("d").as("dist")).agg(count(lit(1)).as("n"))
       },
       Some(bfsOracle)),
@@ -1190,14 +1243,14 @@ object GraphAlgos {
         // is |V| rows, not seeds×|V|, and no cross join is needed.
         val ue = undirectedEdges(s, dir)
         val nodes = allNodes(s, dir)
-        val (labels, _) = deltaCC(nodes, ue, ccIters)
+        val (labels, _) = deltaCC(nodes, ue, ccIters, nodeParts(s, dir))
         val spine = labels.select(col("comp").as("seed"), col("id"),
           when(col("id") === col("comp"), 0L).as("d"))
         val dists = frontierLoop(spine, Seq("seed", "id"),
           f => ue.join(f, ue("src") === f("id"))
             .select(col("seed"), ue("dst").as("id"), (col("d") + 1).as("cand"))
             .groupBy("seed", "id").agg(min("cand").as("cand")),
-          improve = false, bfsIters, "root BFS")
+          improve = false, bfsIters, "root BFS", nodeParts(s, dir))
         // parity check over each DIRECTED edge (one row per edge, no
         // reciprocal double-count); the edge's component = its src's seed
         val du = dists.select(col("seed"), col("id").as("src"), col("d").as("ds"))
@@ -1222,7 +1275,8 @@ object GraphAlgos {
         // (session, dir) and SHARED with g_bfs — each superstep's join
         // only shuffles the (small) labels side, and the 2×|E| build
         // shuffle is paid once per session, not once per operator.
-        val (labels, _) = deltaCC(allNodes(s, dir), undirectedEdges(s, dir), ccIters)
+        val (labels, _) = deltaCC(allNodes(s, dir), undirectedEdges(s, dir), ccIters,
+          nodeParts(s, dir))
         labels.groupBy("comp").agg(count(lit(1)).as("n"))
       },
       Some(ccOracle)),
@@ -1440,6 +1494,9 @@ object GraphAlgos {
         val outdeg = rev.groupBy(col("src")).agg(count(lit(1)).as("d"))
         val ed = Ckpt.eagerPartitioned(
           rev.join(outdeg, Seq("src")).repartition(col("src")))
+        // Round 19 (guide §2): |V|-scale side at volume-derived
+        // partitions, `ed` at compute width — the fixedPageRank shape.
+        Ckpt.withShuffle(s, nodeParts(s, dir)) {
         val nodes = Ckpt.eagerPartitioned(
           allNodes(s, dir).repartition(col("id")))
         val isSeed = col("id") < 2000000000L
@@ -1468,6 +1525,7 @@ object GraphAlgos {
         Ckpt.drop(ed)
         Ckpt.drop(nodes)
         out
+        }
       },
       Some(pprOracle)),
 
@@ -1716,6 +1774,10 @@ object GraphAlgos {
         val e = allEdges(s, dir)
         val eS = Ckpt.eagerPartitioned(e.repartition(col("src")))
         val eD = Ckpt.eagerPartitioned(e.repartition(col("dst")))
+        // NOT partition-shrunk (round 19): full-|V| hub/auth frames
+        // join the compute-width orientation copies every phase — see
+        // fixedPageRank's note (bridge twin measured +3s shrunk; r18
+        // scaling ratio 1.2).
         val nodesP = Ckpt.eagerPartitioned(allNodes(s, dir).repartition(col("id")))
         var hub: DataFrame = nodesP.select(col("id"), lit(1000000L).as("hub"))
         var auth: DataFrame = null
@@ -1861,6 +1923,15 @@ object GraphAlgos {
       edgesIn.select(col("src"), col("dst")).repartition(col("src")))
     var remD = Ckpt.eagerPartitioned(remS.repartition(col("dst")))
     var nRemaining = remaining.count()
+    // Round 19 (guide §2): every trim pass / coloring superstep /
+    // backward superstep's frames are bounded by the INITIAL node and
+    // edge counts (rounds only shrink the graph), so the whole FW-BW
+    // machine runs at a volume-derived partition count — both counts
+    // are free off the just-materialized checkpoints. The initial
+    // placement above stays at session width; the first shrink()
+    // re-places the remaining graph at the loop width.
+    val assignedOut: DataFrame = Ckpt.withShuffle(nodesIn.sparkSession,
+      Ckpt.partsFor(nodesIn.sparkSession, math.max(nRemaining, remS.count()))) {
     var assigned: DataFrame = null // (id, scc), grows per extraction
     def assign(rows: DataFrame): Unit = {
       val next =
@@ -1980,8 +2051,10 @@ object GraphAlgos {
         Ckpt.drop(prevJ) // the final colors frame, done serving backward
       }
     }
+    assigned
+    }
     Ckpt.drop(remaining); Ckpt.drop(remS); Ckpt.drop(remD)
-    if (assigned != null) assigned
+    if (assignedOut != null) assignedOut
     else nodesIn.sparkSession.range(0)
       .select(col("id"), col("id").as("scc"))
   }

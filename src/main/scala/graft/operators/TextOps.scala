@@ -115,8 +115,22 @@ object TextOps {
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(spaced(col("w")).as("toks"), col("freq"))
       .cache()
-    var wf: DataFrame = wf0
-    var lastCk: Option[DataFrame] = None
+    // Round 19 (guide §2): every one of the K driver-paced rounds scans
+    // the vocabulary table and aggregates pair counts — at the session's
+    // core-count partitioning that is 2×cores tasks per round for a
+    // VOCAB-scale table (thousands of rows), pure scheduling overhead
+    // × K rounds. Measure the vocabulary once (the count also
+    // materializes the cache) and run the whole loop — the table
+    // placement, the per-round aggregation exchange, the lineage-cut
+    // checkpoints — at a volume-derived partition count. Merge order is
+    // partitioning-independent (exact integer counts, total argmax
+    // order), so the trained vocabulary is byte-identical.
+    val nVocab = wf0.count()
+    val vParts = graft.Ckpt.partsFor(s, nVocab)
+    graft.Ckpt.withShuffle(s, vParts) {
+    var wf: DataFrame = graft.Ckpt.eager(wf0.repartition(vParts))
+    wf0.unpersist()
+    var lastCk: Option[DataFrame] = Some(wf)
     val merges = Seq.newBuilder[(String, String)]
     var k = 0
     var dry = false
@@ -147,9 +161,9 @@ object TextOps {
         }
       }
     }
-    wf0.unpersist()
     lastCk.foreach(graft.Ckpt.drop)
     merges.result()
+    }
   }
 
   /** A trained token as a Spark SQL string literal — backslashes and

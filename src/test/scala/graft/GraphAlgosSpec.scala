@@ -305,7 +305,8 @@ class GraphAlgosSpec extends AnyFunSuite {
       .repartition(col("src"))
 
     val (deltaLabels, deltaSteps) =
-      graft.operators.GraphAlgos.deltaCC(nodes, undirected, maxIters = chainLen + 4)
+      graft.operators.GraphAlgos.deltaCC(nodes, undirected, maxIters = chainLen + 4,
+        parts = 2)
     val (starLabels, starRounds) =
       graft.operators.GraphAlgos.starCC(nodes, edges, maxRounds = 8)
 
