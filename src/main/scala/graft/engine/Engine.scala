@@ -896,18 +896,18 @@ object Engine {
           // make EVERY node a seed — all-sources instead of landmark
           // harmonic — so the DEFAULT band is guarded loudly below;
           // an explicit argument states intent and skips the guard.
-          // NOT moved onto the round-18 frontierLoop spine: like the
-          // library twin (g_harmonic_landmarks — measured 2× slower on
-          // the K·|V| spine), this keeps the accumulated anti-join +
-          // full-outer-merge shape; see OPTIMIZATION_r18.md.
+          // Round 19: per-LEVEL multi-source BFS (the library
+          // multiSourceBfsLevels helper — the BFS level property bounds
+          // the seen-set anti-join to the last two levels), replacing
+          // the accumulated anti-join + full-outer-merge shape that
+          // re-checkpointed the growing K·|V| frame every superstep.
           val bandArg = args.collectFirst { case IntV(v) => v }
           val band = bandArg.getOrElse(2000000000L)
           val ue = hoistUndirected().ue
           val seeds = allNodes.filter(col("id") < band)
             .select(col("id").as("seed"), col("id"), lit(0L).as("d"))
-          var dists = graft.Ckpt.eager(seeds)
+          val nSeeds = seeds.count()
           if (bandArg.isEmpty) {
-            val nSeeds = dists.count() // cheap: counts the checkpoint
             val nOut = allNodes.filter(col("id") >= band).count()
             require(nSeeds > 0 && nOut > 0,
               "call harmonic(): the default seed band (id < 2000000000, the " +
@@ -915,36 +915,9 @@ object Engine {
                 s"${nSeeds + nOut} nodes on this graph — not a landmark set. " +
                 "Pass the seed band explicitly: call harmonic(<id bound>).")
           }
-          var frontier = graft.Ckpt.eager(seeds)
-          var converged = false
-          var stepN = 0
-          val maxIters = 20
-          while (stepN < maxIters && !converged) {
-            stepN += 1
-            val cand = ue.join(frontier, ue("src") === frontier("id"))
-              .select(col("seed"), ue("dst").as("id"), (col("d") + 1).as("cand"))
-              .groupBy("seed", "id").agg(min("cand").as("cand"))
-            val next = graft.Ckpt.deferredPartitioned(
-              cand.join(dists, Seq("seed", "id"), "left_anti")
-                .select(col("seed"), col("id"), col("cand").as("d")))
-            converged = next.count() == 0L
-            if (converged) graft.Ckpt.drop(next)
-            else {
-              // co-partitioned (seed,id) full-outer merge — disjoint
-              // sides, so coalesce ≡ union without losing partitioning
-              val merged = graft.Ckpt.eagerPartitioned(
-                dists.join(next.select(col("seed"), col("id"), col("d").as("nd")),
-                    Seq("seed", "id"), "full")
-                  .select(col("seed"), col("id"),
-                    coalesce(col("nd"), col("d")).as("d")))
-              graft.Ckpt.drop(dists)
-              graft.Ckpt.drop(frontier)
-              dists = merged
-              frontier = next
-            }
-          }
-          graft.Ckpt.drop(frontier)
-          require(converged, s"call harmonic(): not converged after $maxIters supersteps")
+          val dists = graft.operators.GraphAlgos.multiSourceBfsLevels(
+            seeds, ue, maxIters = 20,
+            graft.Ckpt.partsFor(spark, nSeeds * nNodes()), "call harmonic()")
           dists.filter(col("d") > 0)
             .groupBy("id").agg(sum(expr("1000000 div d")).as("h"))
             .select(col("id").as(cols(0)), col("h").as(cols(1)))

@@ -781,6 +781,54 @@ object GraphAlgos {
     dists.filter(col("d").isNotNull)
   }
 
+  /** Multi-source BFS over an undirected, src-pre-partitioned edge
+    * frame: returns the (lazy union of) per-LEVEL distance frames
+    * (seed, id, d) — every reached (seed, id) at its minimal hop
+    * distance. The round-19 third shape for the landmark family
+    * (VERDICT r18 item 4), built on the BFS level property: a candidate
+    * generated from level k lies at level k−1, k or k+1, never earlier,
+    * so the "already discovered" exclusion needs only the LAST TWO
+    * levels. The accumulated K·|V| frame is therefore never merged,
+    * re-checkpointed or re-exchanged during the loop — the r18 shapes
+    * paid one of those per superstep (full-outer merge + accumulated
+    * checkpoint, measured 10.3 s at sf0.1; K·|V| spine checkpoint,
+    * measured 2× worse still). Levels are disjoint co-partitioned
+    * checkpoints (the message aggregation leaves cand hash-partitioned
+    * by (seed,id), the anti-joins preserve it), so each superstep is
+    * ONE exchange and ONE job (the probe count materializes the level
+    * checkpoint), and total checkpoint volume across the whole run is
+    * K·|V| rows once. The final union is consumed by the caller's
+    * aggregate — one K·|V| exchange, once. */
+  private[graft] def multiSourceBfsLevels(seeds: DataFrame, ue: DataFrame,
+      maxIters: Int, parts: Int, what: String): DataFrame =
+    Ckpt.withShuffle(seeds.sparkSession, parts) {
+      var lvlPrev: Option[DataFrame] = None
+      var lvl: DataFrame = Ckpt.eagerPartitioned(
+        seeds.repartition(col("seed"), col("id")))
+      val levels = List.newBuilder[DataFrame]
+      levels += lvl
+      var converged = false
+      var step = 0
+      while (step < maxIters && !converged) {
+        step += 1
+        val cand = ue.join(lvl, ue("src") === lvl("id"))
+          .select(col("seed"), ue("dst").as("id"), (col("d") + 1).as("d"))
+          .groupBy("seed", "id").agg(min("d").as("d"))
+        val fresh = cand.join(lvl, Seq("seed", "id"), "left_anti")
+        val next = Ckpt.deferredPartitioned(
+          lvlPrev.fold(fresh)(p => fresh.join(p, Seq("seed", "id"), "left_anti")))
+        converged = next.count() == 0L
+        if (converged) Ckpt.drop(next)
+        else {
+          levels += next
+          lvlPrev = Some(lvl)
+          lvl = next
+        }
+      }
+      require(converged, s"$what not converged after $maxIters supersteps")
+      levels.result().reduce(_ unionByName _)
+    }
+
   // ---- label propagation communities (round 15) ----------------------
 
   /** Synchronous LPA rounds — FIXED, not convergence-driven: synchronous
@@ -1170,48 +1218,18 @@ object GraphAlgos {
     // checkpoint-per-superstep, early exit + loud non-convergence.
     Q("g_harmonic_landmarks",
       (s, dir) => {
-        // NOT moved onto the round-18 [[frontierLoop]] spine: measured
-        // at sf0.1 the K·|V| (seed,id) spine checkpointed per superstep
-        // DOUBLED this query (9.0 → 17.9/21.4 s, two windows) — unlike
-        // bfs/bipartite, the spine here is K× the node set while the
-        // accumulated frame grows level by level, so the halved job
-        // count loses to K·|V| rows of extra checkpoint volume every
-        // superstep. The accumulated anti-join + full-outer-merge shape
-        // below is the measured winner; see OPTIMIZATION_r18.md.
+        // Round 19: per-LEVEL multi-source BFS ([[multiSourceBfsLevels]]
+        // — the BFS level property bounds the seen-set anti-join to the
+        // last two levels), replacing the accumulated anti-join +
+        // full-outer-merge shape that re-checkpointed the growing
+        // K·|V| frame every superstep. Result unchanged: the union of
+        // disjoint levels is exactly the old accumulated frame.
         val ue = undirectedEdges(s, dir)
         val seeds = allNodes(s, dir).filter(col("id") < 2000000000L)
           .select(col("id").as("seed"), col("id"), lit(0L).as("d"))
-        var dists: DataFrame = Ckpt.eager(seeds)
-        var frontier: DataFrame = Ckpt.eager(seeds)
-        var converged = false
-        var step = 0
-        while (step < bfsIters && !converged) {
-          step += 1
-          val cand = ue.join(frontier, ue("src") === frontier("id"))
-            .select(col("seed"), ue("dst").as("id"), (col("d") + 1).as("cand"))
-            .groupBy("seed", "id").agg(min("cand").as("cand"))
-          // newly-discovered (seed,id) pairs only; deferred — the
-          // convergence-probe count materializes it (one job/superstep)
-          val next = Ckpt.deferredPartitioned(
-            cand.join(dists, Seq("seed", "id"), "left_anti")
-              .select(col("seed"), col("id"), col("cand").as("d")))
-          converged = next.count() == 0L
-          if (converged) Ckpt.drop(next)
-          else {
-            // co-partitioned (seed,id) full-outer merge — disjoint
-            // sides, so coalesce ≡ union without losing partitioning
-            val merged = Ckpt.eagerPartitioned(
-              dists.join(next.select(col("seed"), col("id"), col("d").as("nd")),
-                  Seq("seed", "id"), "full")
-                .select(col("seed"), col("id"), coalesce(col("nd"), col("d")).as("d")))
-            Ckpt.drop(dists)
-            Ckpt.drop(frontier)
-            dists = merged
-            frontier = next
-          }
-        }
-        Ckpt.drop(frontier)
-        require(converged, s"landmark BFS not converged after $bfsIters supersteps")
+        val nSeeds = seeds.count()
+        val dists = multiSourceBfsLevels(seeds, ue, bfsIters,
+          Ckpt.partsFor(s, nSeeds * graphScale(s, dir)._1), "landmark BFS")
         dists.filter(col("d") > 0)
           .groupBy("id").agg(sum(expr("1000000 div d")).as("h"))
           .orderBy(col("h").desc, col("id")).limit(50)

@@ -128,6 +128,16 @@ object TextOps {
     val nVocab = wf0.count()
     val vParts = graft.Ckpt.partsFor(s, nVocab)
     graft.Ckpt.withShuffle(s, vParts) {
+    // Whole-stage codegen OFF for the K driver-paced rounds: every
+    // round's plan is new (one more chained replace), so codegen
+    // compiles a fresh generated class per round — tens of ms × K of
+    // pure janino time for a vocabulary-scale table where interpreted
+    // evaluation is instant. Restore-or-unset, same discipline as the
+    // shuffle flip above (single-threaded session, confGate-policed).
+    val cgKey = "spark.sql.codegen.wholeStage"
+    val cgPrev = s.conf.getOption(cgKey)
+    s.conf.set(cgKey, "false")
+    try {
     var wf: DataFrame = graft.Ckpt.eager(wf0.repartition(vParts))
     wf0.unpersist()
     var lastCk: Option[DataFrame] = Some(wf)
@@ -163,6 +173,10 @@ object TextOps {
     }
     lastCk.foreach(graft.Ckpt.drop)
     merges.result()
+    } finally cgPrev match {
+      case Some(v) => s.conf.set(cgKey, v)
+      case None    => s.conf.unset(cgKey)
+    }
     }
   }
 
